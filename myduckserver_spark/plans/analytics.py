@@ -1,0 +1,784 @@
+"""LLM-data-pipeline analytics queries (beyond-reference operators).
+
+Dedup / similarity / text-analysis / multimodal plumbing expressed as
+oracle-matched queries over the `documents` and `embeddings` tables.
+All hashing is md5-based because md5 is bit-identical in Spark and
+DuckDB; minhash uses the *lexicographic min of md5 hex strings*, which
+both engines compute identically (no numeric-hash divergence).
+
+Scale notes: every operator here is shuffle-bounded by design — LSH
+banding turns O(n²) near-dup into a bucket-grouped self-join; IVF
+assignment turns ANN into a per-centroid local search. No collect(),
+no cross join without a blocking key (the brute-force baseline
+broadcasts only the tiny query set).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from myduckserver_spark.plans.helpers import bcount, o_bcount
+from myduckserver_spark.plans.registry import register
+from myduckserver_spark.tables import load_table
+
+# ------------------------------------------------------------------ dedup
+
+
+@register(
+    "dd_exact",
+    oracle="""
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           md5(lower(trim(text))) AS fp,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY md5(lower(trim(text)))
+    ORDER BY keep_id
+    """,
+    tags=("dedup", "exact"),
+)
+def dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized text, keep lowest doc_id.
+
+    Scale: one shuffle on the 128-bit fingerprint; at 100 TB this is
+    the canonical map-side-combine dedup (the md5 prunes to one row
+    per partition per key before the shuffle).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5(F.lower(F.trim("text"))).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").cast("long").alias("keep_id"), bcount("n_copies"))
+        .select("keep_id", "fp", "n_copies")
+        .orderBy("keep_id")
+    )
+
+
+def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
+    """Word n-gram shingles via sequence+transform (no Python UDF)."""
+    words = F.split(F.lower(F.trim(F.col("text"))), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+    return df.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+
+
+_SHINGLE_SQL = """
+        SELECT doc_id,
+               unnest(list_distinct([
+                   array_to_string(words[i:i+2], ' ')
+                   FOR i IN range(1, greatest(len(words) - 2, 1) + 1)
+               ])) AS shingle
+        FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS words
+              FROM documents)
+"""
+
+
+@register(
+    "dd_minhash_lsh",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLE_SQL}),
+    mh AS (
+        SELECT doc_id, seed, MIN(md5(concat(CAST(seed AS VARCHAR), ':', shingle)))
+               AS minhash
+        FROM shingles CROSS JOIN (SELECT unnest(range(8)) AS seed) seeds
+        GROUP BY doc_id, seed
+    ),
+    bands AS (
+        SELECT doc_id, seed // 2 AS band,
+               md5(string_agg(minhash, '|' ORDER BY seed)) AS band_sig
+        FROM mh GROUP BY doc_id, seed // 2
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           {o_bcount("n_shared_bands")}
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup", "minhash", "lsh"),
+)
+def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: shingle → 8 minhashes → 4 bands
+    of 2 → bucket self-join.
+
+    Minhash_i(doc) = lexicographic MIN over shingles of md5(i:shingle):
+    a valid permutation-min sketch that is engine-portable. Scale: the
+    self-join is keyed on (band, band_sig) — only same-bucket docs meet,
+    which is the whole point of LSH at 100 TB.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs, 3)
+    seeds = spark.range(8).select(F.col("id").cast("int").alias("seed"))
+    mh = (
+        sh.crossJoin(F.broadcast(seeds))
+        .groupBy("doc_id", "seed")
+        .agg(
+            F.min(
+                F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle")))
+            ).alias("minhash")
+        )
+    )
+    bands = (
+        mh.withColumn("band", (F.col("seed") / 2).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws("|", F.array_sort(F.collect_list(F.struct("seed", "minhash")))
+                .getField("minhash"))
+            ).alias("band_sig")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(bcount("n_shared_bands"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "dd_ngram_jaccard",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLE_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               COUNT(*) AS n_common
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.2
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup", "jaccard"),
+)
+def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram Jaccard similarity via inverted-index self-join.
+
+    Scale: joins on the shingle (inverted index), so only docs sharing
+    ≥1 shingle ever pair; the jaccard is exact from distinct-shingle
+    counts. At 100 TB you'd pre-filter hot shingles (df-cut); the join
+    stays keyed — no cross product. IEEE divide of exact ints matches
+    DuckDB bitwise.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs, 3)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_common")
+    )
+    return (
+        pairs.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.2)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "dd_simhash",
+    oracle="""
+    WITH tokens AS (
+        SELECT doc_id, token,
+               CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT) AS h
+        FROM (SELECT doc_id, unnest(list_distinct(string_split(lower(trim(text)), ' ')))
+                     AS token FROM documents) t
+        WHERE token <> ''
+    ),
+    bits AS (
+        SELECT doc_id, bit_pos,
+               SUM(CASE WHEN (h >> bit_pos) & 1 = 1 THEN 1 ELSE -1 END) AS score
+        FROM tokens CROSS JOIN (SELECT unnest(range(60)) AS bit_pos) b
+        GROUP BY doc_id, bit_pos
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN score > 0 THEN (CAST(1 AS BIGINT) << bit_pos)
+                         ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    tags=("dedup", "simhash"),
+)
+def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document (token hash = first 15 md5 hex chars).
+
+    Scale: the ×60 bit expansion is map-side only; the single shuffle
+    is groupBy(doc_id, bit_pos) with map-side combine. Near-dup pairs
+    then hamming-compare simhashes (see operators.dedup.simhash_pairs).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.split(F.lower(F.trim("text")), " "))
+            ).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("token"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+    )
+    bitpos = spark.range(60).select(F.col("id").cast("int").alias("bit_pos"))
+    bits = (
+        tokens.crossJoin(F.broadcast(bitpos))
+        .groupBy("doc_id", "bit_pos")
+        .agg(
+            F.sum(
+                F.when(F.expr("(h >> bit_pos) & 1") == 1, 1).otherwise(-1)
+            ).alias("score")
+        )
+    )
+    return (
+        bits.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("score") > 0,
+                    F.expr("shiftleft(CAST(1 AS BIGINT), bit_pos)"),
+                ).otherwise(F.lit(0).cast("long"))
+            )
+            .cast("long")
+            .alias("simhash")
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ------------------------------------------------------------- similarity
+
+
+def _cosine(a, b):  # noqa: ANN001 - Column exprs
+    """Index-ordered cosine: deterministic sequential fold in both engines."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.transform(b, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return dot / (na * nb)
+
+
+_COSINE_SQL = """
+    list_sum([CAST(qa[i] AS DOUBLE) * CAST(va[i] AS DOUBLE)
+              FOR i IN range(1, len(qa) + 1)])
+    / (sqrt(list_sum([CAST(qa[i] AS DOUBLE) * CAST(qa[i] AS DOUBLE)
+                      FOR i IN range(1, len(qa) + 1)]))
+       * sqrt(list_sum([CAST(va[i] AS DOUBLE) * CAST(va[i] AS DOUBLE)
+                        FOR i IN range(1, len(va) + 1)])))
+"""
+
+
+@register(
+    "sim_topk_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qa FROM embeddings
+               WHERE vec_id < 5),
+    scored AS (
+        SELECT qid, vec_id, ROUND({_COSINE_SQL}, 6) AS sim
+        FROM q JOIN (SELECT vec_id, embedding AS va FROM embeddings) v
+          ON qid <> vec_id
+    ),
+    ranked AS (
+        SELECT qid, vec_id, sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                    ORDER BY sim DESC, vec_id) AS INT) AS rk
+        FROM scored
+    )
+    SELECT qid, vec_id, sim, rk FROM ranked WHERE rk <= 5
+    ORDER BY qid, rk
+    """,
+    tags=("similarity", "ann", "topk"),
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 5 query vectors.
+
+    Ranking is on ROUND(sim, 6) with vec_id tiebreak so FP last-bit
+    noise cannot reorder ranks. Scale: query set is broadcast; the scan
+    over the corpus is embarrassingly parallel; top-k per query is a
+    windowed rank pushdown (WindowGroupLimit), not a global sort.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qa")
+    )
+    v = emb.select("vec_id", F.col("embedding").alias("va"))
+    scored = (
+        F.broadcast(q)
+        .join(v, F.col("qid") != F.col("vec_id"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(_cosine(F.col("qa"), F.col("va")), 6).alias("sim"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 5)
+        .orderBy("qid", "rk")
+    )
+
+
+@register(
+    "sim_ivf_bucketed",
+    oracle=f"""
+    WITH centroids AS (
+        SELECT vec_id AS cid, embedding AS ca FROM embeddings
+        WHERE vec_id % 50 = 0
+    ),
+    assign AS (
+        SELECT vec_id, arg_max(cid, sim) AS cid
+        FROM (
+            SELECT v.vec_id, c.cid,
+                   ROUND({_COSINE_SQL.replace("qa", "ca")}, 6)
+                   - CAST(c.cid AS DOUBLE) * 1e-12 AS sim
+            FROM (SELECT vec_id, embedding AS va FROM embeddings) v
+            CROSS JOIN centroids c
+        ) s
+        GROUP BY vec_id
+    )
+    SELECT cid, CAST(COUNT(*) AS BIGINT) AS bucket_size,
+           CAST(MIN(vec_id) AS BIGINT) AS min_vec,
+           CAST(MAX(vec_id) AS BIGINT) AS max_vec
+    FROM assign
+    GROUP BY cid
+    ORDER BY cid
+    """,
+    tags=("similarity", "ann", "ivf"),
+)
+def sim_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse assignment: nearest of 10 deterministic centroids.
+
+    The tiny cid*1e-12 penalty makes argmax unique even on exact sim
+    ties, so both engines pick the same centroid. Scale: centroids are
+    broadcast; assignment is map-only; ANN search then touches one
+    bucket instead of the corpus (see operators.similarity.ivf_search).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ca")
+    )
+    v = emb.select("vec_id", F.col("embedding").alias("va"))
+    sim = F.round(_cosine(F.col("ca"), F.col("va")), 6) - F.col("cid").cast(
+        "double"
+    ) * F.lit(1e-12)
+    assign = (
+        v.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cid", sim.alias("sim"))
+        .groupBy("vec_id")
+        .agg(F.max_by("cid", "sim").alias("cid"))
+    )
+    return (
+        assign.groupBy("cid")
+        .agg(
+            bcount("bucket_size"),
+            F.min("vec_id").cast("long").alias("min_vec"),
+            F.max("vec_id").cast("long").alias("max_vec"),
+        )
+        .orderBy("cid")
+    )
+
+
+@register(
+    "dd_embedding_neardup",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_COSINE_SQL.replace("qa", "aa").replace("va", "ba")}, 6) AS sim
+    FROM (SELECT vec_id, label, embedding AS aa FROM embeddings) a
+    JOIN (SELECT vec_id, label, embedding AS ba FROM embeddings) b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND({_COSINE_SQL.replace("qa", "aa").replace("va", "ba")}, 6) >= 0.999
+    ORDER BY id_a, id_b
+    """,
+    tags=("dedup", "embedding"),
+)
+def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs within label blocks (cosine ≥ 0.999).
+
+    Scale: the label is the blocking key (at 100 TB: an IVF/LSH bucket
+    id) — pairwise compare happens only within buckets, keyed join.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select("vec_id", "label", F.col("embedding").alias("aa")).alias("a")
+    b = emb.select("vec_id", "label", F.col("embedding").alias("ba")).alias("b")
+    sim = F.round(_cosine(F.col("aa"), F.col("ba")), 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.999)
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ----------------------------------------------------------- text analysis
+
+
+@register(
+    "tx_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(trim(text), ' ')) AS INT) AS n_tokens,
+           CAST(length(text) AS INT) AS n_chars_actual,
+           CAST(length(regexp_replace(text, '[^ ]', '', 'g')) + 1 AS INT)
+               AS n_words_ws,
+           ROUND(CAST(length(text) AS DOUBLE)
+                 / len(string_split(trim(text), ' ')), 6) AS avg_token_len
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("text", "tokens"),
+)
+def tx_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting + average token length (map-only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("int").alias("n_tokens"),
+        F.length("text").cast("int").alias("n_chars_actual"),
+        (F.length(F.regexp_replace("text", "[^ ]", "")) + 1)
+        .cast("int")
+        .alias("n_words_ws"),
+        F.round(F.length("text").cast("double") / F.size(toks), 6).alias(
+            "avg_token_len"
+        ),
+    ).orderBy("doc_id")
+
+
+@register(
+    "tx_quality_score",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS INT) AS n_chars,
+           ROUND(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+                 / length(text), 6) AS alpha_ratio,
+           ROUND(CAST(len(list_filter(string_split(lower(trim(text)), ' '),
+                     t -> t IN ('the','a','of','and','to','in','is','it')))
+                 AS DOUBLE) / len(string_split(trim(text), ' ')), 6)
+               AS stopword_ratio,
+           CAST(CASE WHEN length(text) BETWEEN 100 AND 2000 THEN 1 ELSE 0 END
+                AS INT) AS len_ok
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("text", "quality"),
+)
+def tx_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality heuristics: alpha ratio, stopword ratio, length gate.
+
+    Scale: pure map-side column math; at 100 TB this is the standard
+    pre-training quality filter pass (no shuffle at all).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    stop = F.array(*[F.lit(s) for s in ("the", "a", "of", "and", "to", "in", "is", "it")])
+    toks = F.split(F.lower(F.trim("text")), " ")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("int").alias("n_chars"),
+        F.round(
+            F.length(F.regexp_replace("text", "[^a-z]", "")).cast("double")
+            / F.length("text"),
+            6,
+        ).alias("alpha_ratio"),
+        F.round(
+            F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).cast("double")
+            / F.size(F.split(F.trim("text"), " ")),
+            6,
+        ).alias("stopword_ratio"),
+        F.when(F.length("text").between(100, 2000), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("len_ok"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "tx_langid_ngram",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               CAST(len(list_filter(string_split(lower(text), ' '),
+                    t -> t IN ('the','and','of'))) AS BIGINT) AS en_hits,
+               CAST(len(list_filter(string_split(lower(text), ' '),
+                    t -> t IN ('der','und','die'))) AS BIGINT) AS de_hits
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN en_hits > de_hits THEN 1 ELSE 0 END) AS BIGINT)
+               AS pred_en,
+           CAST(SUM(en_hits) AS BIGINT) AS total_en_hits
+    FROM scored
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("text", "langid"),
+)
+def tx_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language scoring rolled up against the labeled lang."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    en = F.array(F.lit("the"), F.lit("and"), F.lit("of"))
+    de = F.array(F.lit("der"), F.lit("und"), F.lit("die"))
+    scored = docs.select(
+        "lang",
+        F.size(F.filter(toks, lambda t: F.array_contains(en, t)))
+        .cast("long")
+        .alias("en_hits"),
+        F.size(F.filter(toks, lambda t: F.array_contains(de, t)))
+        .cast("long")
+        .alias("de_hits"),
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            bcount("n_docs"),
+            F.sum(F.when(F.col("en_hits") > F.col("de_hits"), 1).otherwise(0))
+            .cast("long")
+            .alias("pred_en"),
+            F.sum("en_hits").cast("long").alias("total_en_hits"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "tx_fingerprint",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')))
+                AS BIGINT) AS n_distinct_fp
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("text", "fingerprint"),
+)
+def tx_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized document fingerprint (strip non-alnum, md5) per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.regexp_replace(F.lower("text"), "[^a-z0-9]", ""))
+    return (
+        docs.groupBy("source")
+        .agg(bcount("n_docs"), F.countDistinct(fp).cast("long").alias("n_distinct_fp"))
+        .orderBy("source")
+    )
+
+
+# ------------------------------------------------------------- multimodal
+
+
+@register(
+    "mm_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5,
+           CAST(substr(text, 1, 4) AS VARCHAR) AS magic
+    FROM documents
+    WHERE doc_id < 50
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "binary"),
+)
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column plumbing: encode → byte length, md5, magic.
+
+    Models the image/audio convention (binary payload + typed metadata);
+    the decode UDFs live in operators.multimodal (stubbed libs).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    blob = F.encode("text", "UTF-8")
+    return (
+        docs.filter(F.col("doc_id") < 50)
+        .select(
+            "doc_id",
+            F.octet_length(blob).cast("long").alias("n_bytes"),
+            F.md5(blob).alias("content_md5"),
+            F.substring("text", 1, 4).alias("magic"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ------------------------------------------------------ events / streaming-ish
+
+
+@register(
+    "ev_tumbling_hour",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("events", "window-agg", "streaming"),
+)
+def ev_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h event-time aggregation (batch twin of the streaming
+    query in streaming/windows.py)."""
+    from myduckserver_spark.plans.helpers import dsum
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour_start"), F.col("event_type")
+        )
+        .agg(bcount("n"), dsum("value", "total_value"))
+        .orderBy("hour_start", "event_type")
+    )
+
+
+@register(
+    "ev_sessionize",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id) > 3600000000
+                    OR LAG(ts) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, event_id,
+               SUM(new_session) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+        FROM gaps
+    )
+    SELECT user_id,
+           CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("events", "sessionization", "window"),
+)
+def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (1h inactivity) via lag + running sum.
+
+    Scale: one shuffle on user_id; both window passes share the same
+    partitioning/sort so Spark runs them in a single Window exchange.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev) > 3_600_000_000),
+        1,
+    ).otherwise(0)
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sess = ev.select(
+        "user_id",
+        "event_id",
+        F.sum(new_sess).over(wrun).alias("session_id"),
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.max("session_id").cast("long").alias("n_sessions"),
+            bcount("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "ev_asof_view_before_purchase",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           CAST(MAX(v.ts) AS TIMESTAMP) AS last_view_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    GROUP BY p.event_id
+    ORDER BY p.event_id
+    """,
+    tags=("events", "asof-join"),
+)
+def ev_asof_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest 'view' at or before each 'purchase' per user.
+
+    Composition strategy (a) from the brief: equi-join on user_id +
+    range predicate + max aggregate — no applyInPandas needed. Scale:
+    shuffle keyed on user_id only.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").alias("p")
+    v = ev.filter(F.col("event_type") == "view").alias("v")
+    return (
+        p.join(
+            v,
+            (F.col("p.user_id") == F.col("v.user_id"))
+            & (F.col("v.ts") <= F.col("p.ts")),
+            "left",
+        )
+        .groupBy(F.col("p.event_id").alias("purchase_id"))
+        .agg(F.max(F.col("v.ts")).alias("last_view_ts"))
+        .orderBy("purchase_id")
+    )

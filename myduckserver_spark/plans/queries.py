@@ -1,0 +1,1354 @@
+"""Core SQL/DataFrame query surface (SURVEY.md §2.B inventory).
+
+Each entry re-expresses a query category the reference guarantees via
+its GMS conformance corpus (reference: main_test.go suites cited per
+query) as an idiomatic Spark DataFrame/SQL plan, paired with a DuckDB
+oracle. Scale notes are inline: broadcast hints on dimension joins,
+shuffle-on-key aggregations, deterministic top-k via TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from myduckserver_spark.plans.helpers import (
+    bcount,
+    davg,
+    dec,
+    dsum,
+    o_bcount,
+    o_davg,
+    o_dsum,
+)
+from myduckserver_spark.plans.registry import register
+from myduckserver_spark.tables import load_table
+
+# ---------------------------------------------------------------- aggregation
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {o_dsum("l_quantity", "sum_qty")},
+           {o_dsum("l_extendedprice", "sum_base_price")},
+           {o_dsum("l_extendedprice * (1 - l_discount)", "sum_disc_price")},
+           {o_dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge")},
+           {o_davg("l_quantity", "avg_qty")},
+           {o_davg("l_extendedprice", "avg_price")},
+           {o_davg("l_discount", "avg_disc")},
+           {o_bcount("count_order")}
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("aggregation", "tpch"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: the flagship scan→filter→groupBy→8-agg plan.
+
+    Scale: single shuffle on two low-cardinality keys; partial
+    aggregation (map-side combine) does almost all the work, so the
+    shuffle moves only n_partitions × n_groups rows.
+    Ref coverage: TestQueriesSimple main_test.go:210.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            F.sum(dec(disc_price)).cast("decimal(38,6)").alias("sum_disc_price"),
+            F.sum(dec(charge)).cast("decimal(38,6)").alias("sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            bcount("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
+                AS DECIMAL(38,6)) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+    tags=("aggregation", "filter", "tpch"),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure filter + global aggregate — predicate pushdown test.
+
+    Scale: all four predicates reach the parquet scan (check
+    PushedFilters); zero shuffle (single global agg).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec(F.col("l_extendedprice") * F.col("l_discount")))
+            .cast("decimal(38,6)")
+            .alias("revenue"),
+            bcount("n_rows"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {o_dsum("l_extendedprice * (1 - l_discount)", "revenue")},
+           CAST(o_orderdate AS DATE) AS orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "aggregation", "topk", "tpch"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: 3-way join + agg + deterministic top-10.
+
+    Scale: customer filter first (smallest side after filter), join
+    keyed on custkey then orderkey; final LIMIT executes as
+    TakeOrderedAndProject (no full sort shuffle).
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("decimal(38,6)")
+            .alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n_name, {o_dsum("l_extendedprice * (1 - l_discount)", "revenue")}
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    tags=("join", "aggregation", "tpch"),
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: 6-way join with broadcast dimensions.
+
+    Scale: region/nation/supplier are broadcast (dims stay small even
+    at 100 TB fact scale); the only shuffles are fact-side keyed joins
+    customer⋈orders and orders⋈lineitem.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("decimal(38,6)")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           {o_dsum("l_extendedprice * (1 - l_discount)", "revenue")},
+           CAST(c_acctbal AS DOUBLE) AS acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("join", "aggregation", "topk", "tpch"),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: returned-item revenue per customer, top 20."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("decimal(38,6)")
+            .alias("revenue")
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.col("c_acctbal").cast("double").alias("acctbal"),
+            "n_name",
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q18_large_volume_orders",
+    oracle=f"""
+    SELECT c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+           CAST(o_totalprice AS DOUBLE) AS totalprice,
+           {o_dsum("l_quantity", "sum_qty")}
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 150
+    )
+    GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    tags=("join", "subquery", "having", "tpch"),
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: IN-subquery with HAVING → left-semi join in Spark.
+
+    Scale: the HAVING subquery is a keyed agg on l_orderkey; the IN
+    becomes a semi join on the same key, so AQE can reuse the shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("s"))
+        .filter(F.col("s") > 150)
+        .select("l_orderkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").join(
+        big, F.col("o_orderkey") == big.l_orderkey, "left_semi"
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum("l_quantity", "sum_qty"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "q4_order_priority",
+    oracle=f"""
+    SELECT o_orderpriority, {o_bcount("order_count")}
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("subquery", "exists", "semi-join", "tpch"),
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style EXISTS: correlated predicate → left-semi join.
+
+    Ref coverage: IsPureDataQuery subquery example main_test.go:131-135.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(bcount("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    ) t
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=("join", "outer-join", "aggregation", "tpch"),
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: left outer join with join-side predicate + double agg."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = cust.join(
+        orders,
+        (cust.c_custkey == orders.o_custkey)
+        & (orders.o_orderpriority != "1-URGENT"),
+        "left",
+    )
+    return (
+        joined.groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+        .groupBy("c_count")
+        .agg(bcount("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# ------------------------------------------------------------------ subqueries
+
+
+@register(
+    "sq_scalar_above_avg_price",
+    oracle="""
+    SELECT p_partkey, p_name, CAST(p_retailprice AS DOUBLE) AS retailprice
+    FROM part
+    WHERE p_retailprice > (
+        SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*)
+        FROM part
+    )
+    ORDER BY p_partkey
+    """,
+    tags=("subquery", "scalar"),
+)
+def sq_scalar_above_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery in a predicate (SQL-text path).
+
+    Exercises the engine.sql front door the way the reference ships
+    whole SQL to DuckDB (reference: backend/executor.go:183-219).
+    """
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name, CAST(p_retailprice AS DOUBLE) AS retailprice
+        FROM part
+        WHERE p_retailprice > (
+            SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*)
+            FROM part
+        )
+        ORDER BY p_partkey
+        """
+    )
+
+
+@register(
+    "sq_correlated_max_per_nation",
+    oracle="""
+    SELECT s_suppkey, s_name, CAST(s_acctbal AS DOUBLE) AS acctbal
+    FROM supplier s
+    WHERE s_acctbal = (
+        SELECT MAX(s2.s_acctbal) FROM supplier s2
+        WHERE s2.s_nationkey = s.s_nationkey
+    )
+    ORDER BY s_suppkey
+    """,
+    tags=("subquery", "correlated"),
+)
+def sq_correlated_max_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (Catalyst decorrelates to an agg-join)."""
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name, CAST(s_acctbal AS DOUBLE) AS acctbal
+        FROM supplier s
+        WHERE s_acctbal = (
+            SELECT MAX(s2.s_acctbal) FROM supplier s2
+            WHERE s2.s_nationkey = s.s_nationkey
+        )
+        ORDER BY s_suppkey
+        """
+    )
+
+
+@register(
+    "sq_not_exists_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_acctbal > 0 AND NOT EXISTS (
+        SELECT 1 FROM orders WHERE o_custkey = c_custkey
+    )
+    ORDER BY c_custkey
+    """,
+    tags=("subquery", "anti-join"),
+)
+def sq_not_exists_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS → left-anti join (TPC-H Q22 spirit).
+
+    Ref: the delta-flush keyed DELETE uses the same IN→semi-join shape
+    (reference: delta/controller.go:480-488).
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "sq_in_subquery_semi",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus
+    FROM orders
+    WHERE o_custkey IN (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+    ) AND o_totalprice > 400000
+    ORDER BY o_orderkey
+    """,
+    tags=("subquery", "semi-join"),
+)
+def sq_in_subquery_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN (subquery) → left-semi join."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    machinery = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "MACHINERY")
+        .select("c_custkey")
+    )
+    return (
+        orders.join(machinery, orders.o_custkey == machinery.c_custkey, "left_semi")
+        .select("o_orderkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+    )
+
+
+# -------------------------------------------------------------------- windows
+
+
+@register(
+    "w_top3_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS totalprice, rn
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey
+               ) AS INT) AS rn
+        FROM orders
+    ) t
+    WHERE rn <= 3
+    ORDER BY o_custkey, rn
+    """,
+    tags=("window", "ranking"),
+)
+def w_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW_NUMBER top-k per group (ref: TestWindowFunctions main_test.go:1949).
+
+    Scale: single hash shuffle on the partition key; Spark inserts a
+    WindowGroupLimit (rank pushdown) so each partition keeps only 3 rows.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+            "rn",
+        )
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@register(
+    "w_running_revenue",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DECIMAL(38,6)) AS running_total
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+    tags=("window", "frame"),
+)
+def w_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total with an explicit ROWS frame."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(dec("o_totalprice")).over(w).cast("decimal(38,6)").alias(
+                "running_total"
+            ),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "w_lead_lag",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(LAG(o_totalprice)  OVER w AS DOUBLE) AS prev_price,
+           CAST(LEAD(o_totalprice) OVER w AS DOUBLE) AS next_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+    tags=("window", "analytic", "named-window"),
+)
+def w_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG/LEAD over a named window (ref: TestNamedWindows main_test.go:1959)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.lag("o_totalprice").over(w).cast("double").alias("prev_price"),
+            F.lead("o_totalprice").over(w).cast("double").alias("next_price"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "w_rank_dense_ntile",
+    oracle="""
+    SELECT p_partkey,
+           CAST(RANK()       OVER w AS INT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS INT) AS drnk,
+           CAST(NTILE(4)     OVER w AS INT) AS quartile
+    FROM part
+    WINDOW w AS (ORDER BY p_retailprice DESC, p_partkey)
+    ORDER BY p_partkey
+    """,
+    tags=("window", "ranking"),
+)
+def w_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK / DENSE_RANK / NTILE over a global total order."""
+    part = load_table(spark, sf_dir, "part")
+    w = W.orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        part.select(
+            "p_partkey",
+            F.rank().over(w).cast("int").alias("rnk"),
+            F.dense_rank().over(w).cast("int").alias("drnk"),
+            F.ntile(4).over(w).cast("int").alias("quartile"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "w_range_frame_value",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey,
+           CAST(COUNT(*) OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice
+               RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_within_1000
+    FROM orders
+    ORDER BY o_orderpriority, o_orderkey
+    """,
+    tags=("window", "range-frame"),
+)
+def w_range_frame_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE frame (ref: TestWindowRangeFrames main_test.go:1954)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, W.currentRow)
+    )
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.count(F.lit(1)).over(w).cast("long").alias("n_within_1000"),
+        )
+        .orderBy("o_orderpriority", "o_orderkey")
+    )
+
+
+@register(
+    "w_first_last_value",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           FIRST_VALUE(o_orderstatus) OVER w AS first_status,
+           LAST_VALUE(o_orderstatus) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS last_status
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+    tags=("window", "analytic"),
+)
+def w_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST_VALUE / LAST_VALUE with the full-partition frame for LAST."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.first("o_orderstatus").over(w).alias("first_status"),
+            F.last("o_orderstatus").over(wfull).alias("last_status"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+# ----------------------------------------------------------- grouping variants
+
+
+@register(
+    "g_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {o_dsum("l_quantity", "sum_qty")}, {o_bcount("n")}
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    tags=("grouping", "rollup"),
+)
+def g_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP (ref: WITH ROLLUP via GMS corpus, main_test.go:210)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(dsum("l_quantity", "sum_qty"), bcount("n"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "g_cube",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           {o_dsum("o_totalprice", "sum_price")}, {o_bcount("n")}
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    tags=("grouping", "cube"),
+)
+def g_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(dsum("o_totalprice", "sum_price"), bcount("n"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "g_grouping_sets",
+    oracle=f"""
+    SELECT c_mktsegment, c_nationkey, {o_dsum("c_acctbal", "sum_bal")}
+    FROM customer
+    GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+    ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST
+    """,
+    tags=("grouping", "grouping-sets"),
+)
+def g_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL front door."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, c_nationkey,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DECIMAL(38,6))
+                   AS sum_bal
+        FROM customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST
+        """
+    )
+
+
+@register(
+    "g_having_distinct",
+    oracle="""
+    SELECT l_suppkey,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING COUNT(DISTINCT l_partkey) > 10
+    ORDER BY l_suppkey
+    """,
+    tags=("aggregation", "distinct", "having"),
+)
+def g_having_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT aggregates + HAVING (ref: TestQueriesSimple corpus)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.countDistinct("l_partkey").cast("long").alias("n_parts"),
+            F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
+        )
+        .filter(F.col("n_parts") > 10)
+        .orderBy("l_suppkey")
+    )
+
+
+@register(
+    "g_conditional_pivot",
+    oracle=f"""
+    SELECT l_returnflag,
+           {o_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END", "qty_O")},
+           {o_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END", "qty_F")}
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("aggregation", "pivot", "case"),
+)
+def g_conditional_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot via .pivot() with explicit values (maps to conditional aggs)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(dec("l_quantity")).cast("decimal(38,6)"))
+        .withColumnsRenamed({"O": "qty_O", "F": "qty_F"})
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------- set ops
+
+
+@register(
+    "s_union_all",
+    oracle="""
+    SELECT c_custkey AS k, 'cust' AS src FROM customer WHERE c_acctbal > 9000
+    UNION ALL
+    SELECT o_custkey AS k, 'ord' AS src FROM orders WHERE o_totalprice > 450000
+    ORDER BY k, src
+    """,
+    tags=("setop",),
+)
+def s_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_custkey").alias("k"), F.lit("cust").alias("src"))
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 450000)
+        .select(F.col("o_custkey").alias("k"), F.lit("ord").alias("src"))
+    )
+    return cust.unionAll(orders).orderBy("k", "src")
+
+
+@register(
+    "s_intersect",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nk FROM supplier
+    ORDER BY nk
+    """,
+    tags=("setop",),
+)
+def s_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics)."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.intersect(s).orderBy("nk")
+
+
+@register(
+    "s_except",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nk FROM supplier
+    ORDER BY nk
+    """,
+    tags=("setop",),
+)
+def s_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct semantics)."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.subtract(s).orderBy("nk")
+
+
+# ----------------------------------------------------------------------- joins
+
+
+@register(
+    "j_full_outer",
+    oracle="""
+    SELECT n_name,
+           CAST(COALESCE(c.n_cust, 0) AS BIGINT) AS n_cust,
+           CAST(COALESCE(s.n_supp, 0) AS BIGINT) AS n_supp
+    FROM nation
+    LEFT JOIN (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer
+               GROUP BY c_nationkey) c ON n_nationkey = c.c_nationkey
+    LEFT JOIN (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier
+               GROUP BY s_nationkey) s ON n_nationkey = s.s_nationkey
+    ORDER BY n_name
+    """,
+    tags=("join", "outer-join"),
+)
+def j_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outer joins over pre-aggregated sides (ref: TestJoinQueries :398)."""
+    nation = load_table(spark, sf_dir, "nation")
+    ncust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    nsupp = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        nation.join(ncust, nation.n_nationkey == ncust.c_nationkey, "left")
+        .join(nsupp, nation.n_nationkey == nsupp.s_nationkey, "left")
+        .select(
+            "n_name",
+            F.coalesce("n_cust", F.lit(0)).cast("long").alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).cast("long").alias("n_supp"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "j_cross",
+    oracle="""
+    SELECT r_name, s.o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n
+    FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    GROUP BY r_name, s.o_orderstatus
+    ORDER BY r_name, s.o_orderstatus
+    """,
+    tags=("join", "cross-join"),
+)
+def j_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS JOIN of two small inputs (broadcast NLJ)."""
+    region = load_table(spark, sf_dir, "region")
+    status = load_table(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return (
+        region.crossJoin(status)
+        .groupBy("r_name", "o_orderstatus")
+        .agg(bcount("n"))
+        .orderBy("r_name", "o_orderstatus")
+    )
+
+
+@register(
+    "j_nonequi_pairs",
+    oracle="""
+    SELECT a.o_custkey, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM orders a JOIN orders b
+      ON a.o_custkey = b.o_custkey AND a.o_orderdate < b.o_orderdate
+    GROUP BY a.o_custkey
+    ORDER BY a.o_custkey
+    """,
+    tags=("join", "non-equi"),
+)
+def j_nonequi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-key + range predicate self-join (ordered order pairs per customer).
+
+    Scale: the equi key carries the shuffle; the range predicate is a
+    post-join filter inside the sort-merge join, so no cross product.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.alias("a")
+    b = orders.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.o_orderdate") < F.col("b.o_orderdate")),
+        )
+        .groupBy(F.col("a.o_custkey").alias("o_custkey"))
+        .agg(bcount("n_pairs"))
+        .orderBy("o_custkey")
+    )
+
+
+@register(
+    "j_natural_star",
+    oracle="""
+    SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS n_cust
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    ORDER BY r_name, n_name
+    """,
+    tags=("join", "star"),
+)
+def j_natural_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema dimension chain with broadcast joins
+    (ref: TestNaturalJoin main_test.go:1945-1973)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(bcount("n_cust"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+# ------------------------------------------------------------------- functions
+
+
+@register(
+    "f_string_suite",
+    oracle="""
+    SELECT c_custkey,
+           UPPER(c_name) AS up, LOWER(c_mktsegment) AS lo,
+           SUBSTRING(c_name, 1, 8) AS sub,
+           CAST(LENGTH(c_name) AS INT) AS len,
+           CONCAT(c_name, '#', c_mktsegment) AS cat,
+           REPLACE(c_name, 'Customer', 'Cust') AS repl,
+           LPAD(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+           TRIM('  x  ') AS trimmed
+    FROM customer
+    WHERE c_name LIKE 'Customer#00000001%'
+    ORDER BY c_custkey
+    """,
+    tags=("functions", "string"),
+)
+def f_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function surface (ref: GMS function corpus, SURVEY §2.B)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.filter(F.col("c_name").like("Customer#00000001%"))
+        .select(
+            "c_custkey",
+            F.upper("c_name").alias("up"),
+            F.lower("c_mktsegment").alias("lo"),
+            F.substring("c_name", 1, 8).alias("sub"),
+            F.length("c_name").cast("int").alias("len"),
+            F.concat("c_name", F.lit("#"), F.col("c_mktsegment")).alias("cat"),
+            F.regexp_replace("c_name", "Customer", "Cust").alias("repl"),
+            F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded"),
+            F.trim(F.lit("  x  ")).alias("trimmed"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "f_math_suite",
+    oracle="""
+    SELECT p_partkey,
+           ABS(p_retailprice - 1000.0) AS abs_diff,
+           CAST(CEIL(p_retailprice) AS BIGINT) AS ceil_p,
+           CAST(FLOOR(p_retailprice) AS BIGINT) AS floor_p,
+           SQRT(p_retailprice) AS sqrt_p,
+           p_retailprice * p_retailprice AS sq,
+           CAST(p_size % 7 AS INT) AS size_mod,
+           CAST(GREATEST(p_size, 25) AS INT) AS g,
+           CAST(LEAST(p_size, 25) AS INT) AS l
+    FROM part
+    WHERE p_partkey <= 50
+    ORDER BY p_partkey
+    """,
+    tags=("functions", "math"),
+)
+def f_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function surface — IEEE-exact ops only (sqrt is correctly
+    rounded; ln/exp are libm-dependent so excluded from oracle matching)."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_partkey") <= 50)
+        .select(
+            "p_partkey",
+            F.abs(F.col("p_retailprice") - 1000.0).alias("abs_diff"),
+            F.ceil("p_retailprice").cast("long").alias("ceil_p"),
+            F.floor("p_retailprice").cast("long").alias("floor_p"),
+            F.sqrt("p_retailprice").alias("sqrt_p"),
+            (F.col("p_retailprice") * F.col("p_retailprice")).alias("sq"),
+            (F.col("p_size") % 7).cast("int").alias("size_mod"),
+            F.greatest("p_size", F.lit(25)).cast("int").alias("g"),
+            F.least("p_size", F.lit(25)).cast("int").alias("l"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "f_date_suite",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+           CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo,
+           CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+    tags=("functions", "date"),
+)
+def f_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date extraction + truncation (ref: TestDateParse main_test.go:2177)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.month("o_orderdate").cast("int").alias("mo"),
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        )
+        .agg(bcount("n_orders"))
+        .orderBy("yr", "mo", "month_start")
+    )
+
+
+@register(
+    "f_case_bucketing",
+    oracle=f"""
+    SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
+                WHEN o_totalprice < 300000 THEN 'medium'
+                ELSE 'large' END AS bucket,
+           {o_bcount("n")}, {o_dsum("o_totalprice", "total")}
+    FROM orders
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("functions", "case"),
+)
+def f_case_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN bucketing feeding an aggregation."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 100000, "small")
+        .when(F.col("o_totalprice") < 300000, "medium")
+        .otherwise("large")
+        .alias("bucket")
+    )
+    return (
+        orders.groupBy(bucket)
+        .agg(bcount("n"), dsum("o_totalprice", "total"))
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "f_json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+               AS sum_k,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("functions", "json"),
+)
+def f_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction (ref: TestJsonScripts main_test.go:2185)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.sum(F.get_json_object("props", "$.k").cast("int"))
+            .cast("long")
+            .alias("sum_k"),
+            bcount("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "f_explode_words",
+    oracle="""
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ) t
+    WHERE word <> ''
+    GROUP BY word
+    ORDER BY freq DESC, word
+    LIMIT 20
+    """,
+    tags=("functions", "explode", "lateral"),
+)
+def f_explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode() ≈ UNNEST / LATERAL (ref: TestJSONTableQueries :430 shape —
+    table-valued expansion feeding an aggregation)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(bcount("freq"))
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(20)
+    )
+
+
+@register(
+    "f_stats_suite",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(STDDEV_SAMP(o_totalprice), 4) AS sd_price,
+           ROUND(VAR_SAMP(o_totalprice), 2) AS var_price,
+           ROUND(CORR(o_totalprice, o_custkey), 6) AS corr_pc,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_p,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_p
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("functions", "stats"),
+)
+def f_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates, rounded to absorb FP merge-order noise."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.stddev_samp("o_totalprice"), 4).alias("sd_price"),
+            F.round(F.var_samp("o_totalprice"), 2).alias("var_price"),
+            F.round(F.corr("o_totalprice", "o_custkey"), 6).alias("corr_pc"),
+            F.min("o_totalprice").cast("double").alias("min_p"),
+            F.max("o_totalprice").cast("double").alias("max_p"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "f_percentile_exact",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.5)  AS p50,
+           quantile_cont(l_quantity, 0.75) AS p75
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("functions", "percentile"),
+)
+def f_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (quantities are whole numbers, so
+    interpolation is exact in both engines)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", 0.25).alias("p25"),
+            F.percentile("l_quantity", 0.5).alias("p50"),
+            F.percentile("l_quantity", 0.75).alias("p75"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# -------------------------------------------------------------- SQL-text paths
+
+
+@register(
+    "c_cte_reuse",
+    oracle="""
+    WITH seg AS (
+        SELECT c_mktsegment,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DECIMAL(38,6))
+                   AS seg_bal,
+               CAST(COUNT(*) AS BIGINT) AS seg_n
+        FROM customer GROUP BY c_mktsegment
+    )
+    SELECT a.c_mktsegment, a.seg_bal, a.seg_n
+    FROM seg a JOIN seg b ON a.seg_bal >= b.seg_bal
+    GROUP BY a.c_mktsegment, a.seg_bal, a.seg_n
+    HAVING COUNT(*) >= 3
+    ORDER BY a.c_mktsegment
+    """,
+    tags=("cte", "sql-text"),
+)
+def c_cte_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTE referenced twice (self-join on aggregate ranks)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        WITH seg AS (
+            SELECT c_mktsegment,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DECIMAL(38,6))
+                       AS seg_bal,
+                   CAST(COUNT(*) AS BIGINT) AS seg_n
+            FROM customer GROUP BY c_mktsegment
+        )
+        SELECT a.c_mktsegment, a.seg_bal, a.seg_n
+        FROM seg a JOIN seg b ON a.seg_bal >= b.seg_bal
+        GROUP BY a.c_mktsegment, a.seg_bal, a.seg_n
+        HAVING COUNT(*) >= 3
+        ORDER BY a.c_mktsegment
+        """
+    )
+
+
+@register(
+    "c_limit_offset",
+    oracle="""
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25 OFFSET 50
+    """,
+    tags=("sort", "limit"),
+)
+def c_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ORDER BY + LIMIT/OFFSET (ref: TestRowLimit :1237)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", F.col("o_totalprice").cast("double").alias("totalprice"))
+        .offset(50)
+        .limit(25)
+    )
+
+
+@register(
+    "c_distinct",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("distinct",),
+)
+def c_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT (ref: backend/executor.go:149-150 ships Distinct to DuckDB)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_returnflag", "l_linestatus")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    )

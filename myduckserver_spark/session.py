@@ -1,0 +1,66 @@
+"""SparkSession bootstrap for the engine.
+
+Mirrors the reference's catalog/session init (reference:
+catalog/provider.go:108-239 — schema bootstrap, timezone pinning,
+checkpoint pragmas) re-expressed as Spark session configuration.
+
+Design notes for scale: these defaults are tuned for local[N] testing
+but every knob is overridable; on a real cluster the same builder is
+used with `master` / shuffle-partition counts supplied by the deploy.
+AQE is always on so runtime stats re-plan joins (skew, broadcast) at
+100 TB without hand-tuning.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def build_session(
+    app_name: str = "myduckserver_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or get) the tuned SparkSession.
+
+    Pinned semantics that matter for oracle parity with DuckDB:
+    - session timezone UTC (DuckDB timestamps are UTC-naive),
+    - ANSI mode OFF (MySQL-ish permissive coercions, matches the
+      reference's MySQL front door; see SURVEY.md §7 risk register).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = DEFAULT_SHUFFLE_PARTITIONS
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # files.maxPartitionBytes default 128m is right for the 100 TB
+        # target; local test files are single-row-group anyway.
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # Parquet TIMESTAMP(NANOS) is otherwise rejected; read as long and
+        # convert to µs in tables.load_table (DuckDB truncates the same way).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
