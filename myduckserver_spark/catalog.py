@@ -1,0 +1,136 @@
+"""Versioned Parquet table storage + catalog.
+
+The reference stores tables in one DuckDB file with ACID commits;
+without a Delta jar, the same contract (atomic snapshot replace,
+read-your-writes, idempotent replication apply) is provided by a
+versioned directory layout:
+
+    <root>/<table>/v{N}/*.parquet     — immutable snapshot N
+    <root>/<table>/_VERSION           — JSON: current version + txn marker
+
+A writer materializes snapshot N+1 fully, then atomically renames the
+_VERSION pointer. Readers resolve _VERSION once per read. The txn
+marker (app_id, version) gives exactly-once CDC apply — the Spark twin
+of the reference committing the GTID inside the same transaction
+(reference binlogreplication/binlog_replica_applier.go:786-812,
+catalog/internal_tables.go:180-186).
+
+At cluster scale the same layout works on object storage (rename of
+one small pointer file; data files are immutable) — the classic
+snapshot-pointer design Delta/Iceberg formalize.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from myduckserver_spark.operators.cdc import apply_cdc
+
+
+class ParquetTable:
+    def __init__(self, spark: SparkSession, root: str, name: str):
+        self.spark = spark
+        self.dir = os.path.join(root, name)
+        os.makedirs(self.dir, exist_ok=True)
+
+    # ------------------------------------------------------------- pointers
+    @property
+    def _pointer_path(self) -> str:
+        return os.path.join(self.dir, "_VERSION")
+
+    def _read_pointer(self) -> dict:
+        if not os.path.exists(self._pointer_path):
+            return {"version": -1, "txn": {}}
+        with open(self._pointer_path) as f:
+            return json.load(f)
+
+    def _write_pointer(self, meta: dict) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.dir, prefix="_VERSION.")
+        with os.fdopen(fd, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._pointer_path)  # atomic on POSIX
+
+    @property
+    def version(self) -> int:
+        return self._read_pointer()["version"]
+
+    def exists(self) -> bool:
+        return self.version >= 0
+
+    # ----------------------------------------------------------------- I/O
+    def read(self) -> DataFrame:
+        meta = self._read_pointer()
+        if meta["version"] < 0:
+            raise FileNotFoundError(f"table has no committed snapshot: {self.dir}")
+        return self.spark.read.parquet(os.path.join(self.dir, f"v{meta['version']}"))
+
+    def overwrite(self, df: DataFrame, txn_app_id: str | None = None,
+                  txn_version: int | None = None) -> int:
+        """Materialize a new snapshot and atomically flip the pointer."""
+        meta = self._read_pointer()
+        new_v = meta["version"] + 1
+        df.write.mode("overwrite").parquet(os.path.join(self.dir, f"v{new_v}"))
+        if txn_app_id is not None:
+            meta.setdefault("txn", {})[txn_app_id] = txn_version
+        meta["version"] = new_v
+        self._write_pointer(meta)
+        return new_v
+
+    def last_txn_version(self, txn_app_id: str) -> int:
+        return self._read_pointer().get("txn", {}).get(txn_app_id, -1)
+
+    # ----------------------------------------------------------------- CDC
+    def merge_batch(
+        self,
+        delta: DataFrame,
+        pk_cols: list[str],
+        txn_app_id: str | None = None,
+        txn_version: int | None = None,
+    ) -> bool:
+        """Condense + apply one CDC batch; idempotent under txn markers.
+
+        Returns False (no-op) if this (app_id, version) was already
+        applied — the exactly-once contract for foreachBatch retries.
+        """
+        if (
+            txn_app_id is not None
+            and txn_version is not None
+            and self.last_txn_version(txn_app_id) >= txn_version
+        ):
+            return False
+        new_snapshot = apply_cdc(self.read(), delta, pk_cols)
+        self.overwrite(new_snapshot, txn_app_id, txn_version)
+        return True
+
+
+class Catalog:
+    """Flat namespace of versioned parquet tables under one root."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def table(self, name: str) -> ParquetTable:
+        return ParquetTable(self.spark, self.root, name)
+
+    def create_table(self, name: str, df: DataFrame) -> ParquetTable:
+        t = self.table(name)
+        t.overwrite(df)
+        return t
+
+    def list_tables(self) -> list[str]:
+        return sorted(
+            d for d in os.listdir(self.root)
+            if os.path.isdir(os.path.join(self.root, d))
+            and os.path.exists(os.path.join(self.root, d, "_VERSION"))
+        )
+
+    def drop_table(self, name: str) -> None:
+        import shutil
+
+        shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)

@@ -1,0 +1,102 @@
+"""CDC delta condense + apply (the reference's core engine work).
+
+Re-expresses the Arrow-delta-buffer flush semantics of
+reference delta/controller.go:
+- condense: last-writer-wins per PK ordered by
+  (txn_group, txn_seq, txn_stmt, action) — delta/controller.go:654-697.
+  The action ordinal (delete=0 < update=1 < insert=2) is load-bearing:
+  a delete+reinsert at the same txn position resolves to the insert
+  (delta/controller.go:672-673).
+- apply: fast-path case split (insert-only / delete-only / general) —
+  delta/controller.go:150-190 — then upsert + keyed delete
+  (delta/controller.go:377-496) expressed as anti-join + union instead
+  of MERGE (no Delta jar in this image; same result, and the shuffle
+  is keyed on the PK only, which is the 100 TB-scale requirement).
+
+Augmented delta schema (reference delta/delta.go:13-56): the base
+columns plus ``action TINYINT, txn_tag STRING, txn_server BINARY,
+txn_group STRING, txn_seq BIGINT, txn_stmt BIGINT``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ACTION_DELETE = 0
+ACTION_UPDATE = 1
+ACTION_INSERT = 2
+
+TXN_ORDER_COLS = ("txn_group", "txn_seq", "txn_stmt", "action")
+AUGMENTED_COLS = ("action", "txn_tag", "txn_server", "txn_group", "txn_seq", "txn_stmt")
+
+
+def condense(delta: DataFrame, pk_cols: list[str]) -> DataFrame:
+    """Collapse a CDC batch to one net change per key (last-writer-wins).
+
+    One shuffle on the PK; max_by with a struct ordering key does the
+    whole condense in a single hash aggregate with map-side combine —
+    the Spark twin of the reference's
+    ``LAST(ROW(*COLUMNS(*)) ORDER BY txn_group, txn_seq, txn_stmt, action)``.
+    """
+    order_key = F.struct(*[F.col(c) for c in TXN_ORDER_COLS])
+    payload = F.struct(*[F.col(c) for c in delta.columns])
+    return (
+        delta.groupBy(*[F.col(c) for c in pk_cols])
+        .agg(F.max_by(payload, order_key).alias("__r"))
+        .select("__r.*")
+    )
+
+
+def _batch_action_profile(delta: DataFrame) -> set[int]:
+    rows = delta.select("action").distinct().collect()
+    return {r["action"] for r in rows}
+
+
+def apply_cdc(
+    base: DataFrame,
+    delta: DataFrame,
+    pk_cols: list[str],
+    pre_condensed: bool = False,
+) -> DataFrame:
+    """Apply a CDC batch to a base snapshot, returning the new snapshot.
+
+    Fast paths mirror reference delta/controller.go:150-190:
+    - insert-only batch → plain union (no join at all),
+    - delete-only batch → single anti-join,
+    - general → condense, one anti-join on touched keys, one union.
+    The action profile is a 3-row aggregate, not a data collect.
+    """
+    data_cols = base.columns
+    actions = _batch_action_profile(delta)
+
+    if actions == {ACTION_INSERT} and not pre_condensed:
+        return base.unionByName(delta.select(*data_cols))
+    if actions == {ACTION_DELETE}:
+        keys = delta.select(*pk_cols).distinct()
+        return base.join(keys, pk_cols, "left_anti")
+
+    net = delta if pre_condensed else condense(delta, pk_cols)
+    touched = net.select(*pk_cols)
+    kept = base.join(touched, pk_cols, "left_anti")
+    upserts = net.filter(F.col("action") != ACTION_DELETE).select(*data_cols)
+    return kept.unionByName(upserts)
+
+
+def augment(
+    rows: DataFrame,
+    action: int,
+    txn_group: str = "g0",
+    txn_seq: int = 0,
+    txn_stmt: int = 0,
+    txn_tag: str = "",
+) -> DataFrame:
+    """Wrap plain rows in the augmented CDC schema (for tests/ingest)."""
+    return (
+        rows.withColumn("action", F.lit(action).cast("tinyint"))
+        .withColumn("txn_tag", F.lit(txn_tag))
+        .withColumn("txn_server", F.lit(b"").cast("binary"))
+        .withColumn("txn_group", F.lit(txn_group))
+        .withColumn("txn_seq", F.lit(txn_seq).cast("long"))
+        .withColumn("txn_stmt", F.lit(txn_stmt).cast("long"))
+    )

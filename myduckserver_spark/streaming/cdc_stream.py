@@ -1,0 +1,59 @@
+"""Structured Streaming CDC ingestion.
+
+The reference's replication path (binlog/WAL events → Arrow delta
+buffer → batched flush every 200 ms / 128 MB —
+reference binlogreplication/binlog_replica_applier.go:837-849,
+delta/flush_reason.go:5-24) maps to:
+
+    readStream (CDC file/Kafka source with the augmented schema)
+      → foreachBatch( ParquetTable.merge_batch )   # condense + upsert
+      → checkpoint + txn markers                   # exactly-once
+
+The trigger interval is the 200 ms analog; maxFilesPerTrigger is the
+128 MB batch-size analog. Ordering inside a batch is carried by
+(txn_group, txn_seq, txn_stmt), so arrival order never matters —
+late/duplicate re-delivery collapses in condense, and foreachBatch
+retries are no-ops via the txn marker (the Spark form of the
+reference's GTID-in-same-commit exactly-once contract, SURVEY.md §2.E).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+from myduckserver_spark.catalog import ParquetTable
+
+
+def start_cdc_stream(
+    spark: SparkSession,
+    source_dir: str,
+    delta_schema: StructType,
+    table: ParquetTable,
+    pk_cols: list[str],
+    checkpoint_dir: str,
+    trigger_seconds: float = 0.2,
+    max_files_per_trigger: int = 32,
+    app_id: str = "cdc",
+) -> StreamingQuery:
+    """Tail a directory of CDC parquet batches into a versioned table."""
+    stream = (
+        spark.readStream.schema(delta_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+    def apply_batch(batch_df, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        table.merge_batch(
+            batch_df, pk_cols, txn_app_id=app_id, txn_version=int(epoch_id)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{int(trigger_seconds * 1000)} milliseconds")
+        .start()
+    )
