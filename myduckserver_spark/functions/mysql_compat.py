@@ -1,0 +1,101 @@
+"""MySQL-dialect SQL normalization for the Spark SQL front door.
+
+The reference transpiles MySQL → DuckDB SQL with SQLGlot
+(reference transpiler/translate.go:102; concrete cases in
+transpiler/translate_test.go:10-67). SQLGlot is not in this image, so
+this module implements the subset of rewrites those test cases cover —
+Spark's SQL dialect is already close to MySQL, so the gap is small:
+
+- backtick identifiers → Spark handles backticks natively (no-op),
+- ``LIMIT offset, count`` → ``LIMIT count OFFSET offset``,
+- ``DIV`` integer division → Spark supports DIV natively,
+- function aliases (GROUP_CONCAT, NOW, CURDATE, UCASE, ...),
+- DATE_FORMAT/STR_TO_DATE %-token patterns → Java datetime patterns.
+
+This is deliberately a *normalizer*, not a full parser: queries that
+are already valid Spark SQL pass through untouched.
+"""
+
+from __future__ import annotations
+
+import re
+
+# MySQL %-tokens → Java/Spark datetime pattern tokens
+# (subset the reference's tests exercise; TestDateParse main_test.go:2177)
+_FMT_TOKENS = {
+    "%Y": "yyyy", "%y": "yy", "%m": "MM", "%c": "M", "%d": "dd", "%e": "d",
+    "%H": "HH", "%k": "H", "%h": "hh", "%l": "h", "%i": "mm", "%s": "ss",
+    "%S": "ss", "%f": "SSSSSS", "%p": "a", "%W": "EEEE", "%a": "EEE",
+    "%b": "MMM", "%M": "MMMM", "%j": "DDD", "%%": "%",
+}
+
+_LIMIT_RE = re.compile(r"\bLIMIT\s+(\d+)\s*,\s*(\d+)", re.I)
+_GROUP_CONCAT_RE = re.compile(
+    r"\bGROUP_CONCAT\s*\(\s*(.*?)(?:\s+SEPARATOR\s+'([^']*)')?\s*\)", re.I | re.S
+)
+
+
+def mysql_datetime_format(fmt: str) -> str:
+    """Translate a MySQL %-format string to a Java datetime pattern."""
+    out: list[str] = []
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            tok = fmt[i : i + 2]
+            out.append(_FMT_TOKENS.get(tok, tok[1]))
+            i += 2
+        else:
+            # quote literal letters so Java patterns don't eat them
+            c = fmt[i]
+            out.append(f"'{c}'" if c.isalpha() else c)
+            i += 1
+    return "".join(out)
+
+
+def _rewrite_datetime_fns(sql: str) -> str:
+    def repl(m: re.Match) -> str:
+        fn = m.group(1).upper()
+        arg = m.group(2)
+        fmt = mysql_datetime_format(m.group(3))
+        if fn == "DATE_FORMAT":
+            return f"date_format({arg}, '{fmt}')"
+        return f"to_timestamp({arg}, '{fmt}')"  # STR_TO_DATE
+
+    return re.sub(
+        r"\b(DATE_FORMAT|STR_TO_DATE)\s*\(\s*(.+?)\s*,\s*'([^']*)'\s*\)",
+        repl,
+        sql,
+        flags=re.I,
+    )
+
+
+_SIMPLE_FN_ALIASES = {
+    r"\bNOW\s*\(\s*\)": "current_timestamp()",
+    r"\bCURDATE\s*\(\s*\)": "current_date()",
+    r"\bCURTIME\s*\(\s*\)": "date_format(current_timestamp(), 'HH:mm:ss')",
+    r"\bUCASE\s*\(": "upper(",
+    r"\bLCASE\s*\(": "lower(",
+    r"\bDAYOFWEEK\s*\(": "dayofweek(",
+    r"\bUNIX_TIMESTAMP\s*\(": "unix_timestamp(",
+    r"\bRAND\s*\(\s*\)": "rand()",
+    r"\bLAST_INSERT_ID\s*\(\s*\)": "0",
+}
+
+
+def translate_mysql(sql: str) -> str:
+    """Normalize a MySQL-dialect query into Spark SQL."""
+    out = sql
+
+    # LIMIT offset, count  →  LIMIT count OFFSET offset
+    out = _LIMIT_RE.sub(lambda m: f"LIMIT {m.group(2)} OFFSET {m.group(1)}", out)
+
+    # GROUP_CONCAT(expr [SEPARATOR 'x']) → array_join(collect_list(expr),'x')
+    def gc(m: re.Match) -> str:
+        sep = m.group(2) if m.group(2) is not None else ","
+        return f"array_join(collect_list({m.group(1)}), '{sep}')"
+
+    out = _GROUP_CONCAT_RE.sub(gc, out)
+    out = _rewrite_datetime_fns(out)
+    for pat, repl in _SIMPLE_FN_ALIASES.items():
+        out = re.sub(pat, repl, out, flags=re.I)
+    return out

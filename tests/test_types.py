@@ -1,0 +1,77 @@
+"""MySQL↔Spark type mapping (SURVEY.md §1.2 table; FIXTURES.md §3 alltypes)."""
+
+import pytest
+from pyspark.sql import types as T
+
+from myduckserver_spark.types import mysql_to_spark, schema_from_mysql, spark_to_mysql
+
+CASES = [
+    ("TINYINT", T.ByteType()),
+    ("TINYINT UNSIGNED", T.ShortType()),
+    ("SMALLINT", T.ShortType()),
+    ("SMALLINT UNSIGNED", T.IntegerType()),
+    ("MEDIUMINT", T.IntegerType()),
+    ("MEDIUMINT UNSIGNED", T.IntegerType()),
+    ("INT", T.IntegerType()),
+    ("INT UNSIGNED", T.LongType()),
+    ("BIGINT", T.LongType()),
+    ("BIGINT UNSIGNED", T.DecimalType(20, 0)),  # no unsigned 64-bit in Spark
+    ("BIT(64)", T.LongType()),
+    ("BOOL", T.BooleanType()),
+    ("FLOAT", T.FloatType()),
+    ("DOUBLE", T.DoubleType()),
+    ("DECIMAL(15,4)", T.DecimalType(15, 4)),
+    ("DECIMAL(38,10)", T.DecimalType(38, 10)),
+    ("DATE", T.DateType()),
+    ("DATETIME(6)", T.TimestampNTZType()),
+    ("TIMESTAMP(3)", T.TimestampType()),
+    ("TIME(6)", T.DayTimeIntervalType()),
+    ("YEAR", T.ShortType()),
+    ("CHAR(10)", T.StringType()),
+    ("VARCHAR(255)", T.StringType()),
+    ("TEXT", T.StringType()),
+    ("BINARY(8)", T.BinaryType()),
+    ("VARBINARY(255)", T.BinaryType()),
+    ("BLOB", T.BinaryType()),
+    ("JSON", T.StringType()),
+    ("ENUM('small','medium','large')", T.StringType()),
+    ("SET('a','b','c')", T.StringType()),
+]
+
+
+@pytest.mark.parametrize("mysql,expected", CASES)
+def test_mapping(mysql, expected):
+    got, meta = mysql_to_spark(mysql)
+    assert got == expected
+    assert meta["mysql_type"] == mysql
+
+
+def test_decimal_precision_capped_at_38():
+    # reference truncates precision to 38 (type_mapping.go:163-169)
+    got, _ = mysql_to_spark("DECIMAL(65,30)")
+    assert got == T.DecimalType(38, 3)
+
+
+def test_enum_values_preserved_in_metadata():
+    _, meta = mysql_to_spark("ENUM('small','medium','large')")
+    assert meta["enum_values"] == ["small", "medium", "large"]
+
+
+def test_geometry_rejected():
+    # reference rejects GEOMETRY too (type_mapping.go:194-195)
+    with pytest.raises(ValueError):
+        mysql_to_spark("GEOMETRY")
+
+
+def test_lossless_roundtrip_via_metadata():
+    schema = schema_from_mysql(
+        [("a", "SET('a','b','c')"), ("b", "MEDIUMINT UNSIGNED")], not_null={"a"}
+    )
+    assert not schema["a"].nullable and schema["b"].nullable
+    assert spark_to_mysql(schema["a"].dataType, schema["a"].metadata) == "SET('a','b','c')"
+    assert spark_to_mysql(schema["b"].dataType, schema["b"].metadata) == "MEDIUMINT UNSIGNED"
+
+
+def test_reverse_mapping_without_metadata():
+    assert spark_to_mysql(T.DecimalType(20, 0)) == "DECIMAL(20,0)"
+    assert spark_to_mysql(T.LongType()) == "BIGINT"
