@@ -1,0 +1,125 @@
+"""Multimodal column handling: image/audio/video as opaque binary +
+typed metadata, with decode/feature steps as Arrow-batched pandas UDFs.
+
+Schema convention:
+
+    media STRUCT<data: BINARY, meta: STRUCT<
+        format: STRING, width: INT, height: INT,
+        n_frames: INT, sample_rate: INT>>
+
+The Spark-side plumbing (schema, partition-parallel mapInPandas, batch
+shapes) is real and tested; the codec itself is stubbed — the image/
+audio libraries are not in this container, so decode uses a
+deterministic fake unless PIL/soundfile import succeeds (import-try
+gate, per the build brief).
+
+Scale: mapInPandas streams Arrow batches per partition — decode cost
+parallelizes with the data; metadata-only ops never touch the payload
+column (columnar pruning).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+try:  # pragma: no cover - not in this container
+    from PIL import Image  # noqa: F401
+
+    _HAS_PIL = True
+except Exception:
+    _HAS_PIL = False
+
+MEDIA_META_SCHEMA = (
+    "format string, width int, height int, n_frames int, sample_rate int"
+)
+
+
+def attach_media(
+    df: DataFrame, data_col: str, fmt: str = "bin", media_col: str = "media"
+) -> DataFrame:
+    """Wrap a binary column into the media struct convention."""
+    return df.withColumn(
+        media_col,
+        F.struct(
+            F.col(data_col).alias("data"),
+            F.struct(
+                F.lit(fmt).alias("format"),
+                F.lit(None).cast("int").alias("width"),
+                F.lit(None).cast("int").alias("height"),
+                F.lit(None).cast("int").alias("n_frames"),
+                F.lit(None).cast("int").alias("sample_rate"),
+            ).alias("meta"),
+        ),
+    ).drop(data_col)
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int]:
+    """Deterministic stand-in for an image decoder: derive dimensions
+    from content bytes (stable across runs/partitions)."""
+    if not payload:
+        return 0, 0
+    w = 16 + payload[0] % 64
+    h = 16 + payload[-1] % 64
+    return w, h
+
+
+def decode_images(
+    df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """Decode step: (id, media) → (id, width, height, n_bytes).
+
+    Real codec behind an import-try; otherwise the deterministic fake.
+    Batch shape: one Arrow batch in/out per partition chunk.
+    """
+    out_schema = f"{id_col} long, width int, height int, n_bytes long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[media_col].map(lambda m: bytes(m["data"] or b""))
+            if _HAS_PIL:  # pragma: no cover
+                raise NotImplementedError(
+                    "real image decode requires PIL image bytes; "
+                    "not available in this container"
+                )
+            dims = payloads.map(_fake_decode)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "width": dims.map(lambda d: d[0]).astype("int32"),
+                    "height": dims.map(lambda d: d[1]).astype("int32"),
+                    "n_bytes": payloads.map(len).astype("int64"),
+                }
+            )
+
+    return df.select(id_col, media_col).mapInPandas(run, out_schema)
+
+
+def frame_sample(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    every_n: int = 10,
+) -> DataFrame:
+    """Video frame-sampling plumbing: emit one row per sampled frame
+    index (payload decode stubbed; frame count derived from bytes)."""
+    n_frames = F.greatest(
+        (F.octet_length(F.col(f"{media_col}.data")) / 100).cast("int"), F.lit(1)
+    )
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
+        ).alias("frame_idx"),
+    )
+
+
+def media_stats(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """Metadata-only aggregate — must prune the payload column
+    (verify with .explain: ReadSchema excludes media.data)."""
+    return df.select(
+        F.col(f"{media_col}.meta.format").alias("format")
+    ).groupBy("format").agg(F.count(F.lit(1)).cast("long").alias("n"))

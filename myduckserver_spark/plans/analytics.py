@@ -54,14 +54,17 @@ def dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
-    """Word n-gram shingles via sequence+transform (no Python UDF)."""
-    words = F.split(F.lower(F.trim(F.col("text"))), " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-    )
-    return df.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+from myduckserver_spark.operators.dedup import (  # noqa: E402
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash as simhash_op,
+)
+from myduckserver_spark.operators.similarity import (  # noqa: E402
+    cosine as _cosine,
+    cosine_topk,
+    ivf_assign,
+    neardup_pairs_blocked,
+)
 
 
 _SHINGLE_SQL = """
@@ -109,42 +112,9 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is the whole point of LSH at 100 TB.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingles(docs, 3)
-    seeds = spark.range(8).select(F.col("id").cast("int").alias("seed"))
-    mh = (
-        sh.crossJoin(F.broadcast(seeds))
-        .groupBy("doc_id", "seed")
-        .agg(
-            F.min(
-                F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle")))
-            ).alias("minhash")
-        )
-    )
-    bands = (
-        mh.withColumn("band", (F.col("seed") / 2).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.concat_ws("|", F.array_sort(F.collect_list(F.struct("seed", "minhash")))
-                .getField("minhash"))
-            ).alias("band_sig")
-        )
-    )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(bcount("n_shared_bands"))
-        .orderBy("doc_a", "doc_b")
-    )
+    return minhash_lsh_candidates(
+        docs, num_hashes=8, rows_per_band=2, shingle_n=3
+    ).orderBy("doc_a", "doc_b")
 
 
 @register(
@@ -179,30 +149,8 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB bitwise.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingles(docs, 3)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("n_common").cast("double") / (
-        F.col("sa.n") + F.col("sb.n") - F.col("n_common")
-    )
-    return (
-        pairs.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.2)
-        .orderBy("doc_a", "doc_b")
+    return ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.2).orderBy(
+        "doc_a", "doc_b"
     )
 
 
@@ -239,72 +187,10 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     then hamming-compare simhashes (see operators.dedup.simhash_pairs).
     """
     docs = load_table(spark, sf_dir, "documents")
-    tokens = (
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(F.split(F.lower(F.trim("text")), " "))
-            ).alias("token"),
-        )
-        .filter(F.col("token") != "")
-        .select(
-            "doc_id",
-            F.conv(F.substring(F.md5("token"), 1, 15), 16, 10)
-            .cast("long")
-            .alias("h"),
-        )
-    )
-    bitpos = spark.range(60).select(F.col("id").cast("int").alias("bit_pos"))
-    bits = (
-        tokens.crossJoin(F.broadcast(bitpos))
-        .groupBy("doc_id", "bit_pos")
-        .agg(
-            F.sum(
-                F.when(F.expr("(h >> bit_pos) & 1") == 1, 1).otherwise(-1)
-            ).alias("score")
-        )
-    )
-    return (
-        bits.groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("score") > 0,
-                    F.expr("shiftleft(CAST(1 AS BIGINT), bit_pos)"),
-                ).otherwise(F.lit(0).cast("long"))
-            )
-            .cast("long")
-            .alias("simhash")
-        )
-        .orderBy("doc_id")
-    )
+    return simhash_op(docs, bits=60).orderBy("doc_id")
 
 
 # ------------------------------------------------------------- similarity
-
-
-def _cosine(a, b):  # noqa: ANN001 - Column exprs
-    """Index-ordered cosine: deterministic sequential fold in both engines."""
-    dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    na = F.sqrt(
-        F.aggregate(
-            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    )
-    nb = F.sqrt(
-        F.aggregate(
-            F.transform(b, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    )
-    return dot / (na * nb)
 
 
 _COSINE_SQL = """
@@ -347,25 +233,9 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     windowed rank pushdown (WindowGroupLimit), not a global sort.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qa")
-    )
-    v = emb.select("vec_id", F.col("embedding").alias("va"))
-    scored = (
-        F.broadcast(q)
-        .join(v, F.col("qid") != F.col("vec_id"))
-        .select(
-            "qid",
-            "vec_id",
-            F.round(_cosine(F.col("qa"), F.col("va")), 6).alias("sim"),
-        )
-    )
-    w = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rk") <= 5)
-        .orderBy("qid", "rk")
-    )
+    return cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=5
+    ).orderBy("qid", "rk")
 
 
 @register(
@@ -405,18 +275,9 @@ def sim_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     cent = emb.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ca")
+        F.col("vec_id").alias("cid"), F.col("embedding")
     )
-    v = emb.select("vec_id", F.col("embedding").alias("va"))
-    sim = F.round(_cosine(F.col("ca"), F.col("va")), 6) - F.col("cid").cast(
-        "double"
-    ) * F.lit(1e-12)
-    assign = (
-        v.crossJoin(F.broadcast(cent))
-        .select("vec_id", "cid", sim.alias("sim"))
-        .groupBy("vec_id")
-        .agg(F.max_by("cid", "sim").alias("cid"))
-    )
+    assign = ivf_assign(emb, cent)
     return (
         assign.groupBy("cid")
         .agg(
@@ -448,23 +309,9 @@ def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     id) — pairwise compare happens only within buckets, keyed join.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select("vec_id", "label", F.col("embedding").alias("aa")).alias("a")
-    b = emb.select("vec_id", "label", F.col("embedding").alias("ba")).alias("b")
-    sim = F.round(_cosine(F.col("aa"), F.col("ba")), 6)
-    return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            sim.alias("sim"),
-        )
-        .filter(F.col("sim") >= 0.999)
-        .orderBy("id_a", "id_b")
-    )
+    return neardup_pairs_blocked(
+        emb, block_col="label", threshold=0.999
+    ).orderBy("id_a", "id_b")
 
 
 # ----------------------------------------------------------- text analysis

@@ -1,0 +1,171 @@
+"""Unit tests for the reusable operator library (dedup / similarity /
+text / multimodal) — behavior the oracle gate can't capture directly."""
+
+from pyspark.sql import functions as F
+
+from myduckserver_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from myduckserver_spark.operators.multimodal import (
+    attach_media,
+    decode_images,
+    frame_sample,
+    media_stats,
+)
+from myduckserver_spark.operators.similarity import cosine_topk, ivf_search
+from myduckserver_spark.operators.text import (
+    bpe_ish_token_count,
+    langid_column,
+    quality_filter,
+    rolling_hash_fingerprints,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog again and again"),
+    (2, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup
+    (3, "the quick brown fox jumps over the lazy cat again and again"),  # near dup
+    (4, "completely different content about spark engines and data"),
+    (5, "der hund und die katze und der vogel"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    out = exact_dedup(_docs(spark))
+    ids = sorted(r.doc_id for r in out.collect())
+    assert ids == [1, 3, 4, 5]  # 2 removed as dup of 1
+
+
+def test_minhash_lsh_finds_exact_and_near_dups(spark):
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_candidates(_docs(spark)).collect()
+    }
+    assert (1, 2) in pairs  # identical docs share all bands
+    assert (4, 5) not in pairs  # unrelated docs don't
+
+
+def test_ngram_jaccard_scores(spark):
+    out = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(_docs(spark), threshold=0.1).collect()
+    }
+    assert out[(1, 2)] == 1.0  # identical
+    assert 0.1 < out[(1, 3)] < 1.0  # near dup
+    assert (1, 4) not in out
+
+
+def test_simhash_identical_docs_equal_near_docs_close(spark):
+    sh = {r.doc_id: r.simhash for r in simhash(_docs(spark)).collect()}
+    assert sh[1] == sh[2]
+    near = simhash_near_pairs(simhash(_docs(spark)), max_hamming=20)
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in near.collect()}
+    assert pairs[(1, 2)] == 0
+
+
+def test_cosine_topk_self_similarity(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0], 0),
+            (2, [0.9, 0.1, 0.0], 0),
+            (3, [0.0, 1.0, 0.0], 1),
+            (4, [0.0, 0.0, 1.0], 2),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = cosine_topk(emb, emb.filter(F.col("vec_id") == 1), k=2).collect()
+    ranked = [(r.vec_id, r.rk) for r in out]
+    assert ranked[0] == (2, 1)  # nearest neighbor of e1 is e2
+
+
+def test_ivf_search_finds_in_bucket_neighbor(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),   # centroid A
+            (50, [0.0, 1.0], 1),  # centroid B
+            (1, [0.99, 0.14], 0),
+            (2, [0.98, 0.2], 0),
+            (51, [0.1, 0.99], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    cent = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    res = ivf_search(emb, emb.filter(F.col("vec_id") == 1), cent, k=2, nprobe=1)
+    got = {r.vec_id for r in res.collect()}
+    assert 2 in got          # same-bucket neighbor found
+    assert 51 not in got     # other bucket never touched (nprobe=1)
+
+
+def test_quality_filter_drops_junk(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox and the lazy dog " * 5),
+            (2, "x"),                       # too short
+            (3, "zz qq ww ee rr tt yy " * 10),  # no stopwords
+        ],
+        "doc_id long, text string",
+    )
+    kept = [r.doc_id for r in quality_filter(df, min_chars=50).collect()]
+    assert kept == [1]
+
+
+def test_langid_and_bpe_tokens(spark):
+    df = _docs(spark).withColumns(
+        {"lang_pred": langid_column(), "n_bpe": bpe_ish_token_count()}
+    )
+    rows = {r.doc_id: r for r in df.collect()}
+    assert rows[1].lang_pred == "en"
+    assert rows[5].lang_pred == "de"
+    assert rows[1].n_bpe >= 12
+
+
+def test_rolling_hash_shared_chunks_for_overlap(spark):
+    fps = rolling_hash_fingerprints(_docs(spark), window=16, stride=8)
+    a = {r.chunk_fp for r in fps.filter(F.col("doc_id") == 1).collect()}
+    b = {r.chunk_fp for r in fps.filter(F.col("doc_id") == 2).collect()}
+    d = {r.chunk_fp for r in fps.filter(F.col("doc_id") == 4).collect()}
+    assert a == b            # identical docs → identical chunk sets
+    assert not (a & d)       # unrelated docs share nothing
+
+
+def test_multimodal_plumbing(spark):
+    df = spark.createDataFrame(
+        [(1, b"\x89PNG fake payload bytes"), (2, b"RIFF other bytes xx")],
+        "doc_id long, raw binary",
+    )
+    media = attach_media(df, "raw", fmt="png")
+    assert media.schema["media"].dataType.simpleString().startswith("struct<data:binary")
+
+    decoded = {r.doc_id: r for r in decode_images(media).collect()}
+    assert decoded[1].n_bytes == 23
+    assert 16 <= decoded[1].width < 80 and 16 <= decoded[1].height < 80
+    # deterministic: same input → same fake dims
+    again = {r.doc_id: r for r in decode_images(media).collect()}
+    assert again[1].width == decoded[1].width
+
+    frames = frame_sample(media, every_n=1)
+    assert frames.count() >= 2
+
+    stats = {r.format: r.n for r in media_stats(media).collect()}
+    assert stats == {"png": 2}
+
+
+def test_media_stats_prunes_payload_column(spark, tmp_path):
+    """Metadata-only op must not read media.data from parquet."""
+    df = spark.createDataFrame(
+        [(1, b"payload" * 1000)], "doc_id long, raw binary"
+    )
+    p = str(tmp_path / "media_parquet")
+    attach_media(df, "raw", fmt="png").write.parquet(p)
+    plan = media_stats(spark.read.parquet(p))._jdf.queryExecution().executedPlan().toString()
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert rs and "data" not in rs[0]
