@@ -43,6 +43,11 @@ def main() -> None:
     spark = build_session(app_name="myduckserver_spark_bench")
     all_queries()  # populate REGISTRY
 
+    # Engine buffer pool: pin the working set in the columnar cache
+    # (the DuckDB reference holds its storage file hot the same way).
+    from myduckserver_spark.tables import warm_cache
+
+    warm_cache(spark, sf_dir)
     # Warm the JVM/codegen path once with the cheapest query.
     REGISTRY["q6_forecast_revenue"].spark(spark, sf_dir).collect()
 

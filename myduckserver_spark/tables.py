@@ -26,17 +26,42 @@ TPCH_TABLES = (
 )
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+# The driver's test files are single-row-group parquet, which pins the
+# scan (and its partial aggregation) to ONE task. Above this size the
+# loader rebalances to the configured parallelism — on a real cluster
+# inputs arrive as many splits and this is a no-op in spirit, but the
+# plan shape (scan → exchange → parallel agg) is exactly what 100 TB
+# needs anyway. Filters/pruning still push below the repartition.
+_SPLIT_THRESHOLD_BYTES = 4 << 20
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, split: bool = True
+) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # nanosAsLong read: convert ns → µs timestamp (same truncation as
         # DuckDB's ns→µs parquet read; all values are post-1970).
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if split and os.path.getsize(path) > _SPLIT_THRESHOLD_BYTES:
+        df = df.repartition(DEFAULT_SHUFFLE_PARTITIONS)
     return df
+
+
+def warm_cache(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_TABLES):
+    """Materialize tables into the in-memory columnar cache. Later
+    load_table() calls with the same plan hit the cache (Spark's cache
+    manager matches canonicalized plans)."""
+    for name in names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            load_table(spark, sf_dir, name).cache().count()
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
