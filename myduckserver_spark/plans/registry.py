@@ -49,12 +49,22 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Import modules for their registration side effects.
-    from myduckserver_spark.plans import analytics, cdc_queries, queries  # noqa: F401
+    from myduckserver_spark.plans import (  # noqa: F401
+        analytics,
+        cdc_queries,
+        queries,
+        queries_ext,
+    )
 
     return {name: q.spark for name, q in REGISTRY.items()}
 
 
 def all_oracles() -> dict[str, str]:
-    from myduckserver_spark.plans import analytics, cdc_queries, queries  # noqa: F401
+    from myduckserver_spark.plans import (  # noqa: F401
+        analytics,
+        cdc_queries,
+        queries,
+        queries_ext,
+    )
 
     return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
