@@ -134,3 +134,33 @@ class Catalog:
         import shutil
 
         shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
+
+    # -------------------------------------------------------- backup/restore
+    def backup_table(self, name: str, dest_root: str) -> str:
+        """BACKUP DATABASE parity (reference pgserver/backup_handler.go:
+        14-90 copies the storage file to object storage): deep-copy the
+        current snapshot + pointer. On S3 this is a parallel object
+        copy of immutable files."""
+        import shutil
+
+        t = self.table(name)
+        meta = t._read_pointer()
+        if meta["version"] < 0:
+            raise FileNotFoundError(f"no snapshot to back up: {name}")
+        dest = os.path.join(dest_root, name)
+        os.makedirs(dest, exist_ok=True)
+        src_v = os.path.join(t.dir, f"v{meta['version']}")
+        shutil.copytree(src_v, os.path.join(dest, f"v{meta['version']}"),
+                        dirs_exist_ok=True)
+        shutil.copy2(t._pointer_path, os.path.join(dest, "_VERSION"))
+        return dest
+
+    def restore_table(self, name: str, backup_root: str) -> ParquetTable:
+        """RESTORE DATABASE parity: adopt a backed-up snapshot."""
+        import shutil
+
+        src = os.path.join(backup_root, name)
+        dest = os.path.join(self.root, name)
+        shutil.rmtree(dest, ignore_errors=True)
+        shutil.copytree(src, dest)
+        return self.table(name)

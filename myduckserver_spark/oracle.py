@@ -92,11 +92,16 @@ def compare_one(spark, name: str, spark_fn, oracle: str | None, sf_dir: str) -> 
     sn = _norm_rows(scols, srows)
     on = _norm_rows(ocols, orows)
     if sn != on:
-        diffs = [
-            f"  spark={a}\n  duck ={b}" for a, b in zip(sn, on) if a != b
-        ][:5]
-        return CompareResult(
-            name, False, len(srows), len(orows),
-            "value mismatch (first diffs):\n" + "\n".join(diffs),
+        from collections import Counter
+
+        s_only = list((Counter(sn) - Counter(on)).elements())[:4]
+        o_only = list((Counter(on) - Counter(sn)).elements())[:4]
+        cols = sorted(scols)
+        detail = (
+            f"value mismatch, cols={cols}\n"
+            + "\n".join(f"  spark-only: {r}" for r in s_only)
+            + "\n"
+            + "\n".join(f"  duck-only : {r}" for r in o_only)
         )
+        return CompareResult(name, False, len(srows), len(orows), detail)
     return CompareResult(name, True, len(srows), len(orows))

@@ -54,6 +54,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cdc_queries,
         queries,
         queries_ext,
+        queries_fn2,
     )
 
     return {name: q.spark for name, q in REGISTRY.items()}
@@ -65,6 +66,7 @@ def all_oracles() -> dict[str, str]:
         cdc_queries,
         queries,
         queries_ext,
+        queries_fn2,
     )
 
     return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}

@@ -1,0 +1,84 @@
+"""UDF registry, pg-macro equivalents, skew salting, backup/restore."""
+
+from pyspark.sql import functions as F
+
+from myduckserver_spark.catalog import Catalog
+from myduckserver_spark.functions.macros import (
+    array_list_contains,
+    list_contains,
+    pg_expandarray,
+)
+from myduckserver_spark.functions.udfs import register_engine_udfs
+from myduckserver_spark.operators.skew import salted_join, top_keys
+
+
+def test_register_and_call_udfs(spark):
+    register_engine_udfs(spark)
+    r = spark.sql("SELECT ps_current_thread_id() AS tid").collect()[0]
+    assert r.tid > 0
+    # scaling is per Arrow batch → single partition for a global scale
+    df = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "v double").coalesce(1)
+    df.createOrReplaceTempView("udf_in")
+    out = spark.sql(
+        "SELECT vec_minmax_scale(v) AS s FROM udf_in"
+    ).agg(F.min("s"), F.max("s")).collect()[0]
+    assert out[0] == 0.0 and out[1] == 1.0
+
+
+def test_pg_expandarray(spark):
+    df = spark.createDataFrame([(1, ["a", "b", "c"])], "id int, arr array<string>")
+    out = pg_expandarray(df, "arr").select("id", "n", "x").collect()
+    assert [(r.n, r.x) for r in out] == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_list_contains_variants(spark):
+    df = spark.createDataFrame(
+        [(1, "a,b,c", ["x", "y"]), (2, None, [])],
+        "id int, csv string, arr array<string>",
+    )
+    out = df.select(
+        list_contains(F.col("csv"), "b").alias("in_csv"),
+        array_list_contains(F.col("arr"), "x").alias("in_arr"),
+    ).collect()
+    assert out[0].in_csv is True and out[0].in_arr is True
+    assert out[1].in_csv is None
+
+
+def test_salted_join_matches_plain_join(spark):
+    # skewed big side: 90% of rows on key 0
+    big = spark.range(0, 2000).select(
+        F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id") % 7).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.createDataFrame(
+        [(i, f"dim{i}") for i in range(7)], "k bigint, dim string"
+    )
+    plain = big.join(small, "k").select("payload", "dim")
+    salted = salted_join(big, small, "k").select("payload", "dim")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    # determinism across runs
+    again = salted_join(big, small, "k").select("payload", "dim")
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_top_keys_reports_skew(spark):
+    big = spark.range(0, 1000).select(
+        F.when(F.col("id") % 10 < 9, 0).otherwise(1).alias("k")
+    )
+    rows = top_keys(big, "k", n=2).collect()
+    assert rows[0].k == 0 and rows[0].share > 0.8
+
+
+def test_backup_restore_roundtrip(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
+    cat.create_table("t", df)
+    dest = cat.backup_table("t", str(tmp_path / "bk"))
+    assert dest.endswith("/t")
+
+    # mutate, then restore to the backed-up snapshot
+    t = cat.table("t")
+    t.overwrite(df.limit(0))
+    assert t.read().count() == 0
+    cat.restore_table("t", str(tmp_path / "bk"))
+    assert cat.table("t").read().count() == 2
