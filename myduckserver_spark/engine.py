@@ -61,6 +61,45 @@ class Engine:
         self.catalog.drop_table(name)
         self.spark.catalog.dropTempView(name)
 
+    # ---------------------------------------------------- ALTER TABLE family
+    # (reference: catalog/table.go:222+ add/rename/modify/drop column,
+    #  exercised by TestAlterTable main_test.go:2116)
+    def alter_add_column(
+        self, name: str, col: str, mysql_type: str, default=None
+    ) -> None:
+        """ALTER TABLE ADD COLUMN (appended at the end — the reference
+        ignores column ordering too, catalog/table.go:227)."""
+        from myduckserver_spark.types import mysql_to_spark
+
+        dtype, _meta = mysql_to_spark(mysql_type)
+        t = self.catalog.table(name)
+        t.overwrite(t.read().withColumn(col, F.lit(default).cast(dtype)))
+
+    def alter_drop_column(self, name: str, col: str) -> None:
+        t = self.catalog.table(name)
+        t.overwrite(t.read().drop(col))
+
+    def alter_rename_column(self, name: str, old: str, new: str) -> None:
+        t = self.catalog.table(name)
+        t.overwrite(t.read().withColumnRenamed(old, new))
+
+    def alter_modify_column(self, name: str, col: str, mysql_type: str) -> None:
+        """MODIFY COLUMN: cast the column to the new type."""
+        from myduckserver_spark.types import mysql_to_spark
+
+        dtype, _meta = mysql_to_spark(mysql_type)
+        t = self.catalog.table(name)
+        t.overwrite(t.read().withColumn(col, F.col(col).cast(dtype)))
+
+    def rename_table(self, old: str, new: str) -> None:
+        import os
+
+        os.rename(
+            os.path.join(self.catalog.root, old),
+            os.path.join(self.catalog.root, new),
+        )
+        self.spark.catalog.dropTempView(old)
+
     def ctas(self, name: str, query: str, dialect: str = "spark") -> ParquetTable:
         """CREATE TABLE AS SELECT (reference: TableCopier,
         backend/executor.go:151-159)."""
@@ -70,6 +109,59 @@ class Engine:
     def insert(self, name: str, df: DataFrame) -> None:
         t = self.catalog.table(name)
         t.overwrite(t.read().unionByName(df))
+
+    def insert_with_defaults(
+        self, name: str, df: DataFrame, defaults: dict[str, object] | None = None
+    ) -> None:
+        """INSERT with missing columns filled from declared defaults
+        (reference: column defaults parsed/normalized at
+        catalog/type_mapping.go:334-352; TestColumnDefaults :1977)."""
+        t = self.catalog.table(name)
+        base = t.read()
+        defaults = defaults or {}
+        out = df
+        for field in base.schema.fields:
+            if field.name not in out.columns:
+                out = out.withColumn(
+                    field.name,
+                    F.lit(defaults.get(field.name)).cast(field.dataType),
+                )
+        t.overwrite(base.unionByName(out.select(*base.columns)))
+
+    def insert_auto_increment(
+        self, name: str, df: DataFrame, id_col: str
+    ) -> None:
+        """AUTO_INCREMENT parity (reference implements it as a DuckDB
+        SEQUENCE + nextval default, catalog/database.go:159-210): new
+        rows get ids starting after the current max. Uses a window
+        rank, not monotonically_increasing_id, so ids are dense like
+        MySQL's counter."""
+        from pyspark.sql import Window as W
+
+        t = self.catalog.table(name)
+        base = t.read()
+        start = (base.agg(F.max(id_col)).collect()[0][0] or 0) + 1
+        id_type = dict(base.dtypes)[id_col]
+        order_cols = [c for c in df.columns] or [F.lit(1)]
+        numbered = df.withColumn(
+            id_col,
+            (F.row_number().over(W.orderBy(*order_cols)) + start - 1).cast(id_type),
+        )
+        t.overwrite(base.unionByName(numbered.select(*base.columns)))
+
+    def insert_checked(
+        self, name: str, df: DataFrame, checks: dict[str, Column]
+    ) -> None:
+        """INSERT with CHECK constraints enforced engine-side (the
+        reference enforces checks in the GMS layer, not DuckDB —
+        backend/executor.go:110-116). Raises on the first violation."""
+        for cname, cond in checks.items():
+            bad = df.filter(~cond | cond.isNull()).limit(1).collect()
+            if bad:
+                raise ValueError(
+                    f"CHECK constraint '{cname}' violated by row: {bad[0]}"
+                )
+        self.insert(name, df)
 
     def insert_replace(self, name: str, df: DataFrame, pk_cols: list[str]) -> None:
         """INSERT OR REPLACE (MySQL REPLACE INTO): new rows win on PK

@@ -1,0 +1,223 @@
+"""Remaining SQL-surface corners: multiset set ops, VALUES lists,
+DISTINCT ON equivalents, scalar EXISTS in SELECT, global HAVING,
+ORDER BY expressions (GMS-corpus shapes not yet covered)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from myduckserver_spark.plans.registry import register
+from myduckserver_spark.tables import load_table
+
+
+@register(
+    "s_intersect_all",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 5000
+    INTERSECT ALL
+    SELECT c_nationkey AS nk FROM customer WHERE c_mktsegment = 'BUILDING'
+    ORDER BY nk
+    """,
+    tags=("setop", "multiset"),
+)
+def s_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (multiset semantics — keeps duplicate counts)."""
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_nationkey").alias("nk")
+    )
+    b = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_nationkey").alias("nk")
+    )
+    return a.intersectAll(b).orderBy("nk")
+
+
+@register(
+    "s_except_all",
+    oracle="""
+    SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+    ORDER BY k
+    """,
+    tags=("setop", "multiset"),
+)
+def s_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (per-occurrence subtraction)."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("k")
+    )
+    b = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("k")
+    )
+    return a.exceptAll(b).orderBy("k")
+
+
+@register(
+    "v_values_join",
+    oracle="""
+    SELECT t.code, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    JOIN (VALUES ('O', 'open'), ('F', 'final'), ('P', 'pending'))
+         AS t(status, code)
+      ON o_orderstatus = t.status
+    GROUP BY t.code
+    ORDER BY t.code
+    """,
+    tags=("values", "join"),
+)
+def v_values_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline VALUES list joined against a table (the reference's GMS
+    corpus exercises VALUES via derived tables)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT t.code, CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders
+        JOIN (VALUES ('O', 'open'), ('F', 'final'), ('P', 'pending'))
+             AS t(status, code)
+          ON o_orderstatus = t.status
+        GROUP BY t.code
+        ORDER BY t.code
+        """
+    )
+
+
+@register(
+    "d_distinct_on_latest_order",
+    oracle="""
+    -- DuckDB v1.0.0 arg_max can't take a composite ordering key, so
+    -- the oracle states the same semantics as a window query.
+    SELECT o_custkey, o_orderkey AS latest_order,
+           CAST(o_orderdate AS DATE) AS latest_date
+    FROM (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders
+    ) t
+    WHERE rn = 1
+    ORDER BY o_custkey
+    """,
+    tags=("distinct-on", "max_by"),
+)
+def d_distinct_on_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT ON / latest-row-per-key via max_by with a composite
+    ordering struct (the same primitive CDC condense uses)."""
+    orders = load_table(spark, sf_dir, "orders")
+    ordk = F.struct("o_orderdate", "o_orderkey")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max_by("o_orderkey", ordk).alias("latest_order"),
+            F.max_by("o_orderdate", ordk).cast("date").alias("latest_date"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+@register(
+    "sq_exists_in_select_list",
+    oracle="""
+    SELECT n_nationkey, n_name,
+           CAST(EXISTS (SELECT 1 FROM supplier WHERE s_nationkey = n_nationkey)
+                AS INT) AS has_supplier
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+    tags=("subquery", "exists", "select-list"),
+)
+def sq_exists_in_select_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS as a projected value (not a filter)."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(
+        """
+        SELECT n_nationkey, n_name,
+               CAST(EXISTS (SELECT 1 FROM supplier
+                            WHERE s_nationkey = n_nationkey) AS INT)
+                   AS has_supplier
+        FROM nation
+        ORDER BY n_nationkey
+        """
+    )
+
+
+@register(
+    "g_having_no_groupby",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6))
+               AS total
+    FROM orders
+    HAVING COUNT(*) > 10
+    """,
+    tags=("having", "global-agg"),
+)
+def g_having_no_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING over a global aggregate (no GROUP BY) — GMS edge case."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6))
+                   AS total
+        FROM orders
+        HAVING COUNT(*) > 10
+        """
+    )
+
+
+@register(
+    "o_orderby_expression",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    ORDER BY length(s_name) % 5 DESC, s_acctbal DESC, s_suppkey
+    LIMIT 8
+    """,
+    tags=("sort", "expression"),
+)
+def o_orderby_expression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY computed expressions (not projected columns)."""
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        supp.orderBy(
+            (F.length("s_name") % 5).desc(),
+            F.col("s_acctbal").desc(),
+            F.col("s_suppkey").asc(),
+        )
+        .select("s_suppkey", "s_name")
+        .limit(8)
+    )
+
+
+@register(
+    "c_case_in_groupby",
+    oracle="""
+    SELECT CASE WHEN c_acctbal < 0 THEN 'neg'
+                WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS tier,
+           c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("case", "grouping"),
+)
+def c_case_in_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE expression as a grouping key."""
+    cust = load_table(spark, sf_dir, "customer")
+    tier = (
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("tier")
+    )
+    return (
+        cust.groupBy(tier, F.col("c_mktsegment"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("tier", "c_mktsegment")
+    )

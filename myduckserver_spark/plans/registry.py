@@ -55,6 +55,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         queries,
         queries_ext,
         queries_fn2,
+        queries_misc,
     )
 
     return {name: q.spark for name, q in REGISTRY.items()}
@@ -67,6 +68,7 @@ def all_oracles() -> dict[str, str]:
         queries,
         queries_ext,
         queries_fn2,
+        queries_misc,
     )
 
     return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}

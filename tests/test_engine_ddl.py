@@ -1,0 +1,78 @@
+"""ALTER TABLE family, defaults, auto-increment, check constraints
+(reference: TestAlterTable :2116, TestColumnDefaults :1977,
+auto-increment sequences catalog/database.go:159-210, checks
+backend/executor.go:110-116)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from myduckserver_spark.engine import Engine
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.create_table(
+        "t",
+        [("id", "INT"), ("v", "DOUBLE")],
+        rows=[(1, 1.5), (2, 2.5)],
+    )
+    return e
+
+
+def test_alter_add_drop_rename_modify(engine):
+    engine.alter_add_column("t", "tag", "VARCHAR(10)", default="x")
+    rows = {r.id: r.tag for r in engine.sql("SELECT * FROM t").collect()}
+    assert rows == {1: "x", 2: "x"}
+
+    engine.alter_rename_column("t", "tag", "label")
+    assert "label" in engine.catalog.table("t").read().columns
+
+    engine.alter_modify_column("t", "id", "BIGINT")
+    assert dict(engine.catalog.table("t").read().dtypes)["id"] == "bigint"
+
+    engine.alter_drop_column("t", "label")
+    assert "label" not in engine.catalog.table("t").read().columns
+
+
+def test_rename_table(engine):
+    engine.rename_table("t", "t2")
+    assert engine.catalog.list_tables() == ["t2"]
+    assert engine.sql("SELECT COUNT(*) AS n FROM t2").collect()[0].n == 2
+
+
+def test_insert_with_defaults(engine, spark):
+    engine.alter_add_column("t", "status", "VARCHAR(10)", default=None)
+    engine.insert_with_defaults(
+        "t",
+        spark.createDataFrame([(3, 3.5)], "id int, v double"),
+        defaults={"status": "NEW"},
+    )
+    rows = {r.id: r.status for r in engine.sql("SELECT * FROM t").collect()}
+    assert rows[3] == "NEW" and rows[1] is None
+
+
+def test_auto_increment_dense_ids(engine, spark):
+    engine.insert_auto_increment(
+        "t", spark.createDataFrame([(10.5,), (11.5,)], "v double"), "id"
+    )
+    ids = sorted(r.id for r in engine.sql("SELECT id FROM t").collect())
+    assert ids == [1, 2, 3, 4]  # continues after max, dense
+    engine.insert_auto_increment(
+        "t", spark.createDataFrame([(12.5,)], "v double"), "id"
+    )
+    assert sorted(
+        r.id for r in engine.sql("SELECT id FROM t").collect()
+    ) == [1, 2, 3, 4, 5]
+
+
+def test_check_constraint_rejects_and_allows(engine, spark):
+    ok = spark.createDataFrame([(5, 9.9)], "id int, v double")
+    engine.insert_checked("t", ok, {"v_positive": F.col("v") > 0})
+    assert engine.sql("SELECT COUNT(*) AS n FROM t").collect()[0].n == 3
+
+    bad = spark.createDataFrame([(6, -1.0)], "id int, v double")
+    with pytest.raises(ValueError, match="v_positive"):
+        engine.insert_checked("t", bad, {"v_positive": F.col("v") > 0})
+    # rejected batch must not be partially applied
+    assert engine.sql("SELECT COUNT(*) AS n FROM t").collect()[0].n == 3
