@@ -1,0 +1,364 @@
+"""TPC-H completion pack: the six queries (Q2/Q11/Q15/Q17/Q20/Q21)
+not yet in the corpus, adapted to the driver's schema the same way
+Q13/Q16 were (no partsupp table, no l_commitdate/l_receiptdate —
+lineitem stands in for partsupp; lateness = shipdate vs orderdate).
+
+These finish the shapes the reference's conformance corpus leans on
+(reference: main_test.go TestQueriesSimple :210, TestJoinQueries :398 —
+correlated scalar subqueries, HAVING over semi-join, EXISTS/NOT EXISTS
+pairs, aggregates-of-aggregates).
+
+Scale notes (100 TB): every dim join below broadcasts (part filtered,
+supplier, nation, region are small); the only shuffles are the keyed
+aggregations on lineitem, which do map-side partial aggregation. The
+correlated "min/avg per part" subqueries are expressed as self-agg +
+re-join on the SAME key as the main join, so AQE can pick one shuffle
+exchange for both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from myduckserver_spark.plans.helpers import bcount, dec, o_bcount
+from myduckserver_spark.plans.registry import register
+from myduckserver_spark.tables import load_table
+
+_REV = "l_extendedprice * (1 - l_discount)"
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_type,
+           l_extendedprice AS min_price
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE p_size BETWEEN 10 AND 20 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+      AND l_extendedprice = (
+          SELECT MIN(l2.l_extendedprice)
+          FROM lineitem l2
+          JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+          JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+          JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+          WHERE l2.l_partkey = p_partkey AND r2.r_name = 'EUROPE'
+      )
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, min_price
+    LIMIT 100
+    """,
+    tags=("tpch", "subquery", "correlated"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 adapted: cheapest offer per part within a region.
+
+    partsupp.ps_supplycost -> lineitem.l_extendedprice (the price each
+    supplier actually charged for the part). The correlated MIN becomes
+    a window MIN over the region-filtered join — one shuffle on
+    l_partkey instead of a re-scan per part.
+    """
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size").between(10, 20) & (F.col("p_type") == "LARGE")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+
+    offers = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    w = W.partitionBy("p_partkey")
+    return (
+        offers.withColumn("min_price", F.min("l_extendedprice").over(w))
+        .filter(F.col("l_extendedprice") == F.col("min_price"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "min_price")
+        .distinct()
+        .orderBy(
+            F.desc("s_acctbal"), "n_name", "s_name", "p_partkey", "min_price"
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "q11_important_stock",
+    oracle="""
+    WITH v AS (
+        SELECT l_partkey AS partkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
+                    AS DECIMAL(38,6)) AS value
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+        GROUP BY l_partkey
+    )
+    SELECT partkey, value
+    FROM v
+    WHERE CAST(value AS DOUBLE) > (
+        SELECT CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) * 0.001
+        FROM v
+    )
+    ORDER BY value DESC, partkey
+    """,
+    tags=("tpch", "subquery", "scalar"),
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 adapted: parts whose traded value from one nation's
+    suppliers exceeds a fraction of the total (partsupp value ->
+    shipped value). Scalar subquery over the SAME aggregate: Spark
+    computes the CTE once, reuses it for the global sum (tiny, one
+    row), and broadcasts the threshold via a cross join.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    )
+    v = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(dec("l_extendedprice")).cast("decimal(38,6)").alias("value"))
+    )
+    total = v.agg(
+        (F.sum(F.col("value").cast("decimal(18,6)")).cast("double") * 0.001).alias(
+            "threshold"
+        )
+    )
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(F.col("value").cast("double") > F.col("threshold"))
+        .select("partkey", "value")
+        .orderBy(F.desc("value"), "partkey")
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,6))) AS DECIMAL(38,6))
+                   AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    tags=("tpch", "view", "scalar"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: top revenue supplier over a quarter. The revenue
+    'view' aggregates once; the MAX scalar is one row broadcast back.
+    Exact-decimal revenue makes the MAX-equality join deterministic
+    (double sums would tie-break differently per engine).
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(dec(F.expr(_REV))).cast("decimal(38,6)").alias("total_revenue")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q17_small_qty_revenue",
+    oracle="""
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
+                     AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN (
+        SELECT l_partkey AS apk,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*) AS avg_qty
+        FROM lineitem GROUP BY l_partkey
+    ) a ON apk = p_partkey
+    WHERE p_brand = 'Brand#2' AND p_type = 'MEDIUM'
+      AND l_quantity < 0.2 * avg_qty
+    """,
+    tags=("tpch", "subquery", "correlated"),
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue lost to small-quantity orders. The correlated
+    per-part AVG decorrelates into a self-aggregate re-joined on
+    l_partkey — the oracle is written in the decorrelated form too so
+    both engines compute the identical deterministic average
+    (exact decimal sum, one IEEE divide; never raw AVG — see
+    plans/helpers.py).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#2") & (F.col("p_type") == "MEDIUM")
+    )
+    avg_qty = li.groupBy(F.col("l_partkey").alias("apk")).agg(
+        (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_qty"
+        )
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(avg_qty, F.col("apk") == F.col("p_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (F.sum(dec("l_extendedprice")).cast("double") / 7.0)
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "q20_promotion_suppliers",
+    oracle="""
+    SELECT s_suppkey, s_name, s_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3'
+      AND s_suppkey IN (
+          SELECT l_suppkey
+          FROM lineitem JOIN part ON p_partkey = l_partkey
+          WHERE p_type = 'PROMO'
+            AND l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1997-01-01'
+          GROUP BY l_suppkey
+          HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)))
+                      AS DECIMAL(38,6)) > 50
+      )
+    ORDER BY s_suppkey
+    """,
+    tags=("tpch", "semi-join", "having"),
+)
+def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 adapted: suppliers who moved real volume of promo
+    parts in a year (partsupp availability -> shipped quantity). The
+    IN-subquery-with-HAVING becomes an aggregate + left_semi join;
+    part is broadcast so the only shuffle is the l_suppkey agg.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    movers = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(dec("l_quantity")).cast("decimal(38,6)").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    )
+    return (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(movers, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q21_suppliers_kept_waiting",
+    oracle="""
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders    ON o_orderkey = l1.l_orderkey
+    JOIN nation    ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F' AND n_name = 'NATION_5'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+    tags=("tpch", "exists", "anti-join"),
+)
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 adapted: the sole late supplier on multi-supplier
+    orders (receipt-vs-commit lateness -> shipdate > orderdate + 60d).
+
+    The EXISTS / NOT EXISTS pair decorrelates into ONE aggregation per
+    (order, supplier): count suppliers and late suppliers per order,
+    keep rows where this supplier is late, the order has >1 supplier,
+    and exactly 1 late supplier. One shuffle on l_orderkey replaces two
+    correlated re-scans of lineitem — the form that survives 100 TB.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAY")
+
+    per_supp = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.sum(F.when(late, 1).otherwise(0)).alias("late_rows"),
+            F.max(F.when(late, 1).otherwise(0)).alias("is_late"),
+        )
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("is_late").alias("n_late_supp"),
+    )
+    culprits = (
+        per_supp.join(per_order, "l_orderkey")
+        .filter(
+            (F.col("is_late") == 1)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late_supp") == 1)
+        )
+        .select("l_suppkey", "late_rows")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_5"
+    )
+    return (
+        culprits.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.sum("late_rows").cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )

@@ -56,6 +56,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         queries_ext,
         queries_fn2,
         queries_misc,
+        queries_tpch2,
     )
 
     return {name: q.spark for name, q in REGISTRY.items()}
@@ -69,6 +70,7 @@ def all_oracles() -> dict[str, str]:
         queries_ext,
         queries_fn2,
         queries_misc,
+        queries_tpch2,
     )
 
     return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
