@@ -221,3 +221,75 @@ def c_case_in_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .orderBy("tier", "c_mktsegment")
     )
+
+
+@register(
+    "j_lateral_topn",
+    oracle="""
+    SELECT n_name, t.c_custkey, t.c_acctbal
+    FROM nation, LATERAL (
+        SELECT c_custkey, c_acctbal FROM customer
+        WHERE c_nationkey = n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+    ) t
+    ORDER BY n_name, c_custkey
+    """,
+    tags=("join", "lateral"),
+)
+def j_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL join with correlated ORDER BY + LIMIT (reference:
+    TestLateralJoin main_test.go:403). Spark 4 supports true LATERAL
+    subqueries; Catalyst decorrelates this into a ranked join rather
+    than a per-row re-scan, so it scales like the window top-k form."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT n_name, t.c_custkey, t.c_acctbal
+        FROM nation, LATERAL (
+            SELECT c_custkey, c_acctbal FROM customer
+            WHERE c_nationkey = n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+        ) t
+        ORDER BY n_name, c_custkey
+        """
+    )
+
+
+@register(
+    "f_json_table_explode",
+    oracle="""
+    WITH j AS (
+        SELECT user_id,
+               '[' || string_agg(props, ',' ORDER BY event_id) || ']' AS arr
+        FROM events WHERE user_id < 200 GROUP BY user_id
+    )
+    SELECT user_id, CAST(SUM(u.k) AS BIGINT) AS total_k,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM j, LATERAL unnest(json_transform(arr, '[{"k":"BIGINT"}]')) AS t(u)
+    GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("json", "json-table", "explode"),
+)
+def f_json_table_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON_TABLE semantics (reference: TestJSONTableQueries
+    main_test.go:430): a JSON array column re-expanded to rows.
+    Spark mapping per SURVEY §2.B: from_json('array<struct<...>>') +
+    explode — the array is parsed once per row, stays JVM-side, and
+    the explode pipelines inside whole-stage codegen (no Python)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        WITH j AS (
+            SELECT user_id,
+                   concat('[', concat_ws(',',
+                       sort_array(collect_list(struct(event_id, props))).props),
+                   ']') AS arr
+            FROM events WHERE user_id < 200 GROUP BY user_id
+        )
+        SELECT user_id, CAST(SUM(u.k) AS BIGINT) AS total_k,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM j LATERAL VIEW explode(from_json(arr, 'array<struct<k:bigint>>')) AS u
+        GROUP BY user_id ORDER BY user_id
+        """
+    )
