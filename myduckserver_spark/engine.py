@@ -14,19 +14,58 @@ rewrites on versioned tables.
 
 from __future__ import annotations
 
+import decimal
+import json
+import os
+import re
+from dataclasses import dataclass
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.types import StructType
 
+from myduckserver_spark import statements as st
 from myduckserver_spark.catalog import Catalog, ParquetTable
 from myduckserver_spark.functions.mysql_compat import translate_mysql
-from myduckserver_spark.types import schema_from_mysql
+from myduckserver_spark.types import schema_from_mysql, spark_to_mysql
+
+
+
+def _like_to_re(pat: str) -> "re.Pattern[str]":
+    """MySQL LIKE pattern -> anchored regex (% = any run, _ = one char)."""
+    body = "".join(
+        ".*" if c == "%" else "." if c == "_" else re.escape(c) for c in pat
+    )
+    return re.compile("^" + body + "$", re.I)
+
+
+@dataclass
+class OkResult:
+    """Non-query statement result, mirroring the MySQL OK packet the
+    reference returns (reference: backend/executor.go:221-269 builds
+    OkResult{RowsAffected, InsertID})."""
+
+    affected_rows: int = 0
+    last_insert_id: int = 0
+    info: str = ""
 
 
 class Engine:
     def __init__(self, spark: SparkSession, warehouse: str):
         self.spark = spark
+        self._warehouse = warehouse
         self.catalog = Catalog(spark, warehouse)
+        self.current_db = "main"
+        self._dbs: dict[str, Catalog] = {"main": self.catalog}
+        # Session variables (reference: GMS session vars + in-place SET,
+        # pgserver/in_place_handler.go:89). A few defaults MySQL clients ask for.
+        self.variables: dict[str, object] = {
+            "autocommit": 1,
+            "sql_mode": "ANSI",
+            "time_zone": "UTC",
+            "version": "8.0.0-myduckserver-spark",
+        }
 
     # ------------------------------------------------------------ SQL front
     def sql(self, query: str, dialect: str = "spark") -> DataFrame:
@@ -203,3 +242,340 @@ class Engine:
     def truncate(self, name: str) -> None:
         t = self.catalog.table(name)
         t.overwrite(t.read().limit(0))
+
+    # ------------------------------------------------- SQL statement router
+    # The text-level analog of the reference's plan dispatch
+    # (backend/executor.go:74-165): queries go to Catalyst, DDL/DML to
+    # engine code, SHOW/SET/USE to the session.
+
+    def execute(self, sql: str, dialect: str = "mysql"):
+        """Execute one or more ';'-separated statements.
+
+        Returns a DataFrame for queries/SHOW, an OkResult for DDL/DML;
+        a list of those when the script has multiple statements.
+        """
+        stmts = st.split_statements(sql)
+        if not stmts:
+            return OkResult(info="empty")
+        results = [self._execute_one(s, dialect) for s in stmts]
+        return results[-1] if len(results) == 1 else results
+
+    def _execute_one(self, sql: str, dialect: str):
+        s = st.parse_statement(sql)
+        if isinstance(s, st.Query):
+            return self.sql(s.sql, dialect=dialect)
+        if isinstance(s, st.CreateTable):
+            return self._exec_create_table(s)
+        if isinstance(s, st.CreateTableAs):
+            if s.if_not_exists and self.catalog.table(s.name).exists():
+                return OkResult(info="table exists")
+            self.ctas(s.name, s.query, dialect=dialect)
+            return OkResult(affected_rows=self.catalog.table(s.name).read().count())
+        if isinstance(s, st.DropTable):
+            if not self.catalog.table(s.name).exists():
+                if s.if_exists:
+                    return OkResult(info="no such table")
+                raise ValueError(f"no such table: {s.name}")
+            self.drop_table(s.name)
+            self._meta_path_cleanup(s.name)
+            return OkResult()
+        if isinstance(s, st.AlterTable):
+            return self._exec_alter(s)
+        if isinstance(s, st.RenameTable):
+            self.rename_table(s.old, s.new)
+            return OkResult()
+        if isinstance(s, st.Truncate):
+            n = self.catalog.table(s.name).read().count()
+            self.truncate(s.name)
+            return OkResult(affected_rows=n)
+        if isinstance(s, st.Insert):
+            return self._exec_insert(s, dialect)
+        if isinstance(s, st.Update):
+            cond = self._fragment(s.where) if s.where else F.lit(True)
+            assignments = {c: self._fragment(e) for c, e in s.assignments.items()}
+            return OkResult(affected_rows=self.update(s.table, cond, assignments))
+        if isinstance(s, st.Delete):
+            cond = self._fragment(s.where) if s.where else F.lit(True)
+            return OkResult(affected_rows=self.delete(s.table, cond))
+        if isinstance(s, st.Show):
+            return self._exec_show(s)
+        if isinstance(s, st.SetVar):
+            self.variables[s.name] = s.value
+            if s.name.startswith("spark."):
+                self.spark.conf.set(s.name, str(s.value))
+            return OkResult()
+        if isinstance(s, st.UseDb):
+            if s.name not in self._dbs:
+                raise ValueError(f"unknown database: {s.name}")
+            self.current_db = s.name
+            self.catalog = self._dbs[s.name]
+            return OkResult()
+        if isinstance(s, st.CreateDb):
+            if s.name in self._dbs:
+                if s.if_not_exists:
+                    return OkResult(info="database exists")
+                raise ValueError(f"database exists: {s.name}")
+            root = (self._warehouse if s.name == "main"
+                    else os.path.join(self._warehouse, "__dbs__", s.name))
+            self._dbs[s.name] = Catalog(self.spark, root)
+            return OkResult()
+        if isinstance(s, st.DropDb):
+            if s.name not in self._dbs:
+                if s.if_exists:
+                    return OkResult(info="no such database")
+                raise ValueError(f"unknown database: {s.name}")
+            if s.name == "main":
+                raise ValueError("cannot drop the default database")
+            import shutil
+
+            shutil.rmtree(self._dbs[s.name].root, ignore_errors=True)
+            del self._dbs[s.name]
+            if self.current_db == s.name:
+                self.current_db = "main"
+                self.catalog = self._dbs["main"]
+            return OkResult()
+        if isinstance(s, st.TxnStmt):
+            # Single-statement autocommit; multi-statement transactions
+            # are a documented gap (SURVEY §2.B Transactions).
+            return OkResult(info=f"{s.kind}: autocommit (no-op)")
+        raise ValueError(f"unroutable statement: {type(s).__name__}")
+
+    # ------------------------------------------------------- table metadata
+    def _meta_path(self, name: str) -> str:
+        return os.path.join(self.catalog.root, name, "_META")
+
+    def _meta_path_cleanup(self, name: str) -> None:
+        p = self._meta_path(name)
+        if os.path.exists(p):  # drop_table already rmtree'd the dir
+            os.remove(p)
+
+    def table_meta(self, name: str) -> st.TableMeta:
+        p = self._meta_path(name)
+        if not os.path.exists(p):
+            return st.TableMeta()
+        with open(p) as f:
+            d = json.load(f)
+        return st.TableMeta(**d)
+
+    def _save_meta(self, name: str, meta: st.TableMeta) -> None:
+        os.makedirs(os.path.dirname(self._meta_path(name)), exist_ok=True)
+        with open(self._meta_path(name), "w") as f:
+            json.dump(meta.__dict__, f)
+
+    # -------------------------------------------------------- exec helpers
+    def _fragment(self, text: str) -> Column:
+        """A WHERE / SET fragment → Column (MySQL fn names normalized)."""
+        return F.expr(translate_mysql(text))
+
+    def _exec_create_table(self, s: st.CreateTable) -> OkResult:
+        if self.catalog.table(s.name).exists():
+            if s.if_not_exists:
+                return OkResult(info="table exists")
+            raise ValueError(f"table exists: {s.name}")
+        self.create_table(s.name, s.columns)
+        self._save_meta(s.name, s.meta)
+        return OkResult()
+
+    def _exec_alter(self, s: st.AlterTable) -> OkResult:
+        if s.action == "add_column":
+            self.alter_add_column(s.name, s.column, s.mysql_type, default=s.default)
+            if s.default is not None:
+                meta = self.table_meta(s.name)
+                meta.defaults[s.column] = s.default
+                self._save_meta(s.name, meta)
+        elif s.action == "drop_column":
+            self.alter_drop_column(s.name, s.column)
+        elif s.action == "rename_column":
+            self.alter_rename_column(s.name, s.column, s.new_name)
+        elif s.action == "modify_column":
+            self.alter_modify_column(s.name, s.column, s.mysql_type)
+        elif s.action == "change_column":
+            self.alter_rename_column(s.name, s.column, s.new_name)
+            self.alter_modify_column(s.name, s.new_name, s.mysql_type)
+        elif s.action == "rename_table":
+            self.rename_table(s.name, s.new_name)
+        else:  # pragma: no cover
+            raise ValueError(f"unknown ALTER action: {s.action}")
+        return OkResult()
+
+    @staticmethod
+    def _py_cast(v, dtype: T.DataType):
+        """Cast a parsed literal to the Python value Spark expects for
+        `dtype` (createDataFrame is strict about row types)."""
+        import datetime as dt
+
+        if v is None:
+            return None
+        if isinstance(dtype, (T.DoubleType, T.FloatType)):
+            return float(v)
+        if isinstance(dtype, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+            return int(v)
+        if isinstance(dtype, T.DecimalType):
+            return decimal.Decimal(str(v))
+        if isinstance(dtype, T.BooleanType):
+            return bool(v)
+        if isinstance(dtype, T.StringType):
+            return str(v)
+        if isinstance(dtype, T.DateType):
+            return v if isinstance(v, dt.date) else dt.date.fromisoformat(str(v))
+        if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+            return (v if isinstance(v, dt.datetime)
+                    else dt.datetime.fromisoformat(str(v)))
+        if isinstance(dtype, T.BinaryType):
+            return v if isinstance(v, bytes) else str(v).encode()
+        return v
+
+    def _exec_insert(self, s: st.Insert, dialect: str) -> OkResult:
+        t = self.catalog.table(s.table)
+        base_schema = t.read().schema
+        meta = self.table_meta(s.table)
+
+        if s.query is not None:
+            df = self.sql(s.query, dialect=dialect)
+            if s.columns:
+                df = df.toDF(*s.columns)
+        else:
+            target = s.columns or [
+                f.name for f in base_schema.fields
+                if not (meta.auto_increment == f.name
+                        and len(s.rows[0]) == len(base_schema.fields) - 1)
+            ]
+            if s.columns is None and s.rows and \
+                    len(s.rows[0]) == len(base_schema.fields):
+                target = [f.name for f in base_schema.fields]
+            fields = {f.name: f.dataType for f in base_schema.fields}
+            pyrows = []
+            for row in s.rows:
+                if len(row) != len(target):
+                    raise ValueError(
+                        f"column count mismatch: {len(row)} values for "
+                        f"{len(target)} columns"
+                    )
+                vals = []
+                for col, v in zip(target, row):
+                    if v is st.DEFAULT:
+                        v = meta.defaults.get(col)
+                    vals.append(self._py_cast(v, fields[col]))
+                pyrows.append(tuple(vals))
+            df = self.spark.createDataFrame(
+                pyrows, T.StructType([
+                    T.StructField(c, fields[c], True) for c in target
+                ])
+            )
+
+        # Fill unmentioned columns from declared defaults, then enforce
+        # NOT NULL + CHECK engine-side (reference keeps these out of the
+        # delegated engine too: backend/executor.go:84-116).
+        missing = [f.name for f in base_schema.fields if f.name not in df.columns]
+        auto_missing = meta.auto_increment in missing
+        for col in missing:
+            if col == meta.auto_increment:
+                continue
+            df = df.withColumn(
+                col,
+                F.lit(meta.defaults.get(col)).cast(
+                    base_schema[col].dataType
+                ),
+            )
+
+        checks = {c: self._fragment(e) for c, e in meta.checks.items()}
+        for col in meta.not_null:
+            if col != meta.auto_increment:
+                checks.setdefault(f"{col}_not_null", F.col(col).isNotNull())
+        for cname, cond in checks.items():
+            bad = df.filter(~cond | cond.isNull()).limit(1).collect()
+            if bad:
+                if s.mode == "ignore":
+                    df = df.filter(cond & cond.isNotNull())
+                    continue
+                raise ValueError(
+                    f"CHECK/NOT NULL constraint '{cname}' violated: {bad[0]}"
+                )
+
+        n = df.count()
+        last_id = 0
+        if auto_missing:
+            base = t.read()
+            start = (
+                base.agg(F.max(meta.auto_increment)).collect()[0][0] or 0
+            ) + 1
+            self.insert_auto_increment(s.table, df, meta.auto_increment)
+            last_id = start
+        elif s.mode == "replace" and meta.primary_key:
+            self.insert_replace(s.table, df.select(
+                *[f.name for f in base_schema.fields]), meta.primary_key)
+        elif s.mode == "ignore" and meta.primary_key:
+            before = t.read().count()
+            self.insert_ignore(s.table, df.select(
+                *[f.name for f in base_schema.fields]), meta.primary_key)
+            n = t.read().count() - before
+        else:
+            self.insert(s.table, df.select(*[f.name for f in base_schema.fields]))
+        return OkResult(affected_rows=n, last_insert_id=last_id)
+
+    def _exec_show(self, s: st.Show) -> DataFrame:
+        if s.kind == "tables":
+            names = self.catalog.list_tables()
+            if s.like:
+                rx = _like_to_re(s.like)
+                names = [n for n in names if rx.match(n)]
+            return self.spark.createDataFrame(
+                [(n,) for n in names],
+                f"Tables_in_{self.current_db} string",
+            )
+        if s.kind == "columns":
+            schema = self.catalog.table(s.target).read().schema
+            meta = self.table_meta(s.target)
+            rows = []
+            for f_ in schema.fields:
+                key = "PRI" if f_.name in meta.primary_key else ""
+                extra = "auto_increment" if f_.name == meta.auto_increment else ""
+                default = meta.defaults.get(f_.name)
+                rows.append((
+                    f_.name,
+                    spark_to_mysql(f_.dataType, f_.metadata),
+                    "NO" if f_.name in meta.not_null else "YES",
+                    key,
+                    None if default is None else str(default),
+                    extra,
+                ))
+            return self.spark.createDataFrame(
+                rows, "Field string, Type string, Null string, Key string, "
+                      "Default string, Extra string",
+            )
+        if s.kind == "create_table":
+            schema = self.catalog.table(s.target).read().schema
+            meta = self.table_meta(s.target)
+            defs = []
+            for f_ in schema.fields:
+                line = f"  `{f_.name}` {spark_to_mysql(f_.dataType, f_.metadata)}"
+                if f_.name in meta.not_null:
+                    line += " NOT NULL"
+                if f_.name in meta.defaults and meta.defaults[f_.name] is not None:
+                    d = meta.defaults[f_.name]
+                    line += " DEFAULT " + (repr(d) if isinstance(d, str) else str(d))
+                if f_.name == meta.auto_increment:
+                    line += " AUTO_INCREMENT"
+                defs.append(line)
+            if meta.primary_key:
+                defs.append(
+                    "  PRIMARY KEY (" + ", ".join(
+                        f"`{c}`" for c in meta.primary_key) + ")"
+                )
+            for cname, expr in meta.checks.items():
+                defs.append(f"  CONSTRAINT `{cname}` CHECK ({expr})")
+            ddl = f"CREATE TABLE `{s.target}` (\n" + ",\n".join(defs) + "\n)"
+            return self.spark.createDataFrame(
+                [(s.target, ddl)], "Table string, `Create Table` string"
+            )
+        if s.kind == "variables":
+            items = sorted(self.variables.items())
+            if s.like:
+                rx = _like_to_re(s.like)
+                items = [(k, v) for k, v in items if rx.match(k)]
+            return self.spark.createDataFrame(
+                [(k, str(v)) for k, v in items],
+                "Variable_name string, Value string",
+            )
+        raise ValueError(f"unknown SHOW kind: {s.kind}")
+

@@ -1,0 +1,554 @@
+"""MySQL statement front door: parse DDL/DML text into routed calls.
+
+The reference's entry point is SQL text on the MySQL wire; its
+DuckBuilder dispatches plan-node classes to either generated DuckDB SQL
+or engine code (reference: backend/executor.go:74-165). Here the same
+dispatch happens one layer earlier — on the statement text — because
+Catalyst is the query engine and only DDL/DML need engine code.
+
+Pure-Python parsing, no external parser: the grammar we accept is the
+statement surface the reference's conformance corpus exercises
+(CREATE/ALTER/DROP/RENAME TABLE, INSERT [IGNORE]/REPLACE VALUES|SELECT,
+UPDATE/DELETE/TRUNCATE, SHOW, SET/USE, BEGIN/COMMIT). Queries fall
+through untouched to Catalyst.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+
+# --------------------------------------------------------------- lexing
+
+
+def strip_comments(sql: str) -> str:
+    """Remove -- / # line comments and /* */ block comments, quote-aware."""
+    out, i, n = [], 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c in ("'", '"', "`"):
+            j = i + 1
+            while j < n:
+                if sql[j] == "\\" and c != "`":
+                    j += 2
+                    continue
+                if sql[j] == c:
+                    if j + 1 < n and sql[j + 1] == c:  # doubled quote
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(sql[i : j + 1])
+            i = j + 1
+        elif sql.startswith("--", i) or c == "#":
+            while i < n and sql[i] != "\n":
+                i += 1
+        elif sql.startswith("/*", i):
+            j = sql.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def split_statements(sql: str) -> list[str]:
+    """Split on top-level ';' (quote-aware)."""
+    sql = strip_comments(sql)
+    parts, buf, i, n = [], [], 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c in ("'", '"', "`"):
+            j = i + 1
+            while j < n:
+                if sql[j] == "\\" and c != "`":
+                    j += 2
+                    continue
+                if sql[j] == c:
+                    if j + 1 < n and sql[j + 1] == c:
+                        j += 2
+                        continue
+                    break
+                j += 1
+            buf.append(sql[i : j + 1])
+            i = j + 1
+        elif c == ";":
+            s = "".join(buf).strip()
+            if s:
+                parts.append(s)
+            buf = []
+            i += 1
+        else:
+            buf.append(c)
+            i += 1
+    s = "".join(buf).strip()
+    if s:
+        parts.append(s)
+    return parts
+
+
+def split_top_level(s: str, sep: str = ",") -> list[str]:
+    """Split on `sep` at paren depth 0, quote-aware."""
+    parts, buf, depth, i, n = [], [], 0, 0, len(s)
+    while i < n:
+        c = s[i]
+        if c in ("'", '"', "`"):
+            j = i + 1
+            while j < n:
+                if s[j] == "\\" and c != "`":
+                    j += 2
+                    continue
+                if s[j] == c:
+                    if j + 1 < n and s[j + 1] == c:
+                        j += 2
+                        continue
+                    break
+                j += 1
+            buf.append(s[i : j + 1])
+            i = j + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == sep and depth == 0:
+            parts.append("".join(buf).strip())
+            buf = []
+            i += 1
+            continue
+        buf.append(c)
+        i += 1
+    tail = "".join(buf).strip()
+    if tail:
+        parts.append(tail)
+    return parts
+
+
+def unquote_ident(s: str) -> str:
+    s = s.strip()
+    if len(s) >= 2 and s[0] == "`" and s[-1] == "`":
+        return s[1:-1].replace("``", "`")
+    return s
+
+
+def parse_literal(tok: str):
+    """One SQL literal → Python value (NULL/bool/int/float/str)."""
+    t = tok.strip()
+    up = t.upper()
+    if up == "NULL":
+        return None
+    if up == "TRUE":
+        return True
+    if up == "FALSE":
+        return False
+    if up == "DEFAULT":
+        return _DEFAULT
+    if (t.startswith("'") and t.endswith("'")) or (
+        t.startswith('"') and t.endswith('"')
+    ):
+        q = t[0]
+        body = t[1:-1]
+        body = body.replace(q + q, q)
+        body = re.sub(r"\\(.)", lambda m: {"n": "\n", "t": "\t", "0": "\0"}.get(
+            m.group(1), m.group(1)
+        ), body)
+        return body
+    if re.fullmatch(r"[+-]?\d+", t):
+        return int(t)
+    if re.fullmatch(r"[+-]?(\d+\.\d*|\.\d+|\d+)([eE][+-]?\d+)?", t):
+        return float(t)
+    raise ValueError(f"cannot parse literal: {tok!r}")
+
+
+class _Default:
+    """Sentinel for the DEFAULT keyword in a VALUES tuple."""
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return "DEFAULT"
+
+
+_DEFAULT = _Default()
+DEFAULT = _DEFAULT
+
+
+def parse_values_tuples(s: str) -> list[list[object]]:
+    """Parse `(a, b), (c, d), ...` into rows of literals."""
+    rows = []
+    for grp in split_top_level(s, ","):
+        grp = grp.strip()
+        if not (grp.startswith("(") and grp.endswith(")")):
+            raise ValueError(f"malformed VALUES tuple: {grp!r}")
+        rows.append([parse_literal(t) for t in split_top_level(grp[1:-1], ",")])
+    return rows
+
+
+# ----------------------------------------------------- statement objects
+
+
+@dataclass
+class TableMeta:
+    """Declared-but-not-typed table properties the engine enforces
+    itself, exactly the set the reference keeps out of DuckDB
+    (auto-increment: catalog/database.go:159-210; checks:
+    backend/executor.go:110-116; defaults: type_mapping.go:334-352)."""
+
+    primary_key: list[str] = field(default_factory=list)
+    auto_increment: str | None = None
+    defaults: dict[str, object] = field(default_factory=dict)
+    checks: dict[str, str] = field(default_factory=dict)
+    not_null: list[str] = field(default_factory=list)
+
+
+@dataclass
+class CreateTable:
+    name: str
+    columns: list[tuple[str, str]]  # (name, mysql_type)
+    meta: TableMeta
+    if_not_exists: bool = False
+
+
+@dataclass
+class CreateTableAs:
+    name: str
+    query: str
+    if_not_exists: bool = False
+
+
+@dataclass
+class DropTable:
+    name: str
+    if_exists: bool = False
+
+
+@dataclass
+class AlterTable:
+    name: str
+    action: str  # add_column|drop_column|rename_column|modify_column|rename_table
+    column: str | None = None
+    new_name: str | None = None
+    mysql_type: str | None = None
+    default: object = None
+
+
+@dataclass
+class RenameTable:
+    old: str
+    new: str
+
+
+@dataclass
+class Truncate:
+    name: str
+
+
+@dataclass
+class Insert:
+    table: str
+    columns: list[str] | None
+    rows: list[list[object]] | None  # literal rows, or None when query
+    query: str | None  # INSERT ... SELECT
+    mode: str = "insert"  # insert|ignore|replace
+
+
+@dataclass
+class Update:
+    table: str
+    assignments: dict[str, str]  # col -> expression text
+    where: str | None
+
+
+@dataclass
+class Delete:
+    table: str
+    where: str | None
+
+
+@dataclass
+class Show:
+    kind: str  # tables|columns|create_table|variables
+    target: str | None = None
+    like: str | None = None
+
+
+@dataclass
+class SetVar:
+    name: str
+    value: object
+
+
+@dataclass
+class UseDb:
+    name: str
+
+
+@dataclass
+class CreateDb:
+    name: str
+    if_not_exists: bool = False
+
+
+@dataclass
+class DropDb:
+    name: str
+    if_exists: bool = False
+
+
+@dataclass
+class TxnStmt:
+    kind: str  # begin|commit|rollback
+
+
+@dataclass
+class Query:
+    sql: str
+
+
+_COL_CONSTRAINT_WORDS = (
+    "PRIMARY",
+    "UNIQUE",
+    "KEY",
+    "INDEX",
+    "CONSTRAINT",
+    "FOREIGN",
+    "CHECK",
+)
+
+_TYPE_RE = (
+    r"[A-Za-z]+(?:\s*\(\s*[^)]*\))?"  # TYPE or TYPE(args)
+    r"(?:\s+UNSIGNED)?(?:\s+ZEROFILL)?"
+)
+
+
+def _parse_column_def(item: str, meta: TableMeta) -> tuple[str, str] | None:
+    """One CREATE TABLE item → (name, type) or None for constraints."""
+    first = item.split(None, 1)[0].upper().strip("`")
+    if first in _COL_CONSTRAINT_WORDS and not item.startswith("`"):
+        up = item.upper()
+        if up.startswith("PRIMARY KEY"):
+            cols = re.search(r"\((.*?)\)", item, re.S).group(1)
+            meta.primary_key = [unquote_ident(c) for c in cols.split(",")]
+        elif "CHECK" in up:
+            m = re.match(
+                r"(?:CONSTRAINT\s+(\S+)\s+)?CHECK\s*\((.*)\)\s*$",
+                item,
+                re.I | re.S,
+            )
+            if m:
+                cname = unquote_ident(m.group(1) or f"check_{len(meta.checks)}")
+                meta.checks[cname] = m.group(2).strip()
+        # UNIQUE/KEY/INDEX/FOREIGN KEY: metadata-only, like the
+        # reference's FK handling (harness/duck_harness.go:102-105)
+        return None
+
+    m = re.match(rf"(`[^`]+`|\w+)\s+({_TYPE_RE})(.*)$", item, re.I | re.S)
+    if not m:
+        raise ValueError(f"cannot parse column definition: {item!r}")
+    name = unquote_ident(m.group(1))
+    mysql_type = m.group(2).strip()
+    rest = m.group(3) or ""
+    up = rest.upper()
+    if "AUTO_INCREMENT" in up:
+        meta.auto_increment = name
+    if re.search(r"\bNOT\s+NULL\b", up):
+        meta.not_null.append(name)
+    if re.search(r"\bPRIMARY\s+KEY\b", up):
+        meta.primary_key = [name]
+    dm = re.search(
+        r"\bDEFAULT\s+('(?:[^'\\]|\\.|'')*'|\"(?:[^\"\\]|\\.|\"\")*\"|[^\s,]+)",
+        rest,
+        re.I,
+    )
+    if dm:
+        try:
+            meta.defaults[name] = parse_literal(dm.group(1))
+        except ValueError:
+            meta.defaults[name] = None  # expression default: not enforced
+    cm = re.search(r"\bCHECK\s*\((.*)\)", rest, re.I | re.S)
+    if cm:
+        meta.checks[f"{name}_check"] = cm.group(1).strip()
+    return name, mysql_type
+
+
+def parse_statement(sql: str):
+    """One statement string → a typed statement object."""
+    s = strip_comments(sql).strip().rstrip(";").strip()
+    up = s.upper()
+
+    if up.startswith(("SELECT", "WITH", "VALUES", "TABLE", "EXPLAIN", "DESCRIBE QUERY")):
+        return Query(s)
+
+    m = re.match(
+        r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(`[^`]+`|\w+)\s+AS\s+(.*)$",
+        s,
+        re.I | re.S,
+    )
+    if m:
+        return CreateTableAs(unquote_ident(m.group(2)), m.group(3).strip(),
+                             if_not_exists=bool(m.group(1)))
+
+    m = re.match(
+        r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(`[^`]+`|\w+)\s*\((.*)\)\s*"
+        r"(?:ENGINE\s*=\s*\w+)?\s*(?:DEFAULT\s+)?(?:CHARSET\s*=\s*\w+)?\s*$",
+        s,
+        re.I | re.S,
+    )
+    if m:
+        meta = TableMeta()
+        cols = []
+        for item in split_top_level(m.group(3), ","):
+            parsed = _parse_column_def(item.strip(), meta)
+            if parsed:
+                cols.append(parsed)
+        return CreateTable(unquote_ident(m.group(2)), cols, meta,
+                           if_not_exists=bool(m.group(1)))
+
+    m = re.match(r"DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(`[^`]+`|\w+)\s*$", s, re.I)
+    if m:
+        return DropTable(unquote_ident(m.group(2)), if_exists=bool(m.group(1)))
+
+    m = re.match(r"ALTER\s+TABLE\s+(`[^`]+`|\w+)\s+(.*)$", s, re.I | re.S)
+    if m:
+        name, rest = unquote_ident(m.group(1)), m.group(2).strip()
+        rup = rest.upper()
+        am = re.match(
+            rf"ADD\s+(?:COLUMN\s+)?(`[^`]+`|\w+)\s+({_TYPE_RE})"
+            r"(?:\s+DEFAULT\s+(\S+))?\s*$",
+            rest,
+            re.I,
+        )
+        if am:
+            default = parse_literal(am.group(3)) if am.group(3) else None
+            return AlterTable(name, "add_column", column=unquote_ident(am.group(1)),
+                              mysql_type=am.group(2).strip(), default=default)
+        am = re.match(r"DROP\s+(?:COLUMN\s+)?(`[^`]+`|\w+)\s*$", rest, re.I)
+        if am:
+            return AlterTable(name, "drop_column", column=unquote_ident(am.group(1)))
+        am = re.match(
+            r"RENAME\s+COLUMN\s+(`[^`]+`|\w+)\s+TO\s+(`[^`]+`|\w+)\s*$", rest, re.I
+        )
+        if am:
+            return AlterTable(name, "rename_column", column=unquote_ident(am.group(1)),
+                              new_name=unquote_ident(am.group(2)))
+        am = re.match(
+            rf"MODIFY\s+(?:COLUMN\s+)?(`[^`]+`|\w+)\s+({_TYPE_RE})\s*$", rest, re.I
+        )
+        if am:
+            return AlterTable(name, "modify_column", column=unquote_ident(am.group(1)),
+                              mysql_type=am.group(2).strip())
+        am = re.match(
+            rf"CHANGE\s+(?:COLUMN\s+)?(`[^`]+`|\w+)\s+(`[^`]+`|\w+)\s+({_TYPE_RE})\s*$",
+            rest,
+            re.I,
+        )
+        if am:
+            # MySQL CHANGE = rename + retype in one step
+            return AlterTable(name, "change_column", column=unquote_ident(am.group(1)),
+                              new_name=unquote_ident(am.group(2)),
+                              mysql_type=am.group(3).strip())
+        am = re.match(r"RENAME\s+(?:TO\s+)?(`[^`]+`|\w+)\s*$", rest, re.I)
+        if am:
+            return AlterTable(name, "rename_table", new_name=unquote_ident(am.group(1)))
+        raise ValueError(f"unsupported ALTER TABLE action: {rest!r}")
+
+    m = re.match(
+        r"RENAME\s+TABLE\s+(`[^`]+`|\w+)\s+TO\s+(`[^`]+`|\w+)\s*$", s, re.I
+    )
+    if m:
+        return RenameTable(unquote_ident(m.group(1)), unquote_ident(m.group(2)))
+
+    m = re.match(r"TRUNCATE\s+(?:TABLE\s+)?(`[^`]+`|\w+)\s*$", s, re.I)
+    if m:
+        return Truncate(unquote_ident(m.group(1)))
+
+    m = re.match(
+        r"(INSERT|REPLACE)\s+(IGNORE\s+)?INTO\s+(`[^`]+`|\w+)\s*"
+        r"(\(([^)]*)\)\s*)?(VALUES?\s*(.*)|SELECT\s+.*|WITH\s+.*)$",
+        s,
+        re.I | re.S,
+    )
+    if m:
+        verb = m.group(1).upper()
+        mode = "replace" if verb == "REPLACE" else (
+            "ignore" if m.group(2) else "insert"
+        )
+        table = unquote_ident(m.group(3))
+        columns = (
+            [unquote_ident(c) for c in m.group(5).split(",")] if m.group(5) else None
+        )
+        body = m.group(6).strip()
+        if body.upper().startswith("VALUE"):
+            return Insert(table, columns, parse_values_tuples(m.group(7)), None, mode)
+        return Insert(table, columns, None, body, mode)
+
+    m = re.match(
+        r"UPDATE\s+(`[^`]+`|\w+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$", s, re.I | re.S
+    )
+    if m:
+        assignments = {}
+        for part in split_top_level(m.group(2), ","):
+            k, _, v = part.partition("=")
+            assignments[unquote_ident(k)] = v.strip()
+        return Update(unquote_ident(m.group(1)), assignments,
+                      m.group(3).strip() if m.group(3) else None)
+
+    m = re.match(
+        r"DELETE\s+FROM\s+(`[^`]+`|\w+)(?:\s+WHERE\s+(.*))?$", s, re.I | re.S
+    )
+    if m:
+        return Delete(unquote_ident(m.group(1)),
+                      m.group(2).strip() if m.group(2) else None)
+
+    m = re.match(r"SHOW\s+TABLES\s*(?:LIKE\s+(.+))?$", s, re.I)
+    if m:
+        like = parse_literal(m.group(1)) if m.group(1) else None
+        return Show("tables", like=like)
+    m = re.match(r"SHOW\s+(?:FULL\s+)?COLUMNS\s+FROM\s+(`[^`]+`|\w+)\s*$", s, re.I)
+    if m:
+        return Show("columns", target=unquote_ident(m.group(1)))
+    m = re.match(r"DESCRIBE\s+(`[^`]+`|\w+)\s*$", s, re.I)
+    if m:
+        return Show("columns", target=unquote_ident(m.group(1)))
+    m = re.match(r"SHOW\s+CREATE\s+TABLE\s+(`[^`]+`|\w+)\s*$", s, re.I)
+    if m:
+        return Show("create_table", target=unquote_ident(m.group(1)))
+    m = re.match(r"SHOW\s+(?:SESSION\s+|GLOBAL\s+)?VARIABLES\s*(?:LIKE\s+(.+))?$",
+                 s, re.I)
+    if m:
+        like = parse_literal(m.group(1)) if m.group(1) else None
+        return Show("variables", like=like)
+
+    m = re.match(
+        r"SET\s+(?:SESSION\s+|GLOBAL\s+)?@{0,2}([\w.]+)\s*:?=\s*(.+)$", s, re.I
+    )
+    if m:
+        try:
+            val = parse_literal(m.group(2))
+        except ValueError:
+            val = m.group(2).strip()
+        return SetVar(m.group(1), val)
+
+    m = re.match(r"USE\s+(`[^`]+`|\w+)\s*$", s, re.I)
+    if m:
+        return UseDb(unquote_ident(m.group(1)))
+
+    m = re.match(
+        r"CREATE\s+(?:DATABASE|SCHEMA)\s+(IF\s+NOT\s+EXISTS\s+)?(`[^`]+`|\w+)\s*$",
+        s, re.I,
+    )
+    if m:
+        return CreateDb(unquote_ident(m.group(2)), if_not_exists=bool(m.group(1)))
+    m = re.match(
+        r"DROP\s+(?:DATABASE|SCHEMA)\s+(IF\s+EXISTS\s+)?(`[^`]+`|\w+)\s*$", s, re.I
+    )
+    if m:
+        return DropDb(unquote_ident(m.group(2)), if_exists=bool(m.group(1)))
+
+    if re.match(r"(BEGIN|START\s+TRANSACTION)\s*$", s, re.I):
+        return TxnStmt("begin")
+    if re.match(r"COMMIT\s*$", s, re.I):
+        return TxnStmt("commit")
+    if re.match(r"ROLLBACK\s*$", s, re.I):
+        return TxnStmt("rollback")
+
+    raise ValueError(f"unsupported statement: {s[:120]!r}")

@@ -1,0 +1,185 @@
+"""SQL statement front door: engine.execute() routes MySQL-dialect
+DDL/DML/SHOW/SET text the way the reference's DuckBuilder dispatches
+plan nodes (reference: backend/executor.go:74-165; statement surface
+from the conformance corpus, main_test.go TestCreateTable :1093,
+TestInsertInto :840, TestReplaceInto :938, TestUpdate :948,
+TestDeleteFrom :989, TestAlterTable :2116, TestTruncate :984)."""
+
+import pytest
+
+from myduckserver_spark.engine import Engine, OkResult
+from myduckserver_spark.statements import parse_statement, split_statements
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.execute(
+        """
+        CREATE TABLE users (
+            id INT AUTO_INCREMENT PRIMARY KEY,
+            name VARCHAR(50) NOT NULL,
+            age INT DEFAULT 18,
+            balance DOUBLE DEFAULT 0.0,
+            CHECK (age >= 0)
+        )
+        """
+    )
+    return e
+
+
+def test_create_insert_select_roundtrip(engine):
+    r = engine.execute(
+        "INSERT INTO users (name, age) VALUES ('ann', 30), ('bob', DEFAULT)"
+    )
+    assert isinstance(r, OkResult)
+    assert r.affected_rows == 2
+    assert r.last_insert_id == 1  # auto-increment started at 1
+
+    rows = {r.name: (r.id, r.age, r.balance)
+            for r in engine.execute("SELECT * FROM users").collect()}
+    assert rows["ann"] == (1, 30, 0.0)
+    assert rows["bob"] == (2, 18, 0.0)  # DEFAULT keyword + column default
+
+
+def test_insert_full_tuple_and_strings_with_quotes(engine):
+    engine.execute(
+        "INSERT INTO users VALUES (10, 'o''hara', 40, 1.5)"
+    )
+    row = engine.execute("SELECT * FROM users WHERE id = 10").collect()[0]
+    assert row.name == "o'hara" and row.balance == 1.5
+
+
+def test_update_delete_where(engine):
+    engine.execute("INSERT INTO users (name, age) VALUES ('a', 1), ('b', 2), ('c', 3)")
+    r = engine.execute("UPDATE users SET age = age * 10 WHERE age >= 2")
+    assert r.affected_rows == 2
+    ages = sorted(r.age for r in engine.execute("SELECT age FROM users").collect())
+    assert ages == [1, 20, 30]
+
+    r = engine.execute("DELETE FROM users WHERE age = 20")
+    assert r.affected_rows == 1
+    assert engine.execute("SELECT COUNT(*) AS n FROM users").collect()[0].n == 2
+
+
+def test_replace_and_insert_ignore_by_pk(engine):
+    engine.execute("INSERT INTO users VALUES (1, 'old', 5, 0.0)")
+    engine.execute("REPLACE INTO users VALUES (1, 'new', 6, 0.0)")
+    assert engine.execute(
+        "SELECT name FROM users WHERE id = 1").collect()[0].name == "new"
+
+    r = engine.execute("INSERT IGNORE INTO users VALUES (1, 'ignored', 7, 0.0)")
+    assert r.affected_rows == 0
+    assert engine.execute(
+        "SELECT name FROM users WHERE id = 1").collect()[0].name == "new"
+
+
+def test_check_and_not_null_enforced(engine):
+    with pytest.raises(ValueError, match="age"):
+        engine.execute("INSERT INTO users (name, age) VALUES ('bad', -1)")
+    with pytest.raises(ValueError, match="not_null"):
+        engine.execute("INSERT INTO users (name, age) VALUES (NULL, 3)")
+    # INSERT IGNORE drops the violating rows instead of failing
+    r = engine.execute(
+        "INSERT IGNORE INTO users (name, age) VALUES ('ok', 1), ('bad', -2)"
+    )
+    assert r.affected_rows == 1
+
+
+def test_alter_family_via_sql(engine):
+    engine.execute("INSERT INTO users (name) VALUES ('x')")
+    engine.execute("ALTER TABLE users ADD COLUMN city VARCHAR(20) DEFAULT 'nyc'")
+    assert engine.execute(
+        "SELECT city FROM users").collect()[0].city == "nyc"
+    engine.execute("ALTER TABLE users RENAME COLUMN city TO town")
+    engine.execute("ALTER TABLE users MODIFY COLUMN age BIGINT")
+    assert dict(engine.catalog.table("users").read().dtypes)["age"] == "bigint"
+    engine.execute("ALTER TABLE users CHANGE COLUMN town region VARCHAR(30)")
+    assert "region" in engine.catalog.table("users").read().columns
+    engine.execute("ALTER TABLE users DROP COLUMN region")
+    assert "region" not in engine.catalog.table("users").read().columns
+
+
+def test_ctas_insert_select_truncate(engine):
+    engine.execute("INSERT INTO users (name, age) VALUES ('a', 1), ('b', 2)")
+    r = engine.execute("CREATE TABLE adults AS SELECT * FROM users WHERE age >= 2")
+    assert r.affected_rows == 1
+    engine.execute("INSERT INTO adults SELECT * FROM users WHERE age = 1")
+    assert engine.execute("SELECT COUNT(*) AS n FROM adults").collect()[0].n == 2
+    r = engine.execute("TRUNCATE TABLE adults")
+    assert r.affected_rows == 2
+    assert engine.execute("SELECT COUNT(*) AS n FROM adults").collect()[0].n == 0
+
+
+def test_rename_drop_table(engine):
+    engine.execute("RENAME TABLE users TO people")
+    assert engine.catalog.list_tables() == ["people"]
+    engine.execute("DROP TABLE people")
+    assert engine.catalog.list_tables() == []
+    assert engine.execute("DROP TABLE IF EXISTS people").info == "no such table"
+    with pytest.raises(ValueError, match="no such table"):
+        engine.execute("DROP TABLE people")
+
+
+def test_show_tables_columns_create(engine):
+    engine.execute("CREATE TABLE IF NOT EXISTS users (x INT)")  # no-op
+    names = [r[0] for r in engine.execute("SHOW TABLES").collect()]
+    assert names == ["users"]
+    assert engine.execute("SHOW TABLES LIKE 'us%'").count() == 1
+    assert engine.execute("SHOW TABLES LIKE 'zz%'").count() == 0
+
+    cols = {r.Field: r for r in engine.execute("SHOW COLUMNS FROM users").collect()}
+    assert cols["id"].Key == "PRI" and cols["id"].Extra == "auto_increment"
+    assert cols["name"].Null == "NO"
+    assert cols["age"].Default == "18"
+
+    ddl = engine.execute("SHOW CREATE TABLE users").collect()[0][1]
+    assert "AUTO_INCREMENT" in ddl and "PRIMARY KEY (`id`)" in ddl
+    assert "CHECK" in ddl
+
+
+def test_set_show_variables_use_db(engine):
+    engine.execute("SET @@max_connections = 100")
+    vals = {r.Variable_name: r.Value
+            for r in engine.execute("SHOW VARIABLES LIKE 'max%'").collect()}
+    assert vals == {"max_connections": "100"}
+
+    engine.execute("CREATE DATABASE analytics")
+    engine.execute("USE analytics")
+    engine.execute("CREATE TABLE t2 (a INT)")
+    assert engine.catalog.list_tables() == ["t2"]
+    engine.execute("USE main")
+    assert engine.catalog.list_tables() == ["users"]
+    engine.execute("DROP DATABASE analytics")
+    with pytest.raises(ValueError, match="unknown database"):
+        engine.execute("USE analytics")
+
+
+def test_txn_stmts_are_autocommit_noops(engine):
+    assert "autocommit" in engine.execute("BEGIN").info
+    assert "autocommit" in engine.execute("COMMIT").info
+    assert "autocommit" in engine.execute("ROLLBACK").info
+
+
+def test_multi_statement_script(engine):
+    out = engine.execute(
+        """
+        INSERT INTO users (name) VALUES ('s1');  -- comment survives split
+        INSERT INTO users (name) VALUES ('s2; still one literal');
+        SELECT COUNT(*) AS n FROM users
+        """
+    )
+    assert isinstance(out, list) and len(out) == 3
+    assert out[2].collect()[0].n == 2
+
+
+def test_parser_edge_cases():
+    assert split_statements("SELECT ';' AS x; SELECT 2") == [
+        "SELECT ';' AS x", "SELECT 2"]
+    s = parse_statement(
+        "INSERT INTO `t` (`a`, b) VALUES (1, 'it''s'), (NULL, \"q\")"
+    )
+    assert s.columns == ["a", "b"]
+    assert s.rows == [[1, "it's"], [None, "q"]]
+    q = parse_statement("WITH c AS (SELECT 1) SELECT * FROM c")
+    assert q.sql.startswith("WITH")
