@@ -18,17 +18,40 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# Fixed 2-universal hash family constants for minhash seeds
+# (arbitrary values < p; shared verbatim by the DuckDB oracle SQL).
+MINHASH_P = 2147483647  # 2^31 - 1, prime
+MINHASH_A = [
+    1103515245, 1103533621, 1234567891, 1856947721,
+    2027382347, 756073813, 892174501, 1679606101,
+    1500450271, 2038074743, 1289374951, 987654323,
+    1212121213, 1717171717, 1444444447, 1999999991,
+]
+MINHASH_B = [
+    12345, 987654321, 192837465, 1029384756,
+    564738291, 1122334455, 2046913579, 777000111,
+    313222271, 1598235853, 444333221, 909090911,
+    135792468, 246813579, 1357997531, 864208642,
+]
+
+
+def shingle_array(text_col: str = "text", n: int = 3):
+    """Column of distinct word n-gram shingles (row-local, no shuffle)."""
+    words = F.split(F.lower(F.trim(F.col(text_col))), " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        )
+    )
+
+
 def word_shingles(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
     """Distinct word n-gram shingles per document (built-in fns only)."""
-    words = F.split(F.lower(F.trim(F.col(text_col))), " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-    )
     return df.select(
-        F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle")
+        F.col(id_col), F.explode(shingle_array(text_col, n)).alias("shingle")
     )
 
 
@@ -58,23 +81,67 @@ def minhash_signatures(
     min-over-permutation since md5 orders shingles pseudo-randomly per
     seed, and identical across engines/runs.
     """
-    sh = word_shingles(df, text_col, id_col, shingle_n)
-    seeds = sh.sparkSession.range(num_hashes).select(
-        F.col("id").cast("int").alias("seed")
-    )
-    return (
-        sh.crossJoin(F.broadcast(seeds))
-        .groupBy(id_col, "seed")
-        .agg(
-            F.min(
-                F.md5(
-                    F.concat(
-                        F.col("seed").cast("string"), F.lit(":"), F.col("shingle")
-                    )
-                )
-            ).alias("minhash")
+    sig = minhash_signature_array(df, text_col, id_col, num_hashes, shingle_n)
+    return sig.select(
+        F.col(id_col),
+        F.posexplode("sig").alias("seed", "minhash"),
+    ).select(id_col, F.col("seed").cast("int"), "minhash")
+
+
+def minhash_signature_array(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig: array<bigint>) — the whole sketch computed row-local.
+
+    No shuffle and no row blowup: the signature folds over the shingle
+    array inside one whole-stage-codegen projection. (An earlier
+    formulation exploded shingles × seeds and aggregated twice — two
+    shuffles of 8× the shingle count; at 100 TB this version is a pure
+    map stage that scales with input splits.)
+
+    Per-seed hashes are a 2-universal linear family over one digest:
+    g_i(s) = (a_i·h(s) + b_i) mod p, with h = the first 28 bits of
+    md5(s) and p = 2^31−1. One md5 per shingle instead of
+    `num_hashes`, integer (not string) mins, and h < p < 2^31 keeps
+    a_i·h + b_i < 2^59 — exact BIGINT arithmetic in every engine (the
+    DuckDB oracle computes the identical value via
+    CAST('0x'||substr(md5,..) AS BIGINT)). Unlike the cheaper
+    h1 + i·h2 double-hash, the random (a_i, b_i) draws make the per-
+    seed minima near-independent, which is what keeps LSH candidate
+    sets tight.
+
+    All mins fold in ONE aggregate with ONE lambda chain. Do not
+    rewrite as num_hashes separate array_min(transform(...))
+    expressions sharing a projection: the duplicated nested lambda
+    variables collide after Catalyst inlines them and the result is
+    garbage (observed on Spark 4.1.2).
+    """
+    if num_hashes > len(MINHASH_A):
+        raise ValueError(f"num_hashes > {len(MINHASH_A)} not supported")
+    shingled = df.select(
+        F.col(id_col), shingle_array(text_col, shingle_n).alias("shingles")
+    ).filter(F.col("shingles").isNotNull())  # NULL text sketches nothing
+    # (explode() dropped those rows in the unbatched formulation)
+    a_arr = ", ".join(str(a) for a in MINHASH_A[:num_hashes])
+    b_arr = ", ".join(str(b) for b in MINHASH_B[:num_hashes])
+    sig = F.expr(
+        f"""
+        aggregate(
+          shingles,
+          array_repeat(9223372036854775807L, {num_hashes}),
+          (acc, s) -> transform(acc, (m, i) ->
+             least(m, (element_at(array({a_arr}), i + 1)
+                         * cast(conv(substr(md5(s), 1, 7), 16, 10) as bigint)
+                       + element_at(array({b_arr}), i + 1))
+                      % {MINHASH_P}))
         )
+        """
     )
+    return shingled.select(F.col(id_col), sig.alias("sig"))
 
 
 def lsh_bands(
@@ -88,9 +155,12 @@ def lsh_bands(
             F.md5(
                 F.concat_ws(
                     "|",
-                    F.array_sort(
-                        F.collect_list(F.struct("seed", "minhash"))
-                    ).getField("minhash"),
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("seed", "minhash"))
+                        ).getField("minhash"),
+                        lambda m: m.cast("string"),
+                    ),
                 )
             ).alias("band_sig")
         )
@@ -105,11 +175,34 @@ def minhash_lsh_candidates(
     rows_per_band: int = 2,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Candidate near-dup pairs: docs sharing ≥1 LSH band bucket."""
-    bands = lsh_bands(
-        minhash_signatures(df, text_col, id_col, num_hashes, shingle_n),
-        id_col,
-        rows_per_band,
+    """Candidate near-dup pairs: docs sharing ≥1 LSH band bucket.
+
+    Everything up to the bucket join is row-local (see
+    minhash_signature_array): the ONLY shuffle is the self-join keyed
+    on (band, band_sig) — same-bucket docs only, the LSH scale
+    property — plus the final pair aggregation.
+    """
+    sig = minhash_signature_array(df, text_col, id_col, num_hashes, shingle_n)
+    n_bands = num_hashes // rows_per_band
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col("sig")[b * rows_per_band + k].cast("string")
+                            for k in range(rows_per_band)
+                        ],
+                    )
+                ).alias("band_sig"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = sig.select(F.col(id_col), F.explode(band_arr).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.band_sig").alias("band_sig")
     )
     a, b = bands.alias("a"), bands.alias("b")
     return (

@@ -83,14 +83,21 @@ _SHINGLE_SQL = """
     oracle=f"""
     WITH shingles AS ({_SHINGLE_SQL}),
     mh AS (
-        SELECT doc_id, seed, MIN(md5(concat(CAST(seed AS VARCHAR), ':', shingle)))
-               AS minhash
-        FROM shingles CROSS JOIN (SELECT unnest(range(8)) AS seed) seeds
+        SELECT doc_id, seed,
+               MIN((a * CAST('0x' || substr(md5(shingle), 1, 7) AS BIGINT) + b)
+                   % 2147483647) AS minhash
+        FROM shingles CROSS JOIN (
+            VALUES (0, 1103515245, 12345),      (1, 1103533621, 987654321),
+                   (2, 1234567891, 192837465),  (3, 1856947721, 1029384756),
+                   (4, 2027382347, 564738291),  (5, 756073813, 1122334455),
+                   (6, 892174501, 2046913579),  (7, 1679606101, 777000111)
+        ) seeds(seed, a, b)
         GROUP BY doc_id, seed
     ),
     bands AS (
         SELECT doc_id, seed // 2 AS band,
-               md5(string_agg(minhash, '|' ORDER BY seed)) AS band_sig
+               md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed))
+                   AS band_sig
         FROM mh GROUP BY doc_id, seed // 2
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -36,6 +36,11 @@ DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # plan shape (scan → exchange → parallel agg) is exactly what 100 TB
 # needs anyway. Filters/pruning still push below the repartition.
 _SPLIT_THRESHOLD_BYTES = 4 << 20
+# Text and vector tables are compute-dense per byte (shingling, md5
+# sketches, dot products) and compress heavily, so a "small" file can
+# still be minutes of single-core work — split them far earlier.
+_COMPUTE_DENSE_THRESHOLD_BYTES = 128 << 10
+_COMPUTE_DENSE_TABLES = {"documents", "embeddings"}
 
 
 def load_table(
@@ -49,7 +54,12 @@ def load_table(
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    if split and os.path.getsize(path) > _SPLIT_THRESHOLD_BYTES:
+    threshold = (
+        _COMPUTE_DENSE_THRESHOLD_BYTES
+        if name in _COMPUTE_DENSE_TABLES
+        else _SPLIT_THRESHOLD_BYTES
+    )
+    if split and os.path.getsize(path) > threshold:
         df = df.repartition(DEFAULT_SHUFFLE_PARTITIONS)
     return df
 
