@@ -618,21 +618,23 @@ def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ev_asof_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: latest 'view' at or before each 'purchase' per user.
 
-    Composition strategy (a) from the brief: equi-join on user_id +
-    range predicate + max aggregate — no applyInPandas needed. Scale:
-    shuffle keyed on user_id only.
+    Uses the merge-scan as-of operator (operators/asof.py): union both
+    event streams, shuffle ONCE on user_id, and carry the latest view
+    forward with a running window. The naive equi-join + range-filter
+    + MAX plan materializes every (purchase, earlier view) pair —
+    O(P·V) per user — before reducing; this one is O((P+V) log(P+V)),
+    which is what survives hot users at 100 TB.
     """
+    from myduckserver_spark.operators.asof import asof_join_backward
+
     ev = load_table(spark, sf_dir, "events")
-    p = ev.filter(F.col("event_type") == "purchase").alias("p")
-    v = ev.filter(F.col("event_type") == "view").alias("v")
+    p = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    v = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
     return (
-        p.join(
-            v,
-            (F.col("p.user_id") == F.col("v.user_id"))
-            & (F.col("v.ts") <= F.col("p.ts")),
-            "left",
+        asof_join_backward(p, v, by="user_id", left_ts="ts", right_ts="ts")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts_asof").alias("last_view_ts"),
         )
-        .groupBy(F.col("p.event_id").alias("purchase_id"))
-        .agg(F.max(F.col("v.ts")).alias("last_view_ts"))
         .orderBy("purchase_id")
     )
