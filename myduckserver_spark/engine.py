@@ -334,6 +334,10 @@ class Engine:
                 self.current_db = "main"
                 self.catalog = self._dbs["main"]
             return OkResult()
+        if isinstance(s, st.LoadData):
+            return self._exec_load_data(s)
+        if isinstance(s, st.CopyStmt):
+            return self._exec_copy(s, dialect)
         if isinstance(s, st.TxnStmt):
             # Single-statement autocommit; multi-statement transactions
             # are a documented gap (SURVEY §2.B Transactions).
@@ -512,6 +516,91 @@ class Engine:
         else:
             self.insert(s.table, df.select(*[f.name for f in base_schema.fields]))
         return OkResult(affected_rows=n, last_insert_id=last_id)
+
+    def _exec_load_data(self, s: st.LoadData) -> OkResult:
+        """LOAD DATA INFILE → typed CSV scan + (plain|ignore|replace)
+        insert, the same rewrite the reference performs
+        (backend/executor.go:93-102 → loaddata.go:131-150; keyless
+        tables degrade REPLACE/IGNORE to plain INSERT)."""
+        from myduckserver_spark.sources.csv import load_csv
+
+        base_schema = self.catalog.table(s.table).read().schema
+        cols = s.columns or [f.name for f in base_schema.fields]
+        schema = T.StructType([base_schema[c] for c in cols])
+        df = load_csv(
+            self.spark,
+            s.path,
+            schema,
+            sep=s.sep,
+            quote=s.quote or '"',
+            escape=s.escape,
+            skip=s.skip,
+            line_sep=s.line_sep,
+        )
+        meta = self.table_meta(s.table)
+        for col in base_schema.fieldNames():
+            if col not in cols:
+                df = df.withColumn(
+                    col,
+                    F.lit(meta.defaults.get(col)).cast(base_schema[col].dataType),
+                )
+        df = df.select(*base_schema.fieldNames())
+        n = df.count()
+        if s.mode == "replace" and meta.primary_key:
+            self.insert_replace(s.table, df, meta.primary_key)
+        elif s.mode == "ignore" and meta.primary_key:
+            before = self.catalog.table(s.table).read().count()
+            self.insert_ignore(s.table, df, meta.primary_key)
+            n = self.catalog.table(s.table).read().count() - before
+        else:
+            self.insert(s.table, df)
+        return OkResult(affected_rows=n)
+
+    def _exec_copy(self, s: st.CopyStmt, dialect: str):
+        """COPY TO/FROM with the pg option surface (FORMAT, HEADER,
+        DELIMITER, QUOTE, ESCAPE, NULL; reference pgserver/copy.go)."""
+        from myduckserver_spark.sources.csv import copy_to, load_csv
+
+        opts = s.options
+        if s.direction == "to":
+            df = (
+                self.sql(s.target, dialect=dialect)
+                if s.is_query
+                else self.catalog.table(s.target).read()
+            )
+            copy_to(
+                df,
+                s.path,
+                fmt=s.fmt,
+                header=bool(opts.get("header", False)),
+                sep=opts.get("delimiter"),
+                quote=opts.get("quote"),
+                escape=opts.get("escape"),
+                nullstr=opts.get("null"),
+            )
+            return OkResult(affected_rows=df.count(), info=f"COPY TO {s.path}")
+        if s.is_query:
+            raise ValueError("COPY FROM requires a table target")
+        base_schema = self.catalog.table(s.target).read().schema
+        if s.fmt == "parquet":
+            df = self.spark.read.parquet(s.path)
+        elif s.fmt == "json":
+            df = self.spark.read.schema(base_schema).json(s.path)
+        else:
+            df = load_csv(
+                self.spark,
+                s.path,
+                base_schema,
+                sep=opts.get("delimiter", ","),
+                quote=opts.get("quote", '"'),
+                escape=opts.get("escape", "\\"),
+                nullstr=opts.get("null", ""),
+                header=bool(opts.get("header", False)),
+            )
+        df = df.select(*base_schema.fieldNames())
+        n = df.count()
+        self.insert(s.target, df)
+        return OkResult(affected_rows=n, info=f"COPY FROM {s.path}")
 
     def _exec_show(self, s: st.Show) -> DataFrame:
         if s.kind == "tables":

@@ -44,10 +44,20 @@ def load_csv(
         .option("header", header)
         .option("mode", "PERMISSIVE")
     )
-    if skip:
-        reader = reader.option("skipLines", skip)
     if line_sep:
         reader = reader.option("lineSep", line_sep)
+    if skip:
+        # OSS Spark CSV has no skip-N option (header= covers only one
+        # line). LOAD DATA's IGNORE n LINES targets a single file, so a
+        # global line index is well-defined; zipWithIndex preserves
+        # file order (partition index + in-split offset).
+        lines = (
+            spark.sparkContext.textFile(path)
+            .zipWithIndex()
+            .filter(lambda t: t[1] >= skip)
+            .map(lambda t: t[0])
+        )
+        return reader.csv(lines)
     return reader.csv(path)
 
 

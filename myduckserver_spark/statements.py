@@ -295,6 +295,35 @@ class DropDb:
 
 
 @dataclass
+class LoadData:
+    """LOAD DATA INFILE (reference: backend/loaddata.go:56-227 rewrites
+    it to INSERT INTO ... FROM read_csv(...))."""
+
+    path: str
+    table: str
+    columns: list[str] | None = None
+    mode: str = "insert"  # insert|ignore|replace
+    sep: str = "\t"  # MySQL LOAD DATA defaults: tab fields, \n lines
+    quote: str = ""
+    escape: str = "\\"
+    line_sep: str | None = None
+    skip: int = 0
+
+
+@dataclass
+class CopyStmt:
+    """COPY ... TO/FROM (reference: pgserver/copy.go:14-48 parse,
+    datawriter.go:49-139 writer, dataloader.go:156-256 loader)."""
+
+    direction: str  # to|from
+    target: str  # table name or (query) for TO
+    is_query: bool
+    path: str
+    fmt: str = "csv"
+    options: dict[str, object] = field(default_factory=dict)
+
+
+@dataclass
 class TxnStmt:
     kind: str  # begin|commit|rollback
 
@@ -543,6 +572,76 @@ def parse_statement(sql: str):
     )
     if m:
         return DropDb(unquote_ident(m.group(2)), if_exists=bool(m.group(1)))
+
+    m = re.match(
+        r"LOAD\s+DATA\s+(?:LOCAL\s+)?INFILE\s+('(?:[^']|'')*')\s+"
+        r"(IGNORE\s+|REPLACE\s+)?INTO\s+TABLE\s+(`[^`]+`|\w+)(.*)$",
+        s,
+        re.I | re.S,
+    )
+    if m:
+        ld = LoadData(
+            path=parse_literal(m.group(1)),
+            table=unquote_ident(m.group(3)),
+            mode=(m.group(2) or "insert").strip().lower() or "insert",
+        )
+        if ld.mode not in ("insert", "ignore", "replace"):
+            ld.mode = "insert"
+        rest = m.group(4) or ""
+        fm = re.search(
+            r"FIELDS\s+TERMINATED\s+BY\s+('(?:[^']|'')*')", rest, re.I
+        )
+        if fm:
+            ld.sep = parse_literal(fm.group(1))
+        em = re.search(r"ENCLOSED\s+BY\s+('(?:[^']|'')*')", rest, re.I)
+        if em:
+            ld.quote = parse_literal(em.group(1))
+        xm = re.search(r"ESCAPED\s+BY\s+('(?:[^']|'')*')", rest, re.I)
+        if xm:
+            ld.escape = parse_literal(xm.group(1))
+        lm = re.search(
+            r"LINES\s+TERMINATED\s+BY\s+('(?:[^']|'')*')", rest, re.I
+        )
+        if lm:
+            ld.line_sep = parse_literal(lm.group(1))
+        im = re.search(r"IGNORE\s+(\d+)\s+(?:LINES|ROWS)", rest, re.I)
+        if im:
+            ld.skip = int(im.group(1))
+        cm = re.search(r"\(([^)]*)\)\s*$", rest, re.S)
+        if cm:
+            ld.columns = [unquote_ident(c) for c in cm.group(1).split(",")]
+        return ld
+
+    m = re.match(
+        r"COPY\s+(\((.*)\)|(`[^`]+`|\w+))\s+(TO|FROM)\s+"
+        r"('(?:[^']|'')*')\s*(?:\((.*)\)|(WITH\s+.*))?\s*$",
+        s,
+        re.I | re.S,
+    )
+    if m:
+        is_query = m.group(2) is not None
+        target = m.group(2).strip() if is_query else unquote_ident(m.group(3))
+        stmt = CopyStmt(
+            direction=m.group(4).lower(),
+            target=target,
+            is_query=is_query,
+            path=parse_literal(m.group(5)),
+        )
+        opts_text = m.group(6) or (m.group(7) or "")[4:]
+        for opt in split_top_level(opts_text, ","):
+            opt = opt.strip()
+            if not opt:
+                continue
+            om = re.match(r"(\w+)\s*(.*)$", opt, re.S)
+            key = om.group(1).lower()
+            val = om.group(2).strip()
+            if key == "format":
+                stmt.fmt = val.strip("'\"").lower()
+            elif val:
+                stmt.options[key] = parse_literal(val)
+            else:
+                stmt.options[key] = True
+        return stmt
 
     if re.match(r"(BEGIN|START\s+TRANSACTION)\s*$", s, re.I):
         return TxnStmt("begin")
