@@ -102,3 +102,63 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_dedup_ttl(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ttl_ms: int = 24 * 3600 * 1000,
+) -> DataFrame:
+    """Cross-batch dedup on the transformWithStateInPandas API with
+    per-key state TTL.
+
+    Same contract as streaming_dedup, plus: a fingerprint not seen for
+    `ttl_ms` is forgotten, which BOUNDS state size for unbounded
+    streams — the property that keeps a months-long 100 TB ingest from
+    accumulating state forever. (applyInPandasWithState offers only
+    manual timeout bookkeeping; the newer API attaches TTL to the
+    value state itself.)
+
+    Requires protobuf (Spark's transformWithState wire format); raises
+    ImportError where that runtime dependency is absent — callers can
+    fall back to streaming_dedup.
+    """
+    import google.protobuf  # noqa: F401  (hard runtime dep of the API)
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = StructType(
+        [StructField("fp", StringType()), StructField(id_col, LongType())]
+    )
+    state_schema = StructType([StructField("seen", BooleanType())])
+
+    class FirstSeen(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._seen = handle.getValueState("seen", state_schema, ttl_ms)
+
+        def handleInputRows(self, key, rows, timer_values):
+            if self._seen.exists():
+                return iter(())
+            first_id = None
+            for pdf in rows:
+                batch_min = pdf[id_col].min()
+                if first_id is None or batch_min < first_id:
+                    first_id = int(batch_min)
+            self._seen.update((True,))
+            yield pd.DataFrame({"fp": [key[0]], id_col: [first_id]})
+
+        def close(self) -> None:
+            pass
+
+    with_fp = docs.withColumn(
+        "fp", F.md5(F.lower(F.trim(F.col(text_col))))
+    ).select("fp", id_col)
+    return with_fp.groupBy("fp").transformWithStateInPandas(
+        statefulProcessor=FirstSeen(),
+        outputStructType=out_schema,
+        outputMode="append",
+        timeMode="processingTime",
+    )

@@ -80,3 +80,44 @@ def test_running_user_totals_accumulates(spark, tmp_path):
         latest[r.user_id] = (r.n_events, r.total_cents)
     assert latest[7] == (3, 400)   # 1.25+2.0+0.75 = 4.00
     assert latest[8] == (1, 500)
+
+def test_streaming_dedup_ttl_api_across_microbatches(spark, tmp_path):
+    """Same cross-batch contract on the transformWithStateInPandas API
+    (state TTL attached to the value state)."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf", reason="transformWithState needs protobuf"
+    )
+    from myduckserver_spark.streaming.stateful import streaming_dedup_ttl
+
+    src = str(tmp_path / "docs_tws")
+    os.makedirs(src)
+    schema = "doc_id long, text string"
+    spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(3, "alpha beta"), (4, "eta theta")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_dedup_ttl(stream, ttl_ms=3600_000)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_ttl_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = {r.doc_id for r in spark.sql("SELECT * FROM dedup_ttl_out").collect()}
+    assert 3 not in out
+    assert {1, 2, 4} <= out
