@@ -293,3 +293,71 @@ def f_json_table_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY user_id ORDER BY user_id
         """
     )
+
+
+@register(
+    "g_pivot_status",
+    oracle="""
+    WITH per AS (SELECT o_orderpriority AS prio, o_orderstatus AS st,
+                 CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY 1, 2)
+    SELECT prio, "O" AS n_open, "F" AS n_final, "P" AS n_pending FROM (
+        PIVOT per ON st IN ('O', 'F', 'P') USING SUM(n) GROUP BY prio
+    ) ORDER BY prio
+    """,
+    tags=("groupby", "pivot"),
+)
+def g_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True PIVOT (not CASE emulation — that's g_conditional_pivot):
+    DataFrame groupBy().pivot() with explicit value list, which keeps
+    the plan a single hash aggregate (no second scan to discover
+    pivot values — the explicit IN list matters at 100 TB)."""
+    orders = load_table(spark, sf_dir, "orders")
+    per = orders.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderstatus").alias("st"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        per.groupBy("prio")
+        .pivot("st", ["O", "F", "P"])
+        .sum("n")
+        .select(
+            "prio",
+            F.col("O").alias("n_open"),
+            F.col("F").alias("n_final"),
+            F.col("P").alias("n_pending"),
+        )
+        .orderBy("prio")
+    )
+
+
+@register(
+    "g_unpivot_status",
+    oracle="""
+    WITH w AS (SELECT o_orderpriority AS prio,
+        CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_open,
+        CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_final
+      FROM orders GROUP BY 1)
+    SELECT prio, status, cnt FROM w
+    UNPIVOT (cnt FOR status IN (n_open, n_final))
+    ORDER BY prio, status
+    """,
+    tags=("groupby", "unpivot"),
+)
+def g_unpivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT: wide → long. DataFrame .unpivot() (melt) — a pure
+    projection+generate, no shuffle beyond the input aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = orders.groupBy(F.col("o_orderpriority").alias("prio")).agg(
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0))
+        .cast("long")
+        .alias("n_open"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("long")
+        .alias("n_final"),
+    )
+    return (
+        w.unpivot("prio", ["n_open", "n_final"], "status", "cnt")
+        .orderBy("prio", "status")
+    )
