@@ -293,7 +293,25 @@ class Engine:
         if isinstance(s, st.Update):
             cond = self._fragment(s.where) if s.where else F.lit(True)
             assignments = {c: self._fragment(e) for c, e in s.assignments.items()}
-            return OkResult(affected_rows=self.update(s.table, cond, assignments))
+            meta = self.table_meta(s.table)
+            # ON UPDATE exprs fire for touched rows unless explicitly set
+            # (reference: TestOnUpdateExprScripts main_test.go:964).
+            for col, expr_text in meta.on_update.items():
+                if col not in assignments:
+                    assignments[col] = self._fragment(expr_text)
+            n = self.update(s.table, cond, assignments)
+            if meta.generated:
+                t = self.catalog.table(s.table)
+                base = t.read()
+                t.overwrite(
+                    base.withColumns(
+                        {
+                            col: self._fragment(e).cast(base.schema[col].dataType)
+                            for col, e in meta.generated.items()
+                        }
+                    )
+                )
+            return OkResult(affected_rows=n)
         if isinstance(s, st.Delete):
             cond = self._fragment(s.where) if s.where else F.lit(True)
             return OkResult(affected_rows=self.delete(s.table, cond))
@@ -480,6 +498,13 @@ class Engine:
                 F.lit(meta.defaults.get(col)).cast(
                     base_schema[col].dataType
                 ),
+            )
+
+        # Generated columns always come from their expression, whatever
+        # the INSERT provided (reference: TestGeneratedColumns :871).
+        for col, expr_text in meta.generated.items():
+            df = df.withColumn(
+                col, self._fragment(expr_text).cast(base_schema[col].dataType)
             )
 
         checks = {c: self._fragment(e) for c, e in meta.checks.items()}

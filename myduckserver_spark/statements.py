@@ -198,6 +198,8 @@ class TableMeta:
     defaults: dict[str, object] = field(default_factory=dict)
     checks: dict[str, str] = field(default_factory=dict)
     not_null: list[str] = field(default_factory=list)
+    generated: dict[str, str] = field(default_factory=dict)  # col -> expr
+    on_update: dict[str, str] = field(default_factory=dict)  # col -> expr
 
 
 @dataclass
@@ -383,6 +385,16 @@ def _parse_column_def(item: str, meta: TableMeta) -> tuple[str, str] | None:
         meta.not_null.append(name)
     if re.search(r"\bPRIMARY\s+KEY\b", up):
         meta.primary_key = [name]
+    gm = re.search(
+        r"\b(?:GENERATED\s+ALWAYS\s+)?AS\s*\((.*)\)\s*(?:STORED|VIRTUAL)?\s*$",
+        rest,
+        re.I | re.S,
+    )
+    if gm:
+        meta.generated[name] = gm.group(1).strip()
+    om = re.search(r"\bON\s+UPDATE\s+(\w+(?:\s*\([^)]*\))?)", rest, re.I)
+    if om:
+        meta.on_update[name] = om.group(1).strip()
     dm = re.search(
         r"\bDEFAULT\s+('(?:[^'\\]|\\.|'')*'|\"(?:[^\"\\]|\\.|\"\")*\"|[^\s,]+)",
         rest,

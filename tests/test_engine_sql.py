@@ -183,3 +183,35 @@ def test_parser_edge_cases():
     assert s.rows == [[1, "it's"], [None, "q"]]
     q = parse_statement("WITH c AS (SELECT 1) SELECT * FROM c")
     assert q.sql.startswith("WITH")
+
+
+def test_generated_columns_and_on_update(spark, tmp_path):
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh2"))
+    e.execute(
+        """
+        CREATE TABLE m (
+            a INT,
+            b INT,
+            total INT GENERATED ALWAYS AS (a + b) STORED,
+            touched INT DEFAULT 0 ON UPDATE 1
+        )
+        """
+    )
+    # generated col is computed even when the INSERT supplies a value
+    e.execute("INSERT INTO m (a, b) VALUES (1, 2), (10, 20)")
+    e.execute("INSERT INTO m VALUES (5, 5, 999, 0)")
+    rows = {r.a: (r.total, r.touched)
+            for r in e.execute("SELECT * FROM m").collect()}
+    assert rows == {1: (3, 0), 10: (30, 0), 5: (10, 0)}
+
+    # ON UPDATE fires only for touched rows; generated col follows
+    e.execute("UPDATE m SET b = 100 WHERE a = 1")
+    rows = {r.a: (r.b, r.total, r.touched)
+            for r in e.execute("SELECT * FROM m").collect()}
+    assert rows[1] == (100, 101, 1)
+    assert rows[10] == (20, 30, 0)
+
+    ddl = e.execute("SHOW CREATE TABLE m").collect()[0][1]
+    assert "total" in ddl
