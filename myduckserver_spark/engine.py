@@ -83,6 +83,23 @@ class Engine:
     def _refresh_views(self) -> None:
         for name in self.catalog.list_tables():
             self.catalog.table(name).read().createOrReplaceTempView(name)
+        vdir = os.path.join(self.catalog.root, "__views__")
+        if os.path.isdir(vdir):
+            files = [f for f in os.listdir(vdir) if f.endswith(".sql")]
+            # replay in creation order so view-on-view resolves
+            files.sort(key=lambda f: os.path.getmtime(os.path.join(vdir, f)))
+            for fn in files:
+                with open(os.path.join(vdir, fn)) as fh:
+                    query = fh.read()
+                self.spark.sql(
+                    f"CREATE OR REPLACE TEMPORARY VIEW {fn[:-4]} AS {query}"
+                )
+
+    def _view_names(self) -> list[str]:
+        vdir = os.path.join(self.catalog.root, "__views__")
+        if not os.path.isdir(vdir):
+            return []
+        return sorted(f[:-4] for f in os.listdir(vdir) if f.endswith(".sql"))
 
     # ----------------------------------------------------------------- DDL
     def create_table(
@@ -352,6 +369,47 @@ class Engine:
                 self.current_db = "main"
                 self.catalog = self._dbs["main"]
             return OkResult()
+        if isinstance(s, st.CreateView):
+            # Views persist as SQL text, replayed as temp views on
+            # refresh (the reference stores them as DuckDB views,
+            # catalog/provider.go CREATE VIEW bootstrap; TestViews :1914).
+            vdir = os.path.join(self.catalog.root, "__views__")
+            os.makedirs(vdir, exist_ok=True)
+            vpath = os.path.join(vdir, f"{s.name}.sql")
+            if os.path.exists(vpath) and not s.or_replace:
+                raise ValueError(f"view exists: {s.name}")
+            query = translate_mysql(s.query) if dialect == "mysql" else s.query
+            with open(vpath, "w") as f:
+                f.write(query)
+            self._refresh_views()
+            return OkResult()
+        if isinstance(s, st.DropView):
+            vpath = os.path.join(self.catalog.root, "__views__", f"{s.name}.sql")
+            if not os.path.exists(vpath):
+                if s.if_exists:
+                    return OkResult(info="no such view")
+                raise ValueError(f"no such view: {s.name}")
+            os.remove(vpath)
+            self.spark.catalog.dropTempView(s.name)
+            return OkResult()
+        if isinstance(s, st.CreateIndex):
+            # Metadata-only: Catalyst has no index scans — min/max
+            # row-group stats and partition pruning play that role.
+            # Declared for SHOW INDEXES parity (reference creates real
+            # ART indexes, catalog/table.go; ShowIndexes executor.go:74-83).
+            meta = self.table_meta(s.table)
+            meta.indexes[s.name] = {"columns": s.columns, "unique": s.unique}
+            self._save_meta(s.table, meta)
+            return OkResult(info="index recorded (metadata only)")
+        if isinstance(s, st.DropIndex):
+            tables = [s.table] if s.table else self.catalog.list_tables()
+            for tname in tables:
+                meta = self.table_meta(tname)
+                if s.name in meta.indexes:
+                    del meta.indexes[s.name]
+                    self._save_meta(tname, meta)
+                    return OkResult()
+            raise ValueError(f"no such index: {s.name}")
         if isinstance(s, st.LoadData):
             return self._exec_load_data(s)
         if isinstance(s, st.CopyStmt):
@@ -629,7 +687,7 @@ class Engine:
 
     def _exec_show(self, s: st.Show) -> DataFrame:
         if s.kind == "tables":
-            names = self.catalog.list_tables()
+            names = sorted(set(self.catalog.list_tables()) | set(self._view_names()))
             if s.like:
                 rx = _like_to_re(s.like)
                 names = [n for n in names if rx.match(n)]
@@ -681,6 +739,21 @@ class Engine:
             ddl = f"CREATE TABLE `{s.target}` (\n" + ",\n".join(defs) + "\n)"
             return self.spark.createDataFrame(
                 [(s.target, ddl)], "Table string, `Create Table` string"
+            )
+        if s.kind == "indexes":
+            meta = self.table_meta(s.target)
+            rows = []
+            for i, col in enumerate(meta.primary_key):
+                rows.append((s.target, "PRIMARY", col, i + 1, 0))
+            for iname, props in sorted(meta.indexes.items()):
+                for i, col in enumerate(props["columns"]):
+                    rows.append(
+                        (s.target, iname, col, i + 1,
+                         0 if props.get("unique") else 1)
+                    )
+            return self.spark.createDataFrame(
+                rows, "Table string, Key_name string, Column_name string, "
+                      "Seq_in_index int, Non_unique int",
             )
         if s.kind == "variables":
             items = sorted(self.variables.items())

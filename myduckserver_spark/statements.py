@@ -200,6 +200,7 @@ class TableMeta:
     not_null: list[str] = field(default_factory=list)
     generated: dict[str, str] = field(default_factory=dict)  # col -> expr
     on_update: dict[str, str] = field(default_factory=dict)  # col -> expr
+    indexes: dict[str, dict] = field(default_factory=dict)  # name -> props
 
 
 @dataclass
@@ -294,6 +295,33 @@ class CreateDb:
 class DropDb:
     name: str
     if_exists: bool = False
+
+
+@dataclass
+class CreateView:
+    name: str
+    query: str
+    or_replace: bool = False
+
+
+@dataclass
+class DropView:
+    name: str
+    if_exists: bool = False
+
+
+@dataclass
+class CreateIndex:
+    name: str
+    table: str
+    columns: list[str] = field(default_factory=list)
+    unique: bool = False
+
+
+@dataclass
+class DropIndex:
+    name: str
+    table: str | None = None
 
 
 @dataclass
@@ -584,6 +612,44 @@ def parse_statement(sql: str):
     )
     if m:
         return DropDb(unquote_ident(m.group(2)), if_exists=bool(m.group(1)))
+
+    m = re.match(
+        r"CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(`[^`]+`|\w+)\s+AS\s+(.*)$",
+        s,
+        re.I | re.S,
+    )
+    if m:
+        return CreateView(unquote_ident(m.group(2)), m.group(3).strip(),
+                          or_replace=bool(m.group(1)))
+    m = re.match(r"DROP\s+VIEW\s+(IF\s+EXISTS\s+)?(`[^`]+`|\w+)\s*$", s, re.I)
+    if m:
+        return DropView(unquote_ident(m.group(2)), if_exists=bool(m.group(1)))
+
+    m = re.match(
+        r"CREATE\s+(UNIQUE\s+)?INDEX\s+(`[^`]+`|\w+)\s+ON\s+(`[^`]+`|\w+)\s*"
+        r"\(([^)]*)\)\s*$",
+        s,
+        re.I,
+    )
+    if m:
+        return CreateIndex(
+            unquote_ident(m.group(2)),
+            unquote_ident(m.group(3)),
+            [unquote_ident(c.split()[0]) for c in m.group(4).split(",")],
+            unique=bool(m.group(1)),
+        )
+    m = re.match(
+        r"DROP\s+INDEX\s+(`[^`]+`|\w+)(?:\s+ON\s+(`[^`]+`|\w+))?\s*$", s, re.I
+    )
+    if m:
+        return DropIndex(unquote_ident(m.group(1)),
+                         unquote_ident(m.group(2)) if m.group(2) else None)
+    m = re.match(
+        r"SHOW\s+(?:INDEX|INDEXES|KEYS)\s+(?:FROM|IN)\s+(`[^`]+`|\w+)\s*$",
+        s, re.I,
+    )
+    if m:
+        return Show("indexes", target=unquote_ident(m.group(1)))
 
     m = re.match(
         r"LOAD\s+DATA\s+(?:LOCAL\s+)?INFILE\s+('(?:[^']|'')*')\s+"

@@ -215,3 +215,39 @@ def test_generated_columns_and_on_update(spark, tmp_path):
 
     ddl = e.execute("SHOW CREATE TABLE m").collect()[0][1]
     assert "total" in ddl
+
+
+def test_views_and_indexes(spark, tmp_path):
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh3"))
+    e.execute("CREATE TABLE base (id INT PRIMARY KEY, v DOUBLE)")
+    e.execute("INSERT INTO base VALUES (1, 1.0), (2, 4.0), (3, 9.0)")
+
+    e.execute("CREATE VIEW big AS SELECT * FROM base WHERE v >= 4.0")
+    assert e.execute("SELECT COUNT(*) AS n FROM big").collect()[0].n == 2
+    # view-on-view and OR REPLACE
+    e.execute("CREATE VIEW bigger AS SELECT * FROM big WHERE v > 4.0")
+    assert e.execute("SELECT id FROM bigger").collect()[0].id == 3
+    e.execute("CREATE OR REPLACE VIEW big AS SELECT * FROM base WHERE v >= 9.0")
+    assert e.execute("SELECT COUNT(*) AS n FROM big").collect()[0].n == 1
+    with pytest.raises(ValueError, match="view exists"):
+        e.execute("CREATE VIEW big AS SELECT 1")
+    # views appear in SHOW TABLES (MySQL behavior)
+    names = [r[0] for r in e.execute("SHOW TABLES").collect()]
+    assert set(names) == {"base", "big", "bigger"}
+
+    e.execute("DROP VIEW bigger")
+    e.execute("DROP VIEW IF EXISTS bigger")
+    with pytest.raises(ValueError, match="no such view"):
+        e.execute("DROP VIEW bigger")
+
+    # index DDL is metadata-only but SHOW INDEXES reflects it
+    e.execute("CREATE UNIQUE INDEX idx_v ON base (v)")
+    idx = {(r.Key_name, r.Column_name): r.Non_unique
+           for r in e.execute("SHOW INDEXES FROM base").collect()}
+    assert idx[("PRIMARY", "id")] == 0
+    assert idx[("idx_v", "v")] == 0
+    e.execute("DROP INDEX idx_v ON base")
+    assert all(r.Key_name != "idx_v"
+               for r in e.execute("SHOW INDEXES FROM base").collect())
