@@ -302,15 +302,22 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("s") > 150)
         .select("l_orderkey")
     )
+    # Q18's HAVING > 150 keeps a tiny fraction of orders; broadcasting
+    # that key set (and the orders filtered by it) means lineitem is
+    # shuffled exactly ONCE (the HAVING agg) — the per-order re-agg and
+    # both joins run map-side. The final aggregate output is ~|big|
+    # rows, so IT broadcasts into customer rather than the reverse.
     orders = load_table(spark, sf_dir, "orders").join(
-        big, F.col("o_orderkey") == big.l_orderkey, "left_semi"
+        F.broadcast(big), F.col("o_orderkey") == big.l_orderkey, "left_semi"
+    )
+    per_order = (
+        li.join(F.broadcast(orders), F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum("l_quantity", "sum_qty"))
     )
     cust = load_table(spark, sf_dir, "customer")
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey)
-        .join(li, F.col("o_orderkey") == li.l_orderkey)
-        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(dsum("l_quantity", "sum_qty"))
+        cust.join(F.broadcast(per_order), cust.c_custkey == F.col("o_custkey"))
         .select(
             "c_custkey",
             "o_orderkey",

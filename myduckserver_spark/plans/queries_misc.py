@@ -361,3 +361,88 @@ def g_unpivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         w.unpivot("prio", ["n_open", "n_final"], "status", "cnt")
         .orderBy("prio", "status")
     )
+
+
+@register(
+    "f_regexp_extract",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '([a-z]{7,})', 1) AS first_long,
+           CAST(len(regexp_extract_all(text, '[a-z]{7,}')) AS INT) AS n_long
+    FROM documents
+    WHERE doc_id < 200
+    ORDER BY doc_id
+    """,
+    tags=("functions", "regex"),
+)
+def f_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract / regexp_extract_all (GMS function corpus;
+    both engines return '' for no-match on extract)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", "([a-z]{7,})", 1).alias("first_long"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]{7,}"), 0)).alias(
+            "n_long"
+        ),
+    ).orderBy("doc_id")
+
+
+@register(
+    "f_array_ops",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           (SELECT CAST(SUM(CAST(ROUND(CAST(u.x AS DOUBLE), 3)
+                                 AS DECIMAL(18,6))) AS DECIMAL(38,6))
+            FROM unnest(embedding[1:4]) AS u(x)) AS head_sum
+    FROM embeddings
+    WHERE vec_id < 200
+    ORDER BY vec_id
+    """,
+    tags=("functions", "array"),
+)
+def f_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array slice + fold over the embedding column (float32 widened
+    to double EXACTLY, rounded, then exact-decimal summed so the fold
+    order cannot matter — the only portable way to sum floats)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    head_sum = F.expr(
+        """
+        aggregate(
+          slice(embedding, 1, 4),
+          cast(0 as decimal(38,6)),
+          (acc, x) -> acc + cast(round(cast(x as double), 3) as decimal(18,6))
+        )
+        """
+    ).cast("decimal(38,6)")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        head_sum.alias("head_sum"),
+    ).orderBy("vec_id")
+
+
+@register(
+    "g_groupby_all",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY ALL
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+    tags=("groupby", "groupby-all"),
+)
+def g_groupby_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL (supported verbatim by both engines)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders
+        GROUP BY ALL
+        ORDER BY o_orderstatus, o_orderpriority
+        """
+    )
