@@ -446,3 +446,40 @@ def g_groupby_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderstatus, o_orderpriority
         """
     )
+
+
+@register(
+    "ev_hopping_hour",
+    oracle="""
+    SELECT w_start,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total
+    FROM (
+        SELECT time_bucket(INTERVAL 30 MINUTE, ts)
+                 - (k * INTERVAL 30 MINUTE) AS w_start,
+               value
+        FROM events CROSS JOIN (VALUES (0), (1)) t(k)
+    )
+    GROUP BY w_start
+    ORDER BY w_start
+    """,
+    tags=("events", "window", "hopping"),
+)
+def ev_hopping_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) 1h windows every 30min via F.window — the
+    batch twin of the streaming hop operator (streaming/windows.py).
+    Each event lands in exactly 2 windows; the oracle expands that
+    membership with a 2-row cross join + time_bucket (both engines
+    align buckets to the epoch)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(38,6)")
+            .alias("total"),
+        )
+        .select(F.col("w.start").alias("w_start"), "n", "total")
+        .orderBy("w_start")
+    )
