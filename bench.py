@@ -52,7 +52,7 @@ def main() -> None:
     # generated code is shape-keyed, so the compile cost isn't billed to
     # the measured run (the reference benefits identically from its
     # compiled engine; first-query JIT is not what BASELINE.md measures).
-    warm_dir = "/root/testdata/sf0.001"
+    warm_dir = "/root/testdata/sf0.01"
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
     for name in HEADLINE:

@@ -415,10 +415,46 @@ class Engine:
         if isinstance(s, st.CopyStmt):
             return self._exec_copy(s, dialect)
         if isinstance(s, st.TxnStmt):
-            # Single-statement autocommit; multi-statement transactions
-            # are a documented gap (SURVEY §2.B Transactions).
-            return OkResult(info=f"{s.kind}: autocommit (no-op)")
+            return self._exec_txn(s.kind)
         raise ValueError(f"unroutable statement: {type(s).__name__}")
+
+    # ----------------------------------------------------------- transactions
+    def _exec_txn(self, kind: str) -> OkResult:
+        """BEGIN/COMMIT/ROLLBACK over the versioned-pointer catalog.
+
+        The reference bridges MySQL transactions onto DuckDB's
+        (backend/session.go:87-143). Here every table snapshot is an
+        immutable version directory behind an atomic pointer
+        (catalog.py), so a transaction is just a saved set of pointers:
+        ROLLBACK re-points every table at its BEGIN-time version and
+        drops tables created since. DROP/RENAME TABLE inside a
+        transaction takes effect immediately and is NOT rolled back
+        (directory removal is destructive) — that narrower contract is
+        documented here.
+        """
+        if kind == "begin":
+            self._txn_snapshot = {
+                name: self.catalog.table(name)._read_pointer()
+                for name in self.catalog.list_tables()
+            }
+            return OkResult(info="transaction started")
+        if kind == "commit":
+            self._txn_snapshot = None
+            return OkResult(info="committed")
+        snap = getattr(self, "_txn_snapshot", None)
+        if snap is None:
+            return OkResult(info="rollback: no open transaction")
+        for name in self.catalog.list_tables():
+            if name not in snap:
+                self.drop_table(name)  # created inside the txn
+                self._meta_path_cleanup(name)
+        for name, pointer in snap.items():
+            t = self.catalog.table(name)
+            if t.exists() and t._read_pointer() != pointer:
+                t._write_pointer(pointer)
+        self._txn_snapshot = None
+        self._refresh_views()
+        return OkResult(info="rolled back")
 
     # ------------------------------------------------------- table metadata
     def _meta_path(self, name: str) -> str:

@@ -155,10 +155,27 @@ def test_set_show_variables_use_db(engine):
         engine.execute("USE analytics")
 
 
-def test_txn_stmts_are_autocommit_noops(engine):
-    assert "autocommit" in engine.execute("BEGIN").info
-    assert "autocommit" in engine.execute("COMMIT").info
-    assert "autocommit" in engine.execute("ROLLBACK").info
+def test_transactions_rollback_and_commit(engine):
+    engine.execute("INSERT INTO users (name) VALUES ('keep')")
+
+    # rollback undoes DML and in-txn CREATE TABLE
+    engine.execute("BEGIN")
+    engine.execute("INSERT INTO users (name) VALUES ('gone')")
+    engine.execute("UPDATE users SET age = 99 WHERE name = 'keep'")
+    engine.execute("CREATE TABLE scratch (x INT)")
+    engine.execute("ROLLBACK")
+    rows = {r.name: r.age for r in engine.execute("SELECT * FROM users").collect()}
+    assert rows == {"keep": 18}
+    assert "scratch" not in engine.catalog.list_tables()
+
+    # commit keeps everything
+    engine.execute("BEGIN")
+    engine.execute("INSERT INTO users (name) VALUES ('kept2')")
+    engine.execute("COMMIT")
+    assert engine.execute("SELECT COUNT(*) AS n FROM users").collect()[0].n == 2
+
+    # rollback without begin is a no-op
+    assert "no open" in engine.execute("ROLLBACK").info
 
 
 def test_multi_statement_script(engine):
