@@ -483,3 +483,43 @@ def ev_hopping_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("w_start"), "n", "total")
         .orderBy("w_start")
     )
+
+
+@register(
+    "ev_view_to_purchase_1h",
+    oracle="""
+    SELECT p.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id
+     AND epoch_us(v.ts) >= epoch_us(p.ts) - 3600000000
+     AND epoch_us(v.ts) <= epoch_us(p.ts)
+    GROUP BY p.user_id
+    ORDER BY p.user_id
+    """,
+    tags=("events", "range-join"),
+)
+def ev_view_to_purchase_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: views within the hour before each
+    purchase, counted per user. Uses the banded range-join operator
+    (operators/rangejoin.py): time is quantized into 1h cells so the
+    shuffle key is (user, cell) — comparisons are bounded to a band
+    and hot users spread across cells, unlike the naive
+    equi-join-on-user + filter plan (O(views·purchases) per user).
+    The DuckDB oracle states the same join as a plain non-equi range
+    predicate (its IEJoin handles that shape natively)."""
+    from myduckserver_spark.operators.rangejoin import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    v = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    pairs = interval_join(
+        p, v, by="user_id", left_ts="ts", right_ts="ts",
+        lower_s=-3600.0, upper_s=0.0,
+    )
+    return (
+        pairs.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("user_id")
+    )
