@@ -79,7 +79,39 @@ _SIMPLE_FN_ALIASES = {
     r"\bUNIX_TIMESTAMP\s*\(": "unix_timestamp(",
     r"\bRAND\s*\(\s*\)": "rand()",
     r"\bLAST_INSERT_ID\s*\(\s*\)": "0",
+    r"\bCHAR_LENGTH\s*\(": "char_length(",
+    r"\bCHARACTER_LENGTH\s*\(": "char_length(",
 }
+
+# Single-simple-argument rewrites: FN(arg) → replacement with \1.
+# Conservative: the argument must not contain parens or commas (nested
+# calls fall through untouched and fail loudly rather than silently
+# mis-rewriting).
+_ARG_REWRITES = [
+    (re.compile(r"\bDAYNAME\s*\(\s*([^(),]+?)\s*\)", re.I),
+     r"date_format(\1, 'EEEE')"),
+    (re.compile(r"\bMONTHNAME\s*\(\s*([^(),]+?)\s*\)", re.I),
+     r"date_format(\1, 'MMMM')"),
+    # MySQL WEEKDAY: 0 = Monday; Spark dayofweek: 1 = Sunday
+    (re.compile(r"\bWEEKDAY\s*\(\s*([^(),]+?)\s*\)", re.I),
+     r"((dayofweek(\1) + 5) % 7)"),
+    # DATE_ADD/DATE_SUB(x, INTERVAL n unit) → interval arithmetic
+    (re.compile(
+        r"\bDATE_ADD\s*\(\s*([^(),]+?)\s*,\s*INTERVAL\s+(\d+)\s+(\w+)\s*\)",
+        re.I),
+     r"(\1 + INTERVAL \2 \3)"),
+    (re.compile(
+        r"\bDATE_SUB\s*\(\s*([^(),]+?)\s*,\s*INTERVAL\s+(\d+)\s+(\w+)\s*\)",
+        re.I),
+     r"(\1 - INTERVAL \2 \3)"),
+    # MySQL TRUNCATE(x, d): toward-zero decimal truncation
+    (re.compile(
+        r"\bTRUNCATE\s*\(\s*([^(),]+?)\s*,\s*(\d+)\s*\)", re.I),
+     r"(cast(\1 * pow(10, \2) as bigint) / pow(10, \2))"),
+    # FIELD(x, a, b, ...) → 1-based position of x (0 when absent)
+    (re.compile(r"\bFIELD\s*\(\s*([^(),]+?)\s*,\s*([^()]+?)\s*\)", re.I),
+     r"array_position(array(\2), \1)"),
+]
 
 
 def translate_mysql(sql: str) -> str:
@@ -98,4 +130,6 @@ def translate_mysql(sql: str) -> str:
     out = _rewrite_datetime_fns(out)
     for pat, repl in _SIMPLE_FN_ALIASES.items():
         out = re.sub(pat, repl, out, flags=re.I)
+    for pat, repl in _ARG_REWRITES:
+        out = pat.sub(repl, out)
     return out

@@ -82,3 +82,25 @@ def test_backup_restore_roundtrip(spark, tmp_path):
     assert t.read().count() == 0
     cat.restore_table("t", str(tmp_path / "bk"))
     assert cat.table("t").read().count() == 2
+
+def test_mysql_dialect_fn_rewrites(spark):
+    """Extended MySQL→Spark function shims execute with MySQL
+    semantics (reference transpiles via SQLGlot, transpiler/
+    translate.go:102; semantics per the GMS function corpus)."""
+    from myduckserver_spark.functions.mysql_compat import translate_mysql
+
+    sql = translate_mysql(
+        "SELECT DAYNAME(d) AS dn, MONTHNAME(d) AS mn, WEEKDAY(d) AS wd, "
+        "DATE_ADD(d, INTERVAL 3 DAY) AS d3, DATE_SUB(d, INTERVAL 1 MONTH) "
+        "AS dm, TRUNCATE(x, 2) AS tr, FIELD('b', 'a', 'b', 'c') AS f, "
+        "CHAR_LENGTH('héllo') AS cl "
+        "FROM (SELECT TIMESTAMP '2024-01-03 10:00:00' AS d, 3.4567 AS x)"
+    )
+    row = spark.sql(sql).collect()[0]
+    assert row.dn == "Wednesday" and row.mn == "January"
+    assert row.wd == 2          # MySQL: Monday=0 → Wednesday=2
+    assert str(row.d3).startswith("2024-01-06")
+    assert str(row.dm).startswith("2023-12-03")
+    assert abs(float(row.tr) - 3.45) < 1e-9   # toward zero, not rounded
+    assert row.f == 2
+    assert row.cl == 5
