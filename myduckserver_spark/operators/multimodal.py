@@ -123,3 +123,81 @@ def media_stats(df: DataFrame, media_col: str = "media") -> DataFrame:
     return df.select(
         F.col(f"{media_col}.meta.format").alias("format")
     ).groupBy("format").agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+def resize_images(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    max_side: int = 256,
+) -> DataFrame:
+    """Resize plumbing: (id, media) → (id, new_width, new_height,
+    payload). The geometry math (aspect-preserving clamp to max_side)
+    is real; the pixel resample is the deterministic fake where no
+    codec exists (payload passthrough). Arrow-batched per partition —
+    the shape a real PIL/opencv resample drops into unchanged.
+    """
+    out_schema = (
+        f"{id_col} long, new_width int, new_height int, payload binary"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[media_col].map(lambda m: bytes(m["data"] or b""))
+            dims = payloads.map(_fake_decode)
+
+            def clamp(d):
+                w, h = d
+                if max(w, h, 1) <= max_side:
+                    return w, h
+                scale = max_side / max(w, h)
+                return max(int(w * scale), 1), max(int(h * scale), 1)
+
+            new_dims = dims.map(clamp)
+            if _HAS_PIL:  # pragma: no cover
+                raise NotImplementedError(
+                    "real pixel resample requires an image codec; "
+                    "not available in this container"
+                )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "new_width": new_dims.map(lambda d: d[0]).astype("int32"),
+                    "new_height": new_dims.map(lambda d: d[1]).astype("int32"),
+                    "payload": payloads,
+                }
+            )
+
+    return df.select(id_col, media_col).mapInPandas(run, out_schema)
+
+
+def extract_features(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    dim: int = 8,
+) -> DataFrame:
+    """Feature-extraction plumbing: (id, media) → (id, features
+    array<float>). The embedding model is stubbed with a deterministic
+    byte-histogram feature (stable across runs/partitions), so the
+    schema, batching, and downstream similarity-search contract
+    (array<float>, fixed dim) are all real and testable.
+    """
+    out_schema = f"{id_col} long, features array<float>"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            feats = []
+            for m in pdf[media_col]:
+                data = bytes(m["data"] or b"")
+                hist = np.zeros(dim, dtype="float32")
+                if data:
+                    arr = np.frombuffer(data, dtype=np.uint8)
+                    np.add.at(hist, arr % dim, 1.0)
+                    hist /= len(arr)
+                feats.append(hist.tolist())
+            yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
+
+    return df.select(id_col, media_col).mapInPandas(run, out_schema)

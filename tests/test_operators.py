@@ -169,3 +169,30 @@ def test_media_stats_prunes_payload_column(spark, tmp_path):
     plan = media_stats(spark.read.parquet(p))._jdf.queryExecution().executedPlan().toString()
     rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert rs and "data" not in rs[0]
+
+def test_multimodal_resize_and_features(spark):
+    from myduckserver_spark.operators.multimodal import (
+        extract_features,
+        resize_images,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytes(range(200))), (2, b"")], "doc_id long, raw binary"
+    )
+    media = attach_media(df, "raw", fmt="png")
+
+    resized = {r.doc_id: r for r in
+               resize_images(media, max_side=32).collect()}
+    assert max(resized[1].new_width, resized[1].new_height) <= 32
+    assert resized[1].payload  # passthrough payload survives
+    assert resized[2].new_width == 0  # empty media decodes to 0x0
+
+    feats = {r.doc_id: r.features for r in
+             extract_features(media, dim=8).collect()}
+    assert len(feats[1]) == 8
+    assert abs(sum(feats[1]) - 1.0) < 1e-5   # normalized histogram
+    assert feats[2] == [0.0] * 8
+    # deterministic across runs
+    again = {r.doc_id: r.features for r in
+             extract_features(media, dim=8).collect()}
+    assert again == feats
