@@ -139,3 +139,43 @@ def test_similarity_topk_broadcasts_queries(spark, sf_dir):
 def test_no_cartesian_products_anywhere(spark, sf_dir, name):
     plan = _physical(REGISTRY[name].spark(spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+def test_minhash_signature_is_map_only(spark, sf_dir):
+    """The signature+banding stages must be shuffle-free: the ONLY
+    exchanges in dd_minhash_lsh are the bucket self-join and the final
+    pair aggregation (plus AQE reads). A seed/shingle explosion
+    formulation would add two more — pin it out."""
+    plan = _physical(REGISTRY["dd_minhash_lsh"].spark(spark, sf_dir))
+    band_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "band" in ln
+    ]
+    # both join inputs repartition on (band, band_sig): exactly 2
+    assert len(band_exchanges) <= 2
+    # no (doc_id, seed) aggregation exchange survives
+    assert not any(
+        "Exchange hashpartitioning" in ln and "seed" in ln
+        for ln in plan.splitlines()
+    )
+
+
+def test_q18_single_lineitem_shuffle(spark, sf_dir):
+    """q18 shuffles lineitem once (the HAVING agg); the semi join,
+    per-order re-agg, and customer join all run on broadcasts."""
+    plan = _physical(REGISTRY["q18_large_volume_orders"].spark(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_asof_join_single_exchange_no_join(spark, sf_dir):
+    """The as-of query is union+window: one user_id shuffle, no join
+    operator at all (the pair-blowup formulation is pinned out)."""
+    plan = _physical(
+        REGISTRY["ev_asof_view_before_purchase"].spark(spark, sf_dir)
+    )
+    assert "Join" not in plan
+    n_user = sum(
+        1 for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "user_id" in ln
+    )
+    assert n_user == 1
