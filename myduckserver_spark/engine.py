@@ -617,6 +617,12 @@ class Engine:
 
         n = df.count()
         last_id = 0
+        if s.on_dup and meta.primary_key:
+            n = self._insert_on_duplicate(
+                s.table, df.select(*[f.name for f in base_schema.fields]),
+                meta, s.on_dup,
+            )
+            return OkResult(affected_rows=n)
         if auto_missing:
             base = t.read()
             start = (
@@ -720,6 +726,66 @@ class Engine:
         n = df.count()
         self.insert(s.target, df)
         return OkResult(affected_rows=n, info=f"COPY FROM {s.path}")
+
+    def _insert_on_duplicate(
+        self, name: str, df: DataFrame, meta: st.TableMeta,
+        assignments: dict[str, str],
+    ) -> int:
+        """INSERT ... ON DUPLICATE KEY UPDATE (reference:
+        TestInsertDuplicateKeyKeyless main_test.go:851; applied by the
+        GMS layer). New keys append; conflicting keys get the update
+        assignments, where VALUES(col) refers to the incoming row.
+        Incoming rows are assumed unique on the PK (MySQL applies
+        sequentially; a batch with internal PK duplicates is UB here).
+        Returns the MySQL affected-rows convention: 1 per insert,
+        2 per updated row.
+        """
+        t = self.catalog.table(name)
+        base = t.read()
+        pk = meta.primary_key
+        base_cols = base.columns
+
+        new_rows = df.join(base.select(*pk).distinct(), pk, "left_anti")
+        conflicts = base.alias("t").join(df.alias("n"), pk, "inner")
+        untouched = base.join(df.select(*pk).distinct(), pk, "left_anti")
+
+        def rewrite(expr_text: str) -> str:
+            # VALUES(col) → incoming side
+            out = re.sub(
+                r"\bVALUES\s*\(\s*(?:`([^`]+)`|(\w+))\s*\)",
+                lambda m: "n.`" + (m.group(1) or m.group(2)) + "`",
+                expr_text,
+                flags=re.I,
+            )
+            # bare base-column identifiers → current-row side
+            def qual(m: "re.Match[str]") -> str:
+                w = m.group(1)
+                return f"t.`{w}`" if w in base_cols else w
+
+            return re.sub(r"(?<![\w.`])([A-Za-z_]\w*)(?!\s*\()(?!`)", qual, out)
+
+        sel = []
+        for c in base_cols:
+            if c in assignments:
+                sel.append(
+                    F.expr(rewrite(assignments[c]))
+                    .cast(base.schema[c].dataType)
+                    .alias(c)
+                )
+            elif c in pk:
+                sel.append(F.col(c))
+            else:
+                sel.append(F.expr(f"t.`{c}`").alias(c))
+        updated = conflicts.select(*sel)
+
+        n_new = new_rows.count()
+        n_upd = updated.count()
+        t.overwrite(
+            untouched.unionByName(updated).unionByName(
+                new_rows.select(*base_cols)
+            )
+        )
+        return n_new + 2 * n_upd
 
     def _exec_show(self, s: st.Show) -> DataFrame:
         if s.kind == "tables":

@@ -252,6 +252,7 @@ class Insert:
     rows: list[list[object]] | None  # literal rows, or None when query
     query: str | None  # INSERT ... SELECT
     mode: str = "insert"  # insert|ignore|replace
+    on_dup: dict[str, str] = field(default_factory=dict)  # col -> expr
 
 
 @dataclass
@@ -546,9 +547,20 @@ def parse_statement(sql: str):
             [unquote_ident(c) for c in m.group(5).split(",")] if m.group(5) else None
         )
         body = m.group(6).strip()
+        on_dup: dict[str, str] = {}
+        dm = re.search(
+            r"\sON\s+DUPLICATE\s+KEY\s+UPDATE\s+(.*)$", body, re.I | re.S
+        )
+        if dm:
+            body = body[: dm.start()].strip()
+            for part in split_top_level(dm.group(1), ","):
+                k, _, v = part.partition("=")
+                on_dup[unquote_ident(k)] = v.strip()
         if body.upper().startswith("VALUE"):
-            return Insert(table, columns, parse_values_tuples(m.group(7)), None, mode)
-        return Insert(table, columns, None, body, mode)
+            tuples = re.sub(r"^VALUES?\s*", "", body, flags=re.I)
+            return Insert(table, columns, parse_values_tuples(tuples), None,
+                          mode, on_dup)
+        return Insert(table, columns, None, body, mode, on_dup)
 
     m = re.match(
         r"UPDATE\s+(`[^`]+`|\w+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$", s, re.I | re.S

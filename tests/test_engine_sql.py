@@ -268,3 +268,31 @@ def test_views_and_indexes(spark, tmp_path):
     e.execute("DROP INDEX idx_v ON base")
     assert all(r.Key_name != "idx_v"
                for r in e.execute("SHOW INDEXES FROM base").collect())
+
+
+def test_insert_on_duplicate_key_update(spark, tmp_path):
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh4"))
+    e.execute("CREATE TABLE counters (k VARCHAR(10) PRIMARY KEY, cnt INT)")
+    r = e.execute(
+        "INSERT INTO counters VALUES ('a', 1), ('b', 10) "
+        "ON DUPLICATE KEY UPDATE cnt = cnt + VALUES(cnt)"
+    )
+    assert r.affected_rows == 2  # two plain inserts
+
+    r = e.execute(
+        "INSERT INTO counters VALUES ('a', 5), ('c', 100) "
+        "ON DUPLICATE KEY UPDATE cnt = cnt + VALUES(cnt)"
+    )
+    assert r.affected_rows == 3  # 1 insert + 1 update (counts as 2)
+    rows = {r.k: r.cnt for r in e.execute("SELECT * FROM counters").collect()}
+    assert rows == {"a": 6, "b": 10, "c": 100}
+
+    # assignment can also just take the new value
+    e.execute(
+        "INSERT INTO counters VALUES ('b', 77) "
+        "ON DUPLICATE KEY UPDATE cnt = VALUES(cnt)"
+    )
+    rows = {r.k: r.cnt for r in e.execute("SELECT * FROM counters").collect()}
+    assert rows["b"] == 77
