@@ -77,6 +77,10 @@ class Engine:
         """
         if dialect == "mysql":
             query = translate_mysql(query)
+        if "information_schema" in query.lower() or "__sys__" in query:
+            from myduckserver_spark import infoschema
+
+            query = infoschema.register_referenced(self, query)
         self._refresh_views()
         return self.spark.sql(query)
 

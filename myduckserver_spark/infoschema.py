@@ -1,0 +1,251 @@
+"""information_schema + ``__sys__`` catalog views over engine metadata.
+
+The reference serves ``information_schema.*`` through GMS's in-memory
+catalog implementation (main_test.go:127-128 queries
+``information_schema.tables``; pgserver/in_place_handler_test.go:221
+exercises ``information_schema.SCHEMATA``) and additionally defines
+Postgres-flavored internal views in the ``__sys__`` schema
+(catalog/internal_views.go:16 ``pg_stat_user_tables``,
+internal_views.go:51 ``pg_index``) so pg tooling can introspect.
+
+Spark temp views can't hold a dot, so the SQL front door rewrites
+``information_schema.tables`` → ``information_schema__tables`` (and
+``__sys__.x`` → ``__sys____x``) and registers the referenced views on
+demand.  Each view is a small driver-side createDataFrame built from
+catalog metadata — these are metadata queries; no Spark job should be
+needed to *build* them (TABLE_ROWS is NULL for that reason, matching
+MySQL's "approximate, may be NULL" contract).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+from pyspark.sql import DataFrame
+
+# information_schema.<name> / __sys__.<name>, case-insensitive.
+_QUALIFIED = re.compile(
+    r"\b(information_schema|__sys__)\s*\.\s*([A-Za-z_][A-Za-z0-9_]*)",
+    re.IGNORECASE,
+)
+
+INFO_VIEWS = {
+    "schemata", "tables", "columns", "views", "statistics",
+    "key_column_usage", "table_constraints",
+}
+SYS_VIEWS = {"pg_stat_user_tables", "pg_index"}
+
+
+def rewrite(query: str) -> tuple[str, set[tuple[str, str]]]:
+    """Replace qualified catalog-view names with flat temp-view names.
+
+    Returns (rewritten_query, {(schema, view), ...} referenced).
+    """
+    needed: set[tuple[str, str]] = set()
+
+    def _sub(m: re.Match) -> str:
+        schema, view = m.group(1).lower(), m.group(2).lower()
+        known = INFO_VIEWS if schema == "information_schema" else SYS_VIEWS
+        if view not in known:
+            return m.group(0)  # leave unknown names to fail naturally
+        needed.add((schema, view))
+        return f"{schema}__{view}"
+
+    return _QUALIFIED.sub(_sub, query), needed
+
+
+def _catalog_meta(cat, name: str) -> dict:
+    p = os.path.join(cat.root, name, "_META")
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return json.load(f)
+
+
+def _view_names(cat) -> list[str]:
+    vdir = os.path.join(cat.root, "__views__")
+    if not os.path.isdir(vdir):
+        return []
+    return sorted(f[:-4] for f in os.listdir(vdir) if f.endswith(".sql"))
+
+
+def _view_sql(cat, name: str) -> str:
+    with open(os.path.join(cat.root, "__views__", name + ".sql")) as f:
+        return f.read()
+
+
+def _walk(engine):
+    """Yield (db, catalog) for every database on the engine."""
+    return sorted(engine._dbs.items())
+
+
+def build(engine, schema: str, view: str) -> DataFrame:
+    """Build one catalog view as a DataFrame (driver-side rows only)."""
+    from myduckserver_spark import statements as st
+    from myduckserver_spark.types import spark_to_mysql
+
+    spark = engine.spark
+    if (schema, view) == ("information_schema", "schemata"):
+        rows = [("def", db, "utf8mb4", "utf8mb4_0900_bin") for db, _ in _walk(engine)]
+        return spark.createDataFrame(
+            rows,
+            "CATALOG_NAME string, SCHEMA_NAME string, "
+            "DEFAULT_CHARACTER_SET_NAME string, DEFAULT_COLLATION_NAME string",
+        )
+
+    if (schema, view) == ("information_schema", "tables"):
+        rows = []
+        for db, cat in _walk(engine):
+            for t in cat.list_tables():
+                rows.append(("def", db, t, "BASE TABLE", "spark-parquet", None))
+            for v in _view_names(cat):
+                rows.append(("def", db, v, "VIEW", None, None))
+        return spark.createDataFrame(
+            rows,
+            "TABLE_CATALOG string, TABLE_SCHEMA string, TABLE_NAME string, "
+            "TABLE_TYPE string, ENGINE string, TABLE_ROWS bigint",
+        )
+
+    if (schema, view) == ("information_schema", "columns"):
+        rows = []
+        for db, cat in _walk(engine):
+            for t in cat.list_tables():
+                meta = st.TableMeta(**_catalog_meta(cat, t))
+                for i, f_ in enumerate(cat.table(t).read().schema.fields):
+                    mysql_type = spark_to_mysql(f_.dataType, f_.metadata)
+                    d = meta.defaults.get(f_.name)
+                    rows.append((
+                        "def", db, t, f_.name, i + 1,
+                        None if d is None else str(d),
+                        "NO" if f_.name in meta.not_null else "YES",
+                        mysql_type.split("(")[0].lower(), mysql_type.lower(),
+                        "PRI" if f_.name in meta.primary_key else "",
+                        "auto_increment" if f_.name == meta.auto_increment else "",
+                    ))
+        return spark.createDataFrame(
+            rows,
+            "TABLE_CATALOG string, TABLE_SCHEMA string, TABLE_NAME string, "
+            "COLUMN_NAME string, ORDINAL_POSITION int, COLUMN_DEFAULT string, "
+            "IS_NULLABLE string, DATA_TYPE string, COLUMN_TYPE string, "
+            "COLUMN_KEY string, EXTRA string",
+        )
+
+    if (schema, view) == ("information_schema", "views"):
+        rows = []
+        for db, cat in _walk(engine):
+            for v in _view_names(cat):
+                rows.append(("def", db, v, _view_sql(cat, v), "NONE", "YES"))
+        return spark.createDataFrame(
+            rows,
+            "TABLE_CATALOG string, TABLE_SCHEMA string, TABLE_NAME string, "
+            "VIEW_DEFINITION string, CHECK_OPTION string, IS_UPDATABLE string",
+        )
+
+    if (schema, view) == ("information_schema", "statistics"):
+        rows = []
+        for db, cat in _walk(engine):
+            for t in cat.list_tables():
+                meta = st.TableMeta(**_catalog_meta(cat, t))
+                for i, col in enumerate(meta.primary_key):
+                    rows.append(("def", db, t, 0, "PRIMARY", i + 1, col))
+                for iname, props in sorted(meta.indexes.items()):
+                    non_unique = 0 if props.get("unique") else 1
+                    for i, col in enumerate(props.get("columns", [])):
+                        rows.append(("def", db, t, non_unique, iname, i + 1, col))
+        return spark.createDataFrame(
+            rows,
+            "TABLE_CATALOG string, TABLE_SCHEMA string, TABLE_NAME string, "
+            "NON_UNIQUE int, INDEX_NAME string, SEQ_IN_INDEX int, "
+            "COLUMN_NAME string",
+        )
+
+    if (schema, view) == ("information_schema", "key_column_usage"):
+        rows = []
+        for db, cat in _walk(engine):
+            for t in cat.list_tables():
+                meta = st.TableMeta(**_catalog_meta(cat, t))
+                for i, col in enumerate(meta.primary_key):
+                    rows.append(("def", "PRIMARY", db, t, col, i + 1))
+                for iname, props in sorted(meta.indexes.items()):
+                    if props.get("unique"):
+                        for i, col in enumerate(props.get("columns", [])):
+                            rows.append(("def", iname, db, t, col, i + 1))
+        return spark.createDataFrame(
+            rows,
+            "CONSTRAINT_CATALOG string, CONSTRAINT_NAME string, "
+            "TABLE_SCHEMA string, TABLE_NAME string, COLUMN_NAME string, "
+            "ORDINAL_POSITION int",
+        )
+
+    if (schema, view) == ("information_schema", "table_constraints"):
+        rows = []
+        for db, cat in _walk(engine):
+            for t in cat.list_tables():
+                meta = st.TableMeta(**_catalog_meta(cat, t))
+                if meta.primary_key:
+                    rows.append(("def", "PRIMARY", db, t, "PRIMARY KEY"))
+                for cname in sorted(meta.checks):
+                    rows.append(("def", cname, db, t, "CHECK"))
+                for iname, props in sorted(meta.indexes.items()):
+                    if props.get("unique"):
+                        rows.append(("def", iname, db, t, "UNIQUE"))
+        return spark.createDataFrame(
+            rows,
+            "CONSTRAINT_CATALOG string, CONSTRAINT_NAME string, "
+            "TABLE_SCHEMA string, TABLE_NAME string, CONSTRAINT_TYPE string",
+        )
+
+    if (schema, view) == ("__sys__", "pg_stat_user_tables"):
+        # Column set mirrors catalog/internal_views.go:16-48 — counters the
+        # engine doesn't track are 0/NULL there too.
+        rows = []
+        for db, cat in _walk(engine):
+            for t in cat.list_tables():
+                rows.append((f"{db}.{t}", db, t, 0, 0, 0, 0, 0, 0, 0))
+        return spark.createDataFrame(
+            rows,
+            "relid string, schemaname string, relname string, seq_scan long, "
+            "idx_scan long, n_tup_ins long, n_tup_upd long, n_tup_del long, "
+            "n_live_tup long, n_dead_tup long",
+        )
+
+    if (schema, view) == ("__sys__", "pg_index"):
+        # Shape of catalog/internal_views.go:51-80: one row per pk/unique
+        # index with the indexed column positions as an array.
+        rows = []
+        oid = 0
+        for db, cat in _walk(engine):
+            for t in cat.list_tables():
+                meta = st.TableMeta(**_catalog_meta(cat, t))
+                cols = [f_.name for f_ in cat.table(t).read().schema.fields]
+                pos = {c: i + 1 for i, c in enumerate(cols)}
+                if meta.primary_key:
+                    oid += 1
+                    rows.append((
+                        oid, t, len(meta.primary_key), True, True,
+                        [pos[c] for c in meta.primary_key if c in pos],
+                    ))
+                for iname, props in sorted(meta.indexes.items()):
+                    oid += 1
+                    rows.append((
+                        oid, t, len(props.get("columns", [])),
+                        bool(props.get("unique")), False,
+                        [pos[c] for c in props.get("columns", []) if c in pos],
+                    ))
+        return spark.createDataFrame(
+            rows,
+            "indexrelid long, indrelid string, indnatts int, "
+            "indisunique boolean, indisprimary boolean, indkey array<int>",
+        )
+
+    raise ValueError(f"unknown catalog view: {schema}.{view}")
+
+
+def register_referenced(engine, query: str) -> str:
+    """Rewrite catalog-view references and register them as temp views."""
+    rewritten, needed = rewrite(query)
+    for schema, view in needed:
+        build(engine, schema, view).createOrReplaceTempView(f"{schema}__{view}")
+    return rewritten

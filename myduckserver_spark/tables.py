@@ -43,9 +43,22 @@ _COMPUTE_DENSE_THRESHOLD_BYTES = 128 << 10
 _COMPUTE_DENSE_TABLES = {"documents", "embeddings"}
 
 
+# Memoize loaded DataFrames per (session, dir, table): DataFrames are
+# immutable plans, so reuse is safe, saves ~0.2s of Py4J round-trips
+# per query build, and guarantees every query hits the SAME cached
+# plan (Spark's cache manager matches canonicalized plans — identical
+# objects make that exact). The test parquet is read-only, so no
+# staleness concern.
+_DF_CACHE: dict[tuple, DataFrame] = {}
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, split: bool = True
 ) -> DataFrame:
+    key = (id(spark), os.path.abspath(sf_dir), name, split)
+    cached = _DF_CACHE.get(key)
+    if cached is not None:
+        return cached
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
@@ -61,6 +74,7 @@ def load_table(
     )
     if split and os.path.getsize(path) > threshold:
         df = df.repartition(DEFAULT_SHUFFLE_PARTITIONS)
+    _DF_CACHE[key] = df
     return df
 
 

@@ -1,0 +1,144 @@
+"""information_schema / __sys__ catalog views through the SQL front door
+(reference: GMS information_schema, main_test.go:127-128;
+pg introspection views catalog/internal_views.go:16,51)."""
+
+import pytest
+
+from myduckserver_spark.engine import Engine
+from myduckserver_spark.infoschema import rewrite
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.execute(
+        "CREATE TABLE users ("
+        " id INT NOT NULL AUTO_INCREMENT,"
+        " name VARCHAR(20) NOT NULL,"
+        " age INT DEFAULT 18,"
+        " PRIMARY KEY (id),"
+        " CONSTRAINT chk_age CHECK (age >= 0))"
+    )
+    e.execute("CREATE TABLE orders (oid INT, uid INT, amount DECIMAL(10,2))")
+    e.execute("CREATE UNIQUE INDEX idx_name ON users (name)")
+    e.execute("CREATE VIEW adults AS SELECT id, name FROM users WHERE age >= 18")
+    return e
+
+
+def test_rewrite_is_case_insensitive_and_leaves_unknown():
+    q, needed = rewrite("SELECT * FROM information_schema.TABLES t")
+    assert "information_schema__tables" in q
+    assert needed == {("information_schema", "tables")}
+    q2, needed2 = rewrite("SELECT * FROM information_schema.nonsense")
+    assert needed2 == set() and "information_schema.nonsense" in q2
+
+
+def test_tables_lists_base_tables_and_views(engine):
+    rows = engine.execute(
+        "SELECT TABLE_NAME, TABLE_TYPE FROM information_schema.tables "
+        "WHERE TABLE_SCHEMA = 'main' ORDER BY TABLE_NAME"
+    ).collect()
+    got = [(r.TABLE_NAME, r.TABLE_TYPE) for r in rows]
+    assert ("users", "BASE TABLE") in got
+    assert ("orders", "BASE TABLE") in got
+    assert ("adults", "VIEW") in got
+
+
+def test_columns_metadata(engine):
+    rows = engine.execute(
+        "SELECT COLUMN_NAME, ORDINAL_POSITION, IS_NULLABLE, COLUMN_KEY,"
+        " EXTRA, COLUMN_DEFAULT"
+        " FROM information_schema.columns WHERE TABLE_NAME = 'users'"
+        " ORDER BY ORDINAL_POSITION"
+    ).collect()
+    assert [r.COLUMN_NAME for r in rows] == ["id", "name", "age"]
+    by = {r.COLUMN_NAME: r for r in rows}
+    assert by["id"].COLUMN_KEY == "PRI"
+    assert by["id"].EXTRA == "auto_increment"
+    assert by["id"].IS_NULLABLE == "NO"
+    assert by["age"].COLUMN_DEFAULT == "18"
+    assert by["age"].IS_NULLABLE == "YES"
+
+
+def test_views_and_schemata(engine):
+    rows = engine.execute(
+        "SELECT TABLE_NAME, VIEW_DEFINITION FROM information_schema.views"
+    ).collect()
+    assert rows[0].TABLE_NAME == "adults"
+    assert "age >= 18" in rows[0].VIEW_DEFINITION
+
+    schemata = engine.execute(
+        "SELECT SCHEMA_NAME FROM information_schema.SCHEMATA"
+    ).collect()
+    assert [r.SCHEMA_NAME for r in schemata] == ["main"]
+
+
+def test_statistics_and_constraints(engine):
+    stats = engine.execute(
+        "SELECT INDEX_NAME, COLUMN_NAME, NON_UNIQUE FROM"
+        " information_schema.statistics WHERE TABLE_NAME = 'users'"
+        " ORDER BY INDEX_NAME"
+    ).collect()
+    got = {(r.INDEX_NAME, r.COLUMN_NAME, r.NON_UNIQUE) for r in stats}
+    assert ("PRIMARY", "id", 0) in got
+    assert ("idx_name", "name", 0) in got
+
+    cons = engine.execute(
+        "SELECT CONSTRAINT_NAME, CONSTRAINT_TYPE FROM"
+        " information_schema.table_constraints WHERE TABLE_NAME = 'users'"
+    ).collect()
+    types = {r.CONSTRAINT_NAME: r.CONSTRAINT_TYPE for r in cons}
+    assert types["PRIMARY"] == "PRIMARY KEY"
+    assert types["chk_age"] == "CHECK"
+    assert types["idx_name"] == "UNIQUE"
+
+    kcu = engine.execute(
+        "SELECT CONSTRAINT_NAME, COLUMN_NAME, ORDINAL_POSITION FROM"
+        " information_schema.key_column_usage WHERE TABLE_NAME = 'users'"
+    ).collect()
+    assert {(r.CONSTRAINT_NAME, r.COLUMN_NAME) for r in kcu} == {
+        ("PRIMARY", "id"), ("idx_name", "name")
+    }
+
+
+def test_multi_database_enumeration(engine):
+    engine.execute("CREATE DATABASE db2")
+    engine.execute("USE db2")
+    engine.execute("CREATE TABLE t2 (x INT)")
+    rows = engine.execute(
+        "SELECT TABLE_SCHEMA, TABLE_NAME FROM information_schema.tables"
+        " ORDER BY TABLE_SCHEMA, TABLE_NAME"
+    ).collect()
+    got = {(r.TABLE_SCHEMA, r.TABLE_NAME) for r in rows}
+    assert ("db2", "t2") in got and ("main", "users") in got
+    schemata = engine.execute(
+        "SELECT SCHEMA_NAME FROM information_schema.schemata ORDER BY 1"
+    ).collect()
+    assert [r.SCHEMA_NAME for r in schemata] == ["db2", "main"]
+
+
+def test_pg_sys_views(engine):
+    rows = engine.execute(
+        "SELECT relname, schemaname, n_live_tup FROM __sys__.pg_stat_user_tables"
+        " ORDER BY relname"
+    ).collect()
+    assert [r.relname for r in rows] == ["orders", "users"]
+    assert rows[0].schemaname == "main"
+
+    idx = engine.execute(
+        "SELECT indrelid, indisprimary, indisunique, indkey FROM __sys__.pg_index"
+        " WHERE indrelid = 'users' ORDER BY indexrelid"
+    ).collect()
+    prim = [r for r in idx if r.indisprimary]
+    assert len(prim) == 1 and prim[0].indkey == [1]
+    uniq = [r for r in idx if not r.indisprimary]
+    assert uniq and uniq[0].indisunique and uniq[0].indkey == [2]
+
+
+def test_join_info_schema_with_user_table(engine):
+    # catalog views compose with ordinary queries in one statement
+    rows = engine.execute(
+        "SELECT c.COLUMN_NAME FROM information_schema.columns c"
+        " WHERE c.TABLE_NAME = 'orders' AND c.DATA_TYPE = 'decimal'"
+    ).collect()
+    assert [r.COLUMN_NAME for r in rows] == ["amount"]
