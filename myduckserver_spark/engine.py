@@ -66,14 +66,20 @@ class Engine:
             "time_zone": "UTC",
             "version": "8.0.0-myduckserver-spark",
         }
+        # PREPARE name FROM '...' registry (reference: prepared-stmt cache
+        # pgserver/duck_handler.go:133-233 / MySQL PREPARE through GMS).
+        self._prepared: dict[str, str] = {}
 
     # ------------------------------------------------------------ SQL front
-    def sql(self, query: str, dialect: str = "spark") -> DataFrame:
+    def sql(self, query: str, dialect: str = "spark", args=None) -> DataFrame:
         """Run SQL; dialect='mysql' applies the MySQL→Spark normalizer.
 
         Registered engine tables are exposed as temp views lazily so
         SQL text can reference them by name (the reference's catalog
         does this inside DuckDB; here the session catalog is the seam).
+        `args` binds `?` positional / `:name` named parameters
+        (the Bind step of the reference's extended protocol,
+        pgserver/duck_handler.go:105-130).
         """
         if dialect == "mysql":
             query = translate_mysql(query)
@@ -82,6 +88,8 @@ class Engine:
 
             query = infoschema.register_referenced(self, query)
         self._refresh_views()
+        if args is not None:
+            return self.spark.sql(query, args=args)
         return self.spark.sql(query)
 
     def _refresh_views(self) -> None:
@@ -281,10 +289,96 @@ class Engine:
         results = [self._execute_one(s, dialect) for s in stmts]
         return results[-1] if len(results) == 1 else results
 
+    @staticmethod
+    def _render_literal(v) -> str:
+        """Python value → SQL literal text (for user-var interpolation)."""
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, (int, float, decimal.Decimal)):
+            return str(v)
+        return "'" + str(v).replace("'", "''") + "'"
+
+    def _substitute_user_vars(self, query: str) -> str:
+        """Inline @var / @@var references outside quoted regions.
+
+        MySQL evaluates user variables per-statement; with Catalyst as
+        the engine the cheapest faithful model is constant-folding them
+        into the text before parse (unset vars → NULL, as MySQL does).
+        """
+        out: list[str] = []
+        i, n = 0, len(query)
+        quote: str | None = None
+        while i < n:
+            c = query[i]
+            if quote:
+                out.append(c)
+                if c == quote:
+                    quote = None
+                elif c == "\\" and quote in "'\"" and i + 1 < n:
+                    out.append(query[i + 1])
+                    i += 1
+                i += 1
+                continue
+            if c in "'\"`":
+                quote = c
+                out.append(c)
+                i += 1
+                continue
+            m = re.match(r"@{1,2}([A-Za-z_][\w.]*)", query[i:])
+            if m:
+                out.append(self._render_literal(self.variables.get(m.group(1))))
+                i += m.end()
+                continue
+            out.append(c)
+            i += 1
+        return "".join(out)
+
     def _execute_one(self, sql: str, dialect: str):
         s = st.parse_statement(sql)
         if isinstance(s, st.Query):
-            return self.sql(s.sql, dialect=dialect)
+            q = s.sql
+            if "@" in q:
+                q = self._substitute_user_vars(q)
+            return self.sql(q, dialect=dialect)
+        if isinstance(s, st.Prepare):
+            text = s.query
+            if text.startswith("@"):
+                held = self.variables.get(text.lstrip("@"))
+                if held is None:
+                    raise ValueError(f"PREPARE FROM unset variable {text}")
+                text = str(held)
+            self._prepared[s.name] = text
+            return OkResult(info="prepared")
+        if isinstance(s, st.ExecutePrepared):
+            if s.name not in self._prepared:
+                raise ValueError(f"unknown prepared statement: {s.name}")
+            text = self._prepared[s.name]
+            vals = [self.variables.get(v) for v in s.using]
+            n_params = st.count_placeholders(text)
+            if n_params != len(vals):
+                raise ValueError(
+                    f"prepared statement {s.name} needs {n_params} "
+                    f"parameters, got {len(vals)}"
+                )
+            is_query = text.lstrip().upper().startswith(
+                ("SELECT", "WITH", "TABLE", "EXPLAIN", "DESCRIBE QUERY")
+            )
+            if is_query:
+                q = translate_mysql(text) if dialect == "mysql" else text
+                return self.sql(q, args=vals if vals else None)
+            # DML/DDL path: the engine's own parsers don't know '?', so
+            # bind by literal substitution (values came from SET, not the
+            # wire, so rendering is as trusted as the rest of the text).
+            bound = st.bind_placeholders(
+                text, [self._render_literal(v) for v in vals]
+            )
+            return self._execute_one(bound, dialect)
+        if isinstance(s, st.Deallocate):
+            if self._prepared.pop(s.name, None) is None:
+                raise ValueError(f"unknown prepared statement: {s.name}")
+            return OkResult(info="deallocated")
         if isinstance(s, st.CreateTable):
             return self._exec_create_table(s)
         if isinstance(s, st.CreateTableAs):

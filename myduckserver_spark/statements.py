@@ -287,6 +287,26 @@ class UseDb:
 
 
 @dataclass
+class Prepare:
+    """PREPARE name FROM 'text' (reference: pg extended-protocol Parse,
+    pgserver/duck_handler.go:133 ComPrepareParsed; MySQL PREPARE via GMS)."""
+
+    name: str
+    query: str
+
+
+@dataclass
+class ExecutePrepared:
+    name: str
+    using: list[str]  # user-variable names, without the '@'
+
+
+@dataclass
+class Deallocate:
+    name: str
+
+
+@dataclass
 class CreateDb:
     name: str
     if_not_exists: bool = False
@@ -438,6 +458,44 @@ def _parse_column_def(item: str, meta: TableMeta) -> tuple[str, str] | None:
     if cm:
         meta.checks[f"{name}_check"] = cm.group(1).strip()
     return name, mysql_type
+
+
+def _scan_placeholders(sql: str, repl: list[str] | None):
+    """Walk `sql` outside quoted regions; count or substitute '?' marks."""
+    out: list[str] = []
+    count = 0
+    quote: str | None = None
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if quote:
+            out.append(c)
+            if c == quote:
+                quote = None
+            elif c == "\\" and quote in "'\"" and i + 1 < n:
+                out.append(sql[i + 1])
+                i += 1
+        elif c in "'\"`":
+            quote = c
+            out.append(c)
+        elif c == "?":
+            if repl is not None:
+                out.append(repl[count])
+            count += 1
+        else:
+            out.append(c)
+        i += 1
+    return "".join(out), count
+
+
+def count_placeholders(sql: str) -> int:
+    """Number of '?' parameter marks outside string/ident literals."""
+    return _scan_placeholders(sql, None)[1]
+
+
+def bind_placeholders(sql: str, literals: list[str]) -> str:
+    """Substitute rendered literals for '?' marks (DML bind path)."""
+    return _scan_placeholders(sql, literals)[0]
 
 
 def parse_statement(sql: str):
@@ -598,6 +656,31 @@ def parse_statement(sql: str):
     if m:
         like = parse_literal(m.group(1)) if m.group(1) else None
         return Show("variables", like=like)
+
+    m = re.match(r"PREPARE\s+(`[^`]+`|\w+)\s+FROM\s+(.+)$", s, re.I | re.S)
+    if m:
+        body = m.group(2).strip()
+        if body.startswith("@"):
+            # PREPARE s FROM @text — resolved by the engine at execute time
+            return Prepare(unquote_ident(m.group(1)), body)
+        return Prepare(unquote_ident(m.group(1)), str(parse_literal(body)))
+
+    m = re.match(
+        r"EXECUTE\s+(`[^`]+`|\w+)(?:\s+USING\s+(.+))?\s*$", s, re.I
+    )
+    if m:
+        using = []
+        if m.group(2):
+            for tok in split_top_level(m.group(2), ","):
+                tok = tok.strip()
+                if not tok.startswith("@"):
+                    raise ValueError(f"EXECUTE USING expects @vars, got {tok!r}")
+                using.append(tok.lstrip("@"))
+        return ExecutePrepared(unquote_ident(m.group(1)), using)
+
+    m = re.match(r"(?:DEALLOCATE|DROP)\s+PREPARE\s+(`[^`]+`|\w+)\s*$", s, re.I)
+    if m:
+        return Deallocate(unquote_ident(m.group(1)))
 
     m = re.match(
         r"SET\s+(?:SESSION\s+|GLOBAL\s+)?@{0,2}([\w.]+)\s*:?=\s*(.+)$", s, re.I
