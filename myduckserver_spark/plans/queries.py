@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from myduckserver_spark.plans.helpers import (
+    DEC_OUT,
     bcount,
     davg,
     dec,
@@ -292,32 +293,27 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18: IN-subquery with HAVING → left-semi join in Spark.
 
-    Scale: the HAVING subquery is a keyed agg on l_orderkey; the IN
-    becomes a semi join on the same key, so AQE can reuse the shuffle.
+    Scale: ONE pass over lineitem. The oracle's outer GROUP BY keys
+    (custkey/orderdate/totalprice) are functionally dependent on
+    o_orderkey, and each lineitem row matches exactly one order — so
+    the per-orderkey HAVING aggregate IS the final sum_qty. lineitem
+    is scanned and shuffled once; the surviving ~0.1% of orders
+    broadcast through orders and customer map-side.
     """
     li = load_table(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(dec("l_quantity")).alias("s"))
-        .filter(F.col("s") > 150)
-        .select("l_orderkey")
-    )
-    # Q18's HAVING > 150 keeps a tiny fraction of orders; broadcasting
-    # that key set (and the orders filtered by it) means lineitem is
-    # shuffled exactly ONCE (the HAVING agg) — the per-order re-agg and
-    # both joins run map-side. The final aggregate output is ~|big|
-    # rows, so IT broadcasts into customer rather than the reverse.
-    orders = load_table(spark, sf_dir, "orders").join(
-        F.broadcast(big), F.col("o_orderkey") == big.l_orderkey, "left_semi"
-    )
-    per_order = (
-        li.join(F.broadcast(orders), F.col("o_orderkey") == li.l_orderkey)
-        .groupBy("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(dsum("l_quantity", "sum_qty"))
+        .agg(F.sum(dec("l_quantity")).alias("__s"))
+        .filter(F.col("__s") > 150)
+        .select(
+            "l_orderkey", F.col("__s").cast(DEC_OUT).alias("sum_qty")
+        )
     )
     cust = load_table(spark, sf_dir, "customer")
     return (
-        cust.join(F.broadcast(per_order), cust.c_custkey == F.col("o_custkey"))
+        load_table(spark, sf_dir, "orders")
+        .join(F.broadcast(big), F.col("o_orderkey") == big.l_orderkey)
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
         .select(
             "c_custkey",
             "o_orderkey",

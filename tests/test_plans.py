@@ -160,11 +160,16 @@ def test_minhash_signature_is_map_only(spark, sf_dir):
 
 
 def test_q18_single_lineitem_shuffle(spark, sf_dir):
-    """q18 shuffles lineitem once (the HAVING agg); the semi join,
-    per-order re-agg, and customer join all run on broadcasts."""
+    """q18 scans and shuffles lineitem exactly once (the HAVING agg
+    doubles as the final sum); both joins run on broadcasts."""
     plan = _physical(REGISTRY["q18_large_volume_orders"].spark(spark, sf_dir))
-    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("BroadcastHashJoin") == 2
     assert "SortMergeJoin" not in plan
+    agg_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "l_orderkey" in ln
+    ]
+    assert len(agg_exchanges) == 1
 
 
 def test_asof_join_single_exchange_no_join(spark, sf_dir):
