@@ -32,6 +32,15 @@ from myduckserver_spark.types import schema_from_mysql, spark_to_mysql
 
 
 
+def _has_subquery(text: str | None) -> bool:
+    """True when an expression fragment contains a `(SELECT` — those
+    can't become a Catalyst Column via F.expr and must route through
+    full SQL planning (the reference ships ALL of it to DuckDB as text,
+    backend/executor.go:183; we only pay the SQL round-trip when
+    needed)."""
+    return bool(text) and bool(re.search(r"\(\s*SELECT\b", text, re.I))
+
+
 def _like_to_re(pat: str) -> "re.Pattern[str]":
     """MySQL LIKE pattern -> anchored regex (% = any run, _ = one char)."""
     body = "".join(
@@ -272,6 +281,162 @@ class Engine:
         t = self.catalog.table(name)
         t.overwrite(t.read().limit(0))
 
+    # ----------------------------------------- DML via full SQL planning
+    # UPDATE/DELETE whose WHERE or SET contains subqueries, and the
+    # multi-table JOIN forms, are re-planned as SELECTs over the temp
+    # views (Catalyst decorrelates IN/EXISTS/scalar subqueries) and the
+    # result snapshot-overwrites the table — same dispatch the reference
+    # gets by shipping the statement text to DuckDB
+    # (backend/executor.go:162-165, TestUpdate/TestDeleteFrom
+    # main_test.go:948/:989).
+
+    def _recompute_generated(self, name: str, meta: st.TableMeta) -> None:
+        if not meta.generated:
+            return
+        t = self.catalog.table(name)
+        base = t.read()
+        t.overwrite(
+            base.withColumns(
+                {
+                    col: self._fragment(e).cast(base.schema[col].dataType)
+                    for col, e in meta.generated.items()
+                }
+            )
+        )
+
+    def _exec_update_subquery(self, s: st.Update, dialect: str) -> OkResult:
+        meta = self.table_meta(s.table)
+        base = self.catalog.table(s.table).read()
+        assignments = dict(s.assignments)
+        for col, expr_text in meta.on_update.items():
+            assignments.setdefault(col, expr_text)
+        where = s.where or "TRUE"
+        sel = []
+        for f in base.schema.fields:
+            if f.name in assignments:
+                sel.append(
+                    f"CASE WHEN coalesce(({where}), false) THEN "
+                    f"CAST(({assignments[f.name]}) AS {f.dataType.simpleString()}) "
+                    f"ELSE `{f.name}` END AS `{f.name}`"
+                )
+            else:
+                sel.append(f"`{f.name}`")
+        n = self.sql(
+            f"SELECT count(*) AS n FROM `{s.table}` "
+            f"WHERE coalesce(({where}), false)",
+            dialect=dialect,
+        ).collect()[0][0]
+        updated = self.sql(
+            f"SELECT {', '.join(sel)} FROM `{s.table}`", dialect=dialect
+        )
+        self.catalog.table(s.table).overwrite(updated)
+        self._recompute_generated(s.table, meta)
+        return OkResult(affected_rows=int(n))
+
+    def _exec_delete_subquery(self, s: st.Delete, dialect: str) -> OkResult:
+        n = self.sql(
+            f"SELECT count(*) AS n FROM `{s.table}` "
+            f"WHERE coalesce(({s.where}), false)",
+            dialect=dialect,
+        ).collect()[0][0]
+        kept = self.sql(
+            f"SELECT * FROM `{s.table}` WHERE NOT coalesce(({s.where}), false)",
+            dialect=dialect,
+        )
+        self.catalog.table(s.table).overwrite(kept)
+        return OkResult(affected_rows=int(n))
+
+    def _exec_update_multi(self, s: st.Update, dialect: str) -> OkResult:
+        refs = s.from_text or ""
+        alias_map = st.parse_table_refs(refs)
+        if not alias_map:
+            raise ValueError(f"cannot parse UPDATE table refs: {refs!r}")
+        quals = {k.split(".", 1)[0] for k in s.assignments if "." in k}
+        if len(quals) > 1:
+            raise ValueError(
+                "UPDATE may only target one table per statement "
+                f"(got SET qualifiers {sorted(quals)})"
+            )
+        qual = quals.pop() if quals else next(iter(alias_map))
+        target = alias_map.get(qual, qual)
+        meta = self.table_meta(target)
+        if not meta.primary_key:
+            raise ValueError(
+                f"multi-table UPDATE needs a PRIMARY KEY on {target} "
+                "to match joined rows back"
+            )
+        pk = meta.primary_key
+        t = self.catalog.table(target)
+        base = t.read()
+        sets = {k.split(".", 1)[-1]: v for k, v in s.assignments.items()}
+        sel = [f"`{qual}`.`{c}` AS `{c}`" for c in pk]
+        for col, expr in sets.items():
+            dt = base.schema[col].dataType.simpleString()
+            sel.append(f"CAST(({expr}) AS {dt}) AS `__set_{col}`")
+        where = f" WHERE {s.where}" if s.where else ""
+        upd = (
+            self.sql(
+                f"SELECT {', '.join(sel)} FROM {refs}{where}", dialect=dialect
+            )
+            # A target row joined to several rows updates once (MySQL
+            # picks an arbitrary match); dropDuplicates models that.
+            .dropDuplicates(pk)
+            .withColumn("__matched", F.lit(True))
+        )
+        n = upd.count()
+        # No broadcast hint: the matched set is usually small (AQE will
+        # broadcast it), but a broad UPDATE can match most of the table
+        # and must be allowed to shuffle.
+        joined = base.join(upd, pk, "left")
+        new_cols = {}
+        for col in sets:
+            new_cols[col] = (
+                F.when(F.col("__matched"), F.col(f"__set_{col}"))
+                .otherwise(F.col(col))
+                .cast(base.schema[col].dataType)
+            )
+        for col, expr_text in meta.on_update.items():
+            if col not in sets:
+                new_cols[col] = (
+                    F.when(F.col("__matched"), self._fragment(expr_text))
+                    .otherwise(F.col(col))
+                    .cast(base.schema[col].dataType)
+                )
+        t.overwrite(joined.withColumns(new_cols).select(*base.columns))
+        self._recompute_generated(target, meta)
+        return OkResult(affected_rows=n)
+
+    def _exec_delete_multi(self, s: st.Delete, dialect: str) -> OkResult:
+        refs = s.from_text or ""
+        alias_map = st.parse_table_refs(refs)
+        where = f" WHERE {s.where}" if s.where else ""
+        # Resolve every target and plan its kept-set against the
+        # PRE-delete snapshots before any overwrite (the join is
+        # evaluated once in MySQL; versioned storage keeps the old
+        # snapshot readable while later targets write).
+        plans: list[tuple[str, DataFrame, int]] = []
+        for raw in s.targets or [s.table]:
+            table = alias_map.get(raw, raw)
+            qual = raw if raw in alias_map else table
+            matched = self.sql(
+                f"SELECT DISTINCT `{qual}`.* FROM {refs}{where}",
+                dialect=dialect,
+            )
+            base = self.catalog.table(table).read()
+            b, m = base.alias("__b"), matched.alias("__m")
+            cond = None
+            for c in base.columns:
+                clause = b[c].eqNullSafe(m[c])
+                cond = clause if cond is None else (cond & clause)
+            kept = b.join(m, cond, "left_anti")
+            n = base.count() - kept.count()
+            plans.append((table, kept, n))
+        total = 0
+        for table, kept, n in plans:
+            self.catalog.table(table).overwrite(kept)
+            total += n
+        return OkResult(affected_rows=total)
+
     # ------------------------------------------------- SQL statement router
     # The text-level analog of the reference's plan dispatch
     # (backend/executor.go:74-165): queries go to Catalyst, DDL/DML to
@@ -406,6 +571,12 @@ class Engine:
         if isinstance(s, st.Insert):
             return self._exec_insert(s, dialect)
         if isinstance(s, st.Update):
+            if s.from_text:
+                return self._exec_update_multi(s, dialect)
+            if _has_subquery(s.where) or any(
+                _has_subquery(e) for e in s.assignments.values()
+            ):
+                return self._exec_update_subquery(s, dialect)
             cond = self._fragment(s.where) if s.where else F.lit(True)
             assignments = {c: self._fragment(e) for c, e in s.assignments.items()}
             meta = self.table_meta(s.table)
@@ -415,19 +586,13 @@ class Engine:
                 if col not in assignments:
                     assignments[col] = self._fragment(expr_text)
             n = self.update(s.table, cond, assignments)
-            if meta.generated:
-                t = self.catalog.table(s.table)
-                base = t.read()
-                t.overwrite(
-                    base.withColumns(
-                        {
-                            col: self._fragment(e).cast(base.schema[col].dataType)
-                            for col, e in meta.generated.items()
-                        }
-                    )
-                )
+            self._recompute_generated(s.table, meta)
             return OkResult(affected_rows=n)
         if isinstance(s, st.Delete):
+            if s.from_text:
+                return self._exec_delete_multi(s, dialect)
+            if _has_subquery(s.where):
+                return self._exec_delete_subquery(s, dialect)
             cond = self._fragment(s.where) if s.where else F.lit(True)
             return OkResult(affected_rows=self.delete(s.table, cond))
         if isinstance(s, st.Show):

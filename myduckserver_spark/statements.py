@@ -125,6 +125,60 @@ def split_top_level(s: str, sep: str = ",") -> list[str]:
     return parts
 
 
+def split_where(text: str) -> tuple[str, str | None]:
+    """Split ``body WHERE cond`` at the first top-level WHERE (outside
+    parens and quotes — a WHERE inside a subquery doesn't count).
+    Returns (body, cond-or-None)."""
+    depth, quote, i, n = 0, None, 0, len(text)
+    while i < n:
+        c = text[i]
+        if quote:
+            if c == "\\" and quote in "'\"":
+                i += 1
+            elif c == quote:
+                quote = None
+        elif c in "'\"`":
+            quote = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and c in "Ww"
+            and text[i : i + 5].upper() == "WHERE"
+            and (i == 0 or text[i - 1].isspace())
+            and (i + 5 == n or text[i + 5].isspace())
+        ):
+            return text[:i].rstrip(), text[i + 5 :].strip()
+        i += 1
+    return text.rstrip(), None
+
+
+_TABLE_REF_KEYWORDS = (
+    "JOIN|INNER|LEFT|RIGHT|FULL|OUTER|CROSS|NATURAL|STRAIGHT_JOIN|ON|USING|AS|WHERE|SET"
+)
+
+
+def parse_table_refs(refs: str) -> dict[str, str]:
+    """alias → table map for a FROM-clause fragment of plain tables and
+    JOINs (``t1 JOIN t2 AS x ON ...``, ``t1, t2``). Unaliased tables map
+    name → name. Derived tables / subqueries in FROM are out of scope
+    (route those through a CTAS or view first)."""
+    out: dict[str, str] = {}
+    pat = re.compile(
+        rf"(?:\bFROM\b|\bJOIN\b|,|^)\s*"
+        rf"(?!(?:{_TABLE_REF_KEYWORDS})\b)(`[^`]+`|\w+)"
+        rf"(?:\s+(?:AS\s+)?(?!(?:{_TABLE_REF_KEYWORDS})\b)(`[^`]+`|\w+))?",
+        re.I,
+    )
+    for m in pat.finditer(refs):
+        table = unquote_ident(m.group(1))
+        alias = unquote_ident(m.group(2)) if m.group(2) else table
+        out[alias] = table
+    return out
+
+
 def unquote_ident(s: str) -> str:
     s = s.strip()
     if len(s) >= 2 and s[0] == "`" and s[-1] == "`":
@@ -260,12 +314,22 @@ class Update:
     table: str
     assignments: dict[str, str]  # col -> expression text
     where: str | None
+    # Multi-table form (UPDATE t1 JOIN t2 ON ... SET t1.c = ...):
+    # the raw FROM-clause fragment; `table` is then resolved by the
+    # engine from the SET qualifiers (reference: TestUpdate join cases,
+    # main_test.go:948).
+    from_text: str | None = None
 
 
 @dataclass
 class Delete:
     table: str
     where: str | None
+    # Multi-table forms (DELETE t1 FROM t1 JOIN t2 ... / DELETE FROM t1
+    # USING ...): the raw FROM/USING fragment plus the target list
+    # (aliases or table names, `.*` suffix allowed as in MySQL).
+    from_text: str | None = None
+    targets: list[str] | None = None
 
 
 @dataclass
@@ -620,23 +684,43 @@ def parse_statement(sql: str):
                           mode, on_dup)
         return Insert(table, columns, None, body, mode, on_dup)
 
-    m = re.match(
-        r"UPDATE\s+(`[^`]+`|\w+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$", s, re.I | re.S
-    )
+    m = re.match(r"UPDATE\s+(.+?)\s+SET\s+(.*)$", s, re.I | re.S)
     if m:
+        refs = m.group(1).strip()
+        body, where = split_where(m.group(2))
         assignments = {}
-        for part in split_top_level(m.group(2), ","):
+        for part in split_top_level(body, ","):
             k, _, v = part.partition("=")
             assignments[unquote_ident(k)] = v.strip()
-        return Update(unquote_ident(m.group(1)), assignments,
-                      m.group(3).strip() if m.group(3) else None)
+        if re.fullmatch(r"`[^`]+`|\w+", refs):
+            return Update(unquote_ident(refs), assignments, where)
+        # Multi-table / aliased form: target resolved by the engine
+        # from the SET qualifiers against the refs fragment.
+        return Update("", assignments, where, from_text=refs)
 
-    m = re.match(
-        r"DELETE\s+FROM\s+(`[^`]+`|\w+)(?:\s+WHERE\s+(.*))?$", s, re.I | re.S
-    )
+    # DELETE FROM t [USING refs] [WHERE ...]
+    m = re.match(r"DELETE\s+FROM\s+(`[^`]+`|\w+)(\s.*)?$", s, re.I | re.S)
     if m:
-        return Delete(unquote_ident(m.group(1)),
-                      m.group(2).strip() if m.group(2) else None)
+        rest, where = split_where(m.group(2) or "")
+        rest = rest.strip()
+        target = unquote_ident(m.group(1))
+        if rest:
+            um = re.match(r"USING\s+(.+)$", rest, re.I | re.S)
+            if not um:
+                raise ValueError(f"cannot parse DELETE tail: {rest!r}")
+            return Delete(target, where, from_text=um.group(1).strip(),
+                          targets=[target])
+        return Delete(target, where)
+
+    # DELETE t1[, t2] FROM <refs> [WHERE ...]  (multi-table form)
+    m = re.match(r"DELETE\s+(.+?)\s+FROM\s+(.*)$", s, re.I | re.S)
+    if m:
+        targets = [
+            unquote_ident(t.strip()[:-2] if t.strip().endswith(".*") else t.strip())
+            for t in split_top_level(m.group(1), ",")
+        ]
+        refs, where = split_where(m.group(2))
+        return Delete(targets[0], where, from_text=refs.strip(), targets=targets)
 
     m = re.match(r"SHOW\s+TABLES\s*(?:LIKE\s+(.+))?$", s, re.I)
     if m:

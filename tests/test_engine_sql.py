@@ -296,3 +296,103 @@ def test_insert_on_duplicate_key_update(spark, tmp_path):
     )
     rows = {r.k: r.cnt for r in e.execute("SELECT * FROM counters").collect()}
     assert rows["b"] == 77
+
+
+@pytest.fixture()
+def shop(spark, tmp_path):
+    """Two related tables for subquery / multi-table DML
+    (reference: TestUpdate join+subquery cases main_test.go:948,
+    TestDeleteFrom main_test.go:989)."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh_shop"))
+    e.execute(
+        "CREATE TABLE cust (id INT PRIMARY KEY, name VARCHAR(20), tier VARCHAR(10))"
+    )
+    e.execute(
+        "CREATE TABLE ord (oid INT PRIMARY KEY, cid INT, amount DOUBLE, "
+        "status VARCHAR(10))"
+    )
+    e.execute(
+        "INSERT INTO cust VALUES (1,'ann','basic'),(2,'bob','basic'),(3,'cat','basic')"
+    )
+    e.execute(
+        "INSERT INTO ord VALUES (10,1,500.0,'open'),(11,1,80.0,'open'),"
+        "(12,2,20.0,'open'),(13,9,5.0,'open')"
+    )
+    return e
+
+
+def test_update_where_in_subquery(shop):
+    r = shop.execute(
+        "UPDATE cust SET tier = 'vip' "
+        "WHERE id IN (SELECT cid FROM ord WHERE amount > 100)"
+    )
+    assert r.affected_rows == 1
+    rows = {r.id: r.tier for r in shop.execute("SELECT * FROM cust").collect()}
+    assert rows == {1: "vip", 2: "basic", 3: "basic"}
+
+
+def test_update_set_correlated_scalar_subquery(shop):
+    shop.execute("ALTER TABLE cust ADD COLUMN spent DOUBLE")
+    r = shop.execute(
+        "UPDATE cust SET spent = "
+        "(SELECT COALESCE(SUM(amount), 0) FROM ord WHERE ord.cid = cust.id)"
+    )
+    assert r.affected_rows == 3
+    rows = {r.id: r.spent for r in shop.execute("SELECT * FROM cust").collect()}
+    assert rows == {1: 580.0, 2: 20.0, 3: 0.0}
+
+
+def test_delete_where_not_exists_subquery(shop):
+    r = shop.execute(
+        "DELETE FROM cust WHERE NOT EXISTS "
+        "(SELECT 1 FROM ord WHERE ord.cid = cust.id)"
+    )
+    assert r.affected_rows == 1  # cat has no orders
+    assert sorted(r.id for r in shop.execute("SELECT * FROM cust").collect()) == [1, 2]
+
+
+def test_update_multi_table_join(shop):
+    r = shop.execute(
+        "UPDATE ord o JOIN cust c ON o.cid = c.id "
+        "SET o.status = 'known' WHERE c.name <> 'cat'"
+    )
+    assert r.affected_rows == 3  # order 13 has no customer
+    rows = {r.oid: r.status for r in shop.execute("SELECT * FROM ord").collect()}
+    assert rows == {10: "known", 11: "known", 12: "known", 13: "open"}
+
+
+def test_delete_multi_table_join(shop):
+    # delete orders whose customer no longer exists ("orphans")
+    r = shop.execute(
+        "DELETE o FROM ord o LEFT JOIN cust c ON o.cid = c.id WHERE c.id IS NULL"
+    )
+    assert r.affected_rows == 1
+    assert sorted(r.oid for r in shop.execute("SELECT * FROM ord").collect()) == [
+        10, 11, 12,
+    ]
+
+
+def test_delete_using_form(shop):
+    r = shop.execute(
+        "DELETE FROM ord USING ord JOIN cust ON ord.cid = cust.id "
+        "WHERE cust.name = 'bob'"
+    )
+    assert r.affected_rows == 1
+    assert sorted(r.oid for r in shop.execute("SELECT * FROM ord").collect()) == [
+        10, 11, 13,
+    ]
+
+
+def test_where_split_ignores_subquery_where():
+    s = parse_statement(
+        "UPDATE t SET c = (SELECT max(x) FROM u WHERE u.k = 1) WHERE id = 2"
+    )
+    assert s.assignments == {"c": "(SELECT max(x) FROM u WHERE u.k = 1)"}
+    assert s.where == "id = 2"
+    s2 = parse_statement(
+        "DELETE FROM t WHERE id IN (SELECT k FROM u WHERE v > 3)"
+    )
+    assert s2.where == "id IN (SELECT k FROM u WHERE v > 3)"
+    assert s2.from_text is None
