@@ -305,6 +305,7 @@ class Engine:
         )
 
     def _exec_update_subquery(self, s: st.Update, dialect: str) -> OkResult:
+        pre = f"{s.cte} " if s.cte else ""
         meta = self.table_meta(s.table)
         base = self.catalog.table(s.table).read()
         assignments = dict(s.assignments)
@@ -322,25 +323,28 @@ class Engine:
             else:
                 sel.append(f"`{f.name}`")
         n = self.sql(
-            f"SELECT count(*) AS n FROM `{s.table}` "
+            f"{pre}SELECT count(*) AS n FROM `{s.table}` "
             f"WHERE coalesce(({where}), false)",
             dialect=dialect,
         ).collect()[0][0]
         updated = self.sql(
-            f"SELECT {', '.join(sel)} FROM `{s.table}`", dialect=dialect
+            f"{pre}SELECT {', '.join(sel)} FROM `{s.table}`", dialect=dialect
         )
         self.catalog.table(s.table).overwrite(updated)
         self._recompute_generated(s.table, meta)
         return OkResult(affected_rows=int(n))
 
     def _exec_delete_subquery(self, s: st.Delete, dialect: str) -> OkResult:
+        pre = f"{s.cte} " if s.cte else ""
+        where = s.where or "TRUE"
         n = self.sql(
-            f"SELECT count(*) AS n FROM `{s.table}` "
-            f"WHERE coalesce(({s.where}), false)",
+            f"{pre}SELECT count(*) AS n FROM `{s.table}` "
+            f"WHERE coalesce(({where}), false)",
             dialect=dialect,
         ).collect()[0][0]
         kept = self.sql(
-            f"SELECT * FROM `{s.table}` WHERE NOT coalesce(({s.where}), false)",
+            f"{pre}SELECT * FROM `{s.table}` "
+            f"WHERE NOT coalesce(({where}), false)",
             dialect=dialect,
         )
         self.catalog.table(s.table).overwrite(kept)
@@ -374,9 +378,11 @@ class Engine:
             dt = base.schema[col].dataType.simpleString()
             sel.append(f"CAST(({expr}) AS {dt}) AS `__set_{col}`")
         where = f" WHERE {s.where}" if s.where else ""
+        pre = f"{s.cte} " if s.cte else ""
         upd = (
             self.sql(
-                f"SELECT {', '.join(sel)} FROM {refs}{where}", dialect=dialect
+                f"{pre}SELECT {', '.join(sel)} FROM {refs}{where}",
+                dialect=dialect,
             )
             # A target row joined to several rows updates once (MySQL
             # picks an arbitrary match); dropDuplicates models that.
@@ -410,6 +416,7 @@ class Engine:
         refs = s.from_text or ""
         alias_map = st.parse_table_refs(refs)
         where = f" WHERE {s.where}" if s.where else ""
+        pre = f"{s.cte} " if s.cte else ""
         # Resolve every target and plan its kept-set against the
         # PRE-delete snapshots before any overwrite (the join is
         # evaluated once in MySQL; versioned storage keeps the old
@@ -419,7 +426,7 @@ class Engine:
             table = alias_map.get(raw, raw)
             qual = raw if raw in alias_map else table
             matched = self.sql(
-                f"SELECT DISTINCT `{qual}`.* FROM {refs}{where}",
+                f"{pre}SELECT DISTINCT `{qual}`.* FROM {refs}{where}",
                 dialect=dialect,
             )
             base = self.catalog.table(table).read()
@@ -573,8 +580,10 @@ class Engine:
         if isinstance(s, st.Update):
             if s.from_text:
                 return self._exec_update_multi(s, dialect)
-            if _has_subquery(s.where) or any(
-                _has_subquery(e) for e in s.assignments.values()
+            if (
+                s.cte
+                or _has_subquery(s.where)
+                or any(_has_subquery(e) for e in s.assignments.values())
             ):
                 return self._exec_update_subquery(s, dialect)
             cond = self._fragment(s.where) if s.where else F.lit(True)
@@ -591,7 +600,7 @@ class Engine:
         if isinstance(s, st.Delete):
             if s.from_text:
                 return self._exec_delete_multi(s, dialect)
-            if _has_subquery(s.where):
+            if s.cte or _has_subquery(s.where):
                 return self._exec_delete_subquery(s, dialect)
             cond = self._fragment(s.where) if s.where else F.lit(True)
             return OkResult(affected_rows=self.delete(s.table, cond))

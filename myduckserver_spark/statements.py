@@ -155,6 +155,46 @@ def split_where(text: str) -> tuple[str, str | None]:
     return text.rstrip(), None
 
 
+def split_leading_cte(s: str) -> tuple[str | None, str]:
+    """Split a leading ``WITH [RECURSIVE] name [(cols)] AS (...)[, ...]``
+    prologue off a statement. Returns (cte-text-or-None, remainder);
+    (None, s) when the prologue doesn't parse (caller treats the whole
+    string as a query and lets Catalyst produce the error)."""
+    m = re.match(r"WITH\s+(?:RECURSIVE\s+)?", s, re.I)
+    if not m:
+        return None, s
+    i, n = m.end(), len(s)
+    while True:
+        mm = re.match(
+            r"\s*(?:`[^`]+`|\w+)\s*(?:\([^)]*\))?\s*AS\s*\(", s[i:], re.I
+        )
+        if not mm:
+            return None, s
+        j = i + mm.end()  # just past the opening paren
+        depth, quote = 1, None
+        while j < n and depth:
+            c = s[j]
+            if quote:
+                if c == "\\" and quote in "'\"":
+                    j += 1
+                elif c == quote:
+                    quote = None
+            elif c in "'\"`":
+                quote = c
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            j += 1
+        if depth:
+            return None, s
+        mc = re.match(r"\s*,", s[j:])
+        if mc:
+            i = j + mc.end()
+            continue
+        return s[:j].strip(), s[j:].strip()
+
+
 _TABLE_REF_KEYWORDS = (
     "JOIN|INNER|LEFT|RIGHT|FULL|OUTER|CROSS|NATURAL|STRAIGHT_JOIN|ON|USING|AS|WHERE|SET"
 )
@@ -319,6 +359,9 @@ class Update:
     # engine from the SET qualifiers (reference: TestUpdate join cases,
     # main_test.go:948).
     from_text: str | None = None
+    # Leading `WITH name AS (...)` prologue (MySQL 8 WITH...UPDATE);
+    # prepended to the engine's re-planned SELECTs.
+    cte: str | None = None
 
 
 @dataclass
@@ -330,6 +373,7 @@ class Delete:
     # (aliases or table names, `.*` suffix allowed as in MySQL).
     from_text: str | None = None
     targets: list[str] | None = None
+    cte: str | None = None
 
 
 @dataclass
@@ -567,7 +611,17 @@ def parse_statement(sql: str):
     s = strip_comments(sql).strip().rstrip(";").strip()
     up = s.upper()
 
-    if up.startswith(("SELECT", "WITH", "VALUES", "TABLE", "EXPLAIN", "DESCRIBE QUERY")):
+    if up.startswith("WITH"):
+        # MySQL 8 allows WITH before UPDATE/DELETE too; peel the CTE
+        # prologue and re-dispatch on what follows.
+        cte, rest = split_leading_cte(s)
+        if cte and re.match(r"(?:UPDATE|DELETE)\b", rest, re.I):
+            stmt = parse_statement(rest)
+            stmt.cte = cte
+            return stmt
+        return Query(s)
+
+    if up.startswith(("SELECT", "VALUES", "TABLE", "EXPLAIN", "DESCRIBE QUERY")):
         return Query(s)
 
     m = re.match(

@@ -396,3 +396,48 @@ def test_where_split_ignores_subquery_where():
     )
     assert s2.where == "id IN (SELECT k FROM u WHERE v > 3)"
     assert s2.from_text is None
+
+
+def test_cte_parse_splits_prologue():
+    s = parse_statement(
+        "WITH big AS (SELECT cid FROM ord WHERE amount > 100) "
+        "UPDATE cust SET tier = 'vip' WHERE id IN (SELECT cid FROM big)"
+    )
+    assert s.cte == "WITH big AS (SELECT cid FROM ord WHERE amount > 100)"
+    assert s.table == "cust"
+    assert s.where == "id IN (SELECT cid FROM big)"
+    # plain WITH...SELECT still routes as a query
+    q = parse_statement("WITH x AS (SELECT 1 AS a) SELECT * FROM x")
+    assert type(q).__name__ == "Query"
+
+
+def test_cte_update(shop):
+    r = shop.execute(
+        "WITH big AS (SELECT cid FROM ord WHERE amount > 100) "
+        "UPDATE cust SET tier = 'vip' WHERE id IN (SELECT cid FROM big)"
+    )
+    assert r.affected_rows == 1
+    rows = {r.id: r.tier for r in shop.execute("SELECT * FROM cust").collect()}
+    assert rows == {1: "vip", 2: "basic", 3: "basic"}
+
+
+def test_cte_delete(shop):
+    r = shop.execute(
+        "WITH known AS (SELECT id FROM cust) "
+        "DELETE FROM ord WHERE cid NOT IN (SELECT id FROM known)"
+    )
+    assert r.affected_rows == 1  # order 13's customer 9 is unknown
+    assert sorted(r.oid for r in shop.execute("SELECT * FROM ord").collect()) == [
+        10, 11, 12,
+    ]
+
+
+def test_cte_delete_multi_table(shop):
+    r = shop.execute(
+        "WITH vip AS (SELECT id FROM cust WHERE name = 'ann') "
+        "DELETE o FROM ord o JOIN vip ON o.cid = vip.id"
+    )
+    assert r.affected_rows == 2
+    assert sorted(r.oid for r in shop.execute("SELECT * FROM ord").collect()) == [
+        12, 13,
+    ]
