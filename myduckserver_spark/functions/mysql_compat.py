@@ -111,6 +111,22 @@ _ARG_REWRITES = [
     # FIELD(x, a, b, ...) → 1-based position of x (0 when absent)
     (re.compile(r"\bFIELD\s*\(\s*([^(),]+?)\s*,\s*([^()]+?)\s*\)", re.I),
      r"array_position(array(\2), \1)"),
+    # ELT(n, a, b, ...) → n-th string (NULL out of range); `get` is
+    # 0-indexed and NULL-on-out-of-bounds in every ANSI mode
+    (re.compile(r"\bELT\s*\(\s*([^(),]+?)\s*,\s*([^()]+?)\s*\)", re.I),
+     r"get(array(\2), cast(\1 as int) - 1)"),
+    # STRCMP(a, b) → -1/0/1 (NULL if either side is NULL)
+    (re.compile(
+        r"\bSTRCMP\s*\(\s*([^(),]+?)\s*,\s*([^(),]+?)\s*\)", re.I),
+     r"(CASE WHEN (\1) IS NULL OR (\2) IS NULL THEN NULL"
+     r" WHEN (\1) < (\2) THEN -1 WHEN (\1) = (\2) THEN 0 ELSE 1 END)"),
+    # FORMAT(x, d) → grouped thousands with d decimals
+    (re.compile(r"\bFORMAT\s*\(\s*([^(),]+?)\s*,\s*(\d+)\s*\)", re.I),
+     r"format_number(\1, \2)"),
+    # MAKEDATE(year, dayofyear)
+    (re.compile(
+        r"\bMAKEDATE\s*\(\s*([^(),]+?)\s*,\s*([^(),]+?)\s*\)", re.I),
+     r"date_add(make_date(\1, 1, 1), cast(\2 as int) - 1)"),
 ]
 
 

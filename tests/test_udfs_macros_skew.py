@@ -104,3 +104,21 @@ def test_mysql_dialect_fn_rewrites(spark):
     assert abs(float(row.tr) - 3.45) < 1e-9   # toward zero, not rounded
     assert row.f == 2
     assert row.cl == 5
+
+
+def test_mysql_dialect_fn_rewrites_2(spark):
+    """ELT/STRCMP/FORMAT/MAKEDATE shims (same SQLGlot-transpile surface,
+    reference transpiler/translate.go:102)."""
+    from myduckserver_spark.functions.mysql_compat import translate_mysql
+
+    sql = translate_mysql(
+        "SELECT ELT(2, 'a', 'b', 'c') AS e2, ELT(9, 'a', 'b') AS e9, "
+        "STRCMP('abc', 'abd') AS sc_lt, STRCMP('x', 'x') AS sc_eq, "
+        "STRCMP('b', 'a') AS sc_gt, STRCMP(NULL, 'a') AS sc_null, "
+        "FORMAT(1234567.891, 2) AS fm, MAKEDATE(2024, 60) AS md"
+    )
+    row = spark.sql(sql).collect()[0]
+    assert row.e2 == "b" and row.e9 is None
+    assert (row.sc_lt, row.sc_eq, row.sc_gt, row.sc_null) == (-1, 0, 1, None)
+    assert row.fm == "1,234,567.89"
+    assert str(row.md) == "2024-02-29"  # leap year: day 60
