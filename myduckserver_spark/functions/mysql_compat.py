@@ -129,6 +129,31 @@ _ARG_REWRITES = [
      r"date_add(make_date(\1, 1, 1), cast(\2 as int) - 1)"),
 ]
 
+# CONVERT(expr, type): MySQL cast-type names → Spark types. Spark's
+# CONVERT doesn't exist; CAST does, but SIGNED/UNSIGNED/CHAR aren't
+# Spark type names.
+_CONVERT_TYPES = {
+    "SIGNED": "bigint", "UNSIGNED": "bigint", "INTEGER": "int",
+    "CHAR": "string", "BINARY": "binary", "DATE": "date",
+    "DATETIME": "timestamp", "TIME": "string", "DOUBLE": "double",
+    "FLOAT": "float", "JSON": "string",
+}
+
+_CONVERT_RE = re.compile(
+    r"\bCONVERT\s*\(\s*([^(),]+?)\s*,\s*(\w+)(\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?\s*\)",
+    re.I,
+)
+
+
+def _rewrite_convert(sql: str) -> str:
+    def repl(m: re.Match) -> str:
+        ty = m.group(2).upper()
+        args = (m.group(3) or "").replace(" ", "")
+        mapped = _CONVERT_TYPES.get(ty, ty.lower())
+        return f"cast({m.group(1)} as {mapped}{args if ty == 'DECIMAL' else ''})"
+
+    return _CONVERT_RE.sub(repl, sql)
+
 
 def translate_mysql(sql: str) -> str:
     """Normalize a MySQL-dialect query into Spark SQL."""
@@ -148,4 +173,5 @@ def translate_mysql(sql: str) -> str:
         out = re.sub(pat, repl, out, flags=re.I)
     for pat, repl in _ARG_REWRITES:
         out = pat.sub(repl, out)
+    out = _rewrite_convert(out)
     return out

@@ -122,3 +122,17 @@ def test_mysql_dialect_fn_rewrites_2(spark):
     assert (row.sc_lt, row.sc_eq, row.sc_gt, row.sc_null) == (-1, 0, 1, None)
     assert row.fm == "1,234,567.89"
     assert str(row.md) == "2024-02-29"  # leap year: day 60
+
+
+def test_mysql_convert_rewrite(spark):
+    from myduckserver_spark.functions.mysql_compat import translate_mysql
+
+    sql = translate_mysql(
+        "SELECT CONVERT('42', SIGNED) AS s, CONVERT(7, CHAR) AS c, "
+        "CONVERT('2024-03-05', DATE) AS d, "
+        "CONVERT(3.14159, DECIMAL(6,2)) AS dec"
+    )
+    row = spark.sql(sql).collect()[0]
+    assert row.s == 42 and row.c == "7"
+    assert str(row.d) == "2024-03-05"
+    assert float(row.dec) == 3.14
