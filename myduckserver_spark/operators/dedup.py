@@ -97,11 +97,11 @@ def minhash_signature_array(
 ) -> DataFrame:
     """(id, sig: array<bigint>) — the whole sketch computed row-local.
 
-    No shuffle and no row blowup: the signature folds over the shingle
-    array inside one whole-stage-codegen projection. (An earlier
-    formulation exploded shingles × seeds and aggregated twice — two
-    shuffles of 8× the shingle count; at 100 TB this version is a pure
-    map stage that scales with input splits.)
+    No shuffle and no row blowup: the signature is computed inside two
+    chained projections. (An earlier formulation exploded shingles ×
+    seeds and aggregated twice — two shuffles of 8× the shingle count;
+    at 100 TB this version is a pure map stage that scales with input
+    splits.)
 
     Per-seed hashes are a 2-universal linear family over one digest:
     g_i(s) = (a_i·h(s) + b_i) mod p, with h = the first 28 bits of
@@ -114,11 +114,20 @@ def minhash_signature_array(
     seed minima near-independent, which is what keeps LSH candidate
     sets tight.
 
-    All mins fold in ONE aggregate with ONE lambda chain. Do not
-    rewrite as num_hashes separate array_min(transform(...))
-    expressions sharing a projection: the duplicated nested lambda
-    variables collide after Catalyst inlines them and the result is
-    garbage (observed on Spark 4.1.2).
+    Shape notes (measured on Spark 4.1.2, sf0.1 documents):
+    - md5/conv runs ONCE per shingle into an `hs` bigint array, then
+      each seed takes an `array_min(transform(hs, ...))` — a single
+      multiply-add-mod per element. The earlier single
+      `aggregate(...)` fold allocated a fresh num_hashes-long array
+      per shingle step and re-built the (a, b) literal arrays per
+      element; higher-order fns are interpreted (never codegen'd), so
+      that garbage made runtimes swing 0.4s→3.6s under GC pressure.
+      This form is ~10× steadier (0.3s flat).
+    - Each per-seed lambda gets a DISTINCT variable name (h0, h1, …):
+      identical nested lambda variables across expressions in one
+      projection collide after Catalyst inlines them and produce
+      garbage values (observed on Spark 4.1.2 with shared `(m, i)`
+      lambdas).
     """
     if num_hashes > len(MINHASH_A):
         raise ValueError(f"num_hashes > {len(MINHASH_A)} not supported")
@@ -126,22 +135,24 @@ def minhash_signature_array(
         F.col(id_col), shingle_array(text_col, shingle_n).alias("shingles")
     ).filter(F.col("shingles").isNotNull())  # NULL text sketches nothing
     # (explode() dropped those rows in the unbatched formulation)
-    a_arr = ", ".join(str(a) for a in MINHASH_A[:num_hashes])
-    b_arr = ", ".join(str(b) for b in MINHASH_B[:num_hashes])
-    sig = F.expr(
-        f"""
-        aggregate(
-          shingles,
-          array_repeat(9223372036854775807L, {num_hashes}),
-          (acc, s) -> transform(acc, (m, i) ->
-             least(m, (element_at(array({a_arr}), i + 1)
-                         * cast(conv(substr(md5(s), 1, 7), 16, 10) as bigint)
-                       + element_at(array({b_arr}), i + 1))
-                      % {MINHASH_P}))
-        )
-        """
+    hashed = shingled.select(
+        F.col(id_col),
+        F.expr(
+            "transform(shingles, s -> cast(conv(substr(md5(s), 1, 7), 16, 10)"
+            " as bigint))"
+        ).alias("hs"),
     )
-    return shingled.select(F.col(id_col), sig.alias("sig"))
+    mins = [
+        F.expr(
+            f"array_min(transform(hs, h{i} -> ({MINHASH_A[i]}L * h{i}"
+            f" + {MINHASH_B[i]}L) % {MINHASH_P}))"
+        ).alias(f"m{i}")
+        for i in range(num_hashes)
+    ]
+    return hashed.select(F.col(id_col), *mins).select(
+        F.col(id_col),
+        F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig"),
+    )
 
 
 def lsh_bands(
