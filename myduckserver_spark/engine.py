@@ -92,6 +92,10 @@ class Engine:
         """
         if dialect == "mysql":
             query = translate_mysql(query)
+        elif dialect == "postgres":
+            from myduckserver_spark.functions.pg_compat import translate_postgres
+
+            query = translate_postgres(query)
         if "information_schema" in query.lower() or "__sys__" in query:
             from myduckserver_spark import infoschema
 

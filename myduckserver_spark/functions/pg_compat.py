@@ -1,0 +1,409 @@
+"""Postgres-dialect SQL normalization for the Spark SQL front door.
+
+The reference's second wire surface passes Postgres SQL essentially
+verbatim to DuckDB (reference: pgserver/connection_handler.go:411-449,
+duck_handler.go:133-233), because DuckDB's dialect is pg-compatible.
+Spark SQL is close but not identical, so this module rewrites the
+pg-isms that appear in that passthrough surface:
+
+- ``expr::type`` casts (incl. chained casts, ``numeric(p,s)``,
+  ``double precision``, ``type[]`` arrays) → ``CAST(expr AS t)``,
+- ``SELECT DISTINCT ON (keys) ...`` → ROW_NUMBER window rewrite
+  (DuckDB supports DISTINCT ON natively; Spark does not),
+- ``~`` / ``~*`` / ``!~`` / ``!~*`` regex operators → RLIKE,
+- ``E'...'`` escape-string literals → plain literals (Spark processes
+  backslash escapes by default),
+- ``FETCH FIRST n ROWS ONLY`` → ``LIMIT n``,
+- function shims: ``strpos``, ``string_agg(e, sep ORDER BY o)`` →
+  ``listagg ... WITHIN GROUP``, ``to_char`` (common tokens),
+  ``generate_series`` in FROM → ``explode(sequence(...))``.
+
+Like mysql_compat, this is a *normalizer*, not a parser: valid Spark
+SQL passes through untouched. String-literal detection is
+parity-of-quotes based (no escaped-quote support inside literals —
+pg doubles quotes, which parity handles: ``''`` flips twice).
+"""
+
+from __future__ import annotations
+
+import re
+
+# ------------------------------------------------------------- type names
+
+# Multi-word pg type names, longest first so the scanner prefers them.
+_MULTIWORD_TYPES = [
+    "timestamp with time zone",
+    "timestamp without time zone",
+    "time with time zone",
+    "time without time zone",
+    "double precision",
+    "character varying",
+]
+
+_PG_TYPE_MAP = {
+    "smallint": "SMALLINT", "int2": "SMALLINT",
+    "integer": "INT", "int": "INT", "int4": "INT",
+    "bigint": "BIGINT", "int8": "BIGINT",
+    "real": "FLOAT", "float4": "FLOAT",
+    "double precision": "DOUBLE", "float8": "DOUBLE",
+    "numeric": "DECIMAL", "decimal": "DECIMAL",
+    "text": "STRING", "varchar": "STRING", "character varying": "STRING",
+    "char": "STRING", "character": "STRING", "bpchar": "STRING",
+    "name": "STRING",
+    "boolean": "BOOLEAN", "bool": "BOOLEAN",
+    "bytea": "BINARY",
+    "date": "DATE",
+    "timestamp": "TIMESTAMP", "timestamptz": "TIMESTAMP",
+    "timestamp with time zone": "TIMESTAMP",
+    "timestamp without time zone": "TIMESTAMP",
+    # Spark has no TIME type; the reference maps MySQL TIME to a
+    # duration (SURVEY.md §1.2) — for pg casts a string is the
+    # round-trippable choice.
+    "time": "STRING", "time with time zone": "STRING",
+    "time without time zone": "STRING",
+    "json": "STRING", "jsonb": "STRING", "uuid": "STRING",
+    "oid": "BIGINT", "regclass": "STRING",
+    "interval": "INTERVAL DAY TO SECOND",
+}
+
+
+def _in_string(sql: str, idx: int) -> bool:
+    """True when idx falls inside a single-quoted literal (parity scan)."""
+    return sql.count("'", 0, idx) % 2 == 1
+
+
+def _operand_start(s: str, end: int) -> int:
+    """Start index of the expression operand ending just before `end`.
+
+    Handles: identifier/number/dotted chains, quoted identifiers,
+    string literals, and balanced-paren groups optionally preceded by a
+    function name (covers ``f(x)::t`` and ``CAST(...)::t`` chains).
+    """
+    j = end - 1
+    while j >= 0 and s[j].isspace():
+        j -= 1
+    if j < 0:
+        return end
+    if s[j] == ")":
+        depth = 0
+        while j >= 0:
+            if s[j] == ")":
+                depth += 1
+            elif s[j] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            j -= 1
+        k = j - 1
+        while k >= 0 and (s[k].isalnum() or s[k] in "_$"):
+            k -= 1
+        return k + 1 if k < j - 1 else j
+    if s[j] in "'\"`":
+        q = s[j]
+        k = j - 1
+        while k >= 0 and s[k] != q:
+            k -= 1
+        return max(k, 0)
+    k = j
+    while k >= 0 and (s[k].isalnum() or s[k] in "_$."):
+        k -= 1
+    return k + 1
+
+
+_TYPE_ARGS_RE = re.compile(r"\s*\(\s*\d+(\s*,\s*\d+)?\s*\)")
+_ARRAY_SUFFIX_RE = re.compile(r"\s*\[\s*\]")
+
+
+def _parse_type(s: str, i: int) -> tuple[str, int] | None:
+    """Parse a pg type name at s[i:] → (spark_type, end_index)."""
+    rest = s[i:]
+    low = rest.lower()
+    name = None
+    for mw in _MULTIWORD_TYPES:
+        if low.startswith(mw):
+            name, nlen = mw, len(mw)
+            break
+    if name is None:
+        m = re.match(r"[a-zA-Z_][a-zA-Z0-9_]*", rest)
+        if not m:
+            return None
+        name, nlen = m.group(0).lower(), m.end()
+    spark = _PG_TYPE_MAP.get(name)
+    if spark is None:
+        return None
+    end = i + nlen
+    args = ""
+    m = _TYPE_ARGS_RE.match(s, end)
+    if m:
+        if spark in ("DECIMAL", "STRING"):
+            # length args on strings are dropped (STRING is unbounded);
+            # precision args on DECIMAL are kept.
+            if spark == "DECIMAL":
+                args = re.sub(r"\s+", "", m.group(0))
+        end = m.end()
+    if spark == "DECIMAL" and not args:
+        # bare ``numeric``: pg is arbitrary-precision; use the same
+        # 38-cap the reference applies (catalog/type_mapping.go:163-169)
+        # with a generous scale.
+        args = "(38,9)"
+    m = _ARRAY_SUFFIX_RE.match(s, end)
+    if m:
+        return f"ARRAY<{spark}{args}>", m.end()
+    return spark + args, end
+
+
+def _rewrite_casts(sql: str) -> str:
+    """``expr::type`` → ``CAST(expr AS type)``, innermost-first."""
+    out = sql
+    for _ in range(40):  # chained-cast fixpoint guard
+        idx = out.find("::")
+        while idx != -1 and _in_string(out, idx):
+            idx = out.find("::", idx + 2)
+        if idx == -1:
+            return out
+        ty_at = idx + 2
+        while ty_at < len(out) and out[ty_at].isspace():
+            ty_at += 1
+        parsed = _parse_type(out, ty_at)
+        if parsed is None:
+            # unknown type name: drop the cast operator, keep operand
+            out = out[:idx] + out[ty_at:]
+            continue
+        spark_ty, ty_end = parsed
+        start = _operand_start(out, idx)
+        operand = out[start:idx].strip()
+        out = f"{out[:start]}CAST({operand} AS {spark_ty}){out[ty_end:]}"
+    return out
+
+
+# --------------------------------------------------------- regex operators
+
+_REGEX_OP_RE = re.compile(r"(!~\*|!~|~\*|~)")
+
+
+def _rewrite_regex_ops(sql: str) -> str:
+    """``a ~ 'p'`` → anchored RLIKE; ``~*`` adds (?i); ``!~`` negates.
+
+    Anchoring note: in the reference these operators execute in DuckDB,
+    where ``~`` is regexp_full_match (anchored) — NOT pg's partial
+    match (pgserver passthrough means DuckDB semantics win). We match
+    the reference: the pattern is wrapped as ``^(?:p)$``.
+    """
+    out = sql
+    guard = 0
+    pos = 0
+    while guard < 100:
+        guard += 1
+        m = _REGEX_OP_RE.search(out, pos)
+        if not m:
+            return out
+        if _in_string(out, m.start()):
+            pos = m.end()
+            continue
+        op = m.group(1)
+        start = _operand_start(out, m.start())
+        lhs = out[start:m.start()].strip()
+        if not lhs:  # leading ~ (bitwise NOT) — leave untouched
+            pos = m.end()
+            continue
+        # RHS: string literal or simple operand
+        rest = out[m.end():]
+        rm = re.match(r"\s*('(?:[^']|'')*')", rest)
+        if rm:
+            flags = "(?i)" if "*" in op else ""
+            pat = f"'{flags}^(?:" + rm.group(1)[1:-1] + ")$'"
+            rhs_end = m.end() + rm.end()
+        else:
+            # non-literal pattern: build the anchored pattern via concat
+            rm2 = re.match(r"\s*[\w.$]+", rest)
+            if not rm2:
+                pos = m.end()
+                continue
+            flags = "(?i)" if "*" in op else ""
+            pat = f"concat('{flags}^(?:', {rest[: rm2.end()].strip()}, ')$')"
+            rhs_end = m.end() + rm2.end()
+        neg = "NOT " if op.startswith("!") else ""
+        out = f"{out[:start]}{neg}({lhs} RLIKE {pat}){out[rhs_end:]}"
+        pos = 0
+    return out
+
+
+# ------------------------------------------------------------ DISTINCT ON
+
+_DISTINCT_ON_RE = re.compile(r"\bSELECT\s+DISTINCT\s+ON\s*\(", re.I)
+
+
+def _match_paren(s: str, open_idx: int) -> int:
+    depth = 0
+    for i in range(open_idx, len(s)):
+        if s[i] == "(" and not _in_string(s, i):
+            depth += 1
+        elif s[i] == ")" and not _in_string(s, i):
+            depth -= 1
+            if depth == 0:
+                return i
+    raise ValueError("unbalanced parens in DISTINCT ON")
+
+
+def _top_level_find(s: str, pattern: re.Pattern, from_idx: int = 0) -> int:
+    """Index of the last top-level (paren-depth-0) match, or -1."""
+    depth = 0
+    best = -1
+    i = from_idx
+    while i < len(s):
+        c = s[i]
+        if c == "'" :
+            j = s.find("'", i + 1)
+            i = (j if j != -1 else len(s)) + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            m = pattern.match(s, i)
+            if m:
+                best = i
+        i += 1
+    return best
+
+
+_ORDER_BY_AT = re.compile(r"ORDER\s+BY\b", re.I)
+_LIMIT_AT = re.compile(r"LIMIT\b", re.I)
+
+
+def _rewrite_distinct_on(sql: str) -> str:
+    """``SELECT DISTINCT ON (k) sel FROM body ORDER BY o [LIMIT n]`` →
+    ROW_NUMBER()-per-key rewrite (keeps first row per key in ORDER BY
+    order — pg semantics; DuckDB implements the same).
+
+    At scale this is the right plan anyway: one shuffle on the
+    partition keys, no global distinct.
+    """
+    m = _DISTINCT_ON_RE.search(sql)
+    if not m:
+        return sql
+    open_idx = sql.index("(", m.start())
+    close_idx = _match_paren(sql, open_idx)
+    keys = sql[open_idx + 1 : close_idx].strip()
+    rest = sql[close_idx + 1 :]
+
+    from_at = _top_level_find(rest, re.compile(r"FROM\b", re.I))
+    if from_at == -1:
+        return sql
+    sel = rest[:from_at].strip()
+    tail = rest[from_at:]
+
+    ob_at = _top_level_find(tail, _ORDER_BY_AT)
+    lim_at = _top_level_find(tail, _LIMIT_AT)
+    limit_clause = ""
+    if lim_at != -1:
+        limit_clause = " " + tail[lim_at:].strip()
+        tail = tail[:lim_at]
+    if ob_at != -1:
+        order_by = tail[ob_at:].strip()[len("ORDER BY"):].strip()
+        body = tail[:ob_at].strip()
+    else:
+        order_by = keys
+        body = tail.strip()
+
+    prefix = sql[: m.start()]
+    sel_out = "* EXCEPT(__don_rn)" if sel == "*" else sel
+    inner = (
+        f"SELECT *, ROW_NUMBER() OVER (PARTITION BY {keys} "
+        f"ORDER BY {order_by}) AS __don_rn {body}"
+    )
+    outer_ob = f" ORDER BY {order_by}" if ob_at != -1 else ""
+    return (
+        f"{prefix}SELECT {sel_out} FROM ({inner}) __don "
+        f"WHERE __don_rn = 1{outer_ob}{limit_clause}"
+    )
+
+
+# ------------------------------------------------------------- functions
+
+# pg to_char tokens → Java datetime pattern (common subset)
+_TO_CHAR_TOKENS = [
+    ("YYYY", "yyyy"), ("YY", "yy"), ("MM", "MM"), ("DD", "dd"),
+    ("HH24", "HH"), ("HH12", "hh"), ("MI", "mm"), ("SS", "ss"),
+    ("MS", "SSS"), ("US", "SSSSSS"), ("Month", "MMMM"), ("Mon", "MMM"),
+    ("Day", "EEEE"), ("Dy", "EEE"), ("AM", "a"), ("PM", "a"),
+]
+
+
+def pg_datetime_format(fmt: str) -> str:
+    out = fmt
+    for pg, java in _TO_CHAR_TOKENS:
+        out = out.replace(pg, java)
+    return out
+
+
+_STRING_AGG_RE = re.compile(
+    r"\bstring_agg\s*\(\s*(.+?)\s*,\s*('(?:[^']|'')*')"
+    r"(?:\s+ORDER\s+BY\s+(.+?))?\s*\)",
+    re.I,
+)
+
+_GEN_SERIES_FROM_RE = re.compile(
+    r"\bFROM\s+generate_series\s*\(\s*([^()]+?)\s*\)"
+    r"(?:\s+(?:AS\s+)?([a-zA-Z_]\w*)\s*(?:\(\s*([a-zA-Z_]\w*)\s*\))?)?",
+    re.I,
+)
+
+
+def _rewrite_functions(sql: str) -> str:
+    out = sql
+    # strpos(s, sub) → position(sub, s)  (argument swap)
+    out = re.sub(
+        r"\bstrpos\s*\(\s*([^(),]+?)\s*,\s*([^(),]+?)\s*\)",
+        r"position(\2, \1)",
+        out,
+        flags=re.I,
+    )
+
+    # string_agg(e, 'sep' [ORDER BY o]) → listagg WITHIN GROUP
+    def sa(m: re.Match) -> str:
+        e, sep, ob = m.group(1), m.group(2), m.group(3)
+        wg = f" WITHIN GROUP (ORDER BY {ob})" if ob else ""
+        return f"listagg({e}, {sep}){wg}"
+
+    out = _STRING_AGG_RE.sub(sa, out)
+
+    # to_char(expr, 'fmt') → date_format(expr, java_fmt)
+    def tc(m: re.Match) -> str:
+        return f"date_format({m.group(1)}, '{pg_datetime_format(m.group(2))}')"
+
+    out = re.sub(
+        r"\bto_char\s*\(\s*(.+?)\s*,\s*'([^']*)'\s*\)", tc, out, flags=re.I
+    )
+
+    # FROM generate_series(a, b[, step]) [AS] alias[(col)]
+    #   → FROM (SELECT explode(sequence(a, b[, step])) AS col) alias
+    def gs(m: re.Match) -> str:
+        args = m.group(1)
+        alias = m.group(2) or "generate_series"
+        col = m.group(3) or "generate_series"
+        return (
+            f"FROM (SELECT explode(sequence({args})) AS {col}) {alias}"
+        )
+
+    out = _GEN_SERIES_FROM_RE.sub(gs, out)
+    return out
+
+
+_ESTRING_RE = re.compile(r"\bE'")
+_FETCH_FIRST_RE = re.compile(
+    r"\bFETCH\s+FIRST\s+(\d+)\s+ROWS?\s+ONLY\b", re.I
+)
+
+
+def translate_postgres(sql: str) -> str:
+    """Normalize a Postgres-dialect query into Spark SQL."""
+    out = sql
+    out = _ESTRING_RE.sub("'", out)  # E'..' → '..' (Spark does escapes)
+    out = _FETCH_FIRST_RE.sub(r"LIMIT \1", out)
+    out = _rewrite_distinct_on(out)
+    out = _rewrite_functions(out)
+    out = _rewrite_casts(out)
+    out = _rewrite_regex_ops(out)
+    return out

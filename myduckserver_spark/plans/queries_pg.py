@@ -1,0 +1,85 @@
+"""Postgres-dialect front-door queries (oracle-matched).
+
+The reference's pg wire surface ships SQL text to DuckDB essentially
+verbatim (reference: pgserver/connection_handler.go:411-449,
+duck_handler.go:133-233). Here the SAME pg-dialect text is the DuckDB
+oracle, and the Spark side runs it through
+``functions.pg_compat.translate_postgres`` — so the driver gate
+checks the whole dialect path, not just the final plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from myduckserver_spark.functions.pg_compat import translate_postgres
+from myduckserver_spark.plans.registry import register
+from myduckserver_spark.tables import register_views
+
+
+def _pg(name: str, pg_sql: str, tags: tuple[str, ...], doc: str,
+        oracle: str | None = None):
+    """Register a pg-dialect query: oracle = the pg text itself."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(translate_postgres(pg_sql))
+
+    fn.__name__ = name
+    fn.__doc__ = doc
+    register(name, oracle=oracle or pg_sql, tags=tags)(fn)
+
+
+_pg(
+    "pg_distinct_on",
+    """
+    SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_orderdate
+    FROM orders
+    ORDER BY o_custkey, o_orderdate DESC, o_orderkey DESC
+    """,
+    tags=("pg", "distinct-on", "window"),
+    doc="""DISTINCT ON → ROW_NUMBER-per-key rewrite (latest order per
+    customer, deterministic tiebreak). Scale: one shuffle on the
+    partition key; no global distinct.""",
+)
+
+_pg(
+    "pg_regex_casts",
+    """
+    SELECT c_custkey, c_custkey::text AS ck_str,
+           (c_acctbal >= 0)::int AS solvent
+    FROM customer
+    WHERE c_name ~ '.*[13]'
+    ORDER BY c_custkey
+    """,
+    tags=("pg", "cast", "regex"),
+    doc="""`::` casts + `~` regex operator. The RLIKE translation is
+    anchored because DuckDB's `~` is regexp_full_match — reference
+    behavior is DuckDB's, not pg's partial match.""",
+)
+
+_pg(
+    "pg_string_agg_region",
+    """
+    SELECT n_regionkey::bigint AS rk,
+           string_agg(n_name, ',' ORDER BY n_name) AS names
+    FROM nation GROUP BY n_regionkey ORDER BY rk
+    """,
+    tags=("pg", "string_agg"),
+    doc="""string_agg(e, sep ORDER BY o) → listagg WITHIN GROUP —
+    ordered, deterministic concatenation per group.""",
+)
+
+_pg(
+    "pg_series_bucket_histogram",
+    """
+    SELECT g::bigint AS bucket, count(o_orderkey)::bigint AS n
+    FROM generate_series(0, 9) AS t(g)
+    LEFT JOIN orders ON least(floor(o_totalprice / 50000), 9) = g
+    GROUP BY g ORDER BY bucket
+    """,
+    tags=("pg", "generate_series", "histogram"),
+    doc="""generate_series as a FROM-clause table function →
+    explode(sequence(...)) subquery, left-joined to build a dense
+    price histogram (empty buckets kept).""",
+)

@@ -1,0 +1,204 @@
+"""Postgres-dialect front door: translate_postgres unit tests plus
+DuckDB-oracle execution parity.
+
+The reference passes pg SQL essentially verbatim to DuckDB
+(reference: pgserver/connection_handler.go:411-449); DuckDB therefore
+*is* the semantics oracle for this dialect — each execution test runs
+the original pg text on DuckDB and the translated text on Spark.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from myduckserver_spark.functions.pg_compat import translate_postgres
+from myduckserver_spark.oracle import compare_one
+from myduckserver_spark.tables import register_views
+
+
+# ------------------------------------------------------------ unit tests
+
+
+@pytest.mark.parametrize(
+    "src,expected",
+    [
+        ("SELECT a::text FROM t", "SELECT CAST(a AS STRING) FROM t"),
+        ("SELECT a::int8 FROM t", "SELECT CAST(a AS BIGINT) FROM t"),
+        (
+            "SELECT a::double precision FROM t",
+            "SELECT CAST(a AS DOUBLE) FROM t",
+        ),
+        (
+            "SELECT a::numeric(12,2) FROM t",
+            "SELECT CAST(a AS DECIMAL(12,2)) FROM t",
+        ),
+        (
+            "SELECT f(x)::text FROM t",
+            "SELECT CAST(f(x) AS STRING) FROM t",
+        ),
+        (
+            "SELECT (a + b)::bigint FROM t",
+            "SELECT CAST((a + b) AS BIGINT) FROM t",
+        ),
+        (
+            "SELECT a::text::int FROM t",
+            "SELECT CAST(CAST(a AS STRING) AS INT) FROM t",
+        ),
+        (
+            "SELECT '1'::int, b::varchar(10) FROM t",
+            "SELECT CAST('1' AS INT), CAST(b AS STRING) FROM t",
+        ),
+        (
+            "SELECT a::int[] FROM t",
+            "SELECT CAST(a AS ARRAY<INT>) FROM t",
+        ),
+        # ::text inside a string literal must NOT be rewritten
+        (
+            "SELECT 'a::text' FROM t",
+            "SELECT 'a::text' FROM t",
+        ),
+    ],
+)
+def test_cast_rewrites(src, expected):
+    assert translate_postgres(src) == expected
+
+
+def test_regex_operators():
+    """DuckDB's ~ is regexp_full_match — the translated RLIKE is
+    anchored to mirror the reference's pg-on-DuckDB behavior."""
+    assert (
+        translate_postgres("SELECT * FROM t WHERE name ~ 'ab+'")
+        == "SELECT * FROM t WHERE (name RLIKE '^(?:ab+)$')"
+    )
+    assert (
+        translate_postgres("SELECT * FROM t WHERE name ~* 'ab+'")
+        == "SELECT * FROM t WHERE (name RLIKE '(?i)^(?:ab+)$')"
+    )
+    assert (
+        translate_postgres("SELECT * FROM t WHERE name !~ 'ab+'")
+        == "SELECT * FROM t WHERE NOT (name RLIKE '^(?:ab+)$')"
+    )
+    assert (
+        translate_postgres("SELECT * FROM t WHERE name !~* 'ab+'")
+        == "SELECT * FROM t WHERE NOT (name RLIKE '(?i)^(?:ab+)$')"
+    )
+    # inside string literal: untouched
+    assert translate_postgres("SELECT '~' FROM t") == "SELECT '~' FROM t"
+
+
+def test_distinct_on_rewrite_shape():
+    out = translate_postgres(
+        "SELECT DISTINCT ON (k) k, v FROM t ORDER BY k, v DESC LIMIT 5"
+    )
+    assert "ROW_NUMBER() OVER (PARTITION BY k ORDER BY k, v DESC)" in out
+    assert out.rstrip().endswith("LIMIT 5")
+    assert "__don_rn = 1" in out
+
+
+def test_misc_rewrites():
+    assert (
+        translate_postgres("SELECT x FROM t FETCH FIRST 7 ROWS ONLY")
+        == "SELECT x FROM t LIMIT 7"
+    )
+    assert translate_postgres("SELECT E'a\\nb'") == "SELECT 'a\\nb'"
+    assert (
+        translate_postgres("SELECT strpos(name, 'x') FROM t")
+        == "SELECT position('x', name) FROM t"
+    )
+    out = translate_postgres(
+        "SELECT string_agg(n, ',' ORDER BY n) FROM t"
+    )
+    assert out == "SELECT listagg(n, ',') WITHIN GROUP (ORDER BY n) FROM t"
+    out = translate_postgres("SELECT g FROM generate_series(1, 5) AS s(g)")
+    assert "explode(sequence(1, 5))" in out and " AS g" in out
+
+
+# ------------------------------------------------------- execution parity
+
+
+def _pg_exec(pg_sql: str):
+    def fn(spark, sf_dir):
+        register_views(spark, sf_dir)
+        return spark.sql(translate_postgres(pg_sql))
+
+    return fn
+
+
+# (name, pg SQL run verbatim on DuckDB, translated on Spark)
+_PARITY = [
+    (
+        "pg_distinct_on",
+        """
+        SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_orderdate
+        FROM orders
+        ORDER BY o_custkey, o_orderdate DESC, o_orderkey DESC
+        """,
+    ),
+    (
+        "pg_casts_regex",
+        """
+        SELECT c_custkey, c_custkey::text AS ck_str,
+               (c_acctbal >= 0)::int AS solvent
+        FROM customer
+        WHERE c_name ~ '.*[13]'
+        ORDER BY c_custkey
+        """,
+    ),
+    (
+        "pg_string_agg",
+        """
+        SELECT n_regionkey::bigint AS rk,
+               string_agg(n_name, ',' ORDER BY n_name) AS names
+        FROM nation GROUP BY n_regionkey ORDER BY rk
+        """,
+    ),
+    (
+        "pg_generate_series",
+        """
+        SELECT g::bigint AS n, (g * g)::bigint AS sq
+        FROM generate_series(1, 12) AS t(g) ORDER BY n
+        """,
+    ),
+    (
+        "pg_fetch_first",
+        """
+        SELECT o_orderkey FROM orders ORDER BY o_orderkey
+        FETCH FIRST 5 ROWS ONLY
+        """,
+    ),
+]
+
+
+@pytest.mark.parametrize("name,pg_sql", _PARITY, ids=[p[0] for p in _PARITY])
+def test_pg_parity(spark, sf_dir, name, pg_sql):
+    res = compare_one(spark, name, _pg_exec(pg_sql), pg_sql, sf_dir)
+    assert res.ok, res.detail
+
+
+def test_to_char_parity(spark, sf_dir):
+    """to_char has no DuckDB equivalent by the same name — oracle uses
+    strftime for the same output."""
+    pg_sql = (
+        "SELECT to_char(o_orderdate, 'YYYY-MM') AS ym, "
+        "count(*)::bigint AS n FROM orders GROUP BY 1 ORDER BY ym"
+    )
+    oracle = (
+        "SELECT strftime(o_orderdate, '%Y-%m') AS ym, "
+        "count(*)::bigint AS n FROM orders GROUP BY 1 ORDER BY ym"
+    )
+    res = compare_one(spark, "pg_to_char", _pg_exec(pg_sql), oracle, sf_dir)
+    assert res.ok, res.detail
+
+
+def test_engine_postgres_dialect(spark, tmp_path):
+    """engine.sql(dialect='postgres') end-to-end."""
+    from myduckserver_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.create_table("pgt", [("id", "bigint"), ("name", "text")])
+    eng.execute("INSERT INTO pgt VALUES (1, 'Alpha'), (2, 'beta'), (3, 'gamma')")
+    rows = eng.sql(
+        "SELECT id::text AS i, name FROM pgt WHERE name ~* 'a.*' ORDER BY id",
+        dialect="postgres",
+    ).collect()
+    assert [(r.i, r.name) for r in rows] == [("1", "Alpha")]
