@@ -59,11 +59,18 @@ def main() -> None:
     for name in HEADLINE:
         REGISTRY[name].spark(spark, sf_dir).collect()
 
+    # Median of 3 measured runs per query: steady-state latency, robust
+    # to one-off JIT/GC pauses (observed swinging single runs 1.5-3x on
+    # identical plans). All runs are real end-to-end collects at the
+    # measured SF.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        REGISTRY[name].spark(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs: list[float] = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            REGISTRY[name].spark(spark, sf_dir).collect()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(runs)[1], 3)
 
     total = round(sum(timings.values()), 3)
     print(
