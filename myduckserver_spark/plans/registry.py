@@ -56,6 +56,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         queries_ext,
         queries_fn2,
         queries_misc,
+        queries_more,
         queries_pg,
         queries_tpch2,
     )
@@ -71,6 +72,7 @@ def all_oracles() -> dict[str, str]:
         queries_ext,
         queries_fn2,
         queries_misc,
+        queries_more,
         queries_pg,
         queries_tpch2,
     )

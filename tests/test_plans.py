@@ -184,3 +184,42 @@ def test_asof_join_single_exchange_no_join(spark, sf_dir):
         if "Exchange hashpartitioning" in ln and "user_id" in ln
     )
     assert n_user == 1
+
+
+def test_apx_ndv_close_to_exact(spark, sf_dir):
+    """apx_ndv_by_flag has no oracle (HLL sketches are engine-specific);
+    pin it to <5% relative error against the exact distinct counts."""
+    apx = {
+        r["l_returnflag"]: r
+        for r in REGISTRY["apx_ndv_by_flag"].spark(spark, sf_dir).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r
+        for r in load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct("l_partkey").alias("n_part"),
+        )
+        .collect()
+    }
+    assert set(apx) == set(exact)
+    for flag, row in exact.items():
+        for a_col, e_col in (("apx_supp", "n_supp"), ("apx_part", "n_part")):
+            est, act = apx[flag][a_col], row[e_col]
+            assert abs(est - act) <= max(0.05 * act, 2), (flag, a_col, est, act)
+
+
+def test_samp_hash_bucket_no_shuffle(spark, sf_dir):
+    """Deterministic sampling is a pure map-side filter + global agg —
+    exactly one exchange (the single-partition agg), no repartition."""
+    plan = _physical(REGISTRY["samp_hash_bucket"].spark(spark, sf_dir))
+    # one Exchange for the final single-group aggregate is expected;
+    # anything more means the sample filter forced extra movement
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges <= 2, plan
+
+
+def test_g_multi_distinct_uses_expand(spark, sf_dir):
+    plan = _physical(REGISTRY["g_multi_distinct"].spark(spark, sf_dir))
+    assert "Expand" in plan, plan
