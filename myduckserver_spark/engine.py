@@ -96,7 +96,12 @@ class Engine:
             from myduckserver_spark.functions.pg_compat import translate_postgres
 
             query = translate_postgres(query)
-        if "information_schema" in query.lower() or "__sys__" in query:
+        lowered = query.lower()
+        if (
+            "information_schema" in lowered
+            or "__sys__" in query
+            or "pg_catalog" in lowered
+        ):
             from myduckserver_spark import infoschema
 
             query = infoschema.register_referenced(self, query)

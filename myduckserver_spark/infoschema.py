@@ -25,9 +25,9 @@ import re
 
 from pyspark.sql import DataFrame
 
-# information_schema.<name> / __sys__.<name>, case-insensitive.
+# information_schema.<name> / __sys__.<name> / pg_catalog.<name>.
 _QUALIFIED = re.compile(
-    r"\b(information_schema|__sys__)\s*\.\s*([A-Za-z_][A-Za-z0-9_]*)",
+    r"\b(information_schema|__sys__|pg_catalog)\s*\.\s*([A-Za-z_][A-Za-z0-9_]*)",
     re.IGNORECASE,
 )
 
@@ -36,6 +36,10 @@ INFO_VIEWS = {
     "key_column_usage", "table_constraints",
 }
 SYS_VIEWS = {"pg_stat_user_tables", "pg_index"}
+# pg_catalog shims: the reference rewrites pg_catalog queries in place
+# (pgserver/in_place_handler.go:19-26, 160-260); these four cover the
+# introspection psql/BI tools actually issue.
+PG_CATALOG_VIEWS = {"pg_namespace", "pg_class", "pg_attribute", "pg_tables"}
 
 
 def rewrite(query: str) -> tuple[str, set[tuple[str, str]]]:
@@ -47,7 +51,11 @@ def rewrite(query: str) -> tuple[str, set[tuple[str, str]]]:
 
     def _sub(m: re.Match) -> str:
         schema, view = m.group(1).lower(), m.group(2).lower()
-        known = INFO_VIEWS if schema == "information_schema" else SYS_VIEWS
+        known = {
+            "information_schema": INFO_VIEWS,
+            "__sys__": SYS_VIEWS,
+            "pg_catalog": PG_CATALOG_VIEWS,
+        }[schema]
         if view not in known:
             return m.group(0)  # leave unknown names to fail naturally
         needed.add((schema, view))
@@ -240,7 +248,102 @@ def build(engine, schema: str, view: str) -> DataFrame:
             "indisunique boolean, indisprimary boolean, indkey array<int>",
         )
 
+    if schema == "pg_catalog":
+        return _build_pg_catalog(engine, view)
+
     raise ValueError(f"unknown catalog view: {schema}.{view}")
+
+
+# Deterministic oid assignment: system namespaces get fixed small oids
+# (pg convention: pg_catalog=11, information_schema=99); user schemas
+# and relations count up from 16384 (pg's FirstNormalObjectId) in
+# sorted order, so repeated queries see stable oids.
+_NSP_PG_CATALOG = 11
+_NSP_INFO_SCHEMA = 99
+_FIRST_NORMAL_OID = 16384
+
+# Spark/engine type name → pg type oid (pgtypes parity for the wire
+# shims; reference maps DuckDB types to these same oids,
+# pgtypes/pgtypes.go:60-90).
+_PG_TYPE_OIDS = {
+    "boolean": 16, "tinyint": 21, "smallint": 21, "int": 23,
+    "bigint": 20, "float": 700, "double": 701, "string": 25,
+    "binary": 17, "date": 1082, "timestamp": 1114, "timestamp_ntz": 1114,
+}
+
+
+def _pg_type_oid(spark_type_name: str) -> int:
+    base = spark_type_name.split("(")[0].lower()
+    if base.startswith("decimal"):
+        return 1700  # numeric
+    if base.startswith("array"):
+        return 2277  # anyarray
+    return _PG_TYPE_OIDS.get(base, 25)
+
+
+def _pg_oids(engine):
+    """Stable (namespace_oids, class_rows) for every db/table/view."""
+    nsp = {}
+    classes = []  # (oid, relname, nsp_oid, relkind, relnatts, fields)
+    next_oid = _FIRST_NORMAL_OID
+    for db, cat in _walk(engine):
+        nsp[db] = next_oid
+        next_oid += 1
+    for db, cat in _walk(engine):
+        for t in cat.list_tables():
+            fields = cat.table(t).read().schema.fields
+            classes.append((next_oid, t, nsp[db], "r", len(fields), fields))
+            next_oid += 1
+        for v in _view_names(cat):
+            classes.append((next_oid, v, nsp[db], "v", 0, []))
+            next_oid += 1
+    return nsp, classes
+
+
+def _build_pg_catalog(engine, view: str) -> DataFrame:
+    spark = engine.spark
+    nsp, classes = _pg_oids(engine)
+
+    if view == "pg_namespace":
+        rows = [(_NSP_PG_CATALOG, "pg_catalog"),
+                (_NSP_INFO_SCHEMA, "information_schema")]
+        rows += [(oid, db) for db, oid in sorted(nsp.items(), key=lambda kv: kv[1])]
+        return spark.createDataFrame(rows, "oid long, nspname string")
+
+    if view == "pg_class":
+        rows = [(oid, name, ns, kind, natts) for oid, name, ns, kind, natts, _ in classes]
+        return spark.createDataFrame(
+            rows,
+            "oid long, relname string, relnamespace long, relkind string, "
+            "relnatts int",
+        )
+
+    if view == "pg_attribute":
+        rows = []
+        for oid, _name, _ns, _kind, _natts, fields in classes:
+            for i, f_ in enumerate(fields):
+                rows.append((
+                    oid, f_.name, _pg_type_oid(f_.dataType.simpleString()),
+                    i + 1, not f_.nullable,
+                ))
+        return spark.createDataFrame(
+            rows,
+            "attrelid long, attname string, atttypid long, attnum int, "
+            "attnotnull boolean",
+        )
+
+    if view == "pg_tables":
+        inv_nsp = {v: k for k, v in nsp.items()}
+        rows = [
+            (inv_nsp[ns], name, "spark")
+            for _oid, name, ns, kind, _natts, _f in classes
+            if kind == "r"
+        ]
+        return spark.createDataFrame(
+            rows, "schemaname string, tablename string, tableowner string"
+        )
+
+    raise ValueError(f"unknown catalog view: pg_catalog.{view}")
 
 
 def register_referenced(engine, query: str) -> str:

@@ -142,3 +142,52 @@ def test_join_info_schema_with_user_table(engine):
         " WHERE c.TABLE_NAME = 'orders' AND c.DATA_TYPE = 'decimal'"
     ).collect()
     assert [r.COLUMN_NAME for r in rows] == ["amount"]
+
+
+def test_pg_catalog_namespace_class_attribute(engine):
+    """pg_catalog shims (reference: pgserver/in_place_handler.go:19-26):
+    the namespace→class→attribute join psql-style tools issue."""
+    ns = engine.execute(
+        "SELECT oid, nspname FROM pg_catalog.pg_namespace ORDER BY oid"
+    ).collect()
+    names = [r.nspname for r in ns]
+    assert names[:2] == ["pg_catalog", "information_schema"]
+    assert "main" in names
+    assert ns[0].oid == 11 and ns[1].oid == 99
+
+    rows = engine.execute(
+        "SELECT c.relname, c.relkind, n.nspname"
+        " FROM pg_catalog.pg_class c"
+        " JOIN pg_catalog.pg_namespace n ON c.relnamespace = n.oid"
+        " ORDER BY c.relname"
+    ).collect()
+    kinds = {r.relname: r.relkind for r in rows}
+    assert kinds == {"users": "r", "orders": "r", "adults": "v"}
+    assert all(r.nspname == "main" for r in rows)
+
+    atts = engine.execute(
+        "SELECT a.attname, a.attnum, a.attnotnull, a.atttypid"
+        " FROM pg_catalog.pg_attribute a"
+        " JOIN pg_catalog.pg_class c ON a.attrelid = c.oid"
+        " WHERE c.relname = 'orders' ORDER BY a.attnum"
+    ).collect()
+    assert [r.attname for r in atts] == ["oid", "uid", "amount"]
+    assert atts[2].atttypid == 1700  # numeric
+
+
+def test_pg_catalog_pg_tables(engine):
+    rows = engine.execute(
+        "SELECT schemaname, tablename FROM pg_catalog.pg_tables"
+        " ORDER BY tablename"
+    ).collect()
+    assert [(r.schemaname, r.tablename) for r in rows] == [
+        ("main", "orders"), ("main", "users"),
+    ]
+
+
+def test_pg_catalog_stable_oids(engine):
+    """oids must be stable across repeated queries (BI tools cache them)."""
+    q = "SELECT oid FROM pg_catalog.pg_class WHERE relname = 'users'"
+    a = engine.execute(q).collect()[0].oid
+    b = engine.execute(q).collect()[0].oid
+    assert a == b >= 16384
