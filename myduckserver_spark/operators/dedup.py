@@ -230,6 +230,39 @@ def minhash_lsh_candidates(
     )
 
 
+def shingle_hash_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, sh: bigint) — one row per distinct shingle, keyed by the
+    first 60 bits of md5(shingle) instead of the shingle text.
+
+    The hash is computed map-side once per shingle; the inverted-index
+    join then shuffles/compares 8-byte keys instead of ~20-char strings
+    (~2x on the self-join stage). Both engines derive the identical
+    bigint from md5 hex, and any (astronomically rare, ~2^-61 per pair)
+    collision affects both engines identically — the oracle compare
+    stays exact.
+    """
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "transform(" + shingle_expr_sql(text_col, n) + ","
+                " s -> cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint))"
+            )
+        ).alias("sh"),
+    )
+
+
+def shingle_expr_sql(text_col: str, n: int) -> str:
+    """SQL-text twin of shingle_array (for use inside F.expr lambdas)."""
+    words = f"split(lower(trim({text_col})), ' ')"
+    return (
+        f"array_distinct(transform(sequence(0, greatest(size({words}) - {n},"
+        f" 0)), i -> concat_ws(' ', slice({words}, i + 1, {n}))))"
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -238,13 +271,13 @@ def ngram_jaccard_pairs(
     threshold: float = 0.2,
 ) -> DataFrame:
     """Exact n-gram Jaccard for all pairs sharing ≥1 shingle."""
-    sh = word_shingles(df, text_col, id_col, shingle_n)
+    sh = shingle_hash_rows(df, text_col, id_col, shingle_n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.sh") == F.col("b.sh"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .groupBy(

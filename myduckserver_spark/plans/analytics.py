@@ -127,13 +127,20 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dd_ngram_jaccard",
     oracle=f"""
-    WITH shingles AS ({_SHINGLE_SQL}),
+    WITH raw_shingles AS ({_SHINGLE_SQL}),
+    shingles AS (
+        -- 60-bit md5-derived key: same bigint as the Spark side, so the
+        -- inverted-index join compares 8-byte ints in both engines
+        SELECT doc_id,
+               CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS sh
+        FROM raw_shingles
+    ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
     pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                COUNT(*) AS n_common
         FROM shingles a JOIN shingles b
-          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          ON a.sh = b.sh AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
     )
     SELECT doc_a, doc_b,
