@@ -67,15 +67,21 @@ from myduckserver_spark.operators.similarity import (  # noqa: E402
 )
 
 
-_SHINGLE_SQL = """
+def shingle_sql(src: str = "documents") -> str:
+    """DuckDB CTE text producing (doc_id, shingle) from relation
+    ``src`` — the oracle twin of operators.dedup.shingle_array."""
+    return f"""
         SELECT doc_id,
                unnest(list_distinct([
                    array_to_string(words[i:i+2], ' ')
                    FOR i IN range(1, greatest(len(words) - 2, 1) + 1)
                ])) AS shingle
         FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS words
-              FROM documents)
+              FROM {src})
 """
+
+
+_SHINGLE_SQL = shingle_sql("documents")
 
 
 @register(
@@ -645,3 +651,90 @@ def ev_asof_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_id")
     )
+
+
+# ------------------------------------------------------ composed pipeline
+
+
+_SEEDS_SQL = """(
+            VALUES (0, 1103515245, 12345),      (1, 1103533621, 987654321),
+                   (2, 1234567891, 192837465),  (3, 1856947721, 1029384756),
+                   (4, 2027382347, 564738291),  (5, 756073813, 1122334455),
+                   (6, 892174501, 2046913579),  (7, 1679606101, 777000111)
+        ) seeds(seed, a, b)"""
+
+
+@register(
+    "tds_clean_corpus",
+    oracle=f"""
+    WITH quality AS (
+        SELECT * FROM documents
+        WHERE length(text) BETWEEN 50 AND 5000
+          AND CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+              / length(text) >= 0.6
+    ),
+    keepers AS (
+        SELECT md5(lower(trim(text))) AS fp, MIN(doc_id) AS keep_id
+        FROM quality GROUP BY 1
+    ),
+    exact AS (
+        SELECT q.* FROM quality q JOIN keepers k ON q.doc_id = k.keep_id
+    ),
+    shingles AS ({{SHINGLES}}),
+    mh AS (
+        SELECT doc_id, seed,
+               MIN((a * CAST('0x' || substr(md5(shingle), 1, 7) AS BIGINT) + b)
+                   % 2147483647) AS minhash
+        FROM shingles CROSS JOIN {_SEEDS_SQL}
+        GROUP BY doc_id, seed
+    ),
+    bands AS (
+        SELECT doc_id, seed // 2 AS band,
+               md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed))
+                   AS band_sig
+        FROM mh GROUP BY doc_id, seed // 2
+    ),
+    drops AS (
+        SELECT DISTINCT b.doc_id
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_sig = b.band_sig
+         AND a.doc_id < b.doc_id
+    ),
+    clean AS (
+        SELECT * FROM exact
+        WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+    ),
+    f_raw AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_raw
+              FROM documents GROUP BY 1),
+    f_q AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_quality
+            FROM quality GROUP BY 1),
+    f_e AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_exact
+            FROM exact GROUP BY 1),
+    f_c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_clean
+            FROM clean GROUP BY 1)
+    SELECT f_raw.source, n_raw,
+           CAST(COALESCE(n_quality, 0) AS BIGINT) AS n_quality,
+           CAST(COALESCE(n_exact, 0) AS BIGINT) AS n_exact,
+           CAST(COALESCE(n_clean, 0) AS BIGINT) AS n_clean
+    FROM f_raw
+    LEFT JOIN f_q USING (source)
+    LEFT JOIN f_e USING (source)
+    LEFT JOIN f_c USING (source)
+    ORDER BY source
+    """.replace("{SHINGLES}", shingle_sql("exact")),
+    tags=("pipeline", "dedup", "quality", "training-data"),
+)
+def tds_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data cleaning pass: quality gate → exact
+    dedup → MinHash-LSH near-dup removal, reported as a per-source
+    survival funnel (operators/pipeline.py).
+
+    Scale: map-only gate, one fingerprint shuffle, map-only signatures,
+    one (band, band_sig)-keyed self-join, one anti-join — the whole
+    100 TB corpus build is 3 shuffles and never collects. The funnel
+    output is one row per source.
+    """
+    from myduckserver_spark.operators.pipeline import corpus_funnel
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_funnel(docs)

@@ -165,3 +165,56 @@ def apx_ndv_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "s_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 9000
+    UNION
+    SELECT s_nationkey AS nk FROM supplier
+    ORDER BY nk
+    """,
+    tags=("setop", "distinct"),
+)
+def s_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct UNION (set semantics — dedups across both inputs;
+    s_union_all is the multiset twin). One hash-dedup shuffle."""
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    a = cust.filter(F.col("c_acctbal") > 9000).select(
+        F.col("c_nationkey").alias("nk")
+    )
+    b = supp.select(F.col("s_nationkey").alias("nk"))
+    return a.union(b).distinct().orderBy("nk")
+
+
+@register(
+    "j_right_outer",
+    oracle="""
+    SELECT n.n_name, CAST(COUNT(c.c_custkey) AS BIGINT) AS n_cust
+    FROM (SELECT * FROM customer WHERE c_acctbal > 9900) c
+    RIGHT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+    tags=("join", "right-outer"),
+)
+def j_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER join keeping unmatched dimension rows (count=0).
+
+    Scale: Spark plans this as a broadcast of the small preserved side
+    flipped to a left join — no shuffle of the big side.
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal") > 9900
+    )
+    nat = load_table(spark, sf_dir, "nation")
+    return (
+        cust.join(
+            nat, cust["c_nationkey"] == nat["n_nationkey"], "right"
+        )
+        .groupBy("n_name")
+        .agg(F.count("c_custkey").cast("long").alias("n_cust"))
+        .orderBy("n_name")
+    )

@@ -196,3 +196,17 @@ def test_multimodal_resize_and_features(spark):
     again = {r.doc_id: r.features for r in
              extract_features(media, dim=8).collect()}
     assert again == feats
+
+
+def test_corpus_funnel_monotone(spark, sf_dir):
+    """clean_corpus stages only ever drop rows; funnel is monotone."""
+    from myduckserver_spark.operators.pipeline import corpus_funnel
+    from myduckserver_spark.tables import load_table
+
+    rows = corpus_funnel(load_table(spark, sf_dir, "documents")).collect()
+    assert rows, "funnel empty"
+    for r in rows:
+        assert r.n_raw >= r.n_quality >= r.n_exact >= r.n_clean >= 0
+    total_raw = sum(r.n_raw for r in rows)
+    total_clean = sum(r.n_clean for r in rows)
+    assert 0 < total_clean <= total_raw
