@@ -57,3 +57,22 @@ def start_cdc_stream(
         .trigger(processingTime=f"{int(trigger_seconds * 1000)} milliseconds")
         .start()
     )
+
+
+def read_barrier(query: StreamingQuery) -> None:
+    """Drain all pending CDC input before serving a read.
+
+    The reference flushes the delta buffer at the top of every query
+    build so MySQL-side reads observe their own replicated writes
+    (read-your-writes; reference backend/executor.go:54-61). The
+    Structured Streaming twin is processAllAvailable(): it blocks until
+    every file visible in the source directory has been committed
+    through foreachBatch.
+
+    Serving tier note: at scale you either (a) call this only on
+    sessions that demand read-your-writes, or (b) skip it and serve
+    snapshot-consistent reads from the last committed table version —
+    the same two consistency modes the reference offers via its
+    flush-on-query toggle.
+    """
+    query.processAllAvailable()

@@ -183,3 +183,51 @@ def test_streaming_cdc_end_to_end(spark, base, tmp_path):
     assert (1, "a", 500.0) in st
     assert all(r[0] != 2 for r in st)
     assert (30, "s", 3.0) in st
+
+
+def test_read_barrier_read_your_writes(spark, tmp_path):
+    """Rows written to the CDC source dir are visible after
+    read_barrier() returns (reference flush-before-read,
+    backend/executor.go:54-61)."""
+    import os
+
+    from pyspark.sql import Row, functions as F
+    from pyspark.sql import types as T
+
+    from myduckserver_spark.catalog import Catalog
+    from myduckserver_spark.streaming.cdc_stream import (
+        read_barrier,
+        start_cdc_stream,
+    )
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    base = spark.createDataFrame(
+        [(1, "a")], "id bigint, val string"
+    )
+    table = cat.create_table("rb_t", base)
+
+    delta_schema = T.StructType(
+        [
+            T.StructField("action", T.ByteType()),
+            T.StructField("txn_group", T.LongType()),
+            T.StructField("txn_seq", T.LongType()),
+            T.StructField("txn_stmt", T.LongType()),
+            T.StructField("id", T.LongType()),
+            T.StructField("val", T.StringType()),
+        ]
+    )
+    src = str(tmp_path / "cdc_src")
+    os.makedirs(src)
+    q = start_cdc_stream(
+        spark, src, delta_schema, table, ["id"],
+        str(tmp_path / "ckpt"), trigger_seconds=0.1,
+    )
+    try:
+        spark.createDataFrame(
+            [(2, 1, 1, 1, 2, "b")], delta_schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        read_barrier(q)
+        vals = {r.id: r.val for r in table.read().collect()}
+        assert vals == {1: "a", 2: "b"}
+    finally:
+        q.stop()
