@@ -738,3 +738,77 @@ def tds_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return corpus_funnel(docs)
+
+
+@register(
+    "sim_ivf_search_topk",
+    oracle=f"""
+    WITH centroids AS (
+        SELECT vec_id AS cid, embedding AS ca FROM embeddings
+        WHERE vec_id % 50 = 0
+    ),
+    assign AS (
+        SELECT vec_id, arg_max(cid, sim) AS cid
+        FROM (
+            SELECT v.vec_id, c.cid,
+                   ROUND({{COS_CA_VA}}, 6)
+                   - CAST(c.cid AS DOUBLE) * 1e-12 AS sim
+            FROM (SELECT vec_id, embedding AS va FROM embeddings) v
+            CROSS JOIN centroids c
+        ) s
+        GROUP BY vec_id
+    ),
+    q AS (SELECT vec_id AS qid, embedding AS qa FROM embeddings
+          WHERE vec_id < 3),
+    probe AS (
+        SELECT qid, cid FROM (
+            SELECT qid, cid,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                        ORDER BY sim DESC, cid) AS pr
+            FROM (
+                SELECT q.qid, c.cid,
+                       ROUND({{COS_QA_CA}}, 6)
+                       - CAST(c.cid AS DOUBLE) * 1e-12 AS sim
+                FROM q CROSS JOIN centroids c
+            ) s
+        ) p WHERE pr <= 2
+    ),
+    bucketed AS (
+        SELECT a.vec_id, a.cid, e.embedding AS va
+        FROM assign a JOIN embeddings e USING (vec_id)
+    ),
+    scored AS (
+        SELECT q.qid, v.vec_id, ROUND({{COS_QA_VA}}, 6) AS sim
+        FROM q JOIN probe USING (qid)
+        JOIN bucketed v ON v.cid = probe.cid AND v.vec_id <> q.qid
+    ),
+    ranked AS (
+        SELECT qid, vec_id, sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                    ORDER BY sim DESC, vec_id) AS INT) AS rk
+        FROM scored
+    )
+    SELECT qid, vec_id, sim, rk FROM ranked WHERE rk <= 3
+    ORDER BY qid, rk
+    """.replace("{COS_CA_VA}", _COSINE_SQL.replace("qa", "ca"))
+       .replace("{COS_QA_CA}", _COSINE_SQL.replace("va", "ca"))
+       .replace("{COS_QA_VA}", _COSINE_SQL),
+    tags=("similarity", "ann", "ivf", "topk"),
+)
+def sim_ivf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF ANN search: coarse-assign the corpus to 10 centroids,
+    probe each query's nprobe=2 nearest buckets, exact top-3 inside.
+
+    Scale: centroids broadcast twice (assignment + probe selection),
+    the probed fraction of the corpus is ~nprobe/n_centroids, and
+    ranking is a windowed rank pushdown per query — never a global
+    sort. This is the search half of sim_ivf_bucketed's build half.
+    """
+    from myduckserver_spark.operators.similarity import ivf_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding")
+    )
+    qs = emb.filter(F.col("vec_id") < 3)
+    return ivf_search(emb, qs, cent, k=3, nprobe=2).orderBy("qid", "rk")
