@@ -83,6 +83,66 @@ class ParquetTable:
     def last_txn_version(self, txn_app_id: str) -> int:
         return self._read_pointer().get("txn", {}).get(txn_app_id, -1)
 
+    # ----------------------------------------------------------- optimize
+    def optimize(
+        self,
+        sort_cols: list[str],
+        target_files: int | None = None,
+        zorder: bool = False,
+        zorder_buckets: int = 16,
+    ) -> int:
+        """Rewrite the snapshot clustered on ``sort_cols`` for
+        data-skipping reads.
+
+        The reference's ART indexes don't map to Spark (SURVEY.md §1.1:
+        "Z-ordering/data-skipping stats are the analog") — this is that
+        analog. Linear mode range-partitions + sorts, so each output
+        file owns a disjoint key range and parquet min/max stats let a
+        point/range read skip every other file. Z-order mode interleaves
+        the bits of per-column quantile buckets, localizing EVERY sort
+        column (a linear sort only localizes the leading one).
+
+        Scale: one range shuffle; quantile boundaries come from
+        approxQuantile (driver gets only the cutpoints, never rows).
+        """
+        from pyspark.sql import functions as F
+
+        df = self.read()
+        n = target_files or int(
+            self.spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        if not zorder or len(sort_cols) < 2:
+            out = df.repartitionByRange(n, *sort_cols).sortWithinPartitions(
+                *sort_cols
+            )
+            return self.overwrite(out)
+
+        bits = max(1, (zorder_buckets - 1).bit_length())
+        probs = [i / zorder_buckets for i in range(1, zorder_buckets)]
+        bucket_cols = []
+        for ci, c in enumerate(sort_cols):
+            cuts = df.approxQuantile(c, probs, 0.01)
+            b = F.lit(0)
+            for cut in cuts:
+                b = b + F.when(F.col(c) > cut, 1).otherwise(0)
+            bucket_cols.append(b.cast("long"))
+        z = F.lit(0).cast("long")
+        for bit in range(bits):
+            for ci, b in enumerate(bucket_cols):
+                z = z.bitwiseOR(
+                    F.shiftleft(
+                        F.shiftright(b, bit).bitwiseAND(F.lit(1)),
+                        bit * len(bucket_cols) + ci,
+                    )
+                )
+        out = (
+            df.withColumn("__zorder", z)
+            .repartitionByRange(n, "__zorder")
+            .sortWithinPartitions("__zorder")
+            .drop("__zorder")
+        )
+        return self.overwrite(out)
+
     # ----------------------------------------------------------------- CDC
     def merge_batch(
         self,
@@ -134,6 +194,10 @@ class Catalog:
         import shutil
 
         shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
+
+    def optimize_table(self, name: str, sort_cols: list[str], **kw) -> int:
+        """OPTIMIZE ... ZORDER BY analog — see ParquetTable.optimize."""
+        return self.table(name).optimize(sort_cols, **kw)
 
     # -------------------------------------------------------- backup/restore
     def backup_table(self, name: str, dest_root: str) -> str:

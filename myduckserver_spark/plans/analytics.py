@@ -812,3 +812,38 @@ def sim_ivf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qs = emb.filter(F.col("vec_id") < 3)
     return ivf_search(emb, qs, cent, k=3, nprobe=2).orderBy("qid", "rk")
+
+
+@register(
+    "tx_bpe_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INT) AS n_bpe_tokens,
+           CAST(len(string_split(trim(text), ' ')) AS INT) AS n_ws_tokens,
+           ROUND(CAST(len(regexp_extract_all(text,
+                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS DOUBLE)
+                / len(string_split(trim(text), ' ')), 6) AS bpe_per_word
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("text", "tokens", "bpe"),
+)
+def tx_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: alpha runs, digit runs, and single
+    punctuation marks each count as one token (the GPT-2 pre-tokenizer
+    shape without the merges table) — the budget estimator a training
+    pipeline runs before paying for real tokenization.
+
+    Scale: map-only regexp_extract_all; no shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+    n_bpe = F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0)))
+    n_ws = F.size(F.split(F.trim("text"), " "))
+    return docs.select(
+        "doc_id",
+        n_bpe.cast("int").alias("n_bpe_tokens"),
+        n_ws.cast("int").alias("n_ws_tokens"),
+        F.round(n_bpe.cast("double") / n_ws, 6).alias("bpe_per_word"),
+    ).orderBy("doc_id")

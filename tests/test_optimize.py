@@ -1,0 +1,106 @@
+"""optimize() / optimize_table(): the data-skipping analog of the
+reference's ART indexes (SURVEY.md §1.1 — Spark has no secondary
+indexes; clustered files + parquet min/max stats are the equivalent).
+
+Assertions read the actual parquet footers: clustering is only real if
+the per-file statistics are disjoint enough to skip files.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from myduckserver_spark.catalog import Catalog
+
+
+def _file_ranges(table_dir: str, version: int, col: str):
+    """[(min, max)] of `col` per parquet file, from footer stats."""
+    out = []
+    for path in sorted(
+        glob.glob(os.path.join(table_dir, f"v{version}", "*.parquet"))
+    ):
+        md = pq.ParquetFile(path).metadata
+        idx = md.schema.names.index(col)
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            assert st is not None and st.has_min_max
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        out.append((lo, hi))
+    return out
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    return Catalog(spark, str(tmp_path / "wh"))
+
+
+def test_linear_optimize_disjoint_file_ranges(spark, cat):
+    df = spark.range(0, 20000).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 37 % 20000).alias("v"),
+    )
+    # write unclustered on v (files overlap on v before optimize)
+    t = cat.create_table("opt_lin", df.repartition(8))
+    before = _file_ranges(t.dir, t.version, "v")
+    assert len(before) > 1
+    overlap_before = sum(
+        1
+        for i, (lo, hi) in enumerate(before)
+        for lo2, hi2 in before[i + 1 :]
+        if lo <= hi2 and lo2 <= hi
+    )
+    assert overlap_before > 0, "fixture not overlapping; test is vacuous"
+
+    cat.optimize_table("opt_lin", ["v"], target_files=8)
+    after = _file_ranges(t.dir, t.version, "v")
+    assert len(after) > 1
+    # every pair of files disjoint on v → a point read touches 1 file
+    for i, (lo, hi) in enumerate(after):
+        for lo2, hi2 in after[i + 1 :]:
+            assert hi < lo2 or hi2 < lo, (after[i], (lo2, hi2))
+
+    # data preserved
+    got = t.read().agg(F.count("*"), F.sum("v")).first()
+    assert got[0] == 20000 and got[1] == df.agg(F.sum("v")).first()[0]
+
+
+def test_zorder_localizes_both_columns(spark, cat):
+    n = 40000
+    df = spark.range(0, n).select(
+        (F.col("id") % 200).alias("x"),
+        (F.col("id") * 7919 % 200).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    t = cat.create_table("opt_z", df.repartition(8))
+    cat.optimize_table("opt_z", ["x", "y"], zorder=True, target_files=16)
+
+    rx = _file_ranges(t.dir, t.version, "x")
+    ry = _file_ranges(t.dir, t.version, "y")
+    assert len(rx) >= 8
+    full_area = 200 * 200
+    areas = [
+        (hx - lx + 1) * (hy - ly + 1)
+        for (lx, hx), (ly, hy) in zip(rx, ry)
+    ]
+    # every file's bounding box must be a localized patch, not a slab
+    # covering one full dimension (what a linear sort on x would give)
+    assert max(areas) <= full_area / 2
+    assert sum(areas) / len(areas) <= full_area / 4
+
+    assert t.read().count() == n
+
+
+def test_optimize_is_a_new_snapshot(spark, cat):
+    df = spark.range(0, 100).select(F.col("id").alias("a"))
+    t = cat.create_table("opt_v", df)
+    v0 = t.version
+    cat.optimize_table("opt_v", ["a"], target_files=2)
+    assert t.version == v0 + 1
+    assert t.read().count() == 100
