@@ -584,6 +584,17 @@ class Engine:
             n = self.catalog.table(s.name).read().count()
             self.truncate(s.name)
             return OkResult(affected_rows=n)
+        if isinstance(s, st.Optimize):
+            cols = s.zorder_cols
+            if not cols:
+                meta = self.table_meta(s.name)
+                cols = list(meta.primary_key) if meta.primary_key else None
+            if not cols:
+                return OkResult(info="no sort columns; table unchanged")
+            self.catalog.optimize_table(
+                s.name, cols, zorder=len(cols) > 1
+            )
+            return OkResult(info=f"optimized on ({', '.join(cols)})")
         if isinstance(s, st.Insert):
             return self._exec_insert(s, dialect)
         if isinstance(s, st.Update):

@@ -340,6 +340,15 @@ class Truncate:
 
 
 @dataclass
+class Optimize:
+    """OPTIMIZE t [ZORDER BY (a, b)] — data-skipping rewrite
+    (Delta-style syntax; see catalog.ParquetTable.optimize)."""
+
+    name: str
+    zorder_cols: list[str]
+
+
+@dataclass
 class Insert:
     table: str
     columns: list[str] | None
@@ -706,6 +715,20 @@ def parse_statement(sql: str):
     m = re.match(r"TRUNCATE\s+(?:TABLE\s+)?(`[^`]+`|\w+)\s*$", s, re.I)
     if m:
         return Truncate(unquote_ident(m.group(1)))
+
+    m = re.match(
+        r"OPTIMIZE\s+(`[^`]+`|\w+)"
+        r"(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*$",
+        s,
+        re.I,
+    )
+    if m:
+        cols = [
+            unquote_ident(c.strip())
+            for c in (m.group(2) or "").split(",")
+            if c.strip()
+        ]
+        return Optimize(unquote_ident(m.group(1)), cols)
 
     m = re.match(
         r"(INSERT|REPLACE)\s+(IGNORE\s+)?INTO\s+(`[^`]+`|\w+)\s*"

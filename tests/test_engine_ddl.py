@@ -76,3 +76,21 @@ def test_check_constraint_rejects_and_allows(engine, spark):
         engine.insert_checked("t", bad, {"v_positive": F.col("v") > 0})
     # rejected batch must not be partially applied
     assert engine.sql("SELECT COUNT(*) AS n FROM t").collect()[0].n == 3
+
+def test_optimize_statement(spark, tmp_path):
+    """OPTIMIZE t ZORDER BY (a, b) through the SQL front door."""
+    from myduckserver_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh_opt"))
+    eng.execute("CREATE TABLE ot (a INT, b INT, PRIMARY KEY (a))")
+    eng.execute(
+        "INSERT INTO ot VALUES " +
+        ", ".join(f"({i % 40}, {i * 13 % 40})" for i in range(400))
+    )
+    r = eng.execute("OPTIMIZE ot ZORDER BY (a, b)")
+    assert "optimized on (a, b)" in r.info
+    assert eng.sql("SELECT COUNT(*) AS n FROM ot").first().n == 400
+
+    # no ZORDER clause: falls back to the primary key
+    r2 = eng.execute("OPTIMIZE ot")
+    assert "optimized on (a)" in r2.info
