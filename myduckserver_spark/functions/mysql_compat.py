@@ -155,9 +155,34 @@ def _rewrite_convert(sql: str) -> str:
     return _CONVERT_RE.sub(repl, sql)
 
 
+# MATCH(col) AGAINST('terms') → token-overlap relevance score.
+# The reference serves fulltext through GMS's index tables
+# (TestFulltextIndexes main_test.go:1879); our documented fallback
+# (SURVEY.md §2.B) scores by how many query terms appear in the
+# column's whitespace tokens — integer relevance, boolean in WHERE.
+_MATCH_AGAINST_RE = re.compile(
+    r"\bMATCH\s*\(\s*([^()]+?)\s*\)\s+AGAINST\s*\(\s*'([^']*)'"
+    r"(?:\s+IN\s+(?:NATURAL\s+LANGUAGE|BOOLEAN)\s+MODE)?\s*\)",
+    re.I,
+)
+
+
+def _rewrite_match_against(sql: str) -> str:
+    def repl(m: re.Match) -> str:
+        col = m.group(1)
+        terms = [t for t in m.group(2).lower().split() if t]
+        arr = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+        return (
+            f"size(array_intersect(split(lower({col}), ' '), array({arr})))"
+        )
+
+    return _MATCH_AGAINST_RE.sub(repl, sql)
+
+
 def translate_mysql(sql: str) -> str:
     """Normalize a MySQL-dialect query into Spark SQL."""
     out = sql
+    out = _rewrite_match_against(out)
 
     # LIMIT offset, count  →  LIMIT count OFFSET offset
     out = _LIMIT_RE.sub(lambda m: f"LIMIT {m.group(2)} OFFSET {m.group(1)}", out)

@@ -847,3 +847,46 @@ def tx_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_ws.cast("int").alias("n_ws_tokens"),
         F.round(n_bpe.cast("double") / n_ws, 6).alias("bpe_per_word"),
     ).orderBy("doc_id")
+
+
+@register(
+    "tx_keyword_search_tf",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_intersect(string_split(lower(text), ' '),
+                ['model', 'data', 'training'])) AS INT) AS n_terms,
+           CAST(len(list_filter(string_split(lower(text), ' '),
+                t -> t IN ('model', 'data', 'training'))) AS INT) AS tf
+    FROM documents
+    WHERE len(list_intersect(string_split(lower(text), ' '),
+              ['model', 'data', 'training'])) >= 2
+    ORDER BY tf DESC, doc_id
+    LIMIT 50
+    """,
+    tags=("text", "fulltext", "search"),
+)
+def tx_keyword_search_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword search with term-presence + term-frequency ranking —
+    the engine's fulltext fallback (MATCH...AGAINST shims to the same
+    token-overlap score; reference fulltext is GMS-side,
+    TestFulltextIndexes main_test.go:1879).
+
+    Scale: map-only scoring + top-k; a real 100 TB deployment would
+    add an inverted-index pre-filter (same shape as dd_ngram_jaccard's
+    posting join) before scoring.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    terms = F.array(F.lit("model"), F.lit("data"), F.lit("training"))
+    toks = F.split(F.lower("text"), " ")
+    n_terms = F.size(F.array_intersect(toks, terms)).cast("int")
+    tf = F.size(F.filter(toks, lambda t: F.array_contains(terms, t))).cast(
+        "int"
+    )
+    return (
+        docs.select(
+            "doc_id", n_terms.alias("n_terms"), tf.alias("tf")
+        )
+        .filter(F.col("n_terms") >= 2)
+        .orderBy(F.desc("tf"), "doc_id")
+        .limit(50)
+    )

@@ -441,3 +441,22 @@ def test_cte_delete_multi_table(shop):
     assert sorted(r.oid for r in shop.execute("SELECT * FROM ord").collect()) == [
         12, 13,
     ]
+
+
+def test_match_against_shim(spark, tmp_path):
+    """MATCH(col) AGAINST('terms') → token-overlap relevance
+    (fulltext fallback; reference TestFulltextIndexes is GMS-side)."""
+    from myduckserver_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh_ft"))
+    eng.execute("CREATE TABLE ft (id INT, body TEXT)")
+    eng.execute(
+        "INSERT INTO ft VALUES (1, 'big data training run'),"
+        " (2, 'cats and dogs'), (3, 'model eval data')"
+    )
+    rows = eng.sql(
+        "SELECT id FROM ft WHERE MATCH(body) AGAINST('data model training')"
+        " > 1 ORDER BY id",
+        dialect="mysql",
+    ).collect()
+    assert [r.id for r in rows] == [1, 3]
