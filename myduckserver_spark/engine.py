@@ -985,21 +985,34 @@ class Engine:
                 if s.is_query
                 else self.catalog.table(s.target).read()
             )
-            copy_to(
-                df,
-                s.path,
-                fmt=s.fmt,
-                header=bool(opts.get("header", False)),
-                sep=opts.get("delimiter"),
-                quote=opts.get("quote"),
-                escape=opts.get("escape"),
-                nullstr=opts.get("null"),
-            )
+            if s.fmt == "arrow":
+                # COPY ... TO (FORMAT ARROW): Arrow IPC stream file
+                # (reference pgserver/arrowwriter.go:66-135)
+                from myduckserver_spark.sources.arrow import write_ipc
+
+                write_ipc(df, s.path)
+            else:
+                copy_to(
+                    df,
+                    s.path,
+                    fmt=s.fmt,
+                    header=bool(opts.get("header", False)),
+                    sep=opts.get("delimiter"),
+                    quote=opts.get("quote"),
+                    escape=opts.get("escape"),
+                    nullstr=opts.get("null"),
+                )
             return OkResult(affected_rows=df.count(), info=f"COPY TO {s.path}")
         if s.is_query:
             raise ValueError("COPY FROM requires a table target")
         base_schema = self.catalog.table(s.target).read().schema
-        if s.fmt == "parquet":
+        if s.fmt == "arrow":
+            # COPY ... FROM (FORMAT ARROW) ← Arrow IPC stream file
+            # (reference pgserver/arrowloader.go:25-105)
+            from myduckserver_spark.sources.arrow import read_ipc
+
+            df = read_ipc(self.spark, s.path)
+        elif s.fmt == "parquet":
             df = self.spark.read.parquet(s.path)
         elif s.fmt == "json":
             df = self.spark.read.schema(base_schema).json(s.path)

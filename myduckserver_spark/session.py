@@ -52,6 +52,15 @@ def build_session(
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # Long-lived sessions compile one generated class per plan shape;
+        # the JVM's default 240m code cache fills after a few hundred
+        # shapes and HotSpot silently stops JIT-compiling — measured as
+        # 10-20x slowdowns late in a 100+-query session. Reserve more and
+        # let the sweeper evict cold code instead.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m -XX:+UseCodeCacheFlushing",
+        )
         # files.maxPartitionBytes default 128m is right for the 100 TB
         # target; local test files are single-row-group anyway.
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")

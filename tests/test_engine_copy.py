@@ -82,3 +82,25 @@ def test_copy_query_to_parquet_roundtrip(engine, tmp_path):
     )
     df = engine.spark.read.parquet(str(out))
     assert [tuple(r) for r in df.collect()] == [(2, 2.0)]
+
+
+def test_copy_arrow_roundtrip(spark, tmp_path):
+    """COPY ... TO/FROM (FORMAT ARROW): Arrow IPC stream files through
+    the statement router (reference pgserver/arrowwriter.go:66-135,
+    arrowloader.go:25-105)."""
+    from myduckserver_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh_arrow"))
+    eng.execute("CREATE TABLE src (id BIGINT, name VARCHAR(20))")
+    eng.execute("INSERT INTO src VALUES (1, 'a'), (2, 'b'), (3, NULL)")
+    ipc = str(tmp_path / "out.arrows")
+    r = eng.execute(f"COPY src TO '{ipc}' (FORMAT ARROW)")
+    assert r.affected_rows == 3
+
+    eng.execute("CREATE TABLE dst (id BIGINT, name VARCHAR(20))")
+    r2 = eng.execute(f"COPY dst FROM '{ipc}' (FORMAT ARROW)")
+    assert r2.affected_rows == 3
+    rows = sorted(
+        eng.sql("SELECT id, name FROM dst").collect(), key=lambda r: r.id
+    )
+    assert [(r.id, r.name) for r in rows] == [(1, "a"), (2, "b"), (3, None)]
