@@ -131,3 +131,51 @@ def test_cdc_batch_equals_sequential_apply(spark, events):
 
     assert sorted(map(tuple, batched.collect())) == \
         sorted(map(tuple, seq.collect()))
+
+
+# --------------------------------------------------------------- pg casts
+
+_PG_TYPES = [
+    "text", "int", "int4", "int8", "bigint", "smallint", "float8",
+    "double precision", "numeric(10,2)", "numeric", "boolean", "date",
+    "varchar(5)", "uuid", "int[]",
+]
+
+_ident = st_.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True)
+
+
+@given(
+    ident=_ident,
+    ty=st_.sampled_from(_PG_TYPES),
+    depth=st_.integers(min_value=0, max_value=2),
+)
+@settings(max_examples=60, deadline=None)
+def test_pg_cast_rewrite_balanced(ident, ty, depth):
+    """translate_postgres on arbitrary `expr::type` chains always
+    produces balanced parens, no leftover `::`, and a CAST per cast."""
+    from myduckserver_spark.functions.pg_compat import translate_postgres
+
+    expr = ident
+    for _ in range(depth):
+        expr = f"({expr} + 1)"
+    src = f"SELECT {expr}::{ty} FROM t"
+    out = translate_postgres(src)
+    assert "::" not in out
+    assert out.count("(") == out.count(")")
+    assert out.upper().count("CAST") == 1
+    assert ident in out
+
+
+@given(
+    ident=_ident,
+    types=st_.lists(st_.sampled_from(_PG_TYPES[:8]), min_size=2, max_size=4),
+)
+@settings(max_examples=40, deadline=None)
+def test_pg_cast_chains_nest(ident, types):
+    from myduckserver_spark.functions.pg_compat import translate_postgres
+
+    src = "SELECT " + ident + "".join(f"::{t}" for t in types) + " FROM t"
+    out = translate_postgres(src)
+    assert "::" not in out
+    assert out.count("(") == out.count(")")
+    assert out.upper().count("CAST(") == len(types)
