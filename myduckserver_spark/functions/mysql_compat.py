@@ -31,7 +31,10 @@ _FMT_TOKENS = {
 
 _LIMIT_RE = re.compile(r"\bLIMIT\s+(\d+)\s*,\s*(\d+)", re.I)
 _GROUP_CONCAT_RE = re.compile(
-    r"\bGROUP_CONCAT\s*\(\s*(.*?)(?:\s+SEPARATOR\s+'([^']*)')?\s*\)", re.I | re.S
+    r"\bGROUP_CONCAT\s*\(\s*(DISTINCT\s+)?(.*?)"
+    r"(?:\s+ORDER\s+BY\s+(.+?)(\s+DESC)?)?"
+    r"(?:\s+SEPARATOR\s+'([^']*)')?\s*\)",
+    re.I | re.S,
 )
 
 
@@ -187,10 +190,28 @@ def translate_mysql(sql: str) -> str:
     # LIMIT offset, count  →  LIMIT count OFFSET offset
     out = _LIMIT_RE.sub(lambda m: f"LIMIT {m.group(2)} OFFSET {m.group(1)}", out)
 
-    # GROUP_CONCAT(expr [SEPARATOR 'x']) → array_join(collect_list(expr),'x')
+    # GROUP_CONCAT([DISTINCT] expr [ORDER BY o [DESC]] [SEPARATOR 'x'])
+    # DISTINCT → collect_set; ORDER BY expr (the common self-order) →
+    # array_sort; ORDER BY other-expr → sort structs of (key, value)
+    # and project the value back out. Unordered GROUP_CONCAT is
+    # order-UNDEFINED in MySQL; we emit collect_list as-is there.
     def gc(m: re.Match) -> str:
-        sep = m.group(2) if m.group(2) is not None else ","
-        return f"array_join(collect_list({m.group(1)}), '{sep}')"
+        distinct, expr, order, desc, sep = m.groups()
+        sep = sep if sep is not None else ","
+        coll = f"collect_set({expr})" if distinct else f"collect_list({expr})"
+        if order is None:
+            return f"array_join({coll}, '{sep}')"
+        order = order.strip()
+        if order == expr.strip():
+            arr = f"array_sort({coll})"
+        else:
+            arr = (
+                f"transform(array_sort(collect_list("
+                f"named_struct('k', {order}, 'v', {expr}))), s -> s.v)"
+            )
+        if desc:
+            arr = f"reverse({arr})"
+        return f"array_join({arr}, '{sep}')"
 
     out = _GROUP_CONCAT_RE.sub(gc, out)
     out = _rewrite_datetime_fns(out)

@@ -218,3 +218,44 @@ def j_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("c_custkey").cast("long").alias("n_cust"))
         .orderBy("n_name")
     )
+
+
+@register(
+    "j_skew_salted",
+    oracle=f"""
+    SELECT c.c_nationkey,
+           {o_dsum("o.o_totalprice", "revenue")},
+           {o_bcount("n_orders")}
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey
+    ORDER BY c.c_nationkey
+    """,
+    tags=("join", "skew", "salting"),
+)
+def j_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join (operators/skew.salted_join) vs a plain-join
+    oracle — proves the salt fan-out changes the shuffle layout, not
+    the result.
+
+    Scale: the salt spreads one pathological hot key over salt_n
+    reducers; the scatter is a deterministic hash (not rand()), so
+    retries partition identically. AQE's skew split covers the
+    run-of-the-mill case; explicit salting is for keys that dwarf a
+    whole executor.
+    """
+    from myduckserver_spark.operators.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    from myduckserver_spark.plans.helpers import dsum
+
+    return (
+        salted_join(orders, cust, "c_custkey", salt_n=8)
+        .groupBy("c_nationkey")
+        .agg(dsum("o_totalprice", "revenue"), bcount("n_orders"))
+        .orderBy("c_nationkey")
+    )

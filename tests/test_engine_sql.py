@@ -460,3 +460,39 @@ def test_match_against_shim(spark, tmp_path):
         dialect="mysql",
     ).collect()
     assert [r.id for r in rows] == [1, 3]
+
+
+def test_group_concat_variants(spark, tmp_path):
+    from myduckserver_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh_gc"))
+    eng.execute("CREATE TABLE gc (g INT, v VARCHAR(10), o INT)")
+    eng.execute(
+        "INSERT INTO gc VALUES (1,'b',2), (1,'a',3), (1,'b',1), (2,'z',1)"
+    )
+    r = eng.sql(
+        "SELECT g, GROUP_CONCAT(DISTINCT v) AS s FROM gc GROUP BY g ORDER BY g",
+        dialect="mysql",
+    ).collect()
+    assert [(x.g, x.s) for x in r] == [(1, "a,b"), (2, "z")]
+
+    r2 = eng.sql(
+        "SELECT g, GROUP_CONCAT(v ORDER BY v SEPARATOR '|') AS s"
+        " FROM gc GROUP BY g ORDER BY g",
+        dialect="mysql",
+    ).collect()
+    assert [(x.g, x.s) for x in r2] == [(1, "a|b|b"), (2, "z")]
+
+    r3 = eng.sql(
+        "SELECT g, GROUP_CONCAT(v ORDER BY o) AS s FROM gc GROUP BY g"
+        " ORDER BY g",
+        dialect="mysql",
+    ).collect()
+    assert [(x.g, x.s) for x in r3] == [(1, "b,b,a"), (2, "z")]
+
+    r4 = eng.sql(
+        "SELECT g, GROUP_CONCAT(v ORDER BY o DESC) AS s FROM gc GROUP BY g"
+        " ORDER BY g",
+        dialect="mysql",
+    ).collect()
+    assert [(x.g, x.s) for x in r4] == [(1, "a,b,b"), (2, "z")]
