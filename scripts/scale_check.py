@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Empirical scale check: replicate the sf0.1 tables K-fold with
+key-offset remapping, run the headline TPC-H queries, and report
+runtime scaling vs the sf0.1 baseline.
+
+This is an experiment harness, not a test — it writes its derived
+dataset under .scale_tmp/ (gitignored) and exists to answer "does the
+plan hold when the data grows?": runtimes should grow ~linearly with
+replication factor (shuffle-bound aggregation), with no plan change
+(AQE may flip sort-merge to broadcast where a side stays small).
+
+Usage: python scripts/scale_check.py [K]   # default K=8
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from myduckserver_spark.plans.registry import REGISTRY, all_queries  # noqa: E402
+from myduckserver_spark.session import build_session  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q18_large_volume_orders",
+]
+# Logical keys are remapped per replica so joins stay 1:1 instead of
+# exploding k-fold. Each logical key gets ONE offset, taken from the
+# table that owns it, and that same offset is applied to every
+# referencing column — otherwise fact foreign keys drift from their
+# dimension and joins silently go empty. Dimension tables
+# region/nation/supplier/part stay single-copy.
+REPLICATE = {
+    "customer": {"c_custkey": "custkey"},
+    "orders": {"o_orderkey": "orderkey", "o_custkey": "custkey"},
+    "lineitem": {"l_orderkey": "orderkey"},
+}
+KEY_OWNER = {"custkey": ("customer", "c_custkey"),
+             "orderkey": ("orders", "o_orderkey")}
+KEEP_ONE = ["region", "nation", "supplier", "part"]
+
+
+def build_scaled(spark, k: int, dest: str) -> None:
+    os.makedirs(dest, exist_ok=True)
+    for t in KEEP_ONE:
+        spark.read.parquet(f"{SRC}/{t}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{dest}/{t}.parquet")
+    offsets = {
+        key: spark.read.parquet(f"{SRC}/{tbl}.parquet")
+        .agg(F.max(col)).first()[0] + 1
+        for key, (tbl, col) in KEY_OWNER.items()
+    }
+    for t, keymap in REPLICATE.items():
+        df = spark.read.parquet(f"{SRC}/{t}.parquet")
+        reps = spark.range(k).select(F.col("id").alias("__rep"))
+        out = df.crossJoin(reps)
+        for c, key in keymap.items():
+            out = out.withColumn(
+                c, F.col(c) + F.col("__rep") * F.lit(offsets[key])
+            )
+        # Write as many files: the source is single-row-group parquet, so
+        # without this the crossJoin collapses to one task and the scaled
+        # table comes out as ONE 4.8M-row file — every downstream scan
+        # then decodes on one core (measured: q1 ratio 10x instead of
+        # ~linear). Real 100 TB inputs arrive as thousands of splits.
+        out.drop("__rep").repartition(32).write.mode("overwrite").parquet(
+            f"{dest}/{t}.parquet"
+        )
+
+
+def run(sf_dir: str) -> dict[str, float]:
+    times = {}
+    for name in QUERIES:
+        q = REGISTRY[name].spark
+        q(spark, sf_dir).collect()  # warm shape
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            q(spark, sf_dir).collect()
+            runs.append(time.perf_counter() - t0)
+        times[name] = round(sorted(runs)[1], 2)
+    return times
+
+
+if __name__ == "__main__":
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    spark = build_session(app_name="scale_check")
+    all_queries()
+    dest = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".scale_tmp", f"x{k}")
+    if not os.path.exists(os.path.join(dest, "lineitem.parquet")):
+        print(f"building {k}x dataset under {dest} ...")
+        build_scaled(spark, k, dest)
+
+    # Full warmup pass over BOTH datasets first: C2 JIT compilation of
+    # the codegen'd stages otherwise lands entirely on whichever dataset
+    # runs first and skews its ratios (observed q5 "9.1s at sf0.1, 4.1s
+    # at x8" on a cold JVM).
+    for d in (SRC, dest):
+        for name in QUERIES:
+            REGISTRY[name].spark(spark, d).collect()
+
+    base = run(SRC)
+    big = run(dest)
+    print(f"\n{'query':28s} {'sf0.1':>8s} {f'x{k}':>8s} {'ratio':>7s}")
+    for name in QUERIES:
+        r = big[name] / base[name] if base[name] else float("inf")
+        print(f"{name:28s} {base[name]:8.2f} {big[name]:8.2f} {r:7.1f}")
+    tot_b, tot_x = sum(base.values()), sum(big.values())
+    print(f"{'TOTAL':28s} {tot_b:8.2f} {tot_x:8.2f} {tot_x / tot_b:7.1f}")
