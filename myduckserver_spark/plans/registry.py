@@ -58,6 +58,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         queries_misc,
         queries_more,
         queries_pg,
+        queries_tds,
         queries_tpch2,
     )
 
@@ -74,6 +75,7 @@ def all_oracles() -> dict[str, str]:
         queries_misc,
         queries_more,
         queries_pg,
+        queries_tds,
         queries_tpch2,
     )
 
