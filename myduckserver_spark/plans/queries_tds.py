@@ -397,10 +397,12 @@ def ev_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention triangle: users active N days after their
     first-seen date, grouped by signup cohort.
 
-    Scale: two aggregations both keyed on user_id — the first-day
-    aggregate and the distinct-activity set co-partition, so the join
-    is shuffle-free under AQE once user_id partitioning is reused; the
-    final (cohort, offset) rollup is tiny.
+    Scale: two aggregations both keyed on user_id. At test scale the
+    first-day aggregate is small enough that AQE broadcasts it
+    (verified in the plan); at 100 TB user counts both sides already
+    hash-partition on user_id from their aggregates, so the join
+    co-locates without an extra exchange. The final (cohort, offset)
+    rollup is tiny either way.
     """
     ev = load_table(spark, sf_dir, "events")
     first_day = ev.groupBy("user_id").agg(

@@ -223,3 +223,30 @@ def test_samp_hash_bucket_no_shuffle(spark, sf_dir):
 def test_g_multi_distinct_uses_expand(spark, sf_dir):
     plan = _physical(REGISTRY["g_multi_distinct"].spark(spark, sf_dir))
     assert "Expand" in plan, plan
+
+
+def test_contamination_broadcasts_eval_grams(spark, sf_dir):
+    """The eval-set gram table must broadcast (benchmarks are MBs,
+    train is TBs) so the expensive train side never shuffles by gram."""
+    plan = _physical(REGISTRY["tds_contamination"].spark(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # The train side's only exchanges are its own dedup + final count.
+    assert "SortMergeJoin" not in plan
+
+
+def test_funnel_is_single_pass_aggregate(spark, sf_dir):
+    """Ordered-funnel must be one user_id shuffle with conditional-min
+    combine — never a per-step self-join."""
+    plan = _physical(REGISTRY["ev_funnel"].spark(spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_stratified_sample_single_strata_shuffle(spark, sf_dir):
+    """Per-strata top-N: one hash exchange on the strata key feeding a
+    streaming rank filter (WindowGroupLimit), no global sort before it."""
+    plan = _physical(REGISTRY["tds_stratified_sample"].spark(spark, sf_dir))
+    assert (
+        plan.count("Exchange hashpartitioning") == 1
+    ), "expected exactly the strata-key exchange"
+    assert "WindowGroupLimit" in plan, "rank<=N must push into the window"
