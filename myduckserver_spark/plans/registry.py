@@ -58,6 +58,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         queries_misc,
         queries_more,
         queries_pg,
+        queries_sql4,
         queries_tds,
         queries_tds3,
         queries_tpch2,
@@ -76,6 +77,7 @@ def all_oracles() -> dict[str, str]:
         queries_misc,
         queries_more,
         queries_pg,
+        queries_sql4,
         queries_tds,
         queries_tds3,
         queries_tpch2,
