@@ -53,6 +53,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         analytics,
         cdc_queries,
         queries,
+        queries_emb,
         queries_ext,
         queries_fn2,
         queries_misc,
@@ -72,6 +73,7 @@ def all_oracles() -> dict[str, str]:
         analytics,
         cdc_queries,
         queries,
+        queries_emb,
         queries_ext,
         queries_fn2,
         queries_misc,
