@@ -10,6 +10,8 @@ pg-isms that appear in that passthrough surface:
   ``double precision``, ``type[]`` arrays) → ``CAST(expr AS t)``,
 - ``SELECT DISTINCT ON (keys) ...`` → ROW_NUMBER window rewrite
   (DuckDB supports DISTINCT ON natively; Spark does not),
+- ``QUALIFY pred`` → boolean window column + outer filter (DuckDB/
+  Snowflake clause; Spark has none),
 - ``~`` / ``~*`` / ``!~`` / ``!~*`` regex operators → RLIKE,
 - ``E'...'`` escape-string literals → plain literals (Spark processes
   backslash escapes by default),
@@ -320,6 +322,56 @@ def _rewrite_distinct_on(sql: str) -> str:
     )
 
 
+# --------------------------------------------------------------- QUALIFY
+
+_QUALIFY_AT = re.compile(r"QUALIFY\b", re.I)
+_SELECT_HEAD_RE = re.compile(r"\bSELECT\b", re.I)
+
+
+def _rewrite_qualify(sql: str) -> str:
+    """``SELECT sel FROM … QUALIFY pred [ORDER BY …] [LIMIT n]`` →
+    window-predicate rewrite (DuckDB/Snowflake QUALIFY; Spark has no
+    such clause). The predicate is computed as a boolean column in
+    the SELECT list — windows are legal there — and filtered one
+    level up:
+
+        SELECT * EXCEPT(__q) FROM (
+            SELECT sel, (pred) AS __q FROM …
+        ) WHERE __q [ORDER BY …] [LIMIT n]
+
+    Same plan Catalyst builds for a ranked-window filter: the rank
+    predicate stays adjacent to the Window node, so WindowGroupLimit
+    pushdown still applies for row_number()-style predicates.
+    """
+    q_at = _top_level_find(sql, _QUALIFY_AT)
+    if q_at == -1:
+        return sql
+    head = sql[:q_at].rstrip()
+    tail = sql[q_at + len("QUALIFY"):]
+
+    ob_at = _top_level_find(tail, _ORDER_BY_AT)
+    lim_at = _top_level_find(tail, _LIMIT_AT)
+    cut = min(x for x in (ob_at, lim_at, len(tail)) if x != -1)
+    pred = tail[:cut].strip()
+    suffix = tail[cut:].strip()
+    suffix = " " + suffix if suffix else ""
+
+    m = _SELECT_HEAD_RE.search(head)
+    if m is None:
+        return sql
+    sel_start = m.end()
+    from_at = _top_level_find(head[sel_start:], re.compile(r"FROM\b", re.I))
+    if from_at == -1:
+        return sql
+    sel_end = sel_start + from_at
+    inner = (
+        head[:sel_end].rstrip()
+        + f", ({pred}) AS __q "
+        + head[sel_end:]
+    )
+    return f"SELECT * EXCEPT(__q) FROM ({inner}) __qual WHERE __q{suffix}"
+
+
 # ------------------------------------------------------------- functions
 
 # pg to_char tokens → Java datetime pattern (common subset)
@@ -403,6 +455,7 @@ def translate_postgres(sql: str) -> str:
     out = _ESTRING_RE.sub("'", out)  # E'..' → '..' (Spark does escapes)
     out = _FETCH_FIRST_RE.sub(r"LIMIT \1", out)
     out = _rewrite_distinct_on(out)
+    out = _rewrite_qualify(out)
     out = _rewrite_functions(out)
     out = _rewrite_casts(out)
     out = _rewrite_regex_ops(out)

@@ -95,6 +95,20 @@ def test_distinct_on_rewrite_shape():
     assert "__don_rn = 1" in out
 
 
+def test_qualify_rewrite_shape():
+    out = translate_postgres(
+        "SELECT a, b FROM t QUALIFY row_number() OVER (ORDER BY b) = 1 "
+        "ORDER BY a LIMIT 5"
+    )
+    assert out.startswith("SELECT * EXCEPT(__q) FROM (")
+    assert "(row_number() OVER (ORDER BY b) = 1) AS __q" in out
+    assert out.endswith("WHERE __q ORDER BY a LIMIT 5")
+    # No top-level QUALIFY → untouched; 'qualify' inside a literal too.
+    assert translate_postgres("SELECT a FROM t") == "SELECT a FROM t"
+    lit = "SELECT 'QUALIFY x' AS s FROM t"
+    assert translate_postgres(lit) == lit
+
+
 def test_misc_rewrites():
     assert (
         translate_postgres("SELECT x FROM t FETCH FIRST 7 ROWS ONLY")
@@ -164,6 +178,27 @@ _PARITY = [
         """
         SELECT o_orderkey FROM orders ORDER BY o_orderkey
         FETCH FIRST 5 ROWS ONLY
+        """,
+    ),
+    (
+        "pg_qualify_rownum",
+        """
+        SELECT n_regionkey::bigint AS rk, n_name
+        FROM nation
+        QUALIFY row_number() OVER (
+            PARTITION BY n_regionkey ORDER BY n_name) <= 2
+        ORDER BY rk, n_name
+        """,
+    ),
+    (
+        "pg_qualify_over_agg",
+        """
+        SELECT c_nationkey::bigint AS nk, count(*)::bigint AS n_cust
+        FROM customer
+        GROUP BY c_nationkey
+        QUALIFY rank() OVER (ORDER BY count(*) DESC, c_nationkey) <= 3
+        ORDER BY n_cust DESC, nk
+        LIMIT 3
         """,
     ),
 ]
