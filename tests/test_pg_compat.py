@@ -191,6 +191,16 @@ _PARITY = [
         """,
     ),
     (
+        "pg_recursive_cte",
+        """
+        WITH RECURSIVE r(n) AS (
+            SELECT 1 UNION ALL SELECT n + 1 FROM r WHERE n < 10
+        )
+        SELECT n::bigint AS n, (n % 3)::bigint AS n_mod
+        FROM r ORDER BY n
+        """,
+    ),
+    (
         "pg_qualify_over_agg",
         """
         SELECT c_nationkey::bigint AS nk, count(*)::bigint AS n_cust
