@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from myduckserver_spark.plans.helpers import ts_micros
+
 
 def interval_join(
     left: DataFrame,
@@ -46,8 +48,8 @@ def interval_join(
     by = [by] if isinstance(by, str) else list(by)
     width = upper_s - lower_s
 
-    l_sec = F.unix_micros(F.col(left_ts)) / 1_000_000.0
-    r_sec = F.unix_micros(F.col(right_ts)) / 1_000_000.0
+    l_sec = ts_micros(F.col(left_ts)) / 1_000_000.0
+    r_sec = ts_micros(F.col(right_ts)) / 1_000_000.0
 
     # Each left row's admissible right window is exactly `width` wide,
     # so it overlaps at most 2 cells of size `width`: the cell of its
@@ -68,7 +70,7 @@ def interval_join(
     r2 = r2.select(*rcols, "__cell")
     rts = right_ts + "_r" if right_ts in left.columns else right_ts
 
-    r_sec_out = F.unix_micros(F.col(rts)) / 1_000_000.0
+    r_sec_out = ts_micros(F.col(rts)) / 1_000_000.0
     cond = (
         (r_sec_out >= l_sec + lower_s)
         & (r_sec_out <= l_sec + upper_s)

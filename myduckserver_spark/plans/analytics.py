@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from myduckserver_spark.plans.helpers import bcount, o_bcount
+from myduckserver_spark.plans.helpers import bcount, o_bcount, ts_micros
 from myduckserver_spark.plans.registry import register
 from myduckserver_spark.tables import load_table
 
@@ -596,7 +596,7 @@ def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = F.lag("ts").over(w)
     new_sess = F.when(
         prev.isNull()
-        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev) > 3_600_000_000),
+        | (ts_micros(F.col("ts")) - ts_micros(prev) > 3_600_000_000),
         1,
     ).otherwise(0)
     wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)

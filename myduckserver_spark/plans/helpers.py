@@ -37,6 +37,18 @@ def bcount(alias: str) -> Column:
     return F.count(F.lit(1)).cast("long").alias(alias)
 
 
+def ts_micros(c: Column | str) -> Column:
+    """Epoch microseconds that accepts both TIMESTAMP and TIMESTAMP_NTZ.
+
+    Parquet files without timezone annotation read as TIMESTAMP_NTZ on
+    Spark 4, which `unix_micros` rejects. With the session pinned to UTC
+    (session.py) the cast to TIMESTAMP is numerically a no-op, so this is
+    safe for either input type.
+    """
+    c = F.col(c) if isinstance(c, str) else c
+    return F.unix_micros(c.cast("timestamp"))
+
+
 # Oracle-side (DuckDB SQL) equivalents — keep textually parallel.
 def o_dsum(expr: str, alias: str) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS {alias}"

@@ -62,6 +62,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         queries_sql4,
         queries_tds,
         queries_tds3,
+        queries_tds4,
         queries_tpch2,
     )
 
@@ -82,6 +83,7 @@ def all_oracles() -> dict[str, str]:
         queries_sql4,
         queries_tds,
         queries_tds3,
+        queries_tds4,
         queries_tpch2,
     )
 

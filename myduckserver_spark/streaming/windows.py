@@ -14,6 +14,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _event_time(events: DataFrame, ts_col: str) -> DataFrame:
+    """Normalize the event-time column to TIMESTAMP.
+
+    Parquet without timezone annotation reads as TIMESTAMP_NTZ on
+    Spark 4, which watermarks/windows reject; with the session pinned
+    to UTC (session.py) the cast is numerically a no-op.
+    """
+    return events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+
+
 def tumbling_counts(
     events: DataFrame,
     window_size: str = "1 hour",
@@ -26,7 +36,8 @@ def tumbling_counts(
     Watermark bounds state at scale: late rows beyond it are dropped
     instead of growing the state store forever.
     """
-    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    ev = _event_time(events, ts_col)
+    src = ev.withWatermark(ts_col, watermark) if ev.isStreaming else ev
     return (
         src.groupBy(F.window(ts_col, window_size).alias("win"), F.col(key_col))
         .agg(
@@ -53,7 +64,8 @@ def sliding_counts(
     ts_col: str = "ts",
     key_col: str = "event_type",
 ) -> DataFrame:
-    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    ev = _event_time(events, ts_col)
+    src = ev.withWatermark(ts_col, watermark) if ev.isStreaming else ev
     return (
         src.groupBy(
             F.window(ts_col, window_size, slide).alias("win"), F.col(key_col)
@@ -73,7 +85,8 @@ def session_windows(
     key_col: str = "user_id",
 ) -> DataFrame:
     """Native session_window (streaming twin of ev_sessionize)."""
-    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    ev = _event_time(events, ts_col)
+    src = ev.withWatermark(ts_col, watermark) if ev.isStreaming else ev
     return (
         src.groupBy(
             F.session_window(F.col(ts_col), gap).alias("win"), F.col(key_col)
