@@ -61,16 +61,21 @@ def main() -> None:
 
     # Median of 3 measured runs per query: steady-state latency, robust
     # to one-off JIT/GC pauses (observed swinging single runs 1.5-3x on
-    # identical plans). All runs are real end-to-end collects at the
-    # measured SF.
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        runs: list[float] = []
-        for _ in range(3):
+    # identical plans). Rounds are interleaved across queries (run 1 of
+    # every query, then run 2, ...) so a transient host-level stall
+    # lands in at most one of a query's three samples instead of all of
+    # them — back-to-back sampling was observed handing one query a 9s
+    # median from a ~2s-true plan. All runs are real end-to-end
+    # collects at the measured SF.
+    runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(3):
+        for name in HEADLINE:
             t0 = time.perf_counter()
             REGISTRY[name].spark(spark, sf_dir).collect()
-            runs.append(time.perf_counter() - t0)
-        timings[name] = round(sorted(runs)[1], 3)
+            runs[name].append(time.perf_counter() - t0)
+    timings = {
+        name: round(sorted(rs)[1], 3) for name, rs in runs.items()
+    }
 
     total = round(sum(timings.values()), 3)
     print(

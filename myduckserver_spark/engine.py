@@ -838,6 +838,14 @@ class Engine:
         base_schema = t.read().schema
         meta = self.table_meta(s.table)
 
+        if s.conflict_cols is not None and sorted(s.conflict_cols) != sorted(
+            meta.primary_key or []
+        ):
+            raise ValueError(
+                f"ON CONFLICT target {s.conflict_cols} must match the "
+                f"primary key {meta.primary_key} of {s.table}"
+            )
+
         if s.query is not None:
             df = self.sql(s.query, dialect=dialect)
             if s.columns:

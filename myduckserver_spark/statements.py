@@ -356,6 +356,7 @@ class Insert:
     query: str | None  # INSERT ... SELECT
     mode: str = "insert"  # insert|ignore|replace
     on_dup: dict[str, str] = field(default_factory=dict)  # col -> expr
+    conflict_cols: list[str] | None = None  # ON CONFLICT (cols) target
 
 
 @dataclass
@@ -755,11 +756,44 @@ def parse_statement(sql: str):
             for part in split_top_level(dm.group(1), ","):
                 k, _, v = part.partition("=")
                 on_dup[unquote_ident(k)] = v.strip()
+        # Postgres/DuckDB ON CONFLICT (reference: pg front door passes it
+        # to DuckDB verbatim). DO NOTHING → IGNORE semantics; DO UPDATE →
+        # the ON DUPLICATE path with excluded.col as the incoming row.
+        # The conflict target is the table's PK (the engine's upsert key);
+        # an explicit (col) target is parsed but must match it.
+        cm = re.search(
+            r"\sON\s+CONFLICT\s*(?:\(([^)]*)\)|ON\s+CONSTRAINT\s+\w+)?\s*"
+            r"DO\s+(NOTHING|UPDATE\s+SET\s+(.*))$",
+            body,
+            re.I | re.S,
+        )
+        conflict_cols: list[str] | None = None
+        if cm:
+            body = body[: cm.start()].strip()
+            if cm.group(1):
+                conflict_cols = [
+                    unquote_ident(c.strip())
+                    for c in cm.group(1).split(",")
+                    if c.strip()
+                ]
+            if cm.group(2).upper().startswith("NOTHING"):
+                mode = "ignore"
+            else:
+                for part in split_top_level(cm.group(3), ","):
+                    k, _, v = part.partition("=")
+                    on_dup[unquote_ident(k)] = re.sub(
+                        r"\bexcluded\s*\.\s*(?:`([^`]+)`|\"([^\"]+)\"|(\w+))",
+                        lambda em: "VALUES("
+                        + (em.group(1) or em.group(2) or em.group(3))
+                        + ")",
+                        v.strip(),
+                        flags=re.I,
+                    )
         if body.upper().startswith("VALUE"):
             tuples = re.sub(r"^VALUES?\s*", "", body, flags=re.I)
             return Insert(table, columns, parse_values_tuples(tuples), None,
-                          mode, on_dup)
-        return Insert(table, columns, None, body, mode, on_dup)
+                          mode, on_dup, conflict_cols)
+        return Insert(table, columns, None, body, mode, on_dup, conflict_cols)
 
     m = re.match(r"UPDATE\s+(.+?)\s+SET\s+(.*)$", s, re.I | re.S)
     if m:

@@ -496,3 +496,43 @@ def test_group_concat_variants(spark, tmp_path):
         dialect="mysql",
     ).collect()
     assert [(x.g, x.s) for x in r4] == [(1, "a,b,b"), (2, "z")]
+
+
+def test_insert_on_conflict_pg(spark, tmp_path):
+    """Postgres/DuckDB ON CONFLICT surface (reference: pg front door
+    passthrough, pgserver/connection_handler.go): DO NOTHING maps to
+    IGNORE semantics, DO UPDATE with excluded.col maps to the
+    ON DUPLICATE upsert path."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "whoc"))
+    e.execute("CREATE TABLE kv (k VARCHAR(10) PRIMARY KEY, v INT)")
+    e.execute("INSERT INTO kv VALUES ('a', 1), ('b', 2)")
+
+    # DO NOTHING: conflicting row is skipped, new row lands
+    r = e.execute(
+        "INSERT INTO kv VALUES ('a', 99), ('c', 3) ON CONFLICT DO NOTHING",
+        dialect="postgres",
+    )
+    assert r.affected_rows == 1
+    rows = {r.k: r.v for r in e.execute("SELECT * FROM kv").collect()}
+    assert rows == {"a": 1, "b": 2, "c": 3}
+
+    # DO UPDATE: excluded.v is the incoming row, bare v the current one
+    e.execute(
+        "INSERT INTO kv VALUES ('a', 10), ('d', 4) "
+        "ON CONFLICT (k) DO UPDATE SET v = v + excluded.v",
+        dialect="postgres",
+    )
+    rows = {r.k: r.v for r in e.execute("SELECT * FROM kv").collect()}
+    assert rows == {"a": 11, "b": 2, "c": 3, "d": 4}
+
+    # explicit conflict target must be the upsert key
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="must match the"):
+        e.execute(
+            "INSERT INTO kv VALUES ('x', 1) "
+            "ON CONFLICT (v) DO UPDATE SET v = excluded.v",
+            dialect="postgres",
+        )
