@@ -201,3 +201,37 @@ def extract_features(
             yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
 
     return df.select(id_col, media_col).mapInPandas(run, out_schema)
+
+
+def byte_histogram(
+    df: DataFrame, media_col: str = "media", id_col: str = "doc_id",
+    buckets: int = 8,
+) -> DataFrame:
+    """Exact byte-bucket histogram of the payload: (id, b0..b{n-1})
+    with integer counts of byte % buckets.
+
+    The integer-exact cousin of extract_features — same Arrow batch
+    shape, but the output is hash-comparable against a SQL oracle
+    (no float normalization), so this is the operator the correctness
+    gate drives end-to-end through mapInPandas.
+    """
+    cols = ", ".join(f"b{i} long" for i in range(buckets))
+    out_schema = f"{id_col} long, {cols}"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, m in zip(pdf[id_col], pdf[media_col]):
+                data = bytes(m["data"] or b"")
+                hist = np.zeros(buckets, dtype="int64")
+                if data:
+                    arr = np.frombuffer(data, dtype=np.uint8)
+                    np.add.at(hist, arr % buckets, 1)
+                rows.append((doc_id, *hist.tolist()))
+            yield pd.DataFrame(
+                rows, columns=[id_col] + [f"b{i}" for i in range(buckets)]
+            )
+
+    return df.select(id_col, media_col).mapInPandas(run, out_schema)

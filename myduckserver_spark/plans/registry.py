@@ -57,6 +57,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         queries_ext,
         queries_fn2,
         queries_misc,
+        queries_mm,
         queries_more,
         queries_pg,
         queries_sql4,
@@ -78,6 +79,7 @@ def all_oracles() -> dict[str, str]:
         queries_ext,
         queries_fn2,
         queries_misc,
+        queries_mm,
         queries_more,
         queries_pg,
         queries_sql4,
