@@ -56,6 +56,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         queries_emb,
         queries_ext,
         queries_fn2,
+        queries_fn3,
         queries_misc,
         queries_mm,
         queries_more,
@@ -78,6 +79,7 @@ def all_oracles() -> dict[str, str]:
         queries_emb,
         queries_ext,
         queries_fn2,
+        queries_fn3,
         queries_misc,
         queries_mm,
         queries_more,
