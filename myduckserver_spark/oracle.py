@@ -1,9 +1,25 @@
 """Local replica of the driver's DuckDB-oracle correctness gate.
 
 Runs a registered query on Spark and its oracle SQL on DuckDB over the
-same parquet tables, then compares row count + column names + values
-(order-insensitive, columns sorted by name — mirroring the driver's
-hash compare described in __spark_entry__.py).
+same parquet tables, then compares row count + column names + values.
+
+Faithfulness matters more than leniency here: the driver fetches the
+DuckDB side via pandas (DECIMAL -> float64) and the Spark side via
+Arrow/pandas (DECIMAL -> Decimal objects), so a DECIMAL-typed output
+column can never hash-match even when the values are numerically
+identical (round-1 lesson: 12 hash_match failures, all DECIMAL/–).
+This comparer therefore:
+
+- fetches Spark results with ``toPandas()`` and DuckDB with ``.df()``
+  (the same seam the driver crosses),
+- canonicalizes values TYPE-SENSITIVELY — a ``Decimal`` never equals a
+  ``float``, so the decimal seam fails locally before it fails in the
+  driver, and
+- reports any Decimal-typed output column as a defect in itself.
+
+Query authors: final outputs must be BIGINT/INT/DOUBLE/STRING/DATE/
+TIMESTAMP/BOOLEAN/arrays thereof. Exact DECIMAL arithmetic stays
+*inside* the plan (plans/helpers.py), never in the output schema.
 """
 
 from __future__ import annotations
@@ -28,33 +44,61 @@ class CompareResult:
     detail: str = ""
 
 
-def _norm_val(v):
-    if v is None:
-        return None
-    if isinstance(v, bool):
-        return int(v)
+def _canon(v):
+    """Type-sensitive canonical form. Distinct Python/numpy type families
+    map to distinct canonical strings so cross-type 'equal' values
+    (Decimal('1.5') vs 1.5) do NOT compare equal — mirroring the driver's
+    value-hash, which stringifies the two engines' native fetch types."""
+    import numpy as np
+    import pandas as pd
+
+    if v is None or v is pd.NaT:
+        return "∅"
+    if isinstance(v, (bool, np.bool_)):
+        return f"b:{bool(v)}"
+    if isinstance(v, (int, np.integer)):
+        return f"i:{int(v)}"
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            return "∅"  # pandas NULL-float; both engines produce NaN for NULL
+        return f"f:{f!r}"
     if isinstance(v, decimal.Decimal):
-        return str(v)
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return repr(v)
+        return f"D:{v}"  # intentionally never equal to f:...
+    if isinstance(v, pd.Timestamp):
+        return f"t:{v.to_pydatetime().replace(tzinfo=None).isoformat()}"
     if isinstance(v, dt.datetime):
-        return v.replace(tzinfo=None).isoformat()
+        return f"t:{v.replace(tzinfo=None).isoformat()}"
     if isinstance(v, dt.date):
-        return v.isoformat()
+        return f"d:{v.isoformat()}"
     if isinstance(v, (bytes, bytearray)):
-        return v.hex()
-    if isinstance(v, list):
-        return tuple(_norm_val(x) for x in v)
-    return v
+        return f"x:{bytes(v).hex()}"
+    if isinstance(v, str):
+        return f"s:{v}"
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(str(_canon(x)) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}={_canon(x)}" for k, x in sorted(v.items())) + "}"
+    return f"o:{v!r}"
 
 
-def _norm_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(_norm_val(r[i]) for i in order) for r in rows]
-    out.sort(key=lambda r: tuple((x is None, str(x)) for x in r))
+def _frame_rows(df) -> list[tuple]:
+    cols = sorted(df.columns)
+    out = [tuple(_canon(v) for v in row) for row in df[cols].itertuples(index=False)]
+    out.sort()
     return out
+
+
+def _decimal_cols(df) -> list[str]:
+    bad = []
+    for c in df.columns:
+        s = df[c]
+        if s.dtype == object:
+            for v in s:
+                if isinstance(v, decimal.Decimal):
+                    bad.append(c)
+                    break
+    return bad
 
 
 def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -68,40 +112,43 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 def compare_one(spark, name: str, spark_fn, oracle: str | None, sf_dir: str) -> CompareResult:
     sdf = spark_fn(spark, sf_dir)
-    scols = sdf.columns
-    srows = [tuple(r) for r in sdf.collect()]
+    spdf = sdf.toPandas()
     if oracle is None:
-        return CompareResult(name, True, len(srows), -1, "rows-only (no oracle)")
+        return CompareResult(name, True, len(spdf), -1, "rows-only (no oracle)")
     con = duckdb_conn(sf_dir)
     try:
-        rel = con.sql(oracle)
-        ocols = rel.columns
-        orows = rel.fetchall()
+        odf = con.sql(oracle).df()
     finally:
         con.close()
-    if sorted(scols) != sorted(ocols):
+    notes = []
+    sbad = _decimal_cols(spdf)
+    if sbad:
+        notes.append(f"DECIMAL-typed Spark output cols {sbad} (will hash-fail in driver)")
+    if sorted(spdf.columns) != sorted(odf.columns):
         return CompareResult(
-            name, False, len(srows), len(orows),
-            f"column mismatch: spark={sorted(scols)} oracle={sorted(ocols)}",
+            name, False, len(spdf), len(odf),
+            f"column mismatch: spark={sorted(spdf.columns)} oracle={sorted(odf.columns)}",
         )
-    if len(srows) != len(orows):
+    if len(spdf) != len(odf):
         return CompareResult(
-            name, False, len(srows), len(orows),
-            f"row count mismatch: spark={len(srows)} oracle={len(orows)}",
+            name, False, len(spdf), len(odf),
+            f"row count mismatch: spark={len(spdf)} oracle={len(odf)}",
         )
-    sn = _norm_rows(scols, srows)
-    on = _norm_rows(ocols, orows)
-    if sn != on:
+    sn = _frame_rows(spdf)
+    on = _frame_rows(odf)
+    if sn != on or notes:
         from collections import Counter
 
         s_only = list((Counter(sn) - Counter(on)).elements())[:4]
         o_only = list((Counter(on) - Counter(sn)).elements())[:4]
-        cols = sorted(scols)
-        detail = (
-            f"value mismatch, cols={cols}\n"
-            + "\n".join(f"  spark-only: {r}" for r in s_only)
-            + "\n"
-            + "\n".join(f"  duck-only : {r}" for r in o_only)
-        )
-        return CompareResult(name, False, len(srows), len(orows), detail)
-    return CompareResult(name, True, len(srows), len(orows))
+        cols = sorted(spdf.columns)
+        detail = "; ".join(notes)
+        if sn != on:
+            detail += (
+                f"\nvalue mismatch, cols={cols}\n"
+                + "\n".join(f"  spark-only: {r}" for r in s_only)
+                + "\n"
+                + "\n".join(f"  duck-only : {r}" for r in o_only)
+            )
+        return CompareResult(name, False, len(spdf), len(odf), detail)
+    return CompareResult(name, True, len(spdf), len(odf))

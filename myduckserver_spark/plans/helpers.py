@@ -1,11 +1,23 @@
 """Shared determinism helpers for oracle-matched queries.
 
-Why DECIMAL: double summation is non-associative, and Spark's partial
-aggregation order differs run-to-run and engine-to-engine. Casting each
-row to DECIMAL(18,6) makes the sum exact and associative, so Spark and
-DuckDB produce bit-identical results regardless of partitioning. This is
-the Spark-side analog of the reference's exact-decimal handling at the
-row seam (reference: backend/iter.go:125-133).
+Why DECIMAL internally: double summation is non-associative, and Spark's
+partial aggregation order differs run-to-run and engine-to-engine.
+Casting each row to DECIMAL(18,6) makes the sum exact and associative,
+so Spark and DuckDB produce bit-identical results regardless of
+partitioning. This is the Spark-side analog of the reference's
+exact-decimal handling at the row seam (reference: backend/iter.go:125-133).
+
+Why DOUBLE at the output seam: the correctness gate fetches Spark results
+via Arrow/pandas (DECIMAL -> Python Decimal objects) and the DuckDB oracle
+via pandas (DECIMAL -> float64), so a DECIMAL-typed *output* column can
+never hash-match even when values are identical. Every final projection
+therefore rounds the exact decimal to scale 2 and casts to DOUBLE.
+Rounding first keeps the conversion exact: after ROUND(x, 2) the unscaled
+value is |x|*100 < 2^53 for any realistic aggregate, so decimal->double is
+a single correctly-rounded IEEE operation in both engines (DuckDB divides
+the exact integer by a power of ten; Java BigDecimal.doubleValue does the
+same) — bit-identical on both sides. Spark ROUND and DuckDB ROUND both
+round half away from zero on decimals, so the rounding itself agrees too.
 """
 
 from __future__ import annotations
@@ -22,15 +34,21 @@ def dec(c: Column | str) -> Column:
     return c.cast(DEC_IN)
 
 
+def dout(c: Column) -> Column:
+    """Canonical hash-stable output for an exact-decimal expression."""
+    return F.round(c, 2).cast("double")
+
+
 def dsum(c: Column | str, alias: str) -> Column:
-    """Exact decimal sum with pinned output type DECIMAL(38,6)."""
-    return F.sum(dec(c)).cast(DEC_OUT).alias(alias)
+    """Exact decimal sum, emitted as canonical DOUBLE (see module doc)."""
+    return dout(F.sum(dec(c))).alias(alias)
 
 
 def davg(c: Column | str, alias: str) -> Column:
-    """Deterministic double average: exact decimal sum, then one IEEE divide."""
+    """Deterministic double average: exact decimal sum rounded to an
+    exactly-convertible scale, one exact cast, one IEEE divide."""
     c = F.col(c) if isinstance(c, str) else c
-    return (F.sum(dec(c)).cast("double") / F.count(F.lit(1))).alias(alias)
+    return (F.round(F.sum(dec(c)), 3).cast("double") / F.count(F.lit(1))).alias(alias)
 
 
 def bcount(alias: str) -> Column:
@@ -50,12 +68,21 @@ def ts_micros(c: Column | str) -> Column:
 
 
 # Oracle-side (DuckDB SQL) equivalents — keep textually parallel.
+def o_dout(expr: str) -> str:
+    return f"CAST(ROUND({expr}, 2) AS DOUBLE)"
+
+
 def o_dsum(expr: str, alias: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS {alias}"
+    return (
+        f"CAST(ROUND(SUM(CAST({expr} AS DECIMAL(18,6))), 2) AS DOUBLE) AS {alias}"
+    )
 
 
 def o_davg(expr: str, alias: str) -> str:
-    return f"(CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)) AS {alias}"
+    return (
+        f"(CAST(ROUND(SUM(CAST({expr} AS DECIMAL(18,6))), 3) AS DOUBLE)"
+        f" / COUNT(*)) AS {alias}"
+    )
 
 
 def o_bcount(alias: str) -> str:

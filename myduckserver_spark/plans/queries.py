@@ -13,13 +13,14 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from myduckserver_spark.plans.helpers import (
-    DEC_OUT,
     bcount,
     davg,
     dec,
+    dout,
     dsum,
     o_bcount,
     o_davg,
+    o_dout,
     o_dsum,
 )
 from myduckserver_spark.plans.registry import register
@@ -64,8 +65,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             dsum("l_quantity", "sum_qty"),
             dsum("l_extendedprice", "sum_base_price"),
-            F.sum(dec(disc_price)).cast("decimal(38,6)").alias("sum_disc_price"),
-            F.sum(dec(charge)).cast("decimal(38,6)").alias("sum_charge"),
+            dout(F.sum(dec(disc_price))).alias("sum_disc_price"),
+            dout(F.sum(dec(charge))).alias("sum_charge"),
             davg("l_quantity", "avg_qty"),
             davg("l_extendedprice", "avg_price"),
             davg("l_discount", "avg_disc"),
@@ -78,8 +79,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_forecast_revenue",
     oracle="""
-    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
-                AS DECIMAL(38,6)) AS revenue,
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))), 2)
+                AS DOUBLE) AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_rows
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -105,8 +106,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum(dec(F.col("l_extendedprice") * F.col("l_discount")))
-            .cast("decimal(38,6)")
+            dout(F.sum(dec(F.col("l_extendedprice") * F.col("l_discount"))))
             .alias("revenue"),
             bcount("n_rows"),
         )
@@ -118,7 +118,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT l_orderkey,
            {o_dsum("l_extendedprice * (1 - l_discount)", "revenue")},
-           CAST(o_orderdate AS DATE) AS orderdate
+           CAST(o_orderdate AS TIMESTAMP) AS orderdate
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -152,14 +152,13 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
-            .cast("decimal(38,6)")
+            dout(F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))))
             .alias("revenue")
         )
         .select(
             "l_orderkey",
             "revenue",
-            F.col("o_orderdate").cast("date").alias("orderdate"),
+            F.col("o_orderdate").cast("timestamp").alias("orderdate"),
         )
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
@@ -212,8 +211,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
         .agg(
-            F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
-            .cast("decimal(38,6)")
+            dout(F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))))
             .alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("n_name"))
@@ -254,8 +252,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
-            F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
-            .cast("decimal(38,6)")
+            dout(F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))))
             .alias("revenue")
         )
         .select(
@@ -273,7 +270,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q18_large_volume_orders",
     oracle=f"""
-    SELECT c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+    SELECT c_custkey, o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS orderdate,
            CAST(o_totalprice AS DOUBLE) AS totalprice,
            {o_dsum("l_quantity", "sum_qty")}
     FROM customer
@@ -305,19 +302,19 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_orderkey")
         .agg(F.sum(dec("l_quantity")).alias("__s"))
         .filter(F.col("__s") > 150)
-        .select(
-            "l_orderkey", F.col("__s").cast(DEC_OUT).alias("sum_qty")
-        )
+        .select("l_orderkey", dout(F.col("__s")).alias("sum_qty"))
     )
     cust = load_table(spark, sf_dir, "customer")
+    # No broadcast hints: `big` is a data-dependent HAVING survivor set and
+    # customer grows with SF — let AQE pick broadcast at runtime when small.
     return (
         load_table(spark, sf_dir, "orders")
-        .join(F.broadcast(big), F.col("o_orderkey") == big.l_orderkey)
-        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(big, F.col("o_orderkey") == big.l_orderkey)
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .select(
             "c_custkey",
             "o_orderkey",
-            F.col("o_orderdate").cast("date").alias("orderdate"),
+            F.col("o_orderdate").cast("timestamp").alias("orderdate"),
             F.col("o_totalprice").cast("double").alias("totalprice"),
             "sum_qty",
         )
@@ -565,11 +562,11 @@ def w_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w_running_revenue",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
                PARTITION BY o_custkey
                ORDER BY o_orderdate, o_orderkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS DECIMAL(38,6)) AS running_total
+           ), 2) AS DOUBLE) AS running_total
     FROM orders
     ORDER BY o_custkey, o_orderkey
     """,
@@ -587,9 +584,7 @@ def w_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.select(
             "o_custkey",
             "o_orderkey",
-            F.sum(dec("o_totalprice")).over(w).cast("decimal(38,6)").alias(
-                "running_total"
-            ),
+            dout(F.sum(dec("o_totalprice")).over(w)).alias("running_total"),
         )
         .orderBy("o_custkey", "o_orderkey")
     )
@@ -780,7 +775,7 @@ def g_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT c_mktsegment, c_nationkey,
-               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DECIMAL(38,6))
+               CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE)
                    AS sum_bal
         FROM customer
         GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
@@ -834,7 +829,7 @@ def g_conditional_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
-        .agg(F.sum(dec("l_quantity")).cast("decimal(38,6)"))
+        .agg(dout(F.sum(dec("l_quantity"))))
         .withColumnsRenamed({"O": "qty_O", "F": "qty_F"})
         .orderBy("l_returnflag")
     )
@@ -1110,7 +1105,7 @@ def f_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
            CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo,
-           CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
+           CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
            CAST(COUNT(*) AS BIGINT) AS n_orders
     FROM orders
     GROUP BY 1, 2, 3
@@ -1125,7 +1120,7 @@ def f_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.groupBy(
             F.year("o_orderdate").cast("int").alias("yr"),
             F.month("o_orderdate").cast("int").alias("mo"),
-            F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+            F.date_trunc("month", "o_orderdate").cast("timestamp").alias("month_start"),
         )
         .agg(bcount("n_orders"))
         .orderBy("yr", "mo", "month_start")
@@ -1284,7 +1279,7 @@ def f_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH seg AS (
         SELECT c_mktsegment,
-               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DECIMAL(38,6))
+               CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE)
                    AS seg_bal,
                CAST(COUNT(*) AS BIGINT) AS seg_n
         FROM customer GROUP BY c_mktsegment
@@ -1304,7 +1299,7 @@ def c_cte_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         WITH seg AS (
             SELECT c_mktsegment,
-                   CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DECIMAL(38,6))
+                   CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE)
                        AS seg_bal,
                    CAST(COUNT(*) AS BIGINT) AS seg_n
             FROM customer GROUP BY c_mktsegment

@@ -68,7 +68,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").cast("int").alias("yr"),
         )
         .agg(
-            F.sum(dec(F.expr(_REV))).cast("decimal(38,6)").alias("revenue")
+            F.round(F.sum(dec(F.expr(_REV))), 2).cast("double").alias("revenue")
         )
         .orderBy("supp_nation", "cust_nation", "yr")
     )
@@ -149,9 +149,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q9_product_profit",
     oracle="""
     SELECT n_name AS nation, CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                         - p_retailprice * l_quantity * 0.05
-                    AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS profit
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                              - p_retailprice * l_quantity * 0.05
+                         AS DECIMAL(18,6))), 2) AS DOUBLE) AS profit
     FROM lineitem
     JOIN part     ON p_partkey = l_partkey
     JOIN supplier ON s_suppkey = l_suppkey
@@ -183,7 +183,11 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("int").alias("yr"),
         )
-        .agg(F.sum(profit.cast("decimal(18,6)")).cast("decimal(38,6)").alias("profit"))
+        .agg(
+            F.round(F.sum(profit.cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("profit")
+        )
         .orderBy("nation", "yr")
     )
 
@@ -320,7 +324,7 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
         .filter(cond)
         .agg(
-            F.sum(dec(F.expr(_REV))).cast("decimal(38,6)").alias("revenue"),
+            F.round(F.sum(dec(F.expr(_REV))), 2).cast("double").alias("revenue"),
             bcount("n"),
         )
     )
@@ -331,7 +335,7 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT SUBSTRING(c_name, 10, 1) AS digit,
            CAST(COUNT(*) AS BIGINT) AS numcust,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS totacctbal
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS totacctbal
     FROM customer
     WHERE SUBSTRING(c_name, 10, 1) IN ('1', '3', '5', '7', '9')
       AND c_acctbal > (
@@ -352,7 +356,7 @@ def q22_wealthy_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT SUBSTRING(c_name, 10, 1) AS digit,
                CAST(COUNT(*) AS BIGINT) AS numcust,
-               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DECIMAL(38,6))
+               CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE)
                    AS totacctbal
         FROM customer
         WHERE SUBSTRING(c_name, 10, 1) IN ('1', '3', '5', '7', '9')
@@ -408,8 +412,8 @@ def w_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey,
            CAST(COUNT(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS cust_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
-                OVER (PARTITION BY o_custkey) AS DECIMAL(38,6)) AS cust_total
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                OVER (PARTITION BY o_custkey), 2) AS DOUBLE) AS cust_total
     FROM orders
     ORDER BY o_orderkey
     """,
@@ -423,9 +427,9 @@ def w_partition_only(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.select(
             "o_orderkey",
             F.count(F.lit(1)).over(w).cast("long").alias("cust_orders"),
-            F.sum(dec("o_totalprice")).over(w).cast("decimal(38,6)").alias(
-                "cust_total"
-            ),
+            F.round(F.sum(dec("o_totalprice")).over(w), 2)
+            .cast("double")
+            .alias("cust_total"),
         )
         .orderBy("o_orderkey")
     )

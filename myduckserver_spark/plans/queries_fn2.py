@@ -18,7 +18,7 @@ from myduckserver_spark.tables import load_table
            CAST(strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'),
                          '%Y-%m-%d %H:%M:%S') AS TIMESTAMP) AS reparsed,
            CAST(strptime(strftime(o_orderdate, '%d/%m/%Y'), '%d/%m/%Y')
-                AS DATE) AS reparsed_dmy
+                AS TIMESTAMP) AS reparsed_dmy
     FROM orders
     WHERE o_orderkey <= 50
     ORDER BY o_orderkey
@@ -34,7 +34,7 @@ def f_date_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             fmt.alias("formatted"),
             F.to_timestamp(fmt, "yyyy-MM-dd HH:mm:ss").alias("reparsed"),
-            F.to_date(
+            F.to_timestamp(
                 F.date_format("o_orderdate", "dd/MM/yyyy"), "dd/MM/yyyy"
             ).alias("reparsed_dmy"),
         )
@@ -51,12 +51,12 @@ def f_date_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- one expression.
     SELECT o_orderkey,
            CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS plus_30d,
-           CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS plus_1mo,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS TIMESTAMP) AS plus_1mo,
            CAST(date_diff('day', o_orderdate,
                 TIMESTAMP '2000-01-01 00:00:00') AS INT) AS days_to_2000,
-           CAST(last_day(o_orderdate) AS DATE) AS month_end,
+           CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
            CAST(make_date(CAST(EXTRACT(year FROM o_orderdate) AS INT), 6, 15)
-                AS DATE) AS mid_june
+                AS TIMESTAMP) AS mid_june
     FROM orders
     WHERE o_orderkey <= 50
     ORDER BY o_orderkey
@@ -70,12 +70,12 @@ def f_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.select(
             "o_orderkey",
             (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("plus_30d"),
-            F.add_months("o_orderdate", 1).cast("date").alias("plus_1mo"),
+            F.add_months("o_orderdate", 1).cast("timestamp").alias("plus_1mo"),
             F.datediff(
                 F.lit("2000-01-01").cast("date"), F.col("o_orderdate")
             ).cast("int").alias("days_to_2000"),
-            F.last_day("o_orderdate").cast("date").alias("month_end"),
-            F.make_date(F.year("o_orderdate"), F.lit(6), F.lit(15)).alias("mid_june"),
+            F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+            F.make_date(F.year("o_orderdate"), F.lit(6), F.lit(15)).cast("timestamp").alias("mid_june"),
         )
         .orderBy("o_orderkey")
     )

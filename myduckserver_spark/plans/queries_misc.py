@@ -91,7 +91,7 @@ def v_values_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- DuckDB v1.0.0 arg_max can't take a composite ordering key, so
     -- the oracle states the same semantics as a window query.
     SELECT o_custkey, o_orderkey AS latest_order,
-           CAST(o_orderdate AS DATE) AS latest_date
+           CAST(o_orderdate AS TIMESTAMP) AS latest_date
     FROM (
         SELECT o_custkey, o_orderkey, o_orderdate,
                ROW_NUMBER() OVER (PARTITION BY o_custkey
@@ -112,7 +112,7 @@ def d_distinct_on_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.groupBy("o_custkey")
         .agg(
             F.max_by("o_orderkey", ordk).alias("latest_order"),
-            F.max_by("o_orderdate", ordk).cast("date").alias("latest_date"),
+            F.max_by("o_orderdate", ordk).cast("timestamp").alias("latest_date"),
         )
         .orderBy("o_custkey")
     )
@@ -149,7 +149,7 @@ def sq_exists_in_select_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     "g_having_no_groupby",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6))
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
                AS total
     FROM orders
     HAVING COUNT(*) > 10
@@ -162,7 +162,7 @@ def g_having_no_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6))
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
                    AS total
         FROM orders
         HAVING COUNT(*) > 10
@@ -300,7 +300,8 @@ def f_json_table_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH per AS (SELECT o_orderpriority AS prio, o_orderstatus AS st,
                  CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY 1, 2)
-    SELECT prio, "O" AS n_open, "F" AS n_final, "P" AS n_pending FROM (
+    SELECT prio, CAST("O" AS BIGINT) AS n_open, CAST("F" AS BIGINT) AS n_final,
+           CAST("P" AS BIGINT) AS n_pending FROM (
         PIVOT per ON st IN ('O', 'F', 'P') USING SUM(n) GROUP BY prio
     ) ORDER BY prio
     """,
@@ -393,8 +394,8 @@ def f_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id,
            CAST(len(embedding) AS INT) AS dim,
-           (SELECT CAST(SUM(CAST(ROUND(CAST(u.x AS DOUBLE), 3)
-                                 AS DECIMAL(18,6))) AS DECIMAL(38,6))
+           (SELECT CAST(ROUND(SUM(CAST(ROUND(CAST(u.x AS DOUBLE), 3)
+                                      AS DECIMAL(18,6))), 2) AS DOUBLE)
             FROM unnest(embedding[1:4]) AS u(x)) AS head_sum
     FROM embeddings
     WHERE vec_id < 200
@@ -415,11 +416,11 @@ def f_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
           (acc, x) -> acc + cast(round(cast(x as double), 3) as decimal(18,6))
         )
         """
-    ).cast("decimal(38,6)")
+    )
     return emb.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        head_sum.alias("head_sum"),
+        F.round(head_sum, 2).cast("double").alias("head_sum"),
     ).orderBy("vec_id")
 
 
@@ -453,7 +454,7 @@ def g_groupby_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT w_start,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
     FROM (
         SELECT time_bucket(INTERVAL 30 MINUTE, ts)
                  - (k * INTERVAL 30 MINUTE) AS w_start,
@@ -476,8 +477,8 @@ def ev_hopping_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum(F.col("value").cast("decimal(18,6)"))
-            .cast("decimal(38,6)")
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
             .alias("total"),
         )
         .select(F.col("w.start").alias("w_start"), "n", "total")

@@ -87,8 +87,8 @@ _NAMED_WINDOW_SQL = """
 SELECT o_custkey,
        o_orderkey,
        CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w
-            AS DECIMAL(38,6)) AS running_spend
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w, 2)
+            AS DOUBLE) AS running_spend
 FROM orders
 WHERE o_custkey < 200
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)

@@ -31,8 +31,8 @@ from myduckserver_spark.tables import load_table
     )
     SELECT m.mon,
            CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
-           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 0)
-                AS DECIMAL(38,6)) AS month_revenue
+           CAST(ROUND(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 0), 2)
+                AS DOUBLE) AS month_revenue
     FROM m
     LEFT JOIN orders
       ON month(o_orderdate) = m.mon AND year(o_orderdate) = 1995
@@ -64,8 +64,8 @@ def c_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT m.mon,
                CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
-               CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 0)
-                    AS DECIMAL(38,6)) AS month_revenue
+               CAST(ROUND(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 0), 2)
+                    AS DOUBLE) AS month_revenue
         FROM m
         LEFT JOIN orders_rcte_v
           ON month(o_orderdate) = m.mon AND year(o_orderdate) = 1995
@@ -83,8 +83,8 @@ def c_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
                AS n_finished,
            {o_dsum("o_totalprice", "all_revenue")},
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
-                FILTER (WHERE o_orderstatus = 'O') AS DECIMAL(38,6))
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                FILTER (WHERE o_orderstatus = 'O'), 2) AS DOUBLE)
                AS open_revenue
     FROM orders
     GROUP BY o_orderpriority
@@ -112,8 +112,8 @@ def g_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("n_finished"),
             dsum("o_totalprice", "all_revenue"),
-            F.sum(F.when(F.col("o_orderstatus") == "O", dec_price))
-            .cast("decimal(38,6)")
+            F.round(F.sum(F.when(F.col("o_orderstatus") == "O", dec_price)), 2)
+            .cast("double")
             .alias("open_revenue"),
         )
         .orderBy("o_orderpriority")
@@ -177,8 +177,8 @@ def g_grouping_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
                           + c_custkey) AS richest_cust,
            min_by(c_name, CAST(c_acctbal * 100 AS BIGINT) * 10000000
                           + c_custkey) AS poorest_cust,
-           CAST(MAX(c_acctbal) AS DECIMAL(15,2)) AS max_bal,
-           CAST(MIN(c_acctbal) AS DECIMAL(15,2)) AS min_bal
+           CAST(MAX(c_acctbal) AS DOUBLE) AS max_bal,
+           CAST(MIN(c_acctbal) AS DOUBLE) AS min_bal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     GROUP BY n_name
@@ -210,8 +210,8 @@ def g_max_by_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max_by("c_name", key).alias("richest_cust"),
             F.min_by("c_name", key).alias("poorest_cust"),
-            F.max("c_acctbal").cast("decimal(15,2)").alias("max_bal"),
-            F.min("c_acctbal").cast("decimal(15,2)").alias("min_bal"),
+            F.max("c_acctbal").cast("double").alias("max_bal"),
+            F.min("c_acctbal").cast("double").alias("min_bal"),
         )
         .orderBy("n_name")
     )

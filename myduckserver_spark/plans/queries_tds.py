@@ -384,12 +384,12 @@ def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), active AS (
         SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
     )
-    SELECT f.cohort,
+    SELECT CAST(f.cohort AS TIMESTAMP) AS cohort,
            CAST(a.d - f.cohort AS BIGINT) AS day_offset,
            CAST(COUNT(*) AS BIGINT) AS n_active
     FROM active a JOIN first_day f USING (user_id)
     GROUP BY f.cohort, day_offset
-    ORDER BY f.cohort, day_offset
+    ORDER BY 1, day_offset
     """,
     tags=("events", "retention"),
 )
@@ -418,5 +418,10 @@ def ev_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("cohort", "day_offset")
         .agg(bcount("n_active"))
+        .select(
+            F.col("cohort").cast("timestamp").alias("cohort"),
+            "day_offset",
+            "n_active",
+        )
         .orderBy("cohort", "day_offset")
     )

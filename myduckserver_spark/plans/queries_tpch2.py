@@ -93,8 +93,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH v AS (
         SELECT l_partkey AS partkey,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
-                    AS DECIMAL(38,6)) AS value
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2)
+                    AS DOUBLE) AS value
         FROM lineitem
         JOIN supplier ON s_suppkey = l_suppkey
         JOIN nation   ON s_nationkey = n_nationkey
@@ -103,7 +103,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT partkey, value
     FROM v
-    WHERE CAST(value AS DOUBLE) > (
+    WHERE value > (
         SELECT CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) * 0.001
         FROM v
     )
@@ -127,7 +127,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("l_partkey").alias("partkey"))
-        .agg(F.sum(dec("l_extendedprice")).cast("decimal(38,6)").alias("value"))
+        .agg(F.round(F.sum(dec("l_extendedprice")), 2).cast("double").alias("value"))
     )
     total = v.agg(
         (F.sum(F.col("value").cast("decimal(18,6)")).cast("double") * 0.001).alias(
@@ -136,7 +136,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         v.crossJoin(F.broadcast(total))
-        .filter(F.col("value").cast("double") > F.col("threshold"))
+        .filter(F.col("value") > F.col("threshold"))
         .select("partkey", "value")
         .orderBy(F.desc("value"), "partkey")
     )
@@ -147,8 +147,8 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH revenue AS (
         SELECT l_suppkey AS supplier_no,
-               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                             AS DECIMAL(18,6))) AS DECIMAL(38,6))
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,6))), 2) AS DOUBLE)
                    AS total_revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -173,7 +173,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(dec(F.expr(_REV))).cast("decimal(38,6)").alias("total_revenue")
+        F.round(F.sum(dec(F.expr(_REV))), 2).cast("double").alias("total_revenue")
     )
     supp = load_table(spark, sf_dir, "supplier")
     mx = revenue.agg(F.max("total_revenue").alias("mx"))

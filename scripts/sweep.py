@@ -1,43 +1,75 @@
-"""Timed sweep of every queries() entry at a given SF dir.
+"""Pre-flight sweep: run EVERY registered query against its DuckDB
+oracle with the driver-faithful comparer (myduckserver_spark/oracle.py).
 
-Usage: python scripts/sweep.py [sf_dir]
-Prints per-query wall seconds sorted slowest-first, then the total.
-One warm pass per query (codegen is shape-keyed), then one timed pass.
+This is the builder's local replica of the driver's CORRECTNESS gate —
+run it before committing query changes:
+
+    python scripts/sweep.py                 # all queries at sf0.01
+    python scripts/sweep.py --sf sf0.001    # faster, smaller data
+    python scripts/sweep.py --only q1 dd_   # name-prefix filter
+
+Exit code 1 if anything fails; prints a one-line verdict per query and
+a failure digest at the end.
 """
 
+from __future__ import annotations
+
+import argparse
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
-
-import __spark_entry__ as entry_mod
-from myduckserver_spark.session import build_session
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    spark = build_session(
-        app_name="sweep", extra_conf={"spark.driver.memory": "16g"}
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="sf0.01", help="scale dir under /root/testdata")
+    ap.add_argument("--only", nargs="*", default=None, help="name prefixes to run")
+    ap.add_argument("--quiet", action="store_true")
+    args = ap.parse_args()
+    sf_dir = (
+        args.sf if os.path.isdir(args.sf) else os.path.join("/root/testdata", args.sf)
     )
-    qs = entry_mod.queries()
-    print(f"{len(qs)} queries @ {sf_dir}", flush=True)
-    times = {}
-    for name, fn in qs.items():
+
+    from myduckserver_spark.oracle import compare_one
+    from myduckserver_spark.plans.registry import REGISTRY, all_queries
+    from myduckserver_spark.session import build_session
+
+    all_queries()  # trigger registrations
+    spark = build_session()
+    names = list(REGISTRY)
+    if args.only:
+        names = [n for n in names if any(n.startswith(p) for p in args.only)]
+
+    failures: list[tuple[str, str]] = []
+    t_all = time.time()
+    for i, name in enumerate(names):
+        q = REGISTRY[name]
+        t0 = time.time()
         try:
-            fn(spark, sf_dir).collect()  # warm: JIT/codegen + scan cache
-            t0 = time.monotonic()
-            n = len(fn(spark, sf_dir).collect())
-            dt = time.monotonic() - t0
-            times[name] = dt
-            print(f"  {name}: {dt:.2f}s ({n} rows)", flush=True)
-        except Exception as exc:  # noqa: BLE001 - sweep must survive one bad query
-            print(f"  {name}: FAILED {type(exc).__name__}: {exc}", flush=True)
-            times[name] = float("nan")
-    print("\n== slowest ==")
-    for name, dt in sorted(times.items(), key=lambda kv: -kv[1])[:15]:
-        print(f"  {name}: {dt:.2f}s")
-    print(f"TOTAL: {sum(v for v in times.values() if v == v):.1f}s")
+            r = compare_one(spark, name, q.spark, q.oracle, sf_dir)
+        except Exception as e:  # noqa: BLE001 — report, keep sweeping
+            failures.append((name, f"EXCEPTION: {e}"))
+            print(f"[{i+1:3}/{len(names)}] {name:36} ERROR  {e}")
+            continue
+        dt_q = time.time() - t0
+        status = "ok" if r.ok else "FAIL"
+        if not r.ok:
+            failures.append((name, r.detail))
+        if not args.quiet or not r.ok:
+            print(
+                f"[{i+1:3}/{len(names)}] {name:36} {status:5} "
+                f"{r.spark_rows:>7} rows  {dt_q:5.2f}s"
+            )
+    print(
+        f"\n{len(names) - len(failures)}/{len(names)} green "
+        f"in {time.time() - t_all:.1f}s at {sf_dir}"
+    )
+    for name, detail in failures:
+        print(f"\n=== {name} ===\n{detail[:2000]}")
+    return 1 if failures else 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
