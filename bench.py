@@ -51,22 +51,23 @@ def main() -> None:
     # Warm JIT/whole-stage-codegen per query shape. Generated code is
     # keyed to the exact plan shape — including whether the scan is an
     # InMemoryTableScan over the sf_dir cache — so warming must run the
-    # SAME (query, sf_dir) pair that gets measured; a smaller SF
-    # compiles a different shape and the measured first run re-compiles.
-    # The metric is steady-state latency (the reference's compiled
-    # engine benefits identically; first-query JIT is not what
-    # BASELINE.md measures).
+    # SAME (query, sf_dir) pair that gets measured. The metric is
+    # steady-state latency (the reference's compiled engine benefits
+    # identically; first-query JIT is not what BASELINE.md measures).
     for name in HEADLINE:
         REGISTRY[name].spark(spark, sf_dir).collect()
 
-    # Median of 3 measured runs per query: steady-state latency, robust
-    # to one-off JIT/GC pauses (observed swinging single runs 1.5-3x on
-    # identical plans). Rounds are interleaved across queries (run 1 of
-    # every query, then run 2, ...) so a transient host-level stall
-    # lands in at most one of a query's three samples instead of all of
-    # them — back-to-back sampling was observed handing one query a 9s
-    # median from a ~2s-true plan. All runs are real end-to-end
-    # collects at the measured SF.
+    # HEADLINE timings are HONEST end-to-end runs: a fresh DataFrame per
+    # run, so every sample pays Catalyst analysis+optimization+physical
+    # planning AND re-executes every stage (no reuse of plan, shuffle
+    # output, or result). Median of 3, interleaved across queries so a
+    # transient host stall lands in at most one of a query's samples.
+    #
+    # Measured overhead anatomy at sf0.1 (see PROGRESS notes): actual
+    # execution on warm columnar data is ~40-80 ms/query; the remaining
+    # ~0.4-0.9 s is per-query driver-side planning + stage orchestration
+    # — a fixed cost that is invariant in data size and disappears into
+    # noise at the 100 TB design point.
     runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _ in range(3):
         for name in HEADLINE:
@@ -77,6 +78,28 @@ def main() -> None:
         name: round(sorted(rs)[1], 3) for name, rs in runs.items()
     }
 
+    # Secondary metric: the prepared-statement serving path
+    # (registry.prepared — the analog of the reference's DuckDB prepared
+    # statements + plan cache, pgserver/duck_handler.go:133-233).
+    # Re-collecting a prepared plan reuses the physical plan AND any
+    # still-registered shuffle map outputs (Spark's skipped-stage
+    # behavior), so this measures repeated-identical-query serving
+    # latency, NOT engine recompute throughput — reported separately and
+    # never mixed into the headline value.
+    from myduckserver_spark.plans.registry import prepared
+
+    prep: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for name in HEADLINE:
+        prepared(name, spark, sf_dir).collect()  # plan + first execution
+    for _ in range(3):
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            prepared(name, spark, sf_dir).collect()
+            prep[name].append(time.perf_counter() - t0)
+    prepared_timings = {
+        name: round(sorted(rs)[1], 3) for name, rs in prep.items()
+    }
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -85,6 +108,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_prepared_serving": prepared_timings,
+                "prepared_serving_total": round(
+                    sum(prepared_timings.values()), 3
+                ),
                 "sf": sf,
             }
         )

@@ -119,6 +119,27 @@ def _ordered() -> list[str]:
     return list(PRIORITY) + rest
 
 
+# Prepared-plan cache: the analog of the reference's prepared statements
+# (reference: pgserver/duck_handler.go:133-233 keeps raw *duckdb.Stmt per
+# portal; GMS caches analyzed plans). Spark's Catalyst optimization +
+# AQE planning costs 0.5-0.9 s per fresh DataFrame on multi-join plans —
+# three orders of magnitude over actual execution on warm columnar data.
+# Re-collecting the SAME DataFrame reuses its QueryExecution (and AQE's
+# finalized physical plan), so a serving layer executing a repeated query
+# pays planning once. Keyed per session so a restarted session replans.
+_PLAN_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def prepared(name: str, spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return the plan-cached DataFrame for a registered query."""
+    key = (id(spark), name, sf_dir)
+    df = _PLAN_CACHE.get(key)
+    if df is None:
+        df = REGISTRY[name].spark(spark, sf_dir)
+        _PLAN_CACHE[key] = df
+    return df
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _load_all()
     return {name: REGISTRY[name].spark for name in _ordered()}

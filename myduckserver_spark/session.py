@@ -45,6 +45,14 @@ def build_session(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # parallelismFirst=true (the default) coalesces only down to the
+        # cluster's parallelism (32 here), so a 6-row aggregate still pays
+        # 32 shuffle tasks of pure scheduling overhead. False makes AQE
+        # honor advisoryPartitionSizeInBytes instead — tiny shuffles
+        # coalesce to 1 task locally while 100 TB shuffles keep ~64 MB
+        # partitions. This is the setting Spark's own tuning guide
+        # recommends flipping on clusters.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.ansi.enabled", "false")
