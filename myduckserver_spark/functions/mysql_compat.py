@@ -1,24 +1,39 @@
-"""MySQL-dialect SQL normalization for the Spark SQL front door.
+"""MySQL-dialect SQL translation for the Spark SQL front door.
 
-The reference transpiles MySQL → DuckDB SQL with SQLGlot
-(reference transpiler/translate.go:102; concrete cases in
+The reference transpiles MySQL → DuckDB SQL with a real parser (SQLGlot
+subprocess, reference: transpiler/translate.go:102; concrete cases in
 transpiler/translate_test.go:10-67). SQLGlot is not in this image, so
-this module implements the subset of rewrites those test cases cover —
-Spark's SQL dialect is already close to MySQL, so the gap is small:
+this module implements the same contract with a faithful MySQL lexer
+(functions/mysql_lexer.py) and token-stream rewrites:
 
-- backtick identifiers → Spark handles backticks natively (no-op),
-- ``LIMIT offset, count`` → ``LIMIT count OFFSET offset``,
-- ``DIV`` integer division → Spark supports DIV natively,
-- function aliases (GROUP_CONCAT, NOW, CURDATE, UCASE, ...),
-- DATE_FORMAT/STR_TO_DATE %-token patterns → Java datetime patterns.
+- rewrites can never fire inside string literals, backtick identifiers,
+  or comments (the classic regex-normalizer corruption class);
+- function-argument rewrites operate on balanced token spans, so nested
+  calls (``DATE_ADD(STR_TO_DATE(s,'%Y-%m-%d'), INTERVAL n DAY)``) work;
+- MySQL-only surface is normalized: ``#`` comments, ``LIMIT off,cnt``,
+  ``STRAIGHT_JOIN``, SELECT modifiers (SQL_CALC_FOUND_ROWS &c.), ODBC
+  escape sequences ``{d '...'}``/``{ts '...'}``/``{fn ...}``,
+  ``CAST(x AS SIGNED/UNSIGNED/CHAR/...)``, ``INTERVAL <expr> <unit>``
+  arithmetic with non-literal counts, and ~40 function shims.
 
-This is deliberately a *normalizer*, not a full parser: queries that
-are already valid Spark SQL pass through untouched.
+Queries that are already valid Spark SQL pass through byte-identical
+(modulo the MySQL-only constructs above), matching the reference's
+passthrough behavior for clean input.
 """
 
 from __future__ import annotations
 
 import re
+
+from myduckserver_spark.functions.mysql_lexer import (
+    Tok,
+    match_paren,
+    render,
+    split_args,
+    tokenize,
+)
+
+# ---------------------------------------------------------------- datetime fmt
 
 # MySQL %-tokens → Java/Spark datetime pattern tokens
 # (subset the reference's tests exercise; TestDateParse main_test.go:2177)
@@ -28,14 +43,6 @@ _FMT_TOKENS = {
     "%S": "ss", "%f": "SSSSSS", "%p": "a", "%W": "EEEE", "%a": "EEE",
     "%b": "MMM", "%M": "MMMM", "%j": "DDD", "%%": "%",
 }
-
-_LIMIT_RE = re.compile(r"\bLIMIT\s+(\d+)\s*,\s*(\d+)", re.I)
-_GROUP_CONCAT_RE = re.compile(
-    r"\bGROUP_CONCAT\s*\(\s*(DISTINCT\s+)?(.*?)"
-    r"(?:\s+ORDER\s+BY\s+(.+?)(\s+DESC)?)?"
-    r"(?:\s+SEPARATOR\s+'([^']*)')?\s*\)",
-    re.I | re.S,
-)
 
 
 def mysql_datetime_format(fmt: str) -> str:
@@ -55,169 +62,489 @@ def mysql_datetime_format(fmt: str) -> str:
     return "".join(out)
 
 
-def _rewrite_datetime_fns(sql: str) -> str:
-    def repl(m: re.Match) -> str:
-        fn = m.group(1).upper()
-        arg = m.group(2)
-        fmt = mysql_datetime_format(m.group(3))
-        if fn == "DATE_FORMAT":
-            return f"date_format({arg}, '{fmt}')"
-        return f"to_timestamp({arg}, '{fmt}')"  # STR_TO_DATE
+def _str_lit(tok_text: str) -> str | None:
+    """Python value of a single-quoted/double-quoted literal, else None."""
+    if len(tok_text) >= 2 and tok_text[0] in "'\"" and tok_text[-1] == tok_text[0]:
+        q = tok_text[0]
+        body = tok_text[1:-1]
+        return body.replace(q + q, q).replace("\\" + q, q).replace("\\\\", "\\")
+    return None
 
-    return re.sub(
-        r"\b(DATE_FORMAT|STR_TO_DATE)\s*\(\s*(.+?)\s*,\s*'([^']*)'\s*\)",
-        repl,
-        sql,
-        flags=re.I,
+
+# ------------------------------------------------------------ interval helper
+
+_UNIT_DAYS = {"WEEK": 7}
+_MAKE_INTERVAL_SLOT = {
+    "YEAR": 0, "MONTH": 1, "WEEK": 2, "DAY": 3,
+    "HOUR": 4, "MINUTE": 5, "SECOND": 6,
+}
+
+
+def _interval_arith(base: str, sign: str, count: str, unit: str) -> str | None:
+    """base ± INTERVAL count unit, tolerating non-literal counts."""
+    u = unit.upper()
+    if u.endswith("S") and u[:-1] in _MAKE_INTERVAL_SLOT:  # DAYS → DAY etc.
+        u = u[:-1]
+    if u not in _MAKE_INTERVAL_SLOT:
+        return None
+    if re.fullmatch(r"\d+", count.strip()):
+        return f"(({base}) {sign} INTERVAL {count.strip()} {u})"
+    slot = _MAKE_INTERVAL_SLOT[u]
+    args = ["0"] * 7
+    args[slot] = f"({count})"
+    return f"(({base}) {sign} make_interval({', '.join(args)}))"
+
+
+# ------------------------------------------------------------ function shims
+
+_CONVERT_TYPES = {
+    "SIGNED": "bigint", "UNSIGNED": "bigint", "INTEGER": "int", "INT": "int",
+    "CHAR": "string", "NCHAR": "string", "BINARY": "binary", "DATE": "date",
+    "DATETIME": "timestamp", "TIME": "string", "DOUBLE": "double",
+    "FLOAT": "float", "JSON": "string", "YEAR": "int",
+}
+
+
+def _fn_dayname(a):
+    return f"date_format({a[0]}, 'EEEE')" if len(a) == 1 else None
+
+
+def _fn_monthname(a):
+    return f"date_format({a[0]}, 'MMMM')" if len(a) == 1 else None
+
+
+def _fn_weekday(a):
+    # MySQL WEEKDAY: 0 = Monday; Spark dayofweek: 1 = Sunday
+    return f"((dayofweek({a[0]}) + 5) % 7)" if len(a) == 1 else None
+
+
+def _fn_date_add(sign):
+    def h(a):
+        if len(a) != 2:
+            return None
+        m = re.match(r"(?is)^\s*INTERVAL\s+(.+?)\s+(\w+)\s*$", a[1])
+        if m:
+            return _interval_arith(a[0], sign, m.group(1), m.group(2))
+        if sign == "+":
+            return f"date_add({a[0]}, cast({a[1]} as int))"
+        return f"date_sub({a[0]}, cast({a[1]} as int))"
+
+    return h
+
+
+def _fn_truncate(a):
+    if len(a) != 2:
+        return None
+    return f"(cast(({a[0]}) * pow(10, {a[1]}) as bigint) / pow(10, {a[1]}))"
+
+
+def _fn_field(a):
+    if len(a) < 2:
+        return None
+    return f"array_position(array({', '.join(a[1:])}), {a[0]})"
+
+
+def _fn_elt(a):
+    if len(a) < 2:
+        return None
+    return f"get(array({', '.join(a[1:])}), cast({a[0]} as int) - 1)"
+
+
+def _fn_strcmp(a):
+    if len(a) != 2:
+        return None
+    x, y = a
+    return (
+        f"(CASE WHEN ({x}) IS NULL OR ({y}) IS NULL THEN NULL"
+        f" WHEN ({x}) < ({y}) THEN -1 WHEN ({x}) = ({y}) THEN 0 ELSE 1 END)"
     )
 
 
-_SIMPLE_FN_ALIASES = {
-    r"\bNOW\s*\(\s*\)": "current_timestamp()",
-    r"\bCURDATE\s*\(\s*\)": "current_date()",
-    r"\bCURTIME\s*\(\s*\)": "date_format(current_timestamp(), 'HH:mm:ss')",
-    r"\bUCASE\s*\(": "upper(",
-    r"\bLCASE\s*\(": "lower(",
-    r"\bDAYOFWEEK\s*\(": "dayofweek(",
-    r"\bUNIX_TIMESTAMP\s*\(": "unix_timestamp(",
-    r"\bRAND\s*\(\s*\)": "rand()",
-    r"\bLAST_INSERT_ID\s*\(\s*\)": "0",
-    r"\bCHAR_LENGTH\s*\(": "char_length(",
-    r"\bCHARACTER_LENGTH\s*\(": "char_length(",
-}
-
-# Single-simple-argument rewrites: FN(arg) → replacement with \1.
-# Conservative: the argument must not contain parens or commas (nested
-# calls fall through untouched and fail loudly rather than silently
-# mis-rewriting).
-_ARG_REWRITES = [
-    (re.compile(r"\bDAYNAME\s*\(\s*([^(),]+?)\s*\)", re.I),
-     r"date_format(\1, 'EEEE')"),
-    (re.compile(r"\bMONTHNAME\s*\(\s*([^(),]+?)\s*\)", re.I),
-     r"date_format(\1, 'MMMM')"),
-    # MySQL WEEKDAY: 0 = Monday; Spark dayofweek: 1 = Sunday
-    (re.compile(r"\bWEEKDAY\s*\(\s*([^(),]+?)\s*\)", re.I),
-     r"((dayofweek(\1) + 5) % 7)"),
-    # DATE_ADD/DATE_SUB(x, INTERVAL n unit) → interval arithmetic
-    (re.compile(
-        r"\bDATE_ADD\s*\(\s*([^(),]+?)\s*,\s*INTERVAL\s+(\d+)\s+(\w+)\s*\)",
-        re.I),
-     r"(\1 + INTERVAL \2 \3)"),
-    (re.compile(
-        r"\bDATE_SUB\s*\(\s*([^(),]+?)\s*,\s*INTERVAL\s+(\d+)\s+(\w+)\s*\)",
-        re.I),
-     r"(\1 - INTERVAL \2 \3)"),
-    # MySQL TRUNCATE(x, d): toward-zero decimal truncation
-    (re.compile(
-        r"\bTRUNCATE\s*\(\s*([^(),]+?)\s*,\s*(\d+)\s*\)", re.I),
-     r"(cast(\1 * pow(10, \2) as bigint) / pow(10, \2))"),
-    # FIELD(x, a, b, ...) → 1-based position of x (0 when absent)
-    (re.compile(r"\bFIELD\s*\(\s*([^(),]+?)\s*,\s*([^()]+?)\s*\)", re.I),
-     r"array_position(array(\2), \1)"),
-    # ELT(n, a, b, ...) → n-th string (NULL out of range); `get` is
-    # 0-indexed and NULL-on-out-of-bounds in every ANSI mode
-    (re.compile(r"\bELT\s*\(\s*([^(),]+?)\s*,\s*([^()]+?)\s*\)", re.I),
-     r"get(array(\2), cast(\1 as int) - 1)"),
-    # STRCMP(a, b) → -1/0/1 (NULL if either side is NULL)
-    (re.compile(
-        r"\bSTRCMP\s*\(\s*([^(),]+?)\s*,\s*([^(),]+?)\s*\)", re.I),
-     r"(CASE WHEN (\1) IS NULL OR (\2) IS NULL THEN NULL"
-     r" WHEN (\1) < (\2) THEN -1 WHEN (\1) = (\2) THEN 0 ELSE 1 END)"),
-    # FORMAT(x, d) → grouped thousands with d decimals
-    (re.compile(r"\bFORMAT\s*\(\s*([^(),]+?)\s*,\s*(\d+)\s*\)", re.I),
-     r"format_number(\1, \2)"),
-    # MAKEDATE(year, dayofyear)
-    (re.compile(
-        r"\bMAKEDATE\s*\(\s*([^(),]+?)\s*,\s*([^(),]+?)\s*\)", re.I),
-     r"date_add(make_date(\1, 1, 1), cast(\2 as int) - 1)"),
-]
-
-# CONVERT(expr, type): MySQL cast-type names → Spark types. Spark's
-# CONVERT doesn't exist; CAST does, but SIGNED/UNSIGNED/CHAR aren't
-# Spark type names.
-_CONVERT_TYPES = {
-    "SIGNED": "bigint", "UNSIGNED": "bigint", "INTEGER": "int",
-    "CHAR": "string", "BINARY": "binary", "DATE": "date",
-    "DATETIME": "timestamp", "TIME": "string", "DOUBLE": "double",
-    "FLOAT": "float", "JSON": "string",
-}
-
-_CONVERT_RE = re.compile(
-    r"\bCONVERT\s*\(\s*([^(),]+?)\s*,\s*(\w+)(\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?\s*\)",
-    re.I,
-)
+def _fn_format(a):
+    return f"format_number({a[0]}, {a[1]})" if len(a) == 2 else None
 
 
-def _rewrite_convert(sql: str) -> str:
-    def repl(m: re.Match) -> str:
-        ty = m.group(2).upper()
-        args = (m.group(3) or "").replace(" ", "")
-        mapped = _CONVERT_TYPES.get(ty, ty.lower())
-        return f"cast({m.group(1)} as {mapped}{args if ty == 'DECIMAL' else ''})"
-
-    return _CONVERT_RE.sub(repl, sql)
+def _fn_makedate(a):
+    if len(a) != 2:
+        return None
+    return f"date_add(make_date({a[0]}, 1, 1), cast({a[1]} as int) - 1)"
 
 
-# MATCH(col) AGAINST('terms') → token-overlap relevance score.
-# The reference serves fulltext through GMS's index tables
-# (TestFulltextIndexes main_test.go:1879); our documented fallback
-# (SURVEY.md §2.B) scores by how many query terms appear in the
-# column's whitespace tokens — integer relevance, boolean in WHERE.
-_MATCH_AGAINST_RE = re.compile(
-    r"\bMATCH\s*\(\s*([^()]+?)\s*\)\s+AGAINST\s*\(\s*'([^']*)'"
-    r"(?:\s+IN\s+(?:NATURAL\s+LANGUAGE|BOOLEAN)\s+MODE)?\s*\)",
-    re.I,
-)
+def _fn_date_format(a):
+    if len(a) != 2:
+        return None
+    lit = _str_lit(a[1].strip())
+    if lit is None:
+        return None
+    return f"date_format({a[0]}, '{mysql_datetime_format(lit)}')"
 
 
-def _rewrite_match_against(sql: str) -> str:
-    def repl(m: re.Match) -> str:
-        col = m.group(1)
-        terms = [t for t in m.group(2).lower().split() if t]
-        arr = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+def _fn_str_to_date(a):
+    if len(a) != 2:
+        return None
+    lit = _str_lit(a[1].strip())
+    if lit is None:
+        return None
+    return f"to_timestamp({a[0]}, '{mysql_datetime_format(lit)}')"
+
+
+def _fn_convert(a):
+    if len(a) == 1:
+        # CONVERT(expr USING charset) → output charset is a wire concern
+        m = re.match(r"(?is)^(.*)\s+USING\s+\w+\s*$", a[0])
+        if m:
+            return f"cast({m.group(1)} as string)"
+        return None
+    if len(a) == 2:
+        m = re.match(r"(?is)^\s*(\w+)\s*(\(\s*\d+(?:\s*,\s*\d+)?\s*\))?\s*$", a[1])
+        if not m:
+            return None
+        ty = m.group(1).upper()
+        if ty == "DECIMAL":
+            args = (m.group(2) or "").replace(" ", "")
+            return f"cast({a[0]} as decimal{args})"
+        mapped = _CONVERT_TYPES.get(ty)
+        return f"cast({a[0]} as {mapped})" if mapped else None
+    return None
+
+
+def _fn_timestampdiff(a):
+    if len(a) != 3:
+        return None
+    u = a[0].strip().upper()
+    us = {"SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400, "WEEK": 604800}
+    if u in us:
         return (
-            f"size(array_intersect(split(lower({col}), ' '), array({arr})))"
+            f"(cast((unix_micros(cast({a[2]} as timestamp)) - "
+            f"unix_micros(cast({a[1]} as timestamp))) / 1000000 as bigint)"
+            f" DIV {us[u]})"
         )
+    if u == "MONTH":
+        return f"cast(months_between({a[2]}, {a[1]}) as bigint)"
+    if u == "YEAR":
+        return f"(cast(months_between({a[2]}, {a[1]}) as bigint) DIV 12)"
+    return None
 
-    return _MATCH_AGAINST_RE.sub(repl, sql)
+
+def _fn_timestampadd(a):
+    if len(a) != 3:
+        return None
+    return _interval_arith(a[2], "+", a[1], a[0].strip())
+
+
+def _fn_isnull(a):
+    return f"(({a[0]}) IS NULL)" if len(a) == 1 else None
+
+
+_FN_HANDLERS = {
+    "UCASE": lambda a: f"upper({a[0]})" if len(a) == 1 else None,
+    "LCASE": lambda a: f"lower({a[0]})" if len(a) == 1 else None,
+    "NOW": lambda a: "current_timestamp()" if not a or not a[0] else None,
+    "SYSDATE": lambda a: "current_timestamp()" if not a or not a[0] else None,
+    "CURDATE": lambda a: "current_date()" if not a or not a[0] else None,
+    "CURTIME": lambda a: (
+        "date_format(current_timestamp(), 'HH:mm:ss')" if not a or not a[0] else None
+    ),
+    "LAST_INSERT_ID": lambda a: "0" if not a or not a[0] else None,
+    "CONNECTION_ID": lambda a: "0" if not a or not a[0] else None,
+    "VERSION": lambda a: "'8.0.30-myduckserver-spark'" if not a or not a[0] else None,
+    "CHARACTER_LENGTH": lambda a: f"char_length({a[0]})" if len(a) == 1 else None,
+    "DAYNAME": _fn_dayname,
+    "MONTHNAME": _fn_monthname,
+    "WEEKDAY": _fn_weekday,
+    "DATE_ADD": _fn_date_add("+"),
+    "ADDDATE": _fn_date_add("+"),
+    "DATE_SUB": _fn_date_add("-"),
+    "SUBDATE": _fn_date_add("-"),
+    "TIMESTAMPDIFF": _fn_timestampdiff,
+    "TIMESTAMPADD": _fn_timestampadd,
+    "TRUNCATE": _fn_truncate,
+    "FIELD": _fn_field,
+    "ELT": _fn_elt,
+    "STRCMP": _fn_strcmp,
+    "FORMAT": _fn_format,
+    "MAKEDATE": _fn_makedate,
+    "DATE_FORMAT": _fn_date_format,
+    "STR_TO_DATE": _fn_str_to_date,
+    "CONVERT": _fn_convert,
+    "ISNULL": _fn_isnull,
+}
+
+
+# ---------------------------------------------------------------- token passes
+
+
+def _sig_next(toks: list[Tok], i: int) -> int:
+    j = i + 1
+    while j < len(toks) and toks[j].kind in ("ws", "comment"):
+        j += 1
+    return j
+
+
+def _pass_odbc_escapes(toks: list[Tok]) -> list[Tok]:
+    """{d '...'} → DATE '...', {ts '...'} → TIMESTAMP '...', {fn X(...)} → X(...)."""
+    out: list[Tok] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t.kind == "op" and t.text == "{":
+            j = _sig_next(toks, i)
+            if j < len(toks) and toks[j].kind == "word":
+                kw = toks[j].text.lower()
+                if kw in ("d", "t", "ts", "fn"):
+                    # find matching close brace at depth 0
+                    depth, k = 0, i
+                    while k < len(toks):
+                        if toks[k].kind == "op" and toks[k].text == "{":
+                            depth += 1
+                        elif toks[k].kind == "op" and toks[k].text == "}":
+                            depth -= 1
+                            if depth == 0:
+                                break
+                        k += 1
+                    if k < len(toks):
+                        inner = toks[j + 1 : k]
+                        while inner and inner[0].kind == "ws":
+                            inner = inner[1:]
+                        while inner and inner[-1].kind == "ws":
+                            inner = inner[:-1]
+                        if kw == "d":
+                            out.append(Tok("word", "DATE"))
+                            out.append(Tok("ws", " "))
+                        elif kw == "ts":
+                            out.append(Tok("word", "TIMESTAMP"))
+                            out.append(Tok("ws", " "))
+                        # 't' and 'fn' emit the inner tokens bare
+                        out.extend(inner)
+                        i = k + 1
+                        continue
+        out.append(t)
+        i += 1
+    return out
+
+
+_DROP_MODIFIERS = {
+    "SQL_CALC_FOUND_ROWS", "SQL_NO_CACHE", "SQL_CACHE", "HIGH_PRIORITY",
+    "SQL_SMALL_RESULT", "SQL_BIG_RESULT", "SQL_BUFFER_RESULT",
+}
+
+
+def _pass_keywords(toks: list[Tok]) -> list[Tok]:
+    out: list[Tok] = []
+    for t in toks:
+        if t.kind == "word":
+            u = t.text.upper()
+            if u == "STRAIGHT_JOIN":
+                out.append(Tok("word", "JOIN"))
+                continue
+            if u in _DROP_MODIFIERS:
+                continue
+        out.append(t)
+    return out
+
+
+def _pass_limit(toks: list[Tok]) -> list[Tok]:
+    """LIMIT offset, count → LIMIT count OFFSET offset."""
+    out = list(toks)
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if t.is_word("LIMIT"):
+            a = _sig_next(out, i)
+            if a < len(out) and out[a].kind == "num":
+                c = _sig_next(out, a)
+                if c < len(out) and out[c].kind == "op" and out[c].text == ",":
+                    b = _sig_next(out, c)
+                    if b < len(out) and out[b].kind == "num":
+                        repl = tokenize(
+                            f"LIMIT {out[b].text} OFFSET {out[a].text}"
+                        )
+                        out[i : b + 1] = repl
+                        i += len(repl)
+                        continue
+        i += 1
+    return out
+
+
+_CAST_TYPE_RE = re.compile(
+    r"(?is)^(.*\sAS)\s+(SIGNED|UNSIGNED|NCHAR|CHAR|DATETIME|YEAR)"
+    r"(\s+INTEGER)?(\s*\(\s*\d+\s*\))?\s*$"
+)
+_CAST_TO_SPARK = {
+    "SIGNED": "BIGINT", "UNSIGNED": "BIGINT", "CHAR": "STRING",
+    "NCHAR": "STRING", "DATETIME": "TIMESTAMP", "YEAR": "INT",
+}
+
+
+def _fn_cast(a):
+    if len(a) != 1:
+        return None
+    m = _CAST_TYPE_RE.match(a[0])
+    if not m:
+        return None
+    return f"cast({m.group(1)} {_CAST_TO_SPARK[m.group(2).upper()]})"
+
+
+def _group_concat(inner: list[Tok]) -> str | None:
+    """GROUP_CONCAT([DISTINCT] expr [ORDER BY o [ASC|DESC]] [SEPARATOR 's'])."""
+    sig = [t for t in inner if t.kind not in ("ws", "comment")]
+    if not sig:
+        return None
+    distinct = sig and sig[0].is_word("DISTINCT")
+    # scan top-level for ORDER BY / SEPARATOR boundaries
+    depth = 0
+    order_at = sep_at = None
+    for idx, t in enumerate(inner):
+        if t.kind == "op" and t.text == "(":
+            depth += 1
+        elif t.kind == "op" and t.text == ")":
+            depth -= 1
+        elif depth == 0 and t.is_word("ORDER"):
+            order_at = idx
+        elif depth == 0 and t.is_word("SEPARATOR"):
+            sep_at = idx
+    end_expr = order_at if order_at is not None else (
+        sep_at if sep_at is not None else len(inner)
+    )
+    expr_toks = inner[:end_expr]
+    if distinct:
+        # drop leading DISTINCT token (first significant token)
+        for idx, t in enumerate(expr_toks):
+            if t.kind not in ("ws", "comment"):
+                expr_toks = expr_toks[idx + 1 :]
+                break
+    expr = render(expr_toks).strip()
+    sep = ","
+    if sep_at is not None:
+        for t in inner[sep_at + 1 :]:
+            if t.kind == "str":
+                sep = _str_lit(t.text) or ","
+                break
+    order, desc = None, False
+    if order_at is not None:
+        end = sep_at if sep_at is not None else len(inner)
+        otoks = inner[order_at:end]
+        sig_o = [t for t in otoks if t.kind not in ("ws", "comment")]
+        if len(sig_o) >= 2 and sig_o[1].is_word("BY"):
+            body = otoks
+            # strip ORDER BY words
+            seen = 0
+            rest: list[Tok] = []
+            for t in body:
+                if seen < 2 and t.kind == "word" and t.text.upper() in ("ORDER", "BY"):
+                    seen += 1
+                    continue
+                rest.append(t)
+            sig_r = [t for t in rest if t.kind not in ("ws", "comment")]
+            if sig_r and sig_r[-1].is_word("DESC"):
+                desc = True
+                # drop trailing DESC
+                for k in range(len(rest) - 1, -1, -1):
+                    if rest[k].kind not in ("ws", "comment"):
+                        rest = rest[:k]
+                        break
+            elif sig_r and sig_r[-1].is_word("ASC"):
+                for k in range(len(rest) - 1, -1, -1):
+                    if rest[k].kind not in ("ws", "comment"):
+                        rest = rest[:k]
+                        break
+            order = render(rest).strip()
+    sep_sql = sep.replace("'", "''")
+    coll = f"collect_set({expr})" if distinct else f"collect_list({expr})"
+    if order is None:
+        return f"array_join({coll}, '{sep_sql}')"
+    if order == expr:
+        arr = f"array_sort({coll})"
+    else:
+        arr = (
+            f"transform(array_sort(collect_list("
+            f"named_struct('k', {order}, 'v', {expr}))), s -> s.v)"
+        )
+    if desc:
+        arr = f"reverse({arr})"
+    return f"array_join({arr}, '{sep_sql}')"
+
+
+def _pass_functions(toks: list[Tok]) -> list[Tok]:
+    out: list[Tok] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t.kind == "word":
+            u = t.text.upper()
+            j = _sig_next(toks, i)
+            if (
+                j < len(toks)
+                and toks[j].kind == "op"
+                and toks[j].text == "("
+                and (u in _FN_HANDLERS or u in ("GROUP_CONCAT", "CAST", "MATCH"))
+            ):
+                close = match_paren(toks, j)
+                if close > 0:
+                    if u == "MATCH":
+                        repl = _match_against(toks, i, j, close)
+                        if repl is not None:
+                            new_toks, nxt = repl
+                            out.extend(new_toks)
+                            i = nxt
+                            continue
+                    elif u == "GROUP_CONCAT":
+                        inner = _pass_functions(toks[j + 1 : close])
+                        r = _group_concat(inner)
+                        if r is not None:
+                            out.extend(tokenize(r))
+                            i = close + 1
+                            continue
+                    else:
+                        args = [
+                            render(_pass_functions(a)).strip()
+                            for a in split_args(toks, j, close)
+                        ]
+                        handler = _FN_HANDLERS.get(u, _fn_cast if u == "CAST" else None)
+                        r = handler(args) if handler else None
+                        if r is None and u == "CAST":
+                            r = None  # CAST falls through untouched
+                        if r is not None:
+                            out.extend(tokenize(r))
+                            i = close + 1
+                            continue
+        out.append(t)
+        i += 1
+    return out
+
+
+def _match_against(toks: list[Tok], i: int, open_idx: int, close_idx: int):
+    """MATCH(col[, ...]) AGAINST('terms' [IN ... MODE]) → token-overlap score
+    (documented fulltext fallback, SURVEY.md §2.B)."""
+    k = _sig_next(toks, close_idx)
+    if k >= len(toks) or not toks[k].is_word("AGAINST"):
+        return None
+    p = _sig_next(toks, k)
+    if p >= len(toks) or toks[p].kind != "op" or toks[p].text != "(":
+        return None
+    pclose = match_paren(toks, p)
+    if pclose < 0:
+        return None
+    cols = [render(a).strip() for a in split_args(toks, open_idx, close_idx)]
+    terms_lit = None
+    for t in toks[p + 1 : pclose]:
+        if t.kind == "str":
+            terms_lit = _str_lit(t.text)
+            break
+    if terms_lit is None or not cols:
+        return None
+    col = cols[0] if len(cols) == 1 else "concat_ws(' ', " + ", ".join(cols) + ")"
+    terms = [t for t in terms_lit.lower().split() if t]
+    arr = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    sql = f"size(array_intersect(split(lower({col}), ' '), array({arr})))"
+    return tokenize(sql), pclose + 1
 
 
 def translate_mysql(sql: str) -> str:
-    """Normalize a MySQL-dialect query into Spark SQL."""
-    out = sql
-    out = _rewrite_match_against(out)
-
-    # LIMIT offset, count  →  LIMIT count OFFSET offset
-    out = _LIMIT_RE.sub(lambda m: f"LIMIT {m.group(2)} OFFSET {m.group(1)}", out)
-
-    # GROUP_CONCAT([DISTINCT] expr [ORDER BY o [DESC]] [SEPARATOR 'x'])
-    # DISTINCT → collect_set; ORDER BY expr (the common self-order) →
-    # array_sort; ORDER BY other-expr → sort structs of (key, value)
-    # and project the value back out. Unordered GROUP_CONCAT is
-    # order-UNDEFINED in MySQL; we emit collect_list as-is there.
-    def gc(m: re.Match) -> str:
-        distinct, expr, order, desc, sep = m.groups()
-        sep = sep if sep is not None else ","
-        coll = f"collect_set({expr})" if distinct else f"collect_list({expr})"
-        if order is None:
-            return f"array_join({coll}, '{sep}')"
-        order = order.strip()
-        if order == expr.strip():
-            arr = f"array_sort({coll})"
-        else:
-            arr = (
-                f"transform(array_sort(collect_list("
-                f"named_struct('k', {order}, 'v', {expr}))), s -> s.v)"
-            )
-        if desc:
-            arr = f"reverse({arr})"
-        return f"array_join({arr}, '{sep}')"
-
-    out = _GROUP_CONCAT_RE.sub(gc, out)
-    out = _rewrite_datetime_fns(out)
-    for pat, repl in _SIMPLE_FN_ALIASES.items():
-        out = re.sub(pat, repl, out, flags=re.I)
-    for pat, repl in _ARG_REWRITES:
-        out = pat.sub(repl, out)
-    out = _rewrite_convert(out)
-    return out
+    """Normalize a MySQL-dialect query into Spark SQL (token-level)."""
+    toks = tokenize(sql)
+    toks = _pass_odbc_escapes(toks)
+    toks = _pass_keywords(toks)
+    toks = _pass_limit(toks)
+    toks = _pass_functions(toks)
+    return render(toks)
