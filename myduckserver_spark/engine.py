@@ -1040,6 +1040,74 @@ class Engine:
         self.insert(s.target, df)
         return OkResult(affected_rows=n, info=f"COPY FROM {s.path}")
 
+    def copy_from_stdin(
+        self,
+        table: str,
+        chunks,
+        fmt: str = "text",
+        columns: list[str] | None = None,
+        **opts,
+    ) -> OkResult:
+        """COPY table [(cols)] FROM STDIN — chunked/streaming ingest.
+
+        ``chunks`` is any iterable of str/bytes pieces of the client
+        stream, split arbitrarily (mid-line, mid-CRLF). They are spooled
+        to line-aligned temp parts and loaded with ONE typed CSV scan —
+        the Spark form of the reference's FIFO pipeline
+        (pgserver/dataloader.go:156-256, backend/loaddata.go:67-100).
+        fmt: 'text' (tab + \\N, no quoting — pg default) or 'csv'.
+        """
+        import shutil
+        import tempfile
+
+        from myduckserver_spark.sources.csv import copy_from_chunks
+
+        meta_schema = self.catalog.table(table).read().schema
+        if columns:
+            sub = [meta_schema[c] for c in columns]
+            from pyspark.sql.types import StructType
+
+            scan_schema = StructType(sub)
+        else:
+            scan_schema = meta_schema
+        spool = tempfile.mkdtemp(prefix=f"copy_{table}_")
+        try:
+            is_csv = fmt.lower() == "csv"
+            df = copy_from_chunks(
+                self.spark,
+                chunks,
+                scan_schema,
+                spool,
+                text_mode=not is_csv,
+                sep=opts.get("delimiter", "," if is_csv else "\t"),
+                nullstr=opts.get("null", "" if is_csv else "\\N"),
+                # pg CSV escapes quotes by doubling them: the escape char
+                # IS the quote char (RFC 4180), not backslash
+                quote=opts.get("quote", '"') if is_csv else "",
+                escape=opts.get("escape", opts.get("quote", '"'))
+                if is_csv
+                else "\\",
+                header=bool(opts.get("header", False)),
+            )
+            if columns:
+                # missing columns take NULL (engine defaults apply on insert)
+                from pyspark.sql import functions as F
+
+                for f in meta_schema.fields:
+                    if f.name not in columns:
+                        df = df.withColumn(
+                            f.name, F.lit(None).cast(f.dataType)
+                        )
+                df = df.select(*meta_schema.fieldNames())
+            # the spool is deleted below, so materialize before cleanup
+            rows = df.collect()
+            df = self.spark.createDataFrame(rows, df.schema)
+            n = len(rows)
+            self.insert(table, df)
+            return OkResult(affected_rows=n, info=f"COPY {table} FROM STDIN")
+        finally:
+            shutil.rmtree(spool, ignore_errors=True)
+
     def _insert_on_duplicate(
         self, name: str, df: DataFrame, meta: st.TableMeta,
         assignments: dict[str, str],

@@ -61,6 +61,89 @@ def load_csv(
     return reader.csv(path)
 
 
+def spool_chunks(
+    chunks,
+    spool_dir: str,
+    part_bytes: int = 64 << 20,
+) -> list[str]:
+    """Spool a stream of arbitrary CSV chunks to line-aligned part files.
+
+    The reference streams COPY FROM STDIN client chunks through a named
+    FIFO into one read_csv scan (reference pgserver/dataloader.go:156-256,
+    backend/loaddata.go:67-100). Spark has no FIFO-shaped scan, so the
+    equivalent is: spool chunks to temp part files — cutting ONLY at
+    line boundaries, so chunks may split mid-line or mid-CRLF — then run
+    one typed CSV scan over all parts. Multiple parts keep the scan
+    parallel for multi-GB loads (the FIFO path is inherently serial; this
+    is strictly better at scale).
+
+    Returns the list of part paths written.
+    """
+    import os
+
+    os.makedirs(spool_dir, exist_ok=True)
+    parts: list[str] = []
+    carry = b""
+    cur = None
+    cur_bytes = 0
+
+    def open_part():
+        nonlocal cur, cur_bytes
+        path = os.path.join(spool_dir, f"part-{len(parts):05d}.csv")
+        parts.append(path)
+        cur = open(path, "wb")
+        cur_bytes = 0
+
+    open_part()
+    for chunk in chunks:
+        if isinstance(chunk, str):
+            chunk = chunk.encode("utf-8")
+        data = carry + chunk
+        if cur_bytes + len(data) >= part_bytes:
+            # rotate at the LAST newline so no row spans two parts
+            cut = data.rfind(b"\n")
+            if cut >= 0:
+                cur.write(data[: cut + 1])
+                cur.close()
+                open_part()
+                data = data[cut + 1 :]
+        # hold back a trailing partial line (and a possible split CRLF)
+        cut = data.rfind(b"\n")
+        if cut >= 0:
+            cur.write(data[: cut + 1])
+            cur_bytes += cut + 1
+            carry = data[cut + 1 :]
+        else:
+            carry = data
+    if carry:
+        cur.write(carry if carry.endswith(b"\n") else carry + b"\n")
+    cur.close()
+    return parts
+
+
+def copy_from_chunks(
+    spark: SparkSession,
+    chunks,
+    schema: StructType | list[tuple[str, str]] | dict[str, str],
+    spool_dir: str,
+    text_mode: bool = False,
+    part_bytes: int = 64 << 20,
+    **csv_opts,
+) -> DataFrame:
+    """COPY ... FROM STDIN: typed scan over a spooled chunk stream.
+
+    text_mode applies pg COPY text defaults: tab separator, ``\\N`` null
+    marker, no quoting (reference pgserver/dataloader.go text format).
+    """
+    spool_chunks(chunks, spool_dir, part_bytes=part_bytes)
+    if text_mode:
+        csv_opts.setdefault("sep", "\t")
+        csv_opts.setdefault("nullstr", "\\N")
+        # pg text format has no quote character; the empty string disables quote handling in Spark
+        csv_opts.setdefault("quote", "")
+    return load_csv(spark, spool_dir, schema, **csv_opts)
+
+
 def copy_to(
     df: DataFrame,
     path: str,
