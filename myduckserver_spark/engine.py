@@ -144,7 +144,24 @@ class Engine:
         return self.catalog.create_table(name, df)
 
     def drop_table(self, name: str) -> None:
-        self.catalog.drop_table(name)
+        if getattr(self, "_txn_snapshot", None) is not None:
+            # Inside an open transaction DROP is deferred-destructive:
+            # the table directory moves to txn trash so ROLLBACK can
+            # restore it wholesale (data versions, pointer, meta). The
+            # reference bridges the same contract through DuckDB's txn
+            # (backend/session.go:87-143).
+            import shutil
+            import uuid
+
+            src = os.path.join(self.catalog.root, name)
+            if os.path.isdir(src):
+                trash_root = os.path.join(self.catalog.root, ".txn_trash")
+                os.makedirs(trash_root, exist_ok=True)
+                dst = os.path.join(trash_root, f"{name}.{uuid.uuid4().hex[:8]}")
+                shutil.move(src, dst)
+                self._txn_trash.append((name, dst))
+        else:
+            self.catalog.drop_table(name)
         self.spark.catalog.dropTempView(name)
 
     # ---------------------------------------------------- ALTER TABLE family
@@ -184,6 +201,8 @@ class Engine:
             os.path.join(self.catalog.root, old),
             os.path.join(self.catalog.root, new),
         )
+        if getattr(self, "_txn_snapshot", None) is not None:
+            self._txn_renames.append((old, new))
         self.spark.catalog.dropTempView(old)
 
     def ctas(self, name: str, query: str, dialect: str = "spark") -> ParquetTable:
@@ -717,34 +736,59 @@ class Engine:
         The reference bridges MySQL transactions onto DuckDB's
         (backend/session.go:87-143). Here every table snapshot is an
         immutable version directory behind an atomic pointer
-        (catalog.py), so a transaction is just a saved set of pointers:
-        ROLLBACK re-points every table at its BEGIN-time version and
-        drops tables created since. DROP/RENAME TABLE inside a
-        transaction takes effect immediately and is NOT rolled back
-        (directory removal is destructive) — that narrower contract is
-        documented here.
+        (catalog.py), so a transaction is a saved set of pointers plus
+        a DDL journal: ROLLBACK re-points every table at its BEGIN-time
+        version, restores BEGIN-time metadata (ALTER rollback), reverses
+        RENAMEs, resurrects DROPped tables from txn trash, and removes
+        tables created since. COMMIT purges the trash.
         """
+        import shutil
+
         if kind == "begin":
             self._txn_snapshot = {
                 name: self.catalog.table(name)._read_pointer()
                 for name in self.catalog.list_tables()
             }
+            self._txn_metas = {
+                name: self.table_meta(name) for name in self._txn_snapshot
+            }
+            self._txn_trash: list[tuple[str, str]] = []
+            self._txn_renames: list[tuple[str, str]] = []
             return OkResult(info="transaction started")
         if kind == "commit":
+            for _name, path in getattr(self, "_txn_trash", []):
+                shutil.rmtree(path, ignore_errors=True)
             self._txn_snapshot = None
+            self._txn_trash, self._txn_renames = [], []
             return OkResult(info="committed")
         snap = getattr(self, "_txn_snapshot", None)
         if snap is None:
             return OkResult(info="rollback: no open transaction")
+        self._txn_snapshot = None  # further DDL below is non-transactional
+        # 1. reverse renames, newest first
+        for old, new in reversed(getattr(self, "_txn_renames", [])):
+            src = os.path.join(self.catalog.root, new)
+            if os.path.isdir(src):
+                os.rename(src, os.path.join(self.catalog.root, old))
+        # 2. resurrect dropped tables (removing any same-name recreation)
+        for name, path in getattr(self, "_txn_trash", []):
+            cur = os.path.join(self.catalog.root, name)
+            shutil.rmtree(cur, ignore_errors=True)
+            shutil.move(path, cur)
+        # 3. remove tables created inside the txn
         for name in self.catalog.list_tables():
             if name not in snap:
-                self.drop_table(name)  # created inside the txn
+                self.catalog.drop_table(name)
                 self._meta_path_cleanup(name)
+        # 4. restore pointers + metadata
         for name, pointer in snap.items():
             t = self.catalog.table(name)
             if t.exists() and t._read_pointer() != pointer:
                 t._write_pointer(pointer)
-        self._txn_snapshot = None
+            meta = self._txn_metas.get(name)
+            if meta is not None:
+                self._save_meta(name, meta)
+        self._txn_trash, self._txn_renames = [], []
         self._refresh_views()
         return OkResult(info="rolled back")
 

@@ -536,3 +536,59 @@ def test_insert_on_conflict_pg(spark, tmp_path):
             "ON CONFLICT (v) DO UPDATE SET v = excluded.v",
             dialect="postgres",
         )
+
+
+def test_txn_rollback_restores_dropped_table(engine):
+    """DROP TABLE inside a transaction is undone by ROLLBACK
+    (reference bridges full txns, backend/session.go:87-143)."""
+    engine.execute("INSERT INTO users (name, age) VALUES ('amy', 30)")
+    engine.execute("BEGIN")
+    engine.execute("DROP TABLE users")
+    assert "users" not in engine.catalog.list_tables()
+    engine.execute("ROLLBACK")
+    assert "users" in engine.catalog.list_tables()
+    rows = engine.sql("SELECT name, age FROM users").collect()
+    assert [(r.name, r.age) for r in rows] == [("amy", 30)]
+    # PK metadata survived the round trip
+    assert engine.table_meta("users").primary_key == ["id"]
+
+
+def test_txn_rollback_drop_then_recreate(engine):
+    engine.execute("INSERT INTO users (name) VALUES ('orig')")
+    engine.execute("BEGIN")
+    engine.execute("DROP TABLE users")
+    engine.execute("CREATE TABLE users (id INT PRIMARY KEY)")
+    engine.execute("INSERT INTO users (id) VALUES (7)")
+    engine.execute("ROLLBACK")
+    rows = engine.sql("SELECT name FROM users").collect()
+    assert [r.name for r in rows] == ["orig"]
+
+
+def test_txn_rollback_reverses_rename(engine):
+    engine.execute("INSERT INTO users (name) VALUES ('bob')")
+    engine.execute("BEGIN")
+    engine.execute("RENAME TABLE users TO people")
+    assert "people" in engine.catalog.list_tables()
+    engine.execute("ROLLBACK")
+    assert "users" in engine.catalog.list_tables()
+    assert "people" not in engine.catalog.list_tables()
+    assert engine.sql("SELECT count(*) AS n FROM users").collect()[0].n == 1
+
+
+def test_txn_rollback_restores_altered_meta(engine):
+    engine.execute("BEGIN")
+    engine.execute("ALTER TABLE users ADD COLUMN nick VARCHAR(10)")
+    engine.execute("ROLLBACK")
+    cols = [f.name for f in engine.catalog.table("users").read().schema.fields]
+    assert "nick" not in cols
+
+
+def test_txn_commit_purges_trash(engine, tmp_path):
+    import os
+
+    engine.execute("BEGIN")
+    engine.execute("DROP TABLE users")
+    engine.execute("COMMIT")
+    assert "users" not in engine.catalog.list_tables()
+    trash = os.path.join(engine.catalog.root, ".txn_trash")
+    assert not os.path.isdir(trash) or os.listdir(trash) == []
