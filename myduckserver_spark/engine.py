@@ -889,6 +889,35 @@ class Engine:
                 f"ON CONFLICT target {s.conflict_cols} must match the "
                 f"primary key {meta.primary_key} of {s.table}"
             )
+        if s.conflict_constraint is not None:
+            # Resolve ON CONSTRAINT <name> against table metadata rather
+            # than silently assuming PK semantics: accept the implicit PK
+            # name or a unique index covering exactly the PK columns.
+            pk = meta.primary_key or []
+            cname = s.conflict_constraint.lower()
+            uniq_over_pk = {
+                n.lower()
+                for n, cols in (meta.indexes or {}).items()
+                if isinstance(cols, (list, tuple)) and sorted(cols) == sorted(pk)
+            }
+            if not pk or cname not in (
+                {"primary", f"{s.table.lower()}_pkey"} | uniq_over_pk
+            ):
+                raise ValueError(
+                    f"ON CONFLICT ON CONSTRAINT {s.conflict_constraint}: no "
+                    f"matching unique constraint on {s.table} (known: PRIMARY"
+                    f"{', ' + ', '.join(sorted(uniq_over_pk)) if uniq_over_pk else ''})"
+                )
+        if s.on_dup and not meta.primary_key and s.from_on_conflict:
+            # Postgres: DO UPDATE requires a unique/exclusion constraint;
+            # falling through to a plain insert would silently duplicate.
+            # (MySQL ON DUPLICATE KEY on a keyless table plain-inserts —
+            # reference TestInsertDuplicateKeyKeyless main_test.go:851 —
+            # so this raise is gated on the ON CONFLICT origin.)
+            raise ValueError(
+                f"ON CONFLICT DO UPDATE on {s.table}: there is no unique or "
+                "exclusion constraint matching the ON CONFLICT specification"
+            )
 
         if s.query is not None:
             df = self.sql(s.query, dialect=dialect)

@@ -125,6 +125,57 @@ def split_top_level(s: str, sep: str = ",") -> list[str]:
     return parts
 
 
+def mask_strings(s: str) -> str:
+    """Same-length copy with quoted-literal/identifier bodies blanked.
+
+    Regex searches over the mask can never match inside a string literal
+    or quoted identifier, while every match span maps 1:1 back onto the
+    original text.
+    """
+    out = list(s)
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c in ("'", '"', "`"):
+            j = i + 1
+            while j < n:
+                if s[j] == "\\" and c != "`":
+                    j += 2
+                    continue
+                if s[j] == c:
+                    if j + 1 < n and s[j + 1] == c:
+                        j += 2
+                        continue
+                    break
+                j += 1
+            for k in range(i + 1, min(j, n)):
+                out[k] = "\x01"
+            i = j + 1
+        else:
+            i += 1
+    return "".join(out)
+
+
+def sub_outside_strings(pattern: str, repl, s: str, flags=0) -> str:
+    """re.sub that never rewrites inside quoted literals/identifiers."""
+    mask = mask_strings(s)
+    out: list[str] = []
+    pos = 0
+    for m in re.finditer(pattern, mask, flags):
+        out.append(s[pos : m.start()])
+        # re-run the match against the ORIGINAL span so group values are
+        # real text, not mask bytes (span content is identical outside
+        # strings, and patterns can't match into masked regions)
+        om = re.match(pattern, s[m.start() : m.end()], flags)
+        if om is None:  # pattern depended on masked context; leave as-is
+            out.append(s[m.start() : m.end()])
+        else:
+            out.append(repl(om) if callable(repl) else om.expand(repl))
+        pos = m.end()
+    out.append(s[pos:])
+    return "".join(out)
+
+
 def split_where(text: str) -> tuple[str, str | None]:
     """Split ``body WHERE cond`` at the first top-level WHERE (outside
     parens and quotes — a WHERE inside a subquery doesn't count).
@@ -357,6 +408,11 @@ class Insert:
     mode: str = "insert"  # insert|ignore|replace
     on_dup: dict[str, str] = field(default_factory=dict)  # col -> expr
     conflict_cols: list[str] | None = None  # ON CONFLICT (cols) target
+    conflict_constraint: str | None = None  # ON CONFLICT ON CONSTRAINT name
+    # True when on_dup came from Postgres ON CONFLICT (strict: requires a
+    # unique constraint) vs MySQL ON DUPLICATE KEY (keyless → plain insert,
+    # reference TestInsertDuplicateKeyKeyless main_test.go:851)
+    from_on_conflict: bool = False
 
 
 @dataclass
@@ -747,41 +803,70 @@ def parse_statement(sql: str):
             [unquote_ident(c) for c in m.group(5).split(",")] if m.group(5) else None
         )
         body = m.group(6).strip()
+        masked_body = mask_strings(body)
         on_dup: dict[str, str] = {}
+        # Search the MASKED body: 'ON DUPLICATE'/'ON CONFLICT' appearing
+        # inside a VALUES string literal must not trigger the clause parse.
         dm = re.search(
-            r"\sON\s+DUPLICATE\s+KEY\s+UPDATE\s+(.*)$", body, re.I | re.S
+            r"\sON\s+DUPLICATE\s+KEY\s+UPDATE\s+", masked_body, re.I
         )
         if dm:
+            tail = body[dm.end() :]
             body = body[: dm.start()].strip()
-            for part in split_top_level(dm.group(1), ","):
+            for part in split_top_level(tail, ","):
                 k, _, v = part.partition("=")
                 on_dup[unquote_ident(k)] = v.strip()
         # Postgres/DuckDB ON CONFLICT (reference: pg front door passes it
         # to DuckDB verbatim). DO NOTHING → IGNORE semantics; DO UPDATE →
         # the ON DUPLICATE path with excluded.col as the incoming row.
         # The conflict target is the table's PK (the engine's upsert key);
-        # an explicit (col) target is parsed but must match it.
+        # an explicit (col) target is checked against it; an ON CONSTRAINT
+        # name is recorded for the engine to resolve against metadata.
         cm = re.search(
-            r"\sON\s+CONFLICT\s*(?:\(([^)]*)\)|ON\s+CONSTRAINT\s+\w+)?\s*"
-            r"DO\s+(NOTHING|UPDATE\s+SET\s+(.*))$",
-            body,
-            re.I | re.S,
+            r"\sON\s+CONFLICT\s*(?:\(([^)]*)\)|ON\s+CONSTRAINT\s+(\w+))?\s*"
+            r"DO\s+(NOTHING|UPDATE\s+SET\s+)",
+            masked_body,
+            re.I,
         )
         conflict_cols: list[str] | None = None
+        conflict_constraint: str | None = None
         if cm:
-            body = body[: cm.start()].strip()
+            set_tail = body[cm.end() :]
+            is_nothing = cm.group(3).upper().startswith("NOTHING")
             if cm.group(1):
                 conflict_cols = [
                     unquote_ident(c.strip())
-                    for c in cm.group(1).split(",")
+                    for c in body[cm.start(1) : cm.end(1)].split(",")
                     if c.strip()
                 ]
-            if cm.group(2).upper().startswith("NOTHING"):
+            if cm.group(2):
+                conflict_constraint = cm.group(2)
+            body = body[: cm.start()].strip()
+            if is_nothing:
                 mode = "ignore"
             else:
-                for part in split_top_level(cm.group(3), ","):
+                # Postgres allows DO UPDATE SET ... WHERE <cond>; we do
+                # not implement conditional upsert — reject it clearly
+                # instead of folding the WHERE into the last assignment.
+                set_mask = mask_strings(set_tail)
+                wm = None
+                depth = 0
+                for tok in re.finditer(r"[()]|\bWHERE\b", set_mask, re.I):
+                    if tok.group() == "(":
+                        depth += 1
+                    elif tok.group() == ")":
+                        depth -= 1
+                    elif depth == 0:
+                        wm = tok
+                        break
+                if wm is not None:
+                    raise ValueError(
+                        "ON CONFLICT ... DO UPDATE ... WHERE is not "
+                        "supported (conditional upsert)"
+                    )
+                for part in split_top_level(set_tail, ","):
                     k, _, v = part.partition("=")
-                    on_dup[unquote_ident(k)] = re.sub(
+                    on_dup[unquote_ident(k)] = sub_outside_strings(
                         r"\bexcluded\s*\.\s*(?:`([^`]+)`|\"([^\"]+)\"|(\w+))",
                         lambda em: "VALUES("
                         + (em.group(1) or em.group(2) or em.group(3))
@@ -789,11 +874,14 @@ def parse_statement(sql: str):
                         v.strip(),
                         flags=re.I,
                     )
+        from_oc = bool(cm)
         if body.upper().startswith("VALUE"):
             tuples = re.sub(r"^VALUES?\s*", "", body, flags=re.I)
             return Insert(table, columns, parse_values_tuples(tuples), None,
-                          mode, on_dup, conflict_cols)
-        return Insert(table, columns, None, body, mode, on_dup, conflict_cols)
+                          mode, on_dup, conflict_cols, conflict_constraint,
+                          from_oc)
+        return Insert(table, columns, None, body, mode, on_dup, conflict_cols,
+                      conflict_constraint, from_oc)
 
     m = re.match(r"UPDATE\s+(.+?)\s+SET\s+(.*)$", s, re.I | re.S)
     if m:

@@ -592,3 +592,72 @@ def test_txn_commit_purges_trash(engine, tmp_path):
     assert "users" not in engine.catalog.list_tables()
     trash = os.path.join(engine.catalog.root, ".txn_trash")
     assert not os.path.isdir(trash) or os.listdir(trash) == []
+
+
+def test_on_conflict_do_update_where_rejected(engine):
+    """Conditional upsert (DO UPDATE ... WHERE) is rejected at parse
+    time rather than folding the WHERE into the last SET expression."""
+    with pytest.raises(ValueError, match="WHERE is not"):
+        engine.execute(
+            "INSERT INTO users (id, name) VALUES (1, 'x') "
+            "ON CONFLICT (id) DO UPDATE SET name = excluded.name "
+            "WHERE users.age < 5"
+        )
+
+
+def test_on_conflict_on_constraint_resolution(engine):
+    engine.execute("INSERT INTO users (id, name) VALUES (1, 'a')")
+    # the implicit PK constraint name resolves
+    engine.execute(
+        "INSERT INTO users (id, name) VALUES (1, 'b') "
+        "ON CONFLICT ON CONSTRAINT users_pkey DO UPDATE SET name = excluded.name"
+    )
+    rows = engine.sql("SELECT name FROM users WHERE id = 1").collect()
+    assert [r.name for r in rows] == ["b"]
+    # an unknown constraint name is rejected, not silently PK-upserted
+    with pytest.raises(ValueError, match="no.*matching unique constraint"):
+        engine.execute(
+            "INSERT INTO users (id, name) VALUES (1, 'c') "
+            "ON CONFLICT ON CONSTRAINT bogus_uq DO UPDATE SET name = excluded.name"
+        )
+
+
+def test_on_conflict_do_update_requires_pk(engine):
+    engine.execute("CREATE TABLE nopk (a INT, b VARCHAR(10))")
+    with pytest.raises(ValueError, match="no unique or exclusion"):
+        engine.execute(
+            "INSERT INTO nopk (a, b) VALUES (1, 'x') "
+            "ON CONFLICT DO UPDATE SET b = excluded.b"
+        )
+    # MySQL keyless ON DUPLICATE still plain-inserts (GMS corpus semantics)
+    engine.execute(
+        "INSERT INTO nopk (a, b) VALUES (1, 'x') "
+        "ON DUPLICATE KEY UPDATE b = VALUES(b)"
+    )
+    assert engine.sql("SELECT count(*) AS n FROM nopk").collect()[0].n == 1
+    # ON CONFLICT DO NOTHING without a constraint: plain insert (pg allows)
+    engine.execute(
+        "INSERT INTO nopk (a, b) VALUES (2, 'y') ON CONFLICT DO NOTHING"
+    )
+    assert engine.sql("SELECT count(*) AS n FROM nopk").collect()[0].n == 2
+
+
+def test_on_conflict_text_inside_string_literal_not_rewritten(engine):
+    """'ON CONFLICT'/'excluded.x' inside inserted VALUES strings survive
+    verbatim (the clause scan runs on a string-masked body)."""
+    engine.execute("CREATE TABLE notes (id INT PRIMARY KEY, body VARCHAR(200))")
+    payload = "use ON CONFLICT (k) DO UPDATE SET x = excluded.x when upserting"
+    engine.execute(f"INSERT INTO notes (id, body) VALUES (1, '{payload}')")
+    rows = engine.sql("SELECT body FROM notes").collect()
+    assert rows[0].body == payload
+
+
+def test_on_conflict_excluded_in_string_arg_preserved(engine):
+    engine.execute("INSERT INTO users (id, name) VALUES (9, 'z')")
+    engine.execute(
+        "INSERT INTO users (id, name) VALUES (9, 'z2') "
+        "ON CONFLICT (id) DO UPDATE SET name = concat('excluded.name=', "
+        "excluded.name)"
+    )
+    rows = engine.sql("SELECT name FROM users WHERE id = 9").collect()
+    assert [r.name for r in rows] == ["excluded.name=z2"]
