@@ -96,6 +96,7 @@ class Engine:
             from myduckserver_spark.functions.pg_compat import translate_postgres
 
             query = translate_postgres(query)
+        query = self._rewrite_enum_order(query)
         lowered = query.lower()
         if (
             "information_schema" in lowered
@@ -109,6 +110,114 @@ class Engine:
         if args is not None:
             return self.spark.sql(query, args=args)
         return self.spark.sql(query)
+
+    def _enum_columns(self) -> dict[str, list[str]]:
+        """col name → declared ENUM values, across engine tables.
+
+        The declaration order is preserved in StructField metadata
+        (types.schema_from_mysql → parquet Spark-schema round trip), the
+        same lossless-metadata trick the reference plays with DuckDB
+        column COMMENTs (catalog/type_mapping.go:31-42, 101-110).
+        """
+        out: dict[str, list[str]] = {}
+        for name in self.catalog.list_tables():
+            for f in self.catalog.table(name).read().schema.fields:
+                md = f.metadata or {}
+                vals = md.get("enum_values")
+                if vals:
+                    out.setdefault(f.name, list(vals))
+        return out
+
+    def _rewrite_enum_order(self, query: str) -> str:
+        """ORDER BY on an ENUM column sorts by declaration index.
+
+        MySQL/DuckDB order ENUMs by declared position, not lexically
+        (reference: native DuckDB ENUM, catalog/type_mapping.go:101-110).
+        ENUM is STRING+metadata here, so ORDER BY items naming an ENUM
+        column are rewritten to ``array_position(array(...), col)`` —
+        1-based declaration index, 0 for the invalid/empty value (which
+        MySQL also sorts first), NULLs unaffected.
+        """
+        if "order" not in query.lower():
+            return query
+        enums = self._enum_columns()
+        if not enums:
+            return query
+        from myduckserver_spark.functions.mysql_lexer import (
+            render,
+            tokenize,
+        )
+
+        toks = tokenize(query)
+        sig = [i for i, t in enumerate(toks) if t.kind not in ("ws", "comment")]
+        out = list(toks)
+        for si, i in enumerate(sig):
+            t = toks[i]
+            if not (t.kind == "word" and t.text.upper() == "ORDER"):
+                continue
+            if si + 2 >= len(sig):
+                continue
+            nxt = toks[sig[si + 1]]
+            if not (nxt.kind == "word" and nxt.text.upper() == "BY"):
+                continue
+            # rewrite bare `col` / `tbl.col` sort items that follow
+            expect_item = True
+            for sj in range(si + 2, len(sig)):
+                j = sig[sj]
+                tj = toks[j]
+                if tj.kind == "op" and tj.text == ",":
+                    expect_item = True
+                    continue
+                if tj.kind == "op" and tj.text in (")", ";"):
+                    break
+                if tj.kind == "word" and tj.text.upper() in (
+                    "LIMIT", "OFFSET", "UNION", "EXCEPT", "INTERSECT",
+                    "FETCH", "WINDOW",
+                ):
+                    break
+                if not expect_item:
+                    continue
+                expect_item = False
+                if tj.kind not in ("word", "bq"):
+                    continue
+                name = tj.text.strip("`")
+                end_sj = sj
+                if sj + 2 < len(sig):
+                    dot = toks[sig[sj + 1]]
+                    colt = toks[sig[sj + 2]]
+                    if (
+                        dot.kind == "op"
+                        and dot.text == "."
+                        and colt.kind in ("word", "bq")
+                    ):
+                        name = colt.text.strip("`")
+                        end_sj = sj + 2
+                # the item is a BARE column only if what follows is a
+                # separator or a sort keyword — any operator means this
+                # is an expression (incl. function calls) → leave alone
+                after = toks[sig[end_sj + 1]] if end_sj + 1 < len(sig) else None
+                is_bare = (
+                    after is None
+                    or (after.kind == "op" and after.text in (",", ")", ";"))
+                    or (
+                        after.kind == "word"
+                        and after.text.upper()
+                        in ("ASC", "DESC", "NULLS", "LIMIT", "OFFSET",
+                            "UNION", "EXCEPT", "INTERSECT", "FETCH", "WINDOW")
+                    )
+                )
+                if is_bare and name in enums:
+                    end = sig[end_sj]
+                    col = render(toks[j : end + 1])
+                    arr = ", ".join(
+                        "'" + v.replace("'", "''") + "'" for v in enums[name]
+                    )
+                    out[j] = type(tj)(
+                        "word", f"array_position(array({arr}), {col})"
+                    )
+                    for k in range(j + 1, end + 1):
+                        out[k] = type(tj)("ws", "")
+        return render(out)
 
     def _refresh_views(self) -> None:
         for name in self.catalog.list_tables():
