@@ -1429,5 +1429,26 @@ class Engine:
                 [(k, str(v)) for k, v in items],
                 "Variable_name string, Value string",
             )
+        if s.kind == "replica_status":
+            # SHOW BINLOG/REPLICA STATUS: one row per (table, source
+            # app_id) with the committed resume position — the analog of
+            # the reference's __sys__.binlog_position store
+            # (catalog/internal_tables.go:180-186; GTID saved in the same
+            # commit, binlog_replica_applier.go:786-812). The position
+            # lives in each table's pointer, so this reads committed
+            # state, never in-flight buffers.
+            rows = []
+            for name in self.catalog.list_tables():
+                ptr = self.catalog.table(name)._read_pointer()
+                for app_id, pos in sorted(ptr.get("txn", {}).items()):
+                    seg, off = divmod(int(pos), 1_000_000)
+                    rows.append(
+                        (name, app_id, int(pos), f"segment-{seg:06d}", off)
+                    )
+            return self.spark.createDataFrame(
+                rows,
+                "Table string, Source_app string, Position long, "
+                "File string, File_offset long",
+            )
         raise ValueError(f"unknown SHOW kind: {s.kind}")
 

@@ -939,6 +939,16 @@ def parse_statement(sql: str):
     if m:
         like = parse_literal(m.group(1)) if m.group(1) else None
         return Show("variables", like=like)
+    # Replication observability (reference: ShowBinlogs/ShowBinlogStatus
+    # fallback, backend/executor.go:74-83; position store
+    # catalog/internal_tables.go:180-186)
+    if re.match(
+        r"SHOW\s+(BINLOG\s+STATUS|MASTER\s+STATUS|REPLICA\s+STATUS|"
+        r"SLAVE\s+STATUS)\s*$",
+        s,
+        re.I,
+    ):
+        return Show("replica_status")
 
     m = re.match(r"PREPARE\s+(`[^`]+`|\w+)\s+FROM\s+(.+)$", s, re.I | re.S)
     if m:

@@ -154,3 +154,26 @@ def test_segment_rotation_positions(setup):
     applier.query_barrier()
     assert applier.position == p2
     assert (70, 7.0) in _state(table) and (71, 7.1) in _state(table)
+
+
+def test_show_replica_status(spark, tmp_path):
+    """SHOW BINLOG/REPLICA STATUS surfaces committed resume positions
+    (reference: __sys__.binlog_position, catalog/internal_tables.go:
+    180-186)."""
+    from myduckserver_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh2"))
+    eng.create_table("kv2", [("id", "BIGINT"), ("v", "DOUBLE")])
+    feed = FileCdcFeed(str(tmp_path / "feed2"))
+    applier = CdcApplier(
+        spark, feed, eng.catalog.table("kv2"), ["id"], PAYLOAD,
+        app_id="binlog", tick_seconds=0.05,
+    )
+    feed.append(ACTION_INSERT, {"id": 1, "v": 1.0})
+    applier.query_barrier()
+    rows = eng.execute("SHOW REPLICA STATUS").collect()
+    stat = [(r.Table, r.Source_app, r.Position, r.File) for r in rows]
+    assert stat == [("kv2", "binlog", applier.position, "segment-000001")]
+    # empty-status form also works
+    eng2 = Engine(spark, str(tmp_path / "wh3"))
+    assert eng2.execute("SHOW BINLOG STATUS").collect() == []
