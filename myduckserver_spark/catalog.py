@@ -219,6 +219,97 @@ class Catalog:
         shutil.copy2(t._pointer_path, os.path.join(dest, "_VERSION"))
         return dest
 
+    def backup_table_uri(
+        self,
+        name: str,
+        dest_uri: str,
+        endpoint: str | None = None,
+        access_key_id: str | None = None,
+        secret_access_key: str | None = None,
+    ) -> str:
+        """BACKUP ... TO '<uri>' with object-store credentials.
+
+        The reference copies the storage file to S3 with an endpoint +
+        key pair (pgserver/backup_handler.go:14-90,
+        storage/object_storage.go:33-128). Spark's equivalent transport
+        is the Hadoop FileSystem API: s3a:// (or any installed scheme)
+        with per-session fs.s3a.* credentials; file:// exercises the
+        identical code path locally. Copies the current snapshot
+        directory + pointer; parquet files are immutable so the copy is
+        consistent without locking.
+        """
+        spark = self.spark
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        if endpoint:
+            hconf.set("fs.s3a.endpoint", endpoint)
+        if access_key_id:
+            hconf.set("fs.s3a.access.key", access_key_id)
+        if secret_access_key:
+            hconf.set("fs.s3a.secret.key", secret_access_key)
+        jvm = spark.sparkContext._jvm
+        juri = jvm.java.net.URI(dest_uri.rstrip("/") + f"/{name}/")
+        fs = jvm.org.apache.hadoop.fs.FileSystem.get(juri, hconf)
+        Path = jvm.org.apache.hadoop.fs.Path
+        t = self.table(name)
+        meta = t._read_pointer()
+        if meta["version"] < 0:
+            raise FileNotFoundError(f"no snapshot to back up: {name}")
+        vdir = f"v{meta['version']}"
+        src_v = os.path.join(t.dir, vdir)
+        dest_base = dest_uri.rstrip("/") + f"/{name}"
+        fs.mkdirs(Path(f"{dest_base}/{vdir}"))
+        for f in sorted(os.listdir(src_v)):
+            fs.copyFromLocalFile(
+                False,
+                True,
+                Path("file://" + os.path.join(src_v, f)),
+                Path(f"{dest_base}/{vdir}/{f}"),
+            )
+        fs.copyFromLocalFile(
+            False, True,
+            Path("file://" + t._pointer_path),
+            Path(f"{dest_base}/_VERSION"),
+        )
+        meta_path = os.path.join(t.dir, "_META")
+        if os.path.exists(meta_path):
+            fs.copyFromLocalFile(
+                False, True,
+                Path("file://" + meta_path),
+                Path(f"{dest_base}/_META"),
+            )
+        return dest_base
+
+    def restore_table_uri(self, name: str, src_uri: str) -> ParquetTable:
+        """RESTORE from an object-store URI written by backup_table_uri."""
+        spark = self.spark
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        jvm = spark.sparkContext._jvm
+        src_base = src_uri.rstrip("/") + f"/{name}"
+        juri = jvm.java.net.URI(src_base)
+        fs = jvm.org.apache.hadoop.fs.FileSystem.get(juri, hconf)
+        Path = jvm.org.apache.hadoop.fs.Path
+        import shutil
+
+        dest = os.path.join(self.root, name)
+        shutil.rmtree(dest, ignore_errors=True)
+        os.makedirs(dest, exist_ok=True)
+        # Path.toString() normalizes schemes (file:// -> file:/), so
+        # compute relative paths from URI *paths*, not string prefixes.
+        base_path = jvm.java.net.URI(src_base).getPath().rstrip("/")
+        stack = [Path(src_base)]
+        while stack:
+            cur = stack.pop()
+            for status in fs.listStatus(cur):
+                p = status.getPath()
+                rel = p.toUri().getPath()[len(base_path) :].lstrip("/")
+                local = os.path.join(dest, rel)
+                if status.isDirectory():
+                    os.makedirs(local, exist_ok=True)
+                    stack.append(p)
+                else:
+                    fs.copyToLocalFile(False, p, Path("file://" + local), True)
+        return self.table(name)
+
     def restore_table(self, name: str, backup_root: str) -> ParquetTable:
         """RESTORE DATABASE parity: adopt a backed-up snapshot."""
         import shutil

@@ -836,6 +836,16 @@ class Engine:
             return self._exec_copy(s, dialect)
         if isinstance(s, st.TxnStmt):
             return self._exec_txn(s.kind)
+        if isinstance(s, st.BackupStmt):
+            if s.direction == "backup":
+                dest = self.catalog.backup_table_uri(
+                    s.name, s.uri, s.endpoint, s.access_key_id,
+                    s.secret_access_key,
+                )
+                return OkResult(info=f"BACKUP {s.name} TO {dest}")
+            self.catalog.restore_table_uri(s.name, s.uri)
+            self._refresh_views()
+            return OkResult(info=f"RESTORE {s.name} FROM {s.uri}")
         raise ValueError(f"unroutable statement: {type(s).__name__}")
 
     # ----------------------------------------------------------- transactions

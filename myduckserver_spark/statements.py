@@ -549,6 +549,19 @@ class CopyStmt:
 
 
 @dataclass
+class BackupStmt:
+    """BACKUP/RESTORE DATABASE ... TO/FROM '<uri>' with object-store
+    credentials (reference: pgserver/backup_handler.go:14-90 syntax)."""
+
+    direction: str  # backup|restore
+    name: str
+    uri: str
+    endpoint: str | None = None
+    access_key_id: str | None = None
+    secret_access_key: str | None = None
+
+
+@dataclass
 class TxnStmt:
     kind: str  # begin|commit|rollback
 
@@ -1108,6 +1121,24 @@ def parse_statement(sql: str):
             else:
                 stmt.options[key] = True
         return stmt
+
+    m = re.match(
+        r"(BACKUP|RESTORE)\s+DATABASE\s+(`[^`]+`|\w+)\s+(?:TO|FROM)\s+'([^']+)'"
+        r"(?:\s+ENDPOINT\s*=\s*'([^']+)')?"
+        r"(?:\s+ACCESS_KEY_ID\s*=\s*'([^']+)')?"
+        r"(?:\s+SECRET_ACCESS_KEY\s*=\s*'([^']+)')?\s*$",
+        s,
+        re.I,
+    )
+    if m:
+        return BackupStmt(
+            m.group(1).lower(),
+            unquote_ident(m.group(2)),
+            m.group(3),
+            m.group(4),
+            m.group(5),
+            m.group(6),
+        )
 
     if re.match(r"(BEGIN|START\s+TRANSACTION)\s*$", s, re.I):
         return TxnStmt("begin")

@@ -661,3 +661,26 @@ def test_on_conflict_excluded_in_string_arg_preserved(engine):
     )
     rows = engine.sql("SELECT name FROM users WHERE id = 9").collect()
     assert [r.name for r in rows] == ["excluded.name=z2"]
+
+
+def test_backup_restore_uri_front_door(engine, tmp_path):
+    """BACKUP/RESTORE DATABASE ... TO/FROM '<uri>' with the reference's
+    option syntax (pgserver/backup_handler.go:14-90), driven through the
+    Hadoop FileSystem API — file:// exercises the same code path an
+    s3a:// URI takes with fs.s3a credentials."""
+    engine.execute("INSERT INTO users (name, age) VALUES ('zoe', 41)")
+    dest = f"file://{tmp_path}/bk"
+    r = engine.execute(
+        f"BACKUP DATABASE users TO '{dest}' "
+        "ENDPOINT = 's3.example.com' ACCESS_KEY_ID = 'k' "
+        "SECRET_ACCESS_KEY = 's'"
+    )
+    assert "BACKUP users" in r.info
+    engine.execute("UPDATE users SET age = 1 WHERE name = 'zoe'")
+    engine.execute(f"RESTORE DATABASE users FROM '{dest}'")
+    rows = engine.sql("SELECT age FROM users WHERE name = 'zoe'").collect()
+    assert [r.age for r in rows] == [41]
+    # credentials landed in the Hadoop conf for a real s3a endpoint
+    hconf = engine.spark.sparkContext._jsc.hadoopConfiguration()
+    assert hconf.get("fs.s3a.endpoint") == "s3.example.com"
+    assert hconf.get("fs.s3a.access.key") == "k"
