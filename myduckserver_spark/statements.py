@@ -644,6 +644,9 @@ def _parse_column_def(item: str, meta: TableMeta) -> tuple[str, str] | None:
     cm = re.search(r"\bCHECK\s*\((.*)\)", rest, re.I | re.S)
     if cm:
         meta.checks[f"{name}_check"] = cm.group(1).strip()
+    chm = re.search(r"\b(?:CHARACTER\s+SET|CHARSET)\s+(\w+)", rest, re.I)
+    if chm:
+        mysql_type = f"{mysql_type} CHARACTER SET {chm.group(1).lower()}"
     return name, mysql_type
 
 

@@ -34,6 +34,17 @@ def mysql_to_spark(type_str: str) -> tuple[T.DataType, dict]:
     """Parse a MySQL column type into (Spark type, metadata dict)."""
     s = type_str.strip()
     meta = {"mysql_type": s}
+    # CHARACTER SET / COLLATE attributes: kept as metadata for output
+    # re-encoding (reference: charset kept per-column and re-applied on
+    # the way out, backend/iter.go:176-182, charset/charset.go:18-31)
+    chm = re.search(r"\b(?:CHARACTER\s+SET|CHARSET)\s+(\w+)", s, re.I)
+    if chm:
+        meta["charset"] = chm.group(1).lower()
+        s = (s[: chm.start()] + s[chm.end() :]).strip()
+    com = re.search(r"\bCOLLATE\s+(\w+)", s, re.I)
+    if com:
+        meta["collation"] = com.group(1).lower()
+        s = (s[: com.start()] + s[com.end() :]).strip()
     up = s.upper()
     unsigned = "UNSIGNED" in up
     base = up.split("(")[0].split()[0]
