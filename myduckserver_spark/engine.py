@@ -1042,6 +1042,26 @@ class Engine:
             df = self.sql(s.query, dialect=dialect)
             if s.columns:
                 df = df.toDF(*s.columns)
+            else:
+                # MySQL INSERT ... SELECT maps by POSITION, not name
+                # (previously select-list names that didn't match table
+                # columns were silently NULL-filled — a real bug).
+                base_cols = [f.name for f in base_schema.fields]
+                if len(df.columns) == len(base_cols):
+                    df = df.toDF(*base_cols)
+                elif (
+                    meta.auto_increment
+                    and len(df.columns) == len(base_cols) - 1
+                ):
+                    df = df.toDF(
+                        *[c for c in base_cols if c != meta.auto_increment]
+                    )
+                else:
+                    raise ValueError(
+                        f"column count mismatch: SELECT yields "
+                        f"{len(df.columns)} columns for {len(base_cols)}-"
+                        f"column table {s.table}"
+                    )
         else:
             target = s.columns or [
                 f.name for f in base_schema.fields

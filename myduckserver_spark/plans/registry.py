@@ -70,12 +70,15 @@ PRIORITY: tuple[str, ...] = (
     "w_running_revenue",
     # sort/limit, set ops
     "c_limit_offset", "s_union_all",
-    # function shims, JSON, pg dialect, fulltext
-    "f_date_suite", "f_json_extract", "pg_regex_casts", "tx_keyword_search_tf",
+    # function shims, JSON, pg dialect
+    "f_date_suite", "f_json_extract", "pg_regex_casts",
     # CDC operators (§2.C)
     "cdc_condense", "cdc_apply",
+    # engine statement front door under the gate (CTAS/INSERT/REPLACE/
+    # IGNORE/ON DUPLICATE/UPDATE/DELETE/defaults)
+    "eng_dml_lifecycle", "eng_upsert_semantics",
     # LLM-pipeline: dedup / similarity / text / multimodal / as-of
-    "dd_exact", "dd_minhash_lsh", "dd_simhash", "dd_ngram_jaccard",
+    "dd_exact", "dd_minhash_lsh", "dd_simhash",
     "dd_embedding_neardup", "dd_semdedup",
     "sim_topk_bruteforce", "sim_ivf_search_topk",
     "tx_quality_score", "mm_binary_meta", "ev_asof_view_before_purchase",
@@ -102,6 +105,7 @@ def _load_all() -> None:
         queries_pg,
         queries_sql4,
         queries_tds,
+        queries_engine,
         queries_tds3,
         queries_tds4,
         queries_tpch2,
