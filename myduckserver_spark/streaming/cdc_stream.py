@@ -34,15 +34,30 @@ def start_cdc_stream(
     pk_cols: list[str],
     checkpoint_dir: str,
     trigger_seconds: float = 0.2,
-    max_files_per_trigger: int = 32,
+    max_files_per_trigger: int | None = None,
+    max_bytes_per_trigger: int | None = 128 << 20,
     app_id: str = "cdc",
 ) -> StreamingQuery:
-    """Tail a directory of CDC parquet batches into a versioned table."""
-    stream = (
-        spark.readStream.schema(delta_schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(source_dir)
-    )
+    """Tail a directory of CDC parquet batches into a versioned table.
+
+    trigger_seconds is the 200 ms time trigger; max_bytes_per_trigger is
+    the 128 MB byte trigger (reference
+    binlogreplication/binlog_replica_applier.go:837-849) — the file
+    source admits whole files up to the byte budget per batch. Spark
+    forbids combining it with maxFilesPerTrigger, so passing
+    max_files_per_trigger switches the batch bound to file count.
+    """
+    if max_files_per_trigger is not None and max_bytes_per_trigger is not None:
+        raise ValueError(
+            "set either max_files_per_trigger or max_bytes_per_trigger, "
+            "not both (Spark file source restriction)"
+        )
+    reader = spark.readStream.schema(delta_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if max_bytes_per_trigger is not None:
+        reader = reader.option("maxBytesPerTrigger", int(max_bytes_per_trigger))
+    stream = reader.parquet(source_dir)
 
     def apply_batch(batch_df, epoch_id: int) -> None:
         if batch_df.isEmpty():
