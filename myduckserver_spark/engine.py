@@ -988,10 +988,38 @@ class Engine:
         if isinstance(dtype, T.StringType):
             return str(v)
         if isinstance(dtype, T.DateType):
-            return v if isinstance(v, dt.date) else dt.date.fromisoformat(str(v))
+            if isinstance(v, dt.date):
+                return v
+            s = str(v)
+            # MySQL zero date: not representable (year 0) — permissive
+            # mode coerces to NULL (SURVEY §7 risk register)
+            if s.startswith("0000-00-00"):
+                return None
+            return dt.date.fromisoformat(s)
         if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
-            return (v if isinstance(v, dt.datetime)
-                    else dt.datetime.fromisoformat(str(v)))
+            if isinstance(v, dt.datetime):
+                return v
+            s = str(v)
+            if s.startswith("0000-00-00"):
+                return None
+            return dt.datetime.fromisoformat(s)
+        if isinstance(dtype, T.DayTimeIntervalType):
+            # MySQL TIME is a signed duration up to ±838:59:59[.ffffff]
+            # (reference maps it to INTERVAL, type_mapping.go:150-153)
+            if isinstance(v, dt.timedelta):
+                return v
+            m = re.match(
+                r"^\s*(-)?(\d{1,3}):(\d{2}):(\d{2})(?:\.(\d{1,6}))?\s*$",
+                str(v),
+            )
+            if not m:
+                raise ValueError(f"invalid TIME literal: {v!r}")
+            sign = -1 if m.group(1) else 1
+            hours, mins, secs = int(m.group(2)), int(m.group(3)), int(m.group(4))
+            micros = int((m.group(5) or "0").ljust(6, "0"))
+            return sign * dt.timedelta(
+                hours=hours, minutes=mins, seconds=secs, microseconds=micros
+            )
         if isinstance(dtype, T.BinaryType):
             return v if isinstance(v, bytes) else str(v).encode()
         return v

@@ -75,3 +75,31 @@ def test_lossless_roundtrip_via_metadata():
 def test_reverse_mapping_without_metadata():
     assert spark_to_mysql(T.DecimalType(20, 0)) == "DECIMAL(20,0)"
     assert spark_to_mysql(T.LongType()) == "BIGINT"
+
+
+def test_time_negative_duration_and_zero_date(spark, tmp_path):
+    """MySQL TIME is a signed duration (reference maps it to INTERVAL,
+    type_mapping.go:150-153); zero dates coerce to NULL (not
+    representable — SURVEY §7 risk register)."""
+    import datetime as dt
+
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh_tz"))
+    e.execute("CREATE TABLE tt (id INT PRIMARY KEY, d TIME)")
+    e.execute("INSERT INTO tt (id, d) VALUES (1, '-02:30:00')")
+    e.execute("INSERT INTO tt (id, d) VALUES (2, '838:59:59')")
+    e.execute("INSERT INTO tt (id, d) VALUES (3, '01:02:03.5')")
+    rows = {r.id: r.d for r in e.sql("SELECT id, d FROM tt").collect()}
+    assert rows[1] == -dt.timedelta(hours=2, minutes=30)
+    assert rows[2] == dt.timedelta(hours=838, minutes=59, seconds=59)
+    assert rows[3] == dt.timedelta(hours=1, minutes=2, seconds=3, microseconds=500000)
+
+    e.execute("CREATE TABLE zd (id INT PRIMARY KEY, d DATE, ts DATETIME)")
+    e.execute(
+        "INSERT INTO zd (id, d, ts) VALUES "
+        "(1, '0000-00-00', '0000-00-00 00:00:00'), (2, '2024-02-29', NULL)"
+    )
+    rows = {r.id: (r.d, r.ts) for r in e.sql("SELECT * FROM zd").collect()}
+    assert rows[1] == (None, None)
+    assert rows[2][0] == dt.date(2024, 2, 29)
