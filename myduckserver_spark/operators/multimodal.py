@@ -32,16 +32,38 @@ MEDIA_META_SCHEMA = (
 )
 
 
+def detect_format(data_col: str) -> "F.Column":
+    """Container format from magic bytes, as a pure JVM expression
+    (no Python in the path — this runs in whole-stage codegen)."""
+    c = F.col(data_col)
+    head = F.hex(F.substring(c, 1, 8))
+    return (
+        F.when(head.startswith("89504E470D0A1A0A"), "png")
+        .when(head.startswith("474946383761"), "gif")
+        .when(head.startswith("474946383961"), "gif")
+        .when(head.startswith("424D"), "bmp")
+        .when(head.startswith("FFD8"), "jpeg")
+        .otherwise("bin")
+    )
+
+
 def attach_media(
-    df: DataFrame, data_col: str, fmt: str = "bin", media_col: str = "media"
+    df: DataFrame,
+    data_col: str,
+    fmt: str | None = "bin",
+    media_col: str = "media",
 ) -> DataFrame:
-    """Wrap a binary column into the media struct convention."""
+    """Wrap a binary column into the media struct convention.
+
+    fmt=None auto-detects the container from magic bytes (JVM-side).
+    """
+    fmt_col = F.lit(fmt) if fmt is not None else detect_format(data_col)
     return df.withColumn(
         media_col,
         F.struct(
             F.col(data_col).alias("data"),
             F.struct(
-                F.lit(fmt).alias("format"),
+                fmt_col.alias("format"),
                 F.lit(None).cast("int").alias("width"),
                 F.lit(None).cast("int").alias("height"),
                 F.lit(None).cast("int").alias("n_frames"),

@@ -108,3 +108,19 @@ def test_resize_uses_real_dims(spark):
     )
     r = resize_images(df, max_side=256).collect()[0]
     assert (r.new_width, r.new_height) == (256, 128)
+
+
+def test_attach_media_format_autodetect(spark):
+    rows = [
+        (1, make_png(8, 8)),
+        (2, make_gif(4, 4)),
+        (3, make_bmp(4, 4)),
+        (4, make_jpeg(4, 4)),
+        (5, b"plain bytes"),
+    ]
+    df = attach_media(
+        spark.createDataFrame(rows, "doc_id long, data binary"), "data", fmt=None
+    )
+    got = {r.doc_id: r.fmt for r in df.select(
+        "doc_id", df.media.meta.format.alias("fmt")).collect()}
+    assert got == {1: "png", 2: "gif", 3: "bmp", 4: "jpeg", 5: "bin"}
