@@ -616,6 +616,61 @@ def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ev_session_window_bounds",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 3600000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+        FROM gaps
+    )
+    SELECT user_id,
+           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(MAX(ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+    tags=("events", "session-window", "streaming"),
+)
+def ev_session_window_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native Spark ``session_window`` (1h inactivity gap), batch twin of
+    streaming/windows.session_windows — a Spark-first operator the
+    reference cannot express (no session windows anywhere in it,
+    SURVEY §2.E). Session end = last event + gap; an event exactly at
+    the gap boundary starts a NEW session (>= semantics), which the
+    SQL oracle mirrors.
+
+    Scale: session_window is a single shuffle on user_id with
+    in-partition merge — no self-join, no window-over-window."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window(F.col("ts").cast("timestamp"), "1 hour").alias("w"),
+            F.col("user_id"),
+        )
+        .agg(bcount("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@register(
     "ev_asof_view_before_purchase",
     oracle="""
     SELECT p.event_id AS purchase_id,

@@ -89,13 +89,16 @@ PRIORITY: tuple[str, ...] = (
 )
 
 
-def _load_all() -> None:
-    # Import modules for their registration side effects.
+def load_plan_modules() -> None:
+    """Import the plan modules for their registration side effects
+    (WITHOUT the checksum suites — scripts/gen_suite_kinds.py needs the
+    base registry before suite_kinds.json has entries for new queries)."""
     from myduckserver_spark.plans import (  # noqa: F401
         analytics,
         cdc_queries,
         queries,
         queries_emb,
+        queries_engine,
         queries_ext,
         queries_fn2,
         queries_fn3,
@@ -105,12 +108,15 @@ def _load_all() -> None:
         queries_pg,
         queries_sql4,
         queries_tds,
-        queries_engine,
         queries_tds3,
         queries_tds4,
         queries_tpch2,
-        suites,
     )
+
+
+def _load_all() -> None:
+    load_plan_modules()
+    from myduckserver_spark.plans import suites
 
     suites.register_all_suites()
 

@@ -265,9 +265,9 @@ SUITES: dict[str, tuple[str, ...]] = {
     ),
     # Event-stream analytics (batch twins of the streaming operators).
     "suite_events": (
-        "ev_tumbling_hour", "ev_sessionize", "ev_hopping_hour",
-        "ev_view_to_purchase_1h", "ev_funnel", "ev_retention",
-        "ev_transition_matrix",
+        "ev_tumbling_hour", "ev_sessionize", "ev_session_window_bounds",
+        "ev_hopping_hour", "ev_view_to_purchase_1h", "ev_funnel",
+        "ev_retention", "ev_transition_matrix",
     ),
     # Text-analysis / corpus-statistics operators.
     "suite_text": (

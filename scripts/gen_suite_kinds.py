@@ -53,9 +53,9 @@ def kind_of(duck_type: str) -> str:
 
 def main() -> int:
     from myduckserver_spark.oracle import duckdb_conn
-    from myduckserver_spark.plans.registry import REGISTRY, all_queries
+    from myduckserver_spark.plans.registry import REGISTRY, load_plan_modules
 
-    all_queries()
+    load_plan_modules()
     con = duckdb_conn(SF_DIR)
     kinds: dict[str, dict[str, str]] = {}
     bad = []
