@@ -274,14 +274,14 @@ SUITES: dict[str, tuple[str, ...]] = {
         "tx_token_stats", "tx_langid_ngram", "tx_fingerprint",
         "tx_bpe_token_count", "tx_bigram_topk", "tx_length_profile",
         "tx_pii_redact", "tx_repetition_ratio", "tx_boilerplate_trigrams",
-        "tx_common_token_ratio",
+        "tx_common_token_ratio", "tx_keyword_search_tf",
     ),
     # Training-data pipeline: sampling, splits, packing, caps, dedup keep-best.
     "suite_training_data": (
         "tds_clean_corpus", "tds_stratified_sample", "tds_train_split",
         "tds_contamination", "tds_mixture_weights", "tds_token_budget",
         "tds_pack_sequences", "tds_domain_cap", "dd_keep_best",
-        "dd_connected_components", "samp_hash_bucket",
+        "dd_connected_components", "dd_ngram_jaccard", "samp_hash_bucket",
     ),
     # Embedding ops + multimodal plumbing.
     "suite_embeddings_mm": (
