@@ -121,3 +121,61 @@ def eng_upsert_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.sql(
         "SELECT k, CAST(round(v, 2) AS DOUBLE) AS v FROM t_ups ORDER BY k"
     )
+
+
+@register(
+    "eng_ddl_catalog",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('a', 'id',    CAST(1 AS BIGINT), 'int',    'PRI'),
+        ('a', 'v',     CAST(2 AS BIGINT), 'double', ''),
+        ('a', 'label', CAST(3 AS BIGINT), 'varchar', ''),
+        ('a', 'extra', CAST(4 AS BIGINT), 'bigint', '')
+    ) t(table_name, column_name, ordinal, data_type, column_key)
+    ORDER BY ordinal
+    """,
+    tags=("engine", "ddl", "alter", "information-schema"),
+)
+def eng_ddl_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDL + ALTER + information_schema under the gate: CREATE, ADD
+    COLUMN, RENAME COLUMN, then read the catalog back through the
+    information_schema.columns shim (reference: GMS information_schema
+    + internal views, catalog/internal_views.go:13-88). The oracle is
+    the literal expected catalog state."""
+    eng = _fresh_engine(spark)
+    eng.execute("CREATE TABLE a (id INT PRIMARY KEY, v DOUBLE, s VARCHAR(10))")
+    eng.execute("ALTER TABLE a ADD COLUMN extra BIGINT")
+    eng.execute("ALTER TABLE a RENAME COLUMN s TO label")
+    return eng.sql(
+        "SELECT lower(TABLE_NAME) AS table_name, COLUMN_NAME AS column_name, "
+        "CAST(ORDINAL_POSITION AS BIGINT) AS ordinal, DATA_TYPE AS data_type, "
+        "COLUMN_KEY AS column_key "
+        "FROM information_schema.columns WHERE table_name = 'a' "
+        "ORDER BY ordinal"
+    )
+
+
+@register(
+    "eng_prepared_exec",
+    oracle="""
+    SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS v
+    FROM orders
+    WHERE o_totalprice < 5000 AND o_orderkey <= 2000
+    ORDER BY k
+    """,
+    tags=("engine", "prepared"),
+)
+def eng_prepared_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREPARE / EXECUTE USING with a ? placeholder, under the gate
+    (reference: extended protocol Parse/Bind/Execute,
+    pgserver/duck_handler.go:105-233)."""
+    eng = _fresh_engine(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    eng.execute(
+        "PREPARE p FROM 'SELECT o_orderkey AS k, "
+        "CAST(o_totalprice AS DOUBLE) AS v FROM orders "
+        "WHERE o_totalprice < ? AND o_orderkey <= ? ORDER BY k'"
+    )
+    eng.execute("SET @cap = 5000")
+    eng.execute("SET @maxk = 2000")
+    return eng.execute("EXECUTE p USING @cap, @maxk")
