@@ -83,6 +83,34 @@ class ParquetTable:
     def last_txn_version(self, txn_app_id: str) -> int:
         return self._read_pointer().get("txn", {}).get(txn_app_id, -1)
 
+    def vacuum(self, keep_last: int = 1) -> int:
+        """Delete snapshot directories older than the newest `keep_last`
+        (the committed one always survives). Old versions exist for time
+        travel and in-flight readers — VACUUM is the retention knob, the
+        analog of Delta's VACUUM over our versioned-pointer layout.
+        Returns the number of version dirs removed.
+        """
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        cur = self.version
+        if cur < 0:
+            return 0
+        removed = 0
+        cutoff = cur - keep_last + 1
+        for d in os.listdir(self.dir):
+            if not d.startswith("v"):
+                continue
+            try:
+                v = int(d[1:])
+            except ValueError:
+                continue
+            if v < cutoff:
+                shutil.rmtree(os.path.join(self.dir, d), ignore_errors=True)
+                removed += 1
+        return removed
+
     # ----------------------------------------------------------- optimize
     def optimize(
         self,

@@ -836,6 +836,11 @@ class Engine:
             return self._exec_copy(s, dialect)
         if isinstance(s, st.TxnStmt):
             return self._exec_txn(s.kind)
+        if isinstance(s, st.Vacuum):
+            n = self.catalog.table(s.name).vacuum(keep_last=s.keep_last)
+            return OkResult(
+                affected_rows=n, info=f"VACUUM {s.name}: {n} versions removed"
+            )
         if isinstance(s, st.BackupStmt):
             if s.direction == "backup":
                 dest = self.catalog.backup_table_uri(

@@ -400,6 +400,15 @@ class Optimize:
 
 
 @dataclass
+class Vacuum:
+    """VACUUM t [RETAIN n VERSIONS] — snapshot retention
+    (see catalog.ParquetTable.vacuum)."""
+
+    name: str
+    keep_last: int = 1
+
+
+@dataclass
 class Insert:
     table: str
     columns: list[str] | None
@@ -802,6 +811,14 @@ def parse_statement(sql: str):
             if c.strip()
         ]
         return Optimize(unquote_ident(m.group(1)), cols)
+
+    m = re.match(
+        r"VACUUM\s+(`[^`]+`|\w+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?\s*$",
+        s,
+        re.I,
+    )
+    if m:
+        return Vacuum(unquote_ident(m.group(1)), int(m.group(2) or 1))
 
     m = re.match(
         r"(INSERT|REPLACE)\s+(IGNORE\s+)?INTO\s+(`[^`]+`|\w+)\s*"

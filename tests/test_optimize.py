@@ -104,3 +104,27 @@ def test_optimize_is_a_new_snapshot(spark, cat):
     cat.optimize_table("opt_v", ["a"], target_files=2)
     assert t.version == v0 + 1
     assert t.read().count() == 100
+
+
+def test_vacuum_retention(spark, tmp_path):
+    """VACUUM t [RETAIN n VERSIONS]: old snapshot dirs removed, the
+    committed snapshot (and N-1 predecessors) survive."""
+    import os
+
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh_vac"))
+    e.execute("CREATE TABLE v (id INT PRIMARY KEY, x DOUBLE)")
+    for i in range(4):
+        e.execute(f"INSERT INTO v (id, x) VALUES ({i}, {i}.5)")
+    t = e.catalog.table("v")
+    vdirs = lambda: sorted(d for d in os.listdir(t.dir) if d.startswith("v"))
+    assert len(vdirs()) == 5  # v0..v4
+    r = e.execute("VACUUM v RETAIN 2 VERSIONS")
+    assert r.affected_rows == 3
+    assert vdirs() == [f"v{t.version - 1}", f"v{t.version}"]
+    # table still reads fine; full vacuum keeps only the committed one
+    assert e.sql("SELECT count(*) AS n FROM v").collect()[0].n == 4
+    e.execute("VACUUM v")
+    assert vdirs() == [f"v{t.version}"]
+    assert e.sql("SELECT count(*) AS n FROM v").collect()[0].n == 4
