@@ -220,8 +220,23 @@ class Engine:
         return render(out)
 
     def _refresh_views(self) -> None:
+        # Temp views pin a concrete snapshot path, so they must be
+        # re-registered when a table's pointer moves — but re-reading
+        # EVERY table per query is O(tables) Py4J round-trips. Compare
+        # committed versions (cheap local _VERSION reads) and refresh
+        # only what changed.
+        registered = getattr(self, "_registered_versions", {})
+        current: dict[str, int] = {}
         for name in self.catalog.list_tables():
-            self.catalog.table(name).read().createOrReplaceTempView(name)
+            t = self.catalog.table(name)
+            v = t.version
+            current[name] = v
+            if registered.get(name) != v:
+                t.read().createOrReplaceTempView(name)
+        for name in registered:
+            if name not in current:
+                self.spark.catalog.dropTempView(name)
+        self._registered_versions = current
         vdir = os.path.join(self.catalog.root, "__views__")
         if os.path.isdir(vdir):
             files = [f for f in os.listdir(vdir) if f.endswith(".sql")]
