@@ -68,6 +68,18 @@ class ParquetTable:
             raise FileNotFoundError(f"table has no committed snapshot: {self.dir}")
         return self.spark.read.parquet(os.path.join(self.dir, f"v{meta['version']}"))
 
+    def read_version(self, version: int) -> DataFrame:
+        """Time-travel read of a historical snapshot (Delta-style
+        VERSION AS OF over the versioned-pointer layout). Raises if the
+        version was never committed or has been VACUUMed away."""
+        path = os.path.join(self.dir, f"v{version}")
+        if version < 0 or not os.path.isdir(path):
+            raise FileNotFoundError(
+                f"version {version} of {self.dir} does not exist "
+                "(never committed, or removed by VACUUM)"
+            )
+        return self.spark.read.parquet(path)
+
     def overwrite(self, df: DataFrame, txn_app_id: str | None = None,
                   txn_version: int | None = None) -> int:
         """Materialize a new snapshot and atomically flip the pointer."""

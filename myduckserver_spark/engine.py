@@ -97,6 +97,7 @@ class Engine:
 
             query = translate_postgres(query)
         query = self._rewrite_enum_order(query)
+        query = self._rewrite_time_travel(query)
         lowered = query.lower()
         if (
             "information_schema" in lowered
@@ -218,6 +219,30 @@ class Engine:
                     for k in range(j + 1, end + 1):
                         out[k] = type(tj)("ws", "")
         return render(out)
+
+    def _rewrite_time_travel(self, query: str) -> str:
+        """``FROM t VERSION AS OF n`` → a registered snapshot view
+        (Delta-style time travel over the versioned catalog;
+        ParquetTable.read_version)."""
+        if "version" not in query.lower():
+            return query
+        from myduckserver_spark.statements import sub_outside_strings
+
+        def repl(m: re.Match) -> str:
+            tbl = m.group(2).strip("`")
+            v = int(m.group(3))
+            view = f"{tbl}__v{v}"
+            self.catalog.table(tbl).read_version(v).createOrReplaceTempView(
+                view
+            )
+            return f"{m.group(1)} {view}"
+
+        return sub_outside_strings(
+            r"\b(FROM|JOIN)\s+(`[^`]+`|\w+)\s+VERSION\s+AS\s+OF\s+(\d+)",
+            repl,
+            query,
+            flags=re.I,
+        )
 
     def _refresh_views(self) -> None:
         # Temp views pin a concrete snapshot path, so they must be

@@ -128,3 +128,29 @@ def test_vacuum_retention(spark, tmp_path):
     e.execute("VACUUM v")
     assert vdirs() == [f"v{t.version}"]
     assert e.sql("SELECT count(*) AS n FROM v").collect()[0].n == 4
+
+
+def test_time_travel_version_as_of(spark, tmp_path):
+    """SELECT ... FROM t VERSION AS OF n reads the historical snapshot
+    (Delta-style time travel over the versioned-pointer catalog)."""
+    import pytest
+
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh_tt"))
+    e.execute("CREATE TABLE h (id INT PRIMARY KEY, x DOUBLE)")
+    e.execute("INSERT INTO h (id, x) VALUES (1, 1.0)")      # v1
+    e.execute("UPDATE h SET x = 99.0 WHERE id = 1")          # v2
+    e.execute("INSERT INTO h (id, x) VALUES (2, 2.0)")      # v3
+    now = [(r.id, r.x) for r in e.sql("SELECT * FROM h ORDER BY id").collect()]
+    assert now == [(1, 99.0), (2, 2.0)]
+    v1 = [(r.id, r.x) for r in e.sql(
+        "SELECT * FROM h VERSION AS OF 1 ORDER BY id").collect()]
+    assert v1 == [(1, 1.0)]
+    v2 = [(r.id, r.x) for r in e.sql(
+        "SELECT id, x FROM h VERSION AS OF 2 ORDER BY id").collect()]
+    assert v2 == [(1, 99.0)]
+    # vacuumed versions are a clear error
+    e.execute("VACUUM h")
+    with pytest.raises(FileNotFoundError, match="VACUUM"):
+        e.sql("SELECT * FROM h VERSION AS OF 1")
