@@ -250,3 +250,37 @@ def test_stratified_sample_single_strata_shuffle(spark, sf_dir):
         plan.count("Exchange hashpartitioning") == 1
     ), "expected exactly the strata-key exchange"
     assert "WindowGroupLimit" in plan, "rank<=N must push into the window"
+
+
+def test_session_window_single_shuffle(spark, sf_dir):
+    """Native session_window: ONE exchange on the user key, in-partition
+    merge — no window-over-window, no self-join."""
+    plan = _physical(
+        REGISTRY["ev_session_window_bounds"].spark(spark, sf_dir)
+    )
+    assert "SessionWindow" in plan or "session_window" in plan
+    assert "Join" not in plan
+    # exchanges: loader repartition + session shuffle + final sort only
+    n_exch = sum(
+        1 for ln in plan.splitlines()
+        if "Exchange" in ln and "Reused" not in ln
+    )
+    assert n_exch <= 4, f"unexpected exchange count {n_exch}\n{plan}"
+
+
+def test_asof_join_no_pair_blowup(spark, sf_dir):
+    """As-of join is the merge-scan shape: union + window carry, never
+    an equi-join whose output is the (purchase x earlier-view) pairs."""
+    plan = _optimized(
+        REGISTRY["ev_asof_view_before_purchase"].spark(spark, sf_dir)
+    )
+    assert "Window" in plan
+    assert "Union" in plan
+
+
+def test_engine_dml_result_reads_from_snapshot(spark, sf_dir, tmp_path):
+    """The engine gate query's result is a plain parquet scan of the
+    committed snapshot — no recomputation lineage back to statements."""
+    df = REGISTRY["eng_dml_lifecycle"].spark(spark, sf_dir)
+    plan = _physical(df)
+    assert "parquet" in plan.lower()
