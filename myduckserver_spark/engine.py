@@ -621,6 +621,211 @@ class Engine:
             total += n
         return OkResult(affected_rows=total)
 
+    def _exec_merge(self, s: st.MergeStmt, dialect: str) -> OkResult:
+        """MERGE INTO: one join pass decides update/delete/keep per
+        target row; a NOT EXISTS pass selects insertable source rows.
+
+        Same physical shape Delta Lake's MERGE uses (join + full
+        rewrite), which is the scale-correct strategy for a snapshot
+        store: the join shuffles on the ON keys, the rewrite is one
+        pass. Standard semantics enforced: a target row matching >1
+        source rows raises (Postgres 'cannot affect row a second
+        time'); WHEN clauses apply first-match in declaration order.
+        Reference parity: REPLACE/ON DUPLICATE (loaddata.go:131-143)
+        and the CDC upsert path (delta/controller.go) are special
+        cases of this statement.
+        """
+        t = self.catalog.table(s.target)
+        base = t.read()
+        meta = self.table_meta(s.target)
+        schema = base.schema
+        ta, sa = f"`{s.target_alias}`", f"`{s.source_alias}`"
+
+        if s.source_text.lstrip().startswith("("):
+            inner = s.source_text.strip()[1:-1]
+            src = self.sql(inner, dialect=dialect)
+        else:
+            src = self.sql(
+                f"SELECT * FROM `{st.unquote_ident(s.source_text)}`",
+                dialect=dialect,
+            )
+        src.createOrReplaceTempView("__merge_src")
+        # Pin target row identity across the two passes (rid is assigned
+        # once; localCheckpoint makes it deterministic for re-use).
+        tgt = base.withColumn("__rid", F.monotonically_increasing_id())
+        tgt = tgt.localCheckpoint(eager=True)
+        tgt.createOrReplaceTempView("__merge_tgt")
+
+        matched = [w for w in s.whens if w.kind == "matched"]
+        by_source = [w for w in s.whens if w.kind == "not_matched_by_source"]
+        not_matched = [w for w in s.whens if w.kind == "not_matched"]
+
+        def _tr(text: str) -> str:
+            return translate_mysql(text) if dialect == "mysql" else text
+
+        def _pred(w: st.MergeWhen) -> str:
+            """First-match predicate for a matched/by_source clause (CASE
+            ordering supplies the 'first' part)."""
+            anchor = (
+                f"{sa}.`__smatch`"
+                if w.kind == "matched"
+                else f"{sa}.`__smatch` IS NULL"
+            )
+            if w.cond:
+                return f"({anchor}) AND coalesce(({_tr(w.cond)}), false)"
+            return anchor
+
+        n_upd = n_del = n_ins = 0
+        result = base
+        if matched or by_source:
+            ordered = [w for w in s.whens if w.kind != "not_matched"]
+            sel: list[str] = []
+            for f in schema.fields:
+                branches = []
+                for w in ordered:
+                    if w.action == "update":
+                        if w.star:
+                            val = f"{sa}.`{f.name}`"
+                        else:
+                            val = (
+                                _tr(w.assignments[f.name])
+                                if f.name in (w.assignments or {})
+                                else f"{ta}.`{f.name}`"
+                            )
+                        branches.append(
+                            f"WHEN {_pred(w)} THEN "
+                            f"CAST(({val}) AS {f.dataType.simpleString()})"
+                        )
+                    else:  # delete / nothing keep target value
+                        branches.append(
+                            f"WHEN {_pred(w)} THEN {ta}.`{f.name}`"
+                        )
+                sel.append(
+                    "CASE " + " ".join(branches) + f" ELSE {ta}.`{f.name}` END"
+                    f" AS `{f.name}`"
+                )
+            act_branches = [
+                f"WHEN {_pred(w)} THEN '{w.action}'" for w in ordered
+            ]
+            sel.append(
+                "CASE " + " ".join(act_branches) + " ELSE 'keep' END AS `__act`"
+            )
+            joined_sql = (
+                f"SELECT {', '.join(sel)}, {ta}.`__rid` AS `__rid` "
+                f"FROM __merge_tgt AS {ta} LEFT JOIN "
+                f"(SELECT *, true AS `__smatch` FROM __merge_src) AS {sa} "
+                f"ON {_tr(s.on)}"
+            )
+            joined = self.spark.sql(joined_sql).localCheckpoint(eager=True)
+            dup = (
+                joined.groupBy("__rid")
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise ValueError(
+                    "MERGE command cannot affect row a second time: a "
+                    "target row matched more than one source row"
+                )
+            counts = {
+                r["__act"]: r["n"]
+                for r in joined.groupBy("__act")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            n_upd = int(counts.get("update", 0))
+            n_del = int(counts.get("delete", 0))
+            result = (
+                joined.filter(F.col("__act") != "delete")
+                .drop("__act", "__rid")
+            )
+
+        if not_matched:
+            ins_parts: list[str] = []
+            conds = [
+                f"coalesce(({_tr(w.cond)}), false)" if w.cond else "true"
+                for w in not_matched
+            ]
+            for f in schema.fields:
+                branches = []
+                for w, cnd in zip(not_matched, conds):
+                    if w.action == "nothing":
+                        continue
+                    if w.star:
+                        val = f"{sa}.`{f.name}`"
+                    elif w.insert_cols is not None:
+                        vmap = dict(zip(w.insert_cols, w.insert_vals))
+                        val = (
+                            _tr(vmap[f.name])
+                            if f.name in vmap
+                            else self._render_literal(meta.defaults.get(f.name))
+                        )
+                    else:
+                        # INSERT VALUES(...) with no column list: positional
+                        pos = [x.name for x in schema.fields].index(f.name)
+                        val = (
+                            _tr(w.insert_vals[pos])
+                            if pos < len(w.insert_vals)
+                            else "NULL"
+                        )
+                    branches.append(
+                        f"WHEN {cnd} THEN "
+                        f"CAST(({val}) AS {f.dataType.simpleString()})"
+                    )
+                ins_parts.append(
+                    "CASE " + " ".join(branches) + " END" f" AS `{f.name}`"
+                    if branches
+                    else f"CAST(NULL AS {f.dataType.simpleString()}) AS `{f.name}`"
+                )
+            insert_branch = [
+                f"WHEN {cnd} THEN '{w.action}'"
+                for w, cnd in zip(not_matched, conds)
+            ]
+            ins_sql = (
+                f"SELECT {', '.join(ins_parts)}, "
+                "CASE " + " ".join(insert_branch) + " ELSE 'skip' END AS `__act` "
+                f"FROM __merge_src AS {sa} WHERE NOT EXISTS "
+                f"(SELECT 1 FROM __merge_tgt AS {ta} WHERE {_tr(s.on)})"
+            )
+            inserts = (
+                self.spark.sql(ins_sql)
+                .filter(F.col("__act") == "insert")
+                .drop("__act")
+            )
+            if meta.auto_increment and all(
+                meta.auto_increment not in (w.insert_cols or [])
+                and not w.star
+                and w.insert_cols is not None
+                for w in not_matched
+                if w.action == "insert"
+            ):
+                ai = meta.auto_increment
+                start_row = base.agg(F.max(F.col(ai)).alias("m")).collect()[0]
+                start = (start_row["m"] or 0) + 1
+                from pyspark.sql import Window as W
+
+                inserts = inserts.withColumn(
+                    ai,
+                    (
+                        F.row_number().over(
+                            W.orderBy(*[c for c in inserts.columns if c != ai])
+                        )
+                        + start
+                        - 1
+                    ).cast(schema[ai].dataType),
+                )
+            inserts = inserts.localCheckpoint(eager=True)
+            n_ins = inserts.count()
+            result = result.unionByName(inserts.select(*[f.name for f in schema.fields]))
+
+        t.overwrite(result.select(*[f.name for f in schema.fields]))
+        self._recompute_generated(s.target, meta)
+        for v in ("__merge_src", "__merge_tgt"):
+            self.spark.catalog.dropTempView(v)
+        return OkResult(affected_rows=n_upd + n_del + n_ins)
+
     # ------------------------------------------------- SQL statement router
     # The text-level analog of the reference's plan dispatch
     # (backend/executor.go:74-165): queries go to Catalyst, DDL/DML to
@@ -765,6 +970,8 @@ class Engine:
             return OkResult(info=f"optimized on ({', '.join(cols)})")
         if isinstance(s, st.Insert):
             return self._exec_insert(s, dialect)
+        if isinstance(s, st.MergeStmt):
+            return self._exec_merge(s, dialect)
         if isinstance(s, st.Update):
             if s.from_text:
                 return self._exec_update_multi(s, dialect)

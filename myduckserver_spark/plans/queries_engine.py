@@ -179,3 +179,59 @@ def eng_prepared_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng.execute("SET @cap = 5000")
     eng.execute("SET @maxk = 2000")
     return eng.execute("EXECUTE p USING @cap, @maxk")
+
+
+@register(
+    "eng_merge_statement",
+    oracle="""
+    WITH t AS (
+        SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS v
+        FROM orders WHERE o_orderkey <= 2000
+    ),
+    s AS (
+        SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS v
+        FROM orders WHERE o_orderkey BETWEEN 1000 AND 4000
+    ),
+    kept AS (
+        SELECT t.k,
+               CASE WHEN s.k IS NOT NULL THEN t.v + s.v ELSE t.v END AS v
+        FROM t LEFT JOIN s ON t.k = s.k
+        WHERE NOT (s.k IS NOT NULL AND s.v > 200000)
+    ),
+    ins AS (
+        SELECT s.k, s.v FROM s
+        WHERE s.k NOT IN (SELECT k FROM t) AND s.v <= 150000
+    )
+    SELECT k, CAST(ROUND(v, 2) AS DOUBLE) AS v
+    FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+    ORDER BY k
+    """,
+    tags=("engine", "dml", "merge"),
+)
+def eng_merge_statement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO with conditional DELETE, UPDATE, and filtered INSERT
+    clauses, executed through the statement front door and verified
+    against a pure-SQL reconstruction of the final table state
+    (SQL:2003 MERGE; reference reaches the same semantics via
+    REPLACE/ON DUPLICATE, backend/loaddata.go:131-143, and the CDC
+    upsert path, delta/controller.go)."""
+    eng = _fresh_engine(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    eng.execute(
+        "CREATE TABLE m_tgt AS SELECT o_orderkey AS k, "
+        "CAST(o_totalprice AS DOUBLE) AS v FROM orders WHERE o_orderkey <= 2000"
+    )
+    eng.execute(
+        "CREATE TABLE m_src AS SELECT o_orderkey AS k, "
+        "CAST(o_totalprice AS DOUBLE) AS v FROM orders "
+        "WHERE o_orderkey BETWEEN 1000 AND 4000"
+    )
+    eng.execute(
+        "MERGE INTO m_tgt t USING m_src s ON t.k = s.k "
+        "WHEN MATCHED AND s.v > 200000 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET v = t.v + s.v "
+        "WHEN NOT MATCHED AND s.v <= 150000 THEN INSERT (k, v) VALUES (s.k, s.v)"
+    )
+    return eng.sql(
+        "SELECT k, CAST(round(v, 2) AS DOUBLE) AS v FROM m_tgt ORDER BY k"
+    )

@@ -74,9 +74,10 @@ PRIORITY: tuple[str, ...] = (
     "f_date_suite", "f_json_extract", "pg_regex_casts",
     # CDC operators (§2.C)
     "cdc_condense", "cdc_apply",
-    # engine statement front door under the gate (CTAS/INSERT/REPLACE/
-    # IGNORE/ON DUPLICATE/UPDATE/DELETE/defaults)
-    "eng_dml_lifecycle", "eng_upsert_semantics",
+    # engine statement front door under the gate: MERGE directly, the
+    # CTAS/INSERT/REPLACE/IGNORE/UPDATE/DELETE/DDL/PREPARE family via
+    # suite_engine (below)
+    "eng_merge_statement",
     # LLM-pipeline: dedup / similarity / text / multimodal / as-of
     "dd_exact", "dd_minhash_lsh", "dd_simhash",
     "dd_embedding_neardup", "dd_semdedup",
@@ -86,6 +87,7 @@ PRIORITY: tuple[str, ...] = (
     "suite_tpch_rest", "suite_windows", "suite_functions", "suite_dates_json",
     "suite_setops_joins", "suite_grouping_misc", "suite_events", "suite_text",
     "suite_training_data", "suite_embeddings_mm", "suite_pg_dialect",
+    "suite_engine",
 )
 
 

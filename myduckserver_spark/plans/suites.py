@@ -262,6 +262,13 @@ SUITES: dict[str, tuple[str, ...]] = {
         "g_max_by_extremes", "g_having_no_groupby", "c_case_in_groupby",
         "o_orderby_expression", "sq_scalar_above_avg_price",
         "sq_exists_in_select_list", "c_recursive_month_spine",
+    ),
+    # Engine statement front door (CTAS/INSERT/REPLACE/IGNORE/ON
+    # DUPLICATE/UPDATE/DELETE/defaults, DDL+information_schema,
+    # PREPARE/EXECUTE) — each member drives real Engine.execute
+    # statements and returns final table state.
+    "suite_engine": (
+        "eng_dml_lifecycle", "eng_upsert_semantics",
         "eng_ddl_catalog", "eng_prepared_exec",
     ),
     # Event-stream analytics (batch twins of the streaming operators).

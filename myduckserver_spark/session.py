@@ -76,6 +76,29 @@ def build_session(
         # convert to µs in tables.load_table (DuckDB truncates the same way).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    if master.startswith("local"):
+        # Single-process serving profile. These three trade cluster-scale
+        # robustness for per-query latency, so they apply ONLY in local
+        # mode — a cluster deploy (master=yarn/k8s) keeps Spark defaults:
+        # - initialPartitionNum: AQE's pre-coalesce shuffle width. In one
+        #   JVM, materializing a 32-task shuffle stage costs more in task
+        #   scheduling than the work itself; 1/4 of the core count is
+        #   enough map-side parallelism at test SFs, and AQE still splits
+        #   skewed/oversized partitions upward. On a cluster the deploy's
+        #   shuffle_partitions govern (unset ⇒ Spark uses that number).
+        # - constraintPropagation: InferFiltersFromConstraints is O(plan²)
+        #   driver work per query — worth it when an inferred IsNotNull
+        #   prunes terabytes, pure planning latency on a laptop-scale run.
+        # - in-memory cache codec: decode time dominates memory pressure
+        #   when the whole working set is a few hundred MB.
+        builder = (
+            builder.config(
+                "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+                str(max(4, shuffle_partitions // 4)),
+            )
+            .config("spark.sql.constraintPropagation.enabled", "false")
+            .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

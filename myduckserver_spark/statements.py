@@ -425,6 +425,219 @@ class Insert:
 
 
 @dataclass
+class MergeWhen:
+    """One WHEN clause of a MERGE statement, in source order.
+
+    kind: 'matched' | 'not_matched' | 'not_matched_by_source'
+    action: 'update' | 'delete' | 'insert' | 'nothing'
+    """
+
+    kind: str
+    cond: str | None
+    action: str
+    assignments: dict[str, str] | None = None  # update: col -> expr text
+    insert_cols: list[str] | None = None
+    insert_vals: list[str] | None = None
+    star: bool = False  # UPDATE SET * / INSERT * (Delta-style by-name)
+
+
+@dataclass
+class MergeStmt:
+    """MERGE INTO target USING source ON cond WHEN ... (SQL:2003 +
+    Postgres 15 / DuckDB 1.4 surface; the reference reaches the same
+    semantics through REPLACE/ON DUPLICATE + CDC merge —
+    delta/controller.go upsert path; here it's first-class)."""
+
+    target: str
+    target_alias: str
+    source_text: str  # table name or parenthesized subquery text
+    source_alias: str
+    on: str
+    whens: list[MergeWhen]
+
+
+def _top_level_positions(masked: str, word: str) -> list[int]:
+    """Start offsets of top-level (paren-depth-0) keyword occurrences.
+
+    `masked` must come from mask_strings so literals can't match."""
+    out: list[int] = []
+    depth = 0
+    for m in re.finditer(r"[()]|\b" + word + r"\b", masked, re.I):
+        tok = m.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0:
+            out.append(m.start())
+    return out
+
+
+def parse_merge(s: str) -> MergeStmt:
+    """Parse MERGE INTO ... USING ... ON ... WHEN [NOT] MATCHED ..."""
+    masked = mask_strings(s)
+    m = re.match(r"MERGE\s+INTO\s+(`[^`]+`|\w+)", s, re.I)
+    if not m:
+        raise ValueError(f"cannot parse MERGE statement: {s[:80]}")
+    target = unquote_ident(m.group(1))
+    using_pos = next(iter(_top_level_positions(masked, "USING")), None)
+    if using_pos is None:
+        raise ValueError("MERGE requires a USING clause")
+    alias_seg = s[m.end() : using_pos].strip()
+    am = re.match(r"^(?:AS\s+)?(`[^`]+`|\w+)?\s*$", alias_seg, re.I)
+    target_alias = unquote_ident(am.group(1)) if am and am.group(1) else target
+
+    on_positions = [p for p in _top_level_positions(masked, "ON") if p > using_pos]
+    if not on_positions:
+        raise ValueError("MERGE requires an ON join condition")
+    on_pos = on_positions[0]
+    when_positions = [p for p in _top_level_positions(masked, "WHEN") if p > on_pos]
+    if not when_positions:
+        raise ValueError("MERGE requires at least one WHEN clause")
+
+    src_seg = s[using_pos + len("USING") : on_pos].strip()
+    if src_seg.startswith("("):
+        # (subquery) [AS] alias — find the matching close paren
+        depth = 0
+        end = -1
+        for idx, c in enumerate(src_seg):
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    end = idx
+                    break
+        if end < 0:
+            raise ValueError("unbalanced parens in MERGE USING source")
+        source_text = src_seg[: end + 1]
+        tail = src_seg[end + 1 :].strip()
+    else:
+        parts = src_seg.split(None, 1)
+        source_text = parts[0]
+        tail = parts[1] if len(parts) > 1 else ""
+    sm = re.match(r"^(?:AS\s+)?(`[^`]+`|\w+)?\s*$", tail, re.I)
+    if sm and sm.group(1):
+        source_alias = unquote_ident(sm.group(1))
+    elif not src_seg.startswith("("):
+        source_alias = unquote_ident(source_text)
+    else:
+        raise ValueError("MERGE USING (subquery) requires an alias")
+
+    on = s[on_pos + 2 : when_positions[0]].strip()
+
+    whens: list[MergeWhen] = []
+    bounds = when_positions + [len(s)]
+    for b0, b1 in zip(bounds, bounds[1:]):
+        seg = s[b0:b1].strip()
+        seg_masked = masked[b0:b1]
+        hm = re.match(
+            r"WHEN\s+(NOT\s+)?MATCHED(?:\s+BY\s+(SOURCE|TARGET))?\b", seg, re.I
+        )
+        if not hm:
+            raise ValueError(f"cannot parse MERGE WHEN clause: {seg[:60]}")
+        neg, by = bool(hm.group(1)), (hm.group(2) or "").upper()
+        if neg and by == "SOURCE":
+            kind = "not_matched_by_source"
+        elif neg:
+            kind = "not_matched"
+        elif by:
+            raise ValueError("WHEN MATCHED takes no BY qualifier")
+        else:
+            kind = "matched"
+        # THEN that introduces the action (first top-level THEN followed
+        # by UPDATE/DELETE/INSERT/DO — a CASE..THEN inside the AND
+        # condition is followed by an expression instead)
+        then_pos = None
+        depth = 0
+        for tm in re.finditer(r"[()]|\bTHEN\b", seg_masked, re.I):
+            tok = tm.group(0)
+            if tok == "(":
+                depth += 1
+            elif tok == ")":
+                depth -= 1
+            elif depth == 0 and re.match(
+                r"\s*(UPDATE|DELETE|INSERT|DO)\b", seg[tm.end():], re.I
+            ):
+                then_pos = tm.start()
+                break
+        if then_pos is None:
+            raise ValueError(f"MERGE WHEN clause has no THEN action: {seg[:60]}")
+        cond_seg = seg[hm.end() : then_pos].strip()
+        cond = None
+        if cond_seg:
+            cm = re.match(r"AND\s+(.*)$", cond_seg, re.I | re.S)
+            if not cm:
+                raise ValueError(
+                    f"expected AND <condition> before THEN, got: {cond_seg[:40]}"
+                )
+            cond = cm.group(1).strip()
+        action_seg = seg[then_pos + 4 :].strip().rstrip(";").strip()
+        aup = action_seg.upper()
+        if aup.startswith("UPDATE"):
+            if kind == "not_matched":
+                raise ValueError("WHEN NOT MATCHED cannot UPDATE")
+            body = re.sub(r"^UPDATE\s+SET\s+", "", action_seg, flags=re.I)
+            if body.strip() == "*":
+                whens.append(MergeWhen(kind, cond, "update", star=True))
+                continue
+            assignments: dict[str, str] = {}
+            for item in split_top_level(body, ","):
+                im = re.match(r"^\s*(`[^`]+`|[\w.]+)\s*=\s*(.*)$", item, re.S)
+                if not im:
+                    raise ValueError(f"cannot parse MERGE SET item: {item[:40]}")
+                col = unquote_ident(im.group(1).split(".")[-1])
+                assignments[col] = im.group(2).strip()
+            whens.append(MergeWhen(kind, cond, "update", assignments=assignments))
+        elif aup.startswith("DELETE"):
+            if kind == "not_matched":
+                raise ValueError("WHEN NOT MATCHED cannot DELETE")
+            whens.append(MergeWhen(kind, cond, "delete"))
+        elif aup.startswith("INSERT"):
+            if kind != "not_matched":
+                raise ValueError("INSERT is only valid in WHEN NOT MATCHED")
+            body = action_seg[len("INSERT") :].strip()
+            if body == "*" or body == "":
+                whens.append(MergeWhen(kind, cond, "insert", star=True))
+                continue
+            cols = None
+            if body.startswith("("):
+                depth, end = 0, -1
+                for idx, c in enumerate(body):
+                    if c == "(":
+                        depth += 1
+                    elif c == ")":
+                        depth -= 1
+                        if depth == 0:
+                            end = idx
+                            break
+                cols = [
+                    unquote_ident(x.strip())
+                    for x in split_top_level(body[1:end], ",")
+                ]
+                body = body[end + 1 :].strip()
+            vm = re.match(r"^VALUES\s*\((.*)\)\s*$", body, re.I | re.S)
+            if not vm:
+                raise ValueError(
+                    f"cannot parse MERGE INSERT action: {action_seg[:60]}"
+                )
+            vals = [x.strip() for x in split_top_level(vm.group(1), ",")]
+            if cols is not None and len(cols) != len(vals):
+                raise ValueError(
+                    f"MERGE INSERT has {len(cols)} columns but "
+                    f"{len(vals)} values"
+                )
+            whens.append(
+                MergeWhen(kind, cond, "insert", insert_cols=cols, insert_vals=vals)
+            )
+        elif aup.startswith("DO NOTHING"):
+            whens.append(MergeWhen(kind, cond, "nothing"))
+        else:
+            raise ValueError(f"unknown MERGE action: {action_seg[:40]}")
+    return MergeStmt(target, target_alias, source_text, source_alias, on, whens)
+
+
+@dataclass
 class Update:
     table: str
     assignments: dict[str, str]  # col -> expression text
@@ -714,6 +927,9 @@ def parse_statement(sql: str):
 
     if up.startswith(("SELECT", "VALUES", "TABLE", "EXPLAIN", "DESCRIBE QUERY")):
         return Query(s)
+
+    if up.startswith("MERGE"):
+        return parse_merge(s)
 
     m = re.match(
         r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(`[^`]+`|\w+)\s+AS\s+(.*)$",
