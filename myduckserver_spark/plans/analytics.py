@@ -945,3 +945,60 @@ def tx_keyword_search_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("tf"), "doc_id")
         .limit(50)
     )
+
+
+@register(
+    "tx_bm25_search",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS dl,
+             list_filter(string_split(lower(trim(text)), ' '),
+                         t -> t IN ('data', 'join', 'window')) AS hit
+      FROM documents
+    ),
+    tf_tab AS (
+      SELECT doc_id, dl, t AS term, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, dl, unnest(hit) AS t FROM base)
+      GROUP BY doc_id, dl, t
+    ),
+    df_tab AS (
+      SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tf_tab GROUP BY term
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS sum_dl
+      FROM base
+    ),
+    scored AS (
+      SELECT doc_id,
+             CAST(count(*) AS INT) AS n_terms,
+             SUM(CAST(ROUND(
+               ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                        / (CAST(df AS DOUBLE) + 0.5))
+               * (CAST(tf AS DOUBLE) * 2.2
+                  / (CAST(tf AS DOUBLE)
+                     + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+                              / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+               * 1e9) AS BIGINT)) AS s9
+      FROM tf_tab JOIN df_tab USING (term) CROSS JOIN stats
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_terms, ROUND(CAST(s9 AS DOUBLE) / 1e9, 6) AS score
+    FROM scored
+    ORDER BY score DESC, doc_id
+    LIMIT 50
+    """,
+    tags=("text", "fulltext", "bm25"),
+)
+def tx_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 full-text ranking (k1=1.2, b=0.75) for the query
+    terms {data, join, window} — the real-FTS upgrade over
+    tx_keyword_search_tf's token-overlap score. See
+    operators/text.bm25_rank for the determinism and scale notes.
+    """
+    from myduckserver_spark.operators.text import bm25_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_rank(docs, ["data", "join", "window"], k=50)

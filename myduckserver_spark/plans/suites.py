@@ -282,7 +282,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "tx_token_stats", "tx_langid_ngram", "tx_fingerprint",
         "tx_bpe_token_count", "tx_bigram_topk", "tx_length_profile",
         "tx_pii_redact", "tx_repetition_ratio", "tx_boilerplate_trigrams",
-        "tx_common_token_ratio", "tx_keyword_search_tf",
+        "tx_common_token_ratio", "tx_keyword_search_tf", "tx_bm25_search",
     ),
     # Training-data pipeline: sampling, splits, packing, caps, dedup keep-best.
     "suite_training_data": (

@@ -88,6 +88,43 @@ def warm_cache(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_T
             load_table(spark, sf_dir, name).cache().count()
 
 
+# Below this working-set size the engine plans statically: AQE's
+# per-stage re-optimization costs 0.2-0.4 s of driver latency per query,
+# which at small scale exceeds the entire execution time it could ever
+# save. Above it, AQE's runtime re-planning (skew splits, broadcast
+# demotion, partition coalescing by bytes) is what makes the same plans
+# safe at 100 TB. 4 GiB ~= the point where a shuffle can exceed one
+# executor's memory and dynamic re-planning starts paying for itself.
+SERVING_PROFILE_MAX_BYTES = 4 << 30
+_TARGET_SHUFFLE_PARTITION_BYTES = 64 << 20
+
+
+def serving_profile(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """Statistics-driven planning profile (DuckDB sizes its pipeline
+    parallelism from table cardinality the same way; reference defers to
+    DuckDB — SURVEY.md §0). Call after `warm_cache`: reads the exact
+    on-disk bytes of the working set and, for small sets, switches the
+    session to static planning with size-proportional shuffle width.
+    Large working sets keep the cluster defaults (AQE on) untouched.
+    Returns the conf it applied (for logging/tests)."""
+    total = 0
+    for name in TPCH_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            total += os.path.getsize(path)
+    if total > SERVING_PROFILE_MAX_BYTES:
+        return {}
+    parts = max(8, min(int(spark.sparkContext.defaultParallelism),
+                       total // _TARGET_SHUFFLE_PARTITION_BYTES + 1))
+    conf = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.shuffle.partitions": str(parts),
+    }
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    return conf
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Read every test table and register it as a temp view."""
     out: dict[str, DataFrame] = {}

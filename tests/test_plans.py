@@ -284,3 +284,33 @@ def test_engine_dml_result_reads_from_snapshot(spark, sf_dir, tmp_path):
     df = REGISTRY["eng_dml_lifecycle"].spark(spark, sf_dir)
     plan = _physical(df)
     assert "parquet" in plan.lower()
+
+
+def test_serving_profile_small_set_goes_static(spark, sf_dir):
+    """Statistics-driven planning: a small working set switches the
+    session to static planning with size-proportional shuffle width;
+    the conf is restored so other tests keep the cluster defaults."""
+    from myduckserver_spark.tables import serving_profile
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in ("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
+    }
+    try:
+        conf = serving_profile(spark, sf_dir)
+        assert conf["spark.sql.adaptive.enabled"] == "false"
+        assert int(conf["spark.sql.shuffle.partitions"]) >= 8
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+def test_serving_profile_large_set_keeps_aqe(spark, monkeypatch):
+    """Above the threshold the profile is a no-op: AQE stays on."""
+    import myduckserver_spark.tables as tb
+
+    monkeypatch.setattr(tb, "SERVING_PROFILE_MAX_BYTES", 0)
+    before = spark.conf.get("spark.sql.adaptive.enabled")
+    assert tb.serving_profile(spark, "/root/testdata/sf0.01") == {}
+    assert spark.conf.get("spark.sql.adaptive.enabled") == before
