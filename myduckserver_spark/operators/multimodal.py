@@ -43,6 +43,11 @@ def detect_format(data_col: str) -> "F.Column":
         .when(head.startswith("474946383961"), "gif")
         .when(head.startswith("424D"), "bmp")
         .when(head.startswith("FFD8"), "jpeg")
+        .when(
+            head.startswith("52494646")
+            & (F.hex(F.substring(c, 9, 4)) == "57415645"),
+            "wav",
+        )
         .otherwise("bin")
     )
 
@@ -309,6 +314,97 @@ def byte_histogram(
                 rows.append((doc_id, *hist.tolist()))
             yield pd.DataFrame(
                 rows, columns=[id_col] + [f"b{i}" for i in range(buckets)]
+            )
+
+    return df.select(id_col, media_col).mapInPandas(run, out_schema)
+
+
+def decode_wav_header(data: bytes) -> tuple[int, int, int, int] | None:
+    """REAL RIFF/WAVE header decode, pure Python (no audio libs):
+    walks the chunk list (RIFF spec: 4-byte id, 4-byte LE size),
+    reads the `fmt ` chunk's sample_rate / channels / bits_per_sample
+    and the `data` chunk's byte length.
+
+    Returns (sample_rate, channels, bits_per_sample, n_samples) or
+    None for non-WAV bytes. n_samples is per-channel frames:
+    data_bytes // (channels * bits // 8).
+    """
+    import struct
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    pos = 12
+    rate = channels = bits = None
+    data_len = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            _fmt, channels, rate = struct.unpack("<HHI", body[:8])
+            (bits,) = struct.unpack("<H", body[14:16])
+        elif cid == b"data":
+            data_len = size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if None in (rate, channels, bits, data_len) or channels == 0 or bits == 0:
+        return None
+    return (rate, channels, bits, data_len // (channels * bits // 8))
+
+
+def synth_wav(sample_rate: int, channels: int, n_samples: int) -> bytes:
+    """Deterministic 16-bit PCM WAV payload (a ramp wave) — the test
+    fixture generator for the audio path; the header it writes is the
+    real RIFF layout that decode_wav_header parses back.
+    """
+    import struct
+
+    frame_bytes = channels * 2
+    data_len = n_samples * frame_bytes
+    body = bytearray()
+    for i in range(n_samples):
+        v = (i * 37) % 65536 - 32768
+        body += struct.pack("<h", v) * channels
+    hdr = b"RIFF" + struct.pack("<I", 36 + data_len) + b"WAVE"
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, channels, sample_rate,
+        sample_rate * frame_bytes, frame_bytes, 16,
+    )
+    return hdr + fmt + b"data" + struct.pack("<I", data_len) + bytes(body)
+
+
+def decode_audio_meta(
+    df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """Audio metadata extraction over a binary media column: Arrow-
+    batched mapInPandas, one real RIFF parse per payload. Output
+    duration_ms is integer-exact (n_samples * 1000 // rate) so the
+    result hash-compares against a SQL oracle.
+
+    Scale: map-only — the binary column never shuffles; batches stream
+    through the Python worker at Arrow batch granularity.
+    """
+    out_schema = (
+        f"{id_col} long, sample_rate int, channels int, "
+        "bits int, n_samples long, duration_ms long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, m in zip(pdf[id_col], pdf[media_col]):
+                data = bytes(m["data"] or b"")
+                meta = decode_wav_header(data)
+                if meta is None:
+                    rows.append((doc_id, None, None, None, None, None))
+                else:
+                    rate, ch, bits, n = meta
+                    rows.append((doc_id, rate, ch, bits, n, n * 1000 // rate))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "sample_rate", "channels", "bits",
+                    "n_samples", "duration_ms",
+                ],
             )
 
     return df.select(id_col, media_col).mapInPandas(run, out_schema)

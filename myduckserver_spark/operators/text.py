@@ -216,3 +216,69 @@ def bm25_rank(
         .select("doc_id", "n_terms", F.round("score", 6).alias("score"))
     )
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 3,
+    max_df_ratio: float = 1.0,
+) -> DataFrame:
+    """Per-document TF-IDF keyword extraction: the top_n terms by
+    tf * ln((1+N)/(1+df)) weight (sklearn's smoothed idf), weight
+    descending with term-ascending tiebreak.
+
+    Determinism: weights are scaled by 1e9 and ranked as BIGINT, so
+    ranking never depends on float formatting; the reported weight is
+    one division back to DOUBLE.
+
+    Scale: tf is one shuffle keyed (doc, term); df aggregates to
+    vocabulary size (words, not documents) and joins back broadcast
+    after the optional max_df_ratio stopword prune; the final rank is
+    a window partitioned by doc. No all-pairs, no driver collection.
+    """
+    from pyspark.sql import Window
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(text_col)).alias("term"),
+    )
+    tf_tab = base.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df_tab = tf_tab.groupBy("term").agg(
+        F.count_distinct("doc_id").cast("long").alias("df")
+    )
+    stats = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    if max_df_ratio < 1.0:
+        df_tab = df_tab.crossJoin(F.broadcast(stats)).filter(
+            F.col("df").cast("double")
+            <= F.lit(max_df_ratio) * F.col("n_docs").cast("double")
+        ).select("term", "df")
+    w9 = F.round(
+        F.col("tf").cast("double")
+        * F.log(
+            (F.lit(1.0) + F.col("n_docs").cast("double"))
+            / (F.lit(1.0) + F.col("df").cast("double"))
+        )
+        * 1e9
+    ).cast("long")
+    win = Window.partitionBy("doc_id").orderBy(
+        F.desc("__w9"), F.asc("term")
+    )
+    return (
+        tf_tab.join(F.broadcast(df_tab), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "term", w9.alias("__w9"))
+        .withColumn("rk", F.row_number().over(win).cast("int"))
+        .filter(F.col("rk") <= top_n)
+        .select(
+            "doc_id",
+            "rk",
+            "term",
+            F.round(F.col("__w9").cast("double") / 1e9, 6).alias("weight"),
+        )
+        .orderBy("doc_id", "rk")
+    )

@@ -1002,3 +1002,49 @@ def tx_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bm25_rank(docs, ["data", "join", "window"], k=50)
+
+
+@register(
+    "tx_tfidf_top_terms",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
+      FROM documents
+    ),
+    tf_tab AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM base GROUP BY doc_id, term
+    ),
+    df_tab AS (
+      SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tf_tab GROUP BY term
+    ),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    weighted AS (
+      SELECT doc_id, term,
+             CAST(ROUND(CAST(tf AS DOUBLE)
+               * ln((1.0 + CAST(n_docs AS DOUBLE))
+                    / (1.0 + CAST(df AS DOUBLE))) * 1e9) AS BIGINT) AS w9
+      FROM tf_tab JOIN df_tab USING (term) CROSS JOIN stats
+    ),
+    ranked AS (
+      SELECT doc_id, term, w9,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                  ORDER BY w9 DESC, term ASC) AS INT) AS rk
+      FROM weighted
+    )
+    SELECT doc_id, rk, term, ROUND(CAST(w9 AS DOUBLE) / 1e9, 6) AS weight
+    FROM ranked WHERE rk <= 3
+    ORDER BY doc_id, rk
+    """,
+    tags=("text", "tfidf", "keywords"),
+)
+def tx_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-3 terms per document by smoothed
+    tf-idf weight. See operators/text.tfidf_top_terms for the
+    determinism (integer-scaled ranking) and scale notes.
+    """
+    from myduckserver_spark.operators.text import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, top_n=3)

@@ -146,3 +146,59 @@ def mm_resize_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     out = resize_images(_media_docs(spark, sf_dir, 30), max_side=MAX_SIDE)
     return out.select("doc_id", "new_width", "new_height").orderBy("doc_id")
+
+
+@register(
+    "mm_audio_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+           CAST(1 + doc_id % 2 AS INT) AS channels,
+           CAST(16 AS INT) AS bits,
+           CAST(100 + doc_id * 7 AS BIGINT) AS n_samples,
+           CAST((100 + doc_id * 7) * 1000
+                // (8000 + (doc_id % 3) * 4000) AS BIGINT) AS duration_ms
+    FROM documents WHERE doc_id < 40
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "audio"),
+)
+def mm_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio path end-to-end: synthesize a REAL 16-bit PCM WAV payload
+    per document (deterministic rate/channels/length from doc_id),
+    wrap it in the media-struct convention with magic-byte format
+    auto-detection, then recover the metadata by actually parsing the
+    RIFF chunk list (operators/multimodal.decode_wav_header) in an
+    Arrow-batched mapInPandas. The oracle recomputes the expected
+    metadata arithmetically — so a header-layout or parse bug breaks
+    the hash match.
+
+    Scale: both stages are map-only; the binary column never shuffles.
+    """
+    from myduckserver_spark.operators.multimodal import (
+        attach_media,
+        decode_audio_meta,
+        synth_wav,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 40
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = [
+                synth_wav(
+                    8000 + int(d) % 3 * 4000,
+                    1 + int(d) % 2,
+                    100 + int(d) * 7,
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    raw = docs.select("doc_id").mapInPandas(gen, "doc_id long, payload binary")
+    media = attach_media(raw, "payload", fmt=None)
+    return decode_audio_meta(media).orderBy("doc_id")

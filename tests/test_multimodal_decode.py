@@ -124,3 +124,50 @@ def test_attach_media_format_autodetect(spark):
     got = {r.doc_id: r.fmt for r in df.select(
         "doc_id", df.media.meta.format.alias("fmt")).collect()}
     assert got == {1: "png", 2: "gif", 3: "bmp", 4: "jpeg", 5: "bin"}
+
+
+def test_wav_header_roundtrip():
+    from myduckserver_spark.operators.multimodal import (
+        decode_wav_header,
+        synth_wav,
+    )
+
+    data = synth_wav(16000, 2, 333)
+    assert decode_wav_header(data) == (16000, 2, 16, 333)
+    # word-alignment: an odd-sized junk chunk before fmt must be skipped
+    import struct
+
+    padded = (
+        data[:12]
+        + b"JUNK" + struct.pack("<I", 3) + b"abc\x00"
+        + data[12:]
+    )
+    hdr = padded[:4] + struct.pack("<I", len(padded) - 8) + padded[8:12]
+    assert decode_wav_header(hdr + padded[12:]) == (16000, 2, 16, 333)
+
+
+def test_wav_header_rejects_garbage():
+    from myduckserver_spark.operators.multimodal import decode_wav_header
+
+    assert decode_wav_header(b"") is None
+    assert decode_wav_header(b"RIFFxxxxAVI ") is None
+    assert decode_wav_header(b"RIFF\x00\x00\x00\x00WAVE") is None  # no chunks
+
+
+def test_wav_format_autodetect(spark):
+    from myduckserver_spark.operators.multimodal import (
+        attach_media,
+        synth_wav,
+    )
+
+    df = attach_media(
+        spark.createDataFrame(
+            [(1, synth_wav(8000, 1, 10)), (2, b"RIFFxxxxAVI LIST")],
+            "doc_id long, data binary",
+        ),
+        "data",
+        fmt=None,
+    )
+    got = {r.doc_id: r.fmt for r in df.select(
+        "doc_id", df.media.meta.format.alias("fmt")).collect()}
+    assert got == {1: "wav", 2: "bin"}
