@@ -112,6 +112,7 @@ def load_plan_modules() -> None:
         queries_tds,
         queries_tds3,
         queries_tds4,
+        queries_tds5,
         queries_tpch2,
     )
 

@@ -234,6 +234,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "w_top3_orders_per_customer", "w_rank_dense_ntile", "w_lead_lag",
         "w_range_frame_value", "w_first_last_value", "w_named_window",
         "w_distribution", "w_partition_only", "w_qualify_top2_per_region",
+        "w_gap_fill_ignore_nulls",
     ),
     # Scalar/aggregate function shims (string/math/case/stats/regex...).
     "suite_functions": (
@@ -283,7 +284,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "tx_bpe_token_count", "tx_bigram_topk", "tx_length_profile",
         "tx_pii_redact", "tx_repetition_ratio", "tx_boilerplate_trigrams",
         "tx_common_token_ratio", "tx_keyword_search_tf", "tx_bm25_search",
-        "tx_tfidf_top_terms",
+        "tx_tfidf_top_terms", "tx_chunk_overlap",
     ),
     # Training-data pipeline: sampling, splits, packing, caps, dedup keep-best.
     "suite_training_data": (
@@ -296,7 +297,8 @@ SUITES: dict[str, tuple[str, ...]] = {
     "suite_embeddings_mm": (
         "emb_kmeans_assign", "emb_quantize_int8", "emb_centroid_by_label",
         "sim_ivf_bucketed", "mm_frame_sample", "mm_byte_histogram",
-        "mm_resize_geometry", "mm_audio_meta",
+        "mm_resize_geometry", "mm_audio_meta", "emb_matryoshka",
+        "sim_srp_lsh_buckets",
     ),
     # Postgres-dialect front door extras.
     "suite_pg_dialect": (
