@@ -108,6 +108,7 @@ class Engine:
 
             query = infoschema.register_referenced(self, query)
         self._refresh_views()
+        query = self._rewrite_asof_join(query)
         if args is not None:
             return self.spark.sql(query, args=args)
         return self.spark.sql(query)
@@ -243,6 +244,135 @@ class Engine:
             query,
             flags=re.I,
         )
+
+    # FROM <l> [AS a] ASOF [LEFT] JOIN <r> [AS b] ON <conjunction>
+    _ASOF_RE = re.compile(
+        r"\bFROM\s+(`?\w+`?)(?:\s+(?:AS\s+)?(?!ASOF\b)(\w+))?"
+        r"\s+ASOF\s+(LEFT\s+)?JOIN\s+(`?\w+`?)(?:\s+(?:AS\s+)?(\w+))?"
+        r"\s+ON\s+(.+?)"
+        r"(?=\bWHERE\b|\bGROUP\s+BY\b|\bORDER\s+BY\b|\bQUALIFY\b"
+        r"|\bHAVING\b|\bLIMIT\b|;|$)",
+        re.I | re.S,
+    )
+    _ASOF_TERM_RE = re.compile(
+        r"^\s*(\w+)\.(\w+)\s*(>=|<=|>|<|=)\s*(\w+)\.(\w+)\s*$"
+    )
+
+    def _rewrite_asof_join(self, query: str) -> str:
+        """DuckDB-dialect ``ASOF JOIN`` front door (the reference's pg
+        surface passes ASOF JOIN straight to DuckDB's AsOf operator).
+        Spark has no ASOF JOIN, so the clause is parsed here and routed
+        to the merge-scan operator (operators/asof.py — one shuffle,
+        no pair blowup), the joined result is registered as a temp
+        view, and qualified column references in the surrounding query
+        are remapped onto the view's columns.
+
+        Supported shape: equality conjuncts plus exactly one backward
+        inequality ``l.ts >= r.ts`` (or ``>``, or the operand-swapped
+        ``r.ts <= l.ts``). Forward as-of raises NotImplementedError.
+        """
+        from myduckserver_spark.statements import mask_strings
+
+        if "asof" not in query.lower():
+            return query
+        while True:
+            m = self._ASOF_RE.search(mask_strings(query))
+            if not m:
+                return query
+            lt = m.group(1).strip("`")
+            la = m.group(2) or lt
+            left_join = bool(m.group(3))
+            rt = m.group(4).strip("`")
+            ra = m.group(5) or rt
+            terms = re.split(r"\bAND\b", m.group(6), flags=re.I)
+            eqs: list[tuple[str, str]] = []
+            ineq: tuple[str, str, str] | None = None
+            for t in terms:
+                tm = self._ASOF_TERM_RE.match(t)
+                if not tm:
+                    raise ValueError(f"unsupported ASOF JOIN condition: {t!r}")
+                q1, c1, op, q2, c2 = tm.groups()
+                if q1 == ra and q2 == la:  # normalize to left-first
+                    q1, c1, q2, c2 = q2, c2, q1, c1
+                    op = {">": "<", "<": ">", ">=": "<=", "<=": ">="}.get(
+                        op, op
+                    )
+                if (q1, q2) != (la, ra):
+                    raise ValueError(
+                        f"ASOF JOIN condition must compare {la} to {ra}: {t!r}"
+                    )
+                if op == "=":
+                    eqs.append((c1, c2))
+                elif ineq is not None:
+                    raise ValueError("ASOF JOIN needs exactly one inequality")
+                elif op in (">=", ">"):
+                    ineq = (c1, c2, op)
+                else:
+                    raise NotImplementedError(
+                        "forward ASOF JOIN (left ts <= right ts) is not "
+                        "supported; only backward as-of"
+                    )
+            if ineq is None:
+                raise ValueError("ASOF JOIN needs an inequality condition")
+
+            from myduckserver_spark.operators.asof import asof_join_backward
+
+            lts, rts, op = ineq
+            ldf = self.spark.table(lt)
+            rdf = self.spark.table(rt)
+            # Stash every right column under a reserved prefix so the
+            # attach can never collide with a left name, then expose the
+            # by-keys under the left names the operator joins on.
+            r2 = rdf.select(
+                *[F.col(c).alias(f"__r__{c}") for c in rdf.columns]
+            )
+            for lcol, rcol in eqs:
+                r2 = r2.withColumn(lcol, F.col(f"__r__{rcol}"))
+            joined = asof_join_backward(
+                ldf,
+                r2,
+                by=[lcol for lcol, _ in eqs],
+                left_ts=lts,
+                right_ts=f"__r__{rts}",
+                value_cols=[f"__r__{c}" for c in rdf.columns if c != rts],
+                allow_exact_match=(op == ">="),
+                suffix="",
+            )
+            if not left_join:  # ASOF JOIN default is inner: drop no-match
+                joined = joined.filter(F.col(f"__r__{rts}").isNotNull())
+            # Output names mirror DuckDB: right columns keep their own
+            # names unless they collide with a left column, in which
+            # case they get the right alias as a prefix.
+            out_map: dict[str, str] = {}
+            taken = set(ldf.columns)
+            for c in rdf.columns:
+                cand = c if c not in taken else f"{ra}_{c}"
+                while cand in taken:
+                    cand += "_r"
+                taken.add(cand)
+                out_map[c] = cand
+            joined = joined.select(
+                *[F.col(c) for c in ldf.columns],
+                *[
+                    F.col(f"__r__{c}").alias(out_map[c])
+                    for c in rdf.columns
+                ],
+            )
+            self._asof_seq = getattr(self, "_asof_seq", 0) + 1
+            view = f"__asof_{self._asof_seq}"
+            joined.createOrReplaceTempView(view)
+            query = query[: m.start()] + f"FROM {view} " + query[m.end():]
+            from myduckserver_spark.statements import sub_outside_strings
+
+            def _right_ref(rm: re.Match) -> str:
+                return out_map.get(rm.group(1), rm.group(1))
+
+            query = sub_outside_strings(
+                rf"\b{re.escape(ra)}\.(\w+)", _right_ref, query
+            )
+            query = sub_outside_strings(
+                rf"\b{re.escape(la)}\.(\w+)", lambda lm: lm.group(1), query
+            )
 
     def _refresh_views(self) -> None:
         # Temp views pin a concrete snapshot path, so they must be
