@@ -102,13 +102,18 @@ def session_windows(
 
 
 def run_stream_to_memory(
-    events_stream: DataFrame, transform, query_name: str = "stream_out"
+    events_stream: DataFrame,
+    transform,
+    query_name: str = "stream_out",
+    output_mode: str = "complete",
 ):
     """Drive a streaming transform to completion against a bounded
-    source (test/smoke harness): memory sink + processAllAvailable."""
+    source (test/smoke harness): memory sink + processAllAvailable.
+    `output_mode="append"` for joins/dedup (complete is aggregate-only).
+    """
     q = (
         transform(events_stream)
-        .writeStream.outputMode("complete")
+        .writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(query_name)
         .start()
