@@ -71,7 +71,11 @@ class Engine:
         # pgserver/in_place_handler.go:89). A few defaults MySQL clients ask for.
         self.variables: dict[str, object] = {
             "autocommit": 1,
-            "sql_mode": "ANSI",
+            # MySQL 8 default modes (no ANSI_QUOTES: double quotes are
+            # strings until SET sql_mode adds ANSI/ANSI_QUOTES).
+            "sql_mode": "ONLY_FULL_GROUP_BY,STRICT_TRANS_TABLES,"
+            "NO_ZERO_IN_DATE,NO_ZERO_DATE,ERROR_FOR_DIVISION_BY_ZERO,"
+            "NO_ENGINE_SUBSTITUTION",
             "time_zone": "UTC",
             "version": "8.0.0-myduckserver-spark",
         }
@@ -91,7 +95,10 @@ class Engine:
         pgserver/duck_handler.go:105-130).
         """
         if dialect == "mysql":
-            query = translate_mysql(query)
+            mode = str(self.variables.get("sql_mode", "")).upper()
+            query = translate_mysql(
+                query, ansi_quotes="ANSI" in mode
+            )  # ANSI implies ANSI_QUOTES; both substrings match
         elif dialect == "postgres":
             from myduckserver_spark.functions.pg_compat import translate_postgres
 
@@ -1019,8 +1026,54 @@ class Engine:
             i += 1
         return "".join(out)
 
+    def _exec_select_into_outfile(
+        self, s: "st.SelectIntoOutfile", dialect: str
+    ) -> "OkResult":
+        """SELECT ... INTO OUTFILE: run the query, export ONE file with
+        MySQL text defaults (tab separator, \\N nulls, no header, no
+        quoting unless ENCLOSED BY). Spark writes a directory of parts;
+        they are concatenated in part order, which preserves a global
+        ORDER BY (sorted writes emit range-partitioned, numbered parts).
+        The single-file contract is the MySQL front-door behavior — at
+        scale COPY TO (parquet/csv directory) is the export path."""
+        import shutil
+        import tempfile
+
+        if os.path.exists(s.path):
+            raise ValueError(f"File '{s.path}' already exists")  # MySQL errs
+        df = self.sql(s.query, dialect=dialect)
+        tmp = tempfile.mkdtemp(prefix="outfile_")
+        try:
+            w = (
+                df.write.option("sep", s.fields_sep)
+                .option("nullValue", "\\N")
+                .option("emptyValue", "")
+                .option("header", False)
+                .option("lineSep", s.lines_term)
+            )
+            if s.enclosed:
+                w = w.option("quote", s.enclosed).option("quoteAll", True)
+            else:
+                w = w.option("quote", "")
+            out_dir = os.path.join(tmp, "parts")
+            w.csv(out_dir)
+            n_rows = 0
+            with open(s.path, "wb") as dst:
+                for part in sorted(os.listdir(out_dir)):
+                    if not part.startswith("part-"):
+                        continue
+                    with open(os.path.join(out_dir, part), "rb") as src:
+                        data = src.read()
+                        n_rows += data.count(s.lines_term.encode())
+                        dst.write(data)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return OkResult(affected_rows=n_rows, info=f"exported to {s.path}")
+
     def _execute_one(self, sql: str, dialect: str):
         s = st.parse_statement(sql)
+        if isinstance(s, st.SelectIntoOutfile):
+            return self._exec_select_into_outfile(s, dialect)
         if isinstance(s, st.Query):
             q = s.sql
             if "@" in q:
@@ -1799,6 +1852,41 @@ class Engine:
             return self.spark.createDataFrame(
                 [(n,) for n in names],
                 f"Tables_in_{self.current_db} string",
+            )
+        if s.kind == "table_status":
+            # SHOW TABLE STATUS (reference: GMS TestShowTableStatus).
+            # Rows/Data_length come from parquet footers — metadata
+            # reads, no Spark job.
+            import pyarrow.parquet as pq
+
+            names = sorted(self.catalog.list_tables())
+            if s.like:
+                rx = _like_to_re(s.like)
+                names = [n for n in names if rx.match(n)]
+            rows = []
+            for n in names:
+                t = self.catalog.table(n)
+                snap = os.path.join(t.dir, f"v{t.version}")
+                n_rows, n_bytes = 0, 0
+                for f_ in sorted(os.listdir(snap)):
+                    p = os.path.join(snap, f_)
+                    if f_.endswith(".parquet"):
+                        n_rows += pq.ParquetFile(p).metadata.num_rows
+                        n_bytes += os.path.getsize(p)
+                avg = n_bytes // n_rows if n_rows else 0
+                import datetime as _dt
+
+                ctime = _dt.datetime.fromtimestamp(os.path.getmtime(snap))
+                rows.append((
+                    n, "parquet", 10, "Columnar", n_rows, avg, n_bytes,
+                    None, ctime, "utf8mb4_0900_ai_ci", "",
+                ))
+            return self.spark.createDataFrame(
+                rows,
+                "Name string, Engine string, Version int, Row_format "
+                "string, Rows bigint, Avg_row_length bigint, Data_length "
+                "bigint, Auto_increment bigint, Create_time timestamp, "
+                "Collation string, Comment string",
             )
         if s.kind == "columns":
             schema = self.catalog.table(s.target).read().schema

@@ -540,9 +540,11 @@ def _match_against(toks: list[Tok], i: int, open_idx: int, close_idx: int):
     return tokenize(sql), pclose + 1
 
 
-def translate_mysql(sql: str) -> str:
-    """Normalize a MySQL-dialect query into Spark SQL (token-level)."""
-    toks = tokenize(sql)
+def translate_mysql(sql: str, ansi_quotes: bool = False) -> str:
+    """Normalize a MySQL-dialect query into Spark SQL (token-level).
+    ansi_quotes applies the ANSI_QUOTES sql_mode (double-quoted
+    identifiers)."""
+    toks = tokenize(sql, ansi_quotes=ansi_quotes)
     toks = _pass_odbc_escapes(toks)
     toks = _pass_keywords(toks)
     toks = _pass_limit(toks)

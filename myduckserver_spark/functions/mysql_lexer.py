@@ -40,11 +40,27 @@ class Tok:
         return self.kind == "word" and self.text.upper() in names
 
 
-def tokenize(sql: str) -> list[Tok]:
+def tokenize(sql: str, ansi_quotes: bool = False) -> list[Tok]:
+    """ansi_quotes=True applies MySQL's ANSI_QUOTES sql_mode: double
+    quotes delimit identifiers (emitted as backtick tokens), not
+    strings (reference: GMS TestAnsiQuotesSqlMode)."""
     toks: list[Tok] = []
     i, n = 0, len(sql)
     while i < n:
         c = sql[i]
+        if c == '"' and ansi_quotes:
+            j = i + 1
+            while j < n:
+                if sql[j] == '"':
+                    if j + 1 < n and sql[j + 1] == '"':  # doubled quote
+                        j += 2
+                        continue
+                    break
+                j += 1
+            body = sql[i + 1 : min(j, n)].replace('""', '"')
+            toks.append(Tok("bq", "`" + body.replace("`", "``") + "`"))
+            i = j + 1
+            continue
         if c.isspace():
             j = i
             while j < n and sql[j].isspace():

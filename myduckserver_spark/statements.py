@@ -666,9 +666,22 @@ class Delete:
 
 @dataclass
 class Show:
-    kind: str  # tables|columns|create_table|variables
+    kind: str  # tables|columns|create_table|variables|table_status|...
     target: str | None = None
     like: str | None = None
+
+
+@dataclass
+class SelectIntoOutfile:
+    """SELECT ... INTO OUTFILE 'path' [FIELDS ...] [LINES ...]
+    (reference: GMS TestSelectIntoFile, main_test.go; MySQL server-side
+    file export). The query text has the INTO clause stripped."""
+
+    query: str
+    path: str
+    fields_sep: str = "\t"
+    enclosed: str | None = None
+    lines_term: str = "\n"
 
 
 @dataclass
@@ -910,10 +923,58 @@ def bind_placeholders(sql: str, literals: list[str]) -> str:
     return _scan_placeholders(sql, literals)[0]
 
 
+_STR_LIT = r"'(?:[^'\\]|\\.|'')*'"
+
+
+def _parse_into_outfile(s: str) -> SelectIntoOutfile | None:
+    """Detect and strip a top-level INTO OUTFILE clause from a SELECT."""
+    m = re.search(r"\bINTO\s+OUTFILE\b", mask_strings(s), re.I)
+    if not m:
+        return None
+    tail = s[m.start():]
+    tm = re.match(rf"INTO\s+OUTFILE\s+({_STR_LIT})", tail, re.I)
+    if not tm:
+        raise ValueError("INTO OUTFILE requires a quoted file path")
+    path = parse_literal(tm.group(1))
+    pos = tm.end()
+    vals: dict[str, str] = {}
+    opt_res = [
+        ("fields_sep",
+         rf"\s*(?:FIELDS|COLUMNS)\s+TERMINATED\s+BY\s+({_STR_LIT})"),
+        ("enclosed", rf"\s*(?:OPTIONALLY\s+)?ENCLOSED\s+BY\s+({_STR_LIT})"),
+        ("escaped", rf"\s*ESCAPED\s+BY\s+({_STR_LIT})"),
+        ("lines_term", rf"\s*LINES\s+TERMINATED\s+BY\s+({_STR_LIT})"),
+    ]
+    progress = True
+    while progress:
+        progress = False
+        for k, rx in opt_res:
+            mm = re.match(rx, tail[pos:], re.I)
+            if mm and k not in vals:
+                vals[k] = parse_literal(mm.group(1))
+                pos += mm.end()
+                progress = True
+    # Anything left after the options belongs to the query (MySQL also
+    # allows INTO OUTFILE before FROM).
+    query = (s[: m.start()].rstrip() + " " + tail[pos:].lstrip()).strip()
+    return SelectIntoOutfile(
+        query=query,
+        path=path,
+        fields_sep=vals.get("fields_sep", "\t"),
+        enclosed=vals.get("enclosed") or None,
+        lines_term=vals.get("lines_term", "\n"),
+    )
+
+
 def parse_statement(sql: str):
     """One statement string → a typed statement object."""
     s = strip_comments(sql).strip().rstrip(";").strip()
     up = s.upper()
+
+    if up.startswith(("SELECT", "WITH")):
+        into = _parse_into_outfile(s)
+        if into is not None:
+            return into
 
     if up.startswith("WITH"):
         # MySQL 8 allows WITH before UPDATE/DELETE too; peel the CTE
@@ -1174,6 +1235,10 @@ def parse_statement(sql: str):
     if m:
         like = parse_literal(m.group(1)) if m.group(1) else None
         return Show("tables", like=like)
+    m = re.match(r"SHOW\s+TABLE\s+STATUS\s*(?:LIKE\s+(.+))?$", s, re.I)
+    if m:
+        like = parse_literal(m.group(1)) if m.group(1) else None
+        return Show("table_status", like=like)
     m = re.match(r"SHOW\s+(?:FULL\s+)?COLUMNS\s+FROM\s+(`[^`]+`|\w+)\s*$", s, re.I)
     if m:
         return Show("columns", target=unquote_ident(m.group(1)))

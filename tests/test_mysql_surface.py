@@ -1,0 +1,73 @@
+"""MySQL surface extras: SELECT ... INTO OUTFILE (GMS
+TestSelectIntoFile), SHOW TABLE STATUS (TestShowTableStatus), and the
+ANSI_QUOTES sql_mode (TestAnsiQuotesSqlMode) — all through the engine
+statement front door."""
+
+import pytest
+
+from myduckserver_spark.engine import Engine, OkResult
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.execute(
+        "CREATE TABLE t (id INT PRIMARY KEY, name VARCHAR(20), v DOUBLE)"
+    )
+    e.execute(
+        "INSERT INTO t VALUES (1, 'ann', 1.5), (2, NULL, 2.5), "
+        "(3, 'cid', NULL)"
+    )
+    return e
+
+
+def test_into_outfile_defaults(engine, tmp_path):
+    out = str(tmp_path / "t.tsv")
+    r = engine.execute(f"SELECT * FROM t ORDER BY id INTO OUTFILE '{out}'")
+    assert isinstance(r, OkResult) and r.affected_rows == 3
+    lines = open(out).read().splitlines()
+    assert lines == ["1\tann\t1.5", "2\t\\N\t2.5", "3\tcid\t\\N"]
+
+
+def test_into_outfile_custom_fields(engine, tmp_path):
+    out = str(tmp_path / "t.csv")
+    engine.execute(
+        f"SELECT id, name FROM t ORDER BY id INTO OUTFILE '{out}' "
+        "FIELDS TERMINATED BY ',' ENCLOSED BY '\"' "
+        "LINES TERMINATED BY '\n'"
+    )
+    lines = open(out).read().splitlines()
+    assert lines[0] == '"1","ann"'
+    assert lines[1].startswith('"2",')  # NULL rendering under quoting
+
+
+def test_into_outfile_existing_file_errors(engine, tmp_path):
+    out = tmp_path / "exists.tsv"
+    out.write_text("old")
+    with pytest.raises(ValueError, match="already exists"):
+        engine.execute(f"SELECT * FROM t INTO OUTFILE '{out}'")
+    assert out.read_text() == "old"  # never clobbered
+
+
+def test_show_table_status(engine):
+    rows = {r.Name: r for r in engine.execute("SHOW TABLE STATUS").collect()}
+    assert rows["t"].Rows == 3
+    assert rows["t"].Engine == "parquet"
+    assert rows["t"].Data_length > 0
+    like = engine.execute("SHOW TABLE STATUS LIKE 'nope%'").collect()
+    assert like == []
+
+
+def test_ansi_quotes_mode(engine):
+    # Without the mode, double quotes are string literals.
+    plain = engine.execute('SELECT "name" AS c FROM t LIMIT 1').collect()
+    assert plain[0].c == "name"
+    engine.execute("SET sql_mode = 'ANSI_QUOTES'")
+    quoted = engine.execute(
+        'SELECT "name" AS c FROM t WHERE "name" IS NOT NULL ORDER BY id'
+    ).collect()
+    assert [r.c for r in quoted] == ["ann", "cid"]
+    # Doubled quotes inside an ANSI identifier still work as escapes.
+    engine.execute("SET sql_mode = ''")
+    back = engine.execute('SELECT "name" AS c FROM t LIMIT 1').collect()
+    assert back[0].c == "name"
