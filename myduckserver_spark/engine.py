@@ -1078,7 +1078,23 @@ class Engine:
             q = s.sql
             if "@" in q:
                 q = self._substitute_user_vars(q)
-            return self.sql(q, dialect=dialect)
+            # FOR UPDATE / FOR SHARE: row locks are no-ops under
+            # snapshot isolation — accept and strip the clause.
+            fm = re.search(
+                r"\s+FOR\s+(?:UPDATE|SHARE)(?:\s+OF\s+[\w`,\s]+?)?"
+                r"(?:\s+(?:NOWAIT|SKIP\s+LOCKED))?\s*$",
+                st.mask_strings(q),
+                re.I,
+            )
+            if fm:
+                q = q[: fm.start()]
+            df = self.sql(q, dialect=dialect)
+            # sql_select_limit caps SELECTs that carry no LIMIT of
+            # their own (GMS TestRowLimit semantics).
+            cap = self.variables.get("sql_select_limit")
+            if cap not in (None, "", "DEFAULT") and not self._has_top_limit(q):
+                df = df.limit(int(cap))
+            return df
         if isinstance(s, st.Prepare):
             text = s.query
             if text.startswith("@"):
@@ -1183,8 +1199,13 @@ class Engine:
             cond = self._fragment(s.where) if s.where else F.lit(True)
             return OkResult(affected_rows=self.delete(s.table, cond))
         if isinstance(s, st.Show):
+            if s.kind == "noop_lock":
+                return OkResult(info="locks are no-ops (snapshot isolation)")
             return self._exec_show(s)
         if isinstance(s, st.SetVar):
+            if s.value is st.DEFAULT:  # SET var = DEFAULT resets it
+                self.variables.pop(s.name, None)
+                return OkResult()
             self.variables[s.name] = s.value
             if s.name.startswith("spark."):
                 self.spark.conf.set(s.name, str(s.value))
@@ -1843,6 +1864,21 @@ class Engine:
         )
         return n_new + 2 * n_upd
 
+    @staticmethod
+    def _has_top_limit(q: str) -> bool:
+        """True if the query has a LIMIT clause at paren depth 0."""
+        mask = st.mask_strings(q)
+        depth = 0
+        for m in re.finditer(r"[()]|\bLIMIT\b", mask, re.I):
+            t = m.group(0)
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            elif depth == 0:
+                return True
+        return False
+
     def _exec_show(self, s: st.Show) -> DataFrame:
         if s.kind == "tables":
             names = sorted(set(self.catalog.list_tables()) | set(self._view_names()))
@@ -1852,6 +1888,14 @@ class Engine:
             return self.spark.createDataFrame(
                 [(n,) for n in names],
                 f"Tables_in_{self.current_db} string",
+            )
+        if s.kind == "databases":
+            names = sorted(self._dbs)
+            if s.like:
+                rx = _like_to_re(s.like)
+                names = [n for n in names if rx.match(n)]
+            return self.spark.createDataFrame(
+                [(n,) for n in names], "Database string"
             )
         if s.kind == "table_status":
             # SHOW TABLE STATUS (reference: GMS TestShowTableStatus).

@@ -1239,6 +1239,17 @@ def parse_statement(sql: str):
     if m:
         like = parse_literal(m.group(1)) if m.group(1) else None
         return Show("table_status", like=like)
+    m = re.match(
+        r"SHOW\s+(?:DATABASES|SCHEMAS)\s*(?:LIKE\s+(.+))?$", s, re.I
+    )
+    if m:
+        like = parse_literal(m.group(1)) if m.group(1) else None
+        return Show("databases", like=like)
+    # LOCK/UNLOCK TABLES: snapshot isolation makes row/table locks
+    # no-ops (the reference delegates to GMS, which also treats them
+    # as session bookkeeping).
+    if re.match(r"(?:LOCK\s+TABLES?\b|UNLOCK\s+TABLES?\s*$)", s, re.I):
+        return Show("noop_lock")
     m = re.match(r"SHOW\s+(?:FULL\s+)?COLUMNS\s+FROM\s+(`[^`]+`|\w+)\s*$", s, re.I)
     if m:
         return Show("columns", target=unquote_ident(m.group(1)))

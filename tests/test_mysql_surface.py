@@ -71,3 +71,23 @@ def test_ansi_quotes_mode(engine):
     engine.execute("SET sql_mode = ''")
     back = engine.execute('SELECT "name" AS c FROM t LIMIT 1').collect()
     assert back[0].c == "name"
+
+
+def test_show_databases_and_locks(engine):
+    engine.execute("CREATE DATABASE extra")
+    dbs = [r.Database for r in engine.execute("SHOW DATABASES").collect()]
+    assert "main" in dbs and "extra" in dbs
+    r = engine.execute("LOCK TABLES t WRITE")
+    assert isinstance(r, OkResult)
+    assert isinstance(engine.execute("UNLOCK TABLES"), OkResult)
+
+
+def test_for_update_stripped_and_row_limit(engine):
+    rows = engine.execute("SELECT * FROM t WHERE id = 1 FOR UPDATE").collect()
+    assert len(rows) == 1
+    engine.execute("SET sql_select_limit = 2")
+    assert engine.execute("SELECT * FROM t ORDER BY id").count() == 2
+    # An explicit LIMIT wins over the session cap.
+    assert engine.execute("SELECT * FROM t LIMIT 3").count() == 3
+    engine.execute("SET sql_select_limit = DEFAULT")
+    assert engine.execute("SELECT * FROM t").count() == 3
