@@ -236,6 +236,24 @@ def _fn_isnull(a):
     return f"(({a[0]}) IS NULL)" if len(a) == 1 else None
 
 
+def _fn_json_extract(a):
+    # Single-path form only (multi-path returns a JSON array in MySQL).
+    # Shim note: bare string results come back unquoted (Spark
+    # get_json_object ~ MySQL ->> semantics); objects/arrays/numbers
+    # round-trip exactly.
+    return f"get_json_object({a[0]}, {a[1]})" if len(a) == 2 else None
+
+
+def _fn_json_object(a):
+    if not a or not a[0]:
+        return "to_json(map())"
+    if len(a) % 2:
+        return None
+    # map() coerces values to one type (MySQL keeps per-value types) —
+    # faithful for the common homogeneous case.
+    return "to_json(map(" + ", ".join(a) + "))"
+
+
 _FN_HANDLERS = {
     "UCASE": lambda a: f"upper({a[0]})" if len(a) == 1 else None,
     "LCASE": lambda a: f"lower({a[0]})" if len(a) == 1 else None,
@@ -268,6 +286,22 @@ _FN_HANDLERS = {
     "STR_TO_DATE": _fn_str_to_date,
     "CONVERT": _fn_convert,
     "ISNULL": _fn_isnull,
+    "JSON_EXTRACT": _fn_json_extract,
+    "JSON_UNQUOTE": lambda a: (
+        f"regexp_replace({a[0]}, '^\"|\"$', '')" if len(a) == 1 else None
+    ),
+    "JSON_KEYS": lambda a: (
+        f"to_json(json_object_keys({a[0]}))" if len(a) == 1 else None
+    ),
+    "JSON_LENGTH": lambda a: (
+        f"json_array_length({a[0]})" if len(a) == 1 else None
+    ),
+    "JSON_ARRAY": lambda a: (
+        "to_json(array(" + ", ".join(a) + "))"
+        if a and a[0]
+        else "to_json(array())"
+    ),
+    "JSON_OBJECT": _fn_json_object,
 }
 
 
@@ -465,6 +499,65 @@ def _group_concat(inner: list[Tok]) -> str | None:
     return f"array_join({arr}, '{sep_sql}')"
 
 
+def _pass_json_arrows(toks: list[Tok]) -> list[Tok]:
+    """``col -> '$.p'`` / ``col ->> '$.p'`` → get_json_object(col, '$.p').
+
+    The left operand may be a (possibly qualified) identifier or a
+    parenthesized/function-call expression. Spark lambda arrows never
+    collide: the rewrite requires a string literal on the right.
+    MySQL's ``->`` keeps JSON quoting on bare strings, ``->>`` unquotes
+    — both map to get_json_object (->> semantics), the same collapse
+    the common ``JSON_UNQUOTE(JSON_EXTRACT(...))`` idiom performs.
+    """
+    out: list[Tok] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t.kind == "op" and t.text == "->":
+            j = _sig_next(toks, i)
+            if j < len(toks) and toks[j].kind == "op" and toks[j].text == ">":
+                j = _sig_next(toks, j)  # '->>' arrives as '->' + '>'
+            if j < len(toks) and toks[j].kind == "str":
+                k = len(out) - 1
+                while k >= 0 and out[k].kind in ("ws", "comment"):
+                    k -= 1
+                end, start = k, None
+                if k >= 0 and out[k].kind in ("word", "bq"):
+                    start = k
+                    if (
+                        k >= 2
+                        and out[k - 1].kind == "op"
+                        and out[k - 1].text == "."
+                        and out[k - 2].kind in ("word", "bq")
+                    ):
+                        start = k - 2
+                elif k >= 0 and out[k].kind == "op" and out[k].text == ")":
+                    depth = 0
+                    while k >= 0:
+                        if out[k].kind == "op" and out[k].text == ")":
+                            depth += 1
+                        elif out[k].kind == "op" and out[k].text == "(":
+                            depth -= 1
+                            if depth == 0:
+                                break
+                        k -= 1
+                    if k >= 0:
+                        start = k
+                        if start > 0 and out[start - 1].kind == "word":
+                            start -= 1  # function call: name + (...)
+                if start is not None:
+                    expr = render(out[start : end + 1])
+                    del out[start:]
+                    out.extend(
+                        tokenize(f"get_json_object({expr}, {toks[j].text})")
+                    )
+                    i = j + 1
+                    continue
+        out.append(t)
+        i += 1
+    return out
+
+
 def _pass_functions(toks: list[Tok]) -> list[Tok]:
     out: list[Tok] = []
     i = 0
@@ -548,5 +641,6 @@ def translate_mysql(sql: str, ansi_quotes: bool = False) -> str:
     toks = _pass_odbc_escapes(toks)
     toks = _pass_keywords(toks)
     toks = _pass_limit(toks)
+    toks = _pass_json_arrows(toks)
     toks = _pass_functions(toks)
     return render(toks)

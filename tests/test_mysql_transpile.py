@@ -182,3 +182,37 @@ def test_isnull_rewrite(spark):
     sql = translate_mysql("SELECT ISNULL(NULL) AS a, ISNULL(1) AS b")
     row = spark.sql(sql).collect()[0]
     assert (row.a, row.b) == (True, False)
+
+
+def test_json_arrow_operators(spark):
+    spark.sql(
+        "SELECT '{\"k\": 69, \"s\": \"x\"}' AS props"
+    ).createOrReplaceTempView("json_t")
+    sql = translate_mysql(
+        "SELECT props->'$.k' AS k, props->>'$.s' AS s, "
+        "json_t.props->>'$.k' AS qk FROM json_t"
+    )
+    assert sql.count("get_json_object") == 3
+    row = spark.sql(sql).collect()[0]
+    assert (row.k, row.s, row.qk) == ("69", "x", "69")
+
+
+def test_json_function_family(spark):
+    sql = translate_mysql(
+        "SELECT JSON_UNQUOTE(JSON_EXTRACT('{\"a\": \"v\"}', '$.a')) AS u, "
+        "JSON_OBJECT('a', 1, 'b', 2) AS o, JSON_ARRAY(1, 2, 3) AS arr, "
+        "JSON_KEYS('{\"x\": 1, \"y\": 2}') AS ks, "
+        "JSON_LENGTH('[1,2,3,4]') AS n"
+    )
+    row = spark.sql(sql).collect()[0]
+    assert row.u == "v"
+    assert row.o == '{"a":1,"b":2}'  # homogeneous values keep their type
+    assert row.arr == "[1,2,3]"
+    assert row.ks == '["x","y"]'
+    assert row.n == 4
+
+
+def test_json_arrow_on_function_call(spark):
+    sql = translate_mysql("SELECT upper('{\"k\": 1}')->>'$.K' AS k")
+    assert "get_json_object(upper(" in sql
+    assert spark.sql(sql).collect()[0].k == "1"
