@@ -150,7 +150,8 @@ class Engine:
         if "order" not in query.lower():
             return query
         enums = self._enum_columns()
-        if not enums:
+        ci = self._ci_columns()
+        if not enums and not ci:
             return query
         from myduckserver_spark.functions.mysql_lexer import (
             render,
@@ -215,18 +216,38 @@ class Engine:
                             "UNION", "EXCEPT", "INTERSECT", "FETCH", "WINDOW")
                     )
                 )
-                if is_bare and name in enums:
+                if is_bare and (name in enums or name in ci):
                     end = sig[end_sj]
                     col = render(toks[j : end + 1])
-                    arr = ", ".join(
-                        "'" + v.replace("'", "''") + "'" for v in enums[name]
-                    )
-                    out[j] = type(tj)(
-                        "word", f"array_position(array({arr}), {col})"
-                    )
+                    if name in enums:
+                        arr = ", ".join(
+                            "'" + v.replace("'", "''") + "'"
+                            for v in enums[name]
+                        )
+                        key = f"array_position(array({arr}), {col})"
+                    else:  # _ci collation: case-insensitive sort key
+                        key = f"lower({col})"
+                    out[j] = type(tj)("word", key)
                     for k in range(j + 1, end + 1):
                         out[k] = type(tj)("ws", "")
         return render(out)
+
+    def _ci_columns(self) -> set[str]:
+        """Columns explicitly declared with a case-insensitive collation
+        (COLLATE ..._ci). ORDER BY on them sorts by lower(col) — the
+        ai_ci approximation (accent folding not applied); equality/
+        GROUP BY keep binary semantics (documented divergence).
+        Only explicit COLLATE declarations opt in: MySQL's default
+        utf8mb4 collation is _ci too, but silently changing every
+        string sort would diverge from the oracle-checked plans.
+        """
+        out: set[str] = set()
+        for name in self.catalog.list_tables():
+            for f in self.catalog.table(name).read().schema.fields:
+                coll = (f.metadata or {}).get("collation", "")
+                if coll.endswith("_ci"):
+                    out.add(f.name)
+        return out
 
     def _rewrite_time_travel(self, query: str) -> str:
         """``FROM t VERSION AS OF n`` → a registered snapshot view

@@ -48,3 +48,34 @@ def test_encode_column_null_and_replace(spark):
 def test_unsupported_charset_raises(spark):
     with pytest.raises(ValueError, match="unsupported charset"):
         encode_column("s", "klingon")
+
+
+def test_ci_collation_order_by(spark, tmp_path):
+    """ORDER BY on a column declared COLLATE ..._ci sorts
+    case-insensitively (reference: GMS TestCharsetCollationEngine);
+    undeclared columns keep binary order."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh_ci"))
+    e.execute(
+        "CREATE TABLE ci_t (id INT PRIMARY KEY, "
+        "name VARCHAR(20) COLLATE utf8mb4_general_ci, "
+        "tag VARCHAR(20))"
+    )
+    e.execute(
+        "INSERT INTO ci_t VALUES (1, 'banana', 'banana'), "
+        "(2, 'Apple', 'Apple'), (3, 'cherry', 'cherry')"
+    )
+    ci = [r.name for r in e.execute(
+        "SELECT name FROM ci_t ORDER BY name"
+    ).collect()]
+    assert ci == ["Apple", "banana", "cherry"]  # case-insensitive
+    e.execute("INSERT INTO ci_t VALUES (4, 'apple', 'apple')")
+    ci2 = [r.name for r in e.execute(
+        "SELECT name FROM ci_t ORDER BY name, id"
+    ).collect()]
+    assert ci2 == ["Apple", "apple", "banana", "cherry"]
+    bin2 = [r.tag for r in e.execute(
+        "SELECT tag FROM ci_t ORDER BY tag"
+    ).collect()]
+    assert bin2 == ["Apple", "apple", "banana", "cherry"]
