@@ -1293,13 +1293,21 @@ class Engine:
             meta.indexes[s.name] = {"columns": s.columns, "unique": s.unique}
             self._save_meta(s.table, meta)
             return OkResult(info="index recorded (metadata only)")
+        if isinstance(s, st.CreateVectorIndex):
+            return self._exec_create_vector_index(s)
         if isinstance(s, st.DropIndex):
             tables = [s.table] if s.table else self.catalog.list_tables()
             for tname in tables:
                 meta = self.table_meta(tname)
                 if s.name in meta.indexes:
+                    props = meta.indexes[s.name]
                     del meta.indexes[s.name]
                     self._save_meta(tname, meta)
+                    if props.get("vector"):  # drop materialized structure
+                        for part in ("centroids", "assign"):
+                            vt = f"__vidx_{tname}_{s.name}_{part}"
+                            if vt in self.catalog.list_tables():
+                                self.catalog.drop_table(vt)
                     return OkResult()
             raise ValueError(f"no such index: {s.name}")
         if isinstance(s, st.LoadData):
@@ -1884,6 +1892,82 @@ class Engine:
             )
         )
         return n_new + 2 * n_upd
+
+    # ------------------------------------------------------ vector index
+
+    def _exec_create_vector_index(
+        self, s: "st.CreateVectorIndex"
+    ) -> "OkResult":
+        """Materialized IVF index build (operators/vindex.py): centroid
+        + bucket-sorted assignment tables persisted in the catalog, the
+        embedding-column analog of the reference's ART indexes
+        (catalog/table.go). Records the built-from table version —
+        search raises on staleness instead of silently serving a
+        pre-DML view."""
+        from myduckserver_spark.operators import vindex
+
+        meta = self.table_meta(s.table)
+        if s.name in meta.indexes and not s.or_replace:
+            raise ValueError(f"index exists: {s.name} (use OR REPLACE)")
+        if len(meta.primary_key) != 1:
+            raise ValueError(
+                "CREATE VECTOR INDEX needs a single-column primary key "
+                f"on {s.table}"
+            )
+        pk = meta.primary_key[0]
+        t = self.catalog.table(s.table)
+        nlist = int(s.options.get("nlist", 8))
+        iters = int(s.options.get("iters", 3))
+        cent, assign = vindex.build_ivf(
+            t.read(), pk, s.column, nlist=nlist, iters=iters
+        )
+        self.catalog.create_table(f"__vidx_{s.table}_{s.name}_centroids", cent)
+        self.catalog.create_table(f"__vidx_{s.table}_{s.name}_assign", assign)
+        meta.indexes[s.name] = {
+            "columns": [s.column],
+            "unique": False,
+            "vector": True,
+            "nlist": nlist,
+            "table_version": t.version,
+        }
+        self._save_meta(s.table, meta)
+        return OkResult(info=f"vector index {s.name} built (nlist={nlist})")
+
+    def vector_search(
+        self,
+        table: str,
+        index: str,
+        query_vec: list,
+        k: int = 5,
+        nprobe: int = 1,
+    ) -> DataFrame:
+        """ANN search through a persisted vector index: probe the
+        nprobe nearest centroid buckets, scan only their assignments
+        (cid filter pushed to the parquet scan; the assign snapshot is
+        cid-sorted so row-group stats skip other buckets on disk)."""
+        from myduckserver_spark.operators import vindex
+
+        meta = self.table_meta(table)
+        props = meta.indexes.get(index)
+        if not props or not props.get("vector"):
+            raise ValueError(f"no vector index {index} on {table}")
+        t = self.catalog.table(table)
+        if t.version != props.get("table_version"):
+            raise ValueError(
+                f"vector index {index} is stale (built at version "
+                f"{props.get('table_version')}, table at {t.version}); "
+                "rebuild with CREATE OR REPLACE VECTOR INDEX"
+            )
+        cent_rows = self.catalog.table(
+            f"__vidx_{table}_{index}_centroids"
+        ).read().collect()
+        cids = vindex.probe_cids(cent_rows, list(query_vec), nprobe)
+        assign = self.catalog.table(f"__vidx_{table}_{index}_assign").read()
+        pk = meta.primary_key[0]
+        return vindex.search(
+            t.read(), assign, pk, props["columns"][0], list(query_vec),
+            cids, k=k,
+        )
 
     @staticmethod
     def _has_top_limit(q: str) -> bool:

@@ -749,6 +749,19 @@ class CreateIndex:
 
 
 @dataclass
+class CreateVectorIndex:
+    """CREATE [OR REPLACE] VECTOR INDEX n ON t (col) [WITH (nlist=8, ...)]
+    — materialized IVF structure (operators/vindex.py), the embedding-
+    column analog of the reference's ART indexes (catalog/table.go)."""
+
+    name: str
+    table: str
+    column: str
+    options: dict = field(default_factory=dict)
+    or_replace: bool = False
+
+
+@dataclass
 class DropIndex:
     name: str
     table: str | None = None
@@ -1338,6 +1351,25 @@ def parse_statement(sql: str):
     if m:
         return DropView(unquote_ident(m.group(2)), if_exists=bool(m.group(1)))
 
+    m = re.match(
+        r"CREATE\s+(OR\s+REPLACE\s+)?VECTOR\s+INDEX\s+(`[^`]+`|\w+)\s+ON\s+"
+        r"(`[^`]+`|\w+)\s*\((\w+)\)\s*(?:WITH\s*\(([^)]*)\))?\s*$",
+        s,
+        re.I,
+    )
+    if m:
+        opts: dict = {}
+        for kv in (m.group(5) or "").split(","):
+            if "=" in kv:
+                k_, v_ = kv.split("=", 1)
+                opts[k_.strip().lower()] = parse_literal(v_.strip())
+        return CreateVectorIndex(
+            unquote_ident(m.group(2)),
+            unquote_ident(m.group(3)),
+            m.group(4).strip(),
+            options=opts,
+            or_replace=bool(m.group(1)),
+        )
     m = re.match(
         r"CREATE\s+(UNIQUE\s+)?INDEX\s+(`[^`]+`|\w+)\s+ON\s+(`[^`]+`|\w+)\s*"
         r"\(([^)]*)\)\s*$",

@@ -1,0 +1,105 @@
+"""Persisted IVF vector index (operators/vindex.py + CREATE VECTOR
+INDEX front door): build determinism, probe-limited search, recall vs
+the exact brute force, staleness contract, DROP cleanup."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from myduckserver_spark.engine import Engine, OkResult
+from myduckserver_spark.operators.similarity import cosine_topk
+
+
+@pytest.fixture(scope="module")
+def veng(spark, sf_dir, tmp_path_factory):
+    e = Engine(spark, str(tmp_path_factory.mktemp("vwh")))
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    e.catalog.create_table("vecs", emb)
+    meta = e.table_meta("vecs")
+    meta.primary_key = ["vec_id"]
+    e._save_meta("vecs", meta)
+    r = e.execute(
+        "CREATE VECTOR INDEX emb_idx ON vecs (embedding) WITH (nlist = 8)"
+    )
+    assert isinstance(r, OkResult)
+    return e, emb
+
+
+def _query_vec(emb, vid):
+    return list(emb.filter(F.col("vec_id") == vid).collect()[0].embedding)
+
+
+def test_full_probe_matches_bruteforce(veng):
+    e, emb = veng
+    q = _query_vec(emb, 7)
+    got = [
+        r.vec_id
+        for r in e.vector_search("vecs", "emb_idx", q, k=5, nprobe=8)
+        .collect()
+    ]
+    queries = emb.filter(F.col("vec_id") == 7)
+    want = [
+        r.vec_id
+        for r in cosine_topk(emb, queries, k=6).orderBy("rk").collect()
+    ]
+    # brute force excludes self (qid != id); index search includes the
+    # vector itself as its own best match — drop it before comparing.
+    assert got[0] == 7
+    assert got[1:5] == want[:4]
+
+
+def test_probe_limits_scanned_buckets(veng):
+    e, emb = veng
+    q = _query_vec(emb, 7)
+    df = e.vector_search("vecs", "emb_idx", q, k=5, nprobe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "cid" in plan and "PushedFilters" in plan  # filter reaches scan
+    hits = df.collect()
+    assert len(hits) == 5 and hits[0].vec_id == 7  # self is in its bucket
+
+
+def test_recall_at_nprobe2(veng):
+    e, emb = veng
+    qids = [3, 11, 42, 99, 123]
+    recalls = []
+    for qid in qids:
+        q = _query_vec(emb, qid)
+        ann = {
+            r.vec_id
+            for r in e.vector_search("vecs", "emb_idx", q, k=6, nprobe=2)
+            .collect()
+        } - {qid}
+        queries = emb.filter(F.col("vec_id") == qid)
+        exact = {
+            r.vec_id for r in cosine_topk(emb, queries, k=5).collect()
+        }
+        recalls.append(len(ann & exact) / 5)
+    # near-orthogonal synthetic vectors are ANN's worst case; probing
+    # 2/8 buckets must still beat the 25%-of-corpus random floor
+    assert sum(recalls) / len(recalls) >= 0.3
+
+
+def test_stale_index_raises_and_rebuild_clears(veng, spark):
+    e, emb = veng
+    e.catalog.table("vecs").overwrite(e.catalog.table("vecs").read())
+    q = _query_vec(emb, 7)
+    with pytest.raises(ValueError, match="stale"):
+        e.vector_search("vecs", "emb_idx", q)
+    e.execute(
+        "CREATE OR REPLACE VECTOR INDEX emb_idx ON vecs (embedding) "
+        "WITH (nlist = 8)"
+    )
+    assert len(e.vector_search("vecs", "emb_idx", q, k=3).collect()) == 3
+
+
+def test_show_indexes_and_drop_cleanup(veng):
+    e, _ = veng
+    shown = e.execute("SHOW INDEXES FROM vecs").collect()
+    assert any("emb_idx" in str(r) for r in shown)
+    assert "__vidx_vecs_emb_idx_centroids" in e.catalog.list_tables()
+    e.execute("DROP INDEX emb_idx ON vecs")
+    assert "__vidx_vecs_emb_idx_centroids" not in e.catalog.list_tables()
+    assert "__vidx_vecs_emb_idx_assign" not in e.catalog.list_tables()
+    with pytest.raises(ValueError, match="no vector index"):
+        e.vector_search("vecs", "emb_idx", [0.0] * 64)
