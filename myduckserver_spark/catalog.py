@@ -66,7 +66,26 @@ class ParquetTable:
         meta = self._read_pointer()
         if meta["version"] < 0:
             raise FileNotFoundError(f"table has no committed snapshot: {self.dir}")
-        return self.spark.read.parquet(os.path.join(self.dir, f"v{meta['version']}"))
+        path = os.path.join(self.dir, f"v{meta['version']}")
+        parts = meta.get("partition_by")
+        if not parts:
+            return self.spark.read.parquet(path)
+        # Hive-partitioned snapshot: restore declared column order and
+        # partition-column types (directory-encoded values come back
+        # via inference; the stored dtype pins them), and survive the
+        # all-rows-deleted case where the dir has no partition files.
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
+        try:
+            df = self.spark.read.parquet(path)
+        except Exception:
+            return self.spark.createDataFrame([], schema)
+        for f_ in schema.fields:
+            if f_.name in parts:
+                df = df.withColumn(f_.name, F.col(f_.name).cast(f_.dataType))
+        return df.select(*[f_.name for f_ in schema.fields])
 
     def read_version(self, version: int) -> DataFrame:
         """Time-travel read of a historical snapshot (Delta-style
@@ -80,12 +99,31 @@ class ParquetTable:
             )
         return self.spark.read.parquet(path)
 
+    def set_partitioning(self, cols: list[str]) -> None:
+        """Declare hive partitioning; every subsequent snapshot write
+        partitions by these columns (partition pruning on read is the
+        Spark-side analog of the reference's per-partition DuckDB
+        storage). Must be set before data exists."""
+        meta = self._read_pointer()
+        if meta["version"] >= 0:
+            raise ValueError("cannot repartition a table with data")
+        meta["partition_by"] = list(cols)
+        self._write_pointer(meta)
+
     def overwrite(self, df: DataFrame, txn_app_id: str | None = None,
                   txn_version: int | None = None) -> int:
         """Materialize a new snapshot and atomically flip the pointer."""
         meta = self._read_pointer()
         new_v = meta["version"] + 1
-        df.write.mode("overwrite").parquet(os.path.join(self.dir, f"v{new_v}"))
+        parts = meta.get("partition_by")
+        w = df.write.mode("overwrite")
+        if parts:
+            missing = [c for c in parts if c not in df.columns]
+            if missing:
+                raise ValueError(f"partition columns missing: {missing}")
+            meta["schema_json"] = df.schema.json()
+            w = w.partitionBy(*parts)
+        w.parquet(os.path.join(self.dir, f"v{new_v}"))
         if txn_app_id is not None:
             meta.setdefault("txn", {})[txn_app_id] = txn_version
         meta["version"] = new_v
@@ -218,8 +256,12 @@ class Catalog:
     def table(self, name: str) -> ParquetTable:
         return ParquetTable(self.spark, self.root, name)
 
-    def create_table(self, name: str, df: DataFrame) -> ParquetTable:
+    def create_table(
+        self, name: str, df: DataFrame, partition_by: list[str] | None = None
+    ) -> ParquetTable:
         t = self.table(name)
+        if partition_by:
+            t.set_partitioning(partition_by)
         t.overwrite(df)
         return t
 

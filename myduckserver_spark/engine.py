@@ -444,11 +444,12 @@ class Engine:
         name: str,
         schema: StructType | list[tuple[str, str]] | dict[str, str],
         rows: list | None = None,
+        partition_by: list[str] | None = None,
     ) -> ParquetTable:
         if not isinstance(schema, StructType):
             schema = schema_from_mysql(schema)
         df = self.spark.createDataFrame(rows or [], schema)
-        return self.catalog.create_table(name, df)
+        return self.catalog.create_table(name, df, partition_by=partition_by)
 
     def drop_table(self, name: str) -> None:
         if getattr(self, "_txn_snapshot", None) is not None:
@@ -1428,7 +1429,9 @@ class Engine:
             if s.if_not_exists:
                 return OkResult(info="table exists")
             raise ValueError(f"table exists: {s.name}")
-        self.create_table(s.name, s.columns)
+        self.create_table(
+            s.name, s.columns, partition_by=s.meta.partition_by or None
+        )
         self._save_meta(s.name, s.meta)
         return OkResult()
 

@@ -346,6 +346,7 @@ class TableMeta:
     generated: dict[str, str] = field(default_factory=dict)  # col -> expr
     on_update: dict[str, str] = field(default_factory=dict)  # col -> expr
     indexes: dict[str, dict] = field(default_factory=dict)  # name -> props
+    partition_by: list[str] = field(default_factory=list)  # hive partitioning
 
 
 @dataclass
@@ -1014,6 +1015,25 @@ def parse_statement(sql: str):
         return CreateTableAs(unquote_ident(m.group(2)), m.group(3).strip(),
                              if_not_exists=bool(m.group(1)))
 
+    # Strip a trailing partition clause FIRST: the column-list capture
+    # below is greedy and would swallow the clause's parentheses.
+    # MySQL PARTITION BY KEY/HASH(col) and hive-style PARTITIONED BY
+    # (col [type]) both land here; value-based hive layout is the
+    # Spark-side realization of either.
+    part_cols: list[str] = []
+    pm = re.search(
+        r"\bPARTITION(?:ED)?\s+BY\s+(?:(?:KEY|HASH|LINEAR\s+KEY)\s*)?"
+        r"\(([^()]*)\)\s*(?:PARTITIONS\s+\d+)?\s*$",
+        s,
+        re.I,
+    )
+    if pm and re.match(r"CREATE\s+TABLE\b", s, re.I):
+        part_cols = [
+            it.strip().split()[0].strip("`")
+            for it in pm.group(1).split(",")
+            if it.strip()
+        ]
+        s = s[: pm.start()].rstrip()
     m = re.match(
         r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(`[^`]+`|\w+)\s*\((.*)\)\s*"
         r"(?:ENGINE\s*=\s*\w+)?\s*(?:DEFAULT\s+)?(?:CHARSET\s*=\s*\w+)?\s*$",
@@ -1027,6 +1047,7 @@ def parse_statement(sql: str):
             parsed = _parse_column_def(item.strip(), meta)
             if parsed:
                 cols.append(parsed)
+        meta.partition_by = part_cols
         return CreateTable(unquote_ident(m.group(2)), cols, meta,
                            if_not_exists=bool(m.group(1)))
 

@@ -1,0 +1,81 @@
+"""Hive-partitioned engine tables: CREATE TABLE ... PARTITION BY lays
+out snapshots as value directories, reads prune partitions
+(PartitionFilters at the scan), DML rewrites preserve the layout, and
+column order/types survive the partition round trip."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from myduckserver_spark.engine import Engine
+
+
+@pytest.fixture()
+def peng(spark, tmp_path):
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.execute(
+        "CREATE TABLE ev (id INT PRIMARY KEY, region VARCHAR(10), "
+        "v DOUBLE) PARTITION BY KEY(region)"
+    )
+    e.execute(
+        "INSERT INTO ev VALUES (1, 'eu', 1.0), (2, 'us', 2.0), "
+        "(3, 'eu', 3.0), (4, 'ap', 4.0)"
+    )
+    return e
+
+
+def test_partition_directories_on_disk(peng):
+    t = peng.catalog.table("ev")
+    snap = os.path.join(t.dir, f"v{t.version}")
+    dirs = {d for d in os.listdir(snap) if d.startswith("region=")}
+    assert dirs == {"region=eu", "region=us", "region=ap"}
+
+
+def test_column_order_and_types_roundtrip(peng):
+    df = peng.execute("SELECT * FROM ev ORDER BY id")
+    assert df.columns == ["id", "region", "v"]  # declared order, not hive
+    rows = [tuple(r) for r in df.collect()]
+    assert rows == [
+        (1, "eu", 1.0), (2, "us", 2.0), (3, "eu", 3.0), (4, "ap", 4.0)
+    ]
+
+
+def test_partition_pruning_in_plan(peng):
+    df = peng.sql("SELECT id, v FROM ev WHERE region = 'eu'")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "region" in plan
+    # the eu-only scan must not read the us/ap directories
+    assert sorted(r.id for r in df.collect()) == [1, 3]
+
+
+def test_dml_preserves_partitioning(peng):
+    peng.execute("UPDATE ev SET v = v + 10 WHERE region = 'us'")
+    peng.execute("DELETE FROM ev WHERE region = 'ap'")
+    t = peng.catalog.table("ev")
+    snap = os.path.join(t.dir, f"v{t.version}")
+    dirs = {d for d in os.listdir(snap) if d.startswith("region=")}
+    assert dirs == {"region=eu", "region=us"}
+    rows = {r.id: r.v for r in peng.execute("SELECT * FROM ev").collect()}
+    assert rows == {1: 1.0, 2: 12.0, 3: 3.0}
+
+
+def test_delete_all_rows_keeps_schema(peng):
+    peng.execute("DELETE FROM ev")
+    df = peng.execute("SELECT * FROM ev")
+    assert df.columns == ["id", "region", "v"] and df.count() == 0
+    # and the table is still writable afterwards
+    peng.execute("INSERT INTO ev VALUES (9, 'eu', 9.0)")
+    assert peng.execute("SELECT * FROM ev").count() == 1
+
+
+def test_integer_partition_column_type(spark, tmp_path):
+    e = Engine(spark, str(tmp_path / "wh2"))
+    e.execute(
+        "CREATE TABLE m (id INT PRIMARY KEY, yr INT, x DOUBLE) "
+        "PARTITIONED BY (yr)"
+    )
+    e.execute("INSERT INTO m VALUES (1, 2023, 0.5), (2, 2024, 1.5)")
+    df = e.execute("SELECT * FROM m ORDER BY id")
+    assert dict(df.dtypes)["yr"] == "int"  # not the inference default
+    assert [r.yr for r in df.collect()] == [2023, 2024]
