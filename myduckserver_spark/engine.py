@@ -105,6 +105,7 @@ class Engine:
             query = translate_postgres(query)
         query = self._rewrite_enum_order(query)
         query = self._rewrite_time_travel(query)
+        query = self._rewrite_table_changes(query)
         lowered = query.lower()
         if (
             "information_schema" in lowered
@@ -1896,6 +1897,93 @@ class Engine:
         )
         return n_new + 2 * n_upd
 
+    # ------------------------------------------------------ change feed
+
+    def table_changes(
+        self, name: str, v_from: int, v_to: int | None = None
+    ) -> DataFrame:
+        """Row-level diff between two committed versions (Delta-style
+        change data feed over the versioned catalog; the batch analog
+        of the CDC stream the reference tails from binlog). Emits table
+        columns + `_change_type` in {'insert','delete',
+        'update_preimage','update_postimage'}, keyed by the primary
+        key. SQL form: SELECT * FROM TABLE_CHANGES('t', v1[, v2]).
+
+        Scale: two snapshot scans + one full-outer join on the PK —
+        single shuffle; no driver-side diffing.
+        """
+        t = self.catalog.table(name)
+        v_to = t.version if v_to is None else v_to
+        meta = self.table_meta(name)
+        if len(meta.primary_key) != 1:
+            raise ValueError(
+                f"TABLE_CHANGES needs a single-column primary key on {name}"
+            )
+        pk = meta.primary_key[0]
+        old = t.read_version(v_from)
+        new = t.read_version(v_to)
+        cols = new.columns
+        o = old.select([F.col(c).alias(f"__o_{c}") for c in cols])
+        n = new.select([F.col(c).alias(f"__n_{c}") for c in cols])
+        j = o.join(
+            n, o[f"__o_{pk}"] == n[f"__n_{pk}"], "full_outer"
+        )
+        same_row = F.concat_ws(
+            "\x1f", *[F.coalesce(F.col(f"__o_{c}").cast("string"), F.lit("∅"))
+                      for c in cols]
+        ) == F.concat_ws(
+            "\x1f", *[F.coalesce(F.col(f"__n_{c}").cast("string"), F.lit("∅"))
+                      for c in cols]
+        )
+        inserted = j.filter(F.col(f"__o_{pk}").isNull()).select(
+            *[F.col(f"__n_{c}").alias(c) for c in cols],
+            F.lit("insert").alias("_change_type"),
+        )
+        deleted = j.filter(F.col(f"__n_{pk}").isNull()).select(
+            *[F.col(f"__o_{c}").alias(c) for c in cols],
+            F.lit("delete").alias("_change_type"),
+        )
+        both = j.filter(
+            F.col(f"__o_{pk}").isNotNull()
+            & F.col(f"__n_{pk}").isNotNull()
+            & ~same_row
+        )
+        pre = both.select(
+            *[F.col(f"__o_{c}").alias(c) for c in cols],
+            F.lit("update_preimage").alias("_change_type"),
+        )
+        post = both.select(
+            *[F.col(f"__n_{c}").alias(c) for c in cols],
+            F.lit("update_postimage").alias("_change_type"),
+        )
+        return inserted.unionByName(deleted).unionByName(pre).unionByName(
+            post
+        )
+
+    # NOTE: matched against the string-MASKED query (the table-name
+    # literal's body is masked there), so the name group is [^']* and
+    # sub_outside_strings re-matches the original span to extract it.
+    _TC_PATTERN = (
+        r"\bTABLE_CHANGES\s*\(\s*'([^']*)'\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)"
+    )
+
+    def _rewrite_table_changes(self, query: str) -> str:
+        """FROM TABLE_CHANGES('t', v1[, v2]) → a registered diff view."""
+        if "table_changes" not in query.lower():
+            return query
+        from myduckserver_spark.statements import sub_outside_strings
+
+        def repl(m: re.Match) -> str:
+            name, v1 = m.group(1), int(m.group(2))
+            if not re.fullmatch(r"\w+", name):
+                raise ValueError(f"bad TABLE_CHANGES table name: {name!r}")
+            v2 = int(m.group(3)) if m.group(3) else None
+            view = f"__tc_{name}_{v1}_{'cur' if v2 is None else v2}"
+            self.table_changes(name, v1, v2).createOrReplaceTempView(view)
+            return view
+
+        return sub_outside_strings(self._TC_PATTERN, repl, query, re.I)
+
     # ------------------------------------------------------ vector index
 
     def _exec_create_vector_index(
@@ -2082,6 +2170,9 @@ class Engine:
             for cname, expr in meta.checks.items():
                 defs.append(f"  CONSTRAINT `{cname}` CHECK ({expr})")
             ddl = f"CREATE TABLE `{s.target}` (\n" + ",\n".join(defs) + "\n)"
+            if meta.partition_by:
+                ddl += " PARTITION BY KEY(" + ", ".join(
+                    f"`{c}`" for c in meta.partition_by) + ")"
             return self.spark.createDataFrame(
                 [(s.target, ddl)], "Table string, `Create Table` string"
             )
