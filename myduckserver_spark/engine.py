@@ -514,10 +514,18 @@ class Engine:
             self._txn_renames.append((old, new))
         self.spark.catalog.dropTempView(old)
 
-    def ctas(self, name: str, query: str, dialect: str = "spark") -> ParquetTable:
+    def ctas(
+        self,
+        name: str,
+        query: str,
+        dialect: str = "spark",
+        partition_by: list[str] | None = None,
+    ) -> ParquetTable:
         """CREATE TABLE AS SELECT (reference: TableCopier,
-        backend/executor.go:151-159)."""
-        return self.catalog.create_table(name, self.sql(query, dialect))
+        backend/executor.go:151-159); optional hive partitioning."""
+        return self.catalog.create_table(
+            name, self.sql(query, dialect), partition_by=partition_by
+        )
 
     # ----------------------------------------------------------------- DML
     def insert(self, name: str, df: DataFrame) -> None:
@@ -1160,7 +1168,14 @@ class Engine:
         if isinstance(s, st.CreateTableAs):
             if s.if_not_exists and self.catalog.table(s.name).exists():
                 return OkResult(info="table exists")
-            self.ctas(s.name, s.query, dialect=dialect)
+            self.ctas(
+                s.name, s.query, dialect=dialect,
+                partition_by=s.partition_by or None,
+            )
+            if s.partition_by:
+                meta = self.table_meta(s.name)
+                meta.partition_by = list(s.partition_by)
+                self._save_meta(s.name, meta)
             return OkResult(affected_rows=self.catalog.table(s.name).read().count())
         if isinstance(s, st.DropTable):
             if not self.catalog.table(s.name).exists():

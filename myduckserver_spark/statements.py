@@ -362,6 +362,7 @@ class CreateTableAs:
     name: str
     query: str
     if_not_exists: bool = False
+    partition_by: list[str] = field(default_factory=list)
 
 
 @dataclass
@@ -1007,13 +1008,19 @@ def parse_statement(sql: str):
         return parse_merge(s)
 
     m = re.match(
-        r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(`[^`]+`|\w+)\s+AS\s+(.*)$",
+        r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(`[^`]+`|\w+)\s+"
+        r"(?:PARTITIONED\s+BY\s*\(([^()]*)\)\s+)?AS\s+(.*)$",
         s,
         re.I | re.S,
     )
     if m:
-        return CreateTableAs(unquote_ident(m.group(2)), m.group(3).strip(),
-                             if_not_exists=bool(m.group(1)))
+        pcols = [
+            c.strip().strip("`") for c in (m.group(3) or "").split(",")
+            if c.strip()
+        ]
+        return CreateTableAs(unquote_ident(m.group(2)), m.group(4).strip(),
+                             if_not_exists=bool(m.group(1)),
+                             partition_by=pcols)
 
     # Strip a trailing partition clause FIRST: the column-list capture
     # below is greedy and would swallow the clause's parentheses.

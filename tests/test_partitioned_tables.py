@@ -79,3 +79,22 @@ def test_integer_partition_column_type(spark, tmp_path):
     df = e.execute("SELECT * FROM m ORDER BY id")
     assert dict(df.dtypes)["yr"] == "int"  # not the inference default
     assert [r.yr for r in df.collect()] == [2023, 2024]
+
+
+def test_show_create_table_renders_partitioning(peng):
+    ddl = peng.execute("SHOW CREATE TABLE ev").collect()[0][1]
+    assert "PARTITION BY KEY(`region`)" in ddl
+
+
+def test_ctas_partitioned(peng):
+    peng.execute(
+        "CREATE TABLE ev2 PARTITIONED BY (region) AS "
+        "SELECT * FROM ev WHERE v >= 1.0"
+    )
+    t = peng.catalog.table("ev2")
+    snap = os.path.join(t.dir, f"v{t.version}")
+    assert any(d.startswith("region=") for d in os.listdir(snap))
+    df = peng.sql("SELECT id FROM ev2 WHERE region = 'eu'")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert sorted(r.id for r in df.collect()) == [1, 3]
