@@ -1217,8 +1217,16 @@ class Engine:
                 or _has_subquery(s.where)
                 or any(_has_subquery(e) for e in s.assignments.values())
             ):
+                if s.limit is not None:
+                    raise NotImplementedError(
+                        "UPDATE ... LIMIT with subqueries is not supported"
+                    )
                 return self._exec_update_subquery(s, dialect)
             cond = self._fragment(s.where) if s.where else F.lit(True)
+            if s.limit is not None:
+                cond = cond & self._row_cap_cond(
+                    s.table, cond, s.order_by, s.limit
+                )
             assignments = {c: self._fragment(e) for c, e in s.assignments.items()}
             meta = self.table_meta(s.table)
             # ON UPDATE exprs fire for touched rows unless explicitly set
@@ -1233,8 +1241,16 @@ class Engine:
             if s.from_text:
                 return self._exec_delete_multi(s, dialect)
             if s.cte or _has_subquery(s.where):
+                if s.limit is not None:
+                    raise NotImplementedError(
+                        "DELETE ... LIMIT with subqueries is not supported"
+                    )
                 return self._exec_delete_subquery(s, dialect)
             cond = self._fragment(s.where) if s.where else F.lit(True)
+            if s.limit is not None:
+                cond = cond & self._row_cap_cond(
+                    s.table, cond, s.order_by, s.limit
+                )
             return OkResult(affected_rows=self.delete(s.table, cond))
         if isinstance(s, st.Show):
             if s.kind == "noop_lock":
@@ -1911,6 +1927,37 @@ class Engine:
             )
         )
         return n_new + 2 * n_upd
+
+    def _row_cap_cond(
+        self, table: str, cond: Column, order_by: str | None, limit: int
+    ) -> Column:
+        """MySQL UPDATE/DELETE ... [ORDER BY ...] LIMIT n: membership
+        condition selecting the first n matching rows by PK. The PK
+        list collects to the driver — n is the user's explicit LIMIT,
+        inherently small; the rewrite itself stays a single filtered
+        scan. Requires a single-column PK (MySQL needs a deterministic
+        order to make LIMIT well-defined too)."""
+        meta = self.table_meta(table)
+        if len(meta.primary_key) != 1:
+            raise ValueError(
+                f"UPDATE/DELETE ... LIMIT needs a single-column primary "
+                f"key on {table}"
+            )
+        pk = meta.primary_key[0]
+        sel = self.catalog.table(table).read().filter(cond)
+        if order_by:
+            orders = []
+            for item in st.split_top_level(order_by, ","):
+                it = item.strip()
+                desc = bool(re.search(r"\s+DESC$", it, re.I))
+                core = re.sub(r"\s+(ASC|DESC)$", "", it, flags=re.I)
+                c = self._fragment(core)
+                orders.append(c.desc() if desc else c.asc())
+            sel = sel.orderBy(*orders)
+        else:
+            sel = sel.orderBy(F.col(pk).asc())  # deterministic default
+        pks = [r[0] for r in sel.select(pk).limit(limit).collect()]
+        return F.col(pk).isin(pks)
 
     # ------------------------------------------------------ change feed
 

@@ -176,6 +176,35 @@ def sub_outside_strings(pattern: str, repl, s: str, flags=0) -> str:
     return "".join(out)
 
 
+def peel_order_limit(text: str) -> tuple[str, str | None, int | None]:
+    """Strip a trailing top-level ``[ORDER BY ...] LIMIT n`` from a
+    DML tail (MySQL row-capped UPDATE/DELETE). Returns
+    (remaining, order_by_text, limit). LIMIT is required — a bare
+    ORDER BY on UPDATE/DELETE is a MySQL no-op and passes through."""
+    mask = mask_strings(text)
+    m = None
+    depth = 0
+    for tok in re.finditer(r"[()]|\bORDER\s+BY\b|\bLIMIT\b", mask, re.I):
+        t = tok.group()
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and (m is None or t.upper().startswith("ORDER")):
+            m = tok
+            if t.upper().startswith("ORDER"):
+                break
+    if m is None:
+        return text, None, None
+    tail = text[m.start():]
+    tm = re.fullmatch(
+        r"(?:ORDER\s+BY\s+(.+?)\s+)?LIMIT\s+(\d+)\s*", tail, re.I | re.S
+    )
+    if not tm:
+        return text, None, None
+    return text[: m.start()].rstrip(), tm.group(1), int(tm.group(2))
+
+
 def split_where(text: str) -> tuple[str, str | None]:
     """Split ``body WHERE cond`` at the first top-level WHERE (outside
     parens and quotes — a WHERE inside a subquery doesn't count).
@@ -644,6 +673,9 @@ class Update:
     table: str
     assignments: dict[str, str]  # col -> expression text
     where: str | None
+    # MySQL UPDATE ... [ORDER BY ...] LIMIT n (row-capped update)
+    order_by: str | None = None
+    limit: int | None = None
     # Multi-table form (UPDATE t1 JOIN t2 ON ... SET t1.c = ...):
     # the raw FROM-clause fragment; `table` is then resolved by the
     # engine from the SET qualifiers (reference: TestUpdate join cases,
@@ -658,6 +690,9 @@ class Update:
 class Delete:
     table: str
     where: str | None
+    # MySQL DELETE ... [ORDER BY ...] LIMIT n (row-capped delete)
+    order_by: str | None = None
+    limit: int | None = None
     # Multi-table forms (DELETE t1 FROM t1 JOIN t2 ... / DELETE FROM t1
     # USING ...): the raw FROM/USING fragment plus the target list
     # (aliases or table names, `.*` suffix allowed as in MySQL).
@@ -1138,6 +1173,36 @@ def parse_statement(sql: str):
     if m:
         return Vacuum(unquote_ident(m.group(1)), int(m.group(2) or 1))
 
+    # INSERT/REPLACE ... SET col = val, ... (MySQL alternative form):
+    # rewritten to the canonical columns+VALUES text and re-dispatched,
+    # so DEFAULT handling / ON DUPLICATE KEY parsing is shared.
+    m = re.match(
+        r"(INSERT|REPLACE)(\s+IGNORE)?\s+INTO\s+(`[^`]+`|\w+)\s+SET\s+(.*)$",
+        s,
+        re.I | re.S,
+    )
+    if m:
+        body = m.group(4)
+        dup_tail = ""
+        dm = re.search(
+            r"\bON\s+DUPLICATE\s+KEY\s+UPDATE\b", mask_strings(body), re.I
+        )
+        if dm:
+            dup_tail = " " + body[dm.start():]
+            body = body[: dm.start()]
+        cols, vals = [], []
+        for part in split_top_level(body, ","):
+            k, eq, v = part.partition("=")
+            if not eq:
+                raise ValueError(f"bad INSERT ... SET item: {part!r}")
+            cols.append(f"`{unquote_ident(k)}`")
+            vals.append(v.strip())
+        rewritten = (
+            f"{m.group(1)}{m.group(2) or ''} INTO {m.group(3)} "
+            f"({', '.join(cols)}) VALUES ({', '.join(vals)}){dup_tail}"
+        )
+        return parse_statement(rewritten)
+
     m = re.match(
         r"(INSERT|REPLACE)\s+(IGNORE\s+)?INTO\s+(`[^`]+`|\w+)\s*"
         r"(\(([^)]*)\)\s*)?(VALUES?\s*(.*)|SELECT\s+.*|WITH\s+.*)$",
@@ -1237,30 +1302,41 @@ def parse_statement(sql: str):
     m = re.match(r"UPDATE\s+(.+?)\s+SET\s+(.*)$", s, re.I | re.S)
     if m:
         refs = m.group(1).strip()
-        body, where = split_where(m.group(2))
+        tail, order_by, limit = peel_order_limit(m.group(2))
+        body, where = split_where(tail)
         assignments = {}
         for part in split_top_level(body, ","):
             k, _, v = part.partition("=")
             assignments[unquote_ident(k)] = v.strip()
         if re.fullmatch(r"`[^`]+`|\w+", refs):
-            return Update(unquote_ident(refs), assignments, where)
+            return Update(unquote_ident(refs), assignments, where,
+                          order_by=order_by, limit=limit)
+        if limit is not None:
+            raise NotImplementedError(
+                "UPDATE ... LIMIT on the multi-table form is not supported"
+            )
         # Multi-table / aliased form: target resolved by the engine
         # from the SET qualifiers against the refs fragment.
         return Update("", assignments, where, from_text=refs)
 
-    # DELETE FROM t [USING refs] [WHERE ...]
+    # DELETE FROM t [USING refs] [WHERE ...] [ORDER BY ... LIMIT n]
     m = re.match(r"DELETE\s+FROM\s+(`[^`]+`|\w+)(\s.*)?$", s, re.I | re.S)
     if m:
-        rest, where = split_where(m.group(2) or "")
+        tail, order_by, limit = peel_order_limit(m.group(2) or "")
+        rest, where = split_where(tail)
         rest = rest.strip()
         target = unquote_ident(m.group(1))
         if rest:
             um = re.match(r"USING\s+(.+)$", rest, re.I | re.S)
             if not um:
                 raise ValueError(f"cannot parse DELETE tail: {rest!r}")
+            if limit is not None:
+                raise NotImplementedError(
+                    "DELETE ... LIMIT with USING is not supported"
+                )
             return Delete(target, where, from_text=um.group(1).strip(),
                           targets=[target])
-        return Delete(target, where)
+        return Delete(target, where, order_by=order_by, limit=limit)
 
     # DELETE t1[, t2] FROM <refs> [WHERE ...]  (multi-table form)
     m = re.match(r"DELETE\s+(.+?)\s+FROM\s+(.*)$", s, re.I | re.S)

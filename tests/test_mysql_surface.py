@@ -91,3 +91,40 @@ def test_for_update_stripped_and_row_limit(engine):
     assert engine.execute("SELECT * FROM t LIMIT 3").count() == 3
     engine.execute("SET sql_select_limit = DEFAULT")
     assert engine.execute("SELECT * FROM t").count() == 3
+
+
+def test_insert_set_form(engine):
+    r = engine.execute("INSERT INTO t SET id = 10, name = 'dee', v = 4.5")
+    assert r.affected_rows == 1
+    row = engine.execute("SELECT * FROM t WHERE id = 10").collect()[0]
+    assert (row.name, row.v) == ("dee", 4.5)
+    # with ON DUPLICATE KEY UPDATE tail
+    engine.execute(
+        "INSERT INTO t SET id = 10, name = 'dee2', v = 9.0 "
+        "ON DUPLICATE KEY UPDATE v = VALUES(v)"
+    )
+    row = engine.execute("SELECT * FROM t WHERE id = 10").collect()[0]
+    assert (row.name, row.v) == ("dee", 9.0)
+
+
+def test_update_delete_order_by_limit(engine):
+    engine.execute(
+        "INSERT INTO t VALUES (11,'x',1.0), (12,'y',2.0), (13,'z',3.0)"
+    )
+    r = engine.execute(
+        "UPDATE t SET v = 0.0 WHERE id >= 11 ORDER BY id DESC LIMIT 2"
+    )
+    assert r.affected_rows == 2
+    vals = {r.id: r.v for r in engine.execute(
+        "SELECT id, v FROM t WHERE id >= 11").collect()}
+    assert vals == {11: 1.0, 12: 0.0, 13: 0.0}
+    r = engine.execute("DELETE FROM t WHERE id >= 11 ORDER BY id LIMIT 1")
+    assert r.affected_rows == 1
+    left = sorted(r.id for r in engine.execute(
+        "SELECT id FROM t WHERE id >= 11").collect())
+    assert left == [12, 13]
+    # a LIMIT inside a WHERE subquery is not a row cap
+    n = engine.execute(
+        "DELETE FROM t WHERE id IN (SELECT id FROM t WHERE id >= 13)"
+    )
+    assert n.affected_rows == 1
