@@ -20,6 +20,7 @@ from __future__ import annotations
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from myduckserver_spark.plans.registry import register
 from myduckserver_spark.tables import load_table
@@ -234,4 +235,126 @@ def eng_merge_statement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return eng.sql(
         "SELECT k, CAST(round(v, 2) AS DOUBLE) AS v FROM m_tgt ORDER BY k"
+    )
+
+
+@register(
+    "eng_table_changes",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS p,
+               o_orderstatus AS st
+        FROM orders WHERE o_orderkey <= 200
+    )
+    SELECT k, p, st, _change_type FROM (
+        SELECT k, p, st, 'delete' AS _change_type
+        FROM base WHERE k % 5 = 0
+        UNION ALL
+        SELECT k, p, st, 'update_preimage'
+        FROM base WHERE st = 'F' AND k % 5 <> 0
+        UNION ALL
+        SELECT k, p + 5, st, 'update_postimage'
+        FROM base WHERE st = 'F' AND k % 5 <> 0
+        UNION ALL
+        SELECT 9001, CAST(1.5 AS DOUBLE), 'X', 'insert'
+    )
+    ORDER BY k, _change_type
+    """,
+    tags=("engine", "change-feed", "time-travel"),
+)
+def eng_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLE_CHANGES change feed under the gate: CTAS (v0) → UPDATE
+    (v1) → DELETE (v2) → INSERT (v3), then the v0→current row diff
+    through the SQL table-function front door. The oracle reconstructs
+    the exact insert/delete/update pre+post image set from the source
+    parquet — hash-equality proves the full-outer-join diff, version
+    reads, and the rewrite path all at once."""
+    eng = _fresh_engine(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    eng.execute(
+        "CREATE TABLE tc_t AS SELECT o_orderkey AS k, "
+        "CAST(o_totalprice AS DOUBLE) AS p, o_orderstatus AS st "
+        "FROM orders WHERE o_orderkey <= 200"
+    )
+    meta = eng.table_meta("tc_t")
+    meta.primary_key = ["k"]
+    eng._save_meta("tc_t", meta)
+    eng.execute("UPDATE tc_t SET p = p + 5 WHERE st = 'F'")
+    eng.execute("DELETE FROM tc_t WHERE k % 5 = 0")
+    eng.execute("INSERT INTO tc_t VALUES (9001, 1.5, 'X')")
+    return eng.sql(
+        "SELECT k, p, st, _change_type FROM TABLE_CHANGES('tc_t', 0) "
+        "ORDER BY k, _change_type"
+    )
+
+
+@register(
+    "eng_partitioned_prune",
+    oracle="""
+    SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS p,
+           o_orderstatus AS st
+    FROM orders
+    WHERE o_orderkey <= 500 AND o_orderstatus = 'F'
+    ORDER BY k
+    """,
+    tags=("engine", "partitioning", "pruning"),
+)
+def eng_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned CTAS + partition-pruned read under the gate:
+    the o_orderstatus = 'F' predicate resolves to partition directories
+    (PartitionFilters — plan-asserted in tests/test_partitioned_tables);
+    hash-equality proves values, declared column order, and partition-
+    column types all survive the directory-encoding round trip."""
+    eng = _fresh_engine(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    eng.execute(
+        "CREATE TABLE po_t PARTITIONED BY (st) AS "
+        "SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS p, "
+        "o_orderstatus AS st FROM orders WHERE o_orderkey <= 500"
+    )
+    return eng.sql(
+        "SELECT k, p, st FROM po_t WHERE st = 'F' ORDER BY k"
+    )
+
+
+@register(
+    "eng_vector_search",
+    oracle="""
+    WITH q AS (SELECT embedding AS qa FROM embeddings WHERE vec_id = 7),
+    scored AS (
+        SELECT vec_id,
+               ROUND(list_sum([CAST(qa[i] AS DOUBLE) * CAST(va[i] AS DOUBLE)
+                         FOR i IN range(1, len(qa) + 1)])
+               / (sqrt(list_sum([CAST(qa[i] AS DOUBLE) * CAST(qa[i] AS DOUBLE)
+                         FOR i IN range(1, len(qa) + 1)]))
+                  * sqrt(list_sum([CAST(va[i] AS DOUBLE) * CAST(va[i] AS DOUBLE)
+                         FOR i IN range(1, len(va) + 1)]))), 6) AS sim
+        FROM q JOIN (SELECT vec_id, embedding AS va FROM embeddings) v ON TRUE
+    )
+    SELECT vec_id, sim FROM scored
+    ORDER BY sim DESC, vec_id
+    LIMIT 10
+    """,
+    tags=("engine", "vector-index", "ann"),
+)
+def eng_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE VECTOR INDEX + full-probe search under the gate: with
+    nprobe = nlist the IVF probe degenerates to the exact scan, so the
+    DuckDB brute-force top-10 is a hash-exact oracle for the whole
+    index path (build, persistence, probe selection, bucket scan,
+    rounding)."""
+    eng = _fresh_engine(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    eng.catalog.create_table("ev_t", emb)
+    meta = eng.table_meta("ev_t")
+    meta.primary_key = ["vec_id"]
+    eng._save_meta("ev_t", meta)
+    eng.execute(
+        "CREATE VECTOR INDEX ev_idx ON ev_t (embedding) WITH (nlist = 8)"
+    )
+    q = list(
+        emb.filter(F.col("vec_id") == 7).collect()[0].embedding
+    )
+    return eng.vector_search("ev_t", "ev_idx", q, k=10, nprobe=8).select(
+        F.col("vec_id").cast("long").alias("vec_id"), "sim"
     )
