@@ -477,15 +477,29 @@ class Engine:
     # (reference: catalog/table.go:222+ add/rename/modify/drop column,
     #  exercised by TestAlterTable main_test.go:2116)
     def alter_add_column(
-        self, name: str, col: str, mysql_type: str, default=None
+        self, name: str, col: str, mysql_type: str, default=None,
+        position: str | None = None,
     ) -> None:
-        """ALTER TABLE ADD COLUMN (appended at the end — the reference
-        ignores column ordering too, catalog/table.go:227)."""
+        """ALTER TABLE ADD COLUMN, honoring FIRST / AFTER <col>
+        ordering (MySQL semantics; the reference drops the position,
+        catalog/table.go:227 — we keep it since SELECT * order is
+        user-visible). position: None=append, ""=FIRST, name=AFTER."""
         from myduckserver_spark.types import mysql_to_spark
 
         dtype, _meta = mysql_to_spark(mysql_type)
         t = self.catalog.table(name)
-        t.overwrite(t.read().withColumn(col, F.lit(default).cast(dtype)))
+        df = t.read().withColumn(col, F.lit(default).cast(dtype))
+        if position is not None:
+            others = [c for c in df.columns if c != col]
+            if position == "":
+                order = [col] + others
+            else:
+                if position not in others:
+                    raise ValueError(f"AFTER column not found: {position}")
+                i = others.index(position) + 1
+                order = others[:i] + [col] + others[i:]
+            df = df.select(*order)
+        t.overwrite(df)
 
     def alter_drop_column(self, name: str, col: str) -> None:
         t = self.catalog.table(name)
@@ -1469,7 +1483,10 @@ class Engine:
 
     def _exec_alter(self, s: st.AlterTable) -> OkResult:
         if s.action == "add_column":
-            self.alter_add_column(s.name, s.column, s.mysql_type, default=s.default)
+            self.alter_add_column(
+                s.name, s.column, s.mysql_type, default=s.default,
+                position=s.position,
+            )
             if s.default is not None:
                 meta = self.table_meta(s.name)
                 meta.defaults[s.column] = s.default

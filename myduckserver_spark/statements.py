@@ -408,6 +408,9 @@ class AlterTable:
     new_name: str | None = None
     mysql_type: str | None = None
     default: object = None
+    # ADD COLUMN position: None=append, ""=FIRST, "<col>"=AFTER col
+    # (MySQL honors ordering; the reference drops it — we exceed there)
+    position: str | None = None
 
 
 @dataclass
@@ -1103,14 +1106,21 @@ def parse_statement(sql: str):
         rup = rest.upper()
         am = re.match(
             rf"ADD\s+(?:COLUMN\s+)?(`[^`]+`|\w+)\s+({_TYPE_RE})"
-            r"(?:\s+DEFAULT\s+(\S+))?\s*$",
+            r"(?:\s+DEFAULT\s+(\S+))?"
+            r"(?:\s+(FIRST)|\s+AFTER\s+(`[^`]+`|\w+))?\s*$",
             rest,
             re.I,
         )
         if am:
             default = parse_literal(am.group(3)) if am.group(3) else None
+            position = None  # None=append, ""=FIRST, name=AFTER <name>
+            if am.group(4):
+                position = ""
+            elif am.group(5):
+                position = unquote_ident(am.group(5))
             return AlterTable(name, "add_column", column=unquote_ident(am.group(1)),
-                              mysql_type=am.group(2).strip(), default=default)
+                              mysql_type=am.group(2).strip(), default=default,
+                              position=position)
         am = re.match(r"DROP\s+(?:COLUMN\s+)?(`[^`]+`|\w+)\s*$", rest, re.I)
         if am:
             return AlterTable(name, "drop_column", column=unquote_ident(am.group(1)))

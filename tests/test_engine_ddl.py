@@ -94,3 +94,23 @@ def test_optimize_statement(spark, tmp_path):
     # no ZORDER clause: falls back to the primary key
     r2 = eng.execute("OPTIMIZE ot")
     assert "optimized on (a)" in r2.info
+
+
+def test_add_column_first_and_after(spark, tmp_path):
+    """ALTER TABLE ADD COLUMN ... FIRST / AFTER col honors MySQL
+    column ordering (the reference drops the position; we keep it)."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh_pos"))
+    e.execute("CREATE TABLE p (a INT PRIMARY KEY, b INT)")
+    e.execute("INSERT INTO p VALUES (1, 2)")
+    e.execute("ALTER TABLE p ADD COLUMN z INT DEFAULT 0 FIRST")
+    assert e.sql("SELECT * FROM p").columns == ["z", "a", "b"]
+    e.execute("ALTER TABLE p ADD COLUMN m INT AFTER a")
+    assert e.sql("SELECT * FROM p").columns == ["z", "a", "m", "b"]
+    e.execute("ALTER TABLE p ADD COLUMN t INT")  # default: append
+    assert e.sql("SELECT * FROM p").columns == ["z", "a", "m", "b", "t"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="AFTER column not found"):
+        e.execute("ALTER TABLE p ADD COLUMN q INT AFTER nope")
