@@ -1115,8 +1115,35 @@ class Engine:
             shutil.rmtree(tmp, ignore_errors=True)
         return OkResult(affected_rows=n_rows, info=f"exported to {s.path}")
 
+    _WRITE_STMTS = None  # populated lazily below
+
+    def _check_read_only(self, s) -> None:
+        """SET read_only = 1 blocks every table-mutating statement
+        (MySQL --read-only semantics, error 1290; reference: GMS
+        TestReadOnly). SELECT/SHOW/SET/USE/EXPLAIN stay allowed."""
+        if not (
+            self.variables.get("read_only")
+            or self.variables.get("super_read_only")
+        ):
+            return
+        cls = Engine._WRITE_STMTS
+        if cls is None:
+            cls = Engine._WRITE_STMTS = (
+                st.Insert, st.Update, st.Delete, st.MergeStmt,
+                st.CreateTable, st.CreateTableAs, st.DropTable,
+                st.AlterTable, st.RenameTable, st.Truncate, st.LoadData,
+                st.CreateIndex, st.DropIndex, st.CreateVectorIndex,
+                st.Vacuum, st.Optimize, st.CreateView, st.DropView,
+            )
+        if isinstance(s, cls):
+            raise ValueError(
+                "The MySQL server is running with the --read-only option "
+                "so it cannot execute this statement"
+            )
+
     def _execute_one(self, sql: str, dialect: str):
         s = st.parse_statement(sql)
+        self._check_read_only(s)
         if isinstance(s, st.SelectIntoOutfile):
             return self._exec_select_into_outfile(s, dialect)
         if isinstance(s, st.Query):

@@ -128,3 +128,20 @@ def test_update_delete_order_by_limit(engine):
         "DELETE FROM t WHERE id IN (SELECT id FROM t WHERE id >= 13)"
     )
     assert n.affected_rows == 1
+
+
+def test_read_only_mode_blocks_writes(engine):
+    engine.execute("SET GLOBAL read_only = 1")
+    try:
+        with pytest.raises(ValueError, match="read-only"):
+            engine.execute("INSERT INTO t VALUES (99, 'x', 0.0)")
+        with pytest.raises(ValueError, match="read-only"):
+            engine.execute("CREATE TABLE nope (a INT)")
+        # reads and session statements still work
+        assert engine.execute("SELECT COUNT(*) AS n FROM t").collect()[0].n
+        engine.execute("SHOW TABLES")
+    finally:
+        engine.execute("SET GLOBAL read_only = 0")
+    engine.execute("INSERT INTO t VALUES (99, 'x', 0.0)")
+    assert engine.execute(
+        "SELECT COUNT(*) AS n FROM t WHERE id = 99").collect()[0].n == 1
