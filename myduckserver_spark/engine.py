@@ -1369,6 +1369,8 @@ class Engine:
             return OkResult(info="index recorded (metadata only)")
         if isinstance(s, st.CreateVectorIndex):
             return self._exec_create_vector_index(s)
+        if isinstance(s, st.AnalyzeStmt):
+            return self._exec_analyze(s)
         if isinstance(s, st.DropIndex):
             tables = [s.table] if s.table else self.catalog.list_tables()
             for tname in tables:
@@ -2002,6 +2004,48 @@ class Engine:
             sel = sel.orderBy(F.col(pk).asc())  # deterministic default
         pks = [r[0] for r in sel.select(pk).limit(limit).collect()]
         return F.col(pk).isin(pks)
+
+    def _exec_analyze(self, s: "st.AnalyzeStmt") -> DataFrame:
+        """ANALYZE TABLE: one aggregation pass per table computes row
+        count + per-column approx NDV / null count / min / max, saved
+        into table meta (reference: GMS TestStatistics; the stats the
+        reference gets for free from DuckDB's own table stats). Spark's
+        cost decisions stay with AQE at runtime — these stats serve
+        observability (SHOW/ANALYZE output) and external planners."""
+        out_rows = []
+        for name in s.tables:
+            df = self.catalog.table(name).read()
+            aggs = [F.count(F.lit(1)).alias("__n")]
+            for c in df.columns:
+                aggs.append(F.approx_count_distinct(c).alias(f"__ndv_{c}"))
+                aggs.append(
+                    F.sum(F.col(c).isNull().cast("long")).alias(f"__nul_{c}")
+                )
+                aggs.append(F.min(c).cast("string").alias(f"__min_{c}"))
+                aggs.append(F.max(c).cast("string").alias(f"__max_{c}"))
+            r = df.agg(*aggs).collect()[0]
+            meta = self.table_meta(name)
+            meta.stats = {
+                "rows": r["__n"],
+                "analyzed_version": self.catalog.table(name).version,
+                "columns": {
+                    c: {
+                        "ndv": r[f"__ndv_{c}"],
+                        "nulls": r[f"__nul_{c}"],
+                        "min": r[f"__min_{c}"],
+                        "max": r[f"__max_{c}"],
+                    }
+                    for c in df.columns
+                },
+            }
+            self._save_meta(name, meta)
+            out_rows.append(
+                (f"{self.current_db}.{name}", "analyze", "status", "OK")
+            )
+        return self.spark.createDataFrame(
+            out_rows, "Table string, Op string, Msg_type string, "
+                      "Msg_text string",
+        )
 
     # ------------------------------------------------------ change feed
 

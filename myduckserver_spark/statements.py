@@ -376,6 +376,7 @@ class TableMeta:
     on_update: dict[str, str] = field(default_factory=dict)  # col -> expr
     indexes: dict[str, dict] = field(default_factory=dict)  # name -> props
     partition_by: list[str] = field(default_factory=list)  # hive partitioning
+    stats: dict = field(default_factory=dict)  # ANALYZE TABLE results
 
 
 @dataclass
@@ -411,6 +412,15 @@ class AlterTable:
     # ADD COLUMN position: None=append, ""=FIRST, "<col>"=AFTER col
     # (MySQL honors ordering; the reference drops it — we exceed there)
     position: str | None = None
+
+
+@dataclass
+class AnalyzeStmt:
+    """ANALYZE TABLE t [, ...] — persist optimizer statistics
+    (row count, per-column NDV/null fraction/min/max) into table meta
+    (reference: GMS TestStatistics; MySQL ANALYZE TABLE)."""
+
+    tables: list[str]
 
 
 @dataclass
@@ -1436,6 +1446,12 @@ def parse_statement(sql: str):
         except ValueError:
             val = m.group(2).strip()
         return SetVar(m.group(1), val)
+
+    m = re.match(r"ANALYZE\s+TABLE\s+(.+)$", s, re.I)
+    if m:
+        return AnalyzeStmt(
+            [unquote_ident(t.strip()) for t in m.group(1).split(",")]
+        )
 
     m = re.match(r"USE\s+(`[^`]+`|\w+)\s*$", s, re.I)
     if m:

@@ -145,3 +145,14 @@ def test_read_only_mode_blocks_writes(engine):
     engine.execute("INSERT INTO t VALUES (99, 'x', 0.0)")
     assert engine.execute(
         "SELECT COUNT(*) AS n FROM t WHERE id = 99").collect()[0].n == 1
+
+
+def test_analyze_table_persists_stats(engine):
+    res = engine.execute("ANALYZE TABLE t").collect()
+    assert res[0].Msg_text == "OK" and res[0].Op == "analyze"
+    stats = engine.table_meta("t").stats
+    assert stats["rows"] == 3
+    assert stats["columns"]["id"]["ndv"] >= 3
+    assert stats["columns"]["name"]["nulls"] == 1
+    assert stats["columns"]["id"]["min"] == "1"
+    assert stats["columns"]["id"]["max"] == "3"
