@@ -1,0 +1,75 @@
+"""Incremental dedup against a persisted fingerprint/band store
+(operators/incdedup.py): batch-2 duplicates of batch-1 docs are
+dropped without rescanning batch 1, the store accumulates, and the
+LSH geometry agrees with the batch-mode operator."""
+
+import pytest
+
+from myduckserver_spark.catalog import Catalog
+from myduckserver_spark.operators.incdedup import (
+    exact_incremental,
+    minhash_incremental,
+)
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    return Catalog(spark, str(tmp_path / "cat"))
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_incremental_across_batches(spark, cat):
+    b1 = _docs(spark, [(1, "alpha beta"), (2, "gamma delta"),
+                       (3, "alpha beta")])  # 3 dups 1 in-batch
+    s1 = exact_incremental(cat, b1, store_name="fp_s")
+    assert sorted(r.doc_id for r in s1.collect()) == [1, 2]
+    # batch 2: one dup of batch 1, one fresh, one dup of a DROPPED doc
+    b2 = _docs(spark, [(10, "alpha beta"), (11, "epsilon zeta")])
+    s2 = exact_incremental(cat, b2, store_name="fp_s")
+    assert sorted(r.doc_id for r in s2.collect()) == [11]
+    # store holds all three distinct fingerprints now
+    assert cat.table("fp_s").read().count() == 3
+
+
+def test_exact_incremental_no_commit_leaves_store(spark, cat):
+    b1 = _docs(spark, [(1, "one two")])
+    exact_incremental(cat, b1, store_name="fp_nc")
+    v = cat.table("fp_nc").version
+    s = exact_incremental(
+        cat, _docs(spark, [(2, "three four")]), store_name="fp_nc",
+        commit=False,
+    )
+    assert s.count() == 1
+    assert cat.table("fp_nc").version == v  # dry run: no store write
+
+
+def test_minhash_incremental_near_dup_across_batches(spark, cat):
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest tonight")
+    near = base.replace("tonight", "today")  # near-dup, not exact
+    far = ("completely different words about spark shuffles and "
+           "partition pruning at terabyte scale with broadcast joins")
+    s1 = minhash_incremental(
+        cat, _docs(spark, [(1, base), (2, far)]), store_name="band_s"
+    )
+    assert sorted(r.doc_id for r in s1.collect()) == [1, 2]
+    novel = ("entirely new material regarding medieval castle "
+             "construction techniques masonry arches and moats")
+    s2 = minhash_incremental(
+        cat, _docs(spark, [(10, near), (11, novel)]), store_name="band_s"
+    )
+    ids = sorted(r.doc_id for r in s2.collect())
+    assert 10 not in ids  # near-dup of batch-1 doc 1 → dropped
+    assert 11 in ids
+
+
+def test_minhash_incremental_in_batch_dup(spark, cat):
+    t = ("many shared tokens in this quite long sentence that "
+         "describes nothing in particular but repeats heavily")
+    s = minhash_incremental(
+        cat, _docs(spark, [(5, t), (6, t)]), store_name="band_b"
+    )
+    assert [r.doc_id for r in s.collect()] == [5]  # lowest id survives
