@@ -236,6 +236,66 @@ def _fn_isnull(a):
     return f"(({a[0]}) IS NULL)" if len(a) == 1 else None
 
 
+def _fn_str_insert(a):
+    # MySQL INSERT(str, pos, len, newstr): out-of-range pos returns the
+    # original; len < 0 or past the end replaces through to the end.
+    if len(a) != 4:
+        return None
+    s, p, l, n = a
+    return (
+        f"CASE WHEN ({p}) < 1 OR ({p}) > char_length({s}) THEN {s} "
+        f"WHEN ({l}) < 0 THEN concat(substr({s}, 1, ({p}) - 1), {n}) "
+        f"ELSE concat(substr({s}, 1, ({p}) - 1), {n}, "
+        f"substr({s}, ({p}) + ({l}))) END"
+    )
+
+
+def _fn_export_set(a):
+    if len(a) < 3 or len(a) > 5:
+        return None
+    bits, on, off = a[0], a[1], a[2]
+    sep = a[3] if len(a) >= 4 else "','"
+    num = a[4] if len(a) == 5 else "64"
+    return (
+        f"array_join(transform(sequence(0, ({num}) - 1), "
+        f"__i -> CASE WHEN (shiftright(CAST({bits} AS BIGINT), __i) & 1) = 1 "
+        f"THEN {on} ELSE {off} END), {sep})"
+    )
+
+
+def _fn_make_set(a):
+    if len(a) < 2:
+        return None
+    bits = a[0]
+    parts = ", ".join(
+        f"CASE WHEN (CAST({bits} AS BIGINT) & {1 << i}) > 0 "
+        f"THEN {s} END"
+        for i, s in enumerate(a[1:])
+    )
+    return f"concat_ws(',', {parts})"
+
+
+def _fn_sec_to_time(a):
+    if len(a) != 1:
+        return None
+    s = f"CAST({a[0]} AS BIGINT)"
+    return (
+        f"concat(lpad(CAST({s} DIV 3600 AS STRING), 2, '0'), ':', "
+        f"lpad(CAST(({s} % 3600) DIV 60 AS STRING), 2, '0'), ':', "
+        f"lpad(CAST({s} % 60 AS STRING), 2, '0'))"
+    )
+
+
+def _fn_time_to_sec(a):
+    if len(a) != 1:
+        return None
+    p = f"split({a[0]}, ':')"
+    return (
+        f"(CAST({p}[0] AS BIGINT) * 3600 + CAST({p}[1] AS BIGINT) * 60 "
+        f"+ CAST({p}[2] AS BIGINT))"
+    )
+
+
 def _fn_json_extract(a):
     # Single-path form only (multi-path returns a JSON array in MySQL).
     # Shim note: bare string results come back unquoted (Spark
@@ -302,6 +362,41 @@ _FN_HANDLERS = {
         else "to_json(array())"
     ),
     "JSON_OBJECT": _fn_json_object,
+    "INSERT": _fn_str_insert,
+    "EXPORT_SET": _fn_export_set,
+    "MAKE_SET": _fn_make_set,
+    "SEC_TO_TIME": _fn_sec_to_time,
+    "TIME_TO_SEC": _fn_time_to_sec,
+    "ORD": lambda a: f"ascii({a[0]})" if len(a) == 1 else None,
+    # TO_DAYS('1970-01-01') = 719528 anchors the year-0 epoch
+    "TO_DAYS": lambda a: (
+        f"(datediff(CAST({a[0]} AS DATE), DATE'1970-01-01') + 719528)"
+        if len(a) == 1 else None
+    ),
+    "FROM_DAYS": lambda a: (
+        f"date_add(DATE'1970-01-01', CAST(({a[0]}) - 719528 AS INT))"
+        if len(a) == 1 else None
+    ),
+    # ISO year*100 + ISO week (MySQL mode 3; default mode 0 differs in
+    # Sunday-start edge weeks — documented divergence)
+    "YEARWEEK": lambda a: (
+        f"(extract(YEAROFWEEK FROM CAST({a[0]} AS DATE)) * 100 "
+        f"+ weekofyear(CAST({a[0]} AS DATE)))"
+        if len(a) == 1 else None
+    ),
+    "INET_ATON": lambda a: (
+        f"aggregate(transform(split({a[0]}, '\\\\.'), "
+        f"__p -> CAST(__p AS BIGINT)), CAST(0 AS BIGINT), "
+        f"(__a, __x) -> __a * 256 + __x)"
+        if len(a) == 1 else None
+    ),
+    "INET_NTOA": lambda a: (
+        f"concat_ws('.', CAST(shiftright(CAST({a[0]} AS BIGINT), 24) & 255 "
+        f"AS STRING), CAST(shiftright(CAST({a[0]} AS BIGINT), 16) & 255 "
+        f"AS STRING), CAST(shiftright(CAST({a[0]} AS BIGINT), 8) & 255 "
+        f"AS STRING), CAST(CAST({a[0]} AS BIGINT) & 255 AS STRING))"
+        if len(a) == 1 else None
+    ),
 }
 
 

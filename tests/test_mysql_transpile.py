@@ -216,3 +216,30 @@ def test_json_arrow_on_function_call(spark):
     sql = translate_mysql("SELECT upper('{\"k\": 1}')->>'$.K' AS k")
     assert "get_json_object(upper(" in sql
     assert spark.sql(sql).collect()[0].k == "1"
+
+
+def test_string_bit_inet_day_functions(spark):
+    """MySQL function shims verified against MySQL-documented outputs
+    (INSERT/EXPORT_SET/MAKE_SET/ORD/TO_DAYS/FROM_DAYS/SEC_TO_TIME/
+    TIME_TO_SEC/YEARWEEK/INET_ATON/INET_NTOA)."""
+    cases = {
+        "SELECT INSERT('Quadratic', 3, 4, 'What') AS x": "QuWhattic",
+        "SELECT INSERT('Quadratic', -1, 4, 'What') AS x": "Quadratic",
+        "SELECT INSERT('Quadratic', 3, 100, 'What') AS x": "QuWhat",
+        "SELECT EXPORT_SET(5, 'Y', 'N', ',', 4) AS x": "Y,N,Y,N",
+        "SELECT MAKE_SET(5, 'a', 'b', 'c') AS x": "a,c",
+        "SELECT ORD('abc') AS x": 97,
+        "SELECT TO_DAYS('2007-10-07') AS x": 733321,
+        "SELECT CAST(FROM_DAYS(733321) AS STRING) AS x": "2007-10-07",
+        "SELECT SEC_TO_TIME(3661) AS x": "01:01:01",
+        "SELECT TIME_TO_SEC('01:01:01') AS x": 3661,
+        "SELECT YEARWEEK('2024-01-05') AS x": 202401,
+        "SELECT INET_ATON('1.2.3.4') AS x": 16909060,
+        "SELECT INET_NTOA(16909060) AS x": "1.2.3.4",
+    }
+    for q, want in cases.items():
+        assert spark.sql(translate_mysql(q)).collect()[0].x == want, q
+    # INSERT-the-statement is untouched by INSERT-the-function handler
+    assert translate_mysql("INSERT INTO t (a) VALUES (1)") == (
+        "INSERT INTO t (a) VALUES (1)"
+    )
