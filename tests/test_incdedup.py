@@ -73,3 +73,37 @@ def test_minhash_incremental_in_batch_dup(spark, cat):
         cat, _docs(spark, [(5, t), (6, t)]), store_name="band_b"
     )
     assert [r.doc_id for r in s.collect()] == [5]  # lowest id survives
+
+
+def test_streaming_ingest_dedups_across_microbatches(spark, cat, tmp_path):
+    """foreachBatch + incremental store: duplicates arriving in LATER
+    micro-batches are dropped against fingerprints persisted by
+    earlier ones — the streaming form of continuous corpus curation
+    (state lives in the catalog store, not in memory)."""
+    import os
+    import time
+
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    b1 = _docs(spark, [(1, "stream alpha"), (2, "stream beta")])
+    b2 = _docs(spark, [(3, "stream alpha"), (4, "stream gamma")])
+    b1.write.parquet(os.path.join(src, "b1"))
+    time.sleep(1.1)  # distinct mtimes → two file-source triggers
+    b2.write.parquet(os.path.join(src, "b2"))
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src + "/*")
+    )
+    out = []
+
+    def sink(batch_df, batch_id):
+        kept = exact_incremental(cat, batch_df, store_name="fp_stream")
+        out.extend(r.doc_id for r in kept.collect())
+
+    q = stream.writeStream.foreachBatch(sink).start()
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(out) == [1, 2, 4]  # doc 3 deduped against the store
+    assert cat.table("fp_stream").read().count() == 3
