@@ -358,3 +358,44 @@ def eng_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.vector_search("ev_t", "ev_idx", q, k=10, nprobe=8).select(
         F.col("vec_id").cast("long").alias("vec_id"), "sim"
     )
+
+
+@register(
+    "eng_rowcap_dml",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS p
+        FROM orders WHERE o_orderkey <= 120
+    ),
+    upd AS (  -- UPDATE ... ORDER BY p DESC, k LIMIT 10: top-10 priciest
+        SELECT k, CASE WHEN rk <= 10 THEN p + 1000 ELSE p END AS p
+        FROM (SELECT k, p, ROW_NUMBER() OVER (ORDER BY p DESC, k) AS rk
+              FROM base)
+    ),
+    del AS (  -- DELETE ... ORDER BY k LIMIT 5: five lowest keys go
+        SELECT k, p FROM (
+            SELECT k, p, ROW_NUMBER() OVER (ORDER BY k) AS rk FROM upd)
+        WHERE rk > 5
+    )
+    SELECT k, p FROM del ORDER BY k
+    """,
+    tags=("engine", "dml", "row-cap"),
+)
+def eng_rowcap_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MySQL row-capped DML under the gate: UPDATE ... ORDER BY LIMIT
+    touches exactly the first n ordered matches, DELETE ... ORDER BY
+    LIMIT removes exactly the first n — the oracle reconstructs both
+    caps with window ranks over the same source rows."""
+    eng = _fresh_engine(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    eng.execute(
+        "CREATE TABLE rc_t AS SELECT o_orderkey AS k, "
+        "CAST(o_totalprice AS DOUBLE) AS p FROM orders "
+        "WHERE o_orderkey <= 120"
+    )
+    meta = eng.table_meta("rc_t")
+    meta.primary_key = ["k"]
+    eng._save_meta("rc_t", meta)
+    eng.execute("UPDATE rc_t SET p = p + 1000 ORDER BY p DESC, k LIMIT 10")
+    eng.execute("DELETE FROM rc_t ORDER BY k LIMIT 5")
+    return eng.sql("SELECT k, p FROM rc_t ORDER BY k")
