@@ -2235,6 +2235,67 @@ class Engine:
                 [(n,) for n in names],
                 f"Tables_in_{self.current_db} string",
             )
+        if s.kind == "processlist":
+            # Single-session engine: one connection row (reference
+            # serves this via GMS's process registry).
+            return self.spark.createDataFrame(
+                [(1, "spark", "localhost", self.current_db, "Query", 0,
+                  "executing", "SHOW PROCESSLIST")],
+                "Id bigint, User string, Host string, db string, "
+                "Command string, Time int, State string, Info string",
+            )
+        if s.kind == "engines":
+            return self.spark.createDataFrame(
+                [("parquet-spark", "DEFAULT",
+                  "Versioned parquet snapshots executed by Spark SQL",
+                  "YES", "NO", "NO")],
+                "Engine string, Support string, Comment string, "
+                "Transactions string, XA string, Savepoints string",
+            )
+        if s.kind == "status":
+            n_tables = len(self.catalog.list_tables())
+            rows = [
+                ("Uptime", "0"),
+                ("Threads_connected", "1"),
+                ("Open_tables", str(n_tables)),
+                ("Queries", "0"),
+            ]
+            if s.like:
+                rx = _like_to_re(s.like)
+                rows = [r for r in rows if rx.match(r[0])]
+            return self.spark.createDataFrame(
+                rows, "Variable_name string, Value string"
+            )
+        if s.kind == "charset":
+            from myduckserver_spark.functions.charset import CHARSETS
+
+            rows = [
+                (name, f"{name} charset", f"{name}_general_ci", 4)
+                for name in sorted(CHARSETS)
+            ]
+            if s.like:
+                rx = _like_to_re(s.like)
+                rows = [r for r in rows if rx.match(r[0])]
+            return self.spark.createDataFrame(
+                rows, "Charset string, Description string, `Default "
+                      "collation` string, Maxlen int",
+            )
+        if s.kind == "collation":
+            from myduckserver_spark.functions.charset import CHARSETS
+
+            rows = []
+            for i, name in enumerate(sorted(CHARSETS)):
+                rows.append(
+                    (f"{name}_general_ci", name, 100 + i, "Yes", "Yes", 1)
+                )
+                rows.append((f"{name}_bin", name, 200 + i, "", "Yes", 1))
+            if s.like:
+                rx = _like_to_re(s.like)
+                rows = [r for r in rows if rx.match(r[0])]
+            return self.spark.createDataFrame(
+                rows, "Collation string, Charset string, Id int, "
+                      "`Default` string, Compiled string, Sortlen int",
+            )
         if s.kind == "databases":
             names = sorted(self._dbs)
             if s.like:

@@ -39,7 +39,10 @@ SYS_VIEWS = {"pg_stat_user_tables", "pg_index"}
 # pg_catalog shims: the reference rewrites pg_catalog queries in place
 # (pgserver/in_place_handler.go:19-26, 160-260); these four cover the
 # introspection psql/BI tools actually issue.
-PG_CATALOG_VIEWS = {"pg_namespace", "pg_class", "pg_attribute", "pg_tables"}
+PG_CATALOG_VIEWS = {
+    "pg_namespace", "pg_class", "pg_attribute", "pg_tables",
+    "pg_views", "pg_database", "pg_indexes",
+}
 
 
 def rewrite(query: str) -> tuple[str, set[tuple[str, str]]]:
@@ -341,6 +344,48 @@ def _build_pg_catalog(engine, view: str) -> DataFrame:
         ]
         return spark.createDataFrame(
             rows, "schemaname string, tablename string, tableowner string"
+        )
+
+    if view == "pg_views":
+        import os
+
+        rows = []
+        vdir = os.path.join(engine.catalog.root, "__views__")
+        if os.path.isdir(vdir):
+            for f_ in sorted(os.listdir(vdir)):
+                if f_.endswith(".sql"):
+                    with open(os.path.join(vdir, f_)) as fh:
+                        rows.append(
+                            (engine.current_db, f_[:-4], fh.read().strip())
+                        )
+        return spark.createDataFrame(
+            rows, "schemaname string, viewname string, definition string"
+        )
+
+    if view == "pg_database":
+        rows = [
+            (_NSP_PG_CATALOG + 100 + i, db)
+            for i, db in enumerate(sorted(engine._dbs))
+        ]
+        return spark.createDataFrame(rows, "oid long, datname string")
+
+    if view == "pg_indexes":
+        rows = []
+        for t in sorted(engine.catalog.list_tables()):
+            meta = engine.table_meta(t)
+            for iname, props in sorted(meta.indexes.items()):
+                cols = ", ".join(props.get("columns", []))
+                kind = "ivf" if props.get("vector") else (
+                    "unique" if props.get("unique") else "btree"
+                )
+                rows.append((
+                    engine.current_db, t, iname,
+                    f"CREATE INDEX {iname} ON {t} USING {kind} ({cols})",
+                ))
+        return spark.createDataFrame(
+            rows,
+            "schemaname string, tablename string, indexname string, "
+            "indexdef string",
         )
 
     raise ValueError(f"unknown catalog view: pg_catalog.{view}")

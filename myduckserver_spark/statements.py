@@ -1387,6 +1387,26 @@ def parse_statement(sql: str):
     # as session bookkeeping).
     if re.match(r"(?:LOCK\s+TABLES?\b|UNLOCK\s+TABLES?\s*$)", s, re.I):
         return Show("noop_lock")
+    if re.match(r"SHOW\s+(?:FULL\s+)?PROCESSLIST\s*$", s, re.I):
+        return Show("processlist")
+    if re.match(r"SHOW\s+ENGINES\s*$", s, re.I):
+        return Show("engines")
+    m = re.match(
+        r"SHOW\s+(?:SESSION\s+|GLOBAL\s+)?STATUS\s*(?:LIKE\s+(.+))?$", s, re.I
+    )
+    if m:
+        like = parse_literal(m.group(1)) if m.group(1) else None
+        return Show("status", like=like)
+    m = re.match(
+        r"SHOW\s+(?:CHARACTER\s+SET|CHARSET)\s*(?:LIKE\s+(.+))?$", s, re.I
+    )
+    if m:
+        like = parse_literal(m.group(1)) if m.group(1) else None
+        return Show("charset", like=like)
+    m = re.match(r"SHOW\s+COLLATION\s*(?:LIKE\s+(.+))?$", s, re.I)
+    if m:
+        like = parse_literal(m.group(1)) if m.group(1) else None
+        return Show("collation", like=like)
     m = re.match(r"SHOW\s+(?:FULL\s+)?COLUMNS\s+FROM\s+(`[^`]+`|\w+)\s*$", s, re.I)
     if m:
         return Show("columns", target=unquote_ident(m.group(1)))

@@ -156,3 +156,34 @@ def test_analyze_table_persists_stats(engine):
     assert stats["columns"]["name"]["nulls"] == 1
     assert stats["columns"]["id"]["min"] == "1"
     assert stats["columns"]["id"]["max"] == "3"
+
+
+def test_observability_shows(engine):
+    pl = engine.execute("SHOW PROCESSLIST").collect()
+    assert len(pl) == 1 and pl[0].User == "spark"
+    eng_rows = engine.execute("SHOW ENGINES").collect()
+    assert eng_rows[0].Support == "DEFAULT"
+    st = {r.Variable_name: r.Value
+          for r in engine.execute("SHOW STATUS").collect()}
+    assert "Open_tables" in st
+    one = engine.execute("SHOW STATUS LIKE 'Open%'").collect()
+    assert len(one) == 1 and one[0].Variable_name == "Open_tables"
+    cs = [r.Charset for r in engine.execute("SHOW CHARACTER SET").collect()]
+    assert "utf8mb4" in cs
+    co = [r.Collation for r in engine.execute(
+        "SHOW COLLATION LIKE 'utf8mb4%'").collect()]
+    assert "utf8mb4_general_ci" in co
+
+
+def test_pg_catalog_extended_views(engine, tmp_path):
+    engine.execute("CREATE VIEW v_top AS SELECT id FROM t WHERE id > 1")
+    engine.execute("CREATE INDEX idx_name ON t (name)")
+    views = {r.viewname: r.definition for r in engine.sql(
+        "SELECT * FROM pg_catalog.pg_views").collect()}
+    assert "v_top" in views and "id > 1" in views["v_top"]
+    dbs = [r.datname for r in engine.sql(
+        "SELECT * FROM pg_catalog.pg_database").collect()]
+    assert "main" in dbs
+    idx = {r.indexname: r.indexdef for r in engine.sql(
+        "SELECT * FROM pg_catalog.pg_indexes").collect()}
+    assert "idx_name" in idx and "USING btree (name)" in idx["idx_name"]
