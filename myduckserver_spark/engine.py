@@ -2174,6 +2174,47 @@ class Engine:
         self._save_meta(s.table, meta)
         return OkResult(info=f"vector index {s.name} built (nlist={nlist})")
 
+    def _reconcile_vector_index(
+        self, table: str, index: str, props: dict
+    ) -> None:
+        """Incremental index maintenance through the change feed: when
+        the table moved past the index's build version, reassign ONLY
+        the inserted/updated rows (map-only, centroids broadcast) and
+        drop deleted/updated pre-image assignments — work bounded by
+        the DIFF, never the corpus. Centroids stay fixed, standard IVF
+        practice (retraining is CREATE OR REPLACE). This is the
+        Spark-side analog of the reference's auto-maintained ART
+        indexes (catalog/table.go), made explicit and batch-shaped."""
+        from myduckserver_spark.operators.similarity import ivf_assign
+
+        t = self.catalog.table(table)
+        built_v = props.get("table_version")
+        pk = self.table_meta(table).primary_key[0]
+        col = props["columns"][0]
+        changes = self.table_changes(table, built_v, t.version)
+        touched = changes.filter(
+            F.col("_change_type").isin(
+                "insert", "update_postimage", "delete", "update_preimage"
+            )
+        ).select(pk).distinct()
+        fresh = changes.filter(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ).select(pk, col)
+        cent = (
+            self.catalog.table(f"__vidx_{table}_{index}_centroids")
+            .read()
+            .select("cid", F.col("vec").alias(col))
+        )
+        new_assign = ivf_assign(fresh, cent, id_col=pk, vec_col=col)
+        assign_t = self.catalog.table(f"__vidx_{table}_{index}_assign")
+        kept = assign_t.read().join(touched, pk, "left_anti")
+        assign_t.overwrite(
+            kept.unionByName(new_assign).orderBy("cid", pk)
+        )
+        meta = self.table_meta(table)
+        meta.indexes[index]["table_version"] = t.version
+        self._save_meta(table, meta)
+
     def vector_search(
         self,
         table: str,
@@ -2185,7 +2226,9 @@ class Engine:
         """ANN search through a persisted vector index: probe the
         nprobe nearest centroid buckets, scan only their assignments
         (cid filter pushed to the parquet scan; the assign snapshot is
-        cid-sorted so row-group stats skip other buckets on disk)."""
+        cid-sorted so row-group stats skip other buckets on disk).
+        A stale index is reconciled incrementally first (diff-bounded,
+        see _reconcile_vector_index)."""
         from myduckserver_spark.operators import vindex
 
         meta = self.table_meta(table)
@@ -2194,11 +2237,8 @@ class Engine:
             raise ValueError(f"no vector index {index} on {table}")
         t = self.catalog.table(table)
         if t.version != props.get("table_version"):
-            raise ValueError(
-                f"vector index {index} is stale (built at version "
-                f"{props.get('table_version')}, table at {t.version}); "
-                "rebuild with CREATE OR REPLACE VECTOR INDEX"
-            )
+            self._reconcile_vector_index(table, index, props)
+            props = self.table_meta(table).indexes[index]
         cent_rows = self.catalog.table(
             f"__vidx_{table}_{index}_centroids"
         ).read().collect()

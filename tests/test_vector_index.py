@@ -80,12 +80,36 @@ def test_recall_at_nprobe2(veng):
     assert sum(recalls) / len(recalls) >= 0.3
 
 
-def test_stale_index_raises_and_rebuild_clears(veng, spark):
+def test_stale_index_reconciles_incrementally(veng, spark):
+    """DML past the build version is absorbed by a diff-bounded
+    reconcile (table_changes → reassign touched rows), not a rebuild:
+    an inserted vector becomes findable, a deleted one vanishes."""
     e, emb = veng
-    e.catalog.table("vecs").overwrite(e.catalog.table("vecs").read())
     q = _query_vec(emb, 7)
-    with pytest.raises(ValueError, match="stale"):
-        e.vector_search("vecs", "emb_idx", q)
+    # insert an exact copy of vector 7 under a new id
+    new_row = emb.filter(F.col("vec_id") == 7).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        "embedding",
+        "label",
+    )
+    t = e.catalog.table("vecs")
+    t.overwrite(t.read().unionByName(new_row))
+    hits = e.vector_search("vecs", "emb_idx", q, k=3, nprobe=8).collect()
+    ids = [r.vec_id for r in hits]
+    assert 100007 in ids and 7 in ids  # the clone ties with the original
+    assert e.table_meta("vecs").indexes["emb_idx"][
+        "table_version"
+    ] == e.catalog.table("vecs").version
+    # delete the clone: next search reconciles it away
+    t = e.catalog.table("vecs")
+    t.overwrite(t.read().filter(F.col("vec_id") != 100007))
+    ids2 = [
+        r.vec_id
+        for r in e.vector_search("vecs", "emb_idx", q, k=3, nprobe=8)
+        .collect()
+    ]
+    assert 100007 not in ids2 and 7 in ids2
+    # explicit rebuild still works
     e.execute(
         "CREATE OR REPLACE VECTOR INDEX emb_idx ON vecs (embedding) "
         "WITH (nlist = 8)"
