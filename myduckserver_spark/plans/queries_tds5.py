@@ -303,3 +303,45 @@ def sim_srp_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(bcount("n_vecs"), F.min("vec_id").cast("long").alias("min_vec"))
         .orderBy("bucket")
     )
+
+
+@register(
+    "sem_classify_docs",
+    oracle="""
+    WITH labeled AS (
+        SELECT doc_id,
+               'label:' || CAST(
+                   CAST(('0x' || substr(md5('classify: ' || text), 1, 8))
+                        AS BIGINT) % 4 AS VARCHAR) AS response
+        FROM documents
+    )
+    SELECT response, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc
+    FROM labeled
+    GROUP BY response
+    ORDER BY response
+    """,
+    tags=("semantic", "llm", "training-data"),
+)
+def sem_classify_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic classification under the oracle gate: semantic_map
+    (operators/semantic.py — prompt dedup + Arrow-batched model) over
+    every document, then a label histogram. The stub model is a pure
+    md5 derivation, so DuckDB replicates it exactly in SQL and the
+    hash compare verifies the whole mapInPandas + dedup + join-back
+    plumbing, not just the aggregation.
+
+    Scale: inference cost is per DISTINCT prompt (the dedup is the
+    point); the histogram is one small-key aggregate.
+    """
+    from myduckserver_spark.operators.semantic import semantic_map
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.lit("classify: "), F.col("text")).alias("p")
+    )
+    out = semantic_map(docs, "p")
+    return (
+        out.groupBy("response")
+        .agg(bcount("n_docs"), F.min("doc_id").cast("long").alias("min_doc"))
+        .orderBy("response")
+    )
