@@ -106,6 +106,7 @@ class Engine:
         query = self._rewrite_enum_order(query)
         query = self._rewrite_time_travel(query)
         query = self._rewrite_table_changes(query)
+        query = self._rewrite_vector_search(query)
         lowered = query.lower()
         if (
             "information_schema" in lowered
@@ -2133,6 +2134,33 @@ class Engine:
             return view
 
         return sub_outside_strings(self._TC_PATTERN, repl, query, re.I)
+
+    # VECTOR_SEARCH('table', 'index', ARRAY[...], k[, nprobe])
+    _VS_PATTERN = (
+        r"\bVECTOR_SEARCH\s*\(\s*'([^']*)'\s*,\s*'([^']*)'\s*,\s*"
+        r"ARRAY\s*\[([^\]]*)\]\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)"
+    )
+
+    def _rewrite_vector_search(self, query: str) -> str:
+        """FROM VECTOR_SEARCH('t', 'idx', ARRAY[q...], k[, nprobe]) →
+        a registered top-k view over the persisted IVF index."""
+        if "vector_search" not in query.lower():
+            return query
+        from myduckserver_spark.statements import sub_outside_strings
+
+        def repl(m: re.Match) -> str:
+            table, index = m.group(1), m.group(2)
+            vec = [float(x) for x in m.group(3).split(",") if x.strip()]
+            k = int(m.group(4))
+            nprobe = int(m.group(5)) if m.group(5) else 1
+            self._asof_seq = getattr(self, "_asof_seq", 0) + 1
+            view = f"__vs_{self._asof_seq}"
+            self.vector_search(
+                table, index, vec, k=k, nprobe=nprobe
+            ).createOrReplaceTempView(view)
+            return view
+
+        return sub_outside_strings(self._VS_PATTERN, repl, query, re.I)
 
     # ------------------------------------------------------ vector index
 

@@ -127,3 +127,20 @@ def test_show_indexes_and_drop_cleanup(veng):
     assert "__vidx_vecs_emb_idx_assign" not in e.catalog.list_tables()
     with pytest.raises(ValueError, match="no vector index"):
         e.vector_search("vecs", "emb_idx", [0.0] * 64)
+
+
+def test_vector_search_sql_front_door(veng):
+    e, emb = veng
+    # the drop-cleanup test above removed the index; rebuild it
+    e.execute(
+        "CREATE OR REPLACE VECTOR INDEX emb_idx ON vecs (embedding) "
+        "WITH (nlist = 8)"
+    )
+    q = _query_vec(emb, 7)
+    arr = ", ".join(str(float(x)) for x in q)
+    rows = e.sql(
+        f"SELECT vec_id, sim FROM VECTOR_SEARCH('vecs', 'emb_idx', "
+        f"ARRAY[{arr}], 5, 8) ORDER BY sim DESC, vec_id"
+    ).collect()
+    assert len(rows) == 5
+    assert rows[0].vec_id in (7, 100007)  # self (or its clone) ranks first
