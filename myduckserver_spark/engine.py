@@ -1392,7 +1392,7 @@ class Engine:
         if isinstance(s, st.CopyStmt):
             return self._exec_copy(s, dialect)
         if isinstance(s, st.TxnStmt):
-            return self._exec_txn(s.kind)
+            return self._exec_txn(s.kind, s.name)
         if isinstance(s, st.Vacuum):
             n = self.catalog.table(s.name).vacuum(keep_last=s.keep_last)
             return OkResult(
@@ -1411,8 +1411,9 @@ class Engine:
         raise ValueError(f"unroutable statement: {type(s).__name__}")
 
     # ----------------------------------------------------------- transactions
-    def _exec_txn(self, kind: str) -> OkResult:
-        """BEGIN/COMMIT/ROLLBACK over the versioned-pointer catalog.
+    def _exec_txn(self, kind: str, name: str | None = None) -> OkResult:
+        """BEGIN/COMMIT/ROLLBACK (+ SAVEPOINT / ROLLBACK TO / RELEASE)
+        over the versioned-pointer catalog.
 
         The reference bridges MySQL transactions onto DuckDB's
         (backend/session.go:87-143). Here every table snapshot is an
@@ -1421,21 +1422,67 @@ class Engine:
         a DDL journal: ROLLBACK re-points every table at its BEGIN-time
         version, restores BEGIN-time metadata (ALTER rollback), reverses
         RENAMEs, resurrects DROPped tables from txn trash, and removes
-        tables created since. COMMIT purges the trash.
+        tables created since. COMMIT purges the trash. A SAVEPOINT is
+        the same pointer/meta capture mid-transaction; ROLLBACK TO
+        restores it (and invalidates later savepoints) without ending
+        the transaction. DDL is NOT rolled back by ROLLBACK TO
+        SAVEPOINT — matching MySQL, where DDL implicitly commits.
         """
         import shutil
 
         if kind == "begin":
             self._txn_snapshot = {
-                name: self.catalog.table(name)._read_pointer()
-                for name in self.catalog.list_tables()
+                name_: self.catalog.table(name_)._read_pointer()
+                for name_ in self.catalog.list_tables()
             }
             self._txn_metas = {
-                name: self.table_meta(name) for name in self._txn_snapshot
+                name_: self.table_meta(name_) for name_ in self._txn_snapshot
             }
             self._txn_trash: list[tuple[str, str]] = []
             self._txn_renames: list[tuple[str, str]] = []
+            self._txn_savepoints: dict[str, dict] = {}
             return OkResult(info="transaction started")
+        if kind == "savepoint":
+            if getattr(self, "_txn_snapshot", None) is None:
+                raise ValueError("SAVEPOINT outside a transaction")
+            self._txn_savepoints[name] = {
+                "pointers": {
+                    n: self.catalog.table(n)._read_pointer()
+                    for n in self.catalog.list_tables()
+                },
+                "metas": {
+                    n: self.table_meta(n)
+                    for n in self.catalog.list_tables()
+                },
+                "order": len(self._txn_savepoints),
+            }
+            return OkResult(info=f"savepoint {name}")
+        if kind == "release":
+            if name not in getattr(self, "_txn_savepoints", {}):
+                raise ValueError(f"SAVEPOINT {name} does not exist")
+            del self._txn_savepoints[name]
+            return OkResult(info=f"released {name}")
+        if kind == "rollback_to":
+            sp = getattr(self, "_txn_savepoints", {}).get(name)
+            if sp is None:
+                raise ValueError(f"SAVEPOINT {name} does not exist")
+            for n in self.catalog.list_tables():
+                if n not in sp["pointers"]:  # created after the savepoint
+                    self.catalog.drop_table(n)
+                    self._meta_path_cleanup(n)
+            for n, pointer in sp["pointers"].items():
+                t = self.catalog.table(n)
+                if t.exists() and t._read_pointer() != pointer:
+                    t._write_pointer(pointer)
+                self._save_meta(n, sp["metas"][n])
+            # later savepoints are invalidated (MySQL semantics)
+            self._txn_savepoints = {
+                k: v
+                for k, v in self._txn_savepoints.items()
+                if v["order"] <= sp["order"]
+            }
+            self._refresh_views()
+            return OkResult(info=f"rolled back to {name}")
         if kind == "commit":
             for _name, path in getattr(self, "_txn_trash", []):
                 shutil.rmtree(path, ignore_errors=True)

@@ -861,7 +861,8 @@ class BackupStmt:
 
 @dataclass
 class TxnStmt:
-    kind: str  # begin|commit|rollback
+    kind: str  # begin|commit|rollback|savepoint|rollback_to|release
+    name: str | None = None  # savepoint name for the last three kinds
 
 
 @dataclass
@@ -1638,6 +1639,18 @@ def parse_statement(sql: str):
         return TxnStmt("begin")
     if re.match(r"COMMIT\s*$", s, re.I):
         return TxnStmt("commit")
+    m = re.match(r"SAVEPOINT\s+(`[^`]+`|\w+)\s*$", s, re.I)
+    if m:
+        return TxnStmt("savepoint", name=unquote_ident(m.group(1)))
+    m = re.match(
+        r"ROLLBACK\s+(?:WORK\s+)?TO\s+(?:SAVEPOINT\s+)?(`[^`]+`|\w+)\s*$",
+        s, re.I,
+    )
+    if m:
+        return TxnStmt("rollback_to", name=unquote_ident(m.group(1)))
+    m = re.match(r"RELEASE\s+SAVEPOINT\s+(`[^`]+`|\w+)\s*$", s, re.I)
+    if m:
+        return TxnStmt("release", name=unquote_ident(m.group(1)))
     if re.match(r"ROLLBACK\s*$", s, re.I):
         return TxnStmt("rollback")
 

@@ -684,3 +684,42 @@ def test_backup_restore_uri_front_door(engine, tmp_path):
     hconf = engine.spark.sparkContext._jsc.hadoopConfiguration()
     assert hconf.get("fs.s3a.endpoint") == "s3.example.com"
     assert hconf.get("fs.s3a.access.key") == "k"
+
+
+def test_savepoints(engine):
+    """SAVEPOINT / ROLLBACK TO SAVEPOINT / RELEASE (reference: GMS
+    TestTransactionScripts savepoint cases): ROLLBACK TO restores the
+    savepoint state without ending the transaction; later savepoints
+    are invalidated; plain ROLLBACK still unwinds to BEGIN."""
+    import pytest as _pytest
+
+    engine.execute("INSERT INTO users (name, age) VALUES ('base', 1)")
+    engine.execute("BEGIN")
+    engine.execute("INSERT INTO users (name, age) VALUES ('in_txn', 2)")
+    engine.execute("SAVEPOINT s1")
+    engine.execute("INSERT INTO users (name, age) VALUES ('after_s1', 3)")
+    engine.execute("SAVEPOINT s2")
+    engine.execute("UPDATE users SET age = 99 WHERE name = 'base'")
+    names = {r.name for r in engine.execute("SELECT name FROM users").collect()}
+    assert {"base", "in_txn", "after_s1"} <= names
+    engine.execute("ROLLBACK TO SAVEPOINT s1")
+    rows = {r.name: r.age for r in engine.execute(
+        "SELECT name, age FROM users").collect()}
+    assert "after_s1" not in rows           # rolled back past s1
+    assert rows["base"] == 1                # update undone
+    assert rows["in_txn"] == 2              # pre-savepoint work kept
+    with _pytest.raises(ValueError, match="does not exist"):
+        engine.execute("ROLLBACK TO s2")    # s2 invalidated
+    engine.execute("INSERT INTO users (name, age) VALUES ('retry', 4)")
+    engine.execute("COMMIT")
+    names = {r.name for r in engine.execute("SELECT name FROM users").collect()}
+    assert "retry" in names and "in_txn" in names
+    # plain ROLLBACK unwinds to BEGIN, discarding savepoint-era work too
+    engine.execute("BEGIN")
+    engine.execute("SAVEPOINT sp")
+    engine.execute("INSERT INTO users (name, age) VALUES ('gone', 5)")
+    engine.execute("ROLLBACK")
+    names = {r.name for r in engine.execute("SELECT name FROM users").collect()}
+    assert "gone" not in names
+    with _pytest.raises(ValueError, match="outside a transaction"):
+        engine.execute("SAVEPOINT nope")
