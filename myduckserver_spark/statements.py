@@ -1531,7 +1531,12 @@ def parse_statement(sql: str):
         return CreateIndex(
             unquote_ident(m.group(2)),
             unquote_ident(m.group(3)),
-            [unquote_ident(c.split()[0]) for c in m.group(4).split(",")],
+            # strip MySQL prefix lengths (col(10)) and sort direction
+            [
+                unquote_ident(re.sub(r"\(\d+\)$", "", c.split()[0]))
+                for c in m.group(4).split(",")
+                if c.strip()
+            ],
             unique=bool(m.group(1)),
         )
     m = re.match(
