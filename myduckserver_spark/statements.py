@@ -1523,7 +1523,7 @@ def parse_statement(sql: str):
         )
     m = re.match(
         r"CREATE\s+(UNIQUE\s+)?INDEX\s+(`[^`]+`|\w+)\s+ON\s+(`[^`]+`|\w+)\s*"
-        r"\(([^)]*)\)\s*$",
+        r"\((.*)\)\s*$",  # greedy: column items may carry (10) prefixes
         s,
         re.I,
     )
