@@ -98,3 +98,15 @@ def test_ctas_partitioned(peng):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert sorted(r.id for r in df.collect()) == [1, 3]
+
+
+def test_optimize_preserves_partitioning(peng):
+    peng.execute("OPTIMIZE ev")
+    t = peng.catalog.table("ev")
+    snap = os.path.join(t.dir, f"v{t.version}")
+    assert any(d.startswith("region=") for d in os.listdir(snap))
+    df = peng.sql("SELECT id FROM ev WHERE region = 'eu'")
+    assert "PartitionFilters" in (
+        df._jdf.queryExecution().executedPlan().toString()
+    )
+    assert sorted(r.id for r in df.collect()) == [1, 3]
