@@ -314,3 +314,42 @@ def test_serving_profile_large_set_keeps_aqe(spark, monkeypatch):
     before = spark.conf.get("spark.sql.adaptive.enabled")
     assert tb.serving_profile(spark, "/root/testdata/sf0.01") == {}
     assert spark.conf.get("spark.sql.adaptive.enabled") == before
+
+
+def test_chunk_overlap_is_map_only(spark, sf_dir):
+    """RAG chunking: sequence+slice explosion with NO Exchange except
+    the output sort — the map-only claim in its docstring."""
+    plan = _physical(REGISTRY["tx_chunk_overlap"].spark(spark, sf_dir))
+    # one rangepartitioning exchange for the final ORDER BY, nothing else
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln
+                 and "Reused" not in ln]
+    assert len(exchanges) == 1 and "rangepartitioning" in exchanges[0]
+    assert "Join" not in plan
+
+
+def test_srp_lsh_single_aggregate_shuffle(spark, sf_dir):
+    """SRP signature is computed in the map stage (constants in the
+    plan, no join against a planes table); the only hash exchange is
+    the bucket histogram."""
+    plan = _physical(REGISTRY["sim_srp_lsh_buckets"].spark(spark, sf_dir))
+    assert "Join" not in plan
+    hash_ex = [ln for ln in plan.splitlines()
+               if "Exchange hashpartitioning" in ln]
+    assert len(hash_ex) == 1
+
+
+def test_gap_fill_single_window_shuffle(spark, sf_dir):
+    """Both IGNORE NULLS windows share one user_id partitioning — a
+    single hash exchange."""
+    plan = _physical(
+        REGISTRY["w_gap_fill_ignore_nulls"].spark(spark, sf_dir)
+    )
+    hash_ex = [ln for ln in plan.splitlines()
+               if "Exchange hashpartitioning" in ln and "Reused" not in ln]
+    assert len(hash_ex) == 1
+
+
+def test_matryoshka_map_local(spark, sf_dir):
+    plan = _physical(REGISTRY["emb_matryoshka"].spark(spark, sf_dir))
+    assert "Join" not in plan
+    assert "Exchange hashpartitioning" not in plan  # only the sort
