@@ -1207,6 +1207,23 @@ class Engine:
             return OkResult(info="deallocated")
         if isinstance(s, st.CreateTable):
             return self._exec_create_table(s)
+        if isinstance(s, st.CreateTableLike):
+            if self.catalog.table(s.name).exists():
+                if s.if_not_exists:
+                    return OkResult(info="table exists")
+                raise ValueError(f"table exists: {s.name}")
+            src = self.catalog.table(s.source)
+            if not src.exists():
+                raise ValueError(f"no such table: {s.source}")
+            import copy as _copy
+
+            meta = _copy.deepcopy(self.table_meta(s.source))
+            empty = self.spark.createDataFrame([], src.read().schema)
+            self.catalog.create_table(
+                s.name, empty, partition_by=meta.partition_by or None
+            )
+            self._save_meta(s.name, meta)
+            return OkResult()
         if isinstance(s, st.CreateTableAs):
             if s.if_not_exists and self.catalog.table(s.name).exists():
                 return OkResult(info="table exists")

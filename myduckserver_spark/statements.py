@@ -388,6 +388,16 @@ class CreateTable:
 
 
 @dataclass
+class CreateTableLike:
+    """CREATE TABLE t2 LIKE t1 — clone schema + constraints, no data
+    (reference: GMS create-table surface, TestCreateTable)."""
+
+    name: str
+    source: str
+    if_not_exists: bool = False
+
+
+@dataclass
 class CreateTableAs:
     name: str
     query: str
@@ -1070,6 +1080,18 @@ def parse_statement(sql: str):
         return CreateTableAs(unquote_ident(m.group(2)), m.group(4).strip(),
                              if_not_exists=bool(m.group(1)),
                              partition_by=pcols)
+
+    m = re.match(
+        r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(`[^`]+`|\w+)\s+"
+        r"LIKE\s+(`[^`]+`|\w+)\s*$",
+        s,
+        re.I,
+    )
+    if m:
+        return CreateTableLike(
+            unquote_ident(m.group(2)), unquote_ident(m.group(3)),
+            if_not_exists=bool(m.group(1)),
+        )
 
     # Strip a trailing partition clause FIRST: the column-list capture
     # below is greedy and would swallow the clause's parentheses.

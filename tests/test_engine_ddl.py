@@ -114,3 +114,33 @@ def test_add_column_first_and_after(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="AFTER column not found"):
         e.execute("ALTER TABLE p ADD COLUMN q INT AFTER nope")
+
+
+def test_create_table_like(spark, tmp_path):
+    """CREATE TABLE t2 LIKE t1 clones schema + constraints + layout,
+    never data (GMS TestCreateTable surface)."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh_like"))
+    e.execute(
+        "CREATE TABLE src (id INT AUTO_INCREMENT PRIMARY KEY, "
+        "name VARCHAR(20) NOT NULL, v DOUBLE DEFAULT 1.5) "
+        "PARTITION BY KEY(name)"
+    )
+    e.execute("INSERT INTO src (name) VALUES ('a'), ('b')")
+    e.execute("CREATE TABLE dst LIKE src")
+    assert e.execute("SELECT * FROM dst").count() == 0  # no data copied
+    meta = e.table_meta("dst")
+    assert meta.primary_key == ["id"]
+    assert meta.auto_increment == "id"
+    assert meta.defaults.get("v") == 1.5
+    assert meta.partition_by == ["name"]
+    # constraints actually enforce on the clone
+    e.execute("INSERT INTO dst (name) VALUES ('x')")
+    row = e.execute("SELECT * FROM dst").collect()[0]
+    assert (row.id, row.v) == (1, 1.5)
+    e.execute("CREATE TABLE IF NOT EXISTS dst LIKE src")  # no error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="table exists"):
+        e.execute("CREATE TABLE dst LIKE src")
