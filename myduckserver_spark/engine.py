@@ -107,6 +107,7 @@ class Engine:
         query = self._rewrite_time_travel(query)
         query = self._rewrite_table_changes(query)
         query = self._rewrite_vector_search(query)
+        query = self._rewrite_file_query(query)
         lowered = query.lower()
         if (
             "information_schema" in lowered
@@ -2069,6 +2070,45 @@ class Engine:
             sel = sel.orderBy(F.col(pk).asc())  # deterministic default
         pks = [r[0] for r in sel.select(pk).limit(limit).collect()]
         return F.col(pk).isin(pks)
+
+    # FROM 'file.parquet' / FROM read_parquet('file') direct-file sugar.
+    # Matched on the RAW text (the path IS a string literal, which the
+    # string mask blanks); a mask check on the keyword position keeps
+    # FROM-lookalikes inside other literals untouched.
+    _FILE_RE = re.compile(
+        r"\b(FROM|JOIN)\s+(?:"
+        r"'([^']*\.(?:parquet|csv|tsv|json|jsonl|orc))'"
+        r"|read_(?:parquet|csv_auto|csv|json)\s*\(\s*'([^']*)'\s*\)"
+        r")",
+        re.I,
+    )
+
+    def _rewrite_file_query(self, query: str) -> str:
+        """DuckDB-style direct file queries through the SQL front door
+        (``SELECT * FROM 'f.parquet'``, ``FROM read_parquet('f')`` —
+        reference docs/tutorial/load-parquet-files.md): the file is
+        registered as a temp view via sources.files.query_file."""
+        low = query.lower()
+        if "read_" not in low and not any(
+            ext in low for ext in (".parquet", ".csv", ".json", ".orc",
+                                   ".tsv", ".jsonl")
+        ):
+            return query
+        from myduckserver_spark.sources.files import query_file
+        from myduckserver_spark.statements import mask_strings
+
+        mask = mask_strings(query)
+
+        def repl(m: re.Match) -> str:
+            if mask[m.start()] == "\x01":  # keyword inside a literal
+                return m.group(0)
+            path = m.group(2) or m.group(3)
+            self._asof_seq = getattr(self, "_asof_seq", 0) + 1
+            view = f"__file_{self._asof_seq}"
+            query_file(self.spark, path).createOrReplaceTempView(view)
+            return f"{m.group(1)} {view}"
+
+        return self._FILE_RE.sub(repl, query)
 
     def _exec_analyze(self, s: "st.AnalyzeStmt") -> DataFrame:
         """ANALYZE TABLE: one aggregation pass per table computes row

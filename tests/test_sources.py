@@ -98,3 +98,24 @@ def test_query_file_direct(spark, tmp_path):
     p.write_text("a,b\n1,x\n")
     df2 = query_file(spark, str(p))
     assert df2.collect()[0].a == 1
+
+
+def test_direct_file_query_sql_front_door(spark, tmp_path):
+    """SELECT * FROM 'f.parquet' and read_parquet('f') through
+    engine.sql (reference: DuckDB direct-file queries advertised in
+    docs/tutorial/load-parquet-files.md)."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh_files"))
+    p = "/root/testdata/sf0.001/region.parquet"
+    n1 = e.sql(f"SELECT COUNT(*) AS n FROM '{p}'").collect()[0].n
+    n2 = e.sql(f"SELECT COUNT(*) AS n FROM read_parquet('{p}')").collect()[0].n
+    assert n1 == n2 == 5
+    joined = e.sql(
+        f"SELECT r.r_name FROM '{p}' r JOIN read_parquet('{p}') r2 "
+        "ON r.r_regionkey = r2.r_regionkey ORDER BY r.r_name"
+    ).collect()
+    assert len(joined) == 5
+    # a path-looking string NOT in FROM position stays a literal
+    lit = e.sql("SELECT 'x.parquet' AS s").collect()[0].s
+    assert lit == "x.parquet"
