@@ -2407,6 +2407,38 @@ class Engine:
                 [(n,) for n in names],
                 f"Tables_in_{self.current_db} string",
             )
+        if s.kind == "summarize":
+            # DuckDB's SUMMARIZE t (docs surface): per-column profile
+            # in ONE aggregation pass (same shape as ANALYZE TABLE).
+            df = self.catalog.table(s.target).read()
+            aggs = [F.count(F.lit(1)).alias("__n")]
+            for c in df.columns:
+                aggs.append(F.approx_count_distinct(c).alias(f"__ndv_{c}"))
+                aggs.append(
+                    F.sum(F.col(c).isNull().cast("long")).alias(f"__nul_{c}")
+                )
+                aggs.append(F.min(c).cast("string").alias(f"__min_{c}"))
+                aggs.append(F.max(c).cast("string").alias(f"__max_{c}"))
+            r = df.agg(*aggs).collect()[0]
+            n = r["__n"] or 0
+            rows = [
+                (
+                    c,
+                    dict(df.dtypes)[c],
+                    r[f"__min_{c}"],
+                    r[f"__max_{c}"],
+                    r[f"__ndv_{c}"],
+                    round(100.0 * r[f"__nul_{c}"] / n, 2) if n else 0.0,
+                    n,
+                )
+                for c in df.columns
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "column_name string, column_type string, min string, "
+                "max string, approx_unique bigint, null_percentage "
+                "double, count bigint",
+            )
         if s.kind == "processlist":
             # Single-session engine: one connection row (reference
             # serves this via GMS's process registry).

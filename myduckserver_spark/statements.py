@@ -1490,6 +1490,10 @@ def parse_statement(sql: str):
             val = m.group(2).strip()
         return SetVar(m.group(1), val)
 
+    m = re.match(r"SUMMARIZE\s+(`[^`]+`|\w+)\s*$", s, re.I)
+    if m:
+        return Show("summarize", target=unquote_ident(m.group(1)))
+
     m = re.match(r"ANALYZE\s+TABLE\s+(.+)$", s, re.I)
     if m:
         return AnalyzeStmt(

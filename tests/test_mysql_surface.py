@@ -187,3 +187,12 @@ def test_pg_catalog_extended_views(engine, tmp_path):
     idx = {r.indexname: r.indexdef for r in engine.sql(
         "SELECT * FROM pg_catalog.pg_indexes").collect()}
     assert "idx_name" in idx and "USING btree (name)" in idx["idx_name"]
+
+
+def test_summarize(engine):
+    rows = {r.column_name: r for r in engine.execute("SUMMARIZE t").collect()}
+    assert set(rows) == {"id", "name", "v"}
+    # Row.count is a method — index the 'count' field by name
+    assert rows["id"]["count"] == 3 and rows["id"].min == "1"
+    assert rows["name"].null_percentage == pytest.approx(33.33, abs=0.01)
+    assert rows["v"].approx_unique >= 1
