@@ -1060,7 +1060,10 @@ def parse_statement(sql: str):
             return stmt
         return Query(s)
 
-    if up.startswith(("SELECT", "VALUES", "TABLE", "EXPLAIN", "DESCRIBE QUERY")):
+    if up.startswith(("SELECT", "VALUES", "TABLE", "EXPLAIN", "DESCRIBE QUERY",
+                      "CACHE TABLE", "UNCACHE TABLE", "CLEAR CACHE")):
+        # CACHE/UNCACHE/CLEAR CACHE are native Spark SQL statements —
+        # the engine's buffer-pool surface (DuckDB's is implicit).
         return Query(s)
 
     if up.startswith("MERGE"):
@@ -1479,6 +1482,31 @@ def parse_statement(sql: str):
     m = re.match(r"(?:DEALLOCATE|DROP)\s+PREPARE\s+(`[^`]+`|\w+)\s*$", s, re.I)
     if m:
         return Deallocate(unquote_ident(m.group(1)))
+
+    # Connection-handshake statements every MySQL client sends
+    # (reference: GMS session handling; mysql client sends SET NAMES on
+    # connect). Routed to session variables / no-ops.
+    m = re.match(
+        r"SET\s+NAMES\s+'?(\w+)'?(?:\s+COLLATE\s+'?(\w+)'?)?\s*$", s, re.I
+    )
+    if m:
+        return SetVar("character_set_client", m.group(1).lower())
+    m = re.match(r"SET\s+(?:CHARACTER\s+SET|CHARSET)\s+'?(\w+)'?\s*$", s, re.I)
+    if m:
+        return SetVar("character_set_client", m.group(1).lower())
+    m = re.match(
+        r"SET\s+(?:SESSION\s+|GLOBAL\s+)?TRANSACTION\s+"
+        r"(?:ISOLATION\s+LEVEL\s+([A-Z\s]+?)|READ\s+(ONLY|WRITE))\s*$",
+        s,
+        re.I,
+    )
+    if m:
+        if m.group(2):
+            return SetVar("read_only", 1 if m.group(2).upper() == "ONLY" else 0)
+        return SetVar(
+            "transaction_isolation",
+            m.group(1).strip().upper().replace(" ", "-"),
+        )
 
     m = re.match(
         r"SET\s+(?:SESSION\s+|GLOBAL\s+)?@{0,2}([\w.]+)\s*:?=\s*(.+)$", s, re.I

@@ -196,3 +196,29 @@ def test_summarize(engine):
     assert rows["id"]["count"] == 3 and rows["id"].min == "1"
     assert rows["name"].null_percentage == pytest.approx(33.33, abs=0.01)
     assert rows["v"].approx_unique >= 1
+
+
+def test_client_handshake_statements(engine):
+    """SET NAMES / SET CHARACTER SET / SET TRANSACTION — the
+    statements every MySQL client fires on connect must succeed."""
+    assert isinstance(engine.execute("SET NAMES utf8mb4"), OkResult)
+    assert engine.variables["character_set_client"] == "utf8mb4"
+    engine.execute("SET NAMES 'latin1' COLLATE 'latin1_swedish_ci'")
+    assert engine.variables["character_set_client"] == "latin1"
+    engine.execute("SET CHARACTER SET utf8mb4")
+    engine.execute("SET SESSION TRANSACTION ISOLATION LEVEL REPEATABLE READ")
+    assert engine.variables["transaction_isolation"] == "REPEATABLE-READ"
+    engine.execute("SET TRANSACTION READ ONLY")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="read-only"):
+        engine.execute("DELETE FROM t")
+    engine.execute("SET TRANSACTION READ WRITE")
+    assert engine.execute("SELECT COUNT(*) AS n FROM t").collect()[0].n == 3
+
+
+def test_cache_table_statements(engine):
+    assert engine.execute("CACHE TABLE t") is not None
+    assert engine.execute("SELECT COUNT(*) AS n FROM t").collect()[0].n == 3
+    engine.execute("UNCACHE TABLE t")
+    engine.execute("CLEAR CACHE")
