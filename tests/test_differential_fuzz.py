@@ -48,7 +48,37 @@ TABLES = {
 }
 
 
+def _gen_join_query(rng: random.Random) -> str:
+    """orders⋈customer or lineitem⋈orders with grouping on either side."""
+    if rng.random() < 0.5:
+        frm = "orders JOIN customer ON o_custkey = c_custkey"
+        gcols = rng.sample(
+            ["c_mktsegment", "c_nationkey", "o_orderstatus"],
+            rng.randint(1, 2),
+        )
+        scol = rng.choice(["o_orderkey", "c_custkey"])
+        a, b = sorted((rng.randint(1, 6000), rng.randint(1, 6000)))
+        pred = f"o_orderkey BETWEEN {a} AND {b}"
+    else:
+        frm = "lineitem JOIN orders ON l_orderkey = o_orderkey"
+        gcols = rng.sample(
+            ["l_returnflag", "o_orderstatus", "l_linestatus"],
+            rng.randint(1, 2),
+        )
+        scol = rng.choice(["l_partkey", "l_suppkey", "o_custkey"])
+        a, b = sorted((rng.randint(1, 6000), rng.randint(1, 6000)))
+        pred = f"l_orderkey BETWEEN {a} AND {b}"
+    cols = ", ".join(gcols)
+    return (
+        f"SELECT {cols}, CAST(COUNT(*) AS BIGINT) AS cnt, "
+        f"CAST(SUM({scol}) AS BIGINT) AS s "
+        f"FROM {frm} WHERE {pred} GROUP BY {cols}"
+    )
+
+
 def _gen_query(rng: random.Random) -> str:
+    if rng.random() < 0.3:
+        return _gen_join_query(rng)
     t = rng.choice(list(TABLES))
     spec = TABLES[t]
     gcols = rng.sample(spec["group"], rng.randint(1, len(spec["group"])))
