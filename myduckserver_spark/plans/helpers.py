@@ -87,3 +87,28 @@ def o_davg(expr: str, alias: str) -> str:
 
 def o_bcount(alias: str) -> str:
     return f"CAST(COUNT(*) AS BIGINT) AS {alias}"
+
+
+def ordered_bounded(df, *cols):
+    """Presentation sort for a result whose cardinality is BOUNDED by
+    the query itself (group-by over low-cardinality keys: return flags,
+    nations, histogram buckets) — not proportional to input size.
+
+    A plain ``orderBy`` plans Exchange rangepartitioning, which runs a
+    separate range-bounds sampling job per execution (~0.1 s of fixed
+    latency locally; one extra stage on a cluster). For a bounded
+    output, ``coalesce(1)`` narrow-deps the aggregate's few output
+    partitions into one and sorts within it: same ordered result, no
+    sampling job, no exchange. This is exactly the shape AQE's
+    partition coalescing converges to for a tiny final sort — made
+    static here because bounded cardinality is knowable at plan time.
+
+    Use ONLY when the row count is bounded at any data scale; results
+    proportional to input (per-document scores, per-customer top-k)
+    must keep the distributed ``orderBy``.
+    """
+    from pyspark.sql import Column
+
+    exprs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    assert all(isinstance(c, Column) for c in exprs)
+    return df.coalesce(1).sortWithinPartitions(*exprs)

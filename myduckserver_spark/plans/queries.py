@@ -22,6 +22,7 @@ from myduckserver_spark.plans.helpers import (
     o_davg,
     o_dout,
     o_dsum,
+    ordered_bounded,
 )
 from myduckserver_spark.plans.registry import register
 from myduckserver_spark.tables import load_table
@@ -72,7 +73,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             davg("l_discount", "avg_disc"),
             bcount("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        .transform(ordered_bounded, "l_returnflag", "l_linestatus")
     )
 
 
@@ -214,7 +215,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             dout(F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))))
             .alias("revenue")
         )
-        .orderBy(F.desc("revenue"), F.asc("n_name"))
+        .transform(ordered_bounded, F.desc("revenue"), F.asc("n_name"))
     )
 
 
@@ -358,7 +359,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("o_orderpriority")
         .agg(bcount("order_count"))
-        .orderBy("o_orderpriority")
+        .transform(ordered_bounded, "o_orderpriority")
     )
 
 
@@ -392,7 +393,7 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("o_orderkey").cast("long").alias("c_count"))
         .groupBy("c_count")
         .agg(bcount("custdist"))
-        .orderBy(F.desc("custdist"), F.desc("c_count"))
+        .transform(ordered_bounded, F.desc("custdist"), F.desc("c_count"))
     )
 
 
