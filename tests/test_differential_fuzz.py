@@ -20,7 +20,16 @@ from myduckserver_spark.oracle import compare_one
 from myduckserver_spark.tables import load_table
 
 SEED = 20260814
-N_QUERIES = 60
+N_QUERIES = 100
+
+# Unique-per-row ordering keys per table: every window ORDER BY ends
+# with one of these so rank/row_number are deterministic on both
+# engines (ties would otherwise make the comparison flaky, not wrong).
+UNIQUE_ORDER = {
+    "orders": "o_orderkey",
+    "customer": "c_custkey",
+    "lineitem": "l_orderkey, l_linenumber",
+}
 
 # (table, groupable cols, int cols for SUM, filterable numeric col +
 # inclusive range, string col + values)
@@ -76,9 +85,114 @@ def _gen_join_query(rng: random.Random) -> str:
     )
 
 
+def _gen_window_query(rng: random.Random) -> str:
+    """row_number/rank/dense_rank + running SUM over a deterministic
+    total order (partition key + unique tiebreaker)."""
+    t = rng.choice(list(TABLES))
+    spec = TABLES[t]
+    part = rng.choice(spec["group"])
+    scol = rng.choice(spec["int"])
+    ncol, lo, hi = spec["num"]
+    a, b = sorted((rng.randint(lo, hi), rng.randint(lo, hi)))
+    uniq = UNIQUE_ORDER[t]
+    fn = rng.choice(["ROW_NUMBER()", "RANK()", "DENSE_RANK()"])
+    return (
+        f"SELECT {part}, CAST({fn} OVER "
+        f"(PARTITION BY {part} ORDER BY {scol}, {uniq}) AS BIGINT) AS rk, "
+        f"CAST(SUM({scol}) OVER "
+        f"(PARTITION BY {part} ORDER BY {scol}, {uniq} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS rs, "
+        f"CAST({scol} AS BIGINT) AS v "
+        f"FROM {t} WHERE {ncol} BETWEEN {a} AND {b}"
+    )
+
+
+def _gen_grouping_query(rng: random.Random) -> str:
+    """ROLLUP / CUBE / GROUPING SETS with GROUPING() disambiguation —
+    the NULL-vs-subtotal seam that bit round 1's hand-written set.
+
+    Known engine divergence, excluded by ``HAVING COUNT(*) > 0``: on
+    EMPTY input (the WHERE range matches no rows) DuckDB still emits
+    the ``()`` grouping-set grand-total row (COUNT=0, per the SQL
+    standard's scalar-aggregate rule), while Spark returns zero rows.
+    Every non-empty group has COUNT >= 1, so the predicate only drops
+    that divergent row and both engines agree on everything else."""
+    t = rng.choice(list(TABLES))
+    spec = TABLES[t]
+    if len(spec["group"]) < 2:
+        g1, g2 = spec["group"][0], spec["group"][0]
+    else:
+        g1, g2 = rng.sample(spec["group"], 2)
+    scol = rng.choice(spec["int"])
+    ncol, lo, hi = spec["num"]
+    a, b = sorted((rng.randint(lo, hi), rng.randint(lo, hi)))
+    shape = rng.choice([
+        f"ROLLUP({g1}, {g2})",
+        f"CUBE({g1}, {g2})",
+        f"GROUPING SETS (({g1}), ({g2}), ())",
+    ])
+    return (
+        f"SELECT {g1}, {g2}, "
+        f"CAST(GROUPING({g1}) AS BIGINT) AS gr1, "
+        f"CAST(GROUPING({g2}) AS BIGINT) AS gr2, "
+        f"CAST(COUNT(*) AS BIGINT) AS cnt, "
+        f"CAST(SUM({scol}) AS BIGINT) AS s "
+        f"FROM {t} WHERE {ncol} BETWEEN {a} AND {b} "
+        f"GROUP BY {shape} HAVING COUNT(*) > 0"
+    )
+
+
+def _gen_setop_query(rng: random.Random) -> str:
+    """UNION / UNION ALL / INTERSECT / EXCEPT of two filtered slices of
+    the same projection — both engines use identical distinct-set
+    semantics for the non-ALL forms."""
+    t = rng.choice(list(TABLES))
+    spec = TABLES[t]
+    gcol = rng.choice(spec["group"])
+    icol = rng.choice(spec["int"])
+    ncol, lo, hi = spec["num"]
+    a1, b1 = sorted((rng.randint(lo, hi), rng.randint(lo, hi)))
+    a2, b2 = sorted((rng.randint(lo, hi), rng.randint(lo, hi)))
+    op = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+    proj = f"{gcol}, CAST({icol} % 10 AS BIGINT) AS bucket"
+    return (
+        f"SELECT {proj} FROM {t} WHERE {ncol} BETWEEN {a1} AND {b1} "
+        f"{op} "
+        f"SELECT {proj} FROM {t} WHERE {ncol} BETWEEN {a2} AND {b2}"
+    )
+
+
+def _gen_exists_query(rng: random.Random) -> str:
+    """Correlated EXISTS / NOT EXISTS (semi/anti join rewrites)."""
+    neg = "NOT " if rng.random() < 0.5 else ""
+    a, b = sorted((rng.randint(1, 6000), rng.randint(1, 6000)))
+    if rng.random() < 0.5:
+        return (
+            f"SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS cnt "
+            f"FROM customer WHERE {neg}EXISTS (SELECT 1 FROM orders "
+            f"WHERE o_custkey = c_custkey AND o_orderkey BETWEEN {a} AND {b}) "
+            f"GROUP BY c_mktsegment"
+        )
+    return (
+        f"SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt "
+        f"FROM orders WHERE {neg}EXISTS (SELECT 1 FROM lineitem "
+        f"WHERE l_orderkey = o_orderkey AND l_partkey BETWEEN {a} AND {b}) "
+        f"GROUP BY o_orderstatus"
+    )
+
+
 def _gen_query(rng: random.Random) -> str:
-    if rng.random() < 0.3:
+    r = rng.random()
+    if r < 0.18:
         return _gen_join_query(rng)
+    if r < 0.36:
+        return _gen_window_query(rng)
+    if r < 0.52:
+        return _gen_grouping_query(rng)
+    if r < 0.66:
+        return _gen_setop_query(rng)
+    if r < 0.76:
+        return _gen_exists_query(rng)
     t = rng.choice(list(TABLES))
     spec = TABLES[t]
     gcols = rng.sample(spec["group"], rng.randint(1, len(spec["group"])))
@@ -133,3 +247,26 @@ def test_fuzz_generator_is_deterministic():
     a = [_gen_query(random.Random(SEED)) for _ in range(3)]
     b = [_gen_query(random.Random(SEED)) for _ in range(3)]
     assert a == b
+
+
+def test_empty_input_rollup_divergence_is_pinned(spark, views):
+    """Document (not hide) the one seam the fuzzer excludes: ROLLUP
+    over an empty input. DuckDB emits the () grand-total row with
+    COUNT=0 (SQL-standard scalar-aggregate rule); Spark emits no rows.
+    If either engine changes behavior this test flags it so the
+    HAVING-based exclusion in _gen_grouping_query can be removed."""
+    sql = (
+        "SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS cnt "
+        "FROM customer WHERE c_custkey < 0 "
+        "GROUP BY ROLLUP(c_mktsegment)"
+    )
+    assert spark.sql(sql).count() == 0
+    con = duckdb.connect()
+    import os
+
+    con.sql(
+        "CREATE VIEW customer AS SELECT * FROM read_parquet("
+        f"'{os.path.join(views, 'customer.parquet')}')"
+    )
+    assert len(con.sql(sql).fetchall()) == 1
+    con.close()
