@@ -353,3 +353,19 @@ def test_matryoshka_map_local(spark, sf_dir):
     plan = _physical(REGISTRY["emb_matryoshka"].spark(spark, sf_dir))
     assert "Join" not in plan
     assert "Exchange hashpartitioning" not in plan  # only the sort
+
+
+def test_bounded_output_sort_has_no_sampling_exchange(spark, sf_dir):
+    """q1/q4/q5/q13 end in a bounded-cardinality presentation sort
+    (ordered_bounded): coalesce(1) + sortWithinPartitions instead of a
+    rangepartitioning exchange, which would run a separate range-bounds
+    sampling job on every fresh execution."""
+    for name in (
+        "q1_pricing_summary",
+        "q4_order_priority",
+        "q5_local_supplier_volume",
+        "q13_customer_distribution",
+    ):
+        plan = _physical(REGISTRY[name].spark(spark, sf_dir))
+        assert "rangepartitioning" not in plan, name
+        assert "Coalesce 1" in plan and "Sort" in plan, name
