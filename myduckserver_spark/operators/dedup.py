@@ -142,16 +142,17 @@ def minhash_signature_array(
             " as bigint))"
         ).alias("hs"),
     )
-    mins = [
-        F.expr(
-            f"array_min(transform(hs, h{i} -> ({MINHASH_A[i]}L * h{i}"
-            f" + {MINHASH_B[i]}L) % {MINHASH_P}))"
-        ).alias(f"m{i}")
+    # One F.expr for the whole signature array (not num_hashes separate
+    # Column objects + an F.array): the expression tree is identical
+    # after parsing, but building it as a single SQL string is one Py4J
+    # round-trip instead of ~20.
+    per_seed = ", ".join(
+        f"array_min(transform(hs, h{i} -> ({MINHASH_A[i]}L * h{i}"
+        f" + {MINHASH_B[i]}L) % {MINHASH_P}))"
         for i in range(num_hashes)
-    ]
-    return hashed.select(F.col(id_col), *mins).select(
-        F.col(id_col),
-        F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig"),
+    )
+    return hashed.select(
+        F.col(id_col), F.expr(f"array({per_seed})").alias("sig")
     )
 
 
