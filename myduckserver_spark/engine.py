@@ -1119,14 +1119,32 @@ class Engine:
 
     _WRITE_STMTS = None  # populated lazily below
 
+    @staticmethod
+    def _sysvar_truthy(v) -> bool:
+        """MySQL boolean system variables accept ON/OFF/TRUE/FALSE and
+        0/1 (as ints or strings); 'OFF' is truthy as a Python string, so
+        a raw truth test would leave `SET read_only = OFF` permanently
+        read-only."""
+        if isinstance(v, str):
+            return v.strip().upper() not in ("", "0", "OFF", "FALSE")
+        return bool(v)
+
     def _check_read_only(self, s) -> None:
         """SET read_only = 1 blocks every table-mutating statement
         (MySQL --read-only semantics, error 1290; reference: GMS
         TestReadOnly). SELECT/SHOW/SET/USE/EXPLAIN stay allowed."""
         if not (
-            self.variables.get("read_only")
-            or self.variables.get("super_read_only")
+            self._sysvar_truthy(self.variables.get("read_only"))
+            or self._sysvar_truthy(self.variables.get("super_read_only"))
         ):
+            return
+        # COPY ... FROM mutates its target; COPY ... TO is a read.
+        if isinstance(s, st.CopyStmt):
+            if s.direction == "from":
+                raise ValueError(
+                    "The MySQL server is running with the --read-only "
+                    "option so it cannot execute this statement"
+                )
             return
         cls = Engine._WRITE_STMTS
         if cls is None:
@@ -1971,10 +1989,16 @@ class Engine:
                             f.name, F.lit(None).cast(f.dataType)
                         )
                 df = df.select(*meta_schema.fieldNames())
-            # the spool is deleted below, so materialize before cleanup
-            rows = df.collect()
-            df = self.spark.createDataFrame(rows, df.schema)
-            n = len(rows)
+            # Insert straight from the spool-backed scan: insert() writes
+            # the new snapshot parquet (an action that drains the spool
+            # executor-side), so the payload never materializes on the
+            # driver — a multi-GB COPY streams through executors exactly
+            # like the reference's pipelined loader
+            # (pgserver/dataloader.go:156-256). The count is a second
+            # distributed scan of the spool (cheap, line-aligned parts),
+            # not a collect. Spool cleanup happens in `finally`, after
+            # both actions.
+            n = df.count()
             self.insert(table, df)
             return OkResult(affected_rows=n, info=f"COPY {table} FROM STDIN")
         finally:

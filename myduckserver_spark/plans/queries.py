@@ -187,8 +187,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5: 6-way join with broadcast dimensions.
 
-    Scale: region/nation/supplier are broadcast (dims stay small even
-    at 100 TB fact scale); the only shuffles are fact-side keyed joins
+    Scale: region/nation are broadcast (fixed-cardinality dims even at
+    100 TB fact scale); supplier is left to AQE because it scales with
+    SF. The only mandatory shuffles are fact-side keyed joins
     customer⋈orders and orders⋈lineitem.
     """
     cust = load_table(spark, sf_dir, "customer")
@@ -204,7 +205,13 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.join(orders, cust.c_custkey == orders.o_custkey)
         .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(
-            F.broadcast(supp),
+            # no static broadcast hint: supplier scales linearly with SF
+            # (TPC-H SF x 10k rows — ~1e9 at the 100 TB design point), so
+            # AQE/size stats decide the strategy; at bench SF it still
+            # broadcasts via autoBroadcastJoinThreshold, at cluster scale
+            # it becomes a shuffled hash join. nation/region below keep
+            # explicit hints because they are fixed-cardinality dims.
+            supp,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -632,18 +639,25 @@ def w_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "ranking"),
 )
 def w_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANK / DENSE_RANK / NTILE over a global total order."""
+    """RANK / DENSE_RANK / NTILE over a global total order.
+
+    Scale: an unpartitioned window would serialize every row through one
+    task; instead ranks come from operators/globalrank.py — range
+    partition + per-partition rank + broadcast prefix-count correction,
+    so the plan stays partition-parallel at any size.
+    """
+    from ..operators import globalrank as gr
+
     part = load_table(spark, sf_dir, "part")
-    w = W.orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
-    return (
-        part.select(
-            "p_partkey",
-            F.rank().over(w).cast("int").alias("rnk"),
-            F.dense_rank().over(w).cast("int").alias("drnk"),
-            F.ntile(4).over(w).cast("int").alias("quartile"),
-        )
-        .orderBy("p_partkey")
+    g = gr.with_global_order(
+        part, F.desc("p_retailprice"), F.asc("p_partkey")
     )
+    return g.select(
+        "p_partkey",
+        F.col(gr.RANK).cast("int").alias("rnk"),
+        F.col(gr.DENSE_RANK).cast("int").alias("drnk"),
+        gr.ntile_expr(4).cast("int").alias("quartile"),
+    ).orderBy("p_partkey")
 
 
 @register(

@@ -392,19 +392,24 @@ def q22_wealthy_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "distribution"),
 )
 def w_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUME_DIST / PERCENT_RANK / NTH_VALUE (exact int-ratio doubles)."""
+    """CUME_DIST / PERCENT_RANK / NTH_VALUE (exact int-ratio doubles).
+
+    Scale: global-total-order distribution functions come from
+    operators/globalrank.py (range partition + prefix-count correction)
+    instead of a single-task unpartitioned window; NTH_VALUE over the
+    full frame is a broadcast of the one row at global row_number == 3.
+    """
+    from ..operators import globalrank as gr
+
     part = load_table(spark, sf_dir, "part")
-    w = W.orderBy("p_retailprice", "p_partkey")
-    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    return (
-        part.select(
-            "p_partkey",
-            F.round(F.cume_dist().over(w), 6).alias("cd"),
-            F.round(F.percent_rank().over(w), 6).alias("pr"),
-            F.nth_value("p_partkey", 3).over(wfull).alias("third_cheapest"),
-        )
-        .orderBy("p_partkey")
-    )
+    g = gr.with_global_order(part, F.asc("p_retailprice"), F.asc("p_partkey"))
+    g = gr.global_nth_value(g, "p_partkey", 3, "third_cheapest")
+    return g.select(
+        "p_partkey",
+        F.round(F.col(gr.CUME_DIST), 6).alias("cd"),
+        F.round(F.col(gr.PERCENT_RANK), 6).alias("pr"),
+        "third_cheapest",
+    ).orderBy("p_partkey")
 
 
 @register(

@@ -41,10 +41,20 @@ def test_q1_reads_only_needed_columns(spark, sf_dir):
 
 
 def test_q5_broadcasts_dimensions(spark, sf_dir):
-    plan = _physical(REGISTRY["q5_local_supplier_volume"].spark(spark, sf_dir))
+    df = REGISTRY["q5_local_supplier_volume"].spark(spark, sf_dir)
+    plan = _physical(df)
+    # At bench SF the supplier join still broadcasts (parquet size stats
+    # under autoBroadcastJoinThreshold) — no perf regression from
+    # dropping the static hint.
     assert plan.count("BroadcastHashJoin") >= 3, (
-        "region/nation/supplier joins must broadcast, not shuffle"
+        "region/nation (hinted) and supplier (size-stats) must broadcast"
     )
+    # Only nation/region carry static hints: they are fixed-cardinality
+    # dimensions at any SF. supplier scales with SF (TPC-H SF x 10k) so
+    # its strategy must be left to AQE/size stats — a static broadcast
+    # hint there is a 100 TB scale bug.
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 2
 
 
 def test_exists_becomes_semi_join(spark, sf_dir):
@@ -369,3 +379,40 @@ def test_bounded_output_sort_has_no_sampling_exchange(spark, sf_dir):
         plan = _physical(REGISTRY[name].spark(spark, sf_dir))
         assert "rangepartitioning" not in plan, name
         assert "Coalesce 1" in plan and "Sort" in plan, name
+
+
+@pytest.mark.parametrize("name", ["w_rank_dense_ntile", "w_distribution"])
+def test_global_rank_windows_are_partitioned(spark, sf_dir, name):
+    """Global total-order ranking must NOT execute as a single-task
+    unpartitioned window: every Window node in the plan is keyed on the
+    range-partition id (operators/globalrank.py), so the heavy pass is
+    partition-parallel and only the per-partition stats table (bounded
+    by the shuffle partition count) feeds the prefix-sum correction."""
+    plan = _physical(REGISTRY[name].spark(spark, sf_dir))
+    win_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert win_lines, "expected Window nodes in the plan"
+    assert all("__gr_pid" in ln for ln in win_lines), (
+        "unpartitioned Window found - single-task global sort at scale"
+    )
+
+
+def test_copy_from_stdin_never_collects(spark, tmp_path, monkeypatch):
+    """COPY FROM STDIN must stream through executors (spool-backed scan
+    -> snapshot write), never materialize the payload on the driver
+    (VERDICT r2 finding #1; reference pgserver/dataloader.go:156-256
+    pipelines chunks the same way)."""
+    from myduckserver_spark.engine import Engine
+    from pyspark.sql import DataFrame
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.execute("CREATE TABLE cp (a INT, b VARCHAR(10))")
+    monkeypatch.setattr(
+        DataFrame, "collect",
+        lambda self: (_ for _ in ()).throw(
+            AssertionError("COPY payload collected on driver")),
+    )
+    payload = "".join(f"{i}\tv{i}\n" for i in range(500)).encode()
+    res = eng.copy_from_stdin("cp", [payload])
+    monkeypatch.undo()
+    assert res.affected_rows == 500
+    assert eng.sql("SELECT COUNT(*) AS n FROM cp").collect()[0].n == 500
