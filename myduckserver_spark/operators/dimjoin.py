@@ -1,0 +1,80 @@
+"""Inline joins against FIXED-CARDINALITY dimension tables.
+
+TPC-H's region (5 rows) and nation (25 rows) are schema-fixed: they
+have the same cardinality at SF 0.01 and at 100 TB. Joining them
+through Spark's broadcast machinery costs a separate broadcast job
+(build + serialize + publish) on EVERY fresh query execution — ~50 ms
+of pure fixed latency per dimension locally, and a driver round-trip
+on a cluster. The reference's engine (DuckDB) pays none of that: it
+hash-builds a 25-row table in microseconds inside the same pipeline.
+
+`inline_map` / `inline_keys` equalize: the dimension is collected ONCE
+per (session, sf_dir) — it is catalog-stable reference data — and baked
+into the plan as a literal lookup expression (a Catalyst `map` literal)
+or a literal IN-list. The join disappears from the plan entirely; an
+IN-list filter additionally pushes into the parquet scan as
+`PushedFilters: [In(...)]`, which a broadcast join can never do.
+
+Guard rails: `MAX_INLINE_ROWS` refuses tables that could grow with the
+data (a supplier-sized table raises), so this can only ever apply to
+dimensions that are genuinely O(1) in the dataset — the same soundness
+argument as a static broadcast hint on region/nation, executed better.
+The memoized collect is exactly one tiny job per session, amortized the
+same way the in-memory table cache itself is.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MAX_INLINE_ROWS = 1000
+
+_MEMO: dict[tuple, object] = {}
+
+
+def _collect_pairs(df: DataFrame, key_col: str, val_col: str | None,
+                   cache_key: tuple):
+    got = _MEMO.get(cache_key)
+    if got is not None:
+        return got
+    cols = [key_col] if val_col is None else [key_col, val_col]
+    rows = df.select(*cols).limit(MAX_INLINE_ROWS + 1).collect()
+    if len(rows) > MAX_INLINE_ROWS:
+        raise ValueError(
+            f"refusing to inline a dimension with more than "
+            f"{MAX_INLINE_ROWS} rows - it is not fixed-cardinality; "
+            f"use a broadcast join"
+        )
+    got = [tuple(r) for r in rows]
+    _MEMO[cache_key] = got
+    return got
+
+
+def inline_map(df: DataFrame, key_col: str, val_col: str,
+               cache_key: tuple) -> Column:
+    """A literal map expression `key -> val` built from a fixed-size
+    dimension: `inline_map(nation, "n_nationkey", "n_name", key)[col]`
+    replaces a broadcast join with an in-codegen lookup. The Column
+    object itself is memoized (Columns are immutable expression trees,
+    reusable across plans) so repeat plan builds cost zero Py4J
+    round-trips."""
+    colkey = ("mapcol",) + cache_key
+    got = _MEMO.get(colkey)
+    if got is not None:
+        return got
+    pairs = _collect_pairs(df, key_col, val_col, ("map",) + cache_key)
+    args = []
+    for k, v in pairs:
+        args.append(F.lit(k))
+        args.append(F.lit(v))
+    col = F.create_map(*args)
+    _MEMO[colkey] = col
+    return col
+
+
+def inline_keys(df: DataFrame, key_col: str, cache_key: tuple) -> list:
+    """The literal key set of a fixed-size dimension (for `.isin()` —
+    reaches the scan as a pushed In filter)."""
+    pairs = _collect_pairs(df, key_col, None, ("keys",) + cache_key)
+    return [k for (k,) in pairs]

@@ -50,10 +50,15 @@ def _with_vec_norm(
     computed ONCE per row here, not once per pair after a join —
     higher-order fns are interpreted, so per-pair norms dominated the
     pairwise-compare cost (measured 3x on dd_embedding_neardup).
-    FP-identical to inline norms: same expression tree per row."""
-    dv = _dvec(F.col(vec_col))
-    return df.select(*keep, dv.alias(out_vec)).withColumn(
-        out_norm, _norm(F.col(out_vec))
+    FP-identical to inline norms: same expression tree per row.
+    Single-string selectExpr: one Py4J round-trip per projection."""
+    return df.selectExpr(
+        *keep,
+        f"transform({vec_col}, xd -> cast(xd as double)) AS {out_vec}",
+    ).selectExpr(
+        "*",
+        f"sqrt(aggregate(transform({out_vec}, xs -> xs * xs), 0.0D,"
+        f" (na, nx) -> na + nx)) AS {out_norm}",
     )
 
 
@@ -76,13 +81,15 @@ def cosine_topk(
         vec_col, "__q", "__nq", query_id_col,
     )
     v = _with_vec_norm(corpus, vec_col, "__v", "__nv", id_col)
-    sim = F.round(
-        _dot(F.col("__q"), F.col("__v")) / (F.col("__nq") * F.col("__nv")), 6
-    )
     scored = (
         F.broadcast(q)
         .join(v, F.col(query_id_col) != F.col(id_col))
-        .select(query_id_col, id_col, sim.alias("sim"))
+        .selectExpr(
+            query_id_col,
+            id_col,
+            "round(aggregate(zip_with(__q, __v, (zx, zy) -> zx * zy), 0.0D,"
+            " (da, dv) -> da + dv) / (__nq * __nv), 6) AS sim",
+        )
     )
     w = W.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
     return (
@@ -102,12 +109,15 @@ def ivf_assign(
     tie-break by centroid id). Map-only: centroids broadcast."""
     c = _with_vec_norm(centroids, vec_col, "__c", "__nc", centroid_id_col)
     v = _with_vec_norm(corpus, vec_col, "__v", "__nv", id_col)
-    sim = F.round(
-        _dot(F.col("__c"), F.col("__v")) / (F.col("__nc") * F.col("__nv")), 6
-    ) - F.col(centroid_id_col).cast("double") * F.lit(1e-12)
     return (
         v.crossJoin(F.broadcast(c))
-        .select(id_col, centroid_id_col, sim.alias("__sim"))
+        .selectExpr(
+            id_col,
+            centroid_id_col,
+            "round(aggregate(zip_with(__c, __v, (zx, zy) -> zx * zy), 0.0D,"
+            " (da, dv) -> da + dv) / (__nc * __nv), 6)"
+            f" - cast({centroid_id_col} as double) * 1e-12 AS __sim",
+        )
         .groupBy(id_col)
         .agg(F.max_by(centroid_id_col, "__sim").alias(centroid_id_col))
     )

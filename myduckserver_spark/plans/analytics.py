@@ -18,7 +18,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from myduckserver_spark.plans.helpers import bcount, o_bcount, ts_micros
+from myduckserver_spark.plans.helpers import (
+    bcount,
+    o_bcount,
+    ordered_adaptive,
+    ordered_bounded,
+    ts_micros,
+)
 from myduckserver_spark.plans.registry import register
 from myduckserver_spark.tables import load_table
 
@@ -50,7 +56,7 @@ def dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fp")
         .agg(F.min("doc_id").cast("long").alias("keep_id"), bcount("n_copies"))
         .select("keep_id", "fp", "n_copies")
-        .orderBy("keep_id")
+        .transform(ordered_adaptive, "keep_id")
     )
 
 
@@ -255,7 +261,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_topk(
         emb, emb.filter(F.col("vec_id") < 5), k=5
-    ).orderBy("qid", "rk")
+    ).transform(ordered_bounded, "qid", "rk")  # k x |queries| rows: bounded
 
 
 @register(
@@ -413,7 +419,7 @@ def tx_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .cast("int")
         .alias("len_ok"),
-    ).orderBy("doc_id")
+    ).transform(ordered_adaptive, "doc_id")
 
 
 @register(
@@ -611,7 +617,7 @@ def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("session_id").cast("long").alias("n_sessions"),
             bcount("n_events"),
         )
-        .orderBy("user_id")
+        .transform(ordered_adaptive, "user_id")
     )
 
 

@@ -112,3 +112,138 @@ def ordered_bounded(df, *cols):
     exprs = [F.col(c) if isinstance(c, str) else c for c in cols]
     assert all(isinstance(c, Column) for c in exprs)
     return df.coalesce(1).sortWithinPartitions(*exprs)
+
+
+# ------------------------------------------------------------ fixed point
+#
+# The decimal path above is exact but slow in Spark's hot loop: a sum
+# buffer of DECIMAL(28,6) exceeds the 18-digit compact range, so every
+# row pays a Java BigDecimal deserialize/add/serialize in the UnsafeRow
+# aggregate buffer (measured: ~245 ms of q1's 460 ms at sf0.1 — DuckDB
+# does the same sums on int128 in hardware). The fixed-point helpers
+# below compute the SAME exact values on int64:
+#
+#   per row   : sl6(x) = the exact int64 image of CAST(x AS DECIMAL(18,6))
+#               (pure double multiply+add+truncate — whole-stage codegen,
+#               no BigDecimal)
+#   partial   : SUM(long) — wraps only if a single partition's group sum
+#               exceeds 9.2e18/1e6 ≈ 9.2e12 in value, impossible for
+#               128 MB partitions of money-scale values
+#   final     : the cross-partition merge runs in DECIMAL(38,0) — exact
+#               and overflow-graceful at ANY total, but touches only
+#               n_partitions × n_groups rows, so BigDecimal cost is nil
+#
+# Two regimes: `fp_sum` (single-level) when the GROUP SIZE is bounded by
+# the schema (per-order, per-customer aggregates — a group never exceeds
+# ~1e4 rows at any SF, so the long sum can't overflow); `fp_groupby`
+# (two-level with a partition-id pre-aggregate) when groups grow with
+# the data (per-flag, global) and only the tiny final merge may exceed
+# int64. Rounding: sl6 rounds half-up (toward +inf), identical to both
+# engines' double→decimal cast for non-negative inputs; every summed
+# measure in this repo is non-negative.
+
+SL_FACTOR = 1_000_000  # the DECIMAL(18,6) value grid
+
+
+def sl6(c: Column | str) -> Column:
+    """Exact int64 image of CAST(c AS DECIMAL(18,6)): floor(x*1e6+0.5).
+    Exact for 0 <= x < ~9e9 (x*1e6+0.5 stays under 2^53)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return (c * SL_FACTOR + F.lit(0.5)).cast("long")
+
+
+def sl_val(c: Column) -> Column:
+    """Scaled-long (or its decimal image) -> exact DECIMAL(38,6) value.
+    Use on FINAL aggregated rows only (decimal division per row)."""
+    return c.cast("decimal(38,0)") / F.lit(SL_FACTOR).cast("decimal(7,0)")
+
+
+def fp_sum(c: Column | str, alias: str) -> Column:
+    """Drop-in for `dsum` when the group size is schema-bounded (per-
+    order, per-customer): exact fixed-point sum emitted as canonical
+    rounded DOUBLE. Value-identical to SUM(CAST(c AS DECIMAL(18,6)))."""
+    return dout(sl_val(F.sum(sl6(c)))).alias(alias)
+
+
+def fp_groupby(df, keys, sums=(), avgs=(), counts=()):
+    """Exact fixed-point aggregation for groups that GROW with the data
+    (q1's return-flag groups, global sums): long partial sums per input
+    partition, decimal merge across partitions.
+
+    keys: group column names; sums/avgs: (alias, column-name-or-SQL-
+    expression-string) pairs; counts: aliases for COUNT(*). Output
+    columns: keys, then sums (dsum-canonical 2-dp DOUBLE), avgs (davg
+    semantics), counts (BIGINT) — value-identical to the decimal
+    helpers above. Expressions are SQL strings (not Column trees) so
+    the whole four-step plan builds in a handful of Py4J round-trips:
+    a Column-object formulation measured ~150 driver round-trips
+    (~0.1 s of pure plan-build latency per query).
+    """
+    sums, avgs, counts = list(sums), list(avgs), list(counts)
+    scaled = sums + avgs
+    proj = df.selectExpr(
+        "SPARK_PARTITION_ID() AS __fp_pid",
+        *keys,
+        *[
+            f"CAST(({e}) * {SL_FACTOR}.0 + 0.5 AS BIGINT) AS __fp_{a}"
+            for a, e in scaled
+        ],
+    )
+    part = proj.groupBy("__fp_pid", *keys).agg(
+        F.expr("COUNT(1) AS __fp_n"),
+        *[F.expr(f"SUM(__fp_{a}) AS __fp_{a}") for a, _ in scaled],
+    )
+    # coalesce(1): the per-(partition, group) partials are tiny
+    # (n_partitions x n_groups rows), and SinglePartition satisfies the
+    # final groupBy's required distribution, so the decimal merge runs
+    # in the SAME stage as the first aggregation's reduce — no second
+    # exchange, no extra stage. One merge task handling n_partitions x
+    # n_groups short rows is negligible even at 100 TB for the
+    # low-cardinality keys this helper is for (grows-with-data groups
+    # with high-cardinality KEYS belong in fp_sum's bounded regime
+    # instead).
+    fin = part.coalesce(1).groupBy(*keys).agg(
+        F.expr("CAST(COALESCE(SUM(__fp_n), 0) AS BIGINT) AS __fp_n"),
+        *[
+            F.expr(f"SUM(CAST(__fp_{a} AS DECIMAL(38,0))) AS __fp_{a}")
+            for a, _ in scaled
+        ],
+    )
+    val = (
+        "(CAST(__fp_{a} AS DECIMAL(38,0)) / CAST({f} AS DECIMAL(7,0)))"
+    ).format
+    out = list(keys)
+    out += [
+        f"CAST(ROUND({val(a=a, f=SL_FACTOR)}, 2) AS DOUBLE) AS {a}"
+        for a, _ in sums
+    ]
+    out += [
+        f"(CAST(ROUND({val(a=a, f=SL_FACTOR)}, 3) AS DOUBLE) / __fp_n) AS {a}"
+        for a, _ in avgs
+    ]
+    out += [f"__fp_n AS {a}" for a in counts]
+    return fin.selectExpr(*out)
+
+
+def ordered_adaptive(df, *cols):
+    """Presentation sort for results PROPORTIONAL to the input (dedup
+    survivors, per-document scores, per-user rollups) — unlike
+    `ordered_bounded`, the cardinality is not schema-bounded, so the
+    safe cluster plan is a distributed range sort (with its per-run
+    range-bounds sampling job). When the serving profile has measured a
+    small working set (tables.serving_profile), the whole result fits
+    one task trivially and the coalesce(1) sort skips the sampling job
+    — the same static-for-small / dynamic-for-large split the profile
+    already applies to AQE. Statistics-driven, not a hardcoded shape:
+    a 100 TB session never takes the single-task branch.
+    """
+    from myduckserver_spark.tables import serving_small
+
+    if serving_small():
+        # repartition(1), NOT coalesce(1): coalesce back-propagates and
+        # would serialize the whole upstream compute stage (a window or
+        # map pipeline) into one task; the round-robin exchange keeps
+        # the compute wide and only the final small sort is single-task.
+        exprs = [F.col(c) if isinstance(c, str) else c for c in cols]
+        return df.repartition(1).sortWithinPartitions(*exprs)
+    return df.orderBy(*cols)

@@ -9,6 +9,8 @@ shuffle-on-key aggregations, deterministic top-k via TakeOrderedAndProject.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -18,11 +20,16 @@ from myduckserver_spark.plans.helpers import (
     dec,
     dout,
     dsum,
+    fp_groupby,
+    fp_sum,
     o_bcount,
     o_davg,
     o_dout,
     o_dsum,
+    ordered_adaptive,
     ordered_bounded,
+    sl6,
+    sl_val,
 )
 from myduckserver_spark.plans.registry import register
 from myduckserver_spark.tables import load_table
@@ -58,23 +65,30 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ref coverage: TestQueriesSimple main_test.go:210.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            dsum("l_quantity", "sum_qty"),
-            dsum("l_extendedprice", "sum_base_price"),
-            dout(F.sum(dec(disc_price))).alias("sum_disc_price"),
-            dout(F.sum(dec(charge))).alias("sum_charge"),
-            davg("l_quantity", "avg_qty"),
-            davg("l_extendedprice", "avg_price"),
-            davg("l_discount", "avg_disc"),
-            bcount("count_order"),
-        )
-        .transform(ordered_bounded, "l_returnflag", "l_linestatus")
-    )
+    # Exact sums via int64 fixed point (helpers.fp_groupby): the flag/
+    # status groups grow with the data, so the long partials merge in
+    # decimal — value-identical to SUM(CAST(.. AS DECIMAL(18,6))) with
+    # no per-row BigDecimal in the hot loop.
+    return fp_groupby(
+        li.filter(
+            F.col("l_shipdate")
+            <= F.lit("2001-09-01 00:00:00").cast("timestamp")
+        ),
+        ["l_returnflag", "l_linestatus"],
+        sums=[
+            ("sum_qty", "l_quantity"),
+            ("sum_base_price", "l_extendedprice"),
+            ("sum_disc_price", "l_extendedprice * (1 - l_discount)"),
+            ("sum_charge",
+             "l_extendedprice * (1 - l_discount) * (1 + l_tax)"),
+        ],
+        avgs=[
+            ("avg_qty", "l_quantity"),
+            ("avg_price", "l_extendedprice"),
+            ("avg_disc", "l_discount"),
+        ],
+        counts=["count_order"],
+    ).transform(ordered_bounded, "l_returnflag", "l_linestatus")
 
 
 @register(
@@ -106,10 +120,12 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(
-            dout(F.sum(dec(F.col("l_extendedprice") * F.col("l_discount"))))
-            .alias("revenue"),
-            bcount("n_rows"),
+        # global sum grows with the data -> two-level fixed point
+        .transform(
+            fp_groupby,
+            [],
+            sums=[("revenue", "l_extendedprice * l_discount")],
+            counts=["n_rows"],
         )
     )
 
@@ -152,9 +168,13 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.join(orders, cust.c_custkey == orders.o_custkey)
         .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
+        # fp_sum: per-order groups are schema-bounded (<= 7 lineitems),
+        # so the exact fixed-point sum stays single-level int64.
         .agg(
-            dout(F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))))
-            .alias("revenue")
+            fp_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+            )
         )
         .select(
             "l_orderkey",
@@ -185,13 +205,19 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "aggregation", "tpch"),
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5: 6-way join with broadcast dimensions.
+    """TPC-H Q5 with inline fixed dimensions.
 
-    Scale: region/nation are broadcast (fixed-cardinality dims even at
-    100 TB fact scale); supplier is left to AQE because it scales with
-    SF. The only mandatory shuffles are fact-side keyed joins
+    Scale: region (5 rows) and nation (25 rows) are fixed-cardinality
+    at ANY data scale, so operators/dimjoin.py folds them into the plan
+    as a literal IN-list (ASIA nationkeys — pushes into the supplier
+    scan) and a literal nationkey→name map (the group key) instead of
+    two broadcast-join stages. Supplier scales with SF, so its join is
+    left to AQE/size stats (broadcast at bench SF, shuffled at 100 TB).
+    The only mandatory shuffles are the fact-side keyed joins
     customer⋈orders and orders⋈lineitem.
     """
+    from ..operators.dimjoin import inline_keys, inline_map
+
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -201,26 +227,26 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia = nation.join(
+        region, F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    ck = (id(spark), os.path.abspath(sf_dir), "q5_asia")
+    asia_keys = inline_keys(asia, "n_nationkey", ck)
+    name_map = inline_map(asia, "n_nationkey", "n_name", ck)
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey)
         .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(
-            # no static broadcast hint: supplier scales linearly with SF
-            # (TPC-H SF x 10k rows — ~1e9 at the 100 TB design point), so
-            # AQE/size stats decide the strategy; at bench SF it still
-            # broadcasts via autoBroadcastJoinThreshold, at cluster scale
-            # it becomes a shuffled hash join. nation/region below keep
-            # explicit hints because they are fixed-cardinality dims.
-            supp,
+            supp.filter(F.col("s_nationkey").isin(asia_keys)),
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
-        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
-        .groupBy("n_name")
-        .agg(
-            dout(F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))))
-            .alias("revenue")
+        .withColumn("n_name", F.element_at(name_map, F.col("s_nationkey")))
+        # per-nation revenue grows with the data -> two-level fixed point
+        .transform(
+            fp_groupby,
+            ["n_name"],
+            sums=[("revenue", "l_extendedprice * (1 - l_discount)")],
         )
         .transform(ordered_bounded, F.desc("revenue"), F.asc("n_name"))
     )
@@ -246,7 +272,14 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "aggregation", "topk", "tpch"),
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10: returned-item revenue per customer, top 20."""
+    """TPC-H Q10: returned-item revenue per customer, top 20.
+
+    Scale: nation (25 rows, fixed at any SF) is inlined as a literal
+    nationkey→name map (operators/dimjoin.py) instead of a broadcast
+    join — no per-run broadcast job, no join stage.
+    """
+    from ..operators.dimjoin import inline_map
+
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
@@ -254,14 +287,21 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     nation = load_table(spark, sf_dir, "nation")
+    name_map = inline_map(
+        nation, "n_nationkey", "n_name",
+        (id(spark), os.path.abspath(sf_dir), "nation"),
+    )
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey)
         .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .withColumn("n_name", F.element_at(name_map, F.col("c_nationkey")))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        # fp_sum: per-customer-year groups are schema-bounded
         .agg(
-            dout(F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))))
-            .alias("revenue")
+            fp_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+            )
         )
         .select(
             "c_custkey",
@@ -306,11 +346,13 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast through orders and customer map-side.
     """
     li = load_table(spark, sf_dir, "lineitem")
+    # fixed-point HAVING: per-order quantity sums are schema-bounded,
+    # and the >150 threshold compares on the exact scaled-long grid.
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(dec("l_quantity")).alias("__s"))
-        .filter(F.col("__s") > 150)
-        .select("l_orderkey", dout(F.col("__s")).alias("sum_qty"))
+        .agg(F.sum(sl6("l_quantity")).alias("__s"))
+        .filter(F.col("__s") > 150 * 1_000_000)
+        .select("l_orderkey", dout(sl_val(F.col("__s"))).alias("sum_qty"))
     )
     cust = load_table(spark, sf_dir, "customer")
     # No broadcast hints: `big` is a data-dependent HAVING survivor set and
@@ -562,7 +604,7 @@ def w_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice").cast("double").alias("totalprice"),
             "rn",
         )
-        .orderBy("o_custkey", "rn")
+        .transform(ordered_adaptive, "o_custkey", "rn")
     )
 
 

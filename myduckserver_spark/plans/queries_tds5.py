@@ -250,10 +250,6 @@ def _duck_elem(k: int) -> str:
     return f"embedding[{k}]"
 
 
-def _spark_elem(k: int) -> str:
-    return f"element_at(embedding, {k})"
-
-
 @register(
     "sim_srp_lsh_buckets",
     oracle=f"""
@@ -280,9 +276,17 @@ def sim_srp_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs none, so it is the cold-start/streaming-insert path).
 
     Hyperplane components are md5-derived integer constants computed
-    once in Python and inlined verbatim into BOTH engines' SQL, and
-    each dot product is an explicit left-to-right chain — bit-equal
-    IEEE sums, so near-zero dots land on the same side everywhere.
+    once in Python and inlined into both engines' plans. The Spark dot
+    product is `aggregate(zip_with(vec, plane, *), 0.0, +)` — a
+    higher-order-function LOOP in generated code, not a 64-term
+    unrolled chain: the unrolled form (16 planes x 64 dims = 1024
+    inlined terms) blew the JVM's 64 KB method limit inside
+    hashAgg_doAggregateWithKeys and knocked the whole stage back to
+    interpreted mode. `aggregate` folds left-to-right from 0.0, the
+    exact IEEE association order of DuckDB's explicit `a + b + c`
+    chain in the oracle (and 0.0 + x == x for every x, with -0.0 vs
+    0.0 sign-equal under >= 0), so the signature bit is bit-equal on
+    both engines while the generated code stays a few hundred bytes.
 
     Scale: the signature is map-only (constants live in the plan, no
     join against a planes table), the bucket histogram is one
@@ -292,12 +296,23 @@ def sim_srp_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/dedup.py).
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    sigs = emb.select(
-        "vec_id",
-        F.expr(f"CAST({_srp_bucket_sql(_spark_elem)} AS BIGINT)").alias(
-            "bucket"
-        ),
-    )
+    vec = F.col("embedding").cast("array<double>")
+
+    def dot(p: int):
+        plane = F.array(
+            *[F.lit(float(_srp_component(p, i))) for i in range(SRP_DIMS)]
+        )
+        return F.aggregate(
+            F.zip_with(vec, plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    bucket = None
+    for p in range(SRP_PLANES):
+        bit = F.when(dot(p) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    sigs = emb.select("vec_id", bucket.cast("long").alias("bucket"))
     return (
         sigs.groupBy("bucket")
         .agg(bcount("n_vecs"), F.min("vec_id").cast("long").alias("min_vec"))

@@ -119,6 +119,18 @@ def warm_cache(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_T
 SERVING_PROFILE_MAX_BYTES = 4 << 30
 _TARGET_SHUFFLE_PARTITION_BYTES = 64 << 20
 
+# True after serving_profile() measured a small (<4 GiB) working set.
+# Plan helpers consult this for decisions that trade single-task
+# convenience against distributed robustness (e.g. presentation sorts:
+# a result proportional to a small input can coalesce(1)-sort without
+# the range-sampling job; a 100 TB deployment keeps the distributed
+# range sort). Default False = cluster-safe behavior.
+_SERVING_SMALL = False
+
+
+def serving_small() -> bool:
+    return _SERVING_SMALL
+
 
 def serving_profile(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     """Statistics-driven planning profile (DuckDB sizes its pipeline
@@ -128,13 +140,16 @@ def serving_profile(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     session to static planning with size-proportional shuffle width.
     Large working sets keep the cluster defaults (AQE on) untouched.
     Returns the conf it applied (for logging/tests)."""
+    global _SERVING_SMALL
     total = 0
     for name in TPCH_TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
             total += os.path.getsize(path)
     if total > SERVING_PROFILE_MAX_BYTES:
+        _SERVING_SMALL = False
         return {}
+    _SERVING_SMALL = True
     parts = max(8, min(int(spark.sparkContext.defaultParallelism),
                        total // _TARGET_SHUFFLE_PARTITION_BYTES + 1))
     conf = {
