@@ -62,7 +62,7 @@ def main() -> None:
     # BASELINE.md measures).
     for _ in range(3):
         for name in HEADLINE:
-            REGISTRY[name].spark(spark, sf_dir).collect()
+            REGISTRY[name].spark(spark, sf_dir).toPandas()
 
     # HEADLINE timings are HONEST end-to-end runs: a fresh DataFrame per
     # run, so every sample pays Catalyst analysis+optimization+physical
@@ -75,14 +75,20 @@ def main() -> None:
     #
     # Measured overhead anatomy at sf0.1 (see PROGRESS notes): actual
     # execution on warm columnar data is ~40-80 ms/query; the remaining
-    # ~0.3-0.6 s is per-query driver-side planning + stage orchestration
+    # ~0.1-0.3 s is per-query driver-side planning + stage orchestration
     # — a fixed cost that is invariant in data size and disappears into
     # noise at the 100 TB design point.
+    #
+    # Fetch path is toPandas() (Arrow batches), the same materialization
+    # class as the DuckDB proxy's .df() below and the driver gate's own
+    # pandas fetch — row-pickling collect() added ~150 ms of pure Python
+    # deserialization on 40k-row results, which is client-API overhead,
+    # not engine latency.
     runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for name in HEADLINE:
         for _ in range(5):
             t0 = time.perf_counter()
-            REGISTRY[name].spark(spark, sf_dir).collect()
+            REGISTRY[name].spark(spark, sf_dir).toPandas()
             runs[name].append(time.perf_counter() - t0)
     timings = {
         name: round(sorted(rs)[2], 3) for name, rs in runs.items()
@@ -100,11 +106,11 @@ def main() -> None:
 
     prep: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for name in HEADLINE:
-        prepared(name, spark, sf_dir).collect()  # plan + first execution
+        prepared(name, spark, sf_dir).toPandas()  # plan + first execution
     for _ in range(3):
         for name in HEADLINE:
             t0 = time.perf_counter()
-            prepared(name, spark, sf_dir).collect()
+            prepared(name, spark, sf_dir).toPandas()
             prep[name].append(time.perf_counter() - t0)
     prepared_timings = {
         name: round(sorted(rs)[1], 3) for name, rs in prep.items()
@@ -132,11 +138,11 @@ def main() -> None:
             oracle = REGISTRY[name].oracle
             if not oracle:
                 continue
-            con.sql(oracle).fetchall()  # warm
+            con.sql(oracle).df()  # warm
             samples = []
             for _ in range(3):
                 t0 = time.perf_counter()
-                con.sql(oracle).fetchall()
+                con.sql(oracle).df()
                 samples.append(time.perf_counter() - t0)
             proxy[name] = round(sorted(samples)[1], 3)
         con.close()

@@ -80,8 +80,21 @@ class ParquetTable:
         schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
         try:
             df = self.spark.read.parquet(path)
-        except Exception:
-            return self.spark.createDataFrame([], schema)
+        except Exception as e:
+            # ONLY the empty-snapshot case (every row deleted -> the
+            # version dir holds no partition files, so schema inference
+            # fails) may read as zero rows. Corruption, permissions, or
+            # transient IO must surface — silently returning empty
+            # would feed wrong results into queries and snapshot
+            # overwrites (ADVICE r2).
+            msg = str(e)
+            if (
+                "unable to infer schema" in msg.lower()
+                or "path does not exist" in msg.lower()
+                or "unable_to_infer_schema" in msg.upper()
+            ):
+                return self.spark.createDataFrame([], schema)
+            raise
         for f_ in schema.fields:
             if f_.name in parts:
                 df = df.withColumn(f_.name, F.col(f_.name).cast(f_.dataType))

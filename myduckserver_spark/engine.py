@@ -243,14 +243,27 @@ class Engine:
         Only explicit COLLATE declarations opt in: MySQL's default
         utf8mb4 collation is _ci too, but silently changing every
         string sort would diverge from the oracle-checked plans.
+
+        Cached per engine and invalidated on DDL (_ddl_changed): the
+        uncached form re-read every table's snapshot schema on every
+        query containing 'order' — per-query parquet metadata loads
+        that scale with table count (ADVICE r2).
         """
+        cached = getattr(self, "_ci_cache", None)
+        if cached is not None:
+            return cached
         out: set[str] = set()
         for name in self.catalog.list_tables():
             for f in self.catalog.table(name).read().schema.fields:
                 coll = (f.metadata or {}).get("collation", "")
                 if coll.endswith("_ci"):
                     out.add(f.name)
+        self._ci_cache = out
         return out
+
+    def _ddl_changed(self) -> None:
+        """Invalidate schema-derived per-engine caches after any DDL."""
+        self._ci_cache = None
 
     def _rewrite_time_travel(self, query: str) -> str:
         """``FROM t VERSION AS OF n`` → a registered snapshot view
@@ -455,6 +468,7 @@ class Engine:
         return self.catalog.create_table(name, df, partition_by=partition_by)
 
     def drop_table(self, name: str) -> None:
+        self._ddl_changed()
         if getattr(self, "_txn_snapshot", None) is not None:
             # Inside an open transaction DROP is deferred-destructive:
             # the table directory moves to txn trash so ROLLBACK can
@@ -504,10 +518,12 @@ class Engine:
         t.overwrite(df)
 
     def alter_drop_column(self, name: str, col: str) -> None:
+        self._ddl_changed()
         t = self.catalog.table(name)
         t.overwrite(t.read().drop(col))
 
     def alter_rename_column(self, name: str, old: str, new: str) -> None:
+        self._ddl_changed()
         t = self.catalog.table(name)
         t.overwrite(t.read().withColumnRenamed(old, new))
 
@@ -521,6 +537,8 @@ class Engine:
 
     def rename_table(self, old: str, new: str) -> None:
         import os
+
+        self._ddl_changed()
 
         os.rename(
             os.path.join(self.catalog.root, old),
@@ -1180,6 +1198,8 @@ class Engine:
             )
             if fm:
                 q = q[: fm.start()]
+            if dialect == "mysql":
+                q = self._rewrite_match_bm25(q)
             df = self.sql(q, dialect=dialect)
             # sql_select_limit caps SELECTs that carry no LIMIT of
             # their own (GMS TestRowLimit semantics).
@@ -1396,6 +1416,8 @@ class Engine:
             self.spark.catalog.dropTempView(s.name)
             return OkResult()
         if isinstance(s, st.CreateIndex):
+            if s.fulltext:
+                return self._exec_create_fulltext_index(s)
             # Metadata-only: Catalyst has no index scans — min/max
             # row-group stats and partition pruning play that role.
             # Declared for SHOW INDEXES parity (reference creates real
@@ -1421,6 +1443,9 @@ class Engine:
                             vt = f"__vidx_{tname}_{s.name}_{part}"
                             if vt in self.catalog.list_tables():
                                 self.catalog.drop_table(vt)
+                    ft = props.get("index_table")
+                    if ft and ft in self.catalog.list_tables():
+                        self.catalog.drop_table(ft)
                     return OkResult()
             raise ValueError(f"no such index: {s.name}")
         if isinstance(s, st.LoadData):
@@ -1502,11 +1527,16 @@ class Engine:
             sp = getattr(self, "_txn_savepoints", {}).get(name)
             if sp is None:
                 raise ValueError(f"SAVEPOINT {name} does not exist")
-            for n in self.catalog.list_tables():
-                if n not in sp["pointers"]:  # created after the savepoint
-                    self.catalog.drop_table(n)
-                    self._meta_path_cleanup(n)
+            # DDL is NOT rolled back (MySQL: DDL implicitly commits):
+            # tables created after the savepoint survive, tables dropped
+            # after it stay dropped — only DATA pointers + metadata of
+            # still-existing tables revert (ADVICE r2: the old code
+            # dropped post-savepoint CREATEs and re-saved meta for
+            # dropped tables, leaving orphan meta files).
+            existing = set(self.catalog.list_tables())
             for n, pointer in sp["pointers"].items():
+                if n not in existing:
+                    continue
                 t = self.catalog.table(n)
                 if t.exists() and t._read_pointer() != pointer:
                     t._write_pointer(pointer)
@@ -1577,6 +1607,7 @@ class Engine:
         os.makedirs(os.path.dirname(self._meta_path(name)), exist_ok=True)
         with open(self._meta_path(name), "w") as f:
             json.dump(meta.__dict__, f)
+        self._ddl_changed()
 
     # -------------------------------------------------------- exec helpers
     def _fragment(self, text: str) -> Column:
@@ -2291,6 +2322,144 @@ class Engine:
         return sub_outside_strings(self._VS_PATTERN, repl, query, re.I)
 
     # ------------------------------------------------------ vector index
+
+    def _exec_create_fulltext_index(self, s: "st.CreateIndex") -> "OkResult":
+        """CREATE FULLTEXT INDEX: materialize a document-frequency
+        index — (term, df) rows plus one stats row (term='', n_docs,
+        sum_dl) — so MATCH...AGAINST can resolve to a real Okapi BM25
+        scalar with index-derived constants (_rewrite_match_bm25).
+        This is the Spark-shaped analog of go-mysql-server's fulltext
+        index tables (reference: TestFulltextIndexes main_test.go:1879;
+        fulltext relevancy computed from per-word index tables).
+
+        Scale: one pass over the table (distinct-terms explode +
+        count), the same build cost class as any inverted index; the
+        index table is term-keyed so query-time df lookups read a few
+        rows via predicate pushdown.
+        """
+        from pyspark.sql import functions as F
+
+        t = self.catalog.table(s.table).read()
+        cols = s.columns
+        text = (
+            F.col(cols[0])
+            if len(cols) == 1
+            else F.concat_ws(" ", *[F.col(c) for c in cols])
+        )
+        toks = F.split(F.lower(F.trim(text)), " ")
+        base = t.select(
+            F.size(toks).cast("long").alias("__dl"),
+            F.array_distinct(toks).alias("__terms"),
+        )
+        df_tab = (
+            base.select(F.explode("__terms").alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("long").alias("df"))
+            .selectExpr(
+                "term", "df", "CAST(0 AS BIGINT) AS n_docs",
+                "CAST(0 AS BIGINT) AS sum_dl",
+            )
+        )
+        stats = base.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__dl").cast("long").alias("sum_dl"),
+        ).selectExpr(
+            "'' AS term", "CAST(0 AS BIGINT) AS df", "n_docs", "sum_dl"
+        )
+        idx_table = f"__ftidx_{s.table}_{s.name}"
+        self.catalog.create_table(idx_table, df_tab.unionByName(stats))
+        meta = self.table_meta(s.table)
+        meta.indexes[s.name] = {
+            "columns": s.columns, "unique": False, "fulltext": True,
+            "index_table": idx_table,
+        }
+        self._save_meta(s.table, meta)
+        return OkResult(info=f"fulltext index {s.name} built")
+
+    def _rewrite_match_bm25(self, query: str) -> str:
+        """Route MATCH(cols) AGAINST('terms') in NATURAL LANGUAGE MODE
+        (the MySQL default) to a BM25 relevance scalar when a matching
+        FULLTEXT INDEX exists: per-term document frequencies and corpus
+        stats come from the index table (a few term-keyed rows), idf /
+        avgdl are computed driver-side and inlined as literals, and the
+        per-row tf/dl arithmetic stays in the scan — the same split a
+        native fulltext engine makes. BOOLEAN MODE and un-indexed
+        tables keep the documented token-overlap shim
+        (functions/mysql_compat._match_against)."""
+        if "MATCH" not in query.upper():
+            return query
+        from myduckserver_spark.operators.text import (
+            bm25_idf, bm25_scalar_sql,
+        )
+        from myduckserver_spark.statements import mask_strings
+
+        pat = re.compile(
+            r"MATCH\s*\(([^)]*)\)\s+AGAINST\s*\(\s*('(?:[^']|'')*')\s*"
+            r"(IN\s+NATURAL\s+LANGUAGE\s+MODE\s*)?\)",
+            re.I,
+        )
+        masked = mask_strings(query)
+
+        def repl(m: re.Match) -> str:
+            frag = query[m.start():m.end()]
+            if re.search(r"BOOLEAN\s+MODE", masked[m.start():m.end()], re.I):
+                return frag  # boolean mode keeps the overlap shim
+            cols = [c.strip().strip('`') for c in m.group(1).split(",")]
+            # find a fulltext index declared on exactly these columns
+            hit = None
+            for tname in self.catalog.list_tables():
+                if tname.startswith("__"):
+                    continue
+                try:
+                    meta = self.table_meta(tname)
+                except Exception:
+                    continue
+                for iname, props in meta.indexes.items():
+                    if props.get("fulltext") and set(
+                        props.get("columns", [])
+                    ) == set(cols):
+                        hit = props
+                        break
+                if hit:
+                    break
+            if hit is None:
+                return frag  # no index: overlap shim handles it
+            # group offsets index the MASKED text (string contents
+            # blanked, length-preserving) — read the literal from the
+            # original query at the same offsets.
+            terms_lit = query[m.start(2) + 1:m.end(2) - 1].replace("''", "'")
+            terms = [t for t in terms_lit.lower().split() if t]
+            if not terms:
+                return "0.0"
+            idx = self.catalog.table(hit["index_table"]).read()
+            rows = idx.filter(
+                F.col("term").isin([""] + terms)
+            ).collect()
+            n_docs = sum_dl = 0
+            dfs = {}
+            for r in rows:
+                if r.term == "":
+                    n_docs, sum_dl = r.n_docs, r.sum_dl
+                else:
+                    dfs[r.term] = r.df
+            if n_docs == 0:
+                return "0.0"
+            avgdl = sum_dl / n_docs
+            idf = {t: bm25_idf(n_docs, dfs.get(t, 0)) for t in terms}
+            text_sql = (
+                cols[0] if len(cols) == 1
+                else "concat_ws(' ', " + ", ".join(cols) + ")"
+            )
+            return bm25_scalar_sql(text_sql, terms, idf, avgdl)
+
+        out = []
+        last = 0
+        for m in pat.finditer(masked):
+            out.append(query[last:m.start()])
+            out.append(repl(m))
+            last = m.end()
+        out.append(query[last:])
+        return "".join(out)
 
     def _exec_create_vector_index(
         self, s: "st.CreateVectorIndex"

@@ -732,10 +732,137 @@ def translate_mysql(sql: str, ansi_quotes: bool = False) -> str:
     """Normalize a MySQL-dialect query into Spark SQL (token-level).
     ansi_quotes applies the ANSI_QUOTES sql_mode (double-quoted
     identifiers)."""
+    sql = rewrite_json_table(sql, ansi_quotes=ansi_quotes)
     toks = tokenize(sql, ansi_quotes=ansi_quotes)
     toks = _pass_odbc_escapes(toks)
     toks = _pass_keywords(toks)
     toks = _pass_limit(toks)
     toks = _pass_json_arrows(toks)
     toks = _pass_functions(toks)
+    return render(toks)
+
+
+# ------------------------------------------------------------- JSON_TABLE
+#
+# MySQL 8 `JSON_TABLE(expr, '$[*]' COLUMNS (...))` as a FROM-clause
+# source (reference corpus: TestJSONTableQueries main_test.go:430-446;
+# the semantic shape is already gate-green as f_json_table_explode).
+# Rewritten to a Spark LATERAL derived table over
+# explode(from_json(expr, 'array<struct<...>>')):
+#   - `col TYPE PATH '$.key'`   -> struct field `key`, projected AS col
+#   - `col FOR ORDINALITY`      -> posexplode index + 1
+#   - row path '$[*]' (or '$')  -> the array itself
+# A preceding table in the FROM list makes the subquery correlated —
+# Spark's LATERAL join evaluates it per outer row, the exact MySQL
+# semantics. Standalone JSON_TABLE (literal argument) renders as a
+# plain derived table.
+
+_JT_TYPE_MAP = None
+
+
+def _jt_spark_type(mysql_type: str) -> str:
+    from myduckserver_spark.types import mysql_to_spark
+
+    return mysql_to_spark(mysql_type)[0].simpleString()
+
+
+def rewrite_json_table(sql: str, ansi_quotes: bool = False) -> str:
+    """Replace every FROM-clause JSON_TABLE(...) with a (LATERAL)
+    derived table. Token-level: string literals and parens are honored
+    by the shared lexer."""
+    if "JSON_TABLE" not in sql.upper():
+        return sql
+    toks = tokenize(sql, ansi_quotes=ansi_quotes)
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if not (t.kind == "word" and t.text.upper() == "JSON_TABLE"):
+            i += 1
+            continue
+        k = _sig_next(toks, i)
+        if k >= len(toks) or toks[k].text != "(":
+            i += 1
+            continue
+        close = match_paren(toks, k)
+        if close < 0:
+            i += 1
+            continue
+        args = split_args(toks, k, close)
+        if len(args) < 2:
+            i += 1
+            continue
+        src_expr = render(args[0]).strip()
+        # args[1] = "'$[*]' COLUMNS ( ... )"
+        seg = args[1]
+        row_path = None
+        cols_open = -1
+        for j, tt in enumerate(seg):
+            if tt.kind == "str" and row_path is None:
+                row_path = _str_lit(tt.text)
+            if tt.kind == "word" and tt.text.upper() == "COLUMNS":
+                # next sig token must be (
+                for jj in range(j + 1, len(seg)):
+                    if seg[jj].kind == "ws":
+                        continue
+                    if seg[jj].text == "(":
+                        cols_open = jj
+                    break
+                break
+        if row_path not in ("$[*]", "$") or cols_open < 0:
+            i += 1
+            continue
+        cols_close = match_paren(seg, cols_open)
+        col_defs = split_args(seg, cols_open, cols_close)
+        fields, projections, ordinal = [], [], None
+        ok = True
+        for cd in col_defs:
+            text = render(cd).strip()
+            m = re.match(
+                r"(`[^`]+`|\w+)\s+FOR\s+ORDINALITY\s*$", text, re.I
+            )
+            if m:
+                ordinal = m.group(1).strip("`")
+                continue
+            m = re.match(
+                r"(`[^`]+`|\w+)\s+(.+?)\s+PATH\s+'\$\.(\w+)'\s*$",
+                text,
+                re.I | re.S,
+            )
+            if not m:
+                ok = False
+                break
+            cname = m.group(1).strip("`")
+            key = m.group(3)
+            fields.append(f"`{key}`:{_jt_spark_type(m.group(2))}")
+            projections.append(f"__jt_r.`{key}` AS `{cname}`")
+        if not ok or not fields:
+            i += 1
+            continue
+        schema = "array<struct<" + ",".join(fields) + ">>"
+        if ordinal is not None:
+            inner = (
+                f"SELECT posexplode(from_json({src_expr}, '{schema}'))"
+                f" AS (__jt_i, __jt_r)"
+            )
+            projections.insert(0, f"__jt_i + 1 AS `{ordinal}`")
+        else:
+            inner = (
+                f"SELECT explode(from_json({src_expr}, '{schema}'))"
+                f" AS __jt_r"
+            )
+        sub = f"(SELECT {', '.join(projections)} FROM ({inner}))"
+        # correlated iff a table source precedes it in the FROM list
+        # (previous significant token is a comma or JOIN keyword)
+        prev = None
+        for jj in range(i - 1, -1, -1):
+            if toks[jj].kind != "ws":
+                prev = toks[jj]
+                break
+        correlated = prev is not None and (
+            prev.text == ","
+            or (prev.kind == "word" and prev.text.upper() in ("JOIN",))
+        )
+        repl = ("LATERAL " if correlated else "") + sub
+        toks[i:close + 1] = tokenize(repl)
+        i += 1
     return render(toks)

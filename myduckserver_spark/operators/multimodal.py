@@ -408,3 +408,146 @@ def decode_audio_meta(
             )
 
     return df.select(id_col, media_col).mapInPandas(run, out_schema)
+
+
+# ------------------------------------------------------------------ video
+def decode_mp4_meta(data: bytes) -> tuple[int, int, int, int] | None:
+    """REAL ISO-BMFF (MP4) container parse, pure Python (no video
+    libs): walks the box tree (4-byte BE size + 4-byte type; containers
+    moov/trak/mdia/minf/stbl recurse), reading
+      - mvhd  -> movie timescale + duration  -> duration_ms
+      - tkhd  -> track width/height (16.16 fixed point)
+      - stsz  -> sample (frame) count
+    Returns (n_frames, duration_ms, width, height) or None for
+    non-MP4 bytes. Same decode-real-headers pattern as
+    decode_image_header / decode_wav_header.
+    """
+    import struct
+
+    if len(data) < 8:
+        return None
+    # an MP4 starts with a box whose type is ftyp/moov/mdat/free/wide
+    if data[4:8] not in (b"ftyp", b"moov", b"mdat", b"free", b"wide"):
+        return None
+    containers = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+    found = {"mvhd": None, "tkhd": None, "stsz": None}
+
+    def walk(lo: int, hi: int) -> None:
+        pos = lo
+        while pos + 8 <= hi:
+            (size,) = struct.unpack(">I", data[pos:pos + 4])
+            btype = data[pos + 4:pos + 8]
+            if size < 8 or pos + size > hi:
+                return
+            body_lo, body_hi = pos + 8, pos + size
+            if btype in containers:
+                walk(body_lo, body_hi)
+            elif btype == b"mvhd" and body_hi - body_lo >= 20:
+                ts, dur = struct.unpack(
+                    ">II", data[body_lo + 12:body_lo + 20]
+                )
+                found["mvhd"] = (ts, dur)
+            elif btype == b"tkhd" and body_hi - body_lo >= 84:
+                w, h = struct.unpack(">II", data[body_hi - 8:body_hi])
+                found["tkhd"] = (w >> 16, h >> 16)
+            elif btype == b"stsz" and body_hi - body_lo >= 12:
+                uniform, count = struct.unpack(
+                    ">II", data[body_lo + 4:body_lo + 12]
+                )
+                found["stsz"] = count
+            pos += size
+
+    walk(0, len(data))
+    if found["mvhd"] is None or found["stsz"] is None:
+        return None
+    ts, dur = found["mvhd"]
+    w, h = found["tkhd"] or (0, 0)
+    duration_ms = dur * 1000 // ts if ts else 0
+    return (found["stsz"], duration_ms, w, h)
+
+
+def synth_mp4(n_frames: int, fps: int, width: int, height: int) -> bytes:
+    """Deterministic minimal-but-REAL MP4: proper ftyp/moov box tree
+    (mvhd timescale=fps duration=n_frames, tkhd 16.16 dimensions, stsz
+    uniform sample table) that decode_mp4_meta parses back — the video
+    fixture generator, mirroring synth_wav."""
+    import struct
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2")
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">I", 0)                      # version+flags
+        + struct.pack(">II", 0, 0)                # creation/modification
+        + struct.pack(">II", fps, n_frames)       # timescale, duration
+        + struct.pack(">I", 0x00010000)           # rate 1.0
+        + struct.pack(">H", 0x0100) + b"\x00" * 10  # volume + reserved
+        + b"\x00" * 36                            # matrix
+        + b"\x00" * 24                            # predefined
+        + struct.pack(">I", 2),                   # next track id
+    )
+    tkhd = box(
+        b"tkhd",
+        struct.pack(">I", 7)                      # version + enabled flags
+        + struct.pack(">II", 0, 0)                # creation/modification
+        + struct.pack(">I", 1) + b"\x00" * 4      # track id + reserved
+        + struct.pack(">I", n_frames)             # duration
+        + b"\x00" * 8                             # reserved
+        + b"\x00" * 8                             # layer/alt/volume/reserved
+        + b"\x00" * 36                            # matrix
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    mdhd = box(
+        b"mdhd",
+        struct.pack(">I", 0) + struct.pack(">II", 0, 0)
+        + struct.pack(">II", fps, n_frames)
+        + struct.pack(">HH", 0x55C4, 0),          # language 'und'
+    )
+    hdlr = box(
+        b"hdlr",
+        struct.pack(">I", 0) + b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"\x00",
+    )
+    stsz = box(
+        b"stsz",
+        struct.pack(">I", 0)
+        + struct.pack(">II", 100, n_frames),      # uniform size, count
+    )
+    stbl = box(b"stbl", stsz)
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + moov
+
+
+def decode_video_meta(
+    df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """Video container metadata over a binary media column: Arrow-
+    batched mapInPandas, one real MP4 box walk per payload — the video
+    twin of decode_audio_meta. Scale: map-only; payloads never
+    shuffle."""
+    out_schema = (
+        f"{id_col} long, n_frames long, duration_ms long, "
+        "width int, height int"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, m in zip(pdf[id_col], pdf[media_col]):
+                meta = decode_mp4_meta(bytes(m["data"] or b""))
+                if meta is None:
+                    rows.append((doc_id, None, None, None, None))
+                else:
+                    rows.append((doc_id,) + meta)
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "n_frames", "duration_ms", "width", "height",
+                ],
+            )
+
+    return df.select(id_col, media_col).mapInPandas(run, out_schema)

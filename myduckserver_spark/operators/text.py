@@ -282,3 +282,67 @@ def tfidf_top_terms(
         )
         .orderBy("doc_id", "rk")
     )
+
+
+# ---------------------------------------------------------------- fulltext
+#
+# Real MATCH...AGAINST relevance (reference: TestFulltextIndexes
+# main_test.go:1879; go-mysql-server computes relevancy from fulltext
+# index tables). The engine path (engine._rewrite_match_bm25) resolves
+# a declared FULLTEXT INDEX into per-term document frequencies + corpus
+# stats and inlines them as literals into a row-local Okapi BM25 scalar
+# — the same constant-inlining strategy as operators/dimjoin.py, and
+# the same split of work as a real fulltext engine: corpus statistics
+# live in the index (built once, updated on write), per-row term
+# frequencies are computed in the scan.
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_idf(n_docs: int, df: int) -> float:
+    """Robertson/Lucene idf: ln(1 + (N - df + 0.5)/(df + 0.5)) >= 0."""
+    import math
+
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def tokens_sql(text_sql: str, dialect: str = "spark") -> str:
+    """SQL twin of `tokens` (split(lower(trim(x)), ' ')) per dialect."""
+    if dialect == "spark":
+        return f"split(lower(trim({text_sql})), ' ')"
+    return f"string_split(lower(trim({text_sql})), ' ')"
+
+
+def bm25_scalar_sql(
+    text_sql: str,
+    terms: list[str],
+    idf: dict[str, float],
+    avgdl: float,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    dialect: str = "spark",
+) -> str:
+    """Row-local BM25 score as a SQL scalar with corpus constants
+    (idf per term, avgdl) inlined as literals. Term partials are added
+    in fixed textual order, and every constant is a Python-repr'd
+    double parsed identically by Spark and DuckDB, so the score is
+    bit-deterministic given equal tf/dl — rank stability then only
+    needs a ROUND(...,6) + id tiebreak like the other scored queries.
+    """
+    toks = tokens_sql(text_sql, dialect)
+    size_fn = "size" if dialect == "spark" else "len"
+    filt_fn = "filter" if dialect == "spark" else "list_filter"
+    dl = f"CAST({size_fn}({toks}) AS DOUBLE)"
+    parts = []
+    for j, t in enumerate(terms):
+        lit = t.replace("'", "''")
+        tf = (
+            f"CAST({size_fn}({filt_fn}({toks},"
+            f" __ft{j} -> __ft{j} = '{lit}')) AS DOUBLE)"
+        )
+        parts.append(
+            f"({idf[t]!r} * ({tf} * {k1 + 1.0!r})"
+            f" / ({tf} + {k1!r} * (1.0 - {b!r} + {b!r} * {dl} / {avgdl!r})))"
+        )
+    return "(" + " + ".join(parts) + ")" if parts else "0.0"

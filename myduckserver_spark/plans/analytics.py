@@ -50,7 +50,7 @@ def dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     the canonical map-side-combine dedup (the md5 prunes to one row
     per partition per key before the shuffle).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", narrow=True)
     return (
         docs.select("doc_id", F.md5(F.lower(F.trim("text"))).alias("fp"))
         .groupBy("fp")
@@ -399,7 +399,7 @@ def tx_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: pure map-side column math; at 100 TB this is the standard
     pre-training quality filter pass (no shuffle at all).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", narrow=True)
     stop = F.array(*[F.lit(s) for s in ("the", "a", "of", "and", "to", "in", "is", "it")])
     toks = F.split(F.lower(F.trim("text")), " ")
     return docs.select(
@@ -1008,6 +1008,100 @@ def tx_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bm25_rank(docs, ["data", "join", "window"], k=50)
+
+
+@register(
+    "tx_match_bm25_scalar",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(len(string_split(lower(trim(text)), ' ')) AS DOUBLE) AS dl,
+             string_split(lower(trim(text)), ' ') AS toks
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+      FROM base
+    ),
+    dfs AS (
+      SELECT
+        CAST(count(*) FILTER (list_contains(toks, 'data')) AS DOUBLE) AS dfa,
+        CAST(count(*) FILTER (list_contains(toks, 'join')) AS DOUBLE) AS dfb,
+        CAST(count(*) FILTER (list_contains(toks, 'window')) AS DOUBLE) AS dfc
+      FROM base
+    ),
+    scored AS (
+      SELECT doc_id,
+        ROUND(
+          (ln(1.0 + (n - dfa + 0.5) / (dfa + 0.5))
+             * (CAST(len(list_filter(toks, t -> t = 'data')) AS DOUBLE) * 2.2)
+             / (CAST(len(list_filter(toks, t -> t = 'data')) AS DOUBLE)
+                + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
+        + (ln(1.0 + (n - dfb + 0.5) / (dfb + 0.5))
+             * (CAST(len(list_filter(toks, t -> t = 'join')) AS DOUBLE) * 2.2)
+             / (CAST(len(list_filter(toks, t -> t = 'join')) AS DOUBLE)
+                + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
+        + (ln(1.0 + (n - dfc + 0.5) / (dfc + 0.5))
+             * (CAST(len(list_filter(toks, t -> t = 'window')) AS DOUBLE) * 2.2)
+             / (CAST(len(list_filter(toks, t -> t = 'window')) AS DOUBLE)
+                + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
+        , 6) AS score
+      FROM base CROSS JOIN stats CROSS JOIN dfs
+    )
+    SELECT doc_id, score FROM scored
+    WHERE score > 0
+    ORDER BY score DESC, doc_id
+    LIMIT 50
+    """,
+    tags=("text", "fulltext", "bm25", "match"),
+)
+def tx_match_bm25_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's MATCH...AGAINST natural-language path under the
+    oracle gate: corpus constants (per-term df, N, avgdl) resolved
+    driver-side exactly like engine._rewrite_match_bm25 resolves them
+    from a FULLTEXT INDEX, inlined as literals into the row-local BM25
+    scalar (operators/text.bm25_scalar_sql), ranked with a 6-dp round
+    + doc_id tiebreak. The oracle recomputes the same constants in SQL
+    — pinning that the index-derived constant inlining matches a
+    from-scratch BM25 evaluation.
+
+    Scale: constant resolution reads a few term-keyed index rows (or
+    two tiny aggregates without an index); the per-row tf/dl arithmetic
+    is map-only in the scan. Same design as operators/dimjoin.py.
+    """
+    from myduckserver_spark.operators.dimjoin import _MEMO
+    from myduckserver_spark.operators.text import bm25_idf, bm25_scalar_sql
+
+    terms = ["data", "join", "window"]
+    docs = load_table(spark, sf_dir, "documents", narrow=True)
+    ck = ("ftconsts", id(spark), sf_dir, tuple(terms))
+    consts = _MEMO.get(ck)
+    if consts is None:
+        row = docs.selectExpr(
+            "CAST(size(split(lower(trim(text)), ' ')) AS DOUBLE) AS dl",
+            *[
+                f"CASE WHEN array_contains(split(lower(trim(text)), ' '),"
+                f" '{t}') THEN 1 ELSE 0 END AS h{j}"
+                for j, t in enumerate(terms)
+            ],
+        ).selectExpr(
+            "CAST(COUNT(1) AS DOUBLE) AS n",
+            "CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(1) AS DOUBLE) AS avgdl",
+            *[f"CAST(SUM(h{j}) AS DOUBLE) AS df{j}" for j in range(len(terms))],
+        ).collect()[0]
+        consts = _MEMO[ck] = row
+    idf = {
+        t: bm25_idf(int(consts["n"]), int(consts[f"df{j}"]))
+        for j, t in enumerate(terms)
+    }
+    score_sql = bm25_scalar_sql("text", terms, idf, float(consts["avgdl"]))
+    return (
+        docs.selectExpr("doc_id", f"ROUND({score_sql}, 6) AS score")
+        .filter("score > 0")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(50)
+    )
 
 
 @register(

@@ -247,3 +247,22 @@ def ordered_adaptive(df, *cols):
         exprs = [F.col(c) if isinstance(c, str) else c for c in cols]
         return df.repartition(1).sortWithinPartitions(*exprs)
     return df.orderBy(*cols)
+
+
+# SQL-text twins of the fixed-point helpers (single-Py4J-call builds).
+def sl6_sql(expr: str) -> str:
+    return f"CAST(({expr}) * {SL_FACTOR}.0 + 0.5 AS BIGINT)"
+
+
+def sl_val_sql(expr: str) -> str:
+    return (
+        f"(CAST({expr} AS DECIMAL(38,0)) / CAST({SL_FACTOR} AS DECIMAL(7,0)))"
+    )
+
+
+def fp_sum_sql(expr: str, alias: str) -> str:
+    """SQL-text twin of fp_sum (bounded-group exact fixed-point sum)."""
+    return (
+        f"CAST(ROUND({sl_val_sql(f'SUM({sl6_sql(expr)})')}, 2) AS DOUBLE)"
+        f" AS {alias}"
+    )

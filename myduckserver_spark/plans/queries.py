@@ -25,11 +25,14 @@ from myduckserver_spark.plans.helpers import (
     o_bcount,
     o_davg,
     o_dout,
+    fp_sum_sql,
     o_dsum,
     ordered_adaptive,
     ordered_bounded,
     sl6,
+    sl6_sql,
     sl_val,
+    sl_val_sql,
 )
 from myduckserver_spark.plans.registry import register
 from myduckserver_spark.tables import load_table
@@ -156,30 +159,25 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject (no full sort shuffle).
     """
     cust = load_table(spark, sf_dir, "customer").filter(
-        F.col("c_mktsegment") == "BUILDING"
+        "c_mktsegment = 'BUILDING'"
     )
     orders = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+        "o_orderdate < TIMESTAMP '1998-03-15 00:00:00'"
     )
     li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+        "l_shipdate > TIMESTAMP '1998-03-15 00:00:00'"
     )
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey)
-        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        cust.join(orders, F.expr("c_custkey = o_custkey"))
+        .join(li, F.expr("o_orderkey = l_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
-        # fp_sum: per-order groups are schema-bounded (<= 7 lineitems),
-        # so the exact fixed-point sum stays single-level int64.
-        .agg(
-            fp_sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")),
-                "revenue",
-            )
-        )
-        .select(
-            "l_orderkey",
-            "revenue",
-            F.col("o_orderdate").cast("timestamp").alias("orderdate"),
+        # fp_sum_sql: per-order groups are schema-bounded (<= 7
+        # lineitems), so the exact fixed-point sum stays single-level
+        # int64; SQL-string build = one Py4J round-trip.
+        .agg(F.expr(fp_sum_sql("l_extendedprice * (1 - l_discount)", "revenue")))
+        .selectExpr(
+            "l_orderkey", "revenue",
+            "CAST(o_orderdate AS TIMESTAMP) AS orderdate",
         )
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
@@ -220,26 +218,26 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        "o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND "
+        "o_orderdate < TIMESTAMP '1998-01-01 00:00:00'"
     )
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
-    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    region = load_table(spark, sf_dir, "region").filter("r_name = 'ASIA'")
     asia = nation.join(
-        region, F.col("n_regionkey") == F.col("r_regionkey")
+        region, F.expr("n_regionkey = r_regionkey")
     ).select("n_nationkey", "n_name")
     ck = (id(spark), os.path.abspath(sf_dir), "q5_asia")
     asia_keys = inline_keys(asia, "n_nationkey", ck)
     name_map = inline_map(asia, "n_nationkey", "n_name", ck)
+    in_list = ", ".join(str(k) for k in sorted(asia_keys))
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey)
-        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        cust.join(orders, F.expr("c_custkey = o_custkey"))
+        .join(li, F.expr("o_orderkey = l_orderkey"))
         .join(
-            supp.filter(F.col("s_nationkey").isin(asia_keys)),
-            (F.col("l_suppkey") == F.col("s_suppkey"))
-            & (F.col("c_nationkey") == F.col("s_nationkey")),
+            supp.filter(f"s_nationkey IN ({in_list})"),
+            F.expr("l_suppkey = s_suppkey AND c_nationkey = s_nationkey"),
         )
         .withColumn("n_name", F.element_at(name_map, F.col("s_nationkey")))
         # per-nation revenue grows with the data -> two-level fixed point
@@ -282,33 +280,25 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        "o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND "
+        "o_orderdate < TIMESTAMP '1998-01-01 00:00:00'"
     )
-    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    li = load_table(spark, sf_dir, "lineitem").filter("l_returnflag = 'R'")
     nation = load_table(spark, sf_dir, "nation")
     name_map = inline_map(
         nation, "n_nationkey", "n_name",
         (id(spark), os.path.abspath(sf_dir), "nation"),
     )
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey)
-        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        cust.join(orders, F.expr("c_custkey = o_custkey"))
+        .join(li, F.expr("o_orderkey = l_orderkey"))
         .withColumn("n_name", F.element_at(name_map, F.col("c_nationkey")))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        # fp_sum: per-customer-year groups are schema-bounded
-        .agg(
-            fp_sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")),
-                "revenue",
-            )
-        )
-        .select(
-            "c_custkey",
-            "c_name",
-            "revenue",
-            F.col("c_acctbal").cast("double").alias("acctbal"),
-            "n_name",
+        # fp_sum_sql: per-customer-year groups are schema-bounded
+        .agg(F.expr(fp_sum_sql("l_extendedprice * (1 - l_discount)", "revenue")))
+        .selectExpr(
+            "c_custkey", "c_name", "revenue",
+            "CAST(c_acctbal AS DOUBLE) AS acctbal", "n_name",
         )
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
@@ -350,22 +340,25 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the >150 threshold compares on the exact scaled-long grid.
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(sl6("l_quantity")).alias("__s"))
-        .filter(F.col("__s") > 150 * 1_000_000)
-        .select("l_orderkey", dout(sl_val(F.col("__s"))).alias("sum_qty"))
+        .agg(F.expr(f"SUM({sl6_sql('l_quantity')}) AS __s"))
+        .filter(f"__s > {150 * 1_000_000}")
+        .selectExpr(
+            "l_orderkey",
+            f"CAST(ROUND({sl_val_sql('__s')}, 2) AS DOUBLE) AS sum_qty",
+        )
     )
     cust = load_table(spark, sf_dir, "customer")
     # No broadcast hints: `big` is a data-dependent HAVING survivor set and
     # customer grows with SF — let AQE pick broadcast at runtime when small.
     return (
         load_table(spark, sf_dir, "orders")
-        .join(big, F.col("o_orderkey") == big.l_orderkey)
-        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
-        .select(
+        .join(big, F.expr("o_orderkey = l_orderkey"))
+        .join(cust, F.expr("c_custkey = o_custkey"))
+        .selectExpr(
             "c_custkey",
             "o_orderkey",
-            F.col("o_orderdate").cast("timestamp").alias("orderdate"),
-            F.col("o_totalprice").cast("double").alias("totalprice"),
+            "CAST(o_orderdate AS TIMESTAMP) AS orderdate",
+            "CAST(o_totalprice AS DOUBLE) AS totalprice",
             "sum_qty",
         )
         .orderBy(F.desc("totalprice"), F.asc("o_orderkey"))

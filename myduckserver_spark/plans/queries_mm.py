@@ -202,3 +202,73 @@ def mm_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = docs.select("doc_id").mapInPandas(gen, "doc_id long, payload binary")
     media = attach_media(raw, "payload", fmt=None)
     return decode_audio_meta(media).orderBy("doc_id")
+
+
+@register(
+    "mm_video_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(24 + doc_id * 3 AS BIGINT) AS n_frames,
+           CAST((24 + doc_id * 3) * 1000 // (12 + doc_id % 3 * 6)
+                AS BIGINT) AS duration_ms,
+           CAST(160 + doc_id % 4 * 80 AS INT) AS width,
+           CAST(90 + doc_id % 4 * 45 AS INT) AS height,
+           CAST(len(list_filter(range(0, 24 + doc_id * 3),
+                i -> i % 10 = 0)) AS BIGINT) AS n_sampled
+    FROM documents WHERE doc_id < 40
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "video", "mp4"),
+)
+def mm_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video path end-to-end with a REAL container: synthesize a
+    minimal-but-valid MP4 box tree per document (frame count / fps /
+    dimensions derived from doc_id), wrap it in the media-struct
+    convention, recover the metadata by actually walking the ISO-BMFF
+    boxes (operators/multimodal.decode_mp4_meta — mvhd/tkhd/stsz) in
+    an Arrow-batched mapInPandas, then count every-10th-frame samples
+    off the PARSED frame count. The oracle recomputes the expected
+    values arithmetically, so a box-layout or parse bug breaks the
+    hash. This closes the r2 gap where frame counts were derived from
+    byte length instead of container metadata (mm_frame_sample remains
+    the opaque-payload fallback).
+
+    Scale: synth + parse are map-only over the binary column; nothing
+    shuffles until the final presentation sort.
+    """
+    from myduckserver_spark.operators.multimodal import (
+        attach_media,
+        decode_video_meta,
+        synth_mp4,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 40
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = [
+                synth_mp4(
+                    24 + int(d) * 3,
+                    12 + int(d) % 3 * 6,
+                    160 + int(d) % 4 * 80,
+                    90 + int(d) % 4 * 45,
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    raw = docs.select("doc_id").mapInPandas(gen, "doc_id long, payload binary")
+    media = attach_media(raw, "payload", fmt=None)
+    return (
+        decode_video_meta(media)
+        .selectExpr(
+            "doc_id", "n_frames", "duration_ms", "width", "height",
+            "CAST(size(sequence(0, CAST(n_frames - 1 AS INT), 10))"
+            " AS BIGINT) AS n_sampled",
+        )
+        .orderBy("doc_id")
+    )

@@ -144,7 +144,12 @@ def f_struct_field(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "apx_ndv_by_flag",
-    oracle=None,  # HLL sketches are engine-specific — rows-only check
+    oracle="""
+    SELECT l_returnflag, TRUE AS supp_within_5pct, TRUE AS part_within_5pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
     tags=("approx", "sketch", "hll"),
 )
 def apx_ndv_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -152,16 +157,30 @@ def apx_ndv_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     path a 100 TB profile uses instead of the Expand-heavy exact
     multi-distinct (g_multi_distinct is the exact twin).
 
-    No oracle: DuckDB's approx_count_distinct uses a different HLL
-    implementation, so estimates differ by design. The test asserts
-    relative error against the exact counts instead.
+    HLL estimates are engine-specific (DuckDB's sketch differs by
+    design), so the hash gate compares a TOLERANCE VERDICT both engines
+    can agree on: Spark computes the approximate AND exact NDV per
+    group and emits `within_5pct` booleans (HLL++ rsd here is 5%, so
+    a healthy sketch always passes); the oracle emits literal TRUE per
+    group. A broken sketch, a broken exact path, or a wrong group set
+    all flip the hash — this row is a hard driver check of the sketch's
+    error contract, not of sketch internals.
     """
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_suppkey").alias("apx_supp"),
-            F.approx_count_distinct("l_partkey").alias("apx_part"),
+            F.approx_count_distinct("l_suppkey").alias("__apx_s"),
+            F.countDistinct("l_suppkey").alias("__ex_s"),
+            F.approx_count_distinct("l_partkey").alias("__apx_p"),
+            F.countDistinct("l_partkey").alias("__ex_p"),
+        )
+        .selectExpr(
+            "l_returnflag",
+            "ABS(CAST(__apx_s AS DOUBLE) / __ex_s - 1.0) <= 0.05"
+            " AS supp_within_5pct",
+            "ABS(CAST(__apx_p AS DOUBLE) / __ex_p - 1.0) <= 0.05"
+            " AS part_within_5pct",
         )
         .orderBy("l_returnflag")
     )

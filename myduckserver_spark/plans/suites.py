@@ -286,7 +286,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "tx_bpe_token_count", "tx_bigram_topk", "tx_length_profile",
         "tx_pii_redact", "tx_repetition_ratio", "tx_boilerplate_trigrams",
         "tx_common_token_ratio", "tx_keyword_search_tf", "tx_bm25_search",
-        "tx_tfidf_top_terms", "tx_chunk_overlap",
+        "tx_tfidf_top_terms", "tx_chunk_overlap", "tx_match_bm25_scalar",
     ),
     # Training-data pipeline: sampling, splits, packing, caps, dedup keep-best.
     "suite_training_data": (
@@ -300,7 +300,8 @@ SUITES: dict[str, tuple[str, ...]] = {
     "suite_embeddings_mm": (
         "emb_kmeans_assign", "emb_quantize_int8", "emb_centroid_by_label",
         "sim_ivf_bucketed", "mm_frame_sample", "mm_byte_histogram",
-        "mm_resize_geometry", "mm_audio_meta", "emb_matryoshka",
+        "mm_resize_geometry", "mm_audio_meta", "mm_video_meta",
+        "emb_matryoshka",
         "sim_srp_lsh_buckets",
     ),
     # Postgres-dialect front door extras.

@@ -201,6 +201,11 @@ def peel_order_limit(text: str) -> tuple[str, str | None, int | None]:
         r"(?:ORDER\s+BY\s+(.+?)\s+)?LIMIT\s+(\d+)\s*", tail, re.I | re.S
     )
     if not tm:
+        # A trailing top-level ORDER BY with no LIMIT: MySQL treats it
+        # as a no-op on UPDATE/DELETE — strip it rather than letting the
+        # ORDER BY text land inside the WHERE condition (ADVICE r2).
+        if re.fullmatch(r"ORDER\s+BY\s+[^()]*", tail, re.I | re.S):
+            return text[: m.start()].rstrip(), None, None
         return text, None, None
     return text[: m.start()].rstrip(), tm.group(1), int(tm.group(2))
 
@@ -806,6 +811,7 @@ class CreateIndex:
     table: str
     columns: list[str] = field(default_factory=list)
     unique: bool = False
+    fulltext: bool = False
 
 
 @dataclass
@@ -1576,12 +1582,14 @@ def parse_statement(sql: str):
             or_replace=bool(m.group(1)),
         )
     m = re.match(
-        r"CREATE\s+(UNIQUE\s+)?INDEX\s+(`[^`]+`|\w+)\s+ON\s+(`[^`]+`|\w+)\s*"
+        r"CREATE\s+(UNIQUE\s+|FULLTEXT\s+)?INDEX\s+(`[^`]+`|\w+)\s+ON\s+"
+        r"(`[^`]+`|\w+)\s*"
         r"\((.*)\)\s*$",  # greedy: column items may carry (10) prefixes
         s,
         re.I,
     )
     if m:
+        kind = (m.group(1) or "").strip().upper()
         return CreateIndex(
             unquote_ident(m.group(2)),
             unquote_ident(m.group(3)),
@@ -1591,7 +1599,8 @@ def parse_statement(sql: str):
                 for c in m.group(4).split(",")
                 if c.strip()
             ],
-            unique=bool(m.group(1)),
+            unique=kind == "UNIQUE",
+            fulltext=kind == "FULLTEXT",
         )
     m = re.match(
         r"DROP\s+INDEX\s+(`[^`]+`|\w+)(?:\s+ON\s+(`[^`]+`|\w+))?\s*$", s, re.I

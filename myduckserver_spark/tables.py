@@ -63,8 +63,31 @@ _DF_CACHE: dict[tuple, DataFrame] = {}
 
 
 def load_table(
-    spark: SparkSession, sf_dir: str, name: str, split: bool = True
+    spark: SparkSession, sf_dir: str, name: str, split: bool = True,
+    narrow: bool = False,
 ) -> DataFrame:
+    """``narrow=True`` returns a coalesced view of the SAME cached
+    relation (narrow dependency — still a cache hit) at the bytes-based
+    width instead of full compute-dense width. Use for cheap-per-row
+    passes over compute-dense tables (an exact-dedup md5 or a quality
+    score doesn't need the 32-way split that a minhash sketch does;
+    measured: dd_exact 287→154 ms at sf0.1). The width is the same
+    ~2 MB/partition rule as regular tables, so it scales with bytes."""
+    if narrow:
+        base = load_table(spark, sf_dir, name, split)
+        key = (id(spark), os.path.abspath(sf_dir), name, split, "narrow")
+        got = _DF_CACHE.get(key)
+        if got is None:
+            size = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
+            parts = max(
+                4,
+                min(
+                    DEFAULT_SHUFFLE_PARTITIONS,
+                    size // _TARGET_CACHE_PARTITION_BYTES + 1,
+                ),
+            )
+            got = _DF_CACHE[key] = base.coalesce(int(parts))
+        return got
     key = (id(spark), os.path.abspath(sf_dir), name, split)
     cached = _DF_CACHE.get(key)
     if cached is not None:

@@ -1,0 +1,100 @@
+"""MATCH...AGAINST routed to real Okapi BM25 through a FULLTEXT INDEX
+(reference: TestFulltextIndexes main_test.go:1879 — go-mysql-server
+computes relevancy from fulltext index tables; the token-overlap shim
+remains only for BOOLEAN MODE / un-indexed tables)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from myduckserver_spark.engine import Engine
+from myduckserver_spark.operators.text import BM25_B, BM25_K1, bm25_idf
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "sphinx of black quartz judge my vow"),
+    (3, "the quick onyx goblin jumps over the lazy dwarf"),
+    (4, "quick quick quick brown foxes everywhere"),
+    (5, "nothing relevant here at all"),
+]
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE articles (id INT PRIMARY KEY, body TEXT)")
+    for i, body in DOCS:
+        e.execute(f"INSERT INTO articles VALUES ({i}, '{body}')")
+    return e
+
+
+def _py_bm25(terms):
+    """Reference scores computed independently in pure Python."""
+    toks = {i: body.split() for i, body in DOCS}
+    n = len(DOCS)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    dfs = {t: sum(1 for tk in toks.values() if t in tk) for t in terms}
+    out = {}
+    for i, tk in toks.items():
+        score = 0.0
+        for t in terms:
+            tf = tk.count(t)
+            idf = bm25_idf(n, dfs[t])
+            score += idf * (tf * (BM25_K1 + 1)) / (
+                tf + BM25_K1 * (1 - BM25_B + BM25_B * len(tk) / avgdl)
+            )
+        out[i] = score
+    return out
+
+
+def test_match_natural_mode_uses_bm25(eng):
+    eng.execute("CREATE FULLTEXT INDEX ft_body ON articles (body)")
+    rows = eng.execute(
+        "SELECT id, MATCH(body) AGAINST('quick lazy') AS score "
+        "FROM articles ORDER BY score DESC, id"
+    ).collect()
+    got = {r.id: r.score for r in rows}
+    want = _py_bm25(["quick", "lazy"])
+    for i in want:
+        assert got[i] == pytest.approx(want[i], rel=1e-12), (i, got, want)
+    # ordering: doc 4 (tf(quick)=3) outranks single-hit docs; doc 5 zero
+    order = [r.id for r in rows]
+    assert order[0] in (1, 3, 4)
+    assert got[5] == 0.0
+    assert got[4] > got[2]
+
+
+def test_match_without_index_keeps_overlap_shim(eng):
+    # no index: falls back to the documented token-overlap score (ints)
+    rows = eng.execute(
+        "SELECT id, MATCH(body) AGAINST('quick lazy') AS score "
+        "FROM articles ORDER BY id"
+    ).collect()
+    got = {r.id: r.score for r in rows}
+    assert got[1] == 2 and got[5] == 0  # distinct-token overlap counts
+
+
+def test_match_boolean_mode_keeps_shim_even_with_index(eng):
+    eng.execute("CREATE FULLTEXT INDEX ft_body ON articles (body)")
+    rows = eng.execute(
+        "SELECT id, MATCH(body) AGAINST('quick lazy' IN BOOLEAN MODE) AS s "
+        "FROM articles ORDER BY id"
+    ).collect()
+    assert {r.id: r.s for r in rows}[1] == 2  # overlap count, not BM25
+
+
+def test_match_index_survives_reopen_and_drop(eng, spark, tmp_path):
+    eng.execute("CREATE FULLTEXT INDEX ft_body ON articles (body)")
+    # a NEW engine over the same warehouse sees the persisted index
+    e2 = Engine(spark, str(tmp_path / "wh"))
+    r = e2.execute(
+        "SELECT MATCH(body) AGAINST('sphinx') AS s FROM articles "
+        "WHERE id = 2"
+    ).collect()
+    assert r[0].s > 0.0 and isinstance(r[0].s, float)
+    e2.execute("DROP INDEX ft_body ON articles")
+    assert not any(
+        t.startswith("__ftidx_") for t in e2.catalog.list_tables()
+    )

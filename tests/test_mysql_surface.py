@@ -222,3 +222,68 @@ def test_cache_table_statements(engine):
     assert engine.execute("SELECT COUNT(*) AS n FROM t").collect()[0].n == 3
     engine.execute("UNCACHE TABLE t")
     engine.execute("CLEAR CACHE")
+
+
+def test_read_only_accepts_onoff_words(engine):
+    """SET read_only = OFF/ON/TRUE/FALSE normalize like MySQL booleans;
+    a raw truth test on the string 'OFF' left the session permanently
+    read-only (ADVICE r2)."""
+    engine.execute("SET GLOBAL read_only = ON")
+    with pytest.raises(ValueError, match="read-only"):
+        engine.execute("INSERT INTO t VALUES (901, 'x', 0.0)")
+    engine.execute("SET GLOBAL read_only = OFF")
+    engine.execute("INSERT INTO t VALUES (901, 'x', 0.0)")  # must not raise
+    engine.execute("SET GLOBAL read_only = 'ON'")
+    with pytest.raises(ValueError, match="read-only"):
+        engine.execute("DELETE FROM t WHERE id = 901")
+    engine.execute("SET GLOBAL read_only = '0'")
+    engine.execute("DELETE FROM t WHERE id = 901")
+
+
+def test_read_only_blocks_copy_from(engine, tmp_path):
+    """COPY ... FROM mutates its target table and must respect
+    read_only; COPY ... TO stays allowed (it is a read)."""
+    import os
+
+    p = os.path.join(str(tmp_path), "in.csv")
+    with open(p, "w") as f:
+        f.write("902,z,1.5\n")
+    out = os.path.join(str(tmp_path), "out.csv")
+    engine.execute("SET GLOBAL read_only = 1")
+    try:
+        with pytest.raises(ValueError, match="read-only"):
+            engine.execute(f"COPY t FROM '{p}'")
+        engine.execute(f"COPY t TO '{out}' (FORMAT CSV)")  # read: allowed
+    finally:
+        engine.execute("SET GLOBAL read_only = 0")
+
+
+def test_update_bare_order_by_no_limit_is_noop_clause(engine):
+    """MySQL allows UPDATE/DELETE ... ORDER BY with no LIMIT — the
+    ORDER BY is a no-op and must not leak into the WHERE condition
+    (ADVICE r2: it previously landed in the WHERE tail and failed in
+    F.expr)."""
+    engine.execute("INSERT INTO t VALUES (903, 'ob', 1.0)")
+    r = engine.execute("UPDATE t SET name = 'ob2' WHERE id = 903 ORDER BY id")
+    assert r.affected_rows == 1
+    assert engine.execute(
+        "SELECT name FROM t WHERE id = 903").collect()[0].name == "ob2"
+    d = engine.execute("DELETE FROM t WHERE id = 903 ORDER BY name")
+    assert d.affected_rows == 1
+
+
+def test_savepoint_ddl_not_rolled_back(engine):
+    """ROLLBACK TO SAVEPOINT reverts DATA only: a table created after
+    the savepoint survives (MySQL: DDL implicitly commits), a table
+    dropped after it stays dropped, and no orphan meta files appear
+    (ADVICE r2)."""
+    engine.execute("CREATE TABLE sp_keep (a INT)")
+    engine.execute("BEGIN")
+    engine.execute("SAVEPOINT s1")
+    engine.execute("CREATE TABLE sp_new (a INT)")
+    engine.execute("INSERT INTO sp_new VALUES (1)")
+    engine.execute("ROLLBACK TO SAVEPOINT s1")
+    # created-after table survives (DDL is not rolled back)
+    tables = {r[0] for r in engine.execute("SHOW TABLES").collect()}
+    assert "sp_new" in tables
+    engine.execute("COMMIT")
