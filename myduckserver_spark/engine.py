@@ -1091,6 +1091,224 @@ class Engine:
             i += 1
         return "".join(out)
 
+    def _rewrite_user_var_assignments(
+        self, query: str
+    ) -> tuple[str, list[tuple[str, str]]]:
+        """SELECT @x := expr  ->  aliased expression + post-exec update.
+
+        MySQL evaluates user-variable assignment per row, left to
+        right; after the statement the variable holds its value from
+        the last row produced (reference corpus exercises this via GMS
+        user-variable tests). Two faithful Spark translations:
+
+        * non-self-referential `@x := e`: `e` runs as a plain select
+          item; the engine sets @x from the final result row.
+        * additive self-reference `@x := @x + e` (the running-total /
+          row-counter idiom): rewritten to
+          `SUM(e) OVER (ORDER BY <query order> ROWS UNBOUNDED
+          PRECEDING) + <current @x>` — the scale-correct plan (a
+          partition-parallel window instead of a serial row scan), and
+          NULL-faithful (unset @x is NULL, NULL + e stays NULL, as in
+          MySQL).
+
+        Returns (rewritten_sql, [(var_name, result_column_name), ...]).
+        Assignments outside the top-level select list raise — MySQL
+        allows them but their side effects have no sane parallel
+        translation.
+        """
+        from myduckserver_spark.functions.mysql_lexer import (
+            render,
+            tokenize,
+        )
+
+        toks = tokenize(query)
+        sig = [
+            (i, t) for i, t in enumerate(toks) if t.kind not in ("ws", "comment")
+        ]
+
+        # locate top-level clause boundaries + outer ORDER BY text
+        depth = 0
+        select_at = from_at = None
+        order_span: tuple[int, int] | None = None
+        k = 0
+        while k < len(sig):
+            i, t = sig[k]
+            if t.kind == "op" and t.text == "(":
+                depth += 1
+            elif t.kind == "op" and t.text == ")":
+                depth -= 1
+            elif depth == 0 and t.kind == "word":
+                u = t.text.upper()
+                if u == "SELECT" and select_at is None:
+                    select_at = i
+                elif u == "FROM" and from_at is None:
+                    from_at = i
+                elif (
+                    u == "ORDER"
+                    and k + 1 < len(sig)
+                    and sig[k + 1][1].is_word("BY")
+                ):
+                    start = sig[k + 2][0] if k + 2 < len(sig) else len(toks)
+                    end = len(toks)
+                    d2 = 0
+                    for j in range(start, len(toks)):
+                        tj = toks[j]
+                        if tj.kind == "op" and tj.text == "(":
+                            d2 += 1
+                        elif tj.kind == "op" and tj.text == ")":
+                            d2 -= 1
+                        elif (
+                            d2 == 0
+                            and tj.kind == "word"
+                            and tj.text.upper() in ("LIMIT", "FOR")
+                        ):
+                            end = j
+                            break
+                    order_span = (start, end)
+            k += 1
+
+        order_text = (
+            render(toks[order_span[0] : order_span[1]]).strip()
+            if order_span
+            else ""
+        )
+
+        out: list[str] = []
+        assigns: list[tuple[str, str]] = []
+        depth = 0
+        i = 0
+        n = len(toks)
+        while i < n:
+            t = toks[i]
+            if t.kind == "op" and t.text == "(":
+                depth += 1
+            elif t.kind == "op" and t.text == ")":
+                depth -= 1
+            nxt = next(
+                (
+                    j
+                    for j in range(i + 1, n)
+                    if toks[j].kind not in ("ws", "comment")
+                ),
+                None,
+            )
+            if not (
+                t.kind == "uservar"
+                and nxt is not None
+                and toks[nxt].kind == "op"
+                and toks[nxt].text == ":="
+            ):
+                out.append(t.text)
+                i += 1
+                continue
+            var = t.text[1:]
+            in_select_list = (
+                depth == 0
+                and select_at is not None
+                and i > select_at
+                and (from_at is None or i < from_at)
+            )
+            if not in_select_list:
+                raise NotImplementedError(
+                    "user-variable assignment is only supported in the "
+                    "top-level select list (SELECT @x := ...)"
+                )
+            # expression span: after ':=' to top-level ',' / clause kw
+            j = nxt + 1
+            d2 = 0
+            expr_start = j
+            while j < n:
+                tj = toks[j]
+                if tj.kind == "op" and tj.text == "(":
+                    d2 += 1
+                elif tj.kind == "op" and tj.text == ")":
+                    if d2 == 0:
+                        break
+                    d2 -= 1
+                elif d2 == 0 and tj.kind == "op" and tj.text == ",":
+                    break
+                elif (
+                    d2 == 0
+                    and tj.kind == "word"
+                    and tj.text.upper()
+                    in ("FROM", "WHERE", "GROUP", "HAVING", "ORDER",
+                        "LIMIT", "UNION", "AS")
+                ):
+                    break
+                j += 1
+            expr_toks = toks[expr_start:j]
+            raw = render(expr_toks).strip()
+            # `@x := e AS name`: keep the user's alias as the result
+            # column; otherwise synthesize MySQL's header text.
+            user_alias = None
+            if j < n and toks[j].is_word("AS"):
+                anext = next(
+                    (
+                        m
+                        for m in range(j + 1, n)
+                        if toks[m].kind not in ("ws", "comment")
+                    ),
+                    None,
+                )
+                if anext is not None and toks[anext].kind in ("word", "bq"):
+                    user_alias = toks[anext].text.strip("`").replace("``", "`")
+            alias = user_alias or f"@{var} := {raw}"
+            expr_sig = [
+                e for e in expr_toks if e.kind not in ("ws", "comment")
+            ]
+            self_ref = any(
+                e.kind == "uservar" and e.text[1:].lower() == var.lower()
+                for e in expr_sig
+            )
+            if self_ref:
+                rest = None
+                if (
+                    len(expr_sig) >= 3
+                    and expr_sig[0].kind == "uservar"
+                    and expr_sig[0].text[1:].lower() == var.lower()
+                    and expr_sig[1].kind == "op"
+                    and expr_sig[1].text == "+"
+                ):
+                    first = next(
+                        idx
+                        for idx, e in enumerate(expr_toks)
+                        if e is expr_sig[1]
+                    )
+                    rest = render(expr_toks[first + 1 :]).strip()
+                elif (
+                    len(expr_sig) >= 3
+                    and expr_sig[-1].kind == "uservar"
+                    and expr_sig[-1].text[1:].lower() == var.lower()
+                    and expr_sig[-2].kind == "op"
+                    and expr_sig[-2].text == "+"
+                ):
+                    last = next(
+                        idx
+                        for idx, e in enumerate(expr_toks)
+                        if e is expr_sig[-2]
+                    )
+                    rest = render(expr_toks[:last]).strip()
+                if rest is None:
+                    raise NotImplementedError(
+                        "self-referential user-variable assignment is "
+                        "only supported for additive running totals "
+                        "(@x := @x + expr)"
+                    )
+                init = self._render_literal(self.variables.get(var))
+                over = (
+                    f"ORDER BY {order_text} " if order_text else ""
+                ) + "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+                repl = f"(SUM({rest}) OVER ({over}) + {init})"
+            else:
+                repl = f"({raw})"
+            if user_alias is None:
+                out.append(f"{repl} AS `{alias.replace('`', '``')}`")
+            else:
+                out.append(repl)  # the source's own AS <alias> follows
+            assigns.append((var, alias))
+            i = j
+        return "".join(out), assigns
+
     def _exec_select_into_outfile(
         self, s: "st.SelectIntoOutfile", dialect: str
     ) -> "OkResult":
@@ -1186,6 +1404,9 @@ class Engine:
             return self._exec_select_into_outfile(s, dialect)
         if isinstance(s, st.Query):
             q = s.sql
+            assigns: list[tuple[str, str]] = []
+            if "@" in q and ":=" in q:
+                q, assigns = self._rewrite_user_var_assignments(q)
             if "@" in q:
                 q = self._substitute_user_vars(q)
             # FOR UPDATE / FOR SHARE: row locks are no-ops under
@@ -1206,6 +1427,13 @@ class Engine:
             cap = self.variables.get("sql_select_limit")
             if cap not in (None, "", "DEFAULT") and not self._has_top_limit(q):
                 df = df.limit(int(cap))
+            if assigns:
+                # MySQL: after the statement, @x holds its last-row
+                # value; a zero-row result leaves it untouched.
+                last = df.tail(1)
+                if last:
+                    for var, col in assigns:
+                        self.variables[var] = last[0][col]
             return df
         if isinstance(s, st.Prepare):
             text = s.query
