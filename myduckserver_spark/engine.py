@@ -41,6 +41,34 @@ def _has_subquery(text: str | None) -> bool:
     return bool(text) and bool(re.search(r"\(\s*SELECT\b", text, re.I))
 
 
+# Keywords that can directly follow a value inside an expression, so a
+# bare word matching one of these is NOT a MySQL implicit alias
+# (`SELECT expr alias`): logical/comparison operators, CASE/INTERVAL
+# machinery, interval units, window-frame words, and sort directions.
+_NOT_ALIAS_WORDS = frozenset({
+    "AND", "OR", "XOR", "NOT", "IS", "NULL", "TRUE", "FALSE", "UNKNOWN",
+    "LIKE", "RLIKE", "REGEXP", "IN", "BETWEEN", "DIV", "MOD", "COLLATE",
+    "ESCAPE", "BINARY", "CASE", "WHEN", "THEN", "ELSE", "END", "INTERVAL",
+    "MICROSECOND", "SECOND", "MINUTE", "HOUR", "DAY", "WEEK", "MONTH",
+    "QUARTER", "YEAR", "SECOND_MICROSECOND", "MINUTE_MICROSECOND",
+    "MINUTE_SECOND", "HOUR_MICROSECOND", "HOUR_SECOND", "HOUR_MINUTE",
+    "DAY_MICROSECOND", "DAY_SECOND", "DAY_MINUTE", "DAY_HOUR", "YEAR_MONTH",
+    "OVER", "PARTITION", "ROWS", "RANGE", "FOLLOWING", "PRECEDING",
+    "UNBOUNDED", "CURRENT", "ROW", "ASC", "DESC", "DISTINCT", "ALL",
+    "SEPARATOR", "SOUNDS",
+})
+
+
+def _ends_value(t) -> bool:
+    """True when a token can END an expression value, so that a bare
+    identifier right after it reads as a MySQL implicit alias."""
+    if t.kind in ("bq", "num", "str", "uservar", "sysvar"):
+        return True
+    if t.kind == "word":
+        return t.text.upper() not in _NOT_ALIAS_WORDS
+    return t.kind == "op" and t.text == ")"
+
+
 def _like_to_re(pat: str) -> "re.Pattern[str]":
     """MySQL LIKE pattern -> anchored regex (% = any run, _ = one char)."""
     body = "".join(
@@ -264,6 +292,30 @@ class Engine:
     def _ddl_changed(self) -> None:
         """Invalidate schema-derived per-engine caches after any DDL."""
         self._ci_cache = None
+        self._ftidx_cache = None
+
+    def _fulltext_index_map(self) -> list[tuple[frozenset, dict]]:
+        """(column-set -> index props) for every FULLTEXT index, built
+        in ONE metadata pass and cached until DDL invalidates it —
+        MATCH...AGAINST must not pay an O(tables) list_tables scan per
+        query (every index mutation funnels through _save_meta /
+        drop_table, which call _ddl_changed)."""
+        cached = getattr(self, "_ftidx_cache", None)
+        if cached is not None:
+            return cached
+        out: list[tuple[frozenset, dict]] = []
+        for tname in self.catalog.list_tables():
+            if tname.startswith("__"):
+                continue
+            try:
+                meta = self.table_meta(tname)
+            except Exception:
+                continue
+            for props in meta.indexes.values():
+                if props.get("fulltext"):
+                    out.append((frozenset(props.get("columns", [])), props))
+        self._ftidx_cache = out
+        return out
 
     def _rewrite_time_travel(self, query: str) -> str:
         """``FROM t VERSION AS OF n`` → a registered snapshot view
@@ -1091,6 +1143,76 @@ class Engine:
             i += 1
         return "".join(out)
 
+    def _resolve_order_refs(
+        self,
+        order_text: str,
+        items: list[tuple[str, str | None, bool]],
+    ) -> str:
+        """Resolve ORDER BY ordinals and select-list aliases to their
+        underlying expressions, for reuse inside a window OVER clause.
+
+        `ORDER BY 1` at the top level means "first select item" in
+        MySQL, but inside `OVER (ORDER BY 1 ...)` it is the constant 1
+        — copying it verbatim silently breaks running totals; an alias
+        is simply unresolvable there. Ordering by the assignment item
+        itself (by ordinal or alias) is circular and raises.
+        """
+        from myduckserver_spark.functions.mysql_lexer import tokenize
+
+        toks = tokenize(order_text)
+        parts: list[list] = [[]]
+        depth = 0
+        for t in toks:
+            if t.kind == "op" and t.text == "(":
+                depth += 1
+            elif t.kind == "op" and t.text == ")":
+                depth -= 1
+            if depth == 0 and t.kind == "op" and t.text == ",":
+                parts.append([])
+            else:
+                parts[-1].append(t)
+        out_parts: list[str] = []
+        for part in parts:
+            sig = [t for t in part if t.kind not in ("ws", "comment")]
+            direction = ""
+            if sig and sig[-1].is_word("ASC", "DESC"):
+                direction = " " + sig[-1].text.upper()
+                sig = sig[:-1]
+            target: tuple[str, str | None, bool] | None = None
+            if len(sig) == 1 and sig[0].kind == "num":
+                try:
+                    pos = int(sig[0].text)
+                except ValueError:
+                    pos = 0
+                if not (1 <= pos <= len(items)):
+                    raise ValueError(
+                        f"ORDER BY position {sig[0].text} is out of range"
+                    )
+                target = items[pos - 1]
+            elif len(sig) == 1 and sig[0].kind in ("word", "bq"):
+                name = sig[0].text.strip("`").replace("``", "`").lower()
+                target = next(
+                    (
+                        it
+                        for it in items
+                        if it[1] is not None and it[1].lower() == name
+                    ),
+                    None,
+                )
+            if target is None:
+                out_parts.append(
+                    " ".join(t.text for t in sig).strip() + direction
+                )
+                continue
+            expr_text, _alias, is_assign = target
+            if is_assign:
+                raise NotImplementedError(
+                    "ORDER BY referencing a user-variable assignment "
+                    "column cannot drive its own running-total window"
+                )
+            out_parts.append(f"({expr_text}){direction}")
+        return ", ".join(p for p in out_parts if p)
+
     def _rewrite_user_var_assignments(
         self, query: str
     ) -> tuple[str, list[tuple[str, str]]]:
@@ -1128,7 +1250,7 @@ class Engine:
 
         # locate top-level clause boundaries + outer ORDER BY text
         depth = 0
-        select_at = from_at = None
+        select_at = from_at = setop_at = select_end = None
         order_span: tuple[int, int] | None = None
         k = 0
         while k < len(sig):
@@ -1143,7 +1265,17 @@ class Engine:
                     select_at = i
                 elif u == "FROM" and from_at is None:
                     from_at = i
-                elif (
+                elif u in ("UNION", "EXCEPT", "INTERSECT") and setop_at is None:
+                    setop_at = i
+                if (
+                    select_at is not None
+                    and i > select_at
+                    and select_end is None
+                    and u in ("FROM", "WHERE", "GROUP", "HAVING", "ORDER",
+                              "LIMIT", "UNION", "EXCEPT", "INTERSECT", "FOR")
+                ):
+                    select_end = i
+                if (
                     u == "ORDER"
                     and k + 1 < len(sig)
                     and sig[k + 1][1].is_word("BY")
@@ -1173,6 +1305,66 @@ class Engine:
             else ""
         )
 
+        # Parse the top-level select list into (expr_text, alias,
+        # is_assignment) items so ORDER BY ordinals ("ORDER BY 1") and
+        # select-list aliases ("ORDER BY rn") can be resolved to real
+        # expressions before they are copied into a window OVER clause
+        # (a window ordered by the literal 1 silently computes a wrong
+        # running total; an alias is unresolvable inside OVER).
+        items: list[tuple[str, str | None, bool]] = []
+        if select_at is not None:
+            lo = select_at + 1
+            hi = select_end if select_end is not None else len(toks)
+            # skip a leading DISTINCT/ALL qualifier
+            spans: list[tuple[int, int]] = []
+            d2 = 0
+            st_i = lo
+            for j in range(lo, hi):
+                tj = toks[j]
+                if tj.kind == "op" and tj.text == "(":
+                    d2 += 1
+                elif tj.kind == "op" and tj.text == ")":
+                    d2 -= 1
+                elif d2 == 0 and tj.kind == "op" and tj.text == ",":
+                    spans.append((st_i, j))
+                    st_i = j + 1
+            spans.append((st_i, hi))
+            for a, b in spans:
+                isig = [
+                    toks[j]
+                    for j in range(a, b)
+                    if toks[j].kind not in ("ws", "comment")
+                ]
+                if isig and isig[0].is_word("DISTINCT", "ALL"):
+                    isig = isig[1:]
+                is_assign = any(
+                    e.kind == "uservar"
+                    and x + 1 < len(isig)
+                    and isig[x + 1].kind == "op"
+                    and isig[x + 1].text == ":="
+                    for x, e in enumerate(isig)
+                )
+                alias = None
+                expr_sig_end = len(isig)
+                if (
+                    len(isig) >= 3
+                    and isig[-2].is_word("AS")
+                    and isig[-1].kind in ("word", "bq")
+                ):
+                    alias = isig[-1].text.strip("`").replace("``", "`")
+                    expr_sig_end = len(isig) - 2
+                elif (
+                    len(isig) >= 2
+                    and isig[-1].kind in ("word", "bq")
+                    and isig[-1].text.upper() not in _NOT_ALIAS_WORDS
+                    and _ends_value(isig[-2])
+                ):
+                    alias = isig[-1].text.strip("`").replace("``", "`")
+                    expr_sig_end = len(isig) - 1
+                expr_text = " ".join(
+                    e.text for e in isig[:expr_sig_end]
+                ).strip()
+                items.append((expr_text, alias, is_assign))
         out: list[str] = []
         assigns: list[tuple[str, str]] = []
         depth = 0
@@ -1213,10 +1405,22 @@ class Engine:
                     "user-variable assignment is only supported in the "
                     "top-level select list (SELECT @x := ...)"
                 )
+            if setop_at is not None:
+                # UNION/EXCEPT/INTERSECT name the result columns from
+                # the first branch and interleave branch rows, so
+                # "last-row value" has no faithful translation; MySQL
+                # itself deprecates assignment-in-SELECT for this.
+                raise NotImplementedError(
+                    "user-variable assignment is not supported in "
+                    "queries with UNION/EXCEPT/INTERSECT"
+                )
             # expression span: after ':=' to top-level ',' / clause kw
+            # / implicit alias (a bare identifier directly after a
+            # value-ending token, MySQL's `expr alias` form).
             j = nxt + 1
             d2 = 0
             expr_start = j
+            prev_sig = None
             while j < n:
                 tj = toks[j]
                 if tj.kind == "op" and tj.text == "(":
@@ -1235,6 +1439,16 @@ class Engine:
                         "LIMIT", "UNION", "AS")
                 ):
                     break
+                elif (
+                    d2 == 0
+                    and tj.kind in ("word", "bq")
+                    and tj.text.upper() not in _NOT_ALIAS_WORDS
+                    and prev_sig is not None
+                    and _ends_value(prev_sig)
+                ):
+                    break  # implicit alias: SELECT @x := v total
+                if tj.kind not in ("ws", "comment"):
+                    prev_sig = tj
                 j += 1
             expr_toks = toks[expr_start:j]
             raw = render(expr_toks).strip()
@@ -1252,6 +1466,17 @@ class Engine:
                 )
                 if anext is not None and toks[anext].kind in ("word", "bq"):
                     user_alias = toks[anext].text.strip("`").replace("``", "`")
+            elif (
+                j < n
+                and toks[j].kind in ("word", "bq")
+                and not toks[j].is_word(
+                    "FROM", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT",
+                    "UNION",
+                )
+            ):
+                # implicit alias (`SELECT @x := v total`): the alias
+                # token itself flows through the main loop unchanged.
+                user_alias = toks[j].text.strip("`").replace("``", "`")
             alias = user_alias or f"@{var} := {raw}"
             expr_sig = [
                 e for e in expr_toks if e.kind not in ("ws", "comment")
@@ -1295,8 +1520,13 @@ class Engine:
                         "(@x := @x + expr)"
                     )
                 init = self._render_literal(self.variables.get(var))
+                win_order = (
+                    self._resolve_order_refs(order_text, items)
+                    if order_text
+                    else ""
+                )
                 over = (
-                    f"ORDER BY {order_text} " if order_text else ""
+                    f"ORDER BY {win_order} " if win_order else ""
                 ) + "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
                 repl = f"(SUM({rest}) OVER ({over}) + {init})"
             else:
@@ -1429,11 +1659,18 @@ class Engine:
                 df = df.limit(int(cap))
             if assigns:
                 # MySQL: after the statement, @x holds its last-row
-                # value; a zero-row result leaves it untouched.
-                last = df.tail(1)
-                if last:
+                # value; a zero-row result leaves it untouched. Collect
+                # ONCE and hand back a local-relation DataFrame over
+                # those exact rows, so the variable is set from the same
+                # execution the client receives (a re-run of a
+                # non-deterministic query could yield a different last
+                # row). Assignment queries are client-facing row streams
+                # by definition, so the result set is collect-sized.
+                rows = df.collect()
+                if rows:
                     for var, col in assigns:
-                        self.variables[var] = last[0][col]
+                        self.variables[var] = rows[-1][col]
+                return self.spark.createDataFrame(rows, df.schema)
             return df
         if isinstance(s, st.Prepare):
             text = s.query
@@ -2632,24 +2869,33 @@ class Engine:
             frag = query[m.start():m.end()]
             if re.search(r"BOOLEAN\s+MODE", masked[m.start():m.end()], re.I):
                 return frag  # boolean mode keeps the overlap shim
+            # MySQL: bare MATCH in predicate position means
+            # relevance > 0; Spark WHERE requires a real boolean.
+            pm = re.search(r"([A-Za-z_]+)\s*$", masked[: m.start()])
+            after = masked[m.end():].lstrip()
+            bare_pred = (
+                pm is not None
+                and pm.group(1).upper()
+                in ("WHERE", "AND", "OR", "NOT", "HAVING", "WHEN",
+                    "THEN", "ON")
+                and (not after or after[0] not in "<>=!+-*/%")
+            )
+
+            def _shape(scalar: str) -> str:
+                return f"({scalar} > 0.0)" if bare_pred else scalar
             cols = [c.strip().strip('`') for c in m.group(1).split(",")]
             # find a fulltext index declared on exactly these columns
-            hit = None
-            for tname in self.catalog.list_tables():
-                if tname.startswith("__"):
-                    continue
-                try:
-                    meta = self.table_meta(tname)
-                except Exception:
-                    continue
-                for iname, props in meta.indexes.items():
-                    if props.get("fulltext") and set(
-                        props.get("columns", [])
-                    ) == set(cols):
-                        hit = props
-                        break
-                if hit:
-                    break
+            # (cached column-set map — one metadata pass at DDL time,
+            # not an O(tables) scan per MATCH query)
+            want = frozenset(cols)
+            hit = next(
+                (
+                    props
+                    for colset, props in self._fulltext_index_map()
+                    if colset == want
+                ),
+                None,
+            )
             if hit is None:
                 return frag  # no index: overlap shim handles it
             # group offsets index the MASKED text (string contents
@@ -2658,7 +2904,7 @@ class Engine:
             terms_lit = query[m.start(2) + 1:m.end(2) - 1].replace("''", "'")
             terms = [t for t in terms_lit.lower().split() if t]
             if not terms:
-                return "0.0"
+                return _shape("0.0")
             idx = self.catalog.table(hit["index_table"]).read()
             rows = idx.filter(
                 F.col("term").isin([""] + terms)
@@ -2671,14 +2917,14 @@ class Engine:
                 else:
                     dfs[r.term] = r.df
             if n_docs == 0:
-                return "0.0"
+                return _shape("0.0")
             avgdl = sum_dl / n_docs
             idf = {t: bm25_idf(n_docs, dfs.get(t, 0)) for t in terms}
             text_sql = (
                 cols[0] if len(cols) == 1
                 else "concat_ws(' ', " + ", ".join(cols) + ")"
             )
-            return bm25_scalar_sql(text_sql, terms, idf, avgdl)
+            return _shape(bm25_scalar_sql(text_sql, terms, idf, avgdl))
 
         out = []
         last = 0

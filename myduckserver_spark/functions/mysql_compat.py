@@ -725,6 +725,31 @@ def _match_against(toks: list[Tok], i: int, open_idx: int, close_idx: int):
     terms = [t for t in terms_lit.lower().split() if t]
     arr = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
     sql = f"size(array_intersect(split(lower({col}), ' '), array({arr})))"
+    # MySQL: a bare MATCH in predicate position (WHERE MATCH(...)
+    # AGAINST(...)) filters on relevance > 0; as a select item it's the
+    # score itself. Spark requires an actual boolean in WHERE.
+    prev = next(
+        (
+            toks[q]
+            for q in range(i - 1, -1, -1)
+            if toks[q].kind not in ("ws", "comment")
+        ),
+        None,
+    )
+    nxt2 = _sig_next(toks, pclose)
+    consumed = (
+        nxt2 < len(toks)
+        and toks[nxt2].kind == "op"
+        and toks[nxt2].text[:1] in "<>=!+-*/%"
+    )
+    if (
+        prev is not None
+        and prev.kind == "word"
+        and prev.text.upper()
+        in ("WHERE", "AND", "OR", "NOT", "HAVING", "WHEN", "THEN", "ON")
+        and not consumed
+    ):
+        sql = f"({sql} > 0)"
     return tokenize(sql), pclose + 1
 
 

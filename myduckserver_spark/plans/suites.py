@@ -263,6 +263,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "g_max_by_extremes", "g_having_no_groupby", "c_case_in_groupby",
         "o_orderby_expression", "sq_scalar_above_avg_price",
         "sq_exists_in_select_list", "c_recursive_month_spine",
+        "apx_ndv_by_flag",
     ),
     # Engine statement front door (CTAS/INSERT/REPLACE/IGNORE/ON
     # DUPLICATE/UPDATE/DELETE/defaults, DDL+information_schema,

@@ -98,3 +98,53 @@ def test_match_index_survives_reopen_and_drop(eng, spark, tmp_path):
     assert not any(
         t.startswith("__ftidx_") for t in e2.catalog.list_tables()
     )
+
+
+def test_index_map_cached_and_invalidated_on_ddl(eng):
+    eng.execute("CREATE FULLTEXT INDEX ft_body ON articles (body)")
+    # first MATCH builds the cache; further lookups must not rescan
+    eng.execute(
+        "SELECT id FROM articles WHERE MATCH(body) AGAINST('fox')"
+    ).collect()
+    assert eng._ftidx_cache is not None
+    built = eng._ftidx_cache
+    eng.execute(
+        "SELECT id FROM articles WHERE MATCH(body) AGAINST('quartz')"
+    ).collect()
+    # cache hit: the map object was reused, not rebuilt per query
+    assert eng._ftidx_cache is built
+    # index DDL invalidates: dropping the index reverts MATCH to the
+    # overlap shim (cache must not serve the dead index)
+    eng.execute("DROP INDEX ft_body ON articles")
+    assert eng._ftidx_cache is None
+    eng.execute(
+        "SELECT id FROM articles WHERE MATCH(body) AGAINST('fox')"
+    ).collect()
+    assert all(cs for cs, _ in eng._ftidx_cache) or eng._ftidx_cache == []
+
+
+def test_match_in_where_is_predicate(eng):
+    # MySQL: bare MATCH in WHERE filters on relevance > 0 — both the
+    # BM25 path (indexed) and the overlap shim (no index) must produce
+    # a boolean there, and the score form stays scalar in SELECT.
+    ids = sorted(
+        r.id
+        for r in eng.execute(
+            "SELECT id FROM articles WHERE MATCH(body) AGAINST('fox')"
+        ).collect()
+    )
+    assert ids == [1]  # shim path (no index yet)
+    eng.execute("CREATE FULLTEXT INDEX ft_b ON articles (body)")
+    ids = sorted(
+        r.id
+        for r in eng.execute(
+            "SELECT id FROM articles WHERE MATCH(body) AGAINST('quick')"
+        ).collect()
+    )
+    assert ids == [1, 3, 4]  # BM25 path
+    # comparison form is NOT double-wrapped
+    rows = eng.execute(
+        "SELECT id FROM articles "
+        "WHERE MATCH(body) AGAINST('quick') > 0.0 ORDER BY id"
+    ).collect()
+    assert [r.id for r in rows] == [1, 3, 4]

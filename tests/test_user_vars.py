@@ -104,3 +104,72 @@ def test_non_additive_self_reference_raises(engine):
     engine.execute("SET @m = 1")
     with pytest.raises(NotImplementedError):
         engine.execute("SELECT @m := @m * 2 FROM uv_t")
+
+
+def test_ordinal_order_by_resolves_to_select_item(engine):
+    # ORDER BY 1 must mean "first select item" inside the running-total
+    # window, not the constant 1 (which MySQL-silently breaks totals).
+    engine.execute("SET @s = 0")
+    rows = engine.execute(
+        "SELECT v, @s := @s + v AS rt FROM uv_t ORDER BY 1 DESC"
+    ).collect()
+    assert [(r.v, r.rt) for r in rows] == [
+        (40, 40),
+        (30, 70),
+        (20, 90),
+        (10, 100),
+    ]
+    assert engine.variables["s"] == 100  # MySQL's value, not 80
+
+
+def test_alias_order_by_resolves_to_expression(engine):
+    engine.execute("SET @s = 0")
+    rows = engine.execute(
+        "SELECT v * 2 AS d, @s := @s + v AS rt FROM uv_t ORDER BY d DESC"
+    ).collect()
+    assert [(r.d, r.rt) for r in rows] == [
+        (80, 40),
+        (60, 70),
+        (40, 90),
+        (20, 100),
+    ]
+    assert engine.variables["s"] == 100
+
+
+def test_order_by_assignment_alias_raises(engine):
+    engine.execute("SET @s = 0")
+    with pytest.raises(NotImplementedError):
+        engine.execute(
+            "SELECT @s := @s + v AS rt FROM uv_t ORDER BY rt"
+        )
+
+
+def test_order_by_assignment_ordinal_raises(engine):
+    engine.execute("SET @s = 0")
+    with pytest.raises(NotImplementedError):
+        engine.execute("SELECT @s := @s + v FROM uv_t ORDER BY 1")
+
+
+def test_implicit_alias_after_assignment(engine):
+    # MySQL implicit alias: SELECT @x := v total  ->  column "total"
+    rows = engine.execute(
+        "SELECT @x := v total FROM uv_t ORDER BY id"
+    ).collect()
+    assert rows[0].__fields__ == ["total"]
+    assert [r.total for r in rows] == [10, 20, 30, 40]
+    assert engine.variables["x"] == 40
+
+
+def test_assignment_with_set_operation_raises(engine):
+    with pytest.raises(NotImplementedError):
+        engine.execute("SELECT 1 UNION ALL SELECT @u := 2")
+    assert "u" not in engine.variables
+
+
+def test_assignment_returns_rows_consistent_with_var(engine):
+    # the returned DataFrame is a local relation over the SAME rows the
+    # variable was set from (no second execution on client collect)
+    df = engine.execute("SELECT @last2 := v FROM uv_t ORDER BY id")
+    assert engine.variables["last2"] == 40  # set before client collect
+    rows = df.collect()
+    assert [r[0] for r in rows] == [10, 20, 30, 40]
