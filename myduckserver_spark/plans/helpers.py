@@ -225,6 +225,28 @@ def fp_groupby(df, keys, sums=(), avgs=(), counts=()):
     return fin.selectExpr(*out)
 
 
+def build_small(df):
+    """Mark `df` as the intended hash-BUILD side of a fact join.
+
+    Under the measured small-working-set serving profile
+    (tables.serving_profile — AQE off, static planning) this attaches
+    an explicit broadcast hint: the static planner's size estimates
+    for DERIVED inputs (joins, filtered scans, aggregates) are
+    unreliable and were observed to pick the data-proportional fact
+    side as the build — e.g. broadcasting a 64 MiB, 600k-row lineitem
+    scan per execution (q5, ~0.4 s/run of pure hash-build cost).
+
+    At cluster scale the profile keeps AQE on and this is a no-op:
+    runtime statistics pick the build side, so a data-proportional
+    input is never statically pinned — the same static-for-small /
+    dynamic-for-large split serving_profile applies everywhere else.
+    Statistics-driven, not a hardcoded shape.
+    """
+    from myduckserver_spark.tables import serving_small
+
+    return F.broadcast(df) if serving_small() else df
+
+
 def ordered_adaptive(df, *cols):
     """Presentation sort for results PROPORTIONAL to the input (dedup
     survivors, per-document scores, per-user rollups) — unlike

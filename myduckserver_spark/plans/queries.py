@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from myduckserver_spark.plans.helpers import (
     bcount,
+    build_small,
     davg,
     dec,
     dout,
@@ -154,9 +155,10 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3: 3-way join + agg + deterministic top-10.
 
-    Scale: customer filter first (smallest side after filter), join
-    keyed on custkey then orderkey; final LIMIT executes as
-    TakeOrderedAndProject (no full sort shuffle).
+    Scale: lineitem (largest at every SF) is the stream side; the
+    BUILDING-customer⋈orders slice is the build side (build_small:
+    profile-gated broadcast, AQE-decided at scale). Final LIMIT
+    executes as TakeOrderedAndProject (no full sort shuffle).
     """
     cust = load_table(spark, sf_dir, "customer").filter(
         "c_mktsegment = 'BUILDING'"
@@ -167,9 +169,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         "l_shipdate > TIMESTAMP '1998-03-15 00:00:00'"
     )
+    co = orders.join(build_small(cust), F.expr("c_custkey = o_custkey")).select(
+        "o_orderkey", "o_orderdate"
+    )
     return (
-        cust.join(orders, F.expr("c_custkey = o_custkey"))
-        .join(li, F.expr("o_orderkey = l_orderkey"))
+        li.join(build_small(co), F.expr("o_orderkey = l_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
         # fp_sum_sql: per-order groups are schema-bounded (<= 7
         # lineitems), so the exact fixed-point sum stays single-level
@@ -209,9 +213,13 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     at ANY data scale, so operators/dimjoin.py folds them into the plan
     as a literal IN-list (ASIA nationkeys — pushes into the supplier
     scan) and a literal nationkey→name map (the group key) instead of
-    two broadcast-join stages. Supplier scales with SF, so its join is
-    left to AQE/size stats (broadcast at bench SF, shuffled at 100 TB).
-    The only mandatory shuffles are the fact-side keyed joins
+    two broadcast-join stages. lineitem — the largest table at every
+    SF — is the STREAM side of every join; customer⋈orders and the
+    filtered supplier are the build sides (build_small: hint-broadcast
+    only under the measured small profile, AQE-decided at scale —
+    under static planning Catalyst's derived-size estimates picked
+    lineitem itself as the hash build, a 64 MiB broadcast per run).
+    The mandatory cluster shuffles remain the fact-side keyed joins
     customer⋈orders and orders⋈lineitem.
     """
     from ..operators.dimjoin import inline_keys, inline_map
@@ -232,11 +240,13 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     asia_keys = inline_keys(asia, "n_nationkey", ck)
     name_map = inline_map(asia, "n_nationkey", "n_name", ck)
     in_list = ", ".join(str(k) for k in sorted(asia_keys))
+    co = orders.join(build_small(cust), F.expr("c_custkey = o_custkey")).select(
+        "o_orderkey", "c_nationkey"
+    )
     return (
-        cust.join(orders, F.expr("c_custkey = o_custkey"))
-        .join(li, F.expr("o_orderkey = l_orderkey"))
+        li.join(build_small(co), F.expr("l_orderkey = o_orderkey"))
         .join(
-            supp.filter(f"s_nationkey IN ({in_list})"),
+            build_small(supp.filter(f"s_nationkey IN ({in_list})")),
             F.expr("l_suppkey = s_suppkey AND c_nationkey = s_nationkey"),
         )
         .withColumn("n_name", F.element_at(name_map, F.col("s_nationkey")))
@@ -289,9 +299,13 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         nation, "n_nationkey", "n_name",
         (id(spark), os.path.abspath(sf_dir), "nation"),
     )
+    co = orders.join(build_small(cust), F.expr("c_custkey = o_custkey")).select(
+        "o_orderkey", "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
     return (
-        cust.join(orders, F.expr("c_custkey = o_custkey"))
-        .join(li, F.expr("o_orderkey = l_orderkey"))
+        # lineitem (largest at every SF) streams; the one-year
+        # customer⋈orders slice is the build side (profile-gated hint).
+        li.join(build_small(co), F.expr("o_orderkey = l_orderkey"))
         .withColumn("n_name", F.element_at(name_map, F.col("c_nationkey")))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         # fp_sum_sql: per-customer-year groups are schema-bounded
@@ -348,12 +362,13 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cust = load_table(spark, sf_dir, "customer")
-    # No broadcast hints: `big` is a data-dependent HAVING survivor set and
-    # customer grows with SF — let AQE pick broadcast at runtime when small.
+    # orders streams; `big` (the ~0.1% HAVING survivors) and customer
+    # are the build sides. build_small = profile-gated hint only — at
+    # cluster scale AQE decides from the survivors' runtime size.
     return (
         load_table(spark, sf_dir, "orders")
-        .join(big, F.expr("o_orderkey = l_orderkey"))
-        .join(cust, F.expr("c_custkey = o_custkey"))
+        .join(build_small(big), F.expr("o_orderkey = l_orderkey"))
+        .join(build_small(cust), F.expr("c_custkey = o_custkey"))
         .selectExpr(
             "c_custkey",
             "o_orderkey",
@@ -421,18 +436,28 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "outer-join", "aggregation", "tpch"),
 )
 def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q13: left outer join with join-side predicate + double agg."""
+    """TPC-H Q13: left outer join with join-side predicate + double agg.
+
+    Scale: orders is pre-aggregated to (custkey, order-count) BEFORE
+    the outer join — the join-then-count formulation shuffles every
+    order row; this one shuffles one row per customer-with-orders and
+    makes the left join's right side the aggregate (build_small:
+    profile-gated broadcast, AQE at scale). COUNT(o_orderkey) over the
+    outer join ≡ COALESCE(pre-agg count, 0) because the count column
+    is NULL exactly for match-less customers.
+    """
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    joined = cust.join(
-        orders,
-        (cust.c_custkey == orders.o_custkey)
-        & (orders.o_orderpriority != "1-URGENT"),
-        "left",
+    oc = (
+        load_table(spark, sf_dir, "orders")
+        .filter("o_orderpriority <> '1-URGENT'")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
     )
     return (
-        joined.groupBy("c_custkey")
-        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+        cust.join(
+            build_small(oc), F.expr("c_custkey = o_custkey"), "left"
+        )
+        .selectExpr("COALESCE(__n, 0L) AS c_count")
         .groupBy("c_count")
         .agg(bcount("custdist"))
         .transform(ordered_bounded, F.desc("custdist"), F.desc("c_count"))
