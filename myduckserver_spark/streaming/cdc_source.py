@@ -148,11 +148,44 @@ class FileCdcFeed:
                     yield CdcEvent(
                         position=pos,
                         action=d["action"],
-                        row=d["row"],
+                        row=_decode_row_payloads(d["row"]),
                         txn_group=d.get("txn_group", "g0"),
                         txn_seq=d.get("txn_seq", 0),
                         txn_stmt=d.get("txn_stmt", 0),
                     )
+
+
+def wrap_binary_json(encoded: bytes) -> dict:
+    """Wrap MySQL binary-JSON wire bytes for transport in a feed row.
+
+    A binlog row event carries JSON columns in MySQL's internal binary
+    format (streaming/mysql_json.py); the feed's JSONL lines are text,
+    so producers wrap the raw bytes as ``{"$mysqlJson": <hex>}`` and
+    ``events_after`` decodes them back to a JSON string for the column.
+    """
+    return {"$mysqlJson": encoded.hex()}
+
+
+def _decode_row_payloads(row: dict) -> dict:
+    """Decode any ``{"$mysqlJson": hex}`` column payloads to JSON text
+    (the string form a JSON column holds in the engine), leaving every
+    other value untouched."""
+    if not any(
+        isinstance(v, dict) and "$mysqlJson" in v for v in row.values()
+    ):
+        return row
+    from myduckserver_spark.streaming.mysql_json import decode_binary_json
+
+    out = {}
+    for k, v in row.items():
+        if isinstance(v, dict) and "$mysqlJson" in v:
+            out[k] = json.dumps(
+                decode_binary_json(bytes.fromhex(v["$mysqlJson"])),
+                separators=(",", ":"),
+            )
+        else:
+            out[k] = v
+    return out
 
 
 _AUGMENTED_FIELDS = [
