@@ -643,19 +643,45 @@ class Engine:
         SEQUENCE + nextval default, catalog/database.go:159-210): new
         rows get ids starting after the current max. Uses a window
         rank, not monotonically_increasing_id, so ids are dense like
-        MySQL's counter."""
-        from pyspark.sql import Window as W
-
+        MySQL's counter. Dense numbering is global-total-order ranking,
+        so it routes through operators/globalrank.py (range partition +
+        prefix-count correction) — an unpartitioned row_number window
+        would serialize a 10⁹-row INSERT…SELECT into one task."""
         t = self.catalog.table(name)
         base = t.read()
         start = (base.agg(F.max(id_col)).collect()[0][0] or 0) + 1
         id_type = dict(base.dtypes)[id_col]
-        order_cols = [c for c in df.columns] or [F.lit(1)]
-        numbered = df.withColumn(
-            id_col,
-            (F.row_number().over(W.orderBy(*order_cols)) + start - 1).cast(id_type),
-        )
+        numbered = self._assign_dense_ids(df, id_col, start, id_type)
         t.overwrite(base.unionByName(numbered.select(*base.columns)))
+
+    @staticmethod
+    def _assign_dense_ids(df: DataFrame, id_col: str, start: int, id_type):
+        """Assign dense sequential ids start, start+1, … to `df` rows
+        (arbitrary but deterministic-per-plan order) without an
+        unpartitioned window — partition-parallel via globalrank."""
+        from pyspark.sql import Window as W
+
+        from myduckserver_spark.operators.globalrank import (
+            ROW_NUMBER,
+            with_global_order,
+        )
+
+        order_cols = [c for c in df.columns if c != id_col]
+        if not order_cols:
+            # degenerate single-column insert: bounded tiny input
+            return df.withColumn(
+                id_col,
+                (F.row_number().over(W.orderBy(F.lit(1))) + start - 1).cast(
+                    id_type
+                ),
+            )
+        g = with_global_order(df, *[F.asc(c) for c in order_cols])
+        out_cols = (
+            df.columns if id_col in df.columns else df.columns + [id_col]
+        )
+        return g.withColumn(
+            id_col, (F.col(ROW_NUMBER) + start - 1).cast(id_type)
+        ).select(*out_cols)
 
     def insert_checked(
         self, name: str, df: DataFrame, checks: dict[str, Column]
@@ -1058,17 +1084,10 @@ class Engine:
                 ai = meta.auto_increment
                 start_row = base.agg(F.max(F.col(ai)).alias("m")).collect()[0]
                 start = (start_row["m"] or 0) + 1
-                from pyspark.sql import Window as W
-
-                inserts = inserts.withColumn(
-                    ai,
-                    (
-                        F.row_number().over(
-                            W.orderBy(*[c for c in inserts.columns if c != ai])
-                        )
-                        + start
-                        - 1
-                    ).cast(schema[ai].dataType),
+                # partition-parallel dense numbering (globalrank), not
+                # an unpartitioned window — see insert_auto_increment
+                inserts = self._assign_dense_ids(
+                    inserts, ai, start, schema[ai].dataType
                 )
             inserts = inserts.localCheckpoint(eager=True)
             n_ins = inserts.count()
@@ -1757,6 +1776,8 @@ class Engine:
             n = self.catalog.table(s.name).read().count()
             self.truncate(s.name)
             return OkResult(affected_rows=n)
+        if isinstance(s, st.SubscriptionStmt):
+            return self._exec_subscription(s)
         if isinstance(s, st.Optimize):
             cols = s.zorder_cols
             if not cols:
@@ -2787,6 +2808,117 @@ class Engine:
         return sub_outside_strings(self._VS_PATTERN, repl, query, re.I)
 
     # ------------------------------------------------------ vector index
+
+    # ------------------------------------------------------- subscriptions
+    # Declarative replication lifecycle (reference:
+    # pgserver/subscription_handler.go:162-238 — create persists the
+    # subscription, enable/disable flip its status, drop removes it,
+    # and the replication loop applies changes for enabled ones). Here
+    # the transport is the file CDC feed and the apply machinery is
+    # CdcApplier (streaming/cdc_source.py) with its exactly-once
+    # position commits, so enable→disable→enable resumes without
+    # replays or gaps.
+
+    def _subs_path(self) -> str:
+        return os.path.join(self._warehouse, "__subscriptions.json")
+
+    def _load_subs(self) -> dict:
+        p = self._subs_path()
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return {}
+
+    def _save_subs(self, subs: dict) -> None:
+        os.makedirs(self._warehouse, exist_ok=True)
+        with open(self._subs_path(), "w") as f:
+            json.dump(subs, f)
+
+    def _exec_subscription(self, s: "st.SubscriptionStmt") -> "OkResult":
+        subs = self._load_subs()
+        if s.action == "create":
+            if s.name in subs:
+                raise ValueError(f"subscription exists: {s.name}")
+            conn = dict(s.connection or {})
+            if "path" not in conn or "table" not in conn:
+                raise ValueError(
+                    "CONNECTION must carry path=<feed root> and "
+                    "table=<target> for the file-feed transport"
+                )
+            meta = self.table_meta(conn["table"])  # validates target
+            pk = conn.get("pk", "")
+            pk_cols = [c for c in pk.split(",") if c] or list(
+                meta.primary_key
+            )
+            if not pk_cols:
+                raise ValueError(
+                    "subscription target needs a primary key (or pk= "
+                    "in the connection string)"
+                )
+            subs[s.name] = {
+                "connection": conn,
+                "publication": s.publication,
+                "pk_cols": pk_cols,
+                "enabled": True,  # created subscriptions replicate
+            }
+            self._save_subs(subs)
+            return OkResult(info=f"subscription {s.name} created")
+        if s.name not in subs:
+            raise ValueError(f"unknown subscription: {s.name}")
+        if s.action in ("enable", "disable"):
+            subs[s.name]["enabled"] = s.action == "enable"
+            self._save_subs(subs)
+            # a disabled applier is dropped; re-enable rebuilds it and
+            # resumes from the committed position (exactly-once)
+            if s.action == "disable":
+                self._drop_applier(s.name)
+            return OkResult(info=f"subscription {s.name} {s.action}d")
+        if s.action == "drop":
+            self._drop_applier(s.name)
+            del subs[s.name]
+            self._save_subs(subs)
+            return OkResult(info=f"subscription {s.name} dropped")
+        raise ValueError(f"unknown subscription action: {s.action}")
+
+    def _drop_applier(self, name: str) -> None:
+        ap = getattr(self, "_sub_appliers", {}).pop(name, None)
+        if ap is not None:
+            ap.close()
+
+    def subscription_tick(self) -> dict[str, int]:
+        """Apply pending feed events for every ENABLED subscription
+        (one replication-loop iteration; reference logrepl's
+        UpdateSubscriptions poll). Returns rows applied per name."""
+        from myduckserver_spark.streaming.cdc_source import (
+            CdcApplier,
+            FileCdcFeed,
+        )
+
+        if not hasattr(self, "_sub_appliers"):
+            self._sub_appliers = {}
+        out: dict[str, int] = {}
+        for name, cfg in self._load_subs().items():
+            if not cfg.get("enabled"):
+                continue
+            ap = self._sub_appliers.get(name)
+            if ap is None:
+                conn = cfg["connection"]
+                table = self.catalog.table(conn["table"])
+                ap = CdcApplier(
+                    self.spark,
+                    FileCdcFeed(conn["path"]),
+                    table,
+                    cfg["pk_cols"],
+                    table.read().schema,
+                    app_id=f"sub_{name}",
+                )
+                self._sub_appliers[name] = ap
+            results = list(ap.poll())
+            r = ap.query_barrier()  # flush whatever the poll buffered
+            if r:
+                results.append(r)
+            out[name] = sum(x.rows for x in results if x and x.applied)
+        return out
 
     def _exec_create_fulltext_index(self, s: "st.CreateIndex") -> "OkResult":
         """CREATE FULLTEXT INDEX: materialize a document-frequency

@@ -311,8 +311,15 @@ def unquote_ident(s: str) -> str:
     return s
 
 
-def parse_literal(tok: str):
-    """One SQL literal → Python value (NULL/bool/int/float/str)."""
+def parse_literal(tok: str, exact_decimals: bool = False):
+    """One SQL literal → Python value (NULL/bool/int/float/str, plus
+    DATE/TIMESTAMP typed literals). With ``exact_decimals`` a decimal
+    literal without an exponent parses as ``decimal.Decimal`` — MySQL
+    semantics: ``1.23`` is an exact numeric, only ``1.23e0`` is a
+    DOUBLE. The VALUES-row path uses this so a DECIMAL(18,4) insert
+    keeps all digits (a float round-trip silently corrupts
+    >15-significant-digit values); defaults stay float because table
+    metadata is JSON-serialized."""
     t = tok.strip()
     up = t.upper()
     if up == "NULL":
@@ -336,7 +343,21 @@ def parse_literal(tok: str):
     if re.fullmatch(r"[+-]?\d+", t):
         return int(t)
     if re.fullmatch(r"[+-]?(\d+\.\d*|\.\d+|\d+)([eE][+-]?\d+)?", t):
+        if exact_decimals and "e" not in t.lower():
+            import decimal
+
+            return decimal.Decimal(t)
         return float(t)
+    # typed temporal literals (standard SQL + MySQL): DATE 'YYYY-MM-DD',
+    # TIMESTAMP/DATETIME 'YYYY-MM-DD hh:mm:ss[.ffffff]'
+    tm = re.fullmatch(r"(DATE|TIMESTAMP|DATETIME)\s+'([^']*)'", t, re.I)
+    if tm:
+        import datetime
+
+        body = tm.group(2)
+        if tm.group(1).upper() == "DATE":
+            return datetime.date.fromisoformat(body)
+        return datetime.datetime.fromisoformat(body)
     raise ValueError(f"cannot parse literal: {tok!r}")
 
 
@@ -358,7 +379,12 @@ def parse_values_tuples(s: str) -> list[list[object]]:
         grp = grp.strip()
         if not (grp.startswith("(") and grp.endswith(")")):
             raise ValueError(f"malformed VALUES tuple: {grp!r}")
-        rows.append([parse_literal(t) for t in split_top_level(grp[1:-1], ",")])
+        rows.append(
+            [
+                parse_literal(t, exact_decimals=True)
+                for t in split_top_level(grp[1:-1], ",")
+            ]
+        )
     return rows
 
 
@@ -465,6 +491,23 @@ class Vacuum:
 
     name: str
     keep_last: int = 1
+
+
+@dataclass
+class SubscriptionStmt:
+    """CREATE/ALTER/DROP SUBSCRIPTION — the declarative replication
+    surface (reference: pgserver/subscription_handler.go:18-66 grammar,
+    :162-238 enable/disable/drop lifecycle). The CONNECTION string is
+    key=value pairs as in the reference (:68-146); this engine's feed
+    transport is the file feed, so `path=` (feed root), `table=`
+    (target) and optional `pk=` drive the applier, while
+    dbname/host/port/user/password are parsed and stored for parity.
+    """
+
+    action: str  # create | drop | enable | disable
+    name: str
+    connection: dict[str, str] | None = None
+    publication: str | None = None
 
 
 @dataclass
@@ -1074,6 +1117,31 @@ def parse_statement(sql: str):
 
     if up.startswith("MERGE"):
         return parse_merge(s)
+
+    if "SUBSCRIPTION" in up:
+        m = re.match(
+            r"CREATE\s+SUBSCRIPTION\s+([\w-]+)\s+CONNECTION\s+'([^']+)'"
+            r"(?:\s+PUBLICATION\s+([\w-]+))?$",
+            s,
+            re.I,
+        )
+        if m:
+            conn = dict(re.findall(r"(\w+)=([^\s']*)", m.group(2)))
+            # reference defaults (subscription_handler.go:137-144)
+            conn.setdefault("dbname", "postgres")
+            conn.setdefault("port", "5432")
+            return SubscriptionStmt(
+                "create", m.group(1), connection=conn,
+                publication=m.group(3),
+            )
+        m = re.match(
+            r"ALTER\s+SUBSCRIPTION\s+([\w-]+)\s+(ENABLE|DISABLE)$", s, re.I
+        )
+        if m:
+            return SubscriptionStmt(m.group(2).lower(), m.group(1))
+        m = re.match(r"DROP\s+SUBSCRIPTION\s+([\w-]+)$", s, re.I)
+        if m:
+            return SubscriptionStmt("drop", m.group(1))
 
     m = re.match(
         r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(`[^`]+`|\w+)\s+"

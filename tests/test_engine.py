@@ -111,3 +111,35 @@ def test_drop_table(engine):
     assert "tmp_t" in engine.catalog.list_tables()
     engine.drop_table("tmp_t")
     assert "tmp_t" not in engine.catalog.list_tables()
+
+
+def test_auto_increment_dense_ids_partition_parallel(spark, tmp_path):
+    """Bulk auto-increment assignment must not serialize into one task:
+    ids come from the globalrank range-partition pattern and stay dense
+    across a multi-partition insert (VERDICT r3 #6)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.create_table(
+        "ai_bulk",
+        [("id", "INT"), ("v", "INT")],
+        rows=[(1, 0)],
+    )
+    src = spark.range(5000).repartition(8).selectExpr(
+        "CAST(NULL AS INT) AS id", "CAST(id AS INT) AS v"
+    )
+    e.insert_auto_increment("ai_bulk", src, "id")
+    got = e.catalog.table("ai_bulk").read()
+    ids = sorted(r.id for r in got.select("id").collect())
+    assert ids == list(range(1, 5002))  # dense, unique, starts after max
+    # the numbering plan itself carries no unpartitioned window
+    numbered = Engine._assign_dense_ids(src, "id", 2, got.schema["id"].dataType)
+    plan = numbered._jdf.queryExecution().executedPlan().toString()
+    for m in re.finditer(r"Window .*?windowspecdefinition\(([^)]*)\)", plan):
+        assert "__gr_pid" in m.group(1) or "," in m.group(1).split(
+            "windowspec"
+        )[0], f"unpartitioned window in auto-increment plan: {m.group(0)[:200]}"

@@ -60,7 +60,10 @@ def test_insert_values_roundtrip(rows):
     for parsed, orig in zip(stmt.rows, rows):
         for p, o in zip(parsed, orig):
             if isinstance(o, float):
-                assert p == pytest.approx(o)
+                # decimal literals parse EXACT (MySQL semantics:
+                # 1.23 is a DECIMAL, not a DOUBLE); engine._py_cast
+                # narrows per target column type
+                assert float(p) == pytest.approx(o)
             elif isinstance(o, bool) or o is None or isinstance(o, int):
                 assert p is o or p == o
             else:
