@@ -35,7 +35,9 @@ DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # inputs arrive as many splits and this is a no-op in spirit, but the
 # plan shape (scan → exchange → parallel agg) is exactly what 100 TB
 # needs anyway. Filters/pruning still push below the repartition.
-_SPLIT_THRESHOLD_BYTES = 4 << 20
+_SPLIT_THRESHOLD_BYTES = 2 << 20  # orders at sf0.1 (2.7 MB) splits 4-way:
+# a single-partition probe/build side serializes every join stage that
+# streams it (measured ~5% off the headline total at sf0.1)
 # Text and vector tables are compute-dense per byte (shingling, md5
 # sketches, dot products) and compress heavily, so a "small" file can
 # still be minutes of single-core work — split them far earlier.
