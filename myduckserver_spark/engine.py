@@ -2920,6 +2920,42 @@ class Engine:
             out[name] = sum(x.rows for x in results if x and x.applied)
         return out
 
+    def start_replication(self, interval: float = 0.2) -> None:
+        """Background replication loop: poll enabled subscriptions every
+        `interval` seconds until stop_replication() (the reference runs
+        its applier as a goroutine event loop,
+        binlog_replica_applier.go:108-483; here one daemon thread drives
+        subscription_tick, whose appliers are exactly-once, so a tick
+        racing a concurrent statement can duplicate nothing)."""
+        import threading
+
+        t = getattr(self, "_repl_thread", None)
+        if t is not None and t.is_alive():
+            return
+        self._repl_stop = threading.Event()
+        self.replication_errors: list[str] = []
+
+        def loop() -> None:
+            while not self._repl_stop.wait(interval):
+                try:
+                    self.subscription_tick()
+                except Exception as e:  # keep looping; surface the error
+                    self.replication_errors.append(repr(e))
+                    del self.replication_errors[:-20]
+
+        self._repl_thread = threading.Thread(
+            target=loop, daemon=True, name="replication-loop"
+        )
+        self._repl_thread.start()
+
+    def stop_replication(self) -> None:
+        t = getattr(self, "_repl_thread", None)
+        if t is None:
+            return
+        self._repl_stop.set()
+        t.join(timeout=10)
+        self._repl_thread = None
+
     def _exec_create_fulltext_index(self, s: "st.CreateIndex") -> "OkResult":
         """CREATE FULLTEXT INDEX: materialize a document-frequency
         index — (term, df) rows plus one stats row (term='', n_docs,
@@ -3413,6 +3449,33 @@ class Engine:
             return self.spark.createDataFrame(
                 [(k, str(v)) for k, v in items],
                 "Variable_name string, Value string",
+            )
+        if s.kind == "subscriptions":
+            # SHOW SUBSCRIPTIONS: the declarative-replication registry
+            # with each subscription's committed resume position.
+            rows = []
+            for name, cfg in sorted(self._load_subs().items()):
+                conn = cfg["connection"]
+                pos = 0
+                try:
+                    t = self.catalog.table(conn["table"])
+                    pos = max(0, t.last_txn_version(f"sub_{name}"))
+                except Exception:
+                    pass
+                rows.append(
+                    (
+                        name,
+                        cfg.get("publication"),
+                        conn.get("table"),
+                        conn.get("path"),
+                        bool(cfg.get("enabled")),
+                        int(pos),
+                    )
+                )
+            return self.spark.createDataFrame(
+                rows,
+                "Subscription string, Publication string, Target string, "
+                "Feed string, Enabled boolean, Position long",
             )
         if s.kind == "replica_status":
             # SHOW BINLOG/REPLICA STATUS: one row per (table, source

@@ -1532,6 +1532,9 @@ def parse_statement(sql: str):
     ):
         return Show("replica_status")
 
+    if re.match(r"SHOW\s+SUBSCRIPTIONS\s*$", s, re.I):
+        return Show("subscriptions")
+
     m = re.match(r"PREPARE\s+(`[^`]+`|\w+)\s+FROM\s+(.+)$", s, re.I | re.S)
     if m:
         body = m.group(2).strip()

@@ -182,6 +182,7 @@ def _decode_row_payloads(row: dict) -> dict:
             out[k] = json.dumps(
                 decode_binary_json(bytes.fromhex(v["$mysqlJson"])),
                 separators=(",", ":"),
+                default=str,  # opaque DECIMAL payloads decode to Decimal
             )
         else:
             out[k] = v

@@ -129,15 +129,124 @@ def _decode_value(type_id: int, view: memoryview, at: int) -> Any:
             raise MysqlJsonError("truncated string payload")
         return bytes(view[at : at + length]).decode("utf-8")
     if type_id == TYPE_OPAQUE:
-        # DECIMAL/DATE/TIME/DATETIME ride as opaque payloads; surface
-        # the raw bytes honestly instead of guessing a decode.
+        # DECIMAL/DATE/TIME/DATETIME ride as opaque payloads. DECIMAL
+        # (field type 0xf6, MYSQL_TYPE_NEWDECIMAL) has a fully public
+        # layout — precision byte, scale byte, packed decimal — and
+        # decodes exactly; other sub-types surface raw bytes honestly.
         sub = _u(view, at, 1)
         length, at2 = _read_string_length(view, at + 1)
-        return {
-            "$opaque": sub,
-            "$bytes": bytes(view[at2 : at2 + length]).hex(),
-        }
+        payload = bytes(view[at2 : at2 + length])
+        if sub == FIELD_TYPE_NEWDECIMAL and len(payload) >= 2:
+            return decode_packed_decimal(
+                payload[2:], payload[0], payload[1]
+            )
+        return {"$opaque": sub, "$bytes": payload.hex()}
     raise MysqlJsonError(f"unknown binary JSON type 0x{type_id:02x}")
+
+
+# ------------------------------------------------- packed DECIMAL codec
+
+FIELD_TYPE_NEWDECIMAL = 0xF6
+
+# bytes needed for 0..9 leftover decimal digits of a 9-digit group
+_DIG2BYTES = (0, 1, 1, 2, 2, 3, 3, 4, 4, 4)
+
+
+def decode_packed_decimal(raw: bytes, precision: int, scale: int):
+    """MySQL packed ("myisam") decimal → ``decimal.Decimal``.
+
+    The on-disk/binlog DECIMAL format (public, MySQL internals manual /
+    strings/decimal.c `decimal2bin`): digits are stored big-endian in
+    base-10^9 groups of 4 bytes, with partial leading/trailing groups
+    shortened per _DIG2BYTES; the first byte's high bit is the sign
+    (1 = non-negative) and every byte of a negative value is
+    complemented. Canonical documented example: DECIMAL(14,4) value
+    1234567890.1234 → 81 0D FB 38 D2 04 D2.
+    """
+    import decimal
+
+    intg = precision - scale
+    intg9, intgr = divmod(intg, 9)
+    frac9, fracr = divmod(scale, 9)
+    nbytes = intg9 * 4 + _DIG2BYTES[intgr] + frac9 * 4 + _DIG2BYTES[fracr]
+    if len(raw) < nbytes:
+        raise MysqlJsonError("truncated packed decimal")
+    b = bytearray(raw[:nbytes])
+    negative = not (b[0] & 0x80)
+    b[0] ^= 0x80
+    if negative:
+        for i in range(len(b)):
+            b[i] = ~b[i] & 0xFF
+    pos = 0
+    int_digits = ""
+    if intgr:
+        w = _DIG2BYTES[intgr]
+        int_digits += str(int.from_bytes(b[pos : pos + w], "big"))
+        pos += w
+    for _ in range(intg9):
+        g = int.from_bytes(b[pos : pos + 4], "big")
+        int_digits += f"{g:09d}" if int_digits else str(g)
+        pos += 4
+    frac_digits = ""
+    for _ in range(frac9):
+        frac_digits += f"{int.from_bytes(b[pos:pos + 4], 'big'):09d}"
+        pos += 4
+    if fracr:
+        w = _DIG2BYTES[fracr]
+        frac_digits += (
+            f"{int.from_bytes(b[pos:pos + w], 'big'):0{fracr}d}"
+        )
+        pos += w
+    text = (int_digits or "0") + ("." + frac_digits if frac_digits else "")
+    return decimal.Decimal(("-" if negative else "") + text)
+
+
+def encode_packed_decimal(value, precision: int, scale: int) -> bytes:
+    """``decimal.Decimal`` → MySQL packed decimal bytes (inverse of
+    decode_packed_decimal; used for fixtures and round-trip tests)."""
+    import decimal
+
+    with decimal.localcontext() as ctx:
+        ctx.prec = 65  # MySQL's DECIMAL precision ceiling
+        v = decimal.Decimal(value).quantize(
+            decimal.Decimal(1).scaleb(-scale)
+            if scale
+            else decimal.Decimal(1)
+        )
+    negative = v < 0
+    v = -v if negative else v
+    digits = f"{v:f}"
+    int_part, _, frac_part = digits.partition(".")
+    intg = precision - scale
+    int_part = int_part.rjust(intg, "0")
+    frac_part = frac_part.ljust(scale, "0")
+    if len(int_part) > intg or len(frac_part) > scale:
+        raise MysqlJsonError("value does not fit DECIMAL precision")
+    out = bytearray()
+    intg9, intgr = divmod(intg, 9)
+    frac9, fracr = divmod(scale, 9)
+    pos = 0
+    if intgr:
+        out += int(int_part[:intgr] or "0").to_bytes(
+            _DIG2BYTES[intgr], "big"
+        )
+        pos = intgr
+    for _ in range(intg9):
+        out += int(int_part[pos : pos + 9]).to_bytes(4, "big")
+        pos += 9
+    pos = 0
+    for _ in range(frac9):
+        out += int(frac_part[pos : pos + 9]).to_bytes(4, "big")
+        pos += 9
+    if fracr:
+        out += int(frac_part[pos : pos + fracr]).to_bytes(
+            _DIG2BYTES[fracr], "big"
+        )
+    if negative:
+        for i in range(len(out)):
+            out[i] = ~out[i] & 0xFF
+    out[0] ^= 0x80
+    return bytes(out)
 
 
 def _read_string_length(view: memoryview, at: int) -> tuple[int, int]:

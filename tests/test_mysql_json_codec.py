@@ -175,10 +175,11 @@ def test_decode_inlined_int16_entry():
 
 
 def test_decode_opaque_surfaces_raw_bytes():
-    # opaque value (e.g. DECIMAL payload): type 0x0f, sub-type, varlen
-    buf = bytes([0x0F, 0xF6, 0x03, 0xAB, 0xCD, 0xEF])
+    # non-DECIMAL opaque value (e.g. a DATETIME payload, field type
+    # 0x0c): surfaced as raw bytes, not guessed at
+    buf = bytes([0x0F, 0x0C, 0x03, 0xAB, 0xCD, 0xEF])
     out = decode_binary_json(buf)
-    assert out == {"$opaque": 0xF6, "$bytes": "abcdef"}
+    assert out == {"$opaque": 0x0C, "$bytes": "abcdef"}
 
 
 def test_truncated_raises():
@@ -207,3 +208,70 @@ def test_cdc_feed_decodes_binary_json_payloads(tmp_path):
 
     assert json.loads(events[0].row["data"]) == doc
     assert events[1].row["data"] == "plain"
+
+
+# --------------------------- packed DECIMAL (opaque payload) codec
+
+def test_packed_decimal_documented_vector():
+    # THE canonical example from the public MySQL internals manual:
+    # DECIMAL(14,4) value 1234567890.1234 -> 81 0D FB 38 D2 04 D2
+    import decimal
+
+    from myduckserver_spark.streaming.mysql_json import (
+        decode_packed_decimal,
+        encode_packed_decimal,
+    )
+
+    want_bytes = bytes([0x81, 0x0D, 0xFB, 0x38, 0xD2, 0x04, 0xD2])
+    v = decimal.Decimal("1234567890.1234")
+    assert encode_packed_decimal(v, 14, 4) == want_bytes
+    assert decode_packed_decimal(want_bytes, 14, 4) == v
+    # negative values complement every byte
+    neg = bytes(~b & 0xFF for b in want_bytes)
+    neg = bytes([neg[0] ^ 0x80 ^ 0x80]) + neg[1:]  # sign handling in codec
+    assert decode_packed_decimal(
+        encode_packed_decimal(-v, 14, 4), 14, 4
+    ) == -v
+
+
+@pytest.mark.parametrize(
+    "text,precision,scale",
+    [
+        ("0", 1, 0),
+        ("-1", 5, 0),
+        ("0.5", 5, 2),
+        ("-0.0001", 18, 4),
+        ("99999999999999.9999", 18, 4),
+        ("-99999999999999.9999", 18, 4),
+        ("123456789012345678901234567.89", 29, 2),
+        ("1.123456789123456789", 20, 18),
+    ],
+)
+def test_packed_decimal_roundtrip(text, precision, scale):
+    import decimal
+
+    from myduckserver_spark.streaming.mysql_json import (
+        decode_packed_decimal,
+        encode_packed_decimal,
+    )
+
+    v = decimal.Decimal(text)
+    raw = encode_packed_decimal(v, precision, scale)
+    assert decode_packed_decimal(raw, precision, scale) == v
+
+
+def test_opaque_decimal_decodes_in_binary_json():
+    # a full binary-JSON value carrying an opaque NEWDECIMAL payload
+    import decimal
+
+    from myduckserver_spark.streaming.mysql_json import (
+        FIELD_TYPE_NEWDECIMAL,
+        encode_packed_decimal,
+    )
+
+    packed = encode_packed_decimal(decimal.Decimal("42.50"), 6, 2)
+    payload = bytes([6, 2]) + packed  # precision, scale, digits
+    buf = (
+        bytes([0x0F, FIELD_TYPE_NEWDECIMAL, len(payload)]) + payload
+    )
+    assert decode_binary_json(buf) == decimal.Decimal("42.50")

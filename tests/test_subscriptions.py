@@ -114,3 +114,52 @@ def test_subscription_survives_engine_reopen(eng, spark, tmp_path):
     applied = e2.subscription_tick()
     assert applied["s3"] == 1
     assert (9, 9.0) in _state(e2)
+
+
+def test_show_subscriptions(eng, tmp_path):
+    feed_root = str(tmp_path / "feed_show")
+    feed = FileCdcFeed(feed_root)
+    eng.execute(
+        f"CREATE SUBSCRIPTION shown CONNECTION 'path={feed_root} "
+        "table=repl_t' PUBLICATION pubx"
+    )
+    rows = eng.execute("SHOW SUBSCRIPTIONS").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.Subscription, r.Publication, r.Target, r.Enabled) == (
+        "shown", "pubx", "repl_t", True,
+    )
+    assert r.Position == 0
+    feed.append(ACTION_INSERT, {"id": 7, "v": 7.0})
+    eng.subscription_tick()
+    r = eng.execute("SHOW SUBSCRIPTIONS").collect()[0]
+    assert r.Position > 0  # committed resume position advanced
+    eng.execute("ALTER SUBSCRIPTION shown DISABLE")
+    assert eng.execute("SHOW SUBSCRIPTIONS").collect()[0].Enabled is False
+
+
+def test_background_replication_loop(eng, tmp_path):
+    import time
+
+    feed_root = str(tmp_path / "feed_bg")
+    feed = FileCdcFeed(feed_root)
+    eng.execute(
+        f"CREATE SUBSCRIPTION bg CONNECTION 'path={feed_root} "
+        "table=repl_t'"
+    )
+    eng.start_replication(interval=0.05)
+    try:
+        feed.append(ACTION_INSERT, {"id": 21, "v": 21.0})
+        deadline = time.monotonic() + 20
+        while time.monotonic() < deadline:
+            if (21, 21.0) in _state(eng):
+                break
+            time.sleep(0.1)
+        assert (21, 21.0) in _state(eng), eng.replication_errors
+        assert eng.replication_errors == []
+    finally:
+        eng.stop_replication()
+    # loop is stopped: further events stay unapplied
+    feed.append(ACTION_INSERT, {"id": 22, "v": 22.0})
+    time.sleep(0.3)
+    assert (22, 22.0) not in _state(eng)
