@@ -50,7 +50,14 @@ def build_ivf(
     one (cid, dim) aggregation — no all-pairs anywhere.
     """
     base = df.select(pk_col, vec_col)
-    w = W.orderBy(pk_col)
+    # The init window ranks only the limit(nlist) rows — bounded by the
+    # index config, never the data — so a single partition is correct;
+    # the non-foldable constant partition key (globalrank's pid%1
+    # trick) just declares that to WindowExec instead of tripping its
+    # "No Partition Defined" serial-scan warning on every index build.
+    w = W.partitionBy(F.expr(f"CAST({pk_col} AS BIGINT) % 1")).orderBy(
+        pk_col
+    )
     cent = (
         base.orderBy(pk_col)
         .limit(nlist)

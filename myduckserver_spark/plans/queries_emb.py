@@ -373,7 +373,12 @@ def tds_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.sum("nt").cast("bigint").alias("tok"))
     )
-    wall = W.partitionBy()
+    # post-aggregation relation: one row per source. The non-foldable
+    # constant partition key (globalrank's pid%1 trick) declares the
+    # single-group window to WindowExec instead of tripping its
+    # "No Partition Defined" warning on a bounded input.
+    _g = F.expr("crc32(source) % 1")
+    wall = W.partitionBy(_g)
     alloc = toks.select(
         "source",
         "tok",
@@ -391,7 +396,7 @@ def tds_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tok",
         "base",
         F.row_number()
-        .over(W.partitionBy().orderBy(F.col("rem").desc(), "source"))
+        .over(W.partitionBy(_g).orderBy(F.col("rem").desc(), "source"))
         .alias("rk"),
         (F.lit(MIX_BUDGET) - F.sum("base").over(wall)).alias("leftover"),
     )
