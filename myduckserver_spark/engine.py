@@ -3419,6 +3419,19 @@ class Engine:
                 )
             for cname, expr in meta.checks.items():
                 defs.append(f"  CONSTRAINT `{cname}` CHECK ({expr})")
+            for fk in meta.foreign_keys:
+                line = (
+                    f"  CONSTRAINT `{fk['name']}` FOREIGN KEY ("
+                    + ", ".join(f"`{c}`" for c in fk["columns"])
+                    + f") REFERENCES `{fk['ref_table']}` ("
+                    + ", ".join(f"`{c}`" for c in fk["ref_columns"])
+                    + ")"
+                )
+                if fk.get("on_delete", "NO ACTION") != "NO ACTION":
+                    line += f" ON DELETE {fk['on_delete']}"
+                if fk.get("on_update", "NO ACTION") != "NO ACTION":
+                    line += f" ON UPDATE {fk['on_update']}"
+                defs.append(line)
             ddl = f"CREATE TABLE `{s.target}` (\n" + ",\n".join(defs) + "\n)"
             if meta.partition_by:
                 ddl += " PARTITION BY KEY(" + ", ".join(

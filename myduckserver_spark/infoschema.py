@@ -33,7 +33,7 @@ _QUALIFIED = re.compile(
 
 INFO_VIEWS = {
     "schemata", "tables", "columns", "views", "statistics",
-    "key_column_usage", "table_constraints",
+    "key_column_usage", "table_constraints", "referential_constraints",
 }
 SYS_VIEWS = {"pg_stat_user_tables", "pg_index"}
 # pg_catalog shims: the reference rewrites pg_catalog queries in place
@@ -178,16 +178,52 @@ def build(engine, schema: str, view: str) -> DataFrame:
             for t in cat.list_tables():
                 meta = st.TableMeta(**_catalog_meta(cat, t))
                 for i, col in enumerate(meta.primary_key):
-                    rows.append(("def", "PRIMARY", db, t, col, i + 1))
+                    rows.append(
+                        ("def", "PRIMARY", db, t, col, i + 1,
+                         None, None, None)
+                    )
                 for iname, props in sorted(meta.indexes.items()):
                     if props.get("unique"):
                         for i, col in enumerate(props.get("columns", [])):
-                            rows.append(("def", iname, db, t, col, i + 1))
+                            rows.append(
+                                ("def", iname, db, t, col, i + 1,
+                                 None, None, None)
+                            )
+                for fk in meta.foreign_keys:
+                    for i, (col, rcol) in enumerate(
+                        zip(fk["columns"], fk["ref_columns"])
+                    ):
+                        rows.append(
+                            ("def", fk["name"], db, t, col, i + 1,
+                             db, fk["ref_table"], rcol)
+                        )
         return spark.createDataFrame(
             rows,
             "CONSTRAINT_CATALOG string, CONSTRAINT_NAME string, "
             "TABLE_SCHEMA string, TABLE_NAME string, COLUMN_NAME string, "
-            "ORDINAL_POSITION int",
+            "ORDINAL_POSITION int, REFERENCED_TABLE_SCHEMA string, "
+            "REFERENCED_TABLE_NAME string, REFERENCED_COLUMN_NAME string",
+        )
+
+    if (schema, view) == ("information_schema", "referential_constraints"):
+        rows = []
+        for db, cat in _walk(engine):
+            for t in cat.list_tables():
+                meta = st.TableMeta(**_catalog_meta(cat, t))
+                for fk in meta.foreign_keys:
+                    rows.append(
+                        ("def", db, fk["name"], "def", db, "PRIMARY",
+                         "NONE", fk["on_update"], fk["on_delete"],
+                         t, fk["ref_table"])
+                    )
+        return spark.createDataFrame(
+            rows,
+            "CONSTRAINT_CATALOG string, CONSTRAINT_SCHEMA string, "
+            "CONSTRAINT_NAME string, UNIQUE_CONSTRAINT_CATALOG string, "
+            "UNIQUE_CONSTRAINT_SCHEMA string, UNIQUE_CONSTRAINT_NAME "
+            "string, MATCH_OPTION string, UPDATE_RULE string, "
+            "DELETE_RULE string, TABLE_NAME string, "
+            "REFERENCED_TABLE_NAME string",
         )
 
     if (schema, view) == ("information_schema", "table_constraints"):
@@ -202,6 +238,8 @@ def build(engine, schema: str, view: str) -> DataFrame:
                 for iname, props in sorted(meta.indexes.items()):
                     if props.get("unique"):
                         rows.append(("def", iname, db, t, "UNIQUE"))
+                for fk in meta.foreign_keys:
+                    rows.append(("def", fk["name"], db, t, "FOREIGN KEY"))
         return spark.createDataFrame(
             rows,
             "CONSTRAINT_CATALOG string, CONSTRAINT_NAME string, "

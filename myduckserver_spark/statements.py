@@ -408,6 +408,13 @@ class TableMeta:
     indexes: dict[str, dict] = field(default_factory=dict)  # name -> props
     partition_by: list[str] = field(default_factory=list)  # hive partitioning
     stats: dict = field(default_factory=dict)  # ANALYZE TABLE results
+    # FOREIGN KEY declarations — metadata-only, exactly the reference's
+    # FK policy (harness/duck_harness.go:102-105: accepted, recorded,
+    # never enforced); surfaced through information_schema
+    # (referential_constraints / key_column_usage) and SHOW CREATE.
+    # Each entry: {name, columns, ref_table, ref_columns, on_delete,
+    # on_update}
+    foreign_keys: list[dict] = field(default_factory=list)
 
 
 @dataclass
@@ -962,8 +969,31 @@ def _parse_column_def(item: str, meta: TableMeta) -> tuple[str, str] | None:
             if m:
                 cname = unquote_ident(m.group(1) or f"check_{len(meta.checks)}")
                 meta.checks[cname] = m.group(2).strip()
-        # UNIQUE/KEY/INDEX/FOREIGN KEY: metadata-only, like the
-        # reference's FK handling (harness/duck_harness.go:102-105)
+        fm = re.match(
+            r"(?:CONSTRAINT\s+(`[^`]+`|\w+)\s+)?FOREIGN\s+KEY\s*"
+            r"\(([^)]*)\)\s*REFERENCES\s+(`[^`]+`|\w+)\s*\(([^)]*)\)"
+            r"(?:\s+ON\s+DELETE\s+(CASCADE|SET\s+NULL|RESTRICT|NO\s+ACTION))?"
+            r"(?:\s+ON\s+UPDATE\s+(CASCADE|SET\s+NULL|RESTRICT|NO\s+ACTION))?",
+            item,
+            re.I | re.S,
+        )
+        if fm:
+            meta.foreign_keys.append({
+                "name": unquote_ident(
+                    fm.group(1) or f"fk_{len(meta.foreign_keys)}"
+                ),
+                "columns": [
+                    unquote_ident(c) for c in fm.group(2).split(",")
+                ],
+                "ref_table": unquote_ident(fm.group(3)),
+                "ref_columns": [
+                    unquote_ident(c) for c in fm.group(4).split(",")
+                ],
+                "on_delete": (fm.group(5) or "NO ACTION").upper(),
+                "on_update": (fm.group(6) or "NO ACTION").upper(),
+            })
+        # UNIQUE/KEY/INDEX: metadata-only; FKs recorded above but never
+        # enforced, like the reference (harness/duck_harness.go:102-105)
         return None
 
     m = re.match(rf"(`[^`]+`|\w+)\s+({_TYPE_RE})(.*)$", item, re.I | re.S)

@@ -191,3 +191,45 @@ def test_pg_catalog_stable_oids(engine):
     a = engine.execute(q).collect()[0].oid
     b = engine.execute(q).collect()[0].oid
     assert a == b >= 16384
+
+
+def test_foreign_key_metadata_surfaces(spark, tmp_path):
+    """FOREIGN KEY clauses are recorded (metadata-only, reference FK
+    policy harness/duck_harness.go:102-105) and surface through
+    information_schema.referential_constraints / key_column_usage and
+    SHOW CREATE TABLE — the introspection path ORM schema readers use.
+    """
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE parents (id INT PRIMARY KEY, nm TEXT)")
+    e.execute(
+        "CREATE TABLE childs (cid INT PRIMARY KEY, pid INT, "
+        "CONSTRAINT fk_parent FOREIGN KEY (pid) REFERENCES parents (id) "
+        "ON DELETE CASCADE)"
+    )
+    rc = e.sql(
+        "SELECT CONSTRAINT_NAME, TABLE_NAME, REFERENCED_TABLE_NAME, "
+        "DELETE_RULE, UPDATE_RULE "
+        "FROM information_schema.referential_constraints"
+    ).collect()
+    assert [tuple(r) for r in rc] == [
+        ("fk_parent", "childs", "parents", "CASCADE", "NO ACTION")
+    ]
+    kcu = e.sql(
+        "SELECT CONSTRAINT_NAME, COLUMN_NAME, REFERENCED_TABLE_NAME, "
+        "REFERENCED_COLUMN_NAME FROM information_schema.key_column_usage "
+        "WHERE TABLE_NAME = 'childs' AND REFERENCED_TABLE_NAME IS NOT NULL"
+    ).collect()
+    assert [tuple(r) for r in kcu] == [("fk_parent", "pid", "parents", "id")]
+    tc = e.sql(
+        "SELECT CONSTRAINT_TYPE FROM information_schema.table_constraints "
+        "WHERE TABLE_NAME = 'childs' ORDER BY CONSTRAINT_TYPE"
+    ).collect()
+    assert [r[0] for r in tc] == ["FOREIGN KEY", "PRIMARY KEY"]
+    ddl = e.execute("SHOW CREATE TABLE childs").collect()[0][1]
+    assert "CONSTRAINT `fk_parent` FOREIGN KEY (`pid`) "
+    assert "REFERENCES `parents` (`id`) ON DELETE CASCADE" in ddl
+    # FKs are NOT enforced (reference parity): orphan insert succeeds
+    e.execute("INSERT INTO childs VALUES (1, 999)")
+    assert e.sql("SELECT COUNT(*) FROM childs").collect()[0][0] == 1
