@@ -833,13 +833,53 @@ def rewrite_json_table(sql: str, ansi_quotes: bool = False) -> str:
                         cols_open = jj
                     break
                 break
-        if row_path not in ("$[*]", "$") or cols_open < 0:
+        rm = re.fullmatch(
+            r"\$(?:\.(\w+)\[\*\]|\[\*\])?", row_path or ""
+        )
+        if rm is None or cols_open < 0:
             i += 1
             continue
+        # nested row path '$.key[*]': extract the sub-array as JSON
+        # text first (get_json_object), then parse rows from it —
+        # same explode downstream as the whole-doc '$[*]' form.
+        if rm.group(1):
+            src_expr = (
+                f"get_json_object({src_expr}, '$.{rm.group(1)}')"
+            )
         cols_close = match_paren(seg, cols_open)
         col_defs = split_args(seg, cols_open, cols_close)
-        fields, projections, ordinal = [], [], None
+        tree: dict = {}
+        projections: list[str] = []
+        ordinal = None
+        nested = None  # at most ONE: {"key", "tree", "projs", "ordinal"}
         ok = True
+
+        def _tree_insert(tr: dict, keys: list[str], leaf: str) -> bool:
+            for k in keys[:-1]:
+                node = tr.setdefault(k, {})
+                if not isinstance(node, dict):
+                    return False  # scalar/struct conflict on one key
+                tr = node
+            if keys[-1] in tr:
+                return False
+            tr[keys[-1]] = leaf
+            return True
+
+        def _tree_schema(tr: dict) -> str:
+            parts = []
+            for k, v in tr.items():
+                if isinstance(v, dict):
+                    if "__array__" in v:
+                        parts.append(
+                            f"`{k}`:array<struct<"
+                            f"{_tree_schema(v['__array__'])}>>"
+                        )
+                    else:
+                        parts.append(f"`{k}`:struct<{_tree_schema(v)}>")
+                else:
+                    parts.append(f"`{k}`:{v}")
+            return ",".join(parts)
+
         for cd in col_defs:
             text = render(cd).strip()
             m = re.match(
@@ -848,8 +888,63 @@ def rewrite_json_table(sql: str, ansi_quotes: bool = False) -> str:
             if m:
                 ordinal = m.group(1).strip("`")
                 continue
+            nm = re.match(
+                r"NESTED\s+(?:PATH\s+)?'\$\.(\w+)\[\*\]'\s+COLUMNS\s*\(",
+                text,
+                re.I,
+            )
+            if nm:
+                if nested is not None:
+                    ok = False  # sibling NESTED paths: union-NULL
+                    break       # semantics, out of this rewrite's scope
+                nc_open = next(
+                    j for j, tt in enumerate(cd)
+                    if tt.kind == "word" and tt.text.upper() == "COLUMNS"
+                )
+                nc_paren = next(
+                    j for j in range(nc_open + 1, len(cd))
+                    if cd[j].kind != "ws"
+                )
+                nc_close = match_paren(cd, nc_paren)
+                sub_tree: dict = {}
+                sub_projs: list[str] = []
+                sub_ord = None
+                for sd in split_args(cd, nc_paren, nc_close):
+                    stext = render(sd).strip()
+                    om = re.match(
+                        r"(`[^`]+`|\w+)\s+FOR\s+ORDINALITY\s*$",
+                        stext, re.I,
+                    )
+                    if om:
+                        sub_ord = om.group(1).strip("`")
+                        continue
+                    sm = re.match(
+                        r"(`[^`]+`|\w+)\s+(.+?)\s+PATH\s+"
+                        r"'\$((?:\.\w+)+)'\s*$",
+                        stext, re.I | re.S,
+                    )
+                    if sm is None:
+                        ok = False
+                        break
+                    keys = sm.group(3).lstrip(".").split(".")
+                    if not _tree_insert(
+                        sub_tree, keys, _jt_spark_type(sm.group(2))
+                    ):
+                        ok = False
+                        break
+                    acc = "__jt_r2" + "".join(f".`{k}`" for k in keys)
+                    sub_projs.append(
+                        f"{acc} AS `{sm.group(1).strip('`')}`"
+                    )
+                if not ok:
+                    break
+                nested = {
+                    "key": nm.group(1), "tree": sub_tree,
+                    "projs": sub_projs, "ordinal": sub_ord,
+                }
+                continue
             m = re.match(
-                r"(`[^`]+`|\w+)\s+(.+?)\s+PATH\s+'\$\.(\w+)'\s*$",
+                r"(`[^`]+`|\w+)\s+(.+?)\s+PATH\s+'\$((?:\.\w+)+)'\s*$",
                 text,
                 re.I | re.S,
             )
@@ -857,13 +952,26 @@ def rewrite_json_table(sql: str, ansi_quotes: bool = False) -> str:
                 ok = False
                 break
             cname = m.group(1).strip("`")
-            key = m.group(3)
-            fields.append(f"`{key}`:{_jt_spark_type(m.group(2))}")
-            projections.append(f"__jt_r.`{key}` AS `{cname}`")
-        if not ok or not fields:
+            keys = m.group(3).lstrip(".").split(".")
+            if not _tree_insert(tree, keys, _jt_spark_type(m.group(2))):
+                ok = False
+                break
+            acc = "__jt_r" + "".join(f".`{k}`" for k in keys)
+            projections.append(f"{acc} AS `{cname}`")
+        if nested is not None and ok:
+            if nested["key"] in tree:
+                ok = False  # column/nested name clash
+            else:
+                tree[nested["key"]] = {"__array__": nested["tree"]}
+                projections.extend(nested["projs"])
+                if nested["ordinal"] is not None:
+                    projections.append(
+                        f"__jt_i2 + 1 AS `{nested['ordinal']}`"
+                    )
+        if not ok or not tree:
             i += 1
             continue
-        schema = "array<struct<" + ",".join(fields) + ">>"
+        schema = "array<struct<" + _tree_schema(tree) + ">>"
         if ordinal is not None:
             inner = (
                 f"SELECT posexplode(from_json({src_expr}, '{schema}'))"
@@ -875,7 +983,18 @@ def rewrite_json_table(sql: str, ansi_quotes: bool = False) -> str:
                 f"SELECT explode(from_json({src_expr}, '{schema}'))"
                 f" AS __jt_r"
             )
-        sub = f"(SELECT {', '.join(projections)} FROM ({inner}))"
+        lateral = ""
+        if nested is not None:
+            # MySQL NESTED PATH: one output row per nested element,
+            # and a NULL-filled row when the nested array is empty
+            # (LATERAL VIEW OUTER posexplode = those exact semantics)
+            lateral = (
+                f" LATERAL VIEW OUTER posexplode(__jt_r.`{nested['key']}`)"
+                f" __jt_n AS __jt_i2, __jt_r2"
+            )
+        sub = (
+            f"(SELECT {', '.join(projections)} FROM ({inner}){lateral})"
+        )
         # correlated iff a table source precedes it in the FROM list
         # (previous significant token is a comma or JOIN keyword)
         prev = None
