@@ -388,3 +388,79 @@ def simhash_near_pairs(
     return cand.select(
         "doc_a", "doc_b", hamming.cast("int").alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def span_hashes(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 20,
+    stride: int = 10,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, keep_cols..., span_hash): md5 over every `span_words`-word
+    window at `stride` word offsets — the exact-substring granularity
+    of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better"): duplicated SPANS across documents are the memorize-
+    prone unit that document-level dedup (exact or near) cannot see.
+
+    Scale: pure map-side explosion, ~len/stride spans per document; no
+    shuffle here — the downstream groupBy(span_hash) is the one keyed
+    shuffle, the same cost class as exact_dedup's fingerprint pass.
+    """
+    ws = f"split(trim({text_col}), '\\\\s+')"
+    spans = F.expr(
+        f"transform(sequence(1, size({ws}) - {span_words - 1}, {stride}),"
+        f" i -> md5(array_join(slice({ws}, i, {span_words}), ' ')))"
+    )
+    return (
+        df.filter(F.expr(f"size({ws}) >= {span_words}"))
+        .select(id_col, *keep_cols, F.explode(spans).alias("span_hash"))
+    )
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    span_words: int = 20,
+    stride: int = 10,
+) -> DataFrame:
+    """Per-group exact-substring duplication profile:
+    (group, n_spans, n_dup_spans) where a span is "dup" when its hash
+    occurs in ≥2 DISTINCT documents. The n_dup/n_spans ratio is the
+    signal a 100 TB pipeline uses to decide whether span-level removal
+    is worth a rewrite pass over a source.
+
+    Scale: one groupBy(span_hash) with map-side combine for the dup
+    set, one hash-keyed join back (dup hashes only — the set shrinks
+    with true duplication), one per-group rollup.
+    """
+    spans = span_hashes(
+        df, text_col, id_col, span_words, stride, keep_cols=(group_col,)
+    )
+    dup = (
+        spans.groupBy("span_hash")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("span_hash")
+    )
+    total = spans.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans")
+    )
+    dups = (
+        spans.join(dup, "span_hash")
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dup_spans"))
+    )
+    return (
+        total.join(dups, group_col, "left")
+        .select(
+            group_col,
+            "n_spans",
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias(
+                "n_dup_spans"
+            ),
+        )
+    )

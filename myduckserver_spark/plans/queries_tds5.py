@@ -360,3 +360,59 @@ def sem_classify_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(bcount("n_docs"), F.min("doc_id").cast("long").alias("min_doc"))
         .orderBy("response")
     )
+
+
+SPAN_WORDS = 20  # exact-substring span width (Lee et al. 2022 scale)
+SPAN_STRIDE = 10
+
+
+@register(
+    "dd_span_dup_stats",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, source,
+               regexp_split_to_array(trim(text), '\\s+') AS ws
+        FROM documents
+        WHERE len(regexp_split_to_array(trim(text), '\\s+'))
+              >= {SPAN_WORDS}
+    ), spans AS (
+        SELECT doc_id, source,
+               md5(array_to_string(
+                   ws[i.i:i.i + {SPAN_WORDS - 1}], ' ')) AS h
+        FROM w, LATERAL (
+            SELECT unnest(range(1, len(ws) - {SPAN_WORDS - 2},
+                                {SPAN_STRIDE})) AS i
+        ) i
+    ), dup AS (
+        SELECT h FROM spans GROUP BY h
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(COALESCE(SUM(CASE WHEN h IN (SELECT h FROM dup)
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS n_dup_spans
+    FROM spans
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("training-data", "dedup", "exact-substring"),
+)
+def dd_span_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication profile per source (Lee et al. 2022:
+    duplicated 20-word spans across documents are the memorization-
+    prone unit document-level dedup cannot see). Both engines hash the
+    identical 'word word …' span strings, so the dup sets match
+    bit-for-bit.
+
+    Scale: span explosion is map-side (~len/stride per doc); the dup
+    set is one span-hash groupBy with map-side combine; the join back
+    is keyed on span_hash and shrinks with true duplication.
+    """
+    from myduckserver_spark.operators.dedup import duplicate_span_stats
+
+    docs = load_table(spark, sf_dir, "documents", narrow=True)
+    return duplicate_span_stats(
+        docs, "text", "doc_id", "source",
+        span_words=SPAN_WORDS, stride=SPAN_STRIDE,
+    ).orderBy("source")

@@ -295,7 +295,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "tds_contamination", "tds_mixture_weights", "tds_token_budget",
         "tds_pack_sequences", "tds_domain_cap", "dd_keep_best",
         "dd_connected_components", "dd_ngram_jaccard", "samp_hash_bucket",
-        "sem_classify_docs",
+        "sem_classify_docs", "dd_span_dup_stats",
     ),
     # Embedding ops + multimodal plumbing.
     "suite_embeddings_mm": (

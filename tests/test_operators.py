@@ -210,3 +210,37 @@ def test_corpus_funnel_monotone(spark, sf_dir):
     total_raw = sum(r.n_raw for r in rows)
     total_clean = sum(r.n_clean for r in rows)
     assert 0 < total_clean <= total_raw
+
+
+def test_duplicate_span_stats(spark):
+    """Exact-substring span dedup (Lee et al. 2022 granularity): spans
+    shared across >=2 docs count as duplicated; short docs are skipped;
+    groups with no dups report 0."""
+    from myduckserver_spark.operators.dedup import (
+        duplicate_span_stats,
+        span_hashes,
+    )
+
+    w = " ".join  # readable word-stream builder
+    shared = w(f"s{i}" for i in range(20))  # one exact 20-word span
+    rows = [
+        (1, shared + " " + w(f"a{i}" for i in range(10)), "web"),
+        (2, w(f"b{i}" for i in range(10)) + " " + shared, "web"),
+        (3, w(f"c{i}" for i in range(40)), "books"),
+        (4, "too short", "books"),  # < span_words: no spans at all
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING, source STRING")
+    got = {
+        r.source: (r.n_spans, r.n_dup_spans)
+        for r in duplicate_span_stats(df, span_words=20, stride=10).collect()
+    }
+    # doc1: 30 words -> spans at 1, 11 (2); doc2: 30 words -> 2;
+    # the span AT the shared text is position-aligned only where the
+    # window lands exactly on it: doc1 span@1 == doc2 span@11
+    assert got["web"][0] == 4 and got["web"][1] == 2
+    assert got["books"] == (3, 0)
+    # stride honored: span starts at 1, 11, 21 for a 40-word doc
+    sp = span_hashes(
+        df.filter("doc_id = 3"), span_words=20, stride=10
+    ).count()
+    assert sp == 3
