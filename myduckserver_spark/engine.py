@@ -401,19 +401,21 @@ class Engine:
                     eqs.append((c1, c2))
                 elif ineq is not None:
                     raise ValueError("ASOF JOIN needs exactly one inequality")
-                elif op in (">=", ">"):
-                    ineq = (c1, c2, op)
                 else:
-                    raise NotImplementedError(
-                        "forward ASOF JOIN (left ts <= right ts) is not "
-                        "supported; only backward as-of"
-                    )
+                    # >=/> → backward as-of; <=/< → forward as-of
+                    ineq = (c1, c2, op)
             if ineq is None:
                 raise ValueError("ASOF JOIN needs an inequality condition")
 
-            from myduckserver_spark.operators.asof import asof_join_backward
+            from myduckserver_spark.operators.asof import (
+                asof_join_backward,
+                asof_join_forward,
+            )
 
             lts, rts, op = ineq
+            asof_fn = (
+                asof_join_backward if op in (">=", ">") else asof_join_forward
+            )
             ldf = self.spark.table(lt)
             rdf = self.spark.table(rt)
             # Stash every right column under a reserved prefix so the
@@ -424,14 +426,14 @@ class Engine:
             )
             for lcol, rcol in eqs:
                 r2 = r2.withColumn(lcol, F.col(f"__r__{rcol}"))
-            joined = asof_join_backward(
+            joined = asof_fn(
                 ldf,
                 r2,
                 by=[lcol for lcol, _ in eqs],
                 left_ts=lts,
                 right_ts=f"__r__{rts}",
                 value_cols=[f"__r__{c}" for c in rdf.columns if c != rts],
-                allow_exact_match=(op == ">="),
+                allow_exact_match=(op in (">=", "<=")),
                 suffix="",
             )
             if not left_join:  # ASOF JOIN default is inner: drop no-match

@@ -85,3 +85,73 @@ def asof_join_backward(
     # such rows see no right payload, mirroring `right_ts <= NULL`.
     out = with_match.filter(F.col("__side") == (1 if allow_exact_match else 0))
     return out.select(*out_cols)
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    by: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str] | None = None,
+    allow_exact_match: bool = True,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each left row, attach the right row with the SMALLEST
+    `right_ts` >= `left_ts` (or > when allow_exact_match=False) within
+    the same `by` group — the mirror of asof_join_backward, carrying
+    the NEXT right value backward with a forward-looking window.
+
+    Same scale story: union → one shuffle on `by` → sort → first()
+    over [current, unbounded following]; O((L+R) log(L+R)) per key.
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    value_cols = value_cols or []
+
+    payload = F.struct(
+        F.col(right_ts).alias(right_ts),
+        *[F.col(c).alias(c) for c in value_cols],
+    )
+    r2 = (
+        right.filter(F.col(right_ts).isNotNull())
+        .select(
+            *by,
+            F.col(right_ts).alias("__ts"),
+            # exact matches count -> right at equal ts sorts AFTER the
+            # left row, inside its [current, following) window; exact
+            # excluded -> right sorts before and falls out of it.
+            F.lit(1 if allow_exact_match else 0).alias("__side"),
+            payload.alias("__payload"),
+        )
+    )
+    l2 = left.select(
+        "*",
+        F.col(left_ts).alias("__ts"),
+        F.lit(0 if allow_exact_match else 1).alias("__side"),
+        F.lit(None).cast(r2.schema["__payload"].dataType).alias("__payload"),
+    )
+    merged = l2.unionByName(r2, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    with_match = merged.withColumn(
+        "__matched",
+        # NULL left ts matches nothing (`NULL <= right_ts` is never
+        # true); NULLS FIRST would otherwise hand it the whole stream.
+        F.when(
+            F.col("__ts").isNotNull(),
+            F.first("__payload", ignorenulls=True).over(w),
+        ),
+    )
+    out_cols: list[Column] = [F.col(c) for c in left.columns]
+    out_cols.append(
+        F.col("__matched").getField(right_ts).alias(right_ts + suffix)
+    )
+    for c in value_cols:
+        out_cols.append(F.col("__matched").getField(c).alias(c + suffix))
+    out = with_match.filter(
+        F.col("__side") == (0 if allow_exact_match else 1)
+    )
+    return out.select(*out_cols)

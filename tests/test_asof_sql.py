@@ -92,12 +92,12 @@ def test_asof_swapped_operands_and_select_star(asof_env):
     assert df.count() > 0
 
 
-def test_asof_forward_raises(asof_env):
+def test_asof_needs_inequality(asof_env):
     eng, _ = asof_env
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         eng.sql(
             "SELECT v.event_id FROM asof_views v ASOF JOIN asof_buys b "
-            "ON v.user_id = b.user_id AND v.ts <= b.ts"
+            "ON v.user_id = b.user_id"
         )
 
 
@@ -110,3 +110,35 @@ def test_asof_plan_is_single_shuffle_no_join(asof_env):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan  # merge-scan union+window, no pair blowup
+
+
+def test_asof_forward_matches_duckdb(asof_env):
+    # forward as-of: next purchase AT/AFTER each view (v.ts <= b.ts)
+    eng, con = asof_env
+    sql = (
+        "SELECT v.event_id, b.ts AS buy_ts, b.value AS buy_value "
+        "FROM asof_views v ASOF JOIN asof_buys b "
+        "ON v.user_id = b.user_id AND v.ts <= b.ts"
+    )
+    got = _rows(
+        [
+            (r.event_id, r.buy_ts, r.buy_value)
+            for r in eng.sql(sql).collect()
+        ]
+    )
+    want = _rows(con.sql(sql).fetchall())
+    assert got == want and len(got) > 0
+
+
+def test_asof_forward_left_strict_matches_duckdb(asof_env):
+    # strict (<) + LEFT: unmatched views kept with NULLs
+    eng, con = asof_env
+    sql = (
+        "SELECT v.event_id, b.ts AS buy_ts "
+        "FROM asof_views v ASOF LEFT JOIN asof_buys b "
+        "ON v.user_id = b.user_id AND v.ts < b.ts"
+    )
+    got = _rows([(r.event_id, r.buy_ts) for r in eng.sql(sql).collect()])
+    want = _rows(con.sql(sql).fetchall())
+    assert got == want
+    assert any(ts is None for _, ts in got)  # some views have no later buy
