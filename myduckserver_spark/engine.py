@@ -363,9 +363,9 @@ class Engine:
         view, and qualified column references in the surrounding query
         are remapped onto the view's columns.
 
-        Supported shape: equality conjuncts plus exactly one backward
-        inequality ``l.ts >= r.ts`` (or ``>``, or the operand-swapped
-        ``r.ts <= l.ts``). Forward as-of raises NotImplementedError.
+        Supported shape: equality conjuncts plus exactly one
+        inequality; ``l.ts >= r.ts`` (or ``>``) routes to the backward
+        merge-scan and ``l.ts <= r.ts`` (or ``<``) to the forward one.
         """
         from myduckserver_spark.statements import mask_strings
 
@@ -763,6 +763,39 @@ class Engine:
             )
         )
 
+    def _subquery_row_cap(
+        self,
+        table: str,
+        pre: str,
+        where: str,
+        order_by: str | None,
+        limit: int,
+        dialect: str,
+    ) -> str:
+        """LIMIT cap for the SQL-text DML path: resolve the first
+        `limit` matching PKs through full SQL planning (so subqueries /
+        CTEs in `where` work) and return the equivalent PK-membership
+        predicate. Mirrors _row_cap_cond; n is the user's explicit
+        LIMIT, inherently small."""
+        meta = self.table_meta(table)
+        if len(meta.primary_key) != 1:
+            raise ValueError(
+                f"UPDATE/DELETE ... LIMIT needs a single-column primary "
+                f"key on {table}"
+            )
+        pk = meta.primary_key[0]
+        order_clause = order_by if order_by else f"`{pk}` ASC"
+        rows = self.sql(
+            f"{pre}SELECT `{pk}` FROM `{table}` "
+            f"WHERE coalesce(({where}), false) "
+            f"ORDER BY {order_clause} LIMIT {int(limit)}",
+            dialect=dialect,
+        ).collect()
+        if not rows:
+            return "FALSE"
+        vals = ", ".join(self._render_literal(r[0]) for r in rows)
+        return f"`{pk}` IN ({vals})"
+
     def _exec_update_subquery(self, s: st.Update, dialect: str) -> OkResult:
         pre = f"{s.cte} " if s.cte else ""
         meta = self.table_meta(s.table)
@@ -771,6 +804,10 @@ class Engine:
         for col, expr_text in meta.on_update.items():
             assignments.setdefault(col, expr_text)
         where = s.where or "TRUE"
+        if s.limit is not None:
+            where = self._subquery_row_cap(
+                s.table, pre, where, s.order_by, s.limit, dialect
+            )
         sel = []
         for f in base.schema.fields:
             if f.name in assignments:
@@ -796,6 +833,10 @@ class Engine:
     def _exec_delete_subquery(self, s: st.Delete, dialect: str) -> OkResult:
         pre = f"{s.cte} " if s.cte else ""
         where = s.where or "TRUE"
+        if s.limit is not None:
+            where = self._subquery_row_cap(
+                s.table, pre, where, s.order_by, s.limit, dialect
+            )
         n = self.sql(
             f"{pre}SELECT count(*) AS n FROM `{s.table}` "
             f"WHERE coalesce(({where}), false)",
@@ -1803,10 +1844,6 @@ class Engine:
                 or _has_subquery(s.where)
                 or any(_has_subquery(e) for e in s.assignments.values())
             ):
-                if s.limit is not None:
-                    raise NotImplementedError(
-                        "UPDATE ... LIMIT with subqueries is not supported"
-                    )
                 return self._exec_update_subquery(s, dialect)
             cond = self._fragment(s.where) if s.where else F.lit(True)
             if s.limit is not None:
@@ -1827,10 +1864,6 @@ class Engine:
             if s.from_text:
                 return self._exec_delete_multi(s, dialect)
             if s.cte or _has_subquery(s.where):
-                if s.limit is not None:
-                    raise NotImplementedError(
-                        "DELETE ... LIMIT with subqueries is not supported"
-                    )
                 return self._exec_delete_subquery(s, dialect)
             cond = self._fragment(s.where) if s.where else F.lit(True)
             if s.limit is not None:

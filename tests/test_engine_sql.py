@@ -723,3 +723,45 @@ def test_savepoints(engine):
     assert "gone" not in names
     with _pytest.raises(ValueError, match="outside a transaction"):
         engine.execute("SAVEPOINT nope")
+
+
+def test_update_limit_with_subquery(spark, tmp_path):
+    """UPDATE ... ORDER BY ... LIMIT combined with a subquery WHERE —
+    the cap resolves the first n matching PKs through full SQL planning
+    (closes the round-3 NotImplementedError guard)."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE ul (id INT PRIMARY KEY, v INT, grp TEXT)")
+    for i in range(1, 7):
+        e.execute(
+            f"INSERT INTO ul VALUES ({i}, {i * 10}, "
+            f"'{'a' if i <= 3 else 'b'}')"
+        )
+    # subquery WHERE + ORDER BY DESC LIMIT 2: only the two largest
+    # above-average rows update
+    r = e.execute(
+        "UPDATE ul SET v = v + 1 "
+        "WHERE v > (SELECT AVG(v) FROM ul) ORDER BY v DESC LIMIT 2"
+    )
+    assert r.affected_rows == 2
+    got = {row.id: row.v for row in e.sql("SELECT id, v FROM ul").collect()}
+    assert got == {1: 10, 2: 20, 3: 30, 4: 40, 5: 51, 6: 61}
+
+
+def test_delete_limit_with_cte(spark, tmp_path):
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE dl (id INT PRIMARY KEY, v INT)")
+    for i in range(1, 6):
+        e.execute(f"INSERT INTO dl VALUES ({i}, {i})")
+    r = e.execute(
+        "WITH hi AS (SELECT 2 AS cut) "
+        "DELETE FROM dl WHERE v > (SELECT cut FROM hi) "
+        "ORDER BY v ASC LIMIT 2"
+    )
+    assert r.affected_rows == 2  # v=3 and v=4 (smallest above the cut)
+    assert sorted(
+        row.id for row in e.sql("SELECT id FROM dl").collect()
+    ) == [1, 2, 5]
