@@ -763,6 +763,46 @@ class Engine:
             )
         )
 
+    def _exec_dml_returning(
+        self, body: str, returning: str, dialect: str
+    ) -> DataFrame:
+        """INSERT/UPDATE/DELETE ... RETURNING <exprs> (pg and DuckDB
+        surface; the reference passes RETURNING through to DuckDB on
+        its pg front door). The affected rows come from the versioned
+        catalog's row-level diff (table_changes) between the
+        before/after commits — INSERT returns new+upserted rows, UPDATE
+        the post-images, DELETE the deleted rows — then the RETURNING
+        expressions project over them. Needs a single-column PK (the
+        diff's join key), like TABLE_CHANGES itself. No row order is
+        guaranteed (pg guarantees none either)."""
+        s = st.parse_statement(body)
+        table = getattr(s, "table", None) or getattr(s, "name", None)
+        if not table:
+            raise ValueError("RETURNING: cannot resolve target table")
+        v0 = self.catalog.table(table).version
+        self._execute_one(body, dialect)
+        v1 = self.catalog.table(table).version
+        up = body.lstrip().upper()
+        kinds = (
+            ("delete",)
+            if up.startswith("DELETE")
+            else ("update_postimage",)
+            if up.startswith("UPDATE")
+            else ("insert", "update_postimage")  # INSERT/REPLACE/upsert
+        )
+        if v1 == v0:
+            changed = self.catalog.table(table).read().limit(0)
+        else:
+            changed = (
+                self.table_changes(table, v0, v1)
+                .filter(F.col("_change_type").isin(*kinds))
+                .drop("_change_type")
+            )
+        exprs = [
+            e.strip() for e in st.split_top_level(returning, ",") if e.strip()
+        ]
+        return changed.selectExpr(*(exprs or ["*"]))
+
     def _subquery_row_cap(
         self,
         table: str,
@@ -1690,6 +1730,13 @@ class Engine:
             )
 
     def _execute_one(self, sql: str, dialect: str):
+        rm = re.search(r"\s+RETURNING\s+", st.mask_strings(sql), re.I)
+        if rm and re.match(
+            r"\s*(INSERT|REPLACE|UPDATE|DELETE)\b", sql, re.I
+        ):
+            return self._exec_dml_returning(
+                sql[: rm.start()], sql[rm.end():].strip(), dialect
+            )
         s = st.parse_statement(sql)
         self._check_read_only(s)
         if isinstance(s, st.SelectIntoOutfile):

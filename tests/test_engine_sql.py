@@ -765,3 +765,32 @@ def test_delete_limit_with_cte(spark, tmp_path):
     assert sorted(
         row.id for row in e.sql("SELECT id FROM dl").collect()
     ) == [1, 2, 5]
+
+
+def test_dml_returning(spark, tmp_path):
+    """INSERT/UPDATE/DELETE ... RETURNING (pg/DuckDB surface): affected
+    rows come back as the statement result, derived from the versioned
+    row diff — auto-increment ids included."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.execute(
+        "CREATE TABLE rt (id INT PRIMARY KEY AUTO_INCREMENT, v INT)"
+    )
+    rows = e.execute(
+        "INSERT INTO rt (v) VALUES (10), (20) RETURNING id, v"
+    ).collect()
+    assert sorted((r.id, r.v) for r in rows) == [(1, 10), (2, 20)]
+    # expressions + aliases project over the post-update images
+    rows = e.execute(
+        "UPDATE rt SET v = v + 5 WHERE v >= 20 RETURNING id, v * 2 AS d"
+    ).collect()
+    assert [(r.id, r.d) for r in rows] == [(2, 50)]
+    # DELETE returns the removed rows
+    rows = e.execute("DELETE FROM rt WHERE id = 1 RETURNING *").collect()
+    assert [(r.id, r.v) for r in rows] == [(1, 10)]
+    assert [
+        tuple(r) for r in e.sql("SELECT id, v FROM rt").collect()
+    ] == [(2, 25)]
+    # no-match DML returns zero rows, not an error
+    assert e.execute("DELETE FROM rt WHERE id = 99 RETURNING id").collect() == []
