@@ -147,6 +147,7 @@ class Engine:
             query = infoschema.register_referenced(self, query)
         self._refresh_views()
         query = self._rewrite_asof_join(query)
+        query = self._expand_macros(query)
         if args is not None:
             return self.spark.sql(query, args=args)
         return self.spark.sql(query)
@@ -762,6 +763,97 @@ class Engine:
                 }
             )
         )
+
+    # ------------------------------------------------------------- macros
+    # DuckDB-style scalar macros — the reference's UDF mechanism
+    # (catalog/internal_macro.go:17-31; CREATE OR REPLACE MACRO on the
+    # pg surface, pgserver/stmt.go:437-443). Untyped lazy templates:
+    # call sites expand textually (token-level, string-literal-safe)
+    # before planning, DuckDB's late-binding semantics.
+
+    def _macros_path(self) -> str:
+        return os.path.join(self._warehouse, "__macros.json")
+
+    def _load_macros(self) -> dict:
+        cached = getattr(self, "_macro_cache", None)
+        if cached is not None:
+            return cached
+        p = self._macros_path()
+        if os.path.exists(p):
+            with open(p) as f:
+                self._macro_cache = json.load(f)
+        else:
+            self._macro_cache = {}
+        return self._macro_cache
+
+    def _save_macros(self, m: dict) -> None:
+        os.makedirs(self._warehouse, exist_ok=True)
+        with open(self._macros_path(), "w") as f:
+            json.dump(m, f)
+        self._macro_cache = m
+
+    def _expand_macros(self, query: str, depth: int = 0) -> str:
+        macros = self._load_macros()
+        low = query.lower()
+        if not macros or not any(n in low for n in macros):
+            return query
+        if depth > 8:
+            raise ValueError("macro expansion too deep (cycle?)")
+        from myduckserver_spark.functions.mysql_lexer import (
+            match_paren,
+            render,
+            split_args,
+            tokenize,
+        )
+
+        toks = tokenize(query)
+        out: list[str] = []
+        i = 0
+        changed = False
+        while i < len(toks):
+            t = toks[i]
+            if t.kind == "word" and t.text.lower() in macros:
+                k = next(
+                    (
+                        j
+                        for j in range(i + 1, len(toks))
+                        if toks[j].kind not in ("ws", "comment")
+                    ),
+                    -1,
+                )
+                if k >= 0 and toks[k].kind == "op" and toks[k].text == "(":
+                    close = match_paren(toks, k)
+                    if close >= 0:
+                        params, body = macros[t.text.lower()]
+                        args = [
+                            render(a).strip()
+                            for a in split_args(toks, k, close)
+                        ]
+                        if args == [""]:
+                            args = []
+                        if len(args) != len(params):
+                            raise ValueError(
+                                f"macro {t.text} expects {len(params)} "
+                                f"arguments, got {len(args)}"
+                            )
+                        pm = {
+                            p.lower(): f"({a})"
+                            for p, a in zip(params, args)
+                        }
+                        rep = [
+                            pm.get(bt.text.lower(), bt.text)
+                            if bt.kind == "word"
+                            else bt.text
+                            for bt in tokenize(body)
+                        ]
+                        out.append("(" + "".join(rep) + ")")
+                        i = close + 1
+                        changed = True
+                        continue
+            out.append(t.text)
+            i += 1
+        res = "".join(out)
+        return self._expand_macros(res, depth + 1) if changed else res
 
     def _exec_dml_returning(
         self, body: str, returning: str, dialect: str
@@ -1960,6 +2052,26 @@ class Engine:
                 self.current_db = "main"
                 self.catalog = self._dbs["main"]
             return OkResult()
+        if isinstance(s, st.CreateMacro):
+            macros = self._load_macros()
+            if s.name.lower() in macros and not s.or_replace:
+                raise ValueError(f"macro exists: {s.name} (use OR REPLACE)")
+            body = (
+                translate_mysql(s.body) if dialect == "mysql" else s.body
+            )
+            macros = dict(macros)
+            macros[s.name.lower()] = [s.params, body]
+            self._save_macros(macros)
+            return OkResult(info=f"macro {s.name} created")
+        if isinstance(s, st.DropMacro):
+            macros = dict(self._load_macros())
+            if s.name.lower() not in macros:
+                if s.if_exists:
+                    return OkResult()
+                raise ValueError(f"unknown macro: {s.name}")
+            del macros[s.name.lower()]
+            self._save_macros(macros)
+            return OkResult(info=f"macro {s.name} dropped")
         if isinstance(s, st.CreateView):
             # Views persist as SQL text, replayed as temp views on
             # refresh (the reference stores them as DuckDB views,

@@ -856,6 +856,27 @@ class DropView:
 
 
 @dataclass
+class CreateMacro:
+    """CREATE [OR REPLACE] MACRO name(params) AS body — DuckDB's UDF
+    mechanism, which the reference uses for its internal function shims
+    (catalog/internal_macro.go:17-31) and exposes to pg clients
+    (pgserver/stmt.go:437-443). Untyped lazy templates: expansion is
+    textual at call sites, the same late-binding semantics DuckDB
+    applies."""
+
+    name: str
+    params: list[str]
+    body: str
+    or_replace: bool = False
+
+
+@dataclass
+class DropMacro:
+    name: str
+    if_exists: bool = False
+
+
+@dataclass
 class CreateIndex:
     name: str
     table: str
@@ -1662,6 +1683,26 @@ def parse_statement(sql: str):
     m = re.match(r"DROP\s+VIEW\s+(IF\s+EXISTS\s+)?(`[^`]+`|\w+)\s*$", s, re.I)
     if m:
         return DropView(unquote_ident(m.group(2)), if_exists=bool(m.group(1)))
+
+    m = re.match(
+        r"CREATE\s+(OR\s+REPLACE\s+)?MACRO\s+(`[^`]+`|\w+)\s*"
+        r"\(([^)]*)\)\s+AS\s+(.*)$",
+        s,
+        re.I | re.S,
+    )
+    if m:
+        params = [
+            unquote_ident(p) for p in m.group(3).split(",") if p.strip()
+        ]
+        return CreateMacro(
+            unquote_ident(m.group(2)), params, m.group(4).strip(),
+            or_replace=bool(m.group(1)),
+        )
+    m = re.match(
+        r"DROP\s+MACRO\s+(IF\s+EXISTS\s+)?(`[^`]+`|\w+)\s*$", s, re.I
+    )
+    if m:
+        return DropMacro(unquote_ident(m.group(2)), if_exists=bool(m.group(1)))
 
     m = re.match(
         r"CREATE\s+(OR\s+REPLACE\s+)?VECTOR\s+INDEX\s+(`[^`]+`|\w+)\s+ON\s+"

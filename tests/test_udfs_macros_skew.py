@@ -136,3 +136,50 @@ def test_mysql_convert_rewrite(spark):
     assert row.s == 42 and row.c == "7"
     assert str(row.d) == "2024-03-05"
     assert float(row.dec) == 3.14
+
+
+def test_create_macro_scalar(spark, tmp_path):
+    """CREATE [OR REPLACE] MACRO — DuckDB's UDF surface (reference
+    catalog/internal_macro.go:17-31, pgserver CREATE OR REPLACE MACRO):
+    untyped lazy templates expanded textually at call sites."""
+    import pytest
+
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE MACRO mul(a, b) AS a * b")
+    assert e.sql("SELECT mul(6, 7) AS x").collect()[0].x == 42
+    # macro args are expressions, expansion parenthesizes them
+    assert e.sql("SELECT mul(1 + 2, 3) AS x").collect()[0].x == 9
+    # macros compose (one may call another)
+    e.execute("CREATE MACRO sq(v) AS mul(v, v)")
+    assert e.sql("SELECT sq(5) AS x").collect()[0].x == 25
+    # OR REPLACE redefines; plain CREATE on an existing name errors
+    with pytest.raises(ValueError):
+        e.execute("CREATE MACRO mul(a, b) AS a + b")
+    e.execute("CREATE OR REPLACE MACRO mul(a, b) AS a + b")
+    assert e.sql("SELECT mul(6, 7) AS x").collect()[0].x == 13
+    # wrong arity is a hard error
+    with pytest.raises(ValueError):
+        e.sql("SELECT mul(1) AS x")
+    # macro names inside string literals are NOT expanded
+    assert e.sql("SELECT 'mul(1,2)' AS s").collect()[0].s == "mul(1,2)"
+    # persists across engine reopen; DROP removes it
+    e2 = Engine(spark, str(tmp_path / "wh"))
+    assert e2.sql("SELECT mul(2, 3) AS x").collect()[0].x == 5
+    e2.execute("DROP MACRO mul")
+    with pytest.raises(Exception):
+        e2.sql("SELECT mul(2, 3) AS x").collect()
+
+
+def test_macro_over_table_columns(spark, tmp_path):
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE mt (id INT PRIMARY KEY, v INT)")
+    e.execute("INSERT INTO mt VALUES (1, 10), (2, 20)")
+    e.execute("CREATE MACRO clampv(x, hi) AS CASE WHEN x > hi THEN hi ELSE x END")
+    rows = e.sql(
+        "SELECT id, clampv(v, 15) AS c FROM mt ORDER BY id"
+    ).collect()
+    assert [(r.id, r.c) for r in rows] == [(1, 10), (2, 15)]
