@@ -115,3 +115,54 @@ def minhash_incremental(
         )
         catalog.table(store_name).overwrite(store.unionByName(add))
     return survivors
+
+
+def span_incremental(
+    catalog,
+    new_docs: DataFrame,
+    store_name: str = "__dedup_span_store",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 20,
+    stride: int = 10,
+    max_dup_fraction: float = 0.5,
+    commit: bool = True,
+) -> DataFrame:
+    """Incremental exact-substring dedup: drop a new document when more
+    than `max_dup_fraction` of its spans (operators/dedup.span_hashes —
+    the Lee et al. 2022 memorization-prone unit) already exist in the
+    span store accumulated by previous batches, then append the
+    SURVIVORS' spans. Documents shorter than one span always survive
+    (they have no spans to judge).
+
+    Same store discipline as exact/minhash_incremental: the check is
+    one span_hash-keyed semi join — work proportional to the batch's
+    span count, never the corpus — and the store appends only the
+    survivors' previously-unseen hashes.
+    """
+    from myduckserver_spark.operators.dedup import span_hashes
+
+    spans = span_hashes(new_docs, text_col, id_col, span_words, stride)
+    store = _store_read(catalog, store_name, "span_hash string")
+    per_doc = (
+        spans.join(
+            store.withColumn("__seen", F.lit(1)), "span_hash", "left"
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.coalesce("__seen", F.lit(0))).alias("__dup"),
+        )
+        .filter(F.col("__dup") / F.col("__n") > max_dup_fraction)
+        .select(id_col)
+    )
+    survivors = new_docs.join(per_doc, id_col, "left_anti")
+    if commit:
+        new_spans = (
+            spans.join(per_doc, id_col, "left_anti")
+            .select("span_hash")
+            .distinct()
+            .join(store, "span_hash", "left_anti")
+        )
+        catalog.table(store_name).overwrite(store.unionByName(new_spans))
+    return survivors

@@ -107,3 +107,28 @@ def test_streaming_ingest_dedups_across_microbatches(spark, cat, tmp_path):
     q.stop()
     assert sorted(out) == [1, 2, 4]  # doc 3 deduped against the store
     assert cat.table("fp_stream").read().count() == 3
+
+
+def test_span_incremental(spark, tmp_path):
+    """Incremental exact-substring dedup: a later batch's document
+    whose spans mostly already exist in the store is dropped; fresh
+    documents survive and extend the store."""
+    from myduckserver_spark.catalog import Catalog
+    from myduckserver_spark.operators.incdedup import span_incremental
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    mk = lambda *rows: spark.createDataFrame(
+        list(rows), "doc_id INT, text STRING"
+    )
+    w = lambda pfx, n: " ".join(f"{pfx}{i}" for i in range(n))
+    b1 = mk((1, w("a", 40)), (2, w("b", 40)))
+    s1 = span_incremental(cat, b1, span_words=20, stride=10)
+    assert sorted(r.doc_id for r in s1.collect()) == [1, 2]
+    # batch 2: doc 3 repeats doc 1's text verbatim (100% dup spans),
+    # doc 4 shares nothing, doc 5 is sub-span-length (always survives)
+    b2 = mk((3, w("a", 40)), (4, w("c", 40)), (5, "tiny doc"))
+    s2 = span_incremental(cat, b2, span_words=20, stride=10)
+    assert sorted(r.doc_id for r in s2.collect()) == [4, 5]
+    # idempotent re-ingest: doc 4's spans are now stored
+    s3 = span_incremental(cat, mk((6, w("c", 40))), span_words=20, stride=10)
+    assert [r.doc_id for r in s3.collect()] == []
