@@ -1,6 +1,6 @@
 """Seeded differential fuzzing: generated ANSI queries run on BOTH
 engines and must agree row-for-row — the randomized complement to the
-182 hand-written oracle queries (the reference gets this class of
+185 hand-written oracle queries (the reference gets this class of
 coverage from GMS enginetests + sqllogictest files, main_test.go
 TestSQLLogicTests; SURVEY §5).
 
@@ -20,7 +20,7 @@ from myduckserver_spark.oracle import compare_one
 from myduckserver_spark.tables import load_table
 
 SEED = 20260814
-N_QUERIES = 100
+N_QUERIES = 120
 
 # Unique-per-row ordering keys per table: every window ORDER BY ends
 # with one of these so rank/row_number are deterministic on both
@@ -181,18 +181,59 @@ def _gen_exists_query(rng: random.Random) -> str:
     )
 
 
+def _gen_derived_query(rng: random.Random) -> str:
+    """Aggregation over a derived table that itself LIMITs under a
+    TOTAL order (unique key) — the nested-derived-table shape the
+    transpiler hardening pins, with a deterministic row set."""
+    t = rng.choice(list(TABLES))
+    spec = TABLES[t]
+    ncol, lo, hi = spec["num"]
+    a, b = sorted((rng.randint(lo, hi), rng.randint(lo, hi)))
+    g = rng.choice(spec["group"])
+    scol = rng.choice(spec["int"])
+    n = rng.randint(50, 500)
+    return (
+        f"SELECT {g}, CAST(COUNT(*) AS BIGINT) AS cnt, "
+        f"CAST(SUM({scol}) AS BIGINT) AS s "
+        f"FROM (SELECT {g}, {scol} FROM {t} "
+        f"WHERE {ncol} BETWEEN {a} AND {b} "
+        f"ORDER BY {UNIQUE_ORDER[t]} LIMIT {n}) d "
+        f"GROUP BY {g}"
+    )
+
+
+def _gen_scalar_subquery(rng: random.Random) -> str:
+    """Correlated scalar subquery in the select list (count/min of the
+    child table per parent row) — Catalyst decorrelation vs DuckDB's
+    native correlated evaluation."""
+    a, b = sorted((rng.randint(1, 1500), rng.randint(1, 1500)))
+    agg = rng.choice(
+        ["COUNT(*)", "COALESCE(MIN(o_orderkey), 0)",
+         "COALESCE(MAX(o_orderkey), 0)"]
+    )
+    return (
+        f"SELECT c_custkey, CAST((SELECT {agg} FROM orders "
+        f"WHERE o_custkey = c_custkey) AS BIGINT) AS sub "
+        f"FROM customer WHERE c_custkey BETWEEN {a} AND {b}"
+    )
+
+
 def _gen_query(rng: random.Random) -> str:
     r = rng.random()
-    if r < 0.18:
+    if r < 0.16:
         return _gen_join_query(rng)
-    if r < 0.36:
+    if r < 0.32:
         return _gen_window_query(rng)
-    if r < 0.52:
+    if r < 0.46:
         return _gen_grouping_query(rng)
-    if r < 0.66:
+    if r < 0.58:
         return _gen_setop_query(rng)
-    if r < 0.76:
+    if r < 0.66:
         return _gen_exists_query(rng)
+    if r < 0.74:
+        return _gen_derived_query(rng)
+    if r < 0.80:
+        return _gen_scalar_subquery(rng)
     t = rng.choice(list(TABLES))
     spec = TABLES[t]
     gcols = rng.sample(spec["group"], rng.randint(1, len(spec["group"])))
