@@ -2326,6 +2326,24 @@ class Engine:
             self.alter_modify_column(s.name, s.new_name, s.mysql_type)
         elif s.action == "rename_table":
             self.rename_table(s.name, s.new_name)
+        elif s.action == "add_fk":
+            meta = self.table_meta(s.name)
+            fk = dict(s.fk)
+            if fk["name"] == "fk_0":  # parser default for unnamed FKs
+                fk["name"] = f"fk_{len(meta.foreign_keys)}"
+            if any(x["name"] == fk["name"] for x in meta.foreign_keys):
+                raise ValueError(f"foreign key exists: {fk['name']}")
+            self.table_meta(s.name)  # validates table
+            self.catalog.table(fk["ref_table"]).read()  # ref must exist
+            meta.foreign_keys.append(fk)
+            self._save_meta(s.name, meta)
+        elif s.action == "drop_fk":
+            meta = self.table_meta(s.name)
+            kept = [x for x in meta.foreign_keys if x["name"] != s.column]
+            if len(kept) == len(meta.foreign_keys):
+                raise ValueError(f"unknown foreign key: {s.column}")
+            meta.foreign_keys = kept
+            self._save_meta(s.name, meta)
         else:  # pragma: no cover
             raise ValueError(f"unknown ALTER action: {s.action}")
         return OkResult()

@@ -67,6 +67,39 @@ def rewrite(query: str) -> tuple[str, set[tuple[str, str]]]:
     return _QUALIFIED.sub(_sub, query), needed
 
 
+# MySQL's fixed NUMERIC_PRECISION per integer/float type (the values a
+# real server reports in information_schema.columns).
+_INT_PRECISION = {
+    "tinyint": 3, "smallint": 5, "mediumint": 7, "int": 10,
+    "integer": 10, "bigint": 19, "float": 12, "double": 22, "year": 4,
+}
+
+
+def _type_facets(
+    mysql_type: str,
+) -> tuple[int | None, int | None, int | None]:
+    """(CHARACTER_MAXIMUM_LENGTH, NUMERIC_PRECISION, NUMERIC_SCALE)
+    for a rendered MySQL type — the introspection facets ORM schema
+    readers consume."""
+    base = mysql_type.split("(")[0].strip().lower()
+    m = re.match(r"[a-z]+\s*\(\s*(\d+)(?:\s*,\s*(\d+))?\s*\)", mysql_type, re.I)
+    if base in ("varchar", "char", "text", "tinytext", "mediumtext",
+                "longtext", "enum", "set", "json"):
+        n = int(m.group(1)) if m else {
+            "text": 65535, "tinytext": 255, "mediumtext": 16777215,
+            "longtext": 4294967295, "json": 4294967295,
+        }.get(base, 65535)
+        return n, None, None
+    if base in ("decimal", "numeric", "dec"):
+        p = int(m.group(1)) if m else 10
+        sc = int(m.group(2)) if m and m.group(2) else 0
+        return None, p, sc
+    if base in _INT_PRECISION:
+        scale = 0 if base not in ("float", "double") else None
+        return None, _INT_PRECISION[base], scale
+    return None, None, None
+
+
 def _catalog_meta(cat, name: str) -> dict:
     p = os.path.join(cat.root, name, "_META")
     if not os.path.exists(p):
@@ -127,6 +160,8 @@ def build(engine, schema: str, view: str) -> DataFrame:
                 for i, f_ in enumerate(cat.table(t).read().schema.fields):
                     mysql_type = spark_to_mysql(f_.dataType, f_.metadata)
                     d = meta.defaults.get(f_.name)
+                    char_len, num_prec, num_scale = _type_facets(mysql_type)
+                    is_str = char_len is not None
                     rows.append((
                         "def", db, t, f_.name, i + 1,
                         None if d is None else str(d),
@@ -134,13 +169,20 @@ def build(engine, schema: str, view: str) -> DataFrame:
                         mysql_type.split("(")[0].lower(), mysql_type.lower(),
                         "PRI" if f_.name in meta.primary_key else "",
                         "auto_increment" if f_.name == meta.auto_increment else "",
+                        char_len, num_prec, num_scale,
+                        (f_.metadata or {}).get("charset", "utf8mb4")
+                        if is_str else None,
+                        "utf8mb4_0900_bin" if is_str else None,
                     ))
         return spark.createDataFrame(
             rows,
             "TABLE_CATALOG string, TABLE_SCHEMA string, TABLE_NAME string, "
             "COLUMN_NAME string, ORDINAL_POSITION int, COLUMN_DEFAULT string, "
             "IS_NULLABLE string, DATA_TYPE string, COLUMN_TYPE string, "
-            "COLUMN_KEY string, EXTRA string",
+            "COLUMN_KEY string, EXTRA string, "
+            "CHARACTER_MAXIMUM_LENGTH bigint, NUMERIC_PRECISION bigint, "
+            "NUMERIC_SCALE bigint, CHARACTER_SET_NAME string, "
+            "COLLATION_NAME string",
         )
 
     if (schema, view) == ("information_schema", "views"):

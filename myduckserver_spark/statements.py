@@ -460,6 +460,7 @@ class AlterTable:
     # ADD COLUMN position: None=append, ""=FIRST, "<col>"=AFTER col
     # (MySQL honors ordering; the reference drops it — we exceed there)
     position: str | None = None
+    fk: dict | None = None  # add_fk: parsed FOREIGN KEY clause
 
 
 @dataclass
@@ -1310,6 +1311,30 @@ def parse_statement(sql: str):
         am = re.match(r"RENAME\s+(?:TO\s+)?(`[^`]+`|\w+)\s*$", rest, re.I)
         if am:
             return AlterTable(name, "rename_table", new_name=unquote_ident(am.group(1)))
+        am = re.match(
+            r"ADD\s+(?:CONSTRAINT\s+(`[^`]+`|\w+)\s+)?FOREIGN\s+KEY", rest,
+            re.I,
+        )
+        if am:
+            # reuse the CREATE TABLE clause parser for the FK body
+            tmp = TableMeta()
+            _parse_column_def(rest[rest.upper().index("FOREIGN"):]
+                              if not am.group(1)
+                              else rest[len("ADD "):], tmp)
+            if not tmp.foreign_keys:
+                raise ValueError(f"cannot parse FOREIGN KEY clause: {rest!r}")
+            fk = tmp.foreign_keys[0]
+            if am.group(1):
+                fk["name"] = unquote_ident(am.group(1))
+            return AlterTable(name, "add_fk", fk=fk)
+        am = re.match(
+            r"DROP\s+(?:FOREIGN\s+KEY|CONSTRAINT)\s+(`[^`]+`|\w+)\s*$",
+            rest,
+            re.I,
+        )
+        if am:
+            return AlterTable(name, "drop_fk",
+                              column=unquote_ident(am.group(1)))
         raise ValueError(f"unsupported ALTER TABLE action: {rest!r}")
 
     m = re.match(

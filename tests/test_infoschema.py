@@ -233,3 +233,69 @@ def test_foreign_key_metadata_surfaces(spark, tmp_path):
     # FKs are NOT enforced (reference parity): orphan insert succeeds
     e.execute("INSERT INTO childs VALUES (1, 999)")
     assert e.sql("SELECT COUNT(*) FROM childs").collect()[0][0] == 1
+
+
+def test_alter_add_drop_foreign_key(spark, tmp_path):
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE p2 (id INT PRIMARY KEY)")
+    e.execute("CREATE TABLE c2 (cid INT PRIMARY KEY, pid INT, qid INT)")
+    e.execute(
+        "ALTER TABLE c2 ADD CONSTRAINT fk_named FOREIGN KEY (pid) "
+        "REFERENCES p2 (id) ON UPDATE CASCADE"
+    )
+    e.execute("ALTER TABLE c2 ADD FOREIGN KEY (qid) REFERENCES p2 (id)")
+    rc = e.sql(
+        "SELECT CONSTRAINT_NAME, UPDATE_RULE FROM "
+        "information_schema.referential_constraints "
+        "WHERE TABLE_NAME = 'c2' ORDER BY CONSTRAINT_NAME"
+    ).collect()
+    assert [tuple(r) for r in rc] == [
+        ("fk_1", "NO ACTION"), ("fk_named", "CASCADE"),
+    ]
+    import pytest
+
+    with pytest.raises(ValueError):  # duplicate constraint name
+        e.execute(
+            "ALTER TABLE c2 ADD CONSTRAINT fk_named FOREIGN KEY (pid) "
+            "REFERENCES p2 (id)"
+        )
+    e.execute("ALTER TABLE c2 DROP FOREIGN KEY fk_named")
+    rc = e.sql(
+        "SELECT CONSTRAINT_NAME FROM "
+        "information_schema.referential_constraints WHERE TABLE_NAME = 'c2'"
+    ).collect()
+    assert [r[0] for r in rc] == ["fk_1"]
+    with pytest.raises(ValueError):
+        e.execute("ALTER TABLE c2 DROP FOREIGN KEY nope")
+
+
+def test_columns_type_facets(spark, tmp_path):
+    """information_schema.columns carries the type facets ORMs read:
+    CHARACTER_MAXIMUM_LENGTH, NUMERIC_PRECISION/SCALE, charset."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.execute(
+        "CREATE TABLE facets (id INT PRIMARY KEY, nm VARCHAR(40), "
+        "amt DECIMAL(12,3), big BIGINT, d DOUBLE, body TEXT)"
+    )
+    rows = {
+        r.COLUMN_NAME: r
+        for r in e.sql(
+            "SELECT * FROM information_schema.columns "
+            "WHERE TABLE_NAME = 'facets'"
+        ).collect()
+    }
+    assert rows["nm"].CHARACTER_MAXIMUM_LENGTH == 40
+    assert rows["nm"].CHARACTER_SET_NAME == "utf8mb4"
+    assert (rows["amt"].NUMERIC_PRECISION, rows["amt"].NUMERIC_SCALE) == (
+        12, 3,
+    )
+    assert rows["id"].NUMERIC_PRECISION == 10
+    assert rows["big"].NUMERIC_PRECISION == 19
+    assert rows["d"].NUMERIC_PRECISION == 22
+    assert rows["d"].NUMERIC_SCALE is None
+    assert rows["body"].CHARACTER_MAXIMUM_LENGTH == 65535
+    assert rows["id"].CHARACTER_MAXIMUM_LENGTH is None
