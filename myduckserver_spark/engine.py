@@ -717,7 +717,10 @@ class Engine:
         t.overwrite(base.unionByName(fresh.select(*base.columns)))
 
     def update(self, name: str, condition: Column, assignments: dict[str, Column]) -> int:
-        """UPDATE t SET col=expr WHERE cond, as a snapshot rewrite."""
+        """UPDATE t SET col=expr WHERE cond, as a snapshot rewrite.
+        CHECK/NOT NULL constraints are enforced on the post-update
+        snapshot — MySQL rejects constraint-violating UPDATEs exactly
+        like INSERTs (same GMS-layer rule the insert path applies)."""
         t = self.catalog.table(name)
         base = t.read()
         n = base.filter(condition).count()
@@ -727,8 +730,27 @@ class Engine:
                 for col, expr in assignments.items()
             }
         )
+        self._enforce_checks(updated, self.table_meta(name), "UPDATE")
         t.overwrite(updated)
         return n
+
+    def _enforce_checks(
+        self, df: DataFrame, meta: "st.TableMeta", context: str
+    ) -> None:
+        """Raise on the first CHECK / NOT NULL violation in `df` (the
+        candidate post-DML snapshot). Each probe is a LIMIT-1 filtered
+        scan, the same cost class as the insert path's validation."""
+        checks = {c: self._fragment(e) for c, e in meta.checks.items()}
+        for col in meta.not_null:
+            if col != meta.auto_increment and col in df.columns:
+                checks.setdefault(f"{col}_not_null", F.col(col).isNotNull())
+        for cname, cond in checks.items():
+            bad = df.filter(~cond | cond.isNull()).limit(1).collect()
+            if bad:
+                raise ValueError(
+                    f"CHECK/NOT NULL constraint '{cname}' violated by "
+                    f"{context}: {bad[0]}"
+                )
 
     def delete(self, name: str, condition: Column) -> int:
         t = self.catalog.table(name)
@@ -958,6 +980,7 @@ class Engine:
         updated = self.sql(
             f"{pre}SELECT {', '.join(sel)} FROM `{s.table}`", dialect=dialect
         )
+        self._enforce_checks(updated, meta, "UPDATE")
         self.catalog.table(s.table).overwrite(updated)
         self._recompute_generated(s.table, meta)
         return OkResult(affected_rows=int(n))

@@ -794,3 +794,35 @@ def test_dml_returning(spark, tmp_path):
     ] == [(2, 25)]
     # no-match DML returns zero rows, not an error
     assert e.execute("DELETE FROM rt WHERE id = 99 RETURNING id").collect() == []
+
+
+def test_update_enforces_check_and_not_null(spark, tmp_path):
+    """MySQL rejects UPDATEs that violate CHECK / NOT NULL, same as
+    INSERTs — including on the subquery-WHERE path."""
+    import pytest
+
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.execute(
+        "CREATE TABLE chk (id INT PRIMARY KEY, v INT NOT NULL, "
+        "CONSTRAINT pos CHECK (v > 0))"
+    )
+    e.execute("INSERT INTO chk VALUES (1, 5), (2, 7)")
+    with pytest.raises(ValueError, match="pos"):
+        e.execute("UPDATE chk SET v = -1 WHERE id = 1")
+    # NULL trips validation (engine rule: a NULL check result fails,
+    # same as the insert path — stricter than the SQL-standard
+    # UNKNOWN-passes, consistent across all DML)
+    with pytest.raises(ValueError, match="pos|not_null"):
+        e.execute("UPDATE chk SET v = NULL WHERE id = 2")
+    with pytest.raises(ValueError, match="pos"):
+        e.execute(
+            "UPDATE chk SET v = -9 WHERE id IN (SELECT MAX(id) FROM chk)"
+        )
+    # table unchanged after every rejected statement
+    assert sorted(
+        tuple(r) for r in e.sql("SELECT id, v FROM chk").collect()
+    ) == [(1, 5), (2, 7)]
+    e.execute("UPDATE chk SET v = 9 WHERE id = 1")  # valid one applies
+    assert e.sql("SELECT v FROM chk WHERE id = 1").collect()[0][0] == 9
