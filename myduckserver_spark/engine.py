@@ -2367,6 +2367,55 @@ class Engine:
                 raise ValueError(f"unknown foreign key: {s.column}")
             meta.foreign_keys = kept
             self._save_meta(s.name, meta)
+        elif s.action == "add_index":
+            meta = self.table_meta(s.name)
+            cols = set(self.catalog.table(s.name).read().columns)
+            missing = [c for c in s.fk["columns"] if c not in cols]
+            if missing:
+                raise ValueError(f"unknown columns for index: {missing}")
+            if s.fk["name"] in meta.indexes:
+                raise ValueError(f"index exists: {s.fk['name']}")
+            meta.indexes[s.fk["name"]] = {
+                "columns": s.fk["columns"], "unique": s.fk["unique"],
+            }
+            self._save_meta(s.name, meta)
+        elif s.action == "add_check":
+            meta = self.table_meta(s.name)
+            cname = s.fk["name"] or f"check_{len(meta.checks)}"
+            if cname in meta.checks:
+                raise ValueError(f"check exists: {cname}")
+            # MySQL validates EXISTING rows when a CHECK is added
+            probe = st.TableMeta(checks={cname: s.fk["expr"]})
+            self._enforce_checks(
+                self.catalog.table(s.name).read(), probe, "ALTER ADD CHECK"
+            )
+            meta.checks[cname] = s.fk["expr"]
+            self._save_meta(s.name, meta)
+        elif s.action in ("drop_check", "drop_constraint"):
+            meta = self.table_meta(s.name)
+            if s.column in meta.checks:
+                del meta.checks[s.column]
+            elif s.action == "drop_constraint" and any(
+                x["name"] == s.column for x in meta.foreign_keys
+            ):
+                meta.foreign_keys = [
+                    x for x in meta.foreign_keys if x["name"] != s.column
+                ]
+            elif s.action == "drop_constraint" and s.column in meta.indexes:
+                del meta.indexes[s.column]
+            else:
+                raise ValueError(f"unknown constraint: {s.column}")
+            self._save_meta(s.name, meta)
+        elif s.action == "set_default":
+            meta = self.table_meta(s.name)
+            if s.column not in self.catalog.table(s.name).read().columns:
+                raise ValueError(f"unknown column: {s.column}")
+            meta.defaults[s.column] = s.default
+            self._save_meta(s.name, meta)
+        elif s.action == "drop_default":
+            meta = self.table_meta(s.name)
+            meta.defaults.pop(s.column, None)
+            self._save_meta(s.name, meta)
         else:  # pragma: no cover
             raise ValueError(f"unknown ALTER action: {s.action}")
         return OkResult()

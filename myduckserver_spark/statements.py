@@ -1328,12 +1328,62 @@ def parse_statement(sql: str):
                 fk["name"] = unquote_ident(am.group(1))
             return AlterTable(name, "add_fk", fk=fk)
         am = re.match(
-            r"DROP\s+(?:FOREIGN\s+KEY|CONSTRAINT)\s+(`[^`]+`|\w+)\s*$",
+            r"DROP\s+FOREIGN\s+KEY\s+(`[^`]+`|\w+)\s*$", rest, re.I
+        )
+        if am:
+            return AlterTable(name, "drop_fk",
+                              column=unquote_ident(am.group(1)))
+        am = re.match(
+            r"ADD\s+(UNIQUE\s+)?(?:INDEX|KEY)\s+(`[^`]+`|\w+)\s*"
+            r"\(([^)]*)\)\s*$",
             rest,
             re.I,
         )
         if am:
-            return AlterTable(name, "drop_fk",
+            cols = [unquote_ident(c) for c in am.group(3).split(",")]
+            return AlterTable(
+                name, "add_index",
+                fk={"name": unquote_ident(am.group(2)), "columns": cols,
+                    "unique": bool(am.group(1))},
+            )
+        am = re.match(
+            r"ADD\s+(?:CONSTRAINT\s+(`[^`]+`|\w+)\s+)?CHECK\s*\((.*)\)\s*$",
+            rest,
+            re.I | re.S,
+        )
+        if am:
+            return AlterTable(
+                name, "add_check",
+                fk={"name": unquote_ident(am.group(1)) if am.group(1)
+                    else None, "expr": am.group(2).strip()},
+            )
+        am = re.match(
+            r"DROP\s+(CHECK|CONSTRAINT)\s+(`[^`]+`|\w+)\s*$", rest, re.I
+        )
+        if am:
+            action = (
+                "drop_check" if am.group(1).upper() == "CHECK"
+                else "drop_constraint"
+            )
+            return AlterTable(name, action,
+                              column=unquote_ident(am.group(2)))
+        am = re.match(
+            r"ALTER\s+(?:COLUMN\s+)?(`[^`]+`|\w+)\s+SET\s+DEFAULT\s+(.+)$",
+            rest,
+            re.I | re.S,
+        )
+        if am:
+            return AlterTable(
+                name, "set_default", column=unquote_ident(am.group(1)),
+                default=parse_literal(am.group(2).strip()),
+            )
+        am = re.match(
+            r"ALTER\s+(?:COLUMN\s+)?(`[^`]+`|\w+)\s+DROP\s+DEFAULT\s*$",
+            rest,
+            re.I,
+        )
+        if am:
+            return AlterTable(name, "drop_default",
                               column=unquote_ident(am.group(1)))
         raise ValueError(f"unsupported ALTER TABLE action: {rest!r}")
 

@@ -144,3 +144,48 @@ def test_create_table_like(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="table exists"):
         e.execute("CREATE TABLE dst LIKE src")
+
+
+def test_alter_index_check_default_surface(spark, tmp_path):
+    """ALTER TABLE ADD [UNIQUE] INDEX / ADD CHECK (validates existing
+    rows, MySQL rule) / DROP CHECK|CONSTRAINT / ALTER COLUMN SET|DROP
+    DEFAULT."""
+    import pytest
+
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE at (id INT PRIMARY KEY, a INT, b INT)")
+    e.execute("INSERT INTO at VALUES (1, 5, 1)")
+
+    e.execute("ALTER TABLE at ADD INDEX ix_ab (a, b)")
+    e.execute("ALTER TABLE at ADD UNIQUE INDEX ux_a (a)")
+    idx = {
+        r.Key_name: r.Non_unique
+        for r in e.execute("SHOW INDEXES FROM at").collect()
+    }
+    assert idx.get("ix_ab") == 1 and idx.get("ux_a") == 0
+    with pytest.raises(ValueError):
+        e.execute("ALTER TABLE at ADD INDEX bad (nope)")
+
+    # ADD CHECK validates existing rows first
+    with pytest.raises(ValueError):
+        e.execute("ALTER TABLE at ADD CONSTRAINT big CHECK (a > 100)")
+    e.execute("ALTER TABLE at ADD CONSTRAINT pos CHECK (a > 0)")
+    with pytest.raises(ValueError):  # now enforced on DML
+        e.execute("INSERT INTO at VALUES (2, -1, 0)")
+    e.execute("ALTER TABLE at DROP CHECK pos")
+    e.execute("INSERT INTO at VALUES (2, -1, 0)")  # check gone
+
+    # DROP CONSTRAINT resolves across kinds (here: the unique index)
+    e.execute("ALTER TABLE at DROP CONSTRAINT ux_a")
+    assert "ux_a" not in {
+        r.Key_name for r in e.execute("SHOW INDEXES FROM at").collect()
+    }
+
+    e.execute("ALTER TABLE at ALTER COLUMN b SET DEFAULT 42")
+    e.execute("INSERT INTO at (id, a) VALUES (3, 9)")
+    assert e.sql("SELECT b FROM at WHERE id = 3").collect()[0][0] == 42
+    e.execute("ALTER TABLE at ALTER b DROP DEFAULT")
+    e.execute("INSERT INTO at (id, a) VALUES (4, 9)")
+    assert e.sql("SELECT b FROM at WHERE id = 4").collect()[0][0] is None
