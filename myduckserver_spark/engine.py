@@ -3526,6 +3526,49 @@ class Engine:
                 [(n,) for n in names],
                 f"Tables_in_{self.current_db} string",
             )
+        if s.kind == "full_tables":
+            views = set(self._view_names())
+            names = sorted(set(self.catalog.list_tables()) | views)
+            if s.like:
+                rx = _like_to_re(s.like)
+                names = [n for n in names if rx.match(n)]
+            return self.spark.createDataFrame(
+                [(n, "VIEW" if n in views else "BASE TABLE")
+                 for n in names],
+                f"Tables_in_{self.current_db} string, Table_type string",
+            )
+        if s.kind == "open_tables":
+            # no table-handle cache here: every table is open-on-read
+            # (MySQL semantics: In_use 0 = unlocked)
+            return self.spark.createDataFrame(
+                [(self.current_db, n, 0, 0)
+                 for n in sorted(self.catalog.list_tables())],
+                "Database string, Table string, In_use int, "
+                "Name_locked int",
+            )
+        if s.kind == "grants":
+            # single-user engine: the root grant MySQL clients expect
+            return self.spark.createDataFrame(
+                [("GRANT ALL PRIVILEGES ON *.* TO 'root'@'%' "
+                  "WITH GRANT OPTION",)],
+                "`Grants for root@%` string",
+            )
+        if s.kind == "create_view":
+            from myduckserver_spark.infoschema import _view_sql
+
+            if s.target not in self._view_names():
+                raise ValueError(f"unknown view: {s.target}")
+            body = _view_sql(self.catalog, s.target)
+            return self.spark.createDataFrame(
+                [(
+                    s.target,
+                    f"CREATE VIEW `{s.target}` AS {body}",
+                    "utf8mb4",
+                    "utf8mb4_0900_bin",
+                )],
+                "View string, `Create View` string, "
+                "character_set_client string, collation_connection string",
+            )
         if s.kind == "summarize":
             # DuckDB's SUMMARIZE t (docs surface): per-column profile
             # in ONE aggregation pass (same shape as ANALYZE TABLE).

@@ -1594,10 +1594,16 @@ def parse_statement(sql: str):
         refs, where = split_where(m.group(2))
         return Delete(targets[0], where, from_text=refs.strip(), targets=targets)
 
-    m = re.match(r"SHOW\s+TABLES\s*(?:LIKE\s+(.+))?$", s, re.I)
+    m = re.match(
+        r"SHOW\s+(FULL\s+)?TABLES\s*(?:LIKE\s+(.+))?$", s, re.I
+    )
     if m:
-        like = parse_literal(m.group(1)) if m.group(1) else None
-        return Show("tables", like=like)
+        like = parse_literal(m.group(2)) if m.group(2) else None
+        return Show("full_tables" if m.group(1) else "tables", like=like)
+    if re.match(r"SHOW\s+OPEN\s+TABLES\s*$", s, re.I):
+        return Show("open_tables")
+    if re.match(r"SHOW\s+GRANTS\b", s, re.I):
+        return Show("grants")
     m = re.match(r"SHOW\s+TABLE\s+STATUS\s*(?:LIKE\s+(.+))?$", s, re.I)
     if m:
         like = parse_literal(m.group(1)) if m.group(1) else None
@@ -1636,12 +1642,15 @@ def parse_statement(sql: str):
     m = re.match(r"SHOW\s+(?:FULL\s+)?COLUMNS\s+FROM\s+(`[^`]+`|\w+)\s*$", s, re.I)
     if m:
         return Show("columns", target=unquote_ident(m.group(1)))
-    m = re.match(r"DESCRIBE\s+(`[^`]+`|\w+)\s*$", s, re.I)
+    m = re.match(r"(?:DESCRIBE|DESC)\s+(`[^`]+`|\w+)\s*$", s, re.I)
     if m:
         return Show("columns", target=unquote_ident(m.group(1)))
     m = re.match(r"SHOW\s+CREATE\s+TABLE\s+(`[^`]+`|\w+)\s*$", s, re.I)
     if m:
         return Show("create_table", target=unquote_ident(m.group(1)))
+    m = re.match(r"SHOW\s+CREATE\s+VIEW\s+(`[^`]+`|\w+)\s*$", s, re.I)
+    if m:
+        return Show("create_view", target=unquote_ident(m.group(1)))
     m = re.match(r"SHOW\s+(?:SESSION\s+|GLOBAL\s+)?VARIABLES\s*(?:LIKE\s+(.+))?$",
                  s, re.I)
     if m:

@@ -287,3 +287,28 @@ def test_savepoint_ddl_not_rolled_back(engine):
     tables = {r[0] for r in engine.execute("SHOW TABLES").collect()}
     assert "sp_new" in tables
     engine.execute("COMMIT")
+
+
+def test_show_full_tables_desc_create_view_grants(spark, tmp_path):
+    """SHOW FULL TABLES (Table_type), DESC alias, SHOW CREATE VIEW,
+    SHOW OPEN TABLES, SHOW GRANTS — the remaining observability forms
+    MySQL clients issue on connect."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE st1 (id INT PRIMARY KEY, v INT)")
+    e.execute("CREATE VIEW sv1 AS SELECT id FROM st1")
+    rows = {
+        r[0]: r.Table_type
+        for r in e.execute("SHOW FULL TABLES").collect()
+    }
+    assert rows == {"st1": "BASE TABLE", "sv1": "VIEW"}
+    # DESC == DESCRIBE == SHOW COLUMNS
+    d = e.execute("DESC st1").collect()
+    assert [r.Field for r in d] == ["id", "v"]
+    cv = e.execute("SHOW CREATE VIEW sv1").collect()[0]
+    assert cv.View == "sv1" and "SELECT id FROM st1" in cv[1]
+    ot = e.execute("SHOW OPEN TABLES").collect()
+    assert [(r.Table, r.In_use) for r in ot] == [("st1", 0)]
+    g = e.execute("SHOW GRANTS").collect()
+    assert "GRANT ALL PRIVILEGES" in g[0][0]
