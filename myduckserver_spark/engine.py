@@ -3744,6 +3744,20 @@ class Engine:
                     "  PRIMARY KEY (" + ", ".join(
                         f"`{c}`" for c in meta.primary_key) + ")"
                 )
+            for iname, props in sorted(meta.indexes.items()):
+                if props.get("fulltext"):
+                    kw = "FULLTEXT KEY"
+                elif props.get("unique"):
+                    kw = "UNIQUE KEY"
+                else:
+                    kw = "KEY"
+                defs.append(
+                    f"  {kw} `{iname}` ("
+                    + ", ".join(
+                        f"`{c}`" for c in props.get("columns", [])
+                    )
+                    + ")"
+                )
             for cname, expr in meta.checks.items():
                 defs.append(f"  CONSTRAINT `{cname}` CHECK ({expr})")
             for fk in meta.foreign_keys:

@@ -189,3 +189,16 @@ def test_alter_index_check_default_surface(spark, tmp_path):
     e.execute("ALTER TABLE at ALTER b DROP DEFAULT")
     e.execute("INSERT INTO at (id, a) VALUES (4, 9)")
     assert e.sql("SELECT b FROM at WHERE id = 4").collect()[0][0] is None
+
+
+def test_show_create_table_renders_indexes(spark, tmp_path):
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE sct (id INT PRIMARY KEY, a INT, b TEXT)")
+    e.execute("ALTER TABLE sct ADD INDEX ix_a (a)")
+    e.execute("ALTER TABLE sct ADD UNIQUE INDEX ux_ab (a, b)")
+    ddl = e.execute("SHOW CREATE TABLE sct").collect()[0][1]
+    assert "KEY `ix_a` (`a`)" in ddl
+    assert "UNIQUE KEY `ux_ab` (`a`, `b`)" in ddl
+    assert "PRIMARY KEY (`id`)" in ddl
