@@ -67,11 +67,14 @@ def main() -> None:
     # HEADLINE timings are HONEST end-to-end runs: a fresh DataFrame per
     # run, so every sample pays Catalyst analysis+optimization+physical
     # planning AND re-executes every stage (no reuse of plan, shuffle
-    # output, or result). Median of 5 consecutive samples per query —
-    # consecutive (not interleaved) so each query is measured at steady
-    # state for ITS plan shape (hot code cache / JIT), which is how
-    # single-query latency is conventionally reported; a fresh plan is
-    # still built and fully re-executed every sample.
+    # output, or result). Variance control (round-5 verdict item 2):
+    # THREE whole sections of (3 consecutive samples per query); the
+    # reported per-query value is the min across all 9 samples, and the
+    # section-total spread is reported so a loaded-machine run is
+    # visible in the JSON instead of silently inflating one side.
+    # Consecutive (not interleaved) samples measure each query at
+    # steady state for ITS plan shape (hot code cache / JIT); the
+    # DuckDB proxy below gets the identical 3-section/min treatment.
     #
     # Measured overhead anatomy at sf0.1 (see PROGRESS notes): actual
     # execution on warm columnar data is ~40-80 ms/query; the remaining
@@ -84,15 +87,25 @@ def main() -> None:
     # pandas fetch — row-pickling collect() added ~150 ms of pure Python
     # deserialization on 40k-row results, which is client-API overhead,
     # not engine latency.
+    N_SECTIONS, N_SAMPLES = 3, 3
     runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
-    for name in HEADLINE:
-        for _ in range(5):
-            t0 = time.perf_counter()
-            REGISTRY[name].spark(spark, sf_dir).toPandas()
-            runs[name].append(time.perf_counter() - t0)
-    timings = {
-        name: round(sorted(rs)[2], 3) for name, rs in runs.items()
-    }
+    section_totals: list[float] = []
+    for _ in range(N_SECTIONS):
+        sec = 0.0
+        for name in HEADLINE:
+            best = float("inf")
+            for _ in range(N_SAMPLES):
+                t0 = time.perf_counter()
+                REGISTRY[name].spark(spark, sf_dir).toPandas()
+                dt = time.perf_counter() - t0
+                runs[name].append(dt)
+                best = min(best, dt)
+            sec += best
+        section_totals.append(sec)
+    timings = {name: round(min(rs), 3) for name, rs in runs.items()}
+    spread = round(
+        (max(section_totals) - min(section_totals)) / min(section_totals), 3
+    )
 
     # Secondary metric: the prepared-statement serving path
     # (registry.prepared — the analog of the reference's DuckDB prepared
@@ -107,13 +120,13 @@ def main() -> None:
     prep: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for name in HEADLINE:
         prepared(name, spark, sf_dir).toPandas()  # plan + first execution
-    for _ in range(3):
+    for _ in range(3 * N_SECTIONS):
         for name in HEADLINE:
             t0 = time.perf_counter()
             prepared(name, spark, sf_dir).toPandas()
             prep[name].append(time.perf_counter() - t0)
     prepared_timings = {
-        name: round(sorted(rs)[1], 3) for name, rs in prep.items()
+        name: round(min(rs), 3) for name, rs in prep.items()
     }
 
     # Reference-engine proxy: the same queries' oracle SQL on DuckDB
@@ -140,11 +153,11 @@ def main() -> None:
                 continue
             con.sql(oracle).df()  # warm
             samples = []
-            for _ in range(3):
+            for _ in range(N_SECTIONS * N_SAMPLES):
                 t0 = time.perf_counter()
                 con.sql(oracle).df()
                 samples.append(time.perf_counter() - t0)
-            proxy[name] = round(sorted(samples)[1], 3)
+            proxy[name] = round(min(samples), 3)
         con.close()
     except Exception:
         proxy = {}
@@ -155,6 +168,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "run_spread": spread,
         "queries_prepared_serving": prepared_timings,
         "prepared_serving_total": round(
             sum(prepared_timings.values()), 3

@@ -288,3 +288,63 @@ def fp_sum_sql(expr: str, alias: str) -> str:
         f"CAST(ROUND({sl_val_sql(f'SUM({sl6_sql(expr)})')}, 2) AS DOUBLE)"
         f" AS {alias}"
     )
+
+
+def fp_groupby_sql(view, keys, sums=(), avgs=(), counts=(), where=""):
+    """SQL-text twin of `fp_groupby`: the identical four-step exact
+    fixed-point plan (scaled-long project → per-(input-partition, group)
+    long partials → decimal merge → canonical DOUBLE emit) rendered as
+    ONE SQL string over a registered view. Same physical plan, but the
+    build is a single spark.sql() round-trip instead of ~25 Py4J calls
+    with per-call JVM expression parsing (measured on q1 at sf0.1:
+    218 ms → 171 ms end-to-end, value-identical result). This is the
+    reference's own serving architecture — generate SQL text, let the
+    engine plan it (transpiler/translate.go:102) — pointed at Catalyst.
+
+    The coalesce(1)-in-same-stage merge trick from fp_groupby is not
+    SQL-expressible, so the merge here is a regular tiny shuffle on the
+    group keys: n_input_partitions × n_groups short rows, negligible at
+    any scale for the bounded-cardinality keys this helper targets.
+    """
+    sums, avgs, counts = list(sums), list(avgs), list(counts)
+    scaled = sums + avgs
+    kl = ", ".join(keys)
+    kpfx = f"{kl}, " if keys else ""
+    proj = ", ".join(
+        f"{sl6_sql(e)} AS __fp_{a}" for a, e in scaled
+    )
+    part_aggs = ", ".join(
+        f"SUM(__fp_{a}) AS __fp_{a}" for a, _ in scaled
+    )
+    fin_aggs = ", ".join(
+        f"SUM(CAST(__fp_{a} AS DECIMAL(38,0))) AS __fp_{a}" for a, _ in scaled
+    )
+    out = list(keys)
+    out += [
+        f"CAST(ROUND({sl_val_sql(f'__fp_{a}')}, 2) AS DOUBLE) AS {a}"
+        for a, _ in sums
+    ]
+    out += [
+        f"(CAST(ROUND({sl_val_sql(f'__fp_{a}')}, 3) AS DOUBLE) / __fp_n)"
+        f" AS {a}"
+        for a, _ in avgs
+    ]
+    out += [f"__fp_n AS {a}" for a in counts]
+    where_sql = f"WHERE {where}" if where else ""
+    fin_group = f"GROUP BY {kl}" if keys else ""
+    return f"""
+    SELECT {", ".join(out)}
+    FROM (
+      SELECT {kpfx}CAST(COALESCE(SUM(__fp_pn), 0) AS BIGINT) AS __fp_n,
+             {fin_aggs}
+      FROM (
+        SELECT __fp_pid, {kpfx}COUNT(1) AS __fp_pn, {part_aggs}
+        FROM (
+          SELECT SPARK_PARTITION_ID() AS __fp_pid, {kpfx}{proj}
+          FROM {view} {where_sql}
+        ) __fp_proj
+        GROUP BY {kpfx}__fp_pid
+      ) __fp_part
+      {fin_group}
+    ) __fp_fin
+    """

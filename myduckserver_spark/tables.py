@@ -134,6 +134,34 @@ def warm_cache(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_T
             load_table(spark, sf_dir, name).cache().count()
 
 
+# Memoized temp-view registration for generated-SQL query builds.
+# The reference's architecture is "generate SQL text, hand it to the
+# engine" (transpiler/translate.go:102 → DuckDB); the Spark analog is a
+# single spark.sql() call over registered views — one Py4J round-trip
+# and JVM-side analysis instead of 30-80 ms of per-operator DataFrame
+# chatter (measured: q1 build 62 ms as a Column chain, 10 ms as SQL
+# text). View names are suffixed per sf_dir so one session can serve
+# multiple data dirs (tests run sf0.001 and sf0.01 side by side).
+_VIEW_CACHE: dict[tuple, str] = {}
+
+
+def table_view(
+    spark: SparkSession, sf_dir: str, name: str, narrow: bool = False,
+) -> str:
+    """Register (memoized) the cached table as a temp view; return the
+    view name to splice into generated SQL. ``narrow`` maps to
+    load_table's narrow width (cheap-per-row passes over compute-dense
+    tables)."""
+    key = (id(spark), os.path.abspath(sf_dir), name, narrow)
+    got = _VIEW_CACHE.get(key)
+    if got is None:
+        tag = "".join(c if c.isalnum() else "_" for c in os.path.abspath(sf_dir))
+        got = f"{name}__{'n_' if narrow else ''}{tag}"
+        load_table(spark, sf_dir, name, narrow=narrow).createOrReplaceTempView(got)
+        _VIEW_CACHE[key] = got
+    return got
+
+
 # Below this working-set size the engine plans statically: AQE's
 # per-stage re-optimization costs 0.2-0.4 s of driver latency per query,
 # which at small scale exceeds the entire execution time it could ever
@@ -142,7 +170,14 @@ def warm_cache(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_T
 # safe at 100 TB. 4 GiB ~= the point where a shuffle can exceed one
 # executor's memory and dynamic re-planning starts paying for itself.
 SERVING_PROFILE_MAX_BYTES = 4 << 30
-_TARGET_SHUFFLE_PARTITION_BYTES = 64 << 20
+# Under the small profile the shuffled slice of any query is a filtered/
+# pre-aggregated fraction of the raw working set, so sizing shuffle
+# width by raw bytes / 64 MB left 8 near-empty reducers paying pure
+# task-launch latency (measured: q13 233→141 ms going 8→4 at sf0.1).
+# 16 MB of *raw working set* per reducer keeps partitions meaningful
+# and still widens to the full core count well before the 4 GiB
+# profile ceiling hands planning back to AQE.
+_TARGET_SHUFFLE_PARTITION_BYTES = 16 << 20
 
 # True after serving_profile() measured a small (<4 GiB) working set.
 # Plan helpers consult this for decisions that trade single-task
@@ -175,7 +210,7 @@ def serving_profile(spark: SparkSession, sf_dir: str) -> dict[str, str]:
         _SERVING_SMALL = False
         return {}
     _SERVING_SMALL = True
-    parts = max(8, min(int(spark.sparkContext.defaultParallelism),
+    parts = max(4, min(int(spark.sparkContext.defaultParallelism),
                        total // _TARGET_SHUFFLE_PARTITION_BYTES + 1))
     conf = {
         "spark.sql.adaptive.enabled": "false",

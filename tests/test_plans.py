@@ -299,7 +299,7 @@ def test_serving_profile_small_set_goes_static(spark, sf_dir):
     try:
         conf = serving_profile(spark, sf_dir)
         assert conf["spark.sql.adaptive.enabled"] == "false"
-        assert int(conf["spark.sql.shuffle.partitions"]) >= 8
+        assert int(conf["spark.sql.shuffle.partitions"]) >= 4
         assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
     finally:
         for k, v in saved.items():
