@@ -791,6 +791,321 @@ def _jt_spark_type(mysql_type: str) -> str:
     return mysql_to_spark(mysql_type)[0].simpleString()
 
 
+def _jt_parse_cols(col_defs):
+    """Recursively parse a JSON_TABLE COLUMNS(...) list.
+
+    Returns {"scalars": [(name, keys, sparktype)], "ordinal": name|None,
+    "nested": [node...], "order": [(kind, entry)...]} where each nested
+    node is {"keys": [...], "spec": child-spec}; "order" preserves the
+    MySQL definition order for output columns. None = unsupported form
+    (the caller leaves the statement untouched and the engine rejects
+    it downstream rather than mistranslating).
+    """
+    spec = {"scalars": [], "ordinal": None, "nested": [], "order": []}
+    for cd in col_defs:
+        text = render(cd).strip()
+        m = re.match(r"(`[^`]+`|\w+)\s+FOR\s+ORDINALITY\s*$", text, re.I)
+        if m:
+            if spec["ordinal"] is not None:
+                return None
+            spec["ordinal"] = m.group(1).strip("`")
+            spec["order"].append(("ordinal", None))
+            continue
+        nm = re.match(
+            r"NESTED\s+(?:PATH\s+)?'\$((?:\.\w+)+)\[\*\]'\s+COLUMNS\s*\(",
+            text, re.I,
+        )
+        if nm:
+            nc_word = next(
+                (j for j, tt in enumerate(cd)
+                 if tt.kind == "word" and tt.text.upper() == "COLUMNS"), -1)
+            if nc_word < 0:
+                return None
+            nc_paren = next(
+                (j for j in range(nc_word + 1, len(cd))
+                 if cd[j].kind != "ws"), -1)
+            if nc_paren < 0 or cd[nc_paren].text != "(":
+                return None
+            nc_close = match_paren(cd, nc_paren)
+            if nc_close < 0:
+                return None
+            child = _jt_parse_cols(split_args(cd, nc_paren, nc_close))
+            if child is None:
+                return None
+            node = {"keys": nm.group(1).lstrip(".").split("."), "spec": child}
+            spec["nested"].append(node)
+            spec["order"].append(("nested", node))
+            continue
+        m = re.match(
+            r"(`[^`]+`|\w+)\s+(.+?)\s+PATH\s+'\$((?:\.\w+)*)'\s*$",
+            text, re.I | re.S,
+        )
+        if not m:
+            return None
+        keypath = m.group(3).lstrip(".")
+        ent = (
+            m.group(1).strip("`"),
+            keypath.split(".") if keypath else [],
+            _jt_spark_type(m.group(2)),
+        )
+        spec["scalars"].append(ent)
+        spec["order"].append(("scalar", ent))
+    return spec
+
+
+def _jt_merge(a, b):
+    """Merge two field-tree nodes (dict tree, {"__array__": t}, or a
+    scalar type string). Two sibling NESTED PATHs over the SAME json
+    key (the MySQL manual's canonical sibling example nests '$.b[*]'
+    twice) must share one parsed array field, so their column sets
+    merge; conflicting scalar types at one key reject."""
+    if isinstance(a, str) or isinstance(b, str):
+        return a if a == b else None
+    if ("__array__" in a) != ("__array__" in b):
+        return None
+    if "__array__" in a:
+        m = _jt_merge(a["__array__"], b["__array__"])
+        return None if m is None else {"__array__": m}
+    out = dict(a)
+    for k, v in b.items():
+        if k in out:
+            m = _jt_merge(out[k], v)
+            if m is None:
+                return None
+            out[k] = m
+        else:
+            out[k] = v
+    return out
+
+
+def _jt_tree_insert(tr: dict, keys: list, leaf) -> bool:
+    for k in keys[:-1]:
+        node = tr.setdefault(k, {})
+        if not isinstance(node, dict) or "__array__" in node:
+            return False  # scalar/array conflict on one key
+        tr = node
+    k = keys[-1]
+    if k in tr:
+        merged = _jt_merge(tr[k], leaf)
+        if merged is None:
+            return False
+        tr[k] = merged
+    else:
+        tr[k] = leaf
+    return True
+
+
+def _jt_level_tree(spec):
+    """Field tree for ONE level's array element: a dict (object
+    element) or a plain Spark type string when every column is
+    PATH '$' (array of scalars). None on conflict."""
+    bare = [e for e in spec["scalars"] if not e[1]]
+    if bare:
+        if spec["nested"] or len(bare) != len(spec["scalars"]):
+            return None  # element can't be both scalar and object
+        t = bare[0][2]
+        if any(e[2] != t for e in bare):
+            return None
+        return t
+    tree: dict = {}
+    for name, keys, styp in spec["scalars"]:
+        if not _jt_tree_insert(tree, keys, styp):
+            return None
+    for node in spec["nested"]:
+        sub = _jt_level_tree(node["spec"])
+        if sub is None:
+            return None
+        if not _jt_tree_insert(tree, node["keys"], {"__array__": sub}):
+            return None
+    return tree
+
+
+def _jt_resolve(spec, tree) -> bool:
+    """Annotate each nested node with its MERGED subtree (same-key
+    siblings share one parsed array, so slot types come from the
+    merged schema, not the node's own column set)."""
+    for node in spec["nested"]:
+        sub = tree
+        for k in node["keys"]:
+            if not isinstance(sub, dict) or k not in sub:
+                return False
+            sub = sub[k]
+        if not isinstance(sub, dict) or "__array__" not in sub:
+            return False
+        node["rtree"] = sub["__array__"]
+        if not _jt_resolve(node["spec"], node["rtree"]):
+            return False
+    return True
+
+
+def _jt_elem_ddl(tr) -> str:
+    return tr if isinstance(tr, str) else f"struct<{_jt_tree_schema(tr)}>"
+
+
+def _jt_tree_schema(tr: dict) -> str:
+    parts = []
+    for k, v in tr.items():
+        if isinstance(v, dict):
+            if "__array__" in v:
+                parts.append(f"`{k}`:array<{_jt_elem_ddl(v['__array__'])}>")
+            else:
+                parts.append(f"`{k}`:struct<{_jt_tree_schema(v)}>")
+        else:
+            parts.append(f"`{k}`:{v}")
+    return ",".join(parts)
+
+
+def _jt_names(spec) -> list:
+    out = [n for (n, _, _) in spec["scalars"]]
+    if spec["ordinal"]:
+        out.append(spec["ordinal"])
+    for nd in spec["nested"]:
+        out += _jt_names(nd["spec"])
+    return out
+
+
+def _jt_generate(spec, src_expr: str):
+    """Render one parsed JSON_TABLE spec as a derived-table SELECT.
+
+    NESTED PATH semantics follow the MySQL 8 manual (the reference
+    skips its own JSON_TABLE conformance suite — main_test.go:437
+    "wait for fix" — so the public MySQL documentation is the
+    authority here):
+
+    - one row per nested element, parent scalars repeated;
+    - SIBLING nested paths at one level are a union processed one at
+      a time: while one sibling produces rows, every other sibling's
+      columns are NULL (manual 14.17.6, two-NESTED example);
+    - if the union at a level produces no rows at all (arrays empty or
+      missing), ONE NULL-complemented row keeps the parent row alive —
+      the manual's documented single-NESTED empty behavior, applied
+      uniformly to the sibling union.
+
+    Implementation: one LATERAL VIEW explode per nesting DEPTH over a
+    "choice array" — concat of each sibling's elements tagged with
+    (__idx, __which, per-sibling struct slots) so the inactive
+    siblings' slots are typed NULLs. Nested-under-nested chains the
+    same construction; a child contributes elements only while its
+    parent sibling is the active one (__which guard). All JVM-side
+    (from_json + transform + explode): no UDF, scales as a map-only
+    expansion at any data size.
+    """
+    tree = _jt_level_tree(spec)
+    if tree is None or not tree:
+        return None
+    names = _jt_names(spec)
+    if len({n.lower() for n in names}) != len(names):
+        return None
+    if not _jt_resolve(spec, tree):
+        return None
+    schema = f"array<{_jt_elem_ddl(tree)}>"
+
+    # breadth-first level assignment (sibling index j within each depth)
+    levels = []
+    cur = list(spec["nested"])
+    for nd in cur:
+        nd["parent"] = None
+    while cur:
+        for j, nd in enumerate(cur):
+            nd["j"] = j
+        levels.append(cur)
+        nxt = []
+        for nd in cur:
+            for c in nd["spec"]["nested"]:
+                c["parent"] = nd
+                nxt.append(c)
+        cur = nxt
+
+    projections: list = []
+
+    def emit(sp, base, depth, node):
+        for kind, ent in sp["order"]:
+            if kind == "ordinal":
+                if node is None:
+                    projections.append(f"__jt_i + 1 AS `{sp['ordinal']}`")
+                else:
+                    projections.append(
+                        f"IF(__jt_u{depth}.`__which` = {node['j']},"
+                        f" __jt_u{depth}.`__idx` + 1, CAST(NULL AS INT))"
+                        f" AS `{sp['ordinal']}`"
+                    )
+            elif kind == "scalar":
+                name, keys, _ = ent
+                acc = base + "".join(f".`{k}`" for k in keys)
+                projections.append(f"{acc} AS `{name}`")
+            else:
+                child = ent
+                cbase = f"__jt_u{depth + 1}.`__s{child['j']}`"
+                emit(child["spec"], cbase, depth + 1, child)
+
+    emit(spec, "__jt_r", 0, None)
+
+    laterals = []
+    for d, nodes in enumerate(levels, start=1):
+        elem_fields = ["`__idx`:int", "`__which`:int"] + [
+            f"`__s{n['j']}`:{_jt_elem_ddl(n['rtree'])}"
+            for n in nodes
+        ]
+        ct = "struct<" + ",".join(elem_fields) + ">"
+        pieces = []
+        for n in nodes:
+            if n["parent"] is None:
+                arr = "__jt_r" + "".join(f".`{k}`" for k in n["keys"])
+                cond = f"{arr} IS NOT NULL"
+            else:
+                p = n["parent"]
+                arr = f"__jt_u{d - 1}.`__s{p['j']}`" + "".join(
+                    f".`{k}`" for k in n["keys"]
+                )
+                cond = (
+                    f"__jt_u{d - 1}.`__which` = {p['j']}"
+                    f" AND {arr} IS NOT NULL"
+                )
+            fields = ["'__idx', __ji", f"'__which', {n['j']}"]
+            for m in nodes:
+                if m is n:
+                    fields.append(f"'__s{m['j']}', __jx")
+                else:
+                    fields.append(
+                        f"'__s{m['j']}', CAST(NULL AS"
+                        f" {_jt_elem_ddl(m['rtree'])})"
+                    )
+            lam = "named_struct(" + ", ".join(fields) + ")"
+            pieces.append(
+                f"CASE WHEN {cond} THEN transform({arr},"
+                f" (__jx, __ji) -> {lam})"
+                f" ELSE slice(array(CAST(NULL AS {ct})), 1, 0) END"
+            )
+        ch = (
+            pieces[0]
+            if len(pieces) == 1
+            else "concat(" + ", ".join(pieces) + ")"
+        )
+        final = (
+            f"CASE WHEN size({ch}) = 0 THEN array(CAST(NULL AS {ct}))"
+            f" ELSE ({ch}) END"
+        )
+        laterals.append(
+            f" LATERAL VIEW explode({final}) __jt_n{d} AS __jt_u{d}"
+        )
+
+    if spec["ordinal"] is not None:
+        inner = (
+            f"SELECT posexplode(from_json({src_expr}, '{schema}'))"
+            f" AS (__jt_i, __jt_r)"
+        )
+    else:
+        inner = (
+            f"SELECT explode(from_json({src_expr}, '{schema}'))"
+            f" AS __jt_r"
+        )
+    return (
+        f"(SELECT {', '.join(projections)} FROM ({inner})"
+        f"{''.join(laterals)})"
+    )
+
+
+
 def rewrite_json_table(sql: str, ansi_quotes: bool = False) -> str:
     """Replace every FROM-clause JSON_TABLE(...) with a (LATERAL)
     derived table. Token-level: string literals and parens are honored
@@ -848,153 +1163,14 @@ def rewrite_json_table(sql: str, ansi_quotes: bool = False) -> str:
             )
         cols_close = match_paren(seg, cols_open)
         col_defs = split_args(seg, cols_open, cols_close)
-        tree: dict = {}
-        projections: list[str] = []
-        ordinal = None
-        nested = None  # at most ONE: {"key", "tree", "projs", "ordinal"}
-        ok = True
-
-        def _tree_insert(tr: dict, keys: list[str], leaf: str) -> bool:
-            for k in keys[:-1]:
-                node = tr.setdefault(k, {})
-                if not isinstance(node, dict):
-                    return False  # scalar/struct conflict on one key
-                tr = node
-            if keys[-1] in tr:
-                return False
-            tr[keys[-1]] = leaf
-            return True
-
-        def _tree_schema(tr: dict) -> str:
-            parts = []
-            for k, v in tr.items():
-                if isinstance(v, dict):
-                    if "__array__" in v:
-                        parts.append(
-                            f"`{k}`:array<struct<"
-                            f"{_tree_schema(v['__array__'])}>>"
-                        )
-                    else:
-                        parts.append(f"`{k}`:struct<{_tree_schema(v)}>")
-                else:
-                    parts.append(f"`{k}`:{v}")
-            return ",".join(parts)
-
-        for cd in col_defs:
-            text = render(cd).strip()
-            m = re.match(
-                r"(`[^`]+`|\w+)\s+FOR\s+ORDINALITY\s*$", text, re.I
-            )
-            if m:
-                ordinal = m.group(1).strip("`")
-                continue
-            nm = re.match(
-                r"NESTED\s+(?:PATH\s+)?'\$\.(\w+)\[\*\]'\s+COLUMNS\s*\(",
-                text,
-                re.I,
-            )
-            if nm:
-                if nested is not None:
-                    ok = False  # sibling NESTED paths: union-NULL
-                    break       # semantics, out of this rewrite's scope
-                nc_open = next(
-                    j for j, tt in enumerate(cd)
-                    if tt.kind == "word" and tt.text.upper() == "COLUMNS"
-                )
-                nc_paren = next(
-                    j for j in range(nc_open + 1, len(cd))
-                    if cd[j].kind != "ws"
-                )
-                nc_close = match_paren(cd, nc_paren)
-                sub_tree: dict = {}
-                sub_projs: list[str] = []
-                sub_ord = None
-                for sd in split_args(cd, nc_paren, nc_close):
-                    stext = render(sd).strip()
-                    om = re.match(
-                        r"(`[^`]+`|\w+)\s+FOR\s+ORDINALITY\s*$",
-                        stext, re.I,
-                    )
-                    if om:
-                        sub_ord = om.group(1).strip("`")
-                        continue
-                    sm = re.match(
-                        r"(`[^`]+`|\w+)\s+(.+?)\s+PATH\s+"
-                        r"'\$((?:\.\w+)+)'\s*$",
-                        stext, re.I | re.S,
-                    )
-                    if sm is None:
-                        ok = False
-                        break
-                    keys = sm.group(3).lstrip(".").split(".")
-                    if not _tree_insert(
-                        sub_tree, keys, _jt_spark_type(sm.group(2))
-                    ):
-                        ok = False
-                        break
-                    acc = "__jt_r2" + "".join(f".`{k}`" for k in keys)
-                    sub_projs.append(
-                        f"{acc} AS `{sm.group(1).strip('`')}`"
-                    )
-                if not ok:
-                    break
-                nested = {
-                    "key": nm.group(1), "tree": sub_tree,
-                    "projs": sub_projs, "ordinal": sub_ord,
-                }
-                continue
-            m = re.match(
-                r"(`[^`]+`|\w+)\s+(.+?)\s+PATH\s+'\$((?:\.\w+)+)'\s*$",
-                text,
-                re.I | re.S,
-            )
-            if not m:
-                ok = False
-                break
-            cname = m.group(1).strip("`")
-            keys = m.group(3).lstrip(".").split(".")
-            if not _tree_insert(tree, keys, _jt_spark_type(m.group(2))):
-                ok = False
-                break
-            acc = "__jt_r" + "".join(f".`{k}`" for k in keys)
-            projections.append(f"{acc} AS `{cname}`")
-        if nested is not None and ok:
-            if nested["key"] in tree:
-                ok = False  # column/nested name clash
-            else:
-                tree[nested["key"]] = {"__array__": nested["tree"]}
-                projections.extend(nested["projs"])
-                if nested["ordinal"] is not None:
-                    projections.append(
-                        f"__jt_i2 + 1 AS `{nested['ordinal']}`"
-                    )
-        if not ok or not tree:
+        spec = _jt_parse_cols(col_defs)
+        if spec is None:
             i += 1
             continue
-        schema = "array<struct<" + _tree_schema(tree) + ">>"
-        if ordinal is not None:
-            inner = (
-                f"SELECT posexplode(from_json({src_expr}, '{schema}'))"
-                f" AS (__jt_i, __jt_r)"
-            )
-            projections.insert(0, f"__jt_i + 1 AS `{ordinal}`")
-        else:
-            inner = (
-                f"SELECT explode(from_json({src_expr}, '{schema}'))"
-                f" AS __jt_r"
-            )
-        lateral = ""
-        if nested is not None:
-            # MySQL NESTED PATH: one output row per nested element,
-            # and a NULL-filled row when the nested array is empty
-            # (LATERAL VIEW OUTER posexplode = those exact semantics)
-            lateral = (
-                f" LATERAL VIEW OUTER posexplode(__jt_r.`{nested['key']}`)"
-                f" __jt_n AS __jt_i2, __jt_r2"
-            )
-        sub = (
-            f"(SELECT {', '.join(projections)} FROM ({inner}){lateral})"
-        )
+        sub = _jt_generate(spec, src_expr)
+        if sub is None:
+            i += 1
+            continue
         # correlated iff a table source precedes it in the FROM list
         # (previous significant token is a comma or JOIN keyword)
         prev = None

@@ -296,6 +296,78 @@ def f_json_table_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "f_json_table_siblings",
+    oracle="""
+    WITH j AS (
+        SELECT user_id,
+               list(CAST(json_extract_string(props, '$.k') AS BIGINT)
+                    ORDER BY event_id)
+                   FILTER (WHERE event_type = 'click') AS clicks,
+               list(CAST(json_extract_string(props, '$.k') AS BIGINT)
+                    ORDER BY event_id)
+                   FILTER (WHERE event_type = 'view') AS views
+        FROM events WHERE user_id < 200 GROUP BY user_id
+    ), u AS (
+        SELECT user_id, unnest(clicks) AS ck, CAST(NULL AS BIGINT) AS vk
+        FROM j WHERE len(clicks) > 0
+        UNION ALL
+        SELECT user_id, CAST(NULL AS BIGINT), unnest(views)
+        FROM j WHERE len(views) > 0
+        UNION ALL
+        SELECT user_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+        FROM j WHERE COALESCE(len(clicks), 0) = 0
+              AND COALESCE(len(views), 0) = 0
+    )
+    SELECT user_id, ck, vk FROM u
+    ORDER BY user_id, ck NULLS FIRST, vk NULLS FIRST
+    """,
+    tags=("json", "json-table", "nested", "siblings"),
+)
+def f_json_table_siblings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sibling NESTED PATHs in JSON_TABLE — MySQL's union-with-NULLs
+    semantics (manual 14.17.6; the reference's own JSON_TABLE suite is
+    skipped, main_test.go:437, so the MySQL documentation is the
+    authority). Per parent row the siblings produce rows one path at a
+    time with the other path's columns NULL; an all-empty union keeps
+    the parent alive with one NULL-complemented row.
+
+    The MySQL-dialect query goes through the engine's actual
+    JSON_TABLE rewrite (functions/mysql_compat.rewrite_json_table →
+    from_json + tagged choice-array + one LATERAL VIEW explode per
+    nesting depth, all JVM-side); the oracle reconstructs the same
+    union in plain SQL."""
+    from myduckserver_spark.functions.mysql_compat import (
+        rewrite_json_table,
+    )
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    mysql_q = """
+        WITH j AS (
+            SELECT user_id,
+                   concat('[', to_json(named_struct(
+                       'clicks',
+                       sort_array(collect_list(CASE WHEN event_type = 'click'
+                           THEN struct(event_id AS e,
+                                CAST(get_json_object(props, '$.k') AS BIGINT)
+                                    AS k) END)).k,
+                       'views',
+                       sort_array(collect_list(CASE WHEN event_type = 'view'
+                           THEN struct(event_id AS e,
+                                CAST(get_json_object(props, '$.k') AS BIGINT)
+                                    AS k) END)).k)), ']') AS doc
+            FROM events WHERE user_id < 200 GROUP BY user_id
+        )
+        SELECT user_id, ck, vk
+        FROM j, JSON_TABLE(doc, '$[*]' COLUMNS (
+            NESTED PATH '$.clicks[*]' COLUMNS (ck BIGINT PATH '$'),
+            NESTED PATH '$.views[*]' COLUMNS (vk BIGINT PATH '$')
+        )) AS jt
+        ORDER BY user_id, ck NULLS FIRST, vk NULLS FIRST
+    """
+    return spark.sql(rewrite_json_table(mysql_q))
+
+
+@register(
     "g_pivot_status",
     oracle="""
     WITH per AS (SELECT o_orderpriority AS prio, o_orderstatus AS st,

@@ -70,8 +70,10 @@ PRIORITY: tuple[str, ...] = (
     "w_running_revenue",
     # sort/limit, set ops
     "c_limit_offset", "s_union_all",
-    # function shims, JSON, pg dialect
-    "f_date_suite", "f_json_extract", "pg_regex_casts",
+    # function shims, JSON (siblings = the round-5 NESTED PATH union
+    # semantics; f_json_extract stays covered via suite_dates_json),
+    # pg dialect
+    "f_date_suite", "f_json_table_siblings", "pg_regex_casts",
     # CDC operators (§2.C)
     "cdc_condense", "cdc_apply",
     # engine statement front door under the gate: MERGE directly, the

@@ -246,7 +246,8 @@ SUITES: dict[str, tuple[str, ...]] = {
     # Date/JSON parse + nested-data coverage.
     "suite_dates_json": (
         "f_date_parse_roundtrip", "f_date_arith", "ev_json_multi_field",
-        "ev_from_json_struct", "f_json_table_explode", "f_explode_words",
+        "ev_from_json_struct", "f_json_table_explode", "f_json_extract",
+        "f_explode_words",
         "f_array_ops", "f_array_agg_sorted", "f_string_agg_ordered",
     ),
     # Set-op ALL variants, misc join shapes, VALUES, DISTINCT ON.

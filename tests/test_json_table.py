@@ -121,3 +121,67 @@ def test_json_table_nested_with_outer_ordinality(spark):
     assert [(r.rn, r.v, r.k) for r in rows] == [
         (1, "p", 1), (2, "q", 2), (2, "q", 3),
     ]
+
+
+def test_sibling_nested_paths_union_null(spark):
+    # MySQL manual 14.17.6 canonical sibling example: while one nested
+    # path produces rows the sibling's columns are NULL
+    sql = translate_mysql(
+        "SELECT * FROM JSON_TABLE('"
+        '[{"a": 1, "b": [11,111]}, {"a": 2, "b": [22,222]}]'
+        "', '$[*]' COLUMNS ("
+        "a INT PATH '$.a', "
+        "NESTED PATH '$.b[*]' COLUMNS (b1 INT PATH '$'), "
+        "NESTED PATH '$.b[*]' COLUMNS (b2 INT PATH '$'))) AS jt"
+    )
+    rows = [(r.a, r.b1, r.b2) for r in spark.sql(sql).collect()]
+    assert rows == [
+        (1, 11, None), (1, 111, None), (1, None, 11), (1, None, 111),
+        (2, 22, None), (2, 222, None), (2, None, 22), (2, None, 222),
+    ]
+
+
+def test_sibling_nested_paths_empty_cases(spark):
+    # all-empty union -> ONE NULL-complemented row keeps the parent;
+    # one-empty -> only the producing sibling emits rows
+    sql = translate_mysql(
+        "SELECT * FROM JSON_TABLE('"
+        '[{"a":3},{"a":4,"c":[5]}]'
+        "', '$[*]' COLUMNS ("
+        "a INT PATH '$.a', "
+        "NESTED PATH '$.b[*]' COLUMNS (b1 INT PATH '$'), "
+        "NESTED PATH '$.c[*]' COLUMNS (c1 INT PATH '$'))) AS jt "
+        "ORDER BY a"
+    )
+    rows = [(r.a, r.b1, r.c1) for r in spark.sql(sql).collect()]
+    assert rows == [(3, None, None), (4, None, 5)]
+
+
+def test_nested_under_nested(spark):
+    sql = translate_mysql(
+        "SELECT * FROM JSON_TABLE('"
+        '[{"a":1,"kids":[{"k":10,"gs":[100,101]},{"k":20}]}]'
+        "', '$[*]' COLUMNS ("
+        "a INT PATH '$.a', "
+        "NESTED PATH '$.kids[*]' COLUMNS ("
+        "k INT PATH '$.k', "
+        "NESTED PATH '$.gs[*]' COLUMNS (g INT PATH '$')))) AS jt "
+        "ORDER BY k, g"
+    )
+    rows = [(r.a, r.k, r.g) for r in spark.sql(sql).collect()]
+    assert rows == [(1, 10, 100), (1, 10, 101), (1, 20, None)]
+
+
+def test_sibling_nested_ordinality(spark):
+    # FOR ORDINALITY counts within its own sibling; NULL while the
+    # other sibling is the active path
+    sql = translate_mysql(
+        "SELECT * FROM JSON_TABLE('"
+        '[{"b":[7,8],"c":[9]}]'
+        "', '$[*]' COLUMNS ("
+        "NESTED PATH '$.b[*]' COLUMNS (bi FOR ORDINALITY, b1 INT PATH '$'), "
+        "NESTED PATH '$.c[*]' COLUMNS (ci FOR ORDINALITY, c1 INT PATH '$'))) jt "
+        "ORDER BY bi, ci"
+    )
+    rows = [(r.bi, r.b1, r.ci, r.c1) for r in spark.sql(sql).collect()]
+    assert rows == [(None, None, 1, 9), (1, 7, None, None), (2, 8, None, None)]
