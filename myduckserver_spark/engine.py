@@ -950,6 +950,46 @@ class Engine:
         vals = ", ".join(self._render_literal(r[0]) for r in rows)
         return f"`{pk}` IN ({vals})"
 
+    def _multi_row_cap(
+        self,
+        qual: str,
+        table: str,
+        refs: str,
+        where: str | None,
+        order_by: str | None,
+        limit: int,
+        pre: str,
+        dialect: str,
+    ) -> str:
+        """LIMIT cap for MULTI-TABLE UPDATE/DELETE (GMS accepts ORDER
+        BY/LIMIT on these forms, main_test.go:948/:989): resolve the
+        first `limit` DISTINCT target PKs in join order — min
+        row_number per PK over the user's ORDER BY (first match wins,
+        mirroring MySQL's row-cap counting deleted/updated rows, not
+        join matches) — and return the PK-membership predicate. The
+        collect is bounded by the user's explicit LIMIT."""
+        meta = self.table_meta(table)
+        if len(meta.primary_key) != 1:
+            raise ValueError(
+                f"UPDATE/DELETE ... LIMIT needs a single-column primary "
+                f"key on {table}"
+            )
+        pk = meta.primary_key[0]
+        order_clause = order_by if order_by else f"`{qual}`.`{pk}` ASC"
+        where_sql = f"WHERE {where} " if where else ""
+        rows = self.sql(
+            f"{pre}SELECT __pk FROM ("
+            f"SELECT `{qual}`.`{pk}` AS __pk, "
+            f"ROW_NUMBER() OVER (ORDER BY {order_clause}) AS __rn "
+            f"FROM {refs} {where_sql}) "
+            f"GROUP BY __pk ORDER BY MIN(__rn) LIMIT {int(limit)}",
+            dialect=dialect,
+        ).collect()
+        if not rows:
+            return "FALSE"
+        vals = ", ".join(self._render_literal(r[0]) for r in rows)
+        return f"`{qual}`.`{pk}` IN ({vals})"
+
     def _exec_update_subquery(self, s: st.Update, dialect: str) -> OkResult:
         pre = f"{s.cte} " if s.cte else ""
         meta = self.table_meta(s.table)
@@ -1032,8 +1072,15 @@ class Engine:
         for col, expr in sets.items():
             dt = base.schema[col].dataType.simpleString()
             sel.append(f"CAST(({expr}) AS {dt}) AS `__set_{col}`")
-        where = f" WHERE {s.where}" if s.where else ""
         pre = f"{s.cte} " if s.cte else ""
+        where_text = s.where
+        if s.limit is not None:
+            cap = self._multi_row_cap(
+                qual, target, refs, s.where, s.order_by, s.limit, pre,
+                dialect,
+            )
+            where_text = f"({s.where}) AND {cap}" if s.where else cap
+        where = f" WHERE {where_text}" if where_text else ""
         upd = (
             self.sql(
                 f"{pre}SELECT {', '.join(sel)} FROM {refs}{where}",
@@ -1070,8 +1117,23 @@ class Engine:
     def _exec_delete_multi(self, s: st.Delete, dialect: str) -> OkResult:
         refs = s.from_text or ""
         alias_map = st.parse_table_refs(refs)
-        where = f" WHERE {s.where}" if s.where else ""
         pre = f"{s.cte} " if s.cte else ""
+        where_text = s.where
+        if s.limit is not None:
+            targets = s.targets or [s.table]
+            if len(targets) != 1:
+                raise ValueError(
+                    "DELETE ... LIMIT allows exactly one target table"
+                )
+            raw = targets[0]
+            table = alias_map.get(raw, raw)
+            qual = raw if raw in alias_map else table
+            cap = self._multi_row_cap(
+                qual, table, refs, s.where, s.order_by, s.limit, pre,
+                dialect,
+            )
+            where_text = f"({s.where}) AND {cap}" if s.where else cap
+        where = f" WHERE {where_text}" if where_text else ""
         # Resolve every target and plan its kept-set against the
         # PRE-delete snapshots before any overwrite (the join is
         # evaluated once in MySQL; versioned storage keeps the old

@@ -376,8 +376,31 @@ def eng_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT k, p FROM (
             SELECT k, p, ROW_NUMBER() OVER (ORDER BY k) AS rk FROM upd)
         WHERE rk > 5
+    ),
+    ref AS (
+        SELECT o_orderkey AS k, CAST(o_custkey AS BIGINT) AS c
+        FROM orders WHERE o_orderkey <= 120
+    ),
+    upd2 AS (  -- multi-table UPDATE ... JOIN ... ORDER BY LIMIT 7
+        SELECT k, CASE WHEN m AND rn <= 7 THEN p + c ELSE p END AS p
+        FROM (
+            SELECT d.k, d.p, r.c, (r.c % 2 = 0) AS m,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY (r.c % 2 = 0)
+                       ORDER BY d.p DESC, d.k) AS rn
+            FROM del d JOIN ref r ON d.k = r.k
+        )
+    ),
+    del2 AS (  -- DELETE ... USING ... ORDER BY k DESC LIMIT 4
+        SELECT k, p FROM (
+            SELECT u.k, u.p, (r.c % 3 = 0) AS m,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY (r.c % 3 = 0)
+                       ORDER BY u.k DESC) AS rn
+            FROM upd2 u JOIN ref r ON u.k = r.k
+        ) WHERE NOT (m AND rn <= 4)
     )
-    SELECT k, p FROM del ORDER BY k
+    SELECT k, p FROM del2 ORDER BY k
     """,
     tags=("engine", "dml", "row-cap"),
 )
@@ -398,4 +421,18 @@ def eng_rowcap_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng._save_meta("rc_t", meta)
     eng.execute("UPDATE rc_t SET p = p + 1000 ORDER BY p DESC, k LIMIT 10")
     eng.execute("DELETE FROM rc_t ORDER BY k LIMIT 5")
+    # multi-table row caps (GMS accepts ORDER BY/LIMIT on these forms;
+    # cap counts DISTINCT target rows in first-match order)
+    eng.execute(
+        "CREATE TABLE rc_ref AS SELECT o_orderkey AS k, "
+        "CAST(o_custkey AS BIGINT) AS c FROM orders WHERE o_orderkey <= 120"
+    )
+    eng.execute(
+        "UPDATE rc_t t JOIN rc_ref r ON t.k = r.k SET t.p = t.p + r.c "
+        "WHERE r.c % 2 = 0 ORDER BY t.p DESC, t.k LIMIT 7"
+    )
+    eng.execute(
+        "DELETE FROM rc_t USING rc_t JOIN rc_ref r ON rc_t.k = r.k "
+        "WHERE r.c % 3 = 0 ORDER BY rc_t.k DESC LIMIT 4"
+    )
     return eng.sql("SELECT k, p FROM rc_t ORDER BY k")

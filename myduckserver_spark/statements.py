@@ -1557,13 +1557,14 @@ def parse_statement(sql: str):
         if re.fullmatch(r"`[^`]+`|\w+", refs):
             return Update(unquote_ident(refs), assignments, where,
                           order_by=order_by, limit=limit)
-        if limit is not None:
-            raise NotImplementedError(
-                "UPDATE ... LIMIT on the multi-table form is not supported"
-            )
         # Multi-table / aliased form: target resolved by the engine
-        # from the SET qualifiers against the refs fragment.
-        return Update("", assignments, where, from_text=refs)
+        # from the SET qualifiers against the refs fragment. ORDER BY /
+        # LIMIT cap the DISTINCT target rows affected (engine
+        # _multi_row_cap) — MySQL proper rejects this combination but
+        # the reference's GMS front door accepts it (TestUpdate,
+        # main_test.go:948).
+        return Update("", assignments, where, from_text=refs,
+                      order_by=order_by, limit=limit)
 
     # DELETE FROM t [USING refs] [WHERE ...] [ORDER BY ... LIMIT n]
     m = re.match(r"DELETE\s+FROM\s+(`[^`]+`|\w+)(\s.*)?$", s, re.I | re.S)
@@ -1576,12 +1577,11 @@ def parse_statement(sql: str):
             um = re.match(r"USING\s+(.+)$", rest, re.I | re.S)
             if not um:
                 raise ValueError(f"cannot parse DELETE tail: {rest!r}")
-            if limit is not None:
-                raise NotImplementedError(
-                    "DELETE ... LIMIT with USING is not supported"
-                )
+            # ORDER BY / LIMIT with USING cap the distinct target rows
+            # deleted (engine _multi_row_cap; GMS TestDeleteFrom,
+            # main_test.go:989).
             return Delete(target, where, from_text=um.group(1).strip(),
-                          targets=[target])
+                          targets=[target], order_by=order_by, limit=limit)
         return Delete(target, where, order_by=order_by, limit=limit)
 
     # DELETE t1[, t2] FROM <refs> [WHERE ...]  (multi-table form)

@@ -767,6 +767,50 @@ def test_delete_limit_with_cte(spark, tmp_path):
     ) == [1, 2, 5]
 
 
+def test_multi_table_update_limit(spark, tmp_path):
+    """Multi-table UPDATE ... JOIN ... ORDER BY ... LIMIT (GMS accepts
+    the combination, main_test.go:948): the cap counts DISTINCT target
+    rows in first-match order (closes the round-4 NotImplementedError
+    guard, statements.py multi-table form)."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE mt (id INT PRIMARY KEY, v INT)")
+    e.execute("CREATE TABLE mr (id INT PRIMARY KEY, bump INT)")
+    for i in range(1, 6):
+        e.execute(f"INSERT INTO mt VALUES ({i}, {i * 10})")
+        e.execute(f"INSERT INTO mr VALUES ({i}, {i})")
+    r = e.execute(
+        "UPDATE mt t JOIN mr r ON t.id = r.id SET t.v = t.v + r.bump "
+        "WHERE r.bump >= 2 ORDER BY t.v DESC LIMIT 2"
+    )
+    assert r.affected_rows == 2  # v=50 and v=40 rows only
+    got = {row.id: row.v for row in e.sql("SELECT id, v FROM mt").collect()}
+    assert got == {1: 10, 2: 20, 3: 30, 4: 44, 5: 55}
+
+
+def test_delete_using_limit(spark, tmp_path):
+    """DELETE ... USING ... ORDER BY ... LIMIT: cap applies to the
+    single target's distinct rows (GMS TestDeleteFrom,
+    main_test.go:989)."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE dt (id INT PRIMARY KEY, v INT)")
+    e.execute("CREATE TABLE dr (id INT PRIMARY KEY, flag INT)")
+    for i in range(1, 7):
+        e.execute(f"INSERT INTO dt VALUES ({i}, {i})")
+        e.execute(f"INSERT INTO dr VALUES ({i}, {i % 2})")
+    r = e.execute(
+        "DELETE FROM dt USING dt JOIN dr ON dt.id = dr.id "
+        "WHERE dr.flag = 1 ORDER BY dt.id DESC LIMIT 2"
+    )
+    assert r.affected_rows == 2  # odd ids, two highest: 5 and 3
+    assert sorted(
+        row.id for row in e.sql("SELECT id FROM dt").collect()
+    ) == [1, 2, 4, 6]
+
+
 def test_dml_returning(spark, tmp_path):
     """INSERT/UPDATE/DELETE ... RETURNING (pg/DuckDB surface): affected
     rows come back as the statement result, derived from the versioned
