@@ -146,6 +146,68 @@ class ParquetTable:
     def last_txn_version(self, txn_app_id: str) -> int:
         return self._read_pointer().get("txn", {}).get(txn_app_id, -1)
 
+    def data_files(self, version: int | None = None) -> list[str]:
+        """Relative paths of a snapshot's parquet data files (hive
+        partition subdirs included)."""
+        v = self.version if version is None else version
+        base = os.path.join(self.dir, f"v{v}")
+        out: list[str] = []
+        for r, _, fs in os.walk(base):
+            for f in fs:
+                if f.endswith(".parquet"):
+                    out.append(os.path.relpath(os.path.join(r, f), base))
+        return out
+
+    def snapshot_dir(self, version: int | None = None) -> str:
+        v = self.version if version is None else version
+        return os.path.join(self.dir, f"v{v}")
+
+    def overwrite_pruned(
+        self,
+        new_rows: DataFrame,
+        carry_files: list[str],
+        txn_app_id: str | None = None,
+        txn_version: int | None = None,
+    ) -> int:
+        """Pruned snapshot commit: materialize only ``new_rows`` (the
+        recomputed content of the files a DML statement actually
+        touched) and carry every path in ``carry_files`` (relative to
+        the current snapshot) into the new version by hard link, with
+        a copy fallback. Data files are immutable, so link-sharing
+        across versions is safe — the same unchanged-AddFile reuse a
+        Delta commit performs, expressed on the versioned-pointer
+        layout. At 100 TB this turns a 10-row UPDATE from a full-table
+        rewrite into one file write plus O(files) link syscalls."""
+        import shutil
+
+        meta = self._read_pointer()
+        cur_v = meta["version"]
+        new_v = cur_v + 1
+        parts = meta.get("partition_by")
+        w = new_rows.write.mode("overwrite")
+        if parts:
+            missing = [c for c in parts if c not in new_rows.columns]
+            if missing:
+                raise ValueError(f"partition columns missing: {missing}")
+            meta["schema_json"] = new_rows.schema.json()
+            w = w.partitionBy(*parts)
+        new_dir = os.path.join(self.dir, f"v{new_v}")
+        w.parquet(new_dir)
+        src_base = os.path.join(self.dir, f"v{cur_v}")
+        for rel in carry_files:
+            src = os.path.join(src_base, rel)
+            dst = os.path.join(new_dir, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copy2(src, dst)
+        if txn_app_id is not None:
+            meta.setdefault("txn", {})[txn_app_id] = txn_version
+        meta["version"] = new_v
+        self._write_pointer(meta)
+        return new_v
+
     def vacuum(self, keep_last: int = 1) -> int:
         """Delete snapshot directories older than the newest `keep_last`
         (the committed one always survives). Old versions exist for time

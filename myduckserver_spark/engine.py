@@ -22,6 +22,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
 from pyspark.sql import types as T
 from pyspark.sql.types import StructType
 
@@ -716,20 +717,89 @@ class Engine:
         fresh = df.join(base.select(*pk_cols).distinct(), pk_cols, "left_anti")
         t.overwrite(base.unionByName(fresh.select(*base.columns)))
 
+    def _pruned_scan_from_condition(self, t, base: DataFrame, condition):
+        """(touched_files_df, carry_files) for a file-pruned DML
+        rewrite, or None when pruning can't help. Exact pruning: the
+        files that actually produced matching rows (input_file_name()
+        over the filtered scan — the WHERE pushes down, so a
+        partition/minmax-prunable predicate only ever opens the
+        candidate files) are re-read; every other file is carried into
+        the next snapshot by link (catalog.overwrite_pruned). The
+        collect is bounded by the snapshot's file count."""
+        import urllib.parse
+
+        all_files = t.data_files()
+        if len(all_files) <= 1:
+            return None
+        base_dir = t.snapshot_dir()
+        rows = (
+            base.filter(condition)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .limit(self._PRUNE_MAX_TOUCHED_FILES + 1)
+            .collect()
+        )
+        if len(rows) > self._PRUNE_MAX_TOUCHED_FILES:
+            return None
+        touched: set[str] = set()
+        for r in rows:
+            p = urllib.parse.unquote(urllib.parse.urlparse(r.f).path)
+            if not p.startswith(base_dir + os.sep):
+                return None
+            touched.add(os.path.relpath(p, base_dir))
+        if len(touched) >= len(all_files):
+            return None
+        carry = [f for f in all_files if f not in touched]
+        if touched:
+            df = (
+                self.spark.read.option("basePath", base_dir)
+                .parquet(*[os.path.join(base_dir, f) for f in sorted(touched)])
+                .select(*base.columns)
+            )
+        else:
+            df = base.limit(0)
+        return df, carry
+
     def update(self, name: str, condition: Column, assignments: dict[str, Column]) -> int:
         """UPDATE t SET col=expr WHERE cond, as a snapshot rewrite.
         CHECK/NOT NULL constraints are enforced on the post-update
         snapshot — MySQL rejects constraint-violating UPDATEs exactly
-        like INSERTs (same GMS-layer rule the insert path applies)."""
+        like INSERTs (same GMS-layer rule the insert path applies).
+
+        A predicate that touches a subset of the snapshot's files
+        rewrites ONLY those files; the rest carry over by link
+        (file-pruned rewrite — at 100 TB a 10-row UPDATE must not
+        rewrite every partition). Falls back to the full rewrite when
+        the condition/assignment Columns are bound to another plan, an
+        assignment rewrites a hive-partition column (rows could move
+        between partition dirs), or every file is touched."""
         t = self.catalog.table(name)
         base = t.read()
         n = base.filter(condition).count()
-        updated = base.withColumns(
-            {
-                col: F.when(condition, expr).otherwise(F.col(col))
-                for col, expr in assignments.items()
-            }
-        )
+
+        def transform(df: DataFrame) -> DataFrame:
+            return df.withColumns(
+                {
+                    col: F.when(condition, expr).otherwise(F.col(col))
+                    for col, expr in assignments.items()
+                }
+            )
+
+        parts = set(t._read_pointer().get("partition_by") or ())
+        if not (set(assignments) & parts):
+            try:
+                pruned = self._pruned_scan_from_condition(t, base, condition)
+                if pruned is not None:
+                    touched_df, carry = pruned
+                    updated = transform(touched_df)
+                    self._enforce_checks(
+                        updated, self.table_meta(name), "UPDATE"
+                    )
+                    t.overwrite_pruned(updated, carry)
+                    return n
+            except AnalysisException:
+                pass  # plan-bound Columns: full rewrite below
+        updated = transform(base)
         self._enforce_checks(updated, self.table_meta(name), "UPDATE")
         t.overwrite(updated)
         return n
@@ -756,6 +826,17 @@ class Engine:
         t = self.catalog.table(name)
         base = t.read()
         n = base.filter(condition).count()
+        try:
+            pruned = self._pruned_scan_from_condition(t, base, condition)
+            if pruned is not None:
+                touched_df, carry = pruned
+                t.overwrite_pruned(
+                    touched_df.filter(~condition | condition.isNull()),
+                    carry,
+                )
+                return n
+        except AnalysisException:
+            pass  # plan-bound condition Column: full rewrite below
         t.overwrite(base.filter(~condition | condition.isNull()))
         return n
 
@@ -977,23 +1058,116 @@ class Engine:
         pk = meta.primary_key[0]
         order_clause = order_by if order_by else f"`{qual}`.`{pk}` ASC"
         where_sql = f"WHERE {where} " if where else ""
-        rows = self.sql(
-            f"{pre}SELECT __pk FROM ("
-            f"SELECT `{qual}`.`{pk}` AS __pk, "
-            f"ROW_NUMBER() OVER (ORDER BY {order_clause}) AS __rn "
-            f"FROM {refs} {where_sql}) "
-            f"GROUP BY __pk ORDER BY MIN(__rn) LIMIT {int(limit)}",
-            dialect=dialect,
-        ).collect()
+        items = [
+            i.strip() for i in st.split_top_level(order_clause, ",")
+            if i.strip()
+        ]
+        dirs, exprs = [], []
+        for it in items:
+            dm = re.match(r"(.+?)\s+(ASC|DESC)$", it, re.I | re.S)
+            if dm:
+                exprs.append(dm.group(1))
+                dirs.append(dm.group(2).upper())
+            else:
+                exprs.append(it)
+                dirs.append("ASC")
+        if len(set(dirs)) == 1:
+            # Uniform direction: per-PK best sort key via MIN/MAX (a
+            # STRUCT compares lexicographically for multi-key orders),
+            # then a plain ORDER BY ... LIMIT — TakeOrderedAndProject,
+            # no single-partition window, scale-safe at any match size.
+            d = dirs[0]
+            agg = "MIN" if d == "ASC" else "MAX"
+            key = (
+                f"STRUCT({', '.join(exprs)})"
+                if len(exprs) > 1
+                else exprs[0]
+            )
+            cap_sql = (
+                f"{pre}SELECT __pk FROM ("
+                f"SELECT `{qual}`.`{pk}` AS __pk, {agg}({key}) AS __k "
+                f"FROM {refs} {where_sql}"
+                f"GROUP BY `{qual}`.`{pk}`) "
+                f"ORDER BY __k {d}, __pk LIMIT {int(limit)}"
+            )
+        else:
+            # Mixed ASC/DESC keys: no aggregate expresses the
+            # lexicographic best — global rank fallback (bounded by
+            # the user's LIMIT; accepts the single-partition window).
+            cap_sql = (
+                f"{pre}SELECT __pk FROM ("
+                f"SELECT `{qual}`.`{pk}` AS __pk, "
+                f"ROW_NUMBER() OVER (ORDER BY {order_clause}) AS __rn "
+                f"FROM {refs} {where_sql}) "
+                f"GROUP BY __pk ORDER BY MIN(__rn) LIMIT {int(limit)}"
+            )
+        rows = self.sql(cap_sql, dialect=dialect).collect()
         if not rows:
             return "FALSE"
         vals = ", ".join(self._render_literal(r[0]) for r in rows)
         return f"`{qual}`.`{pk}` IN ({vals})"
 
+    # Above this many touched files the pruned rewrite stops paying
+    # for itself (link bookkeeping + per-file scan setup) and the plain
+    # whole-snapshot rewrite is simpler; DML that touches thousands of
+    # files is a bulk rewrite anyway.
+    _PRUNE_MAX_TOUCHED_FILES = 4096
+
+    def _pruned_dml_plan(
+        self, table: str, pre: str, where: str, dialect: str
+    ):
+        """File-pruned DML rewrite plan: find which data files of the
+        current snapshot actually hold rows matching ``where`` (exact,
+        via input_file_name() on the matched rows — sharper than
+        min/max pruning and partition-layout agnostic) and return
+        (scan_view_name, carry_files): a temp view over ONLY the
+        touched files plus the relative paths to carry over by link
+        (catalog.overwrite_pruned). None = pruning can't help (single
+        file, every file touched, or an unexpected path); callers fall
+        back to the full-snapshot rewrite. The file-list collect is
+        bounded by the snapshot's file count (itself bounded by the
+        write parallelism), never by row count."""
+        import urllib.parse
+
+        t = self.catalog.table(table)
+        all_files = t.data_files()
+        if len(all_files) <= 1:
+            return None
+        base = t.snapshot_dir()
+        rows = self.sql(
+            f"{pre}SELECT DISTINCT input_file_name() AS f FROM `{table}` "
+            f"WHERE coalesce(({where}), false)",
+            dialect=dialect,
+        ).limit(self._PRUNE_MAX_TOUCHED_FILES + 1).collect()
+        if len(rows) > self._PRUNE_MAX_TOUCHED_FILES:
+            return None
+        touched: set[str] = set()
+        for r in rows:
+            p = urllib.parse.unquote(urllib.parse.urlparse(r.f).path)
+            if not p.startswith(base + os.sep):
+                return None
+            touched.add(os.path.relpath(p, base))
+        if len(touched) >= len(all_files):
+            return None
+        carry = [f for f in all_files if f not in touched]
+        cols = [f.name for f in t.read().schema.fields]
+        if touched:
+            df = (
+                self.spark.read.option("basePath", base)
+                .parquet(*[os.path.join(base, f) for f in sorted(touched)])
+                .select(*cols)
+            )
+        else:
+            df = t.read().limit(0)
+        view = f"__dml_pruned_{table}"
+        df.createOrReplaceTempView(view)
+        return view, carry
+
     def _exec_update_subquery(self, s: st.Update, dialect: str) -> OkResult:
         pre = f"{s.cte} " if s.cte else ""
         meta = self.table_meta(s.table)
-        base = self.catalog.table(s.table).read()
+        t = self.catalog.table(s.table)
+        base = t.read()
         assignments = dict(s.assignments)
         for col, expr_text in meta.on_update.items():
             assignments.setdefault(col, expr_text)
@@ -1017,11 +1191,28 @@ class Engine:
             f"WHERE coalesce(({where}), false)",
             dialect=dialect,
         ).collect()[0][0]
-        updated = self.sql(
-            f"{pre}SELECT {', '.join(sel)} FROM `{s.table}`", dialect=dialect
-        )
-        self._enforce_checks(updated, meta, "UPDATE")
-        self.catalog.table(s.table).overwrite(updated)
+        # Pruned rewrite unless an assignment rewrites a hive-partition
+        # column (rows could move between partition directories — the
+        # full rewrite handles relocation).
+        parts = set(t._read_pointer().get("partition_by") or ())
+        pruned = None
+        if not (set(assignments) & parts):
+            pruned = self._pruned_dml_plan(s.table, pre, where, dialect)
+        if pruned is not None:
+            view, carry = pruned
+            updated = self.sql(
+                f"{pre}SELECT {', '.join(sel)} FROM {view} AS `{s.table}`",
+                dialect=dialect,
+            )
+            self._enforce_checks(updated, meta, "UPDATE")
+            t.overwrite_pruned(updated, carry)
+        else:
+            updated = self.sql(
+                f"{pre}SELECT {', '.join(sel)} FROM `{s.table}`",
+                dialect=dialect,
+            )
+            self._enforce_checks(updated, meta, "UPDATE")
+            t.overwrite(updated)
         self._recompute_generated(s.table, meta)
         return OkResult(affected_rows=int(n))
 
@@ -1037,12 +1228,23 @@ class Engine:
             f"WHERE coalesce(({where}), false)",
             dialect=dialect,
         ).collect()[0][0]
-        kept = self.sql(
-            f"{pre}SELECT * FROM `{s.table}` "
-            f"WHERE NOT coalesce(({where}), false)",
-            dialect=dialect,
-        )
-        self.catalog.table(s.table).overwrite(kept)
+        t = self.catalog.table(s.table)
+        pruned = self._pruned_dml_plan(s.table, pre, where, dialect)
+        if pruned is not None:
+            view, carry = pruned
+            kept = self.sql(
+                f"{pre}SELECT * FROM {view} AS `{s.table}` "
+                f"WHERE NOT coalesce(({where}), false)",
+                dialect=dialect,
+            )
+            t.overwrite_pruned(kept, carry)
+        else:
+            kept = self.sql(
+                f"{pre}SELECT * FROM `{s.table}` "
+                f"WHERE NOT coalesce(({where}), false)",
+                dialect=dialect,
+            )
+            t.overwrite(kept)
         return OkResult(affected_rows=int(n))
 
     def _exec_update_multi(self, s: st.Update, dialect: str) -> OkResult:

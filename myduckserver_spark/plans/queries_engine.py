@@ -387,7 +387,7 @@ def eng_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT d.k, d.p, r.c, (r.c % 2 = 0) AS m,
                    ROW_NUMBER() OVER (
                        PARTITION BY (r.c % 2 = 0)
-                       ORDER BY d.p DESC, d.k) AS rn
+                       ORDER BY d.p DESC, d.k DESC) AS rn
             FROM del d JOIN ref r ON d.k = r.k
         )
     ),
@@ -429,7 +429,7 @@ def eng_rowcap_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     eng.execute(
         "UPDATE rc_t t JOIN rc_ref r ON t.k = r.k SET t.p = t.p + r.c "
-        "WHERE r.c % 2 = 0 ORDER BY t.p DESC, t.k LIMIT 7"
+        "WHERE r.c % 2 = 0 ORDER BY t.p DESC, t.k DESC LIMIT 7"
     )
     eng.execute(
         "DELETE FROM rc_t USING rc_t JOIN rc_ref r ON rc_t.k = r.k "

@@ -36,6 +36,19 @@ def main() -> int:
     from myduckserver_spark.plans.registry import REGISTRY, all_queries
     from myduckserver_spark.session import build_session
 
+    # Round-4 invariant: the sweep runs with ZERO "No Partition
+    # Defined" warnings (a single-partition window in any query plan is
+    # a 100 TB scale bug). Capture the JVM's stderr (log4j writes to
+    # fd 2, inherited at JVM launch) so a regression FAILS the sweep
+    # instead of scrolling by.
+    import tempfile
+
+    real_stderr = os.dup(2)
+    errlog = tempfile.NamedTemporaryFile(
+        prefix="sweep_err_", suffix=".log", delete=False
+    )
+    os.dup2(errlog.fileno(), 2)
+
     all_queries()  # trigger registrations
     spark = build_session()
     names = list(REGISTRY)
@@ -62,6 +75,21 @@ def main() -> int:
                 f"[{i+1:3}/{len(names)}] {name:36} {status:5} "
                 f"{r.spark_rows:>7} rows  {dt_q:5.2f}s"
             )
+    os.dup2(real_stderr, 2)
+    os.close(real_stderr)
+    with open(errlog.name, errors="replace") as f:
+        errtext = f.read()
+    os.unlink(errlog.name)
+    n_warn = errtext.count("No Partition Defined")
+    if n_warn:
+        lines = [
+            ln for ln in errtext.splitlines() if "No Partition Defined" in ln
+        ]
+        failures.append(
+            ("__zero_window_warnings__",
+             f"{n_warn} single-partition window warning(s):\n"
+             + "\n".join(lines[:5]))
+        )
     print(
         f"\n{len(names) - len(failures)}/{len(names)} green "
         f"in {time.time() - t_all:.1f}s at {sf_dir}"

@@ -110,3 +110,65 @@ def test_optimize_preserves_partitioning(peng):
         df._jdf.queryExecution().executedPlan().toString()
     )
     assert sorted(r.id for r in df.collect()) == [1, 3]
+
+
+def test_update_pruned_rewrite_links_untouched_files(peng):
+    """A predicate-pruned UPDATE rewrites ONLY the files that hold
+    matching rows; every other data file is carried into the new
+    snapshot by hard link (same inode), not rewritten — the Delta-style
+    unchanged-AddFile reuse on the versioned-pointer layout."""
+    t = peng.catalog.table("ev")
+    v0 = t.version
+    before = {f: os.stat(os.path.join(t.snapshot_dir(v0), f)).st_ino
+              for f in t.data_files(v0)}
+    assert len(before) >= 3  # one file per region dir
+    peng.execute("UPDATE ev SET v = v + 10 WHERE region = 'eu'")
+    t = peng.catalog.table("ev")
+    v1 = t.version
+    assert v1 == v0 + 1
+    after = {f: os.stat(os.path.join(t.snapshot_dir(v1), f)).st_ino
+             for f in t.data_files(v1)}
+    carried = [f for f in after
+               if f in before and after[f] == before[f]]
+    rewritten = [f for f in after if f not in before]
+    # untouched partitions (us, ap) carried by link; eu rewritten
+    assert any(f.startswith("region=us") for f in carried)
+    assert any(f.startswith("region=ap") for f in carried)
+    assert all(f.startswith("region=eu") for f in rewritten)
+    assert len(rewritten) < len(before)
+    # values correct
+    rows = {r.id: r.v for r in
+            peng.execute("SELECT id, v FROM ev ORDER BY id").collect()}
+    assert rows == {1: 11.0, 2: 2.0, 3: 13.0, 4: 4.0}
+
+
+def test_delete_pruned_rewrite(peng):
+    t = peng.catalog.table("ev")
+    v0 = t.version
+    before = {f: os.stat(os.path.join(t.snapshot_dir(v0), f)).st_ino
+              for f in t.data_files(v0)}
+    r = peng.execute("DELETE FROM ev WHERE region = 'us'")
+    assert r.affected_rows == 1
+    t = peng.catalog.table("ev")
+    after = {f: os.stat(os.path.join(t.snapshot_dir(t.version), f)).st_ino
+             for f in t.data_files(t.version)}
+    carried = [f for f in after if f in before and after[f] == before[f]]
+    assert any(f.startswith("region=eu") for f in carried)
+    assert any(f.startswith("region=ap") for f in carried)
+    assert not any(f.startswith("region=us") for f in after)
+    assert sorted(
+        r.id for r in peng.execute("SELECT id FROM ev").collect()
+    ) == [1, 3, 4]
+
+
+def test_update_of_partition_column_falls_back_to_full_rewrite(peng):
+    """SET on a hive-partition column can move rows across partition
+    directories — the pruned path must not claim it."""
+    peng.execute("UPDATE ev SET region = 'eu' WHERE id = 2")
+    rows = {r.id: r.region for r in
+            peng.execute("SELECT id, region FROM ev").collect()}
+    assert rows[2] == "eu"
+    t = peng.catalog.table("ev")
+    assert not any(
+        f.startswith("region=us") for f in t.data_files(t.version)
+    )
