@@ -78,6 +78,45 @@ def build_scaled(spark, k: int, dest: str) -> None:
         )
 
 
+DEDUP_QUERIES = ["dd_minhash_lsh", "dd_span_dup_stats", "dd_exact"]
+
+
+def build_scaled_docs(spark, k: int, dest: str) -> None:
+    """K-fold replication of `documents` for the dedup-family scale
+    check. Every token is retagged with its replica id so NO text
+    similarity exists ACROSS replicas: k-fold verbatim copies would
+    make every original near-dup group match across all replicas
+    (candidate pairs ~k² — a harness artifact); retagging preserves the
+    within-replica duplicate structure exactly, so true candidate
+    volume grows linearly with the data, which is what a real corpus
+    k times larger looks like."""
+    os.makedirs(dest, exist_ok=True)
+    df = spark.read.parquet(f"{SRC}/documents.parquet")
+    n = df.agg(F.max("doc_id")).first()[0] + 1
+    reps = spark.range(k).select(F.col("id").alias("__rep"))
+    out = (
+        df.crossJoin(reps)
+        .withColumn("doc_id", F.col("doc_id") + F.col("__rep") * F.lit(n))
+        .withColumn(
+            "text",
+            F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda t: F.concat(
+                        F.lit("r"), F.col("__rep").cast("string"),
+                        F.lit("_"), t,
+                    ),
+                ),
+                " ",
+            ),
+        )
+        .drop("__rep")
+    )
+    out.repartition(32).write.mode("overwrite").parquet(
+        f"{dest}/documents.parquet"
+    )
+
+
 def run(sf_dir: str) -> dict[str, float]:
     times = {}
     for name in QUERIES:
@@ -93,12 +132,20 @@ def run(sf_dir: str) -> dict[str, float]:
 
 
 if __name__ == "__main__":
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    dedup_mode = "--dedup" in sys.argv
+    k = int(args[0]) if args else 8
     spark = build_session(app_name="scale_check")
     all_queries()
+    suffix = f"x{k}" + ("_docs" if dedup_mode else "")
     dest = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), ".scale_tmp", f"x{k}")
-    if not os.path.exists(os.path.join(dest, "lineitem.parquet")):
+        os.path.abspath(__file__))), ".scale_tmp", suffix)
+    if dedup_mode:
+        QUERIES = DEDUP_QUERIES
+        if not os.path.exists(os.path.join(dest, "documents.parquet")):
+            print(f"building {k}x documents under {dest} ...")
+            build_scaled_docs(spark, k, dest)
+    elif not os.path.exists(os.path.join(dest, "lineitem.parquet")):
         print(f"building {k}x dataset under {dest} ...")
         build_scaled(spark, k, dest)
 
