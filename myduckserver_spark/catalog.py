@@ -124,8 +124,14 @@ class ParquetTable:
         self._write_pointer(meta)
 
     def overwrite(self, df: DataFrame, txn_app_id: str | None = None,
-                  txn_version: int | None = None) -> int:
-        """Materialize a new snapshot and atomically flip the pointer."""
+                  txn_version: int | None = None,
+                  txn_state: dict | None = None) -> int:
+        """Materialize a new snapshot and atomically flip the pointer.
+
+        ``txn_state`` rides in the SAME pointer commit as the data and
+        the txn version — source-specific resume state (e.g. a
+        partitioned log's per-partition offset vector) gets the same
+        exactly-once guarantee as the scalar position."""
         meta = self._read_pointer()
         new_v = meta["version"] + 1
         parts = meta.get("partition_by")
@@ -139,12 +145,19 @@ class ParquetTable:
         w.parquet(os.path.join(self.dir, f"v{new_v}"))
         if txn_app_id is not None:
             meta.setdefault("txn", {})[txn_app_id] = txn_version
+            if txn_state is not None:
+                meta.setdefault("txn_state", {})[txn_app_id] = txn_state
         meta["version"] = new_v
         self._write_pointer(meta)
         return new_v
 
     def last_txn_version(self, txn_app_id: str) -> int:
         return self._read_pointer().get("txn", {}).get(txn_app_id, -1)
+
+    def last_txn_state(self, txn_app_id: str) -> dict | None:
+        """Source-specific resume state committed alongside the last
+        txn version (see overwrite)."""
+        return self._read_pointer().get("txn_state", {}).get(txn_app_id)
 
     def data_files(self, version: int | None = None) -> list[str]:
         """Relative paths of a snapshot's parquet data files (hive
@@ -303,6 +316,7 @@ class ParquetTable:
         pk_cols: list[str],
         txn_app_id: str | None = None,
         txn_version: int | None = None,
+        txn_state: dict | None = None,
     ) -> bool:
         """Condense + apply one CDC batch; idempotent under txn markers.
 
@@ -316,7 +330,7 @@ class ParquetTable:
         ):
             return False
         new_snapshot = apply_cdc(self.read(), delta, pk_cols)
-        self.overwrite(new_snapshot, txn_app_id, txn_version)
+        self.overwrite(new_snapshot, txn_app_id, txn_version, txn_state)
         return True
 
 

@@ -316,8 +316,13 @@ class CdcApplier:
             return None
         position = self._buffer[-1].position
         df = self._rows_to_df()
+        # Feeds with richer resume state than one scalar (a partitioned
+        # log's per-partition offsets) expose state_at(position); it
+        # commits in the SAME pointer write as the data + position.
+        state_at = getattr(self.feed, "state_at", None)
         applied = self.table.merge_batch(
-            df, self.pk_cols, txn_app_id=self.app_id, txn_version=position
+            df, self.pk_cols, txn_app_id=self.app_id, txn_version=position,
+            txn_state=state_at(position) if state_at else None,
         )
         result = FlushResult(
             reason=reason,
@@ -334,7 +339,11 @@ class CdcApplier:
 
     def _truncate(self, position: int) -> None:
         empty = self.table.read().limit(0)
-        self.table.overwrite(empty, txn_app_id=self.app_id, txn_version=position)
+        state_at = getattr(self.feed, "state_at", None)
+        self.table.overwrite(
+            empty, txn_app_id=self.app_id, txn_version=position,
+            txn_state=state_at(position) if state_at else None,
+        )
         self.flush_log.append(
             FlushResult(FLUSH_DDL, 0, 0, position, True)
         )

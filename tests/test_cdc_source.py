@@ -177,3 +177,79 @@ def test_show_replica_status(spark, tmp_path):
     # empty-status form also works
     eng2 = Engine(spark, str(tmp_path / "wh3"))
     assert eng2.execute("SHOW BINLOG STATUS").collect() == []
+
+
+
+def test_exactly_once_through_partitioned_log(spark, tmp_path):
+    """The Kafka-shaped adapter (streaming/log_feed.py): per-key
+    partition routing, per-partition offset resume committed atomically
+    with the data (txn_state), exactly-once across a forced restart —
+    the same contract the FileCdcFeed path guarantees."""
+    from myduckserver_spark.streaming.log_feed import (
+        LogFeedCdcSource,
+        PartitionedLogFeed,
+    )
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    base = spark.createDataFrame([(1, 1.0), (2, 2.0)], "id long, v double")
+    table = cat.create_table("kvlog", base)
+    log = PartitionedLogFeed(str(tmp_path / "log"), num_partitions=4)
+    feed = LogFeedCdcSource(log, table, app_id="klog")
+    applier = CdcApplier(
+        spark, feed, table, ["id"], PAYLOAD, app_id="klog",
+        tick_seconds=0.05,
+    )
+    # events spread across partitions by key hash; per-key order holds
+    # (txn_seq = source transaction sequence, as a binlog GTID carries)
+    for seq, i in enumerate(range(10, 16)):
+        log.append(ACTION_INSERT, {"id": i, "v": float(i)}, key=i,
+                   txn_seq=seq)
+    log.append(ACTION_UPDATE, {"id": 10, "v": 100.0}, key=10, txn_seq=6)
+    applier.query_barrier()
+    p1 = applier.position
+    assert p1 == 7  # dense virtual positions
+    st = table.last_txn_state("klog")
+    assert st is not None and sum(
+        int(v) for v in st["offsets"].values()
+    ) == 7  # per-partition offsets sum to consumed count
+    assert (10, 100.0) in _state(table)
+
+    # 'crash'; more events arrive, including same-key updates
+    log.append(ACTION_UPDATE, {"id": 11, "v": 111.0}, key=11, txn_seq=7)
+    log.append(ACTION_DELETE, {"id": 2, "v": 0.0}, key=2, txn_seq=8)
+
+    feed2 = LogFeedCdcSource(log, table, app_id="klog")
+    applier2 = CdcApplier(
+        spark, feed2, table, ["id"], PAYLOAD, app_id="klog",
+        tick_seconds=0.05,
+    )
+    assert applier2.position == p1
+    r = applier2.query_barrier()
+    assert r is not None and r.rows == 2  # only the two new events
+    got = _state(table)
+    assert (11, 111.0) in got and all(i != 2 for i, _ in got)
+
+    # replay attempt: third applier sees nothing new
+    feed3 = LogFeedCdcSource(log, table, app_id="klog")
+    applier3 = CdcApplier(
+        spark, feed3, table, ["id"], PAYLOAD, app_id="klog",
+        tick_seconds=0.05,
+    )
+    assert applier3.query_barrier() is None
+    assert _state(table) == got
+
+
+def test_log_feed_per_key_ordering(tmp_path):
+    """Same key -> same partition -> offset order preserved, whatever
+    the cross-partition interleave."""
+    from myduckserver_spark.streaming.log_feed import PartitionedLogFeed
+
+    log = PartitionedLogFeed(str(tmp_path / "log2"), num_partitions=3)
+    for seq in range(5):
+        log.append(ACTION_UPDATE, {"id": 7, "v": float(seq)}, key=7)
+        log.append(ACTION_UPDATE, {"id": 8, "v": float(seq)}, key=8)
+    seen = {7: [], 8: []}
+    for p, off, rec in log.read_from({}):
+        seen[rec["row"]["id"]].append(rec["row"]["v"])
+    assert seen[7] == [0.0, 1.0, 2.0, 3.0, 4.0]
+    assert seen[8] == [0.0, 1.0, 2.0, 3.0, 4.0]
