@@ -458,6 +458,135 @@ _DROP_MODIFIERS = {
 }
 
 
+def _pass_version_comments(toks: list[Tok]) -> list[Tok]:
+    """MySQL version comments ``/*!40101 stmt */`` execute their
+    contents on a new-enough server (always, here) — unwrap them into
+    real tokens. Plain comments and optimizer-hint comments ``/*+ */``
+    stay comments."""
+    out: list[Tok] = []
+    for t in toks:
+        if (
+            t.kind == "comment"
+            and t.text.startswith("/*!")
+            and t.text.endswith("*/")
+        ):
+            body = t.text[3:-2]
+            i = 0
+            while i < len(body) and body[i].isdigit():
+                i += 1
+            out.extend(tokenize(body[i:]))
+            continue
+        out.append(t)
+    return out
+
+
+def _pass_structural(toks: list[Tok]) -> list[Tok]:
+    """Clause-position-aware structural normalization — the mini-parser
+    layer above the token rewrites (round-5 verdict item 7; the
+    reference gets these for free from its AST transpile,
+    transpiler/translate.go:102). Handles the forms where the SAME
+    token means different things by position:
+
+    - ``SELECT STRAIGHT_JOIN ...``: optimizer directive in the
+      modifier slot — stripped (the blanket STRAIGHT_JOIN→JOIN rewrite
+      in _pass_keywords would have produced ``SELECT JOIN``);
+      table-ref position keeps the JOIN rewrite.
+    - ``DISTINCTROW`` after SELECT → DISTINCT.
+    - index hints ``{USE|IGNORE|FORCE} {INDEX|KEY} [FOR {JOIN|ORDER
+      BY|GROUP BY}] (...)`` — stripped wherever a table ref can carry
+      them (Catalyst chooses access paths; MySQL treats unknown-index
+      USE hints as advisory too).
+    - trailing ``LOCK IN SHARE MODE`` — stripped (snapshot isolation
+      makes share locks no-ops, same as the engine's FOR UPDATE/SHARE
+      handling).
+    - ``FROM t PARTITION (p0, ...)`` — REJECTED with a clear error:
+      MySQL hash-partition names don't map onto the engine's
+      value-directory layout, and silently reading the whole table
+      would be a mistranslation.
+    """
+    out = list(toks)
+
+    def _del_span(lo: int, hi: int) -> None:
+        """Delete tokens [lo, hi] plus one following ws run."""
+        j = hi + 1
+        while j < len(out) and out[j].kind == "ws":
+            j += 1
+        del out[lo:j]
+
+    i = 0
+    after_select = False
+    while i < len(out):
+        t = out[i]
+        if t.kind in ("ws", "comment"):
+            i += 1
+            continue
+        if t.kind != "word":
+            after_select = False
+            i += 1
+            continue
+        u = t.text.upper()
+        if u == "SELECT":
+            after_select = True
+            i += 1
+            continue
+        if after_select:
+            if u == "STRAIGHT_JOIN":
+                _del_span(i, i)
+                continue
+            if u == "DISTINCTROW":
+                out[i] = Tok("word", "DISTINCT")
+                i += 1
+                continue
+            if u not in ("DISTINCT", "ALL") and u not in _DROP_MODIFIERS:
+                after_select = False
+        if u in ("USE", "IGNORE", "FORCE"):
+            a = _sig_next(out, i)
+            if a < len(out) and out[a].is_word("INDEX", "KEY"):
+                b = _sig_next(out, a)
+                if b < len(out) and out[b].is_word("FOR"):
+                    c = _sig_next(out, b)
+                    if c < len(out) and out[c].is_word("JOIN"):
+                        b = _sig_next(out, c)
+                    elif c < len(out) and out[c].is_word("ORDER", "GROUP"):
+                        d = _sig_next(out, c)
+                        if d < len(out) and out[d].is_word("BY"):
+                            b = _sig_next(out, d)
+                if b < len(out) and out[b].kind == "op" and out[b].text == "(":
+                    close = match_paren(out, b)
+                    if close > 0:
+                        _del_span(i, close)
+                        continue
+        if u == "LOCK":
+            a = _sig_next(out, i)
+            if a < len(out) and out[a].is_word("IN"):
+                b = _sig_next(out, a)
+                if b < len(out) and out[b].is_word("SHARE"):
+                    c = _sig_next(out, b)
+                    if c < len(out) and out[c].is_word("MODE"):
+                        _del_span(i, c)
+                        continue
+        if u == "PARTITION":
+            a = _sig_next(out, i)
+            if a < len(out) and out[a].kind == "op" and out[a].text == "(":
+                prev = None
+                for jj in range(i - 1, -1, -1):
+                    if out[jj].kind not in ("ws", "comment"):
+                        prev = out[jj]
+                        break
+                if prev is not None and prev.kind in ("word", "bq") and not (
+                    prev.kind == "word"
+                    and prev.text.upper() in ("OVER", "BY", ",", "(")
+                ):
+                    raise ValueError(
+                        "FROM ... PARTITION (name, ...) selection is not "
+                        "supported: MySQL hash-partition names do not map "
+                        "onto the engine's value-partitioned storage "
+                        "(filter on the partition column instead)"
+                    )
+        i += 1
+    return out
+
+
 def _pass_keywords(toks: list[Tok]) -> list[Tok]:
     out: list[Tok] = []
     for t in toks:
@@ -759,6 +888,8 @@ def translate_mysql(sql: str, ansi_quotes: bool = False) -> str:
     identifiers)."""
     sql = rewrite_json_table(sql, ansi_quotes=ansi_quotes)
     toks = tokenize(sql, ansi_quotes=ansi_quotes)
+    toks = _pass_version_comments(toks)
+    toks = _pass_structural(toks)
     toks = _pass_odbc_escapes(toks)
     toks = _pass_keywords(toks)
     toks = _pass_limit(toks)

@@ -10,6 +10,15 @@ literals, quoted identifiers, or comments, and function-argument
 rewrites operate on balanced token spans instead of "no nested parens"
 regex approximations.
 
+Above the token rewrites sits a clause-position-aware structural pass
+(mysql_compat._pass_structural) for the forms where the same token
+means different things by position — SELECT-modifier STRAIGHT_JOIN vs
+join-position, index hints in table refs, DISTINCTROW, LOCK IN SHARE
+MODE tails, version-comment unwrap, PARTITION-selection rejection.
+The remaining honest ceiling vs a full AST transpile: rewrites that
+would need full expression-tree re-association (none of the reference
+transpiler corpus requires one).
+
 Token kinds:
   ws       whitespace (preserved)
   comment  -- ..., /* ... */, # ... (MySQL)

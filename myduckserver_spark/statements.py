@@ -44,6 +44,16 @@ def strip_comments(sql: str) -> str:
         elif sql.startswith("--", i) or c == "#":
             while i < n and sql[i] != "\n":
                 i += 1
+        elif sql.startswith("/*!", i):
+            # MySQL version comment: executable content on a
+            # new-enough server (always, here) — unwrap, keep it
+            j = sql.find("*/", i + 3)
+            body = sql[i + 3 : (n if j < 0 else j)]
+            k = 0
+            while k < len(body) and body[k].isdigit():
+                k += 1
+            out.append(body[k:])
+            i = n if j < 0 else j + 2
         elif sql.startswith("/*", i):
             j = sql.find("*/", i + 2)
             i = n if j < 0 else j + 2

@@ -347,3 +347,94 @@ def test_union_of_derived_tables_each_with_limit(spark):
         "SELECT * FROM (SELECT id FROM users ORDER BY id LIMIT 0,1) b"
     )
     assert sorted(r.id for r in spark.sql(sql).collect()) == [1, 2, 3]
+
+
+# ---- §structural: clause-position-aware forms (round-5 mini-parser) ----
+#
+# The reference's AST transpile gets these free (translate.go:102);
+# _pass_structural supplies them above the token rewrites: index
+# hints, SELECT-modifier STRAIGHT_JOIN (vs join-position), DISTINCTROW,
+# LOCK IN SHARE MODE, version comments, PARTITION-selection rejection.
+
+
+def _t(spark):
+    spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "id INT, v INT"
+    ).createOrReplaceTempView("st")
+
+
+def test_index_hints_stripped(spark):
+    _t(spark)
+    for q in (
+        "SELECT id FROM st USE INDEX (PRIMARY) WHERE id = 1",
+        "SELECT id FROM st FORCE INDEX (i1) WHERE id = 1",
+        "SELECT id FROM st IGNORE INDEX (i1, i2) WHERE id = 1",
+        "SELECT id FROM st USE INDEX FOR ORDER BY (i1) WHERE id = 1",
+        "SELECT id FROM st USE KEY FOR GROUP BY (i1) WHERE id = 1",
+    ):
+        sql = translate_mysql(q)
+        assert "INDEX" not in sql.upper() and "KEY" not in sql.upper(), sql
+        assert [r.id for r in spark.sql(sql).collect()] == [1], q
+
+
+def test_index_hint_for_join_then_real_join(spark):
+    _t(spark)
+    sql = translate_mysql(
+        "SELECT a.id FROM st a USE INDEX FOR JOIN (i) "
+        "JOIN st b ON a.id = b.id ORDER BY a.id"
+    )
+    assert [r.id for r in spark.sql(sql).collect()] == [1, 2, 3]
+
+
+def test_straight_join_modifier_vs_join_position(spark):
+    _t(spark)
+    # modifier slot: stripped, NOT rewritten to JOIN
+    sql = translate_mysql("SELECT STRAIGHT_JOIN id FROM st ORDER BY id")
+    assert "JOIN" not in sql.upper()
+    assert [r.id for r in spark.sql(sql).collect()] == [1, 2, 3]
+    # join position: rewritten to JOIN
+    sql2 = translate_mysql(
+        "SELECT a.id FROM st a STRAIGHT_JOIN st b ON a.id = b.id "
+        "ORDER BY a.id"
+    )
+    assert "JOIN" in sql2.upper()
+    assert [r.id for r in spark.sql(sql2).collect()] == [1, 2, 3]
+
+
+def test_distinctrow_and_lock_in_share_mode(spark):
+    _t(spark)
+    sql = translate_mysql(
+        "SELECT DISTINCTROW v FROM st ORDER BY v LOCK IN SHARE MODE"
+    )
+    assert "DISTINCTROW" not in sql.upper() and "LOCK" not in sql.upper()
+    assert [r.v for r in spark.sql(sql).collect()] == [10, 20, 30]
+
+
+def test_version_comments_unwrap(spark):
+    _t(spark)
+    from myduckserver_spark.statements import strip_comments
+
+    # strip_comments (engine front door) unwraps executable content
+    assert strip_comments("SELECT /*!40001 id */ FROM st").split() == [
+        "SELECT", "id", "FROM", "st",
+    ]
+    assert strip_comments("SELECT /*! id */ FROM st").split() == [
+        "SELECT", "id", "FROM", "st",
+    ]
+    # plain block comments still drop
+    assert strip_comments("SELECT id /* x */ FROM st").split() == [
+        "SELECT", "id", "FROM", "st",
+    ]
+
+
+def test_partition_selection_rejected():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="PARTITION"):
+        translate_mysql("SELECT id FROM st PARTITION (p0) ORDER BY id")
+    # window PARTITION BY is untouched
+    sql = translate_mysql(
+        "SELECT id, ROW_NUMBER() OVER (PARTITION BY v ORDER BY id) rn "
+        "FROM st"
+    )
+    assert "PARTITION BY" in sql
