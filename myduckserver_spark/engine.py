@@ -313,11 +313,11 @@ class Engine:
                 meta = self.table_meta(tname)
             except Exception:
                 continue
-            for props in meta.indexes.values():
+            for iname, props in meta.indexes.items():
                 if props.get("fulltext"):
                     out.append((
                         frozenset(props.get("columns", [])),
-                        {**props, "table": tname},
+                        {**props, "table": tname, "name": iname},
                     ))
         self._ftidx_cache = out
         return out
@@ -3561,20 +3561,42 @@ class Engine:
         index table is term-keyed so query-time df lookups read a few
         rows via predicate pushdown.
         """
-        from pyspark.sql import functions as F
+        idx_table = f"__ftidx_{s.table}_{s.name}"
+        built_v = self.catalog.table(s.table).version
+        self.catalog.create_table(
+            idx_table,
+            self._build_fulltext_index_df(s.table, s.columns),
+        )
+        meta = self.table_meta(s.table)
+        meta.indexes[s.name] = {
+            "columns": s.columns, "unique": False, "fulltext": True,
+            "index_table": idx_table, "table_version": built_v,
+        }
+        self._save_meta(s.table, meta)
+        return OkResult(info=f"fulltext index {s.name} built")
 
-        t = self.catalog.table(s.table).read()
-        cols = s.columns
+    @staticmethod
+    def _fulltext_doc_stats(df: DataFrame, cols: list[str]) -> DataFrame:
+        """(__dl, __terms) per document — the shared tokenization of
+        index build and incremental reconcile (they MUST agree or df
+        deltas drift)."""
         text = (
             F.col(cols[0])
             if len(cols) == 1
             else F.concat_ws(" ", *[F.col(c) for c in cols])
         )
         toks = F.split(F.lower(F.trim(text)), " ")
-        base = t.select(
-            F.size(toks).cast("long").alias("__dl"),
-            F.array_distinct(toks).alias("__terms"),
-        )
+        return df.withColumns({
+            "__dl": F.size(toks).cast("long"),
+            "__terms": F.array_distinct(toks),
+        })
+
+    def _build_fulltext_index_df(
+        self, table: str, cols: list[str]
+    ) -> DataFrame:
+        base = self._fulltext_doc_stats(
+            self.catalog.table(table).read(), cols
+        ).select("__dl", "__terms")
         df_tab = (
             base.select(F.explode("__terms").alias("term"))
             .groupBy("term")
@@ -3588,17 +3610,87 @@ class Engine:
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("__dl").cast("long").alias("sum_dl"),
         ).selectExpr(
-            "'' AS term", "CAST(0 AS BIGINT) AS df", "n_docs", "sum_dl"
+            "'' AS term", "CAST(0 AS BIGINT) AS df",
+            "COALESCE(n_docs, CAST(0 AS BIGINT)) AS n_docs",
+            "COALESCE(sum_dl, CAST(0 AS BIGINT)) AS sum_dl",
         )
-        idx_table = f"__ftidx_{s.table}_{s.name}"
-        self.catalog.create_table(idx_table, df_tab.unionByName(stats))
-        meta = self.table_meta(s.table)
-        meta.indexes[s.name] = {
-            "columns": s.columns, "unique": False, "fulltext": True,
-            "index_table": idx_table,
-        }
-        self._save_meta(s.table, meta)
-        return OkResult(info=f"fulltext index {s.name} built")
+        return df_tab.unionByName(stats)
+
+    def _reconcile_fulltext_index(
+        self, table: str, iname: str, props: dict
+    ) -> None:
+        """Incremental fulltext-index maintenance through the change
+        feed (MySQL maintains FT indexes on DML; the reference gets
+        this from GMS fulltext tables). When the base table moved past
+        the index's build version, apply per-term df deltas computed
+        from ONLY the changed rows — insert/update_postimage add a
+        document's distinct terms, delete/update_preimage subtract —
+        plus one (n_docs, sum_dl) stats adjustment. Work is bounded by
+        the DIFF plus one pass over the term dictionary (itself far
+        smaller than the corpus), the same contract as the vector
+        index's reconcile. Falls back to a full rebuild when the diff
+        isn't computable (pre-versioning index, VACUUMed base
+        snapshot, multi-column PK)."""
+        t = self.catalog.table(table)
+        built = props.get("table_version", -1)
+        cur = t.version
+        if built == cur:
+            return
+        idx_t = self.catalog.table(props["index_table"])
+        cols = props.get("columns", [])
+        try:
+            if built < 0:
+                raise ValueError("index predates version tracking")
+            ch = self.table_changes(table, built, cur)
+            signed = ch.withColumn(
+                "__sign",
+                F.when(
+                    F.col("_change_type").isin(
+                        "insert", "update_postimage"
+                    ),
+                    F.lit(1),
+                ).otherwise(F.lit(-1)),
+            )
+            base = self._fulltext_doc_stats(signed, cols).select(
+                "__dl", "__terms", "__sign"
+            )
+            deltas = (
+                base.select(F.explode("__terms").alias("term"), "__sign")
+                .groupBy("term")
+                .agg(F.sum("__sign").cast("long").alias("__ddf"))
+            )
+            srow = base.agg(
+                F.sum("__sign").alias("nd"),
+                F.sum(F.col("__sign") * F.col("__dl")).alias("sd"),
+            ).collect()[0]
+            nd, sd = int(srow.nd or 0), int(srow.sd or 0)
+            merged = (
+                idx_t.read()
+                .join(deltas, "term", "full_outer")
+                .select(
+                    "term",
+                    (
+                        F.coalesce(F.col("df"), F.lit(0))
+                        + F.coalesce(F.col("__ddf"), F.lit(0))
+                    ).cast("long").alias("df"),
+                    F.when(
+                        F.col("term") == "",
+                        F.coalesce(F.col("n_docs"), F.lit(0)) + F.lit(nd),
+                    ).otherwise(F.lit(0)).cast("long").alias("n_docs"),
+                    F.when(
+                        F.col("term") == "",
+                        F.coalesce(F.col("sum_dl"), F.lit(0)) + F.lit(sd),
+                    ).otherwise(F.lit(0)).cast("long").alias("sum_dl"),
+                )
+                .filter((F.col("term") == "") | (F.col("df") > 0))
+            )
+            idx_t.overwrite(merged)
+        except Exception:
+            idx_t.overwrite(self._build_fulltext_index_df(table, cols))
+        meta = self.table_meta(table)
+        if iname in meta.indexes:
+            meta.indexes[iname]["table_version"] = cur
+            self._save_meta(table, meta)
 
     def _rewrite_match_bm25(self, query: str) -> str:
         """Route MATCH(cols) AGAINST('terms') in NATURAL LANGUAGE MODE
@@ -3657,6 +3749,9 @@ class Engine:
             )
             if hit is None:
                 return frag  # no index: overlap shim handles it
+            # DML since the index build: reconcile incrementally from
+            # the change feed before serving index-derived constants
+            self._reconcile_fulltext_index(hit["table"], hit["name"], hit)
             # group offsets index the MASKED text (string contents
             # blanked, length-preserving) — read the literal from the
             # original query at the same offsets.

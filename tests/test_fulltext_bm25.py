@@ -177,3 +177,50 @@ def test_bm25_memo_version_gated(eng):
     assert eng._bm25_df_collects == n0 + 2
     eng.execute(q).collect()
     assert eng._bm25_df_collects == n0 + 2
+
+
+def test_fulltext_index_incremental_maintenance(eng):
+    """DML after the index build reconciles incrementally through the
+    change feed (MySQL maintains FT indexes on DML): new terms become
+    searchable, deleted documents' term df's subtract, and the corpus
+    stats row tracks (n_docs, sum_dl)."""
+    eng.execute("CREATE FULLTEXT INDEX ft ON articles (body)")
+    idx = eng.catalog.table("__ftidx_articles_ft")
+
+    def stats():
+        r = [x for x in idx.read().collect() if x.term == ""][0]
+        return r.n_docs, r.sum_dl
+
+    n0, dl0 = stats()
+    assert n0 == len(DOCS)
+    # INSERT: brand-new term becomes searchable with a real BM25 score
+    eng.execute(
+        "INSERT INTO articles VALUES (6, 'zanzibar spice markets')"
+    )
+    rows = eng.execute(
+        "SELECT id FROM articles WHERE MATCH(body) AGAINST('zanzibar')"
+    ).collect()
+    assert [r.id for r in rows] == [6]
+    n1, dl1 = stats()
+    assert n1 == n0 + 1 and dl1 == dl0 + 3
+    dfs = {r.term: r.df for r in idx.read().collect()}
+    assert dfs["zanzibar"] == 1
+    # DELETE: df subtracts; term rows that reach zero drop out
+    eng.execute("DELETE FROM articles WHERE id = 6")
+    eng.execute(
+        "SELECT id FROM articles WHERE MATCH(body) AGAINST('quick')"
+    ).collect()  # triggers reconcile
+    dfs2 = {r.term: r.df for r in idx.read().collect()}
+    assert "zanzibar" not in dfs2
+    n2, dl2 = stats()
+    assert (n2, dl2) == (n0, dl0)
+    # UPDATE: pre-image terms subtract, post-image terms add
+    eng.execute(
+        "UPDATE articles SET body = 'entirely new words' WHERE id = 5"
+    )
+    rows = eng.execute(
+        "SELECT id FROM articles WHERE MATCH(body) AGAINST('entirely')"
+    ).collect()
+    assert [r.id for r in rows] == [5]
+    dfs3 = {r.term: r.df for r in idx.read().collect()}
+    assert "nothing" not in dfs3 and dfs3["entirely"] == 1
