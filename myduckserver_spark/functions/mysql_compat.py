@@ -968,20 +968,70 @@ def _jt_parse_cols(col_defs):
             spec["order"].append(("nested", node))
             continue
         m = re.match(
-            r"(`[^`]+`|\w+)\s+(.+?)\s+PATH\s+'\$((?:\.\w+)*)'\s*$",
+            r"(`[^`]+`|\w+)\s+(.+?)\s+PATH\s+'\$((?:\.\w+)*)'"
+            r"((?:\s+(?:NULL|ERROR|DEFAULT\s+'(?:[^']|'')*')"
+            r"\s+ON\s+(?:EMPTY|ERROR))*)\s*$",
             text, re.I | re.S,
         )
         if not m:
             return None
+        styp = _jt_spark_type(m.group(2))
+        defaults = {}
+        for cm in re.finditer(
+            r"(NULL|ERROR|DEFAULT\s+'((?:[^']|'')*)')\s+ON\s+(EMPTY|ERROR)",
+            m.group(4) or "", re.I,
+        ):
+            kw = cm.group(1).upper()
+            if kw == "ERROR":
+                return None  # ERROR ON EMPTY/ERROR: data-dependent
+                # raise — rejected rather than mistranslated
+            if kw.startswith("DEFAULT"):
+                d = _jt_default_sql(cm.group(2), styp)
+                if d is None:
+                    return None
+                defaults[cm.group(3).upper()] = d
+            # NULL ON EMPTY / NULL ON ERROR are the default behavior
+        # from_json conflates missing/uncoercible/null into NULL, so one
+        # coalesce serves both clauses; when both carry defaults the ON
+        # EMPTY one wins (missing data is what the NULL conflation
+        # almost always means)
+        default_sql = defaults.get("EMPTY", defaults.get("ERROR"))
         keypath = m.group(3).lstrip(".")
         ent = (
             m.group(1).strip("`"),
             keypath.split(".") if keypath else [],
-            _jt_spark_type(m.group(2)),
+            styp,
+            default_sql,
         )
         spec["scalars"].append(ent)
         spec["order"].append(("scalar", ent))
     return spec
+
+
+def _jt_default_sql(raw: str, sparktype: str):
+    """DEFAULT '<json literal>' ON EMPTY/ERROR -> a CAST fallback
+    expression. MySQL fires ON EMPTY for a MISSING path and ON ERROR
+    for an uncoercible value; from_json yields NULL for both (and for
+    an explicit JSON null — the one conflation of this mapping), so a
+    single coalesce covers the clause pair."""
+    import json as _json
+
+    inner = raw.replace("''", "'")
+    try:
+        v = _json.loads(inner)
+    except Exception:
+        v = inner
+    if v is None:
+        return None  # DEFAULT 'null' adds nothing over NULL ON EMPTY
+    if isinstance(v, bool):
+        lit = "true" if v else "false"
+    elif isinstance(v, str):
+        lit = "'" + v.replace("'", "''") + "'"
+    elif isinstance(v, (int, float)):
+        lit = repr(v)
+    else:
+        return None  # array/object defaults: out of scope
+    return f"coalesce(__ACC__, CAST({lit} AS {sparktype}))"
 
 
 def _jt_merge(a, b):
@@ -1039,7 +1089,7 @@ def _jt_level_tree(spec):
             return None
         return t
     tree: dict = {}
-    for name, keys, styp in spec["scalars"]:
+    for name, keys, styp, _default in spec["scalars"]:
         if not _jt_tree_insert(tree, keys, styp):
             return None
     for node in spec["nested"]:
@@ -1087,7 +1137,7 @@ def _jt_tree_schema(tr: dict) -> str:
 
 
 def _jt_names(spec) -> list:
-    out = [n for (n, _, _) in spec["scalars"]]
+    out = [n for (n, *_rest) in spec["scalars"]]
     if spec["ordinal"]:
         out.append(spec["ordinal"])
     for nd in spec["nested"]:
@@ -1161,8 +1211,10 @@ def _jt_generate(spec, src_expr: str):
                         f" AS `{sp['ordinal']}`"
                     )
             elif kind == "scalar":
-                name, keys, _ = ent
+                name, keys, _styp, default_sql = ent
                 acc = base + "".join(f".`{k}`" for k in keys)
+                if default_sql is not None:
+                    acc = default_sql.replace("__ACC__", acc)
                 projections.append(f"{acc} AS `{name}`")
             else:
                 child = ent

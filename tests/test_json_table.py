@@ -185,3 +185,51 @@ def test_sibling_nested_ordinality(spark):
     )
     rows = [(r.bi, r.b1, r.ci, r.c1) for r in spark.sql(sql).collect()]
     assert rows == [(None, None, 1, 9), (1, 7, None, None), (2, 8, None, None)]
+
+
+def test_default_on_empty(spark):
+    sql = translate_mysql(
+        "SELECT * FROM JSON_TABLE('"
+        '[{"a":1},{"b":2}]'
+        "', '$[*]' COLUMNS ("
+        "a INT PATH '$.a' DEFAULT '0' ON EMPTY, "
+        "b INT PATH '$.b' DEFAULT '-1' ON EMPTY DEFAULT '-2' ON ERROR)) t"
+    )
+    assert [tuple(r) for r in spark.sql(sql).collect()] == [
+        (1, -1), (0, 2),
+    ]
+
+
+def test_default_string_and_null_clauses(spark):
+    sql = translate_mysql(
+        "SELECT * FROM JSON_TABLE('"
+        '[{"x":"hi"},{}]'
+        "', '$[*]' COLUMNS ("
+        "x VARCHAR(10) PATH '$.x' DEFAULT '\"none\"' ON EMPTY)) t"
+    )
+    assert [r.x for r in spark.sql(sql).collect()] == ["hi", "none"]
+    sql2 = translate_mysql(
+        "SELECT * FROM JSON_TABLE('[{}]', '$[*]' COLUMNS ("
+        "y INT PATH '$.y' NULL ON EMPTY NULL ON ERROR)) t"
+    )
+    assert [r.y for r in spark.sql(sql2).collect()] == [None]
+
+
+def test_error_on_empty_rejected():
+    # data-dependent raise: rejected rather than mistranslated
+    out = translate_mysql(
+        "SELECT * FROM JSON_TABLE('[{}]', '$[*]' COLUMNS ("
+        "z INT PATH '$.z' ERROR ON EMPTY)) t"
+    )
+    assert "JSON_TABLE" in out.upper()
+
+
+def test_default_inside_nested_path(spark):
+    sql = translate_mysql(
+        "SELECT * FROM JSON_TABLE('"
+        '[{"k":[{"v":5},{}]}]'
+        "', '$[*]' COLUMNS ("
+        "NESTED PATH '$.k[*]' COLUMNS ("
+        "v INT PATH '$.v' DEFAULT '9' ON EMPTY))) t"
+    )
+    assert [r.v for r in spark.sql(sql).collect()] == [5, 9]
