@@ -311,3 +311,72 @@ def test_empty_input_rollup_divergence_is_pinned(spark, views):
     )
     assert len(con.sql(sql).fetchall()) == 1
     con.close()
+
+
+# ---- MySQL-dialect decoration fuzz (round-5 structural pass) ----
+#
+# Same differential contract, but the Spark side goes through the FULL
+# MySQL front door (translate_mysql) with randomized MySQL-only
+# decorations — index hints, SELECT modifiers, version comments,
+# LOCK IN SHARE MODE, # comments — while the DuckDB oracle runs the
+# clean ANSI form. Any decoration the structural pass mishandles
+# surfaces as a row mismatch or an analysis error.
+
+N_MYSQL_QUERIES = 40
+
+
+def _gen_mysql_pair(rng: random.Random) -> tuple[str, str]:
+    t = rng.choice(list(TABLES))
+    spec = TABLES[t]
+    gcols = rng.sample(spec["group"], rng.randint(1, len(spec["group"])))
+    scol = rng.choice(spec["int"])
+    ncol, lo, hi = spec["num"]
+    a, b = sorted((rng.randint(lo, hi), rng.randint(lo, hi)))
+    pred = f"{ncol} BETWEEN {a} AND {b}"
+    cols = ", ".join(gcols)
+
+    mod = rng.choice(
+        ["", "DISTINCTROW ", "STRAIGHT_JOIN ", "SQL_NO_CACHE ",
+         "HIGH_PRIORITY ", "SQL_CALC_FOUND_ROWS "]
+    )
+    hint = rng.choice(
+        ["", " USE INDEX (i1)", " IGNORE INDEX (i1, i2)",
+         " FORCE KEY (ix)", " USE INDEX FOR ORDER BY (i1)",
+         " USE KEY FOR GROUP BY (i1)"]
+    )
+    count_expr = "COUNT(*)"
+    if rng.random() < 0.4:
+        count_expr = f"/*!40000 {count_expr} */"
+    tail = rng.choice(["", " LOCK IN SHARE MODE"])
+    comment = rng.choice(["", "  # trailing mysql comment"])
+
+    decorated = (
+        f"SELECT {mod}{cols}, CAST({count_expr} AS BIGINT) AS cnt, "
+        f"CAST(SUM({scol}) AS BIGINT) AS s "
+        f"FROM {t}{hint} WHERE {pred} "
+        f"GROUP BY {cols}{tail}{comment}"
+    )
+    clean = (
+        f"SELECT {cols}, CAST(COUNT(*) AS BIGINT) AS cnt, "
+        f"CAST(SUM({scol}) AS BIGINT) AS s "
+        f"FROM {t} WHERE {pred} GROUP BY {cols}"
+    )
+    return decorated, clean
+
+
+def test_differential_fuzz_mysql_dialect(spark, views):
+    from myduckserver_spark.statements import strip_comments
+    from myduckserver_spark.functions.mysql_compat import translate_mysql
+
+    rng = random.Random(SEED + 1)
+    failures = []
+    for i in range(N_MYSQL_QUERIES):
+        decorated, clean = _gen_mysql_pair(rng)
+        spark_sql = translate_mysql(strip_comments(decorated))
+        res = compare_one(
+            spark, f"myfuzz_{i}",
+            lambda sp, sf, q=spark_sql: sp.sql(q), clean, views,
+        )
+        if not res.ok:
+            failures.append((i, decorated, res.detail))
+    assert not failures, failures[:3]
