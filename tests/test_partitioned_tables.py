@@ -172,3 +172,15 @@ def test_update_of_partition_column_falls_back_to_full_rewrite(peng):
     assert not any(
         f.startswith("region=us") for f in t.data_files(t.version)
     )
+
+
+def test_vacuum_after_pruned_rewrite_keeps_linked_data(peng):
+    """VACUUM removes old version dirs; hard-linked files in the new
+    snapshot must survive (inode refcount keeps the data alive)."""
+    peng.execute("UPDATE ev SET v = v + 1 WHERE region = 'eu'")
+    t = peng.catalog.table("ev")
+    removed = t.vacuum(keep_last=1)
+    assert removed >= 1
+    rows = {r.id: r.v for r in
+            peng.execute("SELECT id, v FROM ev ORDER BY id").collect()}
+    assert rows == {1: 2.0, 2: 2.0, 3: 4.0, 4: 4.0}
