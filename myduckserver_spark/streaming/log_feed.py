@@ -63,6 +63,46 @@ class PartitionedLogFeed:
     def _part_path(self, p: int) -> str:
         return os.path.join(self.root, f"p{p:04d}.jsonl")
 
+    def _rolled_paths(self, p: int) -> list[str]:
+        pfx = f"p{p:04d}."
+        out = [
+            os.path.join(self.root, f)
+            for f in os.listdir(self.root)
+            if f.startswith(pfx) and f.endswith(".closed.jsonl")
+        ]
+        return sorted(out)
+
+    def roll(self) -> int:
+        """Close the open partition files (rename to *.closed.jsonl).
+        Structured Streaming's file source treats files as immutable,
+        so only ROLLED segments are visible to readStream — Kafka's
+        closed-segment visibility rule. Offsets are cumulative across
+        rolled + open files, so the live adapter (LogFeedCdcSource)
+        is unaffected by a roll. Returns the number of files rolled."""
+        n = 0
+        for p in range(self.num_partitions):
+            path = self._part_path(p)
+            if os.path.exists(path) and os.path.getsize(path) > 0:
+                seq = len(self._rolled_paths(p))
+                os.rename(
+                    path,
+                    os.path.join(
+                        self.root, f"p{p:04d}.{seq:06d}.closed.jsonl"
+                    ),
+                )
+                n += 1
+        return n
+
+    def _partition_lines(self, p: int) -> list[str]:
+        """All records of a partition in order: rolled segments first
+        (oldest to newest), then the open file."""
+        lines: list[str] = []
+        for path in self._rolled_paths(p) + [self._part_path(p)]:
+            if os.path.exists(path):
+                with open(path) as f:
+                    lines.extend(ln for ln in f if ln.strip())
+        return lines
+
     def partition_for(self, key) -> int:
         """Stable key routing (md5, not Python's salted hash) — one
         key's events always land in one partition, giving the per-key
@@ -84,10 +124,7 @@ class PartitionedLogFeed:
         """Append one record; returns its (partition, offset)."""
         p = 0 if key is None else self.partition_for(key)
         path = self._part_path(p)
-        offset = 0
-        if os.path.exists(path):
-            with open(path) as f:
-                offset = sum(1 for _ in f)
+        offset = len(self._partition_lines(p))
         with open(path, "a") as f:
             f.write(json.dumps({
                 "action": action, "row": row, "txn_group": txn_group,
@@ -102,12 +139,10 @@ class PartitionedLogFeed:
         partition) for fairness; per-partition order is preserved."""
         heap: list[tuple[int, int, list]] = []
         for p in range(self.num_partitions):
-            path = self._part_path(p)
-            if not os.path.exists(path):
+            lines = self._partition_lines(p)
+            if not lines:
                 continue
             start = offsets.get(p, 0)
-            with open(path) as f:
-                lines = [ln for ln in f if ln.strip()]
             pending = [
                 (i, json.loads(ln))
                 for i, ln in enumerate(lines)
@@ -185,4 +220,62 @@ class LogFeedCdcSource:
             )
 
 
-__all__ = ["LogFeedCdcSource", "PartitionedLogFeed"]
+def start_log_cdc_stream(
+    spark,
+    log: PartitionedLogFeed,
+    payload_schema,
+    table,
+    pk_cols: list[str],
+    checkpoint_dir: str,
+    trigger_seconds: float = 0.2,
+    app_id: str = "logcdc",
+):
+    """Structured Streaming consumption of the partitioned log — the
+    cluster-scale twin of the live ``LogFeedCdcSource`` applier. Only
+    ROLLED segments are visible (``PartitionedLogFeed.roll``): the
+    file source treats files as immutable, exactly Kafka's
+    closed-segment rule. Cross-partition arrival order inside a
+    micro-batch doesn't matter — condense orders by
+    (txn_group, txn_seq, txn_stmt, action), so the per-key per-
+    partition order the log guarantees is sufficient. Exactly-once:
+    foreachBatch commits through ``merge_batch`` with the epoch id as
+    the txn version; checkpointed epochs re-deliver as no-ops."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("action", T.IntegerType()),
+        T.StructField("row", payload_schema),
+        T.StructField("txn_group", T.StringType()),
+        T.StructField("txn_seq", T.LongType()),
+        T.StructField("txn_stmt", T.LongType()),
+    ])
+    stream = spark.readStream.schema(schema).json(
+        os.path.join(log.root, "*.closed.jsonl")
+    )
+
+    def apply_batch(batch_df, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        delta = batch_df.select(
+            "row.*",
+            F.col("action").cast("byte").alias("action"),
+            "txn_group", "txn_seq", "txn_stmt",
+        )
+        table.merge_batch(
+            delta, pk_cols, txn_app_id=app_id, txn_version=int(epoch_id)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{int(trigger_seconds * 1000)} milliseconds")
+        .start()
+    )
+
+
+__all__ = [
+    "LogFeedCdcSource",
+    "PartitionedLogFeed",
+    "start_log_cdc_stream",
+]

@@ -253,3 +253,47 @@ def test_log_feed_per_key_ordering(tmp_path):
         seen[rec["row"]["id"]].append(rec["row"]["v"])
     assert seen[7] == [0.0, 1.0, 2.0, 3.0, 4.0]
     assert seen[8] == [0.0, 1.0, 2.0, 3.0, 4.0]
+
+
+def test_log_feed_structured_streaming_consumption(spark, tmp_path):
+    """readStream over ROLLED log segments (closed-segment visibility)
+    -> foreachBatch merge_batch: the cluster-scale twin of the live
+    adapter. Rolling is transparent to cumulative offsets."""
+    from myduckserver_spark.streaming.log_feed import (
+        PartitionedLogFeed,
+        start_log_cdc_stream,
+    )
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    base = spark.createDataFrame([(1, 1.0)], "id long, v double")
+    table = cat.create_table("kvstream", base)
+    log = PartitionedLogFeed(str(tmp_path / "slog"), num_partitions=3)
+    for seq, (i, v) in enumerate([(2, 2.0), (3, 3.0), (1, 11.0)]):
+        log.append(
+            ACTION_UPDATE if i == 1 else ACTION_INSERT,
+            {"id": i, "v": v}, key=i, txn_seq=seq,
+        )
+    assert log.roll() >= 1
+    # open-file records remain invisible to the stream until rolled
+    log.append(ACTION_INSERT, {"id": 9, "v": 9.0}, key=9, txn_seq=3)
+
+    q = start_log_cdc_stream(
+        spark, log, PAYLOAD, table, ["id"],
+        str(tmp_path / "ckpt"), trigger_seconds=0.1,
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted((r.id, r.v) for r in table.read().collect())
+        assert got == [(1, 11.0), (2, 2.0), (3, 3.0)]
+        # roll the pending record; the stream picks it up
+        log.roll()
+        q.processAllAvailable()
+        got = sorted((r.id, r.v) for r in table.read().collect())
+        assert got == [(1, 11.0), (2, 2.0), (3, 3.0), (9, 9.0)]
+    finally:
+        q.stop()
+    # cumulative offsets survive the rolls: a fresh live adapter sees
+    # nothing new only past its committed vector; reading from zero
+    # replays every record exactly once
+    seen = [rec["row"]["id"] for _, _, rec in log.read_from({})]
+    assert sorted(seen) == [1, 2, 3, 9]
