@@ -4246,5 +4246,72 @@ class Engine:
                 "Table string, Source_app string, Position long, "
                 "File string, File_offset long",
             )
+        # Client/ORM probe kinds: correct (usually empty) shapes so a
+        # driver's between-statement bookkeeping never errors the
+        # session. Triggers/events/routines are documented non-goals
+        # (the reference runs them GMS-side only, main_test.go:1053) —
+        # an empty set IS the truthful catalog answer here.
+        if s.kind == "warnings":
+            return self.spark.createDataFrame(
+                [], "Level string, Code int, Message string"
+            )
+        if s.kind == "warning_count":
+            return self.spark.createDataFrame(
+                [(0,)], "`@@session.warning_count` int"
+            )
+        if s.kind == "triggers":
+            return self.spark.createDataFrame(
+                [],
+                "Trigger string, Event string, Table string, "
+                "Statement string, Timing string, Created timestamp, "
+                "sql_mode string, Definer string",
+            )
+        if s.kind == "events":
+            return self.spark.createDataFrame(
+                [],
+                "Db string, Name string, Definer string, `Time zone` "
+                "string, Type string, `Execute at` timestamp, "
+                "`Interval value` string, `Interval field` string, "
+                "Starts timestamp, Ends timestamp, Status string",
+            )
+        if s.kind == "routine_status":
+            return self.spark.createDataFrame(
+                [],
+                "Db string, Name string, Type string, Definer string, "
+                "Modified timestamp, Created timestamp, "
+                "Security_type string, Comment string",
+            )
+        if s.kind == "plugins":
+            return self.spark.createDataFrame(
+                [
+                    ("parquet-spark", "ACTIVE", "STORAGE ENGINE",
+                     None, "GPL"),
+                    ("mysql_native_password", "ACTIVE", "AUTHENTICATION",
+                     None, "GPL"),
+                ],
+                "Name string, Status string, Type string, "
+                "Library string, License string",
+            )
+        if s.kind == "privileges":
+            # single-root deployment (auth is a documented non-goal,
+            # same as the SHOW GRANTS stub)
+            return self.spark.createDataFrame(
+                [("All", "Server Admin",
+                  "All privileges (single-root deployment)")],
+                "Privilege string, Context string, Comment string",
+            )
+        if s.kind == "binary_logs":
+            rows = []
+            seen = set()
+            for name in self.catalog.list_tables():
+                ptr = self.catalog.table(name)._read_pointer()
+                for pos in ptr.get("txn", {}).values():
+                    seg = int(pos) // 1_000_000
+                    if seg not in seen:
+                        seen.add(seg)
+                        rows.append((f"segment-{seg:06d}", int(pos), "No"))
+            return self.spark.createDataFrame(
+                rows, "Log_name string, File_size long, Encrypted string"
+            )
         raise ValueError(f"unknown SHOW kind: {s.kind}")
 

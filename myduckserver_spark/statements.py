@@ -1649,9 +1649,33 @@ def parse_statement(sql: str):
     if m:
         like = parse_literal(m.group(1)) if m.group(1) else None
         return Show("collation", like=like)
-    m = re.match(r"SHOW\s+(?:FULL\s+)?COLUMNS\s+FROM\s+(`[^`]+`|\w+)\s*$", s, re.I)
+    m = re.match(
+        r"SHOW\s+(?:FULL\s+)?(?:COLUMNS|FIELDS)\s+FROM\s+(`[^`]+`|\w+)\s*$",
+        s, re.I,
+    )
     if m:
         return Show("columns", target=unquote_ident(m.group(1)))
+    # Client/ORM probe surface: MySQL clients issue these between
+    # statements; each returns the correct (usually empty) shape
+    # rather than erroring the session (reference delegates to GMS,
+    # which answers all of them).
+    if re.match(r"SHOW\s+(?:WARNINGS|ERRORS)\s*$", s, re.I):
+        return Show("warnings")
+    if re.match(r"SHOW\s+COUNT\s*\(\s*\*\s*\)\s+(?:WARNINGS|ERRORS)\s*$",
+                s, re.I):
+        return Show("warning_count")
+    if re.match(r"SHOW\s+TRIGGERS\b", s, re.I):
+        return Show("triggers")
+    if re.match(r"SHOW\s+EVENTS\b", s, re.I):
+        return Show("events")
+    if re.match(r"SHOW\s+(FUNCTION|PROCEDURE)\s+STATUS\b", s, re.I):
+        return Show("routine_status")
+    if re.match(r"SHOW\s+PLUGINS\s*$", s, re.I):
+        return Show("plugins")
+    if re.match(r"SHOW\s+PRIVILEGES\s*$", s, re.I):
+        return Show("privileges")
+    if re.match(r"SHOW\s+(?:BINARY\s+LOGS|BINLOGS)\s*$", s, re.I):
+        return Show("binary_logs")
     m = re.match(r"(?:DESCRIBE|DESC)\s+(`[^`]+`|\w+)\s*$", s, re.I)
     if m:
         return Show("columns", target=unquote_ident(m.group(1)))

@@ -312,3 +312,34 @@ def test_show_full_tables_desc_create_view_grants(spark, tmp_path):
     assert [(r.Table, r.In_use) for r in ot] == [("st1", 0)]
     g = e.execute("SHOW GRANTS").collect()
     assert "GRANT ALL PRIVILEGES" in g[0][0]
+
+
+def test_show_client_probe_surface(engine):
+    """MySQL clients/ORMs issue these between statements; each answers
+    with the correct (usually empty) shape instead of erroring the
+    session. Triggers/events/routines empty = the truthful catalog
+    answer (documented non-goals, GMS-side only in the reference)."""
+    cases = {
+        "SHOW WARNINGS": (["Level", "Code", "Message"], 0),
+        "SHOW ERRORS": (["Level", "Code", "Message"], 0),
+        "SHOW TRIGGERS": (None, 0),
+        "SHOW EVENTS": (None, 0),
+        "SHOW FUNCTION STATUS": (None, 0),
+        "SHOW PROCEDURE STATUS": (None, 0),
+        "SHOW BINARY LOGS": (["Log_name", "File_size", "Encrypted"], 0),
+    }
+    for q, (cols, n) in cases.items():
+        df = engine.execute(q)
+        assert len(df.collect()) == n, q
+        if cols:
+            assert df.columns == cols, q
+    assert engine.execute("SHOW COUNT(*) WARNINGS").collect()[0][0] == 0
+    assert len(engine.execute("SHOW PLUGINS").collect()) >= 1
+    assert len(engine.execute("SHOW PRIVILEGES").collect()) >= 1
+
+
+def test_show_fields_alias(engine):
+    engine.execute("CREATE TABLE sfa (id INT PRIMARY KEY, v INT)")
+    a = [tuple(r) for r in engine.execute("SHOW COLUMNS FROM sfa").collect()]
+    b = [tuple(r) for r in engine.execute("SHOW FIELDS FROM sfa").collect()]
+    assert a == b and len(a) == 2
