@@ -1618,8 +1618,60 @@ class Engine:
         stmts = st.split_statements(sql)
         if not stmts:
             return OkResult(info="empty")
-        results = [self._execute_one(s, dialect) for s in stmts]
+        results = []
+        for s in stmts:
+            r = self._execute_one(s, dialect)
+            # ROW_COUNT() bookkeeping: DML leaves its affected count,
+            # any other statement resets to MySQL's -1.
+            self._last_affected = (
+                r.affected_rows if isinstance(r, OkResult) else -1
+            )
+            results.append(r)
         return results[-1] if len(results) == 1 else results
+
+    def _rewrite_session_funcs(self, query: str) -> str:
+        """Constant-fold the session-state functions MySQL evaluates
+        engine-side: DATABASE()/SCHEMA() (current db), ROW_COUNT()
+        (last DML's affected count, -1 otherwise), FOUND_ROWS() (the
+        un-LIMITed count of the last SQL_CALC_FOUND_ROWS query)."""
+        if not re.search(
+            r"(?i)\b(?:DATABASE|SCHEMA|ROW_COUNT|FOUND_ROWS)\s*\(", query
+        ):
+            return query
+        db = self._render_literal(self.current_db)
+        query = st.sub_outside_strings(
+            r"\b(?:DATABASE|SCHEMA)\s*\(\s*\)", db, query, flags=re.I
+        )
+        query = st.sub_outside_strings(
+            r"\bROW_COUNT\s*\(\s*\)",
+            str(getattr(self, "_last_affected", -1)),
+            query, flags=re.I,
+        )
+        query = st.sub_outside_strings(
+            r"\bFOUND_ROWS\s*\(\s*\)",
+            str(getattr(self, "_found_rows", -1)),
+            query, flags=re.I,
+        )
+        return query
+
+    @staticmethod
+    def _strip_top_limit(q: str) -> str:
+        """Remove a depth-0 trailing LIMIT [n [OFFSET m] | m, n]."""
+        mask = st.mask_strings(q)
+        depth = 0
+        for m in re.finditer(r"[()]|\bLIMIT\b", mask, re.I):
+            t = m.group(0)
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            elif depth == 0:
+                tail = mask[m.end():]
+                if re.fullmatch(
+                    r"\s+\d+(\s*,\s*\d+|\s+OFFSET\s+\d+)?\s*", tail, re.I
+                ):
+                    return q[: m.start()].rstrip()
+        return q
 
     @staticmethod
     def _render_literal(v) -> str:
@@ -2182,7 +2234,22 @@ class Engine:
                 q = q[: fm.start()]
             if dialect == "mysql":
                 q = self._rewrite_match_bm25(q)
+                q = self._rewrite_session_funcs(q)
+            # SQL_CALC_FOUND_ROWS (deprecated in MySQL 8 but still
+            # issued by pagination code): remember the un-LIMITed row
+            # count for the next FOUND_ROWS() call. The extra count
+            # runs only when the modifier is explicitly requested.
+            calc_found = dialect == "mysql" and re.search(
+                r"\bSQL_CALC_FOUND_ROWS\b", st.mask_strings(q), re.I
+            )
             df = self.sql(q, dialect=dialect)
+            if calc_found:
+                stripped = self._strip_top_limit(q)
+                self._found_rows = (
+                    self.sql(stripped, dialect=dialect).count()
+                    if stripped != q
+                    else df.count()
+                )
             # sql_select_limit caps SELECTs that carry no LIMIT of
             # their own (GMS TestRowLimit semantics).
             cap = self.variables.get("sql_select_limit")

@@ -314,7 +314,102 @@ def _fn_json_object(a):
     return "to_json(map(" + ", ".join(a) + "))"
 
 
+def _fn_char(a):
+    """MySQL CHAR(n, ...) — string from code points (optionally
+    ... USING charset, which is a wire concern here)."""
+    if not a or not a[0]:
+        return None
+    last = re.sub(r"(?is)\s+USING\s+\w+\s*$", "", a[-1])
+    parts = a[:-1] + [last]
+    return "concat(" + ", ".join(f"char({p})" for p in parts) + ")"
+
+
+def _fn_period_add(a):
+    if len(a) != 2:
+        return None
+    p, n = a
+    months = (
+        f"((cast({p} as int) div 100) * 12 + (cast({p} as int) % 100)"
+        f" - 1 + cast({n} as int))"
+    )
+    return (
+        f"cast((({months}) div 12) * 100 + (({months}) % 12) + 1 as int)"
+    )
+
+
+def _fn_period_diff(a):
+    if len(a) != 2:
+        return None
+
+    def m(p):
+        return f"((cast({p} as int) div 100) * 12 + (cast({p} as int) % 100))"
+
+    return f"cast({m(a[0])} - {m(a[1])} as int)"
+
+
+def _fn_microsecond(a):
+    if len(a) != 1:
+        return None
+    # accepts time-only strings like MySQL (date-prefixed fallback)
+    ts = (
+        f"coalesce(try_cast({a[0]} as timestamp), "
+        f"try_cast(concat('1970-01-01 ', {a[0]}) as timestamp))"
+    )
+    return f"cast(date_format({ts}, 'SSSSSS') as int)"
+
+
+
 _FN_HANDLERS = {
+    "OCT": lambda a: f"conv(cast({a[0]} as bigint), 10, 8)" if len(a) == 1 else None,
+    "MID": lambda a: (
+        f"substring({', '.join(a)})" if len(a) in (2, 3) else None
+    ),
+    "CHAR": _fn_char,
+    "PERIOD_ADD": _fn_period_add,
+    "PERIOD_DIFF": _fn_period_diff,
+    "MICROSECOND": _fn_microsecond,
+    "UTC_TIMESTAMP": lambda a: (
+        # session timezone is pinned UTC (build_session)
+        "current_timestamp()" if not a or not a[0] else None
+    ),
+    "UTC_DATE": lambda a: "current_date()" if not a or not a[0] else None,
+    "UTC_TIME": lambda a: (
+        "date_format(current_timestamp(), 'HH:mm:ss')"
+        if not a or not a[0] else None
+    ),
+    "UUID_SHORT": lambda a: (
+        # random 60-bit id (MySQL's is server-seeded; uniqueness class
+        # is what callers rely on)
+        "cast(conv(substring(replace(uuid(), '-', ''), 1, 15), 16, 10)"
+        " as bigint)"
+        if not a or not a[0] else None
+    ),
+    "IS_IPV4": lambda a: (
+        f"cast({a[0]} rlike "
+        "'^((25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])\\\\.){3}"
+        "(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])$' as int)"
+        if len(a) == 1 else None
+    ),
+    "BENCHMARK": lambda a: (
+        # evaluates the expression once, returns 0 (no timing loop)
+        f"(0 * cast(({a[1]}) is null as int))" if len(a) == 2 else None
+    ),
+    "SLEEP": lambda a: (
+        # no blocking inside a query engine; returns MySQL's 0
+        "cast(0 as int)" if len(a) == 1 else None
+    ),
+    "COERCIBILITY": lambda a: "cast(4 as int)" if len(a) == 1 else None,
+    "CHARSET": lambda a: "'utf8mb4'" if len(a) == 1 else None,
+    "GET_LOCK": lambda a: (
+        # single-process snapshot engine: locks always acquire
+        "cast(1 as int)" if len(a) == 2 else None
+    ),
+    "RELEASE_LOCK": lambda a: "cast(1 as int)" if len(a) == 1 else None,
+    "IS_FREE_LOCK": lambda a: "cast(1 as int)" if len(a) == 1 else None,
+    "IS_USED_LOCK": lambda a: (
+        "cast(null as bigint)" if len(a) == 1 else None
+    ),
+    "NAME_CONST": lambda a: f"({a[1]})" if len(a) == 2 else None,
     "UCASE": lambda a: f"upper({a[0]})" if len(a) == 1 else None,
     "LCASE": lambda a: f"lower({a[0]})" if len(a) == 1 else None,
     "NOW": lambda a: "current_timestamp()" if not a or not a[0] else None,
@@ -640,7 +735,13 @@ def _fn_cast(a):
     m = _CAST_TYPE_RE.match(a[0])
     if not m:
         return None
-    return f"cast({m.group(1)} {_CAST_TO_SPARK[m.group(2).upper()]})"
+    ty = m.group(2).upper()
+    out = f"cast({m.group(1)} {_CAST_TO_SPARK[ty]})"
+    if ty in ("CHAR", "NCHAR") and m.group(4):
+        # MySQL CAST(x AS CHAR(n)) truncates to n characters
+        n = re.sub(r"\D", "", m.group(4))
+        out = f"substring({out}, 1, {n})"
+    return out
 
 
 def _group_concat(inner: list[Tok]) -> str | None:
@@ -790,8 +891,15 @@ def _pass_functions(toks: list[Tok]) -> list[Tok]:
         if t.kind == "word":
             u = t.text.upper()
             j = _sig_next(toks, i)
+            prev_as = False
+            if u in ("CHAR", "BINARY"):
+                for pj in range(i - 1, -1, -1):
+                    if toks[pj].kind not in ("ws", "comment"):
+                        prev_as = toks[pj].is_word("AS")
+                        break
             if (
-                j < len(toks)
+                not prev_as
+                and j < len(toks)
                 and toks[j].kind == "op"
                 and toks[j].text == "("
                 and (u in _FN_HANDLERS or u in ("GROUP_CONCAT", "CAST", "MATCH"))

@@ -438,3 +438,50 @@ def test_partition_selection_rejected():
         "FROM st"
     )
     assert "PARTITION BY" in sql
+
+
+def test_client_function_shims(spark):
+    cases = {
+        "SELECT OCT(8) AS x": "10",
+        "SELECT MID('hello', 2, 3) AS x": "ell",
+        "SELECT CHAR(77, 121) AS x": "My",
+        "SELECT CHAR(77, 121 USING utf8mb4) AS x": "My",
+        "SELECT PERIOD_ADD(200811, 2) AS x": 200901,
+        "SELECT PERIOD_DIFF(200802, 200703) AS x": 11,
+        "SELECT MICROSECOND('12:00:00.123456') AS x": 123456,
+        "SELECT IS_IPV4('10.0.5.9') AS x": 1,
+        "SELECT IS_IPV4('10.0.5.256') AS x": 0,
+        "SELECT IS_IPV4('abc') AS x": 0,
+        "SELECT BENCHMARK(10, 1+1) AS x": 0,
+        "SELECT SLEEP(0) AS x": 0,
+        "SELECT CHARSET('abc') AS x": "utf8mb4",
+        "SELECT GET_LOCK('l', 0) AS x": 1,
+        "SELECT RELEASE_LOCK('l') AS x": 1,
+        "SELECT NAME_CONST('c', 14) AS x": 14,
+        "SELECT CAST('abcdef' AS CHAR(3)) AS x": "abc",
+        "SELECT CAST('2020-01-02' AS CHAR) AS x": "2020-01-02",
+    }
+    for q, want in cases.items():
+        assert spark.sql(translate_mysql(q)).collect()[0].x == want, q
+    # CHAR in type position untouched by the CHAR-function shim
+    assert "concat" not in translate_mysql(
+        "SELECT CAST(x AS CHAR(5)) FROM t"
+    ).lower()
+
+
+def test_session_state_functions(spark, tmp_path):
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE rt (id INT PRIMARY KEY, v INT)")
+    e.execute("INSERT INTO rt VALUES (1,1),(2,2),(3,3),(4,4),(5,5)")
+    assert e.execute("SELECT DATABASE() AS x").collect()[0].x == "main"
+    assert e.execute("SELECT SCHEMA() AS x").collect()[0].x == "main"
+    e.execute("UPDATE rt SET v = v + 1 WHERE id <= 3")
+    assert e.execute("SELECT ROW_COUNT() AS x").collect()[0].x == 3
+    # ROW_COUNT resets after any following statement (MySQL semantics)
+    assert e.execute("SELECT ROW_COUNT() AS x").collect()[0].x == -1
+    e.execute(
+        "SELECT SQL_CALC_FOUND_ROWS id FROM rt WHERE id > 1 LIMIT 2"
+    ).collect()
+    assert e.execute("SELECT FOUND_ROWS() AS x").collect()[0].x == 4
