@@ -596,3 +596,45 @@ def ev_view_to_purchase_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
         .orderBy("user_id")
     )
+
+
+@register(
+    "f_mysql_client_fns",
+    oracle="""
+    SELECT o_orderkey AS k,
+           to_base(o_orderkey, 8) AS oct_s,
+           substr(o_orderpriority, 2, 3) AS mid_s,
+           CAST((((200801 // 100) * 12 + (200801 % 100) - 1
+                  + (o_orderkey % 30)) // 12) * 100
+                + (((200801 // 100) * 12 + (200801 % 100) - 1
+                    + (o_orderkey % 30)) % 12) + 1 AS INT) AS pa,
+           CAST(((200912 // 100) * 12 + (200912 % 100))
+                - (((200801 + (o_orderkey % 12)) // 100) * 12
+                   + ((200801 + (o_orderkey % 12)) % 100)) AS INT) AS pd,
+           CAST(regexp_matches(
+                '10.0.0.' || CAST(o_orderkey % 300 AS VARCHAR),
+                '^((25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])\.){3}(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])$'
+           ) AS INT) AS ip4,
+           substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS cast_char
+    FROM orders WHERE o_orderkey <= 200 ORDER BY k
+    """,
+    tags=("functions", "mysql-shim", "client"),
+)
+def f_mysql_client_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 client-function shims under the gate: OCT, MID,
+    PERIOD_ADD/PERIOD_DIFF, IS_IPV4, CAST(... AS CHAR(n)) truncation —
+    the MySQL text goes through the FULL dialect front door
+    (translate_mysql) and must value-match a DuckDB reconstruction."""
+    from myduckserver_spark.functions.mysql_compat import translate_mysql
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(translate_mysql("""
+        SELECT o_orderkey AS k,
+               OCT(o_orderkey) AS oct_s,
+               MID(o_orderpriority, 2, 3) AS mid_s,
+               PERIOD_ADD(200801, o_orderkey % 30) AS pa,
+               PERIOD_DIFF(200912, 200801 + (o_orderkey % 12)) AS pd,
+               IS_IPV4(CONCAT('10.0.0.', CAST(o_orderkey % 300 AS CHAR))) AS ip4,
+               CAST(CAST(o_orderdate AS DATE) AS CHAR(7)) AS cast_char
+        FROM orders WHERE o_orderkey <= 200 ORDER BY k
+    """))

@@ -241,7 +241,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "f_string_suite", "f_string_suite2", "f_math_suite", "f_case_bucketing",
         "f_stats_suite", "f_percentile_exact", "f_bitwise", "f_try_cast",
         "f_regexp_extract", "f_struct_field", "f_median_mode", "f_regr_suite",
-        "g_bool_aggs",
+        "g_bool_aggs", "f_mysql_client_fns",
     ),
     # Date/JSON parse + nested-data coverage.
     "suite_dates_json": (
