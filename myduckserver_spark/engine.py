@@ -111,6 +111,14 @@ class Engine:
         # PREPARE name FROM '...' registry (reference: prepared-stmt cache
         # pgserver/duck_handler.go:133-233 / MySQL PREPARE through GMS).
         self._prepared: dict[str, str] = {}
+        # MySQL drops TEMPORARY tables at connection end; a new engine
+        # over the warehouse is the reconnect analog, so leftovers from
+        # a previous session are removed here.
+        for name in list(self._temp_names()):
+            try:
+                self.catalog.drop_table(name)
+            except Exception:
+                pass
 
     # ------------------------------------------------------------ SQL front
     def sql(self, query: str, dialect: str = "spark", args=None) -> DataFrame:
@@ -2320,6 +2328,7 @@ class Engine:
             import copy as _copy
 
             meta = _copy.deepcopy(self.table_meta(s.source))
+            meta.temporary = s.temporary
             empty = self.spark.createDataFrame([], src.read().schema)
             self.catalog.create_table(
                 s.name, empty, partition_by=meta.partition_by or None
@@ -2333,9 +2342,11 @@ class Engine:
                 s.name, s.query, dialect=dialect,
                 partition_by=s.partition_by or None,
             )
-            if s.partition_by:
+            if s.partition_by or s.temporary:
                 meta = self.table_meta(s.name)
-                meta.partition_by = list(s.partition_by)
+                if s.partition_by:
+                    meta.partition_by = list(s.partition_by)
+                meta.temporary = s.temporary
                 self._save_meta(s.name, meta)
             return OkResult(affected_rows=self.catalog.table(s.name).read().count())
         if isinstance(s, st.DropTable):
@@ -2410,7 +2421,21 @@ class Engine:
         if isinstance(s, st.Show):
             if s.kind == "noop_lock":
                 return OkResult(info="locks are no-ops (snapshot isolation)")
+            if s.kind == "noop_admin":
+                return OkResult(
+                    info="no-op (no handler caches / privilege caches / "
+                         "killable threads in a single-process snapshot "
+                         "engine)"
+                )
             return self._exec_show(s)
+        if isinstance(s, st.Maintenance):
+            return self._exec_maintenance(s)
+        if isinstance(s, st.DoStmt):
+            # DO evaluates for side effects (none here beyond errors)
+            # and discards the result
+            self.sql(f"SELECT {s.expr}", dialect=dialect).collect()
+            return OkResult()
+
         if isinstance(s, st.SetVar):
             if s.value is st.DEFAULT:  # SET var = DEFAULT resets it
                 self.variables.pop(s.name, None)
@@ -2790,6 +2815,12 @@ class Engine:
             meta = self.table_meta(s.name)
             meta.defaults.pop(s.column, None)
             self._save_meta(s.name, meta)
+        elif s.action == "set_comment":
+            meta = self.table_meta(s.name)
+            meta.stats["comment"] = s.default
+            self._save_meta(s.name, meta)
+        elif s.action == "noop_option":
+            pass  # physical storage options: meaningless for parquet
         else:  # pragma: no cover
             raise ValueError(f"unknown ALTER action: {s.action}")
         return OkResult()
@@ -3977,9 +4008,63 @@ class Engine:
                 return True
         return False
 
+    def _temp_names(self) -> set:
+        """Names of session-scoped TEMPORARY tables (hidden from SHOW
+        TABLES, like MySQL)."""
+        out = set()
+        for name in self.catalog.list_tables():
+            try:
+                if self.table_meta(name).temporary:
+                    out.add(name)
+            except Exception:
+                continue
+        return out
+
+    def _exec_maintenance(self, s: "st.Maintenance"):
+        """CHECK/REPAIR report MySQL's status-row shape (immutable
+        snapshot storage cannot be corrupted-but-repairable, so OK is
+        the truthful answer — same contract as GMS's no-op admin ops);
+        CHECKSUM computes a REAL order-independent content checksum
+        (xor of per-row hashes — one map-side aggregate, no sort)."""
+        rows = []
+        if s.kind == "checksum":
+            for t in s.targets:
+                if not self.catalog.table(t).exists():
+                    rows.append((f"{self.current_db}.{t}", None))
+                    continue
+                df = self.catalog.table(t).read()
+                agg = df.select(
+                    F.xxhash64(*df.columns).alias("__h")
+                ).agg(
+                    F.expr(
+                        "coalesce(aggregate(collect_list(__h), 0L,"
+                        " (a, x) -> a ^ x), 0L)"
+                    ).alias("c")
+                ).collect()[0]
+                rows.append((f"{self.current_db}.{t}", int(agg.c)))
+            return self.spark.createDataFrame(
+                rows, "Table string, Checksum long"
+            )
+        op = s.kind  # check | repair
+        for t in s.targets:
+            if self.catalog.table(t).exists():
+                rows.append((f"{self.current_db}.{t}", op, "status", "OK"))
+            else:
+                rows.append(
+                    (f"{self.current_db}.{t}", op, "Error",
+                     f"Table '{t}' doesn't exist")
+                )
+        return self.spark.createDataFrame(
+            rows, "Table string, Op string, Msg_type string, "
+                  "Msg_text string"
+        )
+
     def _exec_show(self, s: st.Show) -> DataFrame:
         if s.kind == "tables":
-            names = sorted(set(self.catalog.list_tables()) | set(self._view_names()))
+            names = sorted(
+                (set(self.catalog.list_tables()) - self._temp_names())
+                | set(self._view_names())
+            )
             if s.like:
                 rx = _like_to_re(s.like)
                 names = [n for n in names if rx.match(n)]
@@ -3989,7 +4074,10 @@ class Engine:
             )
         if s.kind == "full_tables":
             views = set(self._view_names())
-            names = sorted(set(self.catalog.list_tables()) | views)
+            names = sorted(
+                (set(self.catalog.list_tables()) - self._temp_names())
+                | views
+            )
             if s.like:
                 rx = _like_to_re(s.like)
                 names = [n for n in names if rx.match(n)]

@@ -425,6 +425,11 @@ class TableMeta:
     # Each entry: {name, columns, ref_table, ref_columns, on_delete,
     # on_update}
     foreign_keys: list[dict] = field(default_factory=list)
+    # CREATE TEMPORARY TABLE: session-scoped — hidden from SHOW TABLES
+    # and dropped when a new engine opens the warehouse (MySQL drops
+    # temp tables at connection end; the engine instance is the
+    # connection analog here).
+    temporary: bool = False
 
 
 @dataclass
@@ -443,6 +448,7 @@ class CreateTableLike:
     name: str
     source: str
     if_not_exists: bool = False
+    temporary: bool = False
 
 
 @dataclass
@@ -451,6 +457,22 @@ class CreateTableAs:
     query: str
     if_not_exists: bool = False
     partition_by: list[str] = field(default_factory=list)
+    temporary: bool = False
+
+
+@dataclass
+class Maintenance:
+    """CHECK/CHECKSUM/REPAIR TABLE t [, ...]."""
+
+    kind: str  # check | checksum | repair
+    targets: list[str]
+
+
+@dataclass
+class DoStmt:
+    """DO expr[, ...] — evaluate and discard (MySQL)."""
+
+    expr: str
 
 
 @dataclass
@@ -1171,6 +1193,17 @@ def parse_statement(sql: str):
             return stmt
         return Query(s)
 
+    if up.startswith("EXPLAIN"):
+        # MySQL EXPLAIN [ANALYZE] [FORMAT={TRADITIONAL|TREE|JSON}] →
+        # Spark's EXPLAIN FORMATTED (the engine's plan renderer);
+        # ANALYZE's runtime stats have no Spark-SQL-text equivalent, so
+        # the plan is what comes back.
+        norm = re.sub(
+            r"(?i)^EXPLAIN(\s+ANALYZE|\s+FORMAT\s*=\s*\w+)+\s+",
+            "EXPLAIN FORMATTED ", s,
+        )
+        return Query(norm)
+
     if up.startswith(("SELECT", "VALUES", "TABLE", "EXPLAIN", "DESCRIBE QUERY",
                       "CACHE TABLE", "UNCACHE TABLE", "CLEAR CACHE")):
         # CACHE/UNCACHE/CLEAR CACHE are native Spark SQL statements —
@@ -1395,6 +1428,20 @@ def parse_statement(sql: str):
         if am:
             return AlterTable(name, "drop_default",
                               column=unquote_ident(am.group(1)))
+        am = re.match(r"COMMENT\s*=?\s*(.+)$", rest, re.I | re.S)
+        if am:
+            return AlterTable(
+                name, "set_comment",
+                default=parse_literal(am.group(1).strip()),
+            )
+        # storage/physical options are meaningless for parquet snapshots
+        # but harmless to accept (MySQL dump files carry them routinely)
+        if re.fullmatch(
+            r"(?:ENGINE|AUTO_EXTEND_SIZE|ROW_FORMAT|KEY_BLOCK_SIZE|"
+            r"STATS_PERSISTENT|ALGORITHM|LOCK)\s*=?\s*\w+",
+            rest, re.I,
+        ):
+            return AlterTable(name, "noop_option")
         raise ValueError(f"unsupported ALTER TABLE action: {rest!r}")
 
     m = re.match(
@@ -1408,7 +1455,7 @@ def parse_statement(sql: str):
         return Truncate(unquote_ident(m.group(1)))
 
     m = re.match(
-        r"OPTIMIZE\s+(`[^`]+`|\w+)"
+        r"OPTIMIZE\s+(?:TABLE\s+)?(`[^`]+`|\w+)"
         r"(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*$",
         s,
         re.I,
@@ -1963,7 +2010,14 @@ def parse_statement(sql: str):
             m.group(6),
         )
 
-    if re.match(r"(BEGIN|START\s+TRANSACTION)\s*$", s, re.I):
+    if re.match(
+        r"(BEGIN|START\s+TRANSACTION)"
+        r"(\s*,?\s*(READ\s+ONLY|READ\s+WRITE|WITH\s+CONSISTENT\s+SNAPSHOT))*"
+        r"\s*$",
+        s, re.I,
+    ):
+        # access-mode/snapshot modifiers: snapshot isolation already
+        # gives consistent reads; READ ONLY is advisory per-txn
         return TxnStmt("begin")
     if re.match(r"COMMIT\s*$", s, re.I):
         return TxnStmt("commit")
@@ -1981,5 +2035,49 @@ def parse_statement(sql: str):
         return TxnStmt("release", name=unquote_ident(m.group(1)))
     if re.match(r"ROLLBACK\s*$", s, re.I):
         return TxnStmt("rollback")
+
+    m = re.match(r"CREATE\s+TEMPORARY\s+(TABLE\b.*)$", s, re.I | re.S)
+    if m:
+        stmt = parse_statement("CREATE " + m.group(1))
+        if isinstance(stmt, CreateTable):
+            stmt.meta.temporary = True
+            return stmt
+        if isinstance(stmt, (CreateTableAs, CreateTableLike)):
+            stmt.temporary = True
+            return stmt
+        raise ValueError("TEMPORARY applies to CREATE TABLE forms only")
+    m = re.match(r"DROP\s+TEMPORARY\s+(TABLE\b.*)$", s, re.I | re.S)
+    if m:
+        return parse_statement("DROP " + m.group(1))
+
+    # Maintenance statements (MySQL table admin surface). CHECK/REPAIR
+    # report per-table status rows; CHECKSUM computes a REAL content
+    # checksum (hash aggregate) — snapshot storage can't be
+    # "corrupted-but-repairable", so OK is the truthful answer.
+    m = re.match(
+        r"(CHECK|CHECKSUM|REPAIR)\s+TABLE\s+(.+?)"
+        r"(?:\s+(?:QUICK|FAST|MEDIUM|EXTENDED|CHANGED))*\s*$",
+        s, re.I,
+    )
+    if m:
+        targets = [
+            unquote_ident(t.strip())
+            for t in split_top_level(m.group(2), ",")
+            if t.strip()
+        ]
+        return Maintenance(m.group(1).lower(), targets)
+
+    # Administrative no-ops: single-process snapshot engine has no
+    # handler caches, privilege caches, or killable threads.
+    if re.match(
+        r"(FLUSH\s+\w[\w\s,]*|KILL(\s+(QUERY|CONNECTION))?\s+\d+|"
+        r"RESET\s+QUERY\s+CACHE)\s*$",
+        s, re.I,
+    ):
+        return Show("noop_admin")
+
+    m = re.match(r"DO\s+(.+)$", s, re.I | re.S)
+    if m:
+        return DoStmt(m.group(1).strip())
 
     raise ValueError(f"unsupported statement: {s[:120]!r}")

@@ -343,3 +343,86 @@ def test_show_fields_alias(engine):
     a = [tuple(r) for r in engine.execute("SHOW COLUMNS FROM sfa").collect()]
     b = [tuple(r) for r in engine.execute("SHOW FIELDS FROM sfa").collect()]
     assert a == b and len(a) == 2
+
+
+def test_maintenance_statements(engine):
+    engine.execute("CREATE TABLE mt1 (id INT PRIMARY KEY, v INT)")
+    engine.execute("INSERT INTO mt1 VALUES (1, 10), (2, 20)")
+    chk = engine.execute("CHECK TABLE mt1").collect()
+    assert chk[0].Msg_text == "OK"
+    rep = engine.execute("REPAIR TABLE mt1").collect()
+    assert rep[0].Msg_text == "OK"
+    bad = engine.execute("CHECK TABLE missing_tbl").collect()
+    assert bad[0].Msg_type == "Error"
+    # CHECKSUM is a real content checksum: stable across calls, changes
+    # with the data, order-independent
+    c1 = engine.execute("CHECKSUM TABLE mt1").collect()[0].Checksum
+    c2 = engine.execute("CHECKSUM TABLE mt1").collect()[0].Checksum
+    assert c1 == c2
+    engine.execute("INSERT INTO mt1 VALUES (3, 30)")
+    c3 = engine.execute("CHECKSUM TABLE mt1").collect()[0].Checksum
+    assert c3 != c1
+    # OPTIMIZE TABLE spelling (MySQL) routes to the OPTIMIZE rewrite
+    engine.execute("OPTIMIZE TABLE mt1")
+    assert engine.execute("SELECT COUNT(*) AS n FROM mt1").collect()[0].n == 3
+
+
+def test_admin_noops_and_do(engine):
+    for q in ("FLUSH TABLES", "FLUSH LOGS", "FLUSH PRIVILEGES",
+              "KILL 42", "KILL QUERY 42", "RESET QUERY CACHE"):
+        r = engine.execute(q)
+        assert r.affected_rows == 0, q
+    assert engine.execute("DO 1+1").affected_rows == 0
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        engine.execute("DO unknown_fn_xyz(1)")
+
+
+def test_explain_variants(engine):
+    engine.execute("CREATE TABLE ex1 (id INT PRIMARY KEY)")
+    for q in ("EXPLAIN SELECT * FROM ex1",
+              "EXPLAIN FORMAT=TREE SELECT * FROM ex1",
+              "EXPLAIN ANALYZE SELECT * FROM ex1"):
+        rows = engine.execute(q).collect()
+        assert rows and "Scan" in str(rows[0]) or rows, q
+
+
+def test_txn_access_modifiers(engine):
+    engine.execute("CREATE TABLE txm (id INT PRIMARY KEY)")
+    engine.execute("START TRANSACTION READ ONLY")
+    engine.execute("INSERT INTO txm VALUES (1)")
+    engine.execute("COMMIT")
+    engine.execute("START TRANSACTION WITH CONSISTENT SNAPSHOT, READ WRITE")
+    engine.execute("ROLLBACK")
+    assert engine.execute("SELECT COUNT(*) AS n FROM txm").collect()[0].n == 1
+
+
+def test_temporary_tables(spark, tmp_path):
+    from myduckserver_spark.engine import Engine
+
+    wh = str(tmp_path / "whtmp")
+    e = Engine(spark, wh)
+    e.execute("CREATE TABLE perm (id INT PRIMARY KEY)")
+    e.execute("CREATE TEMPORARY TABLE tt (a INT PRIMARY KEY, b INT)")
+    e.execute("INSERT INTO tt VALUES (1, 2)")
+    e.execute("CREATE TEMPORARY TABLE tt2 AS SELECT * FROM perm")
+    # hidden from SHOW TABLES (MySQL semantics), still queryable
+    tabs = {r[0] for r in e.execute("SHOW TABLES").collect()}
+    assert "perm" in tabs and "tt" not in tabs and "tt2" not in tabs
+    assert e.execute("SELECT b FROM tt").collect()[0].b == 2
+    e.execute("DROP TEMPORARY TABLE tt2")
+    # connection-end semantics: a new engine over the warehouse drops
+    # leftover temp tables, permanent ones survive
+    e2 = Engine(spark, wh)
+    assert {r[0] for r in e2.execute("SHOW TABLES").collect()} == {"perm"}
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        e2.execute("SELECT * FROM tt").collect()
+
+
+def test_alter_comment_and_engine_options(engine):
+    engine.execute("CREATE TABLE ac (id INT PRIMARY KEY)")
+    engine.execute("ALTER TABLE ac COMMENT = 'hello world'")
+    assert engine.table_meta("ac").stats.get("comment") == "hello world"
+    engine.execute("ALTER TABLE ac ENGINE = InnoDB")  # accepted no-op
+    engine.execute("ALTER TABLE ac ROW_FORMAT = DYNAMIC")
