@@ -1033,7 +1033,8 @@ def _jt_spark_type(mysql_type: str) -> str:
 def _jt_parse_cols(col_defs):
     """Recursively parse a JSON_TABLE COLUMNS(...) list.
 
-    Returns {"scalars": [(name, keys, sparktype)], "ordinal": name|None,
+    Returns {"scalars": [(name, keys, sparktype, leaftype, tmpl)],
+    "ordinal": name|None,
     "nested": [node...], "order": [(kind, entry)...]} where each nested
     node is {"keys": [...], "spec": child-spec}; "order" preserves the
     MySQL definition order for output columns. None = unsupported form
@@ -1076,6 +1077,28 @@ def _jt_parse_cols(col_defs):
             spec["order"].append(("nested", node))
             continue
         m = re.match(
+            r"(`[^`]+`|\w+)\s+(.+?)\s+EXISTS\s+PATH\s+'\$((?:\.\w+)*)'\s*$",
+            text, re.I | re.S,
+        )
+        if m:
+            # EXISTS PATH: 1/0 whether the path locates data. A JSON
+            # null IS data (MySQL returns 1), so the leaf must be
+            # variant — from_json's typed leaves conflate json-null
+            # with missing, variant leaves don't (SQL NULL = missing,
+            # variant-null = explicit null).
+            styp = _jt_spark_type(m.group(2))
+            keypath = m.group(3).lstrip(".")
+            ent = (
+                m.group(1).strip("`"),
+                keypath.split(".") if keypath else [],
+                styp,
+                "variant",
+                f"CAST(CAST((__ACC__ IS NOT NULL) AS int) AS {styp})",
+            )
+            spec["scalars"].append(ent)
+            spec["order"].append(("scalar", ent))
+            continue
+        m = re.match(
             r"(`[^`]+`|\w+)\s+(.+?)\s+PATH\s+'\$((?:\.\w+)*)'"
             r"((?:\s+(?:NULL|ERROR|DEFAULT\s+'(?:[^']|'')*')"
             r"\s+ON\s+(?:EMPTY|ERROR))*)\s*$",
@@ -1083,45 +1106,83 @@ def _jt_parse_cols(col_defs):
         )
         if not m:
             return None
+        name = m.group(1).strip("`")
         styp = _jt_spark_type(m.group(2))
-        defaults = {}
+        clauses = {}
         for cm in re.finditer(
             r"(NULL|ERROR|DEFAULT\s+'((?:[^']|'')*)')\s+ON\s+(EMPTY|ERROR)",
             m.group(4) or "", re.I,
         ):
             kw = cm.group(1).upper()
+            which = cm.group(3).upper()
             if kw == "ERROR":
-                return None  # ERROR ON EMPTY/ERROR: data-dependent
-                # raise — rejected rather than mistranslated
-            if kw.startswith("DEFAULT"):
-                d = _jt_default_sql(cm.group(2), styp)
-                if d is None:
+                clauses[which] = ("error", None)
+            elif kw.startswith("DEFAULT"):
+                lit = _jt_lit_cast(cm.group(2), styp)
+                if lit is None:
                     return None
-                defaults[cm.group(3).upper()] = d
+                clauses[which] = ("default", lit)
             # NULL ON EMPTY / NULL ON ERROR are the default behavior
-        # from_json conflates missing/uncoercible/null into NULL, so one
-        # coalesce serves both clauses; when both carry defaults the ON
-        # EMPTY one wins (missing data is what the NULL conflation
-        # almost always means)
-        default_sql = defaults.get("EMPTY", defaults.get("ERROR"))
+        # DEFAULT/ERROR clauses need the missing-vs-json-null-vs-
+        # uncoercible distinction, which only a variant leaf preserves;
+        # clause-free columns (and explicit NULL ON ...) stay on the
+        # typed fast path where every one of those cases is NULL anyway.
+        clauses = {k: v for k, v in clauses.items() if v[0] != "null"}
         keypath = m.group(3).lstrip(".")
+        if clauses:
+            leaf = "variant"
+            tmpl = _jt_clause_tmpl(styp, clauses, name)
+        else:
+            leaf = styp
+            tmpl = "__ACC__"
         ent = (
-            m.group(1).strip("`"),
+            name,
             keypath.split(".") if keypath else [],
             styp,
-            default_sql,
+            leaf,
+            tmpl,
         )
         spec["scalars"].append(ent)
         spec["order"].append(("scalar", ent))
     return spec
 
 
-def _jt_default_sql(raw: str, sparktype: str):
-    """DEFAULT '<json literal>' ON EMPTY/ERROR -> a CAST fallback
-    expression. MySQL fires ON EMPTY for a MISSING path and ON ERROR
-    for an uncoercible value; from_json yields NULL for both (and for
-    an explicit JSON null — the one conflation of this mapping), so a
-    single coalesce covers the clause pair."""
+def _jt_clause_tmpl(styp: str, clauses: dict, colname: str) -> str:
+    """Exact MySQL ON EMPTY / ON ERROR over a variant leaf:
+    missing path (SQL NULL)  -> ON EMPTY behavior,
+    explicit JSON null       -> SQL NULL (no clause fires, per manual),
+    present value            -> typed coercion; uncoercible -> ON ERROR
+    (variant_get raises, try_variant_get yields NULL/default)."""
+    e_kind, e_lit = clauses.get("EMPTY", ("null", None))
+    r_kind, r_lit = clauses.get("ERROR", ("null", None))
+    if e_kind == "error":
+        empty = (
+            f"CAST(raise_error('Missing value for JSON_TABLE column"
+            f" {colname} (ERROR ON EMPTY)') AS {styp})"
+        )
+    elif e_kind == "default":
+        empty = e_lit
+    else:
+        empty = f"CAST(NULL AS {styp})"
+    if r_kind == "error":
+        coerce = f"variant_get(__ACC__, '$', '{styp}')"
+    elif r_kind == "default":
+        coerce = (
+            f"coalesce(try_variant_get(__ACC__, '$', '{styp}'), {r_lit})"
+        )
+    else:
+        coerce = f"try_variant_get(__ACC__, '$', '{styp}')"
+    return (
+        f"CASE WHEN __ACC__ IS NULL THEN {empty}"
+        f" WHEN is_variant_null(__ACC__) THEN CAST(NULL AS {styp})"
+        f" ELSE {coerce} END"
+    )
+
+
+def _jt_lit_cast(raw: str, sparktype: str):
+    """DEFAULT '<json literal>' ON EMPTY/ERROR -> `CAST(lit AS type)`
+    SQL for the fallback value. None = unrepresentable (array/object
+    defaults, out of scope)."""
     import json as _json
 
     inner = raw.replace("''", "'")
@@ -1130,8 +1191,8 @@ def _jt_default_sql(raw: str, sparktype: str):
     except Exception:
         v = inner
     if v is None:
-        return None  # DEFAULT 'null' adds nothing over NULL ON EMPTY
-    if isinstance(v, bool):
+        lit = "NULL"  # DEFAULT 'null' == NULL ON EMPTY/ERROR
+    elif isinstance(v, bool):
         lit = "true" if v else "false"
     elif isinstance(v, str):
         lit = "'" + v.replace("'", "''") + "'"
@@ -1139,7 +1200,7 @@ def _jt_default_sql(raw: str, sparktype: str):
         lit = repr(v)
     else:
         return None  # array/object defaults: out of scope
-    return f"coalesce(__ACC__, CAST({lit} AS {sparktype}))"
+    return f"CAST({lit} AS {sparktype})"
 
 
 def _jt_merge(a, b):
@@ -1192,13 +1253,13 @@ def _jt_level_tree(spec):
     if bare:
         if spec["nested"] or len(bare) != len(spec["scalars"]):
             return None  # element can't be both scalar and object
-        t = bare[0][2]
-        if any(e[2] != t for e in bare):
+        t = bare[0][3]
+        if any(e[3] != t for e in bare):
             return None
         return t
     tree: dict = {}
-    for name, keys, styp, _default in spec["scalars"]:
-        if not _jt_tree_insert(tree, keys, styp):
+    for _name, keys, _styp, leaf, _tmpl in spec["scalars"]:
+        if not _jt_tree_insert(tree, keys, leaf):
             return None
     for node in spec["nested"]:
         sub = _jt_level_tree(node["spec"])
@@ -1319,11 +1380,11 @@ def _jt_generate(spec, src_expr: str):
                         f" AS `{sp['ordinal']}`"
                     )
             elif kind == "scalar":
-                name, keys, _styp, default_sql = ent
+                name, keys, _styp, _leaf, tmpl = ent
                 acc = base + "".join(f".`{k}`" for k in keys)
-                if default_sql is not None:
-                    acc = default_sql.replace("__ACC__", acc)
-                projections.append(f"{acc} AS `{name}`")
+                projections.append(
+                    f"{tmpl.replace('__ACC__', acc)} AS `{name}`"
+                )
             else:
                 child = ent
                 cbase = f"__jt_u{depth + 1}.`__s{child['j']}`"

@@ -215,13 +215,66 @@ def test_default_string_and_null_clauses(spark):
     assert [r.y for r in spark.sql(sql2).collect()] == [None]
 
 
-def test_error_on_empty_rejected():
-    # data-dependent raise: rejected rather than mistranslated
-    out = translate_mysql(
+def test_error_on_empty_raises_only_when_empty(spark):
+    # ERROR ON EMPTY: runtime raise for a MISSING path, silent otherwise
+    sql = translate_mysql(
+        "SELECT * FROM JSON_TABLE('[{\"z\":5}]', '$[*]' COLUMNS ("
+        "z INT PATH '$.z' ERROR ON EMPTY)) t"
+    )
+    assert [r.z for r in spark.sql(sql).collect()] == [5]
+    sql = translate_mysql(
         "SELECT * FROM JSON_TABLE('[{}]', '$[*]' COLUMNS ("
         "z INT PATH '$.z' ERROR ON EMPTY)) t"
     )
-    assert "JSON_TABLE" in out.upper()
+    with pytest.raises(Exception, match="ERROR ON EMPTY"):
+        spark.sql(sql).collect()
+
+
+def test_error_on_error_raises_only_on_uncoercible(spark):
+    sql = translate_mysql(
+        "SELECT * FROM JSON_TABLE('[{\"z\":3},{}]', '$[*]' COLUMNS ("
+        "z INT PATH '$.z' ERROR ON ERROR)) t"
+    )
+    assert sorted(r.z for r in spark.sql(sql).collect()
+                  if r.z is not None) == [3]
+    sql = translate_mysql(
+        "SELECT * FROM JSON_TABLE('[{\"z\":\"xx\"}]', '$[*]' COLUMNS ("
+        "z INT PATH '$.z' ERROR ON ERROR)) t"
+    )
+    with pytest.raises(Exception):
+        spark.sql(sql).collect()
+
+
+def test_exists_path(spark):
+    # MySQL: 1 when the path locates data — an explicit JSON null IS
+    # data (1); only a missing path gives 0
+    sql = translate_mysql(
+        "SELECT * FROM JSON_TABLE('"
+        '[{"a":1},{"a":null},{}]'
+        "', '$[*]' COLUMNS (e INT EXISTS PATH '$.a'))"
+        " t"
+    )
+    assert [r.e for r in spark.sql(sql).collect()] == [1, 1, 0]
+
+
+def test_default_not_applied_to_explicit_json_null(spark):
+    # exact ON EMPTY semantics: json null is present data -> SQL NULL,
+    # NOT the DEFAULT (the variant-leaf distinction)
+    sql = translate_mysql(
+        "SELECT * FROM JSON_TABLE('"
+        '[{"a":1},{"a":null},{}]'
+        "', '$[*]' COLUMNS (a INT PATH '$.a' DEFAULT '7' ON EMPTY)) t"
+    )
+    assert [r.a for r in spark.sql(sql).collect()] == [1, None, 7]
+
+
+def test_default_on_error_uncoercible(spark):
+    sql = translate_mysql(
+        "SELECT * FROM JSON_TABLE('"
+        '[{"a":"zz"},{"a":3},{}]'
+        "', '$[*]' COLUMNS (a INT PATH '$.a' DEFAULT '-2' ON ERROR)) t"
+    )
+    assert [r.a for r in spark.sql(sql).collect()] == [-2, 3, None]
 
 
 def test_default_inside_nested_path(spark):
