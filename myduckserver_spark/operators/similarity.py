@@ -98,6 +98,81 @@ def cosine_topk(
     )
 
 
+def cosine_topk_np(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+) -> DataFrame:
+    """Exact brute-force top-k via Arrow-batched numpy matmul — the
+    scale path for wide corpora.
+
+    Same contract as :func:`cosine_topk` (ROUND(sim, 6) rank key, id
+    tiebreak, self-match excluded) but the dot products run as ONE
+    `V @ Q.T` per Arrow batch (BLAS/SIMD) instead of interpreted
+    higher-order functions per pair — at 100 TB the per-element
+    interpreter dispatch is the bottleneck, not the arithmetic. Each
+    batch emits only its local top-k per query (k x |queries| rows per
+    batch, a per-partition combine), so the final window ranks a
+    candidate set bounded by k x |queries| x n_batches, never the
+    corpus. Rounding is HALF_UP to 6 decimals to match Spark/DuckDB
+    ROUND; the two implementations agree exactly unless an unrounded
+    sim sits within ~1e-15 of a 5e-7 rounding boundary (sum-order FP
+    noise), which the rank key's rounding is there to absorb.
+
+    The query set is collected to the driver and closed over (same
+    bounded-broadcast contract as cosine_topk's broadcast join).
+    """
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(query_id_col if query_id_col in queries.columns
+                           else id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    Qn = np.sqrt((Q * Q).sum(axis=1))
+
+    def _round6(x):
+        # Spark/DuckDB ROUND: HALF_UP (half away from zero)
+        return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+    def score_batches(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Vn = np.sqrt((V * V).sum(axis=1))
+            sims = _round6((V @ Q.T) / np.outer(Vn, Qn))
+            parts = []
+            for j in range(len(qids)):
+                col = sims[:, j]
+                idx = np.nonzero(ids != qids[j])[0]
+                if idx.size == 0:
+                    continue
+                # (sim desc, id asc): lexsort's LAST key is primary
+                order = np.lexsort((ids[idx], -col[idx]))[:k]
+                sel = idx[order]
+                parts.append(pd.DataFrame({
+                    query_id_col: np.full(sel.size, qids[j]),
+                    id_col: ids[sel],
+                    "sim": col[sel],
+                }))
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(
+        score_batches, f"{query_id_col} long, {id_col} long, sim double"
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        cand.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k)
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,

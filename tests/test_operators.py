@@ -85,6 +85,20 @@ def test_cosine_topk_self_similarity(spark):
     assert ranked[0] == (2, 1)  # nearest neighbor of e1 is e2
 
 
+def test_cosine_topk_np_matches_hof_twin(spark):
+    # the Arrow-batched numpy matmul path must reproduce the
+    # higher-order-function baseline exactly (same ROUND(sim,6) rank
+    # key, id tiebreak, self-match exclusion) on real data
+    from myduckserver_spark.operators.similarity import cosine_topk_np
+    from myduckserver_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    a = sorted(tuple(r) for r in cosine_topk(emb, q, k=5).collect())
+    b = sorted(tuple(r) for r in cosine_topk_np(emb, q, k=5).collect())
+    assert a == b and len(a) == 25
+
+
 def test_ivf_search_finds_in_bucket_neighbor(spark):
     emb = spark.createDataFrame(
         [
