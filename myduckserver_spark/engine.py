@@ -2223,6 +2223,21 @@ class Engine:
         self._check_read_only(s)
         if isinstance(s, st.SelectIntoOutfile):
             return self._exec_select_into_outfile(s, dialect)
+        if isinstance(s, st.SelectIntoVars):
+            rows = self.sql(s.query, dialect=dialect).collect()
+            if len(rows) > 1:
+                raise ValueError("Result consisted of more than one row")
+            if not rows:  # MySQL: warning, variables untouched
+                return OkResult(info="no rows: variables unchanged")
+            if len(rows[0]) != len(s.vars):
+                raise ValueError(
+                    "The used SELECT statements have a different number "
+                    f"of columns ({len(rows[0])}) than the INTO list "
+                    f"({len(s.vars)})"
+                )
+            for vname, val in zip(s.vars, rows[0]):
+                self.variables[vname] = val
+            return OkResult(affected_rows=1)
         if isinstance(s, st.Query):
             q = s.sql
             assigns: list[tuple[str, str]] = []
@@ -2818,6 +2833,11 @@ class Engine:
         elif s.action == "set_comment":
             meta = self.table_meta(s.name)
             meta.stats["comment"] = s.default
+            self._save_meta(s.name, meta)
+        elif s.action == "set_charset":
+            # strings are always UTF-8 in Spark; record the declaration
+            meta = self.table_meta(s.name)
+            meta.stats["charset"] = s.default
             self._save_meta(s.name, meta)
         elif s.action == "noop_option":
             pass  # physical storage options: meaningless for parquet
@@ -4270,9 +4290,31 @@ class Engine:
                     None if default is None else str(default),
                     extra,
                 ))
+            if s.like:  # SHOW COLUMNS ... LIKE / DESCRIBE t col
+                rx = _like_to_re(s.like)
+                rows = [r for r in rows if rx.match(r[0])]
             return self.spark.createDataFrame(
                 rows, "Field string, Type string, Null string, Key string, "
                       "Default string, Extra string",
+            )
+        if s.kind == "create_database":
+            return self.spark.createDataFrame(
+                [(s.target,
+                  f"CREATE DATABASE `{s.target}` /*!40100 DEFAULT "
+                  "CHARACTER SET utf8mb4 */")],
+                "Database string, `Create Database` string",
+            )
+        if s.kind == "profiles":
+            # profiling is always off: empty set (MySQL's default)
+            return self.spark.createDataFrame(
+                [], "Query_ID int, Duration double, Query string"
+            )
+        if s.kind == "engine_status":
+            return self.spark.createDataFrame(
+                [("parquet-spark", s.target,
+                  "versioned parquet snapshots; no engine-internal "
+                  "buffers or mutexes to report")],
+                "Type string, Name string, Status string",
             )
         if s.kind == "create_table":
             schema = self.catalog.table(s.target).read().schema

@@ -340,6 +340,11 @@ def parse_literal(tok: str, exact_decimals: bool = False):
         return False
     if up == "DEFAULT":
         return _DEFAULT
+    # charset introducers (_utf8mb4'x', _binary'x', N'x') — mysqldump
+    # emits these routinely; the bytes themselves are already decoded
+    m = re.fullmatch(r"(?:_\w+\s*|[Nn])('(?:[^'\\]|\\.|'')*')", t)
+    if m:
+        return parse_literal(m.group(1), exact_decimals)
     if (t.startswith("'") and t.endswith("'")) or (
         t.startswith('"') and t.endswith('"')
     ):
@@ -820,6 +825,16 @@ class Show:
 
 
 @dataclass
+class SelectIntoVars:
+    """SELECT ... INTO @a, @b — single-row select assigned to user
+    variables (MySQL errors on >1 row; 0 rows leaves them untouched
+    with a warning). The query text has the INTO clause stripped."""
+
+    query: str
+    vars: list[str]
+
+
+@dataclass
 class SelectIntoOutfile:
     """SELECT ... INTO OUTFILE 'path' [FIELDS ...] [LINES ...]
     (reference: GMS TestSelectIntoFile, main_test.go; MySQL server-side
@@ -1132,6 +1147,14 @@ def bind_placeholders(sql: str, literals: list[str]) -> str:
 
 _STR_LIT = r"'(?:[^'\\]|\\.|'')*'"
 
+# MySQL index options accepted (and ignored — parquet snapshots have no
+# physical index structure to tune): USING BTREE/HASH, visibility,
+# comments, block size
+_INDEX_OPTS = (
+    r"(?:\s*(?:USING\s+\w+|VISIBLE|INVISIBLE|COMMENT\s+'[^']*'|"
+    r"KEY_BLOCK_SIZE\s*=?\s*\w+))*\s*"
+)
+
 
 def _parse_into_outfile(s: str) -> SelectIntoOutfile | None:
     """Detect and strip a top-level INTO OUTFILE clause from a SELECT."""
@@ -1173,15 +1196,42 @@ def _parse_into_outfile(s: str) -> SelectIntoOutfile | None:
     )
 
 
+def _parse_into_vars(s: str) -> "SelectIntoVars | None":
+    """Detect and strip a top-level `INTO @a[, @b...]` clause (MySQL
+    SELECT-into-user-variables; allowed before FROM or at the end)."""
+    masked = mask_strings(s)
+    m = re.search(r"\bINTO\s+(@\w+(?:\s*,\s*@\w+)*)(?!\s*\()", masked, re.I)
+    if not m:
+        return None
+    names = [v.strip()[1:] for v in m.group(1).split(",")]
+    query = (s[: m.start()].rstrip() + " " + s[m.end():].lstrip()).strip()
+    return SelectIntoVars(query=query, vars=names)
+
+
 def parse_statement(sql: str):
     """One statement string → a typed statement object."""
     s = strip_comments(sql).strip().rstrip(";").strip()
+    # MySQL DML priority/speed modifiers are scheduler hints with no
+    # analog in a snapshot engine — strip them (DELETE IGNORE's error
+    # suppression targets FK cascades, which deletes here never raise)
+    s = re.sub(
+        r"(?i)^(INSERT|REPLACE)\s+(?:LOW_PRIORITY|DELAYED|HIGH_PRIORITY)\s+",
+        r"\1 ", s,
+    )
+    s = re.sub(
+        r"(?i)^DELETE\s+(?:(?:LOW_PRIORITY|QUICK|IGNORE)\s+)+FROM\s+",
+        "DELETE FROM ", s,
+    )
+    s = re.sub(r"(?i)^UPDATE\s+LOW_PRIORITY\s+", "UPDATE ", s)
     up = s.upper()
 
     if up.startswith(("SELECT", "WITH")):
         into = _parse_into_outfile(s)
         if into is not None:
             return into
+        into_v = _parse_into_vars(s)
+        if into_v is not None:
+            return into_v
 
     if up.startswith("WITH"):
         # MySQL 8 allows WITH before UPDATE/DELETE too; peel the CTE
@@ -1378,7 +1428,7 @@ def parse_statement(sql: str):
                               column=unquote_ident(am.group(1)))
         am = re.match(
             r"ADD\s+(UNIQUE\s+)?(?:INDEX|KEY)\s+(`[^`]+`|\w+)\s*"
-            r"\(([^)]*)\)\s*$",
+            r"\(([^)]*)\)" + _INDEX_OPTS + r"$",
             rest,
             re.I,
         )
@@ -1442,6 +1492,15 @@ def parse_statement(sql: str):
             rest, re.I,
         ):
             return AlterTable(name, "noop_option")
+        # charset/collation declarations: strings are always UTF-8 in
+        # Spark; the declared charset is recorded as table metadata
+        am = re.fullmatch(
+            r"(?:CONVERT\s+TO\s+|DEFAULT\s+)?(?:CHARACTER\s+SET|CHARSET)"
+            r"\s*=?\s*(\w+)(?:\s+COLLATE\s*=?\s*\w+)?",
+            rest, re.I,
+        )
+        if am:
+            return AlterTable(name, "set_charset", default=am.group(1))
         raise ValueError(f"unsupported ALTER TABLE action: {rest!r}")
 
     m = re.match(
@@ -1726,9 +1785,30 @@ def parse_statement(sql: str):
     m = re.match(r"(?:DESCRIBE|DESC)\s+(`[^`]+`|\w+)\s*$", s, re.I)
     if m:
         return Show("columns", target=unquote_ident(m.group(1)))
+    # DESCRIBE t col — one column (a LIKE pattern is also legal there)
+    m = re.match(
+        r"(?:DESCRIBE|DESC)\s+(`[^`]+`|\w+)\s+(`[^`]+`|\w+|'[^']*')\s*$",
+        s, re.I,
+    )
+    if m:
+        col = m.group(2)
+        like = parse_literal(col) if col.startswith("'") \
+            else unquote_ident(col)
+        return Show("columns", target=unquote_ident(m.group(1)), like=like)
     m = re.match(r"SHOW\s+CREATE\s+TABLE\s+(`[^`]+`|\w+)\s*$", s, re.I)
     if m:
         return Show("create_table", target=unquote_ident(m.group(1)))
+    m = re.match(
+        r"SHOW\s+CREATE\s+(?:DATABASE|SCHEMA)\s+"
+        r"(?:IF\s+NOT\s+EXISTS\s+)?(`[^`]+`|\w+)\s*$", s, re.I,
+    )
+    if m:
+        return Show("create_database", target=unquote_ident(m.group(1)))
+    if re.match(r"SHOW\s+PROFILES?\s*$", s, re.I):
+        return Show("profiles")  # profiling is off: empty set, like MySQL
+    m = re.match(r"SHOW\s+ENGINE\s+(\w+)\s+(?:STATUS|MUTEX)\s*$", s, re.I)
+    if m:
+        return Show("engine_status", target=m.group(1))
     m = re.match(r"SHOW\s+CREATE\s+VIEW\s+(`[^`]+`|\w+)\s*$", s, re.I)
     if m:
         return Show("create_view", target=unquote_ident(m.group(1)))
@@ -1891,7 +1971,8 @@ def parse_statement(sql: str):
     m = re.match(
         r"CREATE\s+(UNIQUE\s+|FULLTEXT\s+)?INDEX\s+(`[^`]+`|\w+)\s+ON\s+"
         r"(`[^`]+`|\w+)\s*"
-        r"\((.*)\)\s*$",  # greedy: column items may carry (10) prefixes
+        # greedy cols: column items may carry (10) prefixes
+        r"\((.*)\)" + _INDEX_OPTS + r"$",
         s,
         re.I,
     )

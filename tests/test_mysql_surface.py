@@ -426,3 +426,67 @@ def test_alter_comment_and_engine_options(engine):
     assert engine.table_meta("ac").stats.get("comment") == "hello world"
     engine.execute("ALTER TABLE ac ENGINE = InnoDB")  # accepted no-op
     engine.execute("ALTER TABLE ac ROW_FORMAT = DYNAMIC")
+
+
+def test_select_into_user_vars(engine):
+    engine.execute("CREATE TABLE siv (id INT PRIMARY KEY, v INT)")
+    engine.execute("INSERT INTO siv VALUES (1, 10), (2, 20)")
+    engine.execute("SELECT id, v INTO @si, @sv FROM siv WHERE id = 2")
+    row = engine.execute("SELECT @si AS a, @sv + 1 AS b").collect()[0]
+    assert (row.a, row.b) == (2, 21)
+    # MySQL contract: >1 row errors; 0 rows leaves variables untouched
+    with pytest.raises(ValueError, match="more than one row"):
+        engine.execute("SELECT id INTO @x FROM siv")
+    engine.execute("SELECT id INTO @si FROM siv WHERE id = 999")
+    assert engine.execute("SELECT @si AS a").collect()[0].a == 2
+    with pytest.raises(ValueError, match="different number"):
+        engine.execute("SELECT id, v INTO @only FROM siv WHERE id = 1")
+
+
+def test_show_create_database_profiles_engine_status(engine):
+    r = engine.execute("SHOW CREATE DATABASE main").collect()
+    assert r[0][0] == "main" and "CREATE DATABASE" in r[0][1]
+    assert engine.execute("SHOW PROFILES").collect() == []
+    r = engine.execute("SHOW ENGINE INNODB STATUS").collect()
+    assert r[0].Name == "INNODB"
+
+
+def test_alter_charset_and_index_options(engine):
+    engine.execute("CREATE TABLE aco (id INT PRIMARY KEY, name TEXT, v INT)")
+    engine.execute("ALTER TABLE aco CONVERT TO CHARACTER SET utf8mb4")
+    assert engine.table_meta("aco").stats.get("charset") == "utf8mb4"
+    engine.execute(
+        "ALTER TABLE aco DEFAULT CHARACTER SET = latin1 COLLATE = latin1_bin"
+    )
+    assert engine.table_meta("aco").stats.get("charset") == "latin1"
+    engine.execute("CREATE INDEX acoix ON aco (name) USING BTREE")
+    engine.execute("ALTER TABLE aco ADD INDEX acoix2 (v) VISIBLE")
+    engine.execute(
+        "CREATE UNIQUE INDEX acoix3 ON aco (id) USING HASH "
+        "COMMENT 'c' KEY_BLOCK_SIZE=8"
+    )
+    names = {r.Key_name for r in
+             engine.execute("SHOW INDEXES FROM aco").collect()}
+    assert {"acoix", "acoix2", "acoix3"} <= names
+
+
+def test_describe_single_column(engine):
+    engine.execute("CREATE TABLE dsc (id INT PRIMARY KEY, name TEXT)")
+    rows = engine.execute("DESCRIBE dsc id").collect()
+    assert len(rows) == 1 and rows[0].Field == "id"
+    rows = engine.execute("DESC dsc 'na%'").collect()
+    assert len(rows) == 1 and rows[0].Field == "name"
+
+
+def test_charset_introducers_and_dml_modifiers(engine):
+    engine.execute("CREATE TABLE cim (id INT PRIMARY KEY, s TEXT)")
+    engine.execute("INSERT INTO cim VALUES (1, _utf8mb4'héllo')")
+    engine.execute("INSERT INTO cim VALUES (2, N'n-str')")
+    engine.execute("INSERT LOW_PRIORITY INTO cim VALUES (3, 'lp')")
+    engine.execute("INSERT DELAYED INTO cim VALUES (4, 'dl')")
+    engine.execute("UPDATE LOW_PRIORITY cim SET s = 'upd' WHERE id = 3")
+    engine.execute("DELETE QUICK FROM cim WHERE id = 4")
+    engine.execute("DELETE LOW_PRIORITY IGNORE FROM cim WHERE id = 999")
+    got = {r.id: r.s for r in
+           engine.execute("SELECT id, s FROM cim").collect()}
+    assert got == {1: "héllo", 2: "n-str", 3: "upd"}
