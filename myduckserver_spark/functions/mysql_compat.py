@@ -492,7 +492,65 @@ _FN_HANDLERS = {
         f"AS STRING), CAST(CAST({a[0]} AS BIGINT) & 255 AS STRING))"
         if len(a) == 1 else None
     ),
+    # full-form and '::'-compressed IPv6 (no embedded-IPv4 tail — the
+    # rare mixed notation stays unrecognized rather than half-parsed)
+    "IS_IPV6": lambda a: (
+        f"cast({a[0]} rlike "
+        "'^(([0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}"
+        "|([0-9A-Fa-f]{1,4}:){1,7}:"
+        "|:(:[0-9A-Fa-f]{1,4}){1,7}"
+        "|([0-9A-Fa-f]{1,4}:){1,6}(:[0-9A-Fa-f]{1,4}){1,6}|::)$' as int)"
+        if len(a) == 1 else None
+    ),
+    # collect_list drops NULLs; the struct wrapper keeps them so MySQL's
+    # json-null elements survive
+    "JSON_ARRAYAGG": lambda a: (
+        f"to_json(transform(collect_list(struct(({a[0]}) AS v)),"
+        " __s -> __s.v))"
+        if len(a) == 1 else None
+    ),
+    # duplicate keys need spark.sql.mapKeyDedupPolicy=LAST_WIN (set by
+    # build_session) for MySQL's last-wins; key order is insertion
+    # order, not MySQL's normalized ordering
+    "JSON_OBJECTAGG": lambda a: (
+        f"to_json(map_from_entries(collect_list("
+        f"struct(cast(({a[0]}) as string), ({a[1]})))))"
+        if len(a) == 2 else None
+    ),
+    # INTERVAL(N, N1..Nn): index of the last threshold <= N (args
+    # assumed ascending, MySQL's contract); NULL N -> -1
+    "INTERVAL": lambda a: (
+        f"(CASE WHEN ({a[0]}) IS NULL THEN -1 ELSE "
+        f"size(filter(array({', '.join(a[1:])}),"
+        f" __t -> ({a[0]}) >= __t)) END)"
+        if len(a) >= 2 else None
+    ),
+    "GET_FORMAT": lambda a: _fn_get_format(a),
 }
+
+
+def _fn_get_format(a):
+    if len(a) != 2:
+        return None
+    typ = a[0].strip().upper()
+    if typ == "TIMESTAMP":
+        typ = "DATETIME"
+    reg = a[1].strip().upper().strip("'")
+    table = {
+        ("DATE", "USA"): "%m.%d.%Y", ("DATE", "JIS"): "%Y-%m-%d",
+        ("DATE", "ISO"): "%Y-%m-%d", ("DATE", "EUR"): "%d.%m.%Y",
+        ("DATE", "INTERNAL"): "%Y%m%d",
+        ("TIME", "USA"): "%h:%i:%s %p", ("TIME", "JIS"): "%H:%i:%s",
+        ("TIME", "ISO"): "%H:%i:%s", ("TIME", "EUR"): "%H.%i.%s",
+        ("TIME", "INTERNAL"): "%H%i%s",
+        ("DATETIME", "USA"): "%Y-%m-%d %H.%i.%s",
+        ("DATETIME", "JIS"): "%Y-%m-%d %H:%i:%s",
+        ("DATETIME", "ISO"): "%Y-%m-%d %H:%i:%s",
+        ("DATETIME", "EUR"): "%Y-%m-%d %H.%i.%s",
+        ("DATETIME", "INTERNAL"): "%Y%m%d%H%i%s",
+    }
+    fmt = table.get((typ, reg))
+    return f"'{fmt}'" if fmt else None
 
 
 # ---------------------------------------------------------------- token passes
@@ -883,6 +941,148 @@ def _pass_json_arrows(toks: list[Tok]) -> list[Tok]:
     return out
 
 
+def _next_operand_span(toks: list[Tok], j: int) -> int:
+    """End index (inclusive) of the simple operand starting at j:
+    a string, a (possibly qualified) identifier, a function call, or a
+    parenthesized expression. -1 if none."""
+    if j >= len(toks):
+        return -1
+    t = toks[j]
+    if t.kind in ("str", "num"):
+        return j
+    if t.kind in ("word", "bq"):
+        k = _sig_next(toks, j)
+        if k < len(toks) and toks[k].kind == "op" and toks[k].text == ".":
+            k2 = _sig_next(toks, k)
+            if k2 < len(toks) and toks[k2].kind in ("word", "bq"):
+                return k2
+        if k < len(toks) and toks[k].kind == "op" and toks[k].text == "(":
+            close = match_paren(toks, k)
+            return close if close > 0 else -1
+        return j
+    if t.kind == "op" and t.text == "(":
+        close = match_paren(toks, j)
+        return close if close > 0 else -1
+    return -1
+
+
+def _prev_operand_start(out: list[Tok]) -> int:
+    """Start index in ``out`` of the trailing simple operand (same
+    shapes as _next_operand_span, scanned backwards). -1 if none."""
+    k = len(out) - 1
+    while k >= 0 and out[k].kind in ("ws", "comment"):
+        k -= 1
+    if k < 0:
+        return -1
+    if out[k].kind in ("str", "num"):
+        return k
+    if out[k].kind in ("word", "bq"):
+        if (
+            k >= 2
+            and out[k - 1].kind == "op" and out[k - 1].text == "."
+            and out[k - 2].kind in ("word", "bq")
+        ):
+            return k - 2
+        return k
+    if out[k].kind == "op" and out[k].text == ")":
+        depth = 0
+        while k >= 0:
+            if out[k].kind == "op" and out[k].text == ")":
+                depth += 1
+            elif out[k].kind == "op" and out[k].text == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            k -= 1
+        if k < 0:
+            return -1
+        if k > 0:
+            p = k - 1
+            while p >= 0 and out[p].kind in ("ws", "comment"):
+                p -= 1
+            if p >= 0 and out[p].kind == "word":
+                return p  # function call: name + (...)
+        return k
+    return -1
+
+
+def _pass_mysql_operators(toks: list[Tok]) -> list[Tok]:
+    """Expression-level MySQL operator forms with no Spark spelling:
+
+    - ``expr COLLATE name`` — collation names are stripped (strings are
+      always UTF-8/binary-compared in Spark);
+    - infix ``a MOD b`` → ``a % b`` (function-call MOD(a,b) is native);
+    - unary ``BINARY expr`` → ``cast(expr as binary)`` (byte-wise
+      comparison semantics);
+    - ``a SOUNDS LIKE b`` → ``soundex(a) = soundex(b)``.
+    """
+    out: list[Tok] = []
+    i = 0
+    n = len(toks)
+    while i < n:
+        t = toks[i]
+        if t.kind == "word":
+            u = t.text.upper()
+            if u == "COLLATE":
+                j = _sig_next(toks, i)
+                if j < n and toks[j].kind in ("word", "bq"):
+                    while out and out[-1].kind == "ws":
+                        out.pop()
+                    i = j + 1
+                    continue
+            if u == "MOD":
+                j = _sig_next(toks, i)
+                prev = _prev_operand_start(out)
+                if (
+                    prev >= 0
+                    and j < n
+                    and not (toks[j].kind == "op" and toks[j].text == "(")
+                ):
+                    out.extend(tokenize(" % "))
+                    i += 1
+                    continue
+            if u == "SOUNDS":
+                j = _sig_next(toks, i)
+                if j < n and toks[j].is_word("LIKE"):
+                    k = _sig_next(toks, j)
+                    end = _next_operand_span(toks, k)
+                    prev = _prev_operand_start(out)
+                    if end >= 0 and prev >= 0:
+                        lhs = render(out[prev:])
+                        rhs = render(toks[k : end + 1])
+                        del out[prev:]
+                        out.extend(tokenize(
+                            f"soundex({lhs}) = soundex({rhs})"
+                        ))
+                        i = end + 1
+                        continue
+            if u == "BINARY":
+                prev_sig = None
+                for pj in range(len(out) - 1, -1, -1):
+                    if out[pj].kind not in ("ws", "comment"):
+                        prev_sig = out[pj]
+                        break
+                prev_blocks = prev_sig is not None and (
+                    prev_sig.is_word("AS")
+                    or (prev_sig.kind == "op" and prev_sig.text == ".")
+                )
+                j = _sig_next(toks, i)
+                end = _next_operand_span(toks, j)
+                # BINARY(...)-style casts don't exist in MySQL; a '('
+                # directly after is a column list (SHOW/DDL) — skip
+                direct_paren = (
+                    j < n and toks[j].kind == "op" and toks[j].text == "("
+                )
+                if not prev_blocks and not direct_paren and end >= 0:
+                    rhs = render(toks[j : end + 1])
+                    out.extend(tokenize(f"cast({rhs} as binary)"))
+                    i = end + 1
+                    continue
+        out.append(t)
+        i += 1
+    return out
+
+
 def _pass_functions(toks: list[Tok]) -> list[Tok]:
     out: list[Tok] = []
     i = 0
@@ -1002,6 +1202,7 @@ def translate_mysql(sql: str, ansi_quotes: bool = False) -> str:
     toks = _pass_keywords(toks)
     toks = _pass_limit(toks)
     toks = _pass_json_arrows(toks)
+    toks = _pass_mysql_operators(toks)
     toks = _pass_functions(toks)
     return render(toks)
 

@@ -75,6 +75,9 @@ def build_session(
         # Parquet TIMESTAMP(NANOS) is otherwise rejected; read as long and
         # convert to µs in tables.load_table (DuckDB truncates the same way).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # MySQL's JSON_OBJECTAGG / JSON object semantics: duplicate map
+        # keys keep the LAST value (default EXCEPTION would error)
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     )
     if master.startswith("local"):
         # Single-process serving profile. These three trade cluster-scale

@@ -350,16 +350,32 @@ def _gen_mysql_pair(rng: random.Random) -> tuple[str, str]:
     tail = rng.choice(["", " LOCK IN SHARE MODE"])
     comment = rng.choice(["", "  # trailing mysql comment"])
 
+    # round-5 expression-operator forms: infix MOD and a COLLATE
+    # clause on the first group column (both MySQL-only spellings;
+    # the oracle runs the ANSI equivalent)
+    pred_deco, pred_clean = pred, pred
+    if rng.random() < 0.5:
+        mdiv = rng.randint(2, 9)
+        mres = rng.randint(0, mdiv - 1)
+        pred_deco += f" AND ({scol} MOD {mdiv}) <> {mres}"
+        pred_clean += f" AND ({scol} % {mdiv}) <> {mres}"
+    sel_deco = cols
+    if rng.random() < 0.4:
+        first = gcols[0]
+        sel_deco = ", ".join(
+            [f"{first} COLLATE utf8mb4_bin AS {first}"] + gcols[1:]
+        )
+
     decorated = (
-        f"SELECT {mod}{cols}, CAST({count_expr} AS BIGINT) AS cnt, "
+        f"SELECT {mod}{sel_deco}, CAST({count_expr} AS BIGINT) AS cnt, "
         f"CAST(SUM({scol}) AS BIGINT) AS s "
-        f"FROM {t}{hint} WHERE {pred} "
+        f"FROM {t}{hint} WHERE {pred_deco} "
         f"GROUP BY {cols}{tail}{comment}"
     )
     clean = (
         f"SELECT {cols}, CAST(COUNT(*) AS BIGINT) AS cnt, "
         f"CAST(SUM({scol}) AS BIGINT) AS s "
-        f"FROM {t} WHERE {pred} GROUP BY {cols}"
+        f"FROM {t} WHERE {pred_clean} GROUP BY {cols}"
     )
     return decorated, clean
 

@@ -485,3 +485,53 @@ def test_session_state_functions(spark, tmp_path):
         "SELECT SQL_CALC_FOUND_ROWS id FROM rt WHERE id > 1 LIMIT 2"
     ).collect()
     assert e.execute("SELECT FOUND_ROWS() AS x").collect()[0].x == 4
+
+
+def test_mysql_operator_forms(spark):
+    cases = {
+        "SELECT 7 MOD 2 AS x": 1,
+        "SELECT 7 DIV 2 AS x": 3,
+        "SELECT (4+3) MOD 2 AS x": 1,
+        "SELECT 'a' COLLATE utf8mb4_general_ci AS x": "a",
+        "SELECT 'smith' SOUNDS LIKE 'smyth' AS x": True,
+        "SELECT INTERVAL(23, 1, 15, 17, 30, 44) AS x": 3,
+        "SELECT INTERVAL(NULL, 10) AS x": -1,
+        "SELECT GET_FORMAT(DATE, 'ISO') AS x": "%Y-%m-%d",
+        "SELECT GET_FORMAT(TIME, 'USA') AS x": "%h:%i:%s %p",
+        "SELECT IS_IPV6('::1') AS x": 1,
+        "SELECT IS_IPV6('1.2.3.4') AS x": 0,
+        "SELECT IS_IPV6('2001:db8::ff') AS x": 1,
+        # MOD(a,b) function form untouched; INTERVAL literal untouched
+        "SELECT MOD(9, 4) AS x": 1,
+    }
+    for q, want in cases.items():
+        assert spark.sql(translate_mysql(q)).collect()[0].x == want, q
+    assert spark.sql(translate_mysql(
+        "SELECT CAST(DATE_ADD('2020-01-01', INTERVAL 1 DAY) AS STRING) AS x"
+    )).collect()[0].x.startswith("2020-01-02")
+
+
+def test_binary_operator_cast(spark):
+    out = spark.sql(translate_mysql("SELECT BINARY 'x' AS b")).collect()
+    assert bytes(out[0].b) == b"x"
+    # comparison under BINARY is byte-wise; AS BINARY in CAST untouched
+    assert spark.sql(translate_mysql(
+        "SELECT CAST('q' AS BINARY) AS b"
+    )).collect()[0].b == bytearray(b"q")
+
+
+def test_json_aggregates(spark):
+    import json
+
+    rows = spark.sql(translate_mysql(
+        "SELECT JSON_ARRAYAGG(v) AS j FROM "
+        "(VALUES (1), (NULL), (3)) AS t(v)"
+    )).collect()
+    assert sorted(json.loads(rows[0].j), key=lambda x: (x is None, x)) \
+        == [1, 3, None]
+    rows = spark.sql(translate_mysql(
+        "SELECT JSON_OBJECTAGG(k, v) AS j FROM "
+        "(VALUES ('a', 1), ('b', 2), ('a', 9)) AS t(k, v)"
+    )).collect()
+    # duplicate keys: last write wins (mapKeyDedupPolicy=LAST_WIN)
+    assert json.loads(rows[0].j) == {"a": 9, "b": 2}
