@@ -704,10 +704,23 @@ class Engine:
         would serialize a 10⁹-row INSERT…SELECT into one task."""
         t = self.catalog.table(name)
         base = t.read()
-        start = (base.agg(F.max(id_col)).collect()[0][0] or 0) + 1
+        start = self._ai_start(name, base, id_col)
         id_type = dict(base.dtypes)[id_col]
         numbered = self._assign_dense_ids(df, id_col, start, id_type)
         t.overwrite(base.unionByName(numbered.select(*base.columns)))
+
+    def _ai_start(self, name: str, base: DataFrame, id_col: str) -> int:
+        """Next AUTO_INCREMENT id: max(col)+1, floored by a declared
+        AUTO_INCREMENT=n table option / ALTER (MySQL's counter can sit
+        above the data after deletes or an explicit reset)."""
+        cur = (base.agg(F.max(id_col)).collect()[0][0] or 0) + 1
+        try:
+            floor = int(
+                self.table_meta(name).stats.get("auto_increment_base", 1)
+            )
+        except Exception:
+            floor = 1
+        return max(cur, floor)
 
     @staticmethod
     def _assign_dense_ids(df: DataFrame, id_col: str, start: int, id_type):
@@ -2839,6 +2852,11 @@ class Engine:
             meta = self.table_meta(s.name)
             meta.stats["charset"] = s.default
             self._save_meta(s.name, meta)
+        elif s.action == "set_ai_base":
+            # ALTER TABLE t AUTO_INCREMENT = n: floor for the next id
+            meta = self.table_meta(s.name)
+            meta.stats["auto_increment_base"] = int(s.default)
+            self._save_meta(s.name, meta)
         elif s.action == "noop_option":
             pass  # physical storage options: meaningless for parquet
         else:  # pragma: no cover
@@ -3040,10 +3058,7 @@ class Engine:
             )
             return OkResult(affected_rows=n)
         if auto_missing:
-            base = t.read()
-            start = (
-                base.agg(F.max(meta.auto_increment)).collect()[0][0] or 0
-            ) + 1
+            start = self._ai_start(s.table, t.read(), meta.auto_increment)
             self.insert_auto_increment(s.table, df, meta.auto_increment)
             last_id = start
         elif s.mode == "replace" and meta.primary_key:

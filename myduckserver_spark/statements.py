@@ -365,7 +365,7 @@ def parse_literal(tok: str, exact_decimals: bool = False):
         return float(t)
     # typed temporal literals (standard SQL + MySQL): DATE 'YYYY-MM-DD',
     # TIMESTAMP/DATETIME 'YYYY-MM-DD hh:mm:ss[.ffffff]'
-    tm = re.fullmatch(r"(DATE|TIMESTAMP|DATETIME)\s+'([^']*)'", t, re.I)
+    tm = re.fullmatch(r"(DATE|TIMESTAMP|DATETIME)\s*'([^']*)'", t, re.I)
     if tm:
         import datetime
 
@@ -1196,6 +1196,20 @@ def _parse_into_outfile(s: str) -> SelectIntoOutfile | None:
     )
 
 
+def _part_expr_cols(expr: str) -> list[str]:
+    """Column identifiers in a MySQL partition expression — words not
+    followed by '(' (those are function names): RANGE (YEAR(d)) → [d],
+    RANGE COLUMNS(a, b) → [a, b]."""
+    out = []
+    for m in re.finditer(r"(`[^`]+`|[A-Za-z_]\w*)\s*(\()?", expr):
+        if m.group(2):
+            continue
+        name = m.group(1).strip("`")
+        if name.upper() not in ("MAXVALUE", "AND", "OR"):
+            out.append(name)
+    return out
+
+
 def _parse_into_vars(s: str) -> "SelectIntoVars | None":
     """Detect and strip a top-level `INTO @a[, @b...]` clause (MySQL
     SELECT-into-user-variables; allowed before FROM or at the end)."""
@@ -1317,26 +1331,61 @@ def parse_statement(sql: str):
 
     # Strip a trailing partition clause FIRST: the column-list capture
     # below is greedy and would swallow the clause's parentheses.
-    # MySQL PARTITION BY KEY/HASH(col) and hive-style PARTITIONED BY
-    # (col [type]) both land here; value-based hive layout is the
-    # Spark-side realization of either.
+    # MySQL PARTITION BY KEY/HASH(col), RANGE/LIST [COLUMNS] with
+    # per-partition definitions, and hive-style PARTITIONED BY
+    # (col [type]) all land here; value-based hive layout is the
+    # Spark-side realization of each (RANGE(YEAR(d)) partitions on d —
+    # partition pruning on the underlying column subsumes the bounds).
     part_cols: list[str] = []
-    pm = re.search(
-        r"\bPARTITION(?:ED)?\s+BY\s+(?:(?:KEY|HASH|LINEAR\s+KEY)\s*)?"
-        r"\(([^()]*)\)\s*(?:PARTITIONS\s+\d+)?\s*$",
-        s,
-        re.I,
-    )
-    if pm and re.match(r"CREATE\s+TABLE\b", s, re.I):
-        part_cols = [
-            it.strip().split()[0].strip("`")
-            for it in pm.group(1).split(",")
-            if it.strip()
-        ]
-        s = s[: pm.start()].rstrip()
+    if re.match(r"CREATE\s+TABLE\b", s, re.I):
+        pm = re.search(
+            r"\bPARTITION\s+BY\s+(?:RANGE|LIST)(?:\s+COLUMNS)?\s*"
+            r"\(([^()]*(?:\([^()]*\)[^()]*)*)\)\s*"
+            r"\((?:[^()]|\([^()]*\))*\)\s*$",
+            s,
+            re.I | re.S,
+        )
+        if pm:
+            part_cols = _part_expr_cols(pm.group(1))
+            s = s[: pm.start()].rstrip()
+        else:
+            pm = re.search(
+                r"\bPARTITION(?:ED)?\s+BY\s+"
+                r"(?:(?:KEY|HASH|LINEAR\s+KEY|LINEAR\s+HASH)\s*)?"
+                r"\(([^()]*)\)\s*(?:PARTITIONS\s+\d+)?\s*$",
+                s,
+                re.I,
+            )
+            if pm:
+                part_cols = [
+                    it.strip().split()[0].strip("`")
+                    for it in pm.group(1).split(",")
+                    if it.strip()
+                ]
+                s = s[: pm.start()].rstrip()
+        # table-options tail (mysqldump emits these on every table);
+        # AUTO_INCREMENT / COMMENT / charset are recorded, the rest are
+        # physical-storage hints with no parquet-snapshot meaning
+        table_opts: dict[str, str] = {}
+        while True:
+            tm = re.search(
+                r"\s((?:DEFAULT\s+)?(?:CHARSET|CHARACTER\s+SET)|ENGINE|"
+                r"AUTO_INCREMENT|COLLATE|COMMENT|ROW_FORMAT|"
+                r"KEY_BLOCK_SIZE|MAX_ROWS|MIN_ROWS|STATS_PERSISTENT|"
+                r"STATS_AUTO_RECALC|PACK_KEYS|CHECKSUM|DELAY_KEY_WRITE|"
+                r"COMPRESSION|TABLESPACE|AUTO_EXTEND_SIZE)"
+                r"\s*=?\s*('[^']*'|\w+)\s*$",
+                s, re.I,
+            )
+            if not tm:
+                break
+            key = re.sub(r"\s+", " ", tm.group(1).upper())
+            key = key.replace("DEFAULT ", "").replace("CHARACTER SET",
+                                                      "CHARSET")
+            table_opts[key] = tm.group(2)
+            s = s[: tm.start()].rstrip()
     m = re.match(
-        r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(`[^`]+`|\w+)\s*\((.*)\)\s*"
-        r"(?:ENGINE\s*=\s*\w+)?\s*(?:DEFAULT\s+)?(?:CHARSET\s*=\s*\w+)?\s*$",
+        r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(`[^`]+`|\w+)\s*\((.*)\)\s*$",
         s,
         re.I | re.S,
     )
@@ -1348,6 +1397,14 @@ def parse_statement(sql: str):
             if parsed:
                 cols.append(parsed)
         meta.partition_by = part_cols
+        if table_opts.get("AUTO_INCREMENT", "").isdigit():
+            meta.stats["auto_increment_base"] = int(
+                table_opts["AUTO_INCREMENT"]
+            )
+        if "COMMENT" in table_opts:
+            meta.stats["comment"] = parse_literal(table_opts["COMMENT"])
+        if "CHARSET" in table_opts:
+            meta.stats["charset"] = table_opts["CHARSET"]
         return CreateTable(unquote_ident(m.group(2)), cols, meta,
                            if_not_exists=bool(m.group(1)))
 
@@ -1484,6 +1541,10 @@ def parse_statement(sql: str):
                 name, "set_comment",
                 default=parse_literal(am.group(1).strip()),
             )
+        am = re.fullmatch(r"AUTO_INCREMENT\s*=?\s*(\d+)", rest, re.I)
+        if am:
+            return AlterTable(name, "set_ai_base",
+                              default=int(am.group(1)))
         # storage/physical options are meaningless for parquet snapshots
         # but harmless to accept (MySQL dump files carry them routinely)
         if re.fullmatch(
@@ -1918,7 +1979,13 @@ def parse_statement(sql: str):
         return DropDb(unquote_ident(m.group(2)), if_exists=bool(m.group(1)))
 
     m = re.match(
-        r"CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(`[^`]+`|\w+)\s+AS\s+(.*)$",
+        # ALGORITHM/DEFINER/SQL SECURITY are MySQL view attributes with
+        # no execution meaning here (single-principal engine) — accepted
+        # and dropped, the way mysqldump view definitions arrive
+        r"CREATE\s+(OR\s+REPLACE\s+)?(?:ALGORITHM\s*=\s*\w+\s+)?"
+        r"(?:DEFINER\s*=\s*\S+\s+)?"
+        r"(?:SQL\s+SECURITY\s+(?:DEFINER|INVOKER)\s+)?"
+        r"VIEW\s+(`[^`]+`|\w+)\s+AS\s+(.*)$",
         s,
         re.I | re.S,
     )

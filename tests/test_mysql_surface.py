@@ -490,3 +490,60 @@ def test_charset_introducers_and_dml_modifiers(engine):
     got = {r.id: r.s for r in
            engine.execute("SELECT id, s FROM cim").collect()}
     assert got == {1: "héllo", 2: "n-str", 3: "upd"}
+
+
+def test_mysqldump_create_table_shape(engine):
+    engine.execute("""CREATE TABLE `dmp` (
+  `id` int NOT NULL AUTO_INCREMENT,
+  `name` varchar(100) CHARACTER SET utf8mb4 COLLATE utf8mb4_0900_ai_ci
+      DEFAULT NULL,
+  `note` text COMMENT 'free text',
+  PRIMARY KEY (`id`),
+  UNIQUE KEY `uq_name` (`name`),
+  KEY `ix_note` (`name`) USING BTREE
+) ENGINE=InnoDB AUTO_INCREMENT=7 DEFAULT CHARSET=utf8mb4
+  COLLATE=utf8mb4_0900_ai_ci COMMENT='dump table'""")
+    meta = engine.table_meta("dmp")
+    assert meta.stats.get("auto_increment_base") == 7
+    assert meta.stats.get("comment") == "dump table"
+    assert meta.stats.get("charset") == "utf8mb4"
+    # the AUTO_INCREMENT=7 option floors the counter (MySQL semantics)
+    engine.execute("INSERT INTO dmp (name) VALUES ('x')")
+    assert engine.execute("SELECT id FROM dmp").collect()[0].id == 7
+    engine.execute("ALTER TABLE dmp AUTO_INCREMENT = 100")
+    engine.execute("INSERT INTO dmp (name) VALUES ('y')")
+    ids = sorted(r.id for r in engine.execute("SELECT id FROM dmp").collect())
+    assert ids == [7, 100]
+
+
+def test_mysql_range_list_partition_clauses(engine):
+    engine.execute("""CREATE TABLE prt (id INT PRIMARY KEY, d DATE)
+PARTITION BY RANGE (YEAR(d)) (
+  PARTITION p0 VALUES LESS THAN (2020),
+  PARTITION p1 VALUES LESS THAN (2021),
+  PARTITION pmax VALUES LESS THAN MAXVALUE)""")
+    # realized as value partitioning on the underlying column — pruning
+    # on d subsumes the RANGE bounds
+    assert engine.table_meta("prt").partition_by == ["d"]
+    engine.execute(
+        "INSERT INTO prt VALUES (1, DATE'2019-05-01'), (2, DATE'2020-06-01')"
+    )
+    assert engine.execute(
+        "SELECT COUNT(*) AS n FROM prt WHERE d >= DATE'2020-01-01'"
+    ).collect()[0].n == 1
+    engine.execute("""CREATE TABLE plst (id INT PRIMARY KEY, rgn VARCHAR(4))
+PARTITION BY LIST COLUMNS(rgn) (
+  PARTITION pa VALUES IN ('a'), PARTITION pb VALUES IN ('b'))""")
+    assert engine.table_meta("plst").partition_by == ["rgn"]
+
+
+def test_view_attribute_clauses(engine):
+    engine.execute(
+        "CREATE ALGORITHM=UNDEFINED DEFINER=`root`@`localhost` "
+        "SQL SECURITY DEFINER VIEW vattr AS SELECT 11 AS one"
+    )
+    assert engine.execute("SELECT one FROM vattr").collect()[0].one == 11
+    engine.execute(
+        "CREATE OR REPLACE ALGORITHM=MERGE VIEW vattr AS SELECT 22 AS one"
+    )
+    assert engine.execute("SELECT one FROM vattr").collect()[0].one == 22
