@@ -1549,7 +1549,11 @@ def parse_statement(sql: str):
         # but harmless to accept (MySQL dump files carry them routinely)
         if re.fullmatch(
             r"(?:ENGINE|AUTO_EXTEND_SIZE|ROW_FORMAT|KEY_BLOCK_SIZE|"
-            r"STATS_PERSISTENT|ALGORITHM|LOCK)\s*=?\s*\w+",
+            r"STATS_PERSISTENT|ALGORITHM|LOCK)\s*=?\s*\w+"
+            # DISABLE/ENABLE KEYS toggles MyISAM index maintenance
+            # around bulk loads (mysqldump wraps every INSERT block in
+            # them); snapshots have no maintained index structure
+            r"|(?:DISABLE|ENABLE)\s+KEYS",
             rest, re.I,
         ):
             return AlterTable(name, "noop_option")
