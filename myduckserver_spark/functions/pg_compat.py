@@ -402,6 +402,16 @@ _GEN_SERIES_FROM_RE = re.compile(
     re.I,
 )
 
+_ARRAY_AGG_RE = re.compile(
+    r"\barray_agg\s*\(\s*(.+?)\s+ORDER\s+BY\s+(.+?)(\s+DESC|\s+ASC)?\s*\)",
+    re.I,
+)
+
+_JSON_OBJECT_AGG_RE = re.compile(
+    r"\bjsonb?_object_agg\s*\(\s*([^(),]+?)\s*,\s*([^(),]+?)\s*\)",
+    re.I,
+)
+
 
 def _rewrite_functions(sql: str) -> str:
     out = sql
@@ -440,6 +450,61 @@ def _rewrite_functions(sql: str) -> str:
         )
 
     out = _GEN_SERIES_FROM_RE.sub(gs, out)
+
+    # array_agg(e ORDER BY k [DESC]) → sort-by-key struct fold
+    # (collect_list has no ORDER BY; array_sort on (key, value)
+    # structs is the deterministic equivalent)
+    def aa(m: re.Match) -> str:
+        e, ob, dr = m.group(1), m.group(2), (m.group(3) or "").strip()
+        base = (
+            f"transform(array_sort(collect_list(struct(({ob}) AS __k,"
+            f" ({e}) AS __v))), __s -> __s.__v)"
+        )
+        return f"reverse({base})" if dr.upper() == "DESC" else base
+
+    out = _ARRAY_AGG_RE.sub(aa, out)
+
+    # scalar-position generate_series/unnest → explode (the FROM form
+    # was consumed above)
+    out = _rewrite_wrapped_call(
+        out, "generate_series", "explode(sequence(", "))"
+    )
+    out = re.sub(r"\bunnest\s*\(", "explode(", out, flags=re.I)
+
+    # pg json constructors/aggregates → to_json over Spark complex types
+    out = _rewrite_wrapped_call(
+        out, "jsonb?_build_object", "to_json(map(", "))"
+    )
+    out = _rewrite_wrapped_call(
+        out, "jsonb?_build_array", "to_json(array(", "))"
+    )
+    out = _rewrite_wrapped_call(
+        out, "jsonb?_agg", "to_json(collect_list(", "))"
+    )
+
+    def joa(m: re.Match) -> str:
+        k, v = m.group(1), m.group(2)
+        return (
+            "to_json(map_from_entries(collect_list("
+            f"struct(cast(({k}) as string), ({v})))))"
+        )
+
+    out = _JSON_OBJECT_AGG_RE.sub(joa, out)
+
+    # EXTRACT(EPOCH FROM x) → seconds-with-fraction since the epoch
+    out = re.sub(
+        r"\bEXTRACT\s*\(\s*EPOCH\s+FROM\s+"
+        r"([^()]*(?:\([^()]*\)[^()]*)*)\)",
+        r"cast(cast((\1) as timestamp) as double)",
+        out, flags=re.I,
+    )
+
+    # TABLESAMPLE BERNOULLI/SYSTEM(pct) → Spark's percent sampling
+    out = re.sub(
+        r"\bTABLESAMPLE\s+(?:BERNOULLI|SYSTEM)\s*\(\s*([\d.]+)\s*\)",
+        r"TABLESAMPLE (\1 PERCENT)",
+        out, flags=re.I,
+    )
     return out
 
 
@@ -447,6 +512,135 @@ _ESTRING_RE = re.compile(r"\bE'")
 _FETCH_FIRST_RE = re.compile(
     r"\bFETCH\s+FIRST\s+(\d+)\s+ROWS?\s+ONLY\b", re.I
 )
+_ARRAY_LIT_RE = re.compile(r"\bARRAY\s*\[", re.I)
+
+
+def _match_bracket(s: str, i: int, op: str = "[", cl: str = "]") -> int:
+    depth = 0
+    for j in range(i, len(s)):
+        if s[j] == op:
+            depth += 1
+        elif s[j] == cl:
+            depth -= 1
+            if depth == 0:
+                return j
+    return -1
+
+
+def _rewrite_array_literals(sql: str) -> str:
+    """``ARRAY[a, b]`` → ``array(a, b)`` (rescans, so nesting works)."""
+    out = sql
+    while True:
+        pos, m = 0, None
+        while True:
+            m = _ARRAY_LIT_RE.search(out, pos)
+            if not m or not _in_string(out, m.start()):
+                break
+            pos = m.end()
+        if not m:
+            return out
+        close = _match_bracket(out, m.end() - 1)
+        if close < 0:
+            return out
+        out = (out[: m.start()] + "array(" + out[m.end():close] + ")"
+               + out[close + 1:])
+
+
+def _rewrite_subscripts(sql: str) -> str:
+    """pg array subscript ``expr[i]`` → ``element_at(expr, i)``
+    (1-based on both sides; slices ``[a:b]`` are left untouched)."""
+    out = sql
+    changed = True
+    while changed:
+        changed = False
+        i = 0
+        while i < len(out):
+            if out[i] == "[" and not _in_string(out, i):
+                k = i - 1
+                while k >= 0 and out[k].isspace():
+                    k -= 1
+                if k >= 0 and (out[k].isalnum() or out[k] in "_$)`\""):
+                    close = _match_bracket(out, i)
+                    inner = out[i + 1: close] if close > 0 else ""
+                    start = _operand_start(out, i)
+                    operand = out[start:i].strip()
+                    if close > 0 and operand and ":" not in inner:
+                        out = (out[:start]
+                               + f"element_at({operand}, {inner})"
+                               + out[close + 1:])
+                        changed = True
+                        break
+            i += 1
+    return out
+
+
+def _rewrite_json_ops(sql: str) -> str:
+    """pg ``x -> 'k'`` / ``x ->> 'k'`` / ``x -> 2`` →
+    get_json_object(x, '$.k' / '$[2]'). Runs BEFORE any rewrite that
+    injects Spark lambda arrows; a non-literal right side is left
+    alone, so lambdas could never match anyway."""
+    out = sql
+    scan = 0
+    while True:
+        found = out.find("->", scan)
+        if found == -1:
+            return out
+        if _in_string(out, found):
+            scan = found + 2
+            continue
+        alen = 3 if out[found:found + 3] == "->>" else 2
+        r = found + alen
+        while r < len(out) and out[r].isspace():
+            r += 1
+        path = rhs_end = None
+        if r < len(out) and out[r] == "'":
+            e = out.find("'", r + 1)
+            if e > 0:
+                key = out[r + 1: e]
+                path = f"'$.{key}'" if not key.startswith("$") else f"'{key}'"
+                rhs_end = e + 1
+        elif r < len(out) and out[r].isdigit():
+            e = r
+            while e < len(out) and out[e].isdigit():
+                e += 1
+            path = f"'$[{out[r:e]}]'"
+            rhs_end = e
+        if path is None:
+            scan = found + alen  # not a pg json operator site
+            continue
+        start = _operand_start(out, found)
+        # extend through ::type cast chains ('{"a":1}'::jsonb ->> 'a')
+        while out[max(0, start - 2):start] == "::":
+            start = _operand_start(out, start - 2)
+        operand = out[start:found].strip()
+        if not operand:
+            scan = found + alen
+            continue
+        repl = f"get_json_object({operand}, {path})"
+        out = out[:start] + repl + out[rhs_end:]
+        scan = start + len(repl)
+
+
+def _rewrite_wrapped_call(out: str, name: str, open_repl: str,
+                          close_repl: str) -> str:
+    """Replace ``name( args )`` with ``open_repl args close_repl``
+    (balanced-paren aware, for rewrites that change nesting depth)."""
+    rx = re.compile(rf"\b{name}\s*\(", re.I)
+    while True:
+        pos, m = 0, None
+        while True:
+            m = rx.search(out, pos)
+            if not m or not _in_string(out, m.start()):
+                break
+            pos = m.end()
+        if not m:
+            return out
+        close = _match_bracket(out, m.end() - 1, "(", ")")
+        if close < 0:
+            return out
+        inner = out[m.end():close]
+        out = out[: m.start()] + open_repl + inner + close_repl \
+            + out[close + 1:]
 
 
 def translate_postgres(sql: str) -> str:
@@ -454,9 +648,12 @@ def translate_postgres(sql: str) -> str:
     out = sql
     out = _ESTRING_RE.sub("'", out)  # E'..' → '..' (Spark does escapes)
     out = _FETCH_FIRST_RE.sub(r"LIMIT \1", out)
+    out = _rewrite_array_literals(out)
+    out = _rewrite_json_ops(out)
     out = _rewrite_distinct_on(out)
     out = _rewrite_qualify(out)
     out = _rewrite_functions(out)
     out = _rewrite_casts(out)
     out = _rewrite_regex_ops(out)
+    out = _rewrite_subscripts(out)
     return out

@@ -247,3 +247,62 @@ def test_engine_postgres_dialect(spark, tmp_path):
         dialect="postgres",
     ).collect()
     assert [(r.i, r.name) for r in rows] == [("1", "Alpha")]
+
+
+def test_array_literals_and_subscripts(spark):
+    assert spark.sql(translate_postgres(
+        "SELECT ARRAY[1,2,3] AS x"
+    )).collect()[0].x == [1, 2, 3]
+    # pg subscripts are 1-based; slices are left untouched
+    assert spark.sql(translate_postgres(
+        "SELECT (ARRAY[10,20,30])[2] AS x"
+    )).collect()[0].x == 20
+    assert spark.sql(translate_postgres(
+        "SELECT ARRAY[ARRAY[1],ARRAY[2]] AS x"
+    )).collect()[0].x == [[1], [2]]
+
+
+def test_pg_json_operators(spark):
+    cases = {
+        "SELECT '{\"a\":1}'::jsonb ->> 'a' AS x": "1",
+        "SELECT '{\"a\":{\"b\":5}}'::json -> 'a' ->> 'b' AS x": "5",
+        "SELECT '[10,20]'::jsonb ->> 1 AS x": "20",
+        "SELECT jsonb_build_object('a', 1) AS x": '{"a":1}',
+    }
+    for q, want in cases.items():
+        assert spark.sql(translate_postgres(q)).collect()[0].x == want, q
+
+
+def test_pg_aggregates_and_series(spark):
+    out = spark.sql(translate_postgres(
+        "SELECT array_agg(v ORDER BY v DESC) AS x "
+        "FROM (VALUES (1), (3), (2)) AS t(v)"
+    )).collect()[0].x
+    assert out == [3, 2, 1]
+    out = spark.sql(translate_postgres(
+        "SELECT json_object_agg(k, v) AS x "
+        "FROM (VALUES ('a', 1), ('b', 2)) AS t(k, v)"
+    )).collect()[0].x
+    import json
+
+    assert json.loads(out) == {"a": 1, "b": 2}
+    assert [r.x for r in spark.sql(translate_postgres(
+        "SELECT generate_series(1, 3) AS x"
+    )).collect()] == [1, 2, 3]
+    assert [r.x for r in spark.sql(translate_postgres(
+        "SELECT unnest(ARRAY[7,8]) AS x"
+    )).collect()] == [7, 8]
+
+
+def test_pg_epoch_and_tablesample(spark):
+    assert spark.sql(translate_postgres(
+        "SELECT extract(epoch from timestamp '1970-01-01 00:01:00') AS x"
+    )).collect()[0].x == 60.0
+    # TABLESAMPLE targets a real relation (Spark restriction on
+    # derived-table sampling is unchanged by the rewrite)
+    assert translate_postgres(
+        "SELECT * FROM t TABLESAMPLE BERNOULLI(10)"
+    ) == "SELECT * FROM t TABLESAMPLE (10 PERCENT)"
+    assert translate_postgres(
+        "SELECT * FROM t TABLESAMPLE SYSTEM(1.5)"
+    ) == "SELECT * FROM t TABLESAMPLE (1.5 PERCENT)"
