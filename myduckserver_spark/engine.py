@@ -931,6 +931,177 @@ class Engine:
             )
         )
 
+    # ----------------------------------------------------------- triggers
+    # MySQL triggers, executed SET-BASED: FOR EACH ROW bodies become one
+    # vectorized pass over the affected row set (the Spark realization —
+    # a row-at-a-time loop would serialize a 10⁹-row insert). The
+    # reference serves triggers through its GMS layer (main_test.go:1053
+    # exercises them on the MySQL surface); here they run against the
+    # snapshot engine directly. Supported shapes (validated at CREATE,
+    # honest rejection otherwise):
+    #   BEFORE INSERT ... SET NEW.c = expr [, NEW.c2 = expr]
+    #   AFTER INSERT/UPDATE/DELETE ... with statements that either
+    #     (a) reference NEW.x / OLD.x — must be INSERT ... VALUES
+    #         (rewritten to INSERT ... SELECT over the affected-rows
+    #         view: per-row semantics, evaluated set-based), or
+    #     (b) reference neither — executed once per statement (batch
+    #         divergence from MySQL's once-per-row, documented).
+
+    def _triggers_path(self) -> str:
+        return os.path.join(self._warehouse, "__triggers.json")
+
+    def _load_triggers(self) -> dict:
+        cached = getattr(self, "_trigger_cache", None)
+        if cached is not None:
+            return cached
+        p = self._triggers_path()
+        if os.path.exists(p):
+            with open(p) as f:
+                self._trigger_cache = json.load(f)
+        else:
+            self._trigger_cache = {}
+        return self._trigger_cache
+
+    def _save_triggers(self, m: dict) -> None:
+        os.makedirs(self._warehouse, exist_ok=True)
+        with open(self._triggers_path(), "w") as f:
+            json.dump(m, f)
+        self._trigger_cache = m
+
+    @staticmethod
+    def _split_set_new(body: str) -> dict:
+        """``SET NEW.a = e1, NEW.b = e2`` → {a: e1-with-NEW-stripped}."""
+        m = re.match(r"SET\s+(.*)$", body.strip().rstrip(";"),
+                     re.I | re.S)
+        if not m:
+            return {}
+        out = {}
+        for part in st.split_top_level(m.group(1), ","):
+            am = re.match(r"\s*NEW\.(`[^`]+`|\w+)\s*=\s*(.+)$", part,
+                          re.I | re.S)
+            if not am:
+                return {}
+            expr = re.sub(r"(?i)\bNEW\.(`[^`]+`|\w+)", r"\1", am.group(2))
+            out[st.unquote_ident(am.group(1))] = expr.strip()
+        return out
+
+    def _exec_trigger(self, s: "st.TriggerStmt"):
+        trigs = dict(self._load_triggers())
+        if s.action == "drop":
+            if s.name not in trigs:
+                if s.if_exists:
+                    return OkResult()
+                raise ValueError(f"trigger {s.name} does not exist")
+            trigs.pop(s.name)
+            self._save_triggers(trigs)
+            return OkResult()
+        if s.name in trigs:
+            raise ValueError(f"trigger {s.name} already exists")
+        if not self.catalog.table(s.table).exists():
+            raise ValueError(f"table {s.table} does not exist")
+        if s.timing == "before":
+            if s.event != "insert":
+                raise NotImplementedError(
+                    "BEFORE UPDATE/DELETE trigger bodies are not "
+                    "supported (BEFORE INSERT SET NEW.* and all AFTER "
+                    "triggers are)"
+                )
+            if not self._split_set_new(s.body):
+                raise ValueError(
+                    "BEFORE INSERT trigger body must be "
+                    "SET NEW.col = expr [, NEW.col = expr ...]"
+                )
+        else:
+            for stmt in st.split_statements(s.body):
+                has_new = re.search(r"(?i)\bNEW\.", stmt)
+                has_old = re.search(r"(?i)\bOLD\.", stmt)
+                if has_new and s.event == "delete":
+                    raise ValueError("DELETE triggers have no NEW row")
+                if has_old and s.event == "insert":
+                    raise ValueError("INSERT triggers have no OLD row")
+                if (has_new or has_old) and not re.match(
+                    r"INSERT\s+(?:IGNORE\s+)?INTO\s+.+?VALUES\s*\(",
+                    stmt, re.I | re.S,
+                ):
+                    raise NotImplementedError(
+                        "AFTER trigger statements referencing NEW./OLD. "
+                        "must be INSERT ... VALUES (set-based rewrite); "
+                        f"got: {stmt[:60]!r}"
+                    )
+        trigs[s.name] = {
+            "timing": s.timing, "event": s.event,
+            "table": s.table, "body": s.body,
+        }
+        self._save_triggers(trigs)
+        return OkResult()
+
+    def _triggers_for(self, table: str, event: str, timing: str) -> list:
+        return [
+            dict(t, name=n) for n, t in self._load_triggers().items()
+            if t["table"] == table and t["event"] == event
+            and t["timing"] == timing
+        ]
+
+    def _before_insert_assignments(self, table: str) -> list[dict]:
+        return [
+            self._split_set_new(t["body"])
+            for t in self._triggers_for(table, "insert", "before")
+        ]
+
+    def _fire_after_triggers(
+        self, table: str, event: str, trig_df: DataFrame | None
+    ) -> None:
+        """Run AFTER triggers for one DML statement. ``trig_df`` has the
+        affected rows with new_*/old_* prefixed columns (whichever
+        images the event has)."""
+        trigs = self._triggers_for(table, event, "after")
+        if not trigs:
+            return
+        depth = getattr(self, "_trig_depth", 0)
+        if depth > 8:
+            raise ValueError("trigger cascade too deep (cycle?)")
+        self._trig_depth = depth + 1
+        try:
+            view = f"__trig_rows_{depth}"
+            if trig_df is not None:
+                trig_df.createOrReplaceTempView(view)
+            for tg in trigs:
+                for stmt in st.split_statements(tg["body"]):
+                    refs = re.search(r"(?i)\b(NEW|OLD)\.", stmt)
+                    rewritten = re.sub(
+                        r"(?i)\bNEW\.(`[^`]+`|\w+)", r"new_\1", stmt
+                    )
+                    rewritten = re.sub(
+                        r"(?i)\bOLD\.(`[^`]+`|\w+)", r"old_\1", rewritten
+                    )
+                    if refs:
+                        # INSERT ... VALUES (exprs) → set-based SELECT
+                        # over the affected-rows view (validated at
+                        # CREATE to be this shape)
+                        im = re.match(
+                            r"(INSERT\s+(?:IGNORE\s+)?INTO\s+.+?)"
+                            r"VALUES\s*\((.*)\)\s*$",
+                            rewritten, re.I | re.S,
+                        )
+                        if not im:
+                            raise ValueError(
+                                f"trigger {tg['name']}: unsupported "
+                                f"body statement {stmt[:60]!r}"
+                            )
+                        rewritten = (
+                            f"{im.group(1)} SELECT {im.group(2)} "
+                            f"FROM {view}"
+                        )
+                    self.execute(rewritten)
+        finally:
+            self._trig_depth = depth
+
+    @staticmethod
+    def _prefix_cols(df: DataFrame, prefix: str) -> DataFrame:
+        return df.select(
+            *[F.col(c).alias(f"{prefix}{c}") for c in df.columns]
+        )
+
     # ------------------------------------------------------------- macros
     # DuckDB-style scalar macros — the reference's UDF mechanism
     # (catalog/internal_macro.go:17-31; CREATE OR REPLACE MACRO on the
@@ -1255,6 +1426,26 @@ class Engine:
             f"WHERE coalesce(({where}), false)",
             dialect=dialect,
         ).collect()[0][0]
+        # AFTER UPDATE triggers: one pass builds BOTH images perfectly
+        # row-paired (old_* = stored values, new_* = the CASE
+        # assignments), materialized before the overwrite swaps files.
+        trig_df = None
+        if self._triggers_for(s.table, "update", "after"):
+            pair = [
+                f"`{f.name}` AS `old_{f.name}`"
+                for f in base.schema.fields
+            ] + [
+                (f"CAST(({assignments[f.name]}) AS "
+                 f"{f.dataType.simpleString()}) AS `new_{f.name}`"
+                 if f.name in assignments
+                 else f"`{f.name}` AS `new_{f.name}`")
+                for f in base.schema.fields
+            ]
+            trig_df = self.sql(
+                f"{pre}SELECT {', '.join(pair)} FROM `{s.table}` "
+                f"WHERE coalesce(({where}), false)",
+                dialect=dialect,
+            ).localCheckpoint()
         # Pruned rewrite unless an assignment rewrites a hive-partition
         # column (rows could move between partition directories — the
         # full rewrite handles relocation).
@@ -1278,6 +1469,7 @@ class Engine:
             self._enforce_checks(updated, meta, "UPDATE")
             t.overwrite(updated)
         self._recompute_generated(s.table, meta)
+        self._fire_after_triggers(s.table, "update", trig_df)
         return OkResult(affected_rows=int(n))
 
     def _exec_delete_subquery(self, s: st.Delete, dialect: str) -> OkResult:
@@ -1293,6 +1485,15 @@ class Engine:
             dialect=dialect,
         ).collect()[0][0]
         t = self.catalog.table(s.table)
+        trig_df = None
+        if self._triggers_for(s.table, "delete", "after"):
+            trig_df = self._prefix_cols(
+                self.sql(
+                    f"{pre}SELECT * FROM `{s.table}` "
+                    f"WHERE coalesce(({where}), false)",
+                    dialect=dialect,
+                ), "old_",
+            ).localCheckpoint()
         pruned = self._pruned_dml_plan(s.table, pre, where, dialect)
         if pruned is not None:
             view, carry = pruned
@@ -1309,6 +1510,7 @@ class Engine:
                 dialect=dialect,
             )
             t.overwrite(kept)
+        self._fire_after_triggers(s.table, "delete", trig_df)
         return OkResult(affected_rows=int(n))
 
     def _exec_update_multi(self, s: st.Update, dialect: str) -> OkResult:
@@ -2384,6 +2586,12 @@ class Engine:
                 raise ValueError(f"no such table: {s.name}")
             self.drop_table(s.name)
             self._meta_path_cleanup(s.name)
+            trigs = {
+                n: t for n, t in self._load_triggers().items()
+                if t["table"] != s.name
+            }  # MySQL drops a table's triggers with the table
+            if len(trigs) != len(self._load_triggers()):
+                self._save_triggers(trigs)
             return OkResult()
         if isinstance(s, st.AlterTable):
             return self._exec_alter(s)
@@ -2418,6 +2626,9 @@ class Engine:
                 s.cte
                 or _has_subquery(s.where)
                 or any(_has_subquery(e) for e in s.assignments.values())
+                # the SQL-text executor is the one that builds the
+                # paired old/new trigger images
+                or self._triggers_for(s.table, "update", "after")
             ):
                 return self._exec_update_subquery(s, dialect)
             cond = self._fragment(s.where) if s.where else F.lit(True)
@@ -2438,7 +2649,8 @@ class Engine:
         if isinstance(s, st.Delete):
             if s.from_text:
                 return self._exec_delete_multi(s, dialect)
-            if s.cte or _has_subquery(s.where):
+            if (s.cte or _has_subquery(s.where)
+                    or self._triggers_for(s.table, "delete", "after")):
                 return self._exec_delete_subquery(s, dialect)
             cond = self._fragment(s.where) if s.where else F.lit(True)
             if s.limit is not None:
@@ -2458,6 +2670,8 @@ class Engine:
             return self._exec_show(s)
         if isinstance(s, st.Maintenance):
             return self._exec_maintenance(s)
+        if isinstance(s, st.TriggerStmt):
+            return self._exec_trigger(s)
         if isinstance(s, st.DoStmt):
             # DO evaluates for side effects (none here beyond errors)
             # and discards the result
@@ -3035,6 +3249,19 @@ class Engine:
                 col, self._fragment(expr_text).cast(base_schema[col].dataType)
             )
 
+        # BEFORE INSERT triggers (SET NEW.c = expr): one vectorized
+        # withColumn per assignment, after defaults/generated, before
+        # constraint checks — MySQL's evaluation point.
+        for assigns in self._before_insert_assignments(s.table):
+            for col, ex in assigns.items():
+                if col not in base_schema.fieldNames():
+                    raise ValueError(
+                        f"trigger SET NEW.{col}: no such column"
+                    )
+                df = df.withColumn(
+                    col, F.expr(ex).cast(base_schema[col].dataType)
+                )
+
         checks = {c: self._fragment(e) for c, e in meta.checks.items()}
         for col in meta.not_null:
             if col != meta.auto_increment:
@@ -3051,11 +3278,23 @@ class Engine:
 
         n = df.count()
         last_id = 0
+
+        def _fire_insert_triggers() -> None:
+            if not self._triggers_for(s.table, "insert", "after"):
+                return
+            avail = [f.name for f in base_schema.fields
+                     if f.name in df.columns]
+            self._fire_after_triggers(
+                s.table, "insert", self._prefix_cols(df.select(*avail),
+                                                     "new_")
+            )
+
         if s.on_dup and meta.primary_key:
             n = self._insert_on_duplicate(
                 s.table, df.select(*[f.name for f in base_schema.fields]),
                 meta, s.on_dup,
             )
+            _fire_insert_triggers()
             return OkResult(affected_rows=n)
         if auto_missing:
             start = self._ai_start(s.table, t.read(), meta.auto_increment)
@@ -3071,6 +3310,7 @@ class Engine:
             n = t.read().count() - before
         else:
             self.insert(s.table, df.select(*[f.name for f in base_schema.fields]))
+        _fire_insert_triggers()
         return OkResult(affected_rows=n, last_insert_id=last_id)
 
     def _exec_load_data(self, s: st.LoadData) -> OkResult:
@@ -4472,8 +4712,13 @@ class Engine:
                 [(0,)], "`@@session.warning_count` int"
             )
         if s.kind == "triggers":
+            rows = [
+                (n, t["event"].upper(), t["table"], t["body"],
+                 t["timing"].upper(), None, "", "root@localhost")
+                for n, t in sorted(self._load_triggers().items())
+            ]
             return self.spark.createDataFrame(
-                [],
+                rows,
                 "Trigger string, Event string, Table string, "
                 "Statement string, Timing string, Created timestamp, "
                 "sql_mode string, Definer string",

@@ -95,7 +95,29 @@ def split_statements(sql: str) -> list[str]:
     s = "".join(buf).strip()
     if s:
         parts.append(s)
-    return parts
+    # re-join CREATE TRIGGER ... BEGIN ... END bodies that the ';'
+    # split broke apart (MySQL clients use DELIMITER for this; a script
+    # replayed here arrives without it)
+    merged: list[str] = []
+    i = 0
+    while i < len(parts):
+        p = parts[i]
+        if (
+            re.search(r"(?i)\bTRIGGER\b", p)
+            and re.search(r"(?i)\bBEGIN\b", p)
+            and not re.search(r"(?i)\bEND\s*$", p)
+        ):
+            j = i + 1
+            while j < len(parts):
+                p += "; " + parts[j]
+                if re.search(r"(?i)\bEND\s*$", parts[j]):
+                    break
+                j += 1
+            i = j + 1
+        else:
+            i += 1
+        merged.append(p)
+    return merged
 
 
 def split_top_level(s: str, sep: str = ",") -> list[str]:
@@ -478,6 +500,21 @@ class DoStmt:
     """DO expr[, ...] — evaluate and discard (MySQL)."""
 
     expr: str
+
+
+@dataclass
+class TriggerStmt:
+    """CREATE/DROP TRIGGER. The engine executes triggers SET-BASED
+    (one vectorized pass over the affected row set), not row-at-a-time
+    — the Spark-native realization of FOR EACH ROW semantics."""
+
+    action: str  # create | drop
+    name: str
+    timing: str = ""  # before | after
+    event: str = ""   # insert | update | delete
+    table: str = ""
+    body: str = ""
+    if_exists: bool = False
 
 
 @dataclass
@@ -2231,5 +2268,28 @@ def parse_statement(sql: str):
     m = re.match(r"DO\s+(.+)$", s, re.I | re.S)
     if m:
         return DoStmt(m.group(1).strip())
+
+    m = re.match(
+        r"CREATE\s+(?:DEFINER\s*=\s*\S+\s+)?TRIGGER\s+(`[^`]+`|\w+)\s+"
+        r"(BEFORE|AFTER)\s+(INSERT|UPDATE|DELETE)\s+ON\s+(`[^`]+`|\w+)\s+"
+        r"FOR\s+EACH\s+ROW\s+(.*)$",
+        s, re.I | re.S,
+    )
+    if m:
+        body = m.group(5).strip()
+        bm = re.fullmatch(r"BEGIN\s+(.*?)\s*END", body, re.I | re.S)
+        if bm:
+            body = bm.group(1).strip()
+        return TriggerStmt(
+            "create", unquote_ident(m.group(1)),
+            timing=m.group(2).lower(), event=m.group(3).lower(),
+            table=unquote_ident(m.group(4)), body=body,
+        )
+    m = re.match(
+        r"DROP\s+TRIGGER\s+(IF\s+EXISTS\s+)?(`[^`]+`|\w+)\s*$", s, re.I
+    )
+    if m:
+        return TriggerStmt("drop", unquote_ident(m.group(2)),
+                           if_exists=bool(m.group(1)))
 
     raise ValueError(f"unsupported statement: {s[:120]!r}")

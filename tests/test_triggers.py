@@ -1,0 +1,159 @@
+"""MySQL triggers, executed SET-BASED (reference exercises triggers on
+its MySQL surface, main_test.go:1053-1083; here FOR EACH ROW bodies run
+as one vectorized pass over the affected row set — the Spark-native
+realization, since a per-row loop would serialize large DML)."""
+
+from __future__ import annotations
+
+import pytest
+
+from myduckserver_spark.engine import Engine
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE items (id INT PRIMARY KEY, name VARCHAR(40), "
+              "qty INT, norm VARCHAR(40))")
+    e.execute("CREATE TABLE audit (tbl VARCHAR(20), op VARCHAR(10), "
+              "item_id INT, detail VARCHAR(60))")
+    return e
+
+
+def test_before_insert_set_new(eng):
+    eng.execute(
+        "CREATE TRIGGER norm_name BEFORE INSERT ON items "
+        "FOR EACH ROW SET NEW.norm = LOWER(NEW.name), "
+        "NEW.qty = COALESCE(NEW.qty, 0)"
+    )
+    eng.execute("INSERT INTO items (id, name, qty) VALUES "
+                "(1, 'Widget', 5), (2, 'GADGET', NULL)")
+    rows = {r.id: (r.norm, r.qty) for r in
+            eng.execute("SELECT id, norm, qty FROM items").collect()}
+    assert rows == {1: ("widget", 5), 2: ("gadget", 0)}
+
+
+def test_after_insert_audit(eng):
+    eng.execute(
+        "CREATE TRIGGER ai AFTER INSERT ON items FOR EACH ROW "
+        "INSERT INTO audit VALUES ('items', 'ins', NEW.id, NEW.name)"
+    )
+    eng.execute("INSERT INTO items VALUES (1, 'a', 1, NULL), "
+                "(2, 'b', 2, NULL)")
+    got = sorted((r.op, r.item_id, r.detail) for r in
+                 eng.execute("SELECT * FROM audit").collect())
+    assert got == [("ins", 1, "a"), ("ins", 2, "b")]
+
+
+def test_after_update_old_and_new(eng):
+    eng.execute(
+        "CREATE TRIGGER au AFTER UPDATE ON items FOR EACH ROW "
+        "INSERT INTO audit VALUES ('items', 'upd', OLD.id, "
+        "CONCAT(OLD.name, '->', NEW.name))"
+    )
+    eng.execute("INSERT INTO items VALUES (1, 'a', 1, NULL), "
+                "(2, 'b', 2, NULL)")
+    eng.execute("UPDATE items SET name = 'z' WHERE id = 2")
+    got = [(r.op, r.item_id, r.detail) for r in
+           eng.execute("SELECT * FROM audit").collect()]
+    assert got == [("upd", 2, "b->z")]
+
+
+def test_after_delete_old(eng):
+    eng.execute(
+        "CREATE TRIGGER ad AFTER DELETE ON items FOR EACH ROW "
+        "INSERT INTO audit VALUES ('items', 'del', OLD.id, OLD.name)"
+    )
+    eng.execute("INSERT INTO items VALUES (1, 'a', 1, NULL), "
+                "(2, 'b', 2, NULL)")
+    eng.execute("DELETE FROM items WHERE qty >= 2")
+    got = [(r.op, r.item_id) for r in
+           eng.execute("SELECT * FROM audit").collect()]
+    assert got == [("del", 2)]
+    assert eng.execute(
+        "SELECT COUNT(*) AS n FROM items"
+    ).collect()[0].n == 1
+
+
+def test_begin_end_body_and_batch_statement(eng):
+    eng.execute("CREATE TABLE counters (k VARCHAR(10), n INT)")
+    eng.execute("INSERT INTO counters VALUES ('ins', 0)")
+    # BEGIN...END with one NEW-referencing insert and one batch
+    # statement (no NEW/OLD: executed once per statement — documented
+    # batch divergence from MySQL's once-per-row)
+    eng.execute(
+        "CREATE TRIGGER multi AFTER INSERT ON items FOR EACH ROW BEGIN "
+        "INSERT INTO audit VALUES ('items', 'ins', NEW.id, NULL); "
+        "UPDATE counters SET n = n + 1 WHERE k = 'ins'; END"
+    )
+    eng.execute("INSERT INTO items VALUES (1, 'a', 1, NULL), "
+                "(2, 'b', 2, NULL)")
+    assert eng.execute(
+        "SELECT COUNT(*) AS n FROM audit"
+    ).collect()[0].n == 2
+    assert eng.execute(
+        "SELECT n FROM counters WHERE k = 'ins'"
+    ).collect()[0].n == 1  # once per statement, not per row
+
+
+def test_show_triggers_drop_and_persistence(eng, spark, tmp_path):
+    eng.execute(
+        "CREATE TRIGGER t1 AFTER INSERT ON items FOR EACH ROW "
+        "INSERT INTO audit VALUES ('items', 'i', NEW.id, NULL)"
+    )
+    rows = eng.execute("SHOW TRIGGERS").collect()
+    assert [(r.Trigger, r.Event, r.Timing) for r in rows] == \
+        [("t1", "INSERT", "AFTER")]
+    # persists across engine instances (same warehouse)
+    e2 = Engine(spark, eng.catalog.root
+                if hasattr(eng.catalog, "root") else eng._warehouse)
+    assert [r.Trigger for r in e2.execute("SHOW TRIGGERS").collect()] \
+        == ["t1"]
+    eng.execute("DROP TRIGGER t1")
+    assert eng.execute("SHOW TRIGGERS").collect() == []
+    with pytest.raises(ValueError):
+        eng.execute("DROP TRIGGER t1")
+    eng.execute("DROP TRIGGER IF EXISTS t1")
+
+
+def test_trigger_validation_rejections(eng):
+    with pytest.raises(NotImplementedError):
+        eng.execute("CREATE TRIGGER bad1 BEFORE UPDATE ON items "
+                    "FOR EACH ROW SET NEW.qty = 0")
+    with pytest.raises(ValueError, match="no OLD row"):
+        eng.execute("CREATE TRIGGER bad2 AFTER INSERT ON items "
+                    "FOR EACH ROW INSERT INTO audit VALUES "
+                    "('x', 'i', OLD.id, NULL)")
+    with pytest.raises(ValueError, match="no NEW row"):
+        eng.execute("CREATE TRIGGER bad3 AFTER DELETE ON items "
+                    "FOR EACH ROW INSERT INTO audit VALUES "
+                    "('x', 'd', NEW.id, NULL)")
+    with pytest.raises(NotImplementedError):
+        eng.execute("CREATE TRIGGER bad4 AFTER UPDATE ON items "
+                    "FOR EACH ROW DELETE FROM audit WHERE "
+                    "item_id = NEW.id")
+
+
+def test_drop_table_drops_triggers(eng):
+    eng.execute(
+        "CREATE TRIGGER tt AFTER INSERT ON items FOR EACH ROW "
+        "INSERT INTO audit VALUES ('items', 'i', NEW.id, NULL)"
+    )
+    eng.execute("DROP TABLE items")
+    assert eng.execute("SHOW TRIGGERS").collect() == []
+
+
+def test_trigger_cascade(eng):
+    # a trigger's INSERT fires the audit table's own trigger
+    eng.execute("CREATE TABLE audit2 (item_id INT)")
+    eng.execute(
+        "CREATE TRIGGER c1 AFTER INSERT ON items FOR EACH ROW "
+        "INSERT INTO audit VALUES ('items', 'i', NEW.id, NULL)"
+    )
+    eng.execute(
+        "CREATE TRIGGER c2 AFTER INSERT ON audit FOR EACH ROW "
+        "INSERT INTO audit2 VALUES (NEW.item_id)"
+    )
+    eng.execute("INSERT INTO items VALUES (9, 'x', 1, NULL)")
+    assert [r.item_id for r in
+            eng.execute("SELECT * FROM audit2").collect()] == [9]
