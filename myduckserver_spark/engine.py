@@ -1102,6 +1102,96 @@ class Engine:
             *[F.col(c).alias(f"{prefix}{c}") for c in df.columns]
         )
 
+    # --------------------------------------------------------- procedures
+    # MySQL stored procedures: straight-line statement lists with IN
+    # parameters substituted textually at CALL time (the reference runs
+    # procedures GMS-side, main_test.go:1071; control flow —
+    # DECLARE/IF/WHILE/cursors — is rejected at CREATE, honestly).
+    # Stored FUNCTIONs map onto the macro mechanism at parse time.
+
+    def _procedures_path(self) -> str:
+        return os.path.join(self._warehouse, "__procedures.json")
+
+    def _load_procedures(self) -> dict:
+        cached = getattr(self, "_proc_cache", None)
+        if cached is not None:
+            return cached
+        p = self._procedures_path()
+        if os.path.exists(p):
+            with open(p) as f:
+                self._proc_cache = json.load(f)
+        else:
+            self._proc_cache = {}
+        return self._proc_cache
+
+    def _save_procedures(self, m: dict) -> None:
+        os.makedirs(self._warehouse, exist_ok=True)
+        with open(self._procedures_path(), "w") as f:
+            json.dump(m, f)
+        self._proc_cache = m
+
+    _PROC_CONTROL_FLOW = re.compile(
+        r"(?i)^\s*(DECLARE|IF|WHILE|LOOP|REPEAT|LEAVE|ITERATE|OPEN|"
+        r"FETCH|CLOSE|SIGNAL)\b"
+    )
+
+    def _exec_procedure(self, s: "st.ProcedureStmt", dialect: str):
+        procs = dict(self._load_procedures())
+        if s.action == "create":
+            if s.name.lower() in procs:
+                raise ValueError(f"procedure {s.name} already exists")
+            for mode, pname in s.params:
+                if mode != "in":
+                    raise NotImplementedError(
+                        f"{mode.upper()} parameter {pname}: only IN "
+                        "parameters are supported"
+                    )
+            for stmt in st.split_statements(s.body):
+                if self._PROC_CONTROL_FLOW.match(stmt):
+                    raise NotImplementedError(
+                        "procedure bodies are straight-line SQL here; "
+                        f"control flow is not supported: {stmt[:50]!r}"
+                    )
+            procs[s.name.lower()] = {
+                "name": s.name,
+                "params": [p for _m, p in s.params],
+                "body": s.body,
+            }
+            self._save_procedures(procs)
+            return OkResult()
+        if s.action == "drop":
+            if s.name.lower() in procs:
+                procs.pop(s.name.lower())
+                self._save_procedures(procs)
+                return OkResult()
+            macros = dict(self._load_macros())
+            if s.name.lower() in macros:  # DROP FUNCTION lands here
+                del macros[s.name.lower()]
+                self._save_macros(macros)
+                return OkResult()
+            if s.if_exists:
+                return OkResult()
+            raise ValueError(f"procedure or function {s.name} "
+                             "does not exist")
+        # CALL
+        proc = procs.get(s.name.lower())
+        if proc is None:
+            raise ValueError(f"procedure {s.name} does not exist")
+        if len(s.params) != len(proc["params"]):
+            raise ValueError(
+                f"CALL {s.name}: {len(s.params)} arguments for "
+                f"{len(proc['params'])} parameters"
+            )
+        result = OkResult()
+        for stmt in st.split_statements(proc["body"]):
+            for pname, arg in zip(proc["params"], s.params):
+                stmt = st.sub_outside_strings(
+                    rf"\b{re.escape(pname)}\b", f"({arg})", stmt,
+                    flags=re.I,
+                )
+            result = self.execute(stmt, dialect=dialect)
+        return result  # MySQL returns the last statement's result set
+
     # ------------------------------------------------------------- macros
     # DuckDB-style scalar macros — the reference's UDF mechanism
     # (catalog/internal_macro.go:17-31; CREATE OR REPLACE MACRO on the
@@ -2672,6 +2762,8 @@ class Engine:
             return self._exec_maintenance(s)
         if isinstance(s, st.TriggerStmt):
             return self._exec_trigger(s)
+        if isinstance(s, st.ProcedureStmt):
+            return self._exec_procedure(s, dialect)
         if isinstance(s, st.DoStmt):
             # DO evaluates for side effects (none here beyond errors)
             # and discards the result
@@ -4732,11 +4824,51 @@ class Engine:
                 "Starts timestamp, Ends timestamp, Status string",
             )
         if s.kind == "routine_status":
+            rows = []
+            if s.target != "FUNCTION":
+                rows += [
+                    (self.current_db, p["name"], "PROCEDURE",
+                     "root@localhost", None, None, "DEFINER", "")
+                    for p in self._load_procedures().values()
+                ]
+            if s.target != "PROCEDURE":
+                rows += [
+                    (self.current_db, n, "FUNCTION", "root@localhost",
+                     None, None, "DEFINER", "")
+                    for n in sorted(self._load_macros())
+                ]
+            rows.sort(key=lambda r: (r[2], r[1]))
             return self.spark.createDataFrame(
-                [],
+                rows,
                 "Db string, Name string, Type string, Definer string, "
                 "Modified timestamp, Created timestamp, "
                 "Security_type string, Comment string",
+            )
+        if s.kind == "create_routine":
+            if s.like == "PROCEDURE":
+                p = self._load_procedures().get(s.target.lower())
+                if p is None:
+                    raise ValueError(f"procedure {s.target} "
+                                     "does not exist")
+                pars = ", ".join(f"IN {x} TEXT" for x in p["params"])
+                ddl = (f"CREATE PROCEDURE `{p['name']}`({pars})\n"
+                       f"BEGIN {p['body']}; END")
+                return self.spark.createDataFrame(
+                    [(p["name"], "", ddl)],
+                    "Procedure string, sql_mode string, "
+                    "`Create Procedure` string",
+                )
+            mac = self._load_macros().get(s.target.lower())
+            if mac is None:
+                raise ValueError(f"function {s.target} does not exist")
+            pars, body = mac
+            ddl = (f"CREATE FUNCTION `{s.target}`("
+                   + ", ".join(f"{x} TEXT" for x in pars)
+                   + f") RETURNS TEXT RETURN {body}")
+            return self.spark.createDataFrame(
+                [(s.target, "", ddl)],
+                "Function string, sql_mode string, "
+                "`Create Function` string",
             )
         if s.kind == "plugins":
             return self.spark.createDataFrame(

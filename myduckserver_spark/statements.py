@@ -103,7 +103,7 @@ def split_statements(sql: str) -> list[str]:
     while i < len(parts):
         p = parts[i]
         if (
-            re.search(r"(?i)\bTRIGGER\b", p)
+            re.search(r"(?i)\b(?:TRIGGER|PROCEDURE|FUNCTION)\b", p)
             and re.search(r"(?i)\bBEGIN\b", p)
             and not re.search(r"(?i)\bEND\s*$", p)
         ):
@@ -500,6 +500,19 @@ class DoStmt:
     """DO expr[, ...] — evaluate and discard (MySQL)."""
 
     expr: str
+
+
+@dataclass
+class ProcedureStmt:
+    """CREATE/DROP PROCEDURE and CALL. Bodies are straight-line SQL
+    statement lists with IN parameters substituted textually at CALL
+    time (control flow — DECLARE/IF/WHILE — is rejected at CREATE)."""
+
+    action: str  # create | drop | call
+    name: str
+    params: list = field(default_factory=list)
+    body: str = ""
+    if_exists: bool = False
 
 
 @dataclass
@@ -1757,9 +1770,20 @@ def parse_statement(sql: str):
         from_oc = bool(cm)
         if body.upper().startswith("VALUE"):
             tuples = re.sub(r"^VALUES?\s*", "", body, flags=re.I)
-            return Insert(table, columns, parse_values_tuples(tuples), None,
-                          mode, on_dup, conflict_cols, conflict_constraint,
-                          from_oc)
+            try:
+                return Insert(table, columns, parse_values_tuples(tuples),
+                              None, mode, on_dup, conflict_cols,
+                              conflict_constraint, from_oc)
+            except ValueError:
+                # VALUES tuples holding real EXPRESSIONS (MySQL allows
+                # any expr) — Spark's VALUES is a full query form, so
+                # route through the query path; DEFAULT keywords need
+                # the literal path and stay a parse error here.
+                if re.search(r"(?i)\bDEFAULT\b", mask_strings(tuples)):
+                    raise
+                return Insert(table, columns, None, f"VALUES {tuples}",
+                              mode, on_dup, conflict_cols,
+                              conflict_constraint, from_oc)
         return Insert(table, columns, None, body, mode, on_dup, conflict_cols,
                       conflict_constraint, from_oc)
 
@@ -1876,8 +1900,16 @@ def parse_statement(sql: str):
         return Show("triggers")
     if re.match(r"SHOW\s+EVENTS\b", s, re.I):
         return Show("events")
-    if re.match(r"SHOW\s+(FUNCTION|PROCEDURE)\s+STATUS\b", s, re.I):
-        return Show("routine_status")
+    m = re.match(r"SHOW\s+(FUNCTION|PROCEDURE)\s+STATUS\b", s, re.I)
+    if m:
+        return Show("routine_status", target=m.group(1).upper())
+    m = re.match(
+        r"SHOW\s+CREATE\s+(PROCEDURE|FUNCTION)\s+(`[^`]+`|\w+)\s*$",
+        s, re.I,
+    )
+    if m:
+        return Show("create_routine", target=unquote_ident(m.group(2)),
+                    like=m.group(1).upper())
     if re.match(r"SHOW\s+PLUGINS\s*$", s, re.I):
         return Show("plugins")
     if re.match(r"SHOW\s+PRIVILEGES\s*$", s, re.I):
@@ -2291,5 +2323,70 @@ def parse_statement(sql: str):
     if m:
         return TriggerStmt("drop", unquote_ident(m.group(2)),
                            if_exists=bool(m.group(1)))
+
+    _CHARACTERISTICS = (
+        r"(?:\s+(?:DETERMINISTIC|NOT\s+DETERMINISTIC|NO\s+SQL|"
+        r"CONTAINS\s+SQL|READS\s+SQL\s+DATA|MODIFIES\s+SQL\s+DATA|"
+        r"SQL\s+SECURITY\s+\w+|COMMENT\s+'[^']*'|LANGUAGE\s+SQL))*"
+    )
+    m = re.match(
+        r"CREATE\s+(?:DEFINER\s*=\s*\S+\s+)?PROCEDURE\s+(`[^`]+`|\w+)"
+        r"\s*\(([^)]*)\)" + _CHARACTERISTICS + r"\s+(.*)$",
+        s, re.I | re.S,
+    )
+    if m:
+        params = []
+        for p in split_top_level(m.group(2), ","):
+            p = p.strip()
+            if not p:
+                continue
+            pm = re.match(r"(?:(IN|OUT|INOUT)\s+)?(`[^`]+`|\w+)\s+\S+",
+                          p, re.I)
+            if not pm:
+                raise ValueError(f"cannot parse procedure param: {p!r}")
+            params.append(((pm.group(1) or "IN").lower(),
+                           unquote_ident(pm.group(2))))
+        body = m.group(3).strip().rstrip(";").strip()
+        bm = re.fullmatch(r"BEGIN\s+(.*?)\s*;?\s*END", body, re.I | re.S)
+        if bm:
+            body = bm.group(1).strip()
+        return ProcedureStmt("create", unquote_ident(m.group(1)),
+                             params=params, body=body)
+    m = re.match(
+        r"CREATE\s+(?:DEFINER\s*=\s*\S+\s+)?FUNCTION\s+(`[^`]+`|\w+)"
+        r"\s*\(([^)]*)\)\s*RETURNS\s+\S+(?:\([^)]*\))?"
+        + _CHARACTERISTICS
+        + r"\s+(?:BEGIN\s+)?RETURN\s+(.*?)\s*;?\s*(?:END\s*)?$",
+        s, re.I | re.S,
+    )
+    if m:
+        # MySQL stored SQL functions map onto the macro mechanism
+        # (same late-binding textual expansion the reference uses for
+        # its internal shims, catalog/internal_macro.go:17-31)
+        params = [
+            p.strip().split()[0].strip("`")
+            for p in split_top_level(m.group(2), ",")
+            if p.strip()
+        ]
+        return CreateMacro(unquote_ident(m.group(1)), params,
+                           m.group(3).strip(), or_replace=False)
+    m = re.match(
+        r"DROP\s+(?:PROCEDURE|FUNCTION)\s+(IF\s+EXISTS\s+)?"
+        r"(`[^`]+`|\w+)\s*$", s, re.I,
+    )
+    if m:
+        # DROP FUNCTION also lands here: the engine's drop removes
+        # either a procedure or a macro by that name
+        return ProcedureStmt("drop", unquote_ident(m.group(2)),
+                             if_exists=bool(m.group(1)))
+    m = re.match(r"CALL\s+(`[^`]+`|\w+)\s*(?:\((.*)\))?\s*$",
+                 s, re.I | re.S)
+    if m:
+        args = [
+            a.strip() for a in split_top_level(m.group(2) or "", ",")
+            if a.strip()
+        ]
+        return ProcedureStmt("call", unquote_ident(m.group(1)),
+                             params=args)
 
     raise ValueError(f"unsupported statement: {s[:120]!r}")

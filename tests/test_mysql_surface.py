@@ -547,3 +547,20 @@ def test_view_attribute_clauses(engine):
         "CREATE OR REPLACE ALGORITHM=MERGE VIEW vattr AS SELECT 22 AS one"
     )
     assert engine.execute("SELECT one FROM vattr").collect()[0].one == 22
+
+
+def test_insert_values_with_expressions(engine):
+    engine.execute("CREATE TABLE ivx (id INT PRIMARY KEY, s TEXT, v INT)")
+    engine.execute(
+        "INSERT INTO ivx VALUES (1, UPPER('ab'), 1+2), "
+        "(2, CONCAT('x', 'y'), FLOOR(7.9))"
+    )
+    got = {r.id: (r.s, r.v) for r in
+           engine.execute("SELECT * FROM ivx").collect()}
+    assert got == {1: ("AB", 3), 2: ("xy", 7)}
+    # literal-only fast path still handles DEFAULT keywords
+    engine.execute("ALTER TABLE ivx ALTER COLUMN v SET DEFAULT 9")
+    engine.execute("INSERT INTO ivx VALUES (3, 'z', DEFAULT)")
+    assert engine.execute(
+        "SELECT v FROM ivx WHERE id = 3"
+    ).collect()[0].v == 9
