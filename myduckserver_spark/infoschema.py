@@ -34,6 +34,7 @@ _QUALIFIED = re.compile(
 INFO_VIEWS = {
     "schemata", "tables", "columns", "views", "statistics",
     "key_column_usage", "table_constraints", "referential_constraints",
+    "routines", "triggers",
 }
 SYS_VIEWS = {"pg_stat_user_tables", "pg_index"}
 # pg_catalog shims: the reference rewrites pg_catalog queries in place
@@ -286,6 +287,40 @@ def build(engine, schema: str, view: str) -> DataFrame:
             rows,
             "CONSTRAINT_CATALOG string, CONSTRAINT_NAME string, "
             "TABLE_SCHEMA string, TABLE_NAME string, CONSTRAINT_TYPE string",
+        )
+
+    if (schema, view) == ("information_schema", "routines"):
+        rows = [
+            (p["name"], engine.current_db, "PROCEDURE", None,
+             p["body"], "SQL")
+            for p in engine._load_procedures().values()
+        ] + [
+            (n, engine.current_db, "FUNCTION", "varchar",
+             body, "SQL")
+            for n, (_params, body) in sorted(
+                engine._load_macros().items()
+            )
+        ]
+        rows.sort(key=lambda r: (r[2], r[0]))
+        return spark.createDataFrame(
+            rows,
+            "ROUTINE_NAME string, ROUTINE_SCHEMA string, "
+            "ROUTINE_TYPE string, DATA_TYPE string, "
+            "ROUTINE_DEFINITION string, ROUTINE_BODY string",
+        )
+
+    if (schema, view) == ("information_schema", "triggers"):
+        rows = [
+            (n, t["event"].upper(), engine.current_db, t["table"],
+             t["body"], t["timing"].upper(), "ROW")
+            for n, t in sorted(engine._load_triggers().items())
+        ]
+        return spark.createDataFrame(
+            rows,
+            "TRIGGER_NAME string, EVENT_MANIPULATION string, "
+            "EVENT_OBJECT_SCHEMA string, EVENT_OBJECT_TABLE string, "
+            "ACTION_STATEMENT string, ACTION_TIMING string, "
+            "ACTION_ORIENTATION string",
         )
 
     if (schema, view) == ("__sys__", "pg_stat_user_tables"):

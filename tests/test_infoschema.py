@@ -299,3 +299,26 @@ def test_columns_type_facets(spark, tmp_path):
     assert rows["d"].NUMERIC_SCALE is None
     assert rows["body"].CHARACTER_MAXIMUM_LENGTH == 65535
     assert rows["id"].CHARACTER_MAXIMUM_LENGTH is None
+
+
+def test_routines_and_triggers_views(spark, tmp_path):
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "whrt"))
+    e.execute("CREATE TABLE rt (id INT PRIMARY KEY)")
+    e.execute("CREATE PROCEDURE p1(IN x INT) SELECT (x) AS v")
+    e.execute("CREATE FUNCTION f1(a INT) RETURNS INT RETURN a + 1")
+    e.execute("CREATE TRIGGER tg1 AFTER INSERT ON rt FOR EACH ROW "
+              "INSERT INTO rt_log VALUES (NEW.id)")
+    rows = e.execute(
+        "SELECT ROUTINE_NAME, ROUTINE_TYPE "
+        "FROM information_schema.routines ORDER BY ROUTINE_TYPE"
+    ).collect()
+    assert [(r[0], r[1]) for r in rows] == [
+        ("f1", "FUNCTION"), ("p1", "PROCEDURE"),
+    ]
+    rows = e.execute(
+        "SELECT TRIGGER_NAME, EVENT_MANIPULATION, EVENT_OBJECT_TABLE, "
+        "ACTION_TIMING FROM information_schema.triggers"
+    ).collect()
+    assert [tuple(r) for r in rows] == [("tg1", "INSERT", "rt", "AFTER")]
