@@ -107,6 +107,7 @@ class Engine:
             "NO_ENGINE_SUBSTITUTION",
             "time_zone": "UTC",
             "version": "8.0.0-myduckserver-spark",
+            "version_comment": "myduckserver-spark (PySpark engine)",
         }
         # PREPARE name FROM '...' registry (reference: prepared-stmt cache
         # pgserver/duck_handler.go:133-233 / MySQL PREPARE through GMS).
@@ -4650,6 +4651,12 @@ class Engine:
                   f"CREATE DATABASE `{s.target}` /*!40100 DEFAULT "
                   "CHARACTER SET utf8mb4 */")],
                 "Database string, `Create Database` string",
+            )
+        if s.kind == "xa_recover":
+            # no in-doubt branches: single resource manager
+            return self.spark.createDataFrame(
+                [], "formatID long, gtrid_length int, bqual_length int, "
+                    "data string",
             )
         if s.kind == "profiles":
             # profiling is always off: empty set (MySQL's default)

@@ -1030,6 +1030,19 @@ def _pass_mysql_operators(toks: list[Tok]) -> list[Tok]:
                         out.pop()
                     i = j + 1
                     continue
+            if u == "FROM":
+                # FROM DUAL: MySQL's dummy one-row table — dropped
+                # (Spark SELECT needs no FROM)
+                j = _sig_next(toks, i)
+                if j < n and toks[j].is_word("DUAL"):
+                    k = _sig_next(toks, j)
+                    follows_clause = k >= n or (
+                        toks[k].kind == "word" or
+                        (toks[k].kind == "op" and toks[k].text in (")", ";"))
+                    )
+                    if follows_clause:
+                        i = j + 1
+                        continue
             if u == "MOD":
                 j = _sig_next(toks, i)
                 prev = _prev_operand_start(out)

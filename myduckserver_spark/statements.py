@@ -1863,7 +1863,7 @@ def parse_statement(sql: str):
         return Show("noop_lock")
     if re.match(r"SHOW\s+(?:FULL\s+)?PROCESSLIST\s*$", s, re.I):
         return Show("processlist")
-    if re.match(r"SHOW\s+ENGINES\s*$", s, re.I):
+    if re.match(r"SHOW\s+(?:STORAGE\s+)?ENGINES\s*$", s, re.I):
         return Show("engines")
     m = re.match(
         r"SHOW\s+(?:SESSION\s+|GLOBAL\s+)?STATUS\s*(?:LIKE\s+(.+))?$", s, re.I
@@ -2240,6 +2240,27 @@ def parse_statement(sql: str):
         # access-mode/snapshot modifiers: snapshot isolation already
         # gives consistent reads; READ ONLY is advisory per-txn
         return TxnStmt("begin")
+    # XA transactions (J2EE connectors emit these): single-node engine
+    # maps the XA lifecycle onto local txn semantics — START begins,
+    # COMMIT commits, ROLLBACK rolls back; END/PREPARE are no-ops
+    # (nothing to vote on without a second resource manager); RECOVER
+    # reports no in-doubt branches.
+    m = re.match(
+        r"XA\s+(START|BEGIN|END|PREPARE|COMMIT|ROLLBACK|RECOVER)\b"
+        r"[^;]*$",
+        s, re.I,
+    )
+    if m:
+        verb = m.group(1).upper()
+        if verb in ("START", "BEGIN"):
+            return TxnStmt("begin")
+        if verb == "COMMIT":
+            return TxnStmt("commit")
+        if verb == "ROLLBACK":
+            return TxnStmt("rollback")
+        if verb == "RECOVER":
+            return Show("xa_recover")
+        return Show("noop_admin")  # END / PREPARE
     if re.match(r"COMMIT\s*$", s, re.I):
         return TxnStmt("commit")
     m = re.match(r"SAVEPOINT\s+(`[^`]+`|\w+)\s*$", s, re.I)

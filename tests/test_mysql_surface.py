@@ -564,3 +564,33 @@ def test_insert_values_with_expressions(engine):
     assert engine.execute(
         "SELECT v FROM ivx WHERE id = 3"
     ).collect()[0].v == 9
+
+
+def test_connector_probe_shapes(engine):
+    assert engine.execute("SELECT 1 FROM DUAL").collect()[0][0] == 1
+    assert engine.execute(
+        "SELECT 1+1 AS x FROM DUAL WHERE 1 = 1"
+    ).collect()[0].x == 2
+    assert "spark" in engine.execute(
+        "SELECT @@version_comment AS v"
+    ).collect()[0].v
+    assert len(engine.execute("SHOW STORAGE ENGINES").collect()) == 1
+
+
+def test_xa_transaction_lifecycle(engine):
+    engine.execute("CREATE TABLE xat (id INT PRIMARY KEY)")
+    engine.execute("XA START 'b1'")
+    engine.execute("INSERT INTO xat VALUES (1)")
+    engine.execute("XA END 'b1'")
+    engine.execute("XA PREPARE 'b1'")
+    engine.execute("XA COMMIT 'b1'")
+    assert engine.execute(
+        "SELECT COUNT(*) AS n FROM xat"
+    ).collect()[0].n == 1
+    engine.execute("XA START 'b2'")
+    engine.execute("INSERT INTO xat VALUES (2)")
+    engine.execute("XA ROLLBACK 'b2'")
+    assert engine.execute(
+        "SELECT COUNT(*) AS n FROM xat"
+    ).collect()[0].n == 1
+    assert engine.execute("XA RECOVER").collect() == []
