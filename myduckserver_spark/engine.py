@@ -1131,10 +1131,103 @@ class Engine:
             json.dump(m, f)
         self._proc_cache = m
 
-    _PROC_CONTROL_FLOW = re.compile(
-        r"(?i)^\s*(DECLARE|IF|WHILE|LOOP|REPEAT|LEAVE|ITERATE|OPEN|"
-        r"FETCH|CLOSE|SIGNAL)\b"
+    _PROC_UNSUPPORTED = re.compile(
+        r"(?i)^\s*(LOOP|REPEAT|LEAVE|ITERATE|OPEN|FETCH|CLOSE|SIGNAL|"
+        r"CASE)\b"
     )
+    _PROC_MAX_ITER = 100_000  # WHILE runaway guard
+
+    @staticmethod
+    def _proc_normalize(parts: list) -> list:
+        """Split block openers carrying an inline first statement
+        ('IF c THEN stmt' / 'WHILE c DO stmt' / 'ELSE stmt') into
+        standalone opener + statement parts, so the parser only ever
+        sees openers on their own."""
+        out: list = []
+        for p in parts:
+            p = p.strip()
+            while True:
+                m = re.match(
+                    r"((?:ELSE)?IF\s+.+?\s+THEN|WHILE\s+.+?\s+DO|ELSE)"
+                    r"\s+(\S.*)$",
+                    p, re.I | re.S,
+                )
+                if not m:
+                    break
+                out.append(m.group(1).strip())
+                p = m.group(2).strip()
+            if p:
+                out.append(p)
+        return out
+
+    def _parse_proc_block(self, parts: list, i: int = 0,
+                          stop=()) -> tuple[list, int]:
+        """Recursive-descent parse of a normalized procedure body into
+        nodes: ('sql', text) | ('declare', name, default_expr) |
+        ('if', [(cond, block), ...], else_block) |
+        ('while', cond, block)."""
+        nodes: list = []
+        while i < len(parts):
+            p = parts[i].strip()
+            up = p.upper()
+            if any(up == t or up.startswith(t + " ") for t in stop):
+                return nodes, i
+            if self._PROC_UNSUPPORTED.match(p):
+                raise NotImplementedError(
+                    "procedure control flow supports IF/WHILE/DECLARE/"
+                    f"SET only; not: {p[:50]!r}"
+                )
+            m = re.match(r"DECLARE\s+(`[^`]+`|\w+)\s+\S+"
+                         r"(?:\([^)]*\))?(?:\s+DEFAULT\s+(.+))?$",
+                         p, re.I | re.S)
+            if m:
+                nodes.append(("declare", st.unquote_ident(m.group(1)),
+                              (m.group(2) or "NULL").strip()))
+                i += 1
+                continue
+            m = re.fullmatch(r"IF\s+(.+?)\s+THEN", p, re.I | re.S)
+            if m:
+                branches = []
+                cond = m.group(1)
+                while True:
+                    blk, j = self._parse_proc_block(
+                        parts, i + 1, stop=("ELSEIF", "ELSE", "END IF"))
+                    branches.append((cond, blk))
+                    if j >= len(parts):
+                        raise ValueError("IF without END IF")
+                    nxt = parts[j].strip()
+                    em = re.fullmatch(r"ELSEIF\s+(.+?)\s+THEN", nxt,
+                                      re.I | re.S)
+                    if em:
+                        cond = em.group(1)
+                        i = j
+                        continue
+                    if nxt.upper() == "ELSE":
+                        eblk, j2 = self._parse_proc_block(
+                            parts, j + 1, stop=("END IF",))
+                        if j2 >= len(parts):
+                            raise ValueError("ELSE without END IF")
+                        nodes.append(("if", branches, eblk))
+                        i = j2 + 1
+                        break
+                    nodes.append(("if", branches, []))
+                    i = j + 1
+                    break
+                continue
+            m = re.fullmatch(r"WHILE\s+(.+?)\s+DO", p, re.I | re.S)
+            if m:
+                blk, j = self._parse_proc_block(
+                    parts, i + 1, stop=("END WHILE",))
+                if j >= len(parts):
+                    raise ValueError("WHILE without END WHILE")
+                nodes.append(("while", m.group(1), blk))
+                i = j + 1
+                continue
+            nodes.append(("sql", p))
+            i += 1
+        if stop:
+            raise ValueError(f"unterminated block (expected {stop})")
+        return nodes, i
 
     def _exec_procedure(self, s: "st.ProcedureStmt", dialect: str):
         procs = dict(self._load_procedures())
@@ -1147,12 +1240,10 @@ class Engine:
                         f"{mode.upper()} parameter {pname}: only IN "
                         "parameters are supported"
                     )
-            for stmt in st.split_statements(s.body):
-                if self._PROC_CONTROL_FLOW.match(stmt):
-                    raise NotImplementedError(
-                        "procedure bodies are straight-line SQL here; "
-                        f"control flow is not supported: {stmt[:50]!r}"
-                    )
+            # parse now: unsupported control flow rejects at CREATE
+            self._parse_proc_block(
+                self._proc_normalize(st.split_statements(s.body))
+            )
             procs[s.name.lower()] = {
                 "name": s.name,
                 "params": [p for _m, p in s.params],
@@ -1183,14 +1274,71 @@ class Engine:
                 f"CALL {s.name}: {len(s.params)} arguments for "
                 f"{len(proc['params'])} parameters"
             )
+        env = {p.lower(): f"({a})"
+               for p, a in zip(proc["params"], s.params)}
+        nodes, _ = self._parse_proc_block(
+            self._proc_normalize(st.split_statements(proc["body"]))
+        )
+        return self._run_proc_block(nodes, env, dialect)
+
+    def _proc_sub(self, text: str, env: dict) -> str:
+        for name, lit in env.items():
+            text = st.sub_outside_strings(
+                rf"\b{re.escape(name)}\b", lit, text, flags=re.I
+            )
+        return text
+
+    def _proc_eval(self, expr: str, env: dict, dialect: str):
+        return self.sql(
+            f"SELECT ({self._proc_sub(expr, env)}) AS v", dialect=dialect
+        ).collect()[0][0]
+
+    def _run_proc_block(self, nodes: list, env: dict, dialect: str):
+        """Interpret a parsed procedure body. Control flow runs
+        driver-side (conditions are scalar SELECTs); every contained
+        statement stays set-based — the loop count is procedural
+        logic, never data volume."""
         result = OkResult()
-        for stmt in st.split_statements(proc["body"]):
-            for pname, arg in zip(proc["params"], s.params):
-                stmt = st.sub_outside_strings(
-                    rf"\b{re.escape(pname)}\b", f"({arg})", stmt,
-                    flags=re.I,
+        for node in nodes:
+            kind = node[0]
+            if kind == "sql":
+                stmt = self._proc_sub(node[1], env)
+                sm = re.match(r"SET\s+(`[^`]+`|\w+)\s*=\s*(.+)$",
+                              node[1], re.I | re.S)
+                if sm and st.unquote_ident(sm.group(1)).lower() in env:
+                    var = st.unquote_ident(sm.group(1)).lower()
+                    env[var] = self._render_literal(
+                        self._proc_eval(sm.group(2), env, dialect)
+                    )
+                    continue
+                result = self.execute(stmt, dialect=dialect)
+            elif kind == "declare":
+                _k, name, default = node
+                env[name.lower()] = self._render_literal(
+                    self._proc_eval(default, env, dialect)
                 )
-            result = self.execute(stmt, dialect=dialect)
+            elif kind == "if":
+                _k, branches, else_blk = node
+                for cond, blk in branches:
+                    if bool(self._proc_eval(cond, env, dialect)):
+                        result = self._run_proc_block(blk, env, dialect)
+                        break
+                else:
+                    if else_blk:
+                        result = self._run_proc_block(
+                            else_blk, env, dialect
+                        )
+            elif kind == "while":
+                _k, cond, blk = node
+                it = 0
+                while bool(self._proc_eval(cond, env, dialect)):
+                    it += 1
+                    if it > self._PROC_MAX_ITER:
+                        raise ValueError(
+                            "WHILE exceeded "
+                            f"{self._PROC_MAX_ITER} iterations"
+                        )
+                    result = self._run_proc_block(blk, env, dialect)
         return result  # MySQL returns the last statement's result set
 
     # ------------------------------------------------------------- macros

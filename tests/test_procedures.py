@@ -60,14 +60,14 @@ def test_procedure_persistence_and_show(eng, spark):
     assert "CREATE PROCEDURE" in ddl and "SELECT (x) AS v" in ddl
 
 
-def test_procedure_rejects_control_flow_and_out_params(eng):
-    with pytest.raises(NotImplementedError, match="control flow"):
-        eng.execute(
-            "CREATE PROCEDURE cf(IN x INT) BEGIN "
-            "IF x > 0 THEN SELECT 1; END IF; END"
-        )
+def test_procedure_rejects_out_params_and_loops(eng):
     with pytest.raises(NotImplementedError, match="OUT"):
         eng.execute("CREATE PROCEDURE op(OUT y INT) SELECT 1")
+    with pytest.raises(NotImplementedError):
+        eng.execute(
+            "CREATE PROCEDURE lp(IN x INT) BEGIN "
+            "LOOP SELECT 1; END LOOP; END"
+        )
 
 
 def test_stored_function_maps_to_macro(eng):
@@ -92,3 +92,61 @@ def test_function_begin_return_end_form(eng):
         "CREATE FUNCTION dbl(x INT) RETURNS INT BEGIN RETURN x * 2; END"
     )
     assert eng.execute("SELECT dbl(21) AS v").collect()[0].v == 42
+
+
+def test_procedure_if_elseif_else(eng):
+    eng.execute("CREATE TABLE cls (label VARCHAR(10))")
+    eng.execute(
+        "CREATE PROCEDURE classify(IN x INT) BEGIN "
+        "IF x > 100 THEN INSERT INTO cls VALUES ('big'); "
+        "ELSEIF x > 10 THEN INSERT INTO cls VALUES ('mid'); "
+        "ELSE INSERT INTO cls VALUES ('small'); "
+        "END IF; END"
+    )
+    eng.execute("CALL classify(500)")
+    eng.execute("CALL classify(50)")
+    eng.execute("CALL classify(5)")
+    assert sorted(r.label for r in
+                  eng.execute("SELECT * FROM cls").collect()) == \
+        ["big", "mid", "small"]
+
+
+def test_procedure_while_and_locals(eng):
+    eng.execute("CREATE TABLE seq (n INT)")
+    eng.execute(
+        "CREATE PROCEDURE fill_seq(IN k INT) BEGIN "
+        "DECLARE i INT DEFAULT 1; "
+        "WHILE i <= k DO "
+        "INSERT INTO seq VALUES (i); "
+        "SET i = i + 1; "
+        "END WHILE; END"
+    )
+    eng.execute("CALL fill_seq(4)")
+    assert sorted(r.n for r in
+                  eng.execute("SELECT * FROM seq").collect()) == \
+        [1, 2, 3, 4]
+
+
+def test_procedure_nested_if_in_while(eng):
+    eng.execute("CREATE TABLE fizz (n INT, tag VARCHAR(8))")
+    eng.execute(
+        "CREATE PROCEDURE fz(IN k INT) BEGIN "
+        "DECLARE i INT DEFAULT 1; "
+        "WHILE i <= k DO "
+        "IF i % 3 = 0 THEN INSERT INTO fizz VALUES (i, 'fizz'); "
+        "ELSE INSERT INTO fizz VALUES (i, 'n'); "
+        "END IF; "
+        "SET i = i + 1; "
+        "END WHILE; END"
+    )
+    eng.execute("CALL fz(6)")
+    got = {r.n: r.tag for r in eng.execute("SELECT * FROM fizz").collect()}
+    assert got == {1: "n", 2: "n", 3: "fizz", 4: "n", 5: "n", 6: "fizz"}
+
+
+def test_procedure_still_rejects_cursors(eng):
+    with pytest.raises(NotImplementedError):
+        eng.execute(
+            "CREATE PROCEDURE cur(IN x INT) BEGIN "
+            "OPEN c1; FETCH c1 INTO y; CLOSE c1; END"
+        )
