@@ -970,8 +970,11 @@ class Engine:
         self._trigger_cache = m
 
     @staticmethod
-    def _split_set_new(body: str) -> dict:
-        """``SET NEW.a = e1, NEW.b = e2`` → {a: e1-with-NEW-stripped}."""
+    def _split_set_new(body: str, keep_refs: bool = False) -> dict:
+        """``SET NEW.a = e1, NEW.b = e2`` → {a: e1}. With the default
+        ``keep_refs=False`` the NEW. qualifiers inside expressions are
+        stripped (insert path: NEW.x IS the incoming column); the
+        update path keeps them for post-image resolution."""
         m = re.match(r"SET\s+(.*)$", body.strip().rstrip(";"),
                      re.I | re.S)
         if not m:
@@ -982,7 +985,9 @@ class Engine:
                           re.I | re.S)
             if not am:
                 return {}
-            expr = re.sub(r"(?i)\bNEW\.(`[^`]+`|\w+)", r"\1", am.group(2))
+            expr = am.group(2) if keep_refs else re.sub(
+                r"(?i)\bNEW\.(`[^`]+`|\w+)", r"\1", am.group(2)
+            )
             out[st.unquote_ident(am.group(1))] = expr.strip()
         return out
 
@@ -1001,15 +1006,15 @@ class Engine:
         if not self.catalog.table(s.table).exists():
             raise ValueError(f"table {s.table} does not exist")
         if s.timing == "before":
-            if s.event != "insert":
+            if s.event == "delete":
                 raise NotImplementedError(
-                    "BEFORE UPDATE/DELETE trigger bodies are not "
-                    "supported (BEFORE INSERT SET NEW.* and all AFTER "
-                    "triggers are)"
+                    "BEFORE DELETE triggers have nothing to SET "
+                    "(MySQL uses them for SIGNAL validation, which is "
+                    "unsupported); AFTER DELETE is"
                 )
             if not self._split_set_new(s.body):
                 raise ValueError(
-                    "BEFORE INSERT trigger body must be "
+                    f"BEFORE {s.event.upper()} trigger body must be "
                     "SET NEW.col = expr [, NEW.col = expr ...]"
                 )
         else:
@@ -1234,19 +1239,13 @@ class Engine:
         if s.action == "create":
             if s.name.lower() in procs:
                 raise ValueError(f"procedure {s.name} already exists")
-            for mode, pname in s.params:
-                if mode != "in":
-                    raise NotImplementedError(
-                        f"{mode.upper()} parameter {pname}: only IN "
-                        "parameters are supported"
-                    )
             # parse now: unsupported control flow rejects at CREATE
             self._parse_proc_block(
                 self._proc_normalize(st.split_statements(s.body))
             )
             procs[s.name.lower()] = {
                 "name": s.name,
-                "params": [p for _m, p in s.params],
+                "params": [[m, p] for m, p in s.params],
                 "body": s.body,
             }
             self._save_procedures(procs)
@@ -1274,12 +1273,34 @@ class Engine:
                 f"CALL {s.name}: {len(s.params)} arguments for "
                 f"{len(proc['params'])} parameters"
             )
-        env = {p.lower(): f"({a})"
-               for p, a in zip(proc["params"], s.params)}
+        env: dict = {}
+        outs: list = []
+        for p, arg in zip(proc["params"], s.params):
+            mode, pname = (p if isinstance(p, list) else ("in", p))
+            if mode == "in":
+                env[pname.lower()] = f"({arg})"
+                continue
+            # OUT/INOUT: the argument must be a user variable; the
+            # local starts NULL (OUT) or at the variable's value
+            # (INOUT) and is written back after the body runs
+            vm = re.fullmatch(r"@(\w+)", arg.strip())
+            if not vm:
+                raise ValueError(
+                    f"{mode.upper()} argument for {pname} must be a "
+                    f"@variable, got {arg!r}"
+                )
+            env[pname.lower()] = (
+                "NULL" if mode == "out"
+                else self._render_literal(self.variables.get(vm.group(1)))
+            )
+            outs.append((pname.lower(), vm.group(1)))
         nodes, _ = self._parse_proc_block(
             self._proc_normalize(st.split_statements(proc["body"]))
         )
-        return self._run_proc_block(nodes, env, dialect)
+        result = self._run_proc_block(nodes, env, dialect)
+        for pname, var in outs:
+            self.variables[var] = self._proc_eval(env[pname], {}, dialect)
+        return result
 
     def _proc_sub(self, text: str, env: dict) -> str:
         for name, lit in env.items():
@@ -1645,6 +1666,20 @@ class Engine:
         assignments = dict(s.assignments)
         for col, expr_text in meta.on_update.items():
             assignments.setdefault(col, expr_text)
+        # BEFORE UPDATE triggers (SET NEW.c = expr): folded into the
+        # assignment map in creation order. NEW.y means the
+        # post-statement value of y (the assignment expression when y
+        # is being set, the stored column otherwise); OLD.y is the
+        # stored column — both resolve to plain SQL over the pre-image.
+        for tg in self._triggers_for(s.table, "update", "before"):
+            for col, ex in self._split_set_new(tg["body"],
+                                               keep_refs=True).items():
+                def _new_ref(m, _a=dict(assignments)):
+                    y = st.unquote_ident(m.group(1))
+                    return f"({_a[y]})" if y in _a else f"`{y}`"
+                ex = re.sub(r"(?i)\bNEW\.(`[^`]+`|\w+)", _new_ref, ex)
+                ex = re.sub(r"(?i)\bOLD\.(`[^`]+`|\w+)", r"`\1`", ex)
+                assignments[col] = ex
         where = s.where or "TRUE"
         if s.limit is not None:
             where = self._subquery_row_cap(
@@ -2866,8 +2901,10 @@ class Engine:
                 or _has_subquery(s.where)
                 or any(_has_subquery(e) for e in s.assignments.values())
                 # the SQL-text executor is the one that builds the
-                # paired old/new trigger images
+                # paired old/new trigger images and folds BEFORE
+                # UPDATE assignments
                 or self._triggers_for(s.table, "update", "after")
+                or self._triggers_for(s.table, "update", "before")
             ):
                 return self._exec_update_subquery(s, dialect)
             cond = self._fragment(s.where) if s.where else F.lit(True)
@@ -5005,7 +5042,11 @@ class Engine:
                 if p is None:
                     raise ValueError(f"procedure {s.target} "
                                      "does not exist")
-                pars = ", ".join(f"IN {x} TEXT" for x in p["params"])
+                pars = ", ".join(
+                    (f"{x[0].upper()} {x[1]} TEXT"
+                     if isinstance(x, list) else f"IN {x} TEXT")
+                    for x in p["params"]
+                )
                 ddl = (f"CREATE PROCEDURE `{p['name']}`({pars})\n"
                        f"BEGIN {p['body']}; END")
                 return self.spark.createDataFrame(

@@ -60,9 +60,7 @@ def test_procedure_persistence_and_show(eng, spark):
     assert "CREATE PROCEDURE" in ddl and "SELECT (x) AS v" in ddl
 
 
-def test_procedure_rejects_out_params_and_loops(eng):
-    with pytest.raises(NotImplementedError, match="OUT"):
-        eng.execute("CREATE PROCEDURE op(OUT y INT) SELECT 1")
+def test_procedure_rejects_loops(eng):
     with pytest.raises(NotImplementedError):
         eng.execute(
             "CREATE PROCEDURE lp(IN x INT) BEGIN "
@@ -150,3 +148,19 @@ def test_procedure_still_rejects_cursors(eng):
             "CREATE PROCEDURE cur(IN x INT) BEGIN "
             "OPEN c1; FETCH c1 INTO y; CLOSE c1; END"
         )
+
+
+def test_out_and_inout_params(eng):
+    eng.execute(
+        "CREATE PROCEDURE stats(IN lo INT, OUT total INT, INOUT runs INT) "
+        "BEGIN "
+        "SET total = (SELECT SUM(bal) FROM acct WHERE bal >= lo); "
+        "SET runs = runs + 1; "
+        "END"
+    )
+    eng.execute("SET @r = 10")
+    eng.execute("CALL stats(60, @t, @r)")
+    row = eng.execute("SELECT @t AS t, @r AS r").collect()[0]
+    assert (row.t, row.r) == (100, 11)
+    with pytest.raises(ValueError, match="@variable"):
+        eng.execute("CALL stats(0, 5, @r)")

@@ -118,7 +118,7 @@ def test_show_triggers_drop_and_persistence(eng, spark, tmp_path):
 
 def test_trigger_validation_rejections(eng):
     with pytest.raises(NotImplementedError):
-        eng.execute("CREATE TRIGGER bad1 BEFORE UPDATE ON items "
+        eng.execute("CREATE TRIGGER bad1 BEFORE DELETE ON items "
                     "FOR EACH ROW SET NEW.qty = 0")
     with pytest.raises(ValueError, match="no OLD row"):
         eng.execute("CREATE TRIGGER bad2 AFTER INSERT ON items "
@@ -157,3 +157,18 @@ def test_trigger_cascade(eng):
     eng.execute("INSERT INTO items VALUES (9, 'x', 1, NULL)")
     assert [r.item_id for r in
             eng.execute("SELECT * FROM audit2").collect()] == [9]
+
+
+def test_before_update_set_new(eng):
+    eng.execute(
+        "CREATE TRIGGER bu BEFORE UPDATE ON items FOR EACH ROW "
+        "SET NEW.norm = LOWER(NEW.name), NEW.qty = OLD.qty + NEW.qty"
+    )
+    eng.execute("INSERT INTO items VALUES (1, 'a', 10, 'a'), "
+                "(2, 'b', 5, 'b')")
+    eng.execute("UPDATE items SET name = 'ZED', qty = 7 WHERE id = 2")
+    rows = {r.id: (r.name, r.qty, r.norm) for r in
+            eng.execute("SELECT * FROM items").collect()}
+    # NEW.qty in the trigger sees the statement's assignment (7),
+    # OLD.qty the stored value (5); untouched row unchanged
+    assert rows == {1: ("a", 10, "a"), 2: ("ZED", 12, "zed")}
