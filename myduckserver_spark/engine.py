@@ -1108,6 +1108,69 @@ class Engine:
             *[F.col(c).alias(f"{prefix}{c}") for c in df.columns]
         )
 
+    # ------------------------------------------------------ user accounts
+    # Catalog-only registry (CREATE USER / GRANT / REVOKE persist and
+    # SHOW GRANTS reflects them) so mysqldump --all-databases scripts
+    # replay. NOTHING is enforced: a single-process library engine has
+    # one principal, the same stance as the reference's default
+    # single-user mode (plugin/auth.go is its wire-level concern).
+
+    def _users_path(self) -> str:
+        return os.path.join(self._warehouse, "__users.json")
+
+    def _load_users(self) -> dict:
+        cached = getattr(self, "_user_cache", None)
+        if cached is not None:
+            return cached
+        p = self._users_path()
+        if os.path.exists(p):
+            with open(p) as f:
+                self._user_cache = json.load(f)
+        else:
+            self._user_cache = {}
+        return self._user_cache
+
+    def _save_users(self, m: dict) -> None:
+        os.makedirs(self._warehouse, exist_ok=True)
+        with open(self._users_path(), "w") as f:
+            json.dump(m, f)
+        self._user_cache = m
+
+    def _exec_user(self, s: "st.UserStmt"):
+        if s.action == "noop":
+            return OkResult(info="account attribute statements are "
+                                 "no-ops (single-principal engine)")
+        users = dict(self._load_users())
+        if s.action == "create":
+            if s.user in users:
+                if s.if_clause:
+                    return OkResult()
+                raise ValueError(f"user {s.user} already exists")
+            users[s.user] = {"grants": []}
+            self._save_users(users)
+            return OkResult()
+        if s.action == "drop":
+            if s.user not in users:
+                if s.if_clause:
+                    return OkResult()
+                raise ValueError(f"user {s.user} does not exist")
+            users.pop(s.user)
+            self._save_users(users)
+            return OkResult()
+        rec = users.setdefault(s.user, {"grants": []})
+        entry = {"privs": s.privs, "on": s.target,
+                 "grant_option": s.grant_option}
+        if s.action == "grant":
+            if entry not in rec["grants"]:
+                rec["grants"] = rec["grants"] + [entry]
+        else:  # revoke: match on privs+target (grant_option ignored)
+            rec["grants"] = [
+                g for g in rec["grants"]
+                if not (g["privs"] == s.privs and g["on"] == s.target)
+            ]
+        self._save_users(users)
+        return OkResult()
+
     # --------------------------------------------------------- procedures
     # MySQL stored procedures: straight-line statement lists with IN
     # parameters substituted textually at CALL time (the reference runs
@@ -2950,6 +3013,8 @@ class Engine:
             return self._exec_trigger(s)
         if isinstance(s, st.ProcedureStmt):
             return self._exec_procedure(s, dialect)
+        if isinstance(s, st.UserStmt):
+            return self._exec_user(s)
         if isinstance(s, st.DoStmt):
             # DO evaluates for side effects (none here beyond errors)
             # and discards the result
@@ -4649,7 +4714,21 @@ class Engine:
                 "Name_locked int",
             )
         if s.kind == "grants":
-            # single-user engine: the root grant MySQL clients expect
+            if s.target and s.target != "'root'@'%'":
+                rec = self._load_users().get(s.target)
+                if rec is None:
+                    raise ValueError(f"user {s.target} does not exist")
+                rows = [(f"GRANT USAGE ON *.* TO {s.target}",)] + [
+                    (f"GRANT {g['privs']} ON {g['on']} TO {s.target}"
+                     + (" WITH GRANT OPTION" if g["grant_option"]
+                        else ""),)
+                    for g in rec["grants"]
+                ]
+                label = s.target.replace("'", "")
+                return self.spark.createDataFrame(
+                    rows, f"`Grants for {label}` string"
+                )
+            # current session: the root grant MySQL clients expect
             return self.spark.createDataFrame(
                 [("GRANT ALL PRIVILEGES ON *.* TO 'root'@'%' "
                   "WITH GRANT OPTION",)],

@@ -503,6 +503,37 @@ class DoStmt:
 
 
 @dataclass
+class UserStmt:
+    """CREATE/DROP USER, GRANT, REVOKE — a CATALOG-ONLY account
+    registry (mysqldump --all-databases scripts replay; SHOW GRANTS
+    reflects it). A single-process library engine enforces nothing:
+    every session is root, like the reference's default single-user
+    mode."""
+
+    action: str  # create | drop | grant | revoke | noop
+    user: str = ""
+    privs: str = ""
+    target: str = ""
+    grant_option: bool = False
+    if_clause: bool = False
+
+
+def _user_spec(raw: str) -> str:
+    """'u'@'host' / u@h / `u`@`h` → canonical 'u'@'h' text."""
+    raw = (raw or "").strip()
+    m = re.match(
+        r"(?:'([^']*)'|`([^`]+)`|\"([^\"]+)\"|([\w.-]+))"
+        r"(?:\s*@\s*(?:'([^']*)'|`([^`]+)`|\"([^\"]+)\"|([\w.%-]+)))?",
+        raw,
+    )
+    if not m:
+        return raw
+    user = m.group(1) or m.group(2) or m.group(3) or m.group(4) or ""
+    host = m.group(5) or m.group(6) or m.group(7) or m.group(8) or "%"
+    return f"'{user}'@'{host}'"
+
+
+@dataclass
 class ProcedureStmt:
     """CREATE/DROP PROCEDURE and CALL. Bodies are straight-line SQL
     statement lists with IN parameters substituted textually at CALL
@@ -1844,8 +1875,10 @@ def parse_statement(sql: str):
         return Show("full_tables" if m.group(1) else "tables", like=like)
     if re.match(r"SHOW\s+OPEN\s+TABLES\s*$", s, re.I):
         return Show("open_tables")
-    if re.match(r"SHOW\s+GRANTS\b", s, re.I):
-        return Show("grants")
+    m = re.match(r"SHOW\s+GRANTS(?:\s+FOR\s+(.+?))?\s*$", s, re.I)
+    if m:
+        tgt = _user_spec(m.group(1)) if m.group(1) else None
+        return Show("grants", target=tgt)
     m = re.match(r"SHOW\s+TABLE\s+STATUS\s*(?:LIKE\s+(.+))?$", s, re.I)
     if m:
         like = parse_literal(m.group(1)) if m.group(1) else None
@@ -2321,6 +2354,39 @@ def parse_statement(sql: str):
     m = re.match(r"DO\s+(.+)$", s, re.I | re.S)
     if m:
         return DoStmt(m.group(1).strip())
+
+    m = re.match(
+        r"CREATE\s+USER\s+(IF\s+NOT\s+EXISTS\s+)?(.+?)"
+        r"(?:\s+IDENTIFIED\s+.+)?$",
+        s, re.I | re.S,
+    )
+    if m:
+        return UserStmt("create", user=_user_spec(m.group(2)),
+                        if_clause=bool(m.group(1)))
+    m = re.match(r"DROP\s+USER\s+(IF\s+EXISTS\s+)?(.+?)\s*$", s, re.I)
+    if m:
+        return UserStmt("drop", user=_user_spec(m.group(2)),
+                        if_clause=bool(m.group(1)))
+    m = re.match(
+        r"GRANT\s+(.+?)\s+ON\s+(?:TABLE\s+)?(\S+)\s+TO\s+(.+?)"
+        r"(\s+WITH\s+GRANT\s+OPTION)?\s*$",
+        s, re.I | re.S,
+    )
+    if m:
+        return UserStmt("grant", user=_user_spec(m.group(3)),
+                        privs=re.sub(r"\s+", " ", m.group(1)).upper(),
+                        target=m.group(2),
+                        grant_option=bool(m.group(4)))
+    m = re.match(
+        r"REVOKE\s+(.+?)\s+ON\s+(?:TABLE\s+)?(\S+)\s+FROM\s+(.+?)\s*$",
+        s, re.I | re.S,
+    )
+    if m:
+        return UserStmt("revoke", user=_user_spec(m.group(3)),
+                        privs=re.sub(r"\s+", " ", m.group(1)).upper(),
+                        target=m.group(2))
+    if re.match(r"(ALTER\s+USER|SET\s+PASSWORD|RENAME\s+USER)\b", s, re.I):
+        return UserStmt("noop")
 
     m = re.match(
         r"CREATE\s+(?:DEFINER\s*=\s*\S+\s+)?TRIGGER\s+(`[^`]+`|\w+)\s+"

@@ -594,3 +594,39 @@ def test_xa_transaction_lifecycle(engine):
         "SELECT COUNT(*) AS n FROM xat"
     ).collect()[0].n == 1
     assert engine.execute("XA RECOVER").collect() == []
+
+
+def test_user_grant_catalog(spark, tmp_path):
+    from myduckserver_spark.engine import Engine
+
+    wh = str(tmp_path / "whusers")
+    e = Engine(spark, wh)
+    e.execute("CREATE USER 'app'@'10.0.%' IDENTIFIED BY 'secret'")
+    e.execute("CREATE USER IF NOT EXISTS 'app'@'10.0.%'")
+    e.execute("CREATE USER reporter")
+    e.execute("GRANT SELECT, INSERT ON shop.* TO 'app'@'10.0.%'")
+    e.execute("GRANT ALL PRIVILEGES ON *.* TO reporter WITH GRANT OPTION")
+    rows = [r[0] for r in
+            e.execute("SHOW GRANTS FOR 'app'@'10.0.%'").collect()]
+    assert rows == [
+        "GRANT USAGE ON *.* TO 'app'@'10.0.%'",
+        "GRANT SELECT, INSERT ON shop.* TO 'app'@'10.0.%'",
+    ]
+    rows = [r[0] for r in
+            e.execute("SHOW GRANTS FOR reporter").collect()]
+    assert rows[1].endswith("WITH GRANT OPTION")
+    e.execute("REVOKE SELECT, INSERT ON shop.* FROM 'app'@'10.0.%'")
+    assert len(e.execute(
+        "SHOW GRANTS FOR 'app'@'10.0.%'"
+    ).collect()) == 1
+    # persists across engine instances; DROP removes
+    e2 = Engine(spark, wh)
+    e2.execute("DROP USER 'app'@'10.0.%'")
+    import pytest as _p
+    with _p.raises(ValueError):
+        e2.execute("SHOW GRANTS FOR 'app'@'10.0.%'")
+    e2.execute("DROP USER IF EXISTS 'app'@'10.0.%'")
+    # account-attribute statements are accepted no-ops
+    e2.execute("ALTER USER reporter IDENTIFIED BY 'x'")
+    # plain SHOW GRANTS still answers for the session principal
+    assert "root" in e2.execute("SHOW GRANTS").collect()[0][0]
