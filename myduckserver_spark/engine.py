@@ -1108,6 +1108,69 @@ class Engine:
             *[F.col(c).alias(f"{prefix}{c}") for c in df.columns]
         )
 
+    # ------------------------------------------------------------- events
+    # Catalog-only: the registry owns WHAT runs; the HOST application
+    # owns when (cron/Airflow/Streaming trigger) via run_event() —
+    # a library engine has no background scheduler thread. Reference
+    # runs events GMS-side on its own timer (main_test.go:1083).
+
+    def _events_path(self) -> str:
+        return os.path.join(self._warehouse, "__events.json")
+
+    def _load_events(self) -> dict:
+        cached = getattr(self, "_event_cache", None)
+        if cached is not None:
+            return cached
+        p = self._events_path()
+        if os.path.exists(p):
+            with open(p) as f:
+                self._event_cache = json.load(f)
+        else:
+            self._event_cache = {}
+        return self._event_cache
+
+    def _save_events(self, m: dict) -> None:
+        os.makedirs(self._warehouse, exist_ok=True)
+        with open(self._events_path(), "w") as f:
+            json.dump(m, f)
+        self._event_cache = m
+
+    def _exec_event(self, s: "st.EventStmt"):
+        evs = dict(self._load_events())
+        if s.action == "create":
+            if s.name in evs:
+                if s.if_clause:
+                    return OkResult()
+                raise ValueError(f"event {s.name} already exists")
+            evs[s.name] = {"schedule": s.schedule, "body": s.body,
+                           "status": s.status}
+            self._save_events(evs)
+            return OkResult()
+        if s.action == "drop":
+            if s.name not in evs:
+                if s.if_clause:
+                    return OkResult()
+                raise ValueError(f"event {s.name} does not exist")
+            evs.pop(s.name)
+            self._save_events(evs)
+            return OkResult()
+        if s.name not in evs:
+            raise ValueError(f"event {s.name} does not exist")
+        evs[s.name] = dict(evs[s.name], status=s.status)
+        self._save_events(evs)
+        return OkResult()
+
+    def run_event(self, name: str):
+        """Fire one registered event's body NOW (the host scheduler's
+        entry point). DISABLED events refuse, like MySQL's scheduler
+        skipping them."""
+        ev = self._load_events().get(name)
+        if ev is None:
+            raise ValueError(f"event {name} does not exist")
+        if ev["status"] != "ENABLED":
+            raise ValueError(f"event {name} is {ev['status']}")
+        return self.execute(ev["body"])
+
     # ------------------------------------------------------ user accounts
     # Catalog-only registry (CREATE USER / GRANT / REVOKE persist and
     # SHOW GRANTS reflects them) so mysqldump --all-databases scripts
@@ -3015,6 +3078,8 @@ class Engine:
             return self._exec_procedure(s, dialect)
         if isinstance(s, st.UserStmt):
             return self._exec_user(s)
+        if isinstance(s, st.EventStmt):
+            return self._exec_event(s)
         if isinstance(s, st.DoStmt):
             # DO evaluates for side effects (none here beyond errors)
             # and discards the result
@@ -5087,8 +5152,18 @@ class Engine:
                 "sql_mode string, Definer string",
             )
         if s.kind == "events":
+            rows = []
+            for n, ev in sorted(self._load_events().items()):
+                em = re.match(r"(?i)EVERY\s+(\S+)\s+(\w+)", ev["schedule"])
+                rows.append((
+                    self.current_db, n, "root@localhost", "UTC",
+                    "RECURRING" if em else "ONE TIME", None,
+                    em.group(1) if em else None,
+                    em.group(2).upper() if em else None,
+                    None, None, ev["status"],
+                ))
             return self.spark.createDataFrame(
-                [],
+                rows,
                 "Db string, Name string, Definer string, `Time zone` "
                 "string, Type string, `Execute at` timestamp, "
                 "`Interval value` string, `Interval field` string, "

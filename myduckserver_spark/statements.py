@@ -503,6 +503,22 @@ class DoStmt:
 
 
 @dataclass
+class EventStmt:
+    """CREATE/DROP/ALTER EVENT — catalog-only registry plus a manual
+    fire API (`Engine.run_event`). A library engine has no background
+    scheduler thread; the host application owns WHEN to fire (cron,
+    Airflow, a Structured Streaming trigger) and the registry owns
+    WHAT runs — the honest split, documented."""
+
+    action: str  # create | drop | alter_status
+    name: str
+    schedule: str = ""
+    body: str = ""
+    status: str = "ENABLED"
+    if_clause: bool = False
+
+
+@dataclass
 class UserStmt:
     """CREATE/DROP USER, GRANT, REVOKE — a CATALOG-ONLY account
     registry (mysqldump --all-databases scripts replay; SHOW GRANTS
@@ -2387,6 +2403,33 @@ def parse_statement(sql: str):
                         target=m.group(2))
     if re.match(r"(ALTER\s+USER|SET\s+PASSWORD|RENAME\s+USER)\b", s, re.I):
         return UserStmt("noop")
+
+    m = re.match(
+        r"CREATE\s+(?:DEFINER\s*=\s*\S+\s+)?EVENT\s+"
+        r"(IF\s+NOT\s+EXISTS\s+)?(`[^`]+`|\w+)\s+"
+        r"ON\s+SCHEDULE\s+(.+?)\s+"
+        r"(?:ON\s+COMPLETION\s+(?:NOT\s+)?PRESERVE\s+)?"
+        r"((?:ENABLE|DISABLE)\s+)?(?:COMMENT\s+'[^']*'\s+)?"
+        r"DO\s+(.+)$",
+        s, re.I | re.S,
+    )
+    if m:
+        return EventStmt(
+            "create", unquote_ident(m.group(2)),
+            schedule=re.sub(r"\s+", " ", m.group(3).strip()),
+            status=(m.group(4) or "ENABLE").strip().upper() + "D",
+            body=m.group(5).strip(), if_clause=bool(m.group(1)),
+        )
+    m = re.match(r"DROP\s+EVENT\s+(IF\s+EXISTS\s+)?(`[^`]+`|\w+)\s*$",
+                 s, re.I)
+    if m:
+        return EventStmt("drop", unquote_ident(m.group(2)),
+                         if_clause=bool(m.group(1)))
+    m = re.match(r"ALTER\s+EVENT\s+(`[^`]+`|\w+)\s+(ENABLE|DISABLE)\s*$",
+                 s, re.I)
+    if m:
+        return EventStmt("alter_status", unquote_ident(m.group(1)),
+                         status=m.group(2).upper() + "D")
 
     m = re.match(
         r"CREATE\s+(?:DEFINER\s*=\s*\S+\s+)?TRIGGER\s+(`[^`]+`|\w+)\s+"

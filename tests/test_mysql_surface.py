@@ -630,3 +630,34 @@ def test_user_grant_catalog(spark, tmp_path):
     e2.execute("ALTER USER reporter IDENTIFIED BY 'x'")
     # plain SHOW GRANTS still answers for the session principal
     assert "root" in e2.execute("SHOW GRANTS").collect()[0][0]
+
+
+def test_event_registry_and_manual_fire(spark, tmp_path):
+    from myduckserver_spark.engine import Engine
+
+    wh = str(tmp_path / "whev")
+    e = Engine(spark, wh)
+    e.execute("CREATE TABLE heartbeat (ts INT)")
+    e.execute(
+        "CREATE EVENT beat ON SCHEDULE EVERY 1 HOUR "
+        "COMMENT 'hourly ping' DO INSERT INTO heartbeat VALUES (1)"
+    )
+    rows = e.execute("SHOW EVENTS").collect()
+    assert [(r.Name, r.Type, r[6], r[7], r.Status) for r in rows] == \
+        [("beat", "RECURRING", "1", "HOUR", "ENABLED")]
+    # the host scheduler fires it; body runs set-based like any DML
+    e.run_event("beat")
+    e.run_event("beat")
+    assert e.execute(
+        "SELECT COUNT(*) AS n FROM heartbeat"
+    ).collect()[0].n == 2
+    e.execute("ALTER EVENT beat DISABLE")
+    import pytest as _p
+    with _p.raises(ValueError, match="DISABLED"):
+        e.run_event("beat")
+    # persists; drop removes
+    e2 = Engine(spark, wh)
+    assert [r.Name for r in e2.execute("SHOW EVENTS").collect()] == ["beat"]
+    e2.execute("DROP EVENT beat")
+    assert e2.execute("SHOW EVENTS").collect() == []
+    e2.execute("DROP EVENT IF EXISTS beat")
