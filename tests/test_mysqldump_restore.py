@@ -80,6 +80,22 @@ UNLOCK TABLES;
 
 CREATE ALGORITHM=UNDEFINED DEFINER=`root`@`localhost` SQL SECURITY DEFINER VIEW `big_spenders` AS SELECT `cust`, SUM(`amount`) AS `total` FROM `orders` GROUP BY `cust` HAVING SUM(`amount`) > 20;
 
+--
+-- Routines, triggers, events, accounts (mysqldump --routines
+-- --triggers --events --all-databases shapes; DELIMITER lines are
+-- client-side and never reach the server, so they are absent here)
+--
+
+CREATE DEFINER=`root`@`localhost` TRIGGER `orders_audit` AFTER INSERT ON `orders` FOR EACH ROW INSERT INTO `order_log` VALUES (NEW.oid, NEW.cust);
+CREATE DEFINER=`root`@`localhost` PROCEDURE `cust_orders`(IN c INT)
+BEGIN SELECT COUNT(*) AS n FROM orders WHERE cust = c; END;
+CREATE DEFINER=`root`@`localhost` FUNCTION `with_fee`(amt DOUBLE) RETURNS DOUBLE DETERMINISTIC RETURN amt + 1.5;
+CREATE DEFINER=`root`@`localhost` EVENT `nightly_clean` ON SCHEDULE EVERY 1 DAY DO DELETE FROM order_log WHERE oid < 0;
+CREATE USER IF NOT EXISTS 'reporting'@'%' IDENTIFIED WITH 'caching_sha2_password';
+GRANT SELECT ON shop.* TO 'reporting'@'%';
+
+CREATE TABLE `order_log` (`oid` int, `cust` int);
+
 /*!40103 SET TIME_ZONE=@OLD_TIME_ZONE */;
 /*!40101 SET SQL_MODE=@OLD_SQL_MODE */;
 /*!40014 SET FOREIGN_KEY_CHECKS=@OLD_FOREIGN_KEY_CHECKS */;
@@ -127,6 +143,23 @@ def test_full_dump_replays(eng):
     # SHOW CREATE TABLE reproduces a loadable definition
     ddl = eng.execute("SHOW CREATE TABLE customers").collect()[0][1]
     assert "AUTO_INCREMENT" in ddl and "PRIMARY KEY" in ddl
+
+    # routines/triggers/events/accounts from the dump are live
+    eng.execute("INSERT INTO orders (oid, cust, amount) VALUES (13, 3, 7.5)")
+    assert [tuple(r) for r in eng.execute(
+        "SELECT * FROM order_log"
+    ).collect()] == [(13, 3)]
+    assert eng.execute("CALL cust_orders(1)").collect()[0].n == 2
+    assert eng.execute(
+        "SELECT with_fee(10.0) AS f"
+    ).collect()[0].f == 11.5
+    assert [r.Name for r in eng.execute("SHOW EVENTS").collect()] == \
+        ["nightly_clean"]
+    eng.run_event("nightly_clean")  # host-fired; no rows match
+    grants = [r[0] for r in eng.execute(
+        "SHOW GRANTS FOR 'reporting'@'%'"
+    ).collect()]
+    assert any("GRANT SELECT ON shop.*" in g for g in grants)
 
 
 def test_dump_restore_roundtrip_via_show_create(eng):
