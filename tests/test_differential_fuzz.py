@@ -396,3 +396,64 @@ def test_differential_fuzz_mysql_dialect(spark, views):
         if not res.ok:
             failures.append((i, decorated, res.detail))
     assert not failures, failures[:3]
+
+
+# ---- Postgres-dialect fuzz (round-5 pg front door) ----
+#
+# DuckDB natively speaks the Postgres dialect, so the oracle runs the
+# DECORATED text verbatim while the Spark side goes through
+# translate_postgres — any pg spelling the translator mishandles
+# surfaces as a row mismatch or an analysis error.
+
+N_PG_QUERIES = 30
+
+
+def _gen_pg_query(rng: random.Random) -> str:
+    t = rng.choice(list(TABLES))
+    spec = TABLES[t]
+    gcols = rng.sample(spec["group"], rng.randint(1, len(spec["group"])))
+    scol = rng.choice(spec["int"])
+    ncol, lo, hi = spec["num"]
+    a, b = sorted((rng.randint(lo, hi), rng.randint(lo, hi)))
+    cols = ", ".join(gcols)
+    scolref = f"{scol}::bigint" if rng.random() < 0.5 else scol
+    pred = f"{ncol} BETWEEN {a} AND {b}"
+    strcol, vals = spec["str"]
+    if rng.random() < 0.5:
+        v = rng.choice(vals)
+        op = rng.choice(["~", "ILIKE"])  # DuckDB has no ~* operator
+        pat = f"'^{v[:2]}'" if op == "~" else f"'{v[:2]}%'"
+        pred += f" AND {strcol} {op} {pat}"
+    having = ""
+    if rng.random() < 0.4:
+        having = f" HAVING COUNT(*) >= {rng.randint(1, 3)}"
+    q = (
+        f"SELECT {cols}, CAST(COUNT(*) AS BIGINT) AS cnt, "
+        f"CAST(SUM({scolref}) AS BIGINT) AS s "
+        f"FROM {t} WHERE {pred} GROUP BY {cols}{having}"
+    )
+    if rng.random() < 0.3:
+        # pg spelling of LIMIT over a total order
+        uo = UNIQUE_ORDER.get(t, cols)
+        q = (
+            f"SELECT * FROM ({q}) sub ORDER BY cnt DESC, {gcols[0]} "
+            f"FETCH FIRST {rng.randint(2, 6)} ROWS ONLY"
+        )
+    return q
+
+
+def test_differential_fuzz_pg_dialect(spark, views):
+    from myduckserver_spark.functions.pg_compat import translate_postgres
+
+    rng = random.Random(SEED + 2)
+    failures = []
+    for i in range(N_PG_QUERIES):
+        pg_sql = _gen_pg_query(rng)
+        spark_sql = translate_postgres(pg_sql)
+        res = compare_one(
+            spark, f"pgfuzz_{i}",
+            lambda sp, sf, q=spark_sql: sp.sql(q), pg_sql, views,
+        )
+        if not res.ok:
+            failures.append((i, pg_sql, res.detail))
+    assert not failures, failures[:3]
