@@ -112,6 +112,15 @@ class Engine:
         # PREPARE name FROM '...' registry (reference: prepared-stmt cache
         # pgserver/duck_handler.go:133-233 / MySQL PREPARE through GMS).
         self._prepared: dict[str, str] = {}
+        # JSON mutation/inspection UDF bases (once per SparkSession —
+        # the provider-init analog, catalog/provider.go:108-239)
+        if not getattr(spark, "_mds_json_udfs", False):
+            from myduckserver_spark.functions.json_udfs import (
+                register_json_udfs,
+            )
+
+            register_json_udfs(spark)
+            spark._mds_json_udfs = True
         # MySQL drops TEMPORARY tables at connection end; a new engine
         # over the warehouse is the reconnect analog, so leftovers from
         # a previous session are removed here.

@@ -526,7 +526,90 @@ _FN_HANDLERS = {
         if len(a) >= 2 else None
     ),
     "GET_FORMAT": lambda a: _fn_get_format(a),
+    # JSON mutation/inspection family → fixed-arity pandas-UDF bases
+    # (functions/json_udfs.py, registered by the engine). Variadic
+    # pair lists nest; values ship as to_json(array(v)) so types
+    # survive the string boundary.
+    "JSON_SET": lambda a: _fn_json_mutate("json_set1", a),
+    "JSON_INSERT": lambda a: _fn_json_mutate("json_insert1", a),
+    "JSON_REPLACE": lambda a: _fn_json_mutate("json_replace1", a),
+    "JSON_REMOVE": lambda a: (
+        _nest_chain("json_remove1", a[0], [[p] for p in a[1:]])
+        if len(a) >= 2 else None
+    ),
+    "JSON_CONTAINS": lambda a: (
+        f"json_contains2({a[0]}, {a[1]})" if len(a) == 2 else
+        f"json_contains2(get_json_object({a[0]}, {a[2]}), {a[1]})"
+        if len(a) == 3 else None
+    ),
+    "JSON_CONTAINS_PATH": lambda a: (
+        "(" + (" OR " if a[1].strip("'\" ").lower() == "one"
+               else " AND ").join(
+            f"json_contains_path1({a[0]}, {p}) = 1" for p in a[2:]
+        ) + ")" if len(a) >= 3 else None
+    ),
+    "JSON_OVERLAPS": lambda a: (
+        f"json_overlaps2({a[0]}, {a[1]})" if len(a) == 2 else None
+    ),
+    "JSON_SEARCH": lambda a: (
+        f"json_search3({a[0]}, {a[1]}, {a[2]})" if len(a) == 3 else None
+    ),
+    "JSON_DEPTH": lambda a: (
+        f"json_depth({a[0]})" if len(a) == 1 else None
+    ),
+    "JSON_PRETTY": lambda a: (
+        f"json_pretty({a[0]})" if len(a) == 1 else None
+    ),
+    "JSON_QUOTE": lambda a: (
+        f"json_quote1({a[0]})" if len(a) == 1 else None
+    ),
+    "JSON_TYPE": lambda a: (
+        f"json_mysql_type({a[0]})" if len(a) == 1 else None
+    ),
+    "JSON_VALID": lambda a: (
+        f"json_valid1({a[0]})" if len(a) == 1 else None
+    ),
+    "JSON_STORAGE_SIZE": lambda a: (
+        f"json_storage_size1({a[0]})" if len(a) == 1 else None
+    ),
+    "JSON_MERGE_PATCH": lambda a: (
+        _nest_chain("json_merge_patch2", a[0], [[x] for x in a[1:]])
+        if len(a) >= 2 else None
+    ),
+    "JSON_MERGE_PRESERVE": lambda a: (
+        _nest_chain("json_merge_preserve2", a[0], [[x] for x in a[1:]])
+        if len(a) >= 2 else None
+    ),
+    "JSON_MERGE": lambda a: (  # deprecated alias of MERGE_PRESERVE
+        _nest_chain("json_merge_preserve2", a[0], [[x] for x in a[1:]])
+        if len(a) >= 2 else None
+    ),
+    # JSON_VALUE: scalar extraction as text — get_json_object's exact
+    # contract (RETURNING clauses unsupported)
+    "JSON_VALUE": lambda a: (
+        f"get_json_object({a[0]}, {a[1]})" if len(a) == 2 else None
+    ),
 }
+
+
+def _nest_chain(base: str, acc: str, arg_groups: list) -> str:
+    """f(d, a1, a2, ...) → base(base(d, a1), a2) ... for fixed-arity
+    UDF bases."""
+    for grp in arg_groups:
+        acc = f"{base}({acc}, {', '.join(grp)})"
+    return acc
+
+
+def _fn_json_mutate(base: str, a: list):
+    """JSON_SET/INSERT/REPLACE(doc, p1, v1[, p2, v2...]) → nested
+    single-pair base calls; odd arg count (doc + pairs) required."""
+    if len(a) < 3 or len(a) % 2 == 0:
+        return None
+    pairs = [
+        [a[i], f"to_json(array({a[i + 1]}))"]
+        for i in range(1, len(a), 2)
+    ]
+    return _nest_chain(base, a[0], pairs)
 
 
 def _fn_get_format(a):
@@ -1069,6 +1152,24 @@ def _pass_mysql_operators(toks: list[Tok]) -> list[Tok]:
                         ))
                         i = end + 1
                         continue
+            if u == "MEMBER":
+                j = _sig_next(toks, i)
+                if j < n and toks[j].is_word("OF"):
+                    k = _sig_next(toks, j)
+                    if (k < n and toks[k].kind == "op"
+                            and toks[k].text == "("):
+                        close = match_paren(toks, k)
+                        prev = _prev_operand_start(out)
+                        if close > 0 and prev >= 0:
+                            val = render(out[prev:])
+                            arr = render(toks[k + 1: close])
+                            del out[prev:]
+                            out.extend(tokenize(
+                                f"(json_contains2({arr}, "
+                                f"to_json(array({val}))) = 1)"
+                            ))
+                            i = close + 1
+                            continue
             if u == "BINARY":
                 prev_sig = None
                 for pj in range(len(out) - 1, -1, -1):

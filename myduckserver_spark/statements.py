@@ -1365,6 +1365,10 @@ def parse_statement(sql: str):
         )
         return Query(norm)
 
+    if up.startswith("VALUES") and re.match(r"VALUES\s+ROW\s*\(", s, re.I):
+        # MySQL 8 table-value constructor: VALUES ROW(...), ROW(...)
+        return Query(sub_outside_strings(r"(?i)\bROW\s*\(", "(", s))
+
     if up.startswith(("SELECT", "VALUES", "TABLE", "EXPLAIN", "DESCRIBE QUERY",
                       "CACHE TABLE", "UNCACHE TABLE", "CLEAR CACHE")):
         # CACHE/UNCACHE/CLEAR CACHE are native Spark SQL statements —
