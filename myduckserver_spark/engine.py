@@ -155,6 +155,7 @@ class Engine:
         query = self._rewrite_table_changes(query)
         query = self._rewrite_vector_search(query)
         query = self._rewrite_file_query(query)
+        query = self._rewrite_db_qualified(query)
         lowered = query.lower()
         if (
             "information_schema" in lowered
@@ -534,6 +535,65 @@ class Engine:
             query = sub_outside_strings(
                 rf"\b{re.escape(la)}\.(\w+)", lambda lm: lm.group(1), query
             )
+
+    def _rewrite_db_qualified(self, query: str) -> str:
+        """MySQL cross-database qualification for reads:
+        ``otherdb.tbl`` → a mangled temp view (``__db__<db>__<tbl>``)
+        registered on demand with the same version-compare caching the
+        current db's views use — cross-db joins work in one query."""
+        others = [d for d in self._dbs if d != self.current_db]
+        if not others or not any(d + "." in query for d in others):
+            return query
+        regv = getattr(self, "_xdb_versions", {})
+        for d in others:
+            cat = self._dbs[d]
+            names = set(cat.list_tables())
+
+            def rep(m, _d=d, _cat=cat, _names=names):
+                tbl = st.unquote_ident(m.group(1))
+                if tbl not in _names:
+                    return m.group(0)  # alias.column, not db.table
+                t = _cat.table(tbl)
+                key = (_d, tbl)
+                if regv.get(key) != t.version:
+                    t.read().createOrReplaceTempView(
+                        f"__db__{_d}__{tbl}"
+                    )
+                    regv[key] = t.version
+                return f"__db__{_d}__{tbl}"
+
+            query = st.sub_outside_strings(
+                rf"\b{re.escape(d)}\s*\.\s*(`[^`]+`|\w+)", rep, query
+            )
+        self._xdb_versions = regv
+        return query
+
+    _XDB_TARGET_RE = re.compile(
+        r"(?i)^\s*(?:CREATE\s+(?:TEMPORARY\s+)?TABLE"
+        r"(?:\s+IF\s+NOT\s+EXISTS)?|DROP\s+(?:TEMPORARY\s+)?TABLE"
+        r"(?:\s+IF\s+EXISTS)?|INSERT\s+(?:IGNORE\s+)?INTO|"
+        r"REPLACE\s+(?:IGNORE\s+)?INTO|UPDATE|DELETE\s+FROM|"
+        r"TRUNCATE(?:\s+TABLE)?|ALTER\s+TABLE|SHOW\s+CREATE\s+TABLE|"
+        r"DESCRIBE|DESC|OPTIMIZE(?:\s+TABLE)?|ANALYZE\s+TABLE)\s+"
+        r"(`[^`]+`|\w+)\s*\."
+    )
+
+    def _qualified_target_db(self, sql: str):
+        """(db, sql-with-db-prefixes-stripped) when a DDL/DML statement
+        targets ``otherdb.tbl`` — executed under that db's context, the
+        qualified-target subset of MySQL's resolution (unqualified
+        side-references inside such a statement then also resolve to
+        the target db; mixed-db DML is out of scope, documented)."""
+        m = self._XDB_TARGET_RE.match(sql)
+        if not m:
+            return None
+        db = st.unquote_ident(m.group(1))
+        if db not in self._dbs or db == self.current_db:
+            return None
+        stripped = st.sub_outside_strings(
+            rf"\b{re.escape(db)}\s*\.\s*", "", sql
+        )
+        return db, stripped
 
     def _refresh_views(self) -> None:
         # Temp views pin a concrete snapshot path, so they must be
@@ -2836,6 +2896,15 @@ class Engine:
             )
 
     def _execute_one(self, sql: str, dialect: str):
+        sw = self._qualified_target_db(sql)
+        if sw is not None:
+            db, stripped = sw
+            prev_db, prev_cat = self.current_db, self.catalog
+            self.current_db, self.catalog = db, self._dbs[db]
+            try:
+                return self._execute_one(stripped, dialect)
+            finally:
+                self.current_db, self.catalog = prev_db, prev_cat
         rm = re.search(r"\s+RETURNING\s+", st.mask_strings(sql), re.I)
         if rm and re.match(
             r"\s*(INSERT|REPLACE|UPDATE|DELETE)\b", sql, re.I
@@ -4753,6 +4822,22 @@ class Engine:
 
     def _exec_show(self, s: st.Show) -> DataFrame:
         if s.kind == "tables":
+            if s.target:  # SHOW TABLES FROM/IN otherdb
+                if s.target not in self._dbs:
+                    raise ValueError(f"unknown database: {s.target}")
+                from myduckserver_spark.infoschema import _view_names
+
+                cat = self._dbs[s.target]
+                names = sorted(
+                    set(cat.list_tables()) | set(_view_names(cat))
+                )
+                if s.like:
+                    rx = _like_to_re(s.like)
+                    names = [n for n in names if rx.match(n)]
+                return self.spark.createDataFrame(
+                    [(n,) for n in names],
+                    f"`Tables_in_{s.target}` string",
+                )
             names = sorted(
                 (set(self.catalog.list_tables()) - self._temp_names())
                 | set(self._view_names())

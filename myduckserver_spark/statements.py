@@ -1888,11 +1888,15 @@ def parse_statement(sql: str):
         return Delete(targets[0], where, from_text=refs.strip(), targets=targets)
 
     m = re.match(
-        r"SHOW\s+(FULL\s+)?TABLES\s*(?:LIKE\s+(.+))?$", s, re.I
+        r"SHOW\s+(FULL\s+)?TABLES"
+        r"(?:\s+(?:FROM|IN)\s+(`[^`]+`|\w+))?\s*(?:LIKE\s+(.+))?$",
+        s, re.I,
     )
     if m:
-        like = parse_literal(m.group(2)) if m.group(2) else None
-        return Show("full_tables" if m.group(1) else "tables", like=like)
+        like = parse_literal(m.group(3)) if m.group(3) else None
+        return Show("full_tables" if m.group(1) else "tables", like=like,
+                    target=unquote_ident(m.group(2)) if m.group(2)
+                    else None)
     if re.match(r"SHOW\s+OPEN\s+TABLES\s*$", s, re.I):
         return Show("open_tables")
     m = re.match(r"SHOW\s+GRANTS(?:\s+FOR\s+(.+?))?\s*$", s, re.I)

@@ -661,3 +661,41 @@ def test_event_registry_and_manual_fire(spark, tmp_path):
     e2.execute("DROP EVENT beat")
     assert e2.execute("SHOW EVENTS").collect() == []
     e2.execute("DROP EVENT IF EXISTS beat")
+
+
+def test_cross_database_qualification(spark, tmp_path):
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "whxdb"))
+    e.execute("CREATE DATABASE db2")
+    e.execute("CREATE TABLE local_t (id INT PRIMARY KEY)")
+    e.execute("INSERT INTO local_t VALUES (1)")
+    # DDL/DML with a qualified target execute under that db's context
+    e.execute("CREATE TABLE db2.remote_t (id INT PRIMARY KEY, v INT)")
+    e.execute("INSERT INTO db2.remote_t VALUES (10, 100)")
+    assert e.current_db == "main"
+    # reads + cross-db joins resolve through on-demand mangled views
+    assert e.execute(
+        "SELECT v FROM db2.remote_t"
+    ).collect()[0].v == 100
+    row = e.execute(
+        "SELECT m.id, r.v FROM local_t m "
+        "JOIN db2.remote_t r ON r.id = m.id * 10"
+    ).collect()[0]
+    assert (row.id, row.v) == (1, 100)
+    # the view cache tracks versions: post-UPDATE reads see new data
+    e.execute("UPDATE db2.remote_t SET v = 101 WHERE id = 10")
+    assert e.execute(
+        "SELECT v FROM db2.remote_t"
+    ).collect()[0].v == 101
+    tabs = [r[0] for r in e.execute("SHOW TABLES FROM db2").collect()]
+    assert tabs == ["remote_t"]
+    assert [r[0] for r in
+            e.execute("SHOW TABLES IN db2 LIKE 'zz%'").collect()] == []
+    assert e.execute(
+        "DESCRIBE db2.remote_t"
+    ).collect()[0].Field == "id"
+    e.execute("DROP TABLE db2.remote_t")
+    assert e.execute("SHOW TABLES FROM db2").collect() == []
+    # current-db state is untouched throughout
+    assert e.execute("SELECT COUNT(*) AS n FROM local_t").collect()[0].n == 1
