@@ -4794,13 +4794,13 @@ class Engine:
                     rows.append((f"{self.current_db}.{t}", None))
                     continue
                 df = self.catalog.table(t).read()
+                # bit_xor is a true partial aggregate (map-side combine,
+                # one long per partition) — a collect_list fold here
+                # would materialize every row hash in one array
                 agg = df.select(
                     F.xxhash64(*df.columns).alias("__h")
                 ).agg(
-                    F.expr(
-                        "coalesce(aggregate(collect_list(__h), 0L,"
-                        " (a, x) -> a ^ x), 0L)"
-                    ).alias("c")
+                    F.expr("coalesce(bit_xor(__h), 0L)").alias("c")
                 ).collect()[0]
                 rows.append((f"{self.current_db}.{t}", int(agg.c)))
             return self.spark.createDataFrame(
