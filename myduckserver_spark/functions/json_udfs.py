@@ -103,7 +103,14 @@ def _contains(target, cand) -> bool:
                 any(_contains(t, c) for t in target) for c in cand
             )
         return any(_contains(t, cand) for t in target)
-    return target == cand and type(target) in (type(cand), type(cand))
+    # scalars: booleans only match booleans (JSON true != 1); numbers
+    # compare across int/float (JSON 1 == 1.0, MySQL's rule)
+    if isinstance(target, bool) or isinstance(cand, bool):
+        return isinstance(target, bool) and isinstance(cand, bool) \
+            and target == cand
+    if isinstance(target, (int, float)) and isinstance(cand, (int, float)):
+        return target == cand
+    return type(target) is type(cand) and target == cand
 
 
 def _depth(doc) -> int:

@@ -93,3 +93,11 @@ def test_json_udfs_null_and_table_rows(eng):
 def test_values_row_statement(eng):
     rows = eng.execute("VALUES ROW(1, 'a'), ROW(2, 'b')").collect()
     assert [tuple(r) for r in rows] == [(1, "a"), (2, "b")]
+
+
+def test_json_contains_scalar_typing(eng):
+    # numbers compare across int/float; booleans only match booleans
+    assert q1(eng, "SELECT JSON_CONTAINS('[1]', '1.0') AS x") == 1
+    assert q1(eng, "SELECT JSON_CONTAINS('[true]', '1') AS x") == 0
+    assert q1(eng, "SELECT JSON_CONTAINS('[true]', 'true') AS x") == 1
+    assert q1(eng, "SELECT JSON_CONTAINS('[\"1\"]', '1') AS x") == 0
