@@ -123,15 +123,20 @@ class ParquetTable:
         meta["partition_by"] = list(cols)
         self._write_pointer(meta)
 
-    def overwrite(self, df: DataFrame, txn_app_id: str | None = None,
-                  txn_version: int | None = None,
-                  txn_state: dict | None = None) -> int:
-        """Materialize a new snapshot and atomically flip the pointer.
+    def prepare_snapshot(self, df: DataFrame,
+                         txn_app_id: str | None = None,
+                         txn_version: int | None = None,
+                         txn_state: dict | None = None) -> dict:
+        """Write the NEXT snapshot's data files without flipping the
+        pointer; return the pointer meta that would commit it.
 
-        ``txn_state`` rides in the SAME pointer commit as the data and
-        the txn version — source-specific resume state (e.g. a
-        partitioned log's per-partition offset vector) gets the same
-        exactly-once guarantee as the scalar position."""
+        This is the prepare half of a two-phase commit: a single-table
+        ``overwrite`` commits the returned meta immediately, while
+        ``Catalog.commit_multi`` journals N prepared metas and flips
+        all N pointers as one atomic transaction (the reference applies
+        a whole replication flush in ONE DuckDB transaction —
+        delta/controller.go:75-190). An unreferenced v{N} dir left by a
+        crash before the commit point is garbage, reclaimed by vacuum."""
         meta = self._read_pointer()
         new_v = meta["version"] + 1
         parts = meta.get("partition_by")
@@ -148,8 +153,20 @@ class ParquetTable:
             if txn_state is not None:
                 meta.setdefault("txn_state", {})[txn_app_id] = txn_state
         meta["version"] = new_v
+        return meta
+
+    def overwrite(self, df: DataFrame, txn_app_id: str | None = None,
+                  txn_version: int | None = None,
+                  txn_state: dict | None = None) -> int:
+        """Materialize a new snapshot and atomically flip the pointer.
+
+        ``txn_state`` rides in the SAME pointer commit as the data and
+        the txn version — source-specific resume state (e.g. a
+        partitioned log's per-partition offset vector) gets the same
+        exactly-once guarantee as the scalar position."""
+        meta = self.prepare_snapshot(df, txn_app_id, txn_version, txn_state)
         self._write_pointer(meta)
-        return new_v
+        return meta["version"]
 
     def last_txn_version(self, txn_app_id: str) -> int:
         return self._read_pointer().get("txn", {}).get(txn_app_id, -1)
@@ -341,9 +358,96 @@ class Catalog:
         self.spark = spark
         self.root = root
         os.makedirs(root, exist_ok=True)
+        self._recover_multi_txns()
 
     def table(self, name: str) -> ParquetTable:
         return ParquetTable(self.spark, self.root, name)
+
+    # ------------------------------------------- atomic multi-table commit
+    @property
+    def _txnlog_dir(self) -> str:
+        return os.path.join(self.root, "_TXNLOG")
+
+    def commit_multi(self, prepared: dict[str, dict]) -> None:
+        """Flip N table pointers as ONE transaction.
+
+        The journal record (written with an atomic rename) is the
+        commit point — redo logging: a crash BEFORE the record exists
+        leaves every pointer untouched (prepared v{N} dirs are garbage);
+        a crash AFTER it is completed by ``_recover_multi_txns`` on the
+        next Catalog open. At every observable version the N tables
+        move together — the reference applies a whole flush (data for
+        all tables + the replication position) in one transaction
+        (delta/controller.go:75-190, binlog_replica_applier.go:786-812).
+        """
+        os.makedirs(self._txnlog_dir, exist_ok=True)
+        seq = len(os.listdir(self._txnlog_dir))
+        path = os.path.join(self._txnlog_dir, f"txn-{seq:09d}.json")
+        fd, tmp = tempfile.mkstemp(dir=self._txnlog_dir, prefix="txn.")
+        with os.fdopen(fd, "w") as f:
+            json.dump({"tables": prepared}, f)
+        os.replace(tmp, path)  # <- commit point
+        self._apply_multi_txn(path, {"tables": prepared})
+
+    def _apply_multi_txn(self, path: str, rec: dict) -> None:
+        for name, meta in rec["tables"].items():
+            t = self.table(name)
+            # idempotent redo: skip pointers already at/after the target
+            if t.version < meta["version"]:
+                t._write_pointer(meta)
+        os.remove(path)
+
+    def _recover_multi_txns(self) -> None:
+        """Roll forward any journaled-but-unapplied multi-table commits
+        (crash between the journal write and the last pointer flip)."""
+        d = self._txnlog_dir
+        if not os.path.isdir(d):
+            return
+        for fn in sorted(os.listdir(d)):
+            if not (fn.startswith("txn-") and fn.endswith(".json")):
+                continue
+            path = os.path.join(d, fn)
+            try:
+                with open(path) as f:
+                    rec = json.load(f)
+            except (json.JSONDecodeError, OSError):
+                # an interrupted tempfile write never reached the
+                # rename, so a malformed record cannot exist at a
+                # txn- name; be defensive anyway and leave it
+                continue
+            self._apply_multi_txn(path, rec)
+
+    def merge_batch_multi(
+        self,
+        batches: list[tuple[str, DataFrame, list[str]]],
+        txn_app_id: str | None = None,
+        txn_version: int | None = None,
+        txn_state: dict | None = None,
+    ) -> bool:
+        """Condense + apply one CDC flush spanning N tables, committed
+        as ONE atomic pointer-swap transaction (both-or-neither across
+        crash). Idempotent under (app_id, version) markers, which land
+        on every participating table; returns False on re-delivery.
+        """
+        if (
+            txn_app_id is not None
+            and txn_version is not None
+            and batches
+            and all(
+                self.table(n).last_txn_version(txn_app_id) >= txn_version
+                for n, _, _ in batches
+            )
+        ):
+            return False
+        prepared: dict[str, dict] = {}
+        for name, delta, pk_cols in batches:
+            t = self.table(name)
+            snap = apply_cdc(t.read(), delta, pk_cols)
+            prepared[name] = t.prepare_snapshot(
+                snap, txn_app_id, txn_version, txn_state
+            )
+        self.commit_multi(prepared)
+        return True
 
     def create_table(
         self, name: str, df: DataFrame, partition_by: list[str] | None = None

@@ -763,7 +763,7 @@ class Engine:
 
     def insert_auto_increment(
         self, name: str, df: DataFrame, id_col: str
-    ) -> None:
+    ) -> DataFrame:
         """AUTO_INCREMENT parity (reference implements it as a DuckDB
         SEQUENCE + nextval default, catalog/database.go:159-210): new
         rows get ids starting after the current max. Uses a window
@@ -778,6 +778,11 @@ class Engine:
         id_type = dict(base.dtypes)[id_col]
         numbered = self._assign_dense_ids(df, id_col, start, id_type)
         t.overwrite(base.unionByName(numbered.select(*base.columns)))
+        # returned so AFTER INSERT triggers see the assigned ids in
+        # NEW.<auto_col> (MySQL exposes the assigned id in NEW); the
+        # plan depends only on df+start, so re-evaluation after the
+        # overwrite reproduces the same dense ids
+        return numbered.select(*base.columns)
 
     def _ai_start(self, name: str, base: DataFrame, id_col: str) -> int:
         """Next AUTO_INCREMENT id: max(col)+1, floored by a declared
@@ -3765,13 +3770,14 @@ class Engine:
         n = df.count()
         last_id = 0
 
-        def _fire_insert_triggers() -> None:
+        def _fire_insert_triggers(image_df: DataFrame | None = None) -> None:
             if not self._triggers_for(s.table, "insert", "after"):
                 return
+            src = image_df if image_df is not None else df
             avail = [f.name for f in base_schema.fields
-                     if f.name in df.columns]
+                     if f.name in src.columns]
             self._fire_after_triggers(
-                s.table, "insert", self._prefix_cols(df.select(*avail),
+                s.table, "insert", self._prefix_cols(src.select(*avail),
                                                      "new_")
             )
 
@@ -3782,9 +3788,12 @@ class Engine:
             )
             _fire_insert_triggers()
             return OkResult(affected_rows=n)
+        trig_image: DataFrame | None = None
         if auto_missing:
             start = self._ai_start(s.table, t.read(), meta.auto_increment)
-            self.insert_auto_increment(s.table, df, meta.auto_increment)
+            trig_image = self.insert_auto_increment(
+                s.table, df, meta.auto_increment
+            )
             last_id = start
         elif s.mode == "replace" and meta.primary_key:
             self.insert_replace(s.table, df.select(
@@ -3796,7 +3805,7 @@ class Engine:
             n = t.read().count() - before
         else:
             self.insert(s.table, df.select(*[f.name for f in base_schema.fields]))
-        _fire_insert_triggers()
+        _fire_insert_triggers(trig_image)
         return OkResult(affected_rows=n, last_insert_id=last_id)
 
     def _exec_load_data(self, s: st.LoadData) -> OkResult:
@@ -4786,7 +4795,10 @@ class Engine:
         snapshot storage cannot be corrupted-but-repairable, so OK is
         the truthful answer — same contract as GMS's no-op admin ops);
         CHECKSUM computes a REAL order-independent content checksum
-        (xor of per-row hashes — one map-side aggregate, no sort)."""
+        (sum of per-row hashes mod 2^64 — one map-side aggregate, no
+        sort; sum, not xor, so a duplicated row PAIR doesn't cancel
+        to the un-duplicated checksum — replica comparison is the
+        whole point of the command)."""
         rows = []
         if s.kind == "checksum":
             for t in s.targets:
@@ -4794,15 +4806,31 @@ class Engine:
                     rows.append((f"{self.current_db}.{t}", None))
                     continue
                 df = self.catalog.table(t).read()
-                # bit_xor is a true partial aggregate (map-side combine,
-                # one long per partition) — a collect_list fold here
-                # would materialize every row hash in one array
+                # sum() over longs is a true partial aggregate
+                # (map-side combine, one long per partition); Spark's
+                # long arithmetic wraps only under try-less expr, so
+                # sum as unsigned residues: split each hash into two
+                # 32-bit halves, sum those (no overflow at < 2^31 rows
+                # per partition beyond 2^63... practically: use
+                # sum(h) with overflow wrapped via a modular trick)
                 agg = df.select(
                     F.xxhash64(*df.columns).alias("__h")
                 ).agg(
-                    F.expr("coalesce(bit_xor(__h), 0L)").alias("c")
+                    # wrap-around addition mod 2^64: sum the low and
+                    # high 32-bit halves separately (each sum fits a
+                    # long for < 2^32 rows) then recombine mod 2^64
+                    F.expr(
+                        "coalesce(sum(__h & 4294967295L), 0L)"
+                    ).alias("lo"),
+                    F.expr(
+                        "coalesce(sum(shiftrightunsigned(__h, 32)), 0L)"
+                    ).alias("hi"),
                 ).collect()[0]
-                rows.append((f"{self.current_db}.{t}", int(agg.c)))
+                total = (int(agg.lo) + (int(agg.hi) << 32)) % (1 << 64)
+                # present as a signed 64-bit value (column type long)
+                if total >= 1 << 63:
+                    total -= 1 << 64
+                rows.append((f"{self.current_db}.{t}", total))
             return self.spark.createDataFrame(
                 rows, "Table string, Checksum long"
             )

@@ -235,6 +235,20 @@ def register_json_udfs(spark: SparkSession) -> None:
     reg("json_contains2", F.pandas_udf(_udf_str(
         lambda t, c: int(_contains(_loads(t), _loads(c)))
     ), I))
+    # 3-arg JSON_CONTAINS(doc, cand, path): extract the path with real
+    # JSON semantics (get_json_object would strip the quotes off string
+    # scalars, so '"x"' could never match), then contain-test. MySQL
+    # returns NULL when the path doesn't exist.
+    def _contains_at(d, c, p):
+        toks = _parse_path(p)
+        if toks is None:
+            return None
+        found, tgt = _get(_loads(d), toks)
+        if not found:
+            return None
+        return int(_contains(tgt, _loads(c)))
+
+    reg("json_contains3", F.pandas_udf(_udf_str(_contains_at), I))
     reg("json_contains_path1", F.pandas_udf(_udf_str(
         lambda d, p: int(_get(_loads(d), _parse_path(p))[0])
     ), I))

@@ -539,7 +539,10 @@ _FN_HANDLERS = {
     ),
     "JSON_CONTAINS": lambda a: (
         f"json_contains2({a[0]}, {a[1]})" if len(a) == 2 else
-        f"json_contains2(get_json_object({a[0]}, {a[2]}), {a[1]})"
+        # 3-arg form extracts via a real JSON-path walk (json_udfs
+        # json_contains3): get_json_object unquotes string scalars,
+        # which broke JSON_CONTAINS('{"a":"x"}', '"x"', '$.a')
+        f"json_contains3({a[0]}, {a[1]}, {a[2]})"
         if len(a) == 3 else None
     ),
     "JSON_CONTAINS_PATH": lambda a: (

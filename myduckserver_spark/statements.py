@@ -100,17 +100,27 @@ def split_statements(sql: str) -> list[str]:
     # replayed here arrives without it)
     merged: list[str] = []
     i = 0
+    # keyword tests run on masked text so literals like
+    # 'read the PROCEDURE manual BEGIN section' can't trigger a merge,
+    # and only statements that actually OPEN a routine definition
+    # (CREATE [DEFINER=...] TRIGGER/PROCEDURE/FUNCTION, or the BEGIN
+    # itself being the body opener) engage it.
+    _opener = re.compile(
+        r"(?is)^\s*CREATE\s+(?:DEFINER\s*=\s*\S+\s+)?"
+        r"(?:TRIGGER|PROCEDURE|FUNCTION|EVENT)\b"
+    )
     while i < len(parts):
         p = parts[i]
+        pm = mask_strings(p)
         if (
-            re.search(r"(?i)\b(?:TRIGGER|PROCEDURE|FUNCTION)\b", p)
-            and re.search(r"(?i)\bBEGIN\b", p)
-            and not re.search(r"(?i)\bEND\s*$", p)
+            _opener.search(pm)
+            and re.search(r"(?i)\bBEGIN\b", pm)
+            and not re.search(r"(?i)\bEND\s*$", pm)
         ):
             j = i + 1
             while j < len(parts):
                 p += "; " + parts[j]
-                if re.search(r"(?i)\bEND\s*$", parts[j]):
+                if re.search(r"(?i)\bEND\s*$", mask_strings(parts[j])):
                     break
                 j += 1
             i = j + 1

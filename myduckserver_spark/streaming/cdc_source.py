@@ -67,6 +67,9 @@ class CdcEvent:
     txn_group: str = "g0"
     txn_seq: int = 0
     txn_stmt: int = 0
+    # destination table for multi-table feeds (binlog events name their
+    # table; None = single-table feed, the applier's bound table)
+    table: str | None = None
 
     ACTION_TRUNCATE = -1
 
@@ -100,6 +103,7 @@ class FileCdcFeed:
         txn_group: str = "g0",
         txn_seq: int = 0,
         txn_stmt: int = 0,
+        table: str | None = None,
     ) -> int:
         """Append one event to the newest segment; returns its position."""
         segs = self._segments()
@@ -110,19 +114,17 @@ class FileCdcFeed:
             with open(path) as f:
                 line_no = sum(1 for _ in f)
         pos = seg * _SEGMENT_STRIDE + line_no + 1
+        rec = {
+            "action": action,
+            "row": row,
+            "txn_group": txn_group,
+            "txn_seq": txn_seq,
+            "txn_stmt": txn_stmt,
+        }
+        if table is not None:
+            rec["table"] = table
         with open(path, "a") as f:
-            f.write(
-                json.dumps(
-                    {
-                        "action": action,
-                        "row": row,
-                        "txn_group": txn_group,
-                        "txn_seq": txn_seq,
-                        "txn_stmt": txn_stmt,
-                    }
-                )
-                + "\n"
-            )
+            f.write(json.dumps(rec) + "\n")
         return pos
 
     def rotate(self) -> int:
@@ -152,6 +154,7 @@ class FileCdcFeed:
                         txn_group=d.get("txn_group", "g0"),
                         txn_seq=d.get("txn_seq", 0),
                         txn_stmt=d.get("txn_stmt", 0),
+                        table=d.get("table"),
                     )
 
 

@@ -59,6 +59,10 @@ class PartitionedLogFeed:
             self.num_partitions = num_partitions
             with open(meta_path, "w") as f:
                 json.dump({"num_partitions": num_partitions}, f)
+        # per-partition next-offset cache: initialized lazily from the
+        # files, then maintained in memory — append is O(1), not a
+        # re-count of every segment line (O(n^2) feed writes otherwise)
+        self._next_offset: dict[int, int] = {}
 
     def _part_path(self, p: int) -> str:
         return os.path.join(self.root, f"p{p:04d}.jsonl")
@@ -120,16 +124,23 @@ class PartitionedLogFeed:
         txn_group: str = "g0",
         txn_seq: int = 0,
         txn_stmt: int = 0,
+        table: str | None = None,
     ) -> tuple[int, int]:
         """Append one record; returns its (partition, offset)."""
         p = 0 if key is None else self.partition_for(key)
         path = self._part_path(p)
-        offset = len(self._partition_lines(p))
+        if p not in self._next_offset:
+            self._next_offset[p] = len(self._partition_lines(p))
+        offset = self._next_offset[p]
+        self._next_offset[p] = offset + 1
+        rec = {
+            "action": action, "row": row, "txn_group": txn_group,
+            "txn_seq": txn_seq, "txn_stmt": txn_stmt,
+        }
+        if table is not None:
+            rec["table"] = table
         with open(path, "a") as f:
-            f.write(json.dumps({
-                "action": action, "row": row, "txn_group": txn_group,
-                "txn_seq": txn_seq, "txn_stmt": txn_stmt,
-            }) + "\n")
+            f.write(json.dumps(rec) + "\n")
         return p, offset
 
     # ------------------------------------------------------------- read side
@@ -217,6 +228,7 @@ class LogFeedCdcSource:
                 txn_group=rec.get("txn_group", "g0"),
                 txn_seq=rec.get("txn_seq", 0),
                 txn_stmt=rec.get("txn_stmt", 0),
+                table=rec.get("table"),
             )
 
 

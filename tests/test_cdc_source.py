@@ -297,3 +297,28 @@ def test_log_feed_structured_streaming_consumption(spark, tmp_path):
     # replays every record exactly once
     seen = [rec["row"]["id"] for _, _, rec in log.read_from({})]
     assert sorted(seen) == [1, 2, 3, 9]
+
+
+def test_log_feed_offset_cache_across_reopen_and_roll(tmp_path):
+    """append() keeps a per-partition next-offset counter (O(1) per
+    record, not a re-count of every segment line). Counter initializes
+    correctly from disk on reopen and stays cumulative across roll()."""
+    from myduckserver_spark.streaming.log_feed import PartitionedLogFeed
+
+    root = str(tmp_path / "log3")
+    log = PartitionedLogFeed(root, num_partitions=2)
+    offs = [log.append(ACTION_INSERT, {"id": 1, "v": float(i)}, key=1)
+            for i in range(3)]
+    part = offs[0][0]
+    assert [o for _, o in offs] == [0, 1, 2]
+    log.roll()
+    # cumulative across the rolled segment
+    assert log.append(ACTION_INSERT, {"id": 1, "v": 3.0}, key=1) \
+        == (part, 3)
+    # a NEW instance over the same directory resumes from disk state
+    log2 = PartitionedLogFeed(root)
+    assert log2.append(ACTION_INSERT, {"id": 1, "v": 4.0}, key=1) \
+        == (part, 4)
+    vs = [rec["row"]["v"] for _, _, rec in log2.read_from({})
+          if rec["row"]["id"] == 1]
+    assert vs == [0.0, 1.0, 2.0, 3.0, 4.0]

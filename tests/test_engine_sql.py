@@ -870,3 +870,23 @@ def test_update_enforces_check_and_not_null(spark, tmp_path):
     ) == [(1, 5), (2, 7)]
     e.execute("UPDATE chk SET v = 9 WHERE id = 1")  # valid one applies
     assert e.sql("SELECT v FROM chk WHERE id = 1").collect()[0][0] == 9
+
+
+def test_split_statements_keywords_in_literals():
+    """Routine-keyword words INSIDE string literals must not glue
+    adjacent statements together (mysqldump data rows legitimately
+    contain words like PROCEDURE/BEGIN/END)."""
+    parts = split_statements(
+        "INSERT INTO notes VALUES ('read the PROCEDURE manual BEGIN "
+        "section'); UPDATE notes SET x = 1"
+    )
+    assert len(parts) == 2
+    assert parts[1] == "UPDATE notes SET x = 1"
+    # 'END' at the tail of a literal must not terminate a real body early
+    parts = split_statements(
+        "CREATE TRIGGER t1 BEFORE INSERT ON x FOR EACH ROW BEGIN "
+        "SET NEW.a = 'the END'; SET NEW.b = 2; END; SELECT 1"
+    )
+    assert len(parts) == 2
+    assert parts[0].rstrip().upper().endswith("END")
+    assert parts[1] == "SELECT 1"

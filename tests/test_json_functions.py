@@ -47,6 +47,18 @@ def test_json_predicates(eng):
                    "'$.a', '$.z') AS x") is True
     assert q1(eng, "SELECT JSON_CONTAINS_PATH('{\"a\":1}', 'all', "
                    "'$.a', '$.z') AS x") is False
+    # 3-arg string-scalar path: get_json_object would unquote the
+    # target and the candidate '"x"' could never match (ADVICE r5)
+    assert q1(eng, "SELECT JSON_CONTAINS('{\"a\":\"x\"}', "
+                   "'\"x\"', '$.a') AS x") == 1
+    assert q1(eng, "SELECT JSON_CONTAINS('{\"a\":\"x\"}', "
+                   "'\"y\"', '$.a') AS x") == 0
+    # missing path → NULL (MySQL), not 0
+    assert q1(eng, "SELECT JSON_CONTAINS('{\"a\":1}', '1', '$.z') AS x") \
+        is None
+    # numeric scalar at a path still works through the real walk
+    assert q1(eng, "SELECT JSON_CONTAINS('{\"a\":[1,2]}', "
+                   "'2', '$.a') AS x") == 1
     assert q1(eng, "SELECT JSON_OVERLAPS('[1,2]', '[2,3]') AS x") == 1
     assert q1(eng, "SELECT JSON_OVERLAPS('[1]', '[9]') AS x") == 0
     assert q1(eng, "SELECT 2 MEMBER OF('[1,2]') AS x") is True

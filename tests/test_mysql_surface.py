@@ -362,6 +362,14 @@ def test_maintenance_statements(engine):
     engine.execute("INSERT INTO mt1 VALUES (3, 30)")
     c3 = engine.execute("CHECKSUM TABLE mt1").collect()[0].Checksum
     assert c3 != c1
+    # sum (not xor) accumulation: a row duplicated an EVEN number of
+    # times must NOT cancel back to the original checksum (ADVICE r5)
+    engine.execute("CREATE TABLE mt2 (id INT, v INT)")
+    engine.execute("INSERT INTO mt2 VALUES (1, 10), (2, 20), (3, 30)")
+    base = engine.execute("CHECKSUM TABLE mt2").collect()[0].Checksum
+    engine.execute("INSERT INTO mt2 VALUES (1, 10), (1, 10)")
+    doubled = engine.execute("CHECKSUM TABLE mt2").collect()[0].Checksum
+    assert doubled != base
     # OPTIMIZE TABLE spelling (MySQL) routes to the OPTIMIZE rewrite
     engine.execute("OPTIMIZE TABLE mt1")
     assert engine.execute("SELECT COUNT(*) AS n FROM mt1").collect()[0].n == 3

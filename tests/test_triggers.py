@@ -172,3 +172,23 @@ def test_before_update_set_new(eng):
     # NEW.qty in the trigger sees the statement's assignment (7),
     # OLD.qty the stored value (5); untouched row unchanged
     assert rows == {1: ("a", 10, "a"), 2: ("ZED", 12, "zed")}
+
+
+def test_after_insert_sees_auto_increment_id(eng):
+    """NEW.<auto_col> in an AFTER INSERT body resolves to the
+    ASSIGNED id when the column was auto-filled (MySQL exposes the
+    assigned value in NEW)."""
+    eng.execute("CREATE TABLE seqd (id INT PRIMARY KEY AUTO_INCREMENT, "
+                "name VARCHAR(20))")
+    eng.execute(
+        "CREATE TRIGGER ai_seq AFTER INSERT ON seqd FOR EACH ROW "
+        "INSERT INTO audit VALUES ('seqd', 'ins', NEW.id, NEW.name)"
+    )
+    eng.execute("INSERT INTO seqd (name) VALUES ('a'), ('b')")
+    got = sorted((r.item_id, r.detail) for r in
+                 eng.execute("SELECT * FROM audit").collect())
+    assert got == [(1, "a"), (2, "b")]
+    # ids in the audit match the table's assigned ids
+    tbl = sorted((r.id, r.name) for r in
+                 eng.execute("SELECT id, name FROM seqd").collect())
+    assert tbl == [(1, "a"), (2, "b")]
