@@ -89,6 +89,31 @@ class OkResult:
     info: str = ""
 
 
+class SignalError(ValueError):
+    """SIGNAL SQLSTATE raised from a trigger or procedure body —
+    MySQL's user-defined error (its standard validation pattern in
+    BEFORE triggers; reference corpus main_test.go:1053)."""
+
+    def __init__(self, sqlstate: str, message: str):
+        super().__init__(f"SIGNAL SQLSTATE '{sqlstate}': {message}")
+        self.sqlstate = sqlstate
+        self.message_text = message
+
+
+class _ProcLeave(Exception):
+    """Control transfer for LEAVE <label> (caught by the target loop)."""
+
+    def __init__(self, label: str | None):
+        self.label = label
+
+
+class _ProcIterate(Exception):
+    """Control transfer for ITERATE <label>."""
+
+    def __init__(self, label: str | None):
+        self.label = label
+
+
 class Engine:
     def __init__(self, spark: SparkSession, warehouse: str):
         self.spark = spark
@@ -1065,6 +1090,49 @@ class Engine:
             out[st.unquote_ident(am.group(1))] = expr.strip()
         return out
 
+    def _split_trigger_ops(self, body: str) -> list | None:
+        """Parse a BEFORE-trigger body into ordered ops:
+        ('set', raw_set_stmt) | ('guard', cond_or_None, sqlstate, msg).
+
+        Guards are MySQL's standard validation pattern — IF cond THEN
+        SIGNAL SQLSTATE ... END IF (reference corpus main_test.go:1053)
+        — realized set-based: ONE vectorized ANY over the affected row
+        set instead of a per-row branch. Returns None when a statement
+        fits neither shape."""
+        parts = st.split_statements(body)
+        ops: list = []
+        i = 0
+        while i < len(parts):
+            p = parts[i].strip()
+            m = self._SIGNAL_RE.match(p)
+            if m:
+                msg = (m.group(2) or "Unhandled user-defined exception"
+                       ).replace("''", "'")
+                ops.append(("guard", None, m.group(1), msg))
+                i += 1
+                continue
+            im = re.fullmatch(r"IF\s+(.+?)\s+THEN\s+(SIGNAL\s.+)",
+                              p, re.I | re.S)
+            if (
+                im
+                and i + 1 < len(parts)
+                and re.fullmatch(r"END\s+IF", parts[i + 1].strip(), re.I)
+            ):
+                sm = self._SIGNAL_RE.match(im.group(2))
+                if not sm:
+                    return None
+                msg = (sm.group(2) or "Unhandled user-defined exception"
+                       ).replace("''", "'")
+                ops.append(("guard", im.group(1), sm.group(1), msg))
+                i += 2
+                continue
+            if self._split_set_new(p):
+                ops.append(("set", p))
+                i += 1
+                continue
+            return None
+        return ops
+
     def _exec_trigger(self, s: "st.TriggerStmt"):
         trigs = dict(self._load_triggers())
         if s.action == "drop":
@@ -1080,17 +1148,27 @@ class Engine:
         if not self.catalog.table(s.table).exists():
             raise ValueError(f"table {s.table} does not exist")
         if s.timing == "before":
-            if s.event == "delete":
-                raise NotImplementedError(
-                    "BEFORE DELETE triggers have nothing to SET "
-                    "(MySQL uses them for SIGNAL validation, which is "
-                    "unsupported); AFTER DELETE is"
-                )
-            if not self._split_set_new(s.body):
+            ops = self._split_trigger_ops(s.body)
+            if not ops:
                 raise ValueError(
                     f"BEFORE {s.event.upper()} trigger body must be "
-                    "SET NEW.col = expr [, NEW.col = expr ...]"
+                    "SET NEW.col = expr [, ...] statements and/or "
+                    "IF cond THEN SIGNAL SQLSTATE '…' "
+                    "[SET MESSAGE_TEXT = '…'] END IF guards"
                 )
+            for op in ops:
+                if op[0] == "set" and s.event == "delete":
+                    raise ValueError(
+                        "BEFORE DELETE triggers have no NEW row to SET "
+                        "— only SIGNAL guards over OLD.*"
+                    )
+                if op[0] == "guard" and op[1]:
+                    if s.event == "insert" and re.search(
+                            r"(?i)\bOLD\.", op[1]):
+                        raise ValueError("INSERT triggers have no OLD row")
+                    if s.event == "delete" and re.search(
+                            r"(?i)\bNEW\.", op[1]):
+                        raise ValueError("DELETE triggers have no NEW row")
         else:
             for stmt in st.split_statements(s.body):
                 has_new = re.search(r"(?i)\bNEW\.", stmt)
@@ -1122,11 +1200,21 @@ class Engine:
             and t["timing"] == timing
         ]
 
-    def _before_insert_assignments(self, table: str) -> list[dict]:
-        return [
-            self._split_set_new(t["body"])
-            for t in self._triggers_for(table, "insert", "before")
-        ]
+    def _before_insert_ops(self, table: str) -> list:
+        """Ordered BEFORE INSERT ops across triggers in creation order:
+        ('set', {col: expr}) with NEW. stripped, or
+        ('guard', cond_over_plain_cols_or_None, sqlstate, msg)."""
+        out: list = []
+        for t in self._triggers_for(table, "insert", "before"):
+            for op in self._split_trigger_ops(t["body"]) or []:
+                if op[0] == "set":
+                    out.append(("set", self._split_set_new(op[1])))
+                else:
+                    cond = op[1] and re.sub(
+                        r"(?i)\bNEW\.(`[^`]+`|\w+)", r"\1", op[1]
+                    )
+                    out.append(("guard", cond, op[2], op[3]))
+        return out
 
     def _fire_after_triggers(
         self, table: str, event: str, trig_df: DataFrame | None
@@ -1337,23 +1425,29 @@ class Engine:
         self._proc_cache = m
 
     _PROC_UNSUPPORTED = re.compile(
-        r"(?i)^\s*(LOOP|REPEAT|LEAVE|ITERATE|OPEN|FETCH|CLOSE|SIGNAL|"
-        r"CASE)\b"
+        r"(?i)^\s*(OPEN|FETCH|CLOSE|CASE)\b"
     )
-    _PROC_MAX_ITER = 100_000  # WHILE runaway guard
+    _PROC_MAX_ITER = 100_000  # loop runaway guard
+    _SIGNAL_RE = re.compile(
+        r"(?is)^\s*SIGNAL\s+SQLSTATE\s+'(\w+)'"
+        r"(?:\s+SET\s+MESSAGE_TEXT\s*=\s*'((?:[^']|'')*)')?\s*$"
+    )
 
     @staticmethod
     def _proc_normalize(parts: list) -> list:
         """Split block openers carrying an inline first statement
-        ('IF c THEN stmt' / 'WHILE c DO stmt' / 'ELSE stmt') into
-        standalone opener + statement parts, so the parser only ever
-        sees openers on their own."""
+        ('IF c THEN stmt' / 'WHILE c DO stmt' / '[lbl:] LOOP stmt' /
+        '[lbl:] REPEAT stmt' / 'ELSE stmt') into standalone opener +
+        statement parts, so the parser only ever sees openers on their
+        own. Labels stay attached to their opener."""
         out: list = []
         for p in parts:
             p = p.strip()
             while True:
                 m = re.match(
-                    r"((?:ELSE)?IF\s+.+?\s+THEN|WHILE\s+.+?\s+DO|ELSE)"
+                    r"((?:\w+\s*:\s*)?"
+                    r"(?:(?:ELSE)?IF\s+.+?\s+THEN|WHILE\s+.+?\s+DO"
+                    r"|LOOP|REPEAT)|ELSE)"
                     r"\s+(\S.*)$",
                     p, re.I | re.S,
                 )
@@ -1370,7 +1464,9 @@ class Engine:
         """Recursive-descent parse of a normalized procedure body into
         nodes: ('sql', text) | ('declare', name, default_expr) |
         ('if', [(cond, block), ...], else_block) |
-        ('while', cond, block)."""
+        ('while', cond, block, label) | ('loop', label, block) |
+        ('repeat', label, block, until_cond) | ('leave', label) |
+        ('iterate', label) | ('signal', sqlstate, message)."""
         nodes: list = []
         while i < len(parts):
             p = parts[i].strip()
@@ -1379,9 +1475,49 @@ class Engine:
                 return nodes, i
             if self._PROC_UNSUPPORTED.match(p):
                 raise NotImplementedError(
-                    "procedure control flow supports IF/WHILE/DECLARE/"
-                    f"SET only; not: {p[:50]!r}"
+                    "procedure control flow supports IF/WHILE/LOOP/"
+                    "REPEAT/LEAVE/ITERATE/SIGNAL/DECLARE/SET; cursors "
+                    f"and CASE statements are not: {p[:50]!r}"
                 )
+            m = re.fullmatch(r"LEAVE(?:\s+(\w+))?", p, re.I)
+            if m:
+                nodes.append(("leave", m.group(1)))
+                i += 1
+                continue
+            m = re.fullmatch(r"ITERATE(?:\s+(\w+))?", p, re.I)
+            if m:
+                nodes.append(("iterate", m.group(1)))
+                i += 1
+                continue
+            m = self._SIGNAL_RE.match(p)
+            if m:
+                msg = (m.group(2) or "Unhandled user-defined exception"
+                       ).replace("''", "'")
+                nodes.append(("signal", m.group(1), msg))
+                i += 1
+                continue
+            m = re.fullmatch(r"(?:(\w+)\s*:\s*)?LOOP", p, re.I)
+            if m:
+                blk, j = self._parse_proc_block(
+                    parts, i + 1, stop=("END LOOP",))
+                if j >= len(parts):
+                    raise ValueError("LOOP without END LOOP")
+                nodes.append(("loop", m.group(1), blk))
+                i = j + 1
+                continue
+            m = re.fullmatch(r"(?:(\w+)\s*:\s*)?REPEAT", p, re.I)
+            if m:
+                blk, j = self._parse_proc_block(
+                    parts, i + 1, stop=("UNTIL",))
+                um = None if j >= len(parts) else re.fullmatch(
+                    r"UNTIL\s+(.+?)\s+END\s+REPEAT(?:\s+\w+)?",
+                    parts[j].strip(), re.I | re.S,
+                )
+                if not um:
+                    raise ValueError("REPEAT without UNTIL … END REPEAT")
+                nodes.append(("repeat", m.group(1), blk, um.group(1)))
+                i = j + 1
+                continue
             m = re.match(r"DECLARE\s+(`[^`]+`|\w+)\s+\S+"
                          r"(?:\([^)]*\))?(?:\s+DEFAULT\s+(.+))?$",
                          p, re.I | re.S)
@@ -1419,13 +1555,14 @@ class Engine:
                     i = j + 1
                     break
                 continue
-            m = re.fullmatch(r"WHILE\s+(.+?)\s+DO", p, re.I | re.S)
+            m = re.fullmatch(r"(?:(\w+)\s*:\s*)?WHILE\s+(.+?)\s+DO",
+                             p, re.I | re.S)
             if m:
                 blk, j = self._parse_proc_block(
                     parts, i + 1, stop=("END WHILE",))
                 if j >= len(parts):
                     raise ValueError("WHILE without END WHILE")
-                nodes.append(("while", m.group(1), blk))
+                nodes.append(("while", m.group(2), blk, m.group(1)))
                 i = j + 1
                 continue
             nodes.append(("sql", p))
@@ -1497,7 +1634,13 @@ class Engine:
         nodes, _ = self._parse_proc_block(
             self._proc_normalize(st.split_statements(proc["body"]))
         )
-        result = self._run_proc_block(nodes, env, dialect)
+        try:
+            result = self._run_proc_block(nodes, env, dialect)
+        except (_ProcLeave, _ProcIterate) as e:
+            kind = "LEAVE" if isinstance(e, _ProcLeave) else "ITERATE"
+            raise ValueError(
+                f"{kind} {e.label or ''} has no matching loop label"
+            ) from None
         for pname, var in outs:
             self.variables[var] = self._proc_eval(env[pname], {}, dialect)
         return result
@@ -1509,9 +1652,59 @@ class Engine:
             )
         return text
 
+    # sentinel: local evaluation couldn't handle the expression
+    _LOCAL_MISS = object()
+    _LOCAL_KEYWORDS = {
+        "AND": "and", "OR": "or", "NOT": "not",
+        "TRUE": "True", "FALSE": "False", "NULL": "None",
+    }
+    _LOCAL_TOKEN = re.compile(
+        r"'(?:[^']|'')*'|[A-Za-z_]\w*|\d+\.\d+|\d+"
+        r"|<=|>=|<>|!=|=|<|>|[()+\-*/]"
+    )
+
+    @classmethod
+    def _try_local_eval(cls, expr: str):
+        """Evaluate a literals-only scalar expression in Python —
+        procedure counters and conditions over locals shouldn't launch
+        a Spark job each iteration. Anything beyond numbers, strings,
+        arithmetic (+ - * /), comparisons, and AND/OR/NOT falls back
+        to the Spark path (identifiers → functions/columns; '%' is
+        excluded: SQL MOD sign follows the dividend, Python's the
+        divisor)."""
+        s = expr.strip()
+        toks = cls._LOCAL_TOKEN.findall(s)
+        if re.sub(r"\s+", "", "".join(toks)) != re.sub(r"\s+", "", s):
+            return cls._LOCAL_MISS
+        py: list[str] = []
+        for t in toks:
+            if t.startswith("'"):
+                py.append(repr(t[1:-1].replace("''", "'")))
+            elif re.match(r"[A-Za-z_]", t):
+                kw = cls._LOCAL_KEYWORDS.get(t.upper())
+                if kw is None:
+                    return cls._LOCAL_MISS
+                py.append(kw)
+            elif t == "=":
+                py.append("==")
+            elif t == "<>":
+                py.append("!=")
+            else:
+                py.append(t)
+        try:
+            return eval(  # noqa: S307 - token whitelist above
+                " ".join(py), {"__builtins__": {}}, {}
+            )
+        except Exception:
+            return cls._LOCAL_MISS  # e.g. NULL comparison, div by zero
+
     def _proc_eval(self, expr: str, env: dict, dialect: str):
+        sub = self._proc_sub(expr, env)
+        v = self._try_local_eval(sub)
+        if v is not self._LOCAL_MISS:
+            return v
         return self.sql(
-            f"SELECT ({self._proc_sub(expr, env)}) AS v", dialect=dialect
+            f"SELECT ({sub}) AS v", dialect=dialect
         ).collect()[0][0]
 
     def _run_proc_block(self, nodes: list, env: dict, dialect: str):
@@ -1550,7 +1743,7 @@ class Engine:
                             else_blk, env, dialect
                         )
             elif kind == "while":
-                _k, cond, blk = node
+                _k, cond, blk, label = node
                 it = 0
                 while bool(self._proc_eval(cond, env, dialect)):
                     it += 1
@@ -1559,8 +1752,71 @@ class Engine:
                             "WHILE exceeded "
                             f"{self._PROC_MAX_ITER} iterations"
                         )
-                    result = self._run_proc_block(blk, env, dialect)
+                    res, xfer = self._run_loop_body(blk, env, dialect,
+                                                    label)
+                    if res is not None:
+                        result = res
+                    if xfer == "leave":
+                        break
+            elif kind == "loop":
+                _k, label, blk = node
+                it = 0
+                while True:
+                    it += 1
+                    if it > self._PROC_MAX_ITER:
+                        raise ValueError(
+                            "LOOP exceeded "
+                            f"{self._PROC_MAX_ITER} iterations "
+                            "(no LEAVE reached)"
+                        )
+                    res, xfer = self._run_loop_body(blk, env, dialect,
+                                                    label)
+                    if res is not None:
+                        result = res
+                    if xfer == "leave":
+                        break
+            elif kind == "repeat":
+                _k, label, blk, until = node
+                it = 0
+                while True:
+                    it += 1
+                    if it > self._PROC_MAX_ITER:
+                        raise ValueError(
+                            "REPEAT exceeded "
+                            f"{self._PROC_MAX_ITER} iterations"
+                        )
+                    res, xfer = self._run_loop_body(blk, env, dialect,
+                                                    label)
+                    if res is not None:
+                        result = res
+                    if xfer == "leave" or \
+                            bool(self._proc_eval(until, env, dialect)):
+                        break
+            elif kind == "leave":
+                raise _ProcLeave(node[1])
+            elif kind == "iterate":
+                raise _ProcIterate(node[1])
+            elif kind == "signal":
+                raise SignalError(node[1], node[2])
         return result  # MySQL returns the last statement's result set
+
+    def _run_loop_body(self, blk: list, env: dict, dialect: str,
+                       label: str | None):
+        """One iteration of a loop body; catches LEAVE/ITERATE aimed at
+        this loop (matching label, or unlabeled → innermost). Returns
+        (result_or_None, 'leave' | 'iterate' | None)."""
+        try:
+            return self._run_proc_block(blk, env, dialect), None
+        except _ProcIterate as e:
+            if e.label is None or (label and e.label.lower()
+                                   == label.lower()):
+                return None, "iterate"
+            raise
+        except _ProcLeave as e:
+            if e.label is None or (label and e.label.lower()
+                                   == label.lower()):
+                return None, "leave"
+            raise
 
     # ------------------------------------------------------------- macros
     # DuckDB-style scalar macros — the reference's UDF mechanism
@@ -1871,20 +2127,46 @@ class Engine:
         # post-statement value of y (the assignment expression when y
         # is being set, the stored column otherwise); OLD.y is the
         # stored column — both resolve to plain SQL over the pre-image.
+        guards: list = []
         for tg in self._triggers_for(s.table, "update", "before"):
-            for col, ex in self._split_set_new(tg["body"],
-                                               keep_refs=True).items():
-                def _new_ref(m, _a=dict(assignments)):
-                    y = st.unquote_ident(m.group(1))
-                    return f"({_a[y]})" if y in _a else f"`{y}`"
-                ex = re.sub(r"(?i)\bNEW\.(`[^`]+`|\w+)", _new_ref, ex)
-                ex = re.sub(r"(?i)\bOLD\.(`[^`]+`|\w+)", r"`\1`", ex)
-                assignments[col] = ex
+            for op in self._split_trigger_ops(tg["body"]) or []:
+                if op[0] == "guard":
+                    guards.append(op[1:])
+                    continue
+                for col, ex in self._split_set_new(
+                        op[1], keep_refs=True).items():
+                    def _new_ref(m, _a=dict(assignments)):
+                        y = st.unquote_ident(m.group(1))
+                        return f"({_a[y]})" if y in _a else f"`{y}`"
+                    ex = re.sub(r"(?i)\bNEW\.(`[^`]+`|\w+)", _new_ref, ex)
+                    ex = re.sub(r"(?i)\bOLD\.(`[^`]+`|\w+)", r"`\1`", ex)
+                    assignments[col] = ex
         where = s.where or "TRUE"
         if s.limit is not None:
             where = self._subquery_row_cap(
                 s.table, pre, where, s.order_by, s.limit, dialect
             )
+        # BEFORE UPDATE SIGNAL guards: one ANY scan over the affected
+        # rows, BEFORE any file is written (statement-level rollback).
+        # NEW.y = the post-statement value (final assignment map),
+        # OLD.y = the stored column — batch semantics, like the folds.
+        for cond, sqlstate, msg in guards:
+            gc = "TRUE" if cond is None else re.sub(
+                r"(?i)\bNEW\.(`[^`]+`|\w+)",
+                lambda m: (f"({assignments[st.unquote_ident(m.group(1))]})"
+                           if st.unquote_ident(m.group(1)) in assignments
+                           else f"`{st.unquote_ident(m.group(1))}`"),
+                cond,
+            )
+            gc = re.sub(r"(?i)\bOLD\.(`[^`]+`|\w+)", r"`\1`", gc)
+            hit = self.sql(
+                f"{pre}SELECT 1 FROM `{s.table}` "
+                f"WHERE coalesce(({where}), false) "
+                f"AND coalesce(({gc}), false) LIMIT 1",
+                dialect=dialect,
+            ).collect()
+            if hit:
+                raise SignalError(sqlstate, msg)
         sel = []
         for f in base.schema.fields:
             if f.name in assignments:
@@ -1953,6 +2235,23 @@ class Engine:
             where = self._subquery_row_cap(
                 s.table, pre, where, s.order_by, s.limit, dialect
             )
+        # BEFORE DELETE triggers are SIGNAL-guard-only (validated at
+        # CREATE): any to-be-deleted row matching a guard blocks the
+        # whole statement before a file is touched.
+        for tg in self._triggers_for(s.table, "delete", "before"):
+            for op in self._split_trigger_ops(tg["body"]) or []:
+                _k, cond, sqlstate, msg = op
+                gc = "TRUE" if cond is None else re.sub(
+                    r"(?i)\bOLD\.(`[^`]+`|\w+)", r"`\1`", cond
+                )
+                hit = self.sql(
+                    f"{pre}SELECT 1 FROM `{s.table}` "
+                    f"WHERE coalesce(({where}), false) "
+                    f"AND coalesce(({gc}), false) LIMIT 1",
+                    dialect=dialect,
+                ).collect()
+                if hit:
+                    raise SignalError(sqlstate, msg)
         n = self.sql(
             f"{pre}SELECT count(*) AS n FROM `{s.table}` "
             f"WHERE coalesce(({where}), false)",
@@ -3135,7 +3434,10 @@ class Engine:
             if s.from_text:
                 return self._exec_delete_multi(s, dialect)
             if (s.cte or _has_subquery(s.where)
-                    or self._triggers_for(s.table, "delete", "after")):
+                    or self._triggers_for(s.table, "delete", "after")
+                    # the SQL-text executor evaluates BEFORE DELETE
+                    # SIGNAL guards ahead of any write
+                    or self._triggers_for(s.table, "delete", "before")):
                 return self._exec_delete_subquery(s, dialect)
             cond = self._fragment(s.where) if s.where else F.lit(True)
             if s.limit is not None:
@@ -3743,15 +4045,26 @@ class Engine:
         # BEFORE INSERT triggers (SET NEW.c = expr): one vectorized
         # withColumn per assignment, after defaults/generated, before
         # constraint checks — MySQL's evaluation point.
-        for assigns in self._before_insert_assignments(s.table):
-            for col, ex in assigns.items():
-                if col not in base_schema.fieldNames():
-                    raise ValueError(
-                        f"trigger SET NEW.{col}: no such column"
+        for op in self._before_insert_ops(s.table):
+            if op[0] == "set":
+                for col, ex in op[1].items():
+                    if col not in base_schema.fieldNames():
+                        raise ValueError(
+                            f"trigger SET NEW.{col}: no such column"
+                        )
+                    df = df.withColumn(
+                        col, F.expr(ex).cast(base_schema[col].dataType)
                     )
-                df = df.withColumn(
-                    col, F.expr(ex).cast(base_schema[col].dataType)
-                )
+            else:
+                # SIGNAL guard: ONE vectorized ANY over the batch —
+                # any matching row rejects the whole statement
+                # (MySQL rolls the statement back on trigger error)
+                _k, cond, sqlstate, msg = op
+                pred = F.expr(cond) if cond else F.lit(True)
+                if df.filter(
+                        F.coalesce(pred.cast("boolean"), F.lit(False))
+                ).limit(1).count() > 0:
+                    raise SignalError(sqlstate, msg)
 
         checks = {c: self._fragment(e) for c, e in meta.checks.items()}
         for col in meta.not_null:

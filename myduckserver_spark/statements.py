@@ -103,31 +103,66 @@ def split_statements(sql: str) -> list[str]:
     # keyword tests run on masked text so literals like
     # 'read the PROCEDURE manual BEGIN section' can't trigger a merge,
     # and only statements that actually OPEN a routine definition
-    # (CREATE [DEFINER=...] TRIGGER/PROCEDURE/FUNCTION, or the BEGIN
-    # itself being the body opener) engage it.
+    # (CREATE [DEFINER=...] TRIGGER/PROCEDURE/FUNCTION/EVENT) engage
+    # it. Merging continues while the block balance (BEGIN/IF/WHILE/
+    # LOOP/REPEAT/CASE openers minus END closers) stays positive, so
+    # single-compound-statement bodies without BEGIN…END — e.g.
+    # `... FOR EACH ROW IF c THEN SIGNAL …; END IF` — re-join too.
     _opener = re.compile(
         r"(?is)^\s*CREATE\s+(?:DEFINER\s*=\s*\S+\s+)?"
+        r"(?:(?:ALGORITHM|SQL\s+SECURITY)\s*=?\s*\S+\s+)*"
         r"(?:TRIGGER|PROCEDURE|FUNCTION|EVENT)\b"
     )
     while i < len(parts):
         p = parts[i]
         pm = mask_strings(p)
-        if (
-            _opener.search(pm)
-            and re.search(r"(?i)\bBEGIN\b", pm)
-            and not re.search(r"(?i)\bEND\s*$", pm)
-        ):
-            j = i + 1
-            while j < len(parts):
-                p += "; " + parts[j]
-                if re.search(r"(?i)\bEND\s*$", mask_strings(parts[j])):
-                    break
+        if _opener.search(pm):
+            bal = _block_balance(pm)
+            j = i
+            while bal > 0 and j + 1 < len(parts):
                 j += 1
+                p += "; " + parts[j]
+                bal += _block_balance(mask_strings(parts[j]))
             i = j + 1
         else:
             i += 1
         merged.append(p)
     return merged
+
+
+_STMT_STARTERS = {"BEGIN", "THEN", "ELSE", "DO", "ROW", "LOOP", ";", ":"}
+
+
+def _block_balance(masked: str) -> int:
+    """Net count of SQL compound-block openers (BEGIN, statement-IF,
+    WHILE…DO, LOOP, REPEAT, CASE) minus END closers in masked text.
+
+    BEGIN always opens (it is never a function). The others open only
+    in STATEMENT position — at the start of the text or right after a
+    statement-introducing token (BEGIN/THEN/ELSE/DO/ROW/';'/a label
+    ':') — which cleanly excludes the IF()/REPEAT() functions and CASE
+    *expressions* (those follow '=', '(', ',', SELECT, …; CASE
+    expressions also self-balance against their own END, but never
+    reach the count at all this way). The keyword following END
+    ('END IF' …) is part of the closer, already counted."""
+    n = 0
+    for m in re.finditer(
+        r"(?i)\b(BEGIN|LOOP|REPEAT|CASE|IF|WHILE|END)\b", masked
+    ):
+        w = m.group(1).upper()
+        tail = masked[: m.start()].rstrip()
+        if w == "END":
+            n -= 1
+            continue
+        if tail.upper().endswith("END"):
+            continue  # the closer's keyword, already counted
+        if w == "BEGIN":
+            n += 1
+            continue
+        last = re.search(r"([A-Za-z_]+|\S)\s*$", tail)
+        if last is None or last.group(1).upper() in _STMT_STARTERS:
+            n += 1
+    return n
 
 
 def split_top_level(s: str, sep: str = ",") -> list[str]:

@@ -60,11 +60,13 @@ def test_procedure_persistence_and_show(eng, spark):
     assert "CREATE PROCEDURE" in ddl and "SELECT (x) AS v" in ddl
 
 
-def test_procedure_rejects_loops(eng):
+def test_procedure_rejects_cursors(eng):
+    """LOOP/REPEAT are supported since round 6; cursors remain an
+    honest CREATE-time rejection."""
     with pytest.raises(NotImplementedError):
         eng.execute(
-            "CREATE PROCEDURE lp(IN x INT) BEGIN "
-            "LOOP SELECT 1; END LOOP; END"
+            "CREATE PROCEDURE cur(IN x INT) BEGIN "
+            "OPEN c1; FETCH c1 INTO y; CLOSE c1; END"
         )
 
 
@@ -164,3 +166,129 @@ def test_out_and_inout_params(eng):
     assert (row.t, row.r) == (100, 11)
     with pytest.raises(ValueError, match="@variable"):
         eng.execute("CALL stats(0, 5, @r)")
+
+
+def test_labeled_loop_with_iterate_and_leave(eng):
+    """Labeled LOOP with ITERATE (skip odd ids) and LEAVE (stop at 10)
+    — MySQL's canonical loop pattern (reference corpus
+    main_test.go:1071 exercises stored-procedure control flow)."""
+    eng.execute("CREATE TABLE evens (n INT)")
+    eng.execute(
+        "CREATE PROCEDURE fill_evens() BEGIN "
+        "DECLARE i INT DEFAULT 0; "
+        "lp: LOOP "
+        "  SET i = i + 1; "
+        "  IF i > 10 THEN LEAVE lp; END IF; "
+        "  IF i % 2 <> 0 THEN ITERATE lp; END IF; "
+        "  INSERT INTO evens VALUES (i); "
+        "END LOOP lp; "
+        "SELECT COUNT(*) AS n FROM evens; "
+        "END"
+    )
+    out = eng.execute("CALL fill_evens()")
+    assert out.collect()[0].n == 5
+    got = sorted(r.n for r in eng.execute("SELECT * FROM evens").collect())
+    assert got == [2, 4, 6, 8, 10]
+
+
+def test_repeat_until(eng):
+    eng.execute(
+        "CREATE PROCEDURE countdown(IN start INT, OUT steps INT) BEGIN "
+        "DECLARE i INT DEFAULT start; "
+        "SET steps = 0; "
+        "REPEAT "
+        "  SET i = i - 1; "
+        "  SET steps = steps + 1; "
+        "UNTIL i <= 0 END REPEAT; "
+        "END"
+    )
+    eng.execute("CALL countdown(4, @s)")
+    assert eng.execute("SELECT @s AS s").collect()[0].s == 4
+    # REPEAT runs the body at least once even when already satisfied
+    eng.execute("CALL countdown(0, @s0)")
+    assert eng.execute("SELECT @s0 AS s").collect()[0].s == 1
+
+
+def test_nested_loops_labels_target_outer(eng):
+    eng.execute(
+        "CREATE PROCEDURE nest(OUT total INT) BEGIN "
+        "DECLARE i INT DEFAULT 0; "
+        "SET total = 0; "
+        "outer_lp: WHILE i < 5 DO "
+        "  SET i = i + 1; "
+        "  inner_lp: LOOP "
+        "    SET total = total + 1; "
+        "    IF total >= 7 THEN LEAVE outer_lp; END IF; "
+        "  END LOOP inner_lp; "
+        "END WHILE; "
+        "END"
+    )
+    eng.execute("CALL nest(@t)")
+    # the inner LOOP spins until the OUTER label's LEAVE fires at 7 —
+    # proving a labeled LEAVE propagates past the inner loop
+    assert eng.execute("SELECT @t AS t").collect()[0].t == 7
+
+
+def test_leave_without_matching_label_errors(eng):
+    eng.execute(
+        "CREATE PROCEDURE bad() BEGIN LEAVE nowhere; END"
+    )
+    with pytest.raises(ValueError, match="no matching loop label"):
+        eng.execute("CALL bad()")
+
+
+def test_loop_runaway_guard(eng):
+    eng.execute("CREATE PROCEDURE spin() BEGIN lp: LOOP SET @x = 1; "
+                "END LOOP lp; END")
+    with pytest.raises(ValueError, match="LOOP exceeded"):
+        eng.execute("CALL spin()")
+
+
+def test_locals_only_while_runs_zero_spark_jobs(eng, monkeypatch):
+    """A WHILE whose condition and body touch only locals must execute
+    entirely driver-side: zero Spark queries. Engine.sql is the single
+    funnel for Spark evaluation, so counting its calls counts jobs."""
+    eng.execute(
+        "CREATE PROCEDURE gauss(IN n INT, OUT total INT) BEGIN "
+        "DECLARE i INT DEFAULT 0; "
+        "SET total = 0; "
+        "WHILE i < n DO "
+        "  SET i = i + 1; "
+        "  SET total = total + i; "
+        "END WHILE; "
+        "END"
+    )
+    calls = {"n": 0}
+    orig = Engine.sql
+
+    def counting_sql(self, *a, **kw):
+        calls["n"] += 1
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(Engine, "sql", counting_sql)
+    eng.execute("CALL gauss(100, @g)")
+    monkeypatch.undo()
+    assert calls["n"] == 0, f"locals-only WHILE launched {calls['n']} jobs"
+    assert eng.execute("SELECT @g AS g").collect()[0].g == 5050
+
+
+def test_signal_in_procedure(eng):
+    from myduckserver_spark.engine import SignalError
+
+    eng.execute(
+        "CREATE PROCEDURE withdraw(IN acct_id INT, IN amt INT) BEGIN "
+        "DECLARE cur INT DEFAULT (SELECT bal FROM acct WHERE id = acct_id); "
+        "IF cur < amt THEN "
+        "  SIGNAL SQLSTATE '45000' SET MESSAGE_TEXT = 'insufficient funds'; "
+        "END IF; "
+        "UPDATE acct SET bal = bal - amt WHERE id = acct_id; "
+        "END"
+    )
+    eng.execute("CALL withdraw(1, 30)")
+    assert eng.execute("SELECT bal FROM acct WHERE id = 1") \
+        .collect()[0].bal == 70
+    with pytest.raises(SignalError, match="insufficient funds"):
+        eng.execute("CALL withdraw(2, 999)")
+    # the failed call left the balance untouched
+    assert eng.execute("SELECT bal FROM acct WHERE id = 2") \
+        .collect()[0].bal == 50

@@ -117,7 +117,9 @@ def test_show_triggers_drop_and_persistence(eng, spark, tmp_path):
 
 
 def test_trigger_validation_rejections(eng):
-    with pytest.raises(NotImplementedError):
+    # BEFORE DELETE has no NEW row to SET (guards only, see
+    # test_before_delete_signal_blocks)
+    with pytest.raises(ValueError, match="no NEW row"):
         eng.execute("CREATE TRIGGER bad1 BEFORE DELETE ON items "
                     "FOR EACH ROW SET NEW.qty = 0")
     with pytest.raises(ValueError, match="no OLD row"):
@@ -192,3 +194,103 @@ def test_after_insert_sees_auto_increment_id(eng):
     tbl = sorted((r.id, r.name) for r in
                  eng.execute("SELECT id, name FROM seqd").collect())
     assert tbl == [(1, "a"), (2, "b")]
+
+
+def test_before_insert_signal_rejects_batch(eng):
+    """SIGNAL guard in a BEFORE INSERT body: one vectorized ANY over
+    the incoming batch; any bad row rejects the WHOLE statement
+    (MySQL's statement rollback on trigger error —
+    reference corpus main_test.go:1053)."""
+    from myduckserver_spark.engine import SignalError
+
+    eng.execute(
+        "CREATE TRIGGER no_neg BEFORE INSERT ON items FOR EACH ROW "
+        "BEGIN "
+        "IF NEW.qty < 0 THEN "
+        "SIGNAL SQLSTATE '45000' SET MESSAGE_TEXT = 'negative qty'; "
+        "END IF; "
+        "END"
+    )
+    eng.execute("INSERT INTO items VALUES (1, 'ok', 5, NULL)")
+    with pytest.raises(SignalError, match="negative qty") as ei:
+        eng.execute("INSERT INTO items VALUES (2, 'fine', 1, NULL), "
+                    "(3, 'bad', -4, NULL)")
+    assert ei.value.sqlstate == "45000"
+    # the good row of the failed batch was NOT inserted
+    got = [r.id for r in eng.execute("SELECT id FROM items").collect()]
+    assert got == [1]
+
+
+def test_before_insert_set_then_signal_order(eng):
+    """A body mixing SET NEW.* and a guard applies in order: the guard
+    sees the assigned value."""
+    eng.execute(
+        "CREATE TRIGGER norm_guard BEFORE INSERT ON items FOR EACH ROW "
+        "BEGIN "
+        "SET NEW.qty = COALESCE(NEW.qty, 0); "
+        "IF NEW.qty > 100 THEN "
+        "SIGNAL SQLSTATE '45000' SET MESSAGE_TEXT = 'too many'; "
+        "END IF; "
+        "END"
+    )
+    # NULL qty is defaulted by the SET before the guard runs
+    eng.execute("INSERT INTO items (id, name) VALUES (1, 'a')")
+    assert eng.execute("SELECT qty FROM items").collect()[0].qty == 0
+    from myduckserver_spark.engine import SignalError
+
+    with pytest.raises(SignalError, match="too many"):
+        eng.execute("INSERT INTO items VALUES (2, 'b', 500, NULL)")
+
+
+def test_before_update_signal_new_and_old(eng):
+    from myduckserver_spark.engine import SignalError
+
+    eng.execute("INSERT INTO items VALUES (1, 'a', 10, NULL)")
+    eng.execute(
+        "CREATE TRIGGER no_shrink BEFORE UPDATE ON items FOR EACH ROW "
+        "IF NEW.qty < OLD.qty THEN "
+        "SIGNAL SQLSTATE '45000' SET MESSAGE_TEXT = 'qty may not shrink'; "
+        "END IF"
+    )
+    eng.execute("UPDATE items SET qty = 15 WHERE id = 1")
+    assert eng.execute("SELECT qty FROM items").collect()[0].qty == 15
+    with pytest.raises(SignalError, match="may not shrink"):
+        eng.execute("UPDATE items SET qty = 3 WHERE id = 1")
+    assert eng.execute("SELECT qty FROM items").collect()[0].qty == 15
+
+
+def test_before_delete_signal_blocks(eng):
+    """BEFORE DELETE SIGNAL guard blocks the delete — the round-5
+    rejection is lifted (MySQL's validation pattern now supported)."""
+    from myduckserver_spark.engine import SignalError
+
+    eng.execute("INSERT INTO items VALUES (1, 'keep', 5, NULL), "
+                "(2, 'temp', 0, NULL)")
+    eng.execute(
+        "CREATE TRIGGER keep_stock BEFORE DELETE ON items FOR EACH ROW "
+        "IF OLD.qty > 0 THEN "
+        "SIGNAL SQLSTATE '45000' SET MESSAGE_TEXT = 'still stocked'; "
+        "END IF"
+    )
+    # deleting the zero-qty row passes the guard
+    eng.execute("DELETE FROM items WHERE id = 2")
+    with pytest.raises(SignalError, match="still stocked"):
+        eng.execute("DELETE FROM items WHERE id = 1")
+    got = [r.id for r in eng.execute("SELECT id FROM items").collect()]
+    assert got == [1]
+
+
+def test_unconditional_signal_trigger(eng):
+    """A bare SIGNAL body makes the table effectively immutable for
+    that event."""
+    from myduckserver_spark.engine import SignalError
+
+    eng.execute("INSERT INTO items VALUES (1, 'a', 1, NULL)")
+    eng.execute(
+        "CREATE TRIGGER frozen BEFORE DELETE ON items FOR EACH ROW "
+        "SIGNAL SQLSTATE '45000' SET MESSAGE_TEXT = 'table is frozen'"
+    )
+    with pytest.raises(SignalError, match="frozen"):
+        eng.execute("DELETE FROM items WHERE id = 1")
+    # a delete that matches no rows raises nothing (no affected row)
+    eng.execute("DELETE FROM items WHERE id = 99")
