@@ -3387,16 +3387,25 @@ class Engine:
         if isinstance(s, st.SubscriptionStmt):
             return self._exec_subscription(s)
         if isinstance(s, st.Optimize):
+            retrained = self._retrain_stale_vector_indexes(s.name)
             cols = s.zorder_cols
             if not cols:
                 meta = self.table_meta(s.name)
                 cols = list(meta.primary_key) if meta.primary_key else None
             if not cols:
-                return OkResult(info="no sort columns; table unchanged")
+                return OkResult(
+                    info="no sort columns; table unchanged" + (
+                        f"; retrained vector indexes: "
+                        f"{', '.join(retrained)}" if retrained else ""
+                    )
+                )
             self.catalog.optimize_table(
                 s.name, cols, zorder=len(cols) > 1
             )
-            return OkResult(info=f"optimized on ({', '.join(cols)})")
+            info = f"optimized on ({', '.join(cols)})"
+            if retrained:
+                info += f"; retrained vector indexes: {', '.join(retrained)}"
+            return OkResult(info=info)
         if isinstance(s, st.Insert):
             return self._exec_insert(s, dialect)
         if isinstance(s, st.MergeStmt):
@@ -5033,13 +5042,75 @@ class Engine:
         )
         new_assign = ivf_assign(fresh, cent, id_col=pk, vec_col=col)
         assign_t = self.catalog.table(f"__vidx_{table}_{index}_assign")
-        kept = assign_t.read().join(touched, pk, "left_anti")
+        old_assign = assign_t.read()
+        # Drift metric: among reconciled rows that HAD an assignment
+        # (updates), the fraction that moved to a different centroid.
+        # Fixed centroids are standard IVF practice, but a stream of
+        # updates that keeps reassigning rows means the data left the
+        # centroids behind — recall decays silently. Accumulate across
+        # reconciles; past the threshold, flag stale so the next
+        # OPTIMIZE retrains (one count aggregate per reconcile, no
+        # extra shuffle: both sides are already keyed by pk).
+        pair = new_assign.select(pk, "cid").join(
+            old_assign.select(pk, F.col("cid").alias("__prev_cid")), pk
+        ).agg(
+            F.count("*").alias("seen"),
+            F.sum(
+                (F.col("cid") != F.col("__prev_cid")).cast("long")
+            ).alias("moved"),
+        ).collect()[0]
+        kept = old_assign.join(touched, pk, "left_anti")
         assign_t.overwrite(
             kept.unionByName(new_assign).orderBy("cid", pk)
         )
         meta = self.table_meta(table)
-        meta.indexes[index]["table_version"] = t.version
+        props = meta.indexes[index]
+        props["table_version"] = t.version
+        props["drift_seen"] = props.get("drift_seen", 0) + int(pair.seen)
+        props["drift_moved"] = (props.get("drift_moved", 0)
+                                + int(pair.moved or 0))
+        threshold = float(props.get("drift_threshold", 0.5))
+        if props["drift_seen"] >= 8 and \
+                props["drift_moved"] / props["drift_seen"] >= threshold:
+            props["stale_centroids"] = True
         self._save_meta(table, meta)
+
+    def _retrain_stale_vector_indexes(self, table: str) -> list[str]:
+        """OPTIMIZE-time retrain of vector indexes whose drift metric
+        flagged stale centroids (see _reconcile_vector_index): a full
+        deterministic k-means rebuild from the current snapshot,
+        clearing the flag and the drift counters. OPTIMIZE is the
+        natural home — it is already the table's 'rewrite storage for
+        read locality' maintenance point."""
+        from myduckserver_spark.operators import vindex
+
+        try:
+            meta = self.table_meta(table)
+        except Exception:
+            return []
+        retrained: list[str] = []
+        for name, props in meta.indexes.items():
+            if not (props.get("vector") and props.get("stale_centroids")):
+                continue
+            pk = meta.primary_key[0]
+            t = self.catalog.table(table)
+            cent, assign = vindex.build_ivf(
+                t.read(), pk, props["columns"][0],
+                nlist=int(props.get("nlist", 8)),
+                iters=int(props.get("iters", 3)),
+            )
+            self.catalog.table(f"__vidx_{table}_{name}_centroids"
+                               ).overwrite(cent)
+            self.catalog.table(f"__vidx_{table}_{name}_assign"
+                               ).overwrite(assign)
+            props["table_version"] = t.version
+            props["stale_centroids"] = False
+            props["drift_seen"] = 0
+            props["drift_moved"] = 0
+            retrained.append(name)
+        if retrained:
+            self._save_meta(table, meta)
+        return retrained
 
     def vector_search(
         self,

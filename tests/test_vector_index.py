@@ -144,3 +144,67 @@ def test_vector_search_sql_front_door(veng):
     ).collect()
     assert len(rows) == 5
     assert rows[0].vec_id in (7, 100007)  # self (or its clone) ranks first
+
+
+def test_drift_flags_stale_and_optimize_retrains(spark, tmp_path_factory):
+    """Centroid-drift trigger: a reconciled batch that reassigns most
+    updated rows flips stale_centroids; the next OPTIMIZE retrains
+    (full deterministic k-means), clears the flag, and restores
+    probe-1 recall vs brute force."""
+    e = Engine(spark, str(tmp_path_factory.mktemp("vdrift")))
+    # two tight 2-D clusters; ids interleaved so the deterministic
+    # init (first nlist rows in pk order) seeds one centroid in each
+    rows = []
+    for i in range(40):
+        if i % 2 == 0:
+            rows.append((i, [10.0 + (i % 5) * 0.01, 0.0], "a"))
+        else:
+            rows.append((i, [0.0, 10.0 + (i % 5) * 0.01], "b"))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string")
+    e.catalog.create_table("vecs", emb)
+    meta = e.table_meta("vecs")
+    meta.primary_key = ["vec_id"]
+    e._save_meta("vecs", meta)
+    e.execute("CREATE VECTOR INDEX emb_idx ON vecs (embedding) "
+              "WITH (nlist = 2)")
+
+    # heavy drift: every even id moves to a NEW location [-10, 0] —
+    # nearer the other centroid, so the reconcile reassigns all 20
+    t = e.catalog.table("vecs")
+    moved = t.read().selectExpr(
+        "vec_id",
+        "CASE WHEN vec_id % 2 = 0 THEN array(-10.0D, 0.0D) "
+        "ELSE embedding END AS embedding",
+        "label",
+    )
+    t.overwrite(moved)
+    q = [-10.0, 0.0]
+    e.vector_search("vecs", "emb_idx", q, k=5, nprobe=2).collect()
+    props = e.table_meta("vecs").indexes["emb_idx"]
+    assert props.get("stale_centroids") is True
+    assert props["drift_seen"] >= 20
+    assert props["drift_moved"] / props["drift_seen"] >= 0.5
+
+    # OPTIMIZE retrains, clears the flag and counters
+    r = e.execute("OPTIMIZE TABLE vecs")
+    assert "retrained vector indexes: emb_idx" in r.info
+    props = e.table_meta("vecs").indexes["emb_idx"]
+    assert props.get("stale_centroids") is False
+    assert props["drift_seen"] == 0 and props["drift_moved"] == 0
+
+    # recall restored at nprobe=1: the single nearest bucket holds the
+    # drifted cluster, and top-k matches exact brute force
+    qdf = spark.createDataFrame([(999, q)],
+                                "vec_id long, embedding array<double>")
+    want = [r.vec_id for r in
+            cosine_topk(t.read(), qdf, k=5).orderBy("rk").collect()]
+    got = [r.vec_id for r in
+           e.vector_search("vecs", "emb_idx", q, k=5, nprobe=1).collect()]
+    assert set(got) == set(want)
+    # buckets balanced again after retrain (20/20, not 40/0)
+    sizes = sorted(
+        r.n for r in e.catalog.table("__vidx_vecs_emb_idx_assign").read()
+        .groupBy("cid").count().withColumnRenamed("count", "n").collect()
+    )
+    assert sizes == [20, 20]
