@@ -643,6 +643,65 @@ def _rewrite_wrapped_call(out: str, name: str, open_repl: str,
             + out[close + 1:]
 
 
+def _rewrite_filter_over_window(sql: str) -> str:
+    """``agg(args) FILTER (WHERE cond) OVER (…)`` →
+    ``agg(CASE WHEN cond THEN args END) OVER (…)``.
+
+    Spark executes aggregate FILTER natively in GROUP BY / HAVING /
+    select positions but rejects it on WINDOW functions; the CASE
+    rewrite is exactly equivalent for NULL-skipping aggregates
+    (COUNT(*) counts a sentinel 1 instead). Non-window FILTER is left
+    for Spark itself."""
+    from myduckserver_spark.statements import mask_strings
+
+    out = sql
+    while True:
+        mask = mask_strings(out)
+        hit = None
+        for m in re.finditer(r"(?i)\bFILTER\s*\(", mask):
+            open_i = m.end() - 1
+            try:
+                close_i = _match_paren(mask, open_i)
+            except ValueError:
+                continue
+            if not re.match(r"\s*OVER\b", mask[close_i + 1:], re.I):
+                continue
+            wm = re.match(r"\s*WHERE\s+(.+)$",
+                          out[open_i + 1:close_i], re.I | re.S)
+            if not wm:
+                continue
+            # the aggregate call immediately before FILTER
+            j = m.start() - 1
+            while j >= 0 and out[j].isspace():
+                j -= 1
+            if j < 0 or out[j] != ")":
+                continue
+            depth, k = 0, j
+            while k >= 0:
+                if mask[k] == ")":
+                    depth += 1
+                elif mask[k] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k -= 1
+            fm = re.search(r"([A-Za-z_]\w*)\s*$", out[:k])
+            if not fm:
+                continue
+            hit = (fm.start(1), fm.group(1), out[k + 1:j],
+                   wm.group(1).strip(), close_i)
+            break
+        if hit is None:
+            return out
+        start, fname, args, cond, close_i = hit
+        payload = "1" if args.strip() == "*" else args
+        out = (
+            out[:start]
+            + f"{fname}(CASE WHEN {cond} THEN {payload} END)"
+            + out[close_i + 1:]
+        )
+
+
 def translate_postgres(sql: str) -> str:
     """Normalize a Postgres-dialect query into Spark SQL."""
     out = sql
@@ -652,6 +711,7 @@ def translate_postgres(sql: str) -> str:
     out = _rewrite_json_ops(out)
     out = _rewrite_distinct_on(out)
     out = _rewrite_qualify(out)
+    out = _rewrite_filter_over_window(out)
     out = _rewrite_functions(out)
     out = _rewrite_casts(out)
     out = _rewrite_regex_ops(out)

@@ -83,3 +83,34 @@ _pg(
     explode(sequence(...)) subquery, left-joined to build a dense
     price histogram (empty buckets kept).""",
 )
+
+_pg(
+    "pg_filter_lateral",
+    """
+    SELECT s.ck, s.n_orders, s.n_open, s.open_rev, l.mx
+    FROM (
+        SELECT o_custkey AS ck,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O')
+                    AS BIGINT) AS n_open,
+               CAST(ROUND(COALESCE(
+                    SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'O'),
+                    0), 2) AS DOUBLE) AS open_rev
+        FROM orders GROUP BY o_custkey
+    ) s,
+    LATERAL (
+        SELECT CAST(MAX(o.o_totalprice) AS DOUBLE) AS mx
+        FROM orders o WHERE o.o_custkey = s.ck
+    ) l
+    WHERE s.n_orders >= 8
+    ORDER BY s.ck
+    """,
+    tags=("pg", "filter", "lateral"),
+    doc="""Aggregate FILTER (WHERE …) clauses + a correlated LATERAL
+    subquery through the pg front door (round-6 verdict item; the
+    reference passes both through to DuckDB,
+    pgserver/connection_handler.go:1235-1298). Spark runs FILTER
+    natively and plans the LATERAL as a correlated join; window-
+    position FILTER is rewritten to CASE (pg_compat
+    _rewrite_filter_over_window, covered in test_pg_compat).""",
+)

@@ -1855,7 +1855,7 @@ def parse_statement(sql: str):
                     )
                 for part in split_top_level(set_tail, ","):
                     k, _, v = part.partition("=")
-                    on_dup[unquote_ident(k)] = sub_outside_strings(
+                    expr = sub_outside_strings(
                         r"\bexcluded\s*\.\s*(?:`([^`]+)`|\"([^\"]+)\"|(\w+))",
                         lambda em: "VALUES("
                         + (em.group(1) or em.group(2) or em.group(3))
@@ -1863,6 +1863,17 @@ def parse_statement(sql: str):
                         v.strip(),
                         flags=re.I,
                     )
+                    # pg: <table>.col in DO UPDATE SET is the EXISTING
+                    # row — same as a bare column in the rewrite
+                    expr = sub_outside_strings(
+                        rf"\b(?:{re.escape(table)}"
+                        rf"|`{re.escape(table)}`"
+                        rf"|\"{re.escape(table)}\")\s*\.\s*",
+                        "",
+                        expr,
+                        flags=re.I,
+                    )
+                    on_dup[unquote_ident(k)] = expr
         from_oc = bool(cm)
         if body.upper().startswith("VALUE"):
             tuples = re.sub(r"^VALUES?\s*", "", body, flags=re.I)

@@ -405,7 +405,7 @@ def test_differential_fuzz_mysql_dialect(spark, views):
 # translate_postgres — any pg spelling the translator mishandles
 # surfaces as a row mismatch or an analysis error.
 
-N_PG_QUERIES = 30
+N_PG_QUERIES = 60
 
 
 def _gen_pg_query(rng: random.Random) -> str:
@@ -424,20 +424,36 @@ def _gen_pg_query(rng: random.Random) -> str:
         op = rng.choice(["~", "ILIKE"])  # DuckDB has no ~* operator
         pat = f"'^{v[:2]}'" if op == "~" else f"'{v[:2]}%'"
         pred += f" AND {strcol} {op} {pat}"
+    # aggregate FILTER (WHERE …) — pg/standard spelling (round 6)
+    filt = ""
+    if rng.random() < 0.4:
+        mid = (lo + hi) // 2
+        filt = (
+            f", CAST(COUNT(*) FILTER (WHERE {ncol} >= {mid}) "
+            f"AS BIGINT) AS fc"
+        )
     having = ""
     if rng.random() < 0.4:
         having = f" HAVING COUNT(*) >= {rng.randint(1, 3)}"
     q = (
         f"SELECT {cols}, CAST(COUNT(*) AS BIGINT) AS cnt, "
-        f"CAST(SUM({scolref}) AS BIGINT) AS s "
+        f"CAST(SUM({scolref}) AS BIGINT) AS s{filt} "
         f"FROM {t} WHERE {pred} GROUP BY {cols}{having}"
     )
-    if rng.random() < 0.3:
+    shape = rng.random()
+    if shape < 0.25:
         # pg spelling of LIMIT over a total order
-        uo = UNIQUE_ORDER.get(t, cols)
         q = (
             f"SELECT * FROM ({q}) sub ORDER BY cnt DESC, {gcols[0]} "
             f"FETCH FIRST {rng.randint(2, 6)} ROWS ONLY"
+        )
+    elif shape < 0.45:
+        # correlated LATERAL over the grouped derived table (round 6)
+        g0 = gcols[0]
+        q = (
+            f"SELECT sub.*, l.mx FROM ({q}) sub, "
+            f"LATERAL (SELECT CAST(MAX({scol}) AS BIGINT) AS mx "
+            f"FROM {t} i WHERE i.{g0} = sub.{g0}) l"
         )
     return q
 

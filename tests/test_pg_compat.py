@@ -306,3 +306,91 @@ def test_pg_epoch_and_tablesample(spark):
     assert translate_postgres(
         "SELECT * FROM t TABLESAMPLE SYSTEM(1.5)"
     ) == "SELECT * FROM t TABLESAMPLE (1.5 PERCENT)"
+
+
+def test_filter_clause_all_positions(spark, tmp_path):
+    """Aggregate FILTER (WHERE …) in select / HAVING / ORDER BY runs
+    natively on Spark; WINDOW position goes through the CASE rewrite
+    (_rewrite_filter_over_window) — Spark rejects it raw."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE ft (g INT, v INT)")
+    e.execute("INSERT INTO ft VALUES (1, 5), (1, -2), (1, 3), (2, 7), "
+              "(2, -1)")
+    rows = e.sql(
+        "SELECT g, COUNT(*) FILTER (WHERE v > 0) AS pos, "
+        "COALESCE(SUM(v) FILTER (WHERE v < 0), 0) AS neg "
+        "FROM ft GROUP BY g "
+        "HAVING COUNT(*) FILTER (WHERE v > 0) >= 1 "
+        "ORDER BY SUM(v) FILTER (WHERE v > 0) DESC",
+        dialect="postgres",
+    ).collect()
+    assert [(r.g, r.pos, r.neg) for r in rows] == [(1, 2, -2), (2, 1, -1)]
+    # window position: rewritten to CASE
+    w = e.sql(
+        "SELECT g, v, COUNT(*) FILTER (WHERE v > 0) "
+        "OVER (PARTITION BY g) AS wp, "
+        "SUM(v) FILTER (WHERE v < 0) OVER (PARTITION BY g) AS wn "
+        "FROM ft ORDER BY g, v",
+        dialect="postgres",
+    ).collect()
+    assert [(r.g, r.v, r.wp, r.wn) for r in w] == [
+        (1, -2, 2, -2), (1, 3, 2, -2), (1, 5, 2, -2),
+        (2, -1, 1, -1), (2, 7, 1, -1),
+    ]
+
+
+def test_filter_over_window_rewrite_shape():
+    out = translate_postgres(
+        "SELECT SUM(x) FILTER (WHERE y > 0) OVER (PARTITION BY g) FROM t"
+    )
+    assert "FILTER" not in out.upper()
+    assert "CASE WHEN y > 0 THEN x END" in out
+    out2 = translate_postgres(
+        "SELECT COUNT(*) FILTER (WHERE y = 'a') OVER () FROM t"
+    )
+    assert "CASE WHEN y = 'a' THEN 1 END" in out2
+    # non-window FILTER is untouched (Spark runs it natively)
+    keep = "SELECT COUNT(*) FILTER (WHERE y > 0) FROM t GROUP BY g"
+    assert translate_postgres(keep) == keep
+
+
+def test_lateral_through_pg_front_door(spark, tmp_path):
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE lt (g INT, v INT)")
+    e.execute("INSERT INTO lt VALUES (1, 5), (1, 9), (2, 7)")
+    for q in (
+        # comma LATERAL and JOIN LATERAL ... ON true
+        "SELECT a.g, b.v FROM (SELECT DISTINCT g FROM lt) a, "
+        "LATERAL (SELECT v FROM lt WHERE lt.g = a.g "
+        "ORDER BY v DESC LIMIT 1) b ORDER BY a.g",
+        "SELECT a.g, b.v FROM (SELECT DISTINCT g FROM lt) a "
+        "JOIN LATERAL (SELECT v FROM lt WHERE lt.g = a.g "
+        "ORDER BY v DESC LIMIT 1) b ON true ORDER BY a.g",
+    ):
+        rows = e.sql(q, dialect="postgres").collect()
+        assert [(r.g, r.v) for r in rows] == [(1, 9), (2, 7)]
+
+
+def test_pg_on_conflict_forms(spark, tmp_path):
+    """pg-text ON CONFLICT DO NOTHING / DO UPDATE with EXCLUDED.* and
+    table-qualified existing-row references."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE pkt (id INT PRIMARY KEY, v INT)")
+    e.execute("INSERT INTO pkt VALUES (1, 1)")
+    e.execute("INSERT INTO pkt VALUES (1, 9), (2, 5) "
+              "ON CONFLICT (id) DO NOTHING", dialect="postgres")
+    assert sorted((r.id, r.v) for r in
+                  e.execute("SELECT * FROM pkt").collect()) == \
+        [(1, 1), (2, 5)]
+    # pkt.v = the EXISTING row's value (pg semantics)
+    e.execute("INSERT INTO pkt VALUES (1, 9) ON CONFLICT (id) "
+              "DO UPDATE SET v = EXCLUDED.v + pkt.v", dialect="postgres")
+    assert sorted((r.id, r.v) for r in
+                  e.execute("SELECT * FROM pkt").collect()) == \
+        [(1, 10), (2, 5)]
