@@ -1,0 +1,198 @@
+"""Grammar-random query-TREE generator for differential fuzzing.
+
+The corpus fuzzers (tests/test_differential_fuzz.py) draw from fixed
+single-shape templates; this module composes random TREES — joins ×
+aggregates × windows × set-ops × subqueries nest freely to a depth
+bound — mirroring the breadth the reference inherits from GMS
+enginetests + sqllogictest (main_test.go:213-397, with its skip-list
+discipline: known seams are excluded by construction, not silently).
+
+Determinism contract (the comparator sorts rows, so order never
+matters, but VALUES must be reproducible on both engines):
+- every node emits the SAME canonical schema
+  ``(k BIGINT, g STRING, v BIGINT)`` — that is what makes arbitrary
+  nesting type-safe;
+- integer arithmetic only (no float aggregates);
+- window functions use RANGE frames / RANK over a non-unique key, both
+  tie-stable (peer rows get equal values);
+- no LIMIT anywhere (no total order to make it well-defined);
+- UNION/INTERSECT/EXCEPT carry DISTINCT semantics identically in
+  Spark and DuckDB.
+
+Failures shrink structurally: every subtree is itself a complete
+query, so the minimal failing subtree is found by re-testing children
+(``shrink``), and the pinned reproduction is (seed, subtree SQL).
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass, field
+
+# leaf tables: (pk expr, group expr, value expr) — all cast to the
+# canonical (k, g, v) schema in _leaf_sql
+_LEAVES = {
+    "orders": ("o_orderkey", "o_orderstatus", "o_custkey"),
+    "customer": ("c_custkey", "c_mktsegment", "c_nationkey"),
+    "lineitem": ("l_orderkey * 10 + l_linenumber", "l_returnflag",
+                 "l_partkey"),
+}
+
+
+@dataclass
+class Node:
+    kind: str
+    params: dict = field(default_factory=dict)
+    children: list["Node"] = field(default_factory=list)
+
+    def sql(self) -> str:
+        return _SQL[self.kind](self)
+
+
+def _leaf_sql(n: Node) -> str:
+    t = n.params["table"]
+    pk, g, v = _LEAVES[t]
+    m, r = n.params["mod"], n.params["res"]
+    return (
+        f"SELECT CAST({pk} AS BIGINT) AS k, "
+        f"CAST({g} AS STRING) AS g, "
+        f"CAST({v} AS BIGINT) AS v "
+        f"FROM {t} WHERE ({pk}) % {m} = {r}"
+    )
+
+
+def _setop_sql(n: Node) -> str:
+    a, b = (c.sql() for c in n.children)
+    return f"({a}) {n.params['op']} ({b})"
+
+
+def _join_sql(n: Node) -> str:
+    a, b = (c.sql() for c in n.children)
+    how = n.params["how"]
+    # LEFT join nulls b.v; COALESCE keeps v non-null and BIGINT
+    return (
+        f"SELECT a.k AS k, a.g AS g, "
+        f"CAST(a.v + COALESCE(b.v, 0) AS BIGINT) AS v "
+        f"FROM ({a}) a {how} JOIN ({b}) b ON a.k = b.k"
+    )
+
+
+def _agg_sql(n: Node) -> str:
+    (a,) = (c.sql() for c in n.children)
+    having = (
+        f" HAVING COUNT(*) >= {n.params['minrows']}"
+        if n.params.get("minrows") else ""
+    )
+    fn = n.params["fn"]  # SUM | MIN | MAX | COUNT
+    vexpr = "COUNT(*)" if fn == "COUNT" else f"{fn}(v)"
+    return (
+        f"SELECT CAST(MIN(k) AS BIGINT) AS k, g, "
+        f"CAST({vexpr} AS BIGINT) AS v "
+        f"FROM ({a}) GROUP BY g{having}"
+    )
+
+
+def _window_sql(n: Node) -> str:
+    (a,) = (c.sql() for c in n.children)
+    if n.params["fn"] == "rank":
+        # RANK over a non-unique key: peers tie, deterministic
+        vexpr = "RANK() OVER (PARTITION BY g ORDER BY k)"
+    else:
+        # RANGE frame: peer rows (equal k) share the running total,
+        # deterministic under duplicate keys
+        vexpr = (
+            "SUM(v) OVER (PARTITION BY g ORDER BY k "
+            "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        )
+    return (
+        f"SELECT k, g, CAST({vexpr} AS BIGINT) AS v FROM ({a})"
+    )
+
+
+def _subq_sql(n: Node) -> str:
+    a, b = (c.sql() for c in n.children)
+    if n.params["form"] == "in":
+        return f"SELECT k, g, v FROM ({a}) x WHERE x.g IN (SELECT g FROM ({b}))"
+    if n.params["form"] == "notexists":
+        return (
+            f"SELECT k, g, v FROM ({a}) x WHERE NOT EXISTS "
+            f"(SELECT 1 FROM ({b}) y WHERE y.k = x.k)"
+        )
+    # scalar: rows above the other side's midpoint value. FLOOR, not a
+    # bare double→bigint cast: Spark truncates that cast while DuckDB
+    # rounds, so x.5 midpoints would diverge.
+    return (
+        f"SELECT k, g, v FROM ({a}) x WHERE x.v > "
+        f"(SELECT CAST(FLOOR(COALESCE(MIN(v) + MAX(v), 0) / 2.0) "
+        f"AS BIGINT) FROM ({b}))"
+    )
+
+
+def _distinct_sql(n: Node) -> str:
+    (a,) = (c.sql() for c in n.children)
+    return f"SELECT DISTINCT k, g, v FROM ({a})"
+
+
+_SQL = {
+    "leaf": _leaf_sql,
+    "setop": _setop_sql,
+    "join": _join_sql,
+    "agg": _agg_sql,
+    "window": _window_sql,
+    "subq": _subq_sql,
+    "distinct": _distinct_sql,
+}
+
+
+def gen_tree(rng: random.Random, depth: int = 3) -> Node:
+    """Random query tree with at most `depth` operator levels above
+    the leaves. Leaf predicates subsample rows (pk % m = r) so deep
+    UNION ALL / join stacks stay small at test scale while the SHAPE
+    exercises the planner."""
+    if depth <= 0:
+        return Node("leaf", {
+            "table": rng.choice(list(_LEAVES)),
+            "mod": rng.choice([3, 5, 7, 11]),
+            "res": rng.randint(0, 2),
+        })
+    kind = rng.choice(
+        ["setop", "join", "agg", "window", "subq", "distinct"]
+    )
+    if kind == "setop":
+        return Node("setop", {
+            "op": rng.choice(
+                ["UNION ALL", "UNION", "INTERSECT", "EXCEPT"]),
+        }, [gen_tree(rng, depth - 1), gen_tree(rng, depth - 1)])
+    if kind == "join":
+        return Node("join", {"how": rng.choice(["INNER", "LEFT"])},
+                    [gen_tree(rng, depth - 1), gen_tree(rng, depth - 1)])
+    if kind == "agg":
+        return Node("agg", {
+            "fn": rng.choice(["SUM", "MIN", "MAX", "COUNT"]),
+            "minrows": rng.choice([0, 0, 2]),
+        }, [gen_tree(rng, depth - 1)])
+    if kind == "window":
+        return Node("window", {"fn": rng.choice(["rank", "runsum"])},
+                    [gen_tree(rng, depth - 1)])
+    if kind == "subq":
+        return Node("subq", {
+            "form": rng.choice(["in", "notexists", "scalar"]),
+        }, [gen_tree(rng, depth - 1), gen_tree(rng, depth - 1)])
+    return Node("distinct", {}, [gen_tree(rng, depth - 1)])
+
+
+def subtrees(node: Node):
+    """Yield every subtree, deepest-first — each is a complete query,
+    so the FIRST failing one in this order is a minimal reproduction."""
+    for c in node.children:
+        yield from subtrees(c)
+    yield node
+
+
+def shrink(node: Node, still_fails) -> Node:
+    """Smallest subtree for which `still_fails(subtree)` holds (the
+    node itself if no child reproduces the failure)."""
+    for sub in subtrees(node):
+        if still_fails(sub):
+            return sub
+    return node

@@ -31,6 +31,8 @@ QUERIES = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q10_returned_items",
+    "q13_customer_distribution",
     "q18_large_volume_orders",
 ]
 # Logical keys are remapped per replica so joins stay 1:1 instead of

@@ -473,3 +473,59 @@ def test_differential_fuzz_pg_dialect(spark, views):
         if not res.ok:
             failures.append((i, pg_sql, res.detail))
     assert not failures, failures[:3]
+
+
+# ---- Grammar-random query TREES (round 6) ----
+#
+# qgen.py composes joins × aggregates × windows × set-ops × subqueries
+# into random trees under a canonical (k, g, v) schema; scripts/fuzz.py
+# is the ≥500-tree sweep, this is the CI slice.
+
+N_TREES = 120
+
+
+def test_differential_fuzz_query_trees(spark, views):
+    from myduckserver_spark import qgen
+
+    rng = random.Random(SEED + 3)
+    failures = []
+    for i in range(N_TREES):
+        tree = qgen.gen_tree(rng, depth=3)
+        sql = tree.sql()
+        res = compare_one(
+            spark, f"tree_{i}", lambda sp, sf, q=sql: sp.sql(q), sql, views
+        )
+        if not res.ok:
+            minimal = qgen.shrink(
+                tree,
+                lambda sub: not compare_one(
+                    spark, "shrink",
+                    lambda sp, sf, q=sub.sql(): sp.sql(q),
+                    sub.sql(), views,
+                ).ok,
+            )
+            failures.append((i, minimal.sql(), res.detail[:200]))
+    assert not failures, failures[:3]
+
+
+def test_tree_generator_is_deterministic():
+    from myduckserver_spark import qgen
+
+    a = [qgen.gen_tree(random.Random(SEED), 3).sql() for _ in range(5)]
+    b = [qgen.gen_tree(random.Random(SEED), 3).sql() for _ in range(5)]
+    assert a == b
+
+
+def test_tree_shrinker_finds_minimal_subtree():
+    """The shrinker returns the DEEPEST subtree satisfying the failure
+    predicate — here 'contains an EXCEPT', planted at depth 2."""
+    from myduckserver_spark import qgen
+
+    leaf = qgen.Node("leaf", {"table": "orders", "mod": 3, "res": 0})
+    bad = qgen.Node("setop", {"op": "EXCEPT"}, [leaf, leaf])
+    tree = qgen.Node(
+        "join", {"how": "INNER"},
+        [qgen.Node("distinct", {}, [bad]), leaf],
+    )
+    got = qgen.shrink(tree, lambda n: "EXCEPT" in n.sql())
+    assert got is bad
