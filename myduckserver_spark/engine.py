@@ -114,6 +114,14 @@ class _ProcIterate(Exception):
         self.label = label
 
 
+class _ProcExit(Exception):
+    """Control transfer for an EXIT handler: unwind to the block that
+    declared the handler (`owner` is that block's frame token)."""
+
+    def __init__(self, owner: object):
+        self.owner = owner
+
+
 class Engine:
     def __init__(self, spark: SparkSession, warehouse: str):
         self.spark = spark
@@ -1425,7 +1433,7 @@ class Engine:
         self._proc_cache = m
 
     _PROC_UNSUPPORTED = re.compile(
-        r"(?i)^\s*(OPEN|FETCH|CLOSE|CASE)\b"
+        r"(?i)^\s*(OPEN|FETCH|CLOSE)\b"
     )
     _PROC_MAX_ITER = 100_000  # loop runaway guard
     _SIGNAL_RE = re.compile(
@@ -1437,9 +1445,11 @@ class Engine:
     def _proc_normalize(parts: list) -> list:
         """Split block openers carrying an inline first statement
         ('IF c THEN stmt' / 'WHILE c DO stmt' / '[lbl:] LOOP stmt' /
-        '[lbl:] REPEAT stmt' / 'ELSE stmt') into standalone opener +
-        statement parts, so the parser only ever sees openers on their
-        own. Labels stay attached to their opener."""
+        '[lbl:] REPEAT stmt' / 'CASE … THEN stmt' / 'WHEN … THEN stmt'
+        / 'ELSE stmt') into standalone opener + statement parts, so
+        the parser only ever sees openers on their own. Labels stay
+        attached to their opener. CASE statements are then lowered to
+        IF/ELSEIF chains (`_lower_case_stmts`)."""
         out: list = []
         for p in parts:
             p = p.strip()
@@ -1447,7 +1457,8 @@ class Engine:
                 m = re.match(
                     r"((?:\w+\s*:\s*)?"
                     r"(?:(?:ELSE)?IF\s+.+?\s+THEN|WHILE\s+.+?\s+DO"
-                    r"|LOOP|REPEAT)|ELSE)"
+                    r"|LOOP|REPEAT)"
+                    r"|CASE\s+.+?\s+THEN|WHEN\s+.+?\s+THEN|ELSE)"
                     r"\s+(\S.*)$",
                     p, re.I | re.S,
                 )
@@ -1457,7 +1468,71 @@ class Engine:
                 p = m.group(2).strip()
             if p:
                 out.append(p)
-        return out
+        return Engine._lower_case_stmts(out)
+
+    @staticmethod
+    def _lower_case_stmts(parts: list) -> list:
+        """Lower CASE *statements* onto the IF machinery:
+        `CASE WHEN c THEN` → `IF c THEN`, `CASE subj WHEN v THEN` →
+        `IF (subj) = (v) THEN` (subject remembered per nesting level
+        for the later WHENs → ELSEIF), `END CASE` → `END IF`. A CASE
+        with no ELSE gains MySQL's implicit error arm (SQLSTATE 20000
+        'Case not found' — MySQL error 1339) instead of silently
+        no-opping. CASE *expressions* never reach this: they sit
+        mid-statement and the openers above only match whole parts."""
+        res: list = []
+        # stack entries: ["if"] | ["case", subject_or_None, has_else]
+        stack: list = []
+        for p in parts:
+            if re.match(r"(?i)(?:\w+\s*:\s*)?(?:ELSE)?IF\s", p) and \
+                    re.search(r"(?i)\bTHEN$", p):
+                if not re.match(r"(?i)ELSEIF\b", p):
+                    stack.append(["if"])
+                res.append(p)
+                continue
+            m = re.fullmatch(r"CASE\s+WHEN\s+(.+?)\s+THEN", p,
+                             re.I | re.S)
+            if m:
+                stack.append(["case", None, False])
+                res.append(f"IF {m.group(1)} THEN")
+                continue
+            m = re.fullmatch(r"CASE\s+(.+?)\s+WHEN\s+(.+?)\s+THEN", p,
+                             re.I | re.S)
+            if m:
+                stack.append(["case", m.group(1), False])
+                res.append(f"IF ({m.group(1)}) = ({m.group(2)}) THEN")
+                continue
+            m = re.fullmatch(r"WHEN\s+(.+?)\s+THEN", p, re.I | re.S)
+            if m and stack and stack[-1][0] == "case":
+                subj = stack[-1][1]
+                res.append(
+                    f"ELSEIF ({subj}) = ({m.group(1)}) THEN"
+                    if subj else f"ELSEIF {m.group(1)} THEN"
+                )
+                continue
+            if re.fullmatch(r"ELSE", p, re.I) and stack:
+                if stack[-1][0] == "case":
+                    stack[-1][2] = True
+                res.append(p)
+                continue
+            if re.fullmatch(r"END\s+IF", p, re.I):
+                if stack and stack[-1][0] == "if":
+                    stack.pop()
+                res.append(p)
+                continue
+            if re.fullmatch(r"END\s+CASE", p, re.I):
+                if stack and stack[-1][0] == "case":
+                    _k, _subj, has_else = stack.pop()
+                    if not has_else:
+                        res.append("ELSE")
+                        res.append(
+                            "SIGNAL SQLSTATE '20000' SET MESSAGE_TEXT"
+                            " = 'Case not found for CASE statement'"
+                        )
+                res.append("END IF")
+                continue
+            res.append(p)
+        return res
 
     def _parse_proc_block(self, parts: list, i: int = 0,
                           stop=()) -> tuple[list, int]:
@@ -1517,6 +1592,33 @@ class Engine:
                     raise ValueError("REPEAT without UNTIL … END REPEAT")
                 nodes.append(("repeat", m.group(1), blk, um.group(1)))
                 i = j + 1
+                continue
+            m = re.fullmatch(
+                r"DECLARE\s+(CONTINUE|EXIT)\s+HANDLER\s+FOR\s+"
+                r"(SQLEXCEPTION|SQLWARNING|NOT\s+FOUND"
+                r"|SQLSTATE\s+(?:VALUE\s+)?'(\w+)'|\d+)"
+                r"\s+(.+)$",
+                p, re.I | re.S,
+            )
+            if m:
+                if re.match(r"(?i)BEGIN\b", m.group(4).strip()):
+                    raise NotImplementedError(
+                        "handler bodies must be a single statement "
+                        "(BEGIN…END handler blocks are not)"
+                    )
+                if m.group(2).isdigit():
+                    raise NotImplementedError(
+                        "HANDLER FOR <errno> is MySQL-error-code "
+                        "specific; use SQLSTATE or a class condition"
+                    )
+                cond = (
+                    ("state", m.group(3)) if m.group(3)
+                    else ("class",
+                          re.sub(r"\s+", " ", m.group(2)).upper())
+                )
+                nodes.append(("handler", m.group(1).lower(), cond,
+                              m.group(4).strip()))
+                i += 1
                 continue
             m = re.match(r"DECLARE\s+(`[^`]+`|\w+)\s+\S+"
                          r"(?:\([^)]*\))?(?:\s+DEFAULT\s+(.+))?$",
@@ -1707,106 +1809,179 @@ class Engine:
             f"SELECT ({sub}) AS v", dialect=dialect
         ).collect()[0][0]
 
-    def _run_proc_block(self, nodes: list, env: dict, dialect: str):
+    @staticmethod
+    def _match_handler(handlers: list, exc: Exception):
+        """Innermost, most-specific handler for an error: SQLSTATE
+        exact match beats class handlers (SQLEXCEPTION = any error;
+        NOT FOUND = SQLSTATE class 02; SQLWARNING = class 01 — which
+        this engine never raises)."""
+        state = getattr(exc, "sqlstate", None)
+        for want_exact in (True, False):
+            for h in reversed(handlers):
+                _owner, _mode, (ckind, cval), _stmt = h
+                if want_exact:
+                    if ckind == "state" and state == cval:
+                        return h
+                    continue
+                if ckind != "class":
+                    continue
+                if cval == "SQLEXCEPTION":
+                    return h
+                if cval == "NOT FOUND" and state and state.startswith("02"):
+                    return h
+                if cval == "SQLWARNING" and state and state.startswith("01"):
+                    return h
+        return None
+
+    def _run_proc_block(self, nodes: list, env: dict, dialect: str,
+                        handlers: list | None = None,
+                        result: "OkResult | None" = None):
         """Interpret a parsed procedure body. Control flow runs
         driver-side (conditions are scalar SELECTs); every contained
         statement stays set-based — the loop count is procedural
-        logic, never data volume."""
-        result = OkResult()
-        for node in nodes:
-            kind = node[0]
-            if kind == "sql":
-                stmt = self._proc_sub(node[1], env)
-                sm = re.match(r"SET\s+(`[^`]+`|\w+)\s*=\s*(.+)$",
-                              node[1], re.I | re.S)
-                if sm and st.unquote_ident(sm.group(1)).lower() in env:
-                    var = st.unquote_ident(sm.group(1)).lower()
-                    env[var] = self._render_literal(
-                        self._proc_eval(sm.group(2), env, dialect)
-                    )
-                    continue
-                result = self.execute(stmt, dialect=dialect)
-            elif kind == "declare":
-                _k, name, default = node
-                env[name.lower()] = self._render_literal(
-                    self._proc_eval(default, env, dialect)
-                )
-            elif kind == "if":
-                _k, branches, else_blk = node
-                for cond, blk in branches:
-                    if bool(self._proc_eval(cond, env, dialect)):
-                        result = self._run_proc_block(blk, env, dialect)
-                        break
-                else:
-                    if else_blk:
-                        result = self._run_proc_block(
-                            else_blk, env, dialect
+        logic, never data volume.
+
+        ``handlers`` is the live DECLARE … HANDLER stack shared down
+        the recursion (MySQL scoping: a handler covers every statement
+        in its block and the blocks nested inside it; it expires with
+        its block). A failing leaf statement is rescued by the
+        innermost matching handler — CONTINUE resumes after that
+        statement, EXIT unwinds to the declaring block via _ProcExit.
+        """
+        result = OkResult() if result is None else result
+        frame = object()
+        handlers = [] if handlers is None else handlers
+        scope_base = len(handlers)
+
+        def rescue(e: Exception):
+            h = self._match_handler(handlers, e)
+            if h is None:
+                raise e
+            owner, mode, _cond, stmt = h
+            # handler body: single statement, no handler rescue of its
+            # own (a failing handler propagates raw)
+            self._run_proc_block([("sql", stmt)], env, dialect)
+            if mode == "exit":
+                raise _ProcExit(owner) from None
+
+        try:
+            for node in nodes:
+                kind = node[0]
+                if kind == "handler":
+                    handlers.append((frame, node[1], node[2], node[3]))
+                elif kind == "sql":
+                    try:
+                        sm = re.match(r"SET\s+(`[^`]+`|\w+)\s*=\s*(.+)$",
+                                      node[1], re.I | re.S)
+                        if sm and st.unquote_ident(
+                                sm.group(1)).lower() in env:
+                            var = st.unquote_ident(sm.group(1)).lower()
+                            env[var] = self._render_literal(
+                                self._proc_eval(sm.group(2), env, dialect)
+                            )
+                        else:
+                            result = self.execute(
+                                self._proc_sub(node[1], env),
+                                dialect=dialect,
+                            )
+                    except (_ProcLeave, _ProcIterate, _ProcExit):
+                        raise
+                    except Exception as e:
+                        rescue(e)
+                elif kind == "declare":
+                    try:
+                        _k, name, default = node
+                        env[name.lower()] = self._render_literal(
+                            self._proc_eval(default, env, dialect)
                         )
-            elif kind == "while":
-                _k, cond, blk, label = node
-                it = 0
-                while bool(self._proc_eval(cond, env, dialect)):
-                    it += 1
-                    if it > self._PROC_MAX_ITER:
-                        raise ValueError(
-                            "WHILE exceeded "
-                            f"{self._PROC_MAX_ITER} iterations"
-                        )
-                    res, xfer = self._run_loop_body(blk, env, dialect,
-                                                    label)
-                    if res is not None:
-                        result = res
-                    if xfer == "leave":
-                        break
-            elif kind == "loop":
-                _k, label, blk = node
-                it = 0
-                while True:
-                    it += 1
-                    if it > self._PROC_MAX_ITER:
-                        raise ValueError(
-                            "LOOP exceeded "
-                            f"{self._PROC_MAX_ITER} iterations "
-                            "(no LEAVE reached)"
-                        )
-                    res, xfer = self._run_loop_body(blk, env, dialect,
-                                                    label)
-                    if res is not None:
-                        result = res
-                    if xfer == "leave":
-                        break
-            elif kind == "repeat":
-                _k, label, blk, until = node
-                it = 0
-                while True:
-                    it += 1
-                    if it > self._PROC_MAX_ITER:
-                        raise ValueError(
-                            "REPEAT exceeded "
-                            f"{self._PROC_MAX_ITER} iterations"
-                        )
-                    res, xfer = self._run_loop_body(blk, env, dialect,
-                                                    label)
-                    if res is not None:
-                        result = res
-                    if xfer == "leave" or \
-                            bool(self._proc_eval(until, env, dialect)):
-                        break
-            elif kind == "leave":
-                raise _ProcLeave(node[1])
-            elif kind == "iterate":
-                raise _ProcIterate(node[1])
-            elif kind == "signal":
-                raise SignalError(node[1], node[2])
+                    except Exception as e:
+                        rescue(e)
+                elif kind == "signal":
+                    try:
+                        raise SignalError(node[1], node[2])
+                    except SignalError as e:
+                        rescue(e)
+                elif kind == "if":
+                    _k, branches, else_blk = node
+                    for cond, blk in branches:
+                        if bool(self._proc_eval(cond, env, dialect)):
+                            result = self._run_proc_block(
+                                blk, env, dialect, handlers, result)
+                            break
+                    else:
+                        if else_blk:
+                            result = self._run_proc_block(
+                                else_blk, env, dialect, handlers, result)
+                elif kind == "while":
+                    _k, cond, blk, label = node
+                    it = 0
+                    while bool(self._proc_eval(cond, env, dialect)):
+                        it += 1
+                        if it > self._PROC_MAX_ITER:
+                            raise ValueError(
+                                "WHILE exceeded "
+                                f"{self._PROC_MAX_ITER} iterations"
+                            )
+                        res, xfer = self._run_loop_body(
+                            blk, env, dialect, label, handlers, result)
+                        if res is not None:
+                            result = res
+                        if xfer == "leave":
+                            break
+                elif kind == "loop":
+                    _k, label, blk = node
+                    it = 0
+                    while True:
+                        it += 1
+                        if it > self._PROC_MAX_ITER:
+                            raise ValueError(
+                                "LOOP exceeded "
+                                f"{self._PROC_MAX_ITER} iterations "
+                                "(no LEAVE reached)"
+                            )
+                        res, xfer = self._run_loop_body(
+                            blk, env, dialect, label, handlers, result)
+                        if res is not None:
+                            result = res
+                        if xfer == "leave":
+                            break
+                elif kind == "repeat":
+                    _k, label, blk, until = node
+                    it = 0
+                    while True:
+                        it += 1
+                        if it > self._PROC_MAX_ITER:
+                            raise ValueError(
+                                "REPEAT exceeded "
+                                f"{self._PROC_MAX_ITER} iterations"
+                            )
+                        res, xfer = self._run_loop_body(
+                            blk, env, dialect, label, handlers, result)
+                        if res is not None:
+                            result = res
+                        if xfer == "leave" or \
+                                bool(self._proc_eval(until, env, dialect)):
+                            break
+                elif kind == "leave":
+                    raise _ProcLeave(node[1])
+                elif kind == "iterate":
+                    raise _ProcIterate(node[1])
+        except _ProcExit as e:
+            if e.owner is not frame:
+                raise
+        finally:
+            del handlers[scope_base:]  # block-scoped handlers expire
         return result  # MySQL returns the last statement's result set
 
     def _run_loop_body(self, blk: list, env: dict, dialect: str,
-                       label: str | None):
+                       label: str | None, handlers: list | None = None,
+                       result: "OkResult | None" = None):
         """One iteration of a loop body; catches LEAVE/ITERATE aimed at
         this loop (matching label, or unlabeled → innermost). Returns
         (result_or_None, 'leave' | 'iterate' | None)."""
         try:
-            return self._run_proc_block(blk, env, dialect), None
+            return self._run_proc_block(
+                blk, env, dialect, handlers, result), None
         except _ProcIterate as e:
             if e.label is None or (label and e.label.lower()
                                    == label.lower()):

@@ -78,3 +78,22 @@ def inline_keys(df: DataFrame, key_col: str, cache_key: tuple) -> list:
     reaches the scan as a pushed In filter)."""
     pairs = _collect_pairs(df, key_col, None, ("keys",) + cache_key)
     return [k for (k,) in pairs]
+
+
+def inline_map_sql(df: DataFrame, key_col: str, val_col: str,
+                   cache_key: tuple) -> str:
+    """SQL-text twin of `inline_map`: a literal ``map(k1, 'v1', …)``
+    string for splicing into generated SQL (the one-round-trip build
+    path). Memoized like the Column form."""
+    txtkey = ("mapsql",) + cache_key
+    got = _MEMO.get(txtkey)
+    if got is not None:
+        return got
+    pairs = _collect_pairs(df, key_col, val_col, ("map",) + cache_key)
+    args = ", ".join(
+        f"{int(k)}, '{str(v).replace(chr(39), chr(39) * 2)}'"
+        for k, v in pairs
+    )
+    got = f"map({args})"
+    _MEMO[txtkey] = got
+    return got

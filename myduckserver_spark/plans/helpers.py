@@ -225,6 +225,18 @@ def fp_groupby(df, keys, sums=(), avgs=(), counts=()):
     return fin.selectExpr(*out)
 
 
+def hint_small(*aliases: str) -> str:
+    """SQL-text twin of `build_small`: a profile-gated BROADCAST hint
+    comment for generated-SQL builds. Empty at cluster scale (AQE owns
+    build-side selection from runtime statistics); under the measured
+    small-working-set profile it pins the named aliases as build sides
+    exactly like build_small does for DataFrame builds."""
+    from myduckserver_spark.tables import serving_small
+
+    return (f"/*+ BROADCAST({', '.join(aliases)}) */ "
+            if serving_small() else "")
+
+
 def build_small(df):
     """Mark `df` as the intended hash-BUILD side of a fact join.
 

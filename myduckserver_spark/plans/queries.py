@@ -28,6 +28,7 @@ from myduckserver_spark.plans.helpers import (
     o_dout,
     fp_groupby_sql,
     fp_sum_sql,
+    hint_small,
     o_dsum,
     ordered_adaptive,
     ordered_bounded,
@@ -165,32 +166,32 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile-gated broadcast, AQE-decided at scale). Final LIMIT
     executes as TakeOrderedAndProject (no full sort shuffle).
     """
-    cust = load_table(spark, sf_dir, "customer").filter(
-        "c_mktsegment = 'BUILDING'"
-    )
-    orders = load_table(spark, sf_dir, "orders").filter(
-        "o_orderdate < TIMESTAMP '1998-03-15 00:00:00'"
-    )
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        "l_shipdate > TIMESTAMP '1998-03-15 00:00:00'"
-    )
-    co = orders.join(build_small(cust), F.expr("c_custkey = o_custkey")).select(
-        "o_orderkey", "o_orderdate"
-    )
-    return (
-        li.join(build_small(co), F.expr("o_orderkey = l_orderkey"))
-        .groupBy("l_orderkey", "o_orderdate")
-        # fp_sum_sql: per-order groups are schema-bounded (<= 7
-        # lineitems), so the exact fixed-point sum stays single-level
-        # int64; SQL-string build = one Py4J round-trip.
-        .agg(F.expr(fp_sum_sql("l_extendedprice * (1 - l_discount)", "revenue")))
-        .selectExpr(
-            "l_orderkey", "revenue",
-            "CAST(o_orderdate AS TIMESTAMP) AS orderdate",
-        )
-        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
-        .limit(10)
-    )
+    # Single generated-SQL build (the q1/q6 lever, round 5): identical
+    # plan — lineitem streams, the BUILDING-customer⋈orders slice is
+    # the profile-gated build side (hint_small; AQE decides at scale),
+    # TakeOrderedAndProject for the top-10 — but ONE spark.sql
+    # round-trip instead of ~20 Py4J expression calls. fp_sum_sql:
+    # per-order groups are schema-bounded (<= 7 lineitems), so the
+    # exact fixed-point sum stays single-level int64.
+    li = table_view(spark, sf_dir, "lineitem")
+    orders = table_view(spark, sf_dir, "orders")
+    cust = table_view(spark, sf_dir, "customer")
+    return spark.sql(f"""
+        SELECT {hint_small('co')} l_orderkey,
+               {fp_sum_sql("l_extendedprice * (1 - l_discount)", "revenue")},
+               CAST(o_orderdate AS TIMESTAMP) AS orderdate
+        FROM {li},
+             (SELECT {hint_small('c')} o_orderkey, o_orderdate
+              FROM {orders}, {cust} c
+              WHERE c_custkey = o_custkey
+                AND c_mktsegment = 'BUILDING'
+                AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00') co
+        WHERE o_orderkey = l_orderkey
+          AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """)
 
 
 @register(
@@ -227,15 +228,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     The mandatory cluster shuffles remain the fact-side keyed joins
     customer⋈orders and orders⋈lineitem.
     """
-    from ..operators.dimjoin import inline_keys, inline_map
+    from ..operators.dimjoin import inline_keys, inline_map_sql
 
-    cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").filter(
-        "o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND "
-        "o_orderdate < TIMESTAMP '1998-01-01 00:00:00'"
-    )
-    li = load_table(spark, sf_dir, "lineitem")
-    supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").filter("r_name = 'ASIA'")
     asia = nation.join(
@@ -243,26 +237,39 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("n_nationkey", "n_name")
     ck = (id(spark), os.path.abspath(sf_dir), "q5_asia")
     asia_keys = inline_keys(asia, "n_nationkey", ck)
-    name_map = inline_map(asia, "n_nationkey", "n_name", ck)
+    nmap = inline_map_sql(asia, "n_nationkey", "n_name", ck)
     in_list = ", ".join(str(k) for k in sorted(asia_keys))
-    co = orders.join(build_small(cust), F.expr("c_custkey = o_custkey")).select(
-        "o_orderkey", "c_nationkey"
-    )
-    return (
-        li.join(build_small(co), F.expr("l_orderkey = o_orderkey"))
-        .join(
-            build_small(supp.filter(f"s_nationkey IN ({in_list})")),
-            F.expr("l_suppkey = s_suppkey AND c_nationkey = s_nationkey"),
-        )
-        .withColumn("n_name", F.element_at(name_map, F.col("s_nationkey")))
-        # per-nation revenue grows with the data -> two-level fixed point
-        .transform(
-            fp_groupby,
-            ["n_name"],
+    li = table_view(spark, sf_dir, "lineitem")
+    orders = table_view(spark, sf_dir, "orders")
+    cust = table_view(spark, sf_dir, "customer")
+    supp = table_view(spark, sf_dir, "supplier")
+    # Single generated-SQL build of the whole join tree, then the
+    # two-level exact fixed-point aggregate via its SQL twin
+    # (fp_groupby_sql) — per-nation revenue grows with the data. The
+    # bounded presentation sort stays the ordered_bounded transform
+    # (coalesce(1), no range-sampling job).
+    src = f"""(
+        SELECT {hint_small('co', 's')}
+               element_at({nmap}, CAST(s_nationkey AS INT)) AS n_name,
+               l_extendedprice, l_discount
+        FROM {li},
+             (SELECT {hint_small('c')} o_orderkey, c_nationkey
+              FROM {orders}, {cust} c
+              WHERE c_custkey = o_custkey
+                AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00') co,
+             (SELECT s_suppkey, s_nationkey FROM {supp}
+              WHERE s_nationkey IN ({in_list})) s
+        WHERE l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey
+          AND c_nationkey = s_nationkey
+    ) __q5src"""
+    return spark.sql(
+        fp_groupby_sql(
+            src, ["n_name"],
             sums=[("revenue", "l_extendedprice * (1 - l_discount)")],
         )
-        .transform(ordered_bounded, F.desc("revenue"), F.asc("n_name"))
-    )
+    ).transform(ordered_bounded, F.desc("revenue"), F.asc("n_name"))
 
 
 @register(
@@ -291,37 +298,39 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     nationkey→name map (operators/dimjoin.py) instead of a broadcast
     join — no per-run broadcast job, no join stage.
     """
-    from ..operators.dimjoin import inline_map
+    from ..operators.dimjoin import inline_map_sql
 
-    cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").filter(
-        "o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND "
-        "o_orderdate < TIMESTAMP '1998-01-01 00:00:00'"
-    )
-    li = load_table(spark, sf_dir, "lineitem").filter("l_returnflag = 'R'")
     nation = load_table(spark, sf_dir, "nation")
-    name_map = inline_map(
+    nmap = inline_map_sql(
         nation, "n_nationkey", "n_name",
         (id(spark), os.path.abspath(sf_dir), "nation"),
     )
-    co = orders.join(build_small(cust), F.expr("c_custkey = o_custkey")).select(
-        "o_orderkey", "c_custkey", "c_name", "c_acctbal", "c_nationkey"
-    )
-    return (
-        # lineitem (largest at every SF) streams; the one-year
-        # customer⋈orders slice is the build side (profile-gated hint).
-        li.join(build_small(co), F.expr("o_orderkey = l_orderkey"))
-        .withColumn("n_name", F.element_at(name_map, F.col("c_nationkey")))
-        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        # fp_sum_sql: per-customer-year groups are schema-bounded
-        .agg(F.expr(fp_sum_sql("l_extendedprice * (1 - l_discount)", "revenue")))
-        .selectExpr(
-            "c_custkey", "c_name", "revenue",
-            "CAST(c_acctbal AS DOUBLE) AS acctbal", "n_name",
-        )
-        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
-        .limit(20)
-    )
+    # Single generated-SQL build: lineitem (largest at every SF)
+    # streams; the one-year customer⋈orders slice is the profile-gated
+    # build side; nation stays an inlined literal map (no broadcast
+    # job, no join stage). fp_sum_sql: per-customer-year groups are
+    # schema-bounded.
+    li = table_view(spark, sf_dir, "lineitem")
+    orders = table_view(spark, sf_dir, "orders")
+    cust = table_view(spark, sf_dir, "customer")
+    return spark.sql(f"""
+        SELECT {hint_small('co')} c_custkey, c_name,
+               {fp_sum_sql("l_extendedprice * (1 - l_discount)", "revenue")},
+               CAST(c_acctbal AS DOUBLE) AS acctbal, n_name
+        FROM {li},
+             (SELECT {hint_small('c')} o_orderkey, c_custkey, c_name,
+                     c_acctbal,
+                     element_at({nmap}, CAST(c_nationkey AS INT)) AS n_name
+              FROM {orders}, {cust} c
+              WHERE c_custkey = o_custkey
+                AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+                AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00') co
+        WHERE o_orderkey = l_orderkey
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """)
 
 
 @register(
@@ -354,36 +363,33 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     is scanned and shuffled once; the surviving ~0.1% of orders
     broadcast through orders and customer map-side.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    # fixed-point HAVING: per-order quantity sums are schema-bounded,
-    # and the >150 threshold compares on the exact scaled-long grid.
-    big = (
-        li.groupBy("l_orderkey")
-        .agg(F.expr(f"SUM({sl6_sql('l_quantity')}) AS __s"))
-        .filter(f"__s > {150 * 1_000_000}")
-        .selectExpr(
-            "l_orderkey",
-            f"CAST(ROUND({sl_val_sql('__s')}, 2) AS DOUBLE) AS sum_qty",
-        )
-    )
-    cust = load_table(spark, sf_dir, "customer")
-    # orders streams; `big` (the ~0.1% HAVING survivors) and customer
-    # are the build sides. build_small = profile-gated hint only — at
-    # cluster scale AQE decides from the survivors' runtime size.
-    return (
-        load_table(spark, sf_dir, "orders")
-        .join(build_small(big), F.expr("o_orderkey = l_orderkey"))
-        .join(build_small(cust), F.expr("c_custkey = o_custkey"))
-        .selectExpr(
-            "c_custkey",
-            "o_orderkey",
-            "CAST(o_orderdate AS TIMESTAMP) AS orderdate",
-            "CAST(o_totalprice AS DOUBLE) AS totalprice",
-            "sum_qty",
-        )
-        .orderBy(F.desc("totalprice"), F.asc("o_orderkey"))
-        .limit(100)
-    )
+    # Single generated-SQL build. fixed-point HAVING: per-order
+    # quantity sums are schema-bounded, and the >150 threshold compares
+    # on the exact scaled-long grid. orders streams; `big` (the ~0.1%
+    # HAVING survivors) and customer are the profile-gated build sides
+    # — at cluster scale AQE decides from the survivors' runtime size.
+    li = table_view(spark, sf_dir, "lineitem")
+    orders = table_view(spark, sf_dir, "orders")
+    cust = table_view(spark, sf_dir, "customer")
+    return spark.sql(f"""
+        SELECT {hint_small('big', 'c')} c_custkey, o_orderkey,
+               CAST(o_orderdate AS TIMESTAMP) AS orderdate,
+               CAST(o_totalprice AS DOUBLE) AS totalprice,
+               sum_qty
+        FROM {orders},
+             (SELECT l_orderkey,
+                     CAST(ROUND({sl_val_sql('__s')}, 2) AS DOUBLE)
+                       AS sum_qty
+              FROM (SELECT l_orderkey,
+                           SUM({sl6_sql('l_quantity')}) AS __s
+                    FROM {li} GROUP BY l_orderkey)
+              WHERE __s > {150 * 1_000_000}) big,
+             {cust} c
+        WHERE o_orderkey = big.l_orderkey
+          AND c_custkey = o_custkey
+        ORDER BY totalprice DESC, o_orderkey
+        LIMIT 100
+    """)
 
 
 @register(

@@ -2524,8 +2524,11 @@ def parse_statement(sql: str):
         r"SQL\s+SECURITY\s+\w+|COMMENT\s+'[^']*'|LANGUAGE\s+SQL))*"
     )
     m = re.match(
+        # param list allows one paren nesting level for typed params
+        # (VARCHAR(8), DECIMAL(10,2))
         r"CREATE\s+(?:DEFINER\s*=\s*\S+\s+)?PROCEDURE\s+(`[^`]+`|\w+)"
-        r"\s*\(([^)]*)\)" + _CHARACTERISTICS + r"\s+(.*)$",
+        r"\s*\(((?:[^()]|\([^()]*\))*)\)" + _CHARACTERISTICS
+        + r"\s+(.*)$",
         s, re.I | re.S,
     )
     if m:
@@ -2548,7 +2551,7 @@ def parse_statement(sql: str):
                              params=params, body=body)
     m = re.match(
         r"CREATE\s+(?:DEFINER\s*=\s*\S+\s+)?FUNCTION\s+(`[^`]+`|\w+)"
-        r"\s*\(([^)]*)\)\s*RETURNS\s+\S+(?:\([^)]*\))?"
+        r"\s*\(((?:[^()]|\([^()]*\))*)\)\s*RETURNS\s+\S+(?:\([^)]*\))?"
         + _CHARACTERISTICS
         + r"\s+(?:BEGIN\s+)?RETURN\s+(.*?)\s*;?\s*(?:END\s*)?$",
         s, re.I | re.S,

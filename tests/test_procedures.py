@@ -292,3 +292,108 @@ def test_signal_in_procedure(eng):
     # the failed call left the balance untouched
     assert eng.execute("SELECT bal FROM acct WHERE id = 2") \
         .collect()[0].bal == 50
+
+
+def test_case_statement_searched_and_subject_forms(eng):
+    """CASE statements lower onto the IF machinery; a CASE with no
+    matching branch and no ELSE raises MySQL's 'Case not found'
+    (error 1339 / SQLSTATE 20000) instead of silently no-opping."""
+    from myduckserver_spark.engine import SignalError
+
+    eng.execute("CREATE TABLE cls2 (label VARCHAR(12))")
+    eng.execute(
+        "CREATE PROCEDURE classify2(IN x INT) BEGIN "
+        "CASE WHEN x > 100 THEN INSERT INTO cls2 VALUES ('big'); "
+        "WHEN x > 10 THEN INSERT INTO cls2 VALUES ('mid'); "
+        "ELSE INSERT INTO cls2 VALUES ('small'); "
+        "END CASE; END"
+    )
+    for v in (500, 50, 5):
+        eng.execute(f"CALL classify2({v})")
+    assert sorted(r.label for r in
+                  eng.execute("SELECT * FROM cls2").collect()) == \
+        ["big", "mid", "small"]
+    # subject form: CASE subj WHEN v THEN
+    eng.execute(
+        "CREATE PROCEDURE tag(IN code INT, OUT t VARCHAR(8)) BEGIN "
+        "CASE code "
+        "WHEN 1 THEN SET t = 'one'; "
+        "WHEN 2 THEN SET t = 'two'; "
+        "END CASE; END"
+    )
+    eng.execute("CALL tag(2, @t)")
+    assert eng.execute("SELECT @t AS t").collect()[0].t == "two"
+    # no branch, no ELSE -> Case not found (MySQL 1339)
+    with pytest.raises(SignalError, match="Case not found"):
+        eng.execute("CALL tag(9, @t)")
+
+
+def test_continue_and_exit_handlers(eng):
+    """DECLARE CONTINUE/EXIT HANDLER: CONTINUE rescues the failing
+    statement and resumes; EXIT runs the handler then leaves the
+    declaring block. SQLSTATE handlers beat class handlers."""
+    from myduckserver_spark.engine import SignalError
+
+    eng.execute("CREATE TABLE hlog (step VARCHAR(16))")
+    eng.execute(
+        "CREATE PROCEDURE resilient() BEGIN "
+        "DECLARE CONTINUE HANDLER FOR SQLEXCEPTION "
+        "  INSERT INTO hlog VALUES ('rescued'); "
+        "INSERT INTO hlog VALUES ('before'); "
+        "INSERT INTO missing_table VALUES (1); "
+        "INSERT INTO hlog VALUES ('after'); "
+        "END"
+    )
+    eng.execute("CALL resilient()")
+    # snapshot storage doesn't preserve insertion order; compare sets
+    assert sorted(r.step for r in
+                  eng.execute("SELECT * FROM hlog").collect()) \
+        == ["after", "before", "rescued"]
+    eng.execute("DELETE FROM hlog")
+    eng.execute(
+        "CREATE PROCEDURE bail() BEGIN "
+        "DECLARE EXIT HANDLER FOR SQLSTATE '45000' "
+        "  INSERT INTO hlog VALUES ('caught45'); "
+        "INSERT INTO hlog VALUES ('start'); "
+        "SIGNAL SQLSTATE '45000' SET MESSAGE_TEXT = 'boom'; "
+        "INSERT INTO hlog VALUES ('unreached'); "
+        "END"
+    )
+    eng.execute("CALL bail()")
+    assert sorted(r.step for r in
+                  eng.execute("SELECT * FROM hlog").collect()) \
+        == ["caught45", "start"]
+    # a handler declared for a DIFFERENT sqlstate does not rescue
+    eng.execute(
+        "CREATE PROCEDURE misses() BEGIN "
+        "DECLARE EXIT HANDLER FOR SQLSTATE '22000' SET @never = 1; "
+        "SIGNAL SQLSTATE '45000' SET MESSAGE_TEXT = 'through'; "
+        "END"
+    )
+    with pytest.raises(SignalError, match="through"):
+        eng.execute("CALL misses()")
+
+
+def test_handler_covers_nested_loop_statement(eng):
+    """A handler declared at body level rescues a failure INSIDE a
+    loop and the loop CONTINUES (MySQL scoping — the handler covers
+    nested blocks; resume point = after the failed statement)."""
+    eng.execute("CREATE TABLE hseq (n INT)")
+    eng.execute(
+        "CREATE PROCEDURE tolerant(IN k INT) BEGIN "
+        "DECLARE i INT DEFAULT 0; "
+        "DECLARE CONTINUE HANDLER FOR SQLEXCEPTION SET @err = 1; "
+        "WHILE i < k DO "
+        "  SET i = i + 1; "
+        "  IF i = 2 THEN "
+        "    INSERT INTO nope VALUES (1); "
+        "  END IF; "
+        "  INSERT INTO hseq VALUES (i); "
+        "END WHILE; "
+        "END"
+    )
+    eng.execute("SET @err = 0")
+    eng.execute("CALL tolerant(4)")
+    assert sorted(r.n for r in eng.execute("SELECT * FROM hseq").collect()) \
+        == [1, 2, 3, 4]
+    assert eng.execute("SELECT @err AS e").collect()[0].e == 1
