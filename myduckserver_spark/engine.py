@@ -1433,8 +1433,14 @@ class Engine:
         self._proc_cache = m
 
     _PROC_UNSUPPORTED = re.compile(
-        r"(?i)^\s*(OPEN|FETCH|CLOSE)\b"
+        r"(?i)^\s*(GET\s+DIAGNOSTICS|RESIGNAL)\b"
     )
+    # driver-side cursor guard: cursors are inherently row-at-a-time,
+    # so OPEN collects the (substituted) query to the driver — honest
+    # for procedural workloads, capped so a fact-table cursor fails
+    # loudly instead of OOMing the driver (set-based DML is the scale
+    # path, SCALING.md §triggers-at-scale)
+    _CURSOR_MAX_ROWS = 100_000
     _PROC_MAX_ITER = 100_000  # loop runaway guard
     _SIGNAL_RE = re.compile(
         r"(?is)^\s*SIGNAL\s+SQLSTATE\s+'(\w+)'"
@@ -1594,6 +1600,38 @@ class Engine:
                 i = j + 1
                 continue
             m = re.fullmatch(
+                r"DECLARE\s+(`[^`]+`|\w+)\s+CURSOR\s+FOR\s+(.+)$",
+                p, re.I | re.S,
+            )
+            if m:
+                nodes.append(("cursor", st.unquote_ident(m.group(1)).lower(),
+                              m.group(2).strip()))
+                i += 1
+                continue
+            m = re.fullmatch(r"OPEN\s+(`[^`]+`|\w+)", p, re.I)
+            if m:
+                nodes.append(("open", st.unquote_ident(m.group(1)).lower()))
+                i += 1
+                continue
+            m = re.fullmatch(r"CLOSE\s+(`[^`]+`|\w+)", p, re.I)
+            if m:
+                nodes.append(("close", st.unquote_ident(m.group(1)).lower()))
+                i += 1
+                continue
+            m = re.fullmatch(
+                r"FETCH\s+(?:NEXT\s+FROM\s+|FROM\s+)?(`[^`]+`|\w+)"
+                r"\s+INTO\s+(.+)$",
+                p, re.I | re.S,
+            )
+            if m:
+                targets = [
+                    t.strip() for t in st.split_top_level(m.group(2), ",")
+                ]
+                nodes.append(("fetch", st.unquote_ident(m.group(1)).lower(),
+                              targets))
+                i += 1
+                continue
+            m = re.fullmatch(
                 r"DECLARE\s+(CONTINUE|EXIT)\s+HANDLER\s+FOR\s+"
                 r"(SQLEXCEPTION|SQLWARNING|NOT\s+FOUND"
                 r"|SQLSTATE\s+(?:VALUE\s+)?'(\w+)'|\d+)"
@@ -1605,6 +1643,11 @@ class Engine:
                     raise NotImplementedError(
                         "handler bodies must be a single statement "
                         "(BEGIN…END handler blocks are not)"
+                    )
+                if self._PROC_UNSUPPORTED.match(m.group(4).strip()):
+                    raise NotImplementedError(
+                        "handler body uses an unsupported statement: "
+                        f"{m.group(4).strip()[:40]!r}"
                     )
                 if m.group(2).isdigit():
                     raise NotImplementedError(
@@ -1835,7 +1878,8 @@ class Engine:
 
     def _run_proc_block(self, nodes: list, env: dict, dialect: str,
                         handlers: list | None = None,
-                        result: "OkResult | None" = None):
+                        result: "OkResult | None" = None,
+                        cursors: dict | None = None):
         """Interpret a parsed procedure body. Control flow runs
         driver-side (conditions are scalar SELECTs); every contained
         statement stays set-based — the loop count is procedural
@@ -1851,6 +1895,7 @@ class Engine:
         result = OkResult() if result is None else result
         frame = object()
         handlers = [] if handlers is None else handlers
+        cursors = {} if cursors is None else cursors
         scope_base = len(handlers)
 
         def rescue(e: Exception):
@@ -1906,12 +1951,14 @@ class Engine:
                     for cond, blk in branches:
                         if bool(self._proc_eval(cond, env, dialect)):
                             result = self._run_proc_block(
-                                blk, env, dialect, handlers, result)
+                                blk, env, dialect, handlers, result,
+                                cursors)
                             break
                     else:
                         if else_blk:
                             result = self._run_proc_block(
-                                else_blk, env, dialect, handlers, result)
+                                else_blk, env, dialect, handlers, result,
+                                cursors)
                 elif kind == "while":
                     _k, cond, blk, label = node
                     it = 0
@@ -1923,7 +1970,8 @@ class Engine:
                                 f"{self._PROC_MAX_ITER} iterations"
                             )
                         res, xfer = self._run_loop_body(
-                            blk, env, dialect, label, handlers, result)
+                            blk, env, dialect, label, handlers, result,
+                            cursors)
                         if res is not None:
                             result = res
                         if xfer == "leave":
@@ -1940,7 +1988,8 @@ class Engine:
                                 "(no LEAVE reached)"
                             )
                         res, xfer = self._run_loop_body(
-                            blk, env, dialect, label, handlers, result)
+                            blk, env, dialect, label, handlers, result,
+                            cursors)
                         if res is not None:
                             result = res
                         if xfer == "leave":
@@ -1956,12 +2005,79 @@ class Engine:
                                 f"{self._PROC_MAX_ITER} iterations"
                             )
                         res, xfer = self._run_loop_body(
-                            blk, env, dialect, label, handlers, result)
+                            blk, env, dialect, label, handlers, result,
+                            cursors)
                         if res is not None:
                             result = res
                         if xfer == "leave" or \
                                 bool(self._proc_eval(until, env, dialect)):
                             break
+                elif kind == "cursor":
+                    cursors[node[1]] = {"query": node[2], "rows": None,
+                                        "pos": 0}
+                elif kind == "open":
+                    try:
+                        cur = cursors.get(node[1])
+                        if cur is None:
+                            raise ValueError(
+                                f"cursor {node[1]} is not declared")
+                        rows = self.sql(
+                            self._proc_sub(cur["query"], env),
+                            dialect=dialect,
+                        ).limit(self._CURSOR_MAX_ROWS + 1).collect()
+                        if len(rows) > self._CURSOR_MAX_ROWS:
+                            raise ValueError(
+                                f"cursor {node[1]} exceeds "
+                                f"{self._CURSOR_MAX_ROWS} rows — cursors "
+                                "iterate on the driver; use set-based "
+                                "DML for data-proportional work"
+                            )
+                        cur["rows"], cur["pos"] = rows, 0
+                    except (_ProcLeave, _ProcIterate, _ProcExit):
+                        raise
+                    except Exception as e:
+                        rescue(e)
+                elif kind == "fetch":
+                    try:
+                        cur = cursors.get(node[1])
+                        if cur is None or cur["rows"] is None:
+                            raise ValueError(
+                                f"cursor {node[1]} is not open")
+                        if cur["pos"] >= len(cur["rows"]):
+                            # MySQL error 1329 / SQLSTATE 02000 — the
+                            # NOT FOUND condition handlers catch
+                            raise SignalError(
+                                "02000",
+                                "No data - zero rows fetched, selected,"
+                                " or processed",
+                            )
+                        row = cur["rows"][cur["pos"]]
+                        cur["pos"] += 1
+                        targets = node[2]
+                        if len(targets) != len(row):
+                            raise ValueError(
+                                f"FETCH {node[1]}: {len(targets)} INTO "
+                                f"targets for {len(row)} columns"
+                            )
+                        for tgt, val in zip(targets, row):
+                            if tgt.startswith("@"):
+                                self.variables[tgt[1:]] = val
+                            elif tgt.lower() in env:
+                                env[tgt.lower()] = \
+                                    self._render_literal(val)
+                            else:
+                                raise ValueError(
+                                    f"FETCH INTO {tgt}: not a declared "
+                                    "local or @variable"
+                                )
+                    except (_ProcLeave, _ProcIterate, _ProcExit):
+                        raise
+                    except Exception as e:
+                        rescue(e)
+                elif kind == "close":
+                    cur = cursors.get(node[1])
+                    if cur is not None:
+                        cur["rows"], cur["pos"] = None, 0
                 elif kind == "leave":
                     raise _ProcLeave(node[1])
                 elif kind == "iterate":
@@ -1975,13 +2091,14 @@ class Engine:
 
     def _run_loop_body(self, blk: list, env: dict, dialect: str,
                        label: str | None, handlers: list | None = None,
-                       result: "OkResult | None" = None):
+                       result: "OkResult | None" = None,
+                       cursors: dict | None = None):
         """One iteration of a loop body; catches LEAVE/ITERATE aimed at
         this loop (matching label, or unlabeled → innermost). Returns
         (result_or_None, 'leave' | 'iterate' | None)."""
         try:
             return self._run_proc_block(
-                blk, env, dialect, handlers, result), None
+                blk, env, dialect, handlers, result, cursors), None
         except _ProcIterate as e:
             if e.label is None or (label and e.label.lower()
                                    == label.lower()):

@@ -60,13 +60,14 @@ def test_procedure_persistence_and_show(eng, spark):
     assert "CREATE PROCEDURE" in ddl and "SELECT (x) AS v" in ddl
 
 
-def test_procedure_rejects_cursors(eng):
-    """LOOP/REPEAT are supported since round 6; cursors remain an
-    honest CREATE-time rejection."""
+def test_procedure_rejects_resignal(eng):
+    """Cursors and CASE are supported since round 6; RESIGNAL/GET
+    DIAGNOSTICS remain honest CREATE-time rejections."""
     with pytest.raises(NotImplementedError):
         eng.execute(
-            "CREATE PROCEDURE cur(IN x INT) BEGIN "
-            "OPEN c1; FETCH c1 INTO y; CLOSE c1; END"
+            "CREATE PROCEDURE rs() BEGIN "
+            "DECLARE EXIT HANDLER FOR SQLEXCEPTION RESIGNAL; "
+            "SELECT 1; END"
         )
 
 
@@ -144,12 +145,53 @@ def test_procedure_nested_if_in_while(eng):
     assert got == {1: "n", 2: "n", 3: "fizz", 4: "n", 5: "n", 6: "fizz"}
 
 
-def test_procedure_still_rejects_cursors(eng):
-    with pytest.raises(NotImplementedError):
-        eng.execute(
-            "CREATE PROCEDURE cur(IN x INT) BEGIN "
-            "OPEN c1; FETCH c1 INTO y; CLOSE c1; END"
-        )
+def test_cursor_loop_canonical(eng):
+    """MySQL's canonical cursor pattern: DECLARE CURSOR + NOT FOUND
+    CONTINUE handler + labeled LOOP with FETCH INTO / LEAVE. Iteration
+    is driver-side (cursors are row-at-a-time by definition), capped
+    so data-proportional work fails loudly."""
+    eng.execute("CREATE TABLE tot (s INT)")
+    eng.execute(
+        "CREATE PROCEDURE sum_bal(OUT total INT) BEGIN "
+        "DECLARE done INT DEFAULT FALSE; "
+        "DECLARE b INT DEFAULT 0; "
+        "DECLARE cur CURSOR FOR SELECT bal FROM acct ORDER BY id; "
+        "DECLARE CONTINUE HANDLER FOR NOT FOUND SET done = TRUE; "
+        "SET total = 0; "
+        "OPEN cur; "
+        "read_loop: LOOP "
+        "  FETCH cur INTO b; "
+        "  IF done THEN LEAVE read_loop; END IF; "
+        "  SET total = total + b; "
+        "END LOOP; "
+        "CLOSE cur; "
+        "END"
+    )
+    eng.execute("CALL sum_bal(@t)")
+    assert eng.execute("SELECT @t AS t").collect()[0].t == 150
+
+
+def test_cursor_multi_column_fetch_and_reopen(eng):
+    eng.execute(
+        "CREATE PROCEDURE first_acct(OUT i INT, OUT b INT) BEGIN "
+        "DECLARE c CURSOR FOR SELECT id, bal FROM acct ORDER BY id; "
+        "OPEN c; "
+        "FETCH c INTO i, b; "
+        "CLOSE c; "
+        "END"
+    )
+    eng.execute("CALL first_acct(@i, @b)")
+    row = eng.execute("SELECT @i AS i, @b AS b").collect()[0]
+    assert (row.i, row.b) == (1, 100)
+    # FETCH on a closed/unopened cursor is an error (no NOT FOUND)
+    eng.execute(
+        "CREATE PROCEDURE bad_fetch() BEGIN "
+        "DECLARE c2 CURSOR FOR SELECT id FROM acct; "
+        "FETCH c2 INTO @x; "
+        "END"
+    )
+    with pytest.raises(ValueError, match="not open"):
+        eng.execute("CALL bad_fetch()")
 
 
 def test_out_and_inout_params(eng):
