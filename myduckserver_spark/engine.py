@@ -1556,9 +1556,10 @@ class Engine:
                 return nodes, i
             if self._PROC_UNSUPPORTED.match(p):
                 raise NotImplementedError(
-                    "procedure control flow supports IF/WHILE/LOOP/"
-                    "REPEAT/LEAVE/ITERATE/SIGNAL/DECLARE/SET; cursors "
-                    f"and CASE statements are not: {p[:50]!r}"
+                    "procedure bodies support IF/CASE/WHILE/LOOP/"
+                    "REPEAT/LEAVE/ITERATE/SIGNAL/DECLARE (locals, "
+                    "cursors, handlers)/SET/OPEN/FETCH/CLOSE; "
+                    f"not: {p[:50]!r}"
                 )
             m = re.fullmatch(r"LEAVE(?:\s+(\w+))?", p, re.I)
             if m:

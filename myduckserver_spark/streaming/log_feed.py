@@ -286,8 +286,90 @@ def start_log_cdc_stream(
     )
 
 
+def start_multi_table_log_cdc_stream(
+    spark,
+    log: PartitionedLogFeed,
+    catalog,
+    tables: dict,
+    checkpoint_dir: str,
+    trigger_seconds: float = 0.2,
+    app_id: str = "logcdc",
+):
+    """Structured-Streaming twin of ``MultiTableCdcApplier``: one
+    micro-batch may carry rows for N tables (records name their table);
+    every table's delta commits through ``Catalog.merge_batch_multi``
+    as ONE journaled pointer-swap transaction keyed by the epoch id —
+    both-or-neither across crash, checkpointed epochs re-deliver as
+    no-ops. ``tables`` maps table name → (pk_cols, payload_schema);
+    schemas may differ per table (the JSON source parses ``row`` into
+    a merged struct of every payload field).
+
+    Scale note: grouping by table is a driver-side filter per table
+    over the SAME micro-batch DataFrame — no extra shuffle; each
+    table's condense+merge keeps its one-shuffle-per-table plan.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    merged_fields: dict[str, T.StructField] = {}
+    for _pk, payload in tables.values():
+        for f in payload.fields:
+            prev = merged_fields.get(f.name)
+            if prev is not None and prev.dataType != f.dataType:
+                raise ValueError(
+                    f"payload field {f.name!r} has conflicting types "
+                    f"across tables: {prev.dataType} vs {f.dataType}"
+                )
+            merged_fields[f.name] = f
+    schema = T.StructType([
+        T.StructField("table", T.StringType()),
+        T.StructField("action", T.IntegerType()),
+        T.StructField("row", T.StructType(list(merged_fields.values()))),
+        T.StructField("txn_group", T.StringType()),
+        T.StructField("txn_seq", T.LongType()),
+        T.StructField("txn_stmt", T.LongType()),
+    ])
+    stream = spark.readStream.schema(schema).json(
+        os.path.join(log.root, "*.closed.jsonl")
+    )
+
+    def apply_batch(batch_df, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        present = [
+            r.table for r in
+            batch_df.select("table").distinct().collect()
+        ]
+        unknown = [t for t in present if t not in tables]
+        if unknown:
+            raise ValueError(
+                f"log records name unknown tables {unknown} "
+                f"(registered: {sorted(tables)})"
+            )
+        batches = []
+        for name in sorted(present):
+            pk_cols, payload = tables[name]
+            delta = batch_df.filter(F.col("table") == name).select(
+                *[F.col(f"row.{f.name}") for f in payload.fields],
+                F.col("action").cast("byte").alias("action"),
+                "txn_group", "txn_seq", "txn_stmt",
+            )
+            batches.append((name, delta, pk_cols))
+        catalog.merge_batch_multi(
+            batches, txn_app_id=app_id, txn_version=int(epoch_id),
+        )
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{int(trigger_seconds * 1000)} milliseconds")
+        .start()
+    )
+
+
 __all__ = [
     "LogFeedCdcSource",
     "PartitionedLogFeed",
     "start_log_cdc_stream",
+    "start_multi_table_log_cdc_stream",
 ]

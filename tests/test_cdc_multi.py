@@ -224,3 +224,40 @@ def test_multi_applier_log_feed_vector_resume(spark, tmp_path):
     assert r2 is not None and r2.rows == 1
     assert _state(b) == [(1, 0.0), (2, 22.0)]
     assert _state(a) == [(1, 11.0), (2, 20.0)]
+
+
+def test_multi_table_streaming_cdc(spark, tmp_path):
+    """Structured-Streaming twin: one rolled micro-batch carrying rows
+    for TWO tables commits atomically via merge_batch_multi keyed by
+    the epoch id; both tables share the txn marker."""
+    from myduckserver_spark.streaming.log_feed import (
+        PartitionedLogFeed,
+        start_multi_table_log_cdc_stream,
+    )
+
+    cat, a, b = _mk(spark, tmp_path)
+    log = PartitionedLogFeed(str(tmp_path / "slog"), num_partitions=3)
+    log.append(ACTION_UPDATE, {"id": 1, "v": 11.0}, key=("acct", 1),
+               table="acct", txn_seq=0)
+    log.append(ACTION_INSERT, {"id": 2, "v": 2.0}, key=("audit_log", 2),
+               table="audit_log", txn_seq=1)
+    assert log.roll() >= 1
+    q = start_multi_table_log_cdc_stream(
+        spark, log, cat,
+        {"acct": (["id"], PAYLOAD), "audit_log": (["id"], PAYLOAD)},
+        str(tmp_path / "ckpt"), trigger_seconds=0.1, app_id="srepl",
+    )
+    try:
+        q.processAllAvailable()
+        assert _state(a) == [(1, 11.0), (2, 20.0)]
+        assert _state(b) == [(1, 0.0), (2, 2.0)]
+        assert a.last_txn_version("srepl") == b.last_txn_version("srepl")
+        # a second txn touching only one table still advances cleanly
+        log.append(ACTION_UPDATE, {"id": 2, "v": 22.0},
+                   key=("audit_log", 2), table="audit_log", txn_seq=2)
+        log.roll()
+        q.processAllAvailable()
+        assert _state(b) == [(1, 0.0), (2, 22.0)]
+        assert _state(a) == [(1, 11.0), (2, 20.0)]
+    finally:
+        q.stop()
