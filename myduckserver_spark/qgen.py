@@ -69,6 +69,14 @@ def _setop_sql(n: Node) -> str:
 def _join_sql(n: Node) -> str:
     a, b = (c.sql() for c in n.children)
     how = n.params["how"]
+    if how == "FULL":
+        # FULL OUTER nulls either side; coalesce both
+        return (
+            f"SELECT COALESCE(a.k, b.k) AS k, "
+            f"COALESCE(a.g, b.g) AS g, "
+            f"CAST(COALESCE(a.v, 0) + COALESCE(b.v, 0) AS BIGINT) AS v "
+            f"FROM ({a}) a FULL JOIN ({b}) b ON a.k = b.k"
+        )
     # LEFT join nulls b.v; COALESCE keeps v non-null and BIGINT
     return (
         f"SELECT a.k AS k, a.g AS g, "
@@ -133,6 +141,11 @@ def _distinct_sql(n: Node) -> str:
     return f"SELECT DISTINCT k, g, v FROM ({a})"
 
 
+def _filter_sql(n: Node) -> str:
+    (a,) = (c.sql() for c in n.children)
+    return f"SELECT k, g, v FROM ({a}) WHERE {n.params['pred']}"
+
+
 _SQL = {
     "leaf": _leaf_sql,
     "setop": _setop_sql,
@@ -141,6 +154,7 @@ _SQL = {
     "window": _window_sql,
     "subq": _subq_sql,
     "distinct": _distinct_sql,
+    "filter": _filter_sql,
 }
 
 
@@ -156,7 +170,7 @@ def gen_tree(rng: random.Random, depth: int = 3) -> Node:
             "res": rng.randint(0, 2),
         })
     kind = rng.choice(
-        ["setop", "join", "agg", "window", "subq", "distinct"]
+        ["setop", "join", "agg", "window", "subq", "distinct", "filter"]
     )
     if kind == "setop":
         return Node("setop", {
@@ -164,7 +178,8 @@ def gen_tree(rng: random.Random, depth: int = 3) -> Node:
                 ["UNION ALL", "UNION", "INTERSECT", "EXCEPT"]),
         }, [gen_tree(rng, depth - 1), gen_tree(rng, depth - 1)])
     if kind == "join":
-        return Node("join", {"how": rng.choice(["INNER", "LEFT"])},
+        return Node("join",
+                    {"how": rng.choice(["INNER", "LEFT", "FULL"])},
                     [gen_tree(rng, depth - 1), gen_tree(rng, depth - 1)])
     if kind == "agg":
         return Node("agg", {
@@ -178,6 +193,17 @@ def gen_tree(rng: random.Random, depth: int = 3) -> Node:
         return Node("subq", {
             "form": rng.choice(["in", "notexists", "scalar"]),
         }, [gen_tree(rng, depth - 1), gen_tree(rng, depth - 1)])
+    if kind == "filter":
+        m = rng.choice([2, 3, 4])
+        preds = [
+            f"v % {m} = {rng.randint(0, m - 1)}",
+            f"k % {m} <> {rng.randint(0, m - 1)}",
+            "v > k", "v <= k", "g IS NOT NULL",
+        ]
+        a, b = rng.sample(preds, 2)
+        op = rng.choice(["AND", "OR"])
+        return Node("filter", {"pred": f"({a}) {op} ({b})"},
+                    [gen_tree(rng, depth - 1)])
     return Node("distinct", {}, [gen_tree(rng, depth - 1)])
 
 
