@@ -2593,6 +2593,15 @@ class Engine:
         qual = quals.pop() if quals else next(iter(alias_map))
         target = alias_map.get(qual, qual)
         meta = self.table_meta(target)
+        if (self._triggers_for(target, "update", "before")
+                or self._triggers_for(target, "update", "after")):
+            # honest rejection beats silently skipping the trigger:
+            # the multi-table rewrite has no old/new image pairing yet
+            raise NotImplementedError(
+                f"multi-table UPDATE on {target} with UPDATE triggers "
+                "is not supported; use a single-table UPDATE "
+                "(subquery/CTE forms fire triggers)"
+            )
         if not meta.primary_key:
             raise ValueError(
                 f"multi-table UPDATE needs a PRIMARY KEY on {target} "
@@ -2672,6 +2681,15 @@ class Engine:
         # PRE-delete snapshots before any overwrite (the join is
         # evaluated once in MySQL; versioned storage keeps the old
         # snapshot readable while later targets write).
+        for raw in s.targets or [s.table]:
+            tname = alias_map.get(raw, raw)
+            if (self._triggers_for(tname, "delete", "before")
+                    or self._triggers_for(tname, "delete", "after")):
+                raise NotImplementedError(
+                    f"multi-table DELETE on {tname} with DELETE "
+                    "triggers is not supported; use a single-table "
+                    "DELETE (subquery/CTE forms fire triggers)"
+                )
         plans: list[tuple[str, DataFrame, int]] = []
         for raw in s.targets or [s.table]:
             table = alias_map.get(raw, raw)

@@ -294,3 +294,30 @@ def test_unconditional_signal_trigger(eng):
         eng.execute("DELETE FROM items WHERE id = 1")
     # a delete that matches no rows raises nothing (no affected row)
     eng.execute("DELETE FROM items WHERE id = 99")
+
+
+def test_multi_table_dml_with_triggers_rejected(eng):
+    """Multi-table UPDATE/DELETE on a table with triggers is an honest
+    rejection — firing would otherwise silently skip (the multi-table
+    rewrite has no old/new image pairing yet)."""
+    eng.execute("CREATE TABLE side (id INT PRIMARY KEY, v INT)")
+    eng.execute("INSERT INTO side VALUES (1, 1)")
+    eng.execute("INSERT INTO items VALUES (1, 'a', 1, NULL)")
+    eng.execute(
+        "CREATE TRIGGER au2 AFTER UPDATE ON items FOR EACH ROW "
+        "INSERT INTO audit VALUES ('items', 'upd', OLD.id, NULL)"
+    )
+    with pytest.raises(NotImplementedError, match="multi-table UPDATE"):
+        eng.execute("UPDATE items JOIN side ON items.id = side.id "
+                    "SET items.qty = 5")
+    eng.execute(
+        "CREATE TRIGGER ad2 AFTER DELETE ON items FOR EACH ROW "
+        "INSERT INTO audit VALUES ('items', 'del', OLD.id, NULL)"
+    )
+    with pytest.raises(NotImplementedError, match="multi-table DELETE"):
+        eng.execute("DELETE items FROM items JOIN side "
+                    "ON items.id = side.id")
+    # single-table forms still fire
+    eng.execute("UPDATE items SET qty = 9 WHERE id = 1")
+    assert [(r.op, r.item_id) for r in
+            eng.execute("SELECT * FROM audit").collect()] == [("upd", 1)]
