@@ -1305,6 +1305,160 @@ class Engine:
             json.dump(m, f)
         self._event_cache = m
 
+    # --------------------------------------------------------- replication
+    # Replica controller parity (reference binlog_replica_controller.go:
+    # CHANGE REPLICATION SOURCE TO persists config, START/STOP drive the
+    # applier thread, RESET clears). A library engine has no network
+    # stack or background thread, so the SOURCE binds a LOCAL feed
+    # directory (file://… → FileCdcFeed or PartitionedLogFeed) and the
+    # HOST pumps via replica_poll() — the same honest host-owns-timing
+    # split as run_event(). Config persists like the reference's
+    # binlog_metadata_persistence.go; positions live in the table
+    # pointers (exactly-once markers), so restart resumes correctly.
+
+    def _replication_path(self) -> str:
+        return os.path.join(self._warehouse, "__replication.json")
+
+    def _load_replication(self) -> dict:
+        p = self._replication_path()
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return {}
+
+    def _save_replication(self, cfg: dict) -> None:
+        os.makedirs(self._warehouse, exist_ok=True)
+        with open(self._replication_path(), "w") as f:
+            json.dump(cfg, f)
+
+    def _exec_replica(self, s: "st.ReplicaStmt"):
+        cfg = self._load_replication()
+        if s.action == "change_source":
+            if cfg.get("running"):
+                raise ValueError(
+                    "This operation cannot be performed with a running "
+                    "replica; run STOP REPLICA first"
+                )
+            src = dict(cfg.get("source", {}))
+            src.update(s.options or {})
+            cfg["source"] = src
+            self._save_replication(cfg)
+            return OkResult()
+        if s.action == "start":
+            if cfg.get("running") and \
+                    getattr(self, "_replica_applier", None) is not None:
+                # reference warns 3083 and keeps the running applier
+                return OkResult(info="Replication thread(s) for channel"
+                                     " '' are already running.")
+            src = cfg.get("source") or {}
+            if not src.get("SOURCE_HOST"):
+                # reference ErrServerNotConfiguredAsReplica wording
+                raise ValueError(
+                    "server is not configured as a replica; fix with "
+                    "CHANGE REPLICATION SOURCE TO"
+                )
+            if not src.get("SOURCE_USER"):
+                raise ValueError(
+                    "Empty username when attempting to start replication"
+                )
+            self._replica_applier = self._build_replica_applier(
+                str(src["SOURCE_HOST"])
+            )
+            cfg["running"] = True
+            self._save_replication(cfg)
+            self.replica_poll()  # initial catch-up
+            return OkResult()
+        if s.action == "stop":
+            app = getattr(self, "_replica_applier", None)
+            if app is not None:
+                app.close()  # flush buffered events before stopping
+            self._replica_applier = None
+            cfg["running"] = False
+            self._save_replication(cfg)
+            return OkResult()
+        # RESET [ALL]
+        if cfg.get("running"):
+            raise ValueError(
+                "This operation cannot be performed with a running "
+                "replica; run STOP REPLICA first"
+            )
+        if s.all:
+            cfg = {}  # forget the source config entirely (MySQL ALL)
+        self._save_replication(cfg)
+        return OkResult()
+
+    def _build_replica_applier(self, host: str):
+        from myduckserver_spark.streaming.cdc_source import FileCdcFeed
+        from myduckserver_spark.streaming.log_feed import (
+            LogFeedCdcSource,
+            PartitionedLogFeed,
+        )
+        from myduckserver_spark.streaming.multi_applier import (
+            MultiTableCdcApplier,
+            MultiTableTxnView,
+        )
+
+        if not host.startswith("file://"):
+            raise NotImplementedError(
+                "network binlog sources need the wire/connector layer "
+                "(reference binlog_replica_applier.go speaks the vitess "
+                "client); bind a local feed directory with "
+                "SOURCE_HOST='file:///path' — FileCdcFeed segments or a "
+                "PartitionedLogFeed"
+            )
+        path = host[len("file://"):]
+        tables: dict = {}
+        for name in self.catalog.list_tables():
+            if name.startswith("__"):
+                continue
+            try:
+                meta = self.table_meta(name)
+            except Exception:
+                continue
+            if not meta.primary_key:
+                continue  # keyless tables are not replicable targets
+            schema = self.catalog.table(name).read().schema
+            tables[name] = (list(meta.primary_key), schema)
+        if not tables:
+            raise ValueError(
+                "no replicable tables in the catalog (targets need a "
+                "PRIMARY KEY)"
+            )
+        if os.path.exists(os.path.join(path, "_LOGMETA")):
+            log = PartitionedLogFeed(path)
+            feed = LogFeedCdcSource(
+                log,
+                MultiTableTxnView(self.catalog, list(tables), "replica"),
+                "replica",
+            )
+        else:
+            feed = FileCdcFeed(path)
+        return MultiTableCdcApplier(
+            self.spark, feed, self.catalog, tables, app_id="replica"
+        )
+
+    def replica_poll(self) -> list:
+        """Host-driven replication pump (the host owns timing, like
+        run_event): poll the configured feed and flush everything
+        buffered — each flush spanning N tables commits atomically
+        (merge_batch_multi). Returns the FlushResults."""
+        app = getattr(self, "_replica_applier", None)
+        if app is None:
+            cfg = self._load_replication()
+            if not cfg.get("running"):
+                raise ValueError(
+                    "replica is not running; START REPLICA first"
+                )
+            app = self._build_replica_applier(
+                str(cfg["source"]["SOURCE_HOST"])
+            )
+            self._replica_applier = app
+        results = app.poll()
+        r = app.query_barrier()
+        if r is not None:
+            results.append(r)
+        return results
+
     def _exec_event(self, s: "st.EventStmt"):
         evs = dict(self._load_events())
         if s.action == "create":
@@ -3697,6 +3851,8 @@ class Engine:
             return OkResult(affected_rows=n)
         if isinstance(s, st.SubscriptionStmt):
             return self._exec_subscription(s)
+        if isinstance(s, st.ReplicaStmt):
+            return self._exec_replica(s)
         if isinstance(s, st.Optimize):
             retrained = self._retrain_stale_vector_indexes(s.name)
             cols = s.zorder_cols

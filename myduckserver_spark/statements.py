@@ -1010,6 +1010,18 @@ class Prepare:
 
 
 @dataclass
+class ReplicaStmt:
+    """Binlog replica controller statements (reference:
+    binlogreplication/binlog_replica_controller.go — CHANGE REPLICATION
+    SOURCE TO persists config, START/STOP drive the applier, RESET
+    clears). `options` holds the CHANGE … TO key/value list."""
+
+    action: str  # change_source | start | stop | reset
+    options: dict | None = None
+    all: bool = False  # RESET REPLICA ALL
+
+
+@dataclass
 class ExecutePrepared:
     name: str
     using: list[str]  # user-variable names, without the '@'
@@ -2077,6 +2089,29 @@ def parse_statement(sql: str):
 
     if re.match(r"SHOW\s+SUBSCRIPTIONS\s*$", s, re.I):
         return Show("subscriptions")
+
+    # Replica controller (reference binlog_replica_controller.go);
+    # legacy MASTER/SLAVE spellings accepted like MySQL does
+    m = re.match(
+        r"CHANGE\s+(?:REPLICATION\s+SOURCE|MASTER)\s+TO\s+(.+)$",
+        s, re.I | re.S,
+    )
+    if m:
+        opts: dict = {}
+        for part in split_top_level(m.group(1), ","):
+            k, eq, v = part.partition("=")
+            if not eq:
+                raise ValueError(f"cannot parse CHANGE SOURCE option: "
+                                 f"{part!r}")
+            key = re.sub(r"(?i)^MASTER_", "SOURCE_", k.strip().upper())
+            opts[key] = parse_literal(v.strip())
+        return ReplicaStmt("change_source", options=opts)
+    m = re.match(r"(START|STOP)\s+(?:REPLICA|SLAVE)\s*$", s, re.I)
+    if m:
+        return ReplicaStmt(m.group(1).lower())
+    m = re.match(r"RESET\s+(?:REPLICA|SLAVE)(\s+ALL)?\s*$", s, re.I)
+    if m:
+        return ReplicaStmt("reset", all=bool(m.group(1)))
 
     m = re.match(r"PREPARE\s+(`[^`]+`|\w+)\s+FROM\s+(.+)$", s, re.I | re.S)
     if m:
