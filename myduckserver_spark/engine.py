@@ -1333,6 +1333,22 @@ class Engine:
 
     def _exec_replica(self, s: "st.ReplicaStmt"):
         cfg = self._load_replication()
+        if s.action == "change_filter":
+            # like the reference (and MySQL), filters are NOT persisted
+            # — re-apply after a restart
+            # (binlog_replica_controller.go:351-352)
+            f = getattr(self, "_replica_filters",
+                        {"do": set(), "ignore": set()})
+            for key, names in (s.options or {}).items():
+                side = "do" if "DO" in key else "ignore"
+                f[side] = {n.lower() for n in names}
+            self._replica_filters = f
+            if getattr(self, "_replica_applier", None) is not None:
+                # rebind so the running applier picks the filter up
+                self._replica_applier = self._build_replica_applier(
+                    str((cfg.get("source") or {}).get("SOURCE_HOST"))
+                )
+            return OkResult()
         if s.action == "change_source":
             if cfg.get("running"):
                 raise ValueError(
@@ -1419,6 +1435,15 @@ class Engine:
                 continue  # keyless tables are not replicable targets
             schema = self.catalog.table(name).read().schema
             tables[name] = (list(meta.primary_key), schema)
+        group = list(tables)  # position spans the whole group,
+        # pre-filter — a filter change must not rewind the position
+        filters = getattr(self, "_replica_filters", None)
+        if filters:
+            if filters["do"]:
+                tables = {n: v for n, v in tables.items()
+                          if n.lower() in filters["do"]}
+            tables = {n: v for n, v in tables.items()
+                      if n.lower() not in filters["ignore"]}
         if not tables:
             raise ValueError(
                 "no replicable tables in the catalog (targets need a "
@@ -1428,13 +1453,20 @@ class Engine:
             log = PartitionedLogFeed(path)
             feed = LogFeedCdcSource(
                 log,
-                MultiTableTxnView(self.catalog, list(tables), "replica"),
+                # the adapter resumes from the GROUP's position too
+                MultiTableTxnView(self.catalog, group, "replica"),
                 "replica",
             )
         else:
             feed = FileCdcFeed(path)
         return MultiTableCdcApplier(
-            self.spark, feed, self.catalog, tables, app_id="replica"
+            self.spark, feed, self.catalog, tables, app_id="replica",
+            # with filters active, events for non-replicated tables are
+            # SKIPPED (MySQL filter semantics); without, an unknown
+            # table stays a hard error (safety net)
+            skip_unregistered=bool(filters and (filters["do"]
+                                                or filters["ignore"])),
+            position_tables=group,
         )
 
     def replica_poll(self) -> list:

@@ -2092,6 +2092,25 @@ def parse_statement(sql: str):
 
     # Replica controller (reference binlog_replica_controller.go);
     # legacy MASTER/SLAVE spellings accepted like MySQL does
+    m = re.match(r"CHANGE\s+REPLICATION\s+FILTER\s+(.+)$", s, re.I | re.S)
+    if m:
+        filters: dict = {}
+        for part in split_top_level(m.group(1), ","):
+            fm = re.fullmatch(
+                r"\s*(REPLICATE_(?:DO|IGNORE)_TABLE)\s*=\s*\(([^)]*)\)\s*",
+                part, re.I,
+            )
+            if not fm:
+                raise NotImplementedError(
+                    f"unsupported replication filter: {part.strip()[:40]!r}"
+                    " (REPLICATE_DO_TABLE / REPLICATE_IGNORE_TABLE only)"
+                )
+            names = [
+                unquote_ident(t.strip().split(".")[-1])
+                for t in fm.group(2).split(",") if t.strip()
+            ]
+            filters[fm.group(1).upper()] = names
+        return ReplicaStmt("change_filter", options=filters)
     m = re.match(
         r"CHANGE\s+(?:REPLICATION\s+SOURCE|MASTER)\s+TO\s+(.+)$",
         s, re.I | re.S,

@@ -96,8 +96,17 @@ class MultiTableCdcApplier:
     max_bytes: int = 128 << 20
     tick_seconds: float = 0.2
     default_table: str | None = None  # for events without a table name
+    # True = silently skip events for unregistered tables (MySQL
+    # replication-filter semantics); False = hard error (safety net)
+    skip_unregistered: bool = False
+    # tables whose markers define the GROUP's resume position — the
+    # full replication group, not a filter-narrowed allowlist (a
+    # filter change must not rewind the position; MySQL's exec
+    # position advances past filtered events too)
+    position_tables: list | None = None
 
     _buffer: list[CdcEvent] = field(default_factory=list)
+    _skipped_past: int = 0  # max position of a filter-skipped event
     _buffer_bytes: int = 0
     _last_flush: float = field(default_factory=time.monotonic)
     flush_log: list[FlushResult] = field(default_factory=list)
@@ -106,7 +115,10 @@ class MultiTableCdcApplier:
     def position(self) -> int:
         """Committed group resume position (see MultiTableTxnView)."""
         v = MultiTableTxnView(
-            self.catalog, list(self.tables), self.app_id
+            self.catalog,
+            list(self.position_tables
+                 if self.position_tables is not None else self.tables),
+            self.app_id,
         ).last_txn_version(self.app_id)
         return 0 if v < 0 else v
 
@@ -123,9 +135,17 @@ class MultiTableCdcApplier:
     def poll(self) -> list[FlushResult]:
         results: list[FlushResult] = []
         after = max(
-            self.position, self._buffer[-1].position if self._buffer else 0
+            self.position,
+            self._buffer[-1].position if self._buffer else 0,
+            self._skipped_past,
         )
         for ev in self.feed.events_after(after):
+            if self.skip_unregistered and \
+                    (ev.table or self.default_table) not in self.tables:
+                # replication-filter semantics: the event is consumed
+                # (position advances past it) but never applied
+                self._skipped_past = max(self._skipped_past, ev.position)
+                continue
             if ev.action == CdcEvent.ACTION_TRUNCATE:
                 r = self._flush(FLUSH_DDL)
                 if r:
@@ -183,7 +203,11 @@ class MultiTableCdcApplier:
     def _flush(self, reason: str) -> FlushResult | None:
         if not self._buffer:
             return None
-        position = self._buffer[-1].position
+        # the committed position acknowledges filter-skipped events
+        # consumed before this flush too (MySQL's exec position
+        # advances past filtered events) — a later filter change must
+        # not re-read them
+        position = max(self._buffer[-1].position, self._skipped_past)
         by_table: dict[str, list[CdcEvent]] = {}
         for ev in self._buffer:
             by_table.setdefault(self._table_of(ev), []).append(ev)

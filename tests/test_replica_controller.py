@@ -113,3 +113,34 @@ def test_partitioned_log_source(eng, tmp_path):
     assert _state(eng, "alog") == [(1, 0.0), (2, 2.0)]
     state = eng.catalog.table("acct").last_txn_state("replica")
     assert sum(state["offsets"].values()) == 2
+
+
+def test_change_replication_filter(eng, tmp_path):
+    """REPLICATE_IGNORE_TABLE drops a table's events (consumed, never
+    applied — MySQL filter semantics); filters are NOT persisted,
+    matching the reference (binlog_replica_controller.go:351)."""
+    feed = FileCdcFeed(str(tmp_path / "feed"))
+    feed.append(ACTION_UPDATE, {"id": 1, "v": 11.0}, table="acct",
+                txn_seq=0)
+    feed.append(ACTION_INSERT, {"id": 9, "v": 9.0}, table="alog",
+                txn_seq=1)
+    eng.execute("CHANGE REPLICATION FILTER "
+                "REPLICATE_IGNORE_TABLE = (alog)")
+    eng.execute(f"CHANGE REPLICATION SOURCE TO SOURCE_HOST = "
+                f"'file://{tmp_path / 'feed'}', SOURCE_USER = 'repl'")
+    eng.execute("START REPLICA")
+    assert _state(eng, "acct") == [(1, 11.0), (2, 20.0)]
+    # alog untouched: its event was consumed but filtered
+    assert _state(eng, "alog") == [(1, 0.0)]
+    # DO_TABLE narrows to an allowlist
+    eng.execute("STOP REPLICA")
+    eng.execute("CHANGE REPLICATION FILTER REPLICATE_DO_TABLE = (alog), "
+                "REPLICATE_IGNORE_TABLE = ()")
+    eng.execute("START REPLICA")
+    feed.append(ACTION_UPDATE, {"id": 1, "v": 99.0}, table="acct",
+                txn_seq=2)
+    feed.append(ACTION_INSERT, {"id": 9, "v": 9.0}, table="alog",
+                txn_seq=3)
+    eng.replica_poll()
+    assert _state(eng, "acct") == [(1, 11.0), (2, 20.0)]  # filtered out
+    assert _state(eng, "alog") == [(1, 0.0), (9, 9.0)]
