@@ -1831,10 +1831,11 @@ class Engine:
                         "handler bodies must be a single statement "
                         "(BEGIN…END handler blocks are not)"
                     )
-                if self._PROC_UNSUPPORTED.match(m.group(4).strip()):
+                if re.match(r"(?i)\s*GET\s+DIAGNOSTICS",
+                            m.group(4).strip()):
                     raise NotImplementedError(
-                        "handler body uses an unsupported statement: "
-                        f"{m.group(4).strip()[:40]!r}"
+                        "GET DIAGNOSTICS is not supported in handler "
+                        "bodies"
                     )
                 if m.group(2).isdigit():
                     raise NotImplementedError(
@@ -2090,6 +2091,21 @@ class Engine:
             if h is None:
                 raise e
             owner, mode, _cond, stmt = h
+            # RESIGNAL re-raises the condition (optionally re-labeled
+            # with a new SQLSTATE / MESSAGE_TEXT) — MySQL's
+            # pass-it-up-after-inspection pattern
+            rm = re.fullmatch(
+                r"RESIGNAL(?:\s+SQLSTATE\s+(?:VALUE\s+)?'(\w+)')?"
+                r"(?:\s+SET\s+MESSAGE_TEXT\s*=\s*'((?:[^']|'')*)')?",
+                stmt.strip(), re.I,
+            )
+            if rm:
+                if rm.group(1) or rm.group(2):
+                    state = rm.group(1) or getattr(e, "sqlstate", "45000")
+                    msg = (rm.group(2) or getattr(
+                        e, "message_text", str(e))).replace("''", "'")
+                    raise SignalError(state, msg) from e
+                raise e
             # handler body: single statement, no handler rescue of its
             # own (a failing handler propagates raw)
             self._run_proc_block([("sql", stmt)], env, dialect)

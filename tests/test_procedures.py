@@ -60,13 +60,36 @@ def test_procedure_persistence_and_show(eng, spark):
     assert "CREATE PROCEDURE" in ddl and "SELECT (x) AS v" in ddl
 
 
-def test_procedure_rejects_resignal(eng):
-    """Cursors and CASE are supported since round 6; RESIGNAL/GET
-    DIAGNOSTICS remain honest CREATE-time rejections."""
+def test_resignal_in_handler(eng):
+    """RESIGNAL re-raises the handled condition — bare form passes the
+    original through, SQLSTATE/MESSAGE_TEXT form relabels it. GET
+    DIAGNOSTICS remains an honest CREATE-time rejection."""
+    from myduckserver_spark.engine import SignalError
+
+    eng.execute(
+        "CREATE PROCEDURE rs1() BEGIN "
+        "DECLARE EXIT HANDLER FOR SQLSTATE '45000' RESIGNAL; "
+        "SIGNAL SQLSTATE '45000' SET MESSAGE_TEXT = 'original'; "
+        "END"
+    )
+    with pytest.raises(SignalError, match="original") as ei:
+        eng.execute("CALL rs1()")
+    assert ei.value.sqlstate == "45000"
+    eng.execute(
+        "CREATE PROCEDURE rs2() BEGIN "
+        "DECLARE EXIT HANDLER FOR SQLEXCEPTION "
+        "RESIGNAL SQLSTATE '45001' SET MESSAGE_TEXT = 'wrapped'; "
+        "INSERT INTO missing_tbl VALUES (1); "
+        "END"
+    )
+    with pytest.raises(SignalError, match="wrapped") as ei2:
+        eng.execute("CALL rs2()")
+    assert ei2.value.sqlstate == "45001"
     with pytest.raises(NotImplementedError):
         eng.execute(
-            "CREATE PROCEDURE rs() BEGIN "
-            "DECLARE EXIT HANDLER FOR SQLEXCEPTION RESIGNAL; "
+            "CREATE PROCEDURE gd() BEGIN "
+            "DECLARE EXIT HANDLER FOR SQLEXCEPTION "
+            "GET DIAGNOSTICS CONDITION 1 @e = MESSAGE_TEXT; "
             "SELECT 1; END"
         )
 
