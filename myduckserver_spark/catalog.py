@@ -261,7 +261,11 @@ class ParquetTable:
                 v = int(d[1:])
             except ValueError:
                 continue
-            if v < cutoff:
+            # v > cur is PREPARED-but-never-committed garbage (a crash
+            # before a multi-table commit's journal record): the
+            # pointer never referenced it, safe to reclaim. There is no
+            # in-flight prepare to race with in a single-writer engine.
+            if v < cutoff or v > cur:
                 shutil.rmtree(os.path.join(self.dir, d), ignore_errors=True)
                 removed += 1
         return removed

@@ -261,3 +261,30 @@ def test_multi_table_streaming_cdc(spark, tmp_path):
         assert _state(a) == [(1, 11.0), (2, 20.0)]
     finally:
         q.stop()
+
+
+def test_vacuum_reclaims_prepared_orphans(spark, tmp_path, monkeypatch):
+    """A crash BEFORE the journal record leaves prepared v{N} dirs the
+    pointer never references; VACUUM reclaims them (and reads never
+    see them)."""
+    import os
+
+    cat, a, b = _mk(spark, tmp_path)
+
+    def boom(self, prepared):
+        raise RuntimeError("kill -9 before journal write")
+
+    monkeypatch.setattr(Catalog, "commit_multi", boom)
+    with pytest.raises(RuntimeError):
+        cat.merge_batch_multi(
+            [("acct", _delta(spark, [(1, 11.0)]), ["id"]),
+             ("audit_log", _delta(spark, [(1, 1.0)]), ["id"])],
+            txn_app_id="repl", txn_version=5,
+        )
+    monkeypatch.undo()
+    t = cat.table("acct")
+    orphan = os.path.join(t.dir, f"v{t.version + 1}")
+    assert os.path.isdir(orphan)  # prepared, never committed
+    assert t.vacuum(keep_last=5) >= 1
+    assert not os.path.exists(orphan)
+    assert _state(t) == [(1, 10.0), (2, 20.0)]  # committed state intact
