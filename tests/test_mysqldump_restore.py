@@ -90,6 +90,22 @@ CREATE DEFINER=`root`@`localhost` TRIGGER `orders_audit` AFTER INSERT ON `orders
 CREATE DEFINER=`root`@`localhost` PROCEDURE `cust_orders`(IN c INT)
 BEGIN SELECT COUNT(*) AS n FROM orders WHERE cust = c; END;
 CREATE DEFINER=`root`@`localhost` FUNCTION `with_fee`(amt DOUBLE) RETURNS DOUBLE DETERMINISTIC RETURN amt + 1.5;
+CREATE DEFINER=`root`@`localhost` PROCEDURE `spend_report`(IN lim DOUBLE, OUT big_total DOUBLE)
+BEGIN
+  DECLARE done INT DEFAULT FALSE;
+  DECLARE amt DOUBLE DEFAULT 0;
+  DECLARE cur CURSOR FOR SELECT amount FROM orders ORDER BY oid;
+  DECLARE CONTINUE HANDLER FOR NOT FOUND SET done = TRUE;
+  SET big_total = 0;
+  OPEN cur;
+  scan_loop: LOOP
+    FETCH cur INTO amt;
+    IF done THEN LEAVE scan_loop; END IF;
+    CASE WHEN amt >= lim THEN SET big_total = big_total + amt;
+    ELSE SET big_total = big_total; END CASE;
+  END LOOP scan_loop;
+  CLOSE cur;
+END;
 CREATE DEFINER=`root`@`localhost` EVENT `nightly_clean` ON SCHEDULE EVERY 1 DAY DO DELETE FROM order_log WHERE oid < 0;
 CREATE USER IF NOT EXISTS 'reporting'@'%' IDENTIFIED WITH 'caching_sha2_password';
 GRANT SELECT ON shop.* TO 'reporting'@'%';
@@ -150,6 +166,10 @@ def test_full_dump_replays(eng):
         "SELECT * FROM order_log"
     ).collect()] == [(13, 3)]
     assert eng.execute("CALL cust_orders(1)").collect()[0].n == 2
+    # round-6 routine surface straight from a dump: cursor read_loop
+    # with a NOT FOUND handler and a CASE statement inside the loop
+    eng.execute("CALL spend_report(10.0, @bt)")
+    assert float(eng.execute("SELECT @bt AS t").collect()[0].t) == 119.9
     assert eng.execute(
         "SELECT with_fee(10.0) AS f"
     ).collect()[0].f == 11.5
