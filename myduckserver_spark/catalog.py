@@ -558,6 +558,66 @@ class Catalog:
             )
         return dest_base
 
+    def backup_database_uri(
+        self,
+        dest_uri: str,
+        endpoint: str | None = None,
+        access_key_id: str | None = None,
+        secret_access_key: str | None = None,
+    ) -> str:
+        """BACKUP DATABASE … TO '<uri>': the reference copies the WHOLE
+        database file to object storage (pgserver/backup_handler.go
+        'BACKUP DATABASE my_database TO s3://…'). Here that is every
+        table's current snapshot + pointer (backup_table_uri) plus the
+        warehouse metadata sidecars (__procedures/__triggers/__events/
+        __users/__macros/__replication .json) under __meta/ — a restore
+        brings the routines back, not just the rows."""
+        dest = dest_uri.rstrip("/")
+        for t in self.list_tables():
+            self.backup_table_uri(t, dest, endpoint, access_key_id,
+                                  secret_access_key)
+        jvm = self.spark.sparkContext._jvm
+        hconf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+            jvm.java.net.URI(dest + "/"), hconf)
+        Path = jvm.org.apache.hadoop.fs.Path
+        for f in sorted(os.listdir(self.root)):
+            if f.startswith("__") and f.endswith(".json"):
+                fs.mkdirs(Path(f"{dest}/__meta"))
+                fs.copyFromLocalFile(
+                    False, True,
+                    Path("file://" + os.path.join(self.root, f)),
+                    Path(f"{dest}/__meta/{f}"),
+                )
+        return dest
+
+    def restore_database_uri(self, src_uri: str) -> list[str]:
+        """RESTORE DATABASE … FROM '<uri>' written by
+        backup_database_uri: adopt every table found there plus the
+        metadata sidecars. Returns the restored table names."""
+        src = src_uri.rstrip("/")
+        jvm = self.spark.sparkContext._jvm
+        hconf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+            jvm.java.net.URI(src + "/"), hconf)
+        Path = jvm.org.apache.hadoop.fs.Path
+        names: list[str] = []
+        for status in fs.listStatus(Path(src)):
+            nm = status.getPath().getName()
+            if not status.isDirectory() or nm == "__meta":
+                continue
+            self.restore_table_uri(nm, src)
+            names.append(nm)
+        meta_dir = Path(f"{src}/__meta")
+        if fs.exists(meta_dir):
+            for status in fs.listStatus(meta_dir):
+                nm = status.getPath().getName()
+                fs.copyToLocalFile(
+                    False, status.getPath(),
+                    Path("file://" + os.path.join(self.root, nm)), True,
+                )
+        return sorted(names)
+
     def restore_table_uri(self, name: str, src_uri: str) -> ParquetTable:
         """RESTORE from an object-store URI written by backup_table_uri."""
         spark = self.spark

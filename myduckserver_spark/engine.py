@@ -4121,12 +4121,36 @@ class Engine:
                 affected_rows=n, info=f"VACUUM {s.name}: {n} versions removed"
             )
         if isinstance(s, st.BackupStmt):
+            # a name matching a DATABASE backs up/restores the whole
+            # thing — every table + the routine/trigger/event/user
+            # metadata sidecars (the reference copies the whole DuckDB
+            # file, pgserver/backup_handler.go); a table name keeps the
+            # narrower per-table form
             if s.direction == "backup":
+                if s.name in self._dbs:
+                    dest = self._dbs[s.name].backup_database_uri(
+                        s.uri, s.endpoint, s.access_key_id,
+                        s.secret_access_key,
+                    )
+                    return OkResult(
+                        info=f"BACKUP DATABASE {s.name} TO {dest}")
                 dest = self.catalog.backup_table_uri(
                     s.name, s.uri, s.endpoint, s.access_key_id,
                     s.secret_access_key,
                 )
                 return OkResult(info=f"BACKUP {s.name} TO {dest}")
+            if s.name in self._dbs:
+                names = self._dbs[s.name].restore_database_uri(s.uri)
+                # metadata sidecars changed on disk: drop the caches
+                for attr in ("_proc_cache", "_macro_cache",
+                             "_trigger_cache", "_event_cache",
+                             "_user_cache"):
+                    if hasattr(self, attr):
+                        delattr(self, attr)
+                self._refresh_views()
+                return OkResult(
+                    info=f"RESTORE DATABASE {s.name} FROM {s.uri} "
+                         f"({len(names)} tables)")
             self.catalog.restore_table_uri(s.name, s.uri)
             self._refresh_views()
             return OkResult(info=f"RESTORE {s.name} FROM {s.uri}")

@@ -890,3 +890,33 @@ def test_split_statements_keywords_in_literals():
     assert len(parts) == 2
     assert parts[0].rstrip().upper().endswith("END")
     assert parts[1] == "SELECT 1"
+
+
+def test_backup_restore_whole_database(spark, tmp_path):
+    """BACKUP DATABASE <db> backs up EVERY table plus the routine/
+    trigger/event/user metadata sidecars (the reference copies the
+    whole database file, pgserver/backup_handler.go) — a restore
+    brings back the procedures, not just the rows."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE t1 (id INT PRIMARY KEY, v INT)")
+    e.execute("INSERT INTO t1 VALUES (1, 10)")
+    e.execute("CREATE TABLE t2 (id INT PRIMARY KEY, s VARCHAR(10))")
+    e.execute("INSERT INTO t2 VALUES (7, 'x')")
+    e.execute("CREATE PROCEDURE bump(IN k INT) "
+              "UPDATE t1 SET v = v + 1 WHERE id = k")
+    dest = f"file://{tmp_path}/dbbk"
+    r = e.execute(f"BACKUP DATABASE main TO '{dest}'")
+    assert "BACKUP DATABASE main" in r.info
+    # mutate everything, then restore
+    e.execute("UPDATE t1 SET v = 999")
+    e.execute("DROP TABLE t2")
+    e.execute("DROP PROCEDURE bump")
+    r = e.execute(f"RESTORE DATABASE main FROM '{dest}'")
+    assert "2 tables" in r.info
+    assert e.execute("SELECT v FROM t1").collect()[0].v == 10
+    assert e.execute("SELECT s FROM t2").collect()[0].s == "x"
+    # the procedure came back with the metadata sidecars
+    e.execute("CALL bump(1)")
+    assert e.execute("SELECT v FROM t1").collect()[0].v == 11
