@@ -457,22 +457,24 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     outer join ≡ COALESCE(pre-agg count, 0) because the count column
     is NULL exactly for match-less customers.
     """
-    cust = load_table(spark, sf_dir, "customer")
-    oc = (
-        load_table(spark, sf_dir, "orders")
-        .filter("o_orderpriority <> '1-URGENT'")
-        .groupBy("o_custkey")
-        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
-    )
-    return (
-        cust.join(
-            build_small(oc), F.expr("c_custkey = o_custkey"), "left"
+    # Single generated-SQL build (one spark.sql round-trip); the
+    # bounded presentation sort stays the ordered_bounded transform.
+    cust = table_view(spark, sf_dir, "customer")
+    orders = table_view(spark, sf_dir, "orders")
+    return spark.sql(f"""
+        SELECT {hint_small('oc')} c_count,
+               CAST(COUNT(*) AS BIGINT) AS custdist
+        FROM (
+            SELECT COALESCE(oc.__n, 0L) AS c_count
+            FROM {cust} LEFT JOIN (
+                SELECT o_custkey, CAST(COUNT(1) AS LONG) AS __n
+                FROM {orders}
+                WHERE o_orderpriority <> '1-URGENT'
+                GROUP BY o_custkey
+            ) oc ON c_custkey = o_custkey
         )
-        .selectExpr("COALESCE(__n, 0L) AS c_count")
-        .groupBy("c_count")
-        .agg(bcount("custdist"))
-        .transform(ordered_bounded, F.desc("custdist"), F.desc("c_count"))
-    )
+        GROUP BY c_count
+    """).transform(ordered_bounded, F.desc("custdist"), F.desc("c_count"))
 
 
 # ------------------------------------------------------------------ subqueries
