@@ -1268,6 +1268,36 @@ class Engine:
                             f"{im.group(1)} SELECT {im.group(2)} "
                             f"FROM {view}"
                         )
+                    elif trig_df is not None:
+                        # ADDITIVE batch UPDATE (no NEW/OLD refs):
+                        # MySQL runs the statement once per affected
+                        # row; `SET c = c + expr` executed N times is
+                        # exactly `c + N*expr` when neither expr nor
+                        # WHERE reads c — so the per-row semantics are
+                        # recovered set-based. Anything else keeps the
+                        # documented once-per-statement batch behavior.
+                        um = re.match(
+                            r"UPDATE\s+(`[^`]+`|\w+)\s+SET\s+"
+                            r"(`[^`]+`|\w+)\s*=\s*(`[^`]+`|\w+)\s*\+\s*"
+                            r"(.+?)(\s+WHERE\s+.+)?$",
+                            rewritten, re.I | re.S,
+                        )
+                        if um and st.unquote_ident(um.group(2)) \
+                                == st.unquote_ident(um.group(3)):
+                            col = st.unquote_ident(um.group(2))
+                            tail = (um.group(4) or "") + (um.group(5) or "")
+                            if not re.search(
+                                rf"(?<![\w.`])`?{re.escape(col)}`?"
+                                rf"(?![\w`])",
+                                st.mask_strings(tail),
+                            ):
+                                rewritten = (
+                                    f"UPDATE {um.group(1)} SET "
+                                    f"{um.group(2)} = {um.group(3)} + "
+                                    f"({um.group(4)}) * "
+                                    f"(SELECT COUNT(*) FROM {view})"
+                                    f"{um.group(5) or ''}"
+                                )
                     self.execute(rewritten)
         finally:
             self._trig_depth = depth

@@ -78,9 +78,10 @@ def test_after_delete_old(eng):
 def test_begin_end_body_and_batch_statement(eng):
     eng.execute("CREATE TABLE counters (k VARCHAR(10), n INT)")
     eng.execute("INSERT INTO counters VALUES ('ins', 0)")
-    # BEGIN...END with one NEW-referencing insert and one batch
-    # statement (no NEW/OLD: executed once per statement — documented
-    # batch divergence from MySQL's once-per-row)
+    # BEGIN...END with one NEW-referencing insert and one ADDITIVE
+    # counter update (no NEW/OLD refs): MySQL runs it once per row;
+    # the set-based rewrite multiplies the addend by the affected-row
+    # count — exactly equivalent for additive updates
     eng.execute(
         "CREATE TRIGGER multi AFTER INSERT ON items FOR EACH ROW BEGIN "
         "INSERT INTO audit VALUES ('items', 'ins', NEW.id, NULL); "
@@ -93,7 +94,7 @@ def test_begin_end_body_and_batch_statement(eng):
     ).collect()[0].n == 2
     assert eng.execute(
         "SELECT n FROM counters WHERE k = 'ins'"
-    ).collect()[0].n == 1  # once per statement, not per row
+    ).collect()[0].n == 2  # once per affected ROW (MySQL semantics)
 
 
 def test_show_triggers_drop_and_persistence(eng, spark, tmp_path):
