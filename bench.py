@@ -40,6 +40,17 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    # Capture the JVM's stderr (log4j writes to inherited fd 2) for the
+    # zero-HintErrorLogger invariant: an unresolved join hint means a
+    # serving-profile plan pin silently did nothing (the round-6 q13
+    # BROADCAST(oc) defect). The bench FAILS if any hint goes unbound.
+    import tempfile
+
+    real_stderr = os.dup(2)
+    errlog = tempfile.NamedTemporaryFile(
+        prefix="bench_err_", suffix=".log", delete=False
+    )
+    os.dup2(errlog.fileno(), 2)
     spark = build_session(app_name="myduckserver_spark_bench")
     all_queries()  # populate REGISTRY
 
@@ -162,6 +173,15 @@ def main() -> None:
     except Exception:
         proxy = {}
 
+    os.dup2(real_stderr, 2)
+    os.close(real_stderr)
+    with open(errlog.name, errors="replace") as f:
+        errtext = f.read()
+    os.unlink(errlog.name)
+    hint_lines = [
+        ln for ln in errtext.splitlines() if "HintErrorLogger" in ln
+    ]
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total_time",
@@ -181,7 +201,15 @@ def main() -> None:
         out["vs_duckdb_proxy"] = round(
             total / max(sum(proxy.values()), 1e-9), 2
         )
+    out["unbound_hint_warnings"] = len(hint_lines)
     print(json.dumps(out))
+    if hint_lines:
+        print(
+            "FATAL: unresolved join hint(s) in JVM stderr:\n"
+            + "\n".join(hint_lines[:5]),
+            file=sys.stderr,
+        )
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":

@@ -14,6 +14,7 @@ rewrites on versioned tables.
 
 from __future__ import annotations
 
+import dataclasses
 import decimal
 import json
 import os
@@ -1269,38 +1270,102 @@ class Engine:
                             f"FROM {view}"
                         )
                     elif trig_df is not None:
-                        # ADDITIVE batch UPDATE (no NEW/OLD refs):
-                        # MySQL runs the statement once per affected
-                        # row; `SET c = c + expr` executed N times is
-                        # exactly `c + N*expr` when neither expr nor
-                        # WHERE reads c — so the per-row semantics are
-                        # recovered set-based. Anything else keeps the
-                        # documented once-per-statement batch behavior.
-                        um = re.match(
-                            r"UPDATE\s+(`[^`]+`|\w+)\s+SET\s+"
-                            r"(`[^`]+`|\w+)\s*=\s*(`[^`]+`|\w+)\s*\+\s*"
-                            r"(.+?)(\s+WHERE\s+.+)?$",
-                            rewritten, re.I | re.S,
+                        rewritten = self._rewrite_batch_trigger_dml(
+                            rewritten, view, tg["name"]
                         )
-                        if um and st.unquote_ident(um.group(2)) \
-                                == st.unquote_ident(um.group(3)):
-                            col = st.unquote_ident(um.group(2))
-                            tail = (um.group(4) or "") + (um.group(5) or "")
-                            if not re.search(
-                                rf"(?<![\w.`])`?{re.escape(col)}`?"
-                                rf"(?![\w`])",
-                                st.mask_strings(tail),
-                            ):
-                                rewritten = (
-                                    f"UPDATE {um.group(1)} SET "
-                                    f"{um.group(2)} = {um.group(3)} + "
-                                    f"({um.group(4)}) * "
-                                    f"(SELECT COUNT(*) FROM {view})"
-                                    f"{um.group(5) or ''}"
-                                )
                     self.execute(rewritten)
         finally:
             self._trig_depth = depth
+
+    def _rewrite_batch_trigger_dml(
+        self, stmt: str, view: str, trig_name: str
+    ) -> str:
+        """Recover MySQL's once-per-row semantics for a NEW/OLD-free
+        trigger body DML statement where the algebra is exact; keep
+        the documented once-per-statement batch execution otherwise,
+        leaving a SHOW WARNINGS note so the divergence is observable.
+
+        `SET c = c + e` run N times ≡ `c + N·e`, and `SET c = c * e`
+        run N times ≡ `c · e^N`, provided neither `e` nor the WHERE
+        clause reads `c` (bare OR table-qualified — a qualified
+        self-reference like `t.c` makes the per-execution value
+        order-dependent, so it must NOT be multiplied). Multi-
+        assignment SET lists stay on the batch path: each assignment
+        sees the previous one's per-row result in MySQL, which no
+        single set-based expression reproduces (reference executes
+        trigger bodies per-row GMS-side, main_test.go:1053).
+        """
+        note = (
+            f"trigger {trig_name}: body statement kept once-per-"
+            f"statement batch semantics (MySQL runs it once per "
+            f"affected row); statement: {stmt[:80]}"
+        )
+        um = re.match(
+            r"UPDATE\s+(`[^`]+`|\w+)\s+SET\s+(.+?)(\s+WHERE\s+.+)?$",
+            stmt, re.I | re.S,
+        )
+        if not um:
+            if re.match(r"(?i)\s*(INSERT|REPLACE|DELETE|UPDATE)\b", stmt):
+                self._push_warning(1592, note)
+            return stmt
+        setlist, where = um.group(2), um.group(3) or ""
+        if len(st.split_top_level(setlist)) != 1:
+            self._push_warning(1592, note)
+            return stmt
+        am = re.match(
+            r"\s*(`[^`]+`|\w+)\s*=\s*(`[^`]+`|\w+)\s*([+*])\s*(.+?)\s*$",
+            setlist, re.S,
+        )
+        if not am or st.unquote_ident(am.group(1)) != st.unquote_ident(
+            am.group(2)
+        ):
+            self._push_warning(1592, note)
+            return stmt
+        col = st.unquote_ident(am.group(1))
+        expr = am.group(4)
+        # occurs-check: the target column must not be read anywhere in
+        # the addend/factor or the WHERE — bare `c` or qualified `q.c`
+        if re.search(
+            rf"(?<![\w`])(?:(?:`[^`]+`|\w+)\s*\.\s*)?`?{re.escape(col)}`?"
+            rf"(?![\w`])",
+            st.mask_strings(expr + " " + where), re.I,
+        ):
+            self._push_warning(1592, note)
+            return stmt
+        n_rows = f"(SELECT COUNT(*) FROM {view})"
+        if am.group(3) == "+":
+            new_set = f"{am.group(1)} = {am.group(2)} + ({expr}) * {n_rows}"
+        else:
+            new_set = f"{am.group(1)} = {am.group(2)} * POW({expr}, {n_rows})"
+        return f"UPDATE {um.group(1)} SET {new_set}{where}"
+
+    @staticmethod
+    def _strip_self_qualifier(expr: str | None, table: str) -> str | None:
+        """Drop `table.` qualifiers from column refs (outside strings):
+        in single-table DML MySQL resolves `t.c` to the target table's
+        own column, but the engine's fast path evaluates expressions
+        over a bare DataFrame where no relation alias is in scope."""
+        if not expr or "." not in expr:
+            return expr
+        # bare form (mask-safe; NB no trailing lookahead —
+        # sub_outside_strings re-matches the pattern against the
+        # matched slice alone, where a lookahead can never succeed)
+        expr = st.sub_outside_strings(
+            rf"(?<![\w`.]){re.escape(table)}\s*\.\s*", "", expr, flags=re.I
+        )
+        # backticked form: the mask hides identifier CONTENT but keeps
+        # the backtick delimiters, so scan the original and accept a
+        # match only where the mask still shows a '`' (an identifier
+        # region, not the inside of a string literal)
+        mask = st.mask_strings(expr)
+        out: list[str] = []
+        pos = 0
+        for m in re.finditer(rf"`{re.escape(table)}`\s*\.\s*", expr, re.I):
+            if mask[m.start()] == "`":
+                out.append(expr[pos:m.start()])
+                pos = m.end()
+        out.append(expr[pos:])
+        return "".join(out)
 
     @staticmethod
     def _prefix_cols(df: DataFrame, prefix: str) -> DataFrame:
@@ -2656,7 +2721,12 @@ class Engine:
         for tg in self._triggers_for(s.table, "update", "before"):
             for op in self._split_trigger_ops(tg["body"]) or []:
                 if op[0] == "guard":
-                    guards.append(op[1:])
+                    # snapshot the assignment map AS FOLDED SO FAR: a
+                    # guard reading NEW.x must see statement order —
+                    # a later `SET NEW.x = 0` in the body must not
+                    # retroactively silence it (MySQL evaluates the
+                    # body in order; the INSERT path already does)
+                    guards.append((*op[1:], dict(assignments)))
                     continue
                 for col, ex in self._split_set_new(
                         op[1], keep_refs=True).items():
@@ -2673,14 +2743,15 @@ class Engine:
             )
         # BEFORE UPDATE SIGNAL guards: one ANY scan over the affected
         # rows, BEFORE any file is written (statement-level rollback).
-        # NEW.y = the post-statement value (final assignment map),
-        # OLD.y = the stored column — batch semantics, like the folds.
-        for cond, sqlstate, msg in guards:
+        # NEW.y = the value as assigned UP TO the guard's position in
+        # the body (per-guard snapshot), OLD.y = the stored column.
+        for cond, sqlstate, msg, snap in guards:
             gc = "TRUE" if cond is None else re.sub(
                 r"(?i)\bNEW\.(`[^`]+`|\w+)",
-                lambda m: (f"({assignments[st.unquote_ident(m.group(1))]})"
-                           if st.unquote_ident(m.group(1)) in assignments
-                           else f"`{st.unquote_ident(m.group(1))}`"),
+                lambda m, _a=snap: (
+                    f"({_a[st.unquote_ident(m.group(1))]})"
+                    if st.unquote_ident(m.group(1)) in _a
+                    else f"`{st.unquote_ident(m.group(1))}`"),
                 cond,
             )
             gc = re.sub(r"(?i)\bOLD\.(`[^`]+`|\w+)", r"`\1`", gc)
@@ -3158,15 +3229,38 @@ class Engine:
         if not stmts:
             return OkResult(info="empty")
         results = []
-        for s in stmts:
-            r = self._execute_one(s, dialect)
-            # ROW_COUNT() bookkeeping: DML leaves its affected count,
-            # any other statement resets to MySQL's -1.
-            self._last_affected = (
-                r.affected_rows if isinstance(r, OkResult) else -1
-            )
-            results.append(r)
+        # The diagnostics area (SHOW WARNINGS buffer) resets at each
+        # TOP-LEVEL statement that isn't itself a diagnostics read —
+        # nested execute() calls (trigger bodies, procedure statements)
+        # must not wipe notes their siblings just pushed.
+        top_level = not getattr(self, "_in_execute", False)
+        self._in_execute = True
+        try:
+            for s in stmts:
+                if top_level and not re.match(
+                    r"(?i)\s*SHOW\s+(?:COUNT\s*\(\s*\*\s*\)\s+)?"
+                    r"(?:WARNINGS|ERRORS)\b", s
+                ):
+                    self._session_warnings = []
+                r = self._execute_one(s, dialect)
+                # ROW_COUNT() bookkeeping: DML leaves its affected
+                # count, any other statement resets to MySQL's -1.
+                self._last_affected = (
+                    r.affected_rows if isinstance(r, OkResult) else -1
+                )
+                results.append(r)
+        finally:
+            if top_level:
+                self._in_execute = False
         return results[-1] if len(results) == 1 else results
+
+    def _push_warning(self, code: int, message: str,
+                      level: str = "Note") -> None:
+        """Append to the session diagnostics area (SHOW WARNINGS)."""
+        buf = getattr(self, "_session_warnings", None)
+        if buf is None:
+            buf = self._session_warnings = []
+        buf.append((level, code, message))
 
     def _rewrite_session_funcs(self, query: str) -> str:
         """Constant-fold the session-state functions MySQL evaluates
@@ -3958,6 +4052,17 @@ class Engine:
         if isinstance(s, st.Update):
             if s.from_text:
                 return self._exec_update_multi(s, dialect)
+            # single-table UPDATE: `t.c` ≡ `c` (MySQL); normalize so
+            # the withColumns fast path (bare-DataFrame F.expr, no
+            # relation alias in scope) resolves qualified refs too
+            s = dataclasses.replace(
+                s,
+                where=self._strip_self_qualifier(s.where, s.table),
+                assignments={
+                    c: self._strip_self_qualifier(e, s.table)
+                    for c, e in s.assignments.items()
+                },
+            )
             if (
                 s.cte
                 or _has_subquery(s.where)
@@ -6208,11 +6313,13 @@ class Engine:
         # an empty set IS the truthful catalog answer here.
         if s.kind == "warnings":
             return self.spark.createDataFrame(
-                [], "Level string, Code int, Message string"
+                list(getattr(self, "_session_warnings", [])),
+                "Level string, Code int, Message string",
             )
         if s.kind == "warning_count":
             return self.spark.createDataFrame(
-                [(0,)], "`@@session.warning_count` int"
+                [(len(getattr(self, "_session_warnings", [])),)],
+                "`@@session.warning_count` int",
             )
         if s.kind == "triggers":
             rows = [

@@ -462,10 +462,10 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = table_view(spark, sf_dir, "customer")
     orders = table_view(spark, sf_dir, "orders")
     return spark.sql(f"""
-        SELECT {hint_small('oc')} c_count,
+        SELECT c_count,
                CAST(COUNT(*) AS BIGINT) AS custdist
         FROM (
-            SELECT COALESCE(oc.__n, 0L) AS c_count
+            SELECT {hint_small('oc')} COALESCE(oc.__n, 0L) AS c_count
             FROM {cust} LEFT JOIN (
                 SELECT o_custkey, CAST(COUNT(1) AS LONG) AS __n
                 FROM {orders}

@@ -140,11 +140,13 @@ def _block_balance(masked: str) -> int:
     BEGIN always opens (it is never a function). The others open only
     in STATEMENT position — at the start of the text or right after a
     statement-introducing token (BEGIN/THEN/ELSE/DO/ROW/';'/a label
-    ':') — which cleanly excludes the IF()/REPEAT() functions and CASE
-    *expressions* (those follow '=', '(', ',', SELECT, …; CASE
-    expressions also self-balance against their own END, but never
-    reach the count at all this way). The keyword following END
-    ('END IF' …) is part of the closer, already counted."""
+    ':') — which cleanly excludes the IF()/REPEAT() functions. CASE
+    counts unconditionally: a CASE *expression* and a CASE *statement*
+    are each closed by exactly one END token, so +1 per CASE keeps the
+    balance exact wherever it appears (an expression-position CASE's
+    END would otherwise drive the count negative and cut a body merge
+    short). The keyword following END ('END IF', 'END CASE' …) is part
+    of the closer, already counted."""
     n = 0
     for m in re.finditer(
         r"(?i)\b(BEGIN|LOOP|REPEAT|CASE|IF|WHILE|END)\b", masked
@@ -156,7 +158,7 @@ def _block_balance(masked: str) -> int:
             continue
         if tail.upper().endswith("END"):
             continue  # the closer's keyword, already counted
-        if w == "BEGIN":
+        if w in ("BEGIN", "CASE"):
             n += 1
             continue
         last = re.search(r"([A-Za-z_]+|\S)\s*$", tail)

@@ -90,6 +90,17 @@ def main() -> int:
              f"{n_warn} single-partition window warning(s):\n"
              + "\n".join(lines[:5]))
         )
+    # Round-7 invariant: zero HintErrorLogger lines — an unresolved
+    # join hint means a serving-profile plan pin silently did nothing
+    # (the round-6 q13 BROADCAST(oc) defect). Fail loudly instead.
+    n_hint = errtext.count("HintErrorLogger")
+    if n_hint:
+        lines = [ln for ln in errtext.splitlines() if "HintErrorLogger" in ln]
+        failures.append(
+            ("__zero_unbound_hints__",
+             f"{n_hint} unresolved join-hint warning(s):\n"
+             + "\n".join(lines[:5]))
+        )
     print(
         f"\n{len(names) - len(failures)}/{len(names)} green "
         f"in {time.time() - t_all:.1f}s at {sf_dir}"

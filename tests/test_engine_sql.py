@@ -892,6 +892,32 @@ def test_split_statements_keywords_in_literals():
     assert parts[1] == "SELECT 1"
 
 
+def test_split_statements_case_expression_in_body():
+    """A CASE *expression* inside a routine body self-balances against
+    its own END: the body must merge as one statement instead of the
+    expression's END cutting the merge short (advisor regression,
+    statements.py _block_balance)."""
+    parts = split_statements(
+        "CREATE PROCEDURE p() BEGIN "
+        "SELECT CASE WHEN 1=1 THEN 2 ELSE 3 END AS v; "
+        "SET @x = 1; END; SELECT 1"
+    )
+    assert len(parts) == 2
+    assert parts[0].rstrip().upper().endswith("END")
+    assert parts[1] == "SELECT 1"
+    # CASE *statement* (closed by END CASE) still merges
+    parts = split_statements(
+        "CREATE PROCEDURE q() BEGIN "
+        "CASE WHEN @a = 1 THEN SELECT 1; ELSE SELECT 2; END CASE; "
+        "SET @y = 0; END"
+    )
+    assert len(parts) == 1
+    # a bare CASE expression outside a routine never glues statements
+    assert len(
+        split_statements("SELECT CASE WHEN 1=1 THEN 2 END AS v; SELECT 2")
+    ) == 2
+
+
 def test_backup_restore_whole_database(spark, tmp_path):
     """BACKUP DATABASE <db> backs up EVERY table plus the routine/
     trigger/event/user metadata sidecars (the reference copies the

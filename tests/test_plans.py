@@ -286,6 +286,41 @@ def test_engine_dml_result_reads_from_snapshot(spark, sf_dir, tmp_path):
     assert "parquet" in plan.lower()
 
 
+def test_hinted_builds_resolve_their_hints(spark, sf_dir):
+    """Every profile-gated broadcast hint in the single-SQL builds must
+    BIND: an unresolved hint is silently dropped by Spark with only a
+    HintErrorLogger warning (the round-6 q13 BROADCAST(oc) defect — the
+    hint sat in the outer query block while alias oc lived in the
+    subquery). ResolvedHint in the analyzed plan is the binding proof;
+    q13 additionally must broadcast the pre-agg side."""
+    from myduckserver_spark.tables import serving_profile
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in ("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
+    }
+    try:
+        conf = serving_profile(spark, sf_dir)
+        assert conf, "sf_dir fixture should be under the small-profile cap"
+        for name in (
+            "q3_shipping_priority",
+            "q10_returned_items",
+            "q13_customer_distribution",
+            "q18_large_volume_orders",
+        ):
+            df = REGISTRY[name].spark(spark, sf_dir)
+            analyzed = df._jdf.queryExecution().analyzed().toString()
+            assert "UnresolvedHint" not in analyzed, name
+            assert "ResolvedHint" in analyzed, (
+                f"{name}: profile-gated hint did not bind to any relation"
+            )
+        q13 = REGISTRY["q13_customer_distribution"].spark(spark, sf_dir)
+        assert "BroadcastHashJoin" in _physical(q13)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def test_serving_profile_small_set_goes_static(spark, sf_dir):
     """Statistics-driven planning: a small working set switches the
     session to static planning with size-proportional shuffle width;

@@ -97,6 +97,85 @@ def test_begin_end_body_and_batch_statement(eng):
     ).collect()[0].n == 2  # once per affected ROW (MySQL semantics)
 
 
+def test_batch_update_multi_assignment_keeps_batch_semantics(eng):
+    """A multi-assignment SET list must NOT enter the additive rewrite
+    (round-6 regression: the addend regex captured `1, b = b + 2` and
+    generated unparseable SQL). It executes once per statement with a
+    SHOW WARNINGS note."""
+    eng.execute("CREATE TABLE counters (k VARCHAR(10), a INT, b INT)")
+    eng.execute("INSERT INTO counters VALUES ('x', 0, 0)")
+    eng.execute(
+        "CREATE TRIGGER ma AFTER INSERT ON items FOR EACH ROW "
+        "UPDATE counters SET a = a + 1, b = b + 2"
+    )
+    eng.execute("INSERT INTO items VALUES (1, 'a', 1, NULL), "
+                "(2, 'b', 2, NULL)")
+    # SHOW WARNINGS immediately: any other statement resets the
+    # diagnostics area (MySQL semantics)
+    notes = eng.execute("SHOW WARNINGS").collect()
+    assert any("batch semantics" in w.Message for w in notes)
+    r = eng.execute("SELECT a, b FROM counters").collect()[0]
+    assert (r.a, r.b) == (1, 2)  # once per STATEMENT (documented)
+
+
+def test_batch_update_qualified_self_ref_keeps_batch_semantics(eng):
+    """`SET n = n + counters.n` reads the target column through a
+    table qualifier — multiplying the addend by N is WRONG (MySQL's
+    per-row result is n·2^N), so the body keeps batch semantics."""
+    eng.execute("CREATE TABLE counters (k VARCHAR(10), n INT)")
+    eng.execute("INSERT INTO counters VALUES ('x', 3)")
+    eng.execute(
+        "CREATE TRIGGER qs AFTER INSERT ON items FOR EACH ROW "
+        "UPDATE counters SET n = n + counters.n"
+    )
+    eng.execute("INSERT INTO items VALUES (1, 'a', 1, NULL), "
+                "(2, 'b', 2, NULL)")
+    notes = eng.execute("SHOW WARNINGS").collect()
+    assert any("batch semantics" in w.Message for w in notes)
+    # one doubling, not addend*2: 3 + 3 = 6 (batch), never 3 + 3*2 = 9
+    assert eng.execute(
+        "SELECT n FROM counters"
+    ).collect()[0].n == 6
+
+
+def test_batch_update_multiplicative_exact(eng):
+    """`SET c = c * k` run once per row ≡ `c * k^N` — the second
+    algebraically-exact batch shape, recovered like the additive one."""
+    eng.execute("CREATE TABLE counters (k VARCHAR(10), n INT)")
+    eng.execute("INSERT INTO counters VALUES ('x', 3)")
+    eng.execute(
+        "CREATE TRIGGER mul AFTER INSERT ON items FOR EACH ROW "
+        "UPDATE counters SET n = n * 2"
+    )
+    eng.execute("INSERT INTO items VALUES (1, 'a', 1, NULL), "
+                "(2, 'b', 2, NULL), (3, 'c', 3, NULL)")
+    assert eng.execute(
+        "SELECT n FROM counters"
+    ).collect()[0].n == 24  # 3 * 2^3
+    # exact shapes leave NO batch-semantics note
+    notes = eng.execute("SHOW WARNINGS").collect()
+    assert not any("batch semantics" in w.Message for w in notes)
+
+
+def test_batch_insert_body_leaves_warning(eng):
+    """A NEW/OLD-free INSERT body runs once per statement (MySQL: once
+    per row) — the divergence must be visible in SHOW WARNINGS."""
+    eng.execute(
+        "CREATE TRIGGER bi AFTER INSERT ON items FOR EACH ROW "
+        "INSERT INTO audit VALUES ('items', 'batch', 0, NULL)"
+    )
+    eng.execute("INSERT INTO items VALUES (1, 'a', 1, NULL), "
+                "(2, 'b', 2, NULL)")
+    notes = eng.execute("SHOW WARNINGS").collect()
+    assert any("batch semantics" in w.Message for w in notes)
+    assert eng.execute(
+        "SELECT COUNT(*) AS n FROM audit"
+    ).collect()[0].n == 1
+    # and the diagnostics area resets at the next ordinary statement
+    eng.execute("SELECT 1")
+    assert eng.execute("SHOW WARNINGS").collect() == []
+
+
 def test_show_triggers_drop_and_persistence(eng, spark, tmp_path):
     eng.execute(
         "CREATE TRIGGER t1 AFTER INSERT ON items FOR EACH ROW "
@@ -258,6 +337,35 @@ def test_before_update_signal_new_and_old(eng):
     with pytest.raises(SignalError, match="may not shrink"):
         eng.execute("UPDATE items SET qty = 3 WHERE id = 1")
     assert eng.execute("SELECT qty FROM items").collect()[0].qty == 15
+
+
+def test_before_update_guard_sees_statement_order(eng):
+    """A guard must read NEW.x as assigned UP TO its position in the
+    body — a later `SET NEW.x = 0` must not retroactively silence it
+    (advisor finding: the guard saw the FINAL assignment map, letting
+    `UPDATE ... SET x=100` bypass an early validation)."""
+    from myduckserver_spark.engine import SignalError
+
+    eng.execute("INSERT INTO items VALUES (1, 'a', 1, NULL)")
+    eng.execute(
+        "CREATE TRIGGER cap_qty BEFORE UPDATE ON items FOR EACH ROW BEGIN "
+        "IF NEW.qty > 5 THEN "
+        "SIGNAL SQLSTATE '45000' SET MESSAGE_TEXT = 'too big'; END IF; "
+        "SET NEW.qty = 0; END"
+    )
+    with pytest.raises(SignalError, match="too big"):
+        eng.execute("UPDATE items SET qty = 100 WHERE id = 1")
+    assert eng.execute("SELECT qty FROM items").collect()[0].qty == 1
+    # converse order: the SET runs first, so the guard sees 0 — passes
+    eng.execute("DROP TRIGGER cap_qty")
+    eng.execute(
+        "CREATE TRIGGER cap_qty2 BEFORE UPDATE ON items FOR EACH ROW BEGIN "
+        "SET NEW.qty = 0; "
+        "IF NEW.qty > 5 THEN "
+        "SIGNAL SQLSTATE '45000' SET MESSAGE_TEXT = 'too big'; END IF; END"
+    )
+    eng.execute("UPDATE items SET qty = 100 WHERE id = 1")
+    assert eng.execute("SELECT qty FROM items").collect()[0].qty == 0
 
 
 def test_before_delete_signal_blocks(eng):
