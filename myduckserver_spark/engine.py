@@ -1714,7 +1714,7 @@ class Engine:
         self._proc_cache = m
 
     _PROC_UNSUPPORTED = re.compile(
-        r"(?i)^\s*(GET\s+DIAGNOSTICS|RESIGNAL)\b"
+        r"(?i)^\s*(RESIGNAL)\b"  # only valid inside a handler body
     )
     # driver-side cursor guard: cursors are inherently row-at-a-time,
     # so OPEN collects the (substituted) query to the driver — honest
@@ -1859,6 +1859,22 @@ class Engine:
                 nodes.append(("signal", m.group(1), msg))
                 i += 1
                 continue
+            m = re.fullmatch(r"(?:(\w+)\s*:\s*)?BEGIN(?:\s+(.+))?$",
+                             p, re.I | re.S)
+            if m:
+                # nested anonymous/labeled BEGIN…END block: its own
+                # handler scope (MySQL: handlers expire with their
+                # block). The ';' split glues the first inner
+                # statement onto the BEGIN — re-insert it.
+                if m.group(2):
+                    parts.insert(i + 1, m.group(2))
+                blk, j = self._parse_proc_block(
+                    parts, i + 1, stop=("END",))
+                if j >= len(parts):
+                    raise ValueError("BEGIN without END")
+                nodes.append(("block", m.group(1), blk))
+                i = j + 1
+                continue
             m = re.fullmatch(r"(?:(\w+)\s*:\s*)?LOOP", p, re.I)
             if m:
                 blk, j = self._parse_proc_block(
@@ -1926,12 +1942,6 @@ class Engine:
                         "handler bodies must be a single statement "
                         "(BEGIN…END handler blocks are not)"
                     )
-                if re.match(r"(?i)\s*GET\s+DIAGNOSTICS",
-                            m.group(4).strip()):
-                    raise NotImplementedError(
-                        "GET DIAGNOSTICS is not supported in handler "
-                        "bodies"
-                    )
                 if m.group(2).isdigit():
                     raise NotImplementedError(
                         "HANDLER FOR <errno> is MySQL-error-code "
@@ -1982,6 +1992,34 @@ class Engine:
                     nodes.append(("if", branches, []))
                     i = j + 1
                     break
+                continue
+            m = re.fullmatch(
+                r"GET\s+(?:CURRENT\s+)?DIAGNOSTICS\s+"
+                r"(CONDITION\s+1\s+)?(.+)$",
+                p, re.I | re.S,
+            )
+            if m:
+                # GET DIAGNOSTICS t = ROW_COUNT | NUMBER, …
+                # GET DIAGNOSTICS CONDITION 1 t = RETURNED_SQLSTATE |
+                #   MESSAGE_TEXT | MYSQL_ERRNO, … (handler bodies read
+                #   the caught condition; reference corpus
+                #   main_test.go:1071 exercises these GMS-side)
+                items = []
+                for part in st.split_top_level(m.group(2), ","):
+                    im = re.fullmatch(
+                        r"\s*(@?(?:`[^`]+`|\w+))\s*=\s*(\w+)\s*",
+                        part, re.S,
+                    )
+                    if not im:
+                        raise ValueError(
+                            f"cannot parse GET DIAGNOSTICS item "
+                            f"{part!r}"
+                        )
+                    items.append(
+                        (im.group(1), im.group(2).upper())
+                    )
+                nodes.append(("getdiag", bool(m.group(1)), items))
+                i += 1
                 continue
             m = re.fullmatch(r"(?:(\w+)\s*:\s*)?WHILE\s+(.+?)\s+DO",
                              p, re.I | re.S)
@@ -2082,9 +2120,12 @@ class Engine:
 
     # sentinel: local evaluation couldn't handle the expression
     _LOCAL_MISS = object()
+    # NULL is deliberately absent: Python's None diverges from SQL
+    # three-valued logic (`NOT (NULL = 1)` is NULL/falsy in SQL but
+    # True in Python) — any NULL falls back to the Spark path.
     _LOCAL_KEYWORDS = {
         "AND": "and", "OR": "or", "NOT": "not",
-        "TRUE": "True", "FALSE": "False", "NULL": "None",
+        "TRUE": "True", "FALSE": "False",
     }
     _LOCAL_TOKEN = re.compile(
         r"'(?:[^']|'')*'|[A-Za-z_]\w*|\d+\.\d+|\d+"
@@ -2103,6 +2144,13 @@ class Engine:
         s = expr.strip()
         toks = cls._LOCAL_TOKEN.findall(s)
         if re.sub(r"\s+", "", "".join(toks)) != re.sub(r"\s+", "", s):
+            return cls._LOCAL_MISS
+        # mixed string/number operands diverge: SQL coerces ('5' = 5
+        # is TRUE), Python compares types ('5' == 5 is False) — and
+        # the except-fallback can't catch a WRONG boolean
+        if any(t.startswith("'") for t in toks) and any(
+            re.fullmatch(r"\d+\.\d+|\d+", t) for t in toks
+        ):
             return cls._LOCAL_MISS
         py: list[str] = []
         for t in toks:
@@ -2137,26 +2185,39 @@ class Engine:
 
     @staticmethod
     def _match_handler(handlers: list, exc: Exception):
-        """Innermost, most-specific handler for an error: SQLSTATE
-        exact match beats class handlers (SQLEXCEPTION = any error;
-        NOT FOUND = SQLSTATE class 02; SQLWARNING = class 01 — which
-        this engine never raises)."""
+        """Innermost matching handler for an error, resolved FRAME BY
+        FRAME from the innermost block out (MySQL scoping: an inner
+        SQLEXCEPTION handler beats an outer exact-SQLSTATE handler).
+        Only WITHIN one frame does an exact SQLSTATE match beat class
+        handlers (SQLEXCEPTION = any error; NOT FOUND = SQLSTATE class
+        02; SQLWARNING = class 01 — which this engine never raises)."""
         state = getattr(exc, "sqlstate", None)
-        for want_exact in (True, False):
-            for h in reversed(handlers):
-                _owner, _mode, (ckind, cval), _stmt = h
-                if want_exact:
-                    if ckind == "state" and state == cval:
+        frames: list[int] = []
+        by_frame: dict[int, list] = {}
+        for h in handlers:
+            fid = id(h[0])
+            if fid not in by_frame:
+                by_frame[fid] = []
+                frames.append(fid)
+            by_frame[fid].append(h)
+        for fid in reversed(frames):
+            for want_exact in (True, False):
+                for h in reversed(by_frame[fid]):
+                    _owner, _mode, (ckind, cval), _stmt = h
+                    if want_exact:
+                        if ckind == "state" and state == cval:
+                            return h
+                        continue
+                    if ckind != "class":
+                        continue
+                    if cval == "SQLEXCEPTION":
                         return h
-                    continue
-                if ckind != "class":
-                    continue
-                if cval == "SQLEXCEPTION":
-                    return h
-                if cval == "NOT FOUND" and state and state.startswith("02"):
-                    return h
-                if cval == "SQLWARNING" and state and state.startswith("01"):
-                    return h
+                    if cval == "NOT FOUND" and state \
+                            and state.startswith("02"):
+                        return h
+                    if cval == "SQLWARNING" and state \
+                            and state.startswith("01"):
+                        return h
         return None
 
     def _run_proc_block(self, nodes: list, env: dict, dialect: str,
@@ -2202,8 +2263,17 @@ class Engine:
                     raise SignalError(state, msg) from e
                 raise e
             # handler body: single statement, no handler rescue of its
-            # own (a failing handler propagates raw)
-            self._run_proc_block([("sql", stmt)], env, dialect)
+            # own (a failing handler propagates raw). It is parsed —
+            # not passed through as raw SQL — so GET DIAGNOSTICS
+            # CONDITION 1 can read the caught condition, exposed for
+            # the handler's duration as the active diagnostics area.
+            prev_cond = getattr(self, "_diag_condition", None)
+            self._diag_condition = e
+            try:
+                hnodes, _ = self._parse_proc_block([stmt])
+                self._run_proc_block(hnodes, env, dialect)
+            finally:
+                self._diag_condition = prev_cond
             if mode == "exit":
                 raise _ProcExit(owner) from None
 
@@ -2310,6 +2380,65 @@ class Engine:
                         if xfer == "leave" or \
                                 bool(self._proc_eval(until, env, dialect)):
                             break
+                elif kind == "getdiag":
+                    _k, is_cond, items = node
+                    exc = getattr(self, "_diag_condition", None)
+                    for tgt, item in items:
+                        if is_cond:
+                            if item == "RETURNED_SQLSTATE":
+                                val = (getattr(exc, "sqlstate", None)
+                                       or "HY000") if exc else None
+                            elif item == "MESSAGE_TEXT":
+                                val = (getattr(exc, "message_text",
+                                               str(exc))
+                                       if exc else None)
+                            elif item == "MYSQL_ERRNO":
+                                # user SIGNALs surface as 1644; any
+                                # other engine error as generic 1105
+                                val = ((1644 if isinstance(
+                                    exc, SignalError) else 1105)
+                                    if exc else 0)
+                            else:
+                                raise ValueError(
+                                    "GET DIAGNOSTICS CONDITION 1 "
+                                    f"item {item} is not supported "
+                                    "(RETURNED_SQLSTATE / MESSAGE_"
+                                    "TEXT / MYSQL_ERRNO)"
+                                )
+                        elif item == "ROW_COUNT":
+                            val = getattr(self, "_last_affected", -1)
+                        elif item == "NUMBER":
+                            val = 1 if exc is not None else 0
+                        else:
+                            raise ValueError(
+                                f"GET DIAGNOSTICS item {item} is not "
+                                "supported (ROW_COUNT / NUMBER)"
+                            )
+                        name = st.unquote_ident(tgt.lstrip("@"))
+                        if tgt.startswith("@"):
+                            self.variables[name] = val
+                        elif name.lower() in env:
+                            env[name.lower()] = self._render_literal(val)
+                        else:
+                            raise ValueError(
+                                f"GET DIAGNOSTICS INTO {tgt}: not a "
+                                "declared local or @variable"
+                            )
+                elif kind == "block":
+                    _k, label, blk = node
+                    try:
+                        # own recursion level = own frame: handlers
+                        # declared inside expire on exit, and an inner
+                        # class handler outranks an outer exact one
+                        result = self._run_proc_block(
+                            blk, env, dialect, handlers, result,
+                            cursors)
+                    except _ProcLeave as e:
+                        # LEAVE <block_label> targets this block;
+                        # anything else keeps unwinding
+                        if not (label and e.label
+                                and e.label.lower() == label.lower()):
+                            raise
                 elif kind == "cursor":
                     cursors[node[1]] = {"query": node[2], "rows": None,
                                         "pos": 0}

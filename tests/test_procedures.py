@@ -62,8 +62,7 @@ def test_procedure_persistence_and_show(eng, spark):
 
 def test_resignal_in_handler(eng):
     """RESIGNAL re-raises the handled condition — bare form passes the
-    original through, SQLSTATE/MESSAGE_TEXT form relabels it. GET
-    DIAGNOSTICS remains an honest CREATE-time rejection."""
+    original through, SQLSTATE/MESSAGE_TEXT form relabels it."""
     from myduckserver_spark.engine import SignalError
 
     eng.execute(
@@ -85,13 +84,15 @@ def test_resignal_in_handler(eng):
     with pytest.raises(SignalError, match="wrapped") as ei2:
         eng.execute("CALL rs2()")
     assert ei2.value.sqlstate == "45001"
-    with pytest.raises(NotImplementedError):
-        eng.execute(
-            "CREATE PROCEDURE gd() BEGIN "
-            "DECLARE EXIT HANDLER FOR SQLEXCEPTION "
-            "GET DIAGNOSTICS CONDITION 1 @e = MESSAGE_TEXT; "
-            "SELECT 1; END"
-        )
+    # GET DIAGNOSTICS in a handler body is supported (round 7) — the
+    # CREATE must be accepted; behavior is covered by
+    # test_get_diagnostics_condition_in_handler
+    eng.execute(
+        "CREATE PROCEDURE gd() BEGIN "
+        "DECLARE EXIT HANDLER FOR SQLEXCEPTION "
+        "GET DIAGNOSTICS CONDITION 1 @e = MESSAGE_TEXT; "
+        "SELECT 1; END"
+    )
 
 
 def test_stored_function_maps_to_macro(eng):
@@ -437,6 +438,107 @@ def test_continue_and_exit_handlers(eng):
     )
     with pytest.raises(SignalError, match="through"):
         eng.execute("CALL misses()")
+
+
+def test_get_diagnostics_row_count(eng):
+    """GET DIAGNOSTICS v = ROW_COUNT reads the previous statement's
+    affected count (reference procedure corpus, main_test.go:1071)."""
+    eng.execute(
+        "CREATE PROCEDURE bump(IN amt INT) BEGIN "
+        "DECLARE rc INT DEFAULT -1; "
+        "UPDATE acct SET bal = bal + amt; "
+        "GET DIAGNOSTICS rc = ROW_COUNT; "
+        "SET @rows_touched = rc; "
+        "END"
+    )
+    eng.execute("CALL bump(5)")
+    assert eng.execute(
+        "SELECT @rows_touched AS n"
+    ).collect()[0].n == 2  # both acct rows updated
+
+
+def test_get_diagnostics_condition_in_handler(eng):
+    """A handler body can read the caught condition via GET
+    DIAGNOSTICS CONDITION 1 … RETURNED_SQLSTATE / MESSAGE_TEXT."""
+    eng.execute(
+        "CREATE PROCEDURE probe() BEGIN "
+        "DECLARE CONTINUE HANDLER FOR SQLEXCEPTION "
+        "  GET DIAGNOSTICS CONDITION 1 "
+        "    @caught_state = RETURNED_SQLSTATE, "
+        "    @caught_msg = MESSAGE_TEXT; "
+        "SIGNAL SQLSTATE '45022' SET MESSAGE_TEXT = 'custom boom'; "
+        "SET @after = 'resumed'; "
+        "END"
+    )
+    eng.execute("CALL probe()")
+    assert eng.execute(
+        "SELECT @caught_state AS s"
+    ).collect()[0].s == "45022"
+    assert eng.execute(
+        "SELECT @caught_msg AS m"
+    ).collect()[0].m == "custom boom"
+    assert eng.execute(
+        "SELECT @after AS a"
+    ).collect()[0].a == "resumed"
+
+
+def test_inner_class_handler_beats_outer_exact_handler(eng):
+    """MySQL handler selection resolves from the INNERMOST block out:
+    an inner SQLEXCEPTION handler wins over an outer exact-SQLSTATE
+    handler (advisor finding: exact-any-scope used to shadow it)."""
+    eng.execute("CREATE TABLE hsc (who VARCHAR(8))")
+    eng.execute(
+        "CREATE PROCEDURE scoped() BEGIN "
+        "DECLARE CONTINUE HANDLER FOR SQLSTATE '45000' "
+        "  INSERT INTO hsc VALUES ('outer'); "
+        "BEGIN "
+        "  DECLARE CONTINUE HANDLER FOR SQLEXCEPTION "
+        "    INSERT INTO hsc VALUES ('inner'); "
+        "  SIGNAL SQLSTATE '45000' SET MESSAGE_TEXT = 'x'; "
+        "END; "
+        "END"
+    )
+    eng.execute("CALL scoped()")
+    assert [r.who for r in eng.execute("SELECT * FROM hsc").collect()] \
+        == ["inner"]
+    # within ONE frame, exact SQLSTATE still beats the class handler
+    eng.execute("DELETE FROM hsc")
+    eng.execute(
+        "CREATE PROCEDURE sameframe() BEGIN "
+        "DECLARE CONTINUE HANDLER FOR SQLEXCEPTION "
+        "  INSERT INTO hsc VALUES ('class'); "
+        "DECLARE CONTINUE HANDLER FOR SQLSTATE '45000' "
+        "  INSERT INTO hsc VALUES ('exact'); "
+        "SIGNAL SQLSTATE '45000' SET MESSAGE_TEXT = 'y'; "
+        "END"
+    )
+    eng.execute("CALL sameframe()")
+    assert [r.who for r in eng.execute("SELECT * FROM hsc").collect()] \
+        == ["exact"]
+
+
+def test_condition_semantics_match_sql_not_python(eng):
+    """Procedure IF conditions mixing string locals with numbers, or
+    NULL under NOT, must take the SQL branch, not Python's ('5' = 5 is
+    TRUE under SQL coercion; NOT (NULL = 1) is NULL → falsy)."""
+    eng.execute(
+        "CREATE PROCEDURE coerce(IN s VARCHAR(4)) BEGIN "
+        "IF s = 5 THEN SET @branch = 'sql'; "
+        "ELSE SET @branch = 'py'; END IF; "
+        "END"
+    )
+    eng.execute("CALL coerce('5')")
+    assert eng.execute("SELECT @branch AS b").collect()[0].b == "sql"
+    eng.execute(
+        "CREATE PROCEDURE nullnot() BEGIN "
+        "IF NOT (NULL = 1) THEN SET @nb = 'true_branch'; "
+        "ELSE SET @nb = 'else_branch'; END IF; "
+        "END"
+    )
+    eng.execute("SET @nb = 'untouched'")
+    eng.execute("CALL nullnot()")
+    # SQL: NOT(NULL) is NULL → condition falsy → ELSE branch
+    assert eng.execute("SELECT @nb AS b").collect()[0].b == "else_branch"
 
 
 def test_handler_covers_nested_loop_statement(eng):
