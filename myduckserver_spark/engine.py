@@ -3025,15 +3025,6 @@ class Engine:
         qual = quals.pop() if quals else next(iter(alias_map))
         target = alias_map.get(qual, qual)
         meta = self.table_meta(target)
-        if (self._triggers_for(target, "update", "before")
-                or self._triggers_for(target, "update", "after")):
-            # honest rejection beats silently skipping the trigger:
-            # the multi-table rewrite has no old/new image pairing yet
-            raise NotImplementedError(
-                f"multi-table UPDATE on {target} with UPDATE triggers "
-                "is not supported; use a single-table UPDATE "
-                "(subquery/CTE forms fire triggers)"
-            )
         if not meta.primary_key:
             raise ValueError(
                 f"multi-table UPDATE needs a PRIMARY KEY on {target} "
@@ -3071,22 +3062,82 @@ class Engine:
         # broadcast it), but a broad UPDATE can match most of the table
         # and must be allowed to shuffle.
         joined = base.join(upd, pk, "left")
+        # Trigger support (reference fires triggers under multi-table
+        # DML via GMS, main_test.go:1053): `newval` maps each touched
+        # column to its post-image SQL over the joined row — statement
+        # SETs land in the __set_* columns; BEFORE UPDATE trigger SETs
+        # fold on top in creation order (NEW.y = post-image so far,
+        # OLD.y = stored column). Guards run as one ANY scan of the
+        # matched rows with a per-guard snapshot, like the
+        # single-table path.
+        newval: dict[str, str] = {c: f"`__set_{c}`" for c in sets}
+        guards: list = []
+        for tg in self._triggers_for(target, "update", "before"):
+            ops = self._split_trigger_ops(tg["body"])
+            if ops is None:
+                raise NotImplementedError(
+                    f"multi-table UPDATE on {target}: BEFORE UPDATE "
+                    f"trigger {tg['name']} body must be SET NEW.… / "
+                    "SIGNAL-guard statements"
+                )
+            for op in ops:
+                if op[0] == "guard":
+                    guards.append((*op[1:], dict(newval)))
+                    continue
+                for col, ex in self._split_set_new(
+                        op[1], keep_refs=True).items():
+                    def _new_ref(m, _a=dict(newval)):
+                        y = st.unquote_ident(m.group(1))
+                        return f"({_a[y]})" if y in _a else f"`{y}`"
+                    ex = re.sub(r"(?i)\bNEW\.(`[^`]+`|\w+)", _new_ref, ex)
+                    ex = re.sub(r"(?i)\bOLD\.(`[^`]+`|\w+)", r"`\1`", ex)
+                    newval[col] = f"({ex})"
+        matched = joined.where(F.col("__matched"))
+        for cond, sqlstate, msg, snap in guards:
+            gc = "TRUE" if cond is None else re.sub(
+                r"(?i)\bNEW\.(`[^`]+`|\w+)",
+                lambda m, _a=snap: (
+                    f"({_a[st.unquote_ident(m.group(1))]})"
+                    if st.unquote_ident(m.group(1)) in _a
+                    else f"`{st.unquote_ident(m.group(1))}`"),
+                cond,
+            )
+            gc = re.sub(r"(?i)\bOLD\.(`[^`]+`|\w+)", r"`\1`", gc)
+            if matched.where(F.expr(f"coalesce(({gc}), false)")).take(1):
+                raise SignalError(sqlstate, msg)
         new_cols = {}
-        for col in sets:
+        for col, txt in newval.items():
             new_cols[col] = (
-                F.when(F.col("__matched"), F.col(f"__set_{col}"))
+                F.when(F.col("__matched"), F.expr(txt))
                 .otherwise(F.col(col))
                 .cast(base.schema[col].dataType)
             )
         for col, expr_text in meta.on_update.items():
-            if col not in sets:
+            if col not in newval:
                 new_cols[col] = (
                     F.when(F.col("__matched"), self._fragment(expr_text))
                     .otherwise(F.col(col))
                     .cast(base.schema[col].dataType)
                 )
+        trig_df = None
+        if self._triggers_for(target, "update", "after"):
+            def _post(c):
+                if c in newval:
+                    return F.expr(newval[c])
+                if c in meta.on_update:
+                    return self._fragment(meta.on_update[c])
+                return F.col(c)
+
+            pair = [
+                F.col(c).alias(f"old_{c}") for c in base.columns
+            ] + [
+                _post(c).cast(base.schema[c].dataType).alias(f"new_{c}")
+                for c in base.columns
+            ]
+            trig_df = matched.select(pair).localCheckpoint()
         t.overwrite(joined.withColumns(new_cols).select(*base.columns))
         self._recompute_generated(target, meta)
+        self._fire_after_triggers(target, "update", trig_df)
         return OkResult(affected_rows=n)
 
     def _exec_delete_multi(self, s: st.Delete, dialect: str) -> OkResult:
@@ -3112,17 +3163,11 @@ class Engine:
         # Resolve every target and plan its kept-set against the
         # PRE-delete snapshots before any overwrite (the join is
         # evaluated once in MySQL; versioned storage keeps the old
-        # snapshot readable while later targets write).
-        for raw in s.targets or [s.table]:
-            tname = alias_map.get(raw, raw)
-            if (self._triggers_for(tname, "delete", "before")
-                    or self._triggers_for(tname, "delete", "after")):
-                raise NotImplementedError(
-                    f"multi-table DELETE on {tname} with DELETE "
-                    "triggers is not supported; use a single-table "
-                    "DELETE (subquery/CTE forms fire triggers)"
-                )
-        plans: list[tuple[str, DataFrame, int]] = []
+        # snapshot readable while later targets write). Triggers fire
+        # per target (reference runs them via GMS, main_test.go:1053):
+        # BEFORE DELETE guards block the whole statement before any
+        # write; AFTER DELETE old-images are materialized pre-write.
+        plans: list[tuple[str, DataFrame, int, DataFrame | None]] = []
         for raw in s.targets or [s.table]:
             table = alias_map.get(raw, raw)
             qual = raw if raw in alias_map else table
@@ -3130,6 +3175,21 @@ class Engine:
                 f"{pre}SELECT DISTINCT `{qual}`.* FROM {refs}{where}",
                 dialect=dialect,
             )
+            for tg in self._triggers_for(table, "delete", "before"):
+                for op in self._split_trigger_ops(tg["body"]) or []:
+                    _k, cond, sqlstate, msg = op
+                    gc = "TRUE" if cond is None else re.sub(
+                        r"(?i)\bOLD\.(`[^`]+`|\w+)", r"`\1`", cond
+                    )
+                    if matched.where(
+                        F.expr(f"coalesce(({gc}), false)")
+                    ).take(1):
+                        raise SignalError(sqlstate, msg)
+            trig_df = None
+            if self._triggers_for(table, "delete", "after"):
+                trig_df = self._prefix_cols(
+                    matched, "old_"
+                ).localCheckpoint()
             base = self.catalog.table(table).read()
             b, m = base.alias("__b"), matched.alias("__m")
             cond = None
@@ -3138,11 +3198,13 @@ class Engine:
                 cond = clause if cond is None else (cond & clause)
             kept = b.join(m, cond, "left_anti")
             n = base.count() - kept.count()
-            plans.append((table, kept, n))
+            plans.append((table, kept, n, trig_df))
         total = 0
-        for table, kept, n in plans:
+        for table, kept, n, _td in plans:
             self.catalog.table(table).overwrite(kept)
             total += n
+        for table, _kept, _n, trig_df in plans:
+            self._fire_after_triggers(table, "delete", trig_df)
         return OkResult(affected_rows=total)
 
     def _exec_merge(self, s: st.MergeStmt, dialect: str) -> OkResult:

@@ -405,28 +405,84 @@ def test_unconditional_signal_trigger(eng):
     eng.execute("DELETE FROM items WHERE id = 99")
 
 
-def test_multi_table_dml_with_triggers_rejected(eng):
-    """Multi-table UPDATE/DELETE on a table with triggers is an honest
-    rejection — firing would otherwise silently skip (the multi-table
-    rewrite has no old/new image pairing yet)."""
+def test_multi_table_update_fires_triggers(eng):
+    """UPDATE t1 JOIN t2 SET … fires t1's BEFORE and AFTER UPDATE
+    triggers with MySQL row images (reference executes triggers under
+    multi-table DML via GMS, main_test.go:1053) — replaces the round-6
+    honest rejection."""
     eng.execute("CREATE TABLE side (id INT PRIMARY KEY, v INT)")
-    eng.execute("INSERT INTO side VALUES (1, 1)")
+    eng.execute("INSERT INTO side VALUES (1, 10), (2, 20)")
+    eng.execute("INSERT INTO items VALUES (1, 'a', 1, NULL), "
+                "(2, 'b', 2, NULL), (3, 'c', 3, NULL)")
+    eng.execute(
+        "CREATE TRIGGER bu_norm BEFORE UPDATE ON items FOR EACH ROW "
+        "SET NEW.norm = CONCAT('q', NEW.qty)"
+    )
+    eng.execute(
+        "CREATE TRIGGER au_log AFTER UPDATE ON items FOR EACH ROW "
+        "INSERT INTO audit VALUES ('items', 'upd', OLD.id, "
+        "CONCAT(OLD.qty, '->', NEW.qty))"
+    )
+    eng.execute(
+        "UPDATE items JOIN side ON items.id = side.id "
+        "SET items.qty = side.v"
+    )
+    rows = {r.id: (r.qty, r.norm) for r in
+            eng.execute("SELECT id, qty, norm FROM items").collect()}
+    # BEFORE trigger folded over the JOINED post-image (NEW.qty = side.v)
+    assert rows == {1: (10, "q10"), 2: (20, "q20"), 3: (3, None)}
+    got = sorted((r.item_id, r.detail) for r in
+                 eng.execute("SELECT * FROM audit").collect())
+    assert got == [(1, "1->10"), (2, "2->20")]
+
+
+def test_multi_table_update_before_guard_blocks(eng):
+    """A BEFORE UPDATE SIGNAL guard on the target blocks the whole
+    multi-table statement before any write."""
+    from myduckserver_spark.engine import SignalError
+
+    eng.execute("CREATE TABLE side (id INT PRIMARY KEY, v INT)")
+    eng.execute("INSERT INTO side VALUES (1, 999)")
     eng.execute("INSERT INTO items VALUES (1, 'a', 1, NULL)")
     eng.execute(
-        "CREATE TRIGGER au2 AFTER UPDATE ON items FOR EACH ROW "
-        "INSERT INTO audit VALUES ('items', 'upd', OLD.id, NULL)"
+        "CREATE TRIGGER bu_cap BEFORE UPDATE ON items FOR EACH ROW "
+        "IF NEW.qty > 100 THEN "
+        "SIGNAL SQLSTATE '45000' SET MESSAGE_TEXT = 'qty cap'; END IF"
     )
-    with pytest.raises(NotImplementedError, match="multi-table UPDATE"):
+    with pytest.raises(SignalError, match="qty cap"):
         eng.execute("UPDATE items JOIN side ON items.id = side.id "
-                    "SET items.qty = 5")
+                    "SET items.qty = side.v")
+    assert eng.execute("SELECT qty FROM items").collect()[0].qty == 1
+
+
+def test_multi_table_delete_fires_triggers(eng):
+    """DELETE t1 FROM t1 JOIN t2 fires t1's AFTER DELETE triggers with
+    OLD images, and BEFORE DELETE guards block pre-write."""
+    from myduckserver_spark.engine import SignalError
+
+    eng.execute("CREATE TABLE side (id INT PRIMARY KEY, v INT)")
+    eng.execute("INSERT INTO side VALUES (2, 0), (3, 0)")
+    eng.execute("INSERT INTO items VALUES (1, 'a', 1, NULL), "
+                "(2, 'b', 2, NULL), (3, 'c', 3, NULL)")
     eng.execute(
-        "CREATE TRIGGER ad2 AFTER DELETE ON items FOR EACH ROW "
-        "INSERT INTO audit VALUES ('items', 'del', OLD.id, NULL)"
+        "CREATE TRIGGER ad_log AFTER DELETE ON items FOR EACH ROW "
+        "INSERT INTO audit VALUES ('items', 'del', OLD.id, OLD.name)"
     )
-    with pytest.raises(NotImplementedError, match="multi-table DELETE"):
+    eng.execute("DELETE items FROM items JOIN side ON items.id = side.id")
+    assert sorted((r.item_id, r.detail) for r in
+                  eng.execute("SELECT * FROM audit").collect()) \
+        == [(2, "b"), (3, "c")]
+    assert [r.id for r in eng.execute("SELECT id FROM items").collect()] \
+        == [1]
+    # BEFORE DELETE guard: re-insert and protect row 1
+    eng.execute("INSERT INTO side VALUES (1, 0)")
+    eng.execute(
+        "CREATE TRIGGER bd_guard BEFORE DELETE ON items FOR EACH ROW "
+        "IF OLD.id = 1 THEN "
+        "SIGNAL SQLSTATE '45000' SET MESSAGE_TEXT = 'protected'; END IF"
+    )
+    with pytest.raises(SignalError, match="protected"):
         eng.execute("DELETE items FROM items JOIN side "
                     "ON items.id = side.id")
-    # single-table forms still fire
-    eng.execute("UPDATE items SET qty = 9 WHERE id = 1")
-    assert [(r.op, r.item_id) for r in
-            eng.execute("SELECT * FROM audit").collect()] == [("upd", 1)]
+    assert [r.id for r in eng.execute("SELECT id FROM items").collect()] \
+        == [1]
