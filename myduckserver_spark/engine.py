@@ -1498,6 +1498,17 @@ class Engine:
         self._save_replication(cfg)
         return OkResult()
 
+    # URI-scheme → CdcFeed factory registry: the drop-in point for
+    # network replication clients (vitess/pglogrepl analogs). A
+    # factory takes (source_uri, engine) and returns a
+    # streaming.feed.CdcFeed; file:// stays built in.
+    _FEED_SCHEMES: dict = {}
+
+    @classmethod
+    def register_feed_scheme(cls, scheme: str, factory) -> None:
+        """Register a CdcFeed factory for SOURCE_HOST='<scheme>://…'."""
+        cls._FEED_SCHEMES[scheme.lower()] = factory
+
     def _build_replica_applier(self, host: str):
         from myduckserver_spark.streaming.cdc_source import FileCdcFeed
         from myduckserver_spark.streaming.log_feed import (
@@ -1509,15 +1520,18 @@ class Engine:
             MultiTableTxnView,
         )
 
-        if not host.startswith("file://"):
+        scheme = host.split("://", 1)[0].lower() if "://" in host else ""
+        if scheme != "file" and scheme not in self._FEED_SCHEMES:
             raise NotImplementedError(
-                "network binlog sources need the wire/connector layer "
-                "(reference binlog_replica_applier.go speaks the vitess "
-                "client); bind a local feed directory with "
-                "SOURCE_HOST='file:///path' — FileCdcFeed segments or a "
-                "PartitionedLogFeed"
+                "network binlog sources need a CdcFeed client for the "
+                f"'{scheme or host}' scheme (reference "
+                "binlog_replica_applier.go speaks the vitess client); "
+                "implement streaming.feed.CdcFeed and register it with "
+                "Engine.register_feed_scheme, or bind a local feed "
+                "directory with SOURCE_HOST='file:///path' — "
+                "FileCdcFeed segments or a PartitionedLogFeed"
             )
-        path = host[len("file://"):]
+        path = host.split("://", 1)[1]
         tables: dict = {}
         for name in self.catalog.list_tables():
             if name.startswith("__"):
@@ -1544,7 +1558,13 @@ class Engine:
                 "no replicable tables in the catalog (targets need a "
                 "PRIMARY KEY)"
             )
-        if os.path.exists(os.path.join(path, "_LOGMETA")):
+        if scheme != "file":
+            # custom CdcFeed client (loopback socket, vitess,
+            # pglogrepl, Kafka consumer, …): the factory receives the
+            # full URI and this engine; everything downstream consumes
+            # only the CdcFeed contract (streaming/feed.py)
+            feed = self._FEED_SCHEMES[scheme](host, self)
+        elif os.path.exists(os.path.join(path, "_LOGMETA")):
             log = PartitionedLogFeed(path)
             feed = LogFeedCdcSource(
                 log,

@@ -79,6 +79,8 @@ class FileCdcFeed:
 
     Writers append events to the current segment and may rotate;
     readers scan segments in order and skip to a resume position.
+    Registered as a ``streaming.feed.CdcFeed`` (the network-client
+    seam) at the bottom of that module — the import here would cycle.
     """
 
     def __init__(self, root: str):
