@@ -4015,6 +4015,97 @@ class Engine:
             return v.strip().upper() not in ("", "0", "OFF", "FALSE")
         return bool(v)
 
+    # ----------------------------------------------------- authorization
+    # The reference enforces privileges at the wire via its auth
+    # plugin + GMS checks (plugin/auth.go); this library engine keeps
+    # the unrestricted single-principal default, but a host that
+    # switches the session principal (set_session_user — what a wire
+    # layer would do at connect) gets real enforcement against the
+    # same grant registry GRANT/REVOKE maintain. Granularity: per
+    # target table for DML/DDL; for reads, ANY select-capable grant
+    # scoped to the session database admits SELECT/SHOW in it
+    # (SELECT references arbitrarily many tables — MySQL checks each;
+    # resolving every relation out of raw SQL is the wire layer's
+    # parser job, so the documented unit here is the database).
+
+    def set_session_user(self, user: str | None) -> None:
+        """Switch the session principal; None or root restores the
+        unrestricted default. Unknown principals are refused (MySQL
+        ER_ACCESS_DENIED at connect)."""
+        if user is None or re.match(r"(?i)\s*['\"`]?root\b", user):
+            self._session_user = None
+            return
+        spec = st._user_spec(user)
+        if spec not in self._load_users():
+            raise PermissionError(f"Access denied for user {spec}")
+        self._session_user = spec
+
+    def _check_privileges(self, s) -> None:
+        user = getattr(self, "_session_user", None)
+        if user is None:
+            return
+        if isinstance(s, st.UserStmt):
+            # account management stays with the unrestricted principal
+            raise PermissionError(
+                f"Access denied; user {user} needs the (root) "
+                "single-principal session for account management"
+            )
+        tgt = None
+        for attr in ("table", "name", "target"):
+            tgt = getattr(s, attr, None)
+            if isinstance(tgt, str) and tgt:
+                break
+            tgt = None
+        need: list[tuple[str, str | None]] = []
+        if isinstance(s, st.Insert):
+            need = [("INSERT", tgt)]
+        elif isinstance(s, st.Update):
+            need = [("UPDATE", tgt)]
+        elif isinstance(s, st.Delete):
+            need = [("DELETE", tgt)]
+        elif isinstance(s, st.MergeStmt):
+            need = [("INSERT", tgt), ("UPDATE", tgt), ("DELETE", tgt)]
+        elif isinstance(s, st.LoadData):
+            need = [("INSERT", tgt)]
+        elif isinstance(s, (st.Truncate, st.DropTable, st.DropView)):
+            need = [("DROP", tgt)]
+        elif isinstance(s, (st.CreateTable, st.CreateTableAs,
+                            st.CreateTableLike, st.CreateView)):
+            need = [("CREATE", tgt)]
+        elif isinstance(s, (st.AlterTable, st.RenameTable,
+                            st.CreateIndex, st.DropIndex)):
+            need = [("ALTER", tgt)]
+        elif isinstance(s, (st.Query, st.Show)):
+            need = [("SELECT", None)]
+        for priv, table in need:
+            if not self._has_privilege(user, priv, table):
+                what = f"table '{table}'" if table else \
+                    f"database '{self.current_db}'"
+                raise PermissionError(
+                    f"{priv} command denied to user {user} for {what}"
+                )
+
+    def _has_privilege(self, user: str, priv: str, table: str | None
+                       ) -> bool:
+        for g in self._load_users().get(user, {}).get("grants", []):
+            privs = {p.strip().upper()
+                     for p in g.get("privs", "").split(",")}
+            if not ({"ALL", "ALL PRIVILEGES", priv} & privs):
+                continue
+            tgt = g.get("on", "*.*")
+            if "." in tgt:
+                tdb, _, ttbl = tgt.partition(".")
+            else:
+                tdb, ttbl = self.current_db, tgt
+            tdb = st.unquote_ident(tdb)
+            ttbl = st.unquote_ident(ttbl)
+            if tdb != "*" and tdb.lower() != self.current_db.lower():
+                continue
+            if ttbl == "*" or table is None \
+                    or ttbl.lower() == table.lower():
+                return True
+        return False
+
     def _check_read_only(self, s) -> None:
         """SET read_only = 1 blocks every table-mutating statement
         (MySQL --read-only semantics, error 1290; reference: GMS
@@ -4066,6 +4157,7 @@ class Engine:
             )
         s = st.parse_statement(sql)
         self._check_read_only(s)
+        self._check_privileges(s)
         if isinstance(s, st.SelectIntoOutfile):
             return self._exec_select_into_outfile(s, dialect)
         if isinstance(s, st.SelectIntoVars):
@@ -6517,11 +6609,11 @@ class Engine:
                 "Table string, Source_app string, Position long, "
                 "File string, File_offset long",
             )
-        # Client/ORM probe kinds: correct (usually empty) shapes so a
-        # driver's between-statement bookkeeping never errors the
-        # session. Triggers/events/routines are documented non-goals
-        # (the reference runs them GMS-side only, main_test.go:1053) —
-        # an empty set IS the truthful catalog answer here.
+        # Client/ORM probe kinds. SHOW WARNINGS reads the real session
+        # diagnostics area (_push_warning; reset at each top-level
+        # non-diagnostic statement, MySQL semantics) — batch-kept
+        # trigger bodies and other documented divergences surface here
+        # instead of passing silently.
         if s.kind == "warnings":
             return self.spark.createDataFrame(
                 list(getattr(self, "_session_warnings", [])),

@@ -119,6 +119,130 @@ def build_scaled_docs(spark, k: int, dest: str) -> None:
     )
 
 
+def run_q18_bucketed(spark, dest: str, k: int) -> None:
+    """Bucketed co-located q18 (verdict item: the l_orderkey shuffle is
+    q18's 32× bottleneck). lineitem and orders are written ONCE as
+    same-width bucketed tables on the order key; the per-order HAVING
+    aggregate then runs with NO exchange (bucketed scan already
+    satisfies the partitioning) and the orders⋈survivors join is
+    co-located. Pay the shuffle at write time, never again per query —
+    operators/bucketing.py is the storage path."""
+    from myduckserver_spark.operators.bucketing import write_bucketed
+    from myduckserver_spark.plans.helpers import sl6_sql, sl_val_sql
+
+    li_t, ord_t = f"li_bkt_x{k}", f"ord_bkt_x{k}"
+    if not spark.catalog.tableExists(li_t):
+        print(f"bucketing lineitem/orders at x{k} ...")
+        write_bucketed(spark.read.parquet(f"{dest}/lineitem.parquet"),
+                       li_t, "l_orderkey", 32)
+        write_bucketed(spark.read.parquet(f"{dest}/orders.parquet"),
+                       ord_t, "o_orderkey", 32)
+    sql = f"""
+        SELECT c_custkey, o_orderkey,
+               CAST(o_orderdate AS TIMESTAMP) AS orderdate,
+               CAST(o_totalprice AS DOUBLE) AS totalprice, sum_qty
+        FROM {ord_t},
+             (SELECT l_orderkey,
+                     CAST(ROUND({sl_val_sql('__s')}, 2) AS DOUBLE)
+                       AS sum_qty
+              FROM (SELECT l_orderkey,
+                           SUM({sl6_sql('l_quantity')}) AS __s
+                    FROM {li_t} GROUP BY l_orderkey)
+              WHERE __s > {150 * 1_000_000}) big,
+             parquet.`{dest}/customer.parquet` c
+        WHERE o_orderkey = big.l_orderkey
+          AND c_custkey = o_custkey
+        ORDER BY totalprice DESC, o_orderkey
+        LIMIT 100
+    """
+    df = spark.sql(sql)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_li_exchange = sum(
+        1 for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "l_orderkey" in ln
+        and "Reused" not in ln
+    )
+    print(f"bucketed q18: l_orderkey exchanges in plan = {n_li_exchange} "
+          "(0 = co-located aggregate+join)")
+    # parity check against the registry build on raw parquet
+    raw = REGISTRY["q18_large_volume_orders"].spark(spark, dest)
+    assert [tuple(r) for r in df.collect()] == \
+        [tuple(r) for r in raw.collect()], "bucketed q18 result differs"
+    for label, build in (("raw-parquet", lambda: raw), ("bucketed",
+                                                        lambda: df)):
+        build().collect()  # warm
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            build().collect()
+            runs.append(time.perf_counter() - t0)
+        print(f"q18 x{k} {label:12s} {sorted(runs)[1]:6.2f}s")
+
+
+def run_cdc_multi(spark, dest: str, k: int, tmp_root: str) -> None:
+    """merge_batch_multi at scale (verdict item: the round-6 atomic
+    multi-table commit has crash tests but no scale evidence). A FIXED
+    20k-row mixed upsert/delete flush spanning orders+customer is
+    applied at 1× (sf0.1) and at k× base-table size; the apply is one
+    PK-keyed anti-join + union per table, so wall should track the
+    base-table rewrite (linear in data), with the atomic commit adding
+    only O(N_tables) driver-side pointer writes."""
+    import shutil
+
+    from myduckserver_spark.catalog import Catalog
+    from myduckserver_spark.operators.cdc import (
+        ACTION_DELETE,
+        ACTION_UPDATE,
+        augment,
+    )
+
+    times = {}
+    for label, src in (("1x", SRC), (f"x{k}", dest)):
+        wh = os.path.join(tmp_root, f"cdcwh_{label}")
+        shutil.rmtree(wh, ignore_errors=True)
+        cat = Catalog(spark, wh)
+        for t in ("orders", "customer"):
+            cat.create_table(t, spark.read.parquet(f"{src}/{t}.parquet"))
+        # fixed-size flush: 15k order updates + 5k customer
+        # updates/deletes, keys sampled from the live range
+        o = spark.read.parquet(f"{src}/orders.parquet")
+        c = spark.read.parquet(f"{src}/customer.parquet")
+        o_delta = augment(
+            o.limit(15_000).withColumn(
+                "o_totalprice", F.col("o_totalprice") * 1.01),
+            ACTION_UPDATE, txn_seq=1,
+        )
+        c_up = augment(
+            c.limit(4_000).withColumn(
+                "c_acctbal", F.col("c_acctbal") + 1),
+            ACTION_UPDATE, txn_seq=1,
+        )
+        c_del = augment(
+            c.orderBy(F.desc("c_custkey")).limit(1_000),
+            ACTION_DELETE, txn_seq=2,
+        )
+        batches = [
+            ("orders", o_delta.localCheckpoint(), ["o_orderkey"]),
+            ("customer",
+             c_up.unionByName(c_del).localCheckpoint(), ["c_custkey"]),
+        ]
+        t0 = time.perf_counter()
+        ok = cat.merge_batch_multi(
+            batches, txn_app_id="scale", txn_version=1,
+        )
+        dt = time.perf_counter() - t0
+        assert ok
+        # both-or-neither: markers identical across members
+        assert (cat.table("orders").last_txn_version("scale")
+                == cat.table("customer").last_txn_version("scale") == 1)
+        n_o = cat.table("orders").read().count()
+        times[label] = dt
+        print(f"cdc-multi {label:4s}: flush 20k rows over "
+              f"{n_o:,} orders -> {dt:6.2f}s")
+    f = times[f"x{k}"] / times["1x"]
+    print(f"cdc-multi wall factor at {k}x data, fixed batch: {f:.1f}x")
+
+
 def run(sf_dir: str) -> dict[str, float]:
     times = {}
     for name in QUERIES:
@@ -136,6 +260,7 @@ def run(sf_dir: str) -> dict[str, float]:
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     dedup_mode = "--dedup" in sys.argv
+    bucketed_mode = "--bucketed" in sys.argv
     k = int(args[0]) if args else 8
     spark = build_session(app_name="scale_check")
     all_queries()
@@ -150,6 +275,15 @@ if __name__ == "__main__":
     elif not os.path.exists(os.path.join(dest, "lineitem.parquet")):
         print(f"building {k}x dataset under {dest} ...")
         build_scaled(spark, k, dest)
+
+    if bucketed_mode:
+        run_q18_bucketed(spark, dest, k)
+        sys.exit(0)
+
+    if "--cdc" in sys.argv:
+        run_cdc_multi(spark, dest, k,
+                      os.path.dirname(dest))
+        sys.exit(0)
 
     # Full warmup pass over BOTH datasets first: C2 JIT compilation of
     # the codegen'd stages otherwise lands entirely on whichever dataset

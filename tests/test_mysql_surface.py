@@ -707,3 +707,77 @@ def test_cross_database_qualification(spark, tmp_path):
     assert e.execute("SHOW TABLES FROM db2").collect() == []
     # current-db state is untouched throughout
     assert e.execute("SELECT COUNT(*) AS n FROM local_t").collect()[0].n == 1
+
+
+def test_privilege_enforcement_when_principal_set(spark, tmp_path):
+    """Grants ENFORCE once the host switches the session principal
+    (set_session_user — what a wire layer does at connect; reference
+    enforces via plugin/auth.go + GMS checks). The default principal
+    stays unrestricted, so library use is unchanged."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE t1 (id INT PRIMARY KEY, v INT)")
+    e.execute("INSERT INTO t1 VALUES (1, 10)")
+    e.execute("CREATE TABLE t2 (id INT PRIMARY KEY)")
+    e.execute("CREATE USER 'app'@'%'")
+    e.execute("GRANT SELECT, INSERT ON t1 TO 'app'@'%'")
+
+    with pytest.raises(PermissionError, match="Access denied"):
+        e.set_session_user("ghost")  # unknown principal refused
+    e.set_session_user("'app'@'%'")
+    try:
+        # allowed: reads, and INSERT on the granted table
+        assert e.execute("SELECT v FROM t1").collect()[0].v == 10
+        e.execute("INSERT INTO t1 VALUES (2, 20)")
+        # denied: UPDATE (not granted), INSERT on another table, DDL
+        with pytest.raises(PermissionError, match="UPDATE command denied"):
+            e.execute("UPDATE t1 SET v = 0")
+        with pytest.raises(PermissionError, match="INSERT command denied"):
+            e.execute("INSERT INTO t2 VALUES (1)")
+        with pytest.raises(PermissionError, match="DROP command denied"):
+            e.execute("DROP TABLE t2")
+        with pytest.raises(PermissionError, match="CREATE command denied"):
+            e.execute("CREATE TABLE t3 (id INT)")
+        # account management needs the unrestricted principal
+        with pytest.raises(PermissionError, match="account management"):
+            e.execute("GRANT ALL ON *.* TO 'app'@'%'")
+    finally:
+        e.set_session_user(None)
+    # root mode: everything allowed again; REVOKE takes effect live
+    e.execute("UPDATE t1 SET v = 0 WHERE id = 1")
+    e.execute("REVOKE SELECT, INSERT ON t1 FROM 'app'@'%'")
+    e.set_session_user("'app'@'%'")
+    try:
+        with pytest.raises(PermissionError, match="SELECT command denied"):
+            e.execute("SELECT * FROM t1")
+    finally:
+        e.set_session_user(None)
+
+
+def test_privilege_scopes_db_and_global(spark, tmp_path):
+    """*.* and db.* grant scopes resolve against the session db."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE t1 (id INT PRIMARY KEY)")
+    e.execute("CREATE USER reporter")
+    e.execute("GRANT SELECT ON *.* TO reporter")
+    e.set_session_user("reporter")
+    try:
+        e.execute("SELECT * FROM t1")  # global read scope
+        with pytest.raises(PermissionError, match="INSERT command denied"):
+            e.execute("INSERT INTO t1 VALUES (1)")
+    finally:
+        e.set_session_user(None)
+    # ALL PRIVILEGES on db.* admits DML + DDL within the database
+    e.execute("CREATE USER writer")
+    db = e.current_db
+    e.execute(f"GRANT ALL PRIVILEGES ON {db}.* TO writer")
+    e.set_session_user("writer")
+    try:
+        e.execute("INSERT INTO t1 VALUES (5)")
+        e.execute("CREATE TABLE t9 (id INT)")
+        e.execute("DROP TABLE t9")
+    finally:
+        e.set_session_user(None)
