@@ -1642,6 +1642,90 @@ class Engine:
             raise ValueError(f"event {name} is {ev['status']}")
         return self.execute(ev["body"])
 
+    _EVENT_UNITS = {
+        "SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400,
+        "WEEK": 7 * 86400,
+    }
+
+    def event_tick(self, now: float | None = None) -> list[str]:
+        """One scheduler pass: fire every ENABLED event whose EVERY
+        interval has elapsed since its last firing (first tick after
+        registration counts as elapsed, like MySQL's STARTS-defaulted
+        schedule). AT '<ts>' one-shot events fire once their time has
+        passed, then flip to DISABLED (ON COMPLETION NOT PRESERVE is
+        MySQL's default drop; DISABLED keeps the registry inspectable).
+        Returns the fired names."""
+        import time as _time
+
+        now = _time.time() if now is None else now
+        if not hasattr(self, "_event_last"):
+            self._event_last: dict[str, float] = {}
+        fired: list[str] = []
+        for name, ev in list(self._load_events().items()):
+            if ev["status"] != "ENABLED":
+                continue
+            em = re.match(r"(?i)\s*EVERY\s+(\d+)\s+(\w+)", ev["schedule"])
+            if em:
+                unit = self._EVENT_UNITS.get(em.group(2).upper())
+                if unit is None:
+                    continue  # MONTH/YEAR etc: host-fired only
+                period = int(em.group(1)) * unit
+                last = self._event_last.get(name)
+                if last is not None and now - last < period:
+                    continue
+            else:
+                am = re.match(r"(?i)\s*AT\s+'([^']+)'", ev["schedule"])
+                if not am:
+                    continue
+                import datetime as _dt
+
+                at = _dt.datetime.fromisoformat(
+                    am.group(1)).replace(tzinfo=_dt.timezone.utc)
+                if now < at.timestamp():
+                    continue
+            self._event_last[name] = now
+            self.execute(ev["body"])
+            fired.append(name)
+            if not em:  # one-shot AT event: never fires again
+                evs = dict(self._load_events())
+                evs[name] = dict(evs[name], status="DISABLED")
+                self._save_events(evs)
+        return fired
+
+    def start_event_scheduler(self, interval: float = 1.0) -> None:
+        """Background event scheduler (MySQL's event_scheduler=ON; the
+        reference runs events GMS-side on its own timer,
+        main_test.go:1083): one daemon thread drives event_tick. Errors
+        are collected on self.event_errors, never kill the loop."""
+        import threading
+
+        t = getattr(self, "_event_thread", None)
+        if t is not None and t.is_alive():
+            return
+        self._event_stop = threading.Event()
+        self.event_errors: list[str] = []
+
+        def loop() -> None:
+            while not self._event_stop.wait(interval):
+                try:
+                    self.event_tick()
+                except Exception as e:  # keep ticking
+                    self.event_errors.append(repr(e))
+                    del self.event_errors[:-20]
+
+        self._event_thread = threading.Thread(
+            target=loop, daemon=True, name="event-scheduler"
+        )
+        self._event_thread.start()
+
+    def stop_event_scheduler(self) -> None:
+        t = getattr(self, "_event_thread", None)
+        if t is None:
+            return
+        self._event_stop.set()
+        t.join(timeout=10)
+        self._event_thread = None
+
     # ------------------------------------------------------ user accounts
     # Catalog-only registry (CREATE USER / GRANT / REVOKE persist and
     # SHOW GRANTS reflects them) so mysqldump --all-databases scripts

@@ -781,3 +781,53 @@ def test_privilege_scopes_db_and_global(spark, tmp_path):
         e.execute("DROP TABLE t9")
     finally:
         e.set_session_user(None)
+
+
+def test_event_tick_every_and_at_schedules(spark, tmp_path):
+    """event_tick fires EVERY-interval events when elapsed (first tick
+    counts) and AT one-shots exactly once (then DISABLED) — the
+    engine-owned half of MySQL's event scheduler (reference runs
+    events GMS-side on a timer, main_test.go:1083)."""
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE beats (src VARCHAR(10))")
+    e.execute("CREATE EVENT hb ON SCHEDULE EVERY 10 SECOND DO "
+              "INSERT INTO beats VALUES ('every')")
+    e.execute("CREATE EVENT once ON SCHEDULE AT '2020-01-01 00:00:00' "
+              "DO INSERT INTO beats VALUES ('at')")
+    t0 = 1_770_000_000.0  # 2026 — past the AT timestamp
+    assert sorted(e.event_tick(now=t0)) == ["hb", "once"]
+    # within the interval: nothing fires; the AT event stays done
+    assert e.event_tick(now=t0 + 5) == []
+    rows = sorted(r.src for r in
+                  e.execute("SELECT * FROM beats").collect())
+    assert rows == ["at", "every"]
+    # interval elapsed: EVERY fires again, AT does not
+    assert e.event_tick(now=t0 + 11) == ["hb"]
+    st = {r[1]: r[4] for r in e.execute("SHOW EVENTS").collect()}
+    assert st["once"] == "ONE TIME"
+    # DISABLE is honored
+    e.execute("ALTER EVENT hb DISABLE")
+    assert e.event_tick(now=t0 + 100) == []
+
+
+def test_event_scheduler_daemon(spark, tmp_path):
+    """start_event_scheduler drives event_tick from a daemon thread."""
+    import time as _t
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE beats (n INT)")
+    e.execute("CREATE EVENT hb ON SCHEDULE EVERY 1 SECOND DO "
+              "INSERT INTO beats VALUES (1)")
+    e.start_event_scheduler(interval=0.2)
+    try:
+        deadline = _t.time() + 15
+        while _t.time() < deadline:
+            if e.execute("SELECT COUNT(*) AS n FROM beats"
+                         ).collect()[0].n >= 1:
+                break
+            _t.sleep(0.3)
+        assert e.execute("SELECT COUNT(*) AS n FROM beats"
+                         ).collect()[0].n >= 1
+        assert not getattr(e, "event_errors", [])
+    finally:
+        e.stop_event_scheduler()
