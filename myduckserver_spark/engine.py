@@ -1820,6 +1820,21 @@ class Engine:
     _PROC_UNSUPPORTED = re.compile(
         r"(?i)^\s*(RESIGNAL)\b"  # only valid inside a handler body
     )
+    # MySQL error code → standard SQLSTATE (the subset a dump/routine
+    # corpus actually declares handlers for)
+    _ERRNO_SQLSTATE = {
+        1062: "23000",  # ER_DUP_ENTRY
+        1048: "23000",  # ER_BAD_NULL_ERROR
+        1146: "42S02",  # ER_NO_SUCH_TABLE
+        1054: "42S22",  # ER_BAD_FIELD_ERROR
+        1329: "02000",  # ER_SP_FETCH_NO_DATA
+        1643: "02000",  # ER_SIGNAL_NOT_FOUND
+        1644: "45000",  # ER_SIGNAL_EXCEPTION (user SIGNAL default)
+        1216: "23000",  # ER_NO_REFERENCED_ROW
+        1217: "23000",  # ER_ROW_IS_REFERENCED
+        1451: "23000",  # ER_ROW_IS_REFERENCED_2
+        1452: "23000",  # ER_NO_REFERENCED_ROW_2
+    }
     # driver-side cursor guard: cursors are inherently row-at-a-time,
     # so OPEN collects the (substituted) query to the driver — honest
     # for procedural workloads, capped so a fact-table cursor fails
@@ -2047,15 +2062,25 @@ class Engine:
                         "(BEGIN…END handler blocks are not)"
                     )
                 if m.group(2).isdigit():
-                    raise NotImplementedError(
-                        "HANDLER FOR <errno> is MySQL-error-code "
-                        "specific; use SQLSTATE or a class condition"
+                    # MySQL error-code conditions: map the common
+                    # corpus codes onto their standard SQLSTATEs (the
+                    # code IS the condition in MySQL; this engine
+                    # raises by SQLSTATE, so the map is the bridge)
+                    state = self._ERRNO_SQLSTATE.get(int(m.group(2)))
+                    if state is None:
+                        raise NotImplementedError(
+                            f"HANDLER FOR {m.group(2)}: unmapped MySQL "
+                            "error code; use SQLSTATE or a class "
+                            "condition (mapped codes: "
+                            f"{sorted(self._ERRNO_SQLSTATE)})"
+                        )
+                    cond = ("state", state)
+                else:
+                    cond = (
+                        ("state", m.group(3)) if m.group(3)
+                        else ("class",
+                              re.sub(r"\s+", " ", m.group(2)).upper())
                     )
-                cond = (
-                    ("state", m.group(3)) if m.group(3)
-                    else ("class",
-                          re.sub(r"\s+", " ", m.group(2)).upper())
-                )
                 nodes.append(("handler", m.group(1).lower(), cond,
                               m.group(4).strip()))
                 i += 1

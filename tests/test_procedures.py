@@ -564,3 +564,43 @@ def test_handler_covers_nested_loop_statement(eng):
     assert sorted(r.n for r in eng.execute("SELECT * FROM hseq").collect()) \
         == [1, 2, 3, 4]
     assert eng.execute("SELECT @err AS e").collect()[0].e == 1
+
+
+def test_handler_for_mysql_errno(eng):
+    """DECLARE ... HANDLER FOR <errno> maps the common MySQL error
+    codes onto their SQLSTATEs — 1329 (no data) is the classic
+    cursor-loop done-flag pattern in dump corpora."""
+    eng.execute(
+        "CREATE PROCEDURE sum_bal(OUT total INT) BEGIN "
+        "DECLARE done INT DEFAULT 0; "
+        "DECLARE b INT; "
+        "DECLARE cur CURSOR FOR SELECT bal FROM acct ORDER BY id; "
+        "DECLARE CONTINUE HANDLER FOR 1329 SET done = 1; "
+        "SET total = 0; "
+        "OPEN cur; "
+        "read_loop: LOOP "
+        "  FETCH cur INTO b; "
+        "  IF done = 1 THEN LEAVE read_loop; END IF; "
+        "  SET total = total + b; "
+        "END LOOP; "
+        "CLOSE cur; "
+        "END"
+    )
+    eng.execute("CALL sum_bal(@t)")
+    assert eng.execute("SELECT @t AS t").collect()[0].t == 150
+    # 1644 catches user SIGNALs (ER_SIGNAL_EXCEPTION -> 45000)
+    eng.execute(
+        "CREATE PROCEDURE sig_catch() BEGIN "
+        "DECLARE EXIT HANDLER FOR 1644 SET @sig = 'caught'; "
+        "SIGNAL SQLSTATE '45000' SET MESSAGE_TEXT = 'x'; "
+        "END"
+    )
+    eng.execute("CALL sig_catch()")
+    assert eng.execute("SELECT @sig AS s").collect()[0].s == "caught"
+    # unmapped codes keep the honest rejection
+    with pytest.raises(NotImplementedError, match="unmapped MySQL"):
+        eng.execute(
+            "CREATE PROCEDURE nope() BEGIN "
+            "DECLARE EXIT HANDLER FOR 9999 SET @x = 1; "
+            "SELECT 1; END"
+        )
