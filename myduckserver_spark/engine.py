@@ -4464,17 +4464,6 @@ class Engine:
         if isinstance(s, st.Update):
             if s.from_text:
                 return self._exec_update_multi(s, dialect)
-            # single-table UPDATE: `t.c` ≡ `c` (MySQL); normalize so
-            # the withColumns fast path (bare-DataFrame F.expr, no
-            # relation alias in scope) resolves qualified refs too
-            s = dataclasses.replace(
-                s,
-                where=self._strip_self_qualifier(s.where, s.table),
-                assignments={
-                    c: self._strip_self_qualifier(e, s.table)
-                    for c, e in s.assignments.items()
-                },
-            )
             if (
                 s.cte
                 or _has_subquery(s.where)
@@ -4485,7 +4474,22 @@ class Engine:
                 or self._triggers_for(s.table, "update", "after")
                 or self._triggers_for(s.table, "update", "before")
             ):
+                # the SQL-text executor queries FROM `t`, so `t.c`
+                # resolves natively — and stripping there would break
+                # correlated `t.c` refs inside subqueries
                 return self._exec_update_subquery(s, dialect)
+            # FAST path only — single-table UPDATE with no subqueries:
+            # `t.c` ≡ `c` (MySQL); normalize so the withColumns path
+            # (bare-DataFrame F.expr, no relation alias in scope)
+            # resolves qualified refs too
+            s = dataclasses.replace(
+                s,
+                where=self._strip_self_qualifier(s.where, s.table),
+                assignments={
+                    c: self._strip_self_qualifier(e, s.table)
+                    for c, e in s.assignments.items()
+                },
+            )
             cond = self._fragment(s.where) if s.where else F.lit(True)
             if s.limit is not None:
                 cond = cond & self._row_cap_cond(
