@@ -3586,11 +3586,27 @@ class Engine:
         """Constant-fold the session-state functions MySQL evaluates
         engine-side: DATABASE()/SCHEMA() (current db), ROW_COUNT()
         (last DML's affected count, -1 otherwise), FOUND_ROWS() (the
-        un-LIMITed count of the last SQL_CALC_FOUND_ROWS query)."""
+        un-LIMITed count of the last SQL_CALC_FOUND_ROWS query),
+        USER()/CURRENT_USER()/SESSION_USER() (the session principal —
+        'root@localhost' in the unrestricted default, the
+        set_session_user principal otherwise)."""
         if not re.search(
-            r"(?i)\b(?:DATABASE|SCHEMA|ROW_COUNT|FOUND_ROWS)\s*\(", query
+            r"(?i)\b(?:DATABASE|SCHEMA|ROW_COUNT|FOUND_ROWS"
+            r"|(?:CURRENT_|SESSION_)?USER)\s*\(", query
         ):
             return query
+        who = getattr(self, "_session_user", None) or "'root'@'localhost'"
+        query = st.sub_outside_strings(
+            r"\b(?:CURRENT_USER|SESSION_USER|USER)\s*\(\s*\)",
+            self._render_literal(who.replace("'", "")),
+            query, flags=re.I,
+        )
+        # bare CURRENT_USER (no parens) is also valid MySQL
+        query = st.sub_outside_strings(
+            r"\bCURRENT_USER\b(?!\s*\()",
+            self._render_literal(who.replace("'", "")),
+            query, flags=re.I,
+        )
         db = self._render_literal(self.current_db)
         query = st.sub_outside_strings(
             r"\b(?:DATABASE|SCHEMA)\s*\(\s*\)", db, query, flags=re.I

@@ -831,3 +831,27 @@ def test_event_scheduler_daemon(spark, tmp_path):
         assert not getattr(e, "event_errors", [])
     finally:
         e.stop_event_scheduler()
+
+
+def test_user_functions_reflect_session_principal(spark, tmp_path):
+    """USER()/CURRENT_USER()/bare CURRENT_USER constant-fold to the
+    session principal (client connection probes; MySQL evaluates these
+    engine-side like DATABASE())."""
+    e = Engine(spark, str(tmp_path / "wh"))
+    r = e.execute(
+        "SELECT USER() AS u, CURRENT_USER() AS cu, CURRENT_USER AS b"
+    ).collect()[0]
+    assert (r.u, r.cu, r.b) == ("root@localhost",) * 3
+    e.execute("CREATE USER 'app'@'%'")
+    e.execute("GRANT SELECT ON *.* TO 'app'@'%'")
+    e.set_session_user("'app'@'%'")
+    try:
+        assert e.execute(
+            "SELECT CURRENT_USER() AS cu"
+        ).collect()[0].cu == "app@%"
+    finally:
+        e.set_session_user(None)
+    # literal text inside strings is untouched
+    assert e.execute(
+        "SELECT 'CURRENT_USER() stays' AS s"
+    ).collect()[0].s == "CURRENT_USER() stays"
