@@ -659,6 +659,134 @@ class Engine:
                     f"CREATE OR REPLACE TEMPORARY VIEW {fn[:-4]} AS {query}"
                 )
 
+    def _resolve_updatable_view(self, name: str):
+        """If ``name`` is a stored view, return (base_table,
+        view_where_or_None, colmap_or_None) when it has MySQL's
+        updatable shape — a single-table SELECT of bare (optionally
+        aliased) columns with an optional WHERE. colmap maps view
+        column → base column; None means SELECT * (identity). Returns
+        None when ``name`` is not a view; raises for views that are
+        not updatable (joins, aggregates, derived columns, view-on-
+        view). MySQL updatable-view semantics without CHECK OPTION:
+        the view's WHERE narrows UPDATE/DELETE, INSERT passes through.
+        """
+        vpath = os.path.join(
+            self.catalog.root, "__views__", f"{name}.sql"
+        )
+        if not os.path.exists(vpath):
+            return None
+        with open(vpath) as fh:
+            query = fh.read().strip().rstrip(";")
+        mask = st.mask_strings(query)
+        not_updatable = re.search(
+            r"(?i)\b(JOIN|GROUP\s+BY|HAVING|LIMIT|UNION|EXCEPT"
+            r"|INTERSECT|DISTINCT)\b|\bOVER\s*\(", mask,
+        )
+        m = None if not_updatable else re.fullmatch(
+            r"(?is)\s*SELECT\s+(.+?)\s+FROM\s+(`[^`]+`|\w+)"
+            r"(?:\s+WHERE\s+(.+?))?\s*",
+            query,
+        )
+        if m is None:
+            raise ValueError(
+                f"view {name} is not updatable (DML through a view "
+                "needs a single-table SELECT of plain columns with an "
+                "optional WHERE)"
+            )
+        sel = m.group(1).strip()
+        base = st.unquote_ident(m.group(2))
+        where = m.group(3)
+        if os.path.exists(os.path.join(
+                self.catalog.root, "__views__", f"{base}.sql")):
+            raise ValueError(
+                f"view {name} is not updatable (view-on-view DML is "
+                "not supported; target the base table)"
+            )
+        colmap = None
+        if sel != "*":
+            colmap = {}
+            for item in st.split_top_level(sel, ","):
+                im = re.fullmatch(
+                    r"\s*(`[^`]+`|\w+)(?:\s+AS\s+(`[^`]+`|\w+))?\s*",
+                    item, re.I | re.S,
+                )
+                if im is None:
+                    raise ValueError(
+                        f"view {name} is not updatable: derived "
+                        f"column {item.strip()[:40]!r}"
+                    )
+                b = st.unquote_ident(im.group(1))
+                a = st.unquote_ident(im.group(2)) if im.group(2) else b
+                colmap[a.lower()] = b
+        return base, where, colmap
+
+    def _retarget_view_dml(self, s):
+        """Rewrite single-table DML aimed at an updatable view onto
+        its base table: the view's WHERE narrows UPDATE/DELETE (MySQL
+        semantics without CHECK OPTION — INSERT passes through), and
+        view column aliases map back to base columns."""
+        name = getattr(s, "table", None)
+        if not name or getattr(s, "from_text", None):
+            return s
+        rv = self._resolve_updatable_view(name)
+        if rv is None:
+            return s
+        base, vwhere, colmap = rv
+
+        def _col(c: str) -> str:
+            if colmap is None:
+                return c
+            b = colmap.get(st.unquote_ident(c).lower())
+            if b is None:
+                raise ValueError(
+                    f"column {c!r} is not part of view {name}"
+                )
+            return b
+
+        if isinstance(s, st.Insert):
+            cols = s.columns
+            if colmap is not None:
+                cols = (list(colmap.values()) if cols is None
+                        else [_col(c) for c in cols])
+            on_dup = {
+                _col(k): self._map_view_cols(v, colmap)
+                for k, v in (s.on_dup or {}).items()
+            }
+            return dataclasses.replace(
+                s, table=base, columns=cols, on_dup=on_dup
+            )
+        w = self._map_view_cols(s.where, colmap)
+        combined = (f"({vwhere}) AND ({w})" if vwhere and w
+                    else (vwhere or w))
+        order_by = self._map_view_cols(s.order_by, colmap)
+        if isinstance(s, st.Delete):
+            return dataclasses.replace(
+                s, table=base, where=combined, order_by=order_by
+            )
+        assignments = {
+            _col(k): self._map_view_cols(v, colmap)
+            for k, v in s.assignments.items()
+        }
+        return dataclasses.replace(
+            s, table=base, where=combined, order_by=order_by,
+            assignments=assignments,
+        )
+
+    @staticmethod
+    def _map_view_cols(expr: str | None, colmap: dict | None
+                       ) -> str | None:
+        """Rewrite view-column references to base-column names."""
+        if expr is None or colmap is None:
+            return expr
+        for alias, base_col in colmap.items():
+            if alias.lower() == base_col.lower():
+                continue
+            expr = st.sub_outside_strings(
+                rf"(?<![\w`.])`?{re.escape(alias)}`?(?![\w`])",
+                f"`{base_col}`", expr, flags=re.I,
+            )
+        return expr
+
     def _view_names(self) -> list[str]:
         vdir = os.path.join(self.catalog.root, "__views__")
         if not os.path.isdir(vdir):
@@ -4474,12 +4602,13 @@ class Engine:
                 info += f"; retrained vector indexes: {', '.join(retrained)}"
             return OkResult(info=info)
         if isinstance(s, st.Insert):
-            return self._exec_insert(s, dialect)
+            return self._exec_insert(self._retarget_view_dml(s), dialect)
         if isinstance(s, st.MergeStmt):
             return self._exec_merge(s, dialect)
         if isinstance(s, st.Update):
             if s.from_text:
                 return self._exec_update_multi(s, dialect)
+            s = self._retarget_view_dml(s)
             if (
                 s.cte
                 or _has_subquery(s.where)
@@ -4524,6 +4653,7 @@ class Engine:
         if isinstance(s, st.Delete):
             if s.from_text:
                 return self._exec_delete_multi(s, dialect)
+            s = self._retarget_view_dml(s)
             if (s.cte or _has_subquery(s.where)
                     or self._triggers_for(s.table, "delete", "after")
                     # the SQL-text executor evaluates BEFORE DELETE

@@ -202,3 +202,42 @@ def test_show_create_table_renders_indexes(spark, tmp_path):
     assert "KEY `ix_a` (`a`)" in ddl
     assert "UNIQUE KEY `ux_ab` (`a`, `b`)" in ddl
     assert "PRIMARY KEY (`id`)" in ddl
+
+
+def test_updatable_view_dml(spark, tmp_path):
+    """MySQL updatable views: single-table SELECT views accept
+    INSERT/UPDATE/DELETE retargeted onto the base table — the view's
+    WHERE narrows UPDATE/DELETE (no CHECK OPTION: INSERT passes
+    through), aliases map back to base columns (GMS executes DML
+    through views the same way)."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE t (id INT PRIMARY KEY, v INT)")
+    e.execute("INSERT INTO t VALUES (1, 10), (2, 20)")
+    e.execute("CREATE VIEW big AS SELECT id, v AS val FROM t WHERE v > 15")
+    # UPDATE through the view, alias mapped, view-WHERE respected
+    e.execute("UPDATE big SET val = 99 WHERE id = 2")
+    assert sorted((r.id, r.v) for r in
+                  e.execute("SELECT * FROM t").collect()) \
+        == [(1, 10), (2, 99)]
+    # INSERT through the view (positional: view column order)
+    e.execute("INSERT INTO big VALUES (3, 30)")
+    assert e.execute("SELECT v FROM t WHERE id = 3").collect()[0].v == 30
+    # DELETE only reaches rows INSIDE the view
+    assert e.execute("DELETE FROM big WHERE id = 1").affected_rows == 0
+    assert e.execute("DELETE FROM big WHERE id = 3").affected_rows == 1
+    # named-column INSERT maps through the alias
+    e.execute("INSERT INTO big (id, val) VALUES (4, 40)")
+    assert e.execute("SELECT v FROM t WHERE id = 4").collect()[0].v == 40
+    # a column outside the view is an error
+    with pytest.raises(ValueError, match="not part of view"):
+        e.execute("UPDATE big SET nope = 1")
+    # non-updatable shapes are rejected with a clear error
+    e.execute("CREATE VIEW agg AS SELECT id, COUNT(*) AS c FROM t "
+              "GROUP BY id")
+    with pytest.raises(ValueError, match="not updatable"):
+        e.execute("DELETE FROM agg WHERE id = 1")
+    e.execute("CREATE VIEW vv AS SELECT id, val FROM big")
+    with pytest.raises(ValueError, match="view-on-view"):
+        e.execute("DELETE FROM vv WHERE id = 2")
