@@ -720,7 +720,7 @@ class Engine:
                 colmap[a.lower()] = b
         return base, where, colmap
 
-    def _retarget_view_dml(self, s):
+    def _retarget_view_dml(self, s, dialect: str = "mysql"):
         """Rewrite single-table DML aimed at an updatable view onto
         its base table: the view's WHERE narrows UPDATE/DELETE (MySQL
         semantics without CHECK OPTION — INSERT passes through), and
@@ -732,6 +732,8 @@ class Engine:
         if rv is None:
             return s
         base, vwhere, colmap = rv
+        check = vwhere is not None and os.path.exists(os.path.join(
+            self.catalog.root, "__views__", f"{name}.check"))
 
         def _col(c: str) -> str:
             if colmap is None:
@@ -752,6 +754,40 @@ class Engine:
                 _col(k): self._map_view_cols(v, colmap)
                 for k, v in (s.on_dup or {}).items()
             }
+            if check:
+                # WITH CHECK OPTION: every incoming row must be
+                # visible in the view. The source (VALUES list or
+                # SELECT) is evaluated ONCE against the view predicate
+                # before any write (MySQL error 1369 on violation).
+                ck_cols = cols or [
+                    f.name for f in
+                    self.catalog.table(base).read().schema.fields
+                ]
+                src = s.query if s.query else "VALUES " + ", ".join(
+                    "(" + ", ".join(
+                        self._render_literal(v) for v in row
+                    ) + ")"
+                    for row in (s.rows or [])
+                )
+                try:
+                    hit = self.sql(
+                        f"SELECT 1 FROM ({src}) AS "
+                        f"__ck({', '.join(f'`{c}`' for c in ck_cols)}) "
+                        f"WHERE NOT coalesce(({vwhere}), false) LIMIT 1",
+                        dialect=dialect,
+                    ).collect()
+                except AnalysisException as e:
+                    raise NotImplementedError(
+                        f"WITH CHECK OPTION on view {name}: the view "
+                        "predicate references a column the INSERT "
+                        "does not provide (defaults are not folded "
+                        "into the check)"
+                    ) from e
+                if hit:
+                    raise ValueError(
+                        f"CHECK OPTION failed '{name}' (an inserted "
+                        "row falls outside the view)"
+                    )
             return dataclasses.replace(
                 s, table=base, columns=cols, on_dup=on_dup
             )
@@ -767,6 +803,28 @@ class Engine:
             _col(k): self._map_view_cols(v, colmap)
             for k, v in s.assignments.items()
         }
+        if check:
+            # WITH CHECK OPTION: the POST-image of every affected row
+            # must still satisfy the view predicate — fold each
+            # assignment into the predicate and ANY-scan before any
+            # write (MySQL error 1369).
+            post = vwhere
+            for c, ex in assignments.items():
+                post = st.sub_outside_strings(
+                    rf"(?<![\w`.])`?{re.escape(c)}`?(?![\w`])",
+                    f"({ex})", post, flags=re.I,
+                )
+            hit = self.sql(
+                f"SELECT 1 FROM `{base}` "
+                f"WHERE coalesce(({combined}), false) "
+                f"AND NOT coalesce(({post}), false) LIMIT 1",
+                dialect=dialect,
+            ).collect()
+            if hit:
+                raise ValueError(
+                    f"CHECK OPTION failed '{name}' (an updated row "
+                    "would leave the view)"
+                )
         return dataclasses.replace(
             s, table=base, where=combined, order_by=order_by,
             assignments=assignments,
@@ -4602,13 +4660,14 @@ class Engine:
                 info += f"; retrained vector indexes: {', '.join(retrained)}"
             return OkResult(info=info)
         if isinstance(s, st.Insert):
-            return self._exec_insert(self._retarget_view_dml(s), dialect)
+            return self._exec_insert(
+                self._retarget_view_dml(s, dialect), dialect)
         if isinstance(s, st.MergeStmt):
             return self._exec_merge(s, dialect)
         if isinstance(s, st.Update):
             if s.from_text:
                 return self._exec_update_multi(s, dialect)
-            s = self._retarget_view_dml(s)
+            s = self._retarget_view_dml(s, dialect)
             if (
                 s.cte
                 or _has_subquery(s.where)
@@ -4653,7 +4712,7 @@ class Engine:
         if isinstance(s, st.Delete):
             if s.from_text:
                 return self._exec_delete_multi(s, dialect)
-            s = self._retarget_view_dml(s)
+            s = self._retarget_view_dml(s, dialect)
             if (s.cte or _has_subquery(s.where)
                     or self._triggers_for(s.table, "delete", "after")
                     # the SQL-text executor evaluates BEFORE DELETE
@@ -4762,6 +4821,11 @@ class Engine:
             query = translate_mysql(s.query) if dialect == "mysql" else s.query
             with open(vpath, "w") as f:
                 f.write(query)
+            ckpath = vpath[:-4] + ".check"
+            if s.check_option:
+                open(ckpath, "w").close()
+            elif os.path.exists(ckpath):
+                os.remove(ckpath)  # OR REPLACE without the option
             self._refresh_views()
             return OkResult()
         if isinstance(s, st.DropView):
@@ -4771,6 +4835,8 @@ class Engine:
                     return OkResult(info="no such view")
                 raise ValueError(f"no such view: {s.name}")
             os.remove(vpath)
+            if os.path.exists(vpath[:-4] + ".check"):
+                os.remove(vpath[:-4] + ".check")
             self.spark.catalog.dropTempView(s.name)
             return OkResult()
         if isinstance(s, st.CreateIndex):

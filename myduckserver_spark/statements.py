@@ -1051,6 +1051,10 @@ class CreateView:
     name: str
     query: str
     or_replace: bool = False
+    # WITH [CASCADED|LOCAL] CHECK OPTION: DML through the view must
+    # keep rows visible in it (enforced by the engine's updatable-view
+    # path; CASCADED/LOCAL collapse — view-on-view DML is rejected)
+    check_option: bool = False
 
 
 @dataclass
@@ -2232,8 +2236,17 @@ def parse_statement(sql: str):
         re.I | re.S,
     )
     if m:
-        return CreateView(unquote_ident(m.group(2)), m.group(3).strip(),
-                          or_replace=bool(m.group(1)))
+        q = m.group(3).strip()
+        cm = re.search(
+            r"(?is)\s+WITH\s+(?:CASCADED\s+|LOCAL\s+)?CHECK\s+OPTION\s*$",
+            mask_strings(q),
+        )
+        check = bool(cm)
+        if cm:
+            q = q[: cm.start()].strip()
+        return CreateView(unquote_ident(m.group(2)), q,
+                          or_replace=bool(m.group(1)),
+                          check_option=check)
     m = re.match(r"DROP\s+VIEW\s+(IF\s+EXISTS\s+)?(`[^`]+`|\w+)\s*$", s, re.I)
     if m:
         return DropView(unquote_ident(m.group(2)), if_exists=bool(m.group(1)))

@@ -241,3 +241,33 @@ def test_updatable_view_dml(spark, tmp_path):
     e.execute("CREATE VIEW vv AS SELECT id, val FROM big")
     with pytest.raises(ValueError, match="view-on-view"):
         e.execute("DELETE FROM vv WHERE id = 2")
+
+
+def test_view_with_check_option(spark, tmp_path):
+    """WITH CHECK OPTION: DML through the view must keep rows visible
+    in it — out-of-view INSERTs and UPDATEs fail BEFORE any write
+    (MySQL error 1369); without the option they pass through."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE t (id INT PRIMARY KEY, v INT)")
+    e.execute("INSERT INTO t VALUES (1, 20)")
+    e.execute("CREATE VIEW pos AS SELECT id, v FROM t WHERE v > 0 "
+              "WITH CHECK OPTION")
+    e.execute("INSERT INTO pos VALUES (2, 5)")  # visible: ok
+    with pytest.raises(ValueError, match="CHECK OPTION failed"):
+        e.execute("INSERT INTO pos VALUES (3, -1)")
+    with pytest.raises(ValueError, match="CHECK OPTION failed"):
+        e.execute("UPDATE pos SET v = -9 WHERE id = 1")
+    # nothing was written by the failed statements
+    assert sorted((r.id, r.v) for r in
+                  e.execute("SELECT * FROM t").collect()) \
+        == [(1, 20), (2, 5)]
+    # in-view update passes
+    e.execute("UPDATE pos SET v = 1 WHERE id = 1")
+    assert e.execute("SELECT v FROM t WHERE id = 1").collect()[0].v == 1
+    # OR REPLACE without the option drops enforcement
+    e.execute("CREATE OR REPLACE VIEW pos AS SELECT id, v FROM t "
+              "WHERE v > 0")
+    e.execute("INSERT INTO pos VALUES (4, -4)")
+    assert e.execute("SELECT v FROM t WHERE id = 4").collect()[0].v == -4
