@@ -5424,9 +5424,17 @@ class Engine:
                 *[f.name for f in base_schema.fields]), meta.primary_key)
         elif s.mode == "ignore" and meta.primary_key:
             before = t.read().count()
+            incoming = df.count()
             self.insert_ignore(s.table, df.select(
                 *[f.name for f in base_schema.fields]), meta.primary_key)
             n = t.read().count() - before
+            if incoming - n > 0:
+                # MySQL reports each ignored conflict as a warning
+                self._push_warning(
+                    1062,
+                    f"{incoming - n} row(s) skipped by INSERT IGNORE "
+                    "(duplicate key)", level="Warning",
+                )
         else:
             self.insert(s.table, df.select(*[f.name for f in base_schema.fields]))
         _fire_insert_triggers(trig_image)

@@ -855,3 +855,22 @@ def test_user_functions_reflect_session_principal(spark, tmp_path):
     assert e.execute(
         "SELECT 'CURRENT_USER() stays' AS s"
     ).collect()[0].s == "CURRENT_USER() stays"
+
+
+def test_insert_ignore_leaves_warning(spark, tmp_path):
+    """INSERT IGNORE duplicate conflicts surface in SHOW WARNINGS
+    (MySQL reports each ignored conflict; code 1062)."""
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE t (id INT PRIMARY KEY, v INT)")
+    e.execute("INSERT INTO t VALUES (1, 10)")
+    r = e.execute("INSERT IGNORE INTO t VALUES (1, 99), (2, 20)")
+    assert r.affected_rows == 1
+    notes = e.execute("SHOW WARNINGS").collect()
+    assert any(w.Code == 1062 and "1 row(s) skipped" in w.Message
+               for w in notes)
+    assert e.execute(
+        "SHOW COUNT(*) WARNINGS"
+    ).collect()[0][0] == 1
+    # a clean statement resets the diagnostics area
+    e.execute("INSERT IGNORE INTO t VALUES (3, 30)")
+    assert e.execute("SHOW WARNINGS").collect() == []
