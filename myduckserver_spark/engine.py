@@ -6621,10 +6621,13 @@ class Engine:
             if s.target not in self._view_names():
                 raise ValueError(f"unknown view: {s.target}")
             body = _view_sql(self.catalog, s.target)
+            ck = (" WITH CASCADED CHECK OPTION" if os.path.exists(
+                os.path.join(self.catalog.root, "__views__",
+                             f"{s.target}.check")) else "")
             return self.spark.createDataFrame(
                 [(
                     s.target,
-                    f"CREATE VIEW `{s.target}` AS {body}",
+                    f"CREATE VIEW `{s.target}` AS {body}{ck}",
                     "utf8mb4",
                     "utf8mb4_0900_bin",
                 )],
