@@ -589,6 +589,17 @@ class Catalog:
                     Path("file://" + os.path.join(self.root, f)),
                     Path(f"{dest}/__meta/{f}"),
                 )
+        # view definitions (+ CHECK OPTION markers) live as a
+        # directory of files, not a .json sidecar
+        vdir = os.path.join(self.root, "__views__")
+        if os.path.isdir(vdir):
+            fs.mkdirs(Path(f"{dest}/__meta/__views__"))
+            for f in sorted(os.listdir(vdir)):
+                fs.copyFromLocalFile(
+                    False, True,
+                    Path("file://" + os.path.join(vdir, f)),
+                    Path(f"{dest}/__meta/__views__/{f}"),
+                )
         return dest
 
     def restore_database_uri(self, src_uri: str) -> list[str]:
@@ -612,6 +623,17 @@ class Catalog:
         if fs.exists(meta_dir):
             for status in fs.listStatus(meta_dir):
                 nm = status.getPath().getName()
+                if status.isDirectory() and nm == "__views__":
+                    os.makedirs(os.path.join(self.root, "__views__"),
+                                exist_ok=True)
+                    for vst in fs.listStatus(status.getPath()):
+                        fs.copyToLocalFile(
+                            False, vst.getPath(),
+                            Path("file://" + os.path.join(
+                                self.root, "__views__",
+                                vst.getPath().getName())), True,
+                        )
+                    continue
                 fs.copyToLocalFile(
                     False, status.getPath(),
                     Path("file://" + os.path.join(self.root, nm)), True,

@@ -885,6 +885,10 @@ class Engine:
         else:
             self.catalog.drop_table(name)
         self.spark.catalog.dropTempView(name)
+        # forget the registration too: a later RESTORE can bring the
+        # table back at the SAME version number, and a stale cache
+        # entry would make _refresh_views skip re-registering it
+        getattr(self, "_registered_versions", {}).pop(name, None)
 
     # ---------------------------------------------------- ALTER TABLE family
     # (reference: catalog/table.go:222+ add/rename/modify/drop column,
@@ -4910,6 +4914,10 @@ class Engine:
                              "_user_cache"):
                     if hasattr(self, attr):
                         delattr(self, attr)
+                # every snapshot may have been replaced wholesale (and
+                # possibly at the SAME version numbers) — force full
+                # temp-view re-registration
+                self._registered_versions = {}
                 self._refresh_views()
                 return OkResult(
                     info=f"RESTORE DATABASE {s.name} FROM {s.uri} "

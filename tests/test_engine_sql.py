@@ -932,6 +932,8 @@ def test_backup_restore_whole_database(spark, tmp_path):
     e.execute("INSERT INTO t2 VALUES (7, 'x')")
     e.execute("CREATE PROCEDURE bump(IN k INT) "
               "UPDATE t1 SET v = v + 1 WHERE id = k")
+    e.execute("CREATE VIEW pos AS SELECT id, v FROM t1 WHERE v > 0 "
+              "WITH CHECK OPTION")
     dest = f"file://{tmp_path}/dbbk"
     r = e.execute(f"BACKUP DATABASE main TO '{dest}'")
     assert "BACKUP DATABASE main" in r.info
@@ -939,6 +941,7 @@ def test_backup_restore_whole_database(spark, tmp_path):
     e.execute("UPDATE t1 SET v = 999")
     e.execute("DROP TABLE t2")
     e.execute("DROP PROCEDURE bump")
+    e.execute("DROP VIEW pos")
     r = e.execute(f"RESTORE DATABASE main FROM '{dest}'")
     assert "2 tables" in r.info
     assert e.execute("SELECT v FROM t1").collect()[0].v == 10
@@ -946,3 +949,7 @@ def test_backup_restore_whole_database(spark, tmp_path):
     # the procedure came back with the metadata sidecars
     e.execute("CALL bump(1)")
     assert e.execute("SELECT v FROM t1").collect()[0].v == 11
+    # the view definition AND its CHECK OPTION marker came back
+    assert e.execute("SELECT id FROM pos").collect()[0].id == 1
+    with pytest.raises(ValueError, match="CHECK OPTION failed"):
+        e.execute("INSERT INTO pos VALUES (9, -9)")
