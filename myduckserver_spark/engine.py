@@ -948,6 +948,11 @@ class Engine:
         if getattr(self, "_txn_snapshot", None) is not None:
             self._txn_renames.append((old, new))
         self.spark.catalog.dropTempView(old)
+        # forget both registrations: `new` may previously have been a
+        # dropped table at the same version; `old` is gone
+        reg = getattr(self, "_registered_versions", {})
+        reg.pop(old, None)
+        reg.pop(new, None)
 
     def ctas(
         self,
@@ -4923,6 +4928,8 @@ class Engine:
                     info=f"RESTORE DATABASE {s.name} FROM {s.uri} "
                          f"({len(names)} tables)")
             self.catalog.restore_table_uri(s.name, s.uri)
+            # the restored snapshot can land at the same version number
+            getattr(self, "_registered_versions", {}).pop(s.name, None)
             self._refresh_views()
             return OkResult(info=f"RESTORE {s.name} FROM {s.uri}")
         raise ValueError(f"unroutable statement: {type(s).__name__}")
