@@ -1852,6 +1852,12 @@ class Engine:
         Returns the fired names."""
         import time as _time
 
+        import datetime as _dt
+
+        def _ts(lit: str) -> float:
+            return _dt.datetime.fromisoformat(lit).replace(
+                tzinfo=_dt.timezone.utc).timestamp()
+
         now = _time.time() if now is None else now
         if not hasattr(self, "_event_last"):
             self._event_last: dict[str, float] = {}
@@ -1864,6 +1870,17 @@ class Engine:
                 unit = self._EVENT_UNITS.get(em.group(2).upper())
                 if unit is None:
                     continue  # MONTH/YEAR etc: host-fired only
+                sm = re.search(r"(?i)\bSTARTS\s+'([^']+)'", ev["schedule"])
+                if sm and now < _ts(sm.group(1)):
+                    continue  # not yet started
+                nm = re.search(r"(?i)\bENDS\s+'([^']+)'", ev["schedule"])
+                if nm and now > _ts(nm.group(1)):
+                    # past its window: MySQL disables (ON COMPLETION
+                    # NOT PRESERVE drops; DISABLED keeps it inspectable)
+                    evs = dict(self._load_events())
+                    evs[name] = dict(evs[name], status="DISABLED")
+                    self._save_events(evs)
+                    continue
                 period = int(em.group(1)) * unit
                 last = self._event_last.get(name)
                 if last is not None and now - last < period:

@@ -808,6 +808,21 @@ def test_event_tick_every_and_at_schedules(spark, tmp_path):
     # DISABLE is honored
     e.execute("ALTER EVENT hb DISABLE")
     assert e.event_tick(now=t0 + 100) == []
+    # STARTS defers the first firing; ENDS disables past the window
+    e.execute("CREATE EVENT windowed ON SCHEDULE EVERY 1 SECOND "
+              "STARTS '2026-02-01 00:00:00' ENDS '2026-03-01 00:00:00' "
+              "DO INSERT INTO beats VALUES ('win')")
+    import datetime as dt
+
+    def ts(s):
+        return dt.datetime.fromisoformat(s).replace(
+            tzinfo=dt.timezone.utc).timestamp()
+
+    assert e.event_tick(now=ts("2026-01-15 00:00:00")) == []
+    assert e.event_tick(now=ts("2026-02-02 00:00:00")) == ["windowed"]
+    assert e.event_tick(now=ts("2026-03-02 00:00:00")) == []
+    st = {r[1]: r[10] for r in e.execute("SHOW EVENTS").collect()}
+    assert st["windowed"] == "DISABLED"
 
 
 def test_event_scheduler_daemon(spark, tmp_path):
