@@ -6627,6 +6627,9 @@ class Engine:
                 "Name_locked int",
             )
         if s.kind == "grants":
+            # bare SHOW GRANTS reflects the session principal
+            if not s.target and getattr(self, "_session_user", None):
+                s = dataclasses.replace(s, target=self._session_user)
             if s.target and s.target != "'root'@'%'":
                 rec = self._load_users().get(s.target)
                 if rec is None:
