@@ -313,6 +313,45 @@ def test_empty_input_rollup_divergence_is_pinned(spark, views):
     con.close()
 
 
+def test_topk_under_correlation_divergence_is_pinned(spark, views):
+    """Document the round-7 seam the tree grammar excludes: Spark 4.1
+    DROPS the ORDER BY of an ordered-LIMIT derived table when that
+    relation feeds a correlated scalar subquery — the LIMIT then keeps
+    ARBITRARY rows instead of the smallest (found by the round-7 tree
+    fuzzer, shrunk to this shape; DuckDB returns the ordered prefix).
+    qgen.gen_tree(allow_topk=False) excludes topk below correlations;
+    if Spark fixes the planner this test flags it so the exclusion can
+    be lifted."""
+    import os
+
+    xsrc = (
+        "SELECT k, g FROM ("
+        "SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS k, "
+        "CAST(l_returnflag AS STRING) AS g FROM lineitem "
+        "UNION SELECT CAST(k AS BIGINT), CAST(g AS STRING) "
+        "FROM (VALUES (6, 'c')) AS t(k, g)"
+        ") ORDER BY k, g LIMIT 10"
+    )
+    q = (
+        f"SELECT x.k, (SELECT COUNT(*) FROM ({xsrc}) y "
+        f"WHERE y.g = x.g) AS c FROM ({xsrc}) x"
+    )
+    spark_ks = sorted(r.k for r in spark.sql(q).collect())
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW lineitem AS SELECT * FROM read_parquet("
+        f"'{os.path.join(views, 'lineitem.parquet')}')"
+    )
+    duck_ks = sorted(r[0] for r in con.sql(q).fetchall())
+    con.close()
+    # DuckDB keeps the ordered prefix; Spark's outer x lost its sort
+    assert len(spark_ks) == len(duck_ks) == 10
+    assert spark_ks != duck_ks, (
+        "Spark now preserves ordered-LIMIT under correlation — lift "
+        "the allow_topk=False exclusion in qgen.gen_tree"
+    )
+
+
 # ---- MySQL-dialect decoration fuzz (round-5 structural pass) ----
 #
 # Same differential contract, but the Spark side goes through the FULL
