@@ -190,7 +190,9 @@ def build(engine, schema: str, view: str) -> DataFrame:
         rows = []
         for db, cat in _walk(engine):
             for v in _view_names(cat):
-                rows.append(("def", db, v, _view_sql(cat, v), "NONE", "YES"))
+                ck = ("CASCADED" if os.path.exists(os.path.join(
+                    cat.root, "__views__", f"{v}.check")) else "NONE")
+                rows.append(("def", db, v, _view_sql(cat, v), ck, "YES"))
         return spark.createDataFrame(
             rows,
             "TABLE_CATALOG string, TABLE_SCHEMA string, TABLE_NAME string, "
