@@ -3211,6 +3211,38 @@ class Engine:
             where = self._subquery_row_cap(
                 s.table, pre, where, s.order_by, s.limit, dialect
             )
+        if s.ignore and (meta.checks or meta.not_null):
+            # UPDATE IGNORE: rows whose POST-image violates a CHECK /
+            # NOT NULL constraint are SKIPPED with a warning, not an
+            # error (MySQL; reference GMS TestUpdateIgnore). Fold each
+            # assignment into the constraint text and narrow WHERE.
+            matched = where
+            for cname, cexpr in meta.checks.items():
+                post = cexpr
+                for c, ex in assignments.items():
+                    post = st.sub_outside_strings(
+                        rf"(?<![\w`.])`?{re.escape(c)}`?(?![\w`])",
+                        f"({ex})", post, flags=re.I,
+                    )
+                where = f"({where}) AND coalesce(({post}), false)"
+            for col in meta.not_null:
+                if col in assignments and col != meta.auto_increment:
+                    where = (f"({where}) AND "
+                             f"(({assignments[col]}) IS NOT NULL)")
+            if where != matched:
+                skipped = self.sql(
+                    f"{pre}SELECT count(*) AS n FROM `{s.table}` "
+                    f"WHERE coalesce(({matched}), false) "
+                    f"AND NOT coalesce(({where}), false)",
+                    dialect=dialect,
+                ).collect()[0][0]
+                if skipped:
+                    self._push_warning(
+                        3819,
+                        f"{skipped} row(s) skipped by UPDATE IGNORE "
+                        "(CHECK/NOT NULL constraint violated)",
+                        level="Warning",
+                    )
         # BEFORE UPDATE SIGNAL guards: one ANY scan over the affected
         # rows, BEFORE any file is written (statement-level rollback).
         # NEW.y = the value as assigned UP TO the guard's position in
@@ -4696,6 +4728,7 @@ class Engine:
             s = self._retarget_view_dml(s, dialect)
             if (
                 s.cte
+                or s.ignore  # IGNORE narrows WHERE by post-image text
                 or _has_subquery(s.where)
                 or any(_has_subquery(e) for e in s.assignments.values())
                 # the SQL-text executor is the one that builds the

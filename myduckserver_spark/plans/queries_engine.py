@@ -436,3 +436,57 @@ def eng_rowcap_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WHERE r.c % 3 = 0 ORDER BY rc_t.k DESC LIMIT 4"
     )
     return eng.sql("SELECT k, p FROM rc_t ORDER BY k")
+
+
+@register(
+    "eng_view_dml",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS v
+        FROM orders WHERE o_orderkey <= 200
+    ),
+    viewupd AS (  -- UPDATE through the view: only rows VISIBLE in it
+                  -- (v > 100000), even keys, post-image under the
+                  -- table CHECK
+        SELECT k, CASE WHEN v > 100000 AND k % 2 = 0
+                        AND v + 1000 < 600000
+                  THEN v + 1000 ELSE v END AS v
+        FROM base
+    ),
+    ig AS (       -- UPDATE IGNORE: doubling skips rows whose
+                  -- post-image violates CHECK (v < 600000)
+        SELECT k, CASE WHEN v * 2 < 600000 THEN v * 2 ELSE v END AS v
+        FROM viewupd
+    )
+    SELECT k, CAST(ROUND(v, 2) AS DOUBLE) AS v FROM ig ORDER BY k
+    """,
+    tags=("engine", "views", "updatable-view", "check-option",
+          "update-ignore"),
+)
+def eng_view_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7 DML surface end-to-end: DML through an updatable view
+    WITH CHECK OPTION (retargeted onto the base table, alias mapped,
+    view WHERE narrowing) followed by UPDATE IGNORE skipping
+    CHECK-violating post-images with a warning instead of failing."""
+    eng = _fresh_engine(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    eng.execute(
+        "CREATE TABLE t_vd (k BIGINT PRIMARY KEY, v DOUBLE, "
+        "CHECK (v < 600000))"
+    )
+    eng.execute(
+        "INSERT INTO t_vd SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE o_orderkey <= 200"
+    )
+    eng.execute(
+        "CREATE VIEW big_vd AS SELECT k, v AS val FROM t_vd "
+        "WHERE v > 100000 WITH CHECK OPTION"
+    )
+    eng.execute(
+        "UPDATE big_vd SET val = val + 1000 "
+        "WHERE k % 2 = 0 AND val + 1000 < 600000"
+    )
+    eng.execute("UPDATE IGNORE t_vd SET v = v * 2")
+    return eng.sql(
+        "SELECT k, CAST(round(v, 2) AS DOUBLE) AS v FROM t_vd ORDER BY k"
+    )

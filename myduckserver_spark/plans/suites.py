@@ -274,7 +274,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "eng_dml_lifecycle", "eng_upsert_semantics",
         "eng_ddl_catalog", "eng_prepared_exec",
         "eng_table_changes", "eng_partitioned_prune", "eng_vector_search",
-        "eng_rowcap_dml", "cdc_condense",
+        "eng_rowcap_dml", "cdc_condense", "eng_view_dml",
     ),
     # Event-stream analytics (batch twins of the streaming operators).
     "suite_events": (

@@ -933,6 +933,10 @@ class Update:
     table: str
     assignments: dict[str, str]  # col -> expression text
     where: str | None
+    # UPDATE IGNORE: rows whose post-image violates a CHECK / NOT NULL
+    # constraint are skipped with a warning instead of failing the
+    # statement (MySQL semantics; reference GMS TestUpdateIgnore)
+    ignore: bool = False
     # MySQL UPDATE ... [ORDER BY ...] LIMIT n (row-capped update)
     order_by: str | None = None
     limit: int | None = None
@@ -1912,10 +1916,12 @@ def parse_statement(sql: str):
         return Insert(table, columns, None, body, mode, on_dup, conflict_cols,
                       conflict_constraint, from_oc)
 
-    m = re.match(r"UPDATE\s+(.+?)\s+SET\s+(.*)$", s, re.I | re.S)
+    m = re.match(r"UPDATE\s+(IGNORE\s+)?(.+?)\s+SET\s+(.*)$",
+                 s, re.I | re.S)
     if m:
-        refs = m.group(1).strip()
-        tail, order_by, limit = peel_order_limit(m.group(2))
+        ignore = bool(m.group(1))
+        refs = m.group(2).strip()
+        tail, order_by, limit = peel_order_limit(m.group(3))
         body, where = split_where(tail)
         assignments = {}
         for part in split_top_level(body, ","):
@@ -1923,7 +1929,7 @@ def parse_statement(sql: str):
             assignments[unquote_ident(k)] = v.strip()
         if re.fullmatch(r"`[^`]+`|\w+", refs):
             return Update(unquote_ident(refs), assignments, where,
-                          order_by=order_by, limit=limit)
+                          order_by=order_by, limit=limit, ignore=ignore)
         # Multi-table / aliased form: target resolved by the engine
         # from the SET qualifiers against the refs fragment. ORDER BY /
         # LIMIT cap the DISTINCT target rows affected (engine
@@ -1931,7 +1937,7 @@ def parse_statement(sql: str):
         # the reference's GMS front door accepts it (TestUpdate,
         # main_test.go:948).
         return Update("", assignments, where, from_text=refs,
-                      order_by=order_by, limit=limit)
+                      order_by=order_by, limit=limit, ignore=ignore)
 
     # DELETE FROM t [USING refs] [WHERE ...] [ORDER BY ... LIMIT n]
     m = re.match(r"DELETE\s+FROM\s+(`[^`]+`|\w+)(\s.*)?$", s, re.I | re.S)

@@ -953,3 +953,40 @@ def test_backup_restore_whole_database(spark, tmp_path):
     assert e.execute("SELECT id FROM pos").collect()[0].id == 1
     with pytest.raises(ValueError, match="CHECK OPTION failed"):
         e.execute("INSERT INTO pos VALUES (9, -9)")
+
+
+def test_update_ignore_skips_violating_rows(spark, tmp_path):
+    """UPDATE IGNORE: rows whose post-image violates a CHECK or NOT
+    NULL constraint are skipped with a warning; the rest update
+    (MySQL semantics; reference GMS TestUpdateIgnore). Plain UPDATE
+    still fails whole-statement."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE q (id INT PRIMARY KEY, v INT, "
+              "CHECK (v < 100))")
+    e.execute("INSERT INTO q VALUES (1, 10), (2, 60), (3, 90)")
+    # plain UPDATE: one violating row fails the whole statement
+    with pytest.raises(ValueError, match="CHECK"):
+        e.execute("UPDATE q SET v = v + 20")
+    assert sorted(r.v for r in e.execute("SELECT v FROM q").collect()) \
+        == [10, 60, 90]
+    # UPDATE IGNORE: id=3 (90+20=110) skipped, others update
+    r = e.execute("UPDATE IGNORE q SET v = v + 20")
+    assert r.affected_rows == 2
+    notes = e.execute("SHOW WARNINGS").collect()
+    assert any("1 row(s) skipped by UPDATE IGNORE" in w.Message
+               for w in notes)
+    assert {x.id: x.v for x in e.execute("SELECT * FROM q").collect()} \
+        == {1: 30, 2: 80, 3: 90}
+    # NOT NULL violations are skipped the same way
+    e.execute("CREATE TABLE nn (id INT PRIMARY KEY, s VARCHAR(8) "
+              "NOT NULL)")
+    e.execute("INSERT INTO nn VALUES (1, 'a'), (2, 'b')")
+    r = e.execute(
+        "UPDATE IGNORE nn SET s = CASE WHEN id = 1 THEN NULL "
+        "ELSE 'z' END"
+    )
+    assert r.affected_rows == 1
+    assert {x.id: x.s for x in e.execute("SELECT * FROM nn").collect()} \
+        == {1: "a", 2: "z"}
