@@ -5485,8 +5485,14 @@ class Engine:
             )
             last_id = start
         elif s.mode == "replace" and meta.primary_key:
+            # MySQL REPLACE affected-rows: 1 per inserted row + 1 per
+            # replaced (deleted) existing row
+            before = t.read().count()
+            incoming = df.count()
             self.insert_replace(s.table, df.select(
                 *[f.name for f in base_schema.fields]), meta.primary_key)
+            replaced = before + incoming - t.read().count()
+            n = incoming + replaced
         elif s.mode == "ignore" and meta.primary_key:
             before = t.read().count()
             incoming = df.count()

@@ -990,3 +990,17 @@ def test_update_ignore_skips_violating_rows(spark, tmp_path):
     assert r.affected_rows == 1
     assert {x.id: x.s for x in e.execute("SELECT * FROM nn").collect()} \
         == {1: "a", 2: "z"}
+
+
+def test_replace_affected_rows_counts_deletes(spark, tmp_path):
+    """MySQL REPLACE affected-rows: 1 per inserted row plus 1 per
+    replaced existing row (clients and dump tools read this)."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE t (id INT PRIMARY KEY, v INT)")
+    e.execute("INSERT INTO t VALUES (1, 10), (2, 20)")
+    r = e.execute("REPLACE INTO t VALUES (1, 99), (3, 30)")
+    assert r.affected_rows == 3  # one replace (2) + one insert (1)
+    r = e.execute("REPLACE INTO t VALUES (9, 1)")
+    assert r.affected_rows == 1  # pure insert
