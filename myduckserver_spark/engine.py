@@ -5541,11 +5541,23 @@ class Engine:
         df = df.select(*base_schema.fieldNames())
         n = df.count()
         if s.mode == "replace" and meta.primary_key:
+            before = self.catalog.table(s.table).read().count()
             self.insert_replace(s.table, df, meta.primary_key)
+            replaced = before + n - self.catalog.table(
+                s.table).read().count()
+            n = n + replaced  # MySQL: +1 per replaced existing row
         elif s.mode == "ignore" and meta.primary_key:
             before = self.catalog.table(s.table).read().count()
             self.insert_ignore(s.table, df, meta.primary_key)
-            n = self.catalog.table(s.table).read().count() - before
+            inserted = self.catalog.table(
+                s.table).read().count() - before
+            if n - inserted > 0:
+                self._push_warning(
+                    1062,
+                    f"{n - inserted} row(s) skipped by LOAD DATA "
+                    "IGNORE (duplicate key)", level="Warning",
+                )
+            n = inserted
         else:
             self.insert(s.table, df)
         return OkResult(affected_rows=n)
