@@ -1225,8 +1225,27 @@ def _parse_column_def(item: str, meta: TableMeta) -> tuple[str, str] | None:
                 "on_delete": (fm.group(5) or "NO ACTION").upper(),
                 "on_update": (fm.group(6) or "NO ACTION").upper(),
             })
-        # UNIQUE/KEY/INDEX: metadata-only; FKs recorded above but never
-        # enforced, like the reference (harness/duck_harness.go:102-105)
+        # UNIQUE/KEY/INDEX: recorded in meta.indexes (SHOW CREATE
+        # TABLE / information_schema.statistics / dump round-trips),
+        # never enforced — like the reference
+        # (harness/duck_harness.go:102-105). FULLTEXT/SPATIAL inline
+        # keys stay unrecorded (CREATE FULLTEXT INDEX builds the real
+        # index tables; GEOMETRY is out of scope).
+        im = re.match(
+            r"(?:(UNIQUE)\s+(?:INDEX\s+|KEY\s+)?|(?:INDEX|KEY)\s+)"
+            r"(`[^`]+`|\w+)?\s*"
+            r"\(((?:[^()]|\([^)]*\))*)\)",  # allow col(10) prefixes
+            item, re.I | re.S,
+        )
+        if im and first in ("UNIQUE", "KEY", "INDEX"):
+            cols = [
+                unquote_ident(re.sub(r"\s*\(\d+\)\s*$", "", c.strip()))
+                for c in split_top_level(im.group(3), ",")
+            ]
+            name = unquote_ident(im.group(2)) if im.group(2) else cols[0]
+            meta.indexes[name] = {
+                "columns": cols, "unique": bool(im.group(1))
+            }
         return None
 
     m = re.match(rf"(`[^`]+`|\w+)\s+({_TYPE_RE})(.*)$", item, re.I | re.S)

@@ -271,3 +271,27 @@ def test_view_with_check_option(spark, tmp_path):
               "WHERE v > 0")
     e.execute("INSERT INTO pos VALUES (4, -4)")
     assert e.execute("SELECT v FROM t WHERE id = 4").collect()[0].v == -4
+
+
+def test_inline_index_clauses_recorded(spark, tmp_path):
+    """CREATE TABLE inline KEY/INDEX/UNIQUE clauses (with optional
+    column prefixes, as mysqldump emits) land in table metadata:
+    SHOW CREATE TABLE and information_schema.statistics render them,
+    so dump round-trips keep index definitions."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE t (a VARCHAR(100), b INT, "
+              "INDEX ix (a(10)), KEY k2 (b), UNIQUE uq (a, b))")
+    ddl = e.execute("SHOW CREATE TABLE t").collect()[0][1]
+    assert "KEY `k2` (`b`)" in ddl
+    assert "UNIQUE KEY `uq` (`a`, `b`)" in ddl
+    rows = {(r[0], r[1]) for r in e.sql(
+        "SELECT INDEX_NAME, COLUMN_NAME FROM "
+        "information_schema.statistics WHERE table_name = 't'"
+    ).collect()}
+    assert {("ix", "a"), ("k2", "b"), ("uq", "a"), ("uq", "b")} <= rows
+    # round-trip: replaying the rendered DDL keeps the indexes
+    e2 = Engine(spark, str(tmp_path / "wh2"))
+    e2.execute(ddl)
+    assert "k2" in e2.table_meta("t").indexes
