@@ -1307,6 +1307,42 @@ def _match_against(toks: list[Tok], i: int, open_idx: int, close_idx: int):
     return tokenize(sql), pclose + 1
 
 
+def _pass_charset_introducers(toks: list[Tok]) -> list[Tok]:
+    """Charset introducers on string literals (mysqldump emits them
+    routinely): `_binary'x'` → CAST('x' AS BINARY); `_utf8mb4'x'` /
+    `N'x'` → `'x'` (bytes already decoded). `x'AB'`/`X'AB'` hex
+    literals are Spark-native and pass through."""
+    out: list[Tok] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        j = i + 1
+        while j < len(toks) and toks[j].kind == "ws":
+            j += 1
+        nxt = toks[j] if j < len(toks) else None
+        if (
+            t.kind == "word"
+            and nxt is not None and nxt.kind == "str"
+            and (
+                (t.text.startswith("_") and len(t.text) > 1)
+                or t.text.upper() == "N"
+            )
+        ):
+            if t.text.lower() == "_binary":
+                out.extend([
+                    Tok("word", "CAST"), Tok("op", "("), nxt,
+                    Tok("ws", " "), Tok("word", "AS"), Tok("ws", " "),
+                    Tok("word", "BINARY"), Tok("op", ")"),
+                ])
+            else:
+                out.append(nxt)
+            i = j + 1
+            continue
+        out.append(t)
+        i += 1
+    return out
+
+
 def translate_mysql(sql: str, ansi_quotes: bool = False) -> str:
     """Normalize a MySQL-dialect query into Spark SQL (token-level).
     ansi_quotes applies the ANSI_QUOTES sql_mode (double-quoted
@@ -1316,6 +1352,7 @@ def translate_mysql(sql: str, ansi_quotes: bool = False) -> str:
     toks = _pass_version_comments(toks)
     toks = _pass_structural(toks)
     toks = _pass_odbc_escapes(toks)
+    toks = _pass_charset_introducers(toks)
     toks = _pass_keywords(toks)
     toks = _pass_limit(toks)
     toks = _pass_json_arrows(toks)

@@ -535,3 +535,16 @@ def test_json_aggregates(spark):
     )).collect()
     # duplicate keys: last write wins (mapKeyDedupPolicy=LAST_WIN)
     assert json.loads(rows[0].j) == {"a": 9, "b": 2}
+
+
+def test_charset_introducers_on_string_literals():
+    """_binary'x' → CAST AS BINARY; _utf8mb4'x' / N'x' drop the
+    introducer; X'AB' hex literals are Spark-native and untouched;
+    literal text containing an introducer-looking word is untouched."""
+    from myduckserver_spark.functions.mysql_compat import translate_mysql
+
+    assert translate_mysql(
+        "SELECT _utf8mb4'abc', _binary 'xy', N'n', x'AB'"
+    ) == "SELECT 'abc', CAST('xy' AS BINARY), 'n', x'AB'"
+    assert translate_mysql("SELECT '_binary inside'") \
+        == "SELECT '_binary inside'"
