@@ -2029,9 +2029,6 @@ class Engine:
             json.dump(m, f)
         self._proc_cache = m
 
-    _PROC_UNSUPPORTED = re.compile(
-        r"(?i)^\s*(RESIGNAL)\b"  # only valid inside a handler body
-    )
     # MySQL error code → standard SQLSTATE (the subset a dump/routine
     # corpus actually declares handlers for)
     _ERRNO_SQLSTATE = {
@@ -2159,20 +2156,14 @@ class Engine:
         ('if', [(cond, block), ...], else_block) |
         ('while', cond, block, label) | ('loop', label, block) |
         ('repeat', label, block, until_cond) | ('leave', label) |
-        ('iterate', label) | ('signal', sqlstate, message)."""
+        ('iterate', label) | ('signal', sqlstate, message) |
+        ('resignal', sqlstate_or_None, message_or_None)."""
         nodes: list = []
         while i < len(parts):
             p = parts[i].strip()
             up = p.upper()
             if any(up == t or up.startswith(t + " ") for t in stop):
                 return nodes, i
-            if self._PROC_UNSUPPORTED.match(p):
-                raise NotImplementedError(
-                    "procedure bodies support IF/CASE/WHILE/LOOP/"
-                    "REPEAT/LEAVE/ITERATE/SIGNAL/DECLARE (locals, "
-                    "cursors, handlers)/SET/OPEN/FETCH/CLOSE; "
-                    f"not: {p[:50]!r}"
-                )
             m = re.fullmatch(r"LEAVE(?:\s+(\w+))?", p, re.I)
             if m:
                 nodes.append(("leave", m.group(1)))
@@ -2188,6 +2179,20 @@ class Engine:
                 msg = (m.group(2) or "Unhandled user-defined exception"
                        ).replace("''", "'")
                 nodes.append(("signal", m.group(1), msg))
+                i += 1
+                continue
+            m = re.fullmatch(
+                r"RESIGNAL(?:\s+SQLSTATE\s+(?:VALUE\s+)?'(\w+)')?"
+                r"(?:\s+SET\s+MESSAGE_TEXT\s*=\s*'((?:[^']|'')*)')?",
+                p, re.I,
+            )
+            if m:
+                # valid only while a handler is active — checked at
+                # run time against the live diagnostics area (MySQL
+                # ER_RESIGNAL_WITHOUT_ACTIVE_HANDLER otherwise)
+                nodes.append(("resignal", m.group(1),
+                              (m.group(2) or "").replace("''", "'")
+                              or None))
                 i += 1
                 continue
             m = re.fullmatch(r"(?:(\w+)\s*:\s*)?BEGIN(?:\s+(.+))?$",
@@ -2268,11 +2273,6 @@ class Engine:
                 p, re.I | re.S,
             )
             if m:
-                if re.match(r"(?i)BEGIN\b", m.group(4).strip()):
-                    raise NotImplementedError(
-                        "handler bodies must be a single statement "
-                        "(BEGIN…END handler blocks are not)"
-                    )
                 if m.group(2).isdigit():
                     # MySQL error-code conditions: map the common
                     # corpus codes onto their standard SQLSTATEs (the
@@ -2293,8 +2293,25 @@ class Engine:
                         else ("class",
                               re.sub(r"\s+", " ", m.group(2)).upper())
                     )
+                body = m.group(4).strip()
+                bm = re.match(r"BEGIN(?:\s+(.+))?$", body, re.I | re.S)
+                if bm:
+                    # compound handler body: its own block scope —
+                    # handlers/cursors declared inside expire with it,
+                    # and (matching the single-statement path) a
+                    # failure inside it propagates raw
+                    if bm.group(1):
+                        parts.insert(i + 1, bm.group(1))
+                    blk, j = self._parse_proc_block(
+                        parts, i + 1, stop=("END",))
+                    if j >= len(parts):
+                        raise ValueError("handler BEGIN without END")
+                    nodes.append(("handler", m.group(1).lower(), cond,
+                                  ("block", blk)))
+                    i = j + 1
+                    continue
                 nodes.append(("handler", m.group(1).lower(), cond,
-                              m.group(4).strip()))
+                              body))
                 i += 1
                 continue
             m = re.match(r"DECLARE\s+(`[^`]+`|\w+)\s+\S+"
@@ -2588,30 +2605,17 @@ class Engine:
             if h is None:
                 raise e
             owner, mode, _cond, stmt = h
-            # RESIGNAL re-raises the condition (optionally re-labeled
-            # with a new SQLSTATE / MESSAGE_TEXT) — MySQL's
-            # pass-it-up-after-inspection pattern
-            rm = re.fullmatch(
-                r"RESIGNAL(?:\s+SQLSTATE\s+(?:VALUE\s+)?'(\w+)')?"
-                r"(?:\s+SET\s+MESSAGE_TEXT\s*=\s*'((?:[^']|'')*)')?",
-                stmt.strip(), re.I,
-            )
-            if rm:
-                if rm.group(1) or rm.group(2):
-                    state = rm.group(1) or getattr(e, "sqlstate", "45000")
-                    msg = (rm.group(2) or getattr(
-                        e, "message_text", str(e))).replace("''", "'")
-                    raise SignalError(state, msg) from e
-                raise e
-            # handler body: single statement, no handler rescue of its
-            # own (a failing handler propagates raw). It is parsed —
-            # not passed through as raw SQL — so GET DIAGNOSTICS
-            # CONDITION 1 can read the caught condition, exposed for
-            # the handler's duration as the active diagnostics area.
+            # handler body: single statement or a BEGIN…END block (its
+            # own scope), no handler rescue of its own (a failing
+            # handler propagates raw). It is parsed — not passed
+            # through as raw SQL — so GET DIAGNOSTICS CONDITION 1 and
+            # RESIGNAL can read the caught condition, exposed for the
+            # handler's duration as the active diagnostics area.
             prev_cond = getattr(self, "_diag_condition", None)
             self._diag_condition = e
             try:
-                hnodes, _ = self._parse_proc_block([stmt])
+                hnodes = (stmt[1] if isinstance(stmt, tuple)
+                          else self._parse_proc_block([stmt])[0])
                 self._run_proc_block(hnodes, env, dialect)
             finally:
                 self._diag_condition = prev_cond
@@ -2655,6 +2659,22 @@ class Engine:
                         raise SignalError(node[1], node[2])
                     except SignalError as e:
                         rescue(e)
+                elif kind == "resignal":
+                    # re-raise the condition the active handler caught
+                    # (optionally re-labeled) — MySQL's
+                    # pass-it-up-after-inspection pattern; never
+                    # rescued by the raising block's own handlers
+                    exc = getattr(self, "_diag_condition", None)
+                    if exc is None:
+                        raise SignalError(
+                            "0K000", "RESIGNAL when handler not active")
+                    if node[1] or node[2]:
+                        state = node[1] or getattr(
+                            exc, "sqlstate", "45000")
+                        msg = node[2] or getattr(
+                            exc, "message_text", str(exc))
+                        raise SignalError(state, msg) from exc
+                    raise exc
                 elif kind == "if":
                     _k, branches, else_blk = node
                     for cond, blk in branches:

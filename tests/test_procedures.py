@@ -604,3 +604,66 @@ def test_handler_for_mysql_errno(eng):
             "DECLARE EXIT HANDLER FOR 9999 SET @x = 1; "
             "SELECT 1; END"
         )
+
+
+def test_compound_handler_body(eng):
+    """DECLARE … HANDLER FOR … BEGIN … END — the handler body is a
+    block of statements with its own scope (MySQL 15.6.7.2; reference
+    corpus main_test.go:1071 exercises compound handler bodies)."""
+    eng.execute("CREATE TABLE errlog (src VARCHAR(30), n INT)")
+    eng.execute(
+        "CREATE PROCEDURE ch1() BEGIN "
+        "DECLARE CONTINUE HANDLER FOR SQLEXCEPTION BEGIN "
+        "  SET @msg = 'handled'; "
+        "  INSERT INTO errlog VALUES ('ch1', 1); "
+        "END; "
+        "INSERT INTO missing_tbl VALUES (1); "
+        "SET @after = 'yes'; "
+        "END"
+    )
+    eng.execute("CALL ch1()")
+    r = eng.execute(
+        "SELECT @msg AS m, @after AS a").collect()[0]
+    assert (r.m, r.a) == ("handled", "yes")
+    assert eng.execute(
+        "SELECT COUNT(*) AS n FROM errlog").collect()[0].n == 1
+
+
+def test_compound_exit_handler_with_control_flow(eng):
+    """EXIT handler block may use IF / GET DIAGNOSTICS / RESIGNAL;
+    EXIT unwinds the declaring block after the body runs."""
+    from myduckserver_spark.engine import SignalError
+
+    eng.execute(
+        "CREATE PROCEDURE ch2(IN relabel INT) BEGIN "
+        "DECLARE EXIT HANDLER FOR SQLEXCEPTION BEGIN "
+        "  GET DIAGNOSTICS CONDITION 1 @st = RETURNED_SQLSTATE; "
+        "  IF relabel = 1 THEN "
+        "    RESIGNAL SQLSTATE '45009' SET MESSAGE_TEXT = 'relabeled'; "
+        "  END IF; "
+        "  SET @quiet = 'swallowed'; "
+        "END; "
+        "SIGNAL SQLSTATE '45000' SET MESSAGE_TEXT = 'boom'; "
+        "SET @unreached = 1; "
+        "END"
+    )
+    # relabel path: RESIGNAL inside the block re-raises re-labeled
+    with pytest.raises(SignalError, match="relabeled") as ei:
+        eng.execute("CALL ch2(1)")
+    assert ei.value.sqlstate == "45009"
+    assert eng.execute("SELECT @st AS s").collect()[0].s == "45000"
+    # quiet path: the block completes, EXIT unwinds, CALL succeeds
+    eng.execute("CALL ch2(0)")
+    r = eng.execute(
+        "SELECT @quiet AS q, @unreached AS u").collect()[0]
+    assert (r.q, r.u) == ("swallowed", None)
+
+
+def test_resignal_outside_handler_errors(eng):
+    from myduckserver_spark.engine import SignalError
+
+    eng.execute(
+        "CREATE PROCEDURE bad_rs() BEGIN RESIGNAL; END")
+    with pytest.raises(SignalError, match="handler not active") as ei:
+        eng.execute("CALL bad_rs()")
+    assert ei.value.sqlstate == "0K000"
