@@ -1,0 +1,245 @@
+"""Differential DML-sequence fuzzing: random INSERT / INSERT IGNORE /
+REPLACE / INSERT…ON DUPLICATE KEY UPDATE / UPDATE / DELETE programs run
+through the Engine (MySQL dialect) AND through DuckDB, comparing
+per-statement error outcomes and the final table state. This is the
+write-path analog of the read-path tree fuzzer (qgen.py): the reference
+gets this class of coverage from the GMS enginetest DML corpora
+(main_test.go TestInsertInto/TestUpdate/TestDeleteFrom/TestReplaceInto)
+plus DuckDB's own constraint enforcement; here DuckDB plays the oracle
+directly.
+
+Determinism contract (what keeps the two engines comparable):
+- INTEGER + VARCHAR columns only; arithmetic stays in {+, *, -, %} on
+  small ints (no floats, no overflow, no division).
+- ids are unique WITHIN each generated batch: MySQL processes batches
+  row-at-a-time while DuckDB's OR REPLACE/OR IGNORE treat the batch as
+  a set, so intra-batch duplicate semantics differ BY DESIGN between
+  the engines (the engine's MySQL-faithful order semantics are pinned
+  by unit tests, not by this oracle).
+- no cross-column assignments in one SET list: MySQL applies
+  assignments left-to-right with new values visible, DuckDB/ANSI
+  evaluate against the old row.
+- CONCAT(x, y) is emitted as x || y on the DuckDB side (DuckDB's
+  CONCAT *skips* NULLs; MySQL's propagates them, and so does ||).
+- string literals avoid backslashes (MySQL's default escape).
+- both engines are case-sensitive here: the engine keeps Spark's
+  binary comparison semantics (documented divergence from MySQL's ci
+  default collation), which is exactly DuckDB's behavior too.
+
+A failing statement must be a no-op in BOTH engines (MySQL statement
+atomicity / DuckDB per-statement transaction), so (errored?, final
+state) per statement is the full observable.
+"""
+
+from __future__ import annotations
+
+import random
+
+IDS = list(range(15))
+A_VALS = [-5, -1, 0, 1, 2, 3, 7, 13, None]
+B_VALS = ["", "ab", "abc", "xy", "zz", "a b", "o'k", None]
+
+MYSQL_SCHEMA = "(id INT PRIMARY KEY, a INT, b VARCHAR(20))"
+DUCK_SCHEMA = "(id INTEGER PRIMARY KEY, a INTEGER, b VARCHAR)"
+
+
+def _lit(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return str(v)
+
+
+def _rows_sql(rng: random.Random, cols: list[str]) -> str:
+    n = rng.randint(1, 4)
+    ids = rng.sample(IDS, n)  # unique within the batch (see contract)
+    out = []
+    for i in ids:
+        vals = []
+        for c in cols:
+            if c == "id":
+                vals.append(str(i))
+            elif c == "a":
+                vals.append(_lit(rng.choice(A_VALS)))
+            else:
+                vals.append(_lit(rng.choice(B_VALS)))
+        out.append("(" + ", ".join(vals) + ")")
+    return ", ".join(out)
+
+
+def _a_expr(rng: random.Random) -> tuple[str, str]:
+    k = rng.randint(-3, 5)
+    return rng.choice([
+        (f"a + {k}", f"a + {k}"),
+        (f"{k}", f"{k}"),
+        ("NULL", "NULL"),
+        ("a * 2", "a * 2"),
+        ("-a", "-a"),
+        ("a % 7", "a % 7"),
+    ])
+
+
+def _b_expr(rng: random.Random) -> tuple[str, str]:
+    lit = _lit(rng.choice([v for v in B_VALS if v is not None]))
+    return rng.choice([
+        ("UPPER(b)", "UPPER(b)"),
+        ("LOWER(b)", "LOWER(b)"),
+        (f"CONCAT(b, {lit})", f"b || {lit}"),
+        ("NULL", "NULL"),
+        (lit, lit),
+        ("SUBSTRING(b, 1, 2)", "SUBSTRING(b, 1, 2)"),
+    ])
+
+
+def _pred(rng: random.Random, depth: int = 0) -> str:
+    # identical text works in both dialects (see contract)
+    leaf = rng.choice([
+        lambda: f"id % {rng.randint(2, 4)} = {rng.randint(0, 2)}",
+        lambda: f"a > {rng.randint(-3, 8)}",
+        lambda: f"a <= {rng.randint(-3, 8)}",
+        lambda: "a IS NULL",
+        lambda: "a IS NOT NULL",
+        lambda: f"b LIKE '{rng.choice(['a', 'ab', 'x', 'z'])}%'",
+        lambda: "b = ''",
+        lambda: f"id BETWEEN {rng.randint(0, 7)} AND {rng.randint(7, 14)}",
+        lambda: f"id IN ({', '.join(str(i) for i in rng.sample(IDS, 3))})",
+    ])
+    if depth < 1 and rng.random() < 0.4:
+        op = rng.choice(["AND", "OR"])
+        return f"({_pred(rng, depth + 1)}) {op} ({_pred(rng, depth + 1)})"
+    if rng.random() < 0.15:
+        return f"NOT ({leaf()})"
+    return leaf()
+
+
+def gen_statement(rng: random.Random, table: str) -> tuple[str, str]:
+    """One (mysql_sql, duckdb_sql) pair."""
+    kind = rng.choices(
+        ["insert", "insert_cols", "ignore", "replace", "on_dup",
+         "update", "delete"],
+        weights=[3, 1, 2, 2, 2, 4, 2],
+    )[0]
+    if kind == "insert":
+        rows = _rows_sql(rng, ["id", "a", "b"])
+        return (f"INSERT INTO {table} VALUES {rows}",
+                f"INSERT INTO {table} VALUES {rows}")
+    if kind == "insert_cols":
+        rows = _rows_sql(rng, ["id", "b"])
+        return (f"INSERT INTO {table} (id, b) VALUES {rows}",
+                f"INSERT INTO {table} (id, b) VALUES {rows}")
+    if kind == "ignore":
+        rows = _rows_sql(rng, ["id", "a", "b"])
+        return (f"INSERT IGNORE INTO {table} VALUES {rows}",
+                f"INSERT OR IGNORE INTO {table} VALUES {rows}")
+    if kind == "replace":
+        rows = _rows_sql(rng, ["id", "a", "b"])
+        return (f"REPLACE INTO {table} VALUES {rows}",
+                f"INSERT OR REPLACE INTO {table} VALUES {rows}")
+    if kind == "on_dup":
+        rows = _rows_sql(rng, ["id", "a", "b"])
+        my, du = rng.choice([
+            ("a = VALUES(a)", "a = excluded.a"),
+            ("a = VALUES(a) + 1", "a = excluded.a + 1"),
+            ("a = a + VALUES(a)", "a = a + excluded.a"),
+            ("b = VALUES(b)", "b = excluded.b"),
+        ])
+        return (
+            f"INSERT INTO {table} VALUES {rows} "
+            f"ON DUPLICATE KEY UPDATE {my}",
+            f"INSERT INTO {table} VALUES {rows} "
+            f"ON CONFLICT (id) DO UPDATE SET {du}",
+        )
+    if kind == "update":
+        sets_my, sets_du = [], []
+        if rng.random() < 0.7:
+            m, d = _a_expr(rng)
+            sets_my.append(f"a = {m}")
+            sets_du.append(f"a = {d}")
+        if not sets_my or rng.random() < 0.5:
+            m, d = _b_expr(rng)
+            sets_my.append(f"b = {m}")
+            sets_du.append(f"b = {d}")
+        where = "" if rng.random() < 0.1 else f" WHERE {_pred(rng)}"
+        return (f"UPDATE {table} SET {', '.join(sets_my)}{where}",
+                f"UPDATE {table} SET {', '.join(sets_du)}{where}")
+    where = "" if rng.random() < 0.1 else f" WHERE {_pred(rng)}"
+    return (f"DELETE FROM {table}{where}", f"DELETE FROM {table}{where}")
+
+
+def gen_sequence(rng: random.Random, table: str,
+                 n_stmts: int = 8) -> list[tuple[str, str]]:
+    seed_rows = _rows_sql(rng, ["id", "a", "b"])
+    seq = [(f"INSERT INTO {table} VALUES {seed_rows}",
+            f"INSERT INTO {table} VALUES {seed_rows}")]
+    for _ in range(n_stmts - 1):
+        seq.append(gen_statement(rng, table))
+    return seq
+
+
+def apply_pair(eng, duck, table: str,
+               pairs: list[tuple[str, str]]) -> tuple[bool, str]:
+    """Run one generated sequence through both engines on a FRESH
+    table; compare per-statement error flags and the final state.
+    Returns (ok, detail)."""
+    import duckdb as _dd
+
+    eng.execute(f"DROP TABLE IF EXISTS {table}")
+    duck.execute(f"DROP TABLE IF EXISTS {table}")
+    eng.execute(f"CREATE TABLE {table} {MYSQL_SCHEMA}")
+    duck.execute(f"CREATE TABLE {table} {DUCK_SCHEMA}")
+    try:
+        for i, (my, du) in enumerate(pairs):
+            err_m = err_d = None
+            try:
+                eng.execute(my)
+            except NotImplementedError:
+                raise
+            except Exception as e:  # noqa: BLE001 — oracle comparison
+                err_m = e
+            try:
+                duck.execute(du)
+            except _dd.Error as e:
+                err_d = e
+            if (err_m is None) != (err_d is None):
+                return False, (
+                    f"stmt {i} error divergence: engine="
+                    f"{type(err_m).__name__ if err_m else 'ok'}"
+                    f"({str(err_m)[:80] if err_m else ''}) duckdb="
+                    f"{type(err_d).__name__ if err_d else 'ok'}"
+                    f"({str(err_d)[:80] if err_d else ''}) :: {my}"
+                )
+        mine = sorted(
+            (r[0], r[1], r[2])
+            for r in eng.execute(
+                f"SELECT id, a, b FROM {table}").collect()
+        )
+        theirs = sorted(
+            tuple(r) for r in duck.execute(
+                f"SELECT id, a, b FROM {table}").fetchall()
+        )
+        if mine != theirs:
+            return False, f"final state: engine={mine} duckdb={theirs}"
+        return True, ""
+    finally:
+        eng.execute(f"DROP TABLE IF EXISTS {table}")
+        duck.execute(f"DROP TABLE IF EXISTS {table}")
+
+
+def shrink(eng, duck, table: str,
+           pairs: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """Greedy delta-debugging: drop statements while the divergence
+    persists (statement 0 re-seeds, so any subset is still runnable)."""
+    cur = list(pairs)
+    changed = True
+    while changed:
+        changed = False
+        for i in range(len(cur) - 1, -1, -1):
+            cand = cur[:i] + cur[i + 1:]
+            if not cand:
+                continue
+            ok, _ = apply_pair(eng, duck, table, cand)
+            if not ok:
+                cur = cand
+                changed = True
+    return cur

@@ -101,6 +101,19 @@ class SignalError(ValueError):
         self.message_text = message
 
 
+class DuplicateKeyError(ValueError):
+    """ER_DUP_ENTRY (1062): PRIMARY KEY violation on INSERT/UPDATE —
+    MySQL aborts the statement atomically; nothing is written. The
+    reference inherits this from DuckDB's ART primary-key index; here
+    the engine checks explicitly before committing the snapshot."""
+
+    def __init__(self, key: str, index: str):
+        super().__init__(f"Duplicate entry '{key}' for key '{index}'")
+        self.sqlstate = "23000"
+        self.errno = 1062
+        self.message_text = f"Duplicate entry '{key}' for key '{index}'"
+
+
 class _ProcLeave(Exception):
     """Control transfer for LEAVE <label> (caught by the target loop)."""
 
@@ -1069,19 +1082,47 @@ class Engine:
                 )
         self.insert(name, df)
 
+    @staticmethod
+    def _dedupe_batch_on_pk(
+        df: DataFrame, pk_cols: list[str], keep: str
+    ) -> DataFrame:
+        """Collapse intra-batch PK duplicates to the row MySQL's
+        row-at-a-time processing would leave: REPLACE keeps the LAST
+        occurrence, IGNORE keeps the FIRST. Batch position comes from
+        monotonically_increasing_id(), which is globally ordered by
+        (partition, offset) — input order for a VALUES local relation
+        or a single-file scan. The window shuffles on the PK the
+        subsequent anti-join shuffles on anyway."""
+        from pyspark.sql.window import Window
+
+        ordered = df.withColumn("__ord", F.monotonically_increasing_id())
+        w = Window.partitionBy(*pk_cols).orderBy(
+            F.col("__ord").desc() if keep == "last" else F.col("__ord").asc()
+        )
+        return (
+            ordered.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__ord", "__rn")
+        )
+
     def insert_replace(self, name: str, df: DataFrame, pk_cols: list[str]) -> None:
-        """INSERT OR REPLACE (MySQL REPLACE INTO): new rows win on PK
-        (reference loaddata.go:131-137 → MERGE WHEN MATCHED UPDATE)."""
+        """INSERT OR REPLACE (MySQL REPLACE INTO): new rows win on PK,
+        and within one batch the LAST duplicate wins — MySQL replaces
+        row-by-row (reference loaddata.go:131-137 → MERGE WHEN MATCHED
+        UPDATE)."""
         t = self.catalog.table(name)
         base = t.read()
+        df = self._dedupe_batch_on_pk(df, pk_cols, keep="last")
         kept = base.join(df.select(*pk_cols).distinct(), pk_cols, "left_anti")
         t.overwrite(kept.unionByName(df.select(*base.columns)))
 
     def insert_ignore(self, name: str, df: DataFrame, pk_cols: list[str]) -> None:
-        """INSERT IGNORE: existing rows win on PK
+        """INSERT IGNORE: existing rows win on PK, and within one batch
+        the FIRST duplicate wins — later ones are the skipped conflicts
         (reference loaddata.go:138-143 → MERGE WHEN NOT MATCHED INSERT)."""
         t = self.catalog.table(name)
         base = t.read()
+        df = self._dedupe_batch_on_pk(df, pk_cols, keep="first")
         fresh = df.join(base.select(*pk_cols).distinct(), pk_cols, "left_anti")
         t.overwrite(base.unionByName(fresh.select(*base.columns)))
 
@@ -1128,6 +1169,45 @@ class Engine:
             df = base.limit(0)
         return df, carry
 
+    @staticmethod
+    def _unique_targets(meta, assigned: set | None = None):
+        """(index_name, columns, null_exempt) triples whose uniqueness
+        a write assigning `assigned` columns could break (all targets
+        when assigned is None). UNIQUE indexes are null-exempt: MySQL
+        treats NULL key parts as distinct; the PRIMARY KEY is not."""
+        out = []
+        pk = list(meta.primary_key or ())
+        if pk and (assigned is None or set(pk) & assigned):
+            out.append(("PRIMARY", pk, False))
+        for iname, props in (meta.indexes or {}).items():
+            if isinstance(props, dict) and props.get("unique"):
+                icols = list(props["columns"])
+                if assigned is None or set(icols) & assigned:
+                    out.append((iname, icols, True))
+        return out
+
+    def _enforce_unique_post(self, post: DataFrame, targets,
+                             table: str) -> None:
+        """ER_DUP_ENTRY guard for UPDATEs that assign a key column:
+        the whole post-image must stay unique on each affected key
+        before any file is swapped (statement-level atomicity, like
+        MySQL / the reference's DuckDB ART indexes). One aggregation
+        job per affected key, paid only when one is assigned."""
+        for iname, icols, null_exempt in targets:
+            cand = post.select(*icols)
+            if null_exempt:
+                cand = cand.na.drop("any", subset=icols)
+            bad = (
+                cand.groupBy(*icols).agg(F.count(F.lit(1)).alias("__c"))
+                .where(F.col("__c") > 1).limit(1).collect()
+            )
+            if bad:
+                key = "-".join(
+                    "NULL" if bad[0][c] is None else str(bad[0][c])
+                    for c in icols
+                )
+                raise DuplicateKeyError(key, f"{table}.{iname}")
+
     def update(self, name: str, condition: Column, assignments: dict[str, Column]) -> int:
         """UPDATE t SET col=expr WHERE cond, as a snapshot rewrite.
         CHECK/NOT NULL constraints are enforced on the post-update
@@ -1153,8 +1233,12 @@ class Engine:
                 }
             )
 
+        meta = self.table_meta(name)
+        key_targets = self._unique_targets(meta, set(assignments))
         parts = set(t._read_pointer().get("partition_by") or ())
-        if not (set(assignments) & parts):
+        # a key assignment forces the full rewrite: uniqueness is a
+        # GLOBAL property, so the post-image check must see every row
+        if not (set(assignments) & parts) and not key_targets:
             try:
                 pruned = self._pruned_scan_from_condition(t, base, condition)
                 if pruned is not None:
@@ -1168,7 +1252,9 @@ class Engine:
             except AnalysisException:
                 pass  # plan-bound Columns: full rewrite below
         updated = transform(base)
-        self._enforce_checks(updated, self.table_meta(name), "UPDATE")
+        self._enforce_checks(updated, meta, "UPDATE")
+        if key_targets:
+            self._enforce_unique_post(updated, key_targets, name)
         t.overwrite(updated)
         return n
 
@@ -3324,8 +3410,11 @@ class Engine:
         # column (rows could move between partition directories — the
         # full rewrite handles relocation).
         parts = set(t._read_pointer().get("partition_by") or ())
+        # a key assignment forces the full rewrite: uniqueness is a
+        # GLOBAL property, so the post-image check must see every row
+        key_targets = self._unique_targets(meta, set(assignments))
         pruned = None
-        if not (set(assignments) & parts):
+        if not (set(assignments) & parts) and not key_targets:
             pruned = self._pruned_dml_plan(s.table, pre, where, dialect)
         if pruned is not None:
             view, carry = pruned
@@ -3341,6 +3430,8 @@ class Engine:
                 dialect=dialect,
             )
             self._enforce_checks(updated, meta, "UPDATE")
+            if key_targets:
+                self._enforce_unique_post(updated, key_targets, s.table)
             t.overwrite(updated)
         self._recompute_generated(s.table, meta)
         self._fire_after_triggers(s.table, "update", trig_df)
@@ -5476,7 +5567,75 @@ class Engine:
                     f"CHECK/NOT NULL constraint '{cname}' violated: {bad[0]}"
                 )
 
-        n = df.count()
+        pk = list(meta.primary_key or [])
+
+        def _dup_key(row, cols) -> str:
+            return "-".join(
+                "NULL" if row[c] is None else str(row[c]) for c in cols
+            )
+
+        def _probe_dup(icols, iname, null_exempt):
+            # MySQL ER_DUP_ENTRY: the batch must not repeat a key
+            # internally nor collide with an existing one; either
+            # aborts atomically, writing nothing (the reference
+            # inherits this from DuckDB's ART indexes). The
+            # existing-key probe streams the base with the incoming
+            # keys on the build side (broadcast-sized for VALUES
+            # batches, AQE-chosen for INSERT…SELECT). UNIQUE treats
+            # NULLs as distinct (MySQL): any-NULL keys are exempt.
+            cand = df.select(*icols)
+            if null_exempt:
+                cand = cand.na.drop("any", subset=icols)
+            bad = (
+                cand.groupBy(*icols).agg(F.count(F.lit(1)).alias("__c"))
+                .where(F.col("__c") > 1).limit(1).collect()
+            )
+            if not bad:
+                basek = t.read().select(*icols)
+                if null_exempt:
+                    basek = basek.na.drop("any", subset=icols)
+                bad = basek.join(cand, icols, "left_semi").limit(1).collect()
+            if bad:
+                raise DuplicateKeyError(
+                    _dup_key(bad[0], icols), f"{s.table}.{iname}"
+                )
+
+        if pk and s.mode == "insert" and not s.on_dup and not auto_missing:
+            # one aggregation job yields the row count AND the max
+            # per-key multiplicity, so the happy path pays no extra
+            # job over the old plain df.count()
+            prof = (
+                df.groupBy(*pk).agg(F.count(F.lit(1)).alias("__c"))
+                .agg(F.sum("__c").alias("__n"), F.max("__c").alias("__m"))
+                .collect()[0]
+            )
+            n = prof["__n"] or 0
+            if (prof["__m"] or 0) > 1:
+                bad = (
+                    df.groupBy(*pk).agg(F.count(F.lit(1)).alias("__c"))
+                    .where(F.col("__c") > 1).limit(1).collect()[0]
+                )
+                raise DuplicateKeyError(
+                    _dup_key(bad, pk), f"{s.table}.PRIMARY"
+                )
+            clash = (
+                t.read().select(*pk).join(df.select(*pk), pk, "left_semi")
+                .limit(1).collect()
+            )
+            if clash:
+                raise DuplicateKeyError(
+                    _dup_key(clash[0], pk), f"{s.table}.PRIMARY"
+                )
+        else:
+            n = df.count()
+        if s.mode == "insert" and not s.on_dup:
+            for iname, props in (meta.indexes or {}).items():
+                if not (isinstance(props, dict) and props.get("unique")):
+                    continue
+                icols = list(props["columns"])
+                if not set(icols) <= set(df.columns):
+                    continue  # index covers the generated auto column
+                _probe_dup(icols, iname, null_exempt=True)
         last_id = 0
 
         def _fire_insert_triggers(image_df: DataFrame | None = None) -> None:
@@ -5508,14 +5667,14 @@ class Engine:
             # MySQL REPLACE affected-rows: 1 per inserted row + 1 per
             # replaced (deleted) existing row
             before = t.read().count()
-            incoming = df.count()
+            incoming = n
             self.insert_replace(s.table, df.select(
                 *[f.name for f in base_schema.fields]), meta.primary_key)
             replaced = before + incoming - t.read().count()
             n = incoming + replaced
         elif s.mode == "ignore" and meta.primary_key:
             before = t.read().count()
-            incoming = df.count()
+            incoming = n
             self.insert_ignore(s.table, df.select(
                 *[f.name for f in base_schema.fields]), meta.primary_key)
             n = t.read().count() - before
@@ -5723,15 +5882,29 @@ class Engine:
         TestInsertDuplicateKeyKeyless main_test.go:851; applied by the
         GMS layer). New keys append; conflicting keys get the update
         assignments, where VALUES(col) refers to the incoming row.
-        Incoming rows are assumed unique on the PK (MySQL applies
-        sequentially; a batch with internal PK duplicates is UB here).
-        Returns the MySQL affected-rows convention: 1 per insert,
-        2 per updated row.
+        Incoming rows must be unique on the PK: MySQL applies the batch
+        row-at-a-time, so a later duplicate updates the row an earlier
+        one just wrote — an inherently sequential chain a set-based
+        plan cannot reproduce for arbitrary assignments. Previously UB;
+        now detected and rejected loudly. Returns the MySQL
+        affected-rows convention: 1 per insert, 2 per updated row.
         """
         t = self.catalog.table(name)
         base = t.read()
         pk = meta.primary_key
         base_cols = base.columns
+
+        mx = (
+            df.groupBy(*pk).agg(F.count(F.lit(1)).alias("__c"))
+            .agg(F.max("__c").alias("__m")).collect()[0]["__m"]
+        )
+        if (mx or 0) > 1:
+            raise NotImplementedError(
+                "INSERT ... ON DUPLICATE KEY UPDATE with duplicate keys "
+                "inside one batch: MySQL applies rows sequentially "
+                "(each duplicate updates the row the previous one "
+                "wrote); split the batch or use REPLACE INTO"
+            )
 
         new_rows = df.join(base.select(*pk).distinct(), pk, "left_anti")
         conflicts = base.alias("t").join(df.alias("n"), pk, "inner")

@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Differential DML-sequence fuzz campaign: N random write programs
+(INSERT / IGNORE / REPLACE / ON DUPLICATE KEY / UPDATE / DELETE,
+myduckserver_spark/dmlgen.py) applied through the Engine AND DuckDB;
+any per-statement error divergence or final-state mismatch is shrunk
+to a minimal failing sequence and printed with its seed.
+
+    python scripts/fuzz_dml.py --n 200 --seed 20260815 --stmts 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+from myduckserver_spark import dmlgen  # noqa: E402
+from myduckserver_spark.engine import Engine  # noqa: E402
+from myduckserver_spark.session import build_session  # noqa: E402
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=200)
+    ap.add_argument("--seed", type=int, default=20260815)
+    ap.add_argument("--stmts", type=int, default=8)
+    args = ap.parse_args()
+
+    spark = build_session(master="local[8]", shuffle_partitions=8)
+    eng = Engine(spark, tempfile.mkdtemp(prefix="fuzz_dml_wh_"))
+    duck = duckdb.connect()
+
+    rng = random.Random(args.seed)
+    t0 = time.time()
+    bad = 0
+    for trial in range(args.n):
+        table = f"fz{trial}"
+        seq = dmlgen.gen_sequence(rng, table, n_stmts=args.stmts)
+        ok, detail = dmlgen.apply_pair(eng, duck, table, seq)
+        if not ok:
+            bad += 1
+            small = dmlgen.shrink(eng, duck, table, seq)
+            _, sdetail = dmlgen.apply_pair(eng, duck, table, small)
+            print(f"DIVERGENCE trial={trial} seed={args.seed}")
+            print(f"  {detail}")
+            print("  minimal sequence:")
+            for my, du in small:
+                print(f"    mysql: {my}")
+                if du != my:
+                    print(f"    duck : {du}")
+            print(f"  minimal detail: {sdetail}")
+        if (trial + 1) % 20 == 0:
+            print(
+                f"[{trial + 1}/{args.n}] {bad} divergences, "
+                f"{time.time() - t0:.0f}s",
+                flush=True,
+            )
+    print(f"done: {args.n} sequences, {bad} divergences, "
+          f"{time.time() - t0:.0f}s")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

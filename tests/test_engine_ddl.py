@@ -83,9 +83,11 @@ def test_optimize_statement(spark, tmp_path):
 
     eng = Engine(spark, str(tmp_path / "wh_opt"))
     eng.execute("CREATE TABLE ot (a INT, b INT, PRIMARY KEY (a))")
+    # a must be unique: it is the PRIMARY KEY (plain INSERT now
+    # enforces ER_DUP_ENTRY like MySQL)
     eng.execute(
         "INSERT INTO ot VALUES " +
-        ", ".join(f"({i % 40}, {i * 13 % 40})" for i in range(400))
+        ", ".join(f"({i}, {i * 13 % 40})" for i in range(400))
     )
     r = eng.execute("OPTIMIZE ot ZORDER BY (a, b)")
     assert "optimized on (a, b)" in r.info

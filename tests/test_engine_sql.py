@@ -1004,3 +1004,100 @@ def test_replace_affected_rows_counts_deletes(spark, tmp_path):
     assert r.affected_rows == 3  # one replace (2) + one insert (1)
     r = e.execute("REPLACE INTO t VALUES (9, 1)")
     assert r.affected_rows == 1  # pure insert
+
+
+def test_primary_key_duplicate_insert_rejected(engine):
+    """Plain INSERT enforces PK uniqueness like MySQL's ER_DUP_ENTRY
+    (the reference inherits this from DuckDB's ART index): against
+    existing rows, within one batch, and atomically — a failing
+    statement writes nothing."""
+    from myduckserver_spark.engine import DuplicateKeyError
+
+    engine.execute("CREATE TABLE pku (id INT PRIMARY KEY, b VARCHAR(10))")
+    engine.execute("INSERT INTO pku VALUES (1,'a'), (2,'b')")
+    with pytest.raises(DuplicateKeyError, match="Duplicate entry '1'"):
+        engine.execute("INSERT INTO pku VALUES (1,'dup')")
+    # atomicity: mixed batch (one fresh, one conflicting) is a no-op
+    with pytest.raises(DuplicateKeyError):
+        engine.execute("INSERT INTO pku VALUES (9,'new'), (2,'dup')")
+    # intra-batch duplicate
+    with pytest.raises(DuplicateKeyError, match="Duplicate entry '5'"):
+        engine.execute("INSERT INTO pku VALUES (5,'x'), (5,'y')")
+    assert sorted(
+        (r.id, r.b) for r in engine.execute("SELECT * FROM pku").collect()
+    ) == [(1, "a"), (2, "b")]
+    # the error is handler-visible as SQLSTATE 23000 / errno 1062
+    err = None
+    try:
+        engine.execute("INSERT INTO pku VALUES (1,'dup')")
+    except DuplicateKeyError as e:
+        err = e
+    assert (err.sqlstate, err.errno) == ("23000", 1062)
+    # INSERT ... SELECT takes the same gate
+    engine.execute("CREATE TABLE src (id INT, b VARCHAR(10))")
+    engine.execute("INSERT INTO src VALUES (2,'dup'), (3,'ok')")
+    with pytest.raises(DuplicateKeyError):
+        engine.execute("INSERT INTO pku SELECT * FROM src")
+
+
+def test_primary_key_duplicate_update_rejected(engine):
+    from myduckserver_spark.engine import DuplicateKeyError
+
+    engine.execute("CREATE TABLE pkup (id INT PRIMARY KEY, b VARCHAR(10))")
+    engine.execute("INSERT INTO pkup VALUES (1,'a'), (2,'b'), (3,'c')")
+    with pytest.raises(DuplicateKeyError, match="Duplicate entry '2'"):
+        engine.execute("UPDATE pkup SET id = 2 WHERE id = 1")
+    # collapsing several rows onto one key is also caught
+    with pytest.raises(DuplicateKeyError):
+        engine.execute("UPDATE pkup SET id = 9 WHERE id > 1")
+    # moving a key to a FREE slot is fine
+    engine.execute("UPDATE pkup SET id = 10 WHERE id = 1")
+    assert sorted(
+        r.id for r in engine.execute("SELECT id FROM pkup").collect()
+    ) == [2, 3, 10]
+
+
+def test_replace_and_ignore_intra_batch_order(engine):
+    """MySQL applies a multi-row batch in order: REPLACE keeps the
+    LAST duplicate, INSERT IGNORE keeps the FIRST."""
+    engine.execute("CREATE TABLE rio (id INT PRIMARY KEY, b VARCHAR(10))")
+    engine.execute("REPLACE INTO rio VALUES (1,'x'), (1,'y'), (1,'z')")
+    assert [(r.id, r.b) for r in
+            engine.execute("SELECT * FROM rio").collect()] == [(1, "z")]
+    engine.execute("INSERT IGNORE INTO rio VALUES (2,'p'), (2,'q'), (1,'nope')")
+    assert sorted(
+        (r.id, r.b) for r in engine.execute("SELECT * FROM rio").collect()
+    ) == [(1, "z"), (2, "p")]
+    # ON DUPLICATE KEY UPDATE rejects intra-batch duplicates loudly
+    # (sequential chain semantics are not reproducible set-based)
+    with pytest.raises(NotImplementedError, match="sequentially"):
+        engine.execute(
+            "INSERT INTO rio VALUES (7,'a'), (7,'b') "
+            "ON DUPLICATE KEY UPDATE b = VALUES(b)"
+        )
+
+
+def test_unique_index_enforced_nulls_exempt(engine):
+    """UNIQUE KEY gets the same ER_DUP_ENTRY gate as the PK on INSERT
+    and UPDATE, but NULL key parts are distinct (MySQL semantics)."""
+    from myduckserver_spark.engine import DuplicateKeyError
+
+    engine.execute(
+        "CREATE TABLE uq (id INT PRIMARY KEY, e VARCHAR(30), n INT, "
+        "UNIQUE KEY uq_e (e))"
+    )
+    engine.execute(
+        "INSERT INTO uq VALUES (1,'a@x',1), (2,'b@x',2), (3,NULL,3), "
+        "(4,NULL,4)"  # two NULLs coexist
+    )
+    with pytest.raises(DuplicateKeyError, match="uq.uq_e"):
+        engine.execute("INSERT INTO uq VALUES (5,'a@x',5)")
+    with pytest.raises(DuplicateKeyError, match="Duplicate entry 'c@x'"):
+        engine.execute("INSERT INTO uq VALUES (6,'c@x',6), (7,'c@x',7)")
+    with pytest.raises(DuplicateKeyError):
+        engine.execute("UPDATE uq SET e = 'b@x' WHERE id = 1")
+    engine.execute("UPDATE uq SET e = NULL WHERE id = 1")
+    assert sorted(
+        r.id for r in engine.execute(
+            "SELECT id FROM uq WHERE e IS NULL").collect()
+    ) == [1, 3, 4]
