@@ -1083,47 +1083,171 @@ class Engine:
         self.insert(name, df)
 
     @staticmethod
-    def _dedupe_batch_on_pk(
-        df: DataFrame, pk_cols: list[str], keep: str
+    def _all_keys(
+        pk_cols: list[str], unique_keys=()
+    ) -> list[tuple[list[str], bool]]:
+        """(columns, null_exempt) per enforced key: the PK (NULL-free
+        by construction) plus each UNIQUE index (MySQL: NULL key parts
+        are distinct, so any-NULL rows never conflict)."""
+        keys = [(list(pk_cols), False)] if pk_cols else []
+        for _name, ucols in unique_keys or ():
+            keys.append((list(ucols), True))
+        return keys
+
+    @staticmethod
+    def _nonnull(cols: list[str]):
+        from functools import reduce as _reduce
+
+        return _reduce(
+            lambda a, b: a & b, (F.col(c).isNotNull() for c in cols)
+        )
+
+    def _replace_survivors(
+        self, df: DataFrame, keys: list[tuple[list[str], bool]]
     ) -> DataFrame:
-        """Collapse intra-batch PK duplicates to the row MySQL's
-        row-at-a-time processing would leave: REPLACE keeps the LAST
-        occurrence, IGNORE keeps the FIRST. Batch position comes from
-        monotonically_increasing_id(), which is globally ordered by
+        """MySQL REPLACE processes a batch row-at-a-time: a row
+        survives iff NO LATER row conflicts with it on ANY enforced
+        key (a later conflicting row deletes it, whether or not that
+        row itself survives — so per-key checks against the ORIGINAL
+        batch compose exactly). Batch position comes from
+        monotonically_increasing_id(), globally ordered by
         (partition, offset) — input order for a VALUES local relation
-        or a single-file scan. The window shuffles on the PK the
-        subsequent anti-join shuffles on anyway."""
+        or a single-file scan."""
         from pyspark.sql.window import Window
 
         ordered = df.withColumn("__ord", F.monotonically_increasing_id())
-        w = Window.partitionBy(*pk_cols).orderBy(
-            F.col("__ord").desc() if keep == "last" else F.col("__ord").asc()
-        )
+        keep = F.lit(True)
+        for cols, null_exempt in keys:
+            later = F.max("__ord").over(
+                Window.partitionBy(*cols)) > F.col("__ord")
+            if null_exempt:
+                later = later & self._nonnull(cols)
+            keep = keep & ~later
         return (
-            ordered.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .drop("__ord", "__rn")
+            ordered.withColumn("__keep", keep)
+            .where(F.col("__keep")).drop("__ord", "__keep")
         )
 
-    def insert_replace(self, name: str, df: DataFrame, pk_cols: list[str]) -> None:
-        """INSERT OR REPLACE (MySQL REPLACE INTO): new rows win on PK,
-        and within one batch the LAST duplicate wins — MySQL replaces
-        row-by-row (reference loaddata.go:131-137 → MERGE WHEN MATCHED
-        UPDATE)."""
+    def insert_replace(self, name: str, df: DataFrame, pk_cols: list[str],
+                       unique_keys=()) -> None:
+        """INSERT OR REPLACE (MySQL REPLACE INTO): a new row deletes
+        EVERY stored row it conflicts with on the PK or any UNIQUE
+        index, and within one batch the LAST conflicting occurrence
+        wins — MySQL replaces row-by-row (reference loaddata.go:131-137
+        → MERGE WHEN MATCHED UPDATE; unique-index semantics from the
+        GMS TestReplaceInto corpus)."""
         t = self.catalog.table(name)
         base = t.read()
-        df = self._dedupe_batch_on_pk(df, pk_cols, keep="last")
-        kept = base.join(df.select(*pk_cols).distinct(), pk_cols, "left_anti")
-        t.overwrite(kept.unionByName(df.select(*base.columns)))
+        keys = self._all_keys(pk_cols, unique_keys)
+        df = self._replace_survivors(df, keys)
+        kept = base
+        for cols, null_exempt in keys:
+            probe = df.select(*cols)
+            if null_exempt:
+                probe = probe.na.drop("any", subset=cols)
+                # NULL-keyed stored rows can't conflict; a plain join
+                # already never matches them
+            kept = kept.join(probe.distinct(), cols, "left_anti")
+        # list-form joins surface the join columns first; restore the
+        # table's column order before the write
+        t.overwrite(
+            kept.select(*base.columns).unionByName(
+                df.select(*base.columns))
+        )
 
-    def insert_ignore(self, name: str, df: DataFrame, pk_cols: list[str]) -> None:
-        """INSERT IGNORE: existing rows win on PK, and within one batch
-        the FIRST duplicate wins — later ones are the skipped conflicts
-        (reference loaddata.go:138-143 → MERGE WHEN NOT MATCHED INSERT)."""
+    def insert_ignore(self, name: str, df: DataFrame, pk_cols: list[str],
+                      unique_keys=()) -> None:
+        """INSERT IGNORE: a row is skipped when it conflicts with a
+        stored row OR a previously-INSERTED batch row on the PK or any
+        UNIQUE index (reference loaddata.go:138-143 → MERGE WHEN NOT
+        MATCHED INSERT). Without intra-batch duplicates each row is
+        independent and the whole statement stays set-based; WITH
+        them, whether a row inserts depends on whether its blocker
+        itself inserted — an inherently sequential chain, resolved
+        driver-side over the key columns only (bounded like cursors;
+        batch data never leaves the cluster)."""
         t = self.catalog.table(name)
         base = t.read()
-        df = self._dedupe_batch_on_pk(df, pk_cols, keep="first")
-        fresh = df.join(base.select(*pk_cols).distinct(), pk_cols, "left_anti")
+        keys = self._all_keys(pk_cols, unique_keys)
+        ordered = df.withColumn("__ord", F.monotonically_increasing_id())
+
+        intra = False
+        for cols, null_exempt in keys:
+            grp = ordered
+            if null_exempt:
+                grp = grp.na.drop("any", subset=cols)
+            mx = (
+                grp.groupBy(*cols).agg(F.count(F.lit(1)).alias("__c"))
+                .agg(F.max("__c").alias("__m")).collect()[0]["__m"]
+            )
+            if (mx or 0) > 1:
+                intra = True
+                break
+
+        if not intra:
+            fresh = df
+            for cols, null_exempt in keys:
+                basek = base.select(*cols).distinct()
+                if null_exempt:
+                    # any-NULL incoming rows are exempt from this key:
+                    # anti-join with a null-rejecting condition keeps
+                    # them (standard join never matches NULLs anyway)
+                    basek = basek.na.drop("any", subset=cols)
+                fresh = fresh.join(basek, cols, "left_anti")
+            t.overwrite(base.unionByName(fresh.select(*base.columns)))
+            return
+
+        # sequential chains: resolve survival greedily over (position,
+        # key columns, conflicts-with-base flags) on the driver
+        key_cols = sorted({c for cols, _ in keys for c in cols})
+        probe = ordered.select("__ord", *key_cols)
+        flag = F.lit(False)
+        for i, (cols, null_exempt) in enumerate(keys):
+            basek = base.select(*cols).distinct()
+            if null_exempt:
+                basek = basek.na.drop("any", subset=cols)
+            hit = (
+                probe.join(basek, cols, "left_semi")
+                .select("__ord").withColumn("__hit", F.lit(True))
+            )
+            probe = probe.join(hit, "__ord", "left").withColumn(
+                f"__b{i}", F.coalesce("__hit", F.lit(False))
+            ).drop("__hit")
+            flag = flag | F.col(f"__b{i}")
+        rows = probe.withColumn("__base_conf", flag).select(
+            "__ord", *key_cols, "__base_conf"
+        ).collect()
+        if len(rows) > 100_000:
+            raise NotImplementedError(
+                "INSERT IGNORE with intra-batch duplicate keys over "
+                ">100k rows: split the batch (sequential skip chains "
+                "resolve driver-side)"
+            )
+        survivors = []
+        seen: list[set] = [set() for _ in keys]
+        for r in sorted(rows, key=lambda r: r["__ord"]):
+            if r["__base_conf"]:
+                continue
+            kvals = []
+            ok = True
+            for i, (cols, null_exempt) in enumerate(keys):
+                kv = tuple(r[c] for c in cols)
+                if null_exempt and any(v is None for v in kv):
+                    kvals.append(None)
+                    continue
+                if kv in seen[i]:
+                    ok = False
+                    break
+                kvals.append(kv)
+            if not ok:
+                continue
+            for i, kv in enumerate(kvals):
+                if kv is not None:
+                    seen[i].add(kv)
+            survivors.append(r["__ord"])
+        fresh = ordered.where(
+            F.col("__ord").isin(survivors) if survivors else F.lit(False)
+        ).drop("__ord")
         t.overwrite(base.unionByName(fresh.select(*base.columns)))
 
     def _pruned_scan_from_condition(self, t, base: DataFrame, condition):
@@ -1168,6 +1292,51 @@ class Engine:
         else:
             df = base.limit(0)
         return df, carry
+
+    @staticmethod
+    def _unique_key_list(meta, cols_available=None):
+        """(index_name, columns) per UNIQUE index in table metadata,
+        restricted to indexes whose columns exist in cols_available
+        (an index over a generated AUTO_INCREMENT column can't be
+        probed before id assignment)."""
+        out = []
+        for iname, props in (meta.indexes or {}).items():
+            if isinstance(props, dict) and props.get("unique"):
+                icols = list(props["columns"])
+                if cols_available is None or set(icols) <= set(
+                        cols_available):
+                    out.append((iname, icols))
+        return out
+
+    def _probe_batch_conflicts(self, t, table: str, df: DataFrame,
+                               iname: str, icols: list[str],
+                               null_exempt: bool) -> None:
+        """MySQL ER_DUP_ENTRY for plain inserts: the batch must not
+        repeat a key internally nor collide with a stored one; either
+        aborts atomically, writing nothing (the reference inherits
+        this from DuckDB's ART indexes). The stored-key probe streams
+        the base with the incoming keys on the build side
+        (broadcast-sized for VALUES batches, AQE-chosen for
+        INSERT…SELECT). UNIQUE treats NULLs as distinct (MySQL):
+        any-NULL keys are exempt."""
+        cand = df.select(*icols)
+        if null_exempt:
+            cand = cand.na.drop("any", subset=icols)
+        bad = (
+            cand.groupBy(*icols).agg(F.count(F.lit(1)).alias("__c"))
+            .where(F.col("__c") > 1).limit(1).collect()
+        )
+        if not bad:
+            basek = t.read().select(*icols)
+            if null_exempt:
+                basek = basek.na.drop("any", subset=icols)
+            bad = basek.join(cand, icols, "left_semi").limit(1).collect()
+        if bad:
+            key = "-".join(
+                "NULL" if bad[0][c] is None else str(bad[0][c])
+                for c in icols
+            )
+            raise DuplicateKeyError(key, f"{table}.{iname}")
 
     @staticmethod
     def _unique_targets(meta, assigned: set | None = None):
@@ -5574,32 +5743,6 @@ class Engine:
                 "NULL" if row[c] is None else str(row[c]) for c in cols
             )
 
-        def _probe_dup(icols, iname, null_exempt):
-            # MySQL ER_DUP_ENTRY: the batch must not repeat a key
-            # internally nor collide with an existing one; either
-            # aborts atomically, writing nothing (the reference
-            # inherits this from DuckDB's ART indexes). The
-            # existing-key probe streams the base with the incoming
-            # keys on the build side (broadcast-sized for VALUES
-            # batches, AQE-chosen for INSERT…SELECT). UNIQUE treats
-            # NULLs as distinct (MySQL): any-NULL keys are exempt.
-            cand = df.select(*icols)
-            if null_exempt:
-                cand = cand.na.drop("any", subset=icols)
-            bad = (
-                cand.groupBy(*icols).agg(F.count(F.lit(1)).alias("__c"))
-                .where(F.col("__c") > 1).limit(1).collect()
-            )
-            if not bad:
-                basek = t.read().select(*icols)
-                if null_exempt:
-                    basek = basek.na.drop("any", subset=icols)
-                bad = basek.join(cand, icols, "left_semi").limit(1).collect()
-            if bad:
-                raise DuplicateKeyError(
-                    _dup_key(bad[0], icols), f"{s.table}.{iname}"
-                )
-
         if pk and s.mode == "insert" and not s.on_dup and not auto_missing:
             # one aggregation job yields the row count AND the max
             # per-key multiplicity, so the happy path pays no extra
@@ -5629,13 +5772,10 @@ class Engine:
         else:
             n = df.count()
         if s.mode == "insert" and not s.on_dup:
-            for iname, props in (meta.indexes or {}).items():
-                if not (isinstance(props, dict) and props.get("unique")):
-                    continue
-                icols = list(props["columns"])
-                if not set(icols) <= set(df.columns):
-                    continue  # index covers the generated auto column
-                _probe_dup(icols, iname, null_exempt=True)
+            for iname, icols in self._unique_key_list(meta, df.columns):
+                self._probe_batch_conflicts(
+                    t, s.table, df, iname, icols, null_exempt=True
+                )
         last_id = 0
 
         def _fire_insert_triggers(image_df: DataFrame | None = None) -> None:
@@ -5668,15 +5808,19 @@ class Engine:
             # replaced (deleted) existing row
             before = t.read().count()
             incoming = n
-            self.insert_replace(s.table, df.select(
-                *[f.name for f in base_schema.fields]), meta.primary_key)
+            self.insert_replace(
+                s.table, df.select(*[f.name for f in base_schema.fields]),
+                meta.primary_key, self._unique_key_list(meta),
+            )
             replaced = before + incoming - t.read().count()
             n = incoming + replaced
         elif s.mode == "ignore" and meta.primary_key:
             before = t.read().count()
             incoming = n
-            self.insert_ignore(s.table, df.select(
-                *[f.name for f in base_schema.fields]), meta.primary_key)
+            self.insert_ignore(
+                s.table, df.select(*[f.name for f in base_schema.fields]),
+                meta.primary_key, self._unique_key_list(meta),
+            )
             n = t.read().count() - before
             if incoming - n > 0:
                 # MySQL reports each ignored conflict as a warning
@@ -5721,13 +5865,17 @@ class Engine:
         n = df.count()
         if s.mode == "replace" and meta.primary_key:
             before = self.catalog.table(s.table).read().count()
-            self.insert_replace(s.table, df, meta.primary_key)
+            self.insert_replace(
+                s.table, df, meta.primary_key, self._unique_key_list(meta)
+            )
             replaced = before + n - self.catalog.table(
                 s.table).read().count()
             n = n + replaced  # MySQL: +1 per replaced existing row
         elif s.mode == "ignore" and meta.primary_key:
             before = self.catalog.table(s.table).read().count()
-            self.insert_ignore(s.table, df, meta.primary_key)
+            self.insert_ignore(
+                s.table, df, meta.primary_key, self._unique_key_list(meta)
+            )
             inserted = self.catalog.table(
                 s.table).read().count() - before
             if n - inserted > 0:
@@ -5738,6 +5886,18 @@ class Engine:
                 )
             n = inserted
         else:
+            # plain LOAD DATA takes the same ER_DUP_ENTRY gate as a
+            # plain INSERT (MySQL default: duplicate key is an error)
+            t = self.catalog.table(s.table)
+            if meta.primary_key:
+                self._probe_batch_conflicts(
+                    t, s.table, df, "PRIMARY", list(meta.primary_key),
+                    null_exempt=False,
+                )
+            for iname, icols in self._unique_key_list(meta, df.columns):
+                self._probe_batch_conflicts(
+                    t, s.table, df, iname, icols, null_exempt=True
+                )
             self.insert(s.table, df)
         return OkResult(affected_rows=n)
 

@@ -1101,3 +1101,51 @@ def test_unique_index_enforced_nulls_exempt(engine):
         r.id for r in engine.execute(
             "SELECT id FROM uq WHERE e IS NULL").collect()
     ) == [1, 3, 4]
+
+
+def test_replace_and_ignore_unique_key_conflicts(engine):
+    """REPLACE deletes every stored row the new row conflicts with on
+    the PK or ANY unique index; INSERT IGNORE skips on any of them,
+    resolving intra-batch skip CHAINS sequentially like MySQL (a row
+    whose blocker was itself skipped still inserts)."""
+    engine.execute(
+        "CREATE TABLE ruk (id INT PRIMARY KEY, e VARCHAR(20), v INT, "
+        "UNIQUE KEY uq_e (e))"
+    )
+    engine.execute("INSERT INTO ruk VALUES (1,'a',10), (2,'b',20)")
+
+    # unique-only conflict: REPLACE (9,'a') deletes row 1
+    out = engine.execute("REPLACE INTO ruk VALUES (9,'a',90)")
+    assert out.affected_rows == 2  # 1 insert + 1 delete
+    assert sorted(
+        (r.id, r.e) for r in engine.execute("SELECT * FROM ruk").collect()
+    ) == [(2, "b"), (9, "a")]
+
+    # double conflict: (2 on pk) AND ('a' on unique) both deleted
+    engine.execute("REPLACE INTO ruk VALUES (2,'a',22)")
+    assert sorted(
+        (r.id, r.e) for r in engine.execute("SELECT * FROM ruk").collect()
+    ) == [(2, "a")]
+
+    # intra-batch REPLACE chain: later 'm' deletes the earlier insert
+    engine.execute("REPLACE INTO ruk VALUES (20,'m',1), (21,'m',2)")
+    assert sorted(
+        r.id for r in engine.execute(
+            "SELECT id FROM ruk WHERE e = 'm'").collect()
+    ) == [21]
+
+    # IGNORE skips on unique conflict; sequential chain: (8,'m') is
+    # blocked by stored e='m', so pk 8 stays free for (8,'r')
+    engine.execute(
+        "INSERT IGNORE INTO ruk VALUES (7,'q',70), (8,'m',80), (8,'r',88)"
+    )
+    assert sorted(
+        (r.id, r.e) for r in engine.execute(
+            "SELECT * FROM ruk WHERE id >= 7").collect()
+    ) == [(7, "q"), (8, "r"), (21, "m")]
+
+    # NULL unique keys never conflict (MySQL: NULLs are distinct)
+    engine.execute("INSERT IGNORE INTO ruk VALUES (30,NULL,1), (31,NULL,2)")
+    assert engine.execute(
+        "SELECT COUNT(*) AS n FROM ruk WHERE e IS NULL"
+    ).collect()[0].n == 2
