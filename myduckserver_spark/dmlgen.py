@@ -41,6 +41,15 @@ B_VALS = ["", "ab", "abc", "xy", "zz", "a b", "o'k", None]
 
 MYSQL_SCHEMA = "(id INT PRIMARY KEY, a INT, b VARCHAR(20))"
 DUCK_SCHEMA = "(id INTEGER PRIMARY KEY, a INTEGER, b VARCHAR)"
+# unique-variant: b carries a UNIQUE index. REPLACE and ON DUPLICATE
+# are excluded here (DuckDB refuses OR REPLACE on multi-constraint
+# tables and resolves ON CONFLICT per one target, so it cannot oracle
+# MySQL's any-unique-key semantics — those paths are pinned by unit
+# tests instead); UPDATE only assigns `a` (DuckDB's row-at-a-time
+# index maintenance false-errors on some legal unique-column updates).
+MYSQL_SCHEMA_U = ("(id INT PRIMARY KEY, a INT, b VARCHAR(20), "
+                  "UNIQUE KEY uq_b (b))")
+DUCK_SCHEMA_U = "(id INTEGER PRIMARY KEY, a INTEGER, b VARCHAR UNIQUE)"
 
 
 def _lit(v) -> str:
@@ -51,11 +60,23 @@ def _lit(v) -> str:
     return str(v)
 
 
-def _rows_sql(rng: random.Random, cols: list[str]) -> str:
+def _rows_sql(rng: random.Random, cols: list[str],
+              unique_b: bool = False) -> str:
     n = rng.randint(1, 4)
     ids = rng.sample(IDS, n)  # unique within the batch (see contract)
+    # unique-variant batches keep b distinct within the batch too:
+    # DuckDB's OR IGNORE/OR REPLACE *error* on intra-batch unique
+    # duplicates that MySQL skips/replaces row-at-a-time, so the
+    # oracle can't model them (the engine's MySQL-faithful chain
+    # semantics are pinned by unit tests instead)
+    if unique_b:
+        bpool = rng.sample([v for v in B_VALS if v is not None], n)
+        bvals = [None if rng.random() < 0.2 else bpool[i]
+                 for i in range(n)]  # NULLs never conflict
+    else:
+        bvals = [rng.choice(B_VALS) for _ in range(n)]
     out = []
-    for i in ids:
+    for j, i in enumerate(ids):
         vals = []
         for c in cols:
             if c == "id":
@@ -63,7 +84,7 @@ def _rows_sql(rng: random.Random, cols: list[str]) -> str:
             elif c == "a":
                 vals.append(_lit(rng.choice(A_VALS)))
             else:
-                vals.append(_lit(rng.choice(B_VALS)))
+                vals.append(_lit(bvals[j]))
         out.append("(" + ", ".join(vals) + ")")
     return ", ".join(out)
 
@@ -113,31 +134,33 @@ def _pred(rng: random.Random, depth: int = 0) -> str:
     return leaf()
 
 
-def gen_statement(rng: random.Random, table: str) -> tuple[str, str]:
+def gen_statement(rng: random.Random, table: str,
+                  with_unique: bool = False) -> tuple[str, str]:
     """One (mysql_sql, duckdb_sql) pair."""
     kind = rng.choices(
         ["insert", "insert_cols", "ignore", "replace", "on_dup",
          "update", "delete"],
-        weights=[3, 1, 2, 2, 2, 4, 2],
+        weights=([3, 1, 4, 0, 0, 3, 2] if with_unique
+                 else [3, 1, 2, 2, 2, 4, 2]),
     )[0]
     if kind == "insert":
-        rows = _rows_sql(rng, ["id", "a", "b"])
+        rows = _rows_sql(rng, ["id", "a", "b"], with_unique)
         return (f"INSERT INTO {table} VALUES {rows}",
                 f"INSERT INTO {table} VALUES {rows}")
     if kind == "insert_cols":
-        rows = _rows_sql(rng, ["id", "b"])
+        rows = _rows_sql(rng, ["id", "b"], with_unique)
         return (f"INSERT INTO {table} (id, b) VALUES {rows}",
                 f"INSERT INTO {table} (id, b) VALUES {rows}")
     if kind == "ignore":
-        rows = _rows_sql(rng, ["id", "a", "b"])
+        rows = _rows_sql(rng, ["id", "a", "b"], with_unique)
         return (f"INSERT IGNORE INTO {table} VALUES {rows}",
                 f"INSERT OR IGNORE INTO {table} VALUES {rows}")
     if kind == "replace":
-        rows = _rows_sql(rng, ["id", "a", "b"])
+        rows = _rows_sql(rng, ["id", "a", "b"], with_unique)
         return (f"REPLACE INTO {table} VALUES {rows}",
                 f"INSERT OR REPLACE INTO {table} VALUES {rows}")
     if kind == "on_dup":
-        rows = _rows_sql(rng, ["id", "a", "b"])
+        rows = _rows_sql(rng, ["id", "a", "b"], with_unique)
         my, du = rng.choice([
             ("a = VALUES(a)", "a = excluded.a"),
             ("a = VALUES(a) + 1", "a = excluded.a + 1"),
@@ -152,11 +175,11 @@ def gen_statement(rng: random.Random, table: str) -> tuple[str, str]:
         )
     if kind == "update":
         sets_my, sets_du = [], []
-        if rng.random() < 0.7:
+        if with_unique or rng.random() < 0.7:
             m, d = _a_expr(rng)
             sets_my.append(f"a = {m}")
             sets_du.append(f"a = {d}")
-        if not sets_my or rng.random() < 0.5:
+        if not with_unique and (not sets_my or rng.random() < 0.5):
             m, d = _b_expr(rng)
             sets_my.append(f"b = {m}")
             sets_du.append(f"b = {d}")
@@ -167,18 +190,26 @@ def gen_statement(rng: random.Random, table: str) -> tuple[str, str]:
     return (f"DELETE FROM {table}{where}", f"DELETE FROM {table}{where}")
 
 
-def gen_sequence(rng: random.Random, table: str,
-                 n_stmts: int = 8) -> list[tuple[str, str]]:
-    seed_rows = _rows_sql(rng, ["id", "a", "b"])
-    seq = [(f"INSERT INTO {table} VALUES {seed_rows}",
-            f"INSERT INTO {table} VALUES {seed_rows}")]
+def gen_sequence(rng: random.Random, table: str, n_stmts: int = 8,
+                 with_unique: bool = False) -> list[tuple[str, str]]:
+    # IGNORE-seed under the unique variant: random seed batches often
+    # repeat a b value, which plain INSERT correctly rejects in both
+    # engines — start from the skip semantics instead of an empty run
+    if with_unique:
+        seed_rows = _rows_sql(rng, ["id", "a", "b"], with_unique)
+        seq = [(f"INSERT IGNORE INTO {table} VALUES {seed_rows}",
+                f"INSERT OR IGNORE INTO {table} VALUES {seed_rows}")]
+    else:
+        seed_rows = _rows_sql(rng, ["id", "a", "b"], with_unique)
+        seq = [(f"INSERT INTO {table} VALUES {seed_rows}",
+                f"INSERT INTO {table} VALUES {seed_rows}")]
     for _ in range(n_stmts - 1):
-        seq.append(gen_statement(rng, table))
+        seq.append(gen_statement(rng, table, with_unique))
     return seq
 
 
-def apply_pair(eng, duck, table: str,
-               pairs: list[tuple[str, str]]) -> tuple[bool, str]:
+def apply_pair(eng, duck, table: str, pairs: list[tuple[str, str]],
+               with_unique: bool = False) -> tuple[bool, str]:
     """Run one generated sequence through both engines on a FRESH
     table; compare per-statement error flags and the final state.
     Returns (ok, detail)."""
@@ -186,8 +217,10 @@ def apply_pair(eng, duck, table: str,
 
     eng.execute(f"DROP TABLE IF EXISTS {table}")
     duck.execute(f"DROP TABLE IF EXISTS {table}")
-    eng.execute(f"CREATE TABLE {table} {MYSQL_SCHEMA}")
-    duck.execute(f"CREATE TABLE {table} {DUCK_SCHEMA}")
+    eng.execute(f"CREATE TABLE {table} "
+                f"{MYSQL_SCHEMA_U if with_unique else MYSQL_SCHEMA}")
+    duck.execute(f"CREATE TABLE {table} "
+                 f"{DUCK_SCHEMA_U if with_unique else DUCK_SCHEMA}")
     try:
         for i, (my, du) in enumerate(pairs):
             err_m = err_d = None
@@ -200,7 +233,19 @@ def apply_pair(eng, duck, table: str,
             try:
                 duck.execute(du)
             except _dd.Error as e:
-                err_d = e
+                # DuckDB quirk: OR IGNORE errors with "can not update
+                # the same row twice" when two batch rows conflict with
+                # the SAME stored row (MySQL just skips both). Re-apply
+                # row-by-row — exactly MySQL's sequential semantics.
+                if ("same row twice" in str(e)
+                        and du.upper().startswith("INSERT OR IGNORE")
+                        and "), (" in du):
+                    head, vals = du.split(" VALUES ", 1)
+                    for tup in vals.split("), ("):
+                        tup = "(" + tup.strip().strip("()") + ")"
+                        duck.execute(f"{head} VALUES {tup}")
+                else:
+                    err_d = e
             if (err_m is None) != (err_d is None):
                 return False, (
                     f"stmt {i} error divergence: engine="
@@ -226,8 +271,8 @@ def apply_pair(eng, duck, table: str,
         duck.execute(f"DROP TABLE IF EXISTS {table}")
 
 
-def shrink(eng, duck, table: str,
-           pairs: list[tuple[str, str]]) -> list[tuple[str, str]]:
+def shrink(eng, duck, table: str, pairs: list[tuple[str, str]],
+           with_unique: bool = False) -> list[tuple[str, str]]:
     """Greedy delta-debugging: drop statements while the divergence
     persists (statement 0 re-seeds, so any subset is still runnable)."""
     cur = list(pairs)
@@ -238,7 +283,7 @@ def shrink(eng, duck, table: str,
             cand = cur[:i] + cur[i + 1:]
             if not cand:
                 continue
-            ok, _ = apply_pair(eng, duck, table, cand)
+            ok, _ = apply_pair(eng, duck, table, cand, with_unique)
             if not ok:
                 cur = cand
                 changed = True

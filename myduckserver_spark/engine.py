@@ -3788,7 +3788,15 @@ class Engine:
                 for c in base.columns
             ]
             trig_df = matched.select(pair).localCheckpoint()
-        t.overwrite(joined.withColumns(new_cols).select(*base.columns))
+        final_df = joined.withColumns(new_cols).select(*base.columns)
+        # same statement-atomic gates as the single-table path: CHECK /
+        # NOT NULL on the post-image, and ER_DUP_ENTRY when a PK or
+        # UNIQUE column is among the assigned columns
+        self._enforce_checks(final_df, meta, "UPDATE")
+        key_targets = self._unique_targets(meta, set(new_cols))
+        if key_targets:
+            self._enforce_unique_post(final_df, key_targets, target)
+        t.overwrite(final_df)
         self._recompute_generated(target, meta)
         self._fire_after_triggers(target, "update", trig_df)
         return OkResult(affected_rows=n)
@@ -5790,6 +5798,38 @@ class Engine:
             )
 
         if s.on_dup and meta.primary_key:
+            # MySQL resolves ON DUPLICATE KEY against ANY unique index
+            # ("if multiple are matched, only the first is updated —
+            # not recommended"); this engine keys the update on the PK
+            # and refuses batches that conflict on a UNIQUE index
+            # instead of appending a silently-duplicate unique value
+            from functools import reduce as _reduce
+
+            pk_cols = list(meta.primary_key)
+            for iname, icols in self._unique_key_list(meta, df.columns):
+                # conflict with a row OTHER than the pk-matched one
+                # (same-row unique equality is just a normal upsert)
+                eq = _reduce(
+                    lambda a, b: a & b,
+                    (F.col(f"b.{c}") == F.col(f"d.{c}") for c in icols),
+                )
+                pk_diff = _reduce(
+                    lambda a, b: a | b,
+                    (~F.col(f"b.{c}").eqNullSafe(F.col(f"d.{c}"))
+                     for c in pk_cols),
+                )
+                clash = (
+                    t.read().alias("b")
+                    .join(df.alias("d"), eq & pk_diff, "inner")
+                    .limit(1).collect()
+                )
+                if clash:
+                    raise NotImplementedError(
+                        f"INSERT ... ON DUPLICATE KEY UPDATE conflicting "
+                        f"on UNIQUE index {iname} (not the primary key): "
+                        "use REPLACE INTO, or key the batch by the "
+                        "primary key"
+                    )
             n = self._insert_on_duplicate(
                 s.table, df.select(*[f.name for f in base_schema.fields]),
                 meta, s.on_dup,
@@ -6930,6 +6970,17 @@ class Engine:
         to the un-duplicated checksum — replica comparison is the
         whole point of the command)."""
         rows = []
+        if s.kind == "discard":
+            scope = s.targets[0]
+            n_dropped = 0
+            if scope in ("all", "temporary", "temp"):
+                for name in list(self._temp_names()):
+                    self.catalog.drop_table(name)
+                    n_dropped += 1
+            if scope in ("all", "plans"):
+                self._prepared.clear()
+            return OkResult(info=f"DISCARD {scope.upper()}: "
+                                 f"{n_dropped} temp table(s) dropped")
         if s.kind == "checksum":
             for t in s.targets:
                 if not self.catalog.table(t).exists():

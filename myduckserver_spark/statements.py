@@ -2516,6 +2516,16 @@ def parse_statement(sql: str):
         ]
         return Maintenance(m.group(1).lower(), targets)
 
+    # Postgres session-reset commands (reference handles these at the
+    # pg wire layer, test/bats/postgres/cli.bats
+    # discard_all_clears_temp_tables): ALL/TEMP drop session TEMPORARY
+    # tables, ALL/PLANS deallocate prepared statements; SEQUENCES is a
+    # no-op (no session sequence caches here).
+    m = re.match(r"DISCARD\s+(ALL|PLANS|SEQUENCES|TEMPORARY|TEMP)\s*$",
+                 s, re.I)
+    if m:
+        return Maintenance("discard", [m.group(1).lower()])
+
     # Administrative no-ops: single-process snapshot engine has no
     # handler caches, privilege caches, or killable threads.
     if re.match(

@@ -42,12 +42,14 @@ def main() -> int:
     bad = 0
     for trial in range(args.n):
         table = f"fz{trial}"
-        seq = dmlgen.gen_sequence(rng, table, n_stmts=args.stmts)
-        ok, detail = dmlgen.apply_pair(eng, duck, table, seq)
+        uniq = trial % 3 == 2  # every third sequence: UNIQUE-index table
+        seq = dmlgen.gen_sequence(rng, table, n_stmts=args.stmts,
+                                  with_unique=uniq)
+        ok, detail = dmlgen.apply_pair(eng, duck, table, seq, uniq)
         if not ok:
             bad += 1
-            small = dmlgen.shrink(eng, duck, table, seq)
-            _, sdetail = dmlgen.apply_pair(eng, duck, table, small)
+            small = dmlgen.shrink(eng, duck, table, seq, uniq)
+            _, sdetail = dmlgen.apply_pair(eng, duck, table, small, uniq)
             print(f"DIVERGENCE trial={trial} seed={args.seed}")
             print(f"  {detail}")
             print("  minimal sequence:")

@@ -36,10 +36,12 @@ def test_dml_fuzz_corpus(eng, duck):
     failures = []
     for trial in range(N_SEQUENCES):
         table = f"fz{trial}"
-        seq = dmlgen.gen_sequence(rng, table, n_stmts=STMTS_PER_SEQ)
-        ok, detail = dmlgen.apply_pair(eng, duck, table, seq)
+        uniq = trial % 3 == 2  # every third: UNIQUE-index table
+        seq = dmlgen.gen_sequence(rng, table, n_stmts=STMTS_PER_SEQ,
+                                  with_unique=uniq)
+        ok, detail = dmlgen.apply_pair(eng, duck, table, seq, uniq)
         if not ok:
-            small = dmlgen.shrink(eng, duck, table, seq)
+            small = dmlgen.shrink(eng, duck, table, seq, uniq)
             failures.append((trial, detail, small))
     assert not failures, "\n".join(
         f"trial {t}: {d}\n  " + "\n  ".join(m for m, _ in s)

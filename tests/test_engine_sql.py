@@ -1149,3 +1149,34 @@ def test_replace_and_ignore_unique_key_conflicts(engine):
     assert engine.execute(
         "SELECT COUNT(*) AS n FROM ruk WHERE e IS NULL"
     ).collect()[0].n == 2
+
+
+def test_multi_table_update_enforces_checks_and_keys(engine):
+    """Multi-table UPDATE takes the same statement-atomic gates as the
+    single-table path: CHECK/NOT NULL on the post-image and
+    ER_DUP_ENTRY when a key column is assigned."""
+    from myduckserver_spark.engine import DuplicateKeyError
+
+    engine.execute("CREATE TABLE mu1 (id INT PRIMARY KEY, v INT, CHECK (v >= 0))")
+    engine.execute("CREATE TABLE mu2 (id INT PRIMARY KEY, k INT)")
+    engine.execute("INSERT INTO mu1 VALUES (1,10), (2,20)")
+    engine.execute("INSERT INTO mu2 VALUES (1,5), (2,6)")
+    with pytest.raises(ValueError, match="CHECK"):
+        engine.execute(
+            "UPDATE mu1 JOIN mu2 ON mu1.id = mu2.id "
+            "SET mu1.v = -mu2.k WHERE mu2.k = 5"
+        )
+    with pytest.raises(DuplicateKeyError):
+        engine.execute(
+            "UPDATE mu1 JOIN mu2 ON mu1.id = mu2.id SET mu1.id = 7"
+        )
+    # atomicity: neither statement wrote anything
+    assert sorted(
+        (r.id, r.v) for r in engine.execute("SELECT * FROM mu1").collect()
+    ) == [(1, 10), (2, 20)]
+    engine.execute(
+        "UPDATE mu1 JOIN mu2 ON mu1.id = mu2.id SET mu1.v = mu2.k * 10"
+    )
+    assert sorted(
+        (r.id, r.v) for r in engine.execute("SELECT * FROM mu1").collect()
+    ) == [(1, 50), (2, 60)]

@@ -394,3 +394,30 @@ def test_pg_on_conflict_forms(spark, tmp_path):
     assert sorted((r.id, r.v) for r in
                   e.execute("SELECT * FROM pkt").collect()) == \
         [(1, 10), (2, 5)]
+
+
+def test_discard_all_clears_session_state(spark, tmp_path):
+    """DISCARD ALL drops session TEMPORARY tables and deallocates
+    prepared statements (reference covers this at the pg wire layer:
+    test/bats/postgres/cli.bats discard_all_clears_temp_tables)."""
+    import pytest as _pytest
+
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh_discard"))
+    e.execute("CREATE TEMPORARY TABLE tt (id INT PRIMARY KEY)")
+    e.execute("INSERT INTO tt VALUES (1)")
+    e.execute("PREPARE p1 FROM 'SELECT 1 AS x'")
+    r = e.execute("DISCARD ALL", dialect="postgres")
+    assert "DISCARD ALL" in r.info
+    with _pytest.raises(Exception):
+        e.execute("SELECT * FROM tt").collect()
+    with _pytest.raises(ValueError):
+        e.execute("EXECUTE p1")
+    # narrower scopes: PLANS keeps temp tables, drops prepared
+    e.execute("CREATE TEMPORARY TABLE tt2 (id INT PRIMARY KEY)")
+    e.execute("PREPARE p2 FROM 'SELECT 2 AS x'")
+    e.execute("DISCARD PLANS", dialect="postgres")
+    assert e.execute("SELECT COUNT(*) AS n FROM tt2").collect()[0].n == 0
+    with _pytest.raises(ValueError):
+        e.execute("EXECUTE p2")
