@@ -5631,6 +5631,7 @@ class Engine:
                 "exclusion constraint matching the ON CONFLICT specification"
             )
 
+        ai_mixed_last = 0
         if s.query is not None:
             df = self.sql(s.query, dialect=dialect)
             if s.columns:
@@ -5678,11 +5679,58 @@ class Engine:
                         v = meta.defaults.get(col)
                     vals.append(self._py_cast(v, fields[col]))
                 pyrows.append(tuple(vals))
+            if meta.auto_increment and meta.auto_increment in target:
+                # MySQL: NULL (or 0, without NO_AUTO_VALUE_ON_ZERO) in
+                # the AUTO_INCREMENT column means "assign the next id";
+                # explicit values interleave and bump the counter —
+                # VALUES rows resolve in order, driver-side (the rows
+                # are already a driver-local list)
+                ai_idx = target.index(meta.auto_increment)
+                if any(r[ai_idx] in (None, 0) for r in pyrows):
+                    ctr = self._ai_start(
+                        s.table, t.read(), meta.auto_increment
+                    )
+                    resolved = []
+                    for r in pyrows:
+                        if r[ai_idx] in (None, 0):
+                            r = list(r)
+                            r[ai_idx] = ctr
+                            if not ai_mixed_last:
+                                ai_mixed_last = ctr  # first assigned id
+                            ctr += 1
+                            resolved.append(tuple(r))
+                        else:
+                            ctr = max(ctr, int(r[ai_idx]) + 1)
+                            resolved.append(r)
+                    pyrows = resolved
             df = self.spark.createDataFrame(
                 pyrows, T.StructType([
                     T.StructField(c, fields[c], True) for c in target
                 ])
             )
+
+        auto = meta.auto_increment
+        if s.query is not None and auto and auto in df.columns:
+            # INSERT…SELECT with NULL/0 in the AUTO_INCREMENT column:
+            # assign ids after the batch's explicit maximum (a SELECT
+            # has no row order, so MySQL's interleaved-counter walk is
+            # approximated by assigning above every explicit id)
+            needs = df.where(F.col(auto).isNull() | (F.col(auto) == 0))
+            if needs.limit(1).count() > 0:
+                explicit = df.where(
+                    F.col(auto).isNotNull() & (F.col(auto) != 0)
+                )
+                mx = explicit.agg(F.max(auto)).collect()[0][0]
+                start = max(
+                    self._ai_start(s.table, t.read(), auto),
+                    int(mx or 0) + 1,
+                )
+                id_type = base_schema[auto].dataType.simpleString()
+                numbered = self._assign_dense_ids(
+                    needs, auto, start, id_type
+                )
+                df = explicit.unionByName(numbered.select(*df.columns))
+                ai_mixed_last = start
 
         # Fill unmentioned columns from declared defaults, then enforce
         # NOT NULL + CHECK engine-side (reference keeps these out of the
@@ -5872,7 +5920,9 @@ class Engine:
         else:
             self.insert(s.table, df.select(*[f.name for f in base_schema.fields]))
         _fire_insert_triggers(trig_image)
-        return OkResult(affected_rows=n, last_insert_id=last_id)
+        return OkResult(
+            affected_rows=n, last_insert_id=last_id or ai_mixed_last
+        )
 
     def _exec_load_data(self, s: st.LoadData) -> OkResult:
         """LOAD DATA INFILE → typed CSV scan + (plain|ignore|replace)

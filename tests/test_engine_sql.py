@@ -1180,3 +1180,36 @@ def test_multi_table_update_enforces_checks_and_keys(engine):
     assert sorted(
         (r.id, r.v) for r in engine.execute("SELECT * FROM mu1").collect()
     ) == [(1, 50), (2, 60)]
+
+
+def test_auto_increment_null_and_zero_assign(engine):
+    """MySQL treats NULL (and 0, without NO_AUTO_VALUE_ON_ZERO) in an
+    AUTO_INCREMENT column as 'assign the next id'; explicit values
+    interleave and bump the counter. LAST_INSERT_ID() is the FIRST
+    id the statement assigned."""
+    engine.execute(
+        "CREATE TABLE aim (id INT PRIMARY KEY AUTO_INCREMENT, "
+        "v VARCHAR(10))"
+    )
+    engine.execute("INSERT INTO aim (v) VALUES ('a'), ('b')")
+    r = engine.execute(
+        "INSERT INTO aim VALUES (NULL,'c'), (10,'d'), (NULL,'e'), (0,'f')"
+    )
+    assert r.last_insert_id == 3
+    assert sorted(
+        (x.id, x.v) for x in engine.execute("SELECT * FROM aim").collect()
+    ) == [(1, "a"), (2, "b"), (3, "c"), (10, "d"), (11, "e"), (12, "f")]
+    # counter continues past the explicit maximum
+    engine.execute("INSERT INTO aim (v) VALUES ('g')")
+    assert engine.execute(
+        "SELECT MAX(id) AS m FROM aim").collect()[0].m == 13
+    # INSERT…SELECT path: NULL ids assigned above every explicit id
+    engine.execute("CREATE TABLE aisrc (id INT, v VARCHAR(10))")
+    engine.execute(
+        "INSERT INTO aisrc VALUES (NULL,'s1'), (50,'s2'), (NULL,'s3')"
+    )
+    engine.execute("INSERT INTO aim SELECT * FROM aisrc")
+    ids = sorted(
+        x.id for x in engine.execute("SELECT id FROM aim").collect()
+    )
+    assert ids[-3:] == [50, 51, 52]
