@@ -188,6 +188,25 @@ class Engine:
         (the Bind step of the reference's extended protocol,
         pgserver/duck_handler.go:105-130).
         """
+        # Defense in depth: sql() is the READ front door. Spark's
+        # native INSERT INTO would append parquet files straight into
+        # the current snapshot directory, bypassing constraints,
+        # triggers, and snapshot immutability — mutations must route
+        # through execute()'s statement executors.
+        head = query
+        if re.match(r"(?i)\s*WITH\b", head):
+            try:
+                _cte, rest = st.split_leading_cte(head)
+                if _cte:
+                    head = rest
+            except Exception:
+                pass
+        if re.match(r"(?i)\s*(INSERT|UPDATE|DELETE|MERGE|TRUNCATE)\b",
+                    head):
+            raise ValueError(
+                "mutating SQL must go through Engine.execute(), not "
+                "Engine.sql() (snapshot writes are statement-executed)"
+            )
         if dialect == "mysql":
             mode = str(self.variables.get("sql_mode", "")).upper()
             query = translate_mysql(

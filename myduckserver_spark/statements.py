@@ -1438,6 +1438,21 @@ def parse_statement(sql: str):
             stmt = parse_statement(rest)
             stmt.cte = cte
             return stmt
+        if cte and re.match(r"(?:INSERT|REPLACE)\b", rest, re.I):
+            # pg-style WITH-prologue INSERT: fold the CTE into the
+            # source query so it routes through the engine's insert
+            # executor (constraints/triggers/auto-increment). Left as
+            # a Query it would reach Spark's native INSERT INTO, which
+            # appends parquet files straight into the current snapshot
+            # directory — bypassing every gate AND corrupting snapshot
+            # immutability.
+            stmt = parse_statement(rest)
+            if getattr(stmt, "query", None) is None:
+                raise ValueError(
+                    "WITH ... INSERT requires a SELECT-sourced INSERT"
+                )
+            stmt.query = f"{cte} {stmt.query}"
+            return stmt
         return Query(s)
 
     if up.startswith("EXPLAIN"):

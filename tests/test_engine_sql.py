@@ -1213,3 +1213,31 @@ def test_auto_increment_null_and_zero_assign(engine):
         x.id for x in engine.execute("SELECT id FROM aim").collect()
     )
     assert ids[-3:] == [50, 51, 52]
+
+
+def test_with_prologue_insert_routes_through_engine(engine):
+    """WITH … INSERT (pg-style prologue) must route through the insert
+    executor, not Spark's native INSERT INTO — the native path appends
+    parquet files straight into the current snapshot dir, bypassing
+    constraints/triggers AND breaking snapshot immutability."""
+    from myduckserver_spark.engine import DuplicateKeyError
+
+    engine.execute("CREATE TABLE wi (a INT PRIMARY KEY)")
+    engine.execute("INSERT INTO wi VALUES (1)")
+    r = engine.execute(
+        "WITH c AS (SELECT 7 AS a) INSERT INTO wi SELECT * FROM c",
+        dialect="postgres",
+    )
+    assert r.affected_rows == 1
+    with pytest.raises(DuplicateKeyError):
+        engine.execute(
+            "WITH c AS (SELECT 7 AS a) INSERT INTO wi SELECT * FROM c"
+        )
+    assert sorted(
+        x.a for x in engine.execute("SELECT * FROM wi").collect()
+    ) == [1, 7]
+    # the read front door refuses mutating SQL outright
+    with pytest.raises(ValueError, match="Engine.execute"):
+        engine.sql("INSERT INTO wi VALUES (9)")
+    with pytest.raises(ValueError, match="Engine.execute"):
+        engine.sql("WITH c AS (SELECT 9 AS a) INSERT INTO wi SELECT * FROM c")
