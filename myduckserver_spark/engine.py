@@ -4999,6 +4999,11 @@ class Engine:
         if isinstance(s, st.Truncate):
             n = self.catalog.table(s.name).read().count()
             self.truncate(s.name)
+            meta = self.table_meta(s.name)
+            if meta.stats.pop("auto_increment_base", None) is not None:
+                # MySQL TRUNCATE resets the AUTO_INCREMENT counter
+                # (DELETE does not — the persisted floor survives it)
+                self._save_meta(s.name, meta)
             return OkResult(affected_rows=n)
         if isinstance(s, st.SubscriptionStmt):
             return self._exec_subscription(s)
@@ -5651,6 +5656,7 @@ class Engine:
             )
 
         ai_mixed_last = 0
+        ai_next_base = 0  # persisted counter floor after assignment
         if s.query is not None:
             df = self.sql(s.query, dialect=dialect)
             if s.columns:
@@ -5722,6 +5728,7 @@ class Engine:
                             ctr = max(ctr, int(r[ai_idx]) + 1)
                             resolved.append(r)
                     pyrows = resolved
+                    ai_next_base = ctr
             df = self.spark.createDataFrame(
                 pyrows, T.StructType([
                     T.StructField(c, fields[c], True) for c in target
@@ -5735,7 +5742,8 @@ class Engine:
             # has no row order, so MySQL's interleaved-counter walk is
             # approximated by assigning above every explicit id)
             needs = df.where(F.col(auto).isNull() | (F.col(auto) == 0))
-            if needs.limit(1).count() > 0:
+            needs_n = needs.count()
+            if needs_n:
                 explicit = df.where(
                     F.col(auto).isNotNull() & (F.col(auto) != 0)
                 )
@@ -5750,6 +5758,7 @@ class Engine:
                 )
                 df = explicit.unionByName(numbered.select(*df.columns))
                 ai_mixed_last = start
+                ai_next_base = start + needs_n
 
         # Fill unmentioned columns from declared defaults, then enforce
         # NOT NULL + CHECK engine-side (reference keeps these out of the
@@ -5910,6 +5919,7 @@ class Engine:
                 s.table, df, meta.auto_increment
             )
             last_id = start
+            ai_next_base = start + n
         elif s.mode == "replace" and meta.primary_key:
             # MySQL REPLACE affected-rows: 1 per inserted row + 1 per
             # replaced (deleted) existing row
@@ -5939,6 +5949,12 @@ class Engine:
         else:
             self.insert(s.table, df.select(*[f.name for f in base_schema.fields]))
         _fire_insert_triggers(trig_image)
+        if ai_next_base and int(
+                meta.stats.get("auto_increment_base", 1)) < ai_next_base:
+            # persist the counter like MySQL 8 (survives DELETE-all and
+            # engine restarts; TRUNCATE resets it)
+            meta.stats["auto_increment_base"] = ai_next_base
+            self._save_meta(s.table, meta)
         return OkResult(
             affected_rows=n, last_insert_id=last_id or ai_mixed_last
         )

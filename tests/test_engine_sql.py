@@ -1241,3 +1241,25 @@ def test_with_prologue_insert_routes_through_engine(engine):
         engine.sql("INSERT INTO wi VALUES (9)")
     with pytest.raises(ValueError, match="Engine.execute"):
         engine.sql("WITH c AS (SELECT 9 AS a) INSERT INTO wi SELECT * FROM c")
+
+
+def test_auto_increment_counter_persists_like_mysql8(spark, tmp_path):
+    """MySQL 8 persists the AUTO_INCREMENT counter: DELETE-all and an
+    engine restart keep it; TRUNCATE resets it."""
+    from myduckserver_spark.engine import Engine
+
+    wh = str(tmp_path / "wh_aip")
+    e = Engine(spark, wh)
+    e.execute("CREATE TABLE aip (id INT PRIMARY KEY AUTO_INCREMENT, v INT)")
+    e.execute("INSERT INTO aip (v) VALUES (1),(2),(3)")
+    e.execute("DELETE FROM aip")
+    e.execute("INSERT INTO aip (v) VALUES (8)")
+    assert [(r.id, r.v) for r in
+            e.execute("SELECT * FROM aip").collect()] == [(4, 8)]
+    e2 = Engine(spark, wh)  # reconnect analog
+    e2.execute("DELETE FROM aip")
+    e2.execute("INSERT INTO aip (v) VALUES (9)")
+    assert [r.id for r in e2.execute("SELECT id FROM aip").collect()] == [5]
+    e2.execute("TRUNCATE TABLE aip")
+    e2.execute("INSERT INTO aip (v) VALUES (7)")
+    assert [r.id for r in e2.execute("SELECT id FROM aip").collect()] == [1]
