@@ -4119,6 +4119,10 @@ class Engine:
                 self._last_affected = (
                     r.affected_rows if isinstance(r, OkResult) else -1
                 )
+                # LAST_INSERT_ID() keeps its value until the next
+                # id-assigning statement (MySQL session semantics)
+                if isinstance(r, OkResult) and r.last_insert_id:
+                    self._last_insert_id = r.last_insert_id
                 results.append(r)
         finally:
             if top_level:
@@ -4136,16 +4140,22 @@ class Engine:
     def _rewrite_session_funcs(self, query: str) -> str:
         """Constant-fold the session-state functions MySQL evaluates
         engine-side: DATABASE()/SCHEMA() (current db), ROW_COUNT()
-        (last DML's affected count, -1 otherwise), FOUND_ROWS() (the
+        (last DML's affected count, -1 otherwise), LAST_INSERT_ID()
+        (the session's last assigned auto id), FOUND_ROWS() (the
         un-LIMITed count of the last SQL_CALC_FOUND_ROWS query),
         USER()/CURRENT_USER()/SESSION_USER() (the session principal —
         'root@localhost' in the unrestricted default, the
         set_session_user principal otherwise)."""
         if not re.search(
             r"(?i)\b(?:DATABASE|SCHEMA|ROW_COUNT|FOUND_ROWS"
-            r"|(?:CURRENT_|SESSION_)?USER)\s*\(", query
+            r"|LAST_INSERT_ID|(?:CURRENT_|SESSION_)?USER)\s*\(", query
         ):
             return query
+        query = st.sub_outside_strings(
+            r"\bLAST_INSERT_ID\s*\(\s*\)",
+            str(getattr(self, "_last_insert_id", 0)),
+            query, flags=re.I,
+        )
         who = getattr(self, "_session_user", None) or "'root'@'localhost'"
         query = st.sub_outside_strings(
             r"\b(?:CURRENT_USER|SESSION_USER|USER)\s*\(\s*\)",

@@ -1263,3 +1263,18 @@ def test_auto_increment_counter_persists_like_mysql8(spark, tmp_path):
     e2.execute("TRUNCATE TABLE aip")
     e2.execute("INSERT INTO aip (v) VALUES (7)")
     assert [r.id for r in e2.execute("SELECT id FROM aip").collect()] == [1]
+
+
+def test_last_insert_id_function(engine):
+    """SELECT LAST_INSERT_ID() reads the session's last assigned auto
+    id (first id of a multi-row insert; persists across non-assigning
+    statements — MySQL session semantics)."""
+    engine.execute(
+        "CREATE TABLE lii (id INT PRIMARY KEY AUTO_INCREMENT, v INT)")
+    engine.execute("INSERT INTO lii (v) VALUES (5), (6)")
+    assert engine.execute(
+        "SELECT LAST_INSERT_ID() AS l").collect()[0].l == 1
+    engine.execute("INSERT INTO lii (v) VALUES (7)")
+    engine.execute("DELETE FROM lii WHERE id = 1")
+    assert engine.execute(
+        "SELECT LAST_INSERT_ID() AS l").collect()[0].l == 3
