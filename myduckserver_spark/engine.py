@@ -165,8 +165,12 @@ class Engine:
             from myduckserver_spark.functions.json_udfs import (
                 register_json_udfs,
             )
+            from myduckserver_spark.functions.udfs import (
+                register_engine_udfs,
+            )
 
             register_json_udfs(spark)
+            register_engine_udfs(spark)
             spark._mds_json_udfs = True
         # MySQL drops TEMPORARY tables at connection end; a new engine
         # over the warehouse is the reconnect analog, so leftovers from

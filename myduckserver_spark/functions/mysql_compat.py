@@ -296,6 +296,114 @@ def _fn_time_to_sec(a):
     )
 
 
+def _dur_secs(x):
+    """Signed seconds from a '[-]H…H:MM:SS[.f]' TIME string."""
+    s = f"CAST({x} AS STRING)"
+    p = f"split(regexp_replace({s}, '^-', ''), ':')"
+    mag = (
+        f"(CAST({p}[0] AS BIGINT) * 3600 + CAST({p}[1] AS BIGINT) * 60 "
+        f"+ CAST(CAST({p}[2] AS DOUBLE) AS BIGINT))"
+    )
+    return f"(CASE WHEN startswith({s}, '-') THEN -{mag} ELSE {mag} END)"
+
+
+def _render_dur(secs):
+    """Signed seconds → MySQL TIME text ([-]HH:MM:SS, hours unpadded
+    past two digits like MySQL's up-to-±838h range)."""
+    v = f"({secs})"
+    a = f"ABS({v})"
+    return (
+        f"concat(CASE WHEN {v} < 0 THEN '-' ELSE '' END, "
+        f"lpad(CAST({a} DIV 3600 AS STRING), 2, '0'), ':', "
+        f"lpad(CAST(({a} % 3600) DIV 60 AS STRING), 2, '0'), ':', "
+        f"lpad(CAST({a} % 60 AS STRING), 2, '0'))"
+    )
+
+
+_DT_RE = r"'^\\d{4}-\\d{1,2}-\\d{1,2}[ T]'"
+
+
+def _fn_timediff(a):
+    # TIME result of expr1 - expr2: both datetimes or both TIME strings
+    if len(a) != 2:
+        return None
+    x, y = f"CAST({a[0]} AS STRING)", f"CAST({a[1]} AS STRING)"
+    dsecs = (f"(unix_timestamp(CAST({x} AS TIMESTAMP)) - "
+             f"unix_timestamp(CAST({y} AS TIMESTAMP)))")
+    tsecs = f"({_dur_secs(x)} - {_dur_secs(y)})"
+    return _render_dur(
+        f"CASE WHEN {x} RLIKE {_DT_RE} THEN {dsecs} ELSE {tsecs} END"
+    )
+
+
+def _fn_addtime(sign):
+    def fn(a):
+        if len(a) != 2:
+            return None
+        x = f"CAST({a[0]} AS STRING)"
+        d = f"({sign}{_dur_secs(a[1])})"
+        as_dt = (f"date_format(timestampadd(SECOND, {d}, "
+                 f"CAST({x} AS TIMESTAMP)), 'yyyy-MM-dd HH:mm:ss')")
+        as_t = _render_dur(f"{_dur_secs(x)} + {d}")
+        return (f"(CASE WHEN {x} RLIKE {_DT_RE} THEN {as_dt} "
+                f"ELSE {as_t} END)")
+
+    return fn
+
+
+def _fn_maketime(a):
+    if len(a) != 3:
+        return None
+    h, m, s = (f"CAST({x} AS BIGINT)" for x in a)
+    return _render_dur(
+        f"(CASE WHEN {h} < 0 THEN -1 ELSE 1 END) * "
+        f"(ABS({h}) * 3600 + {m} * 60 + {s})"
+    )
+
+
+_UUID_RE = (
+    r"'^(\\{[0-9a-fA-F]{8}(-[0-9a-fA-F]{4}){3}-[0-9a-fA-F]{12}\\}"
+    r"|[0-9a-fA-F]{8}(-[0-9a-fA-F]{4}){3}-[0-9a-fA-F]{12}"
+    r"|[0-9a-fA-F]{32})$'"
+)
+
+
+def _fn_is_uuid(a):
+    if len(a) != 1:
+        return None
+    return (f"(CASE WHEN CAST({a[0]} AS STRING) RLIKE {_UUID_RE} "
+            f"THEN 1 ELSE 0 END)")
+
+
+def _fn_uuid_to_bin(a):
+    # hex layout: aaaaaaaa-bbbb-cccc-dddd-eeeeeeeeeeee; swap flag moves
+    # the time-high+mid words in front of time-low (index-friendly)
+    if len(a) not in (1, 2):
+        return None
+    h = f"lower(regexp_replace(CAST({a[0]} AS STRING), '[{{}}-]', ''))"
+    plain = f"unhex({h})"
+    if len(a) == 1:
+        return plain
+    swapped = (f"unhex(concat(substring({h}, 13, 4), "
+               f"substring({h}, 9, 4), substring({h}, 1, 8), "
+               f"substring({h}, 17, 16)))")
+    return f"(CASE WHEN ({a[1]}) <> 0 THEN {swapped} ELSE {plain} END)"
+
+
+def _fn_bin_to_uuid(a):
+    if len(a) not in (1, 2):
+        return None
+    raw = f"lower(hex({a[0]}))"
+    if len(a) == 2:
+        raw = (f"(CASE WHEN ({a[1]}) <> 0 THEN "
+               f"concat(substring({raw}, 9, 8), substring({raw}, 5, 4), "
+               f"substring({raw}, 1, 4), substring({raw}, 17, 16)) "
+               f"ELSE {raw} END)")
+    return (f"concat(substring({raw}, 1, 8), '-', "
+            f"substring({raw}, 9, 4), '-', substring({raw}, 13, 4), '-', "
+            f"substring({raw}, 17, 4), '-', substring({raw}, 21, 12))")
+
+
 def _fn_json_extract(a):
     # Single-path form only (multi-path returns a JSON array in MySQL).
     # Shim note: bare string results come back unquoted (Spark
@@ -462,6 +570,13 @@ _FN_HANDLERS = {
     "MAKE_SET": _fn_make_set,
     "SEC_TO_TIME": _fn_sec_to_time,
     "TIME_TO_SEC": _fn_time_to_sec,
+    "TIMEDIFF": _fn_timediff,
+    "ADDTIME": _fn_addtime("+"),
+    "SUBTIME": _fn_addtime("-"),
+    "MAKETIME": _fn_maketime,
+    "IS_UUID": _fn_is_uuid,
+    "UUID_TO_BIN": _fn_uuid_to_bin,
+    "BIN_TO_UUID": _fn_bin_to_uuid,
     "ORD": lambda a: f"ascii({a[0]})" if len(a) == 1 else None,
     # TO_DAYS('1970-01-01') = 719528 anchors the year-0 epoch
     "TO_DAYS": lambda a: (

@@ -889,3 +889,34 @@ def test_insert_ignore_leaves_warning(spark, tmp_path):
     # a clean statement resets the diagnostics area
     e.execute("INSERT IGNORE INTO t VALUES (3, 30)")
     assert e.execute("SHOW WARNINGS").collect() == []
+
+
+def test_time_uuid_inet6_function_batch(engine):
+    """Round-7 shim batch, values from the MySQL 8 reference manual:
+    TIMEDIFF/ADDTIME/SUBTIME/MAKETIME (TIME-as-string arithmetic),
+    IS_UUID/UUID_TO_BIN/BIN_TO_UUID (incl. the swap flag), and
+    INET6_ATON/INET6_NTOA (stdlib-ipaddress scalar UDFs)."""
+    cases = [
+        ("TIMEDIFF('2000-01-01 00:00:00','2000-01-01 00:00:30')",
+         "-00:00:30"),
+        ("TIMEDIFF('2008-12-31 23:59:59','2008-12-30 01:01:01')",
+         "46:58:58"),
+        ("ADDTIME('01:00:00','00:30:00')", "01:30:00"),
+        ("ADDTIME('2007-12-31 23:59:59','0:0:1')", "2008-01-01 00:00:00"),
+        ("SUBTIME('01:00:00','00:30:00')", "00:30:00"),
+        ("MAKETIME(-1,30,30)", "-01:30:30"),
+        ("IS_UUID('6ccd780c-baba-1026-9564-5b8c656024db')", 1),
+        ("IS_UUID('6ccd780cbaba102695645b8c656024db')", 1),
+        ("IS_UUID('nope')", 0),
+        ("BIN_TO_UUID(UUID_TO_BIN('6ccd780c-baba-1026-9564-"
+         "5b8c656024db', 1), 1)", "6ccd780c-baba-1026-9564-5b8c656024db"),
+        ("HEX(UUID_TO_BIN('6ccd780c-baba-1026-9564-5b8c656024db', 1))",
+         "1026BABA6CCD780C95645B8C656024DB"),
+        ("INET6_NTOA(INET6_ATON('fdfe::5a55:caff:fefa:9089'))",
+         "fdfe::5a55:caff:fefa:9089"),
+        ("INET6_NTOA(INET6_ATON('10.0.5.9'))", "10.0.5.9"),
+        ("INET6_ATON('garbage')", None),
+    ]
+    for expr, want in cases:
+        got = engine.execute(f"SELECT {expr} AS x").collect()[0].x
+        assert got == want, f"{expr}: {got!r} != {want!r}"
