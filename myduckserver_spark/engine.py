@@ -4100,7 +4100,7 @@ class Engine:
         Returns a DataFrame for queries/SHOW, an OkResult for DDL/DML;
         a list of those when the script has multiple statements.
         """
-        stmts = st.split_statements(sql)
+        stmts = st.split_statements(sql, hash_comments=(dialect == "mysql"))
         if not stmts:
             return OkResult(info="empty")
         results = []
@@ -4845,7 +4845,7 @@ class Engine:
             return self._exec_dml_returning(
                 sql[: rm.start()], sql[rm.end():].strip(), dialect
             )
-        s = st.parse_statement(sql)
+        s = st.parse_statement(sql, hash_comments=(dialect == "mysql"))
         self._check_read_only(s)
         self._check_privileges(s)
         if isinstance(s, st.SelectIntoOutfile):

@@ -178,6 +178,23 @@ def _rewrite_casts(sql: str) -> str:
     return out
 
 
+def _rewrite_xor_op(sql: str) -> str:
+    """pg bitwise XOR ``a # b`` → Spark ``a ^ b`` (pg's ``^`` is
+    power, but power already arrives as the POW() function from
+    clients; ``#`` is the only spelling accepted here)."""
+    out = sql
+    pos = 0
+    while True:
+        i = out.find("#", pos)
+        if i < 0:
+            return out
+        if _in_string(out, i):
+            pos = i + 1
+            continue
+        out = out[:i] + "^" + out[i + 1:]
+        pos = i + 1
+
+
 # --------------------------------------------------------- regex operators
 
 _REGEX_OP_RE = re.compile(r"(!~\*|!~|~\*|~)")
@@ -415,6 +432,12 @@ _JSON_OBJECT_AGG_RE = re.compile(
 
 def _rewrite_functions(sql: str) -> str:
     out = sql
+    # regexp_split_to_array(s, pat) → split(s, pat) (pg drops a
+    # trailing empty field only under the 'trim' flag variants, which
+    # are not accepted here; 2-arg semantics line up with Spark)
+    out = re.sub(
+        r"\bregexp_split_to_array\s*\(", "split(", out, flags=re.I
+    )
     # strpos(s, sub) → position(sub, s)  (argument swap)
     out = re.sub(
         r"\bstrpos\s*\(\s*([^(),]+?)\s*,\s*([^(),]+?)\s*\)",
@@ -715,5 +738,6 @@ def translate_postgres(sql: str) -> str:
     out = _rewrite_functions(out)
     out = _rewrite_casts(out)
     out = _rewrite_regex_ops(out)
+    out = _rewrite_xor_op(out)
     out = _rewrite_subscripts(out)
     return out

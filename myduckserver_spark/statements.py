@@ -22,8 +22,11 @@ from dataclasses import dataclass, field
 # --------------------------------------------------------------- lexing
 
 
-def strip_comments(sql: str) -> str:
-    """Remove -- / # line comments and /* */ block comments, quote-aware."""
+def strip_comments(sql: str, hash_comments: bool = True) -> str:
+    """Remove -- / # line comments and /* */ block comments,
+    quote-aware. ``#`` starts a comment only in the MySQL dialect
+    (hash_comments=False for pg, where # is the bitwise-XOR
+    operator)."""
     out, i, n = [], 0, len(sql)
     while i < n:
         c = sql[i]
@@ -41,7 +44,7 @@ def strip_comments(sql: str) -> str:
                 j += 1
             out.append(sql[i : j + 1])
             i = j + 1
-        elif sql.startswith("--", i) or c == "#":
+        elif sql.startswith("--", i) or (hash_comments and c == "#"):
             while i < n and sql[i] != "\n":
                 i += 1
         elif sql.startswith("/*!", i):
@@ -63,9 +66,9 @@ def strip_comments(sql: str) -> str:
     return "".join(out)
 
 
-def split_statements(sql: str) -> list[str]:
+def split_statements(sql: str, hash_comments: bool = True) -> list[str]:
     """Split on top-level ';' (quote-aware)."""
-    sql = strip_comments(sql)
+    sql = strip_comments(sql, hash_comments)
     parts, buf, i, n = [], [], 0, len(sql)
     while i < n:
         c = sql[i]
@@ -1405,9 +1408,9 @@ def _parse_into_vars(s: str) -> "SelectIntoVars | None":
     return SelectIntoVars(query=query, vars=names)
 
 
-def parse_statement(sql: str):
+def parse_statement(sql: str, hash_comments: bool = True):
     """One statement string → a typed statement object."""
-    s = strip_comments(sql).strip().rstrip(";").strip()
+    s = strip_comments(sql, hash_comments).strip().rstrip(";").strip()
     # MySQL DML priority/speed modifiers are scheduler hints with no
     # analog in a snapshot engine — strip them (DELETE IGNORE's error
     # suppression targets FK cascades, which deletes here never raise)

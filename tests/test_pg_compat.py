@@ -421,3 +421,22 @@ def test_discard_all_clears_session_state(spark, tmp_path):
     assert e.execute("SELECT COUNT(*) AS n FROM tt2").collect()[0].n == 0
     with _pytest.raises(ValueError):
         e.execute("EXECUTE p2")
+
+
+def test_pg_xor_and_regexp_split(spark, tmp_path):
+    """pg `#` is bitwise XOR (NOT a comment — that's MySQL's #), and
+    regexp_split_to_array maps to split."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh_xor"))
+    assert e.execute("SELECT 5 # 3 AS x", dialect="postgres"
+                     ).collect()[0].x == 6
+    assert e.execute(
+        "SELECT regexp_split_to_array('a,b', ',') AS x",
+        dialect="postgres",
+    ).collect()[0].x == ["a", "b"]
+    # '#' inside a pg string literal is untouched
+    assert e.execute("SELECT '#tag' AS x", dialect="postgres"
+                     ).collect()[0].x == "#tag"
+    # MySQL dialect still treats # as a line comment
+    assert e.execute("SELECT 1 AS x # comment").collect()[0].x == 1
