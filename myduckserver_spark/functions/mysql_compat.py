@@ -323,6 +323,74 @@ def _render_dur(secs):
 _DT_RE = r"'^\\d{4}-\\d{1,2}-\\d{1,2}[ T]'"
 
 
+def _w1s(yx, monday, four_day):
+    """SQL date expr: start of week 1 of year `yx` under a WEEK-mode
+    flag pair — first-day-of-week Monday/Sunday × (week 1 = first week
+    with ≥4 days in the year | first week containing a first-day)."""
+    jan1 = f"make_date({yx}, 1, 1)"
+    fd = "'MO'" if monday else "'SU'"
+    if not four_day:
+        # first fd ON or after Jan 1 (next_day is strictly-after)
+        return f"next_day(date_sub({jan1}, 1), {fd})"
+    dow0 = (f"((dayofweek({jan1}) + 5) % 7)" if monday
+            else f"(dayofweek({jan1}) - 1)")
+    wk_start = f"date_sub({jan1}, {dow0})"
+    return (f"(CASE WHEN {dow0} <= 3 THEN {wk_start} "
+            f"ELSE date_add({wk_start}, 7) END)")
+
+
+def _week_parts(dx, mode):
+    """(d, cnt, cnt_prev, w1_this, w1_next) exprs for WEEK machinery.
+    Mode bits per the MySQL manual's WEEK table: odd modes start weeks
+    on Monday; modes 1/3/4/6 use the ≥4-days rule; 2/3/6/7 carry edge
+    days into the adjacent year's numbering (range 1-53)."""
+    monday = mode in (1, 3, 5, 7)
+    four = mode in (1, 3, 4, 6)
+    d = f"CAST({dx} AS DATE)"
+    y = f"year({d})"
+    w1 = _w1s(y, monday, four)
+    w1n = _w1s(f"({y} + 1)", monday, four)
+    w1p = _w1s(f"({y} - 1)", monday, four)
+    cnt = f"(CAST(datediff({d}, {w1}) / 7 AS INT) + 1)"
+    cntp = f"(CAST(datediff({d}, {w1p}) / 7 AS INT) + 1)"
+    return d, cnt, cntp, w1, w1n
+
+
+def _fn_week(a):
+    # WEEK(d [, mode]) — mode must be a literal (MySQL's
+    # @@default_week_format default is 0)
+    if not a or len(a) > 2:
+        return None
+    mode = 0
+    if len(a) == 2:
+        if not re.fullmatch(r"\s*\d\s*", a[1]) or int(a[1]) > 7:
+            return None
+        mode = int(a[1])
+    carry = mode in (2, 3, 6, 7)
+    d, cnt, cntp, w1, w1n = _week_parts(a[0], mode)
+    hi = "1" if carry else cnt
+    lo = cntp if carry else "0"
+    return (f"(CASE WHEN {d} >= {w1n} THEN {hi} "
+            f"WHEN {d} < {w1} THEN {lo} ELSE {cnt} END)")
+
+
+def _fn_yearweek(a):
+    # YEARWEEK(d [, mode]): year*100 + week, always carrying edge days
+    # into the adjacent year (the year part adjusts with them)
+    if not a or len(a) > 2:
+        return None
+    mode = 0
+    if len(a) == 2:
+        if not re.fullmatch(r"\s*\d\s*", a[1]) or int(a[1]) > 7:
+            return None
+        mode = int(a[1])
+    d, cnt, cntp, w1, w1n = _week_parts(a[0], mode)
+    y = f"year({d})"
+    return (f"(CASE WHEN {d} >= {w1n} THEN ({y} + 1) * 100 + 1 "
+            f"WHEN {d} < {w1} THEN ({y} - 1) * 100 + {cntp} "
+            f"ELSE {y} * 100 + {cnt} END)")
+
+
 def _fn_timediff(a):
     # TIME result of expr1 - expr2: both datetimes or both TIME strings
     if len(a) != 2:
@@ -587,13 +655,8 @@ _FN_HANDLERS = {
         f"date_add(DATE'1970-01-01', CAST(({a[0]}) - 719528 AS INT))"
         if len(a) == 1 else None
     ),
-    # ISO year*100 + ISO week (MySQL mode 3; default mode 0 differs in
-    # Sunday-start edge weeks — documented divergence)
-    "YEARWEEK": lambda a: (
-        f"(extract(YEAROFWEEK FROM CAST({a[0]} AS DATE)) * 100 "
-        f"+ weekofyear(CAST({a[0]} AS DATE)))"
-        if len(a) == 1 else None
-    ),
+    "WEEK": _fn_week,
+    "YEARWEEK": _fn_yearweek,
     "INET_ATON": lambda a: (
         f"aggregate(transform(split({a[0]}, '\\\\.'), "
         f"__p -> CAST(__p AS BIGINT)), CAST(0 AS BIGINT), "

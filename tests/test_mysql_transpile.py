@@ -233,7 +233,16 @@ def test_string_bit_inet_day_functions(spark):
         "SELECT CAST(FROM_DAYS(733321) AS STRING) AS x": "2007-10-07",
         "SELECT SEC_TO_TIME(3661) AS x": "01:01:01",
         "SELECT TIME_TO_SEC('01:01:01') AS x": 3661,
-        "SELECT YEARWEEK('2024-01-05') AS x": 202401,
+        # true MySQL mode-0 semantics (round 7): Jan 5 2024 precedes
+        # the first Sunday of 2024, so it belongs to week 53 of 2023
+        # (previously ISO mode 3 was a documented divergence)
+        "SELECT YEARWEEK('2024-01-05') AS x": 202353,
+        "SELECT WEEK('2008-02-20') AS x": 7,
+        "SELECT WEEK('2008-02-20', 1) AS x": 8,
+        "SELECT WEEK('2008-12-31', 1) AS x": 53,
+        "SELECT WEEK('2000-01-01', 0) AS x": 0,
+        "SELECT WEEK('2000-01-01', 2) AS x": 52,
+        "SELECT YEARWEEK('2000-01-01') AS x": 199952,
         "SELECT INET_ATON('1.2.3.4') AS x": 16909060,
         "SELECT INET_NTOA(16909060) AS x": "1.2.3.4",
     }
