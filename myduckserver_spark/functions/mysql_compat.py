@@ -1378,6 +1378,47 @@ def _pass_mysql_operators(toks: list[Tok]) -> list[Tok]:
     return out
 
 
+# MySQL composite EXTRACT units → positional-decimal sums of the
+# simple units (EXTRACT(DAY_MINUTE FROM t) = day*10000 + hour*100 +
+# minute, per the manual's temporal-interval table)
+_COMPOSITE_EXTRACT = {
+    "YEAR_MONTH": (("YEAR", 100), ("MONTH", 1)),
+    "DAY_HOUR": (("DAY", 100), ("HOUR", 1)),
+    "DAY_MINUTE": (("DAY", 10000), ("HOUR", 100), ("MINUTE", 1)),
+    "DAY_SECOND": (("DAY", 1000000), ("HOUR", 10000), ("MINUTE", 100),
+                   ("SECOND", 1)),
+    "HOUR_MINUTE": (("HOUR", 100), ("MINUTE", 1)),
+    "HOUR_SECOND": (("HOUR", 10000), ("MINUTE", 100), ("SECOND", 1)),
+    "MINUTE_SECOND": (("MINUTE", 100), ("SECOND", 1)),
+}
+
+
+def _extract_composite(toks: list[Tok], open_idx: int, close_idx: int):
+    inner = toks[open_idx + 1 : close_idx]
+    k = 0
+    while k < len(inner) and inner[k].kind in ("ws", "comment"):
+        k += 1
+    if k >= len(inner) or inner[k].kind != "word":
+        return None
+    parts = _COMPOSITE_EXTRACT.get(inner[k].text.upper())
+    if parts is None:
+        return None  # simple unit: Spark handles it natively
+    m = k + 1
+    while m < len(inner) and inner[m].kind in ("ws", "comment"):
+        m += 1
+    if m >= len(inner) or not inner[m].is_word("FROM"):
+        return None
+    expr = render(_pass_functions(inner[m + 1:])).strip()
+    e = f"CAST({expr} AS TIMESTAMP)"
+    total = " + ".join(
+        f"extract({u} FROM {e})" + (f" * {mult}" if mult > 1 else "")
+        for u, mult in parts
+    )
+    # Spark's extract(SECOND …) is DECIMAL (fractional seconds);
+    # MySQL's composite result is an integer
+    return f"CAST({total} AS BIGINT)"
+
+
 def _pass_functions(toks: list[Tok]) -> list[Tok]:
     out: list[Tok] = []
     i = 0
@@ -1397,10 +1438,18 @@ def _pass_functions(toks: list[Tok]) -> list[Tok]:
                 and j < len(toks)
                 and toks[j].kind == "op"
                 and toks[j].text == "("
-                and (u in _FN_HANDLERS or u in ("GROUP_CONCAT", "CAST", "MATCH"))
+                and (u in _FN_HANDLERS
+                     or u in ("GROUP_CONCAT", "CAST", "MATCH", "EXTRACT"))
             ):
                 close = match_paren(toks, j)
                 if close > 0:
+                    if u == "EXTRACT":
+                        r = _extract_composite(toks, j, close)
+                        if r is not None:
+                            out.extend(tokenize(r))
+                            i = close + 1
+                            continue
+                        # simple unit falls through untouched
                     if u == "MATCH":
                         repl = _match_against(toks, i, j, close)
                         if repl is not None:

@@ -920,3 +920,21 @@ def test_time_uuid_inet6_function_batch(engine):
     for expr, want in cases:
         got = engine.execute(f"SELECT {expr} AS x").collect()[0].x
         assert got == want, f"{expr}: {got!r} != {want!r}"
+
+
+def test_extract_composite_units(engine):
+    """MySQL composite EXTRACT units (manual's temporal-interval
+    table): positional-decimal sums, integer-typed."""
+    cases = [
+        ("EXTRACT(YEAR_MONTH FROM '2019-07-02 01:02:03')", 201907),
+        ("EXTRACT(DAY_HOUR FROM '2019-07-02 01:02:03')", 201),
+        ("EXTRACT(DAY_MINUTE FROM '2019-07-02 01:02:03')", 20102),
+        ("EXTRACT(DAY_SECOND FROM '2019-07-02 01:02:03')", 2010203),
+        ("EXTRACT(HOUR_MINUTE FROM '2019-07-02 01:02:03')", 102),
+        ("EXTRACT(HOUR_SECOND FROM '2019-07-02 01:02:03')", 10203),
+        ("EXTRACT(MINUTE_SECOND FROM '2019-07-02 01:02:03')", 203),
+        ("EXTRACT(YEAR FROM '2019-07-02')", 2019),  # simple: untouched
+    ]
+    for expr, want in cases:
+        got = engine.execute(f"SELECT {expr} AS x").collect()[0].x
+        assert got == want, f"{expr}: {got!r} != {want!r}"
