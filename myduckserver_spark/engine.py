@@ -4971,6 +4971,9 @@ class Engine:
 
             meta = _copy.deepcopy(self.table_meta(s.source))
             meta.temporary = s.temporary
+            # MySQL: LIKE preserves the AUTO_INCREMENT attribute but
+            # NOT the source's counter — the clone starts fresh
+            meta.stats.pop("auto_increment_base", None)
             empty = self.spark.createDataFrame([], src.read().schema)
             self.catalog.create_table(
                 s.name, empty, partition_by=meta.partition_by or None
