@@ -134,6 +134,42 @@ def _pred(rng: random.Random, depth: int = 0) -> str:
     return leaf()
 
 
+def gen_multi_statement(rng: random.Random, t1: str,
+                        t2: str) -> tuple[str, str]:
+    """Multi-table UPDATE/DELETE pair: MySQL's JOIN forms vs DuckDB's
+    UPDATE … FROM / DELETE … USING. t2 is PK-keyed so the join is 1:1
+    (MySQL updates a multi-matched row once with an arbitrary match —
+    not oracle-able)."""
+    pred = rng.choice([
+        lambda: f"{t2}.k > {rng.randint(-3, 8)}",
+        lambda: f"{t1}.a IS NOT NULL",
+        lambda: f"{t1}.id % {rng.randint(2, 3)} = 0",
+        lambda: None,
+    ])()
+    if rng.random() < 0.6:
+        expr_my, expr_du = rng.choice([
+            (f"{t2}.k + 1", f"{t2}.k + 1"),
+            (f"{t1}.a + {t2}.k", f"{t1}.a + {t2}.k"),
+            (f"{rng.randint(-2, 9)}", None),
+            ("NULL", None),
+        ])
+        expr_du = expr_du or expr_my
+        wm = f" WHERE {pred}" if pred else ""
+        wd = f" AND {pred}" if pred else ""
+        return (
+            f"UPDATE {t1} JOIN {t2} ON {t1}.id = {t2}.id "
+            f"SET {t1}.a = {expr_my}{wm}",
+            f"UPDATE {t1} SET a = {expr_du} FROM {t2} "
+            f"WHERE {t1}.id = {t2}.id{wd}",
+        )
+    wm = f" WHERE {pred}" if pred else ""
+    wd = f" AND {pred}" if pred else ""
+    return (
+        f"DELETE {t1} FROM {t1} JOIN {t2} ON {t1}.id = {t2}.id{wm}",
+        f"DELETE FROM {t1} USING {t2} WHERE {t1}.id = {t2}.id{wd}",
+    )
+
+
 def gen_statement(rng: random.Random, table: str,
                   with_unique: bool = False) -> tuple[str, str]:
     """One (mysql_sql, duckdb_sql) pair."""
@@ -208,8 +244,33 @@ def gen_sequence(rng: random.Random, table: str, n_stmts: int = 8,
     return seq
 
 
+def gen_sequence_multi(rng: random.Random, table: str,
+                       n_stmts: int = 8) -> list[tuple[str, str]]:
+    """Sequence over (table, table_r): single-table statements on the
+    target interleaved with multi-table JOIN UPDATE/DELETEs against
+    the PK-keyed reference table."""
+    t2 = f"{table}_r"
+    seed = _rows_sql(rng, ["id", "a", "b"])
+    seq = [(f"INSERT INTO {table} VALUES {seed}",
+            f"INSERT INTO {table} VALUES {seed}")]
+    for _ in range(n_stmts - 1):
+        if rng.random() < 0.4:
+            seq.append(gen_multi_statement(rng, table, t2))
+        else:
+            seq.append(gen_statement(rng, table, with_unique=False))
+    return seq
+
+
+# reference-table seed for the multi-table axis: PK-keyed, covers a
+# strict subset of IDS (unmatched target rows must survive joins), k
+# spans negatives/zero/NULL
+_REF_ROWS = ("(0,5), (1,-2), (2,NULL), (3,7), (5,0), (7,3), (8,-1), "
+             "(10,13), (12,2), (14,-5)")
+
+
 def apply_pair(eng, duck, table: str, pairs: list[tuple[str, str]],
-               with_unique: bool = False) -> tuple[bool, str]:
+               with_unique: bool = False,
+               multi: bool = False) -> tuple[bool, str]:
     """Run one generated sequence through both engines on a FRESH
     table; compare per-statement error flags and the final state.
     Returns (ok, detail)."""
@@ -221,6 +282,12 @@ def apply_pair(eng, duck, table: str, pairs: list[tuple[str, str]],
                 f"{MYSQL_SCHEMA_U if with_unique else MYSQL_SCHEMA}")
     duck.execute(f"CREATE TABLE {table} "
                  f"{DUCK_SCHEMA_U if with_unique else DUCK_SCHEMA}")
+    if multi:
+        t2 = f"{table}_r"
+        for conn, exe in ((eng, eng.execute), (duck, duck.execute)):
+            exe(f"DROP TABLE IF EXISTS {t2}")
+            exe(f"CREATE TABLE {t2} (id INTEGER PRIMARY KEY, k INTEGER)")
+            exe(f"INSERT INTO {t2} VALUES {_REF_ROWS}")
     try:
         for i, (my, du) in enumerate(pairs):
             err_m = err_d = None
@@ -269,10 +336,14 @@ def apply_pair(eng, duck, table: str, pairs: list[tuple[str, str]],
     finally:
         eng.execute(f"DROP TABLE IF EXISTS {table}")
         duck.execute(f"DROP TABLE IF EXISTS {table}")
+        if multi:
+            eng.execute(f"DROP TABLE IF EXISTS {table}_r")
+            duck.execute(f"DROP TABLE IF EXISTS {table}_r")
 
 
 def shrink(eng, duck, table: str, pairs: list[tuple[str, str]],
-           with_unique: bool = False) -> list[tuple[str, str]]:
+           with_unique: bool = False,
+           multi: bool = False) -> list[tuple[str, str]]:
     """Greedy delta-debugging: drop statements while the divergence
     persists (statement 0 re-seeds, so any subset is still runnable)."""
     cur = list(pairs)
@@ -283,7 +354,7 @@ def shrink(eng, duck, table: str, pairs: list[tuple[str, str]],
             cand = cur[:i] + cur[i + 1:]
             if not cand:
                 continue
-            ok, _ = apply_pair(eng, duck, table, cand, with_unique)
+            ok, _ = apply_pair(eng, duck, table, cand, with_unique, multi)
             if not ok:
                 cur = cand
                 changed = True

@@ -42,14 +42,19 @@ def main() -> int:
     bad = 0
     for trial in range(args.n):
         table = f"fz{trial}"
-        uniq = trial % 3 == 2  # every third sequence: UNIQUE-index table
-        seq = dmlgen.gen_sequence(rng, table, n_stmts=args.stmts,
-                                  with_unique=uniq)
-        ok, detail = dmlgen.apply_pair(eng, duck, table, seq, uniq)
+        uniq = trial % 3 == 2   # every third sequence: UNIQUE-index table
+        multi = trial % 3 == 1  # every third: multi-table JOIN DML axis
+        if multi:
+            seq = dmlgen.gen_sequence_multi(rng, table, n_stmts=args.stmts)
+        else:
+            seq = dmlgen.gen_sequence(rng, table, n_stmts=args.stmts,
+                                      with_unique=uniq)
+        ok, detail = dmlgen.apply_pair(eng, duck, table, seq, uniq, multi)
         if not ok:
             bad += 1
-            small = dmlgen.shrink(eng, duck, table, seq, uniq)
-            _, sdetail = dmlgen.apply_pair(eng, duck, table, small, uniq)
+            small = dmlgen.shrink(eng, duck, table, seq, uniq, multi)
+            _, sdetail = dmlgen.apply_pair(
+                eng, duck, table, small, uniq, multi)
             print(f"DIVERGENCE trial={trial} seed={args.seed}")
             print(f"  {detail}")
             print("  minimal sequence:")

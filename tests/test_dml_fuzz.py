@@ -36,12 +36,17 @@ def test_dml_fuzz_corpus(eng, duck):
     failures = []
     for trial in range(N_SEQUENCES):
         table = f"fz{trial}"
-        uniq = trial % 3 == 2  # every third: UNIQUE-index table
-        seq = dmlgen.gen_sequence(rng, table, n_stmts=STMTS_PER_SEQ,
-                                  with_unique=uniq)
-        ok, detail = dmlgen.apply_pair(eng, duck, table, seq, uniq)
+        uniq = trial % 3 == 2   # every third: UNIQUE-index table
+        multi = trial % 3 == 1  # every third: multi-table JOIN DML
+        if multi:
+            seq = dmlgen.gen_sequence_multi(rng, table,
+                                            n_stmts=STMTS_PER_SEQ)
+        else:
+            seq = dmlgen.gen_sequence(rng, table, n_stmts=STMTS_PER_SEQ,
+                                      with_unique=uniq)
+        ok, detail = dmlgen.apply_pair(eng, duck, table, seq, uniq, multi)
         if not ok:
-            small = dmlgen.shrink(eng, duck, table, seq, uniq)
+            small = dmlgen.shrink(eng, duck, table, seq, uniq, multi)
             failures.append((trial, detail, small))
     assert not failures, "\n".join(
         f"trial {t}: {d}\n  " + "\n  ".join(m for m, _ in s)
