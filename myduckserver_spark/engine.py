@@ -3472,6 +3472,112 @@ class Engine:
         df.createOrReplaceTempView(view)
         return view, carry
 
+    def _narrow_ignore_key_conflicts(
+        self, table: str, pre: str, where: str,
+        assignments: dict[str, str], meta, key_targets, dialect: str,
+    ) -> str:
+        """UPDATE IGNORE narrowing for key conflicts: MySQL processes
+        rows in order and SKIPS (with a warning) any row whose updated
+        key already exists in the live index — including keys of rows
+        the same statement has not yet moved. Conflicts against
+        UNAFFECTED rows are order-independent and resolve as one
+        distributed semi-join; conflicts among affected rows are a
+        sequential chain walked driver-side over key columns only
+        (pk-ascending — MySQL's usual scan order — bounded like
+        cursors; row data never leaves the cluster)."""
+        if len(meta.primary_key or []) != 1:
+            raise NotImplementedError(
+                "UPDATE IGNORE assigning a key column needs a "
+                f"single-column primary key on {table}"
+            )
+        pk = meta.primary_key[0]
+        base_schema = self.catalog.table(table).read().schema
+        sel = [f"`{pk}` AS __pk"]
+        for i, (_iname, icols, _ex) in enumerate(key_targets):
+            for c in icols:
+                sel.append(f"`{c}` AS __o{i}_{c}")
+                post = assignments.get(c)
+                if post is None:
+                    sel.append(f"`{c}` AS __n{i}_{c}")
+                else:
+                    dt = base_schema[c].dataType.simpleString()
+                    sel.append(f"CAST(({post}) AS {dt}) AS __n{i}_{c}")
+        aff = self.sql(
+            f"{pre}SELECT {', '.join(sel)} FROM `{table}` "
+            f"WHERE coalesce(({where}), false)",
+            dialect=dialect,
+        )
+        # order-independent part: new key hits an unaffected row's key
+        flag = F.lit(False)
+        for i, (_iname, icols, null_exempt) in enumerate(key_targets):
+            un = self.sql(
+                f"{pre}SELECT {', '.join(f'`{c}`' for c in icols)} "
+                f"FROM `{table}` WHERE NOT coalesce(({where}), false)",
+                dialect=dialect,
+            )
+            if null_exempt:
+                un = un.na.drop("any", subset=icols)
+            cond = None
+            for c in icols:
+                eq = F.col(f"__n{i}_{c}") == F.col(f"u.`{c}`")
+                cond = eq if cond is None else (cond & eq)
+            hit = (
+                aff.join(un.alias("u"), cond, "left_semi")
+                .select("__pk").withColumn("__h", F.lit(True))
+            )
+            aff = aff.join(hit, "__pk", "left").withColumn(
+                f"__b{i}", F.coalesce("__h", F.lit(False))
+            ).drop("__h")
+            flag = flag | F.col(f"__b{i}")
+        rows = aff.withColumn("__bc", flag).collect()
+        if len(rows) > 100_000:
+            raise NotImplementedError(
+                "UPDATE IGNORE key-conflict resolution over >100k "
+                "affected rows: narrow the WHERE (sequential skip "
+                "chains resolve driver-side)"
+            )
+        live: list[dict] = []
+        for i, (_iname, icols, null_exempt) in enumerate(key_targets):
+            d = {}
+            for r in rows:
+                kv = tuple(r[f"__o{i}_{c}"] for c in icols)
+                if null_exempt and any(v is None for v in kv):
+                    continue
+                d[kv] = r["__pk"]
+            live.append(d)
+        skipped = []
+        for r in sorted(rows, key=lambda r: r["__pk"]):
+            ok = not r["__bc"]
+            if ok:
+                for i, (_iname, icols, null_exempt) in enumerate(
+                        key_targets):
+                    nk = tuple(r[f"__n{i}_{c}"] for c in icols)
+                    if null_exempt and any(v is None for v in nk):
+                        continue
+                    owner = live[i].get(nk)
+                    if owner is not None and owner != r["__pk"]:
+                        ok = False
+                        break
+            if not ok:
+                skipped.append(r["__pk"])
+                continue
+            for i, (_iname, icols, null_exempt) in enumerate(key_targets):
+                ok_t = tuple(r[f"__o{i}_{c}"] for c in icols)
+                nk = tuple(r[f"__n{i}_{c}"] for c in icols)
+                if live[i].get(ok_t) == r["__pk"]:
+                    del live[i][ok_t]
+                if not (null_exempt and any(v is None for v in nk)):
+                    live[i][nk] = r["__pk"]
+        if skipped:
+            self._push_warning(
+                1062,
+                f"{len(skipped)} row(s) skipped by UPDATE IGNORE "
+                "(duplicate key)", level="Warning",
+            )
+            ids = ", ".join(self._render_literal(v) for v in skipped)
+            where = f"({where}) AND `{pk}` NOT IN ({ids})"
+        return where
+
     def _exec_update_subquery(self, s: st.Update, dialect: str) -> OkResult:
         pre = f"{s.cte} " if s.cte else ""
         meta = self.table_meta(s.table)
@@ -3541,6 +3647,12 @@ class Engine:
                         "(CHECK/NOT NULL constraint violated)",
                         level="Warning",
                     )
+        if s.ignore:
+            kt = self._unique_targets(meta, set(assignments))
+            if kt:
+                where = self._narrow_ignore_key_conflicts(
+                    s.table, pre, where, assignments, meta, kt, dialect
+                )
         # BEFORE UPDATE SIGNAL guards: one ANY scan over the affected
         # rows, BEFORE any file is written (statement-level rollback).
         # NEW.y = the value as assigned UP TO the guard's position in

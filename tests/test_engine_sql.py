@@ -1278,3 +1278,40 @@ def test_last_insert_id_function(engine):
     engine.execute("DELETE FROM lii WHERE id = 1")
     assert engine.execute(
         "SELECT LAST_INSERT_ID() AS l").collect()[0].l == 3
+
+
+def test_update_ignore_skips_key_conflicts(engine):
+    """UPDATE IGNORE skips rows whose updated key collides with the
+    live index — including keys of rows the statement has not yet
+    moved (MySQL row-order chain: UPDATE IGNORE SET id=id+1 over
+    {1,2,3} skips 1→2 and 2→3, applies 3→4)."""
+    engine.execute("CREATE TABLE uik (id INT PRIMARY KEY, v INT)")
+    engine.execute("INSERT INTO uik VALUES (1,10), (2,20), (3,30)")
+    r = engine.execute("UPDATE IGNORE uik SET id = id + 1")
+    assert r.affected_rows == 1
+    w = engine.execute("SHOW WARNINGS").collect()
+    assert [(x.Code, "skipped by UPDATE IGNORE" in x.Message)
+            for x in w] == [(1062, True)]
+    assert sorted(
+        x.id for x in engine.execute("SELECT id FROM uik").collect()
+    ) == [1, 2, 4]
+    # conflict with an unaffected row: skipped, no change
+    engine.execute("UPDATE IGNORE uik SET id = 2 WHERE id = 1")
+    assert sorted(
+        x.id for x in engine.execute("SELECT id FROM uik").collect()
+    ) == [1, 2, 4]
+    # UNIQUE-index conflicts take the same path
+    engine.execute(
+        "CREATE TABLE uik2 (id INT PRIMARY KEY, e VARCHAR(10), "
+        "UNIQUE KEY uq (e))"
+    )
+    engine.execute("INSERT INTO uik2 VALUES (1,'a'), (2,'b')")
+    engine.execute("UPDATE IGNORE uik2 SET e = 'b' WHERE id = 1")
+    assert sorted(
+        (x.id, x.e) for x in engine.execute("SELECT * FROM uik2").collect()
+    ) == [(1, "a"), (2, "b")]
+    # a free target still applies under IGNORE
+    engine.execute("UPDATE IGNORE uik2 SET e = 'z' WHERE id = 1")
+    assert sorted(
+        x.e for x in engine.execute("SELECT e FROM uik2").collect()
+    ) == ["b", "z"]
