@@ -5377,6 +5377,12 @@ class Engine:
         if isinstance(s, st.CopyStmt):
             return self._exec_copy(s, dialect)
         if isinstance(s, st.TxnStmt):
+            if s.name == "__chain__":
+                # COMMIT/ROLLBACK AND CHAIN: end the transaction, then
+                # immediately begin the next one (MySQL 13.3.1)
+                r = self._exec_txn(s.kind, None)
+                self._exec_txn("begin")
+                return r
             return self._exec_txn(s.kind, s.name)
         if isinstance(s, st.Vacuum):
             n = self.catalog.table(s.name).vacuum(keep_last=s.keep_last)

@@ -2486,8 +2486,18 @@ def parse_statement(sql: str, hash_comments: bool = True):
         if verb == "RECOVER":
             return Show("xa_recover")
         return Show("noop_admin")  # END / PREPARE
-    if re.match(r"COMMIT\s*$", s, re.I):
-        return TxnStmt("commit")
+    m = re.match(
+        r"(COMMIT|ROLLBACK)(?:\s+WORK)?"
+        r"(?:\s+AND\s+(NO\s+)?CHAIN)?(?:\s+(?:NO\s+)?RELEASE)?\s*$",
+        s, re.I,
+    )
+    if m and not re.match(r"ROLLBACK\s+(?:WORK\s+)?TO\b", s, re.I):
+        # AND CHAIN starts a new transaction immediately after; RELEASE
+        # (connection disconnect) is a wire concern — accepted, no-op
+        kind = m.group(1).lower()
+        chain = bool(m.group(2) is None and re.search(
+            r"(?i)\bAND\s+CHAIN\b", s))
+        return TxnStmt(kind, name="__chain__" if chain else None)
     m = re.match(r"SAVEPOINT\s+(`[^`]+`|\w+)\s*$", s, re.I)
     if m:
         return TxnStmt("savepoint", name=unquote_ident(m.group(1)))

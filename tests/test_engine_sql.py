@@ -1315,3 +1315,20 @@ def test_update_ignore_skips_key_conflicts(engine):
     assert sorted(
         x.e for x in engine.execute("SELECT e FROM uik2").collect()
     ) == ["b", "z"]
+
+
+def test_commit_rollback_and_chain(engine):
+    """COMMIT/ROLLBACK AND CHAIN end the transaction and immediately
+    begin the next (MySQL 13.3.1); WORK / [NO] RELEASE tokens accepted."""
+    engine.execute("CREATE TABLE chn (id INT PRIMARY KEY)")
+    engine.execute("BEGIN")
+    engine.execute("INSERT INTO chn VALUES (1)")
+    engine.execute("COMMIT AND CHAIN")
+    engine.execute("INSERT INTO chn VALUES (2)")
+    engine.execute("ROLLBACK AND CHAIN")
+    engine.execute("INSERT INTO chn VALUES (3)")
+    engine.execute("ROLLBACK WORK")
+    assert sorted(
+        r.id for r in engine.execute("SELECT * FROM chn").collect()
+    ) == [1]
+    engine.execute("COMMIT AND NO CHAIN")  # accepted, plain commit
