@@ -723,11 +723,12 @@ _FN_HANDLERS = {
         f"json_contains3({a[0]}, {a[1]}, {a[2]})"
         if len(a) == 3 else None
     ),
+    # CAST to INT: MySQL returns 1/0, not a boolean
     "JSON_CONTAINS_PATH": lambda a: (
-        "(" + (" OR " if a[1].strip("'\" ").lower() == "one"
-               else " AND ").join(
+        "CAST((" + (" OR " if a[1].strip("'\" ").lower() == "one"
+                    else " AND ").join(
             f"json_contains_path1({a[0]}, {p}) = 1" for p in a[2:]
-        ) + ")" if len(a) >= 3 else None
+        ) + ") AS INT)" if len(a) >= 3 else None
     ),
     "JSON_OVERLAPS": lambda a: (
         f"json_overlaps2({a[0]}, {a[1]})" if len(a) == 2 else None

@@ -43,10 +43,12 @@ def test_json_predicates(eng):
     assert q1(eng, "SELECT JSON_CONTAINS('[1,2,3]', '2') AS x") == 1
     assert q1(eng, "SELECT JSON_CONTAINS('{\"a\":{\"b\":1}}', "
                    "'{\"b\":1}', '$.a') AS x") == 1
+    # MySQL returns 1/0 integers for the path predicates (round 7:
+    # previously surfaced as booleans)
     assert q1(eng, "SELECT JSON_CONTAINS_PATH('{\"a\":1}', 'one', "
-                   "'$.a', '$.z') AS x") is True
+                   "'$.a', '$.z') AS x") == 1
     assert q1(eng, "SELECT JSON_CONTAINS_PATH('{\"a\":1}', 'all', "
-                   "'$.a', '$.z') AS x") is False
+                   "'$.a', '$.z') AS x") == 0
     # 3-arg string-scalar path: get_json_object would unquote the
     # target and the candidate '"x"' could never match (ADVICE r5)
     assert q1(eng, "SELECT JSON_CONTAINS('{\"a\":\"x\"}', "
