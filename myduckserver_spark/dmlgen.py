@@ -359,3 +359,102 @@ def shrink(eng, duck, table: str, pairs: list[tuple[str, str]],
                 cur = cand
                 changed = True
     return cur
+
+
+# ---------------------------------------------------------------------------
+# ON DUPLICATE KEY batch-vs-rowwise axis. DuckDB cannot oracle MySQL's
+# intra-batch duplicate-key chains (ON CONFLICT is one target, set
+# semantics) — but MySQL DEFINES the batch as the sequential
+# composition of its rows, so the engine's own single-row path (the
+# distributed set-based tier) replayed row-by-row IS the oracle for
+# the batch path (the driver-side sequential tier). Divergence means
+# one of the two tiers is wrong.
+
+def gen_on_dup_batch(rng: random.Random, table: str,
+                     with_unique: bool = False
+                     ) -> tuple[str, str, list[str]]:
+    """(seed_sql, batch_sql, row_sqls): a seeded table, one ON
+    DUPLICATE batch with intra-batch duplicate keys likely, and the
+    same rows as single-row statements."""
+    seed_ids = rng.sample(IDS, rng.randint(1, 4))
+    bpool = [v for v in B_VALS if v is not None]
+    seed_bs = rng.sample(bpool, len(seed_ids))
+    seed_rows = ", ".join(
+        f"({i}, {_lit(rng.choice(A_VALS))}, "
+        f"{_lit(None if (not with_unique and rng.random() < 0.2) else seed_bs[j])})"
+        for j, i in enumerate(seed_ids)
+    )
+    seed = f"INSERT INTO {table} VALUES {seed_rows}"
+
+    n = rng.randint(2, 6)
+    ids = [rng.choice(IDS[:8]) for _ in range(n)]  # duplicates likely
+    if with_unique:
+        # duplicate b values likely too: chains via the UNIQUE index
+        bvals = [rng.choice(bpool[:4] + [None]) for _ in range(n)]
+        assign = rng.choice([
+            "a = VALUES(a)",
+            "a = a + VALUES(a)",
+            "a = COALESCE(a, 0) + COALESCE(VALUES(a), 0)",
+            "a = VALUES(a) + 1",
+        ])
+    else:
+        bvals = [rng.choice(B_VALS) for _ in range(n)]
+        assign = rng.choice([
+            "a = VALUES(a)",
+            "a = a + VALUES(a)",
+            "a = COALESCE(a, 0) + COALESCE(VALUES(a), 0)",
+            "b = VALUES(b)",
+            "b = CONCAT(VALUES(b), b)",
+            "a = VALUES(a), b = VALUES(b)",
+        ])
+    rows = [
+        f"({ids[i]}, {_lit(rng.choice(A_VALS))}, {_lit(bvals[i])})"
+        for i in range(n)
+    ]
+    batch = (f"INSERT INTO {table} VALUES {', '.join(rows)} "
+             f"ON DUPLICATE KEY UPDATE {assign}")
+    singles = [
+        f"INSERT INTO {table} VALUES {r} ON DUPLICATE KEY UPDATE {assign}"
+        for r in rows
+    ]
+    return seed, batch, singles
+
+
+def apply_batch_vs_rowwise(eng, table: str, seed: str, batch: str,
+                           singles: list[str],
+                           with_unique: bool = False) -> tuple[bool, str]:
+    """Run the batch on one fresh table and the single-row replay on
+    another; final state AND total affected-rows must agree (MySQL:
+    the batch's affected-rows is the sum of its rows' 1/2/0)."""
+    schema = MYSQL_SCHEMA_U if with_unique else MYSQL_SCHEMA
+
+    def run(stmts):
+        eng.execute(f"DROP TABLE IF EXISTS {table}")
+        eng.execute(f"CREATE TABLE {table} {schema}")
+        eng.execute(seed)
+        aff, err = 0, None
+        for s in stmts:
+            try:
+                aff += eng.execute(s).affected_rows
+            except NotImplementedError:
+                raise
+            except Exception as e:  # noqa: BLE001 — differential probe
+                err = type(e).__name__
+        state = sorted(
+            (r[0], r[1], r[2])
+            for r in eng.execute(f"SELECT id, a, b FROM {table}").collect()
+        )
+        eng.execute(f"DROP TABLE IF EXISTS {table}")
+        return aff, err, state
+
+    aff_b, err_b, state_b = run([batch])
+    aff_s, err_s, state_s = run(singles)
+    if err_b or err_s:
+        return False, f"unexpected error: batch={err_b} rowwise={err_s}"
+    if state_b != state_s:
+        return False, (f"state divergence:\n  batch  ={state_b}\n"
+                       f"  rowwise={state_s}\n  batch sql: {batch}")
+    if aff_b != aff_s:
+        return False, (f"affected-rows divergence: batch={aff_b} "
+                       f"rowwise={aff_s} :: {batch}")
+    return True, ""

@@ -1162,10 +1162,17 @@ class Engine:
         t = self.catalog.table(name)
         base = t.read()
         keys = self._all_keys(pk_cols, unique_keys)
+        # stored-row deletion is a pure set condition over the ORIGINAL
+        # batch: row B (present at statement start) is deleted iff ANY
+        # batch row shares an enforced key with it — even a batch row
+        # that a LATER batch row then replaces (MySQL processes
+        # row-at-a-time; base rows deleted mid-batch stay deleted).
+        # Probing with post-survivor keys would resurrect such rows.
+        orig = df
         df = self._replace_survivors(df, keys)
         kept = base
         for cols, null_exempt in keys:
-            probe = df.select(*cols)
+            probe = orig.select(*cols)
             if null_exempt:
                 probe = probe.na.drop("any", subset=cols)
                 # NULL-keyed stored rows can't conflict; a plain join
@@ -1237,14 +1244,17 @@ class Engine:
                 f"__b{i}", F.coalesce("__hit", F.lit(False))
             ).drop("__hit")
             flag = flag | F.col(f"__b{i}")
+        # cap BEFORE materializing: limit(cap+1) bounds the driver
+        # transfer; hitting cap+1 rows means the statement is over
+        # the cap and nothing beyond that ever reaches the driver
         rows = probe.withColumn("__base_conf", flag).select(
             "__ord", *key_cols, "__base_conf"
-        ).collect()
-        if len(rows) > 100_000:
+        ).limit(self._CHAIN_WALK_CAP + 1).collect()
+        if len(rows) > self._CHAIN_WALK_CAP:
             raise NotImplementedError(
                 "INSERT IGNORE with intra-batch duplicate keys over "
-                ">100k rows: split the batch (sequential skip chains "
-                "resolve driver-side)"
+                f">{self._CHAIN_WALK_CAP} rows: split the batch "
+                "(sequential skip chains resolve driver-side)"
             )
         survivors = []
         seen: list[set] = [set() for _ in keys]
@@ -1572,15 +1582,19 @@ class Engine:
             out[st.unquote_ident(am.group(1))] = expr.strip()
         return out
 
-    def _split_trigger_ops(self, body: str) -> list | None:
+    def _split_trigger_ops(self, body: str,
+                           allow_stmts: bool = False) -> list | None:
         """Parse a BEFORE-trigger body into ordered ops:
-        ('set', raw_set_stmt) | ('guard', cond_or_None, sqlstate, msg).
+        ('set', raw_set_stmt) | ('guard', cond_or_None, sqlstate, msg)
+        | ('stmt', raw_sql) — the last only with allow_stmts (side
+        statements like audit INSERTs, executed set-based over the
+        affected-row image like AFTER bodies).
 
         Guards are MySQL's standard validation pattern — IF cond THEN
         SIGNAL SQLSTATE ... END IF (reference corpus main_test.go:1053)
         — realized set-based: ONE vectorized ANY over the affected row
         set instead of a per-row branch. Returns None when a statement
-        fits neither shape."""
+        fits no accepted shape."""
         parts = st.split_statements(body)
         ops: list = []
         i = 0
@@ -1612,8 +1626,48 @@ class Engine:
                 ops.append(("set", p))
                 i += 1
                 continue
+            if allow_stmts:
+                ops.append(("stmt", p))
+                i += 1
+                continue
             return None
         return ops
+
+    @staticmethod
+    def _validate_trigger_side_stmt(stmt: str, event: str,
+                                    table: str | None = None) -> None:
+        """Side statements (non-SET/guard) in a trigger body must be
+        NEW/OLD-free DML, or INSERT ... VALUES referencing the row
+        images (rewritten set-based over the affected-row view); and
+        may not touch the trigger's own table (MySQL ER_CANT_UPDATE
+        _USED_TABLE_IN_SF_OR_TRG)."""
+        if table is not None:
+            tm = re.match(
+                r"(?i)\s*(?:INSERT\s+(?:IGNORE\s+)?INTO|REPLACE\s+INTO"
+                r"|UPDATE(?:\s+IGNORE)?|DELETE\s+FROM)\s+(`[^`]+`|\w+)",
+                stmt,
+            )
+            if tm and st.unquote_ident(tm.group(1)) == table:
+                raise ValueError(
+                    f"Can't update table '{table}' in trigger because "
+                    "it is already used by the statement that invoked "
+                    "the trigger (MySQL 1442)"
+                )
+        has_new = re.search(r"(?i)\bNEW\.", stmt)
+        has_old = re.search(r"(?i)\bOLD\.", stmt)
+        if has_new and event == "delete":
+            raise ValueError("DELETE triggers have no NEW row")
+        if has_old and event == "insert":
+            raise ValueError("INSERT triggers have no OLD row")
+        if (has_new or has_old) and not re.match(
+            r"INSERT\s+(?:IGNORE\s+)?INTO\s+.+?VALUES\s*\(",
+            stmt, re.I | re.S,
+        ):
+            raise NotImplementedError(
+                "trigger statements referencing NEW./OLD. "
+                "must be INSERT ... VALUES (set-based rewrite); "
+                f"got: {stmt[:60]!r}"
+            )
 
     def _exec_trigger(self, s: "st.TriggerStmt"):
         trigs = dict(self._load_triggers())
@@ -1630,19 +1684,20 @@ class Engine:
         if not self.catalog.table(s.table).exists():
             raise ValueError(f"table {s.table} does not exist")
         if s.timing == "before":
-            ops = self._split_trigger_ops(s.body)
+            ops = self._split_trigger_ops(s.body, allow_stmts=True)
             if not ops:
                 raise ValueError(
                     f"BEFORE {s.event.upper()} trigger body must be "
-                    "SET NEW.col = expr [, ...] statements and/or "
+                    "SET NEW.col = expr [, ...] statements, "
                     "IF cond THEN SIGNAL SQLSTATE '…' "
-                    "[SET MESSAGE_TEXT = '…'] END IF guards"
+                    "[SET MESSAGE_TEXT = '…'] END IF guards, and/or "
+                    "side DML statements"
                 )
             for op in ops:
                 if op[0] == "set" and s.event == "delete":
                     raise ValueError(
                         "BEFORE DELETE triggers have no NEW row to SET "
-                        "— only SIGNAL guards over OLD.*"
+                        "— only SIGNAL guards over OLD.* and side DML"
                     )
                 if op[0] == "guard" and op[1]:
                     if s.event == "insert" and re.search(
@@ -1651,23 +1706,12 @@ class Engine:
                     if s.event == "delete" and re.search(
                             r"(?i)\bNEW\.", op[1]):
                         raise ValueError("DELETE triggers have no NEW row")
+                if op[0] == "stmt":
+                    self._validate_trigger_side_stmt(
+                        op[1], s.event, s.table)
         else:
             for stmt in st.split_statements(s.body):
-                has_new = re.search(r"(?i)\bNEW\.", stmt)
-                has_old = re.search(r"(?i)\bOLD\.", stmt)
-                if has_new and s.event == "delete":
-                    raise ValueError("DELETE triggers have no NEW row")
-                if has_old and s.event == "insert":
-                    raise ValueError("INSERT triggers have no OLD row")
-                if (has_new or has_old) and not re.match(
-                    r"INSERT\s+(?:IGNORE\s+)?INTO\s+.+?VALUES\s*\(",
-                    stmt, re.I | re.S,
-                ):
-                    raise NotImplementedError(
-                        "AFTER trigger statements referencing NEW./OLD. "
-                        "must be INSERT ... VALUES (set-based rewrite); "
-                        f"got: {stmt[:60]!r}"
-                    )
+                self._validate_trigger_side_stmt(stmt, s.event, s.table)
         trigs[s.name] = {
             "timing": s.timing, "event": s.event,
             "table": s.table, "body": s.body,
@@ -1684,13 +1728,17 @@ class Engine:
 
     def _before_insert_ops(self, table: str) -> list:
         """Ordered BEFORE INSERT ops across triggers in creation order:
-        ('set', {col: expr}) with NEW. stripped, or
-        ('guard', cond_over_plain_cols_or_None, sqlstate, msg)."""
+        ('set', {col: expr}) with NEW. stripped,
+        ('guard', cond_over_plain_cols_or_None, sqlstate, msg), or
+        ('stmt', trigger_name, raw_sql) side DML."""
         out: list = []
         for t in self._triggers_for(table, "insert", "before"):
-            for op in self._split_trigger_ops(t["body"]) or []:
+            for op in self._split_trigger_ops(
+                    t["body"], allow_stmts=True) or []:
                 if op[0] == "set":
                     out.append(("set", self._split_set_new(op[1])))
+                elif op[0] == "stmt":
+                    out.append(("stmt", t["name"], op[1]))
                 else:
                     cond = op[1] and re.sub(
                         r"(?i)\bNEW\.(`[^`]+`|\w+)", r"\1", op[1]
@@ -1707,6 +1755,20 @@ class Engine:
         trigs = self._triggers_for(table, event, "after")
         if not trigs:
             return
+        self._run_trigger_stmts(
+            [(tg["name"], stmt) for tg in trigs
+             for stmt in st.split_statements(tg["body"])],
+            trig_df,
+        )
+
+    def _run_trigger_stmts(
+        self, named_stmts: list, trig_df: DataFrame | None
+    ) -> None:
+        """Execute trigger body side statements set-based over the
+        affected-row image (new_*/old_* prefixed columns). Shared by
+        AFTER bodies and the side-DML statements of BEFORE bodies."""
+        if not named_stmts:
+            return
         depth = getattr(self, "_trig_depth", 0)
         if depth > 8:
             raise ValueError("trigger cascade too deep (cycle?)")
@@ -1715,76 +1777,96 @@ class Engine:
             view = f"__trig_rows_{depth}"
             if trig_df is not None:
                 trig_df.createOrReplaceTempView(view)
-            for tg in trigs:
-                for stmt in st.split_statements(tg["body"]):
-                    refs = re.search(r"(?i)\b(NEW|OLD)\.", stmt)
-                    rewritten = re.sub(
-                        r"(?i)\bNEW\.(`[^`]+`|\w+)", r"new_\1", stmt
+            for tg_name, stmt in named_stmts:
+                refs = re.search(r"(?i)\b(NEW|OLD)\.", stmt)
+                rewritten = re.sub(
+                    r"(?i)\bNEW\.(`[^`]+`|\w+)", r"new_\1", stmt
+                )
+                rewritten = re.sub(
+                    r"(?i)\bOLD\.(`[^`]+`|\w+)", r"old_\1", rewritten
+                )
+                if refs:
+                    # INSERT ... VALUES (exprs) → set-based SELECT
+                    # over the affected-rows view (validated at
+                    # CREATE to be this shape)
+                    im = re.match(
+                        r"(INSERT\s+(?:IGNORE\s+)?INTO\s+.+?)"
+                        r"VALUES\s*\((.*)\)\s*$",
+                        rewritten, re.I | re.S,
                     )
-                    rewritten = re.sub(
-                        r"(?i)\bOLD\.(`[^`]+`|\w+)", r"old_\1", rewritten
+                    if not im:
+                        raise ValueError(
+                            f"trigger {tg_name}: unsupported "
+                            f"body statement {stmt[:60]!r}"
+                        )
+                    rewritten = (
+                        f"{im.group(1)} SELECT {im.group(2)} "
+                        f"FROM {view}"
                     )
-                    if refs:
-                        # INSERT ... VALUES (exprs) → set-based SELECT
-                        # over the affected-rows view (validated at
-                        # CREATE to be this shape)
-                        im = re.match(
-                            r"(INSERT\s+(?:IGNORE\s+)?INTO\s+.+?)"
-                            r"VALUES\s*\((.*)\)\s*$",
-                            rewritten, re.I | re.S,
-                        )
-                        if not im:
-                            raise ValueError(
-                                f"trigger {tg['name']}: unsupported "
-                                f"body statement {stmt[:60]!r}"
-                            )
-                        rewritten = (
-                            f"{im.group(1)} SELECT {im.group(2)} "
-                            f"FROM {view}"
-                        )
-                    elif trig_df is not None:
-                        rewritten = self._rewrite_batch_trigger_dml(
-                            rewritten, view, tg["name"]
-                        )
-                    self.execute(rewritten)
+                elif trig_df is not None:
+                    rewritten, exact = self._rewrite_batch_trigger_dml(
+                        rewritten, view, tg_name
+                    )
+                    if not exact:
+                        # MySQL runs the body once per affected row;
+                        # replay the statement N times driver-side
+                        # when bounded (each run sees the previous
+                        # one's effects — the sequential semantics no
+                        # single set-based statement reproduces)
+                        n_aff = trig_df.count()
+                        if n_aff <= self._TRIGGER_PERROW_CAP:
+                            for _ in range(n_aff):
+                                self.execute(rewritten)
+                            continue
+                        self._push_warning(1592, (
+                            f"trigger {tg_name}: body statement kept "
+                            f"once-per-statement batch semantics over "
+                            f"{n_aff} affected rows (> per-row cap "
+                            f"{self._TRIGGER_PERROW_CAP}); statement: "
+                            f"{stmt[:80]}"
+                        ))
+                self.execute(rewritten)
         finally:
             self._trig_depth = depth
 
+    # Non-algebraic NEW/OLD-free trigger body DML runs ONCE PER
+    # AFFECTED ROW driver-side (MySQL parity) up to this many rows;
+    # above it the body keeps once-per-statement batch semantics with
+    # a SHOW WARNINGS note (each per-row execution is a full
+    # statement — bounded like cursors).
+    _TRIGGER_PERROW_CAP = 1000
+
     def _rewrite_batch_trigger_dml(
         self, stmt: str, view: str, trig_name: str
-    ) -> str:
-        """Recover MySQL's once-per-row semantics for a NEW/OLD-free
-        trigger body DML statement where the algebra is exact; keep
-        the documented once-per-statement batch execution otherwise,
-        leaving a SHOW WARNINGS note so the divergence is observable.
+    ) -> tuple[str, bool]:
+        """(rewritten, exact) for a NEW/OLD-free trigger body DML
+        statement: recover MySQL's once-per-row semantics where the
+        algebra is exact (one distributed statement, no per-row work);
+        otherwise return the statement unchanged with exact=False so
+        the caller replays it per affected row (≤ cap) or keeps batch
+        semantics with a warning.
 
         `SET c = c + e` run N times ≡ `c + N·e`, and `SET c = c * e`
         run N times ≡ `c · e^N`, provided neither `e` nor the WHERE
         clause reads `c` (bare OR table-qualified — a qualified
         self-reference like `t.c` makes the per-execution value
         order-dependent, so it must NOT be multiplied). Multi-
-        assignment SET lists stay on the batch path: each assignment
-        sees the previous one's per-row result in MySQL, which no
-        single set-based expression reproduces (reference executes
-        trigger bodies per-row GMS-side, main_test.go:1053).
+        assignment SET lists are not algebraically foldable: each
+        assignment sees the previous one's per-row result in MySQL
+        (reference executes trigger bodies per-row GMS-side,
+        main_test.go:1053).
         """
-        note = (
-            f"trigger {trig_name}: body statement kept once-per-"
-            f"statement batch semantics (MySQL runs it once per "
-            f"affected row); statement: {stmt[:80]}"
-        )
         um = re.match(
             r"UPDATE\s+(`[^`]+`|\w+)\s+SET\s+(.+?)(\s+WHERE\s+.+)?$",
             stmt, re.I | re.S,
         )
         if not um:
             if re.match(r"(?i)\s*(INSERT|REPLACE|DELETE|UPDATE)\b", stmt):
-                self._push_warning(1592, note)
-            return stmt
+                return stmt, False
+            return stmt, True  # non-DML: out of per-row scope
         setlist, where = um.group(2), um.group(3) or ""
         if len(st.split_top_level(setlist)) != 1:
-            self._push_warning(1592, note)
-            return stmt
+            return stmt, False
         am = re.match(
             r"\s*(`[^`]+`|\w+)\s*=\s*(`[^`]+`|\w+)\s*([+*])\s*(.+?)\s*$",
             setlist, re.S,
@@ -1792,8 +1874,7 @@ class Engine:
         if not am or st.unquote_ident(am.group(1)) != st.unquote_ident(
             am.group(2)
         ):
-            self._push_warning(1592, note)
-            return stmt
+            return stmt, False
         col = st.unquote_ident(am.group(1))
         expr = am.group(4)
         # occurs-check: the target column must not be read anywhere in
@@ -1803,14 +1884,13 @@ class Engine:
             rf"(?![\w`])",
             st.mask_strings(expr + " " + where), re.I,
         ):
-            self._push_warning(1592, note)
-            return stmt
+            return stmt, False
         n_rows = f"(SELECT COUNT(*) FROM {view})"
         if am.group(3) == "+":
             new_set = f"{am.group(1)} = {am.group(2)} + ({expr}) * {n_rows}"
         else:
             new_set = f"{am.group(1)} = {am.group(2)} * POW({expr}, {n_rows})"
-        return f"UPDATE {um.group(1)} SET {new_set}{where}"
+        return f"UPDATE {um.group(1)} SET {new_set}{where}", True
 
     @staticmethod
     def _strip_self_qualifier(expr: str | None, table: str) -> str | None:
@@ -1994,6 +2074,15 @@ class Engine:
         )
 
         scheme = host.split("://", 1)[0].lower() if "://" in host else ""
+        if scheme == "tcp" and "tcp" not in self._FEED_SCHEMES:
+            # built-in network client (reconnect/backoff + position
+            # resume — streaming/socket_feed.py); a custom registration
+            # for 'tcp' still takes precedence
+            from myduckserver_spark.streaming.socket_feed import (
+                SocketCdcFeed,
+            )
+
+            self._FEED_SCHEMES["tcp"] = SocketCdcFeed
         if scheme != "file" and scheme not in self._FEED_SCHEMES:
             raise NotImplementedError(
                 "network binlog sources need a CdcFeed client for the "
@@ -3422,6 +3511,12 @@ class Engine:
     # files is a bulk rewrite anyway.
     _PRUNE_MAX_TOUCHED_FILES = 4096
 
+    # Driver-side sequential chain walks (INSERT IGNORE / UPDATE
+    # IGNORE / ON DUPLICATE KEY intra-batch resolution) are bounded
+    # like cursors; the cap is enforced BEFORE materialization via
+    # limit(cap+1).
+    _CHAIN_WALK_CAP = 100_000
+
     def _pruned_dml_plan(
         self, table: str, pre: str, where: str, dialect: str
     ):
@@ -3529,12 +3624,16 @@ class Engine:
                 f"__b{i}", F.coalesce("__h", F.lit(False))
             ).drop("__h")
             flag = flag | F.col(f"__b{i}")
-        rows = aff.withColumn("__bc", flag).collect()
-        if len(rows) > 100_000:
+        # cap BEFORE materializing: limit(cap+1) bounds the driver
+        # transfer (the guard must prevent the memory cost, not
+        # report it after the fact)
+        rows = aff.withColumn("__bc", flag).limit(
+            self._CHAIN_WALK_CAP + 1).collect()
+        if len(rows) > self._CHAIN_WALK_CAP:
             raise NotImplementedError(
-                "UPDATE IGNORE key-conflict resolution over >100k "
-                "affected rows: narrow the WHERE (sequential skip "
-                "chains resolve driver-side)"
+                "UPDATE IGNORE key-conflict resolution over "
+                f">{self._CHAIN_WALK_CAP} affected rows: narrow the "
+                "WHERE (sequential skip chains resolve driver-side)"
             )
         live: list[dict] = []
         for i, (_iname, icols, null_exempt) in enumerate(key_targets):
@@ -3592,8 +3691,17 @@ class Engine:
         # is being set, the stored column otherwise); OLD.y is the
         # stored column — both resolve to plain SQL over the pre-image.
         guards: list = []
+        before_stmts: list = []
         for tg in self._triggers_for(s.table, "update", "before"):
-            for op in self._split_trigger_ops(tg["body"]) or []:
+            for op in self._split_trigger_ops(
+                    tg["body"], allow_stmts=True) or []:
+                if op[0] == "stmt":
+                    # side DML (e.g. audit INSERT): executed set-based
+                    # over the old_/new_ image, after the statement's
+                    # gates pass, before the overwrite (statement
+                    # atomicity: a failing gate leaves no side effect)
+                    before_stmts.append((tg["name"], op[1]))
+                    continue
                 if op[0] == "guard":
                     # snapshot the assignment map AS FOLDED SO FAR: a
                     # guard reading NEW.x must see statement order —
@@ -3694,7 +3802,7 @@ class Engine:
         # row-paired (old_* = stored values, new_* = the CASE
         # assignments), materialized before the overwrite swaps files.
         trig_df = None
-        if self._triggers_for(s.table, "update", "after"):
+        if before_stmts or self._triggers_for(s.table, "update", "after"):
             pair = [
                 f"`{f.name}` AS `old_{f.name}`"
                 for f in base.schema.fields
@@ -3727,6 +3835,7 @@ class Engine:
                 dialect=dialect,
             )
             self._enforce_checks(updated, meta, "UPDATE")
+            self._run_trigger_stmts(before_stmts, trig_df)
             t.overwrite_pruned(updated, carry)
         else:
             updated = self.sql(
@@ -3736,6 +3845,7 @@ class Engine:
             self._enforce_checks(updated, meta, "UPDATE")
             if key_targets:
                 self._enforce_unique_post(updated, key_targets, s.table)
+            self._run_trigger_stmts(before_stmts, trig_df)
             t.overwrite(updated)
         self._recompute_generated(s.table, meta)
         self._fire_after_triggers(s.table, "update", trig_df)
@@ -3748,11 +3858,16 @@ class Engine:
             where = self._subquery_row_cap(
                 s.table, pre, where, s.order_by, s.limit, dialect
             )
-        # BEFORE DELETE triggers are SIGNAL-guard-only (validated at
-        # CREATE): any to-be-deleted row matching a guard blocks the
-        # whole statement before a file is touched.
+        # BEFORE DELETE triggers: SIGNAL guards (any to-be-deleted row
+        # matching one blocks the whole statement before a file is
+        # touched) plus side DML over the OLD image.
+        before_stmts: list = []
         for tg in self._triggers_for(s.table, "delete", "before"):
-            for op in self._split_trigger_ops(tg["body"]) or []:
+            for op in self._split_trigger_ops(
+                    tg["body"], allow_stmts=True) or []:
+                if op[0] == "stmt":
+                    before_stmts.append((tg["name"], op[1]))
+                    continue
                 _k, cond, sqlstate, msg = op
                 gc = "TRUE" if cond is None else re.sub(
                     r"(?i)\bOLD\.(`[^`]+`|\w+)", r"`\1`", cond
@@ -3772,7 +3887,7 @@ class Engine:
         ).collect()[0][0]
         t = self.catalog.table(s.table)
         trig_df = None
-        if self._triggers_for(s.table, "delete", "after"):
+        if before_stmts or self._triggers_for(s.table, "delete", "after"):
             trig_df = self._prefix_cols(
                 self.sql(
                     f"{pre}SELECT * FROM `{s.table}` "
@@ -3780,6 +3895,7 @@ class Engine:
                     dialect=dialect,
                 ), "old_",
             ).localCheckpoint()
+        self._run_trigger_stmts(before_stmts, trig_df)
         pruned = self._pruned_dml_plan(s.table, pre, where, dialect)
         if pruned is not None:
             view, carry = pruned
@@ -3860,15 +3976,16 @@ class Engine:
         # single-table path.
         newval: dict[str, str] = {c: f"`__set_{c}`" for c in sets}
         guards: list = []
+        before_stmts: list = []
         for tg in self._triggers_for(target, "update", "before"):
-            ops = self._split_trigger_ops(tg["body"])
-            if ops is None:
-                raise NotImplementedError(
-                    f"multi-table UPDATE on {target}: BEFORE UPDATE "
-                    f"trigger {tg['name']} body must be SET NEW.… / "
-                    "SIGNAL-guard statements"
-                )
-            for op in ops:
+            for op in self._split_trigger_ops(
+                    tg["body"], allow_stmts=True) or []:
+                if op[0] == "stmt":
+                    # full-body support (reference fires these via GMS,
+                    # main_test.go:1053): side DML runs set-based over
+                    # the joined old/new image before the overwrite
+                    before_stmts.append((tg["name"], op[1]))
+                    continue
                 if op[0] == "guard":
                     guards.append((*op[1:], dict(newval)))
                     continue
@@ -3908,7 +4025,7 @@ class Engine:
                     .cast(base.schema[col].dataType)
                 )
         trig_df = None
-        if self._triggers_for(target, "update", "after"):
+        if before_stmts or self._triggers_for(target, "update", "after"):
             def _post(c):
                 if c in newval:
                     return F.expr(newval[c])
@@ -3931,6 +4048,7 @@ class Engine:
         key_targets = self._unique_targets(meta, set(new_cols))
         if key_targets:
             self._enforce_unique_post(final_df, key_targets, target)
+        self._run_trigger_stmts(before_stmts, trig_df)
         t.overwrite(final_df)
         self._recompute_generated(target, meta)
         self._fire_after_triggers(target, "update", trig_df)
@@ -3963,7 +4081,7 @@ class Engine:
         # per target (reference runs them via GMS, main_test.go:1053):
         # BEFORE DELETE guards block the whole statement before any
         # write; AFTER DELETE old-images are materialized pre-write.
-        plans: list[tuple[str, DataFrame, int, DataFrame | None]] = []
+        plans: list[tuple] = []
         for raw in s.targets or [s.table]:
             table = alias_map.get(raw, raw)
             qual = raw if raw in alias_map else table
@@ -3971,8 +4089,13 @@ class Engine:
                 f"{pre}SELECT DISTINCT `{qual}`.* FROM {refs}{where}",
                 dialect=dialect,
             )
+            before_stmts: list = []
             for tg in self._triggers_for(table, "delete", "before"):
-                for op in self._split_trigger_ops(tg["body"]) or []:
+                for op in self._split_trigger_ops(
+                        tg["body"], allow_stmts=True) or []:
+                    if op[0] == "stmt":
+                        before_stmts.append((tg["name"], op[1]))
+                        continue
                     _k, cond, sqlstate, msg = op
                     gc = "TRUE" if cond is None else re.sub(
                         r"(?i)\bOLD\.(`[^`]+`|\w+)", r"`\1`", cond
@@ -3982,7 +4105,8 @@ class Engine:
                     ).take(1):
                         raise SignalError(sqlstate, msg)
             trig_df = None
-            if self._triggers_for(table, "delete", "after"):
+            if before_stmts or self._triggers_for(
+                    table, "delete", "after"):
                 trig_df = self._prefix_cols(
                     matched, "old_"
                 ).localCheckpoint()
@@ -3994,12 +4118,13 @@ class Engine:
                 cond = clause if cond is None else (cond & clause)
             kept = b.join(m, cond, "left_anti")
             n = base.count() - kept.count()
-            plans.append((table, kept, n, trig_df))
+            plans.append((table, kept, n, trig_df, before_stmts))
         total = 0
-        for table, kept, n, _td in plans:
+        for table, kept, n, trig_df, before_stmts in plans:
+            self._run_trigger_stmts(before_stmts, trig_df)
             self.catalog.table(table).overwrite(kept)
             total += n
-        for table, _kept, _n, trig_df in plans:
+        for table, _kept, _n, trig_df, _bs in plans:
             self._fire_after_triggers(table, "delete", trig_df)
         return OkResult(affected_rows=total)
 
@@ -4272,6 +4397,44 @@ class Engine:
             str(getattr(self, "_last_insert_id", 0)),
             query, flags=re.I,
         )
+        # one-arg form: LAST_INSERT_ID(expr) SETS the session value to
+        # expr and returns it (MySQL 12.16). Folded for constant
+        # expressions; the per-row sequence-emulation pattern
+        # (LAST_INSERT_ID(col + 1) inside an UPDATE) is rejected with
+        # a clear error instead of falling through to Spark, which has
+        # no such function.
+        masked = st.mask_strings(query)
+        pos = 0
+        while True:
+            m = re.search(r"\bLAST_INSERT_ID\s*\(", masked[pos:], re.I)
+            if not m:
+                break
+            start, op = pos + m.start(), pos + m.end() - 1
+            depth_p, j = 1, op + 1
+            while j < len(masked) and depth_p:
+                if masked[j] == "(":
+                    depth_p += 1
+                elif masked[j] == ")":
+                    depth_p -= 1
+                j += 1
+            inner = query[op + 1:j - 1].strip()
+            if not inner:
+                pos = j
+                continue
+            try:
+                val = self.sql(
+                    f"SELECT CAST(({inner}) AS BIGINT) AS v"
+                ).collect()[0][0]
+            except Exception as e:  # noqa: BLE001 — report the form
+                raise NotImplementedError(
+                    "LAST_INSERT_ID(expr) supports constant "
+                    "expressions only (evaluates, stores and returns "
+                    f"the value); could not evaluate {inner!r}"
+                ) from e
+            self._last_insert_id = int(val or 0)
+            query = query[:start] + str(int(val or 0)) + query[j:]
+            masked = st.mask_strings(query)
+            pos = start + len(str(int(val or 0)))
         who = getattr(self, "_session_user", None) or "'root'@'localhost'"
         query = st.sub_outside_strings(
             r"\b(?:CURRENT_USER|SESSION_USER|USER)\s*\(\s*\)",
@@ -5190,7 +5353,11 @@ class Engine:
                 s,
                 where=self._strip_self_qualifier(s.where, s.table),
                 assignments={
-                    c: self._strip_self_qualifier(e, s.table)
+                    # session funcs (LAST_INSERT_ID()/DATABASE()/…)
+                    # constant-fold here too: the withColumns path
+                    # never routes the fragment through sql()
+                    c: self._strip_self_qualifier(
+                        self._rewrite_session_funcs(e), s.table)
                     for c, e in s.assignments.items()
                 },
             )
@@ -5919,7 +6086,10 @@ class Engine:
 
         # BEFORE INSERT triggers (SET NEW.c = expr): one vectorized
         # withColumn per assignment, after defaults/generated, before
-        # constraint checks — MySQL's evaluation point.
+        # constraint checks — MySQL's evaluation point. Side DML
+        # statements queue and run set-based over the NEW image after
+        # the statement's gates pass (statement atomicity).
+        before_ins_stmts: list = []
         for op in self._before_insert_ops(s.table):
             if op[0] == "set":
                 for col, ex in op[1].items():
@@ -5930,6 +6100,8 @@ class Engine:
                     df = df.withColumn(
                         col, F.expr(ex).cast(base_schema[col].dataType)
                     )
+            elif op[0] == "stmt":
+                before_ins_stmts.append((op[1], op[2]))
             else:
                 # SIGNAL guard: ONE vectorized ANY over the batch —
                 # any matching row rejects the whole statement
@@ -5962,7 +6134,11 @@ class Engine:
                 "NULL" if row[c] is None else str(row[c]) for c in cols
             )
 
-        if pk and s.mode == "insert" and not s.on_dup and not auto_missing:
+        if (pk and s.mode == "insert" and not s.on_dup
+                and not (auto_missing and meta.auto_increment in pk)):
+            # auto_missing only blocks the probe when the PK contains
+            # the (not-yet-assigned) AUTO_INCREMENT column — fresh ids
+            # can't collide. A PK over OTHER columns is still enforced.
             # one aggregation job yields the row count AND the max
             # per-key multiplicity, so the happy path pays no extra
             # job over the old plain df.count()
@@ -5995,6 +6171,14 @@ class Engine:
                 self._probe_batch_conflicts(
                     t, s.table, df, iname, icols, null_exempt=True
                 )
+        if before_ins_stmts:
+            avail = [f.name for f in base_schema.fields
+                     if f.name in df.columns]
+            self._run_trigger_stmts(
+                before_ins_stmts,
+                self._prefix_cols(
+                    df.select(*avail), "new_").localCheckpoint(),
+            )
         last_id = 0
 
         def _fire_insert_triggers(image_df: DataFrame | None = None) -> None:
@@ -6008,39 +6192,8 @@ class Engine:
                                                      "new_")
             )
 
-        if s.on_dup and meta.primary_key:
-            # MySQL resolves ON DUPLICATE KEY against ANY unique index
-            # ("if multiple are matched, only the first is updated —
-            # not recommended"); this engine keys the update on the PK
-            # and refuses batches that conflict on a UNIQUE index
-            # instead of appending a silently-duplicate unique value
-            from functools import reduce as _reduce
-
-            pk_cols = list(meta.primary_key)
-            for iname, icols in self._unique_key_list(meta, df.columns):
-                # conflict with a row OTHER than the pk-matched one
-                # (same-row unique equality is just a normal upsert)
-                eq = _reduce(
-                    lambda a, b: a & b,
-                    (F.col(f"b.{c}") == F.col(f"d.{c}") for c in icols),
-                )
-                pk_diff = _reduce(
-                    lambda a, b: a | b,
-                    (~F.col(f"b.{c}").eqNullSafe(F.col(f"d.{c}"))
-                     for c in pk_cols),
-                )
-                clash = (
-                    t.read().alias("b")
-                    .join(df.alias("d"), eq & pk_diff, "inner")
-                    .limit(1).collect()
-                )
-                if clash:
-                    raise NotImplementedError(
-                        f"INSERT ... ON DUPLICATE KEY UPDATE conflicting "
-                        f"on UNIQUE index {iname} (not the primary key): "
-                        "use REPLACE INTO, or key the batch by the "
-                        "primary key"
-                    )
+        if s.on_dup and (
+                meta.primary_key or self._unique_key_list(meta, df.columns)):
             n = self._insert_on_duplicate(
                 s.table, df.select(*[f.name for f in base_schema.fields]),
                 meta, s.on_dup,
@@ -6294,79 +6447,315 @@ class Engine:
         finally:
             shutil.rmtree(spool, ignore_errors=True)
 
+    @staticmethod
+    def _on_dup_rewrite(assignments_src: str, base_cols) -> str:
+        """ON DUPLICATE KEY UPDATE expression → prefixed-column SQL:
+        VALUES(col) reads the INCOMING row (`__n_col`), bare base
+        columns read the CURRENT row state (`__t_col`)."""
+        out = re.sub(
+            r"\bVALUES\s*\(\s*(?:`([^`]+)`|(\w+))\s*\)",
+            lambda m: "`__n_" + (m.group(1) or m.group(2)) + "`",
+            assignments_src,
+            flags=re.I,
+        )
+
+        def qual(m: "re.Match[str]") -> str:
+            w = m.group(1)
+            return f"`__t_{w}`" if w in base_cols else w
+
+        return re.sub(
+            r"(?<![\w.`])([A-Za-z_]\w*)(?!\s*\()(?!`)", qual, out
+        )
+
+    def _on_dup_levels(self, meta: st.TableMeta, cols):
+        """Conflict-resolution index levels in MySQL's first-match
+        precedence: the PRIMARY KEY, then UNIQUE indexes in creation
+        order (MySQL docs: with multiple matching unique indexes only
+        the first matched row is updated). UNIQUE levels are
+        null-exempt (NULL key parts never conflict)."""
+        pk = list(meta.primary_key or [])
+        levels = [("PRIMARY", pk, False)] if pk else []
+        for iname, icols in self._unique_key_list(meta, cols):
+            if not pk or list(icols) != pk:
+                levels.append((iname, list(icols), True))
+        return levels
+
     def _insert_on_duplicate(
         self, name: str, df: DataFrame, meta: st.TableMeta,
         assignments: dict[str, str],
     ) -> int:
         """INSERT ... ON DUPLICATE KEY UPDATE (reference:
         TestInsertDuplicateKeyKeyless main_test.go:851; applied by the
-        GMS layer). New keys append; conflicting keys get the update
-        assignments, where VALUES(col) refers to the incoming row.
-        Incoming rows must be unique on the PK: MySQL applies the batch
-        row-at-a-time, so a later duplicate updates the row an earlier
-        one just wrote — an inherently sequential chain a set-based
-        plan cannot reproduce for arbitrary assignments. Previously UB;
-        now detected and rejected loudly. Returns the MySQL
-        affected-rows convention: 1 per insert, 2 per updated row.
+        GMS layer). A row that conflicts with a stored row on the PK
+        or ANY unique index updates that row (first matched index
+        wins); new keys append. VALUES(col) refers to the incoming
+        row. Affected-rows follows MySQL exactly: 1 per insert, 2 per
+        value-changing update, 0 per no-op update.
+
+        Two tiers:
+        - set-based (the 100 TB path): batch unique on every enforced
+          key and every stored row matched at most once — level-wise
+          anti-join cascade keeps matching distributed;
+        - sequential (MySQL row-at-a-time parity): intra-batch
+          duplicate keys or a stored row matched by several batch
+          rows make later rows see earlier rows' effects. Resolved
+          driver-side over the batch (capped BEFORE collect), with
+          assignment expressions still evaluated BY SPARK in
+          chain-depth rounds — one local job per round, never per row.
         """
         t = self.catalog.table(name)
         base = t.read()
-        pk = meta.primary_key
         base_cols = base.columns
+        levels = self._on_dup_levels(meta, df.columns)
+        pk = list(meta.primary_key or [])
 
-        mx = (
-            df.groupBy(*pk).agg(F.count(F.lit(1)).alias("__c"))
-            .agg(F.max("__c").alias("__m")).collect()[0]["__m"]
+        # intra-batch duplicate keys on any enforced level?
+        intra = False
+        for _iname, icols, nex in levels:
+            grp = df
+            if nex:
+                grp = grp.na.drop("any", subset=icols)
+            mx = (
+                grp.groupBy(*icols).agg(F.count(F.lit(1)).alias("__c"))
+                .agg(F.max("__c").alias("__m")).collect()[0]["__m"]
+            )
+            if (mx or 0) > 1:
+                intra = True
+                break
+
+        key_cols = {c for _n, cols, _x in levels for c in cols}
+        if set(assignments) & key_cols:
+            # assigning a key column mid-batch rewrites the conflict
+            # target identity; MySQL allows it but documents the
+            # result as statement-order-defined. Keep the legacy
+            # PK-only matching for it, with a post-write uniqueness
+            # gate, and refuse the sequential shapes.
+            if intra or not pk:
+                raise NotImplementedError(
+                    "INSERT ... ON DUPLICATE KEY UPDATE assigning a "
+                    "key column with intra-batch duplicate keys: "
+                    "split the batch"
+                )
+
+        if not intra and pk:
+            n = self._on_dup_setbased(
+                t, base, df, levels, assignments, base_cols
+            )
+            if n is not None:
+                if set(assignments) & key_cols:
+                    self._enforce_unique_post(
+                        t.read(),
+                        self._unique_targets(meta, set(assignments)),
+                        name,
+                    )
+                return n
+        return self._on_dup_sequential(
+            t, base, df, levels, assignments, base_cols
         )
-        if (mx or 0) > 1:
-            raise NotImplementedError(
-                "INSERT ... ON DUPLICATE KEY UPDATE with duplicate keys "
-                "inside one batch: MySQL applies rows sequentially "
-                "(each duplicate updates the row the previous one "
-                "wrote); split the batch or use REPLACE INTO"
+
+    def _on_dup_setbased(self, t, base, df, levels, assignments,
+                         base_cols):
+        """Distributed ON DUPLICATE KEY UPDATE: level-wise first-match
+        cascade (rows that matched an earlier index leave the pool via
+        anti-join before the next), one update projection, one write.
+        Returns None when a stored row is matched by more than one
+        batch row — order-dependent, handled sequentially."""
+        from functools import reduce as _reduce
+
+        pk = levels[0][1]  # caller guarantees PRIMARY first
+        nf = df.select([F.col(c).alias(f"__n_{c}") for c in base_cols])
+        bf = base.select([F.col(c).alias(f"__t_{c}") for c in base_cols])
+        rem = nf
+        parts = []
+        for _iname, icols, nex in levels:
+            cond = _reduce(
+                lambda a, b: a & b,
+                (F.col(f"__t_{c}") == F.col(f"__n_{c}") for c in icols),
             )
+            parts.append(rem.join(bf, cond, "inner"))
+            basek = base.select(
+                [F.col(c).alias(f"__n_{c}") for c in icols]
+            ).distinct()
+            if nex:
+                basek = basek.na.drop(
+                    "any", subset=[f"__n_{c}" for c in icols]
+                )
+            rem = rem.join(basek, [f"__n_{c}" for c in icols], "left_anti")
+        matched = parts[0]
+        for p in parts[1:]:
+            matched = matched.unionByName(p)
 
-        new_rows = df.join(base.select(*pk).distinct(), pk, "left_anti")
-        conflicts = base.alias("t").join(df.alias("n"), pk, "inner")
-        untouched = base.join(df.select(*pk).distinct(), pk, "left_anti")
-
-        def rewrite(expr_text: str) -> str:
-            # VALUES(col) → incoming side
-            out = re.sub(
-                r"\bVALUES\s*\(\s*(?:`([^`]+)`|(\w+))\s*\)",
-                lambda m: "n.`" + (m.group(1) or m.group(2)) + "`",
-                expr_text,
-                flags=re.I,
+        if len(levels) > 1:
+            multi = (
+                matched.groupBy(*[f"__t_{c}" for c in pk])
+                .agg(F.count(F.lit(1)).alias("__c"))
+                .where(F.col("__c") > 1).limit(1).collect()
             )
-            # bare base-column identifiers → current-row side
-            def qual(m: "re.Match[str]") -> str:
-                w = m.group(1)
-                return f"t.`{w}`" if w in base_cols else w
+            if multi:
+                return None  # two batch rows hit one stored row
 
-            return re.sub(r"(?<![\w.`])([A-Za-z_]\w*)(?!\s*\()(?!`)", qual, out)
-
-        sel = []
+        upd_sel = []
+        chg = F.lit(False)
         for c in base_cols:
             if c in assignments:
-                sel.append(
-                    F.expr(rewrite(assignments[c]))
-                    .cast(base.schema[c].dataType)
-                    .alias(c)
-                )
-            elif c in pk:
-                sel.append(F.col(c))
+                newv = F.expr(
+                    self._on_dup_rewrite(assignments[c], base_cols)
+                ).cast(base.schema[c].dataType)
+                upd_sel.append(newv.alias(c))
+                chg = chg | ~newv.eqNullSafe(F.col(f"__t_{c}"))
             else:
-                sel.append(F.expr(f"t.`{c}`").alias(c))
-        updated = conflicts.select(*sel)
+                upd_sel.append(F.col(f"__t_{c}").alias(c))
+        updated = matched.select(*upd_sel, chg.alias("__chg"))
 
-        n_new = new_rows.count()
-        n_upd = updated.count()
+        n_new = rem.count()
+        n_chg = updated.where("__chg").count()
+        untouched = base.join(
+            matched.select(
+                *[F.col(f"__t_{c}").alias(c) for c in pk]
+            ).distinct(),
+            pk, "left_anti",
+        )
         t.overwrite(
-            untouched.unionByName(updated).unionByName(
-                new_rows.select(*base_cols)
+            untouched.unionByName(updated.drop("__chg")).unionByName(
+                rem.select(
+                    *[F.col(f"__n_{c}").alias(c) for c in base_cols]
+                )
             )
         )
-        return n_new + 2 * n_upd
+        return n_new + 2 * n_chg
+
+    def _on_dup_sequential(self, t, base, df, levels, assignments,
+                           base_cols):
+        """MySQL row-at-a-time parity for the order-dependent shapes
+        (intra-batch duplicate keys, several batch rows hitting one
+        stored row, unique-only tables): each batch row conflicts
+        against the LIVE state — stored rows plus everything the
+        statement already inserted/updated. Matching is walked in
+        Python over key values only; assignment expressions are
+        evaluated BY SPARK in chain-depth rounds (all k-th-occurrence
+        updates of every entity form one local job). Bounded like
+        cursors: the batch is capped BEFORE collect via limit(cap+1);
+        candidate stored rows are ≤ batch×levels by construction."""
+        key_cols = {c for _n, cols, _x in levels for c in cols}
+        if set(assignments) & key_cols:
+            raise NotImplementedError(
+                "INSERT ... ON DUPLICATE KEY UPDATE assigning a key "
+                "column with intra-batch duplicate keys: split the "
+                "batch"
+            )
+        cap = self._CHAIN_WALK_CAP
+        ordered = df.withColumn("__ord", F.monotonically_increasing_id())
+        batch = ordered.orderBy("__ord").limit(cap + 1).collect()
+        if len(batch) > cap:
+            raise NotImplementedError(
+                "INSERT ... ON DUPLICATE KEY UPDATE with intra-batch "
+                f"duplicate keys over >{cap} rows: split the batch "
+                "(sequential chains resolve driver-side)"
+            )
+
+        # stored rows any batch key can hit, on any level (complete:
+        # keys never change — no key column is assigned)
+        cand = None
+        for _iname, icols, nex in levels:
+            keys_df = df.select(*icols).distinct()
+            if nex:
+                keys_df = keys_df.na.drop("any", subset=icols)
+            part = base.join(keys_df, icols, "left_semi")
+            cand = part if cand is None else cand.unionByName(part)
+        cand_rows = cand.distinct().limit(cap * len(levels) + 1).collect()
+
+        ents: list[dict] = []
+        index: list[dict] = [dict() for _ in levels]
+
+        def register(eid: int, vals: dict) -> None:
+            for i, (_iname, icols, nex) in enumerate(levels):
+                kv = tuple(vals[c] for c in icols)
+                if nex and any(v is None for v in kv):
+                    continue
+                index[i].setdefault(kv, eid)
+
+        for r in cand_rows:
+            vals = {c: r[c] for c in base_cols}
+            ents.append(vals)
+            register(len(ents) - 1, vals)
+        n_stored = len(ents)
+
+        inserts = 0
+        chains: dict[int, list] = {}
+        for r in batch:
+            eid = None
+            for i, (_iname, icols, nex) in enumerate(levels):
+                kv = tuple(r[c] for c in icols)
+                if nex and any(v is None for v in kv):
+                    continue
+                eid = index[i].get(kv)
+                if eid is not None:
+                    break
+            if eid is None:
+                vals = {c: r[c] for c in base_cols}
+                ents.append(vals)
+                register(len(ents) - 1, vals)
+                inserts += 1
+            else:
+                chains.setdefault(eid, []).append(r)
+
+        # evaluate updates in chain-depth rounds: Spark computes every
+        # k-th update in one local job (arbitrary SQL expressions stay
+        # engine-evaluated; the driver only carries values)
+        changed = 0
+        schema = T.StructType(
+            [T.StructField("__eid", T.LongType(), False)]
+            + [T.StructField(f"__t_{f.name}", f.dataType, True)
+               for f in base.schema.fields]
+            + [T.StructField(f"__n_{f.name}", f.dataType, True)
+               for f in base.schema.fields]
+        )
+        depth = max((len(v) for v in chains.values()), default=0)
+        for k in range(depth):
+            todo = [(eid, rows[k]) for eid, rows in chains.items()
+                    if len(rows) > k]
+            local = self.spark.createDataFrame(
+                [tuple([eid]
+                       + [ents[eid][c] for c in base_cols]
+                       + [r[c] for c in base_cols])
+                 for eid, r in todo],
+                schema,
+            )
+            sel = [F.col("__eid")]
+            chg = F.lit(False)
+            for c in assignments:
+                newv = F.expr(
+                    self._on_dup_rewrite(assignments[c], base_cols)
+                ).cast(base.schema[c].dataType)
+                sel.append(newv.alias(c))
+                chg = chg | ~newv.eqNullSafe(F.col(f"__t_{c}"))
+            res = local.select(*sel, chg.alias("__chg")).collect()
+            for rr in res:
+                for c in assignments:
+                    ents[rr["__eid"]][c] = rr[c]
+                if rr["__chg"]:
+                    changed += 1
+
+        # swap candidates out, final entity states in (the anti-join
+        # mirrors candidate selection exactly — keys are static)
+        kept = base
+        for _iname, icols, nex in levels:
+            keys_df = df.select(*icols).distinct()
+            if nex:
+                keys_df = keys_df.na.drop("any", subset=icols)
+            kept = kept.join(keys_df, icols, "left_anti")
+        out_schema = T.StructType(
+            [T.StructField(f.name, f.dataType, True)
+             for f in base.schema.fields]
+        )
+        ents_df = self.spark.createDataFrame(
+            [tuple(e[c] for c in base_cols) for e in ents], out_schema
+        ) if ents else base.limit(0)
+        t.overwrite(kept.select(*base_cols).unionByName(ents_df))
+        # MySQL affected-rows: 1/insert, 2/changing update, 0/no-op;
+        # n_stored candidates that received no update contribute 0
+        _ = n_stored
+        return inserts + 2 * changed
 
     def _row_cap_cond(
         self, table: str, cond: Column, order_by: str | None, limit: int

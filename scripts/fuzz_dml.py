@@ -31,6 +31,12 @@ def main() -> int:
     ap.add_argument("--n", type=int, default=200)
     ap.add_argument("--seed", type=int, default=20260815)
     ap.add_argument("--stmts", type=int, default=8)
+    ap.add_argument(
+        "--on-dup-batches", type=int, default=0,
+        help="additionally run N ON DUPLICATE batch-vs-rowwise trials "
+             "(engine-internal oracle: single-row set-based tier "
+             "replayed sequentially vs the batch sequential tier)",
+    )
     args = ap.parse_args()
 
     spark = build_session(master="local[8]", shuffle_partitions=8)
@@ -69,8 +75,24 @@ def main() -> int:
                 f"{time.time() - t0:.0f}s",
                 flush=True,
             )
-    print(f"done: {args.n} sequences, {bad} divergences, "
-          f"{time.time() - t0:.0f}s")
+    for trial in range(args.on_dup_batches):
+        uniq = trial % 2 == 1
+        seed, batch, singles = dmlgen.gen_on_dup_batch(
+            rng, f"od{trial}", with_unique=uniq)
+        ok, detail = dmlgen.apply_batch_vs_rowwise(
+            eng, f"od{trial}", seed, batch, singles, with_unique=uniq)
+        if not ok:
+            bad += 1
+            print(f"ON-DUP DIVERGENCE trial={trial} seed={args.seed} "
+                  f"uniq={uniq}")
+            print(f"  seed sql: {seed}")
+            print(f"  {detail}")
+        if (trial + 1) % 20 == 0:
+            print(f"[on_dup {trial + 1}/{args.on_dup_batches}] "
+                  f"{bad} divergences, {time.time() - t0:.0f}s",
+                  flush=True)
+    print(f"done: {args.n} sequences + {args.on_dup_batches} on-dup "
+          f"batches, {bad} divergences, {time.time() - t0:.0f}s")
     return 1 if bad else 0
 
 

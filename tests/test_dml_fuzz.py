@@ -58,3 +58,23 @@ def test_dml_generator_is_deterministic():
     a = dmlgen.gen_sequence(random.Random(7), "t", 6)
     b = dmlgen.gen_sequence(random.Random(7), "t", 6)
     assert a == b
+
+
+def test_on_dup_batch_vs_rowwise(eng):
+    """MySQL defines a multi-row ON DUPLICATE batch as the sequential
+    composition of its rows: the engine's single-row (set-based) path
+    replayed row-by-row oracles the batch (sequential-tier) path —
+    state AND summed affected-rows must agree."""
+    rng = random.Random(SEED + 1)
+    failures = []
+    for trial in range(10):
+        uniq = trial % 2 == 1
+        seed, batch, singles = dmlgen.gen_on_dup_batch(
+            rng, f"od{trial}", with_unique=uniq)
+        ok, detail = dmlgen.apply_batch_vs_rowwise(
+            eng, f"od{trial}", seed, batch, singles, with_unique=uniq)
+        if not ok:
+            failures.append((trial, uniq, seed, detail))
+    assert not failures, "\n".join(
+        f"trial {t} uniq={u}\n  seed: {s}\n  {d}" for t, u, s, d in failures
+    )

@@ -1068,13 +1068,15 @@ def test_replace_and_ignore_intra_batch_order(engine):
     assert sorted(
         (r.id, r.b) for r in engine.execute("SELECT * FROM rio").collect()
     ) == [(1, "z"), (2, "p")]
-    # ON DUPLICATE KEY UPDATE rejects intra-batch duplicates loudly
-    # (sequential chain semantics are not reproducible set-based)
-    with pytest.raises(NotImplementedError, match="sequentially"):
-        engine.execute(
-            "INSERT INTO rio VALUES (7,'a'), (7,'b') "
-            "ON DUPLICATE KEY UPDATE b = VALUES(b)"
-        )
+    # ON DUPLICATE KEY UPDATE applies intra-batch duplicates
+    # sequentially like MySQL: (7,'a') inserts, (7,'b') updates it
+    r = engine.execute(
+        "INSERT INTO rio VALUES (7,'a'), (7,'b') "
+        "ON DUPLICATE KEY UPDATE b = VALUES(b)"
+    )
+    assert r.affected_rows == 3  # 1 insert + 1 changing update
+    assert [(x.id, x.b) for x in engine.execute(
+        "SELECT * FROM rio WHERE id = 7").collect()] == [(7, "b")]
 
 
 def test_unique_index_enforced_nulls_exempt(engine):
@@ -1332,3 +1334,198 @@ def test_commit_rollback_and_chain(engine):
         r.id for r in engine.execute("SELECT * FROM chn").collect()
     ) == [1]
     engine.execute("COMMIT AND NO CHAIN")  # accepted, plain commit
+
+
+def test_replace_deletes_rows_hit_by_nonsurviving_batch_rows(engine):
+    """A stored row deleted by a batch row that is ITSELF replaced by
+    a later batch row stays deleted — MySQL REPLACE processes
+    row-at-a-time, so mid-batch deletions of base rows are permanent
+    (GMS TestReplaceInto corpus): base (5,'z'); REPLACE (5,'a'),(6,'a')
+    with UNIQUE(e) leaves ONLY (6,'a')."""
+    engine.execute(
+        "CREATE TABLE rnb (id INT PRIMARY KEY, e VARCHAR(10), "
+        "UNIQUE KEY uq_e (e))"
+    )
+    engine.execute("INSERT INTO rnb VALUES (5, 'z')")
+    out = engine.execute("REPLACE INTO rnb VALUES (5,'a'), (6,'a')")
+    assert sorted(
+        (r.id, r.e) for r in engine.execute("SELECT * FROM rnb").collect()
+    ) == [(6, "a")]
+    # MySQL affected-rows: 2 inserts + 2 deletes ((5,'z') by row 1,
+    # (5,'a') by row 2) = 4
+    assert out.affected_rows == 4
+
+
+def test_pk_enforced_when_auto_increment_outside_pk(engine):
+    """An absent AUTO_INCREMENT column only exempts the PK probe when
+    the auto column IS part of the PK; a PK over other columns is
+    still enforced (MySQL: ER_DUP_ENTRY)."""
+    from myduckserver_spark.engine import DuplicateKeyError
+
+    engine.execute(
+        "CREATE TABLE aip (id INT AUTO_INCREMENT, e VARCHAR(10), "
+        "PRIMARY KEY (e), UNIQUE KEY uq_id (id))"
+    )
+    engine.execute("INSERT INTO aip (e) VALUES ('a'), ('b')")
+    with pytest.raises(DuplicateKeyError, match="aip.PRIMARY"):
+        engine.execute("INSERT INTO aip (e) VALUES ('a')")
+    with pytest.raises(DuplicateKeyError):
+        engine.execute("INSERT INTO aip (e) VALUES ('c'), ('c')")
+    # nothing was written by the rejected statements
+    assert engine.execute(
+        "SELECT COUNT(*) AS n FROM aip").collect()[0].n == 2
+
+
+def test_chain_walk_cap_enforced_before_materialization(
+        engine, monkeypatch):
+    """The driver-side chain-walk cap bounds the TRANSFER (via
+    limit(cap+1)), not just the post-hoc list length: with a tiny
+    monkeypatched cap, an over-cap statement raises and writes
+    nothing, while under-cap behavior is unchanged."""
+    from myduckserver_spark.engine import Engine
+
+    engine.execute("CREATE TABLE cwc (id INT PRIMARY KEY, v INT)")
+    engine.execute("INSERT INTO cwc VALUES (1, 10), (2, 20)")
+    monkeypatch.setattr(Engine, "_CHAIN_WALK_CAP", 3)
+    # intra-batch dup in a 5-row batch -> chain walk over 5 > 3 rows
+    with pytest.raises(NotImplementedError, match=">3"):
+        engine.execute(
+            "INSERT IGNORE INTO cwc VALUES "
+            "(3,1), (3,2), (4,1), (5,1), (6,1)"
+        )
+    assert engine.execute(
+        "SELECT COUNT(*) AS n FROM cwc").collect()[0].n == 2
+    # under the cap: sequential-chain semantics intact
+    engine.execute("INSERT IGNORE INTO cwc VALUES (3,1), (3,2), (4,1)")
+    assert sorted(
+        (r.id, r.v) for r in engine.execute("SELECT * FROM cwc").collect()
+    ) == [(1, 10), (2, 20), (3, 1), (4, 1)]
+    # UPDATE IGNORE assigning the key column takes the same bounded walk
+    with pytest.raises(NotImplementedError, match=">3"):
+        engine.execute("UPDATE IGNORE cwc SET id = id + 1 WHERE id >= 1")
+    monkeypatch.setattr(Engine, "_CHAIN_WALK_CAP", 100_000)
+    engine.execute("UPDATE IGNORE cwc SET id = id + 1 WHERE id >= 1")
+    # MySQL pk-ascending live-index walk: 1->2, 2->3, 3->4 each hit a
+    # still-live later row and are skipped; only 4->5 applies
+    assert sorted(
+        r.id for r in engine.execute("SELECT id FROM cwc").collect()
+    ) == [1, 2, 3, 5]
+
+
+def test_on_duplicate_key_intra_batch_chains(engine):
+    """MySQL applies INSERT…ON DUPLICATE KEY UPDATE row-at-a-time: a
+    later duplicate updates the row an earlier batch row just wrote,
+    and each step sees the accumulated state (GMS corpus:
+    TestInsertDuplicateKeyKeyless)."""
+    engine.execute("CREATE TABLE odc (k VARCHAR(10) PRIMARY KEY, cnt INT)")
+    # chain on a fresh key: insert 1, then +10, then +100
+    r = engine.execute(
+        "INSERT INTO odc VALUES ('a',1), ('a',10), ('a',100) "
+        "ON DUPLICATE KEY UPDATE cnt = cnt + VALUES(cnt)"
+    )
+    assert r.affected_rows == 5  # 1 insert + 2 changing updates
+    assert engine.execute(
+        "SELECT cnt FROM odc WHERE k='a'").collect()[0].cnt == 111
+    # chain on an existing key, mixed with a fresh one
+    r = engine.execute(
+        "INSERT INTO odc VALUES ('a',1), ('b',5), ('a',2) "
+        "ON DUPLICATE KEY UPDATE cnt = cnt + VALUES(cnt)"
+    )
+    assert r.affected_rows == 5  # 1 insert ('b') + 2 updates on 'a'
+    rows = {x.k: x.cnt for x in engine.execute("SELECT * FROM odc").collect()}
+    assert rows == {"a": 114, "b": 5}
+    # last-wins overwrite semantics fold the same way
+    engine.execute(
+        "INSERT INTO odc VALUES ('b',7), ('b',9) "
+        "ON DUPLICATE KEY UPDATE cnt = VALUES(cnt)"
+    )
+    assert engine.execute(
+        "SELECT cnt FROM odc WHERE k='b'").collect()[0].cnt == 9
+
+
+def test_on_duplicate_key_matches_unique_indexes(engine):
+    """MySQL resolves ON DUPLICATE KEY against ANY unique index with
+    first-match precedence (PK first), not only the PK."""
+    engine.execute(
+        "CREATE TABLE odu (id INT PRIMARY KEY, e VARCHAR(20), v INT, "
+        "UNIQUE KEY uq_e (e))"
+    )
+    engine.execute("INSERT INTO odu VALUES (1,'a',10), (2,'b',20)")
+    # unique-only conflict: (9,'a') updates stored row 1
+    r = engine.execute(
+        "INSERT INTO odu VALUES (9,'a',90) "
+        "ON DUPLICATE KEY UPDATE v = VALUES(v)"
+    )
+    assert r.affected_rows == 2
+    assert sorted(
+        (x.id, x.e, x.v) for x in engine.execute("SELECT * FROM odu").collect()
+    ) == [(1, "a", 90), (2, "b", 20)]
+    # pk match takes precedence over a unique match on another row
+    engine.execute(
+        "INSERT INTO odu VALUES (2,'a',77) "
+        "ON DUPLICATE KEY UPDATE v = VALUES(v)"
+    )
+    assert sorted(
+        (x.id, x.v) for x in engine.execute("SELECT * FROM odu").collect()
+    ) == [(1, 90), (2, 77)]
+    # no-op update: MySQL affected-rows is 0
+    r = engine.execute(
+        "INSERT INTO odu VALUES (2,'zz',77) "
+        "ON DUPLICATE KEY UPDATE v = VALUES(v)"
+    )
+    assert r.affected_rows == 0
+    # NULL unique key never conflicts: plain inserts
+    r = engine.execute(
+        "INSERT INTO odu VALUES (30,NULL,1), (31,NULL,2) "
+        "ON DUPLICATE KEY UPDATE v = VALUES(v)"
+    )
+    assert r.affected_rows == 2
+
+
+def test_on_duplicate_key_two_rows_hit_one_stored_row(engine):
+    """Two batch rows without duplicate keys can still hit the SAME
+    stored row via different indexes; MySQL applies them in order."""
+    engine.execute(
+        "CREATE TABLE od2 (id INT PRIMARY KEY, e VARCHAR(20), v INT, "
+        "UNIQUE KEY uq_e (e))"
+    )
+    engine.execute("INSERT INTO od2 VALUES (1,'a',0)")
+    # (1,'x') pk-matches row 1; (9,'a') unique-matches row 1 too
+    r = engine.execute(
+        "INSERT INTO od2 VALUES (1,'x',5), (9,'a',7) "
+        "ON DUPLICATE KEY UPDATE v = v + VALUES(v)"
+    )
+    assert r.affected_rows == 4  # two changing updates of one row
+    assert [(x.id, x.e, x.v) for x in
+            engine.execute("SELECT * FROM od2").collect()] == [(1, "a", 12)]
+
+
+def test_on_duplicate_key_unique_only_table(engine):
+    """A table with a UNIQUE index but no PRIMARY KEY still resolves
+    ON DUPLICATE KEY (MySQL matches any unique index)."""
+    engine.execute(
+        "CREATE TABLE odnp (e VARCHAR(20), v INT, UNIQUE KEY uq_e (e))"
+    )
+    engine.execute("INSERT INTO odnp VALUES ('a', 1)")
+    r = engine.execute(
+        "INSERT INTO odnp VALUES ('a', 41), ('b', 2) "
+        "ON DUPLICATE KEY UPDATE v = v + VALUES(v)"
+    )
+    assert r.affected_rows == 3  # 1 insert + 1 changing update
+    assert sorted(
+        (x.e, x.v) for x in engine.execute("SELECT * FROM odnp").collect()
+    ) == [("a", 42), ("b", 2)]
+
+
+def test_last_insert_id_one_arg_sets_and_returns(engine):
+    """LAST_INSERT_ID(expr) evaluates expr, STORES it as the session
+    value and returns it (MySQL 12.16); the per-row sequence pattern
+    is rejected with a clear error instead of leaking to Spark."""
+    assert engine.execute(
+        "SELECT LAST_INSERT_ID(40 + 2) AS v").collect()[0].v == 42
+    assert engine.execute(
+        "SELECT LAST_INSERT_ID() AS v").collect()[0].v == 42
+    with pytest.raises(NotImplementedError, match="constant"):
+        engine.execute(
+            "UPDATE users SET id = LAST_INSERT_ID(id + 1) WHERE id = 1"
+        )

@@ -97,11 +97,11 @@ def test_begin_end_body_and_batch_statement(eng):
     ).collect()[0].n == 2  # once per affected ROW (MySQL semantics)
 
 
-def test_batch_update_multi_assignment_keeps_batch_semantics(eng):
-    """A multi-assignment SET list must NOT enter the additive rewrite
-    (round-6 regression: the addend regex captured `1, b = b + 2` and
-    generated unparseable SQL). It executes once per statement with a
-    SHOW WARNINGS note."""
+def test_batch_update_multi_assignment_runs_per_row(eng):
+    """A multi-assignment SET list cannot enter the additive rewrite
+    (each assignment sees the previous one's per-row result); under
+    the per-row cap (round 8) it replays once per affected row —
+    MySQL-exact, no warning."""
     eng.execute("CREATE TABLE counters (k VARCHAR(10), a INT, b INT)")
     eng.execute("INSERT INTO counters VALUES ('x', 0, 0)")
     eng.execute(
@@ -110,18 +110,17 @@ def test_batch_update_multi_assignment_keeps_batch_semantics(eng):
     )
     eng.execute("INSERT INTO items VALUES (1, 'a', 1, NULL), "
                 "(2, 'b', 2, NULL)")
-    # SHOW WARNINGS immediately: any other statement resets the
-    # diagnostics area (MySQL semantics)
     notes = eng.execute("SHOW WARNINGS").collect()
-    assert any("batch semantics" in w.Message for w in notes)
+    assert not any("batch semantics" in w.Message for w in notes)
     r = eng.execute("SELECT a, b FROM counters").collect()[0]
-    assert (r.a, r.b) == (1, 2)  # once per STATEMENT (documented)
+    assert (r.a, r.b) == (2, 4)  # once per ROW (MySQL)
 
 
-def test_batch_update_qualified_self_ref_keeps_batch_semantics(eng):
+def test_batch_update_qualified_self_ref_runs_per_row(eng):
     """`SET n = n + counters.n` reads the target column through a
     table qualifier — multiplying the addend by N is WRONG (MySQL's
-    per-row result is n·2^N), so the body keeps batch semantics."""
+    per-row result is n·2^N); the per-row replay (round 8) gets the
+    sequential doubling exactly."""
     eng.execute("CREATE TABLE counters (k VARCHAR(10), n INT)")
     eng.execute("INSERT INTO counters VALUES ('x', 3)")
     eng.execute(
@@ -131,11 +130,12 @@ def test_batch_update_qualified_self_ref_keeps_batch_semantics(eng):
     eng.execute("INSERT INTO items VALUES (1, 'a', 1, NULL), "
                 "(2, 'b', 2, NULL)")
     notes = eng.execute("SHOW WARNINGS").collect()
-    assert any("batch semantics" in w.Message for w in notes)
-    # one doubling, not addend*2: 3 + 3 = 6 (batch), never 3 + 3*2 = 9
+    assert not any("batch semantics" in w.Message for w in notes)
+    # two sequential doublings: 3 -> 6 -> 12 (MySQL per-row), never
+    # the wrong algebraic fold 3 + 3*2 = 9
     assert eng.execute(
         "SELECT n FROM counters"
-    ).collect()[0].n == 6
+    ).collect()[0].n == 12
 
 
 def test_batch_update_multiplicative_exact(eng):
@@ -157,9 +157,30 @@ def test_batch_update_multiplicative_exact(eng):
     assert not any("batch semantics" in w.Message for w in notes)
 
 
-def test_batch_insert_body_leaves_warning(eng):
-    """A NEW/OLD-free INSERT body runs once per statement (MySQL: once
-    per row) — the divergence must be visible in SHOW WARNINGS."""
+def test_batch_insert_body_runs_per_row(eng):
+    """A NEW/OLD-free INSERT body runs once per affected row under
+    the per-row cap (round 8) — MySQL-exact, no warning."""
+    eng.execute(
+        "CREATE TRIGGER bi AFTER INSERT ON items FOR EACH ROW "
+        "INSERT INTO audit VALUES ('items', 'batch', 0, NULL)"
+    )
+    eng.execute("INSERT INTO items VALUES (1, 'a', 1, NULL), "
+                "(2, 'b', 2, NULL)")
+    notes = eng.execute("SHOW WARNINGS").collect()
+    assert not any("batch semantics" in w.Message for w in notes)
+    assert eng.execute(
+        "SELECT COUNT(*) AS n FROM audit"
+    ).collect()[0].n == 2  # once per ROW (MySQL)
+    # and the diagnostics area resets at the next ordinary statement
+    eng.execute("SELECT 1")
+
+
+def test_batch_body_above_cap_keeps_batch_with_warning(eng, monkeypatch):
+    """Above the per-row cap the body keeps once-per-statement batch
+    semantics with a SHOW WARNINGS note (bounded driver work)."""
+    from myduckserver_spark.engine import Engine
+
+    monkeypatch.setattr(Engine, "_TRIGGER_PERROW_CAP", 1)
     eng.execute(
         "CREATE TRIGGER bi AFTER INSERT ON items FOR EACH ROW "
         "INSERT INTO audit VALUES ('items', 'batch', 0, NULL)"
@@ -170,9 +191,27 @@ def test_batch_insert_body_leaves_warning(eng):
     assert any("batch semantics" in w.Message for w in notes)
     assert eng.execute(
         "SELECT COUNT(*) AS n FROM audit"
-    ).collect()[0].n == 1
-    # and the diagnostics area resets at the next ordinary statement
-    eng.execute("SELECT 1")
+    ).collect()[0].n == 1  # once per STATEMENT (documented fallback)
+
+
+def test_self_reading_subquery_body_per_row_exact(eng):
+    """Verdict r7 #5 done-criterion: a self-reading non-algebraic
+    body (`SET n = n + (SELECT …)` where the subquery reads the same
+    table) matches MySQL's per-row sequential result for a multi-row
+    batch."""
+    eng.execute("CREATE TABLE counters (k VARCHAR(10), n INT)")
+    eng.execute("INSERT INTO counters VALUES ('x', 1)")
+    eng.execute(
+        "CREATE TRIGGER sr AFTER INSERT ON items FOR EACH ROW "
+        "UPDATE counters SET n = n + (SELECT MAX(n) FROM counters c)"
+    )
+    rows = ", ".join(f"({i}, 'r{i}', 1, NULL)" for i in range(1, 6))
+    eng.execute(f"INSERT INTO items VALUES {rows}")
+    # sequential doubling via the self-reading subquery: 1 -> 2 -> 4
+    # -> 8 -> 16 -> 32 (5 affected rows)
+    assert eng.execute(
+        "SELECT n FROM counters"
+    ).collect()[0].n == 32
     assert eng.execute("SHOW WARNINGS").collect() == []
 
 
@@ -486,3 +525,119 @@ def test_multi_table_delete_fires_triggers(eng):
                     "ON items.id = side.id")
     assert [r.id for r in eng.execute("SELECT id FROM items").collect()] \
         == [1]
+
+
+def test_before_trigger_full_bodies_side_dml(eng):
+    """BEFORE triggers accept full bodies (round 8): side DML like
+    audit INSERTs runs set-based over the row image alongside SET /
+    SIGNAL-guard ops (reference fires these via GMS,
+    main_test.go:1053)."""
+    eng.execute(
+        "CREATE TRIGGER bi BEFORE INSERT ON items FOR EACH ROW BEGIN "
+        "SET NEW.norm = LOWER(NEW.name); "
+        "INSERT INTO audit VALUES ('items', 'pre-ins', NEW.id, NEW.norm); "
+        "END"
+    )
+    eng.execute("INSERT INTO items (id, name) VALUES (1, 'Foo'), (2, 'BAR')")
+    got = sorted((r.op, r.item_id, r.detail) for r in
+                 eng.execute("SELECT * FROM audit").collect())
+    # the audit sees the folded NEW image (norm already lowered)
+    assert got == [("pre-ins", 1, "foo"), ("pre-ins", 2, "bar")]
+
+    eng.execute(
+        "CREATE TRIGGER bu BEFORE UPDATE ON items FOR EACH ROW "
+        "INSERT INTO audit VALUES ('items', 'pre-upd', OLD.id, "
+        "CONCAT(OLD.name, '->', NEW.name))"
+    )
+    eng.execute("UPDATE items SET name = 'baz' WHERE id = 2")
+    assert ("pre-upd", 2, "BAR->baz") in {
+        (r.op, r.item_id, r.detail)
+        for r in eng.execute("SELECT * FROM audit").collect()
+    }
+
+    eng.execute(
+        "CREATE TRIGGER bd BEFORE DELETE ON items FOR EACH ROW "
+        "INSERT INTO audit VALUES ('items', 'pre-del', OLD.id, OLD.name)"
+    )
+    eng.execute("DELETE FROM items WHERE id = 1")
+    assert ("pre-del", 1, "Foo") in {
+        (r.op, r.item_id, r.detail)
+        for r in eng.execute("SELECT * FROM audit").collect()
+    }
+
+
+def test_before_trigger_side_dml_statement_atomic(eng):
+    """A failing gate (CHECK / duplicate key) must leave NO side
+    effect from a BEFORE trigger body — MySQL statement atomicity."""
+    from myduckserver_spark.engine import DuplicateKeyError
+
+    eng.execute(
+        "CREATE TRIGGER bi BEFORE INSERT ON items FOR EACH ROW "
+        "INSERT INTO audit VALUES ('items', 'pre-ins', NEW.id, NEW.name)"
+    )
+    eng.execute("INSERT INTO items VALUES (1, 'a', 1, NULL)")
+    with pytest.raises(DuplicateKeyError):
+        eng.execute("INSERT INTO items VALUES (1, 'dup', 2, NULL)")
+    got = [(r.op, r.item_id) for r in
+           eng.execute("SELECT * FROM audit").collect()]
+    assert got == [("pre-ins", 1)]  # nothing from the failed statement
+
+
+def test_multi_table_update_before_trigger_full_body(eng):
+    """Verdict r7 #4: multi-table UPDATE fires BEFORE UPDATE triggers
+    whose bodies go beyond SET/guard — here an audit INSERT over the
+    joined old/new image."""
+    eng.execute("CREATE TABLE refs (id INT PRIMARY KEY, k INT)")
+    eng.execute("INSERT INTO refs VALUES (1, 100), (2, 200)")
+    eng.execute("INSERT INTO items VALUES (1, 'a', 1, NULL), "
+                "(2, 'b', 2, NULL), (3, 'c', 3, NULL)")
+    eng.execute(
+        "CREATE TRIGGER bu BEFORE UPDATE ON items FOR EACH ROW BEGIN "
+        "SET NEW.norm = 'touched'; "
+        "INSERT INTO audit VALUES ('items', 'mt-upd', OLD.id, "
+        "CONCAT(OLD.qty, '->', NEW.qty)); "
+        "END"
+    )
+    eng.execute(
+        "UPDATE items JOIN refs ON items.id = refs.id "
+        "SET items.qty = refs.k"
+    )
+    rows = {r.id: (r.qty, r.norm) for r in
+            eng.execute("SELECT id, qty, norm FROM items").collect()}
+    assert rows == {1: (100, "touched"), 2: (200, "touched"),
+                    3: (3, None)}
+    got = sorted((r.op, r.item_id, r.detail) for r in
+                 eng.execute("SELECT * FROM audit").collect())
+    assert got == [("mt-upd", 1, "1->100"), ("mt-upd", 2, "2->200")]
+
+
+def test_multi_table_delete_before_trigger_side_dml(eng):
+    eng.execute("CREATE TABLE refs (id INT PRIMARY KEY, k INT)")
+    eng.execute("INSERT INTO refs VALUES (2, 0)")
+    eng.execute("INSERT INTO items VALUES (1, 'a', 1, NULL), "
+                "(2, 'b', 2, NULL)")
+    eng.execute(
+        "CREATE TRIGGER bd BEFORE DELETE ON items FOR EACH ROW "
+        "INSERT INTO audit VALUES ('items', 'mt-del', OLD.id, OLD.name)"
+    )
+    eng.execute("DELETE items FROM items JOIN refs ON items.id = refs.id")
+    assert [r.id for r in eng.execute(
+        "SELECT id FROM items").collect()] == [1]
+    got = [(r.op, r.item_id, r.detail) for r in
+           eng.execute("SELECT * FROM audit").collect()]
+    assert got == [("mt-del", 2, "b")]
+
+
+def test_trigger_body_rejects_own_table_dml(eng):
+    """MySQL 1442: a trigger body may not modify the table the
+    trigger is attached to."""
+    with pytest.raises(ValueError, match="1442"):
+        eng.execute(
+            "CREATE TRIGGER bad BEFORE INSERT ON items FOR EACH ROW "
+            "DELETE FROM items WHERE qty < 0"
+        )
+    with pytest.raises(ValueError, match="1442"):
+        eng.execute(
+            "CREATE TRIGGER bad2 AFTER UPDATE ON items FOR EACH ROW "
+            "UPDATE items SET qty = 0"
+        )
