@@ -74,6 +74,11 @@ def _in_string(sql: str, idx: int) -> bool:
     return sql.count("'", 0, idx) % 2 == 1
 
 
+def _in_dquoted(sql: str, idx: int) -> bool:
+    """True when idx falls inside a double-quoted pg identifier."""
+    return sql.count('"', 0, idx) % 2 == 1
+
+
 def _operand_start(s: str, end: int) -> int:
     """Start index of the expression operand ending just before `end`.
 
@@ -181,16 +186,28 @@ def _rewrite_casts(sql: str) -> str:
 def _rewrite_xor_op(sql: str) -> str:
     """pg bitwise XOR ``a # b`` → Spark ``a ^ b`` (pg's ``^`` is
     power, but power already arrives as the POW() function from
-    clients; ``#`` is the only spelling accepted here)."""
+    clients; ``#`` is the only spelling accepted here).
+
+    NOT rewritten: ``#>``/``#>>``/``#-`` (the pg JSON path operators
+    — mangling them into ``^>`` would surface as a confusing parse
+    error far from the cause; they fail here with a clear message),
+    and ``#`` inside single-quoted literals OR double-quoted
+    identifiers."""
     out = sql
     pos = 0
     while True:
         i = out.find("#", pos)
         if i < 0:
             return out
-        if _in_string(out, i):
+        if _in_string(out, i) or _in_dquoted(out, i):
             pos = i + 1
             continue
+        if i + 1 < len(out) and out[i + 1] in ">-":
+            op = "#>>" if out[i + 1:i + 3] == ">>" else out[i:i + 2]
+            raise NotImplementedError(
+                f"pg JSON path operator {op} is not supported; use "
+                "json_extract()/the ->/->> operators instead"
+            )
         out = out[:i] + "^" + out[i + 1:]
         pos = i + 1
 

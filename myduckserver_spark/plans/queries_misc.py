@@ -600,7 +600,7 @@ def ev_view_to_purchase_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "f_mysql_client_fns",
-    oracle="""
+    oracle=r"""
     SELECT o_orderkey AS k,
            to_base(o_orderkey, 8) AS oct_s,
            substr(o_orderpriority, 2, 3) AS mid_s,

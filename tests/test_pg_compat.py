@@ -440,3 +440,26 @@ def test_pg_xor_and_regexp_split(spark, tmp_path):
                      ).collect()[0].x == "#tag"
     # MySQL dialect still treats # as a line comment
     assert e.execute("SELECT 1 AS x # comment").collect()[0].x == 1
+
+
+def test_pg_json_path_operators_clear_error(spark, tmp_path):
+    """`#>` / `#>>` / `#-` must NOT be mangled into `^>` by the XOR
+    rewrite — they raise a clear unsupported-operator message; `#`
+    inside double-quoted identifiers is preserved."""
+    import pytest as _pytest
+
+    from myduckserver_spark.engine import Engine
+
+    from myduckserver_spark.functions.pg_compat import _rewrite_xor_op
+
+    e = Engine(spark, str(tmp_path / "wh_jsonpath"))
+    for op in ("#>", "#>>"):
+        with _pytest.raises(NotImplementedError, match="JSON path"):
+            e.execute(
+                f"SELECT '{{}}'::json {op} '{{a}}' AS x",
+                dialect="postgres",
+            )
+    # '#' inside a double-quoted identifier survives; the real
+    # operator outside still rewrites
+    assert _rewrite_xor_op('SELECT "a#b", 1 # 2') == 'SELECT "a#b", 1 ^ 2'
+    assert _rewrite_xor_op("SELECT '#lit', 5 # 3") == "SELECT '#lit', 5 ^ 3"
