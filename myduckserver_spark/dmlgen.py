@@ -458,3 +458,165 @@ def apply_batch_vs_rowwise(eng, table: str, seed: str, batch: str,
         return False, (f"affected-rows divergence: batch={aff_b} "
                        f"rowwise={aff_s} :: {batch}")
     return True, ""
+
+
+# ---------------------------------------------------------------------------
+# Trigger-bearing DML axis (round 8). DuckDB has no triggers, so the
+# oracle EMULATES them: every generated statement ships with a
+# companion audit statement that reproduces what the trigger must have
+# written — VALUES for inserts (all rows land or the statement
+# errors atomically in both engines), a pre-image SELECT with the
+# assignment expression inlined for updates, and a pre-image SELECT
+# for deletes. Divergence in either the base table or the audit trail
+# means the trigger machinery (firing, row images, per-row
+# multiplicity, atomicity with PK enforcement) is wrong.
+
+TRIG_SCHEMA_MY = "(id INT PRIMARY KEY, a INT)"
+TRIG_SCHEMA_DU = "(id INTEGER PRIMARY KEY, a INTEGER)"
+AUD_SCHEMA_MY = "(op VARCHAR(4), rid INT, ra INT)"
+AUD_SCHEMA_DU = "(op VARCHAR, rid INTEGER, ra INTEGER)"
+
+
+def trigger_ddl(table: str) -> list[str]:
+    aud = f"{table}_aud"
+    return [
+        f"CREATE TRIGGER tg_{table}_i AFTER INSERT ON {table} "
+        f"FOR EACH ROW INSERT INTO {aud} VALUES ('i', NEW.id, NEW.a)",
+        f"CREATE TRIGGER tg_{table}_u AFTER UPDATE ON {table} "
+        f"FOR EACH ROW INSERT INTO {aud} VALUES ('u', NEW.id, NEW.a)",
+        f"CREATE TRIGGER tg_{table}_d AFTER DELETE ON {table} "
+        f"FOR EACH ROW INSERT INTO {aud} VALUES ('d', OLD.id, OLD.a)",
+    ]
+
+
+def _trig_pred(rng: random.Random) -> str:
+    return rng.choice([
+        lambda: f"id % {rng.randint(2, 4)} = {rng.randint(0, 2)}",
+        lambda: f"a > {rng.randint(-3, 8)}",
+        lambda: f"a <= {rng.randint(-3, 8)}",
+        lambda: "a IS NULL",
+        lambda: "a IS NOT NULL",
+        lambda: f"id BETWEEN {rng.randint(0, 7)} AND {rng.randint(7, 14)}",
+    ])()
+
+
+def gen_sequence_triggered(rng: random.Random, table: str,
+                           n_stmts: int = 8) -> list[tuple]:
+    """Items are (my_sql, duck_stmts, comp_after): duck_stmts run in
+    order; when comp_after is True the LAST duck statement is the
+    audit companion and is skipped if the main statement errored
+    (statement atomicity: a failed INSERT fires no trigger)."""
+    aud = f"{table}_aud"
+    out = []
+    for i in range(n_stmts):
+        kind = rng.choices(["insert", "update", "delete"],
+                           weights=[4, 3, 2])[0] if i else "insert"
+        if kind == "insert":
+            n = rng.randint(1, 4)
+            ids = rng.sample(IDS, n)
+            rows = [(j, rng.choice(A_VALS)) for j in ids]
+            vals = ", ".join(f"({j}, {_lit(a)})" for j, a in rows)
+            comp = (f"INSERT INTO {aud} VALUES "
+                    + ", ".join(f"('i', {j}, {_lit(a)})" for j, a in rows))
+            out.append((
+                f"INSERT INTO {table} VALUES {vals}",
+                [f"INSERT INTO {table} VALUES {vals}", comp],
+                True,
+            ))
+        elif kind == "update":
+            expr, _ = _a_expr(rng)
+            p = _trig_pred(rng)
+            comp = (f"INSERT INTO {aud} SELECT 'u', id, {expr} "
+                    f"FROM {table} WHERE {p}")
+            out.append((
+                f"UPDATE {table} SET a = {expr} WHERE {p}",
+                [comp, f"UPDATE {table} SET a = {expr} WHERE {p}"],
+                False,
+            ))
+        else:
+            p = _trig_pred(rng)
+            comp = (f"INSERT INTO {aud} SELECT 'd', id, a "
+                    f"FROM {table} WHERE {p}")
+            out.append((
+                f"DELETE FROM {table} WHERE {p}",
+                [comp, f"DELETE FROM {table} WHERE {p}"],
+                False,
+            ))
+    return out
+
+
+def apply_triggered_pair(eng, duck, table: str,
+                         seq: list[tuple]) -> tuple[bool, str]:
+    """Engine runs real triggers; DuckDB runs the emulation. Compare
+    per-statement error flags, the base table AND the audit trail."""
+    import duckdb as _dd
+
+    aud = f"{table}_aud"
+    for exe, tmy, tdu, amy, adu in (
+        (eng.execute, TRIG_SCHEMA_MY, None, AUD_SCHEMA_MY, None),
+        (duck.execute, None, TRIG_SCHEMA_DU, None, AUD_SCHEMA_DU),
+    ):
+        exe(f"DROP TABLE IF EXISTS {table}")
+        exe(f"DROP TABLE IF EXISTS {aud}")
+        exe(f"CREATE TABLE {table} {tmy or tdu}")
+        exe(f"CREATE TABLE {aud} {amy or adu}")
+    for ddl in trigger_ddl(table):
+        eng.execute(ddl)
+    try:
+        for i, (my, du_stmts, comp_after) in enumerate(seq):
+            err_m = err_d = None
+            try:
+                eng.execute(my)
+            except NotImplementedError:
+                raise
+            except Exception as e:  # noqa: BLE001 — oracle comparison
+                err_m = e
+            main_idx = 0 if comp_after else len(du_stmts) - 1
+            for j, du in enumerate(du_stmts):
+                if j != main_idx and err_d is not None:
+                    continue  # companion skipped after a failed main
+                try:
+                    duck.execute(du)
+                except _dd.Error as e:
+                    if j == main_idx:
+                        err_d = e
+                    else:
+                        raise  # companions must never error
+            if (err_m is None) != (err_d is None):
+                return False, (
+                    f"stmt {i} error divergence: engine="
+                    f"{type(err_m).__name__ if err_m else 'ok'} duckdb="
+                    f"{type(err_d).__name__ if err_d else 'ok'} :: {my}"
+                )
+        def _key(t):
+            return tuple((v is None, 0 if v is None else v) for v in t)
+
+        mine_t = sorted(
+            ((r[0], r[1]) for r in
+             eng.execute(f"SELECT id, a FROM {table}").collect()),
+            key=_key,
+        )
+        theirs_t = sorted(
+            (tuple(r) for r in duck.execute(
+                f"SELECT id, a FROM {table}").fetchall()), key=_key)
+        if mine_t != theirs_t:
+            return False, f"base state: engine={mine_t} duckdb={theirs_t}"
+        mine_a = sorted(
+            ((r[0], r[1], r[2]) for r in
+             eng.execute(f"SELECT op, rid, ra FROM {aud}").collect()),
+            key=_key,
+        )
+        theirs_a = sorted(
+            (tuple(r) for r in duck.execute(
+                f"SELECT op, rid, ra FROM {aud}").fetchall()), key=_key)
+        if mine_a != theirs_a:
+            return False, (f"audit trail: engine={mine_a} "
+                           f"duckdb={theirs_a}")
+        return True, ""
+    finally:
+        for tg in (f"tg_{table}_i", f"tg_{table}_u", f"tg_{table}_d"):
+            eng.execute(f"DROP TRIGGER IF EXISTS {tg}")
+        eng.execute(f"DROP TABLE IF EXISTS {table}")
+        eng.execute(f"DROP TABLE IF EXISTS {aud}")
+        duck.execute(f"DROP TABLE IF EXISTS {table}")
+        duck.execute(f"DROP TABLE IF EXISTS {aud}")

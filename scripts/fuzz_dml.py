@@ -37,6 +37,12 @@ def main() -> int:
              "(engine-internal oracle: single-row set-based tier "
              "replayed sequentially vs the batch sequential tier)",
     )
+    ap.add_argument(
+        "--triggered", type=int, default=0,
+        help="additionally run N trigger-bearing sequences (engine "
+             "runs real AFTER triggers; DuckDB runs a per-statement "
+             "emulation; base table + audit trail compared)",
+    )
     args = ap.parse_args()
 
     spark = build_session(master="local[8]", shuffle_partitions=8)
@@ -91,8 +97,25 @@ def main() -> int:
             print(f"[on_dup {trial + 1}/{args.on_dup_batches}] "
                   f"{bad} divergences, {time.time() - t0:.0f}s",
                   flush=True)
+    for trial in range(args.triggered):
+        table = f"tz{trial}"
+        seq = dmlgen.gen_sequence_triggered(rng, table,
+                                            n_stmts=args.stmts)
+        ok, detail = dmlgen.apply_triggered_pair(eng, duck, table, seq)
+        if not ok:
+            bad += 1
+            print(f"TRIGGERED DIVERGENCE trial={trial} "
+                  f"seed={args.seed}")
+            print(f"  {detail}")
+            for my, _du, _c in seq:
+                print(f"    mysql: {my}")
+        if (trial + 1) % 20 == 0:
+            print(f"[triggered {trial + 1}/{args.triggered}] "
+                  f"{bad} divergences, {time.time() - t0:.0f}s",
+                  flush=True)
     print(f"done: {args.n} sequences + {args.on_dup_batches} on-dup "
-          f"batches, {bad} divergences, {time.time() - t0:.0f}s")
+          f"batches + {args.triggered} triggered, {bad} divergences, "
+          f"{time.time() - t0:.0f}s")
     return 1 if bad else 0
 
 

@@ -243,6 +243,72 @@ def run_cdc_multi(spark, dest: str, k: int, tmp_root: str) -> None:
     print(f"cdc-multi wall factor at {k}x data, fixed batch: {f:.1f}x")
 
 
+def run_dml(spark, dest: str, k: int, tmp_root: str) -> None:
+    """--dml axis: write-path scale evidence for the PK/UNIQUE
+    enforcement happy path (round-7/8 semantics). Three statements at
+    sf0.1 and at x{k}, each through the full Engine front door:
+
+      load     INSERT…SELECT into an empty PK table (intra-batch dup
+               check = one fused aggregate; base probe trivial)
+      append   INSERT…SELECT of key-shifted rows against the loaded
+               base (the AQE semi-join probe against a full table)
+      replace  REPLACE INTO …SELECT with ~10% key overlap (survivor
+               window + per-key anti-joins + union rewrite)
+
+    The enforcement cost must scale with the DATA (one aggregate + one
+    probe join per statement), not with driver-side work — wall ratios
+    ≈ k mean the write path is shuffle/write-bound, not a scale
+    killer; the sequential chain tiers never engage (no intra-batch
+    duplicates here, by design of the happy path)."""
+    import shutil
+    import tempfile
+
+    from myduckserver_spark.engine import Engine
+
+    def one(src_dir: str, tag: str) -> dict[str, float]:
+        wh = tempfile.mkdtemp(prefix=f"dmlscale_{tag}_",
+                              dir=tmp_root)
+        eng = Engine(spark, wh)
+        spark.read.parquet(f"{src_dir}/orders.parquet").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        ).createOrReplaceTempView("src_orders")
+        eng.execute(
+            "CREATE TABLE ord (o_orderkey BIGINT PRIMARY KEY, "
+            "o_custkey BIGINT, o_totalprice DOUBLE)"
+        )
+        times = {}
+        t0 = time.perf_counter()
+        eng.execute("INSERT INTO ord SELECT * FROM src_orders")
+        times["load"] = time.perf_counter() - t0
+        shift = spark.sql(
+            "SELECT MAX(o_orderkey) + 1 FROM src_orders").first()[0]
+        t0 = time.perf_counter()
+        eng.execute(
+            f"INSERT INTO ord SELECT o_orderkey + {shift}, o_custkey, "
+            "o_totalprice FROM src_orders"
+        )
+        times["append"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        eng.execute(
+            "REPLACE INTO ord SELECT o_orderkey, o_custkey, "
+            "o_totalprice * 1.1 FROM src_orders WHERE o_orderkey % 10 = 0"
+        )
+        times["replace"] = time.perf_counter() - t0
+        n = eng.execute("SELECT COUNT(*) AS n FROM ord").collect()[0].n
+        shutil.rmtree(wh, ignore_errors=True)
+        return times, n
+
+    base, n_base = one(SRC, "base")
+    big, n_big = one(dest, f"x{k}")
+    print(f"\nwrite-path scale (rows: {n_base:,} -> {n_big:,})")
+    print(f"{'statement':12s} {'sf0.1':>8s} {f'x{k}':>8s} {'ratio':>7s}")
+    for s in ("load", "append", "replace"):
+        r = big[s] / base[s] if base[s] else float("inf")
+        print(f"{s:12s} {base[s]:8.2f} {big[s]:8.2f} {r:7.1f}")
+    tot_b, tot_x = sum(base.values()), sum(big.values())
+    print(f"{'TOTAL':12s} {tot_b:8.2f} {tot_x:8.2f} {tot_x / tot_b:7.1f}")
+
+
 def run(sf_dir: str) -> dict[str, float]:
     times = {}
     for name in QUERIES:
@@ -283,6 +349,10 @@ if __name__ == "__main__":
     if "--cdc" in sys.argv:
         run_cdc_multi(spark, dest, k,
                       os.path.dirname(dest))
+        sys.exit(0)
+
+    if "--dml" in sys.argv:
+        run_dml(spark, dest, k, os.path.dirname(dest))
         sys.exit(0)
 
     # Full warmup pass over BOTH datasets first: C2 JIT compilation of

@@ -78,3 +78,24 @@ def test_on_dup_batch_vs_rowwise(eng):
     assert not failures, "\n".join(
         f"trial {t} uniq={u}\n  seed: {s}\n  {d}" for t, u, s, d in failures
     )
+
+
+def test_triggered_dml_fuzz(eng, duck):
+    """Trigger-bearing tables under random DML (round 8): the engine
+    runs real AFTER INSERT/UPDATE/DELETE audit triggers; DuckDB runs
+    a per-statement emulation (VALUES / pre-image SELECTs). Base
+    table AND audit trail must match — covers firing, row images,
+    per-row multiplicity, and atomicity with PK enforcement."""
+    rng = random.Random(SEED + 2)
+    failures = []
+    for trial in range(8):
+        table = f"tz{trial}"
+        seq = dmlgen.gen_sequence_triggered(rng, table,
+                                            n_stmts=STMTS_PER_SEQ)
+        ok, detail = dmlgen.apply_triggered_pair(eng, duck, table, seq)
+        if not ok:
+            failures.append((trial, detail,
+                             [m for m, _d, _c in seq]))
+    assert not failures, "\n".join(
+        f"trial {t}: {d}\n  " + "\n  ".join(s) for t, d, s in failures
+    )
