@@ -1660,13 +1660,13 @@ class Engine:
         if has_old and event == "insert":
             raise ValueError("INSERT triggers have no OLD row")
         if (has_new or has_old) and not re.match(
-            r"INSERT\s+(?:IGNORE\s+)?INTO\s+.+?VALUES\s*\(",
-            stmt, re.I | re.S,
+            r"(?:INSERT|REPLACE|UPDATE|DELETE)\b",
+            stmt, re.I,
         ):
             raise NotImplementedError(
-                "trigger statements referencing NEW./OLD. "
-                "must be INSERT ... VALUES (set-based rewrite); "
-                f"got: {stmt[:60]!r}"
+                "trigger statements referencing NEW./OLD. must be DML "
+                "(INSERT ... VALUES runs set-based; other DML replays "
+                f"per affected row, capped); got: {stmt[:60]!r}"
             )
 
     def _exec_trigger(self, s: "st.TriggerStmt"):
@@ -1787,22 +1787,52 @@ class Engine:
                 )
                 if refs:
                     # INSERT ... VALUES (exprs) → set-based SELECT
-                    # over the affected-rows view (validated at
-                    # CREATE to be this shape)
+                    # over the affected-rows view
                     im = re.match(
                         r"(INSERT\s+(?:IGNORE\s+)?INTO\s+.+?)"
                         r"VALUES\s*\((.*)\)\s*$",
                         rewritten, re.I | re.S,
                     )
-                    if not im:
-                        raise ValueError(
-                            f"trigger {tg_name}: unsupported "
-                            f"body statement {stmt[:60]!r}"
+                    if im:
+                        rewritten = (
+                            f"{im.group(1)} SELECT {im.group(2)} "
+                            f"FROM {view}"
                         )
-                    rewritten = (
-                        f"{im.group(1)} SELECT {im.group(2)} "
-                        f"FROM {view}"
+                        self.execute(rewritten)
+                        continue
+                    # other DML reading the row image (UPDATE counters
+                    # SET n = n + NEW.qty, keyed DELETEs, …): MySQL
+                    # runs the body once per affected row — replay
+                    # with the image values bound as literals, bounded
+                    # like cursors (one statement per row, sequential
+                    # effects preserved)
+                    if trig_df is None:
+                        raise ValueError(
+                            f"trigger {tg_name}: no row image for "
+                            f"statement {stmt[:60]!r}"
+                        )
+                    img = trig_df.limit(
+                        self._TRIGGER_PERROW_CAP + 1).collect()
+                    if len(img) > self._TRIGGER_PERROW_CAP:
+                        raise NotImplementedError(
+                            f"trigger {tg_name}: NEW/OLD-referencing "
+                            f"body DML over "
+                            f">{self._TRIGGER_PERROW_CAP} affected "
+                            "rows (per-row replay is driver-bounded)"
+                        )
+                    cols = sorted(
+                        trig_df.columns, key=len, reverse=True
                     )
+                    for r in img:
+                        stmt_r = rewritten
+                        for c in cols:
+                            lit = self._render_literal(r[c])
+                            stmt_r = st.sub_outside_strings(
+                                rf"\b{re.escape(c)}\b",
+                                lambda _m, _v=lit: _v, stmt_r,
+                            )
+                        self.execute(stmt_r)
+                    continue
                 elif trig_df is not None:
                     rewritten, exact = self._rewrite_batch_trigger_dml(
                         rewritten, view, tg_name
@@ -6537,9 +6567,15 @@ class Engine:
                     "split the batch"
                 )
 
+        # ON UPDATE CURRENT_TIMESTAMP columns fire on the update arm
+        # for rows that actually change, unless explicitly assigned
+        # (MySQL semantics, reference TestOnUpdateExprScripts)
+        on_update = {c: e for c, e in (meta.on_update or {}).items()
+                     if c not in assignments and c in base_cols}
+
         if not intra and pk:
             n = self._on_dup_setbased(
-                t, base, df, levels, assignments, base_cols
+                t, base, df, levels, assignments, base_cols, on_update
             )
             if n is not None:
                 if set(assignments) & key_cols:
@@ -6550,11 +6586,11 @@ class Engine:
                     )
                 return n
         return self._on_dup_sequential(
-            t, base, df, levels, assignments, base_cols
+            t, base, df, levels, assignments, base_cols, on_update
         )
 
     def _on_dup_setbased(self, t, base, df, levels, assignments,
-                         base_cols):
+                         base_cols, on_update=None):
         """Distributed ON DUPLICATE KEY UPDATE: level-wise first-match
         cascade (rows that matched an earlier index leave the pool via
         anti-join before the next), one update projection, one write.
@@ -6594,15 +6630,25 @@ class Engine:
             if multi:
                 return None  # two batch rows hit one stored row
 
-        upd_sel = []
+        newvals = {}
         chg = F.lit(False)
         for c in base_cols:
             if c in assignments:
                 newv = F.expr(
                     self._on_dup_rewrite(assignments[c], base_cols)
                 ).cast(base.schema[c].dataType)
-                upd_sel.append(newv.alias(c))
+                newvals[c] = newv
                 chg = chg | ~newv.eqNullSafe(F.col(f"__t_{c}"))
+        upd_sel = []
+        for c in base_cols:
+            if c in newvals:
+                upd_sel.append(newvals[c].alias(c))
+            elif on_update and c in on_update:
+                upd_sel.append(
+                    F.when(chg, self._fragment(on_update[c]))
+                    .otherwise(F.col(f"__t_{c}"))
+                    .cast(base.schema[c].dataType).alias(c)
+                )
             else:
                 upd_sel.append(F.col(f"__t_{c}").alias(c))
         updated = matched.select(*upd_sel, chg.alias("__chg"))
@@ -6625,7 +6671,7 @@ class Engine:
         return n_new + 2 * n_chg
 
     def _on_dup_sequential(self, t, base, df, levels, assignments,
-                           base_cols):
+                           base_cols, on_update=None):
         """MySQL row-at-a-time parity for the order-dependent shapes
         (intra-batch duplicate keys, several batch rows hitting one
         stored row, unique-only tables): each batch row conflicts
@@ -6729,12 +6775,20 @@ class Engine:
                 ).cast(base.schema[c].dataType)
                 sel.append(newv.alias(c))
                 chg = chg | ~newv.eqNullSafe(F.col(f"__t_{c}"))
+            for c in on_update or ():
+                sel.append(
+                    self._fragment(on_update[c])
+                    .cast(base.schema[c].dataType).alias(c)
+                )
             res = local.select(*sel, chg.alias("__chg")).collect()
             for rr in res:
                 for c in assignments:
                     ents[rr["__eid"]][c] = rr[c]
                 if rr["__chg"]:
                     changed += 1
+                    for c in on_update or ():
+                        # fires only when the row actually changed
+                        ents[rr["__eid"]][c] = rr[c]
 
         # swap candidates out, final entity states in (the anti-join
         # mirrors candidate selection exactly — keys are static)

@@ -1860,10 +1860,61 @@ def parse_statement(sql: str, hash_comments: bool = True):
         )
         if dm:
             tail = body[dm.end() :]
-            body = body[: dm.start()].strip()
+            pre_body = body[: dm.start()]
+            # MySQL 8.0.19+ row alias: VALUES (…),(…) AS new [(c1,…)]
+            # ON DUPLICATE KEY UPDATE x = new.x — the modern spelling
+            # ORMs emit now that VALUES() is deprecated (8.0.20).
+            row_alias: str | None = None
+            alias_cols: list[str] | None = None
+            am = re.search(
+                r"(?i)\sAS\s+(`[^`]+`|\w+)\s*(?:\(([^)]*)\))?\s*$",
+                mask_strings(pre_body),
+            )
+            if am and pre_body.strip().upper().startswith("VALUE"):
+                row_alias = unquote_ident(am.group(1))
+                if am.group(2) is not None:
+                    alias_cols = [
+                        unquote_ident(c.strip())
+                        for c in pre_body[am.start(2):am.end(2)].split(",")
+                        if c.strip()
+                    ]
+                    if not columns:
+                        raise ValueError(
+                            "row alias column list (AS new (c1, …)) "
+                            "needs an explicit insert column list to "
+                            "resolve positions"
+                        )
+                    if len(alias_cols) != len(columns):
+                        raise ValueError(
+                            "row alias column list length must match "
+                            "the insert column list"
+                        )
+                pre_body = pre_body[: am.start()]
+            body = pre_body.strip()
             for part in split_top_level(tail, ","):
                 k, _, v = part.partition("=")
-                on_dup[unquote_ident(k)] = v.strip()
+                expr = v.strip()
+                if row_alias:
+                    def _alias_sub(em):
+                        c = unquote_ident(em.group(1))
+                        if alias_cols and c in alias_cols:
+                            c = columns[alias_cols.index(c)]
+                        return f"VALUES(`{c}`)"
+
+                    expr = sub_outside_strings(
+                        rf"\b{re.escape(row_alias)}\s*\.\s*"
+                        r"(`[^`]+`|\w+)",
+                        _alias_sub, expr, flags=re.I,
+                    )
+                    # column aliases are usable BARE (MySQL: AS new
+                    # (m, n) … UPDATE c = m); names shadow base
+                    # columns inside the clause
+                    for ac, real in zip(alias_cols or (), columns or ()):
+                        expr = sub_outside_strings(
+                            rf"(?<![\w.`]){re.escape(ac)}(?![\w`(])",
+                            f"VALUES(`{real}`)", expr, flags=re.I,
+                        )
+                on_dup[unquote_ident(k)] = expr
         # Postgres/DuckDB ON CONFLICT (reference: pg front door passes it
         # to DuckDB verbatim). DO NOTHING → IGNORE semantics; DO UPDATE →
         # the ON DUPLICATE path with excluded.col as the incoming row.

@@ -1529,3 +1529,60 @@ def test_last_insert_id_one_arg_sets_and_returns(engine):
         engine.execute(
             "UPDATE users SET id = LAST_INSERT_ID(id + 1) WHERE id = 1"
         )
+
+
+def test_on_duplicate_row_alias_form(engine):
+    """MySQL 8.0.19+ row alias: INSERT … VALUES … AS new [(cols)]
+    ON DUPLICATE KEY UPDATE c = new.c — the modern spelling ORMs emit
+    since VALUES() was deprecated in 8.0.20."""
+    engine.execute("CREATE TABLE roa (k VARCHAR(10) PRIMARY KEY, v INT)")
+    engine.execute("INSERT INTO roa VALUES ('a', 1)")
+    r = engine.execute(
+        "INSERT INTO roa VALUES ('a', 5), ('b', 7) AS new "
+        "ON DUPLICATE KEY UPDATE v = v + new.v"
+    )
+    assert r.affected_rows == 3  # 1 insert + 1 changing update
+    rows = {x.k: x.v for x in engine.execute("SELECT * FROM roa").collect()}
+    assert rows == {"a": 6, "b": 7}
+    # column-alias list, referenced bare AND qualified
+    engine.execute(
+        "INSERT INTO roa (k, v) VALUES ('a', 100) AS n (nk, nv) "
+        "ON DUPLICATE KEY UPDATE v = nv + n.nv"
+    )
+    assert engine.execute(
+        "SELECT v FROM roa WHERE k = 'a'").collect()[0].v == 200
+    # intra-batch duplicates work through the alias form too
+    engine.execute(
+        "INSERT INTO roa VALUES ('c', 1), ('c', 2) AS new "
+        "ON DUPLICATE KEY UPDATE v = v + new.v"
+    )
+    assert engine.execute(
+        "SELECT v FROM roa WHERE k = 'c'").collect()[0].v == 3
+
+
+def test_on_duplicate_fires_on_update_timestamp(engine):
+    """ON UPDATE CURRENT_TIMESTAMP columns refresh on the duplicate
+    arm when the row actually changes, and stay put on no-op updates
+    (MySQL semantics)."""
+    engine.execute(
+        "CREATE TABLE odts (k VARCHAR(10) PRIMARY KEY, v INT, "
+        "ts TIMESTAMP DEFAULT '2000-01-01 00:00:00' "
+        "ON UPDATE CURRENT_TIMESTAMP)"
+    )
+    engine.execute(
+        "INSERT INTO odts VALUES ('a', 1, '2000-01-01 00:00:00')")
+    engine.execute(
+        "INSERT INTO odts (k, v) VALUES ('a', 2) "
+        "ON DUPLICATE KEY UPDATE v = VALUES(v)"
+    )
+    row = engine.execute("SELECT * FROM odts").collect()[0]
+    assert row.v == 2
+    assert str(row.ts) != "2000-01-01 00:00:00"  # refreshed
+    changed_ts = row.ts
+    # no-op duplicate: value identical -> timestamp untouched
+    engine.execute(
+        "INSERT INTO odts (k, v) VALUES ('a', 2) "
+        "ON DUPLICATE KEY UPDATE v = VALUES(v)"
+    )
+    row = engine.execute("SELECT * FROM odts").collect()[0]
+    assert row.ts == changed_ts

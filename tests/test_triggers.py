@@ -249,10 +249,15 @@ def test_trigger_validation_rejections(eng):
         eng.execute("CREATE TRIGGER bad3 AFTER DELETE ON items "
                     "FOR EACH ROW INSERT INTO audit VALUES "
                     "('x', 'd', NEW.id, NULL)")
+    # round 8: NEW-referencing DML bodies beyond INSERT…VALUES are now
+    # ACCEPTED (per-row replay); only non-DML NEW/OLD refs are rejected
+    eng.execute("CREATE TRIGGER ok4 AFTER UPDATE ON items "
+                "FOR EACH ROW DELETE FROM audit WHERE "
+                "item_id = NEW.id")
+    eng.execute("DROP TRIGGER ok4")
     with pytest.raises(NotImplementedError):
         eng.execute("CREATE TRIGGER bad4 AFTER UPDATE ON items "
-                    "FOR EACH ROW DELETE FROM audit WHERE "
-                    "item_id = NEW.id")
+                    "FOR EACH ROW CALL audit_proc(NEW.id)")
 
 
 def test_drop_table_drops_triggers(eng):
@@ -641,3 +646,46 @@ def test_trigger_body_rejects_own_table_dml(eng):
             "CREATE TRIGGER bad2 AFTER UPDATE ON items FOR EACH ROW "
             "UPDATE items SET qty = 0"
         )
+
+
+def test_new_referencing_update_body_per_row(eng):
+    """Trigger body DML that READS the row image beyond INSERT…VALUES
+    (round 8): `UPDATE counters SET n = n + NEW.qty WHERE k = NEW.name`
+    — the classic aggregate-maintenance shape — replays once per
+    affected row with the image values bound as literals."""
+    eng.execute("CREATE TABLE counters (k VARCHAR(40) PRIMARY KEY, n INT)")
+    eng.execute("INSERT INTO counters VALUES ('a', 0), ('b', 100)")
+    eng.execute(
+        "CREATE TRIGGER agg AFTER INSERT ON items FOR EACH ROW "
+        "UPDATE counters SET n = n + NEW.qty WHERE k = NEW.name"
+    )
+    eng.execute("INSERT INTO items VALUES (1, 'a', 5, NULL), "
+                "(2, 'b', 7, NULL), (3, 'a', 3, NULL), "
+                "(4, 'zz', 9, NULL)")  # 'zz' matches no counter row
+    rows = {r.k: r.n for r in
+            eng.execute("SELECT * FROM counters").collect()}
+    assert rows == {"a": 8, "b": 107}
+
+    # OLD-referencing keyed DELETE on the delete path
+    eng.execute(
+        "CREATE TRIGGER cleanup AFTER DELETE ON items FOR EACH ROW "
+        "DELETE FROM counters WHERE k = OLD.name"
+    )
+    eng.execute("DELETE FROM items WHERE name = 'b'")
+    assert sorted(r.k for r in
+                  eng.execute("SELECT k FROM counters").collect()) == ["a"]
+
+
+def test_new_referencing_body_above_cap_raises(eng, monkeypatch):
+    from myduckserver_spark.engine import Engine
+
+    monkeypatch.setattr(Engine, "_TRIGGER_PERROW_CAP", 1)
+    eng.execute("CREATE TABLE counters (k VARCHAR(40) PRIMARY KEY, n INT)")
+    eng.execute("INSERT INTO counters VALUES ('a', 0)")
+    eng.execute(
+        "CREATE TRIGGER agg AFTER INSERT ON items FOR EACH ROW "
+        "UPDATE counters SET n = n + NEW.qty WHERE k = NEW.name"
+    )
+    with pytest.raises(NotImplementedError, match="per-row replay"):
+        eng.execute("INSERT INTO items VALUES (1, 'a', 5, NULL), "
+                    "(2, 'a', 7, NULL)")
