@@ -6224,11 +6224,23 @@ class Engine:
 
         if s.on_dup and (
                 meta.primary_key or self._unique_key_list(meta, df.columns)):
-            n = self._insert_on_duplicate(
+            # MySQL trigger semantics under ON DUPLICATE: BEFORE INSERT
+            # already ran for every batch row (above — MySQL fires it
+            # before the conflict is detected); AFTER INSERT fires only
+            # for rows that actually INSERTED, and the update arm fires
+            # AFTER UPDATE with its own old/new pair.
+            n, ins_img, upd_pairs = self._insert_on_duplicate(
                 s.table, df.select(*[f.name for f in base_schema.fields]),
                 meta, s.on_dup,
+                want_insert_image=bool(
+                    self._triggers_for(s.table, "insert", "after")),
+                want_update_pairs=bool(
+                    self._triggers_for(s.table, "update", "after")),
             )
-            _fire_insert_triggers()
+            if ins_img is not None:
+                _fire_insert_triggers(ins_img)
+            if upd_pairs is not None:
+                self._fire_after_triggers(s.table, "update", upd_pairs)
             return OkResult(affected_rows=n)
         trig_image: DataFrame | None = None
         if auto_missing:
@@ -6513,7 +6525,9 @@ class Engine:
     def _insert_on_duplicate(
         self, name: str, df: DataFrame, meta: st.TableMeta,
         assignments: dict[str, str],
-    ) -> int:
+        want_insert_image: bool = False,
+        want_update_pairs: bool = False,
+    ) -> tuple:
         """INSERT ... ON DUPLICATE KEY UPDATE (reference:
         TestInsertDuplicateKeyKeyless main_test.go:851; applied by the
         GMS layer). A row that conflicts with a stored row on the PK
@@ -6574,28 +6588,33 @@ class Engine:
                      if c not in assignments and c in base_cols}
 
         if not intra and pk:
-            n = self._on_dup_setbased(
-                t, base, df, levels, assignments, base_cols, on_update
+            res = self._on_dup_setbased(
+                t, base, df, levels, assignments, base_cols, on_update,
+                want_insert_image, want_update_pairs,
             )
-            if n is not None:
+            if res is not None:
                 if set(assignments) & key_cols:
                     self._enforce_unique_post(
                         t.read(),
                         self._unique_targets(meta, set(assignments)),
                         name,
                     )
-                return n
+                return res
         return self._on_dup_sequential(
-            t, base, df, levels, assignments, base_cols, on_update
+            t, base, df, levels, assignments, base_cols, on_update,
+            want_insert_image, want_update_pairs,
         )
 
     def _on_dup_setbased(self, t, base, df, levels, assignments,
-                         base_cols, on_update=None):
+                         base_cols, on_update=None,
+                         want_insert_image=False,
+                         want_update_pairs=False):
         """Distributed ON DUPLICATE KEY UPDATE: level-wise first-match
         cascade (rows that matched an earlier index leave the pool via
         anti-join before the next), one update projection, one write.
-        Returns None when a stored row is matched by more than one
-        batch row — order-dependent, handled sequentially."""
+        Returns (affected, inserted_image, update_pairs) — or None
+        when a stored row is matched by more than one batch row
+        (order-dependent, handled sequentially)."""
         from functools import reduce as _reduce
 
         pk = levels[0][1]  # caller guarantees PRIMARY first
@@ -6653,6 +6672,19 @@ class Engine:
                 upd_sel.append(F.col(f"__t_{c}").alias(c))
         updated = matched.select(*upd_sel, chg.alias("__chg"))
 
+        ins_img = None
+        if want_insert_image:
+            ins_img = rem.select(
+                *[F.col(f"__n_{c}").alias(c) for c in base_cols]
+            ).localCheckpoint()
+        upd_pairs = None
+        if want_update_pairs:
+            pair = [F.col(f"__t_{c}").alias(f"old_{c}")
+                    for c in base_cols]
+            for c, sel_c in zip(base_cols, upd_sel):
+                pair.append(sel_c.alias(f"new_{c}"))
+            upd_pairs = matched.select(*pair).localCheckpoint()
+
         n_new = rem.count()
         n_chg = updated.where("__chg").count()
         untouched = base.join(
@@ -6668,10 +6700,12 @@ class Engine:
                 )
             )
         )
-        return n_new + 2 * n_chg
+        return n_new + 2 * n_chg, ins_img, upd_pairs
 
     def _on_dup_sequential(self, t, base, df, levels, assignments,
-                           base_cols, on_update=None):
+                           base_cols, on_update=None,
+                           want_insert_image=False,
+                           want_update_pairs=False):
         """MySQL row-at-a-time parity for the order-dependent shapes
         (intra-batch duplicate keys, several batch rows hitting one
         stored row, unique-only tables): each batch row conflicts
@@ -6727,6 +6761,10 @@ class Engine:
         n_stored = len(ents)
 
         inserts = 0
+        inserted_rows: list[tuple] = []  # initial values (MySQL: the
+        # AFTER INSERT image is the row as inserted, before any later
+        # duplicate in the same batch updates it)
+        pair_rows: list[tuple] = []
         chains: dict[int, list] = {}
         for r in batch:
             eid = None
@@ -6742,6 +6780,9 @@ class Engine:
                 ents.append(vals)
                 register(len(ents) - 1, vals)
                 inserts += 1
+                if want_insert_image:
+                    inserted_rows.append(
+                        tuple(vals[c] for c in base_cols))
             else:
                 chains.setdefault(eid, []).append(r)
 
@@ -6782,13 +6823,21 @@ class Engine:
                 )
             res = local.select(*sel, chg.alias("__chg")).collect()
             for rr in res:
+                eid = rr["__eid"]
+                old_vals = tuple(ents[eid][c] for c in base_cols) \
+                    if want_update_pairs else None
                 for c in assignments:
-                    ents[rr["__eid"]][c] = rr[c]
+                    ents[eid][c] = rr[c]
                 if rr["__chg"]:
                     changed += 1
                     for c in on_update or ():
                         # fires only when the row actually changed
-                        ents[rr["__eid"]][c] = rr[c]
+                        ents[eid][c] = rr[c]
+                if want_update_pairs:
+                    pair_rows.append(
+                        old_vals
+                        + tuple(ents[eid][c] for c in base_cols)
+                    )
 
         # swap candidates out, final entity states in (the anti-join
         # mirrors candidate selection exactly — keys are static)
@@ -6806,10 +6855,27 @@ class Engine:
             [tuple(e[c] for c in base_cols) for e in ents], out_schema
         ) if ents else base.limit(0)
         t.overwrite(kept.select(*base_cols).unionByName(ents_df))
+        ins_img = None
+        if want_insert_image:
+            ins_img = self.spark.createDataFrame(
+                inserted_rows, out_schema
+            ) if inserted_rows else base.limit(0)
+        upd_pairs = None
+        if want_update_pairs:
+            pair_schema = T.StructType(
+                [T.StructField(f"old_{f.name}", f.dataType, True)
+                 for f in base.schema.fields]
+                + [T.StructField(f"new_{f.name}", f.dataType, True)
+                   for f in base.schema.fields]
+            )
+            upd_pairs = self.spark.createDataFrame(
+                pair_rows, pair_schema
+            ) if pair_rows else self.spark.createDataFrame(
+                [], pair_schema)
         # MySQL affected-rows: 1/insert, 2/changing update, 0/no-op;
         # n_stored candidates that received no update contribute 0
         _ = n_stored
-        return inserts + 2 * changed
+        return inserts + 2 * changed, ins_img, upd_pairs
 
     def _row_cap_cond(
         self, table: str, cond: Column, order_by: str | None, limit: int

@@ -689,3 +689,39 @@ def test_new_referencing_body_above_cap_raises(eng, monkeypatch):
     with pytest.raises(NotImplementedError, match="per-row replay"):
         eng.execute("INSERT INTO items VALUES (1, 'a', 5, NULL), "
                     "(2, 'a', 7, NULL)")
+
+
+def test_on_duplicate_fires_insert_and_update_arms(eng):
+    """Under INSERT … ON DUPLICATE KEY UPDATE, AFTER INSERT fires only
+    for rows that actually inserted and AFTER UPDATE fires for the
+    duplicate arm with its own old/new pair (MySQL event model)."""
+    eng.execute(
+        "CREATE TRIGGER ai AFTER INSERT ON items FOR EACH ROW "
+        "INSERT INTO audit VALUES ('items', 'ins', NEW.id, NEW.name)"
+    )
+    eng.execute(
+        "CREATE TRIGGER au AFTER UPDATE ON items FOR EACH ROW "
+        "INSERT INTO audit VALUES ('items', 'upd', OLD.id, "
+        "CONCAT(OLD.name, '->', NEW.name))"
+    )
+    eng.execute("INSERT INTO items VALUES (1, 'a', 1, NULL)")
+    eng.execute("DELETE FROM audit")
+    # one duplicate (update arm), one fresh row (insert arm)
+    eng.execute(
+        "INSERT INTO items (id, name) VALUES (1, 'z'), (2, 'b') "
+        "ON DUPLICATE KEY UPDATE name = VALUES(name)"
+    )
+    got = sorted((r.op, r.item_id, r.detail) for r in
+                 eng.execute("SELECT * FROM audit").collect())
+    assert got == [("ins", 2, "b"), ("upd", 1, "a->z")]
+    # sequential tier (intra-batch duplicate): insert arm fires with
+    # the ORIGINAL inserted values; each duplicate occurrence fires
+    # the update arm once
+    eng.execute("DELETE FROM audit")
+    eng.execute(
+        "INSERT INTO items (id, name) VALUES (7, 'p'), (7, 'q') "
+        "ON DUPLICATE KEY UPDATE name = VALUES(name)"
+    )
+    got = sorted((r.op, r.item_id, r.detail) for r in
+                 eng.execute("SELECT * FROM audit").collect())
+    assert got == [("ins", 7, "p"), ("upd", 7, "p->q")]
