@@ -490,3 +490,74 @@ def eng_view_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.sql(
         "SELECT k, CAST(round(v, 2) AS DOUBLE) AS v FROM t_vd ORDER BY k"
     )
+
+
+@register(
+    "eng_on_dup_batch",
+    oracle="""
+    WITH seeded AS (
+        SELECT o_orderkey AS k, CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS v
+        FROM orders WHERE o_orderkey <= 20
+    ),
+    after_chain AS (
+        -- the batch (1,10),(1,5),(2,7),(21,3),(21,4),(22,1) applied
+        -- row-at-a-time with v = v + VALUES(v): k=1 takes +10 then +5,
+        -- k=2 takes +7, k=21 inserts 3 then updates to 7, k=22 inserts
+        SELECT k,
+               CASE WHEN k = 1 THEN v + 15
+                    WHEN k = 2 THEN v + 7
+                    ELSE v END AS v
+        FROM seeded
+        UNION ALL SELECT 21, CAST(7 AS DOUBLE)
+        UNION ALL SELECT 22, CAST(1 AS DOUBLE)
+    ),
+    uq AS (
+        -- unique-index matching: base (1,'a',10),(2,'b',20); batch
+        -- (9,'a',90) updates row 1 via UNIQUE(e), (3,'c',30) inserts
+        SELECT * FROM (VALUES
+            (CAST(1001 AS BIGINT), CAST(90 AS DOUBLE)),
+            (CAST(1002 AS BIGINT), CAST(20 AS DOUBLE)),
+            (CAST(1003 AS BIGINT), CAST(30 AS DOUBLE))
+        ) t(k, v)
+    )
+    SELECT k, CAST(ROUND(v, 2) AS DOUBLE) AS v FROM after_chain
+    UNION ALL
+    SELECT k, v FROM uq
+    ORDER BY k
+    """,
+    tags=("engine", "dml", "on-duplicate", "intra-batch", "unique-index"),
+)
+def eng_on_dup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 ON DUPLICATE KEY UPDATE semantics end-to-end: an
+    intra-batch duplicate-key chain applied row-at-a-time (MySQL
+    sequential semantics, the driver-resolved tier) AND conflict
+    resolution via a UNIQUE index (first-match precedence, the
+    distributed tier), verified against a pure-SQL reconstruction
+    (reference: GMS row-at-a-time exec, main_test.go:851)."""
+    eng = _fresh_engine(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    eng.execute("CREATE TABLE t_odb (k BIGINT PRIMARY KEY, v DOUBLE)")
+    eng.execute(
+        "INSERT INTO t_odb SELECT o_orderkey, "
+        "CAST(ROUND(o_totalprice, 2) AS DOUBLE) FROM orders "
+        "WHERE o_orderkey <= 20"
+    )
+    eng.execute(
+        "INSERT INTO t_odb VALUES (1, 10), (1, 5), (2, 7), (21, 3), "
+        "(21, 4), (22, 1) ON DUPLICATE KEY UPDATE v = v + VALUES(v)"
+    )
+    eng.execute(
+        "CREATE TABLE t_odu (id BIGINT PRIMARY KEY, e VARCHAR(10), "
+        "v DOUBLE, UNIQUE KEY uq_e (e))"
+    )
+    eng.execute("INSERT INTO t_odu VALUES (1,'a',10), (2,'b',20)")
+    eng.execute(
+        "INSERT INTO t_odu VALUES (9,'a',90), (3,'c',30) "
+        "ON DUPLICATE KEY UPDATE v = VALUES(v)"
+    )
+    return eng.sql(
+        "SELECT k, CAST(round(v, 2) AS DOUBLE) AS v FROM t_odb "
+        "UNION ALL "
+        "SELECT id + 1000 AS k, v FROM t_odu "
+        "ORDER BY k"
+    )

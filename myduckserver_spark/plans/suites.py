@@ -275,6 +275,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "eng_ddl_catalog", "eng_prepared_exec",
         "eng_table_changes", "eng_partitioned_prune", "eng_vector_search",
         "eng_rowcap_dml", "cdc_condense", "eng_view_dml",
+        "eng_on_dup_batch",
     ),
     # Event-stream analytics (batch twins of the streaming operators).
     "suite_events": (
