@@ -795,29 +795,70 @@ class Engine:
                 # visible in the view. The source (VALUES list or
                 # SELECT) is evaluated ONCE against the view predicate
                 # before any write (MySQL error 1369 on violation).
-                ck_cols = cols or [
-                    f.name for f in
-                    self.catalog.table(base).read().schema.fields
-                ]
+                # Columns the INSERT omits are folded in as their
+                # declared DEFAULT (NULL when none) and generated
+                # columns as their expressions — MySQL evaluates the
+                # check against the full post-default row image.
+                base_schema = self.catalog.table(base).read().schema
+                bmeta = self.table_meta(base)
+                ck_cols = cols or [f.name for f in base_schema.fields]
+                provided = {
+                    st.unquote_ident(c).lower() for c in ck_cols
+                }
+                fill, gen = [], []
+                for f_ in base_schema.fields:
+                    if f_.name.lower() in provided:
+                        continue
+                    if f_.name in bmeta.generated:
+                        gen.append(
+                            f"({bmeta.generated[f_.name]}) "
+                            f"AS `{f_.name}`"
+                        )
+                        continue
+                    if (f_.name == bmeta.auto_increment
+                            and re.search(
+                                rf"\b{re.escape(f_.name)}\b",
+                                vwhere, re.I)):
+                        # the auto id is assigned during the write;
+                        # its value is unknowable at check time
+                        raise NotImplementedError(
+                            f"WITH CHECK OPTION on view {name}: the "
+                            "view predicate references the "
+                            "AUTO_INCREMENT column the INSERT does "
+                            "not provide"
+                        )
+                    dt = f_.dataType.simpleString()
+                    fill.append(
+                        f"CAST({self._render_literal(bmeta.defaults.get(f_.name))} "
+                        f"AS {dt}) AS `{f_.name}`"
+                    )
                 src = s.query if s.query else "VALUES " + ", ".join(
                     "(" + ", ".join(
                         self._render_literal(v) for v in row
                     ) + ")"
                     for row in (s.rows or [])
                 )
+                img = (
+                    f"SELECT *{''.join(', ' + x for x in fill)} "
+                    f"FROM ({src}) AS "
+                    f"__ck({', '.join(f'`{c}`' for c in ck_cols)})"
+                )
+                if gen:
+                    img = (
+                        f"SELECT *{''.join(', ' + x for x in gen)} "
+                        f"FROM ({img})"
+                    )
                 try:
                     hit = self.sql(
-                        f"SELECT 1 FROM ({src}) AS "
-                        f"__ck({', '.join(f'`{c}`' for c in ck_cols)}) "
+                        f"SELECT 1 FROM ({img}) "
                         f"WHERE NOT coalesce(({vwhere}), false) LIMIT 1",
                         dialect=dialect,
                     ).collect()
                 except AnalysisException as e:
                     raise NotImplementedError(
-                        f"WITH CHECK OPTION on view {name}: the view "
-                        "predicate references a column the INSERT "
-                        "does not provide (defaults are not folded "
-                        "into the check)"
+                        f"WITH CHECK OPTION on view {name}: could "
+                        "not evaluate the view predicate over the "
+                        "insert's post-default row image"
                     ) from e
                 if hit:
                     raise ValueError(
@@ -3441,23 +3482,54 @@ class Engine:
         predicate. Mirrors _row_cap_cond; n is the user's explicit
         LIMIT, inherently small."""
         meta = self.table_meta(table)
-        if len(meta.primary_key) != 1:
-            raise ValueError(
-                f"UPDATE/DELETE ... LIMIT needs a single-column primary "
-                f"key on {table}"
-            )
-        pk = meta.primary_key[0]
-        order_clause = order_by if order_by else f"`{pk}` ASC"
+        pks = self._limit_dml_pks(meta, table)
+        order_clause = order_by if order_by else ", ".join(
+            f"`{c}` ASC" for c in pks)
         rows = self.sql(
-            f"{pre}SELECT `{pk}` FROM `{table}` "
+            f"{pre}SELECT {', '.join(f'`{c}`' for c in pks)} "
+            f"FROM `{table}` "
             f"WHERE coalesce(({where}), false) "
             f"ORDER BY {order_clause} LIMIT {int(limit)}",
             dialect=dialect,
         ).collect()
+        return self._pk_membership_sql(pks, [tuple(r) for r in rows])
+
+    @staticmethod
+    def _limit_dml_pks(meta, table: str) -> list[str]:
+        """UPDATE/DELETE ... LIMIT needs a PRIMARY KEY to identify the
+        first n rows (MySQL needs a deterministic order for LIMIT to
+        be well-defined too); any arity works — membership collects
+        the full key tuple."""
+        pks = list(meta.primary_key or [])
+        if not pks:
+            raise ValueError(
+                f"UPDATE/DELETE ... LIMIT needs a primary key on "
+                f"{table}"
+            )
+        return pks
+
+    def _pk_membership_sql(
+        self, pks: list[str], rows: list[tuple], qual: str | None = None
+    ) -> str:
+        """Render an n-row PK-membership predicate (bounded by the
+        user's explicit LIMIT): single-column keys as `pk IN (...)`,
+        composite keys as an OR of per-row conjunctions (Spark's
+        tuple-IN needs exact struct type equality, so literal
+        conjunctions are the robust form)."""
         if not rows:
             return "FALSE"
-        vals = ", ".join(self._render_literal(r[0]) for r in rows)
-        return f"`{pk}` IN ({vals})"
+        p = f"`{qual}`." if qual else ""
+        if len(pks) == 1:
+            vals = ", ".join(self._render_literal(v) for (v,) in rows)
+            return f"{p}`{pks[0]}` IN ({vals})"
+        terms = " OR ".join(
+            "(" + " AND ".join(
+                f"{p}`{c}` = {self._render_literal(v)}"
+                for c, v in zip(pks, rid)
+            ) + ")"
+            for rid in rows
+        )
+        return f"({terms})"
 
     def _multi_row_cap(
         self,
@@ -3478,13 +3550,13 @@ class Engine:
         join matches) — and return the PK-membership predicate. The
         collect is bounded by the user's explicit LIMIT."""
         meta = self.table_meta(table)
-        if len(meta.primary_key) != 1:
-            raise ValueError(
-                f"UPDATE/DELETE ... LIMIT needs a single-column primary "
-                f"key on {table}"
-            )
-        pk = meta.primary_key[0]
-        order_clause = order_by if order_by else f"`{qual}`.`{pk}` ASC"
+        pks = self._limit_dml_pks(meta, table)
+        pk_alias = [f"__pk_{j}" for j in range(len(pks))]
+        pk_sel = ", ".join(
+            f"`{qual}`.`{c}` AS {a}" for c, a in zip(pks, pk_alias))
+        pk_grp = ", ".join(f"`{qual}`.`{c}`" for c in pks)
+        order_clause = order_by if order_by else ", ".join(
+            f"`{qual}`.`{c}` ASC" for c in pks)
         where_sql = f"WHERE {where} " if where else ""
         items = [
             i.strip() for i in st.split_top_level(order_clause, ",")
@@ -3512,28 +3584,28 @@ class Engine:
                 else exprs[0]
             )
             cap_sql = (
-                f"{pre}SELECT __pk FROM ("
-                f"SELECT `{qual}`.`{pk}` AS __pk, {agg}({key}) AS __k "
+                f"{pre}SELECT {', '.join(pk_alias)} FROM ("
+                f"SELECT {pk_sel}, {agg}({key}) AS __k "
                 f"FROM {refs} {where_sql}"
-                f"GROUP BY `{qual}`.`{pk}`) "
-                f"ORDER BY __k {d}, __pk LIMIT {int(limit)}"
+                f"GROUP BY {pk_grp}) "
+                f"ORDER BY __k {d}, {', '.join(pk_alias)} "
+                f"LIMIT {int(limit)}"
             )
         else:
             # Mixed ASC/DESC keys: no aggregate expresses the
             # lexicographic best — global rank fallback (bounded by
             # the user's LIMIT; accepts the single-partition window).
             cap_sql = (
-                f"{pre}SELECT __pk FROM ("
-                f"SELECT `{qual}`.`{pk}` AS __pk, "
+                f"{pre}SELECT {', '.join(pk_alias)} FROM ("
+                f"SELECT {pk_sel}, "
                 f"ROW_NUMBER() OVER (ORDER BY {order_clause}) AS __rn "
                 f"FROM {refs} {where_sql}) "
-                f"GROUP BY __pk ORDER BY MIN(__rn) LIMIT {int(limit)}"
+                f"GROUP BY {', '.join(pk_alias)} "
+                f"ORDER BY MIN(__rn) LIMIT {int(limit)}"
             )
         rows = self.sql(cap_sql, dialect=dialect).collect()
-        if not rows:
-            return "FALSE"
-        vals = ", ".join(self._render_literal(r[0]) for r in rows)
-        return f"`{qual}`.`{pk}` IN ({vals})"
+        return self._pk_membership_sql(
+            pks, [tuple(r) for r in rows], qual=qual)
 
     # Above this many touched files the pruned rewrite stops paying
     # for itself (link bookkeeping + per-file scan setup) and the plain
@@ -3610,14 +3682,15 @@ class Engine:
         sequential chain walked driver-side over key columns only
         (pk-ascending — MySQL's usual scan order — bounded like
         cursors; row data never leaves the cluster)."""
-        if len(meta.primary_key or []) != 1:
+        pks = list(meta.primary_key or [])
+        if not pks:
             raise NotImplementedError(
                 "UPDATE IGNORE assigning a key column needs a "
-                f"single-column primary key on {table}"
+                f"PRIMARY KEY on {table}"
             )
-        pk = meta.primary_key[0]
+        pk_alias = [f"__pk_{j}" for j in range(len(pks))]
         base_schema = self.catalog.table(table).read().schema
-        sel = [f"`{pk}` AS __pk"]
+        sel = [f"`{c}` AS {a}" for c, a in zip(pks, pk_alias)]
         for i, (_iname, icols, _ex) in enumerate(key_targets):
             for c in icols:
                 sel.append(f"`{c}` AS __o{i}_{c}")
@@ -3648,9 +3721,9 @@ class Engine:
                 cond = eq if cond is None else (cond & eq)
             hit = (
                 aff.join(un.alias("u"), cond, "left_semi")
-                .select("__pk").withColumn("__h", F.lit(True))
+                .select(*pk_alias).withColumn("__h", F.lit(True))
             )
-            aff = aff.join(hit, "__pk", "left").withColumn(
+            aff = aff.join(hit, pk_alias, "left").withColumn(
                 f"__b{i}", F.coalesce("__h", F.lit(False))
             ).drop("__h")
             flag = flag | F.col(f"__b{i}")
@@ -3665,6 +3738,9 @@ class Engine:
                 f">{self._CHAIN_WALK_CAP} affected rows: narrow the "
                 "WHERE (sequential skip chains resolve driver-side)"
             )
+        def _rid(r):
+            return tuple(r[a] for a in pk_alias)
+
         live: list[dict] = []
         for i, (_iname, icols, null_exempt) in enumerate(key_targets):
             d = {}
@@ -3672,10 +3748,10 @@ class Engine:
                 kv = tuple(r[f"__o{i}_{c}"] for c in icols)
                 if null_exempt and any(v is None for v in kv):
                     continue
-                d[kv] = r["__pk"]
+                d[kv] = _rid(r)
             live.append(d)
         skipped = []
-        for r in sorted(rows, key=lambda r: r["__pk"]):
+        for r in sorted(rows, key=_rid):
             ok = not r["__bc"]
             if ok:
                 for i, (_iname, icols, null_exempt) in enumerate(
@@ -3684,27 +3760,38 @@ class Engine:
                     if null_exempt and any(v is None for v in nk):
                         continue
                     owner = live[i].get(nk)
-                    if owner is not None and owner != r["__pk"]:
+                    if owner is not None and owner != _rid(r):
                         ok = False
                         break
             if not ok:
-                skipped.append(r["__pk"])
+                skipped.append(_rid(r))
                 continue
             for i, (_iname, icols, null_exempt) in enumerate(key_targets):
                 ok_t = tuple(r[f"__o{i}_{c}"] for c in icols)
                 nk = tuple(r[f"__n{i}_{c}"] for c in icols)
-                if live[i].get(ok_t) == r["__pk"]:
+                if live[i].get(ok_t) == _rid(r):
                     del live[i][ok_t]
                 if not (null_exempt and any(v is None for v in nk)):
-                    live[i][nk] = r["__pk"]
+                    live[i][nk] = _rid(r)
         if skipped:
             self._push_warning(
                 1062,
                 f"{len(skipped)} row(s) skipped by UPDATE IGNORE "
                 "(duplicate key)", level="Warning",
             )
-            ids = ", ".join(self._render_literal(v) for v in skipped)
-            where = f"({where}) AND `{pk}` NOT IN ({ids})"
+            if len(pks) == 1:
+                ids = ", ".join(
+                    self._render_literal(v) for (v,) in skipped)
+                where = f"({where}) AND `{pks[0]}` NOT IN ({ids})"
+            else:
+                terms = " OR ".join(
+                    "(" + " AND ".join(
+                        f"`{c}` = {self._render_literal(v)}"
+                        for c, v in zip(pks, rid)
+                    ) + ")"
+                    for rid in skipped
+                )
+                where = f"({where}) AND NOT ({terms})"
         return where
 
     def _exec_update_subquery(self, s: st.Update, dialect: str) -> OkResult:
@@ -6884,15 +6971,12 @@ class Engine:
         condition selecting the first n matching rows by PK. The PK
         list collects to the driver — n is the user's explicit LIMIT,
         inherently small; the rewrite itself stays a single filtered
-        scan. Requires a single-column PK (MySQL needs a deterministic
-        order to make LIMIT well-defined too)."""
+        scan. Requires a PRIMARY KEY of any arity (MySQL needs a
+        deterministic order to make LIMIT well-defined too)."""
+        from functools import reduce as _reduce
+
         meta = self.table_meta(table)
-        if len(meta.primary_key) != 1:
-            raise ValueError(
-                f"UPDATE/DELETE ... LIMIT needs a single-column primary "
-                f"key on {table}"
-            )
-        pk = meta.primary_key[0]
+        pks = self._limit_dml_pks(meta, table)
         sel = self.catalog.table(table).read().filter(cond)
         if order_by:
             orders = []
@@ -6904,9 +6988,23 @@ class Engine:
                 orders.append(c.desc() if desc else c.asc())
             sel = sel.orderBy(*orders)
         else:
-            sel = sel.orderBy(F.col(pk).asc())  # deterministic default
-        pks = [r[0] for r in sel.select(pk).limit(limit).collect()]
-        return F.col(pk).isin(pks)
+            sel = sel.orderBy(  # deterministic default
+                *[F.col(c).asc() for c in pks])
+        rows = sel.select(*pks).limit(limit).collect()
+        if len(pks) == 1:
+            return F.col(pks[0]).isin([r[0] for r in rows])
+        if not rows:
+            return F.lit(False)
+        return _reduce(
+            lambda a, b: a | b,
+            (
+                _reduce(
+                    lambda a, b: a & b,
+                    (F.col(c) == F.lit(v) for c, v in zip(pks, r)),
+                )
+                for r in rows
+            ),
+        )
 
     # FROM 'file.parquet' / FROM read_parquet('file') direct-file sugar.
     # Matched on the RAW text (the path IS a string literal, which the

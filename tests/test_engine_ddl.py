@@ -275,6 +275,48 @@ def test_view_with_check_option(spark, tmp_path):
     assert e.execute("SELECT v FROM t WHERE id = 4").collect()[0].v == -4
 
 
+def test_view_check_option_folds_defaults(spark, tmp_path):
+    """WITH CHECK OPTION over an INSERT that omits predicate columns:
+    the omitted columns take their declared DEFAULT (NULL when none)
+    and generated columns their expressions before the check runs —
+    MySQL evaluates the option against the post-default row image."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE t (id INT PRIMARY KEY, st VARCHAR(10) "
+              "DEFAULT 'open', v INT)")
+    e.execute("CREATE VIEW openv AS SELECT id, st, v FROM t "
+              "WHERE st = 'open' WITH CHECK OPTION")
+    # st omitted → default 'open' satisfies the predicate
+    e.execute("INSERT INTO openv (id, v) VALUES (1, 10)")
+    assert e.execute(
+        "SELECT st FROM t WHERE id = 1").collect()[0].st == "open"
+    # explicit out-of-view value still fails
+    with pytest.raises(ValueError, match="CHECK OPTION failed"):
+        e.execute("INSERT INTO openv (id, st, v) VALUES (2, 'done', 1)")
+    # no-default column folds as NULL → predicate not satisfied
+    e.execute("CREATE TABLE t2 (id INT PRIMARY KEY, v INT)")
+    e.execute("CREATE VIEW posv AS SELECT id, v FROM t2 WHERE v > 0 "
+              "WITH CHECK OPTION")
+    with pytest.raises(ValueError, match="CHECK OPTION failed"):
+        e.execute("INSERT INTO posv (id) VALUES (1)")
+    # generated column folds as its expression
+    e.execute("CREATE TABLE t3 (id INT PRIMARY KEY, a INT, "
+              "b INT AS (a * 2))")
+    e.execute("CREATE VIEW bigb AS SELECT id, a, b FROM t3 "
+              "WHERE b >= 10 WITH CHECK OPTION")
+    e.execute("INSERT INTO bigb (id, a) VALUES (1, 5)")
+    with pytest.raises(ValueError, match="CHECK OPTION failed"):
+        e.execute("INSERT INTO bigb (id, a) VALUES (2, 4)")
+    # predicate over an unprovided AUTO_INCREMENT id: honest rejection
+    e.execute("CREATE TABLE t4 (id INT PRIMARY KEY AUTO_INCREMENT, "
+              "v INT)")
+    e.execute("CREATE VIEW lowid AS SELECT id, v FROM t4 "
+              "WHERE id < 100 WITH CHECK OPTION")
+    with pytest.raises(NotImplementedError, match="AUTO_INCREMENT"):
+        e.execute("INSERT INTO lowid (v) VALUES (1)")
+
+
 def test_inline_index_clauses_recorded(spark, tmp_path):
     """CREATE TABLE inline KEY/INDEX/UNIQUE clauses (with optional
     column prefixes, as mysqldump emits) land in table metadata:

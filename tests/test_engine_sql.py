@@ -749,6 +749,46 @@ def test_update_limit_with_subquery(spark, tmp_path):
     assert got == {1: 10, 2: 20, 3: 30, 4: 40, 5: 51, 6: 61}
 
 
+def test_limit_dml_composite_pk(spark, tmp_path):
+    """UPDATE/DELETE ... ORDER BY ... LIMIT on composite-PK tables:
+    the row cap collects full key tuples and renders a per-row
+    conjunction membership predicate (all three cap paths — direct,
+    subquery-WHERE, multi-table)."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE cl (a INT, b INT, v INT, "
+              "PRIMARY KEY (a, b))")
+    for a in (1, 2):
+        for b in (1, 2, 3):
+            e.execute(f"INSERT INTO cl VALUES ({a}, {b}, {a * 10 + b})")
+    # direct path: two largest v rows update
+    r = e.execute("UPDATE cl SET v = v + 100 ORDER BY v DESC LIMIT 2")
+    assert r.affected_rows == 2
+    got = {(x.a, x.b): x.v for x in e.sql("SELECT * FROM cl").collect()}
+    assert got[(2, 3)] == 123 and got[(2, 2)] == 122
+    assert got[(1, 1)] == 11
+    # subquery-WHERE path
+    r = e.execute(
+        "DELETE FROM cl WHERE v > (SELECT MIN(v) FROM cl) "
+        "ORDER BY v ASC LIMIT 2"
+    )
+    assert r.affected_rows == 2  # v=12, v=13 go
+    assert sorted(got := [
+        (x.a, x.b) for x in e.sql("SELECT a, b FROM cl").collect()
+    ]) == [(1, 1), (2, 1), (2, 2), (2, 3)]
+    # multi-table path: JOIN-driven update capped to 1 row
+    e.execute("CREATE TABLE bump (a INT PRIMARY KEY, amt INT)")
+    e.execute("INSERT INTO bump VALUES (2, 1000)")
+    r = e.execute(
+        "UPDATE cl JOIN bump ON cl.a = bump.a "
+        "SET cl.v = cl.v + bump.amt ORDER BY cl.b DESC LIMIT 1"
+    )
+    assert r.affected_rows == 1
+    vals = {(x.a, x.b): x.v for x in e.sql("SELECT * FROM cl").collect()}
+    assert vals[(2, 3)] == 1123 and vals[(2, 2)] == 122
+
+
 def test_delete_limit_with_cte(spark, tmp_path):
     from myduckserver_spark.engine import Engine
 
@@ -1317,6 +1357,38 @@ def test_update_ignore_skips_key_conflicts(engine):
     assert sorted(
         x.e for x in engine.execute("SELECT e FROM uik2").collect()
     ) == ["b", "z"]
+
+
+def test_update_ignore_key_conflicts_composite_pk(engine):
+    """UPDATE IGNORE key-conflict chains work on composite-PK tables
+    too: the driver walk keys rows by the full PK tuple (MySQL walks
+    the clustered index in (a,b) order). Shifting b over {(1,1),(1,2),
+    (1,3)} skips (1,1)→(1,2) and (1,2)→(1,3), applies (1,3)→(1,4)."""
+    engine.execute(
+        "CREATE TABLE cik (a INT, b INT, v INT, PRIMARY KEY (a, b))")
+    engine.execute(
+        "INSERT INTO cik VALUES (1,1,10), (1,2,20), (1,3,30), (2,1,40)")
+    r = engine.execute("UPDATE IGNORE cik SET b = b + 1 WHERE a = 1")
+    assert r.affected_rows == 1
+    w = engine.execute("SHOW WARNINGS").collect()
+    assert [(x.Code, "skipped by UPDATE IGNORE" in x.Message)
+            for x in w] == [(1062, True)]
+    assert sorted(
+        (x.a, x.b) for x in engine.execute(
+            "SELECT a, b FROM cik").collect()
+    ) == [(1, 1), (1, 2), (1, 4), (2, 1)]
+    # cross-group move: (2,1)→(1,1) collides with an unaffected row
+    engine.execute("UPDATE IGNORE cik SET a = 1 WHERE a = 2")
+    assert sorted(
+        (x.a, x.b) for x in engine.execute(
+            "SELECT a, b FROM cik").collect()
+    ) == [(1, 1), (1, 2), (1, 4), (2, 1)]
+    # a free composite target still applies under IGNORE
+    engine.execute("UPDATE IGNORE cik SET a = 3 WHERE a = 2")
+    assert sorted(
+        (x.a, x.b) for x in engine.execute(
+            "SELECT a, b FROM cik").collect()
+    ) == [(1, 1), (1, 2), (1, 4), (3, 1)]
 
 
 def test_commit_rollback_and_chain(engine):
