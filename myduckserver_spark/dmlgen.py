@@ -50,6 +50,16 @@ DUCK_SCHEMA = "(id INTEGER PRIMARY KEY, a INTEGER, b VARCHAR)"
 MYSQL_SCHEMA_U = ("(id INT PRIMARY KEY, a INT, b VARCHAR(20), "
                   "UNIQUE KEY uq_b (b))")
 DUCK_SCHEMA_U = "(id INTEGER PRIMARY KEY, a INTEGER, b VARCHAR UNIQUE)"
+# composite-PK variant: exercises tuple-keyed probes, chains and the
+# ORDER BY ... LIMIT row caps. DuckDB oracles LIMIT DML (which it
+# lacks) via `(a, b) IN (SELECT a, b ... ORDER BY ... LIMIT n)` —
+# exactly MySQL's documented "first n rows satisfying the WHERE"
+# semantics, made comparable by a total ORDER BY (keys appended).
+MYSQL_SCHEMA_CK = ("(a INT, b INT, v INT, s VARCHAR(20), "
+                   "PRIMARY KEY (a, b))")
+DUCK_SCHEMA_CK = ("(a INTEGER, b INTEGER, v INTEGER, s VARCHAR, "
+                  "PRIMARY KEY (a, b))")
+CK_KEYS = [(a, b) for a in range(4) for b in range(4)]
 
 
 def _lit(v) -> str:
@@ -132,6 +142,134 @@ def _pred(rng: random.Random, depth: int = 0) -> str:
     if rng.random() < 0.15:
         return f"NOT ({leaf()})"
     return leaf()
+
+
+def _ck_rows(rng: random.Random, cols: list[str]) -> str:
+    n = rng.randint(1, 4)
+    keys = rng.sample(CK_KEYS, n)  # (a,b) unique within the batch
+    out = []
+    for a, b in keys:
+        vals = []
+        for c in cols:
+            if c == "a":
+                vals.append(str(a))
+            elif c == "b":
+                vals.append(str(b))
+            elif c == "v":
+                vals.append(_lit(rng.choice(A_VALS)))
+            else:
+                vals.append(_lit(rng.choice(B_VALS)))
+        out.append("(" + ", ".join(vals) + ")")
+    return ", ".join(out)
+
+
+def _ck_pred(rng: random.Random, depth: int = 0) -> str:
+    leaf = rng.choice([
+        lambda: f"a = {rng.randint(0, 3)}",
+        lambda: f"b >= {rng.randint(0, 3)}",
+        lambda: f"v > {rng.randint(-3, 8)}",
+        lambda: "v IS NULL",
+        lambda: "v IS NOT NULL",
+        lambda: f"a + b <= {rng.randint(0, 6)}",
+        lambda: f"s LIKE '{rng.choice(['a', 'x', 'z'])}%'",
+    ])
+    if depth < 1 and rng.random() < 0.35:
+        op = rng.choice(["AND", "OR"])
+        return f"({_ck_pred(rng, depth + 1)}) {op} " \
+               f"({_ck_pred(rng, depth + 1)})"
+    return leaf()
+
+
+def _ck_order(rng: random.Random) -> str:
+    # total order: the key columns break every tie; NULL-sensitive
+    # sort keys are COALESCE-wrapped (MySQL/Spark sort NULLs first
+    # ASC, DuckDB last — a constant fill sidesteps the divergence)
+    core = rng.choice([
+        "COALESCE(v, -999) DESC", "COALESCE(v, -999) ASC",
+        "b DESC", "a ASC", "a + b DESC",
+    ])
+    return f"{core}, a, b"
+
+
+def gen_statement_ck(rng: random.Random, table: str) -> tuple[str, str]:
+    """One (mysql_sql, duckdb_sql) pair over the composite-PK table."""
+    kind = rng.choices(
+        ["insert", "ignore", "replace", "on_dup", "update", "delete",
+         "update_limit", "delete_limit"],
+        weights=[3, 2, 2, 2, 3, 2, 3, 3],
+    )[0]
+    if kind == "insert":
+        rows = _ck_rows(rng, ["a", "b", "v", "s"])
+        return (f"INSERT INTO {table} VALUES {rows}",) * 2
+    if kind == "ignore":
+        rows = _ck_rows(rng, ["a", "b", "v", "s"])
+        return (f"INSERT IGNORE INTO {table} VALUES {rows}",
+                f"INSERT OR IGNORE INTO {table} VALUES {rows}")
+    if kind == "replace":
+        rows = _ck_rows(rng, ["a", "b", "v", "s"])
+        return (f"REPLACE INTO {table} VALUES {rows}",
+                f"INSERT OR REPLACE INTO {table} VALUES {rows}")
+    if kind == "on_dup":
+        rows = _ck_rows(rng, ["a", "b", "v", "s"])
+        my, du = rng.choice([
+            ("v = VALUES(v)", "v = excluded.v"),
+            ("v = VALUES(v) + 1", "v = excluded.v + 1"),
+            ("v = v + VALUES(v)", "v = v + excluded.v"),
+            ("s = VALUES(s)", "s = excluded.s"),
+        ])
+        return (
+            f"INSERT INTO {table} VALUES {rows} "
+            f"ON DUPLICATE KEY UPDATE {my}",
+            f"INSERT INTO {table} VALUES {rows} "
+            f"ON CONFLICT (a, b) DO UPDATE SET {du}",
+        )
+    if kind in ("update", "update_limit"):
+        m, d = _a_expr(rng)
+        sets_my, sets_du = [f"v = {m.replace('a', 'v')}"], \
+                           [f"v = {d.replace('a', 'v')}"]
+        if rng.random() < 0.4:
+            lit = _lit(rng.choice([x for x in B_VALS if x is not None]))
+            sets_my.append(f"s = CONCAT(s, {lit})")
+            sets_du.append(f"s = s || {lit}")
+        pred = _ck_pred(rng)
+        if kind == "update":
+            return (
+                f"UPDATE {table} SET {', '.join(sets_my)} WHERE {pred}",
+                f"UPDATE {table} SET {', '.join(sets_du)} WHERE {pred}",
+            )
+        n = rng.randint(1, 3)
+        order = _ck_order(rng)
+        # (a, b) packs injectively into a*10+b (keys are 0..3):
+        # DuckDB has no tuple-IN-subquery form
+        return (
+            f"UPDATE {table} SET {', '.join(sets_my)} WHERE {pred} "
+            f"ORDER BY {order} LIMIT {n}",
+            f"UPDATE {table} SET {', '.join(sets_du)} "
+            f"WHERE a * 10 + b IN "
+            f"(SELECT a * 10 + b FROM {table} WHERE {pred} "
+            f"ORDER BY {order} LIMIT {n})",
+        )
+    pred = _ck_pred(rng)
+    if kind == "delete":
+        return (f"DELETE FROM {table} WHERE {pred}",) * 2
+    n = rng.randint(1, 3)
+    order = _ck_order(rng)
+    return (
+        f"DELETE FROM {table} WHERE {pred} "
+        f"ORDER BY {order} LIMIT {n}",
+        f"DELETE FROM {table} WHERE a * 10 + b IN "
+        f"(SELECT a * 10 + b FROM {table} WHERE {pred} "
+        f"ORDER BY {order} LIMIT {n})",
+    )
+
+
+def gen_sequence_ck(rng: random.Random, table: str,
+                    n_stmts: int = 8) -> list[tuple[str, str]]:
+    seed = _ck_rows(rng, ["a", "b", "v", "s"])
+    seq = [(f"INSERT INTO {table} VALUES {seed}",) * 2]
+    for _ in range(n_stmts - 1):
+        seq.append(gen_statement_ck(rng, table))
+    return seq
 
 
 def gen_multi_statement(rng: random.Random, t1: str,
@@ -270,18 +408,23 @@ _REF_ROWS = ("(0,5), (1,-2), (2,NULL), (3,7), (5,0), (7,3), (8,-1), "
 
 def apply_pair(eng, duck, table: str, pairs: list[tuple[str, str]],
                with_unique: bool = False,
-               multi: bool = False) -> tuple[bool, str]:
+               multi: bool = False, ck: bool = False) -> tuple[bool, str]:
     """Run one generated sequence through both engines on a FRESH
     table; compare per-statement error flags and the final state.
     Returns (ok, detail)."""
     import duckdb as _dd
 
+    if ck:
+        my_schema, du_schema = MYSQL_SCHEMA_CK, DUCK_SCHEMA_CK
+        state_cols = "a, b, v, s"
+    else:
+        my_schema = MYSQL_SCHEMA_U if with_unique else MYSQL_SCHEMA
+        du_schema = DUCK_SCHEMA_U if with_unique else DUCK_SCHEMA
+        state_cols = "id, a, b"
     eng.execute(f"DROP TABLE IF EXISTS {table}")
     duck.execute(f"DROP TABLE IF EXISTS {table}")
-    eng.execute(f"CREATE TABLE {table} "
-                f"{MYSQL_SCHEMA_U if with_unique else MYSQL_SCHEMA}")
-    duck.execute(f"CREATE TABLE {table} "
-                 f"{DUCK_SCHEMA_U if with_unique else DUCK_SCHEMA}")
+    eng.execute(f"CREATE TABLE {table} {my_schema}")
+    duck.execute(f"CREATE TABLE {table} {du_schema}")
     if multi:
         t2 = f"{table}_r"
         for conn, exe in ((eng, eng.execute), (duck, duck.execute)):
@@ -322,13 +465,13 @@ def apply_pair(eng, duck, table: str, pairs: list[tuple[str, str]],
                     f"({str(err_d)[:80] if err_d else ''}) :: {my}"
                 )
         mine = sorted(
-            (r[0], r[1], r[2])
+            tuple(r)
             for r in eng.execute(
-                f"SELECT id, a, b FROM {table}").collect()
+                f"SELECT {state_cols} FROM {table}").collect()
         )
         theirs = sorted(
             tuple(r) for r in duck.execute(
-                f"SELECT id, a, b FROM {table}").fetchall()
+                f"SELECT {state_cols} FROM {table}").fetchall()
         )
         if mine != theirs:
             return False, f"final state: engine={mine} duckdb={theirs}"
@@ -343,7 +486,7 @@ def apply_pair(eng, duck, table: str, pairs: list[tuple[str, str]],
 
 def shrink(eng, duck, table: str, pairs: list[tuple[str, str]],
            with_unique: bool = False,
-           multi: bool = False) -> list[tuple[str, str]]:
+           multi: bool = False, ck: bool = False) -> list[tuple[str, str]]:
     """Greedy delta-debugging: drop statements while the divergence
     persists (statement 0 re-seeds, so any subset is still runnable)."""
     cur = list(pairs)
@@ -354,7 +497,8 @@ def shrink(eng, duck, table: str, pairs: list[tuple[str, str]],
             cand = cur[:i] + cur[i + 1:]
             if not cand:
                 continue
-            ok, _ = apply_pair(eng, duck, table, cand, with_unique, multi)
+            ok, _ = apply_pair(
+                eng, duck, table, cand, with_unique, multi, ck)
             if not ok:
                 cur = cand
                 changed = True

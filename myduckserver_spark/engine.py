@@ -3436,7 +3436,7 @@ class Engine:
         catalog's row-level diff (table_changes) between the
         before/after commits — INSERT returns new+upserted rows, UPDATE
         the post-images, DELETE the deleted rows — then the RETURNING
-        expressions project over them. Needs a single-column PK (the
+        expressions project over them. Needs a PRIMARY KEY (the
         diff's join key), like TABLE_CHANGES itself. No row order is
         guaranteed (pg guarantees none either)."""
         s = st.parse_statement(body)
@@ -7102,22 +7102,32 @@ class Engine:
         Scale: two snapshot scans + one full-outer join on the PK —
         single shuffle; no driver-side diffing.
         """
+        from functools import reduce as _reduce
+
         t = self.catalog.table(name)
         v_to = t.version if v_to is None else v_to
         meta = self.table_meta(name)
-        if len(meta.primary_key) != 1:
+        pks = list(meta.primary_key or [])
+        if not pks:
             raise ValueError(
-                f"TABLE_CHANGES needs a single-column primary key on {name}"
+                f"TABLE_CHANGES needs a primary key on {name}"
             )
-        pk = meta.primary_key[0]
         old = t.read_version(v_from)
         new = t.read_version(v_to)
         cols = new.columns
         o = old.select([F.col(c).alias(f"__o_{c}") for c in cols])
         n = new.select([F.col(c).alias(f"__n_{c}") for c in cols])
         j = o.join(
-            n, o[f"__o_{pk}"] == n[f"__n_{pk}"], "full_outer"
+            n,
+            _reduce(
+                lambda a, b: a & b,
+                (o[f"__o_{c}"] == n[f"__n_{c}"] for c in pks),
+            ),
+            "full_outer",
         )
+        # PK columns are NOT NULL by construction, so one key column's
+        # nullness decides side-presence for any key arity
+        pk = pks[0]
         same_row = F.concat_ws(
             "\x1f", *[F.coalesce(F.col(f"__o_{c}").cast("string"), F.lit("∅"))
                       for c in cols]

@@ -38,6 +38,12 @@ def main() -> int:
              "replayed sequentially vs the batch sequential tier)",
     )
     ap.add_argument(
+        "--composite", type=int, default=0,
+        help="additionally run N composite-PK sequences (tuple-keyed "
+             "probes, ON DUP, REPLACE, and ORDER BY ... LIMIT DML — "
+             "DuckDB oracles LIMIT via a tuple-IN subquery)",
+    )
+    ap.add_argument(
         "--triggered", type=int, default=0,
         help="additionally run N trigger-bearing sequences (engine "
              "runs real AFTER triggers; DuckDB runs a per-statement "
@@ -97,6 +103,29 @@ def main() -> int:
             print(f"[on_dup {trial + 1}/{args.on_dup_batches}] "
                   f"{bad} divergences, {time.time() - t0:.0f}s",
                   flush=True)
+    for trial in range(args.composite):
+        table = f"ck{trial}"
+        seq = dmlgen.gen_sequence_ck(rng, table, n_stmts=args.stmts)
+        ok, detail = dmlgen.apply_pair(
+            eng, duck, table, seq, ck=True)
+        if not ok:
+            bad += 1
+            small = dmlgen.shrink(eng, duck, table, seq, ck=True)
+            _, sdetail = dmlgen.apply_pair(
+                eng, duck, table, small, ck=True)
+            print(f"COMPOSITE DIVERGENCE trial={trial} "
+                  f"seed={args.seed}")
+            print(f"  {detail}")
+            print("  minimal sequence:")
+            for my, du in small:
+                print(f"    mysql: {my}")
+                if du != my:
+                    print(f"    duck : {du}")
+            print(f"  minimal detail: {sdetail}")
+        if (trial + 1) % 20 == 0:
+            print(f"[composite {trial + 1}/{args.composite}] "
+                  f"{bad} divergences, {time.time() - t0:.0f}s",
+                  flush=True)
     for trial in range(args.triggered):
         table = f"tz{trial}"
         seq = dmlgen.gen_sequence_triggered(rng, table,
@@ -114,8 +143,8 @@ def main() -> int:
                   f"{bad} divergences, {time.time() - t0:.0f}s",
                   flush=True)
     print(f"done: {args.n} sequences + {args.on_dup_batches} on-dup "
-          f"batches + {args.triggered} triggered, {bad} divergences, "
-          f"{time.time() - t0:.0f}s")
+          f"batches + {args.composite} composite + {args.triggered} "
+          f"triggered, {bad} divergences, {time.time() - t0:.0f}s")
     return 1 if bad else 0
 
 

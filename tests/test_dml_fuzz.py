@@ -99,3 +99,23 @@ def test_triggered_dml_fuzz(eng, duck):
     assert not failures, "\n".join(
         f"trial {t}: {d}\n  " + "\n  ".join(s) for t, d, s in failures
     )
+
+
+def test_composite_pk_dml_fuzz(eng, duck):
+    """Composite-PK tables under random DML (round 8): tuple-keyed
+    conflict probes, ON DUPLICATE, REPLACE, and ORDER BY ... LIMIT
+    row caps — DuckDB oracles LIMIT DML (which it lacks) via an
+    injective key-packing IN-subquery over the same total order."""
+    rng = random.Random(SEED + 3)
+    failures = []
+    for trial in range(8):
+        table = f"ck{trial}"
+        seq = dmlgen.gen_sequence_ck(rng, table, n_stmts=STMTS_PER_SEQ)
+        ok, detail = dmlgen.apply_pair(eng, duck, table, seq, ck=True)
+        if not ok:
+            small = dmlgen.shrink(eng, duck, table, seq, ck=True)
+            failures.append((trial, detail, small))
+    assert not failures, "\n".join(
+        f"trial {t}: {d}\n  " + "\n  ".join(m for m, _ in s)
+        for t, d, s in failures
+    )

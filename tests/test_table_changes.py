@@ -48,3 +48,33 @@ def test_sql_front_door(ceng):
 
 def test_no_changes_is_empty(ceng):
     assert ceng.table_changes("kv", 4, 4).count() == 0
+
+
+def test_composite_pk_diff(spark, tmp_path):
+    """TABLE_CHANGES keys the full-outer diff on every PK column for
+    composite-PK tables; RETURNING rides the same diff."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE ckv (a INT, b INT, v TEXT, "
+              "PRIMARY KEY (a, b))")
+    e.execute("INSERT INTO ckv VALUES (1,1,'x'), (1,2,'y'), (2,1,'z')")
+    v1 = e.catalog.table("ckv").version
+    e.execute("UPDATE ckv SET v = 'Y' WHERE a = 1 AND b = 2")
+    e.execute("DELETE FROM ckv WHERE a = 2")
+    e.execute("INSERT INTO ckv VALUES (3, 3, 'w')")
+    ch = {
+        (r.a, r.b, r._change_type): r.v
+        for r in e.table_changes("ckv", v1).collect()
+    }
+    assert ch == {
+        (1, 2, "update_preimage"): "y",
+        (1, 2, "update_postimage"): "Y",
+        (2, 1, "delete"): "z",
+        (3, 3, "insert"): "w",
+    }
+    # RETURNING on a composite-PK table uses the same diff
+    rows = e.execute(
+        "DELETE FROM ckv WHERE a = 3 RETURNING a, b, v"
+    ).collect()
+    assert [(r.a, r.b, r.v) for r in rows] == [(3, 3, "w")]
