@@ -998,12 +998,25 @@ class Engine:
     def alter_drop_column(self, name: str, col: str) -> None:
         self._ddl_changed()
         t = self.catalog.table(name)
-        t.overwrite(t.read().drop(col))
+        df = t.read()
+        if col not in df.columns:
+            # Spark's df.drop silently ignores unknown columns;
+            # MySQL raises 1091
+            raise ValueError(
+                f"Can't DROP '{col}'; check that column/key exists"
+            )
+        t.overwrite(df.drop(col))
 
     def alter_rename_column(self, name: str, old: str, new: str) -> None:
         self._ddl_changed()
         t = self.catalog.table(name)
-        t.overwrite(t.read().withColumnRenamed(old, new))
+        df = t.read()
+        if old not in df.columns:
+            # withColumnRenamed silently no-ops; MySQL raises 1054
+            raise ValueError(
+                f"Unknown column '{old}' in '{name}'"
+            )
+        t.overwrite(df.withColumnRenamed(old, new))
 
     def alter_modify_column(self, name: str, col: str, mysql_type: str) -> None:
         """MODIFY COLUMN: cast the column to the new type."""
@@ -5154,7 +5167,8 @@ class Engine:
         elif isinstance(s, (st.CreateTable, st.CreateTableAs,
                             st.CreateTableLike, st.CreateView)):
             need = [("CREATE", tgt)]
-        elif isinstance(s, (st.AlterTable, st.RenameTable,
+        elif isinstance(s, (st.AlterTable, st.AlterTableMulti,
+                            st.RenameTable,
                             st.CreateIndex, st.DropIndex)):
             need = [("ALTER", tgt)]
         elif isinstance(s, (st.Query, st.Show)):
@@ -5210,7 +5224,8 @@ class Engine:
             cls = Engine._WRITE_STMTS = (
                 st.Insert, st.Update, st.Delete, st.MergeStmt,
                 st.CreateTable, st.CreateTableAs, st.DropTable,
-                st.AlterTable, st.RenameTable, st.Truncate, st.LoadData,
+                st.AlterTable, st.AlterTableMulti, st.RenameTable,
+                st.Truncate, st.LoadData,
                 st.CreateIndex, st.DropIndex, st.CreateVectorIndex,
                 st.Vacuum, st.Optimize, st.CreateView, st.DropView,
             )
@@ -5402,6 +5417,8 @@ class Engine:
             return OkResult()
         if isinstance(s, st.AlterTable):
             return self._exec_alter(s)
+        if isinstance(s, st.AlterTableMulti):
+            return self._exec_alter_multi(s)
         if isinstance(s, st.RenameTable):
             self.rename_table(s.old, s.new)
             return OkResult()
@@ -5867,6 +5884,39 @@ class Engine:
             s.name, s.columns, partition_by=s.meta.partition_by or None
         )
         self._save_meta(s.name, s.meta)
+        return OkResult()
+
+    def _exec_alter_multi(self, s: "st.AlterTableMulti") -> OkResult:
+        """Comma-separated ALTER TABLE action list, applied in declared
+        order with statement-level rollback: if any action fails the
+        table's snapshot pointer and metadata restore to the statement
+        start (MySQL 8 atomic DDL; the reference gets the list form
+        from GMS). Parsing already validated every action, so pure
+        syntax errors reject before any work."""
+        import copy
+
+        t0 = self.catalog.table(s.name)
+        t0.read()  # validates existence before any action runs
+        pointer = t0._read_pointer()
+        meta0 = copy.deepcopy(self.table_meta(s.name))
+        cur = s.name
+        try:
+            for a in s.actions:
+                if a.name != cur:
+                    a = dataclasses.replace(a, name=cur)
+                self._exec_alter(a)
+                if a.action == "rename_table":
+                    cur = a.new_name
+        except Exception:
+            if cur != s.name:
+                self.rename_table(cur, s.name)
+            t = self.catalog.table(s.name)
+            if t._read_pointer() != pointer:
+                t._write_pointer(pointer)
+            self._save_meta(s.name, meta0)
+            self._ddl_changed()
+            self._refresh_views()
+            raise
         return OkResult()
 
     def _exec_alter(self, s: st.AlterTable) -> OkResult:

@@ -648,6 +648,17 @@ class AlterTable:
 
 
 @dataclass
+class AlterTableMulti:
+    """ALTER TABLE with a comma-separated action list (the form every
+    migration tool emits). Actions apply in order; the engine restores
+    the prior snapshot + metadata if any action fails (MySQL 8 atomic
+    DDL)."""
+
+    name: str
+    actions: list[AlterTable]
+
+
+@dataclass
 class AnalyzeStmt:
     """ANALYZE TABLE t [, ...] — persist optimizer statistics
     (row count, per-column NDV/null fraction/min/max) into table meta
@@ -1408,6 +1419,163 @@ def _parse_into_vars(s: str) -> "SelectIntoVars | None":
     return SelectIntoVars(query=query, vars=names)
 
 
+def _parse_alter_action(name: str, rest: str) -> AlterTable:
+    """One ALTER TABLE action (MySQL allows a comma-separated
+    list; parse_statement splits at top level and parses each
+    through here)."""
+    am = re.match(
+        rf"ADD\s+(?:COLUMN\s+)?(`[^`]+`|\w+)\s+({_TYPE_RE})"
+        r"(?:\s+DEFAULT\s+(\S+))?"
+        r"(?:\s+(FIRST)|\s+AFTER\s+(`[^`]+`|\w+))?\s*$",
+        rest,
+        re.I,
+    )
+    if am:
+        default = parse_literal(am.group(3)) if am.group(3) else None
+        position = None  # None=append, ""=FIRST, name=AFTER <name>
+        if am.group(4):
+            position = ""
+        elif am.group(5):
+            position = unquote_ident(am.group(5))
+        return AlterTable(name, "add_column", column=unquote_ident(am.group(1)),
+                          mysql_type=am.group(2).strip(), default=default,
+                          position=position)
+    am = re.match(r"DROP\s+(?:COLUMN\s+)?(`[^`]+`|\w+)\s*$", rest, re.I)
+    if am:
+        return AlterTable(name, "drop_column", column=unquote_ident(am.group(1)))
+    am = re.match(
+        r"RENAME\s+COLUMN\s+(`[^`]+`|\w+)\s+TO\s+(`[^`]+`|\w+)\s*$", rest, re.I
+    )
+    if am:
+        return AlterTable(name, "rename_column", column=unquote_ident(am.group(1)),
+                          new_name=unquote_ident(am.group(2)))
+    am = re.match(
+        rf"MODIFY\s+(?:COLUMN\s+)?(`[^`]+`|\w+)\s+({_TYPE_RE})\s*$", rest, re.I
+    )
+    if am:
+        return AlterTable(name, "modify_column", column=unquote_ident(am.group(1)),
+                          mysql_type=am.group(2).strip())
+    am = re.match(
+        rf"CHANGE\s+(?:COLUMN\s+)?(`[^`]+`|\w+)\s+(`[^`]+`|\w+)\s+({_TYPE_RE})\s*$",
+        rest,
+        re.I,
+    )
+    if am:
+        # MySQL CHANGE = rename + retype in one step
+        return AlterTable(name, "change_column", column=unquote_ident(am.group(1)),
+                          new_name=unquote_ident(am.group(2)),
+                          mysql_type=am.group(3).strip())
+    am = re.match(r"RENAME\s+(?:TO\s+)?(`[^`]+`|\w+)\s*$", rest, re.I)
+    if am:
+        return AlterTable(name, "rename_table", new_name=unquote_ident(am.group(1)))
+    am = re.match(
+        r"ADD\s+(?:CONSTRAINT\s+(`[^`]+`|\w+)\s+)?FOREIGN\s+KEY", rest,
+        re.I,
+    )
+    if am:
+        # reuse the CREATE TABLE clause parser for the FK body
+        tmp = TableMeta()
+        _parse_column_def(rest[rest.upper().index("FOREIGN"):]
+                          if not am.group(1)
+                          else rest[len("ADD "):], tmp)
+        if not tmp.foreign_keys:
+            raise ValueError(f"cannot parse FOREIGN KEY clause: {rest!r}")
+        fk = tmp.foreign_keys[0]
+        if am.group(1):
+            fk["name"] = unquote_ident(am.group(1))
+        return AlterTable(name, "add_fk", fk=fk)
+    am = re.match(
+        r"DROP\s+FOREIGN\s+KEY\s+(`[^`]+`|\w+)\s*$", rest, re.I
+    )
+    if am:
+        return AlterTable(name, "drop_fk",
+                          column=unquote_ident(am.group(1)))
+    am = re.match(
+        r"ADD\s+(UNIQUE\s+)?(?:INDEX|KEY)\s+(`[^`]+`|\w+)\s*"
+        r"\(([^)]*)\)" + _INDEX_OPTS + r"$",
+        rest,
+        re.I,
+    )
+    if am:
+        cols = [unquote_ident(c) for c in am.group(3).split(",")]
+        return AlterTable(
+            name, "add_index",
+            fk={"name": unquote_ident(am.group(2)), "columns": cols,
+                "unique": bool(am.group(1))},
+        )
+    am = re.match(
+        r"ADD\s+(?:CONSTRAINT\s+(`[^`]+`|\w+)\s+)?CHECK\s*\((.*)\)\s*$",
+        rest,
+        re.I | re.S,
+    )
+    if am:
+        return AlterTable(
+            name, "add_check",
+            fk={"name": unquote_ident(am.group(1)) if am.group(1)
+                else None, "expr": am.group(2).strip()},
+        )
+    am = re.match(
+        r"DROP\s+(CHECK|CONSTRAINT)\s+(`[^`]+`|\w+)\s*$", rest, re.I
+    )
+    if am:
+        action = (
+            "drop_check" if am.group(1).upper() == "CHECK"
+            else "drop_constraint"
+        )
+        return AlterTable(name, action,
+                          column=unquote_ident(am.group(2)))
+    am = re.match(
+        r"ALTER\s+(?:COLUMN\s+)?(`[^`]+`|\w+)\s+SET\s+DEFAULT\s+(.+)$",
+        rest,
+        re.I | re.S,
+    )
+    if am:
+        return AlterTable(
+            name, "set_default", column=unquote_ident(am.group(1)),
+            default=parse_literal(am.group(2).strip()),
+        )
+    am = re.match(
+        r"ALTER\s+(?:COLUMN\s+)?(`[^`]+`|\w+)\s+DROP\s+DEFAULT\s*$",
+        rest,
+        re.I,
+    )
+    if am:
+        return AlterTable(name, "drop_default",
+                          column=unquote_ident(am.group(1)))
+    am = re.match(r"COMMENT\s*=?\s*(.+)$", rest, re.I | re.S)
+    if am:
+        return AlterTable(
+            name, "set_comment",
+            default=parse_literal(am.group(1).strip()),
+        )
+    am = re.fullmatch(r"AUTO_INCREMENT\s*=?\s*(\d+)", rest, re.I)
+    if am:
+        return AlterTable(name, "set_ai_base",
+                          default=int(am.group(1)))
+    # storage/physical options are meaningless for parquet snapshots
+    # but harmless to accept (MySQL dump files carry them routinely)
+    if re.fullmatch(
+        r"(?:ENGINE|AUTO_EXTEND_SIZE|ROW_FORMAT|KEY_BLOCK_SIZE|"
+        r"STATS_PERSISTENT|ALGORITHM|LOCK)\s*=?\s*\w+"
+        # DISABLE/ENABLE KEYS toggles MyISAM index maintenance
+        # around bulk loads (mysqldump wraps every INSERT block in
+        # them); snapshots have no maintained index structure
+        r"|(?:DISABLE|ENABLE)\s+KEYS",
+        rest, re.I,
+    ):
+        return AlterTable(name, "noop_option")
+    # charset/collation declarations: strings are always UTF-8 in
+    # Spark; the declared charset is recorded as table metadata
+    am = re.fullmatch(
+        r"(?:CONVERT\s+TO\s+|DEFAULT\s+)?(?:CHARACTER\s+SET|CHARSET)"
+        r"\s*=?\s*(\w+)(?:\s+COLLATE\s*=?\s*\w+)?",
+        rest, re.I,
+    )
+    if am:
+        return AlterTable(name, "set_charset", default=am.group(1))
+    raise ValueError(f"unsupported ALTER TABLE action: {rest!r}")
+
+
 def parse_statement(sql: str, hash_comments: bool = True):
     """One statement string → a typed statement object."""
     s = strip_comments(sql, hash_comments).strip().rstrip(";").strip()
@@ -1619,159 +1787,17 @@ def parse_statement(sql: str, hash_comments: bool = True):
 
     m = re.match(r"ALTER\s+TABLE\s+(`[^`]+`|\w+)\s+(.*)$", s, re.I | re.S)
     if m:
-        name, rest = unquote_ident(m.group(1)), m.group(2).strip()
-        rup = rest.upper()
-        am = re.match(
-            rf"ADD\s+(?:COLUMN\s+)?(`[^`]+`|\w+)\s+({_TYPE_RE})"
-            r"(?:\s+DEFAULT\s+(\S+))?"
-            r"(?:\s+(FIRST)|\s+AFTER\s+(`[^`]+`|\w+))?\s*$",
-            rest,
-            re.I,
-        )
-        if am:
-            default = parse_literal(am.group(3)) if am.group(3) else None
-            position = None  # None=append, ""=FIRST, name=AFTER <name>
-            if am.group(4):
-                position = ""
-            elif am.group(5):
-                position = unquote_ident(am.group(5))
-            return AlterTable(name, "add_column", column=unquote_ident(am.group(1)),
-                              mysql_type=am.group(2).strip(), default=default,
-                              position=position)
-        am = re.match(r"DROP\s+(?:COLUMN\s+)?(`[^`]+`|\w+)\s*$", rest, re.I)
-        if am:
-            return AlterTable(name, "drop_column", column=unquote_ident(am.group(1)))
-        am = re.match(
-            r"RENAME\s+COLUMN\s+(`[^`]+`|\w+)\s+TO\s+(`[^`]+`|\w+)\s*$", rest, re.I
-        )
-        if am:
-            return AlterTable(name, "rename_column", column=unquote_ident(am.group(1)),
-                              new_name=unquote_ident(am.group(2)))
-        am = re.match(
-            rf"MODIFY\s+(?:COLUMN\s+)?(`[^`]+`|\w+)\s+({_TYPE_RE})\s*$", rest, re.I
-        )
-        if am:
-            return AlterTable(name, "modify_column", column=unquote_ident(am.group(1)),
-                              mysql_type=am.group(2).strip())
-        am = re.match(
-            rf"CHANGE\s+(?:COLUMN\s+)?(`[^`]+`|\w+)\s+(`[^`]+`|\w+)\s+({_TYPE_RE})\s*$",
-            rest,
-            re.I,
-        )
-        if am:
-            # MySQL CHANGE = rename + retype in one step
-            return AlterTable(name, "change_column", column=unquote_ident(am.group(1)),
-                              new_name=unquote_ident(am.group(2)),
-                              mysql_type=am.group(3).strip())
-        am = re.match(r"RENAME\s+(?:TO\s+)?(`[^`]+`|\w+)\s*$", rest, re.I)
-        if am:
-            return AlterTable(name, "rename_table", new_name=unquote_ident(am.group(1)))
-        am = re.match(
-            r"ADD\s+(?:CONSTRAINT\s+(`[^`]+`|\w+)\s+)?FOREIGN\s+KEY", rest,
-            re.I,
-        )
-        if am:
-            # reuse the CREATE TABLE clause parser for the FK body
-            tmp = TableMeta()
-            _parse_column_def(rest[rest.upper().index("FOREIGN"):]
-                              if not am.group(1)
-                              else rest[len("ADD "):], tmp)
-            if not tmp.foreign_keys:
-                raise ValueError(f"cannot parse FOREIGN KEY clause: {rest!r}")
-            fk = tmp.foreign_keys[0]
-            if am.group(1):
-                fk["name"] = unquote_ident(am.group(1))
-            return AlterTable(name, "add_fk", fk=fk)
-        am = re.match(
-            r"DROP\s+FOREIGN\s+KEY\s+(`[^`]+`|\w+)\s*$", rest, re.I
-        )
-        if am:
-            return AlterTable(name, "drop_fk",
-                              column=unquote_ident(am.group(1)))
-        am = re.match(
-            r"ADD\s+(UNIQUE\s+)?(?:INDEX|KEY)\s+(`[^`]+`|\w+)\s*"
-            r"\(([^)]*)\)" + _INDEX_OPTS + r"$",
-            rest,
-            re.I,
-        )
-        if am:
-            cols = [unquote_ident(c) for c in am.group(3).split(",")]
-            return AlterTable(
-                name, "add_index",
-                fk={"name": unquote_ident(am.group(2)), "columns": cols,
-                    "unique": bool(am.group(1))},
-            )
-        am = re.match(
-            r"ADD\s+(?:CONSTRAINT\s+(`[^`]+`|\w+)\s+)?CHECK\s*\((.*)\)\s*$",
-            rest,
-            re.I | re.S,
-        )
-        if am:
-            return AlterTable(
-                name, "add_check",
-                fk={"name": unquote_ident(am.group(1)) if am.group(1)
-                    else None, "expr": am.group(2).strip()},
-            )
-        am = re.match(
-            r"DROP\s+(CHECK|CONSTRAINT)\s+(`[^`]+`|\w+)\s*$", rest, re.I
-        )
-        if am:
-            action = (
-                "drop_check" if am.group(1).upper() == "CHECK"
-                else "drop_constraint"
-            )
-            return AlterTable(name, action,
-                              column=unquote_ident(am.group(2)))
-        am = re.match(
-            r"ALTER\s+(?:COLUMN\s+)?(`[^`]+`|\w+)\s+SET\s+DEFAULT\s+(.+)$",
-            rest,
-            re.I | re.S,
-        )
-        if am:
-            return AlterTable(
-                name, "set_default", column=unquote_ident(am.group(1)),
-                default=parse_literal(am.group(2).strip()),
-            )
-        am = re.match(
-            r"ALTER\s+(?:COLUMN\s+)?(`[^`]+`|\w+)\s+DROP\s+DEFAULT\s*$",
-            rest,
-            re.I,
-        )
-        if am:
-            return AlterTable(name, "drop_default",
-                              column=unquote_ident(am.group(1)))
-        am = re.match(r"COMMENT\s*=?\s*(.+)$", rest, re.I | re.S)
-        if am:
-            return AlterTable(
-                name, "set_comment",
-                default=parse_literal(am.group(1).strip()),
-            )
-        am = re.fullmatch(r"AUTO_INCREMENT\s*=?\s*(\d+)", rest, re.I)
-        if am:
-            return AlterTable(name, "set_ai_base",
-                              default=int(am.group(1)))
-        # storage/physical options are meaningless for parquet snapshots
-        # but harmless to accept (MySQL dump files carry them routinely)
-        if re.fullmatch(
-            r"(?:ENGINE|AUTO_EXTEND_SIZE|ROW_FORMAT|KEY_BLOCK_SIZE|"
-            r"STATS_PERSISTENT|ALGORITHM|LOCK)\s*=?\s*\w+"
-            # DISABLE/ENABLE KEYS toggles MyISAM index maintenance
-            # around bulk loads (mysqldump wraps every INSERT block in
-            # them); snapshots have no maintained index structure
-            r"|(?:DISABLE|ENABLE)\s+KEYS",
-            rest, re.I,
-        ):
-            return AlterTable(name, "noop_option")
-        # charset/collation declarations: strings are always UTF-8 in
-        # Spark; the declared charset is recorded as table metadata
-        am = re.fullmatch(
-            r"(?:CONVERT\s+TO\s+|DEFAULT\s+)?(?:CHARACTER\s+SET|CHARSET)"
-            r"\s*=?\s*(\w+)(?:\s+COLLATE\s*=?\s*\w+)?",
-            rest, re.I,
-        )
-        if am:
-            return AlterTable(name, "set_charset", default=am.group(1))
-        raise ValueError(f"unsupported ALTER TABLE action: {rest!r}")
+        name = unquote_ident(m.group(1))
+        parts = [p.strip() for p in
+                 split_top_level(m.group(2).strip(), ",") if p.strip()]
+        if not parts:
+            raise ValueError("empty ALTER TABLE action list")
+        acts = [_parse_alter_action(name, p) for p in parts]
+        if len(acts) == 1:
+            return acts[0]
+        # multi-action form (one statement, applied in order with
+        # statement-level rollback in the engine)
+        return AlterTableMulti(name, acts)
 
     m = re.match(
         r"RENAME\s+TABLE\s+(`[^`]+`|\w+)\s+TO\s+(`[^`]+`|\w+)\s*$", s, re.I

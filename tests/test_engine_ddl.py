@@ -339,3 +339,40 @@ def test_inline_index_clauses_recorded(spark, tmp_path):
     e2 = Engine(spark, str(tmp_path / "wh2"))
     e2.execute(ddl)
     assert "k2" in e2.table_meta("t").indexes
+
+
+def test_alter_table_multi_action(spark, tmp_path):
+    """ALTER TABLE with a comma-separated action list (the form every
+    migration tool emits) applies in order; a failing action rolls the
+    table back to the statement start (MySQL 8 atomic DDL)."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE m (id INT PRIMARY KEY, v INT)")
+    e.execute("INSERT INTO m VALUES (1, 5)")
+    e.execute(
+        "ALTER TABLE m ADD COLUMN w INT DEFAULT 7, "
+        "ADD INDEX ix_v (v), RENAME COLUMN v TO vv"
+    )
+    row = e.execute("SELECT * FROM m").collect()[0]
+    assert (row.id, row.vv, row.w) == (1, 5, 7)
+    assert "ix_v" in e.table_meta("m").indexes
+    # mid-list failure: nothing from the statement sticks
+    with pytest.raises(Exception):
+        e.execute(
+            "ALTER TABLE m ADD COLUMN x INT, DROP COLUMN nosuch"
+        )
+    assert "x" not in e.execute("SELECT * FROM m").columns
+    # CHECK validation failure after a successful action also restores
+    with pytest.raises(Exception):
+        e.execute(
+            "ALTER TABLE m ADD COLUMN y INT, ADD CHECK (vv > 100)"
+        )
+    assert "y" not in e.execute("SELECT * FROM m").columns
+    assert not e.table_meta("m").checks
+    # commas inside type/index parens don't split the list
+    e.execute(
+        "ALTER TABLE m ADD COLUMN d DECIMAL(10,2) DEFAULT 1.5, "
+        "ADD UNIQUE INDEX uq (id, vv)"
+    )
+    assert "uq" in e.table_meta("m").indexes
