@@ -170,6 +170,23 @@ def _block_balance(masked: str) -> int:
     return n
 
 
+def _match_close_paren(s: str, open_idx: int) -> int:
+    """Index of the ')' closing the '(' at open_idx, string-literal
+    aware; -1 when unbalanced."""
+    mask = mask_strings(s)
+    depth = 0
+    for i in range(open_idx, len(s)):
+        if mask[i] == "\x01":
+            continue
+        if s[i] == "(":
+            depth += 1
+        elif s[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+    return -1
+
+
 def split_top_level(s: str, sep: str = ",") -> list[str]:
     """Split on `sep` at paren depth 0, quote-aware."""
     parts, buf, depth, i, n = [], [], 0, 0, len(s)
@@ -1560,7 +1577,11 @@ def _parse_alter_action(name: str, rest: str) -> AlterTable:
         # DISABLE/ENABLE KEYS toggles MyISAM index maintenance
         # around bulk loads (mysqldump wraps every INSERT block in
         # them); snapshots have no maintained index structure
-        r"|(?:DISABLE|ENABLE)\s+KEYS",
+        r"|(?:DISABLE|ENABLE)\s+KEYS"
+        # ORDER BY: a MyISAM physical-sort hint ("the table does not
+        # remain in this order after inserts and deletes" — MySQL
+        # manual); parquet snapshots keep no maintained row order
+        r"|ORDER\s+BY\s+\S[^;]*",
         rest, re.I,
     ):
         return AlterTable(name, "noop_option")
@@ -1626,6 +1647,25 @@ def parse_statement(sql: str, hash_comments: bool = True):
             return stmt
         return Query(s)
 
+    # a statement that IS a parenthesized query / set-op of
+    # parenthesized operands — `(SELECT ... LIMIT 1) UNION ALL
+    # (SELECT ...)`, the MySQL way to ORDER/LIMIT set-op arms
+    if re.match(r"\(\s*(SELECT|VALUES|TABLE|WITH)\b", s, re.I):
+        close = _match_close_paren(s, s.index("("))
+        if close == len(s.rstrip()) - 1:
+            # outer parens wrap the WHOLE statement: strip (Spark
+            # rejects a bare parenthesized top-level query)
+            return parse_statement(s[s.index("(") + 1:close])
+        return Query(s)
+
+    # EXPLAIN <table> is DESCRIBE <table> in MySQL
+    em = re.match(r"EXPLAIN\s+(`[^`]+`|\w+)\s*$", s, re.I)
+    if em and em.group(1)[0] == "`" or (
+        em and em.group(1).upper() not in (
+            "ANALYZE", "FORMATTED", "EXTENDED", "CODEGEN", "COST")
+    ):
+        return Show("columns", target=unquote_ident(em.group(1)))
+
     if up.startswith("EXPLAIN"):
         # MySQL EXPLAIN [ANALYZE] [FORMAT={TRADITIONAL|TREE|JSON}] →
         # Spark's EXPLAIN FORMATTED (the engine's plan renderer);
@@ -1676,8 +1716,11 @@ def parse_statement(sql: str, hash_comments: bool = True):
             return SubscriptionStmt("drop", m.group(1))
 
     m = re.match(
+        # MySQL allows omitting AS before the query (`CREATE TABLE t
+        # SELECT ...`, the form mysqldump --no-create-info users write)
         r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(`[^`]+`|\w+)\s+"
-        r"(?:PARTITIONED\s+BY\s*\(([^()]*)\)\s+)?AS\s+(.*)$",
+        r"(?:PARTITIONED\s+BY\s*\(([^()]*)\)\s+)?"
+        r"(?:AS\s+|(?=(?:SELECT|WITH|VALUES|TABLE)\b))(.*)$",
         s,
         re.I | re.S,
     )
@@ -1788,8 +1831,13 @@ def parse_statement(sql: str, hash_comments: bool = True):
     m = re.match(r"ALTER\s+TABLE\s+(`[^`]+`|\w+)\s+(.*)$", s, re.I | re.S)
     if m:
         name = unquote_ident(m.group(1))
+        rest_all = m.group(2).strip()
+        if re.fullmatch(r"ORDER\s+BY\s+\S.*", rest_all, re.I | re.S):
+            # whole-statement ORDER BY hint: its column list must not
+            # split as actions
+            return _parse_alter_action(name, rest_all)
         parts = [p.strip() for p in
-                 split_top_level(m.group(2).strip(), ",") if p.strip()]
+                 split_top_level(rest_all, ",") if p.strip()]
         if not parts:
             raise ValueError("empty ALTER TABLE action list")
         acts = [_parse_alter_action(name, p) for p in parts]
@@ -1862,8 +1910,12 @@ def parse_statement(sql: str, hash_comments: bool = True):
         return parse_statement(rewritten)
 
     m = re.match(
+        # the column-list parens must not swallow a parenthesized
+        # query source (`INSERT INTO t (SELECT ...)`, legal MySQL)
         r"(INSERT|REPLACE)\s+(IGNORE\s+)?INTO\s+(`[^`]+`|\w+)\s*"
-        r"(\(([^)]*)\)\s*)?(VALUES?\s*(.*)|SELECT\s+.*|WITH\s+.*)$",
+        r"(\(\s*(?!SELECT\b|WITH\b|TABLE\b)([^)]*)\)\s*)?"
+        r"(VALUES?\s*(.*)|SELECT\s+.*|WITH\s+.*|TABLE\s+.*"
+        r"|\(\s*(?:SELECT|WITH|TABLE)\b.*)$",
         s,
         re.I | re.S,
     )
@@ -2011,8 +2063,19 @@ def parse_statement(sql: str, hash_comments: bool = True):
                     )
                     on_dup[unquote_ident(k)] = expr
         from_oc = bool(cm)
+        if body.startswith("("):
+            # parenthesized query source: strip the outer parens when
+            # they wrap the whole body (Spark rejects a bare
+            # parenthesized top-level query)
+            close = _match_close_paren(body, 0)
+            if close == len(body.rstrip()) - 1:
+                body = body[1:close].strip()
         if body.upper().startswith("VALUE"):
             tuples = re.sub(r"^VALUES?\s*", "", body, flags=re.I)
+            # MySQL 8 VALUES ROW(...),ROW(...) constructor inside INSERT
+            if re.match(r"(?i)ROW\s*\(", tuples):
+                tuples = sub_outside_strings(
+                    r"(?i)\bROW\s*\(", "(", tuples)
             try:
                 return Insert(table, columns, parse_values_tuples(tuples),
                               None, mode, on_dup, conflict_cols,

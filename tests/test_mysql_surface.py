@@ -938,3 +938,49 @@ def test_extract_composite_units(engine):
     for expr, want in cases:
         got = engine.execute(f"SELECT {expr} AS x").collect()[0].x
         assert got == want, f"{expr}: {got!r} != {want!r}"
+
+
+def test_common_dump_statement_forms(spark, tmp_path):
+    """Round-8 statement-form sweep (shapes mysqldump / ORMs emit):
+    CREATE TABLE ... SELECT without AS, INSERT VALUES ROW(), INSERT
+    with a parenthesized query source, parenthesized set-op operands
+    as a whole statement, EXPLAIN <table> = DESCRIBE, ALTER TABLE
+    ORDER BY as an accepted physical-sort no-op, INSERT ... TABLE."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE t (id INT PRIMARY KEY, v INT)")
+    e.execute("INSERT INTO t VALUES (1, 10), (2, 20)")
+    # CTAS without AS (plain and TEMPORARY)
+    e.execute("CREATE TABLE c1 SELECT id, v FROM t")
+    assert e.execute("SELECT COUNT(*) AS n FROM c1").collect()[0].n == 2
+    e.execute("CREATE TEMPORARY TABLE c2 SELECT * FROM t WHERE id = 1")
+    assert e.execute("SELECT COUNT(*) AS n FROM c2").collect()[0].n == 1
+    # MySQL 8 row constructors in INSERT
+    e.execute("INSERT INTO t VALUES ROW(3, 30), ROW(4, 40)")
+    # parenthesized query source
+    e.execute("INSERT INTO c1 (SELECT id + 100, v FROM t WHERE id = 2)")
+    assert sorted(
+        x.id for x in e.execute("SELECT id FROM c1").collect()
+    ) == [1, 2, 102]
+    # INSERT ... TABLE (MySQL 8)
+    e.execute("CREATE TABLE c3 (id INT PRIMARY KEY, v INT)")
+    e.execute("INSERT INTO c3 TABLE t")
+    assert e.execute("SELECT COUNT(*) AS n FROM c3").collect()[0].n == 4
+    # parenthesized set-op operands (the MySQL way to ORDER/LIMIT arms)
+    rows = e.execute(
+        "(SELECT id FROM t ORDER BY id LIMIT 1) UNION ALL "
+        "(SELECT id FROM t ORDER BY id DESC LIMIT 1)"
+    ).collect()
+    assert sorted(r.id for r in rows) == [1, 4]
+    # a fully parenthesized single query is unwrapped
+    assert e.execute(
+        "(SELECT id FROM t ORDER BY id LIMIT 1)").collect()[0].id == 1
+    # EXPLAIN <table> = DESCRIBE <table>; EXPLAIN <query> still a plan
+    cols = {r[0] for r in e.execute("EXPLAIN t").collect()}
+    assert cols == {"id", "v"}
+    assert e.execute("EXPLAIN SELECT 1").count() >= 1
+    # ALTER TABLE ORDER BY: accepted no-op, alone or in an action list
+    e.execute("ALTER TABLE t ORDER BY id, v")
+    e.execute("ALTER TABLE t ADD COLUMN z INT, ORDER BY id")
+    assert "z" in e.execute("SELECT * FROM t").columns
