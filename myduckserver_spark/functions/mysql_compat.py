@@ -43,16 +43,29 @@ _FMT_TOKENS = {
     "%S": "ss", "%f": "SSSSSS", "%p": "a", "%W": "EEEE", "%a": "EEE",
     "%b": "MMM", "%M": "MMMM", "%j": "DDD", "%%": "%",
 }
+# Parsing (STR_TO_DATE) uses single-letter Java tokens: MySQL's %m/%d/…
+# accept 1-2 digits ('01,5,2013' with '%d,%m,%Y' is valid), while
+# Java's two-letter patterns demand exactly two. Single-letter tokens
+# parse 1-2 digits AND still parse zero-padded input; %Y → 'y' accepts
+# 1-4 digit years like MySQL.
+_FMT_TOKENS_PARSE = {
+    "%Y": "y", "%m": "M", "%c": "M", "%d": "d", "%e": "d",
+    "%H": "H", "%k": "H", "%h": "h", "%l": "h", "%i": "m",
+    "%s": "s", "%S": "s", "%j": "D",
+}
 
 
-def mysql_datetime_format(fmt: str) -> str:
+def mysql_datetime_format(fmt: str, parsing: bool = False) -> str:
     """Translate a MySQL %-format string to a Java datetime pattern."""
     out: list[str] = []
     i = 0
     while i < len(fmt):
         if fmt[i] == "%" and i + 1 < len(fmt):
             tok = fmt[i : i + 2]
-            out.append(_FMT_TOKENS.get(tok, tok[1]))
+            if parsing and tok in _FMT_TOKENS_PARSE:
+                out.append(_FMT_TOKENS_PARSE[tok])
+            else:
+                out.append(_FMT_TOKENS.get(tok, tok[1]))
             i += 2
         else:
             # quote literal letters so Java patterns don't eat them
@@ -185,7 +198,8 @@ def _fn_str_to_date(a):
     lit = _str_lit(a[1].strip())
     if lit is None:
         return None
-    return f"to_timestamp({a[0]}, '{mysql_datetime_format(lit)}')"
+    fmt = mysql_datetime_format(lit, parsing=True)
+    return f"to_timestamp({a[0]}, '{fmt}')"
 
 
 def _fn_convert(a):
@@ -535,7 +549,32 @@ def _fn_microsecond(a):
 
 
 
+def _fn_least_greatest(name):
+    # MySQL LEAST/GREATEST return NULL when ANY argument is NULL;
+    # Spark's (SQL-standard) skip NULLs
+    def h(a):
+        if len(a) < 2:
+            return None
+        null_any = " OR ".join(f"(({x}) IS NULL)" for x in a)
+        return (f"CASE WHEN {null_any} THEN NULL "
+                f"ELSE {name}({', '.join(a)}) END")
+    return h
+
+
+def _fn_convert_tz(a):
+    if len(a) != 3:
+        return None
+    # MySQL zone spellings ('+05:00', 'UTC', named zones) are valid
+    # Spark zone ids as-is
+    return (f"from_utc_timestamp(to_utc_timestamp("
+            f"cast({a[0]} as timestamp), {a[1]}), {a[2]})")
+
+
 _FN_HANDLERS = {
+    "CONVERT_TZ": _fn_convert_tz,
+    "ATAN": lambda a: f"atan2({a[0]}, {a[1]})" if len(a) == 2 else None,
+    "LEAST": _fn_least_greatest("least"),
+    "GREATEST": _fn_least_greatest("greatest"),
     "OCT": lambda a: f"conv(cast({a[0]} as bigint), 10, 8)" if len(a) == 1 else None,
     "MID": lambda a: (
         f"substring({', '.join(a)})" if len(a) in (2, 3) else None

@@ -984,3 +984,35 @@ def test_common_dump_statement_forms(spark, tmp_path):
     e.execute("ALTER TABLE t ORDER BY id, v")
     e.execute("ALTER TABLE t ADD COLUMN z INT, ORDER BY id")
     assert "z" in e.execute("SELECT * FROM t").columns
+
+
+def test_round8_function_semantics_batch(spark, tmp_path):
+    """Round-8 function corrections, MySQL-manual-verified values:
+    STR_TO_DATE parses 1-2 digit fields (%m/%d/%H/%i/%s are tolerant
+    in MySQL; Java's two-letter tokens are not), CONVERT_TZ with
+    offsets and named zones, two-arg ATAN = ATAN2, and LEAST/GREATEST
+    returning NULL when ANY argument is NULL (Spark skips NULLs)."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    one = lambda q: e.execute(q).collect()[0][0]  # noqa: E731
+    import datetime as dt
+
+    assert one("SELECT STR_TO_DATE('01,5,2013','%d,%m,%Y') AS d") \
+        == dt.datetime(2013, 5, 1)
+    assert one("SELECT STR_TO_DATE('2013-05-01','%Y-%m-%d') AS d") \
+        == dt.datetime(2013, 5, 1)
+    assert one("SELECT STR_TO_DATE('9:5:1','%H:%i:%s') AS d") \
+        == dt.datetime(1970, 1, 1, 9, 5, 1)
+    # formatting stays zero-padded
+    assert one("SELECT DATE_FORMAT('2024-05-01','%m/%d') AS f") == "05/01"
+    assert one("SELECT CONVERT_TZ('2024-01-01 12:00:00', "
+               "'+00:00', '+05:00') AS t") == dt.datetime(2024, 1, 1, 17)
+    assert one("SELECT CONVERT_TZ('2024-01-01 12:00:00', "
+               "'UTC', 'US/Eastern') AS t") == dt.datetime(2024, 1, 1, 7)
+    assert abs(one("SELECT ATAN(-2, 2) AS a") + 0.7853981633974483) < 1e-12
+    assert abs(one("SELECT ATAN(1) AS a") - 0.7853981633974483) < 1e-12
+    assert one("SELECT LEAST(1, NULL) AS l") is None
+    assert one("SELECT GREATEST(1, NULL, 2) AS g") is None
+    assert one("SELECT LEAST(3, 1, 2) AS l") == 1
+    assert one("SELECT GREATEST(v, 5) AS g FROM (SELECT 9 AS v) q") == 9

@@ -123,7 +123,9 @@ def test_nested_function_args():
         "SELECT DATE_ADD(STR_TO_DATE(s, '%Y-%m-%d'), INTERVAL 3 DAY) FROM t"
     )
     assert out == (
-        "SELECT ((to_timestamp(s, 'yyyy-MM-dd')) + INTERVAL 3 DAY) FROM t"
+        # parse-side tokens are single-letter: MySQL's %m/%d accept
+        # 1-2 digits, Java's MM/dd demand exactly two
+        "SELECT ((to_timestamp(s, 'y-M-d')) + INTERVAL 3 DAY) FROM t"
     )
 
 
