@@ -1218,6 +1218,10 @@ def _pass_json_arrows(toks: list[Tok]) -> list[Tok]:
                         and out[k - 2].kind in ("word", "bq")
                     ):
                         start = k - 2
+                elif k >= 0 and out[k].kind == "str":
+                    # MySQL allows '->' on any JSON expression,
+                    # including a string literal
+                    start = k
                 elif k >= 0 and out[k].kind == "op" and out[k].text == ")":
                     depth = 0
                     while k >= 0:
@@ -1325,6 +1329,32 @@ def _pass_mysql_operators(toks: list[Tok]) -> list[Tok]:
     n = len(toks)
     while i < n:
         t = toks[i]
+        if t.kind == "num" and re.fullmatch(
+                r"0x[0-9A-Fa-f]+", t.text):
+            # MySQL hex literal: a binary string by default (what
+            # mysqldump emits for BLOB/VARBINARY values) → Spark's
+            # x'..' binary literal, zero-padded to whole bytes
+            h = t.text[2:]
+            if len(h) % 2:
+                h = "0" + h
+            out.extend(tokenize(f"x'{h}'"))
+            i += 1
+            continue
+        if (t.kind == "num" and t.text == "0"
+                and i + 1 < n and toks[i + 1].kind == "word"
+                and re.fullmatch(r"b[01]+", toks[i + 1].text)):
+            # MySQL binary literal 0b101 (lexes as '0' + 'b101') → its
+            # integer value (BIT(n) maps to LONG here)
+            out.extend(tokenize(str(int(toks[i + 1].text[1:], 2))))
+            i += 2
+            continue
+        if (t.kind == "word" and t.text in ("b", "B")
+                and i + 1 < n and toks[i + 1].kind == "str"
+                and re.fullmatch(r"'[01]+'", toks[i + 1].text)):
+            # bit-value literal b'101' (mysqldump's BIT-column form)
+            out.extend(tokenize(str(int(toks[i + 1].text[1:-1], 2))))
+            i += 2
+            continue
         if t.kind == "word":
             u = t.text.upper()
             if u == "COLLATE":

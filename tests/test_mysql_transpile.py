@@ -559,3 +559,21 @@ def test_charset_introducers_on_string_literals():
     ) == "SELECT 'abc', CAST('xy' AS BINARY), 'n', x'AB'"
     assert translate_mysql("SELECT '_binary inside'") \
         == "SELECT '_binary inside'"
+
+
+def test_hex_bit_literals_and_arrow_on_expressions():
+    """MySQL hex literals 0x41 (binary string — mysqldump's BLOB
+    form), bit literals b'101' / 0b101 (BIT-column form, integer
+    here since BIT(n) maps to LONG), and '->' on non-column JSON
+    expressions."""
+    from myduckserver_spark.functions.mysql_compat import translate_mysql
+
+    assert translate_mysql("SELECT 0x41") == "SELECT x'41'"
+    assert translate_mysql("SELECT 0xF") == "SELECT x'0F'"
+    assert translate_mysql("SELECT b'101'") == "SELECT 5"
+    assert translate_mysql("SELECT 0b1000") == "SELECT 8"
+    # a space means a string ALIAS, not a bit literal (MySQL rule)
+    assert translate_mysql("SELECT b '101'") == "SELECT b '101'"
+    assert translate_mysql(
+        "SELECT '{\"a\":1}'->>'$.a'"
+    ) == "SELECT get_json_object('{\"a\":1}', '$.a')"
