@@ -571,6 +571,9 @@ def _fn_convert_tz(a):
 
 
 _FN_HANDLERS = {
+    # ROW(a, b) constructors (VALUES lists, row comparisons) → bare
+    # tuples, which Spark groups as structs in both positions
+    "ROW": lambda a: f"({', '.join(a)})" if len(a) >= 2 else None,
     "CONVERT_TZ": _fn_convert_tz,
     "ATAN": lambda a: f"atan2({a[0]}, {a[1]})" if len(a) == 2 else None,
     "LEAST": _fn_least_greatest("least"),
@@ -1134,7 +1137,25 @@ def _group_concat(inner: list[Tok]) -> str | None:
             if t.kind not in ("ws", "comment"):
                 expr_toks = expr_toks[idx + 1 :]
                 break
-    expr = render(expr_toks).strip()
+    # GROUP_CONCAT(e1, e2, ...): the expressions concatenate per row
+    # (MySQL); a NULL piece nulls the row, which collect_list then
+    # skips — exactly GROUP_CONCAT's NULL-row skipping
+    pieces: list[list[Tok]] = [[]]
+    depth = 0
+    for tk in expr_toks:
+        if tk.kind == "op" and tk.text == "(":
+            depth += 1
+        elif tk.kind == "op" and tk.text == ")":
+            depth -= 1
+        if tk.kind == "op" and tk.text == "," and depth == 0:
+            pieces.append([])
+            continue
+        pieces[-1].append(tk)
+    if len(pieces) > 1:
+        expr = "concat(" + ", ".join(
+            render(p).strip() for p in pieces) + ")"
+    else:
+        expr = render(expr_toks).strip()
     sep = ","
     if sep_at is not None:
         for t in inner[sep_at + 1 :]:
@@ -1357,6 +1378,55 @@ def _pass_mysql_operators(toks: list[Tok]) -> list[Tok]:
             continue
         if t.kind == "word":
             u = t.text.upper()
+            if u in ("ANY", "SOME", "ALL"):
+                # quantified comparison subqueries (Spark has none):
+                # = ANY → IN, <> ALL → NOT IN, and order comparisons
+                # fold to MIN/MAX of the subquery — in WHERE context
+                # these are the standard equivalences (empty set /
+                # NULL rows degrade identically to UNKNOWN)
+                j = _sig_next(toks, i)
+                k = len(out) - 1
+                while k >= 0 and out[k].kind in ("ws", "comment"):
+                    k -= 1
+                if (j < n and toks[j].kind == "op"
+                        and toks[j].text == "("
+                        and k >= 0 and out[k].kind == "op"
+                        and out[k].text in ("=", "<>", "!=", ">",
+                                            ">=", "<", "<=")):
+                    close = match_paren(toks, j)
+                    sig_in = next(
+                        (x for x in toks[j + 1: close]
+                         if x.kind not in ("ws", "comment")), None)
+                    is_subq = sig_in is not None and (
+                        sig_in.is_word("SELECT") or sig_in.is_word("WITH"))
+                    if close > 0 and is_subq:
+                        op = out[k].text
+                        sub = render(toks[j + 1: close]).strip()
+                        quant = "ALL" if u == "ALL" else "ANY"
+                        if op == "=" and quant == "ANY":
+                            del out[k:]
+                            out.extend(tokenize(f" IN ({sub})"))
+                            i = close + 1
+                            continue
+                        if op in ("<>", "!=") and quant == "ALL":
+                            del out[k:]
+                            out.extend(tokenize(f" NOT IN ({sub})"))
+                            i = close + 1
+                            continue
+                        agg = {
+                            ("ANY", ">"): "MIN", ("ANY", ">="): "MIN",
+                            ("ANY", "<"): "MAX", ("ANY", "<="): "MAX",
+                            ("ALL", ">"): "MAX", ("ALL", ">="): "MAX",
+                            ("ALL", "<"): "MIN", ("ALL", "<="): "MIN",
+                        }.get((quant, op))
+                        if agg:
+                            del out[k + 1:]
+                            out.extend(tokenize(
+                                f" (SELECT {agg}(__qc) FROM ({sub}) "
+                                f"AS __q(__qc))"
+                            ))
+                            i = close + 1
+                            continue
             if u == "COLLATE":
                 j = _sig_next(toks, i)
                 if j < n and toks[j].kind in ("word", "bq"):

@@ -577,3 +577,39 @@ def test_hex_bit_literals_and_arrow_on_expressions():
     assert translate_mysql(
         "SELECT '{\"a\":1}'->>'$.a'"
     ) == "SELECT get_json_object('{\"a\":1}', '$.a')"
+
+
+def test_quantified_subqueries_row_and_multi_group_concat(spark, tmp_path):
+    """ANY/SOME/ALL quantified comparisons (Spark lacks them): = ANY
+    → IN, <> ALL → NOT IN, order comparisons fold to MIN/MAX of the
+    subquery; ROW(a,b) constructors become bare tuples; GROUP_CONCAT
+    with several expressions concatenates them per row."""
+    import tempfile
+
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE qt (id INT PRIMARY KEY, v INT)")
+    e.execute("INSERT INTO qt VALUES (1,10),(2,20),(3,30)")
+    ids = lambda q: sorted(  # noqa: E731
+        r[0] for r in e.execute(q).collect())
+    assert ids("SELECT id FROM qt WHERE v > ANY "
+               "(SELECT v FROM qt WHERE id < 3)") == [2, 3]
+    assert ids("SELECT id FROM qt WHERE v > ALL "
+               "(SELECT v FROM qt WHERE id < 3)") == [3]
+    assert ids("SELECT id FROM qt WHERE v = SOME "
+               "(SELECT v FROM qt WHERE id = 2)") == [2]
+    assert ids("SELECT id FROM qt WHERE v <> ALL "
+               "(SELECT v FROM qt WHERE id < 3)") == [3]
+    # correlated operand inside the quantified subquery
+    assert ids("SELECT id FROM qt o WHERE v < ANY "
+               "(SELECT v FROM qt WHERE id > o.id)") == [1, 2]
+    # ROW constructors: VALUES lists and comparisons
+    rows = e.execute("SELECT * FROM (VALUES ROW(1,'a'), ROW(2,'b')) "
+                     "AS vt(n, s)").collect()
+    assert sorted((r.n, r.s) for r in rows) == [(1, "a"), (2, "b")]
+    assert e.execute("SELECT ROW(1,2) = ROW(1,2) AS rc").collect()[0].rc
+    # multi-expression GROUP_CONCAT
+    g = e.execute("SELECT GROUP_CONCAT(id, ':', v SEPARATOR '|') AS g "
+                  "FROM qt WHERE id < 3").collect()[0].g
+    assert sorted(g.split("|")) == ["1:10", "2:20"]
