@@ -1335,6 +1335,29 @@ def _prev_operand_start(out: list[Tok]) -> int:
     return -1
 
 
+def _prev_expr_start(out: list[Tok]) -> int:
+    """Start of the trailing comparison-operand EXPRESSION: a chain
+    of simple operands joined by operators binding tighter than a
+    comparison (arithmetic/bit ops), e.g. ``a + 1`` before ``> ALL``.
+    -1 if none."""
+    start = _prev_operand_start(out)
+    if start < 0:
+        return -1
+    while True:
+        k = start - 1
+        while k >= 0 and out[k].kind in ("ws", "comment"):
+            k -= 1
+        if (k < 0 or out[k].kind != "op"
+                or out[k].text not in ("+", "-", "*", "/", "%",
+                                       "&", "|", "^", "<<", ">>")):
+            return start
+        prev = _prev_operand_start(out[:k])
+        if prev < 0:
+            # unary sign: include it and stop
+            return k if out[k].text in ("+", "-") else start
+        start = prev
+
+
 def _pass_mysql_operators(toks: list[Tok]) -> list[Tok]:
     """Expression-level MySQL operator forms with no Spark spelling:
 
@@ -1419,11 +1442,62 @@ def _pass_mysql_operators(toks: list[Tok]) -> list[Tok]:
                             ("ALL", ">"): "MAX", ("ALL", ">="): "MAX",
                             ("ALL", "<"): "MIN", ("ALL", "<="): "MIN",
                         }.get((quant, op))
-                        if agg:
+                        if agg and quant == "ANY":
+                            # empty set → comparison with NULL →
+                            # UNKNOWN, same WHERE outcome as ANY's
+                            # FALSE; NULL elements are skipped by the
+                            # aggregate, degrading UNKNOWN → FALSE —
+                            # also WHERE-identical
                             del out[k + 1:]
                             out.extend(tokenize(
                                 f" (SELECT {agg}(__qc) FROM ({sub}) "
                                 f"AS __q(__qc))"
+                            ))
+                            i = close + 1
+                            continue
+                        lhs_at = _prev_expr_start(out[:k])
+                        if quant == "ALL" and agg and lhs_at >= 0:
+                            # ALL needs the LHS: over an EMPTY set it
+                            # is TRUE for any operand (a bare MIN/MAX
+                            # fold yields UNKNOWN), and a NULL element
+                            # caps the answer at UNKNOWN
+                            lhs = render(out[lhs_at:k]).strip()
+                            del out[lhs_at:]
+                            out.extend(tokenize(
+                                f"((SELECT COUNT(*) FROM ({sub}) "
+                                f"AS __q) = 0 OR (({lhs}) {op} "
+                                f"(SELECT {agg}(__qc) FROM ({sub}) "
+                                f"AS __q(__qc)) AND NOT EXISTS "
+                                f"(SELECT 1 FROM ({sub}) AS __q(__qc) "
+                                f"WHERE __qc IS NULL)))"
+                            ))
+                            i = close + 1
+                            continue
+                        if (quant == "ALL" and op == "="
+                                and lhs_at >= 0):
+                            lhs = render(out[lhs_at:k]).strip()
+                            del out[lhs_at:]
+                            out.extend(tokenize(
+                                f"((SELECT COUNT(*) FROM ({sub}) "
+                                f"AS __q) = 0 OR (({lhs}) = "
+                                f"(SELECT MIN(__qc) FROM ({sub}) "
+                                f"AS __q(__qc)) AND ({lhs}) = "
+                                f"(SELECT MAX(__qc) FROM ({sub}) "
+                                f"AS __q(__qc)) AND NOT EXISTS "
+                                f"(SELECT 1 FROM ({sub}) AS __q(__qc) "
+                                f"WHERE __qc IS NULL)))"
+                            ))
+                            i = close + 1
+                            continue
+                        if (quant == "ANY" and op in ("<>", "!=")
+                                and lhs_at >= 0):
+                            # true iff some element differs
+                            lhs = render(out[lhs_at:k]).strip()
+                            del out[lhs_at:]
+                            out.extend(tokenize(
+                                f"EXISTS (SELECT 1 FROM ({sub}) "
+                                f"AS __q(__qc) "
+                                f"WHERE __qc <> ({lhs}))"
                             ))
                             i = close + 1
                             continue

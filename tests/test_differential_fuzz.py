@@ -568,3 +568,55 @@ def test_tree_shrinker_finds_minimal_subtree():
     )
     got = qgen.shrink(tree, lambda n: "EXCEPT" in n.sql())
     assert got is bad
+
+
+def test_quantified_subquery_differential(spark):
+    """Exhaustive differential check of the quantified-comparison
+    rewrites (= ANY → IN, <> ALL → NOT IN, order ops → MIN/MAX):
+    every (op × quantifier) pair the transpiler handles, with and
+    without correlation, against DuckDB's NATIVE ANY/ALL on the same
+    text. Sorted row multisets must match."""
+    import duckdb
+
+    from myduckserver_spark.functions.mysql_compat import translate_mysql
+    from myduckserver_spark.oracle import duckdb_conn
+    from myduckserver_spark.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    for t in ("orders", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    con = duckdb_conn(sf_dir)
+    try:
+        subqs = [
+            "SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'",
+            "SELECT c_custkey FROM customer WHERE c_nationkey < 5",
+            # correlated operand
+            "SELECT o_custkey FROM orders WHERE "
+            "o_orderstatus = x.c_mktsegment OR o_custkey < x.c_custkey",
+        ]
+        ops = ["=", "<>", ">", ">=", "<", "<="]
+        quants = ["ANY", "SOME", "ALL"]
+        checked = skipped = 0
+        for sub in subqs:
+            for op in ops:
+                for q in quants:
+                    sql = (
+                        "SELECT c_custkey FROM customer x WHERE "
+                        f"x.c_custkey {op} {q} ({sub})"
+                    )
+                    tr = translate_mysql(sql)
+                    assert q not in tr.upper().split(), (
+                        f"unrewritten quantifier for {op} {q}:\n{tr}"
+                    )
+                    mine = sorted(
+                        r[0] for r in spark.sql(tr).collect())
+                    theirs = sorted(
+                        r[0] for r in con.sql(sql).fetchall())
+                    assert mine == theirs, (
+                        f"divergence for {op} {q}: "
+                        f"{len(mine)} vs {len(theirs)} rows\n{sql}"
+                    )
+                    checked += 1
+        assert checked == 54 and skipped == 0  # all op × quant pairs
+    finally:
+        con.close()
