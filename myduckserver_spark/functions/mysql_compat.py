@@ -1424,7 +1424,12 @@ def _pass_mysql_operators(toks: list[Tok]) -> list[Tok]:
                         sig_in.is_word("SELECT") or sig_in.is_word("WITH"))
                     if close > 0 and is_subq:
                         op = out[k].text
-                        sub = render(toks[j + 1: close]).strip()
+                        # the rewrite skips past the subquery region,
+                        # so run this same pass over it recursively —
+                        # nested quantifiers (and MOD/BINARY/… forms)
+                        # inside must still translate
+                        sub = render(_pass_mysql_operators(
+                            toks[j + 1: close])).strip()
                         quant = "ALL" if u == "ALL" else "ANY"
                         if op == "=" and quant == "ANY":
                             del out[k:]

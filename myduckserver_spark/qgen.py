@@ -149,6 +149,15 @@ def _subq_sql(n: Node) -> str:
             f"SELECT k, g, v FROM ({a}) x WHERE NOT EXISTS "
             f"(SELECT 1 FROM ({b}) y WHERE y.k = x.k)"
         )
+    if n.params["form"] == "quant":
+        # quantified comparison (round 8): DuckDB runs ANY/ALL
+        # natively; the Spark side goes through translate_mysql,
+        # which rewrites them (IN / NOT IN / MIN-MAX folds / EXISTS)
+        op, q = n.params["op"], n.params["quant"]
+        return (
+            f"SELECT k, g, v FROM ({a}) x WHERE x.v {op} {q} "
+            f"(SELECT v FROM ({b}))"
+        )
     # scalar: rows above the other side's midpoint value. FLOOR, not a
     # bare double→bigint cast: Spark truncates that cast while DuckDB
     # rounds, so x.5 midpoints would diverge.
@@ -280,11 +289,15 @@ def gen_tree(rng: random.Random, depth: int = 3,
         return Node("window", {"fn": rng.choice(["rank", "runsum"])},
                     [gen_tree(rng, depth - 1, allow_topk, corr_ctx)])
     if kind == "subq":
-        form = rng.choice(["in", "notexists", "scalar"])
+        form = rng.choice(["in", "notexists", "scalar", "quant"])
         # notexists correlates into its right side: no topk below a
         # correlation (see docstring)
         corr = form == "notexists"
-        return Node("subq", {"form": form},
+        params = {"form": form}
+        if form == "quant":
+            params["op"] = rng.choice(["=", "<>", ">", ">=", "<", "<="])
+            params["quant"] = rng.choice(["ANY", "ALL", "SOME"])
+        return Node("subq", params,
                     [gen_tree(rng, depth - 1, allow_topk,
                               corr_ctx or corr),
                      gen_tree(rng, depth - 1, allow_topk,

@@ -41,9 +41,17 @@ def main() -> int:
     for t in ("orders", "customer", "lineitem"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
 
+    from myduckserver_spark.functions.mysql_compat import translate_mysql
+
     def run(sql: str, name: str):
+        # Spark side goes through the MySQL front door (the product
+        # path); tree SQL is dialect-common, so for most trees this is
+        # the identity — it matters for the quantified ANY/ALL forms,
+        # which DuckDB runs natively and Spark needs rewritten.
         return compare_one(
-            spark, name, lambda sp, sf, q=sql: sp.sql(q), sql, sf_dir
+            spark, name,
+            lambda sp, sf, q=translate_mysql(sql): sp.sql(q),
+            sql, sf_dir,
         )
 
     rng = random.Random(args.seed)

@@ -525,21 +525,25 @@ N_TREES = 120
 
 def test_differential_fuzz_query_trees(spark, views):
     from myduckserver_spark import qgen
+    from myduckserver_spark.functions.mysql_compat import translate_mysql
 
     rng = random.Random(SEED + 3)
     failures = []
     for i in range(N_TREES):
         tree = qgen.gen_tree(rng, depth=3)
         sql = tree.sql()
+        # Spark side through the MySQL front door (identity for
+        # dialect-common trees; rewrites the quantified ANY/ALL forms)
         res = compare_one(
-            spark, f"tree_{i}", lambda sp, sf, q=sql: sp.sql(q), sql, views
+            spark, f"tree_{i}",
+            lambda sp, sf, q=translate_mysql(sql): sp.sql(q), sql, views
         )
         if not res.ok:
             minimal = qgen.shrink(
                 tree,
                 lambda sub: not compare_one(
                     spark, "shrink",
-                    lambda sp, sf, q=sub.sql(): sp.sql(q),
+                    lambda sp, sf, q=translate_mysql(sub.sql()): sp.sql(q),
                     sub.sql(), views,
                 ).ok,
             )
