@@ -742,11 +742,42 @@ def _rewrite_filter_over_window(sql: str) -> str:
         )
 
 
+_AT_TIME_ZONE_RE = re.compile(
+    r"\bAT\s+TIME\s+ZONE\s+('(?:[^']|'')*')", re.I
+)
+
+
+def _rewrite_at_time_zone(sql: str) -> str:
+    """``expr AT TIME ZONE 'z'`` → ``to_utc_timestamp(expr, 'z')``:
+    pg interprets a plain timestamp as wall-clock time in z and
+    converts to the session zone (UTC here) — exactly
+    to_utc_timestamp's contract."""
+    out = sql
+    guard = 0
+    while guard < 100:
+        guard += 1
+        m = _AT_TIME_ZONE_RE.search(out)
+        if not m or _in_string(out, m.start()):
+            return out
+        start = _operand_start(out, m.start())
+        # fold a typed-literal prefix (TIMESTAMP '...') into the operand
+        pm = re.search(r"(?i)\b(TIMESTAMP|DATE|TIME)\s*$", out[:start])
+        if pm and not _in_string(out, pm.start(1)):
+            start = pm.start(1)
+        operand = out[start:m.start()].strip()
+        if not operand:
+            return out
+        out = (f"{out[:start]}to_utc_timestamp({operand}, "
+               f"{m.group(1)}){out[m.end():]}")
+    return out
+
+
 def translate_postgres(sql: str) -> str:
     """Normalize a Postgres-dialect query into Spark SQL."""
     out = sql
     out = _ESTRING_RE.sub("'", out)  # E'..' → '..' (Spark does escapes)
     out = _FETCH_FIRST_RE.sub(r"LIMIT \1", out)
+    out = _rewrite_at_time_zone(out)
     out = _rewrite_array_literals(out)
     out = _rewrite_json_ops(out)
     out = _rewrite_distinct_on(out)

@@ -1286,6 +1286,17 @@ def _parse_column_def(item: str, meta: TableMeta) -> tuple[str, str] | None:
     mysql_type = m.group(2).strip()
     rest = m.group(3) or ""
     up = rest.upper()
+    tu = mysql_type.upper()
+    if tu in ("SERIAL", "BIGSERIAL", "SMALLSERIAL",
+              "SERIAL2", "SERIAL4", "SERIAL8"):
+        # pg serial family + MySQL's own SERIAL alias (= BIGINT
+        # UNSIGNED NOT NULL AUTO_INCREMENT UNIQUE): an auto-assigned
+        # integer id → the engine's AUTO_INCREMENT machinery
+        mysql_type = {"SMALLSERIAL": "SMALLINT", "SERIAL2": "SMALLINT",
+                      "SERIAL4": "INT"}.get(tu, "BIGINT")
+        meta.auto_increment = name
+        if name not in meta.not_null:
+            meta.not_null.append(name)
     if "AUTO_INCREMENT" in up:
         meta.auto_increment = name
     if re.search(r"\bNOT\s+NULL\b", up):

@@ -463,3 +463,36 @@ def test_pg_json_path_operators_clear_error(spark, tmp_path):
     # operator outside still rewrites
     assert _rewrite_xor_op('SELECT "a#b", 1 # 2') == 'SELECT "a#b", 1 ^ 2'
     assert _rewrite_xor_op("SELECT '#lit', 5 # 3") == "SELECT '#lit', 5 ^ 3"
+
+
+def test_serial_types_and_at_time_zone(spark, tmp_path):
+    """SERIAL/BIGSERIAL columns (pg's serial family; also MySQL's own
+    SERIAL alias) map onto the AUTO_INCREMENT machinery, and
+    ``expr AT TIME ZONE 'z'`` becomes to_utc_timestamp (pg interprets
+    a plain timestamp as wall-clock in z and converts to the session
+    zone — UTC here)."""
+    import datetime as dt
+
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE st (id SERIAL PRIMARY KEY, v INT)",
+              dialect="postgres")
+    e.execute("INSERT INTO st (v) VALUES (10), (20)", dialect="postgres")
+    assert sorted((r.id, r.v) for r in
+                  e.execute("SELECT * FROM st").collect()) \
+        == [(1, 10), (2, 20)]
+    e.execute("CREATE TABLE bs (id BIGSERIAL PRIMARY KEY, s TEXT)",
+              dialect="postgres")
+    meta = e.table_meta("bs")
+    assert meta.auto_increment == "id" and "id" in meta.not_null
+    # MySQL's SERIAL alias takes the same path
+    e.execute("CREATE TABLE ms (id SERIAL, v INT)")
+    e.execute("INSERT INTO ms (v) VALUES (7)")
+    assert e.execute("SELECT id FROM ms").collect()[0].id == 1
+    one = lambda q: e.execute(q, dialect="postgres").collect()[0][0]  # noqa: E731
+    assert one("SELECT TIMESTAMP '2024-01-01 12:00:00' "
+               "AT TIME ZONE 'US/Eastern' AS x") \
+        == dt.datetime(2024, 1, 1, 17)
+    assert one("SELECT TIMESTAMP '2024-01-01 12:00:00' "
+               "AT TIME ZONE 'UTC' AS x") == dt.datetime(2024, 1, 1, 12)
