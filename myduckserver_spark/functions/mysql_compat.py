@@ -100,6 +100,16 @@ def _interval_arith(base: str, sign: str, count: str, unit: str) -> str | None:
         u = u[:-1]
     if u not in _MAKE_INTERVAL_SLOT:
         return None
+    if _str_lit(base.strip()) is not None:
+        # MySQL accepts string date literals in date arithmetic; Spark
+        # needs a typed operand. Day-grained units keep DATE (MySQL
+        # returns a date for date-in, date-unit), time units need
+        # TIMESTAMP.
+        has_time = re.search(r"\d\s*\d*:\d", base) is not None
+        if has_time or u in ("HOUR", "MINUTE", "SECOND"):
+            base = f"cast({base.strip()} as timestamp)"
+        else:
+            base = f"cast({base.strip()} as date)"
     if re.fullmatch(r"\d+", count.strip()):
         return f"(({base}) {sign} INTERVAL {count.strip()} {u})"
     slot = _MAKE_INTERVAL_SLOT[u]
@@ -574,6 +584,26 @@ _FN_HANDLERS = {
     # ROW(a, b) constructors (VALUES lists, row comparisons) → bare
     # tuples, which Spark groups as structs in both positions
     "ROW": lambda a: f"({', '.join(a)})" if len(a) >= 2 else None,
+    # MySQL QUOTE(NULL) is the 4-char string 'NULL' (Spark's is NULL)
+    "QUOTE": lambda a: (
+        f"coalesce(quote({a[0]}), 'NULL')" if len(a) == 1 else None
+    ),
+    # MySQL SIGN returns an integer (Spark's returns double)
+    "SIGN": lambda a: (
+        f"cast(sign({a[0]}) as bigint)" if len(a) == 1 else None
+    ),
+    # MySQL LENGTH counts BYTES (CHAR_LENGTH counts characters)
+    "LENGTH": lambda a: (
+        f"octet_length({a[0]})" if len(a) == 1 else None
+    ),
+    # TIME(expr): the time part as 'HH:MM:SS' (Spark reserves TIME as
+    # a type name, so the call never parses natively); bare
+    # 'HH:MM:SS' strings get a dummy date to survive the cast
+    "TIME": lambda a: (
+        f"date_format(coalesce(cast({a[0]} as timestamp), "
+        f"to_timestamp(concat('1970-01-01 ', {a[0]}))), 'HH:mm:ss')"
+        if len(a) == 1 else None
+    ),
     "CONVERT_TZ": _fn_convert_tz,
     "ATAN": lambda a: f"atan2({a[0]}, {a[1]})" if len(a) == 2 else None,
     "LEAST": _fn_least_greatest("least"),
@@ -1101,6 +1131,16 @@ def _fn_cast(a):
     if not m:
         return None
     ty = m.group(2).upper()
+    if ty in ("SIGNED", "UNSIGNED"):
+        # MySQL ROUNDS numeric→integer casts (CAST(1.7 AS SIGNED)=2,
+        # strings still truncate); fold literal fractions here
+        expr = m.group(1)[: -len(" AS")].strip()
+        lm = re.fullmatch(r"(-?)(\d+)\.(\d+)", expr)
+        if lm:
+            from decimal import ROUND_HALF_UP, Decimal
+
+            v = Decimal(expr).quantize(Decimal("1"), ROUND_HALF_UP)
+            return f"cast({v} AS BIGINT)"
     out = f"cast({m.group(1)} {_CAST_TO_SPARK[ty]})"
     if ty in ("CHAR", "NCHAR") and m.group(4):
         # MySQL CAST(x AS CHAR(n)) truncates to n characters
@@ -1513,6 +1553,44 @@ def _pass_mysql_operators(toks: list[Tok]) -> list[Tok]:
                         out.pop()
                     i = j + 1
                     continue
+            if u == "INTERVAL":
+                # infix ``expr ± INTERVAL count unit``: native Spark
+                # only when count is an integer literal AND the base
+                # is typed; rewrite the rest (string-literal bases,
+                # expression counts) through _interval_arith
+                k = len(out) - 1
+                while k >= 0 and out[k].kind in ("ws", "comment"):
+                    k -= 1
+                if (k >= 0 and out[k].kind == "op"
+                        and out[k].text in ("+", "-")):
+                    lhs_start = _prev_expr_start(out[:k])
+                    cnt_toks, unit, jj = [], None, _sig_next(toks, i)
+                    steps = 0
+                    while jj < n and steps < 12:
+                        t2 = toks[jj]
+                        if (t2.kind == "word"
+                                and (t2.text.upper().rstrip("S")
+                                     in _MAKE_INTERVAL_SLOT)):
+                            unit = t2.text.upper()
+                            break
+                        cnt_toks.append(t2)
+                        jj += 1
+                        steps += 1
+                    count = render(cnt_toks).strip()
+                    lhs = (render(out[lhs_start:k]).strip()
+                           if lhs_start >= 0 else "")
+                    needs = count and not (
+                        re.fullmatch(r"\d+", count)
+                        and _str_lit(lhs) is None
+                    )
+                    if unit and lhs and needs:
+                        repl = _interval_arith(
+                            lhs, out[k].text, count, unit)
+                        if repl:
+                            del out[lhs_start:]
+                            out.extend(tokenize(repl))
+                            i = jj + 1
+                            continue
             if u == "FROM":
                 # FROM DUAL: MySQL's dummy one-row table — dropped
                 # (Spark SELECT needs no FROM)

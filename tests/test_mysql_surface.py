@@ -1016,3 +1016,34 @@ def test_round8_function_semantics_batch(spark, tmp_path):
     assert one("SELECT GREATEST(1, NULL, 2) AS g") is None
     assert one("SELECT LEAST(3, 1, 2) AS l") == 1
     assert one("SELECT GREATEST(v, 5) AS g FROM (SELECT 9 AS v) q") == 9
+
+
+def test_round8_function_semantics_batch2(spark, tmp_path):
+    """Second round-8 batch, MySQL-manual-verified: string-literal
+    bases in interval arithmetic (DATE_ADD('2024-01-31', INTERVAL 1
+    MONTH) = 2024-02-29), infix intervals with expression counts,
+    TIME(), QUOTE(NULL) = 'NULL', integer SIGN, byte-counting LENGTH,
+    and rounding numeric CAST AS SIGNED."""
+    import datetime as dt
+
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    one = lambda q: e.execute(q).collect()[0][0]  # noqa: E731
+    assert one("SELECT DATE_ADD('2024-01-31', INTERVAL 1 MONTH) AS x") \
+        == dt.date(2024, 2, 29)
+    assert one("SELECT '2024-01-31' + INTERVAL n DAY AS x "
+               "FROM (SELECT 1 AS n) q") == dt.date(2024, 2, 1)
+    assert one("SELECT d + INTERVAL n + 1 DAY AS x FROM "
+               "(SELECT DATE'2024-01-01' AS d, 1 AS n) q") \
+        == dt.date(2024, 1, 3)
+    assert one("SELECT TIME('2024-01-01 11:22:33') AS x") == "11:22:33"
+    assert one("SELECT TIME('11:22:33') AS x") == "11:22:33"
+    assert one("SELECT QUOTE(NULL) AS x") == "NULL"
+    v = one("SELECT SIGN(-3) AS x")
+    assert v == -1 and isinstance(v, int)
+    assert one("SELECT LENGTH('héllo') AS x") == 6   # bytes
+    assert one("SELECT CHAR_LENGTH('héllo') AS x") == 5
+    assert one("SELECT CAST(1.7 AS SIGNED) AS x") == 2
+    assert one("SELECT CAST(-2.5 AS SIGNED) AS x") == -3
+    assert one("SELECT CAST('1.7' AS SIGNED) AS x") == 1  # strings truncate
