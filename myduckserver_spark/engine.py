@@ -2920,6 +2920,40 @@ class Engine:
             self.variables[var] = self._proc_eval(env[pname], {}, dialect)
         return result
 
+    @staticmethod
+    def _parse_proc_select_into(sql: str, env: dict):
+        """Detect ``SELECT ... INTO x[, y...]`` whose target list
+        includes at least one declared local/OUT param (pure @-var
+        lists keep the SelectIntoVars path). Returns
+        (query-without-INTO, [lowercased names, '@'-prefixed for user
+        vars]) or None."""
+        masked = st.mask_strings(sql)
+        m = re.search(
+            r"\bINTO\s+((?:@?\w+|`[^`]+`)(?:\s*,\s*(?:@?\w+|`[^`]+`))*)"
+            r"(?!\s*\()",
+            masked, re.I,
+        )
+        if not m:
+            return None
+        raw = sql[m.start(1):m.end(1)]
+        names = []
+        any_local = False
+        for piece in raw.split(","):
+            p = piece.strip()
+            if p.startswith("@"):
+                names.append("@" + p[1:])
+                continue
+            nm = st.unquote_ident(p).lower()
+            if nm not in env:
+                return None  # not a known target list (e.g. INTO OUTFILE)
+            names.append(nm)
+            any_local = True
+        if not any_local:
+            return None
+        query = (sql[: m.start()].rstrip() + " "
+                 + sql[m.end():].lstrip()).strip()
+        return query, names
+
     def _proc_sub(self, text: str, env: dict) -> str:
         for name, lit in env.items():
             text = st.sub_outside_strings(
@@ -3082,12 +3116,51 @@ class Engine:
                     try:
                         sm = re.match(r"SET\s+(`[^`]+`|\w+)\s*=\s*(.+)$",
                                       node[1], re.I | re.S)
+                        into = None
+                        if sm is None and re.match(
+                                r"SELECT\b", node[1], re.I):
+                            into = self._parse_proc_select_into(
+                                node[1], env)
                         if sm and st.unquote_ident(
                                 sm.group(1)).lower() in env:
                             var = st.unquote_ident(sm.group(1)).lower()
                             env[var] = self._render_literal(
                                 self._proc_eval(sm.group(2), env, dialect)
                             )
+                        elif into is not None:
+                            # SELECT ... INTO <local/param list>: the
+                            # names are assignment TARGETS — strip the
+                            # clause BEFORE value substitution, then
+                            # bind the single result row (MySQL 1172
+                            # on >1 row, NOT FOUND condition on 0)
+                            query, names = into
+                            rows = self.execute(
+                                self._proc_sub(query, env),
+                                dialect=dialect,
+                            ).limit(2).collect()
+                            if len(rows) > 1:
+                                raise ValueError(
+                                    "Result consisted of more than "
+                                    "one row"
+                                )
+                            if not rows:
+                                raise SignalError(
+                                    "02000",
+                                    "No data - zero rows fetched, "
+                                    "selected, or processed",
+                                )
+                            if len(rows[0]) != len(names):
+                                raise ValueError(
+                                    "The used SELECT statements have "
+                                    "a different number of columns "
+                                    "than the INTO list"
+                                )
+                            for nm, val in zip(names, rows[0]):
+                                if nm.startswith("@"):
+                                    self.variables[nm[1:]] = val
+                                else:
+                                    env[nm] = self._render_literal(val)
+                            result = OkResult(affected_rows=1)
                         else:
                             result = self.execute(
                                 self._proc_sub(node[1], env),
@@ -3383,7 +3456,10 @@ class Engine:
         if not macros or not any(n in low for n in macros):
             return query
         if depth > 8:
-            raise ValueError("macro expansion too deep (cycle?)")
+            raise ValueError(
+                "macro/function expansion too deep — recursive stored "
+                "functions and triggers are not allowed (MySQL 1424)"
+            )
         from myduckserver_spark.functions.mysql_lexer import (
             match_paren,
             render,

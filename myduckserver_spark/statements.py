@@ -2778,6 +2778,20 @@ def parse_statement(sql: str, hash_comments: bool = True):
         return EventStmt("alter_status", unquote_ident(m.group(1)),
                          status=m.group(2).upper() + "D")
 
+    # ALTER PROCEDURE/FUNCTION only changes characteristics (COMMENT,
+    # SQL SECURITY, [NOT] DETERMINISTIC, access hints) — never the
+    # body or parameters (MySQL 15.1.7); accepted as metadata no-ops
+    m = re.match(
+        r"ALTER\s+(?:PROCEDURE|FUNCTION)\s+(`[^`]+`|\w+)"
+        r"(?:\s+(?:COMMENT\s+'(?:[^']|'')*'|LANGUAGE\s+SQL"
+        r"|(?:NOT\s+)?DETERMINISTIC|CONTAINS\s+SQL|NO\s+SQL"
+        r"|READS\s+SQL\s+DATA|MODIFIES\s+SQL\s+DATA"
+        r"|SQL\s+SECURITY\s+(?:DEFINER|INVOKER)))*\s*$",
+        s, re.I,
+    )
+    if m:
+        return Show("noop_admin")
+
     m = re.match(
         r"CREATE\s+(?:DEFINER\s*=\s*\S+\s+)?TRIGGER\s+(`[^`]+`|\w+)\s+"
         r"(BEFORE|AFTER)\s+(INSERT|UPDATE|DELETE)\s+ON\s+(`[^`]+`|\w+)\s+"

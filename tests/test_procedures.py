@@ -667,3 +667,50 @@ def test_resignal_outside_handler_errors(eng):
     with pytest.raises(SignalError, match="handler not active") as ei:
         eng.execute("CALL bad_rs()")
     assert ei.value.sqlstate == "0K000"
+
+
+def test_select_into_locals_and_out_params(spark, tmp_path):
+    """SELECT ... INTO <local/OUT param>: the names are assignment
+    targets, bound from the single result row — MySQL 1172 on more
+    than one row, the NOT FOUND condition (02000) on zero rows; mixed
+    lists with @user variables work; pure @-lists keep their path."""
+    import pytest
+
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE t (id INT PRIMARY KEY, v INT)")
+    e.execute("INSERT INTO t VALUES (1, 10), (2, 20)")
+    e.execute("CREATE PROCEDURE po(OUT r INT) "
+              "BEGIN SELECT MAX(v) INTO r FROM t; END")
+    e.execute("CALL po(@m)")
+    assert e.execute("SELECT @m AS m").collect()[0].m == 20
+    e.execute(
+        "CREATE PROCEDURE pm(IN lo INT, OUT s INT, OUT c INT) BEGIN "
+        "DECLARE tot INT; "
+        "SELECT SUM(v), COUNT(*) INTO tot, c FROM t WHERE v > lo; "
+        "SET s = tot * 2; END"
+    )
+    e.execute("CALL pm(5, @s, @c)")
+    r = e.execute("SELECT @s AS s, @c AS c").collect()[0]
+    assert (r.s, r.c) == (60, 2)
+    # zero rows fires NOT FOUND handlers
+    e.execute(
+        "CREATE PROCEDURE pz(OUT r INT) BEGIN "
+        "DECLARE CONTINUE HANDLER FOR NOT FOUND SET r = -7; "
+        "SELECT v INTO r FROM t WHERE id = 999; END"
+    )
+    e.execute("CALL pz(@z)")
+    assert e.execute("SELECT @z AS z").collect()[0].z == -7
+    # more than one row errors (MySQL 1172)
+    e.execute("CREATE PROCEDURE pe(OUT r INT) "
+              "BEGIN SELECT v INTO r FROM t; END")
+    with pytest.raises(Exception, match="more than one row"):
+        e.execute("CALL pe(@y)")
+    # pure user-variable INTO keeps the SelectIntoVars path
+    e.execute("CREATE PROCEDURE pu() "
+              "BEGIN SELECT MIN(v) INTO @mn FROM t; END")
+    e.execute("CALL pu()")
+    assert e.execute("SELECT @mn AS mn").collect()[0].mn == 10
+    # ALTER PROCEDURE/FUNCTION characteristics: accepted no-ops
+    e.execute("ALTER PROCEDURE po COMMENT 'x' SQL SECURITY INVOKER")
