@@ -4725,9 +4725,16 @@ class Engine:
                 out.append(c)
                 i += 1
                 continue
-            m = re.match(r"@{1,2}([A-Za-z_][\w.]*)", query[i:])
+            m = re.match(r"(@{1,2})([A-Za-z_][\w.]*)", query[i:])
             if m:
-                out.append(self._render_literal(self.variables.get(m.group(1))))
+                name = m.group(2)
+                if m.group(1) == "@@":
+                    # @@session.x / @@global.x / @@local.x are scope
+                    # spellings of the same variable
+                    name = re.sub(
+                        r"(?i)^(?:session|global|local)\.", "", name)
+                out.append(
+                    self._render_literal(self.variables.get(name)))
                 i += m.end()
                 continue
             out.append(c)

@@ -2421,8 +2421,10 @@ def parse_statement(sql: str, hash_comments: bool = True):
     m = re.match(
         # ALGORITHM/DEFINER/SQL SECURITY are MySQL view attributes with
         # no execution meaning here (single-principal engine) — accepted
-        # and dropped, the way mysqldump view definitions arrive
-        r"CREATE\s+(OR\s+REPLACE\s+)?(?:ALGORITHM\s*=\s*\w+\s+)?"
+        # and dropped, the way mysqldump view definitions arrive.
+        # ALTER VIEW redefines like CREATE OR REPLACE (MySQL 15.1.11).
+        r"(?:CREATE\s+(OR\s+REPLACE\s+)?|(ALTER)\s+)"
+        r"(?:ALGORITHM\s*=\s*\w+\s+)?"
         r"(?:DEFINER\s*=\s*\S+\s+)?"
         r"(?:SQL\s+SECURITY\s+(?:DEFINER|INVOKER)\s+)?"
         r"VIEW\s+(`[^`]+`|\w+)\s+AS\s+(.*)$",
@@ -2430,7 +2432,7 @@ def parse_statement(sql: str, hash_comments: bool = True):
         re.I | re.S,
     )
     if m:
-        q = m.group(3).strip()
+        q = m.group(4).strip()
         cm = re.search(
             r"(?is)\s+WITH\s+(?:CASCADED\s+|LOCAL\s+)?CHECK\s+OPTION\s*$",
             mask_strings(q),
@@ -2438,8 +2440,8 @@ def parse_statement(sql: str, hash_comments: bool = True):
         check = bool(cm)
         if cm:
             q = q[: cm.start()].strip()
-        return CreateView(unquote_ident(m.group(2)), q,
-                          or_replace=bool(m.group(1)),
+        return CreateView(unquote_ident(m.group(3)), q,
+                          or_replace=bool(m.group(1) or m.group(2)),
                           check_option=check)
     m = re.match(r"DROP\s+VIEW\s+(IF\s+EXISTS\s+)?(`[^`]+`|\w+)\s*$", s, re.I)
     if m:

@@ -1047,3 +1047,24 @@ def test_round8_function_semantics_batch2(spark, tmp_path):
     assert one("SELECT CAST(1.7 AS SIGNED) AS x") == 2
     assert one("SELECT CAST(-2.5 AS SIGNED) AS x") == -3
     assert one("SELECT CAST('1.7' AS SIGNED) AS x") == 1  # strings truncate
+
+
+def test_alter_view_and_sysvar_scopes(spark, tmp_path):
+    """ALTER VIEW redefines like CREATE OR REPLACE (MySQL 15.1.11,
+    attribute clauses accepted and dropped); @@session.x / @@global.x
+    are scope spellings of the same system variable."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE t (id INT PRIMARY KEY, v INT)")
+    e.execute("INSERT INTO t VALUES (1, 5)")
+    e.execute("CREATE VIEW vw AS SELECT id FROM t")
+    e.execute("ALTER VIEW vw AS SELECT id, v FROM t")
+    assert e.execute("SELECT * FROM vw").columns == ["id", "v"]
+    e.execute("ALTER ALGORITHM=MERGE DEFINER=`root`@`%` "
+              "SQL SECURITY DEFINER VIEW vw AS SELECT v FROM t")
+    assert e.execute("SELECT * FROM vw").columns == ["v"]
+    r = e.execute("SELECT @@session.autocommit AS a, "
+                  "@@GLOBAL.sql_mode IS NOT NULL AS g, "
+                  "@@autocommit AS p").collect()[0]
+    assert (r.a, r.g, r.p) == (1, True, 1)
