@@ -1867,6 +1867,55 @@ def _pass_charset_introducers(toks: list[Tok]) -> list[Tok]:
     return out
 
 
+def _pass_window_chains(toks: list[Tok]) -> list[Tok]:
+    """Expand MySQL 8 named-window chaining: in ``WINDOW w1 AS (...),
+    w2 AS (w1 ORDER BY id)`` a definition may start with an
+    earlier-defined window's name, inheriting its spec. Spark supports
+    the WINDOW clause but not the name reference — splice the referred
+    definition's tokens in place of the name."""
+    i = 0
+    n = len(toks)
+    while i < n:
+        t = toks[i]
+        if t.kind == "word" and t.text.upper() == "WINDOW":
+            defs: dict[str, list[Tok]] = {}
+            j = _sig_next(toks, i)
+            changed = False
+            while j < n and toks[j].kind in ("word", "bq"):
+                name = toks[j].text.strip("`").lower()
+                a = _sig_next(toks, j)
+                if a >= n or not toks[a].is_word("AS"):
+                    break
+                p = _sig_next(toks, a)
+                if p >= n or toks[p].kind != "op" or toks[p].text != "(":
+                    break
+                close = match_paren(toks, p)
+                if close < 0:
+                    break
+                inner = toks[p + 1: close]
+                sig0 = next((x for x in inner
+                             if x.kind not in ("ws", "comment")), None)
+                if (sig0 is not None and sig0.kind in ("word", "bq")
+                        and sig0.text.strip("`").lower() in defs):
+                    base = defs[sig0.text.strip("`").lower()]
+                    idx = inner.index(sig0)
+                    inner = base + [Tok("ws", " ")] + inner[idx + 1:]
+                    toks = toks[: p + 1] + inner + toks[close:]
+                    n = len(toks)
+                    close = p + 1 + len(inner)
+                    changed = True
+                defs[name] = list(inner)
+                c = _sig_next(toks, close)
+                if c < n and toks[c].kind == "op" and toks[c].text == ",":
+                    j = _sig_next(toks, c)
+                else:
+                    break
+            if changed:
+                continue  # re-scan from the same WINDOW for chains of 3+
+        i += 1
+    return toks
+
+
 def translate_mysql(sql: str, ansi_quotes: bool = False) -> str:
     """Normalize a MySQL-dialect query into Spark SQL (token-level).
     ansi_quotes applies the ANSI_QUOTES sql_mode (double-quoted
@@ -1882,6 +1931,7 @@ def translate_mysql(sql: str, ansi_quotes: bool = False) -> str:
     toks = _pass_json_arrows(toks)
     toks = _pass_mysql_operators(toks)
     toks = _pass_functions(toks)
+    toks = _pass_window_chains(toks)
     return render(toks)
 
 

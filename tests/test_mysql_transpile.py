@@ -613,3 +613,30 @@ def test_quantified_subqueries_row_and_multi_group_concat(spark, tmp_path):
     g = e.execute("SELECT GROUP_CONCAT(id, ':', v SEPARATOR '|') AS g "
                   "FROM qt WHERE id < 3").collect()[0].g
     assert sorted(g.split("|")) == ["1:10", "2:20"]
+
+
+def test_window_chaining(spark):
+    """MySQL 8 named-window chaining: a WINDOW definition may start
+    with an earlier window's name, inheriting its spec; chains of 3
+    resolve transitively."""
+    out = translate_mysql(
+        "SELECT RANK() OVER w2 FROM t WINDOW w1 AS (PARTITION BY g), "
+        "w2 AS (w1 ORDER BY id)"
+    )
+    assert "w2 AS (PARTITION BY g  ORDER BY id)" in out
+    out3 = translate_mysql(
+        "SELECT 1 FROM t WINDOW w1 AS (PARTITION BY g), "
+        "w2 AS (w1 ORDER BY id), w3 AS (w2 ROWS UNBOUNDED PRECEDING)"
+    )
+    assert "w3 AS (PARTITION BY g  ORDER BY id  " \
+           "ROWS UNBOUNDED PRECEDING)" in out3
+    spark.range(4).selectExpr(
+        "id", "id % 2 AS g", "id * 10 AS v"
+    ).createOrReplaceTempView("wc_t")
+    rows = spark.sql(translate_mysql(
+        "SELECT id, SUM(v) OVER w1 AS s, RANK() OVER w2 AS r "
+        "FROM wc_t WINDOW w1 AS (PARTITION BY g), "
+        "w2 AS (w1 ORDER BY id)"
+    )).collect()
+    assert sorted((r.id, r.s, r.r) for r in rows) == [
+        (0, 20, 1), (1, 40, 1), (2, 20, 2), (3, 40, 2)]
