@@ -1912,6 +1912,35 @@ def _pass_window_chains(toks: list[Tok]) -> list[Tok]:
                     break
             if changed:
                 continue  # re-scan from the same WINDOW for chains of 3+
+            if defs:
+                # inline references too: OVER (w1 ORDER BY ...) inherits
+                # the named spec (MySQL 8; Spark resolves only bare
+                # OVER w1)
+                k = 0
+                while k < len(toks):
+                    tk = toks[k]
+                    if tk.kind == "word" and tk.text.upper() == "OVER":
+                        p2 = _sig_next(toks, k)
+                        if (p2 < len(toks) and toks[p2].kind == "op"
+                                and toks[p2].text == "("):
+                            s2 = _sig_next(toks, p2)
+                            if (s2 < len(toks)
+                                    and toks[s2].kind in ("word", "bq")
+                                    and toks[s2].text.strip("`").lower()
+                                    in defs
+                                    and not (
+                                        _sig_next(toks, s2) < len(toks)
+                                        and toks[_sig_next(toks, s2)]
+                                        .kind == "op"
+                                        and toks[_sig_next(toks, s2)]
+                                        .text in ("(", ".", ","))):
+                                base = defs[
+                                    toks[s2].text.strip("`").lower()]
+                                toks = (toks[:s2] + list(base)
+                                        + [Tok("ws", " ")]
+                                        + toks[s2 + 1:])
+                    k += 1
+                n = len(toks)
         i += 1
     return toks
 

@@ -640,3 +640,18 @@ def test_window_chaining(spark):
     )).collect()
     assert sorted((r.id, r.s, r.r) for r in rows) == [
         (0, 20, 1), (1, 40, 1), (2, 20, 2), (3, 40, 2)]
+
+
+def test_inline_over_window_references(spark):
+    """OVER (w1 [ORDER BY ...]) inline references inherit the named
+    window's spec; bare OVER w1 stays native Spark."""
+    spark.range(4).selectExpr(
+        "id", "id % 2 AS g", "id * 10 AS v"
+    ).createOrReplaceTempView("io_t")
+    rows = spark.sql(translate_mysql(
+        "SELECT id, RANK() OVER (w1 ORDER BY id) AS r, "
+        "SUM(v) OVER (w1) AS s, MAX(v) OVER w1 AS m "
+        "FROM io_t WINDOW w1 AS (PARTITION BY g)"
+    )).collect()
+    assert sorted((x.id, x.r, x.s, x.m) for x in rows) == [
+        (0, 1, 20, 20), (1, 1, 40, 30), (2, 2, 20, 20), (3, 2, 40, 30)]
