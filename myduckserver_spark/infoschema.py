@@ -34,7 +34,7 @@ _QUALIFIED = re.compile(
 INFO_VIEWS = {
     "schemata", "tables", "columns", "views", "statistics",
     "key_column_usage", "table_constraints", "referential_constraints",
-    "routines", "triggers",
+    "routines", "triggers", "partitions",
 }
 SYS_VIEWS = {"pg_stat_user_tables", "pg_index"}
 # pg_catalog shims: the reference rewrites pg_catalog queries in place
@@ -215,6 +215,31 @@ def build(engine, schema: str, view: str) -> DataFrame:
             "TABLE_CATALOG string, TABLE_SCHEMA string, TABLE_NAME string, "
             "NON_UNIQUE int, INDEX_NAME string, SEQ_IN_INDEX int, "
             "COLUMN_NAME string",
+        )
+
+    if (schema, view) == ("information_schema", "partitions"):
+        # MySQL: one row per partition; unpartitioned tables get one
+        # row with PARTITION_NAME NULL. Hive-layout tables here carry
+        # a KEY-style column spec, reported as a single 'p0' partition
+        # (physical value directories are storage, not logical
+        # partitions).
+        rows = []
+        for db, cat in _walk(engine):
+            for t in cat.list_tables():
+                meta = st.TableMeta(**_catalog_meta(cat, t))
+                if meta.partition_by:
+                    rows.append(
+                        ("def", db, t, "p0", 1, "KEY",
+                         ",".join(meta.partition_by))
+                    )
+                else:
+                    rows.append(("def", db, t, None, None, None, None))
+        return spark.createDataFrame(
+            rows,
+            "TABLE_CATALOG string, TABLE_SCHEMA string, "
+            "TABLE_NAME string, PARTITION_NAME string, "
+            "PARTITION_ORDINAL_POSITION int, PARTITION_METHOD string, "
+            "PARTITION_EXPRESSION string",
         )
 
     if (schema, view) == ("information_schema", "key_column_usage"):

@@ -322,3 +322,23 @@ def test_routines_and_triggers_views(spark, tmp_path):
         "ACTION_TIMING FROM information_schema.triggers"
     ).collect()
     assert [tuple(r) for r in rows] == [("tg1", "INSERT", "rt", "AFTER")]
+
+
+def test_partitions_view(spark, tmp_path):
+    """information_schema.partitions: one row per table; hive-layout
+    tables report a KEY partition, unpartitioned tables a NULL
+    PARTITION_NAME row (MySQL's shape)."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE plain (id INT PRIMARY KEY)")
+    e.execute("CREATE TABLE parted (id INT PRIMARY KEY, "
+              "region VARCHAR(10)) PARTITION BY KEY(region)")
+    rows = {
+        r.TABLE_NAME: (r.PARTITION_NAME, r.PARTITION_METHOD,
+                       r.PARTITION_EXPRESSION)
+        for r in e.execute(
+            "SELECT * FROM information_schema.partitions").collect()
+    }
+    assert rows["plain"] == (None, None, None)
+    assert rows["parted"] == ("p0", "KEY", "region")
