@@ -53,6 +53,71 @@ def _parse_path(path: str) -> list | None:
     return toks
 
 
+def _parse_wpath(s: str):
+    """Wildcard-capable path parser: $, .key, ."quoted", [n], [*],
+    .*, ** legs (MySQL path grammar). None for malformed paths."""
+    s = (s or "").strip()
+    if not s.startswith("$"):
+        return None
+    i, toks = 1, []
+    while i < len(s):
+        if s.startswith("**", i):
+            toks.append(("rec",))
+            i += 2
+            continue
+        if s.startswith(".*", i):
+            toks.append(("anykey",))
+            i += 2
+            continue
+        if s.startswith("[*]", i):
+            toks.append(("anyidx",))
+            i += 3
+            continue
+        m = re.match(r'\."([^"]+)"|\.([A-Za-z_]\w*)|\[(\d+)\]', s[i:])
+        if not m:
+            return None
+        if m.group(3) is not None:
+            toks.append(("idx", int(m.group(3))))
+        else:
+            toks.append(("key", m.group(1) or m.group(2)))
+        i += m.end()
+    return toks
+
+
+def _wmatch(doc, toks) -> list:
+    """All values matching a wildcard path (document order-ish)."""
+    if not toks:
+        return [doc]
+    t, rest = toks[0], toks[1:]
+    out: list = []
+    if t[0] == "key":
+        if isinstance(doc, dict) and t[1] in doc:
+            out += _wmatch(doc[t[1]], rest)
+    elif t[0] == "idx":
+        if isinstance(doc, list):
+            if t[1] < len(doc):
+                out += _wmatch(doc[t[1]], rest)
+        elif t[1] == 0:
+            out += _wmatch(doc, rest)  # MySQL: scalar acts as [0]
+    elif t[0] == "anykey":
+        if isinstance(doc, dict):
+            for v in doc.values():
+                out += _wmatch(v, rest)
+    elif t[0] == "anyidx":
+        if isinstance(doc, list):
+            for v in doc:
+                out += _wmatch(v, rest)
+    else:  # rec: '**' applies the remaining legs at every depth
+        out += _wmatch(doc, rest)
+        if isinstance(doc, dict):
+            for v in doc.values():
+                out += _wmatch(v, toks)
+        elif isinstance(doc, list):
+            for v in doc:
+                out += _wmatch(v, toks)
+    return out
+
+
 def _get(doc, toks):
     """→ (found, value) walking dict keys / list indexes."""
     cur = doc
@@ -232,6 +297,82 @@ def register_json_udfs(spark: SparkSession) -> None:
         return json.dumps(doc)
 
     reg("json_remove1", F.pandas_udf(_udf_str(_remove), S))
+
+    def _extract_w(d, ps):
+        """JSON_EXTRACT with wildcard and/or several paths (\\x1f-
+        joined): single plain path → the value; wildcards or several
+        paths → the JSON array of matches; no match → NULL (MySQL)."""
+        doc = _loads(d)
+        paths = (ps or "").split("\x1f")
+        vals: list = []
+        wild = False
+        for p in paths:
+            toks = _parse_wpath(p)
+            if toks is None:
+                return None
+            if any(t[0] in ("anykey", "anyidx", "rec") for t in toks):
+                wild = True
+            vals += _wmatch(doc, toks)
+        if not vals:
+            return None
+        if len(paths) == 1 and not wild:
+            return json.dumps(vals[0])
+        return json.dumps(vals)
+
+    reg("json_extract_w", F.pandas_udf(_udf_str(_extract_w), S))
+
+    def _arr_append(d, p, vj):
+        doc = _loads(d)
+        toks = _parse_path(p)
+        val = _first_val(vj)
+        if toks is None:
+            return None
+        found, tgt = _get(doc, toks)
+        if not found:
+            return json.dumps(doc)
+        if isinstance(tgt, list):
+            tgt.append(val)
+        elif not toks:
+            doc = [doc, val]  # MySQL wraps a scalar target
+        else:
+            _found, parent = _get(doc, toks[:-1])
+            leaf = toks[-1]
+            if isinstance(parent, dict):
+                parent[leaf] = [tgt, val]
+            elif isinstance(parent, list) and isinstance(leaf, int):
+                parent[leaf] = [tgt, val]
+        return json.dumps(doc)
+
+    reg("json_array_append1", F.pandas_udf(_udf_str(_arr_append), S))
+
+    def _arr_insert(d, p, vj):
+        doc = _loads(d)
+        toks = _parse_path(p)
+        val = _first_val(vj)
+        # MySQL requires the path to end in an array cell [n]
+        if not toks or not isinstance(toks[-1], int):
+            return None
+        found, parent = _get(doc, toks[:-1])
+        if found and isinstance(parent, list):
+            parent.insert(min(toks[-1], len(parent)), val)
+        return json.dumps(doc)
+
+    reg("json_array_insert1", F.pandas_udf(_udf_str(_arr_insert), S))
+
+    def _length_at(d, p):
+        toks = _parse_path(p)
+        if toks is None:
+            return None
+        found, v = _get(_loads(d), toks)
+        if not found:
+            return None
+        if isinstance(v, list):
+            return len(v)
+        if isinstance(v, dict):
+            return len(v.keys())
+        return 1  # scalars have length 1 (MySQL)
+
+    reg("json_length_at", F.pandas_udf(_udf_str(_length_at), I))
     reg("json_contains2", F.pandas_udf(_udf_str(
         lambda t, c: int(_contains(_loads(t), _loads(c)))
     ), I))

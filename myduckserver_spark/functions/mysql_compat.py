@@ -497,11 +497,19 @@ def _fn_bin_to_uuid(a):
 
 
 def _fn_json_extract(a):
-    # Single-path form only (multi-path returns a JSON array in MySQL).
-    # Shim note: bare string results come back unquoted (Spark
-    # get_json_object ~ MySQL ->> semantics); objects/arrays/numbers
-    # round-trip exactly.
-    return f"get_json_object({a[0]}, {a[1]})" if len(a) == 2 else None
+    # Single plain path → get_json_object (JVM-side; shim note: bare
+    # string results come back unquoted, ~MySQL ->> semantics).
+    # Wildcard paths (*, [*], **) and multi-path forms return MySQL's
+    # JSON array of matches via the python walker.
+    if len(a) < 2:
+        return None
+    if len(a) == 2:
+        lit = _str_lit(a[1].strip())
+        if lit is None or "*" not in lit:
+            return f"get_json_object({a[0]}, {a[1]})"
+        return f"json_extract_w({a[0]}, {a[1]})"
+    paths = ", ".join(x for x in a[1:])
+    return f"json_extract_w({a[0]}, concat_ws(char(31), {paths}))"
 
 
 def _fn_json_object(a):
@@ -697,8 +705,14 @@ _FN_HANDLERS = {
         f"to_json(json_object_keys({a[0]}))" if len(a) == 1 else None
     ),
     "JSON_LENGTH": lambda a: (
-        f"json_array_length({a[0]})" if len(a) == 1 else None
+        f"json_array_length({a[0]})" if len(a) == 1
+        else f"json_length_at({a[0]}, {a[1]})" if len(a) == 2
+        else None
     ),
+    "JSON_ARRAY_APPEND": lambda a: _fn_json_mutate(
+        "json_array_append1", a),
+    "JSON_ARRAY_INSERT": lambda a: _fn_json_mutate(
+        "json_array_insert1", a),
     "JSON_ARRAY": lambda a: (
         "to_json(array(" + ", ".join(a) + "))"
         if a and a[0]

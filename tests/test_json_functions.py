@@ -115,3 +115,43 @@ def test_json_contains_scalar_typing(eng):
     assert q1(eng, "SELECT JSON_CONTAINS('[true]', '1') AS x") == 0
     assert q1(eng, "SELECT JSON_CONTAINS('[true]', 'true') AS x") == 1
     assert q1(eng, "SELECT JSON_CONTAINS('[\"1\"]', '1') AS x") == 0
+
+
+def test_json_wildcards_arrays_and_path_length(spark, tmp_path):
+    """Round-8 JSON family growth, MySQL-manual-verified values:
+    JSON_ARRAY_INSERT/APPEND (scalar targets wrap, pair chains),
+    multi-path and wildcard (.* / [*] / **) JSON_EXTRACT returning the
+    array of matches, JSON_LENGTH with a path argument."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    one = lambda q: e.execute(q).collect()[0][0]  # noqa: E731
+    norm = lambda s: s.replace(" ", "") if s else s  # noqa: E731
+    assert norm(one(
+        "SELECT JSON_ARRAY_INSERT('[1,3]', '$[1]', 2) AS j")) == "[1,2,3]"
+    assert norm(one(
+        "SELECT JSON_ARRAY_APPEND('[1]', '$', 2, '$', 3) AS j")) \
+        == "[1,2,3]"
+    assert norm(one(
+        'SELECT JSON_ARRAY_APPEND(\'{"a":1}\', \'$.a\', 2) AS j')) \
+        == '{"a":[1,2]}'
+    assert norm(one(
+        'SELECT JSON_EXTRACT(\'{"a":1,"b":2}\', \'$.a\', \'$.b\') '
+        "AS j")) == "[1,2]"
+    assert norm(one(
+        'SELECT JSON_EXTRACT(\'{"a":{"b":1}}\', \'$.a.*\') AS j')) \
+        == "[1]"
+    assert norm(one(
+        'SELECT JSON_EXTRACT(\'[{"x":1},{"x":2}]\', \'$[*].x\') '
+        "AS j")) == "[1,2]"
+    assert norm(one(
+        'SELECT JSON_EXTRACT(\'{"a":{"b":1},"b":9}\', \'$**.b\') '
+        "AS j")) == "[9,1]"
+    # single plain path keeps the JVM-side get_json_object
+    assert one('SELECT JSON_EXTRACT(\'{"a":5}\', \'$.a\') AS j') == "5"
+    assert one(
+        'SELECT JSON_LENGTH(\'{"a":[1,2]}\', \'$.a\') AS j') == 2
+    assert one(
+        'SELECT JSON_LENGTH(\'{"a":{"x":1,"y":2}}\', \'$.a\') AS j') == 2
+    assert one('SELECT JSON_LENGTH(\'{"a":5}\', \'$.a\') AS j') == 1
+    assert one("SELECT JSON_LENGTH('{}', '$.a') AS j") is None
