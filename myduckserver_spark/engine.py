@@ -6002,25 +6002,119 @@ class Engine:
             raise
         return OkResult()
 
+    def _apply_column_attrs(self, table: str, col: str,
+                            cm: "st.TableMeta", replace: bool) -> None:
+        """Fold a parsed column definition's attributes into table
+        metadata. replace=True (MODIFY/CHANGE) clears unmentioned
+        attributes first — MySQL replaces the whole definition."""
+        meta = self.table_meta(table)
+        if replace:
+            if col in meta.not_null:
+                meta.not_null.remove(col)
+            meta.defaults.pop(col, None)
+            meta.on_update.pop(col, None)
+            meta.generated.pop(col, None)
+            if meta.auto_increment == col:
+                meta.auto_increment = None
+        if col in cm.not_null and col not in meta.not_null:
+            meta.not_null.append(col)
+        if col in cm.defaults:
+            meta.defaults[col] = cm.defaults[col]
+        if col in cm.on_update:
+            meta.on_update[col] = cm.on_update[col]
+        if col in cm.generated:
+            meta.generated[col] = cm.generated[col]
+        if cm.auto_increment == col:
+            meta.auto_increment = col
+        if cm.primary_key == [col] and not meta.primary_key:
+            meta.primary_key = [col]
+        for cname, expr in cm.checks.items():
+            meta.checks.setdefault(cname, expr)
+        self._save_meta(table, meta)
+
+    def _move_column(self, table: str, col: str,
+                     position: str | None) -> None:
+        """Reorder an existing column: ""=FIRST, name=AFTER name."""
+        if position is None:
+            return
+        t = self.catalog.table(table)
+        df = t.read()
+        cols = [c for c in df.columns if c != col]
+        if position == "":
+            cols.insert(0, col)
+        else:
+            if position not in cols:
+                raise ValueError(f"AFTER column not found: {position}")
+            cols.insert(cols.index(position) + 1, col)
+        t.overwrite(df.select(*cols))
+
     def _exec_alter(self, s: st.AlterTable) -> OkResult:
         if s.action == "add_column":
             self.alter_add_column(
                 s.name, s.column, s.mysql_type, default=s.default,
                 position=s.position,
             )
-            if s.default is not None:
+            if s.col_meta is not None:
+                self._apply_column_attrs(
+                    s.name, s.column, s.col_meta, replace=False)
+                if s.column in s.col_meta.generated:
+                    # backfill existing rows with the expression
+                    t = self.catalog.table(s.name)
+                    df = t.read()
+                    t.overwrite(df.withColumn(
+                        s.column,
+                        F.expr(s.col_meta.generated[s.column])
+                        .cast(df.schema[s.column].dataType),
+                    ))
+            elif s.default is not None:
                 meta = self.table_meta(s.name)
                 meta.defaults[s.column] = s.default
                 self._save_meta(s.name, meta)
         elif s.action == "drop_column":
             self.alter_drop_column(s.name, s.column)
+            meta = self.table_meta(s.name)
+            changed = False
+            if s.column in meta.not_null:
+                meta.not_null.remove(s.column)
+                changed = True
+            for d in (meta.defaults, meta.on_update, meta.generated):
+                if s.column in d:
+                    del d[s.column]
+                    changed = True
+            if meta.auto_increment == s.column:
+                meta.auto_increment = None
+                changed = True
+            if changed:
+                self._save_meta(s.name, meta)
         elif s.action == "rename_column":
             self.alter_rename_column(s.name, s.column, s.new_name)
-        elif s.action == "modify_column":
-            self.alter_modify_column(s.name, s.column, s.mysql_type)
-        elif s.action == "change_column":
-            self.alter_rename_column(s.name, s.column, s.new_name)
-            self.alter_modify_column(s.name, s.new_name, s.mysql_type)
+        elif s.action in ("modify_column", "change_column"):
+            new_col = s.new_name or s.column
+            if (s.col_meta is not None
+                    and new_col in s.col_meta.not_null
+                    and s.column
+                    not in self.table_meta(s.name).not_null):
+                # MODIFY/CHANGE to NOT NULL validates existing rows
+                # BEFORE any mutation (MySQL 1138, statement-atomic)
+                hit = self.catalog.table(s.name).read().where(
+                    F.col(s.column).isNull()).take(1)
+                if hit:
+                    raise ValueError(
+                        f"Invalid use of NULL value: column "
+                        f"'{s.column}' contains NULLs and cannot "
+                        "become NOT NULL"
+                    )
+            col = s.column
+            if s.action == "change_column" and s.new_name != s.column:
+                self.alter_rename_column(s.name, s.column, s.new_name)
+                col = s.new_name
+            elif s.action == "modify_column":
+                col = s.new_name or s.column
+            self.alter_modify_column(s.name, col, s.mysql_type)
+            if s.col_meta is not None:
+                self._apply_column_attrs(
+                    s.name, col, s.col_meta, replace=True)
+            self._move_column(s.name, col, s.position)
         elif s.action == "rename_table":
             self.rename_table(s.name, s.new_name)
         elif s.action == "add_fk":

@@ -662,6 +662,11 @@ class AlterTable:
     # (MySQL honors ordering; the reference drops it — we exceed there)
     position: str | None = None
     fk: dict | None = None  # add_fk: parsed FOREIGN KEY clause
+    # add/modify/change column attributes parsed from the full column
+    # definition (NOT NULL / AUTO_INCREMENT / ON UPDATE / GENERATED /
+    # inline CHECK / PRIMARY KEY) — MODIFY replaces the whole
+    # definition, so the executor resets unmentioned attributes
+    col_meta: "TableMeta | None" = None
 
 
 @dataclass
@@ -1451,23 +1456,40 @@ def _parse_alter_action(name: str, rest: str) -> AlterTable:
     """One ALTER TABLE action (MySQL allows a comma-separated
     list; parse_statement splits at top level and parses each
     through here)."""
+    _CONSTRAINT_FIRST = ("INDEX", "KEY", "UNIQUE", "CONSTRAINT",
+                         "FOREIGN", "CHECK", "FULLTEXT", "SPATIAL",
+                         "PRIMARY")
+
+    def _peel_position(body: str) -> tuple[str, str | None]:
+        # None=append, ""=FIRST, name=AFTER <name>
+        pm = re.search(
+            r"(?i)\s+(?:(FIRST)|AFTER\s+(`[^`]+`|\w+))\s*$",
+            mask_strings(body),
+        )
+        if not pm:
+            return body, None
+        pos = "" if pm.group(1) else unquote_ident(
+            body[pm.start(2):pm.end(2)])
+        return body[: pm.start()], pos
+
     am = re.match(
-        rf"ADD\s+(?:COLUMN\s+)?(`[^`]+`|\w+)\s+({_TYPE_RE})"
-        r"(?:\s+DEFAULT\s+(\S+))?"
-        r"(?:\s+(FIRST)|\s+AFTER\s+(`[^`]+`|\w+))?\s*$",
-        rest,
-        re.I,
+        r"ADD\s+(COLUMN\s+)?(`[^`]+`|\w+)\s+(.+)$", rest, re.I | re.S
     )
-    if am:
-        default = parse_literal(am.group(3)) if am.group(3) else None
-        position = None  # None=append, ""=FIRST, name=AFTER <name>
-        if am.group(4):
-            position = ""
-        elif am.group(5):
-            position = unquote_ident(am.group(5))
-        return AlterTable(name, "add_column", column=unquote_ident(am.group(1)),
-                          mysql_type=am.group(2).strip(), default=default,
-                          position=position)
+    if am and (am.group(1) or unquote_ident(am.group(2)).upper()
+               not in _CONSTRAINT_FIRST):
+        # full column definition: attributes (NOT NULL / COMMENT /
+        # AUTO_INCREMENT / ON UPDATE / GENERATED / inline CHECK /
+        # PRIMARY KEY) parse through the CREATE TABLE item parser
+        body, position = _peel_position(
+            f"{am.group(2)} {am.group(3).strip()}")
+        cm = TableMeta()
+        parsed = _parse_column_def(body.strip(), cm)
+        if parsed:
+            col, mysql_type = parsed
+            return AlterTable(name, "add_column", column=col,
+                              mysql_type=mysql_type,
+                              default=cm.defaults.get(col),
+                              position=position, col_meta=cm)
     am = re.match(r"DROP\s+(?:COLUMN\s+)?(`[^`]+`|\w+)\s*$", rest, re.I)
     if am:
         return AlterTable(name, "drop_column", column=unquote_ident(am.group(1)))
@@ -1478,21 +1500,35 @@ def _parse_alter_action(name: str, rest: str) -> AlterTable:
         return AlterTable(name, "rename_column", column=unquote_ident(am.group(1)),
                           new_name=unquote_ident(am.group(2)))
     am = re.match(
-        rf"MODIFY\s+(?:COLUMN\s+)?(`[^`]+`|\w+)\s+({_TYPE_RE})\s*$", rest, re.I
+        r"(MODIFY|CHANGE)\s+(?:COLUMN\s+)?(`[^`]+`|\w+)\s+(.+)$",
+        rest, re.I | re.S,
     )
     if am:
-        return AlterTable(name, "modify_column", column=unquote_ident(am.group(1)),
-                          mysql_type=am.group(2).strip())
-    am = re.match(
-        rf"CHANGE\s+(?:COLUMN\s+)?(`[^`]+`|\w+)\s+(`[^`]+`|\w+)\s+({_TYPE_RE})\s*$",
-        rest,
-        re.I,
-    )
-    if am:
-        # MySQL CHANGE = rename + retype in one step
-        return AlterTable(name, "change_column", column=unquote_ident(am.group(1)),
-                          new_name=unquote_ident(am.group(2)),
-                          mysql_type=am.group(3).strip())
+        # MODIFY col <definition> / CHANGE old new <definition>:
+        # the definition REPLACES the column's attributes (MySQL —
+        # an omitted NOT NULL or DEFAULT drops it)
+        verb = am.group(1).upper()
+        old = unquote_ident(am.group(2))
+        body = am.group(3).strip()
+        new = old
+        if verb == "CHANGE":
+            nm = re.match(r"(`[^`]+`|\w+)\s+(.+)$", body, re.S)
+            if not nm:
+                raise ValueError(
+                    f"cannot parse CHANGE COLUMN definition: {rest!r}")
+            new, body = unquote_ident(nm.group(1)), nm.group(2).strip()
+        body, position = _peel_position(f"`{new}` {body}")
+        cm = TableMeta()
+        parsed = _parse_column_def(body.strip(), cm)
+        if parsed:
+            _col, mysql_type = parsed
+            return AlterTable(
+                name,
+                "modify_column" if verb == "MODIFY" else "change_column",
+                column=old, new_name=new, mysql_type=mysql_type,
+                default=cm.defaults.get(new), position=position,
+                col_meta=cm,
+            )
     am = re.match(r"RENAME\s+(?:TO\s+)?(`[^`]+`|\w+)\s*$", rest, re.I)
     if am:
         return AlterTable(name, "rename_table", new_name=unquote_ident(am.group(1)))

@@ -376,3 +376,63 @@ def test_alter_table_multi_action(spark, tmp_path):
         "ADD UNIQUE INDEX uq (id, vv)"
     )
     assert "uq" in e.table_meta("m").indexes
+
+
+def test_alter_column_full_definitions(spark, tmp_path):
+    """ALTER ADD/MODIFY/CHANGE COLUMN accept full column definitions
+    (NOT NULL / COMMENT / AUTO_INCREMENT / DEFAULT / GENERATED /
+    FIRST|AFTER); MODIFY REPLACES the column's attributes (MySQL —
+    an omitted NOT NULL or DEFAULT drops it) and validates NOT NULL
+    against existing rows (1138). Reference corpus:
+    main_test.go TestAlterTable ADD/MODIFY-with-attributes cases."""
+    import pytest
+
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE t (i BIGINT NOT NULL, s VARCHAR(20))")
+    e.execute("INSERT INTO t VALUES (1, 'a')")
+    e.execute("ALTER TABLE t ADD COLUMN c2 INT NOT NULL DEFAULT 7")
+    e.execute("ALTER TABLE t ADD COLUMN c3 INT COMMENT 'hello' AFTER i")
+    assert e.execute("SELECT * FROM t").columns == ["i", "c3", "s", "c2"]
+    assert e.execute("SELECT c2 FROM t").collect()[0].c2 == 7
+    meta = e.table_meta("t")
+    assert "c2" in meta.not_null and meta.defaults["c2"] == 7
+    # MODIFY drops unmentioned attributes and can reposition
+    e.execute("ALTER TABLE t MODIFY COLUMN c2 BIGINT FIRST")
+    meta = e.table_meta("t")
+    assert "c2" not in meta.not_null and "c2" not in meta.defaults
+    assert e.execute("SELECT * FROM t").columns[0] == "c2"
+    # CHANGE to NOT NULL with an existing NULL row → MySQL 1138
+    with pytest.raises(ValueError, match="NULL"):
+        e.execute(
+            "ALTER TABLE t CHANGE COLUMN c3 c3x INT NOT NULL DEFAULT 3")
+    # NULL-free redefinition via CHANGE succeeds (rename + default)
+    e.execute("ALTER TABLE t CHANGE COLUMN c3 c3x INT DEFAULT 3")
+    assert "c3x" in e.execute("SELECT * FROM t").columns
+    assert e.table_meta("t").defaults["c3x"] == 3
+    # a NULL-free column CAN become NOT NULL
+    e.execute("ALTER TABLE t MODIFY COLUMN i BIGINT NOT NULL COMMENT 'k'")
+    assert "i" in e.table_meta("t").not_null
+    # generated column backfills existing rows
+    e.execute("ALTER TABLE t ADD COLUMN dbl BIGINT AS (i * 2)")
+    assert e.execute("SELECT dbl FROM t").collect()[0].dbl == 2
+    # AUTO_INCREMENT via ADD COLUMN
+    e.execute("CREATE TABLE t2 (a INT PRIMARY KEY)")
+    e.execute("INSERT INTO t2 VALUES (5)")
+    e.execute("ALTER TABLE t2 ADD COLUMN id BIGINT AUTO_INCREMENT")
+    e.execute("INSERT INTO t2 (a) VALUES (6)")
+    assert e.table_meta("t2").auto_increment == "id"
+
+
+def test_alter_modify_not_null_with_nulls_rejected(spark, tmp_path):
+    import pytest
+
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE t (i INT NOT NULL, x INT)")
+    e.execute("INSERT INTO t VALUES (1, NULL)")
+    with pytest.raises(ValueError, match="NULL"):
+        e.execute("ALTER TABLE t MODIFY COLUMN x INT NOT NULL")
+    assert "x" not in e.table_meta("t").not_null
