@@ -1695,6 +1695,18 @@ class Engine:
         images (rewritten set-based over the affected-row view); and
         may not touch the trigger's own table (MySQL ER_CANT_UPDATE
         _USED_TABLE_IN_SF_OR_TRG)."""
+        if re.match(
+            r"(?i)\s*(?:CREATE|ALTER|DROP|RENAME|TRUNCATE"
+            r"|START\s+TRANSACTION|BEGIN\b|COMMIT|ROLLBACK|LOCK"
+            r"|UNLOCK|FLUSH|OPTIMIZE|ANALYZE|REPAIR)\b",
+            stmt,
+        ):
+            # DDL and transaction control imply a commit — forbidden
+            # in triggers (MySQL 1422); EVENTs may run DDL
+            raise ValueError(
+                "Explicit or implicit commit is not allowed in a "
+                f"trigger (MySQL 1422): {stmt[:50]!r}"
+            )
         if table is not None:
             tm = re.match(
                 r"(?i)\s*(?:INSERT\s+(?:IGNORE\s+)?INTO|REPLACE\s+INTO"

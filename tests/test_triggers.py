@@ -725,3 +725,32 @@ def test_on_duplicate_fires_insert_and_update_arms(eng):
     got = sorted((r.op, r.item_id, r.detail) for r in
                  eng.execute("SELECT * FROM audit").collect())
     assert got == [("ins", 7, "p"), ("upd", 7, "p->q")]
+
+
+def test_trigger_body_rejects_ddl_and_txn_control(spark, tmp_path):
+    """DDL and transaction control imply a commit and are forbidden in
+    trigger bodies (MySQL 1422, reference main_test.go's
+    CREATE-TABLE-in-trigger error cases); EVENTs may run DDL."""
+    import pytest
+
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE t (id INT PRIMARY KEY, v INT)")
+    e.execute("CREATE TABLE aud (id INT)")
+    for body in (
+        "BEGIN CREATE TABLE bar AS SELECT 1; END",
+        "BEGIN DROP TABLE aud; END",
+        "BEGIN COMMIT; END",
+        "BEGIN TRUNCATE aud; END",
+    ):
+        with pytest.raises(ValueError, match="1422"):
+            e.execute(f"CREATE TRIGGER bad AFTER INSERT ON t "
+                      f"FOR EACH ROW {body}")
+    # plain audit DML is fine; events MAY run DDL
+    e.execute("CREATE TRIGGER ok1 AFTER INSERT ON t FOR EACH ROW "
+              "INSERT INTO aud VALUES (NEW.id)")
+    e.execute("CREATE EVENT ev ON SCHEDULE EVERY 1 YEAR "
+              "DO CREATE VIEW evv AS SELECT 1")
+    e.execute("INSERT INTO t VALUES (1, 1)")
+    assert e.execute("SELECT * FROM aud").collect()[0].id == 1
