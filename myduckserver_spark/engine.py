@@ -8639,5 +8639,33 @@ class Engine:
             return self.spark.createDataFrame(
                 rows, "Log_name string, File_size long, Encrypted string"
             )
+        if s.kind == "help":
+            # the client-side HELP protocol (mysql help tables); a
+            # pointer row keeps interactive clients functional
+            topic = (s.like or "").strip()
+            return self.spark.createDataFrame(
+                [(topic, "Server-side help tables are not loaded; "
+                  "see https://dev.mysql.com/doc/ for topic "
+                  f"'{topic}'", "")],
+                "name string, description string, example string",
+            )
+        if s.kind == "binlog_events":
+            # applied-position markers rendered in SHOW BINLOG EVENTS
+            # shape (the engine's CDC log is the binlog analog; the
+            # raw event payloads live with the feed, not the catalog)
+            rows = []
+            for name in self.catalog.list_tables():
+                ptr = self.catalog.table(name)._read_pointer()
+                for app, pos in ptr.get("txn", {}).items():
+                    rows.append(
+                        (f"segment-{int(pos) // 1_000_000:06d}",
+                         int(pos), "Table_map", 1, int(pos),
+                         f"table={name} applier={app}")
+                    )
+            return self.spark.createDataFrame(
+                rows,
+                "Log_name string, Pos long, Event_type string, "
+                "Server_id int, End_log_pos long, Info string",
+            )
         raise ValueError(f"unknown SHOW kind: {s.kind}")
 

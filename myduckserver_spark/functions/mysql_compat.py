@@ -1567,6 +1567,18 @@ def _pass_mysql_operators(toks: list[Tok]) -> list[Tok]:
                         out.pop()
                     i = j + 1
                     continue
+            if u == "GROUPS":
+                j = _sig_next(toks, i)
+                if j < n and (
+                    toks[j].kind == "num"
+                    or (toks[j].kind == "word" and toks[j].text.upper()
+                        in ("BETWEEN", "UNBOUNDED", "CURRENT"))
+                ):
+                    raise NotImplementedError(
+                        "window GROUPS frame units are not supported "
+                        "(Spark has ROWS and RANGE frames only); "
+                        "rewrite over a dense_rank subquery"
+                    )
             if u == "INTERVAL":
                 # infix ``expr ± INTERVAL count unit``: native Spark
                 # only when count is an integer literal AND the base

@@ -2277,6 +2277,15 @@ def parse_statement(sql: str, hash_comments: bool = True):
         return Show("privileges")
     if re.match(r"SHOW\s+(?:BINARY\s+LOGS|BINLOGS)\s*$", s, re.I):
         return Show("binary_logs")
+    if re.match(r"SHOW\s+BINLOG\s+EVENTS\b", s, re.I):
+        return Show("binlog_events")
+    m = re.match(r"HELP\s+('(?:[^']|'')*'|\S+)\s*$", s, re.I)
+    if m:
+        topic = m.group(1)
+        return Show(
+            "help",
+            like=parse_literal(topic) if topic.startswith("'") else topic,
+        )
     m = re.match(r"(?:DESCRIBE|DESC)\s+(`[^`]+`|\w+)\s*$", s, re.I)
     if m:
         return Show("columns", target=unquote_ident(m.group(1)))

@@ -1068,3 +1068,23 @@ def test_alter_view_and_sysvar_scopes(spark, tmp_path):
                   "@@GLOBAL.sql_mode IS NOT NULL AS g, "
                   "@@autocommit AS p").collect()[0]
     assert (r.a, r.g, r.p) == (1, True, 1)
+
+
+def test_help_binlog_events_groups_frame(spark, tmp_path):
+    """HELP returns a pointer row (keeps interactive clients
+    functional); SHOW BINLOG EVENTS renders applied-position markers;
+    GROUPS window frames reject with an actionable message (Spark has
+    ROWS/RANGE only)."""
+    import pytest
+
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE t (id INT PRIMARY KEY, v INT)")
+    row = e.execute("HELP 'SELECT'").collect()[0]
+    assert row.name == "SELECT" and "doc" in row.description
+    assert e.execute("SHOW BINLOG EVENTS").columns[:3] == [
+        "Log_name", "Pos", "Event_type"]
+    with pytest.raises(NotImplementedError, match="GROUPS"):
+        e.execute("SELECT SUM(v) OVER (ORDER BY id GROUPS BETWEEN 1 "
+                  "PRECEDING AND CURRENT ROW) FROM t")
