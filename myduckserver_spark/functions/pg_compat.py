@@ -772,11 +772,38 @@ def _rewrite_at_time_zone(sql: str) -> str:
     return out
 
 
+_PG_SESSION_FNS = [
+    # psql/BI clients parse version(); the reference's pg door reports
+    # a PostgreSQL server_version (doltgres config)
+    (re.compile(r"\bversion\s*\(\s*\)", re.I),
+     "'PostgreSQL 15.0 myduckserver-spark (Spark SQL engine)'"),
+    (re.compile(r"\bcurrent_schema\s*\(\s*\)", re.I), "'main'"),
+    (re.compile(r"\bpg_backend_pid\s*\(\s*\)", re.I), "0"),
+]
+
+
+def _rewrite_pg_session_fns(sql: str) -> str:
+    out = sql
+    for rx, repl in _PG_SESSION_FNS:
+        pos = 0
+        while True:
+            m = rx.search(out, pos)
+            if not m:
+                break
+            if _in_string(out, m.start()):
+                pos = m.end()
+                continue
+            out = out[: m.start()] + repl + out[m.end():]
+            pos = m.start() + len(repl)
+    return out
+
+
 def translate_postgres(sql: str) -> str:
     """Normalize a Postgres-dialect query into Spark SQL."""
     out = sql
     out = _ESTRING_RE.sub("'", out)  # E'..' → '..' (Spark does escapes)
     out = _FETCH_FIRST_RE.sub(r"LIMIT \1", out)
+    out = _rewrite_pg_session_fns(out)
     out = _rewrite_at_time_zone(out)
     out = _rewrite_array_literals(out)
     out = _rewrite_json_ops(out)

@@ -496,3 +496,21 @@ def test_serial_types_and_at_time_zone(spark, tmp_path):
         == dt.datetime(2024, 1, 1, 17)
     assert one("SELECT TIMESTAMP '2024-01-01 12:00:00' "
                "AT TIME ZONE 'UTC' AS x") == dt.datetime(2024, 1, 1, 12)
+
+
+def test_pg_session_functions(spark, tmp_path):
+    """version() on the pg door reports a PostgreSQL-style string
+    (psql/BI clients parse it — the reference's pg wire advertises a
+    server_version); current_schema() is the engine's schema."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    r = e.execute("SELECT version() AS v, current_schema() AS s",
+                  dialect="postgres").collect()[0]
+    assert r.v.startswith("PostgreSQL ") and r.s == "main"
+    # MySQL door keeps the MySQL-style version
+    assert "myduckserver" in e.execute(
+        "SELECT VERSION() AS v").collect()[0].v
+    # not rewritten inside string literals
+    assert e.execute("SELECT 'version()' AS x",
+                     dialect="postgres").collect()[0].x == "version()"
