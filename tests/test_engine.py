@@ -57,8 +57,10 @@ def test_datetime_format_translation():
     assert mysql_datetime_format("%H:%i:%s") == "HH:mm:ss"
     assert translate_mysql("SELECT DATE_FORMAT(ts, '%Y-%m')") == \
         "SELECT date_format(ts, 'yyyy-MM')"
+    # parse-side tokens are single-letter (round 8): MySQL's %m/%d
+    # accept 1-2 digits, Java's MM/dd demand exactly two
     assert translate_mysql("SELECT STR_TO_DATE('2024-01-02', '%Y-%m-%d')") == \
-        "SELECT to_timestamp('2024-01-02', 'yyyy-MM-dd')"
+        "SELECT to_timestamp('2024-01-02', 'y-M-d')"
 
 
 def test_mysql_date_format_executes(engine):
