@@ -5970,11 +5970,27 @@ class Engine:
         """A WHERE / SET fragment → Column (MySQL fn names normalized)."""
         return F.expr(translate_mysql(text))
 
+    @staticmethod
+    def _reject_generated_over_auto(meta: "st.TableMeta") -> None:
+        """MySQL 3109: generated column expressions cannot refer to
+        the AUTO_INCREMENT column (its value is assigned at write)."""
+        auto = meta.auto_increment
+        if not auto:
+            return
+        for col, expr_text in meta.generated.items():
+            if re.search(rf"(?i)(?<![\w.`]){re.escape(auto)}\b",
+                         expr_text):
+                raise ValueError(
+                    f"Generated column '{col}' cannot refer to "
+                    f"auto-increment column '{auto}' (MySQL 3109)"
+                )
+
     def _exec_create_table(self, s: st.CreateTable) -> OkResult:
         if self.catalog.table(s.name).exists():
             if s.if_not_exists:
                 return OkResult(info="table exists")
             raise ValueError(f"table exists: {s.name}")
+        self._reject_generated_over_auto(s.meta)
         self.create_table(
             s.name, s.columns, partition_by=s.meta.partition_by or None
         )
@@ -6042,6 +6058,7 @@ class Engine:
             meta.primary_key = [col]
         for cname, expr in cm.checks.items():
             meta.checks.setdefault(cname, expr)
+        self._reject_generated_over_auto(meta)
         self._save_meta(table, meta)
 
     def _move_column(self, table: str, col: str,
@@ -8390,11 +8407,23 @@ class Engine:
             defs = []
             for f_ in schema.fields:
                 line = f"  `{f_.name}` {spark_to_mysql(f_.dataType, f_.metadata)}"
+                if f_.name in meta.generated:
+                    # generated columns round-trip their expression
+                    line += (f" GENERATED ALWAYS AS "
+                             f"({meta.generated[f_.name]}) STORED")
                 if f_.name in meta.not_null:
                     line += " NOT NULL"
                 if f_.name in meta.defaults and meta.defaults[f_.name] is not None:
                     d = meta.defaults[f_.name]
                     line += " DEFAULT " + (repr(d) if isinstance(d, str) else str(d))
+                if f_.name in meta.on_update:
+                    # the canonical TIMESTAMP ... DEFAULT/ON UPDATE
+                    # CURRENT_TIMESTAMP pair (an expression default
+                    # parses to None in meta.defaults — render the
+                    # live expression instead of dropping the clause)
+                    if meta.defaults.get(f_.name) is None:
+                        line += f" DEFAULT {meta.on_update[f_.name]}"
+                    line += f" ON UPDATE {meta.on_update[f_.name]}"
                 if f_.name == meta.auto_increment:
                     line += " AUTO_INCREMENT"
                 defs.append(line)
@@ -8433,6 +8462,10 @@ class Engine:
                     line += f" ON UPDATE {fk['on_update']}"
                 defs.append(line)
             ddl = f"CREATE TABLE `{s.target}` (\n" + ",\n".join(defs) + "\n)"
+            ai_base = meta.stats.get("auto_increment_base")
+            if ai_base:
+                # dump round-trips must not reuse already-issued ids
+                ddl += f" AUTO_INCREMENT={int(ai_base)}"
             if meta.partition_by:
                 ddl += " PARTITION BY KEY(" + ", ".join(
                     f"`{c}`" for c in meta.partition_by) + ")"

@@ -436,3 +436,35 @@ def test_alter_modify_not_null_with_nulls_rejected(spark, tmp_path):
     with pytest.raises(ValueError, match="NULL"):
         e.execute("ALTER TABLE t MODIFY COLUMN x INT NOT NULL")
     assert "x" not in e.table_meta("t").not_null
+
+
+def test_show_create_roundtrip_generated_onupdate_counter(spark, tmp_path):
+    """SHOW CREATE TABLE round-trips generated columns, the
+    DEFAULT/ON UPDATE CURRENT_TIMESTAMP pair, and the LIVE
+    AUTO_INCREMENT counter (a restored dump must not reuse issued
+    ids); generated expressions over the auto column reject at CREATE
+    (MySQL 3109)."""
+    import pytest
+
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    with pytest.raises(ValueError, match="3109"):
+        e.execute("CREATE TABLE bad (id INT PRIMARY KEY AUTO_INCREMENT, "
+                  "d BIGINT AS (id * 2))")
+    e.execute(
+        "CREATE TABLE rt (id BIGINT NOT NULL AUTO_INCREMENT, "
+        "v INT, created TIMESTAMP DEFAULT CURRENT_TIMESTAMP "
+        "ON UPDATE CURRENT_TIMESTAMP, doubled BIGINT AS (v * 2), "
+        "PRIMARY KEY (id)) AUTO_INCREMENT=10"
+    )
+    e.execute("INSERT INTO rt (v) VALUES (3)")
+    ddl = e.execute("SHOW CREATE TABLE rt").collect()[0][1]
+    assert "GENERATED ALWAYS AS (v * 2)" in ddl
+    assert "DEFAULT CURRENT_TIMESTAMP ON UPDATE CURRENT_TIMESTAMP" in ddl
+    assert "AUTO_INCREMENT=11" in ddl
+    e2 = Engine(spark, str(tmp_path / "wh2"))
+    e2.execute(ddl)
+    e2.execute("INSERT INTO rt (v) VALUES (4)")
+    row = e2.execute("SELECT id, doubled FROM rt").collect()[0]
+    assert (row.id, row.doubled) == (11, 8)  # counter + expr survive
