@@ -5647,13 +5647,25 @@ class Engine:
             self.sql(f"SELECT {s.expr}", dialect=dialect).collect()
             return OkResult()
 
-        if isinstance(s, st.SetVar):
-            if s.value is st.DEFAULT:  # SET var = DEFAULT resets it
-                self.variables.pop(s.name, None)
-                return OkResult()
-            self.variables[s.name] = s.value
-            if s.name.startswith("spark."):
-                self.spark.conf.set(s.name, str(s.value))
+        if isinstance(s, (st.SetVar, st.SetVarList)):
+            items = s.items if isinstance(s, st.SetVarList) else [s]
+            for it in items:
+                if it.value is st.DEFAULT:  # SET var = DEFAULT resets
+                    self.variables.pop(it.name, None)
+                    continue
+                val = it.value
+                if it.is_expr:
+                    # expression values evaluate NOW, with earlier
+                    # assignments of this statement visible (MySQL
+                    # applies the list left-to-right)
+                    val = self.sql(
+                        "SELECT "
+                        + self._substitute_user_vars(str(val)),
+                        dialect="mysql",
+                    ).collect()[0][0]
+                self.variables[it.name] = val
+                if it.name.startswith("spark."):
+                    self.spark.conf.set(it.name, str(val))
             return OkResult()
         if isinstance(s, st.UseDb):
             if s.name not in self._dbs:

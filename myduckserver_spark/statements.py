@@ -1035,6 +1035,17 @@ class SelectIntoOutfile:
 class SetVar:
     name: str
     value: object
+    # value holds EXPRESSION TEXT the engine must evaluate (user-var
+    # refs substituted, left-to-right across a multi-assignment list)
+    is_expr: bool = False
+
+
+@dataclass
+class SetVarList:
+    """SET a = x, b = y, ... — assignments apply left-to-right with
+    earlier ones visible to later expressions (MySQL)."""
+
+    items: list[SetVar]
 
 
 @dataclass
@@ -2427,15 +2438,31 @@ def parse_statement(sql: str, hash_comments: bool = True):
             m.group(1).strip().upper().replace(" ", "-"),
         )
 
-    m = re.match(
-        r"SET\s+(?:SESSION\s+|GLOBAL\s+)?@{0,2}([\w.]+)\s*:?=\s*(.+)$", s, re.I
-    )
-    if m:
-        try:
-            val = parse_literal(m.group(2))
-        except ValueError:
-            val = m.group(2).strip()
-        return SetVar(m.group(1), val)
+    if re.match(r"SET\s+(?:SESSION\s+|GLOBAL\s+)?@{0,2}[\w.]+\s*:?=",
+                s, re.I):
+        items: list[SetVar] = []
+        body = re.sub(r"(?i)^SET\s+", "", s, count=1)
+        for part in split_top_level(body, ","):
+            am = re.match(
+                r"(?:SESSION\s+|GLOBAL\s+)?@{0,2}([\w.]+)\s*:?=\s*(.+)$",
+                part.strip(), re.I | re.S,
+            )
+            if not am:
+                raise ValueError(f"cannot parse SET item: {part!r}")
+            try:
+                val, is_expr = parse_literal(am.group(2)), False
+            except ValueError:
+                txt = am.group(2).strip()
+                if re.fullmatch(r"[A-Za-z_][\w$.-]*", txt):
+                    # bare-word enum values (utf8mb4, ON,
+                    # READ-COMMITTED): strings, not expressions
+                    val, is_expr = txt, False
+                else:
+                    # an expression (SET @x = (SELECT ...),
+                    # @y = @x + 1): the engine evaluates it
+                    val, is_expr = txt, True
+            items.append(SetVar(am.group(1), val, is_expr=is_expr))
+        return items[0] if len(items) == 1 else SetVarList(items)
 
     m = re.match(r"SUMMARIZE\s+(`[^`]+`|\w+)\s*$", s, re.I)
     if m:

@@ -1088,3 +1088,26 @@ def test_help_binlog_events_groups_frame(spark, tmp_path):
     with pytest.raises(NotImplementedError, match="GROUPS"):
         e.execute("SELECT SUM(v) OVER (ORDER BY id GROUPS BETWEEN 1 "
                   "PRECEDING AND CURRENT ROW) FROM t")
+
+
+def test_set_multi_assignment_and_expressions(spark, tmp_path):
+    """SET applies a comma list left-to-right with earlier assignments
+    visible (MySQL); expression values EVALUATE (previously the raw
+    text was stored); bare-word enum values stay strings; DEFAULT
+    resets."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.execute("SET @a = 1, @b = @a + 1, @c = CONCAT('x', 'y')")
+    r = e.execute("SELECT @a AS a, @b AS b, @c AS c").collect()[0]
+    assert (r.a, r.b, r.c) == (1, 2, "xy")
+    e.execute("SET @d = (SELECT 2 + 3)")
+    assert e.execute("SELECT @d AS d").collect()[0].d == 5
+    e.execute("SET character_set_client = utf8mb4")
+    assert e.variables.get("character_set_client") == "utf8mb4"
+    e.execute("SET autocommit = 0, sql_mode = 'STRICT_TRANS_TABLES'")
+    assert e.variables.get("autocommit") == 0
+    e.execute("SET sql_mode = CONCAT(@@sql_mode, ',ANSI_QUOTES')")
+    assert e.variables.get("sql_mode") == "STRICT_TRANS_TABLES,ANSI_QUOTES"
+    e.execute("SET @d = DEFAULT")
+    assert e.execute("SELECT @d AS d").collect()[0].d is None
