@@ -6091,6 +6091,15 @@ class Engine:
 
     def _exec_alter(self, s: st.AlterTable) -> OkResult:
         if s.action == "add_column":
+            gen_expr = (s.col_meta.generated.get(s.column)
+                        if s.col_meta is not None else None)
+            if gen_expr is not None:
+                # Validate the TRANSLATED expression against current
+                # rows BEFORE any mutation so a bad expression fails
+                # atomically (and MySQL fns like DATE_FORMAT backfill
+                # through the same translator DML uses).
+                self.catalog.table(s.name).read().select(
+                    self._fragment(gen_expr))
             self.alter_add_column(
                 s.name, s.column, s.mysql_type, default=s.default,
                 position=s.position,
@@ -6098,15 +6107,10 @@ class Engine:
             if s.col_meta is not None:
                 self._apply_column_attrs(
                     s.name, s.column, s.col_meta, replace=False)
-                if s.column in s.col_meta.generated:
+                if gen_expr is not None:
                     # backfill existing rows with the expression
-                    t = self.catalog.table(s.name)
-                    df = t.read()
-                    t.overwrite(df.withColumn(
-                        s.column,
-                        F.expr(s.col_meta.generated[s.column])
-                        .cast(df.schema[s.column].dataType),
-                    ))
+                    self._recompute_generated(
+                        s.name, self.table_meta(s.name))
             elif s.default is not None:
                 meta = self.table_meta(s.name)
                 meta.defaults[s.column] = s.default
@@ -6131,6 +6135,21 @@ class Engine:
             self.alter_rename_column(s.name, s.column, s.new_name)
         elif s.action in ("modify_column", "change_column"):
             new_col = s.new_name or s.column
+            old_gen = self.table_meta(s.name).generated
+            new_gen = (s.col_meta.generated.get(new_col)
+                       if s.col_meta is not None else None)
+            if (new_gen is not None) != (s.column in old_gen):
+                # MySQL 3106: MODIFY/CHANGE cannot turn a plain
+                # column into a STORED generated one (or back) —
+                # silently accepting leaves stale materialized data.
+                raise ValueError(
+                    "'Changing the STORED status' is not supported "
+                    f"for generated columns: column '{s.column}' "
+                    "(MySQL 3106)")
+            if new_gen is not None:
+                # validate the translated expression pre-mutation
+                self.catalog.table(s.name).read().select(
+                    self._fragment(new_gen))
             if (s.col_meta is not None
                     and new_col in s.col_meta.not_null
                     and s.column
@@ -6155,6 +6174,11 @@ class Engine:
             if s.col_meta is not None:
                 self._apply_column_attrs(
                     s.name, col, s.col_meta, replace=True)
+                if new_gen is not None:
+                    # expression change on a generated column:
+                    # re-materialize so stored values match the new def
+                    self._recompute_generated(
+                        s.name, self.table_meta(s.name))
             self._move_column(s.name, col, s.position)
         elif s.action == "rename_table":
             self.rename_table(s.name, s.new_name)

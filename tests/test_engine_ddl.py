@@ -468,3 +468,57 @@ def test_show_create_roundtrip_generated_onupdate_counter(spark, tmp_path):
     e2.execute("INSERT INTO rt (v) VALUES (4)")
     row = e2.execute("SELECT id, doubled FROM rt").collect()[0]
     assert (row.id, row.doubled) == (11, 8)  # counter + expr survive
+
+
+def test_alter_generated_backfill_translated_and_atomic(spark, tmp_path):
+    """ADD COLUMN ... GENERATED backfills through the MySQL translator
+    (DATE_FORMAT '%Y' would throw or silently diverge under raw
+    F.expr) and a bad expression fails BEFORE any mutation — no
+    half-applied DDL. Reference parity: generated expressions run
+    through the same dialect translation as DML
+    (catalog/table.go generated-column DDL passthrough)."""
+    import pytest
+
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE t (d DATE, v INT)")
+    e.execute("INSERT INTO t VALUES ('2024-03-05', 10)")
+    e.execute("ALTER TABLE t ADD COLUMN y VARCHAR(10) "
+              "GENERATED ALWAYS AS (DATE_FORMAT(d,'%Y')) STORED")
+    assert e.execute("SELECT y FROM t").collect()[0].y == "2024"
+    e.execute("INSERT INTO t (d, v) VALUES ('2025-06-07', 20)")
+    assert sorted(r.y for r in e.execute("SELECT y FROM t").collect()) \
+        == ["2024", "2025"]
+    # unresolvable expression: statement fails atomically
+    with pytest.raises(Exception):
+        e.execute("ALTER TABLE t ADD COLUMN z INT "
+                  "GENERATED ALWAYS AS (no_such_col + 1) STORED")
+    assert e.execute("SELECT * FROM t").columns == ["d", "v", "y"]
+    assert "z" not in e.table_meta("t").generated
+
+
+def test_alter_modify_generated_status_3106(spark, tmp_path):
+    """MODIFY/CHANGE cannot flip a column between plain and STORED
+    generated (MySQL error 3106); changing the EXPRESSION of an
+    already-generated column is allowed and re-materializes rows."""
+    import pytest
+
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE t2 (a INT, c INT)")
+    e.execute("INSERT INTO t2 VALUES (10, 999)")
+    with pytest.raises(ValueError, match="3106"):
+        e.execute("ALTER TABLE t2 MODIFY c INT "
+                  "GENERATED ALWAYS AS (a+1) STORED")
+    assert e.execute("SELECT c FROM t2").collect()[0].c == 999
+    e.execute("CREATE TABLE t3 (a INT, "
+              "g INT GENERATED ALWAYS AS (a+1) STORED)")
+    e.execute("INSERT INTO t3 (a) VALUES (5)")
+    # generated -> plain also rejected
+    with pytest.raises(ValueError, match="3106"):
+        e.execute("ALTER TABLE t3 MODIFY g INT")
+    e.execute("ALTER TABLE t3 MODIFY g INT "
+              "GENERATED ALWAYS AS (a*10) STORED")
+    assert e.execute("SELECT g FROM t3").collect()[0].g == 50
