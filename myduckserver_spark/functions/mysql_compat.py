@@ -1805,9 +1805,159 @@ def _pass_functions(toks: list[Tok]) -> list[Tok]:
     return out
 
 
+def _ft_bool_parse(q: str) -> list:
+    """Parse a MySQL BOOLEAN MODE AGAINST string into a node list.
+
+    Grammar (MySQL manual, "Boolean Full-Text Searches"): `+term`
+    required, `-term` excluded, bare term optional, `"..."` phrase,
+    trailing `*` prefix match, `(...)` grouping with a modifier on the
+    group. The relevance-weight operators `<` `>` `~` and the phrase
+    `@distance` form are rejected with a clear error (reference serves
+    boolean mode through GMS fulltext, main_test.go:1879).
+
+    Nodes: ("term", word, prefix, mod) / ("phrase", words, mod) /
+    ("group", children, mod); mod in {"+", "-", ""}.
+    """
+    pos = 0
+    n = len(q)
+
+    def parse_list(depth: int) -> list:
+        nonlocal pos
+        items: list = []
+        while pos < n:
+            c = q[pos]
+            if c.isspace():
+                pos += 1
+                continue
+            if c == ")":
+                pos += 1
+                if depth:
+                    return items
+                continue  # stray close paren: ignore
+            mod = ""
+            while pos < n and q[pos] in "+-<>~":
+                if q[pos] in "<>~":
+                    raise NotImplementedError(
+                        "MATCH ... IN BOOLEAN MODE: the relevance-"
+                        f"weight operator '{q[pos]}' is not supported "
+                        "(+/-/bare/phrase/prefix/group are)"
+                    )
+                mod = q[pos]
+                pos += 1
+            if pos >= n:
+                break
+            if q[pos] == "(":
+                pos += 1
+                children = parse_list(depth + 1)
+                if children:
+                    items.append(("group", children, mod))
+                continue
+            if q[pos] == '"':
+                end = q.find('"', pos + 1)
+                if end < 0:
+                    end = n
+                words = q[pos + 1:end].lower().split()
+                pos = end + 1
+                while pos < n and q[pos].isspace():
+                    pos += 1
+                if pos < n and q[pos] == "@":
+                    raise NotImplementedError(
+                        "MATCH ... IN BOOLEAN MODE: the phrase "
+                        "@distance operator is not supported"
+                    )
+                if words:
+                    items.append(("phrase", words, mod))
+                continue
+            j = pos
+            while j < n and not q[j].isspace() and q[j] not in '()"':
+                j += 1
+            word = q[pos:j]
+            pos = j
+            prefix = word.endswith("*")
+            word = word.rstrip("*").lower()
+            if word:
+                items.append(("term", word, prefix, mod))
+        return items
+
+    return parse_list(0)
+
+
+def _ft_bool_sql(col: str, query: str) -> tuple[str, str]:
+    """Compile a BOOLEAN MODE AGAINST string to (match_sql, score_sql)
+    over the engine's whitespace tokenization of `col`.
+
+    Match semantics (MySQL): every `+` child present, no `-` child
+    present, and — when there is no `+` child — at least one optional
+    child present (a purely negative query matches nothing). Score =
+    count of matched positive leaf terms as DOUBLE (consistent with
+    the documented distinct-token-overlap score the operator-free
+    shim returns)."""
+    items = _ft_bool_parse(query)
+    toks_sql = f"split(lower({col}), ' ')"
+    padded_sql = f"concat(' ', lower({col}), ' ')"
+
+    def leaf(node) -> str:
+        if node[0] == "term":
+            _, w, prefix, _ = node
+            lit = w.replace("'", "''")
+            if prefix:
+                esc = (lit.replace("\\", "\\\\")
+                       .replace("%", "\\%").replace("_", "\\_"))
+                return f"exists({toks_sql}, x -> x LIKE '{esc}%')"
+            return f"array_contains({toks_sql}, '{lit}')"
+        lit = " ".join(node[1]).replace("'", "''")
+        return f"instr({padded_sql}, ' {lit} ') > 0"
+
+    def child(node) -> str:
+        if node[0] == "group":
+            return match_of(node[1])
+        return leaf(node)
+
+    def match_of(lst: list) -> str:
+        plus = [child(x) for x in lst if x[-1] == "+"]
+        minus = [child(x) for x in lst if x[-1] == "-"]
+        opt = [child(x) for x in lst if x[-1] == ""]
+        parts: list[str] = []
+        if plus:
+            parts.append(" AND ".join(plus))
+        elif opt:
+            parts.append("(" + " OR ".join(opt) + ")")
+        else:
+            return "false"  # only exclusions (or empty): no rows
+        if minus:
+            parts.append("NOT (" + " OR ".join(minus) + ")")
+        return "(" + " AND ".join(parts) + ")"
+
+    def positive_leaves(lst: list, acc: list[str]) -> None:
+        for x in lst:
+            if x[-1] == "-":
+                continue
+            if x[0] == "group":
+                positive_leaves(x[1], acc)
+            else:
+                acc.append(leaf(x))
+
+    match_sql = match_of(items)
+    hits: list[str] = []
+    positive_leaves(items, hits)
+    if hits:
+        total = " + ".join(
+            f"(CASE WHEN {h} THEN 1 ELSE 0 END)" for h in hits
+        )
+        score_sql = (
+            f"CAST(CASE WHEN {match_sql} THEN {total} ELSE 0 END "
+            "AS DOUBLE)"
+        )
+    else:
+        score_sql = "CAST(0 AS DOUBLE)"
+    return match_sql, score_sql
+
+
 def _match_against(toks: list[Tok], i: int, open_idx: int, close_idx: int):
     """MATCH(col[, ...]) AGAINST('terms' [IN ... MODE]) → token-overlap score
-    (documented fulltext fallback, SURVEY.md §2.B)."""
+    (documented fulltext fallback, SURVEY.md §2.B); BOOLEAN MODE
+    compiles the +/-/phrase/prefix/group operator grammar
+    (_ft_bool_sql) instead of intersecting literal tokens."""
     k = _sig_next(toks, close_idx)
     if k >= len(toks) or not toks[k].is_word("AGAINST"):
         return None
@@ -1825,10 +1975,18 @@ def _match_against(toks: list[Tok], i: int, open_idx: int, close_idx: int):
             break
     if terms_lit is None or not cols:
         return None
+    boolean_mode = any(
+        t.kind == "word" and t.text.upper() == "BOOLEAN"
+        for t in toks[p + 1: pclose]
+    )
     col = cols[0] if len(cols) == 1 else "concat_ws(' ', " + ", ".join(cols) + ")"
-    terms = [t for t in terms_lit.lower().split() if t]
-    arr = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
-    sql = f"size(array_intersect(split(lower({col}), ' '), array({arr})))"
+    if boolean_mode:
+        bool_match, bool_score = _ft_bool_sql(col, terms_lit)
+        sql = bool_score
+    else:
+        terms = [t for t in terms_lit.lower().split() if t]
+        arr = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+        sql = f"size(array_intersect(split(lower({col}), ' '), array({arr})))"
     # MySQL: a bare MATCH in predicate position (WHERE MATCH(...)
     # AGAINST(...)) filters on relevance > 0; as a select item it's the
     # score itself. Spark requires an actual boolean in WHERE.
@@ -1853,7 +2011,7 @@ def _match_against(toks: list[Tok], i: int, open_idx: int, close_idx: int):
         in ("WHERE", "AND", "OR", "NOT", "HAVING", "WHEN", "THEN", "ON")
         and not consumed
     ):
-        sql = f"({sql} > 0)"
+        sql = bool_match if boolean_mode else f"({sql} > 0)"
     return tokenize(sql), pclose + 1
 
 

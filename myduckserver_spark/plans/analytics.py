@@ -1101,6 +1101,64 @@ def tx_match_bm25_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tx_match_boolean",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             string_split(lower(text), ' ') AS toks,
+             concat(' ', lower(text), ' ') AS padded
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+        list_contains(toks, 'data') AS h_data,
+        list_contains(toks, 'slow') AS h_slow,
+        list_contains(toks, 'merge') AS h_merge,
+        instr(padded, ' window window ') > 0 AS h_phrase,
+        len(list_filter(toks, t -> t LIKE 'vec%')) > 0 AS h_vec
+      FROM b
+    )
+    SELECT doc_id,
+      CAST((CASE WHEN h_data THEN 1 ELSE 0 END)
+         + (CASE WHEN h_merge THEN 1 ELSE 0 END)
+         + (CASE WHEN h_phrase THEN 1 ELSE 0 END)
+         + (CASE WHEN h_vec THEN 1 ELSE 0 END) AS DOUBLE) AS score
+    FROM m
+    WHERE h_data AND NOT h_slow
+    ORDER BY score DESC, doc_id
+    LIMIT 100
+    """,
+    tags=("text", "fulltext", "boolean-mode", "match"),
+)
+def tx_match_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH ... AGAINST(... IN BOOLEAN MODE) operator grammar under
+    the oracle gate: `+data` required, `-slow` excluded, bare `merge`
+    optional, `"window window"` phrase, `vec*` prefix — the MySQL text
+    goes through the FULL dialect front door (translate_mysql →
+    mysql_compat._ft_bool_sql) in BOTH select-item (score) and
+    predicate position, and must value-match an independent DuckDB
+    reconstruction of MySQL's documented boolean-mode semantics
+    (reference fulltext corpus: GMS TestFulltextIndexes,
+    main_test.go:1879).
+
+    Scale: map-only token tests in the scan + top-k; a 100 TB
+    deployment would pre-filter required terms through the inverted
+    fulltext index before scoring (same shape as the BM25 path)."""
+    from myduckserver_spark.functions.mysql_compat import translate_mysql
+
+    load_table(spark, sf_dir, "documents", narrow=True) \
+        .createOrReplaceTempView("documents")
+    against = "'+data -slow merge \"window window\" vec*' IN BOOLEAN MODE"
+    return spark.sql(translate_mysql(f"""
+        SELECT doc_id,
+               MATCH(text) AGAINST({against}) AS score
+        FROM documents
+        WHERE MATCH(text) AGAINST({against})
+        ORDER BY score DESC, doc_id
+        LIMIT 100
+    """))
+
+
+@register(
     "tx_tfidf_top_terms",
     oracle="""
     WITH base AS (

@@ -290,6 +290,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "tx_pii_redact", "tx_repetition_ratio", "tx_boilerplate_trigrams",
         "tx_common_token_ratio", "tx_keyword_search_tf", "tx_bm25_search",
         "tx_tfidf_top_terms", "tx_chunk_overlap", "tx_match_bm25_scalar",
+        "tx_match_boolean",
     ),
     # Training-data pipeline: sampling, splits, packing, caps, dedup keep-best.
     "suite_training_data": (

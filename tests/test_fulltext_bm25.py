@@ -224,3 +224,66 @@ def test_fulltext_index_incremental_maintenance(eng):
     assert [r.id for r in rows] == [5]
     dfs3 = {r.term: r.df for r in idx.read().collect()}
     assert "nothing" not in dfs3 and dfs3["entirely"] == 1
+
+
+BOOL_CASES = [
+    # (AGAINST string, expected matching ids) — MySQL manual,
+    # "Boolean Full-Text Searches" operator semantics over DOCS.
+    ("+quick -lazy", {4}),          # required without excluded
+    ("+quick +lazy", {1, 3}),       # both required
+    ("quick sphinx", {1, 2, 3, 4}),  # bare terms: OR
+    ("-quick", set()),              # pure negation matches nothing
+    ("quart*", {2}),                # prefix: quartz only
+    ('"lazy dog"', {1}),            # phrase, word order matters
+    ('"dog lazy"', set()),
+    ("+(sphinx fox) -vow", {1}),    # group required; vow excludes doc2
+    ("+(sphinx foxes)", {2, 4}),    # group: at least one of
+]
+
+
+@pytest.mark.parametrize("against,want", BOOL_CASES)
+def test_match_boolean_mode_operators(eng, against, want):
+    """BOOLEAN MODE +/-/phrase/prefix/group operators filter rows per
+    MySQL's documented semantics (round-8 verdict: operators were
+    parsed as literal tokens — silent wrong answer)."""
+    got = {
+        r.id
+        for r in eng.execute(
+            "SELECT id FROM articles WHERE MATCH(body) "
+            f"AGAINST('{against}' IN BOOLEAN MODE)"
+        ).collect()
+    }
+    assert got == want, (against, got, want)
+
+
+def test_match_boolean_mode_operators_with_index(eng):
+    """The operator grammar also applies when a FULLTEXT index exists
+    (boolean mode deliberately bypasses the BM25 index path)."""
+    eng.execute("CREATE FULLTEXT INDEX ft_body ON articles (body)")
+    got = {
+        r.id
+        for r in eng.execute(
+            "SELECT id FROM articles WHERE MATCH(body) "
+            "AGAINST('+quick -lazy' IN BOOLEAN MODE)"
+        ).collect()
+    }
+    assert got == {4}
+
+
+def test_match_boolean_mode_score_and_rejections(eng):
+    """Select-item position returns the matched-positive-term count as
+    a DOUBLE (0 when the boolean predicate fails); the <,>,~ weight
+    and "..."@n distance operators reject with a clear error."""
+    rows = eng.execute(
+        "SELECT id, MATCH(body) AGAINST('+quick lazy dog' "
+        "IN BOOLEAN MODE) AS s FROM articles ORDER BY id"
+    ).collect()
+    got = {r.id: r.s for r in rows}
+    # doc1 has all three; doc3 quick+lazy; doc4 quick only; 2,5 fail +quick
+    assert got == {1: 3.0, 2: 0.0, 3: 2.0, 4: 1.0, 5: 0.0}
+    for bad in (">quick", "<quick", "~quick", '"quick brown" @4'):
+        with pytest.raises(NotImplementedError, match="BOOLEAN MODE"):
+            eng.execute(
+                "SELECT id FROM articles WHERE MATCH(body) "
+                f"AGAINST('{bad}' IN BOOLEAN MODE)"
+            )
