@@ -3462,6 +3462,185 @@ class Engine:
             json.dump(m, f)
         self._macro_cache = m
 
+    # ---------------------------------------------------------- sequences
+    # User-facing pg sequences: CREATE/DROP/ALTER SEQUENCE persisted in
+    # warehouse metadata, nextval/currval/setval/lastval constant-folded
+    # per statement occurrence against the persisted counter — the same
+    # discipline as the AUTO_INCREMENT counter store. The reference gets
+    # sequences through its pg→DuckDB passthrough and uses them itself
+    # for AUTO_INCREMENT (catalog/table.go:219 CREATE SEQUENCE, :259/:413
+    # nextval defaults, currval note at :802).
+
+    def _sequences_path(self) -> str:
+        return os.path.join(self._warehouse, "__sequences.json")
+
+    def _load_sequences(self) -> dict:
+        # No memo (unlike macros/triggers): counters mutate on every
+        # nextval and a second Engine over the same warehouse must see
+        # them — sequence statements are rare, the JSON is tiny, and a
+        # stale counter means duplicate ids.
+        p = self._sequences_path()
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return {}
+
+    def _save_sequences(self, seqs: dict) -> None:
+        os.makedirs(self._warehouse, exist_ok=True)
+        with open(self._sequences_path(), "w") as f:
+            json.dump(seqs, f)
+
+    def _seq_state(self, name: str) -> dict:
+        seqs = self._load_sequences()
+        st_ = seqs.get(name)
+        if st_ is None:
+            raise ValueError(
+                f'relation "{name}" does not exist (no such sequence)'
+            )
+        return st_
+
+    def _seq_nextval(self, name: str) -> int:
+        seqs = dict(self._load_sequences())
+        s = dict(self._seq_state(name))
+        inc = int(s["increment"])
+        if not s["is_called"]:
+            val = int(
+                s["last_value"] if s["last_value"] is not None
+                else s["start"]
+            )
+        else:
+            val = int(s["last_value"]) + inc
+            lo, hi = s["minvalue"], s["maxvalue"]
+            if hi is not None and val > int(hi):
+                if not s["cycle"]:
+                    raise ValueError(
+                        f'nextval: reached maximum value of sequence '
+                        f'"{name}" ({hi})'
+                    )
+                val = int(lo) if lo is not None else 1
+            if lo is not None and val < int(lo):
+                if not s["cycle"]:
+                    raise ValueError(
+                        f'nextval: reached minimum value of sequence '
+                        f'"{name}" ({lo})'
+                    )
+                val = int(hi) if hi is not None else -1
+        s["last_value"], s["is_called"] = val, True
+        seqs[name] = s
+        self._save_sequences(seqs)
+        self._seq_lastval = val
+        return val
+
+    def _seq_currval(self, name: str) -> int:
+        s = self._seq_state(name)
+        if not s["is_called"]:
+            raise ValueError(
+                f'currval of sequence "{name}" is not yet defined '
+                "in this session"
+            )
+        return int(s["last_value"])
+
+    def _seq_setval(self, name: str, value: int,
+                    is_called: bool = True) -> int:
+        seqs = dict(self._load_sequences())
+        s = dict(self._seq_state(name))
+        s["last_value"], s["is_called"] = int(value), bool(is_called)
+        seqs[name] = s
+        self._save_sequences(seqs)
+        self._seq_lastval = int(value)
+        return int(value)
+
+    _SEQ_FN_RE = re.compile(
+        r"(?i)\b(?:nextval|currval|setval|lastval)\s*\("
+    )
+
+    def _fold_sequence_funcs(self, sql: str) -> str:
+        """Replace nextval/currval/setval/lastval calls with literal
+        values BEFORE parse/translation. Each textual OCCURRENCE of
+        nextval allocates independently, so a multi-row VALUES list
+        gets per-row ids (pg parity); per-ROW allocation over a
+        scanned input (nextval inside INSERT...SELECT / UPDATE /
+        DELETE) is rejected with a pointer at AUTO_INCREMENT — a
+        driver-side counter cannot scale to a distributed scan, which
+        is exactly why AUTO_INCREMENT assignment lives in the write
+        path instead."""
+        masked = st.mask_strings(sql)
+        if re.search(r"(?i)\bnextval\s*\(", masked):
+            head = re.match(r"(?i)\s*(INSERT|REPLACE|UPDATE|DELETE)\b",
+                            masked)
+            if head and (
+                head.group(1).upper() in ("UPDATE", "DELETE")
+                or re.search(r"(?i)\bSELECT\b", masked)
+            ):
+                raise NotImplementedError(
+                    "nextval() with per-row semantics (inside "
+                    "INSERT...SELECT / UPDATE / DELETE) is not "
+                    "supported — use an AUTO_INCREMENT column for "
+                    "distributed id assignment"
+                )
+        seq_lit = r"\(\s*'([^']+)'(?:\s*::\s*regclass)?\s*"
+
+        def seq_key(raw: str) -> str:
+            return st.normalize_seq_name(raw)
+
+        def do_nextval(m: re.Match) -> str:
+            return str(self._seq_nextval(seq_key(m.group(1))))
+
+        def do_currval(m: re.Match) -> str:
+            return str(self._seq_currval(seq_key(m.group(1))))
+
+        sql = re.sub(r"(?i)\bnextval\s*" + seq_lit + r"\)",
+                     do_nextval, sql)
+        sql = re.sub(r"(?i)\bcurrval\s*" + seq_lit + r"\)",
+                     do_currval, sql)
+        # setval('s', expr[, bool]) — the expr may be a scalar subquery
+        # (the classic post-COPY `setval('t_id_seq', (SELECT max(id)
+        # FROM t))`), so scan balanced parens and evaluate via Spark.
+        while True:
+            m = re.search(r"(?i)\bsetval\s*\(", sql)
+            if not m:
+                break
+            op = m.end() - 1
+            masked2 = st.mask_strings(sql)
+            depth, close = 1, op + 1
+            while close < len(masked2) and depth:
+                if masked2[close] == "(":
+                    depth += 1
+                elif masked2[close] == ")":
+                    depth -= 1
+                close += 1
+            close -= 1
+            args = st.split_top_level(sql[op + 1:close], ",")
+            if len(args) not in (2, 3):
+                raise ValueError("setval() takes 2 or 3 arguments")
+            nm = re.match(
+                r"\s*'([^']+)'(?:\s*::\s*regclass)?\s*$", args[0]
+            )
+            if nm is None:
+                raise ValueError(
+                    "setval(): first argument must be a sequence "
+                    "name literal"
+                )
+            val = self.sql(
+                f"SELECT CAST(({args[1]}) AS BIGINT) AS v"
+            ).collect()[0][0]
+            called = True
+            if len(args) == 3:
+                called = args[2].strip().lower() != "false"
+            out = self._seq_setval(seq_key(nm.group(1)),
+                                   int(val), called)
+            sql = sql[:m.start()] + str(out) + sql[close + 1:]
+        def do_lastval(m: re.Match) -> str:
+            lv = getattr(self, "_seq_lastval", None)
+            if lv is None:
+                raise ValueError(
+                    "lastval is not yet defined in this session"
+                )
+            return str(lv)
+
+        sql = re.sub(r"(?i)\blastval\s*\(\s*\)", do_lastval, sql)
+        return sql
+
     def _expand_macros(self, query: str, depth: int = 0) -> str:
         macros = self._load_macros()
         low = query.lower()
@@ -5340,6 +5519,10 @@ class Engine:
                 return self._execute_one(stripped, dialect)
             finally:
                 self.current_db, self.catalog = prev_db, prev_cat
+        if self._SEQ_FN_RE.search(sql) and not re.match(
+            r"(?i)\s*(?:CREATE|ALTER|DROP)\b", sql
+        ):
+            sql = self._fold_sequence_funcs(sql)
         rm = re.search(r"\s+RETURNING\s+", st.mask_strings(sql), re.I)
         if rm and re.match(
             r"\s*(INSERT|REPLACE|UPDATE|DELETE)\b", sql, re.I
@@ -5697,6 +5880,53 @@ class Engine:
                 self.current_db = "main"
                 self.catalog = self._dbs["main"]
             return OkResult()
+        if isinstance(s, st.CreateSequence):
+            seqs = dict(self._load_sequences())
+            if s.name in seqs:
+                if s.if_not_exists:
+                    return OkResult(info=f"sequence {s.name} exists")
+                raise ValueError(f'sequence "{s.name}" already exists')
+            if s.increment == 0:
+                raise ValueError("INCREMENT must not be zero")
+            lo = s.minvalue if s.minvalue is not None else (
+                1 if s.increment > 0 else None)
+            hi = s.maxvalue if s.maxvalue is not None else (
+                -1 if s.increment < 0 else None)
+            start = s.start if s.start is not None else (
+                lo if s.increment > 0 else hi)
+            seqs[s.name] = {
+                "increment": s.increment, "start": int(start or 1),
+                "minvalue": lo, "maxvalue": hi, "cycle": s.cycle,
+                "last_value": None, "is_called": False,
+            }
+            self._save_sequences(seqs)
+            return OkResult(info=f"sequence {s.name} created")
+        if isinstance(s, st.DropSequence):
+            seqs = dict(self._load_sequences())
+            for nm in s.names:
+                if nm not in seqs:
+                    if s.if_exists:
+                        continue
+                    raise ValueError(f'sequence "{nm}" does not exist')
+                del seqs[nm]
+            self._save_sequences(seqs)
+            return OkResult(info="sequence(s) dropped")
+        if isinstance(s, st.AlterSequence):
+            seqs = dict(self._load_sequences())
+            cur = dict(self._seq_state(s.name))
+            if s.increment is not None:
+                if s.increment == 0:
+                    raise ValueError("INCREMENT must not be zero")
+                cur["increment"] = s.increment
+            if s.restart:
+                cur["last_value"] = (
+                    s.restart_with if s.restart_with is not None
+                    else cur["start"]
+                )
+                cur["is_called"] = False
+            seqs[s.name] = cur
+            self._save_sequences(seqs)
+            return OkResult(info=f"sequence {s.name} altered")
         if isinstance(s, st.CreateMacro):
             macros = self._load_macros()
             if s.name.lower() in macros and not s.or_replace:

@@ -114,3 +114,48 @@ _pg(
     position FILTER is rewritten to CASE (pg_compat
     _rewrite_filter_over_window, covered in test_pg_compat).""",
 )
+
+
+@register(
+    "pg_sequence_lifecycle",
+    oracle="""
+    SELECT * FROM (VALUES
+        (CAST(7 AS BIGINT), 'c'), (9, 'c'), (100, 'a'), (102, 'a'),
+        (104, 'a'), (502, 'b')
+    ) AS t(id, tag)
+    ORDER BY id
+    """,
+    tags=("pg", "sequence", "engine", "ddl"),
+)
+def pg_sequence_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-facing pg sequences end-to-end (round-8 verdict item #3):
+    CREATE SEQUENCE with START/INCREMENT, per-occurrence nextval in a
+    multi-row VALUES insert, setval (is_called=true semantics), ALTER
+    SEQUENCE RESTART WITH — final table state must match the
+    statically-known id assignment. Reference: pg passthrough
+    sequences (catalog/table.go:219,259,802)."""
+    import tempfile
+
+    from myduckserver_spark.engine import Engine
+
+    eng = Engine(spark, tempfile.mkdtemp(prefix="pgseq_gate_"))
+    eng.execute("CREATE SEQUENCE ord_seq START WITH 100 INCREMENT BY 2")
+    eng.execute("CREATE TABLE pgs (id BIGINT PRIMARY KEY, tag VARCHAR(4))")
+    eng.execute(
+        "INSERT INTO pgs VALUES (nextval('ord_seq'), 'a'), "
+        "(nextval('ord_seq'), 'a'), (nextval('ord_seq'), 'a')",
+        dialect="postgres",
+    )
+    eng.execute("SELECT setval('ord_seq', 500)", dialect="postgres")
+    eng.execute(
+        "INSERT INTO pgs VALUES (nextval('ord_seq'), 'b')",
+        dialect="postgres",
+    )
+    eng.execute("ALTER SEQUENCE ord_seq RESTART WITH 7",
+                dialect="postgres")
+    eng.execute(
+        "INSERT INTO pgs VALUES (nextval('ord_seq'), 'c'), "
+        "(nextval('ord_seq'), 'c')",
+        dialect="postgres",
+    )
+    return eng.sql("SELECT id, tag FROM pgs ORDER BY id")

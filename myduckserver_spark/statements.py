@@ -410,6 +410,18 @@ def unquote_ident(s: str) -> str:
     return s
 
 
+def normalize_seq_name(s: str) -> str:
+    """Sequence-name normalization: strip `/\"/ quoting per part and a
+    leading public. schema (pg's default schema — the engine keeps a
+    flat per-database sequence namespace)."""
+    parts = [
+        p.strip().strip('`"') for p in s.strip().split(".") if p.strip()
+    ]
+    if len(parts) > 1 and parts[0].lower() == "public":
+        parts = parts[1:]
+    return ".".join(parts).lower()
+
+
 def parse_literal(tok: str, exact_decimals: bool = False):
     """One SQL literal → Python value (NULL/bool/int/float/str, plus
     DATE/TIMESTAMP typed literals). With ``exact_decimals`` a decimal
@@ -1133,6 +1145,41 @@ class CreateMacro:
 class DropMacro:
     name: str
     if_exists: bool = False
+
+
+@dataclass
+class CreateSequence:
+    """CREATE SEQUENCE — user-facing pg sequences. The reference gets
+    these through its pg→DuckDB passthrough and uses them itself for
+    AUTO_INCREMENT backing (catalog/table.go:219 CREATE SEQUENCE,
+    :259/:413 nextval defaults, currval note at :802). The counter
+    persists in warehouse metadata (engine.__sequences.json), the same
+    store discipline as AUTO_INCREMENT."""
+
+    name: str
+    start: int | None = None
+    increment: int = 1
+    minvalue: int | None = None
+    maxvalue: int | None = None
+    cycle: bool = False
+    if_not_exists: bool = False
+
+
+@dataclass
+class DropSequence:
+    names: list[str]
+    if_exists: bool = False
+
+
+@dataclass
+class AlterSequence:
+    """ALTER SEQUENCE name RESTART [WITH n] / INCREMENT [BY n] —
+    the subset migration tools emit."""
+
+    name: str
+    restart: bool = False
+    restart_with: int | None = None
+    increment: int | None = None
 
 
 @dataclass
@@ -2538,6 +2585,64 @@ def parse_statement(sql: str, hash_comments: bool = True):
     )
     if m:
         return DropMacro(unquote_ident(m.group(2)), if_exists=bool(m.group(1)))
+
+    m = re.match(
+        r"CREATE\s+SEQUENCE\s+(IF\s+NOT\s+EXISTS\s+)?"
+        r"((?:[\w\"`]+\.)?[\w\"`]+)\s*(.*)$",
+        s, re.I | re.S,
+    )
+    if m:
+        seq = CreateSequence(
+            normalize_seq_name(m.group(2)),
+            if_not_exists=bool(m.group(1)),
+        )
+        opts = m.group(3)
+        for om in re.finditer(
+            r"(?i)INCREMENT(?:\s+BY)?\s+(-?\d+)|START(?:\s+WITH)?\s+(-?\d+)"
+            r"|(NO\s+)?MINVALUE\s*(-?\d+)?|(NO\s+)?MAXVALUE\s*(-?\d+)?"
+            r"|(NO\s+)?CYCLE|CACHE\s+\d+|AS\s+\w+|OWNED\s+BY\s+[\w.]+",
+            opts,
+        ):
+            txt = om.group(0).upper()
+            if om.group(1):
+                seq.increment = int(om.group(1))
+            elif om.group(2):
+                seq.start = int(om.group(2))
+            elif txt.startswith("MINVALUE") and om.group(4):
+                seq.minvalue = int(om.group(4))
+            elif txt.startswith("MAXVALUE") and om.group(6):
+                seq.maxvalue = int(om.group(6))
+            elif txt == "CYCLE":
+                seq.cycle = True
+            # NO MINVALUE/NO MAXVALUE/NO CYCLE/CACHE/AS/OWNED BY:
+            # defaults already match, CACHE is a perf hint
+        return seq
+    m = re.match(
+        r"DROP\s+SEQUENCE\s+(IF\s+EXISTS\s+)?(.+?)"
+        r"(?:\s+(?:CASCADE|RESTRICT))?\s*$",
+        s, re.I,
+    )
+    if m:
+        return DropSequence(
+            [normalize_seq_name(p) for p in m.group(2).split(",")],
+            if_exists=bool(m.group(1)),
+        )
+    m = re.match(
+        r"ALTER\s+SEQUENCE\s+(?:IF\s+EXISTS\s+)?"
+        r"((?:[\w\"`]+\.)?[\w\"`]+)\s*(.*)$",
+        s, re.I | re.S,
+    )
+    if m and re.search(r"(?i)\bRESTART\b|\bINCREMENT\b", m.group(2)):
+        alt = AlterSequence(normalize_seq_name(m.group(1)))
+        rm2 = re.search(r"(?i)\bRESTART(?:\s+WITH\s+(-?\d+))?", m.group(2))
+        if rm2:
+            alt.restart = True
+            if rm2.group(1) is not None:
+                alt.restart_with = int(rm2.group(1))
+        im2 = re.search(r"(?i)\bINCREMENT(?:\s+BY)?\s+(-?\d+)", m.group(2))
+        if im2:
+            alt.increment = int(im2.group(1))
+        return alt
 
     m = re.match(
         r"CREATE\s+(OR\s+REPLACE\s+)?VECTOR\s+INDEX\s+(`[^`]+`|\w+)\s+ON\s+"

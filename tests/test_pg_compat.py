@@ -514,3 +514,78 @@ def test_pg_session_functions(spark, tmp_path):
     # not rewritten inside string literals
     assert e.execute("SELECT 'version()' AS x",
                      dialect="postgres").collect()[0].x == "version()"
+
+
+def test_pg_sequence_lifecycle(spark, tmp_path):
+    """CREATE/DROP/ALTER SEQUENCE + nextval/currval/setval/lastval
+    (round-8 verdict item #3; reference gets these via the pg→DuckDB
+    passthrough, catalog/table.go:219,259,802). Counter persists
+    across engine restarts; per-occurrence nextval gives per-row ids
+    in multi-row VALUES; per-row scan shapes reject toward
+    AUTO_INCREMENT."""
+    import pytest
+
+    from myduckserver_spark.engine import Engine
+
+    wh = str(tmp_path / "wh")
+    e = Engine(spark, wh)
+
+    def val(q):
+        return e.execute(q, dialect="postgres").collect()[0][0]
+
+    e.execute("CREATE SEQUENCE seq1")
+    assert [val("SELECT nextval('seq1')") for _ in range(3)] == [1, 2, 3]
+    assert val("SELECT currval('seq1')") == 3
+    assert val("SELECT lastval()") == 3
+    assert val("SELECT setval('seq1', 100)") == 100
+    assert val("SELECT nextval('seq1')") == 101
+    assert val("SELECT setval('seq1', 200, false)") == 200
+    assert val("SELECT nextval('seq1')") == 200  # is_called=false
+    # options: START / INCREMENT / MAXVALUE / CYCLE
+    e.execute("CREATE SEQUENCE seq2 START WITH 10 INCREMENT BY 5 "
+              "MAXVALUE 21 CYCLE")
+    assert [val("SELECT nextval('seq2')") for _ in range(4)] \
+        == [10, 15, 20, 1]
+    e.execute("ALTER SEQUENCE seq2 RESTART WITH 7", dialect="postgres")
+    assert val("SELECT nextval('seq2')") == 7
+    # restart: counter persisted in warehouse metadata
+    e2 = Engine(spark, wh)
+    assert e2.execute("SELECT currval('seq1')",
+                      dialect="postgres").collect()[0][0] == 200
+    assert e2.execute("SELECT nextval('seq1')",
+                      dialect="postgres").collect()[0][0] == 201
+    # per-occurrence nextval in a VALUES list = per-row ids
+    e.execute("CREATE TABLE ts (id INT PRIMARY KEY, v INT)")
+    e.execute("INSERT INTO ts VALUES (nextval('seq1'), 1), "
+              "(nextval('seq1'), 2)", dialect="postgres")
+    ids = sorted(r.id for r in e.execute("SELECT id FROM ts").collect())
+    assert ids == [202, 203]
+    # post-COPY migration shape: setval from a scalar subquery
+    assert val("SELECT setval('seq1', (SELECT max(id) FROM ts))") == 203
+    # per-row scan semantics: clear rejection
+    with pytest.raises(NotImplementedError, match="AUTO_INCREMENT"):
+        e.execute("INSERT INTO ts SELECT nextval('seq1'), v FROM ts",
+                  dialect="postgres")
+    with pytest.raises(NotImplementedError, match="AUTO_INCREMENT"):
+        e.execute("UPDATE ts SET id = nextval('seq1')",
+                  dialect="postgres")
+    # DROP + error surfaces
+    e.execute("DROP SEQUENCE seq2")
+    with pytest.raises(ValueError, match="does not exist"):
+        val("SELECT nextval('seq2')")
+    e.execute("DROP SEQUENCE IF EXISTS seq2")
+    e.execute("CREATE SEQUENCE fresh")
+    with pytest.raises(ValueError, match="not yet defined"):
+        val("SELECT currval('fresh')")
+    with pytest.raises(ValueError, match="already exists"):
+        e.execute("CREATE SEQUENCE seq1")
+    e.execute("CREATE SEQUENCE IF NOT EXISTS seq1")  # no-op
+    # exhaustion without CYCLE
+    e.execute("CREATE SEQUENCE cap MAXVALUE 2")
+    assert [val("SELECT nextval('cap')") for _ in range(2)] == [1, 2]
+    with pytest.raises(ValueError, match="maximum value"):
+        val("SELECT nextval('cap')")
+    # schema-qualified + regclass-cast forms normalize
+    e.execute("CREATE SEQUENCE public.qual_seq START 5")
+    assert val("SELECT nextval('public.qual_seq'::regclass)") == 5
+    assert val("SELECT nextval('qual_seq')") == 6
