@@ -4775,6 +4775,51 @@ class Engine:
             buf = self._session_warnings = []
         buf.append((level, code, message))
 
+    # pg GUC defaults served to current_setting() probes (BI tools and
+    # drivers call it during handshake — the reference shims it eagerly
+    # with a precompiled regex, pgserver/in_place_handler.go:26,136-200).
+    _PG_SETTING_DEFAULTS = {
+        "server_version": "15.0",
+        "server_version_num": "150000",
+        "search_path": '"$user", public',
+        "timezone": "UTC",
+        "datestyle": "ISO, MDY",
+        "client_encoding": "UTF8",
+        "standard_conforming_strings": "on",
+        "integer_datetimes": "on",
+        "max_identifier_length": "63",
+        "application_name": "",
+        "is_superuser": "on",
+        "transaction_isolation": "read committed",
+        "bytea_output": "hex",
+        "intervalstyle": "postgres",
+        "extra_float_digits": "1",
+    }
+
+    def _fold_current_setting(self, query: str) -> str:
+        """Constant-fold current_setting('name'[, missing_ok]) against
+        session variables, falling back to pg GUC defaults; unknown
+        parameters raise pg's error unless missing_ok is true."""
+        def repl(m: re.Match) -> str:
+            name = m.group(1).lower()
+            missing_ok = (m.group(2) or "").strip().lower() == "true"
+            val = self.variables.get(name)
+            if val is None:
+                val = self._PG_SETTING_DEFAULTS.get(name)
+            if val is None:
+                if missing_ok:
+                    return "CAST(NULL AS STRING)"
+                raise ValueError(
+                    f'unrecognized configuration parameter "{name}"'
+                )
+            return "'" + str(val).replace("'", "''") + "'"
+
+        return re.sub(
+            r"(?i)\bcurrent_setting\s*\(\s*'([^']+)'\s*"
+            r"(?:,\s*(true|false)\s*)?\)",
+            repl, query,
+        )
+
     def _rewrite_session_funcs(self, query: str) -> str:
         """Constant-fold the session-state functions MySQL evaluates
         engine-side: DATABASE()/SCHEMA() (current db), ROW_COUNT()
@@ -5570,6 +5615,8 @@ class Engine:
             if dialect == "mysql":
                 q = self._rewrite_match_bm25(q)
                 q = self._rewrite_session_funcs(q)
+            elif "current_setting" in q.lower():
+                q = self._fold_current_setting(q)
             # SQL_CALC_FOUND_ROWS (deprecated in MySQL 8 but still
             # issued by pagination code): remember the un-LIMITed row
             # count for the next FOUND_ROWS() call. The extra count

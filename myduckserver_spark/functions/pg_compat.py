@@ -188,11 +188,11 @@ def _rewrite_xor_op(sql: str) -> str:
     power, but power already arrives as the POW() function from
     clients; ``#`` is the only spelling accepted here).
 
-    NOT rewritten: ``#>``/``#>>``/``#-`` (the pg JSON path operators
-    — mangling them into ``^>`` would surface as a confusing parse
-    error far from the cause; they fail here with a clear message),
-    and ``#`` inside single-quoted literals OR double-quoted
-    identifiers."""
+    ``#>``/``#>>``/``#-`` with a literal ``'{...}'`` path were already
+    consumed by _rewrite_json_path_ops; any leftover (non-literal
+    path) fails here with a clear message rather than being mangled
+    into ``^>``. ``#`` inside single-quoted literals or double-quoted
+    identifiers is untouched."""
     out = sql
     pos = 0
     while True:
@@ -455,6 +455,29 @@ def _rewrite_functions(sql: str) -> str:
     out = re.sub(
         r"\bregexp_split_to_array\s*\(", "split(", out, flags=re.I
     )
+    # pg_typeof(e) → typeof(e) (Spark type names: 'int' not 'integer' —
+    # close enough for the BI handshake probes that call it)
+    out = re.sub(r"\bpg_typeof\s*\(", "typeof(", out, flags=re.I)
+
+    # string_to_array(s, 'd'[, nullstr]) → split on the regex-escaped
+    # LITERAL delimiter (pg delimiters are literal, Spark split takes a
+    # regex); 3-arg maps nullstr elements to NULL. Non-literal
+    # delimiters pass through to split() as regexes.
+    def sta(m: re.Match) -> str:
+        s_, d, nullstr = m.group(1), m.group(2), m.group(3)
+        esc = re.escape(d).replace("\\", "\\\\").replace("'", "''")
+        base = f"split({s_}, '{esc}')"
+        if nullstr is not None:
+            base = f"transform({base}, __x -> nullif(__x, {nullstr}))"
+        return base
+
+    out = re.sub(
+        r"\bstring_to_array\s*\(\s*([^(),]+?)\s*,\s*'([^']*)'"
+        r"(?:\s*,\s*('(?:[^']|'')*'))?\s*\)",
+        sta, out, flags=re.I,
+    )
+    out = re.sub(r"\bstring_to_array\s*\(", "split(", out, flags=re.I)
+
     # strpos(s, sub) → position(sub, s)  (argument swap)
     out = re.sub(
         r"\bstrpos\s*\(\s*([^(),]+?)\s*,\s*([^(),]+?)\s*\)",
@@ -612,6 +635,80 @@ def _rewrite_subscripts(sql: str) -> str:
                         break
             i += 1
     return out
+
+
+def _pg_path_to_json(path: str) -> str:
+    """pg text[] path literal body ``a,b,1`` → JSONPath ``$.a.b[1]``
+    (numeric elements index arrays — the overwhelmingly common shape;
+    an object KEY that is all digits would need ->'2' instead)."""
+    out = "$"
+    for el in path.split(","):
+        el = el.strip().strip('"')
+        if re.fullmatch(r"-?\d+", el):
+            out += f"[{el}]"
+        else:
+            out += f".{el}"
+    return out
+
+
+def _rewrite_json_path_ops(sql: str) -> str:
+    """pg ``x #> '{a,b}'`` / ``x #>> '{a,b}'`` →
+    get_json_object(x, '$.a.b'); ``x #- '{a,b}'`` → json_remove1
+    (the engine-registered JSON mutation UDF, functions/json_udfs.py).
+    The reference passes all three through to DuckDB
+    (pgserver/connection_handler.go ships text verbatim). Runs BEFORE
+    _rewrite_xor_op so ``#`` XOR never mangles them."""
+    out = sql
+    scan = 0
+    while True:
+        found = out.find("#", scan)
+        if found == -1:
+            return out
+        if _in_string(out, found) or _in_dquoted(out, found):
+            scan = found + 1
+            continue
+        if out[found:found + 3] == "#>>":
+            op, alen = "#>>", 3
+        elif out[found:found + 2] == "#>":
+            op, alen = "#>", 2
+        elif out[found:found + 2] == "#-":
+            op, alen = "#-", 2
+        else:
+            scan = found + 1
+            continue
+        r = found + alen
+        while r < len(out) and out[r].isspace():
+            r += 1
+        if r >= len(out) or out[r] != "'":
+            scan = found + alen
+            continue
+        e = out.find("'", r + 1)
+        if e < 0:
+            scan = found + alen
+            continue
+        body = out[r + 1:e].strip()
+        if not (body.startswith("{") and body.endswith("}")):
+            scan = found + alen
+            continue
+        jpath = _pg_path_to_json(body[1:-1])
+        rhs_end = e + 1
+        # pg allows ::text[] on the path literal
+        cm = re.match(r"\s*::\s*text\s*\[\s*\]", out[rhs_end:])
+        if cm:
+            rhs_end += cm.end()
+        start = _operand_start(out, found)
+        while out[max(0, start - 2):start] == "::":
+            start = _operand_start(out, start - 2)
+        operand = out[start:found].strip()
+        if not operand:
+            scan = found + alen
+            continue
+        if op == "#-":
+            repl = f"json_remove1({operand}, '{jpath}')"
+        else:
+            repl = f"get_json_object({operand}, '{jpath}')"
+        out = out[:start] + repl + out[rhs_end:]
+        scan = start + len(repl)
 
 
 def _rewrite_json_ops(sql: str) -> str:
@@ -807,6 +904,7 @@ def translate_postgres(sql: str) -> str:
     out = _rewrite_at_time_zone(out)
     out = _rewrite_array_literals(out)
     out = _rewrite_json_ops(out)
+    out = _rewrite_json_path_ops(out)
     out = _rewrite_distinct_on(out)
     out = _rewrite_qualify(out)
     out = _rewrite_filter_over_window(out)

@@ -589,3 +589,40 @@ def test_pg_sequence_lifecycle(spark, tmp_path):
     e.execute("CREATE SEQUENCE public.qual_seq START 5")
     assert val("SELECT nextval('public.qual_seq'::regclass)") == 5
     assert val("SELECT nextval('qual_seq')") == 6
+
+
+def test_pg_json_path_ops_and_misc_shims(spark, tmp_path):
+    """#> / #>> / #- JSON path operators, string_to_array, pg_typeof,
+    current_setting (round-8 verdict item #4; reference passes the
+    operators through to DuckDB and shims current_setting eagerly,
+    pgserver/in_place_handler.go:26-200)."""
+    import pytest
+
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+
+    def row(q):
+        return e.execute(q, dialect="postgres").collect()[0]
+
+    doc = '\'{"a":{"b":[10,20]},"k":1}\'::jsonb'
+    assert row(f"SELECT {doc} #> '{{a,b,1}}' AS x").x == "20"
+    assert row(f"SELECT {doc} #>> '{{a,b}}' AS x").x == "[10,20]"
+    assert row(f"SELECT {doc} #- '{{a}}' AS x").x == '{"k": 1}'
+    # XOR still works alongside (the operators are consumed first)
+    assert row("SELECT 5 # 3 AS x").x == 6
+    assert row("SELECT string_to_array('a.b.c', '.') AS p").p \
+        == ["a", "b", "c"]
+    assert row("SELECT string_to_array('x~y~z', '~', 'y') AS p").p \
+        == ["x", None, "z"]
+    assert row("SELECT pg_typeof(1.5::double precision) AS t").t \
+        == "double"
+    assert row("SELECT current_setting('server_version') AS v").v \
+        == "15.0"
+    assert row(
+        "SELECT current_setting('no_such_thing', true) AS v").v is None
+    with pytest.raises(ValueError, match="unrecognized configuration"):
+        row("SELECT current_setting('no_such_thing')")
+    # SET custom GUC then read it back (Django/RLS tenant pattern)
+    e.execute("SET myapp.tenant = 'acme'")
+    assert row("SELECT current_setting('myapp.tenant') AS t").t == "acme"
