@@ -169,8 +169,13 @@ class Engine:
                 register_engine_udfs,
             )
 
+            from myduckserver_spark.functions.xml_udfs import (
+                register_xml_udfs,
+            )
+
             register_json_udfs(spark)
             register_engine_udfs(spark)
+            register_xml_udfs(spark)
             spark._mds_json_udfs = True
         # MySQL drops TEMPORARY tables at connection end; a new engine
         # over the warehouse is the reconnect analog, so leftovers from
@@ -4796,6 +4801,40 @@ class Engine:
         "extra_float_digits": "1",
     }
 
+    _DEFAULT_FN_RE = re.compile(r"(?i)\bDEFAULT\s*\(\s*([\w`]+)\s*\)")
+
+    def _fold_default_fn(self, sql: str) -> str:
+        """MySQL DEFAULT(col) → the column's declared default from
+        TableMeta, resolved against the statement's primary table
+        (INSERT INTO t / UPDATE t / REPLACE INTO t / FROM t). Columns
+        without a declared default raise MySQL 1364."""
+        tm = re.search(
+            r"(?i)\b(?:INSERT\s+(?:IGNORE\s+)?INTO|UPDATE(?:\s+IGNORE)?"
+            r"|REPLACE\s+INTO|DELETE\s+FROM|FROM)\s+(`[^`]+`|[\w.]+)",
+            st.mask_strings(sql),
+        )
+        if tm is None:
+            return sql
+        table = st.unquote_ident(tm.group(1)).split(".")[-1]
+        try:
+            meta = self.table_meta(table)
+        except Exception:
+            return sql
+
+        def repl(m: re.Match) -> str:
+            col = st.unquote_ident(m.group(1))
+            if col in meta.on_update and meta.defaults.get(col) is None:
+                return str(meta.on_update[col])
+            d = meta.defaults.get(col)
+            if d is None:
+                raise ValueError(
+                    f"Field '{col}' doesn't have a default value "
+                    "(MySQL 1364)"
+                )
+            return repr(d) if isinstance(d, str) else str(d)
+
+        return self._DEFAULT_FN_RE.sub(repl, sql)
+
     def _fold_current_setting(self, query: str) -> str:
         """Constant-fold current_setting('name'[, missing_ok]) against
         session variables, falling back to pg GUC defaults; unknown
@@ -5568,6 +5607,9 @@ class Engine:
             r"(?i)\s*(?:CREATE|ALTER|DROP)\b", sql
         ):
             sql = self._fold_sequence_funcs(sql)
+        if self._DEFAULT_FN_RE.search(st.mask_strings(sql)) and not \
+                re.match(r"(?i)\s*(?:CREATE|ALTER|DROP)\b", sql):
+            sql = self._fold_default_fn(sql)
         rm = re.search(r"\s+RETURNING\s+", st.mask_strings(sql), re.I)
         if rm and re.match(
             r"\s*(INSERT|REPLACE|UPDATE|DELETE)\b", sql, re.I

@@ -297,6 +297,12 @@ def register_json_udfs(spark: SparkSession) -> None:
         return json.dumps(doc)
 
     reg("json_remove1", F.pandas_udf(_udf_str(_remove), S))
+    # CAST(x AS JSON): parse + re-serialize to the canonical form the
+    # rest of the family emits; invalid JSON text → NULL (the family's
+    # error convention; MySQL raises 3141)
+    reg("json_cast1", F.pandas_udf(_udf_str(
+        lambda d: json.dumps(_loads(d))
+    ), S))
 
     def _extract_w(d, ps):
         """JSON_EXTRACT with wildcard and/or several paths (\\x1f-

@@ -588,10 +588,50 @@ def _fn_convert_tz(a):
             f"cast({a[0]} as timestamp), {a[1]}), {a[2]})")
 
 
+def _regexp_like3(a):
+    """3-arg REGEXP_LIKE(s, p, match_type): fold the MySQL match-type
+    letters into inline regex flags (i → (?i), m → (?m), n → (?s);
+    c cancels i, u is Java's default line handling). 2-arg passes
+    through to Spark's native regexp_like."""
+    if len(a) != 3:
+        return None
+    mt = re.fullmatch(r"\s*'([A-Za-z]*)'\s*", a[2])
+    if mt is None:
+        return None  # non-literal match_type: leave for a clear error
+    flags = ""
+    for ch in mt.group(1):
+        lo = ch.lower()
+        if lo == "i":
+            flags += "i"
+        elif lo == "c":
+            flags = flags.replace("i", "")
+        elif lo == "m":
+            flags += "m"
+        elif lo == "n":
+            flags += "s"
+        # 'u' (unix lines): Java regex default here
+    pat = a[1].strip()
+    if not flags:
+        return f"regexp_like({a[0]}, {pat})"
+    pm = re.fullmatch(r"'((?:[^']|'')*)'", pat)
+    if pm:
+        return f"regexp_like({a[0]}, '(?{flags}){pm.group(1)}')"
+    return f"regexp_like({a[0]}, concat('(?{flags})', {pat}))"
+
+
 _FN_HANDLERS = {
     # ROW(a, b) constructors (VALUES lists, row comparisons) → bare
     # tuples, which Spark groups as structs in both positions
     "ROW": lambda a: f"({', '.join(a)})" if len(a) >= 2 else None,
+    # MySQL 3-arg REGEXP_LIKE with match-type flags (manual 14.8.2)
+    "REGEXP_LIKE": _regexp_like3,
+    # MySQL XML family (manual 14.11) → xml_udfs pandas-UDF bases
+    "EXTRACTVALUE": lambda a: (
+        f"extract_value2({a[0]}, {a[1]})" if len(a) == 2 else None
+    ),
+    "UPDATEXML": lambda a: (
+        f"update_xml3({a[0]}, {a[1]}, {a[2]})" if len(a) == 3 else None
+    ),
     # MySQL QUOTE(NULL) is the 4-char string 'NULL' (Spark's is NULL)
     "QUOTE": lambda a: (
         f"coalesce(quote({a[0]}), 'NULL')" if len(a) == 1 else None
@@ -1129,7 +1169,7 @@ def _pass_limit(toks: list[Tok]) -> list[Tok]:
 
 
 _CAST_TYPE_RE = re.compile(
-    r"(?is)^(.*\sAS)\s+(SIGNED|UNSIGNED|NCHAR|CHAR|DATETIME|YEAR)"
+    r"(?is)^(.*\sAS)\s+(SIGNED|UNSIGNED|NCHAR|CHAR|DATETIME|YEAR|JSON)"
     r"(\s+INTEGER)?(\s*\(\s*\d+\s*\))?\s*$"
 )
 _CAST_TO_SPARK = {
@@ -1145,6 +1185,12 @@ def _fn_cast(a):
     if not m:
         return None
     ty = m.group(2).upper()
+    if ty == "JSON":
+        # CAST(x AS JSON): validate + normalize through the JSON UDF
+        # base (functions/json_udfs.py); invalid text yields NULL
+        # (the family's documented divergence from MySQL's error 3141)
+        expr = m.group(1)[: -len(" AS")].strip()
+        return f"json_cast1({expr})"
     if ty in ("SIGNED", "UNSIGNED"):
         # MySQL ROUNDS numeric→integer casts (CAST(1.7 AS SIGNED)=2,
         # strings still truncate); fold literal fractions here
@@ -2129,10 +2175,166 @@ def _pass_window_chains(toks: list[Tok]) -> list[Tok]:
     return toks
 
 
+_GROUPS_KW_RE = re.compile(
+    r"(?i)\bGROUPS\s+(?=BETWEEN\b|UNBOUNDED\b|CURRENT\b|\d)"
+)
+
+
+def rewrite_groups_frames(sql: str) -> str:
+    """Lower window GROUPS frame units onto RANGE over a dense_rank
+    key (MySQL 8 and DuckDB both run GROUPS natively; the reference
+    ships the text to DuckDB, backend/executor.go:183-219; Spark has
+    ROWS/RANGE only).
+
+    ``agg(x) OVER (PARTITION BY p ORDER BY o GROUPS f)`` ≡
+    ``agg(x) OVER (PARTITION BY p ORDER BY __gk RANGE f)`` where
+    ``__gk = DENSE_RANK() OVER (PARTITION BY p ORDER BY o)`` — peer
+    groups become consecutive integers, so group-offset bounds are
+    value-offset bounds and CURRENT ROW keeps peer semantics. The
+    dense_rank is injected through a wrapping derived table over the
+    block's FROM/WHERE segment (windows evaluate after WHERE).
+
+    Handled shape: single query block, single-table FROM, no GROUP BY
+    — the analytic pattern GROUPS appears in. Anything else returns
+    unchanged and hits the clear NotImplementedError downstream."""
+    from myduckserver_spark.statements import mask_strings
+
+    masked = mask_strings(sql)
+    if not _GROUPS_KW_RE.search(masked):
+        return sql
+    # prefix paren depth for top-level tests
+    depth_at = [0] * (len(masked) + 1)
+    d = 0
+    for i2, ch in enumerate(masked):
+        depth_at[i2] = d
+        if ch == "(":
+            d += 1
+        elif ch == ")":
+            d = max(0, d - 1)
+    depth_at[len(masked)] = d
+
+    def top_search(pattern: str, start: int = 0):
+        for m in re.finditer(pattern, masked):
+            if m.start() >= start and depth_at[m.start()] == 0:
+                return m
+        return None
+
+    if not re.match(r"(?i)\s*SELECT\b", masked):
+        return sql
+    if top_search(r"(?i)\b(GROUP\s+BY|HAVING|UNION|INTERSECT|EXCEPT)\b"):
+        return sql
+    if re.match(r"(?i)\s*SELECT\s+DISTINCT\b", masked):
+        return sql
+    from_m = top_search(r"(?i)\bFROM\b")
+    if from_m is None:
+        return sql
+    from_start = from_m.start()
+    cut_m = top_search(
+        r"(?i)\b(WINDOW|ORDER\s+BY|LIMIT|QUALIFY)\b", from_m.end()
+    )
+    cut = cut_m.start() if cut_m else len(sql)
+    segment = sql[from_start:cut]
+    seg_m = re.match(
+        r"(?is)\AFROM\s+(?P<t>[`\"\w.]+)"
+        r"(?:\s+(?:AS\s+)?(?!WHERE\b)(?P<a>[A-Za-z_]\w*))?"
+        r"(?P<rest>\s+WHERE\b.*)?\s*\Z",
+        segment,
+    )
+    if seg_m is None:
+        return sql
+    alias = seg_m.group("a") or seg_m.group("t").split(".")[-1].strip('`"')
+
+    # locate every window spec whose top level carries a GROUPS frame
+    spans: list[tuple[int, int]] = []  # (open_idx, close_idx)
+    for gm in _GROUPS_KW_RE.finditer(masked):
+        j, dep = gm.start() - 1, 0
+        while j >= 0:
+            if masked[j] == ")":
+                dep += 1
+            elif masked[j] == "(":
+                if dep == 0:
+                    break
+                dep -= 1
+            j -= 1
+        if j < 0 or not re.search(r"(?i)\b(OVER|AS)\s*$", masked[:j]):
+            return sql
+        if depth_at[j] != 0:
+            return sql  # GROUPS inside a subquery: unsupported here
+        k2, dep = j + 1, 1
+        while k2 < len(masked) and dep:
+            if masked[k2] == "(":
+                dep += 1
+            elif masked[k2] == ")":
+                dep -= 1
+            k2 += 1
+        if (j, k2 - 1) not in spans:
+            spans.append((j, k2 - 1))
+
+    # parse each spec into (partition, order, frame); dedup rank keys
+    gks: dict[tuple[str, str], str] = {}
+    repls: list[tuple[int, int, str]] = []
+    for op, cl in spans:
+        spec = sql[op + 1:cl]
+        spec_mask = mask_strings(spec)
+        sdep = [0] * len(spec_mask)
+        d2 = 0
+        for i3, ch in enumerate(spec_mask):
+            sdep[i3] = d2
+            if ch == "(":
+                d2 += 1
+            elif ch == ")":
+                d2 = max(0, d2 - 1)
+
+        def spec_pos(pat: str) -> re.Match | None:
+            for m3 in re.finditer(pat, spec_mask):
+                if sdep[m3.start()] == 0:
+                    return m3
+            return None
+
+        pb = spec_pos(r"(?i)\bPARTITION\s+BY\b")
+        ob = spec_pos(r"(?i)\bORDER\s+BY\b")
+        gf = spec_pos(r"(?i)\bGROUPS\b")
+        if ob is None or gf is None:
+            return sql
+        part = spec[pb.end():ob.start()].strip() if pb else ""
+        order = spec[ob.end():gf.start()].strip()
+        frame = spec[gf.end():].strip()
+        key = (part, order)
+        gk = gks.get(key)
+        if gk is None:
+            gk = gks[key] = f"__gk{len(gks) + 1}"
+        head = f"PARTITION BY {part} " if part else ""
+        repls.append(
+            (op, cl, f"{head}ORDER BY {gk} RANGE {frame}")
+        )
+
+    out = sql
+    for op, cl, newspec in sorted(repls, reverse=True):
+        out = out[:op + 1] + newspec + out[cl:]
+        shift = len(newspec) - (cl - op - 1)
+        if op < from_start:
+            from_start += shift
+            cut += shift
+        elif op < cut:
+            cut += shift
+    drs = ", ".join(
+        ("DENSE_RANK() OVER ("
+         + (f"PARTITION BY {p} " if p else "")
+         + f"ORDER BY {o}) AS {gk}")
+        for (p, o), gk in gks.items()
+    )
+    wrapped = (
+        f"FROM (SELECT *, {drs} {out[from_start:cut]}) {alias}"
+    )
+    return out[:from_start] + wrapped + " " + out[cut:]
+
+
 def translate_mysql(sql: str, ansi_quotes: bool = False) -> str:
     """Normalize a MySQL-dialect query into Spark SQL (token-level).
     ansi_quotes applies the ANSI_QUOTES sql_mode (double-quoted
     identifiers)."""
+    if "GROUPS" in sql.upper():
+        sql = rewrite_groups_frames(sql)
     sql = rewrite_json_table(sql, ansi_quotes=ansi_quotes)
     toks = tokenize(sql, ansi_quotes=ansi_quotes)
     toks = _pass_version_comments(toks)

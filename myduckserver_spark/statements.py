@@ -3062,4 +3062,10 @@ def parse_statement(sql: str, hash_comments: bool = True):
         return ProcedureStmt("call", unquote_ident(m.group(1)),
                              params=args)
 
+    if re.match(r"LOAD\s+XML\b", s, re.I):
+        raise NotImplementedError(
+            "LOAD XML INFILE is not supported — convert the file to "
+            "CSV/JSON and use LOAD DATA INFILE or COPY FROM "
+            "(ExtractValue/UpdateXML ARE available for XML columns)"
+        )
     raise ValueError(f"unsupported statement: {s[:120]!r}")

@@ -1073,8 +1073,9 @@ def test_alter_view_and_sysvar_scopes(spark, tmp_path):
 def test_help_binlog_events_groups_frame(spark, tmp_path):
     """HELP returns a pointer row (keeps interactive clients
     functional); SHOW BINLOG EVENTS renders applied-position markers;
-    GROUPS window frames reject with an actionable message (Spark has
-    ROWS/RANGE only)."""
+    GROUPS window frames on supported shapes now REWRITE (round-8
+    verdict item #5); unsupported shapes (GROUP BY in the same block)
+    still reject with the actionable message."""
     import pytest
 
     from myduckserver_spark.engine import Engine
@@ -1085,9 +1086,78 @@ def test_help_binlog_events_groups_frame(spark, tmp_path):
     assert row.name == "SELECT" and "doc" in row.description
     assert e.execute("SHOW BINLOG EVENTS").columns[:3] == [
         "Log_name", "Pos", "Event_type"]
+    for i, v in enumerate([1, 1, 2, 5]):
+        e.execute(f"INSERT INTO t VALUES ({i}, {v})")
+    # GROUPS = peer-group offsets: for v=[1,1,2,5], 1-group-preceding
+    # sums are [2,2,4,7] (both v=1 rows share a group)
+    got = {
+        r.id: r.s
+        for r in e.execute(
+            "SELECT id, SUM(v) OVER (ORDER BY v GROUPS BETWEEN 1 "
+            "PRECEDING AND CURRENT ROW) AS s FROM t"
+        ).collect()
+    }
+    assert got == {0: 2, 1: 2, 2: 4, 3: 7}
+    # unsupported shape (GROUP BY in the block) keeps the clear error
     with pytest.raises(NotImplementedError, match="GROUPS"):
-        e.execute("SELECT SUM(v) OVER (ORDER BY id GROUPS BETWEEN 1 "
-                  "PRECEDING AND CURRENT ROW) FROM t")
+        e.execute("SELECT SUM(MAX(v)) OVER (ORDER BY id GROUPS BETWEEN "
+                  "1 PRECEDING AND CURRENT ROW) FROM t GROUP BY id")
+
+
+def test_groups_frames_vs_python_reference(spark, tmp_path):
+    """GROUPS frame rewrite (RANGE over an injected dense_rank key)
+    differential-tested against an independent pure-Python frame
+    evaluator on ties-heavy data — partitioned, unpartitioned,
+    shorthand, UNBOUNDED, FOLLOWING-only, and named-window forms.
+    (DuckDB in this image rejects GROUPS mode, so the oracle is
+    Python, not SQL.)"""
+    import numpy as np
+    import pandas as pd
+
+    from myduckserver_spark.functions.mysql_compat import translate_mysql
+
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame({
+        "id": range(150),
+        "g": rng.randint(0, 3, 150),
+        "v": rng.randint(0, 6, 150),
+        "x": rng.randn(150).round(3),
+    })
+    spark.createDataFrame(df).createOrReplaceTempView("gt")
+
+    def py_groups(data, part, order, val, a, b, fn):
+        out = pd.Series(index=data.index, dtype="float64")
+        chunks = data.groupby(part) if part else [(None, data)]
+        for _, gdf in chunks:
+            r = gdf[order].rank(method="dense").astype(int)
+            for idx in gdf.index:
+                lo = r[idx] - a if a is not None else -(10 ** 9)
+                hi = r[idx] + b if b is not None else 10 ** 9
+                out[idx] = fn(gdf[(r >= lo) & (r <= hi)][val])
+        return out
+
+    base = df.set_index("id")
+    cases = [
+        ("SELECT id, SUM(x) OVER (PARTITION BY g ORDER BY v GROUPS "
+         "BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS r FROM gt",
+         ("g", "v", "x", 1, 1, np.sum)),
+        ("SELECT id, COUNT(*) OVER (ORDER BY v GROUPS 2 PRECEDING) "
+         "AS r FROM gt", (None, "v", "x", 2, 0, len)),
+        ("SELECT id, AVG(x) OVER (ORDER BY v GROUPS BETWEEN UNBOUNDED "
+         "PRECEDING AND CURRENT ROW) AS r FROM gt",
+         (None, "v", "x", None, 0, np.mean)),
+        ("SELECT id, MIN(x) OVER (PARTITION BY g ORDER BY v GROUPS "
+         "BETWEEN CURRENT ROW AND 2 FOLLOWING) AS r FROM gt",
+         ("g", "v", "x", 0, 2, np.min)),
+        ("SELECT id, SUM(v) OVER w AS r FROM gt WINDOW w AS "
+         "(PARTITION BY g ORDER BY v GROUPS BETWEEN 1 PRECEDING AND "
+         "CURRENT ROW)", ("g", "v", "v", 1, 0, np.sum)),
+    ]
+    for sql, (part, order, val, a, b, fn) in cases:
+        got = (spark.sql(translate_mysql(sql)).toPandas()
+               .set_index("id")["r"].sort_index())
+        want = py_groups(base, part, order, val, a, b, fn).sort_index()
+        assert np.allclose(got, want), sql
 
 
 def test_set_multi_assignment_and_expressions(spark, tmp_path):
@@ -1111,3 +1181,73 @@ def test_set_multi_assignment_and_expressions(spark, tmp_path):
     assert e.variables.get("sql_mode") == "STRICT_TRANS_TABLES,ANSI_QUOTES"
     e.execute("SET @d = DEFAULT")
     assert e.execute("SELECT @d AS d").collect()[0].d is None
+
+
+def test_xml_functions(spark, tmp_path):
+    """ExtractValue / UpdateXML for the MySQL-manual XPath subset
+    (round-8 verdict item #7); LOAD XML rejects with an actionable
+    message; unsupported XPath axes reject clearly."""
+    import pytest
+
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+
+    def v(q):
+        return e.execute(q).collect()[0][0]
+
+    # MySQL manual 14.11 examples
+    assert v("SELECT ExtractValue('<a><b>X</b><b>Y</b></a>', '/a/b')") \
+        == "X Y"
+    assert v("SELECT ExtractValue('<a><b>X</b><c><b>Z</b></c></a>', "
+             "'//b')") == "X Z"
+    assert v("SELECT ExtractValue('<a><b>X</b><b>Y</b></a>', "
+             "'/a/b[2]')") == "Y"
+    assert v("SELECT ExtractValue('<a att=\"5\"><b>X</b></a>', "
+             "'/a/@att')") == "5"
+    assert v("SELECT UpdateXML('<a><b>ccc</b><d></d></a>', '/a/b', "
+             "'<e>fff</e>')") == "<a><e>fff</e><d /></a>"
+    assert v("SELECT UpdateXML('<a><b>ccc</b><d></d></a>', '/a', "
+             "'<e>fff</e>')") == "<e>fff</e>"
+    # zero or multiple matches: original document unchanged
+    assert v("SELECT UpdateXML('<a><d></d><b>c</b><d></d></a>', "
+             "'/a/d', '<e>f</e>')") == "<a><d></d><b>c</b><d></d></a>"
+    # raw-text replacement splices where the element was
+    assert v("SELECT UpdateXML('<a><b>x</b><c>y</c></a>', '/a/b', "
+             "'plain')") == "<a>plain<c>y</c></a>"
+    # non-XML target: empty per MySQL's tolerant behavior
+    assert v("SELECT ExtractValue('not xml', '/a')") == ""
+    with pytest.raises(NotImplementedError, match="LOAD XML"):
+        e.execute("LOAD XML INFILE 'f.xml' INTO TABLE t")
+    with pytest.raises(Exception):
+        v("SELECT ExtractValue('<a/>', 'count(/a)')")
+
+
+def test_shims_regexp_like3_cast_json_default_fn(spark, tmp_path):
+    """3-arg REGEXP_LIKE match-type flags, CAST(... AS JSON), and
+    DEFAULT(col) (round-8 verdict item #6) — MySQL-manual values."""
+    import pytest
+
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    r = e.execute(
+        "SELECT REGEXP_LIKE('ABC', 'abc', 'i') AS i1, "
+        "REGEXP_LIKE('ABC', 'abc', 'c') AS c1, "
+        "REGEXP_LIKE('a\\nb', 'a.b', 'n') AS n1, "
+        "REGEXP_LIKE('abc', 'abc') AS p1"
+    ).collect()[0]
+    assert (r.i1, r.c1, r.n1, r.p1) == (True, False, True, True)
+    r = e.execute(
+        "SELECT CAST('{\"a\":  1}' AS JSON) AS j, "
+        "CAST('[1,2]' AS JSON) AS k, CAST('oops' AS JSON) AS bad"
+    ).collect()[0]
+    assert (r.j, r.k, r.bad) == ('{"a": 1}', "[1, 2]", None)
+    e.execute("CREATE TABLE dt (id INT PRIMARY KEY, v INT DEFAULT 7, "
+              "s VARCHAR(5) DEFAULT 'hi', n INT)")
+    e.execute("INSERT INTO dt (id) VALUES (1)")
+    e.execute("UPDATE dt SET v = DEFAULT(v) + 10")
+    r = e.execute("SELECT v, DEFAULT(s) AS ds FROM dt").collect()[0]
+    assert (r.v, r.ds) == (17, "hi")
+    with pytest.raises(ValueError, match="1364"):
+        e.execute("SELECT DEFAULT(n) FROM dt")
