@@ -590,6 +590,136 @@ def _match_bracket(s: str, i: int, op: str = "[", cl: str = "]") -> int:
     return -1
 
 
+def _rewrite_star_modifiers(sql: str) -> str:
+    """DuckDB star modifiers through the pg door (the reference's pg
+    port exposes full DuckDB syntax verbatim; the reference itself
+    generates EXCLUDE(...), delta/controller.go:377-379):
+      ``* EXCLUDE (a, b)``  → ``* EXCEPT (a, b)`` (Spark-native)
+      ``* REPLACE (e AS c)`` → ``* EXCEPT (c), e AS c`` — replaced
+    columns move to the end of the projection (name/values identical,
+    position diverges from DuckDB)."""
+    out = sql
+    # EXCLUDE → EXCEPT, with or without parens
+    while True:
+        m = re.search(r"\*\s+EXCLUDE\s*(\()?", out, re.I)
+        if not m or _in_string(out, m.start()):
+            break
+        if m.group(1):
+            close = _match_bracket(out, m.end() - 1, "(", ")")
+            if close < 0:
+                break
+            out = (out[:m.start()] + "* EXCEPT ("
+                   + out[m.end():close] + ")" + out[close + 1:])
+        else:
+            wm = re.match(r"[\w`\"]+", out[m.end():])
+            if not wm:
+                break
+            out = (out[:m.start()] + f"* EXCEPT ({wm.group(0)})"
+                   + out[m.end() + wm.end():])
+    # REPLACE (e AS c, ...) after a star
+    while True:
+        m = re.search(r"(\w+\s*\.\s*)?\*\s+REPLACE\s*\(", out, re.I)
+        if not m or _in_string(out, m.start()):
+            break
+        close = _match_bracket(out, m.end() - 1, "(", ")")
+        if close < 0:
+            break
+        from myduckserver_spark.statements import split_top_level
+
+        items = [
+            p.strip() for p in split_top_level(out[m.end():close], ",")
+            if p.strip()
+        ]
+        cols = []
+        for it in items:
+            am = re.search(r"(?is)\sAS\s+([\w`\"]+)\s*$", it)
+            if am is None:
+                return out  # not the modifier shape: leave untouched
+            cols.append(am.group(1))
+        prefix = (m.group(1) or "").replace(" ", "")
+        repl = (
+            f"{prefix}* EXCEPT ({', '.join(cols)}), "
+            + ", ".join(items)
+        )
+        out = out[:m.start()] + repl + out[close + 1:]
+    return out
+
+
+_PRE_LITERAL_KW = frozenset({
+    "SELECT", "WHERE", "AND", "OR", "NOT", "THEN", "ELSE", "WHEN",
+    "CASE", "IN", "ON", "BY", "HAVING", "SET", "VALUES", "RETURN",
+    "RETURNING", "ALL", "DISTINCT", "UNION", "INTERSECT", "EXCEPT",
+})
+
+
+def _rewrite_duckdb_literals(sql: str) -> str:
+    """DuckDB bare collection literals through the pg door:
+    ``[1, 2, 3]`` → ``array(1, 2, 3)`` (only where ``[`` cannot be a
+    subscript — not preceded by an identifier/``)``/``]``);
+    ``{'k': v, ...}`` → ``named_struct('k', v, ...)``. Rescans, so
+    nesting works."""
+    from myduckserver_spark.statements import split_top_level
+
+    out = sql
+    changed = True
+    while changed:
+        changed = False
+        i = 0
+        while i < len(out):
+            ch = out[i]
+            if ch not in "[{" or _in_string(out, i):
+                i += 1
+                continue
+            k = i - 1
+            while k >= 0 and out[k].isspace():
+                k -= 1
+            if ch == "[":
+                if k >= 0 and (out[k].isalnum() or out[k] in "_$)]`\""):
+                    # a preceding KEYWORD means literal, not subscript
+                    w = k
+                    while w >= 0 and (out[w].isalnum() or out[w] == "_"):
+                        w -= 1
+                    if out[w + 1:k + 1].upper() not in _PRE_LITERAL_KW:
+                        i += 1
+                        continue  # subscript site
+                close = _match_bracket(out, i, "[", "]")
+                if close < 0:
+                    i += 1
+                    continue
+                inner = out[i + 1:close]
+                if ":" in inner and "'" not in inner:
+                    i += 1
+                    continue  # slice syntax
+                out = out[:i] + "array(" + inner + ")" + out[close + 1:]
+                changed = True
+                break
+            # '{' — struct literal only when body is 'key': value pairs
+            close = _match_bracket(out, i, "{", "}")
+            if close < 0:
+                i += 1
+                continue
+            parts = [
+                p.strip() for p in split_top_level(out[i + 1:close], ",")
+                if p.strip()
+            ]
+            kvs = []
+            ok = bool(parts)
+            for p in parts:
+                pm = re.match(r"(?s)^('(?:[^']|'')*')\s*:\s*(.+)$", p)
+                if pm is None:
+                    ok = False
+                    break
+                kvs.append(f"{pm.group(1)}, {pm.group(2).strip()}")
+            if not ok:
+                i += 1
+                continue
+            out = (out[:i] + "named_struct(" + ", ".join(kvs) + ")"
+                   + out[close + 1:])
+            changed = True
+            break
+    return out
+
+
 def _rewrite_array_literals(sql: str) -> str:
     """``ARRAY[a, b]`` → ``array(a, b)`` (rescans, so nesting works)."""
     out = sql
@@ -902,7 +1032,9 @@ def translate_postgres(sql: str) -> str:
     out = _FETCH_FIRST_RE.sub(r"LIMIT \1", out)
     out = _rewrite_pg_session_fns(out)
     out = _rewrite_at_time_zone(out)
+    out = _rewrite_star_modifiers(out)
     out = _rewrite_array_literals(out)
+    out = _rewrite_duckdb_literals(out)
     out = _rewrite_json_ops(out)
     out = _rewrite_json_path_ops(out)
     out = _rewrite_distinct_on(out)

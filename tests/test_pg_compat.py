@@ -443,9 +443,10 @@ def test_pg_xor_and_regexp_split(spark, tmp_path):
 
 
 def test_pg_json_path_operators_clear_error(spark, tmp_path):
-    """`#>` / `#>>` / `#-` must NOT be mangled into `^>` by the XOR
-    rewrite — they raise a clear unsupported-operator message; `#`
-    inside double-quoted identifiers is preserved."""
+    """`#>` / `#>>` / `#-` with a LITERAL path are now supported
+    (round-9); a NON-literal path must not be mangled into `^>` by
+    the XOR rewrite — it still raises the clear unsupported-operator
+    message; `#` inside double-quoted identifiers is preserved."""
     import pytest as _pytest
 
     from myduckserver_spark.engine import Engine
@@ -453,12 +454,16 @@ def test_pg_json_path_operators_clear_error(spark, tmp_path):
     from myduckserver_spark.functions.pg_compat import _rewrite_xor_op
 
     e = Engine(spark, str(tmp_path / "wh_jsonpath"))
-    for op in ("#>", "#>>"):
-        with _pytest.raises(NotImplementedError, match="JSON path"):
-            e.execute(
-                f"SELECT '{{}}'::json {op} '{{a}}' AS x",
-                dialect="postgres",
-            )
+    r = e.execute(
+        "SELECT '{\"a\": 3}'::json #>> '{a}' AS x",
+        dialect="postgres",
+    ).collect()[0]
+    assert r.x == "3"
+    with _pytest.raises(NotImplementedError, match="JSON path"):
+        e.execute(
+            "SELECT '{}'::json #> some_col AS x FROM t",
+            dialect="postgres",
+        )
     # '#' inside a double-quoted identifier survives; the real
     # operator outside still rewrites
     assert _rewrite_xor_op('SELECT "a#b", 1 # 2') == 'SELECT "a#b", 1 ^ 2'
@@ -626,3 +631,33 @@ def test_pg_json_path_ops_and_misc_shims(spark, tmp_path):
     # SET custom GUC then read it back (Django/RLS tenant pattern)
     e.execute("SET myapp.tenant = 'acme'")
     assert row("SELECT current_setting('myapp.tenant') AS t").t == "acme"
+
+
+def test_duckdb_star_modifiers_and_literals(spark, tmp_path):
+    """DuckDB dialect via the pg door (round-8 verdict item #8):
+    * EXCLUDE -> Spark * EXCEPT; * REPLACE -> * EXCEPT + trailing
+    re-projection (values/names identical, position diverges —
+    documented); bare [..] list literals and {'k': v} struct literals
+    -> array()/named_struct()."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE t (a INT PRIMARY KEY, b INT, c VARCHAR(4))")
+    e.execute("INSERT INTO t VALUES (1, 2, 'x')")
+    r = e.execute("SELECT * EXCLUDE (b) FROM t", dialect="postgres")
+    assert r.columns == ["a", "c"]
+    r = e.execute("SELECT * EXCLUDE c FROM t", dialect="postgres")
+    assert r.columns == ["a", "b"]
+    r = e.execute(
+        "SELECT * REPLACE (a * 10 AS a, upper(c) AS c) FROM t",
+        dialect="postgres",
+    ).collect()[0]
+    assert (r.a, r.b, r.c) == (10, 2, "X")
+    row = e.execute(
+        "SELECT [1, 2, 3] AS l, {'k': 7, 'n': [4, 5]} AS s, "
+        "[10, 20][1] AS first FROM t",
+        dialect="postgres",
+    ).collect()[0]
+    assert row.l == [1, 2, 3]
+    assert row.s.k == 7 and row.s.n == [4, 5]
+    assert row.first == 10
