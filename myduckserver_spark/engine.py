@@ -4864,7 +4864,11 @@ class Engine:
         engine-side: DATABASE()/SCHEMA() (current db), ROW_COUNT()
         (last DML's affected count, -1 otherwise), LAST_INSERT_ID()
         (the session's last assigned auto id), FOUND_ROWS() (the
-        un-LIMITed count of the last SQL_CALC_FOUND_ROWS query),
+        un-LIMITed count of the last SQL_CALC_FOUND_ROWS query;
+        DOCUMENTED DIVERGENCE: in a fresh session with no prior
+        SELECT it returns -1 where MySQL returns the last-SELECT
+        count — tracking every SELECT's row count would force an
+        extra count job per query),
         USER()/CURRENT_USER()/SESSION_USER() (the session principal —
         'root@localhost' in the unrestricted default, the
         set_session_user principal otherwise)."""

@@ -1477,7 +1477,26 @@ def _pass_mysql_operators(toks: list[Tok]) -> list[Tok]:
                 r"0x[0-9A-Fa-f]+", t.text):
             # MySQL hex literal: a binary string by default (what
             # mysqldump emits for BLOB/VARBINARY values) → Spark's
-            # x'..' binary literal, zero-padded to whole bytes
+            # x'..' binary literal, zero-padded to whole bytes.
+            # In ARITHMETIC context MySQL treats it as an integer
+            # (0x41+1 = 66) — detect an adjacent arithmetic operator
+            # on either side and emit the value there.
+            prev_sig = next(
+                (p for p in reversed(out)
+                 if p.kind not in ("ws", "comment")), None)
+            next_sig_i = _sig_next(toks, i)
+            next_sig = toks[next_sig_i] if next_sig_i < n else None
+            def _arith(tok):
+                if tok is None:
+                    return False
+                if tok.kind == "op" and tok.text in "+-*/%":
+                    return True
+                return tok.kind == "word" and tok.text.upper() in (
+                    "DIV", "MOD")
+            if _arith(prev_sig) or _arith(next_sig):
+                out.extend(tokenize(str(int(t.text, 16))))
+                i += 1
+                continue
             h = t.text[2:]
             if len(h) % 2:
                 h = "0" + h

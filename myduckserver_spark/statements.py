@@ -1945,6 +1945,19 @@ def parse_statement(sql: str, hash_comments: bool = True):
                  split_top_level(rest_all, ",") if p.strip()]
         if not parts:
             raise ValueError("empty ALTER TABLE action list")
+        # an ORDER BY action's column list also splits on commas —
+        # absorb subsequent bare-identifier parts back into it
+        # (MyISAM-era dumps emit ALTER TABLE t ADD ..., ORDER BY a, b)
+        merged: list[str] = []
+        for p in parts:
+            if (merged
+                    and re.match(r"ORDER\s+BY\b", merged[-1], re.I)
+                    and re.fullmatch(r"[`\"\w.]+(?:\s+(?:ASC|DESC))?",
+                                     p, re.I)):
+                merged[-1] += ", " + p
+            else:
+                merged.append(p)
+        parts = merged
         acts = [_parse_alter_action(name, p) for p in parts]
         if len(acts) == 1:
             return acts[0]

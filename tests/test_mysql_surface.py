@@ -1251,3 +1251,30 @@ def test_shims_regexp_like3_cast_json_default_fn(spark, tmp_path):
     assert (r.v, r.ds) == (17, "hi")
     with pytest.raises(ValueError, match="1364"):
         e.execute("SELECT DEFAULT(n) FROM dt")
+
+
+def test_hex_literal_arithmetic_context(spark, tmp_path):
+    """Hex literals adjacent to an arithmetic operator evaluate as
+    integers (MySQL: 0x41+1 = 66); string/comparison contexts keep the
+    mysqldump binary-string default (round-8 ADVICE)."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    r = e.execute(
+        "SELECT 0x41 + 1 AS a, 2 * 0x10 AS b, 0x0A MOD 3 AS c, "
+        "HEX(0x41) AS d"
+    ).collect()[0]
+    assert (r.a, r.b, r.c) == (66, 32, 1)
+    assert r.d == "41"  # non-arith context stays a binary string
+
+
+def test_alter_multi_action_trailing_order_by(spark, tmp_path):
+    """ALTER TABLE t ADD COLUMN ..., ORDER BY a, b — the ORDER BY
+    column list must not split into bogus actions (round-8 ADVICE;
+    MyISAM-era dumps emit this)."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE t (a INT PRIMARY KEY, b INT)")
+    e.execute("ALTER TABLE t ADD COLUMN x INT, ORDER BY a, b")
+    assert "x" in e.execute("SELECT * FROM t").columns
