@@ -2348,10 +2348,69 @@ def rewrite_groups_frames(sql: str) -> str:
     return out[:from_start] + wrapped + " " + out[cut:]
 
 
+_RANKING_OVER_RE = re.compile(
+    r"(?i)\b(?:ROW_NUMBER|RANK|DENSE_RANK|NTILE|PERCENT_RANK"
+    r"|CUME_DIST)\s*\([^()]*\)\s*OVER\s*\("
+)
+
+
+def fix_orderless_ranking_windows(sql: str) -> str:
+    """MySQL and pg allow ranking functions over an ORDER-BY-less
+    window (``row_number() OVER ()`` — arbitrary but valid); Spark
+    requires the window to be ordered. Append ``ORDER BY 1`` (a
+    constant sort: any order is conformant) to such specs."""
+    from myduckserver_spark.statements import mask_strings
+
+    out = sql
+    pos = 0
+    while True:
+        masked = mask_strings(out)
+        m = _RANKING_OVER_RE.search(masked, pos)
+        if not m:
+            return out
+        op = m.end() - 1
+        depth, j = 1, op + 1
+        while j < len(masked) and depth:
+            if masked[j] == "(":
+                depth += 1
+            elif masked[j] == ")":
+                depth -= 1
+            j += 1
+        close = j - 1
+        spec = masked[op + 1:close]
+        # top-level ORDER BY present?
+        has_ob = False
+        d2 = 0
+        for om in re.finditer(r"(?i)\bORDER\s+BY\b|[()]", spec):
+            if om.group(0) == "(":
+                d2 += 1
+            elif om.group(0) == ")":
+                d2 -= 1
+            elif d2 == 0:
+                has_ob = True
+                break
+        nm = re.match(r"\s*([A-Za-z_]\w*)", spec)
+        if nm and nm.group(1).upper() not in (
+            "PARTITION", "ORDER", "ROWS", "RANGE", "GROUPS"
+        ):
+            # named base window (OVER (w1 ...)): its definition may
+            # already carry ORDER BY — leave resolution to the
+            # window-chain pass
+            pos = close
+            continue
+        if has_ob:
+            pos = close
+            continue
+        out = out[:close] + " ORDER BY 1" + out[close:]
+        pos = close + len(" ORDER BY 1")
+
+
 def translate_mysql(sql: str, ansi_quotes: bool = False) -> str:
     """Normalize a MySQL-dialect query into Spark SQL (token-level).
     ansi_quotes applies the ANSI_QUOTES sql_mode (double-quoted
     identifiers)."""
+    if re.search(r"(?i)\bOVER\b", sql):
+        sql = fix_orderless_ranking_windows(sql)
     if "GROUPS" in sql.upper():
         sql = rewrite_groups_frames(sql)
     sql = rewrite_json_table(sql, ansi_quotes=ansi_quotes)

@@ -459,6 +459,35 @@ def _rewrite_functions(sql: str) -> str:
     # close enough for the BI handshake probes that call it)
     out = re.sub(r"\bpg_typeof\s*\(", "typeof(", out, flags=re.I)
 
+    # array_length(a, 1) → size(a) (Spark arrays are 1-dimensional;
+    # any other dimension is NULL in pg for a 1-D array)
+    out = re.sub(
+        r"\barray_length\s*\(\s*(.+?)\s*,\s*1\s*\)", r"size(\1)",
+        out, flags=re.I,
+    )
+
+    # 4-arg regexp_replace(s, p, r, 'flags'): Spark replaces ALL
+    # matches by default (pg's 'g'); 'i' folds to an inline flag;
+    # pg's first-match-only default (no 'g') has no Spark equivalent
+    # and is left to fail visibly rather than silently replace all
+    def rr4(m: re.Match) -> str:
+        s_, p, r_, fl = m.groups()
+        if "g" not in fl:
+            return m.group(0)
+        pre = "(?i)" if "i" in fl else ""
+        pm = re.fullmatch(r"'((?:[^']|'')*)'", p.strip())
+        if pm:
+            return f"regexp_replace({s_}, '{pre}{pm.group(1)}', {r_})"
+        if pre:
+            return (f"regexp_replace({s_}, concat('{pre}', {p}), {r_})")
+        return f"regexp_replace({s_}, {p}, {r_})"
+
+    out = re.sub(
+        r"\bregexp_replace\s*\(\s*([^(),]+?)\s*,\s*('(?:[^']|'')*'|[^(),]+?)"
+        r"\s*,\s*('(?:[^']|'')*'|[^(),]+?)\s*,\s*'([gimnpqswx]*)'\s*\)",
+        rr4, out, flags=re.I,
+    )
+
     # string_to_array(s, 'd'[, nullstr]) → split on the regex-escaped
     # LITERAL delimiter (pg delimiters are literal, Spark split takes a
     # regex); 3-arg maps nullstr elements to NULL. Non-literal
@@ -1045,4 +1074,10 @@ def translate_postgres(sql: str) -> str:
     out = _rewrite_regex_ops(out)
     out = _rewrite_xor_op(out)
     out = _rewrite_subscripts(out)
+    if re.search(r"(?i)\bOVER\b", out):
+        from myduckserver_spark.functions.mysql_compat import (
+            fix_orderless_ranking_windows,
+        )
+
+        out = fix_orderless_ranking_windows(out)
     return out

@@ -1278,3 +1278,28 @@ def test_alter_multi_action_trailing_order_by(spark, tmp_path):
     e.execute("CREATE TABLE t (a INT PRIMARY KEY, b INT)")
     e.execute("ALTER TABLE t ADD COLUMN x INT, ORDER BY a, b")
     assert "x" in e.execute("SELECT * FROM t").columns
+
+
+def test_orderless_ranking_windows(spark, tmp_path):
+    """row_number()/rank() OVER () — valid in MySQL and pg with
+    arbitrary order — get a constant ORDER BY injected for Spark;
+    named-window references are left to the chain pass."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE t (a INT PRIMARY KEY)")
+    e.execute("INSERT INTO t VALUES (3), (1), (2)")
+    rns = sorted(
+        r.rn for r in e.execute(
+            "SELECT ROW_NUMBER() OVER () AS rn FROM t").collect()
+    )
+    assert rns == [1, 2, 3]
+    assert e.execute(
+        "SELECT RANK() OVER (PARTITION BY a) AS r FROM t"
+    ).collect()[0].r == 1
+    # named base windows keep their declared order
+    rows = e.execute(
+        "SELECT a, ROW_NUMBER() OVER w AS rn FROM t "
+        "WINDOW w AS (ORDER BY a DESC)"
+    ).collect()
+    assert [(r.a, r.rn) for r in rows] == [(3, 1), (2, 2), (1, 3)]

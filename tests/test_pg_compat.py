@@ -661,3 +661,19 @@ def test_duckdb_star_modifiers_and_literals(spark, tmp_path):
     assert row.l == [1, 2, 3]
     assert row.s.k == 7 and row.s.n == [4, 5]
     assert row.first == 10
+
+
+def test_pg_array_length_and_regexp_flags(spark, tmp_path):
+    """array_length(a, 1) -> size; 4-arg regexp_replace 'g'/'gi'
+    flags (probe-battery round 9)."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+
+    def row(q):
+        return e.execute(q, dialect="postgres").collect()[0]
+
+    assert row("SELECT array_length(ARRAY[1,2,3], 1) AS al").al == 3
+    r = row("SELECT regexp_replace('abcb', 'b', 'X', 'g') AS rr, "
+            "regexp_replace('ABC', 'b', 'X', 'gi') AS ri")
+    assert (r.rr, r.ri) == ("aXcX", "AXC")
