@@ -236,6 +236,7 @@ class Engine:
             "information_schema" in lowered
             or "__sys__" in query
             or "pg_catalog" in lowered
+            or "pg_" in lowered  # bare pg_type/pg_class/... references
         ):
             from myduckserver_spark import infoschema
 

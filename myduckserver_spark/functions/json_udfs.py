@@ -303,6 +303,21 @@ def register_json_udfs(spark: SparkSession) -> None:
     reg("json_cast1", F.pandas_udf(_udf_str(
         lambda d: json.dumps(_loads(d))
     ), S))
+    # pg set-returning json_array_elements[_text]: the dialect layer
+    # wraps these in explode()
+    from pyspark.sql.types import ArrayType
+
+    AS_ = ArrayType(StringType())
+    reg("json_arr_elems", F.pandas_udf(_udf_str(
+        lambda d: [json.dumps(e) for e in _loads(d)]
+    ), AS_))
+    reg("json_arr_elems_text", F.pandas_udf(_udf_str(
+        lambda d: [
+            e if isinstance(e, str)
+            else (None if e is None else json.dumps(e))
+            for e in _loads(d)
+        ]
+    ), AS_))
 
     def _extract_w(d, ps):
         """JSON_EXTRACT with wildcard and/or several paths (\\x1f-

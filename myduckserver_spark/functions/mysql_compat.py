@@ -625,6 +625,14 @@ _FN_HANDLERS = {
     "ROW": lambda a: f"({', '.join(a)})" if len(a) >= 2 else None,
     # MySQL 3-arg REGEXP_LIKE with match-type flags (manual 14.8.2)
     "REGEXP_LIKE": _regexp_like3,
+    # RANDOM_BYTES(n): n crypto-ish random bytes — derived from
+    # per-row uuid() entropy through SHA-512 (≤64 bytes per block,
+    # concatenated for larger n up to MySQL's practical key sizes)
+    "RANDOM_BYTES": lambda a: (
+        ("unhex(substring(concat(sha2(uuid(), 512), "
+         f"sha2(uuid(), 512)), 1, 2 * ({a[0]})))")
+        if len(a) == 1 else None
+    ),
     # MySQL XML family (manual 14.11) → xml_udfs pandas-UDF bases
     "EXTRACTVALUE": lambda a: (
         f"extract_value2({a[0]}, {a[1]})" if len(a) == 2 else None

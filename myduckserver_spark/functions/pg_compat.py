@@ -507,6 +507,99 @@ def _rewrite_functions(sql: str) -> str:
     )
     out = re.sub(r"\bstring_to_array\s*\(", "split(", out, flags=re.I)
 
+    # array helpers: array_to_string ≡ array_join (same 2/3-arg
+    # signature incl. null_string), array_cat ≡ concat,
+    # array_prepend swaps (pg: elem first; Spark: array first)
+    out = re.sub(r"\barray_to_string\s*\(", "array_join(", out,
+                 flags=re.I)
+    out = re.sub(r"\barray_cat\s*\(", "concat(", out, flags=re.I)
+    out = re.sub(
+        r"\barray_prepend\s*\(\s*([^(),]+?)\s*,\s*((?:[^(),]|\([^()]*\))+?)\s*\)",
+        r"array_prepend(\2, \1)", out, flags=re.I,
+    )
+
+    # format('%s', ...) ≡ format_string (same %-conversions for the
+    # common %s/%d cases; pg's %I/%L identifier/literal forms are not
+    # mapped and fail visibly)
+    out = re.sub(r"\bformat\s*\(", "format_string(", out, flags=re.I)
+
+    # quote_literal / quote_ident: always-quote forms (pg quotes
+    # conditionally, but the always-quoted spelling is equally valid)
+    out = re.sub(
+        r"\bquote_literal\s*\(\s*((?:[^(),]|\([^()]*\))+?)\s*\)",
+        r"concat('''', replace(cast(\1 as string), '''', ''''''), '''')",
+        out, flags=re.I,
+    )
+    out = re.sub(
+        r"\bquote_ident\s*\(\s*((?:[^(),]|\([^()]*\))+?)\s*\)",
+        r"""concat('"', replace(\1, '"', '""'), '"')""",
+        out, flags=re.I,
+    )
+
+    # encode/decode for the hex and base64 codecs
+    def enc(m: re.Match) -> str:
+        e, codec = m.group(1), m.group(2).lower()
+        if codec == "hex":
+            return f"lower(hex({e}))"
+        if codec == "base64":
+            return f"base64({e})"
+        return m.group(0)
+
+    out = re.sub(
+        r"\bencode\s*\(\s*((?:[^(),]|\([^()]*\))+?)\s*,\s*'(\w+)'\s*\)",
+        enc, out, flags=re.I,
+    )
+
+    def dec(m: re.Match) -> str:
+        e, codec = m.group(1), m.group(2).lower()
+        if codec == "hex":
+            return f"unhex({e})"
+        if codec == "base64":
+            return f"unbase64({e})"
+        return m.group(0)
+
+    out = re.sub(
+        r"\bdecode\s*\(\s*((?:[^(),]|\([^()]*\))+?)\s*,\s*'(\w+)'\s*\)",
+        dec, out, flags=re.I,
+    )
+
+    # substring(s from 'regex'): pg's regex form — whole match, or
+    # first group when the pattern has one (the FROM n FOR m numeric
+    # form is Spark-native and left alone)
+    def sub_rx(m: re.Match) -> str:
+        s_, pat = m.group(1), m.group(2)
+        idx = 1 if "(" in pat else 0
+        return f"regexp_extract({s_}, '{pat}', {idx})"
+
+    out = re.sub(
+        r"\bsubstring\s*\(\s*((?:[^(),]|\([^()]*\))+?)\s+from\s+"
+        r"'((?:[^']|'')*)'\s*\)",
+        sub_rx, out, flags=re.I,
+    )
+
+    # age(a[, b]) → timestamp subtraction (day-time interval; pg
+    # normalizes to years/months — documented divergence)
+    out = re.sub(
+        r"\bage\s*\(\s*((?:[^(),]|\([^()]*\))+?)\s*,\s*"
+        r"((?:[^(),]|\([^()]*\))+?)\s*\)",
+        r"(\1 - \2)", out, flags=re.I,
+    )
+    out = re.sub(
+        r"\bage\s*\(\s*((?:[^(),]|\([^()]*\))+?)\s*\)",
+        r"(current_timestamp() - \1)", out, flags=re.I,
+    )
+
+    # jsonb_* length + set-returning element iteration
+    out = re.sub(r"\bjsonb?_array_length\s*\(", "json_array_length(",
+                 out, flags=re.I)
+    out = _rewrite_wrapped_call(
+        out, "jsonb?_array_elements_text",
+        "explode(json_arr_elems_text(", "))",
+    )
+    out = _rewrite_wrapped_call(
+        out, "jsonb?_array_elements", "explode(json_arr_elems(", "))",
+    )
+
     # strpos(s, sub) → position(sub, s)  (argument swap)
     out = re.sub(
         r"\bstrpos\s*\(\s*([^(),]+?)\s*,\s*([^(),]+?)\s*\)",
@@ -556,12 +649,52 @@ def _rewrite_functions(sql: str) -> str:
 
     out = _ARRAY_AGG_RE.sub(aa, out)
 
+    # FROM-comma unnest (implicit lateral): `FROM t, unnest(e) AS a`
+    # or `AS t(x)` → LATERAL VIEW explode; select-position unnest
+    # falls through to the plain explode rename below
+    fm = re.search(r"(?i)\bFROM\b", out)
+    if fm and re.search(r"(?i),\s*unnest\s*\(", out):
+        def lat(m: re.Match) -> str:
+            args, a1, a2 = m.group(1), m.group(2), m.group(3)
+            col = a2 or a1
+            tbl = a1 if a2 else f"__uv_{a1}"
+            return f" LATERAL VIEW explode({args}) {tbl} AS {col}"
+
+        head, tail = out[:fm.end()], out[fm.end():]
+        tail = re.sub(
+            r"(?i),\s*unnest\s*\(((?:[^()]|\([^()]*\))*)\)\s*"
+            r"(?:AS\s+)?(\w+)(?:\s*\((\w+)\))?",
+            lat, tail,
+        )
+        out = head + tail
+
     # scalar-position generate_series/unnest → explode (the FROM form
     # was consumed above)
     out = _rewrite_wrapped_call(
         out, "generate_series", "explode(sequence(", "))"
     )
     out = re.sub(r"\bunnest\s*\(", "explode(", out, flags=re.I)
+
+    # jsonb key-existence `x ? 'k'`; containment @>/<@ rejects clearly
+    while True:
+        m = re.search(r"\?\s*('(?:[^']|'')*')", out)
+        if not m or _in_string(out, m.start()):
+            break
+        start = _operand_start(out, m.start())
+        while out[max(0, start - 2):start] == "::":
+            start = _operand_start(out, start - 2)
+        operand = out[start:m.start()].strip()
+        if not operand:
+            break
+        out = (out[:start]
+               + f"array_contains(json_object_keys({operand}), "
+               + m.group(1) + ")" + out[m.end():])
+    cm2 = re.search(r"@>|<@|\?\||\?&", out)
+    if cm2 and not _in_string(out, cm2.start()):
+        raise NotImplementedError(
+            f"pg operator {cm2.group(0)!r} (jsonb/range containment) "
+            "is not supported; use get_json_object()/array functions"
+        )
 
     # pg json constructors/aggregates → to_json over Spark complex types
     out = _rewrite_wrapped_call(

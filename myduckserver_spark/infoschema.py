@@ -42,7 +42,7 @@ SYS_VIEWS = {"pg_stat_user_tables", "pg_index"}
 # introspection psql/BI tools actually issue.
 PG_CATALOG_VIEWS = {
     "pg_namespace", "pg_class", "pg_attribute", "pg_tables",
-    "pg_views", "pg_database", "pg_indexes",
+    "pg_views", "pg_database", "pg_indexes", "pg_type",
 }
 
 
@@ -65,7 +65,22 @@ def rewrite(query: str) -> tuple[str, set[tuple[str, str]]]:
         needed.add((schema, view))
         return f"{schema}__{view}"
 
-    return _QUALIFIED.sub(_sub, query), needed
+    out = _QUALIFIED.sub(_sub, query)
+
+    # UNQUALIFIED pg_catalog names (pg resolves them via search_path;
+    # drivers write `FROM pg_type` bare) — known names only, and only
+    # when not already consumed by the qualified pass above
+    def _bare(m: re.Match) -> str:
+        view = m.group(1).lower()
+        needed.add(("pg_catalog", view))
+        return f"pg_catalog__{view}"
+
+    bare_rx = re.compile(
+        r"(?<![\w.])(" + "|".join(sorted(PG_CATALOG_VIEWS)) + r")\b(?!\s*\()",
+        re.IGNORECASE,
+    )
+    out = bare_rx.sub(_bare, out)
+    return out, needed
 
 
 # MySQL's fixed NUMERIC_PRECISION per integer/float type (the values a
@@ -445,8 +460,36 @@ def _pg_oids(engine):
     return nsp, classes
 
 
+# (oid, typname, array_oid) for the base types drivers resolve at
+# handshake (psycopg2/JDBC query pg_type for array-element mapping;
+# the reference serves the same rows from DoltgreSQL's pg_catalog)
+_PG_TYPE_ROWS = [
+    (16, "bool", 1000), (17, "bytea", 1001), (18, "char", 1002),
+    (19, "name", 1003), (20, "int8", 1016), (21, "int2", 1005),
+    (23, "int4", 1007), (25, "text", 1009), (26, "oid", 1028),
+    (114, "json", 199), (700, "float4", 1021), (701, "float8", 1022),
+    (1042, "bpchar", 1014), (1043, "varchar", 1015),
+    (1082, "date", 1182), (1083, "time", 1183),
+    (1114, "timestamp", 1115), (1184, "timestamptz", 1185),
+    (1186, "interval", 1187), (1700, "numeric", 1231),
+    (2950, "uuid", 2951), (3802, "jsonb", 3807),
+]
+
+
 def _build_pg_catalog(engine, view: str) -> DataFrame:
     spark = engine.spark
+
+    if view == "pg_type":
+        rows = []
+        for oid, name, arr in _PG_TYPE_ROWS:
+            rows.append((oid, name, _NSP_PG_CATALOG, "b", 0, arr))
+            rows.append((arr, "_" + name, _NSP_PG_CATALOG, "b", oid, 0))
+        return spark.createDataFrame(
+            sorted(rows),
+            "oid long, typname string, typnamespace long, "
+            "typtype string, typelem long, typarray long",
+        )
+
     nsp, classes = _pg_oids(engine)
 
     if view == "pg_namespace":

@@ -677,3 +677,67 @@ def test_pg_array_length_and_regexp_flags(spark, tmp_path):
     r = row("SELECT regexp_replace('abcb', 'b', 'X', 'g') AS rr, "
             "regexp_replace('ABC', 'b', 'X', 'gi') AS ri")
     assert (r.rr, r.ri) == ("aXcX", "AXC")
+
+
+def test_pg_function_battery_round9(spark, tmp_path):
+    """Probe-battery round-9 pg shims: pg_type catalog (qualified and
+    bare — drivers resolve array OIDs at handshake), array helpers,
+    format, quote_*, encode/decode, regex substring, age, jsonb
+    lengths/elements, ? key-existence, FROM-comma unnest lateral."""
+    import pytest
+
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE t (a INT PRIMARY KEY)")
+    e.execute("INSERT INTO t VALUES (1), (2)")
+
+    def row(q):
+        return e.execute(q, dialect="postgres").collect()[0]
+
+    r = row("SELECT oid, typarray FROM pg_type WHERE typname = 'int4'")
+    assert (r.oid, r.typarray) == (23, 1007)
+    assert row("SELECT oid FROM pg_catalog.pg_type "
+               "WHERE typname = 'varchar'").oid == 1043
+    assert row("SELECT array_to_string(ARRAY[1,NULL,3], ',', '*') "
+               "AS x").x == "1,*,3"
+    assert row("SELECT array_cat(ARRAY[1], ARRAY[2]) AS x").x == [1, 2]
+    assert row("SELECT array_prepend(0, ARRAY[1,2]) AS x").x == [0, 1, 2]
+    assert row("SELECT format('Hi %s #%d', 'a', 7) AS x").x == "Hi a #7"
+    r = row("SELECT quote_ident('my col') AS qi, "
+            "quote_literal('it''s') AS ql")
+    assert (r.qi, r.ql) == ('"my col"', "'it''s'")
+    r = row("SELECT encode('abc'::bytea, 'hex') AS h, "
+            "decode('616263', 'hex') AS d")
+    assert r.h == "616263" and bytes(r.d) == b"abc"
+    assert row("SELECT substring('Thomas' from '...$') AS x").x == "mas"
+    assert row("SELECT substring('Thomas' from 'h(.)m') AS x").x == "o"
+    assert row("SELECT (age(TIMESTAMP '2024-02-01', "
+               "TIMESTAMP '2024-01-01') > INTERVAL '20 days') AS x").x
+    assert row("SELECT jsonb_array_length('[1,2,3]'::jsonb) AS x").x == 3
+    vals = [r[0] for r in e.execute(
+        "SELECT json_array_elements_text('[\"x\", 2]'::json) AS v",
+        dialect="postgres").collect()]
+    assert vals == ["x", "2"]
+    r = row("SELECT '{\"a\":1}'::jsonb ? 'a' AS k1, "
+            "'{\"a\":1}'::jsonb ? 'b' AS k2")
+    assert (r.k1, r.k2) == (True, False)
+    rows = e.execute(
+        "SELECT t.a, x FROM t, unnest(ARRAY[1,2]) AS x ORDER BY a, x",
+        dialect="postgres").collect()
+    assert [(r.a, r.x) for r in rows] == [(1, 1), (1, 2), (2, 1), (2, 2)]
+    rows = e.execute(
+        "SELECT t.a, x FROM t, unnest(ARRAY[7]) AS u(x) ORDER BY a",
+        dialect="postgres").collect()
+    assert [(r.a, r.x) for r in rows] == [(1, 7), (2, 7)]
+    with pytest.raises(NotImplementedError, match="containment"):
+        row("SELECT '{\"a\":1}'::jsonb @> '{}'::jsonb")
+
+
+def test_mysql_random_bytes(spark, tmp_path):
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    r = e.execute("SELECT LENGTH(RANDOM_BYTES(16)) AS a, "
+                  "LENGTH(RANDOM_BYTES(48)) AS b").collect()[0]
+    assert (r.a, r.b) == (16, 48)
