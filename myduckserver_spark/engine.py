@@ -8843,10 +8843,13 @@ class Engine:
                         (s.target, iname, col, i + 1,
                          0 if props.get("unique") else 1)
                     )
-            return self.spark.createDataFrame(
+            df = self.spark.createDataFrame(
                 rows, "Table string, Key_name string, Column_name string, "
                       "Seq_in_index int, Non_unique int",
             )
+            if s.where:  # SHOW KEYS FROM t WHERE Key_name = '...'
+                df = df.where(F.expr(translate_mysql(s.where)))
+            return df
         if s.kind == "variables":
             items = sorted(self.variables.items())
             if s.like:

@@ -34,7 +34,8 @@ _QUALIFIED = re.compile(
 INFO_VIEWS = {
     "schemata", "tables", "columns", "views", "statistics",
     "key_column_usage", "table_constraints", "referential_constraints",
-    "routines", "triggers", "partitions",
+    "routines", "triggers", "partitions", "character_sets",
+    "collations", "engines", "processlist", "user_privileges",
 }
 SYS_VIEWS = {"pg_stat_user_tables", "pg_index"}
 # pg_catalog shims: the reference rewrites pg_catalog queries in place
@@ -153,6 +154,58 @@ def build(engine, schema: str, view: str) -> DataFrame:
             rows,
             "CATALOG_NAME string, SCHEMA_NAME string, "
             "DEFAULT_CHARACTER_SET_NAME string, DEFAULT_COLLATION_NAME string",
+        )
+
+    if (schema, view) == ("information_schema", "character_sets"):
+        from myduckserver_spark.functions.charset import CHARSETS
+
+        rows = [(n, f"{n}_general_ci", f"{n} charset", 4)
+                for n in sorted(CHARSETS)]
+        return spark.createDataFrame(
+            rows,
+            "CHARACTER_SET_NAME string, DEFAULT_COLLATE_NAME string, "
+            "DESCRIPTION string, MAXLEN int",
+        )
+
+    if (schema, view) == ("information_schema", "collations"):
+        from myduckserver_spark.functions.charset import CHARSETS
+
+        rows = []
+        for i, n in enumerate(sorted(CHARSETS)):
+            rows.append((f"{n}_general_ci", n, 100 + i, "Yes", "Yes", 1))
+            rows.append((f"{n}_bin", n, 200 + i, "", "Yes", 1))
+        return spark.createDataFrame(
+            rows,
+            "COLLATION_NAME string, CHARACTER_SET_NAME string, ID int, "
+            "IS_DEFAULT string, IS_COMPILED string, SORTLEN int",
+        )
+
+    if (schema, view) == ("information_schema", "engines"):
+        return spark.createDataFrame(
+            [("parquet-spark", "DEFAULT",
+              "Versioned parquet snapshots executed by Spark SQL",
+              "YES", "NO", "NO")],
+            "ENGINE string, SUPPORT string, COMMENT string, "
+            "TRANSACTIONS string, XA string, SAVEPOINTS string",
+        )
+
+    if (schema, view) == ("information_schema", "processlist"):
+        who = getattr(engine, "_session_user", None) or "root@localhost"
+        return spark.createDataFrame(
+            [(1, str(who).replace("'", ""), "localhost",
+              engine.current_db, "Query", 0, "executing", None)],
+            "ID bigint, USER string, HOST string, DB string, "
+            "COMMAND string, TIME int, STATE string, INFO string",
+        )
+
+    if (schema, view) == ("information_schema", "user_privileges"):
+        rows = [("'root'@'%'", "def", "ALL PRIVILEGES", "YES")]
+        for u in sorted(getattr(engine, "_load_users", dict)() or {}):
+            rows.append((f"'{u}'@'%'", "def", "USAGE", "NO"))
+        return spark.createDataFrame(
+            rows,
+            "GRANTEE string, TABLE_CATALOG string, PRIVILEGE_TYPE string, "
+            "IS_GRANTABLE string",
         )
 
     if (schema, view) == ("information_schema", "tables"):

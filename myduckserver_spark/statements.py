@@ -1018,6 +1018,7 @@ class Show:
     kind: str  # tables|columns|create_table|variables|table_status|...
     target: str | None = None
     like: str | None = None
+    where: str | None = None  # SHOW ... WHERE expr (filters the rows)
 
 
 @dataclass
@@ -2314,11 +2315,13 @@ def parse_statement(sql: str, hash_comments: bool = True):
         like = parse_literal(m.group(1)) if m.group(1) else None
         return Show("collation", like=like)
     m = re.match(
-        r"SHOW\s+(?:FULL\s+)?(?:COLUMNS|FIELDS)\s+FROM\s+(`[^`]+`|\w+)\s*$",
+        r"SHOW\s+(?:FULL\s+)?(?:COLUMNS|FIELDS)\s+FROM\s+(`[^`]+`|\w+)"
+        r"(?:\s+LIKE\s+('(?:[^']|'')*'))?\s*$",
         s, re.I,
     )
     if m:
-        return Show("columns", target=unquote_ident(m.group(1)))
+        return Show("columns", target=unquote_ident(m.group(1)),
+                    like=parse_literal(m.group(2)) if m.group(2) else None)
     # Client/ORM probe surface: MySQL clients issue these between
     # statements; each returns the correct (usually empty) shape
     # rather than erroring the session (reference delegates to GMS,
@@ -2705,11 +2708,13 @@ def parse_statement(sql: str, hash_comments: bool = True):
         return DropIndex(unquote_ident(m.group(1)),
                          unquote_ident(m.group(2)) if m.group(2) else None)
     m = re.match(
-        r"SHOW\s+(?:INDEX|INDEXES|KEYS)\s+(?:FROM|IN)\s+(`[^`]+`|\w+)\s*$",
+        r"SHOW\s+(?:INDEX|INDEXES|KEYS)\s+(?:FROM|IN)\s+(`[^`]+`|\w+)"
+        r"(?:\s+WHERE\s+(.+?))?\s*$",
         s, re.I,
     )
     if m:
-        return Show("indexes", target=unquote_ident(m.group(1)))
+        return Show("indexes", target=unquote_ident(m.group(1)),
+                    where=m.group(2))
 
     m = re.match(
         r"LOAD\s+DATA\s+(?:LOCAL\s+)?INFILE\s+('(?:[^']|'')*')\s+"
@@ -2901,7 +2906,10 @@ def parse_statement(sql: str, hash_comments: bool = True):
     # handler caches, privilege caches, or killable threads.
     if re.match(
         r"(FLUSH\s+\w[\w\s,]*|KILL(\s+(QUERY|CONNECTION))?\s+\d+|"
-        r"RESET\s+QUERY\s+CACHE)\s*$",
+        r"RESET\s+QUERY\s+CACHE|"
+        r"CACHE\s+INDEX\s+.+|LOAD\s+INDEX\s+INTO\s+CACHE\s+.+|"
+        r"PURGE\s+(?:BINARY|MASTER)\s+LOGS\s+(?:TO|BEFORE)\s+.+|"
+        r"RESET\s+(?:MASTER|REPLICA|SLAVE)(?:\s+ALL)?)\s*$",
         s, re.I,
     ):
         return Show("noop_admin")

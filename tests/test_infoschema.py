@@ -342,3 +342,40 @@ def test_partitions_view(spark, tmp_path):
     }
     assert rows["plain"] == (None, None, None)
     assert rows["parted"] == ("p0", "KEY", "region")
+
+
+def test_round9_infoschema_views_and_show_filters(spark, tmp_path):
+    """information_schema.character_sets/collations/engines/
+    processlist/user_privileges (BI-tool probe surface), SHOW COLUMNS
+    ... LIKE, SHOW KEYS ... WHERE, and MyISAM/binlog admin no-ops
+    (probe battery round 9)."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE t (a INT PRIMARY KEY, b INT, "
+              "UNIQUE KEY ub (b))")
+    assert e.execute("SELECT COUNT(*) AS n FROM "
+                     "information_schema.character_sets"
+                     ).collect()[0].n > 5
+    assert e.execute(
+        "SELECT COLLATION_NAME FROM information_schema.collations "
+        "WHERE CHARACTER_SET_NAME = 'ascii' ORDER BY 1"
+    ).collect()[0][0] == "ascii_bin"
+    assert e.execute("SELECT ENGINE FROM information_schema.engines"
+                     ).collect()[0][0] == "parquet-spark"
+    assert e.execute("SELECT COMMAND FROM "
+                     "information_schema.processlist"
+                     ).collect()[0][0] == "Query"
+    assert e.execute(
+        "SELECT PRIVILEGE_TYPE FROM information_schema.user_privileges"
+    ).collect()[0][0] == "ALL PRIVILEGES"
+    rows = e.execute("SHOW COLUMNS FROM t LIKE 'b%'").collect()
+    assert [r.Field for r in rows] == ["b"]
+    rows = e.execute(
+        "SHOW KEYS FROM t WHERE Key_name = 'PRIMARY'").collect()
+    assert [(r.Key_name, r.Column_name) for r in rows] == [("PRIMARY", "a")]
+    for q in ("CACHE INDEX t IN default_cache",
+              "PURGE BINARY LOGS TO 'mysql-bin.000001'",
+              "RESET MASTER",
+              "LOAD INDEX INTO CACHE t"):
+        assert "no-op" in e.execute(q).info
