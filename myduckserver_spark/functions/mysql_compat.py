@@ -2413,12 +2413,69 @@ def fix_orderless_ranking_windows(sql: str) -> str:
         pos = close + len(" ORDER BY 1")
 
 
+_AGG_FN_RE = re.compile(
+    r"(?i)\b(?:SUM|COUNT|MIN|MAX|AVG|GROUP_CONCAT|STDDEV\w*|VAR\w*"
+    r"|BIT_AND|BIT_OR|BIT_XOR|JSON_ARRAYAGG|JSON_OBJECTAGG"
+    r"|ANY_VALUE)\s*\("
+)
+
+
+def rewrite_having_without_groupby(sql: str) -> str:
+    """MySQL extension: HAVING without GROUP BY may reference select
+    ALIASES and filters the un-grouped rows (`SELECT a, f(b) AS x
+    FROM t HAVING x > 0`). Spark requires GROUP BY for HAVING, so the
+    non-aggregate form wraps into a derived table with the condition
+    as an outer WHERE. Aggregate HAVING (implicit global group) is
+    Spark-native and left alone."""
+    from myduckserver_spark.statements import mask_strings
+
+    masked = mask_strings(sql)
+    if not re.match(r"(?i)\s*SELECT\b", masked):
+        return sql
+    depth = 0
+    hv = gb = None
+    tail_at = None
+    for m in re.finditer(
+        r"(?i)\bHAVING\b|\bGROUP\s+BY\b|\bUNION\b|\bINTERSECT\b"
+        r"|\bEXCEPT\b|\bORDER\s+BY\b|\bLIMIT\b|[()]", masked
+    ):
+        tok = m.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0:
+            u = tok.upper()
+            if u == "HAVING":
+                hv = m
+            elif u.startswith("GROUP"):
+                gb = m
+            elif u in ("UNION", "INTERSECT", "EXCEPT"):
+                return sql
+            elif hv is not None and tail_at is None and (
+                u.startswith("ORDER") or u == "LIMIT"
+            ):
+                tail_at = m.start()
+    if hv is None or gb is not None:
+        return sql
+    cond_end = tail_at if tail_at is not None else len(sql)
+    cond = sql[hv.end():cond_end].strip()
+    if _AGG_FN_RE.search(mask_strings(cond)):
+        return sql  # implicit global aggregate: Spark handles it
+    inner = sql[:hv.start()].strip()
+    tail = sql[cond_end:] if tail_at is not None else ""
+    return (f"SELECT * FROM ({inner}) __having_src "
+            f"WHERE {cond} {tail}")
+
+
 def translate_mysql(sql: str, ansi_quotes: bool = False) -> str:
     """Normalize a MySQL-dialect query into Spark SQL (token-level).
     ansi_quotes applies the ANSI_QUOTES sql_mode (double-quoted
     identifiers)."""
     if re.search(r"(?i)\bOVER\b", sql):
         sql = fix_orderless_ranking_windows(sql)
+    if re.search(r"(?i)\bHAVING\b", sql):
+        sql = rewrite_having_without_groupby(sql)
     if "GROUPS" in sql.upper():
         sql = rewrite_groups_frames(sql)
     sql = rewrite_json_table(sql, ansi_quotes=ansi_quotes)

@@ -1303,3 +1303,22 @@ def test_orderless_ranking_windows(spark, tmp_path):
         "WINDOW w AS (ORDER BY a DESC)"
     ).collect()
     assert [(r.a, r.rn) for r in rows] == [(3, 1), (2, 2), (1, 3)]
+
+
+def test_having_without_group_by_alias_reference(spark, tmp_path):
+    """MySQL extension: HAVING without GROUP BY filters un-grouped
+    rows and may reference select aliases; aggregate HAVING keeps the
+    Spark-native implicit global group (probe battery round 9)."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE t (a INT PRIMARY KEY, b INT)")
+    e.execute("INSERT INTO t VALUES (1, 10), (2, 20), (3, 5)")
+    rows = e.execute("SELECT a, IF(b > 10, b, NULL) AS nb FROM t "
+                     "HAVING nb IS NOT NULL").collect()
+    assert [(r.a, r.nb) for r in rows] == [(2, 20)]
+    rows = e.execute("SELECT a, b * 2 AS d FROM t HAVING d > 15 "
+                     "ORDER BY a LIMIT 1").collect()
+    assert [(r.a, r.d) for r in rows] == [(1, 20)]
+    assert e.execute("SELECT MAX(b) AS m FROM t HAVING MAX(b) > 5"
+                     ).collect()[0].m == 20
