@@ -42,6 +42,7 @@ _FMT_TOKENS = {
     "%H": "HH", "%k": "H", "%h": "hh", "%l": "h", "%i": "mm", "%s": "ss",
     "%S": "ss", "%f": "SSSSSS", "%p": "a", "%W": "EEEE", "%a": "EEE",
     "%b": "MMM", "%M": "MMMM", "%j": "DDD", "%%": "%",
+    "%r": "hh:mm:ss a", "%T": "HH:mm:ss",
 }
 # Parsing (STR_TO_DATE) uses single-letter Java tokens: MySQL's %m/%d/…
 # accept 1-2 digits ('01,5,2013' with '%d,%m,%Y' is valid), while
@@ -64,8 +65,13 @@ def mysql_datetime_format(fmt: str, parsing: bool = False) -> str:
             tok = fmt[i : i + 2]
             if parsing and tok in _FMT_TOKENS_PARSE:
                 out.append(_FMT_TOKENS_PARSE[tok])
+            elif tok in _FMT_TOKENS:
+                out.append(_FMT_TOKENS[tok])
             else:
-                out.append(_FMT_TOKENS.get(tok, tok[1]))
+                # unknown %X prints the literal char in MySQL — quote
+                # letters so Java doesn't read them as pattern tokens
+                c = tok[1]
+                out.append(f"'{c}'" if c.isalpha() else c)
             i += 2
         else:
             # quote literal letters so Java patterns don't eat them
@@ -93,11 +99,32 @@ _MAKE_INTERVAL_SLOT = {
 }
 
 
+# MySQL composite interval units → Spark ANSI interval qualifiers
+# (INTERVAL '1-2' YEAR_MONTH ≡ INTERVAL '1-2' YEAR TO MONTH). The
+# *_MICROSECOND composites have no ANSI form and stay rejected.
+_COMPOSITE_INTERVALS = {
+    "YEAR_MONTH": "YEAR TO MONTH", "DAY_HOUR": "DAY TO HOUR",
+    "DAY_MINUTE": "DAY TO MINUTE", "DAY_SECOND": "DAY TO SECOND",
+    "HOUR_MINUTE": "HOUR TO MINUTE", "HOUR_SECOND": "HOUR TO SECOND",
+    "MINUTE_SECOND": "MINUTE TO SECOND",
+}
+
+
 def _interval_arith(base: str, sign: str, count: str, unit: str) -> str | None:
     """base ± INTERVAL count unit, tolerating non-literal counts."""
     u = unit.upper()
+    if u.startswith("SQL_TSI_"):  # ODBC spellings (TIMESTAMPADD/DIFF)
+        u = u[len("SQL_TSI_"):]
     if u.endswith("S") and u[:-1] in _MAKE_INTERVAL_SLOT:  # DAYS → DAY etc.
         u = u[:-1]
+    if u in _COMPOSITE_INTERVALS:
+        lit = _str_lit(count.strip())
+        if lit is None:
+            return None  # composite counts must be string literals
+        if _str_lit(base.strip()) is not None:
+            base = f"cast({base.strip()} as timestamp)"
+        return (f"(({base}) {sign} INTERVAL '{lit}' "
+                f"{_COMPOSITE_INTERVALS[u]})")
     if u not in _MAKE_INTERVAL_SLOT:
         return None
     if _str_lit(base.strip()) is not None:
@@ -632,6 +659,37 @@ _FN_HANDLERS = {
         ("unhex(substring(concat(sha2(uuid(), 512), "
          f"sha2(uuid(), 512)), 1, 2 * ({a[0]})))")
         if len(a) == 1 else None
+    ),
+    # base64 codec (MySQL spellings)
+    "TO_BASE64": lambda a: (
+        f"base64(cast({a[0]} as binary))" if len(a) == 1 else None
+    ),
+    "FROM_BASE64": lambda a: (
+        f"unbase64({a[0]})" if len(a) == 1 else None
+    ),
+    # TIME_FORMAT over TIME values that may exceed 24h (UDF — Java
+    # datetime patterns cannot render hour 25)
+    "TIME_FORMAT": lambda a: (
+        f"mysql_time_format(cast({a[0]} as string), {a[1]})"
+        if len(a) == 2 else None
+    ),
+    # REGEXP_INSTR/SUBSTR with pos/occurrence/return_option args
+    # (Spark's builtins stop at 2 args; its 3rd regexp_instr arg is a
+    # GROUP index, so passing pos through silently answers wrong)
+    "REGEXP_INSTR": lambda a: (
+        None if len(a) <= 2 else
+        ("mysql_regexp_instr(" + a[0] + ", " + a[1] + ", "
+         + (a[2] if len(a) > 2 else "1") + ", "
+         + (a[3] if len(a) > 3 else "1") + ", "
+         + (a[4] if len(a) > 4 else "0") + ")")
+        if len(a) <= 5 else None
+    ),
+    "REGEXP_SUBSTR": lambda a: (
+        None if len(a) <= 2 else
+        ("mysql_regexp_substr(" + a[0] + ", " + a[1] + ", "
+         + (a[2] if len(a) > 2 else "1") + ", "
+         + (a[3] if len(a) > 3 else "1") + ")")
+        if len(a) <= 4 else None
     ),
     # MySQL XML family (manual 14.11) → xml_udfs pandas-UDF bases
     "EXTRACTVALUE": lambda a: (
@@ -1669,7 +1727,9 @@ def _pass_mysql_operators(toks: list[Tok]) -> list[Tok]:
                         t2 = toks[jj]
                         if (t2.kind == "word"
                                 and (t2.text.upper().rstrip("S")
-                                     in _MAKE_INTERVAL_SLOT)):
+                                     in _MAKE_INTERVAL_SLOT
+                                     or t2.text.upper()
+                                     in _COMPOSITE_INTERVALS)):
                             unit = t2.text.upper()
                             break
                         cnt_toks.append(t2)

@@ -10,6 +10,7 @@ for scalars, and vectorized pandas UDFs for anything per-row heavy
 
 from __future__ import annotations
 
+import re
 import threading
 
 import pandas as pd
@@ -58,6 +59,78 @@ def _inet6_ntoa(b):
         return None
 
 
+def _mysql_time_format(t, fmt):
+    """MySQL TIME_FORMAT: time-only %-tokens over a TIME value that
+    may exceed 24 h or be negative (manual 14.7). Scalar one-off —
+    same documented slow path as INET6 (row counts are tiny: report
+    formatting, not scans)."""
+    if t is None or fmt is None:
+        return None
+    m = re.match(
+        r"\s*(-)?(\d+):(\d{1,2}):(\d{1,2})(?:\.(\d{1,6}))?\s*$", str(t)
+    )
+    if not m:
+        return None
+    neg, hh, mi, ss, us = (m.group(1) or ""), int(m.group(2)), \
+        int(m.group(3)), int(m.group(4)), (m.group(5) or "")
+    us = us.ljust(6, "0") if us else "000000"
+    h12 = hh % 24
+    h12 = 12 if h12 % 12 == 0 else h12 % 12
+    ampm = "AM" if (hh % 24) < 12 else "PM"
+    subs = {
+        "%H": f"{neg}{hh:02d}", "%k": f"{neg}{hh}",
+        "%h": f"{h12:02d}", "%I": f"{h12:02d}", "%l": str(h12),
+        "%i": f"{mi:02d}", "%s": f"{ss:02d}", "%S": f"{ss:02d}",
+        "%f": us, "%p": ampm,
+        "%r": f"{h12:02d}:{mi:02d}:{ss:02d} {ampm}",
+        "%T": f"{neg}{hh:02d}:{mi:02d}:{ss:02d}", "%%": "%",
+    }
+    out = []
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            out.append(subs.get(fmt[i:i + 2], fmt[i + 1]))
+            i += 2
+        else:
+            out.append(fmt[i])
+            i += 1
+    return "".join(out)
+
+
+def _mysql_regexp_instr(s, pat, pos, occ, ret_opt):
+    """MySQL REGEXP_INSTR(expr, pat, pos, occurrence, return_option)
+    (manual 14.8.2): position of the occurrence-th match searching
+    from pos; return_option 1 reports the position AFTER the match."""
+    if s is None or pat is None:
+        return None
+    pos = int(pos or 1)
+    occ = int(occ or 1)
+    if pos < 1 or occ < 1:
+        raise ValueError("REGEXP_INSTR: pos/occurrence must be >= 1")
+    n = 0
+    for m in re.finditer(pat, s[pos - 1:]):
+        n += 1
+        if n == occ:
+            base = pos + m.start()
+            return base + (m.end() - m.start()) if int(ret_opt or 0) \
+                else base
+    return 0
+
+
+def _mysql_regexp_substr(s, pat, pos, occ):
+    """MySQL REGEXP_SUBSTR(expr, pat, pos, occurrence)."""
+    if s is None or pat is None:
+        return None
+    pos = int(pos or 1)
+    occ = int(occ or 1)
+    n = 0
+    for m in re.finditer(pat, s[pos - 1:]):
+        n += 1
+        if n == occ:
+            return m.group(0)
+    return None
+
+
 def register_engine_udfs(spark: SparkSession) -> None:
     """Register the engine's session UDFs (call once at bootstrap,
     like the reference's provider init, catalog/provider.go:108-239)."""
@@ -67,3 +140,9 @@ def register_engine_udfs(spark: SparkSession) -> None:
     spark.udf.register("vec_minmax_scale", vec_minmax_scale)
     spark.udf.register("inet6_aton", _inet6_aton, BinaryType())
     spark.udf.register("inet6_ntoa", _inet6_ntoa, StringType())
+    spark.udf.register("mysql_time_format", _mysql_time_format,
+                       StringType())
+    spark.udf.register("mysql_regexp_instr", _mysql_regexp_instr,
+                       LongType())
+    spark.udf.register("mysql_regexp_substr", _mysql_regexp_substr,
+                       StringType())

@@ -1322,3 +1322,41 @@ def test_having_without_group_by_alias_reference(spark, tmp_path):
     assert [(r.a, r.d) for r in rows] == [(1, 20)]
     assert e.execute("SELECT MAX(b) AS m FROM t HAVING MAX(b) > 5"
                      ).collect()[0].m == 20
+
+
+def test_round9_datetime_regexp_batch(spark, tmp_path):
+    """Probe battery round 9: TIME_FORMAT (>24h TIME values),
+    DATE_FORMAT %W/%r/%T tokens (+ unknown %X quoting), composite
+    INTERVAL units (YEAR_MONTH/DAY_MINUTE -> ANSI YEAR TO MONTH...),
+    TIMESTAMPADD SQL_TSI_ spellings, TO_BASE64/FROM_BASE64, and
+    REGEXP_INSTR/SUBSTR pos+occurrence args (REGEXP_INSTR previously
+    passed pos into Spark's GROUP-INDEX slot — silent wrong answer)."""
+    import datetime as dt
+
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+
+    def v(q):
+        return tuple(e.execute(q).collect()[0])
+
+    assert v("SELECT TIME_FORMAT('25:30:10', '%H %k %i %s %p') AS x") \
+        == ("25 25 30 10 AM",)
+    assert v("SELECT DATE_FORMAT('2024-08-16 14:05:09', "
+             "'%W %M %e %Y %r') AS x") \
+        == ("Friday August 16 2024 02:05:09 PM",)
+    assert v("SELECT '2024-01-01' + INTERVAL '1-2' YEAR_MONTH AS x") \
+        == (dt.datetime(2025, 3, 1),)
+    assert v("SELECT '2024-01-01 00:00:00' + INTERVAL '1 10:30' "
+             "DAY_MINUTE AS x") == (dt.datetime(2024, 1, 2, 10, 30),)
+    assert v("SELECT TIMESTAMPADD(SQL_TSI_DAY, 3, '2024-01-01') AS x") \
+        == (dt.date(2024, 1, 4),)
+    assert v("SELECT TO_BASE64('ab') AS a, FROM_BASE64('YWI=') AS b") \
+        == ("YWI=", b"ab")
+    # MySQL manual: search from pos 2 finds the SECOND dog at 9
+    assert v("SELECT REGEXP_INSTR('dog cat dog', 'dog', 2) AS x") == (9,)
+    assert v("SELECT REGEXP_INSTR('aaa bbb aaa', 'a{3}', 1, 2) AS x") \
+        == (9,)
+    assert v("SELECT REGEXP_INSTR('abc', 'b', 1, 1, 1) AS x") == (3,)
+    assert v("SELECT REGEXP_SUBSTR('abc def ghi', '[a-z]+', 1, 3) AS x") \
+        == ("ghi",)
