@@ -2345,7 +2345,19 @@ def rewrite_groups_frames(sql: str) -> str:
             j -= 1
         if j < 0 or not re.search(r"(?i)\b(OVER|AS)\s*$", masked[:j]):
             return sql
-        if depth_at[j] != 0:
+        # the spec may sit under EXPRESSION parens (CAST(SUM(x) OVER
+        # (...))) — fine; under a SUBQUERY paren it belongs to another
+        # block and this single-block rewrite must not touch it
+        stack: list[int] = []
+        for p2, ch2 in enumerate(masked[:j]):
+            if ch2 == "(":
+                stack.append(p2)
+            elif ch2 == ")" and stack:
+                stack.pop()
+        if any(
+            re.match(r"\s*SELECT\b", masked[p2 + 1:], re.I)
+            for p2 in stack
+        ):
             return sql  # GROUPS inside a subquery: unsupported here
         k2, dep = j + 1, 1
         while k2 < len(masked) and dep:

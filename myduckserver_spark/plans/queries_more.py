@@ -278,3 +278,49 @@ def j_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum("o_totalprice", "revenue"), bcount("n_orders"))
         .orderBy("c_nationkey")
     )
+
+
+@register(
+    "w_groups_frame",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             DENSE_RANK() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate) AS __gk
+      FROM orders WHERE o_custkey < 200
+    )
+    SELECT o_custkey, o_orderkey,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+             PARTITION BY o_custkey ORDER BY __gk
+             RANGE BETWEEN 1 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+             AS grp_spend
+    FROM r
+    ORDER BY o_custkey, o_orderkey
+    """,
+    tags=("window", "groups-frame"),
+)
+def w_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPS window frames under the oracle gate (round-8 verdict
+    item #5): the MySQL text uses GROUPS BETWEEN 1 PRECEDING AND
+    CURRENT ROW over order DATES (ties guaranteed — same-day orders
+    form peer groups); the Spark side lowers it through
+    rewrite_groups_frames (RANGE over an injected dense_rank), and
+    DuckDB evaluates an EXPLICIT dense_rank reconstruction of the
+    same group-offset semantics — two engines, independent plans,
+    value-hash equality. (DuckDB's native GROUPS mode is unimplemented
+    in this build, so the reconstruction IS the reference semantics.)
+
+    Scale: one hash shuffle on the partition key; the injected
+    dense_rank shares the same window exchange as the frame itself."""
+    from myduckserver_spark.functions.mysql_compat import translate_mysql
+
+    register_views(spark, sf_dir)
+    return spark.sql(translate_mysql("""
+        SELECT o_custkey, o_orderkey,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate
+                 GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW), 2)
+                 AS DOUBLE) AS grp_spend
+        FROM orders WHERE o_custkey < 200
+        ORDER BY o_custkey, o_orderkey
+    """))

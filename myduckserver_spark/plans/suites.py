@@ -234,7 +234,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "w_top3_orders_per_customer", "w_rank_dense_ntile", "w_lead_lag",
         "w_range_frame_value", "w_first_last_value", "w_named_window",
         "w_distribution", "w_partition_only", "w_qualify_top2_per_region",
-        "w_gap_fill_ignore_nulls",
+        "w_gap_fill_ignore_nulls", "w_groups_frame",
     ),
     # Scalar/aggregate function shims (string/math/case/stats/regex...).
     "suite_functions": (
