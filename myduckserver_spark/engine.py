@@ -5774,25 +5774,30 @@ class Engine:
                 self._save_meta(s.name, meta)
             return OkResult(affected_rows=self.catalog.table(s.name).read().count())
         if isinstance(s, st.DropTable):
-            if not self.catalog.table(s.name).exists():
-                if s.if_exists:
-                    return OkResult(info="no such table")
-                raise ValueError(f"no such table: {s.name}")
-            self.drop_table(s.name)
-            self._meta_path_cleanup(s.name)
-            trigs = {
-                n: t for n, t in self._load_triggers().items()
-                if t["table"] != s.name
-            }  # MySQL drops a table's triggers with the table
-            if len(trigs) != len(self._load_triggers()):
-                self._save_triggers(trigs)
-            return OkResult()
+            dropped = 0
+            for nm in [s.name, *getattr(s, "more", [])]:
+                if not self.catalog.table(nm).exists():
+                    if s.if_exists:
+                        continue
+                    raise ValueError(f"no such table: {nm}")
+                self.drop_table(nm)
+                self._meta_path_cleanup(nm)
+                trigs = {
+                    n: t for n, t in self._load_triggers().items()
+                    if t["table"] != nm
+                }  # MySQL drops a table's triggers with the table
+                if len(trigs) != len(self._load_triggers()):
+                    self._save_triggers(trigs)
+                dropped += 1
+            return OkResult() if dropped else OkResult(
+                info="no such table")
         if isinstance(s, st.AlterTable):
             return self._exec_alter(s)
         if isinstance(s, st.AlterTableMulti):
             return self._exec_alter_multi(s)
         if isinstance(s, st.RenameTable):
-            self.rename_table(s.old, s.new)
+            for old, new in [(s.old, s.new), *getattr(s, "more", [])]:
+                self.rename_table(old, new)
             return OkResult()
         if isinstance(s, st.Truncate):
             n = self.catalog.table(s.name).read().count()
@@ -6061,15 +6066,17 @@ class Engine:
             self._refresh_views()
             return OkResult()
         if isinstance(s, st.DropView):
-            vpath = os.path.join(self.catalog.root, "__views__", f"{s.name}.sql")
-            if not os.path.exists(vpath):
-                if s.if_exists:
-                    return OkResult(info="no such view")
-                raise ValueError(f"no such view: {s.name}")
-            os.remove(vpath)
-            if os.path.exists(vpath[:-4] + ".check"):
-                os.remove(vpath[:-4] + ".check")
-            self.spark.catalog.dropTempView(s.name)
+            for nm in [s.name, *getattr(s, "more", [])]:
+                vpath = os.path.join(
+                    self.catalog.root, "__views__", f"{nm}.sql")
+                if not os.path.exists(vpath):
+                    if s.if_exists:
+                        continue
+                    raise ValueError(f"no such view: {nm}")
+                os.remove(vpath)
+                if os.path.exists(vpath[:-4] + ".check"):
+                    os.remove(vpath[:-4] + ".check")
+                self.spark.catalog.dropTempView(nm)
             return OkResult()
         if isinstance(s, st.CreateIndex):
             if s.fulltext:
@@ -6197,7 +6204,13 @@ class Engine:
             return OkResult(info="transaction started")
         if kind == "savepoint":
             if getattr(self, "_txn_snapshot", None) is None:
-                raise ValueError("SAVEPOINT outside a transaction")
+                # MySQL accepts SAVEPOINT in autocommit mode (the
+                # implicit txn commits immediately, so it's a no-op);
+                # pg warns. Erroring breaks migration scripts.
+                self._push_warning(
+                    1305, "SAVEPOINT outside a transaction is a no-op"
+                )
+                return OkResult(info="no transaction: savepoint no-op")
             self._txn_savepoints[name] = {
                 "pointers": {
                     n: self.catalog.table(n)._read_pointer()
@@ -6415,6 +6428,9 @@ class Engine:
 
     def _exec_alter(self, s: st.AlterTable) -> OkResult:
         if s.action == "add_column":
+            if s.if_exists and s.column in \
+                    self.catalog.table(s.name).read().columns:
+                return OkResult(info="column exists, skipping")
             gen_expr = (s.col_meta.generated.get(s.column)
                         if s.col_meta is not None else None)
             if gen_expr is not None:
@@ -6440,6 +6456,9 @@ class Engine:
                 meta.defaults[s.column] = s.default
                 self._save_meta(s.name, meta)
         elif s.action == "drop_column":
+            if s.if_exists and s.column not in \
+                    self.catalog.table(s.name).read().columns:
+                return OkResult(info="no such column, skipping")
             self.alter_drop_column(s.name, s.column)
             meta = self.table_meta(s.name)
             changed = False
@@ -6587,6 +6606,64 @@ class Engine:
             meta = self.table_meta(s.name)
             meta.stats["auto_increment_base"] = int(s.default)
             self._save_meta(s.name, meta)
+        elif s.action == "drop_index_alter":
+            # ALTER TABLE t DROP INDEX name ≡ DROP INDEX name ON t
+            meta = self.table_meta(s.name)
+            if s.column not in meta.indexes:
+                raise ValueError(f"no such index: {s.column}")
+            props = meta.indexes.pop(s.column)
+            self._save_meta(s.name, meta)
+            ft = props.get("index_table")
+            if ft and ft in self.catalog.list_tables():
+                self.catalog.drop_table(ft)
+        elif s.action == "add_pk":
+            meta = self.table_meta(s.name)
+            if meta.primary_key:
+                raise ValueError(
+                    "Multiple primary key defined (MySQL 1068)")
+            cols = s.fk["columns"]
+            base = self.catalog.table(s.name).read()
+            missing = [c for c in cols if c not in base.columns]
+            if missing:
+                raise ValueError(f"unknown columns for PK: {missing}")
+            # MySQL validates existing rows: no NULLs, no duplicates
+            probe = st.TableMeta(primary_key=cols)
+            if base.where(
+                " OR ".join(f"`{c}` IS NULL" for c in cols)
+            ).take(1):
+                raise ValueError(
+                    "Invalid use of NULL value: PK columns contain "
+                    "NULLs (MySQL 1138)")
+            dup = (base.groupBy(*cols).count()
+                   .where(F.col("count") > 1).take(1))
+            if dup:
+                raise DuplicateKeyError(
+                    "-".join(str(v) for v in dup[0][:-1]), "PRIMARY")
+            meta.primary_key = list(cols)
+            for c in cols:
+                if c not in meta.not_null:
+                    meta.not_null.append(c)
+            self._save_meta(s.name, meta)
+        elif s.action == "set_not_null":
+            # pg ALTER COLUMN x SET NOT NULL (validates existing rows)
+            hit = self.catalog.table(s.name).read().where(
+                F.col(s.column).isNull()).take(1)
+            if hit:
+                raise ValueError(
+                    f"column '{s.column}' contains NULLs and cannot "
+                    "become NOT NULL")
+            meta = self.table_meta(s.name)
+            if s.column not in meta.not_null:
+                meta.not_null.append(s.column)
+                self._save_meta(s.name, meta)
+        elif s.action == "drop_not_null":
+            meta = self.table_meta(s.name)
+            if s.column in meta.primary_key:
+                raise ValueError(
+                    "PRIMARY KEY columns cannot become nullable")
+            if s.column in meta.not_null:
+                meta.not_null.remove(s.column)
+                self._save_meta(s.name, meta)
         elif s.action == "noop_option":
             pass  # physical storage options: meaningless for parquet
         else:  # pragma: no cover

@@ -660,6 +660,7 @@ class TriggerStmt:
 class DropTable:
     name: str
     if_exists: bool = False
+    more: list = field(default_factory=list)  # DROP TABLE a, b, ...
 
 
 @dataclass
@@ -679,6 +680,8 @@ class AlterTable:
     # inline CHECK / PRIMARY KEY) — MODIFY replaces the whole
     # definition, so the executor resets unmentioned attributes
     col_meta: "TableMeta | None" = None
+    # pg ADD COLUMN IF NOT EXISTS / DROP COLUMN IF EXISTS
+    if_exists: bool = False
 
 
 @dataclass
@@ -705,6 +708,9 @@ class AnalyzeStmt:
 class RenameTable:
     old: str
     new: str
+    # RENAME TABLE a TO b, c TO d, ... — applied in order (MySQL's
+    # atomic multi-rename; the swap idiom depends on the ordering)
+    more: list = field(default_factory=list)
 
 
 @dataclass
@@ -1125,6 +1131,7 @@ class CreateView:
 class DropView:
     name: str
     if_exists: bool = False
+    more: list = field(default_factory=list)  # DROP VIEW a, b, ...
 
 
 @dataclass
@@ -1519,6 +1526,15 @@ def _parse_alter_action(name: str, rest: str) -> AlterTable:
                          "FOREIGN", "CHECK", "FULLTEXT", "SPATIAL",
                          "PRIMARY")
 
+    im = re.match(r"ADD\s+(?:COLUMN\s+)?IF\s+NOT\s+EXISTS\s+(.+)$",
+                  rest, re.I | re.S)
+    if im:
+        # pg ADD COLUMN IF NOT EXISTS — peel before the generic ADD
+        # branch reads 'IF' as the column name
+        inner = _parse_alter_action(name, "ADD COLUMN " + im.group(1))
+        inner.if_exists = True
+        return inner
+
     def _peel_position(body: str) -> tuple[str, str | None]:
         # None=append, ""=FIRST, name=AFTER <name>
         pm = re.search(
@@ -1700,6 +1716,92 @@ def _parse_alter_action(name: str, rest: str) -> AlterTable:
     )
     if am:
         return AlterTable(name, "set_charset", default=am.group(1))
+    # ALTER TABLE t DROP INDEX/KEY name (MySQL's ALTER-form of
+    # DROP INDEX ... ON t)
+    am = re.match(r"DROP\s+(?:INDEX|KEY)\s+(`[^`]+`|\w+)\s*$", rest, re.I)
+    if am:
+        return AlterTable(name, "drop_index_alter",
+                          column=unquote_ident(am.group(1)))
+    # ADD [CONSTRAINT [name]] UNIQUE [INDEX|KEY] [idxname] (cols)
+    am = re.match(
+        r"ADD\s+(?:CONSTRAINT\s+(?:(`[^`]+`|\w+)\s+)?)?UNIQUE"
+        r"(?:\s+(?:INDEX|KEY))?(?:\s+(`[^`]+`|\w+))?\s*"
+        r"\(([^)]*)\)" + _INDEX_OPTS + r"$",
+        rest, re.I,
+    )
+    if am:
+        iname = unquote_ident(am.group(2) or am.group(1) or "")
+        cols = [unquote_ident(c.strip().split("(")[0])
+                for c in am.group(3).split(",")]
+        return AlterTable(
+            name, "add_index",
+            fk={"name": iname or ("uq_" + "_".join(cols)),
+                "columns": cols, "unique": True},
+        )
+    # ADD [CONSTRAINT [name]] PRIMARY KEY (cols)
+    am = re.match(
+        r"ADD\s+(?:CONSTRAINT\s+(?:`[^`]+`|\w+)\s+)?PRIMARY\s+KEY\s*"
+        r"\(([^)]*)\)\s*$",
+        rest, re.I,
+    )
+    if am:
+        cols = [unquote_ident(c.strip()) for c in am.group(1).split(",")]
+        return AlterTable(name, "add_pk",
+                          fk={"columns": cols})
+    am = re.match(
+        r"DROP\s+(?:COLUMN\s+)?IF\s+EXISTS\s+(`[^`]+`|\w+)\s*$",
+        rest, re.I,
+    )
+    if am:
+        return AlterTable(name, "drop_column",
+                          column=unquote_ident(am.group(1)),
+                          if_exists=True)
+    # pg: ALTER [COLUMN] x TYPE t [USING expr] — type-only change
+    # (attributes survive, unlike MySQL MODIFY's replace semantics)
+    am = re.match(
+        r"ALTER\s+(?:COLUMN\s+)?(`[^`]+`|\w+)\s+(?:SET\s+DATA\s+)?"
+        r"TYPE\s+([\w()\s,]+?)(?:\s+USING\s+(.+))?\s*$",
+        rest, re.I | re.S,
+    )
+    if am:
+        col = unquote_ident(am.group(1))
+        using = (am.group(3) or "").strip()
+        if using and not re.fullmatch(
+            rf"(?:{re.escape(col)}|\({re.escape(col)}\))\s*::\s*[\w()\s,]+"
+            rf"|CAST\s*\(\s*{re.escape(col)}\s+AS\s+[\w()\s,]+\)",
+            using, re.I,
+        ):
+            raise NotImplementedError(
+                "ALTER COLUMN ... TYPE with a non-cast USING "
+                f"expression is not supported: {using!r}"
+            )
+        return AlterTable(name, "modify_column", column=col,
+                          new_name=col,
+                          mysql_type=am.group(2).strip())
+    # pg: ALTER [COLUMN] x SET/DROP NOT NULL
+    am = re.match(
+        r"ALTER\s+(?:COLUMN\s+)?(`[^`]+`|\w+)\s+SET\s+NOT\s+NULL\s*$",
+        rest, re.I,
+    )
+    if am:
+        return AlterTable(name, "set_not_null",
+                          column=unquote_ident(am.group(1)))
+    am = re.match(
+        r"ALTER\s+(?:COLUMN\s+)?(`[^`]+`|\w+)\s+DROP\s+NOT\s+NULL\s*$",
+        rest, re.I,
+    )
+    if am:
+        return AlterTable(name, "drop_not_null",
+                          column=unquote_ident(am.group(1)))
+    # pg ownership/security declarations: no principal store for
+    # object ownership — metadata no-ops
+    if re.fullmatch(
+        r"OWNER\s+TO\s+\S+|ENABLE\s+ROW\s+LEVEL\s+SECURITY"
+        r"|DISABLE\s+ROW\s+LEVEL\s+SECURITY"
+        r"|(?:SET|RESET)\s*\([^)]*\)|REPLICA\s+IDENTITY\s+.+",
+        rest, re.I,
+    ):
+        return AlterTable(name, "noop_option")
     raise ValueError(f"unsupported ALTER TABLE action: {rest!r}")
 
 
@@ -1930,9 +2032,15 @@ def parse_statement(sql: str, hash_comments: bool = True):
         return CreateTable(unquote_ident(m.group(2)), cols, meta,
                            if_not_exists=bool(m.group(1)))
 
-    m = re.match(r"DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(`[^`]+`|\w+)\s*$", s, re.I)
+    m = re.match(
+        r"DROP\s+TABLE\s+(IF\s+EXISTS\s+)?((?:`[^`]+`|\w+)"
+        r"(?:\s*,\s*(?:`[^`]+`|\w+))*)\s*(?:CASCADE|RESTRICT)?\s*$",
+        s, re.I)
     if m:
-        return DropTable(unquote_ident(m.group(2)), if_exists=bool(m.group(1)))
+        names = [unquote_ident(x.strip())
+                 for x in m.group(2).split(",")]
+        return DropTable(names[0], if_exists=bool(m.group(1)),
+                         more=names[1:])
 
     m = re.match(r"ALTER\s+TABLE\s+(`[^`]+`|\w+)\s+(.*)$", s, re.I | re.S)
     if m:
@@ -1966,13 +2074,24 @@ def parse_statement(sql: str, hash_comments: bool = True):
         # statement-level rollback in the engine)
         return AlterTableMulti(name, acts)
 
-    m = re.match(
-        r"RENAME\s+TABLE\s+(`[^`]+`|\w+)\s+TO\s+(`[^`]+`|\w+)\s*$", s, re.I
-    )
+    m = re.match(r"RENAME\s+TABLE\s+(.+)$", s, re.I | re.S)
     if m:
-        return RenameTable(unquote_ident(m.group(1)), unquote_ident(m.group(2)))
+        pairs = []
+        for part in split_top_level(m.group(1), ","):
+            pm = re.match(r"\s*(`[^`]+`|\w+)\s+TO\s+(`[^`]+`|\w+)\s*$",
+                          part, re.I)
+            if pm is None:
+                pairs = None
+                break
+            pairs.append((unquote_ident(pm.group(1)),
+                          unquote_ident(pm.group(2))))
+        if pairs:
+            return RenameTable(pairs[0][0], pairs[0][1], more=pairs[1:])
 
-    m = re.match(r"TRUNCATE\s+(?:TABLE\s+)?(`[^`]+`|\w+)\s*$", s, re.I)
+    m = re.match(
+        r"TRUNCATE\s+(?:TABLE\s+)?(`[^`]+`|\w+)"
+        r"(?:\s+(?:RESTART|CONTINUE)\s+IDENTITY)?"
+        r"(?:\s+(?:CASCADE|RESTRICT))?\s*$", s, re.I)
     if m:
         return Truncate(unquote_ident(m.group(1)))
 
@@ -2578,9 +2697,15 @@ def parse_statement(sql: str, hash_comments: bool = True):
         return CreateView(unquote_ident(m.group(3)), q,
                           or_replace=bool(m.group(1) or m.group(2)),
                           check_option=check)
-    m = re.match(r"DROP\s+VIEW\s+(IF\s+EXISTS\s+)?(`[^`]+`|\w+)\s*$", s, re.I)
+    m = re.match(
+        r"DROP\s+VIEW\s+(IF\s+EXISTS\s+)?((?:`[^`]+`|\w+)"
+        r"(?:\s*,\s*(?:`[^`]+`|\w+))*)\s*(?:CASCADE|RESTRICT)?\s*$",
+        s, re.I)
     if m:
-        return DropView(unquote_ident(m.group(2)), if_exists=bool(m.group(1)))
+        names = [unquote_ident(x.strip())
+                 for x in m.group(2).split(",")]
+        return DropView(names[0], if_exists=bool(m.group(1)),
+                        more=names[1:])
 
     m = re.match(
         r"CREATE\s+(OR\s+REPLACE\s+)?MACRO\s+(`[^`]+`|\w+)\s*"
@@ -2680,7 +2805,8 @@ def parse_statement(sql: str, hash_comments: bool = True):
             or_replace=bool(m.group(1)),
         )
     m = re.match(
-        r"CREATE\s+(UNIQUE\s+|FULLTEXT\s+)?INDEX\s+(`[^`]+`|\w+)\s+ON\s+"
+        r"CREATE\s+(UNIQUE\s+|FULLTEXT\s+)?INDEX\s+"
+        r"(?:CONCURRENTLY\s+)?(?:IF\s+NOT\s+EXISTS\s+)?(`[^`]+`|\w+)\s+ON\s+"
         r"(`[^`]+`|\w+)\s*"
         # greedy cols: column items may carry (10) prefixes
         r"\((.*)\)" + _INDEX_OPTS + r"$",
@@ -2901,6 +3027,21 @@ def parse_statement(sql: str, hash_comments: bool = True):
                  s, re.I)
     if m:
         return Maintenance("discard", [m.group(1).lower()])
+
+    # ALTER DATABASE/SCHEMA options (charset/collation/encryption) and
+    # pg COMMENT ON: accepted as metadata no-ops (strings are UTF-8
+    # here; there is no comment store for arbitrary objects)
+    if re.match(
+        r"ALTER\s+(?:DATABASE|SCHEMA)\s+(?:`[^`]+`|\w+)?\s*"
+        r"(?:DEFAULT\s+)?(?:CHARACTER\s+SET|CHARSET|COLLATE"
+        r"|ENCRYPTION|READ\s+ONLY)\b", s, re.I,
+    ):
+        return Show("noop_admin")
+    if re.match(
+        r"COMMENT\s+ON\s+(?:TABLE|COLUMN|VIEW|INDEX|SCHEMA|DATABASE"
+        r"|SEQUENCE|FUNCTION|CONSTRAINT)\s+", s, re.I,
+    ):
+        return Show("noop_admin")
 
     # Administrative no-ops: single-process snapshot engine has no
     # handler caches, privilege caches, or killable threads.

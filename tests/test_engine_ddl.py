@@ -522,3 +522,73 @@ def test_alter_modify_generated_status_3106(spark, tmp_path):
     e.execute("ALTER TABLE t3 MODIFY g INT "
               "GENERATED ALWAYS AS (a*10) STORED")
     assert e.execute("SELECT g FROM t3").collect()[0].g == 50
+
+
+def test_round9_migration_ddl_shapes(spark, tmp_path):
+    """ORM/migration statement shapes (probe battery round 9): ALTER
+    DROP INDEX, ADD [CONSTRAINT] UNIQUE (named and unnamed), ADD
+    PRIMARY KEY with row validation, multi-pair RENAME TABLE (the swap
+    idiom), multi-name DROP TABLE/VIEW, pg ADD/DROP COLUMN IF [NOT]
+    EXISTS idempotency, pg ALTER COLUMN TYPE (attributes survive,
+    unlike MySQL MODIFY), SET/DROP NOT NULL, OWNER TO no-op, CREATE
+    INDEX CONCURRENTLY, COMMENT ON, TRUNCATE RESTART IDENTITY."""
+    import pytest
+
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE t (a INT PRIMARY KEY, b INT, s VARCHAR(20))")
+    e.execute("INSERT INTO t VALUES (1, 10, 'x'), (2, 20, 'y')")
+    e.execute("ALTER TABLE t ADD INDEX idx2 (b)")
+    e.execute("ALTER TABLE t DROP INDEX idx2")
+    assert "idx2" not in e.table_meta("t").indexes
+    e.execute("ALTER TABLE t ADD CONSTRAINT uq_b UNIQUE (b)")
+    assert e.table_meta("t").indexes["uq_b"]["unique"]
+    with pytest.raises(Exception, match="Duplicate"):
+        e.execute("INSERT INTO t VALUES (3, 10, 'z')")  # enforced
+    e.execute("ALTER TABLE t DROP CONSTRAINT uq_b")
+    e.execute("ALTER TABLE t ADD UNIQUE (s)")  # unnamed form
+    assert any(p["columns"] == ["s"]
+               for p in e.table_meta("t").indexes.values())
+    # ADD PRIMARY KEY validates rows
+    e.execute("CREATE TABLE npk (x INT, y INT)")
+    e.execute("INSERT INTO npk VALUES (1, 2), (2, 3)")
+    e.execute("ALTER TABLE npk ADD PRIMARY KEY (x)")
+    assert e.table_meta("npk").primary_key == ["x"]
+    with pytest.raises(Exception, match="Duplicate"):
+        e.execute("INSERT INTO npk VALUES (1, 9)")
+    with pytest.raises(ValueError, match="1068"):
+        e.execute("ALTER TABLE npk ADD PRIMARY KEY (y)")
+    # multi-pair RENAME (swap idiom) and multi-name drops
+    e.execute("RENAME TABLE t TO t1, t1 TO t")
+    assert "t" in e.catalog.list_tables()
+    e.execute("CREATE TABLE d1 (x INT)")
+    e.execute("DROP TABLE IF EXISTS d1, d2")
+    assert "d1" not in e.catalog.list_tables()
+    e.execute("CREATE VIEW v1 AS SELECT a FROM t")
+    e.execute("DROP VIEW IF EXISTS v1, v2")
+    # pg idempotent column DDL
+    e.execute("ALTER TABLE t ADD COLUMN IF NOT EXISTS pgc INT",
+              dialect="postgres")
+    e.execute("ALTER TABLE t ADD COLUMN IF NOT EXISTS pgc INT",
+              dialect="postgres")
+    assert e.execute("SELECT * FROM t").columns.count("pgc") == 1
+    e.execute("ALTER TABLE t DROP COLUMN IF EXISTS pgc",
+              dialect="postgres")
+    e.execute("ALTER TABLE t DROP COLUMN IF EXISTS pgc",
+              dialect="postgres")
+    # pg TYPE change keeps NOT NULL (no MODIFY replace semantics)
+    e.execute("ALTER TABLE t ALTER COLUMN s SET NOT NULL",
+              dialect="postgres")
+    e.execute("ALTER TABLE t ALTER COLUMN s TYPE VARCHAR(100)",
+              dialect="postgres")
+    assert "s" in e.table_meta("t").not_null
+    e.execute("ALTER TABLE t ALTER COLUMN s DROP NOT NULL",
+              dialect="postgres")
+    assert "s" not in e.table_meta("t").not_null
+    for q in ("ALTER TABLE t OWNER TO app",
+              "COMMENT ON TABLE t IS 'docs'",
+              "CREATE UNIQUE INDEX CONCURRENTLY ic ON t (s)",
+              "TRUNCATE t RESTART IDENTITY"):
+        e.execute(q, dialect="postgres")
+    assert e.execute("SELECT COUNT(*) AS n FROM t").collect()[0].n == 0
