@@ -711,12 +711,23 @@ _FN_HANDLERS = {
         f"octet_length({a[0]})" if len(a) == 1 else None
     ),
     # TIME(expr): the time part as 'HH:MM:SS' (Spark reserves TIME as
-    # a type name, so the call never parses natively); bare
-    # 'HH:MM:SS' strings get a dummy date to survive the cast
+    # a type name, so the call never parses natively). MySQL TIME
+    # values reach ±838:59:59 — beyond 24h the value normalizes
+    # through the TIME_FORMAT UDF instead of a timestamp cast (which
+    # would ANSI-error); invalid input yields NULL like MySQL.
     "TIME": lambda a: (
-        f"date_format(coalesce(cast({a[0]} as timestamp), "
-        f"to_timestamp(concat('1970-01-01 ', {a[0]}))), 'HH:mm:ss')"
+        f"CASE WHEN cast({a[0]} as string) RLIKE "
+        r"'^-?\\d+:\\d{1,2}:\\d{1,2}(\\.\\d+)?$' "
+        f"THEN mysql_time_format(cast({a[0]} as string), '%T') "
+        f"ELSE date_format(coalesce(try_cast({a[0]} as timestamp), "
+        f"try_to_timestamp(concat('1970-01-01 ', {a[0]}))), 'HH:mm:ss') "
+        "END"
         if len(a) == 1 else None
+    ),
+    # DATE(expr): MySQL returns NULL (with a warning) for invalid
+    # dates like '2024-02-30'; Spark's ANSI cast would error
+    "DATE": lambda a: (
+        f"try_cast({a[0]} AS DATE)" if len(a) == 1 else None
     ),
     "CONVERT_TZ": _fn_convert_tz,
     "ATAN": lambda a: f"atan2({a[0]}, {a[1]})" if len(a) == 2 else None,
@@ -1539,6 +1550,115 @@ def _pass_mysql_operators(toks: list[Tok]) -> list[Tok]:
     n = len(toks)
     while i < n:
         t = toks[i]
+        if t.kind == "op" and t.text in ("&&", "||"):
+            # MySQL logical spellings (default sql_mode: || is OR)
+            out.extend(tokenize(" AND " if t.text == "&&" else " OR "))
+            i += 1
+            continue
+        if t.kind == "op" and t.text == "!":
+            # prefix `!` binds to the immediately following PRIMARY
+            # (highest precedence in MySQL: !a = b means (!a) = b);
+            # boolean-cast the operand for numeric truthiness
+            j2 = _sig_next(toks, i)
+            if j2 < n:
+                end2 = j2 + 1
+                if toks[j2].kind == "op" and toks[j2].text == "(":
+                    close2 = match_paren(toks, j2)
+                    end2 = close2 + 1 if close2 > 0 else end2
+                elif toks[j2].kind in ("word", "bq"):
+                    k2 = _sig_next(toks, j2)
+                    if (k2 < n and toks[k2].kind == "op"
+                            and toks[k2].text == "("):
+                        close2 = match_paren(toks, k2)
+                        if close2 > 0:
+                            end2 = close2 + 1
+                prim = render(toks[j2:end2]).strip()
+                nx = _sig_next(toks, end2 - 1)
+                expr = f"(NOT try_cast(({prim}) AS BOOLEAN))"
+                if nx < n and toks[nx].kind == "op" and \
+                        toks[nx].text in ("=", "<>", "!=", "<", ">",
+                                          "<=", ">=", "+", "-", "*",
+                                          "/", "%"):
+                    # comparison/arithmetic context: MySQL's ! yields
+                    # 0/1 — surface an INT (NULL-preserving)
+                    expr = f"CAST({expr} AS INT)"
+                out.extend(tokenize(expr + " "))
+                i = end2
+                continue
+        if t.kind == "word" and t.text.upper() == "XOR":
+            # a XOR b: MySQL numeric-truthiness exclusive or, NULL if
+            # either side is NULL — cast both sides to BOOLEAN (Spark
+            # int→bool keeps nonzero=true) and compare for difference.
+            # Precedence: XOR sits between AND and comparison, so the
+            # left operand extends back through comparison chains
+            # (a = 1 XOR b means (a = 1) XOR b).
+            _CMP = ("=", "<>", "!=", "<", ">", "<=", ">=", "<=>")
+            lhs_at = _prev_expr_start(out)
+            while lhs_at > 0:
+                k2 = lhs_at - 1
+                while k2 >= 0 and out[k2].kind in ("ws", "comment"):
+                    k2 -= 1
+                if k2 >= 0 and (
+                    (out[k2].kind == "op" and out[k2].text in _CMP)
+                    or out[k2].is_word("LIKE") or out[k2].is_word("RLIKE")
+                    or out[k2].is_word("REGEXP")
+                ):
+                    lhs_at = _prev_expr_start(out[:k2])
+                else:
+                    break
+            j2 = _sig_next(toks, i)
+            rhs: list[Tok] = []
+            depth2 = 0
+            _BOUND = ("AND", "OR", "XOR", "WHERE", "GROUP", "ORDER",
+                      "LIMIT", "HAVING", "THEN", "ELSE", "END", "WHEN",
+                      "AS", "FROM", "UNION", "INTERSECT", "EXCEPT")
+            while j2 < n:
+                t2 = toks[j2]
+                if depth2 == 0 and (
+                    (t2.kind == "word" and t2.text.upper() in _BOUND)
+                    or (t2.kind == "op" and t2.text in (",", ")", ";"))
+                ):
+                    break
+                if t2.kind == "op" and t2.text == "(":
+                    depth2 += 1
+                elif t2.kind == "op" and t2.text == ")":
+                    depth2 -= 1
+                rhs.append(t2)
+                j2 += 1
+            lhs = render(out[lhs_at:]).strip() if lhs_at >= 0 else ""
+            rhs_txt = render(rhs).strip()
+            if lhs and rhs_txt:
+                del out[lhs_at:]
+                out.extend(tokenize(
+                    f"(try_cast(({lhs}) AS BOOLEAN) <> "
+                    f"try_cast(({rhs_txt}) AS BOOLEAN)) "
+                ))
+                i = j2
+                continue
+        if (t.kind == "word" and t.text.upper() == "IS"
+                and _sig_next(toks, i) < n):
+            # expr IS [NOT] TRUE/FALSE with MySQL numeric truthiness:
+            # wrap the left expression in a boolean cast (Spark's IS
+            # TRUE demands an actual boolean)
+            j2 = _sig_next(toks, i)
+            neg = ""
+            if j2 < n and toks[j2].is_word("NOT"):
+                neg = "NOT "
+                j2 = _sig_next(toks, j2)
+            if j2 < n and toks[j2].kind == "word" and \
+                    toks[j2].text.upper() in ("TRUE", "FALSE"):
+                lhs_at = _prev_expr_start(out)
+                lhs = render(out[lhs_at:]).strip() if lhs_at >= 0 else ""
+                # only wrap when the operand could be non-boolean
+                # (a plain TRUE/FALSE/parenthesized comparison is fine)
+                if lhs and not re.match(r"(?i)\(|TRUE$|FALSE$", lhs):
+                    del out[lhs_at:]
+                    out.extend(tokenize(
+                        f"try_cast(({lhs}) AS BOOLEAN) IS {neg}"
+                        f"{toks[j2].text.upper()}"
+                    ))
+                    i = j2 + 1
+                    continue
         if t.kind == "num" and re.fullmatch(
                 r"0x[0-9A-Fa-f]+", t.text):
             # MySQL hex literal: a binary string by default (what

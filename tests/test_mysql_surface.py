@@ -1360,3 +1360,49 @@ def test_round9_datetime_regexp_batch(spark, tmp_path):
     assert v("SELECT REGEXP_INSTR('abc', 'b', 1, 1, 1) AS x") == (3,)
     assert v("SELECT REGEXP_SUBSTR('abc def ghi', '[a-z]+', 1, 3) AS x") \
         == ("ghi",)
+
+
+def test_mysql_logical_operator_spellings(spark, tmp_path):
+    """! / && / || / XOR / IS TRUE with MySQL numeric truthiness
+    (probe battery round 9): ! binds to the next primary and yields
+    INT in comparison context; XOR sits between AND and comparison
+    precedence and NULL-propagates; IS [NOT] TRUE/FALSE boolean-casts
+    non-boolean operands; DATE()/TIME() return NULL on invalid input
+    and TIME handles the ±838h range."""
+    import datetime as dt
+
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE t (a INT PRIMARY KEY, flag INT)")
+    e.execute("INSERT INTO t VALUES (1, 1), (2, 0), (3, NULL)")
+    r = e.execute("SELECT !0 AS bang, !1 = 0 AS prec, !NULL AS nn, "
+                  "1 XOR 0 AS x1, 2 XOR 1 AS x2, 1 XOR NULL AS xn"
+                  ).collect()[0]
+    assert (r.bang, r.prec, r.nn) == (True, True, None)
+    assert (r.x1, r.x2, r.xn) == (True, False, None)
+    assert sorted(
+        x.a for x in e.execute("SELECT a FROM t WHERE !flag").collect()
+    ) == [2]
+    assert sorted(
+        x.a for x in e.execute(
+            "SELECT a FROM t WHERE a=1 && flag=1 || a=2").collect()
+    ) == [1, 2]
+    assert sorted(
+        x.a for x in e.execute(
+            "SELECT a FROM t WHERE a = 1 XOR a = 2").collect()
+    ) == [1, 2]
+    assert sorted(
+        x.a for x in e.execute(
+            "SELECT a FROM t WHERE flag IS TRUE").collect()
+    ) == [1]
+    assert sorted(
+        x.a for x in e.execute(
+            "SELECT a FROM t WHERE flag IS NOT TRUE").collect()
+    ) == [2, 3]
+    r = e.execute("SELECT DATE('2024-02-30') AS bad, "
+                  "DATE('2024-02-29') AS ok, TIME('838:59:59') AS t1, "
+                  "TIME('2024-01-01 10:05:03') AS t2, "
+                  "TIME('junk') AS t4").collect()[0]
+    assert r.bad is None and r.ok == dt.date(2024, 2, 29)
+    assert (r.t1, r.t2, r.t4) == ("838:59:59", "10:05:03", None)
