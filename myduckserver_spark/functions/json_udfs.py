@@ -73,6 +73,22 @@ def _parse_wpath(s: str):
             toks.append(("anyidx",))
             i += 3
             continue
+        # [last], [last-N], [N to M], [N to last] (MySQL 8 ranges)
+        m = re.match(
+            r"\[\s*(last(?:\s*-\s*\d+)?|\d+)\s+to\s+"
+            r"(last(?:\s*-\s*\d+)?|\d+)\s*\]",
+            s[i:], re.I,
+        )
+        if m:
+            toks.append(("range", _last_tok(m.group(1)),
+                         _last_tok(m.group(2))))
+            i += m.end()
+            continue
+        m = re.match(r"\[\s*last(?:\s*-\s*(\d+))?\s*\]", s[i:], re.I)
+        if m:
+            toks.append(("last", int(m.group(1) or 0)))
+            i += m.end()
+            continue
         m = re.match(r'\."([^"]+)"|\.([A-Za-z_]\w*)|\[(\d+)\]', s[i:])
         if not m:
             return None
@@ -82,6 +98,19 @@ def _parse_wpath(s: str):
             toks.append(("key", m.group(1) or m.group(2)))
         i += m.end()
     return toks
+
+
+def _last_tok(text: str):
+    """'3' → 3; 'last' → ('last', 0); 'last-2' → ('last', 2)."""
+    text = text.strip().lower()
+    if text.startswith("last"):
+        off = text[4:].replace("-", "").strip()
+        return ("last", int(off or 0))
+    return int(text)
+
+
+def _resolve_idx(spec, n: int) -> int:
+    return n - 1 - spec[1] if isinstance(spec, tuple) else spec
 
 
 def _wmatch(doc, toks) -> list:
@@ -99,6 +128,19 @@ def _wmatch(doc, toks) -> list:
                 out += _wmatch(doc[t[1]], rest)
         elif t[1] == 0:
             out += _wmatch(doc, rest)  # MySQL: scalar acts as [0]
+    elif t[0] == "last":
+        if isinstance(doc, list):
+            k = len(doc) - 1 - t[1]
+            if 0 <= k < len(doc):
+                out += _wmatch(doc[k], rest)
+        elif t[1] == 0:
+            out += _wmatch(doc, rest)  # scalar acts as its own last
+    elif t[0] == "range":
+        if isinstance(doc, list):
+            lo = _resolve_idx(t[1], len(doc))
+            hi = _resolve_idx(t[2], len(doc))
+            for k in range(max(0, lo), min(hi, len(doc) - 1) + 1):
+                out += _wmatch(doc[k], rest)
     elif t[0] == "anykey":
         if isinstance(doc, dict):
             for v in doc.values():
@@ -303,6 +345,17 @@ def register_json_udfs(spark: SparkSession) -> None:
     reg("json_cast1", F.pandas_udf(_udf_str(
         lambda d: json.dumps(_loads(d))
     ), S))
+    # heterogeneous JSON_ARRAY/JSON_OBJECT constructors: each value
+    # arrives independently encoded as to_json(array(v)) so Spark's
+    # homogeneous-array rule never coerces (MySQL keeps per-value
+    # types); output uses the mutation family's spaced formatting
+    reg("json_build_arr", F.pandas_udf(_udf_str(
+        lambda enc: json.dumps([json.loads(e)[0] for e in enc])
+    ), S))
+    reg("json_build_obj", F.pandas_udf(_udf_str(
+        lambda keys, enc: json.dumps(dict(zip(
+            list(keys), [json.loads(e)[0] for e in enc])))
+    ), S))
     # pg set-returning json_array_elements[_text]: the dialect layer
     # wraps these in explode()
     from pyspark.sql.types import ArrayType
@@ -331,8 +384,9 @@ def register_json_udfs(spark: SparkSession) -> None:
             toks = _parse_wpath(p)
             if toks is None:
                 return None
-            if any(t[0] in ("anykey", "anyidx", "rec") for t in toks):
-                wild = True
+            if any(t[0] in ("anykey", "anyidx", "rec", "range")
+                   for t in toks):
+                wild = True  # ranges return an array like wildcards
             vals += _wmatch(doc, toks)
         if not vals:
             return None

@@ -152,6 +152,7 @@ _CONVERT_TYPES = {
     "CHAR": "string", "NCHAR": "string", "BINARY": "binary", "DATE": "date",
     "DATETIME": "timestamp", "TIME": "string", "DOUBLE": "double",
     "FLOAT": "float", "JSON": "string", "YEAR": "int",
+    "DECIMAL": "decimal(10,0)",
 }
 
 
@@ -532,11 +533,53 @@ def _fn_json_extract(a):
         return None
     if len(a) == 2:
         lit = _str_lit(a[1].strip())
-        if lit is None or "*" not in lit:
+        if lit is None or not re.search(
+            r"\*|\[\s*last\b|\bto\s+", lit, re.I
+        ):
             return f"get_json_object({a[0]}, {a[1]})"
         return f"json_extract_w({a[0]}, {a[1]})"
     paths = ", ".join(x for x in a[1:])
     return f"json_extract_w({a[0]}, concat_ws(char(31), {paths}))"
+
+
+_NUM_LIT = re.compile(r"-?\d+(\.\d+)?([eE]-?\d+)?")
+_STR_LIT_RE = re.compile(r"'(?:[^']|'')*'")
+
+
+def _homogeneous_lits(vals) -> bool:
+    return (all(_NUM_LIT.fullmatch(v.strip()) for v in vals)
+            or all(_STR_LIT_RE.fullmatch(v.strip()) for v in vals))
+
+
+def _fn_json_value(a):
+    """JSON_VALUE(doc, path [RETURNING type]) — the RETURNING clause
+    arrives inside the 2nd split arg (no comma before it)."""
+    if len(a) != 2:
+        return None
+    m = re.match(r"(?is)^(.*?)\s+RETURNING\s+([\w()\s,]+?)\s*$", a[1])
+    if not m:
+        return f"get_json_object({a[0]}, {a[1]})"
+    path, ty = m.group(1).strip(), m.group(2).strip().upper()
+    base = ty.split("(")[0].strip()
+    spark_ty = _CONVERT_TYPES.get(base)
+    if spark_ty is None:
+        return None
+    if base == "DECIMAL":
+        spark_ty = ty.lower()
+    return f"CAST(get_json_object({a[0]}, {path}) AS {spark_ty})"
+
+
+def _fn_json_array(a):
+    if not a or not a[0]:
+        return "to_json(array())"
+    if _homogeneous_lits(a):
+        # literal fast path (compact formatting, pinned in tests)
+        return "to_json(array(" + ", ".join(a) + "))"
+    # mixed types: each element JSON-encodes independently and the
+    # UDF splices them (MySQL keeps per-value types; Spark arrays
+    # are homogeneous)
+    enc = ", ".join(f"to_json(array({x}))" for x in a)
+    return f"json_build_arr(array({enc}))"
 
 
 def _fn_json_object(a):
@@ -544,9 +587,14 @@ def _fn_json_object(a):
         return "to_json(map())"
     if len(a) % 2:
         return None
-    # map() coerces values to one type (MySQL keeps per-value types) —
-    # faithful for the common homogeneous case.
-    return "to_json(map(" + ", ".join(a) + "))"
+    vals = a[1::2]
+    if _homogeneous_lits(vals):
+        # map() coerces values to one type — exact for the common
+        # homogeneous-literal case (compact formatting, pinned)
+        return "to_json(map(" + ", ".join(a) + "))"
+    keys = ", ".join(f"cast({k} as string)" for k in a[0::2])
+    enc = ", ".join(f"to_json(array({v}))" for v in vals)
+    return f"json_build_obj(array({keys}), array({enc}))"
 
 
 def _fn_char(a):
@@ -819,8 +867,13 @@ _FN_HANDLERS = {
         f"regexp_replace({a[0]}, '^\"|\"$', '')" if len(a) == 1 else None
     ),
     "JSON_KEYS": lambda a: (
-        f"to_json(json_object_keys({a[0]}))" if len(a) == 1 else None
+        f"to_json(json_object_keys({a[0]}))" if len(a) == 1
+        else (f"to_json(json_object_keys("
+              f"get_json_object({a[0]}, {a[1]})))")
+        if len(a) == 2 else None
     ),
+    # partial-update bookkeeping: snapshots rewrite whole documents
+    "JSON_STORAGE_FREE": lambda a: "0" if len(a) == 1 else None,
     "JSON_LENGTH": lambda a: (
         f"json_array_length({a[0]})" if len(a) == 1
         else f"json_length_at({a[0]}, {a[1]})" if len(a) == 2
@@ -830,11 +883,7 @@ _FN_HANDLERS = {
         "json_array_append1", a),
     "JSON_ARRAY_INSERT": lambda a: _fn_json_mutate(
         "json_array_insert1", a),
-    "JSON_ARRAY": lambda a: (
-        "to_json(array(" + ", ".join(a) + "))"
-        if a and a[0]
-        else "to_json(array())"
-    ),
+    "JSON_ARRAY": _fn_json_array,
     "JSON_OBJECT": _fn_json_object,
     "INSERT": _fn_str_insert,
     "EXPORT_SET": _fn_export_set,
@@ -969,11 +1018,8 @@ _FN_HANDLERS = {
         _nest_chain("json_merge_preserve2", a[0], [[x] for x in a[1:]])
         if len(a) >= 2 else None
     ),
-    # JSON_VALUE: scalar extraction as text — get_json_object's exact
-    # contract (RETURNING clauses unsupported)
-    "JSON_VALUE": lambda a: (
-        f"get_json_object({a[0]}, {a[1]})" if len(a) == 2 else None
-    ),
+    # JSON_VALUE: scalar extraction as text; a RETURNING clause casts
+    "JSON_VALUE": _fn_json_value,
 }
 
 

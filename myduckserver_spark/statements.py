@@ -3224,6 +3224,12 @@ def parse_statement(sql: str, hash_comments: bool = True):
         return ProcedureStmt("call", unquote_ident(m.group(1)),
                              params=args)
 
+    if re.match(r"HANDLER\s+", s, re.I):
+        raise NotImplementedError(
+            "HANDLER statements (the MyISAM/InnoDB low-level cursor "
+            "API) are not supported — use SELECT, or a cursor inside "
+            "a stored procedure"
+        )
     if re.match(r"LOAD\s+XML\b", s, re.I):
         raise NotImplementedError(
             "LOAD XML INFILE is not supported — convert the file to "

@@ -155,3 +155,38 @@ def test_json_wildcards_arrays_and_path_length(spark, tmp_path):
         'SELECT JSON_LENGTH(\'{"a":{"x":1,"y":2}}\', \'$.a\') AS j') == 2
     assert one('SELECT JSON_LENGTH(\'{"a":5}\', \'$.a\') AS j') == 1
     assert one("SELECT JSON_LENGTH('{}', '$.a') AS j") is None
+
+
+def test_round9_json_batch(spark, tmp_path):
+    """last/ranges in paths ($[last], $[1 to 2], $[1 to last],
+    $[last-1]), 2-arg JSON_KEYS, heterogeneous JSON_ARRAY/JSON_OBJECT
+    (per-value types survive), JSON_VALUE RETURNING casts,
+    JSON_STORAGE_FREE (probe battery round 9; MySQL-manual values)."""
+    from decimal import Decimal
+
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+
+    def v(q):
+        return tuple(e.execute(q).collect()[0])
+
+    assert v("SELECT JSON_EXTRACT('{\"a\": [1, 2]}', '$.a[last]') AS x"
+             ) == ("2",)
+    assert v("SELECT JSON_EXTRACT('[1,2,3,4]', '$[1 to 2]') AS x") \
+        == ("[2, 3]",)
+    assert v("SELECT JSON_EXTRACT('[1,2,3,4]', '$[1 to last]') AS x") \
+        == ("[2, 3, 4]",)
+    assert v("SELECT JSON_EXTRACT('[5,6]', '$[last-1]') AS x") == ("5",)
+    assert v("SELECT JSON_KEYS('{\"a\":1,\"b\":{\"c\":2}}', '$.b') AS x"
+             ) == ('["c"]',)
+    assert v("SELECT JSON_ARRAY(1, 'two', NULL, TRUE) AS x") \
+        == ('[1, "two", null, true]',)
+    assert v("SELECT JSON_OBJECT('k', 1, 'l', 'x', 'm', NULL) AS x") \
+        == ('{"k": 1, "l": "x", "m": null}',)
+    # homogeneous-literal fast path keeps the pinned compact form
+    assert v("SELECT JSON_ARRAY(1, 2, 3) AS x") == ("[1,2,3]",)
+    r = v("SELECT JSON_VALUE('{\"a\": 3.2}', '$.a' "
+          "RETURNING DECIMAL(5,2)) AS x")
+    assert r == (Decimal("3.20"),)
+    assert v("SELECT JSON_STORAGE_FREE('{}') AS x") == (0,)
