@@ -708,6 +708,12 @@ _FN_HANDLERS = {
          f"sha2(uuid(), 512)), 1, 2 * ({a[0]})))")
         if len(a) == 1 else None
     ),
+    # MySQL's STD/STDDEV/VARIANCE are POPULATION variants (manual
+    # 14.19.1), unlike Spark/standard SQL where the bare names are
+    # sample statistics
+    "STD": lambda a: f"stddev_pop({a[0]})" if len(a) == 1 else None,
+    "STDDEV": lambda a: f"stddev_pop({a[0]})" if len(a) == 1 else None,
+    "VARIANCE": lambda a: f"var_pop({a[0]})" if len(a) == 1 else None,
     # base64 codec (MySQL spellings)
     "TO_BASE64": lambda a: (
         f"base64(cast({a[0]} as binary))" if len(a) == 1 else None

@@ -2681,12 +2681,12 @@ def parse_statement(sql: str, hash_comments: bool = True):
         r"(?:ALGORITHM\s*=\s*\w+\s+)?"
         r"(?:DEFINER\s*=\s*\S+\s+)?"
         r"(?:SQL\s+SECURITY\s+(?:DEFINER|INVOKER)\s+)?"
-        r"VIEW\s+(`[^`]+`|\w+)\s+AS\s+(.*)$",
+        r"VIEW\s+(`[^`]+`|\w+)\s*(?:\(([^)]*)\))?\s+AS\s+(.*)$",
         s,
         re.I | re.S,
     )
     if m:
-        q = m.group(4).strip()
+        q = m.group(5).strip()
         cm = re.search(
             r"(?is)\s+WITH\s+(?:CASCADED\s+|LOCAL\s+)?CHECK\s+OPTION\s*$",
             mask_strings(q),
@@ -2694,6 +2694,14 @@ def parse_statement(sql: str, hash_comments: bool = True):
         check = bool(cm)
         if cm:
             q = q[: cm.start()].strip()
+        if m.group(4):
+            # explicit view column list: positional renames through a
+            # column-aliased derived table (MySQL 15.1.23)
+            cols = ", ".join(
+                f"`{unquote_ident(c.strip())}`"
+                for c in m.group(4).split(",") if c.strip()
+            )
+            q = f"SELECT * FROM ({q}) __v_cols({cols})"
         return CreateView(unquote_ident(m.group(3)), q,
                           or_replace=bool(m.group(1) or m.group(2)),
                           check_option=check)

@@ -1406,3 +1406,25 @@ def test_mysql_logical_operator_spellings(spark, tmp_path):
                   "TIME('junk') AS t4").collect()[0]
     assert r.bad is None and r.ok == dt.date(2024, 2, 29)
     assert (r.t1, r.t2, r.t4) == ("838:59:59", "10:05:03", None)
+
+
+def test_std_variance_population_and_view_column_list(spark, tmp_path):
+    """MySQL's STD/STDDEV/VARIANCE are POPULATION statistics (manual
+    14.19.1) — previously mapped to Spark's bare (sample) names:
+    silent wrong values. CREATE VIEW v (col_list) AS ... renames
+    positionally (dump-file form)."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE t (a INT PRIMARY KEY, b INT)")
+    e.execute("INSERT INTO t VALUES (1, 10), (2, 20), (3, 5)")
+    r = e.execute("SELECT ROUND(STD(b), 4) AS s, "
+                  "ROUND(STDDEV(b), 4) AS s2, "
+                  "ROUND(VARIANCE(b), 4) AS v, "
+                  "ROUND(STDDEV_SAMP(b), 4) AS ss FROM t").collect()[0]
+    assert (r.s, r.s2, r.v, r.ss) == (6.2361, 6.2361, 38.8889, 7.6376)
+    e.execute("CREATE OR REPLACE VIEW v3 (col_alias, cb) AS "
+              "SELECT a, b FROM t")
+    row = e.execute("SELECT col_alias, cb FROM v3 "
+                    "ORDER BY col_alias LIMIT 1").collect()[0]
+    assert (row.col_alias, row.cb) == (1, 10)
