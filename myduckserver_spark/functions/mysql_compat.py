@@ -551,6 +551,20 @@ def _homogeneous_lits(vals) -> bool:
             or all(_STR_LIT_RE.fullmatch(v.strip()) for v in vals))
 
 
+def _fn_now_fsp(a):
+    """NOW(n) / CURRENT_TIMESTAMP(n) / SYSDATE(n): fractional-seconds
+    precision — truncate now() to the nearest supported unit (0 →
+    second, 1-3 → millisecond, 4-6 → microsecond)."""
+    if not a or not a[0]:
+        return "now()"
+    if len(a) != 1 or not re.fullmatch(r"\d", a[0].strip()):
+        return None
+    n2 = int(a[0])
+    unit = "SECOND" if n2 == 0 else (
+        "MILLISECOND" if n2 <= 3 else "MICROSECOND")
+    return f"date_trunc('{unit}', now())"
+
+
 def _fn_json_value(a):
     """JSON_VALUE(doc, path [RETURNING type]) — the RETURNING clause
     arrives inside the 2nd split arg (no comma before it)."""
@@ -708,6 +722,85 @@ _FN_HANDLERS = {
          f"sha2(uuid(), 512)), 1, 2 * ({a[0]})))")
         if len(a) == 1 else None
     ),
+    # NOW(n)/CURRENT_TIMESTAMP(n)/...: fractional-seconds precision
+    # argument (ORMs emit NOW(6) routinely) — truncate to the unit
+    "NOW": _fn_now_fsp, "CURRENT_TIMESTAMP": _fn_now_fsp,
+    "LOCALTIMESTAMP": _fn_now_fsp, "LOCALTIME": _fn_now_fsp,
+    "SYSDATE": _fn_now_fsp,
+    # session/info shims (single-principal, single-node answers)
+    "SYSTEM_USER": lambda a: "current_user()" if not a or not a[0] else None,
+    "CURRENT_ROLE": lambda a: "'NONE'" if not a or not a[0] else None,
+    "ICU_VERSION": lambda a: "'73.1'" if not a or not a[0] else None,
+    "ROLES_GRAPHML": lambda a: (
+        "'<graphml xmlns=\"http://graphml.graphdrawing.org/xmlns\"/>'"
+        if not a or not a[0] else None
+    ),
+    "VALIDATE_PASSWORD_STRENGTH": lambda a: (
+        "0" if len(a) == 1 else None  # no validate_password component
+    ),
+    "PS_THREAD_ID": lambda a: (
+        "ps_current_thread_id()" if len(a) == 1 else None
+    ),
+    "FORMAT_BYTES": lambda a: (
+        f"CASE WHEN abs({a[0]}) >= 1099511627776 THEN "
+        f"concat(format_number({a[0]} / 1099511627776, 2), ' TiB') "
+        f"WHEN abs({a[0]}) >= 1073741824 THEN "
+        f"concat(format_number({a[0]} / 1073741824, 2), ' GiB') "
+        f"WHEN abs({a[0]}) >= 1048576 THEN "
+        f"concat(format_number({a[0]} / 1048576, 2), ' MiB') "
+        f"WHEN abs({a[0]}) >= 1024 THEN "
+        f"concat(format_number({a[0]} / 1024, 2), ' KiB') "
+        f"ELSE concat(cast({a[0]} as string), ' bytes') END"
+        if len(a) == 1 else None
+    ),
+    "FORMAT_PICO_TIME": lambda a: (
+        f"CASE WHEN {a[0]} >= 1000000000000 THEN "
+        f"concat(format_number({a[0]} / 1e12, 2), ' s') "
+        f"WHEN {a[0]} >= 1000000000 THEN "
+        f"concat(format_number({a[0]} / 1e9, 2), ' ms') "
+        f"WHEN {a[0]} >= 1000000 THEN "
+        f"concat(format_number({a[0]} / 1e6, 2), ' us') "
+        f"WHEN {a[0]} >= 1000 THEN "
+        f"concat(format_number({a[0]} / 1e3, 2), ' ns') "
+        f"ELSE concat(cast({a[0]} as string), ' ps') END"
+        if len(a) == 1 else None
+    ),
+    # replication waits: single-node — nothing to wait for (0 events)
+    "MASTER_POS_WAIT": lambda a: "0" if len(a) in (2, 3, 4) else None,
+    "SOURCE_POS_WAIT": lambda a: "0" if len(a) in (2, 3, 4) else None,
+    "WAIT_FOR_EXECUTED_GTID_SET": lambda a: (
+        "0" if len(a) in (1, 2) else None
+    ),
+    "GTID_SUBSET": lambda a: (
+        f"IF(({a[0]}) = '', 1, 0)" if len(a) == 2 else None
+    ),
+    "GTID_SUBTRACT": lambda a: f"({a[0]})" if len(a) == 2 else None,
+    # AES with MySQL's key derivation (XOR-fold to 16 bytes, ECB/PKCS7
+    # defaults) — Spark's aes functions demand exact key lengths
+    "AES_ENCRYPT": lambda a: (
+        f"aes_encrypt(cast({a[0]} as binary), mysql_aes_key({a[1]}), "
+        "'ECB', 'PKCS')" if len(a) == 2 else None
+    ),
+    "AES_DECRYPT": lambda a: (
+        f"aes_decrypt(cast({a[0]} as binary), mysql_aes_key({a[1]}), "
+        "'ECB', 'PKCS')" if len(a) == 2 else None
+    ),
+    # zlib with MySQL's 4-byte length header (UDFs)
+    "COMPRESS": lambda a: (
+        f"mysql_compress(cast({a[0]} as binary))"
+        if len(a) == 1 else None
+    ),
+    "UNCOMPRESS": lambda a: (
+        f"mysql_uncompress(cast({a[0]} as binary))"
+        if len(a) == 1 else None
+    ),
+    "UNCOMPRESSED_LENGTH": lambda a: (
+        f"CAST(conv(hex(reverse(substring(cast({a[0]} as binary), 1, "
+        "4))), 16, 10) AS BIGINT)" if len(a) == 1 else None
+    ),
+    "STATEMENT_DIGEST_TEXT": lambda a: (
+        f"mysql_stmt_digest({a[0]})" if len(a) == 1 else None
+    ),
     # MySQL's STD/STDDEV/VARIANCE are POPULATION variants (manual
     # 14.19.1), unlike Spark/standard SQL where the bare names are
     # sample statistics
@@ -839,8 +932,6 @@ _FN_HANDLERS = {
     "NAME_CONST": lambda a: f"({a[1]})" if len(a) == 2 else None,
     "UCASE": lambda a: f"upper({a[0]})" if len(a) == 1 else None,
     "LCASE": lambda a: f"lower({a[0]})" if len(a) == 1 else None,
-    "NOW": lambda a: "current_timestamp()" if not a or not a[0] else None,
-    "SYSDATE": lambda a: "current_timestamp()" if not a or not a[0] else None,
     "CURDATE": lambda a: "current_date()" if not a or not a[0] else None,
     "CURTIME": lambda a: (
         "date_format(current_timestamp(), 'HH:mm:ss')" if not a or not a[0] else None

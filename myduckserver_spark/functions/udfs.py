@@ -131,6 +131,70 @@ def _mysql_regexp_substr(s, pat, pos, occ):
     return None
 
 
+def _mysql_aes_key(key):
+    """MySQL AES key derivation: XOR-fold the key string into 16
+    bytes (mysys/my_aes.cc) — what lets arbitrary-length passphrases
+    work where Spark demands exact 16/24/32-byte keys."""
+    if key is None:
+        return None
+    raw = key.encode() if isinstance(key, str) else bytes(key)
+    out = bytearray(16)
+    for i, b in enumerate(raw):
+        out[i % 16] ^= b
+    return bytes(out)
+
+
+def _mysql_compress(data):
+    """MySQL COMPRESS: 4-byte little-endian uncompressed length header
+    + zlib stream; empty input compresses to empty."""
+    import struct
+    import zlib
+
+    if data is None:
+        return None
+    raw = bytes(data)
+    if not raw:
+        return b""
+    return struct.pack("<I", len(raw)) + zlib.compress(raw)
+
+
+def _mysql_uncompress(data):
+    import zlib
+
+    if data is None:
+        return None
+    raw = bytes(data)
+    if not raw:
+        return b""
+    try:
+        return zlib.decompress(raw[4:])
+    except Exception:
+        return None  # MySQL: NULL + warning on corrupt input
+
+
+def _mysql_stmt_digest(stmt):
+    """STATEMENT_DIGEST_TEXT: normalized statement with literals
+    replaced by ? (whitespace collapsed, keywords uppercased —
+    MySQL's digest normal form, approximated)."""
+    if stmt is None:
+        return None
+    s = re.sub(r"'(?:[^']|'')*'", "?", stmt)
+    s = re.sub(r"\b\d+(\.\d+)?\b", "?", s)
+    s = re.sub(r"\s+", " ", s).strip()
+    return re.sub(
+        r"[A-Za-z_]+",
+        lambda m: m.group(0).upper()
+        if m.group(0).upper() in _DIGEST_KW else m.group(0),
+        s,
+    ) + (" ;" if not s.endswith(";") else "")
+
+
+_DIGEST_KW = frozenset(
+    "SELECT FROM WHERE AND OR NOT IN IS NULL LIKE GROUP BY ORDER "
+    "HAVING LIMIT JOIN ON AS INSERT INTO VALUES UPDATE SET DELETE".split()
+)
+
+
 def register_engine_udfs(spark: SparkSession) -> None:
     """Register the engine's session UDFs (call once at bootstrap,
     like the reference's provider init, catalog/provider.go:108-239)."""
@@ -145,4 +209,10 @@ def register_engine_udfs(spark: SparkSession) -> None:
     spark.udf.register("mysql_regexp_instr", _mysql_regexp_instr,
                        LongType())
     spark.udf.register("mysql_regexp_substr", _mysql_regexp_substr,
+                       StringType())
+    spark.udf.register("mysql_aes_key", _mysql_aes_key, BinaryType())
+    spark.udf.register("mysql_compress", _mysql_compress, BinaryType())
+    spark.udf.register("mysql_uncompress", _mysql_uncompress,
+                       BinaryType())
+    spark.udf.register("mysql_stmt_digest", _mysql_stmt_digest,
                        StringType())

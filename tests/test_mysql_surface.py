@@ -1428,3 +1428,38 @@ def test_std_variance_population_and_view_column_list(spark, tmp_path):
     row = e.execute("SELECT col_alias, cb FROM v3 "
                     "ORDER BY col_alias LIMIT 1").collect()[0]
     assert (row.col_alias, row.cb) == (1, 10)
+
+
+def test_round9_info_crypto_batch(spark, tmp_path):
+    """Probe battery round 9: NOW(n)/CURRENT_TIMESTAMP(n)/SYSDATE(n)
+    fractional-seconds args (ORMs emit NOW(6)), AES with MySQL's
+    XOR-fold key derivation, COMPRESS/UNCOMPRESS zlib + 4-byte header,
+    STATEMENT_DIGEST_TEXT, FORMAT_BYTES/FORMAT_PICO_TIME,
+    SYSTEM_USER/CURRENT_ROLE/ICU_VERSION, replication-wait shims."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+
+    def v(q):
+        return tuple(e.execute(q).collect()[0])
+
+    r = v("SELECT NOW(6) IS NOT NULL AS a, NOW(3) <= NOW(6) AS b, "
+          "CURRENT_TIMESTAMP(3) IS NOT NULL AS c, SYSDATE(6) IS NOT "
+          "NULL AS d")
+    assert r == (True, True, True, True)
+    assert v("SELECT AES_DECRYPT(AES_ENCRYPT('text', 'mykey'), "
+             "'mykey') AS x") == (b"text",)
+    r = v("SELECT UNCOMPRESS(COMPRESS('abcabcabc')) AS u, "
+          "UNCOMPRESSED_LENGTH(COMPRESS('abcabcabc')) AS ul")
+    assert (bytes(r[0]), r[1]) == (b"abcabcabc", 9)
+    assert v("SELECT STATEMENT_DIGEST_TEXT("
+             "'select * from t where a = 1') AS d") \
+        == ("SELECT * FROM t WHERE a = ? ;",)
+    assert v("SELECT FORMAT_BYTES(512 * 1024) AS fb, "
+             "FORMAT_PICO_TIME(3500000000) AS fpt") \
+        == ("512.00 KiB", "3.50 ms")
+    assert v("SELECT SYSTEM_USER() AS a, CURRENT_ROLE() AS b") \
+        == ("root", "NONE")
+    assert v("SELECT GTID_SUBSET('', 'x') AS a, "
+             "MASTER_POS_WAIT('f', 4, 0) AS b, "
+             "VALIDATE_PASSWORD_STRENGTH('weak') AS c") == (1, 0, 0)
