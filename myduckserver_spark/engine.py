@@ -114,6 +114,14 @@ class DuplicateKeyError(ValueError):
         self.message_text = f"Duplicate entry '{key}' for key '{index}'"
 
 
+class _ProcReturn(Exception):
+    """RETURN inside a stored FUNCTION body — carries the value."""
+
+    def __init__(self, value):
+        super().__init__("RETURN outside a stored function")
+        self.value = value
+
+
 class _ProcLeave(Exception):
     """Control transfer for LEAVE <label> (caught by the target loop)."""
 
@@ -1662,8 +1670,7 @@ class Engine:
             p = parts[i].strip()
             m = self._SIGNAL_RE.match(p)
             if m:
-                msg = (m.group(2) or "Unhandled user-defined exception"
-                       ).replace("''", "'")
+                msg = self._signal_message(m.group(2))
                 ops.append(("guard", None, m.group(1), msg))
                 i += 1
                 continue
@@ -1677,8 +1684,7 @@ class Engine:
                 sm = self._SIGNAL_RE.match(im.group(2))
                 if not sm:
                     return None
-                msg = (sm.group(2) or "Unhandled user-defined exception"
-                       ).replace("''", "'")
+                msg = self._signal_message(sm.group(2))
                 ops.append(("guard", im.group(1), sm.group(1), msg))
                 i += 2
                 continue
@@ -2521,9 +2527,22 @@ class Engine:
     _CURSOR_MAX_ROWS = 100_000
     _PROC_MAX_ITER = 100_000  # loop runaway guard
     _SIGNAL_RE = re.compile(
-        r"(?is)^\s*SIGNAL\s+SQLSTATE\s+'(\w+)'"
-        r"(?:\s+SET\s+MESSAGE_TEXT\s*=\s*'((?:[^']|'')*)')?\s*$"
+        r"(?is)^\s*SIGNAL\s+SQLSTATE\s+(?:VALUE\s+)?'(\w+)'"
+        r"(?:\s+SET\s+(.+?))?\s*$"
     )
+
+    @staticmethod
+    def _signal_message(set_list: "str | None") -> str:
+        """MESSAGE_TEXT from a SIGNAL ... SET item list (MYSQL_ERRNO
+        and other condition items are accepted and folded into the
+        message where useful)."""
+        msg = "Unhandled user-defined exception"
+        for item in st.split_top_level(set_list or "", ","):
+            im = re.match(r"\s*MESSAGE_TEXT\s*=\s*'((?:[^']|'')*)'\s*$",
+                          item, re.I)
+            if im:
+                msg = im.group(1).replace("''", "'")
+        return msg
 
     @staticmethod
     def _proc_normalize(parts: list) -> list:
@@ -2643,11 +2662,15 @@ class Engine:
                 nodes.append(("iterate", m.group(1)))
                 i += 1
                 continue
+            m = re.fullmatch(r"RETURN\s+(.+)", p, re.I | re.S)
+            if m:
+                nodes.append(("return", m.group(1).strip()))
+                i += 1
+                continue
             m = self._SIGNAL_RE.match(p)
             if m:
-                msg = (m.group(2) or "Unhandled user-defined exception"
-                       ).replace("''", "'")
-                nodes.append(("signal", m.group(1), msg))
+                nodes.append(("signal", m.group(1),
+                              self._signal_message(m.group(2))))
                 i += 1
                 continue
             m = re.fullmatch(
@@ -2864,6 +2887,83 @@ class Engine:
             raise ValueError(f"unterminated block (expected {stop})")
         return nodes, i
 
+    def _fold_stored_functions(self, sql: str, dialect: str,
+                               depth: int = 0) -> str:
+        """Constant-fold calls to stored FUNCTIONs with compound
+        bodies: arguments evaluate via Spark, the body runs through
+        the procedure interpreter driver-side, and the RETURN value
+        splices back as a typed literal. Column-argument calls (per
+        ROW on a scan) reject with a pointer at macros — driver-side
+        row loops do not scale to a distributed scan (the same law as
+        nextval())."""
+        if depth > 8:
+            raise ValueError("stored function recursion too deep")
+        procs = self._load_procedures()
+        funcs = {k: v for k, v in procs.items() if v.get("returns")}
+        if not funcs:
+            return sql
+        low = sql.lower()
+        changed = False
+        for fname, spec in funcs.items():
+            if fname not in low:
+                continue
+            while True:
+                m = re.search(rf"(?i)\b{re.escape(fname)}\s*\(", sql)
+                if not m:
+                    break
+                op = m.end() - 1
+                masked = st.mask_strings(sql)
+                d2, close = 1, op + 1
+                while close < len(masked) and d2:
+                    if masked[close] == "(":
+                        d2 += 1
+                    elif masked[close] == ")":
+                        d2 -= 1
+                    close += 1
+                close -= 1
+                args = [x for x in st.split_top_level(
+                    sql[op + 1:close], ",") if x.strip()]
+                if len(args) != len(spec["params"]):
+                    raise ValueError(
+                        f"{spec['name']}: {len(args)} arguments for "
+                        f"{len(spec['params'])} parameters")
+                env: dict = {}
+                for pdef, arg in zip(spec["params"], args):
+                    pname = pdef[1] if isinstance(pdef, list) else pdef
+                    try:
+                        val = self.sql(
+                            f"SELECT ({arg}) AS v").collect()[0][0]
+                    except Exception as ex:
+                        raise NotImplementedError(
+                            f"stored function {spec['name']}() with a "
+                            "non-constant argument executes per row — "
+                            "not supported; use a macro (CREATE "
+                            "FUNCTION ... RETURN expr) for row-level "
+                            "logic"
+                        ) from ex
+                    env[pname.lower()] = self._render_literal(val)
+                nodes, _ = self._parse_proc_block(
+                    self._proc_normalize(
+                        st.split_statements(spec["body"])))
+                try:
+                    self._run_proc_block(nodes, env, dialect)
+                    raise ValueError(
+                        f"FUNCTION {spec['name']} ended without "
+                        "RETURN (MySQL 1321)")
+                except _ProcReturn as r:
+                    from myduckserver_spark.types import mysql_to_spark
+
+                    ty = mysql_to_spark(
+                        spec["returns"])[0].simpleString()
+                    lit = self._render_literal(r.value)
+                    repl = f"CAST({lit} AS {ty})"
+                sql = sql[:m.start()] + repl + sql[close + 1:]
+                changed = True
+        # a substituted RETURN value may reference another function
+        if changed and any(k in sql.lower() for k in funcs):
+            return self._fold_stored_functions(sql, dialect, depth + 1)
+        return sql
+
     def _exec_procedure(self, s: "st.ProcedureStmt", dialect: str):
         procs = dict(self._load_procedures())
         if s.action == "create":
@@ -2878,6 +2978,8 @@ class Engine:
                 "params": [[m, p] for m, p in s.params],
                 "body": s.body,
             }
+            if getattr(s, "returns", None):
+                procs[s.name.lower()]["returns"] = s.returns
             self._save_procedures(procs)
             return OkResult()
         if s.action == "drop":
@@ -3196,6 +3298,10 @@ class Engine:
                         )
                     except Exception as e:
                         rescue(e)
+                elif kind == "return":
+                    # stored-function RETURN: unwinds to the call fold
+                    raise _ProcReturn(
+                        self._proc_eval(node[1], env, dialect))
                 elif kind == "signal":
                     try:
                         raise SignalError(node[1], node[2])
@@ -5615,6 +5721,8 @@ class Engine:
         if self._DEFAULT_FN_RE.search(st.mask_strings(sql)) and not \
                 re.match(r"(?i)\s*(?:CREATE|ALTER|DROP)\b", sql):
             sql = self._fold_default_fn(sql)
+        if not re.match(r"(?i)\s*(?:CREATE|DROP)\b", sql):
+            sql = self._fold_stored_functions(sql, dialect)
         rm = re.search(r"\s+RETURNING\s+", st.mask_strings(sql), re.I)
         if rm and re.match(
             r"\s*(INSERT|REPLACE|UPDATE|DELETE)\b", sql, re.I
@@ -5917,6 +6025,11 @@ class Engine:
             return self._exec_maintenance(s)
         if isinstance(s, st.TriggerStmt):
             return self._exec_trigger(s)
+        if isinstance(s, st.SignalStmt):
+            err = SignalError(s.sqlstate, s.message)
+            if s.errno is not None:
+                err.errno = s.errno
+            raise err
         if isinstance(s, st.ProcedureStmt):
             return self._exec_procedure(s, dialect)
         if isinstance(s, st.UserStmt):

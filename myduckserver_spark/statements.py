@@ -639,6 +639,19 @@ class ProcedureStmt:
     params: list = field(default_factory=list)
     body: str = ""
     if_exists: bool = False
+    # stored FUNCTION (compound body): declared RETURNS type — the
+    # engine registers it for constant-argument call folding
+    returns: str | None = None
+
+
+@dataclass
+class SignalStmt:
+    """Standalone SIGNAL SQLSTATE (valid outside routines too —
+    MySQL 15.6.7.5); the engine raises SignalError."""
+
+    sqlstate: str
+    message: str
+    errno: int | None = None
 
 
 @dataclass
@@ -3158,6 +3171,22 @@ def parse_statement(sql: str, hash_comments: bool = True):
             table=unquote_ident(m.group(4)), body=body,
         )
     m = re.match(
+        r"SIGNAL\s+SQLSTATE\s+(?:VALUE\s+)?'(\w+)'(?:\s+SET\s+(.+))?\s*$",
+        s, re.I | re.S,
+    )
+    if m:
+        msg, errno = "Unhandled user-defined exception", None
+        for item in split_top_level(m.group(2) or "", ","):
+            im = re.match(r"\s*MESSAGE_TEXT\s*=\s*'((?:[^']|'')*)'\s*$",
+                          item, re.I)
+            if im:
+                msg = im.group(1).replace("''", "'")
+            im = re.match(r"\s*MYSQL_ERRNO\s*=\s*(\d+)\s*$", item, re.I)
+            if im:
+                errno = int(im.group(1))
+        return SignalStmt(m.group(1), msg, errno)
+
+    m = re.match(
         r"DROP\s+TRIGGER\s+(IF\s+EXISTS\s+)?(`[^`]+`|\w+)\s*$", s, re.I
     )
     if m:
@@ -3213,6 +3242,30 @@ def parse_statement(sql: str, hash_comments: bool = True):
         ]
         return CreateMacro(unquote_ident(m.group(1)), params,
                            m.group(3).strip(), or_replace=False)
+    m = re.match(
+        # stored FUNCTION with a compound body (control flow): runs
+        # through the procedure interpreter; calls fold driver-side
+        # for constant arguments (engine._fold_stored_functions)
+        r"CREATE\s+(?:DEFINER\s*=\s*\S+\s+)?FUNCTION\s+(`[^`]+`|\w+)"
+        r"\s*\(((?:[^()]|\([^()]*\))*)\)\s*RETURNS\s+(\S+(?:\([^)]*\))?)"
+        + _CHARACTERISTICS
+        + r"\s+(BEGIN\b.*)$",
+        s, re.I | re.S,
+    )
+    if m:
+        params = [
+            ("in", p.strip().split()[0].strip("`"))
+            for p in split_top_level(m.group(2), ",")
+            if p.strip()
+        ]
+        body = m.group(4).strip().rstrip(";").strip()
+        bm = re.fullmatch(r"BEGIN\s+(.*?)\s*;?\s*END", body,
+                          re.I | re.S)
+        if bm:
+            body = bm.group(1).strip()
+        return ProcedureStmt("create", unquote_ident(m.group(1)),
+                             params=params, body=body,
+                             returns=m.group(3))
     m = re.match(
         r"DROP\s+(?:PROCEDURE|FUNCTION)\s+(IF\s+EXISTS\s+)?"
         r"(`[^`]+`|\w+)\s*$", s, re.I,

@@ -714,3 +714,44 @@ def test_select_into_locals_and_out_params(spark, tmp_path):
     assert e.execute("SELECT @mn AS mn").collect()[0].mn == 10
     # ALTER PROCEDURE/FUNCTION characteristics: accepted no-ops
     e.execute("ALTER PROCEDURE po COMMENT 'x' SQL SECURITY INVOKER")
+
+
+def test_signal_set_list_and_compound_functions(spark, tmp_path):
+    """SIGNAL with a full SET list (MESSAGE_TEXT + MYSQL_ERRNO, any
+    order) in bodies AND standalone; stored FUNCTIONs with compound
+    BEGIN...END bodies run through the procedure interpreter and
+    constant-argument calls fold driver-side; per-row (column
+    argument) calls reject toward macros (probe battery round 9)."""
+    import pytest
+
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE t (a INT PRIMARY KEY, b INT)")
+    e.execute("INSERT INTO t VALUES (1, 10)")
+    e.execute("CREATE PROCEDURE p_sig() BEGIN SIGNAL SQLSTATE '45000' "
+              "SET MESSAGE_TEXT = 'custom error', MYSQL_ERRNO = 1644; "
+              "END")
+    with pytest.raises(Exception, match="custom error"):
+        e.execute("CALL p_sig()")
+    with pytest.raises(Exception, match="top level"):
+        e.execute("SIGNAL SQLSTATE '45000' SET MESSAGE_TEXT = "
+                  "'top level'")
+    e.execute("CREATE FUNCTION f_fact(n INT) RETURNS INT DETERMINISTIC "
+              "BEGIN DECLARE r INT DEFAULT 1; WHILE n > 1 DO "
+              "SET r = r * n; SET n = n - 1; END WHILE; RETURN r; END")
+    row = e.execute("SELECT f_fact(5) AS f, f_fact(3) + 1 AS g"
+                    ).collect()[0]
+    assert (row.f, row.g) == (120, 7)
+    assert e.execute("SELECT a FROM t WHERE b < f_fact(4)"
+                     ).collect()[0].a == 1
+    with pytest.raises(NotImplementedError, match="macro"):
+        e.execute("SELECT f_fact(b) FROM t")
+    # ended-without-RETURN: MySQL 1321
+    e.execute("CREATE FUNCTION f_bad(n INT) RETURNS INT DETERMINISTIC "
+              "BEGIN SET n = n + 1; END")
+    with pytest.raises(ValueError, match="1321"):
+        e.execute("SELECT f_bad(1)")
+    # function survives restart (persisted with its RETURNS type)
+    e2 = Engine(spark, str(tmp_path / "wh"))
+    assert e2.execute("SELECT f_fact(4) AS f").collect()[0].f == 24
