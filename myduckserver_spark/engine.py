@@ -4966,6 +4966,39 @@ class Engine:
             repl, query,
         )
 
+    def _fold_pg_sizes(self, query: str) -> str:
+        """pg_database_size / pg_table_size / pg_total_relation_size:
+        fold to the on-disk bytes of the warehouse / table snapshot
+        directory (BI dashboards chart these at connect)."""
+        def du(path: str) -> int:
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    try:
+                        total += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        pass
+            return total
+
+        def repl(m: re.Match) -> str:
+            kind, arg = m.group(1).lower(), m.group(2)
+            name = st.unquote_ident(arg.strip().strip("'"))
+            if kind == "database":
+                cat = self._dbs.get(name)
+                if cat is None:
+                    raise ValueError(f'database "{name}" does not exist')
+                return str(du(cat.root))
+            t = self.catalog.table(name)
+            if not t.exists():
+                raise ValueError(f'relation "{name}" does not exist')
+            return str(du(os.path.join(self.catalog.root, name)))
+
+        return re.sub(
+            r"(?i)\bpg_(database|table|total_relation)_size\s*\(\s*"
+            r"('[^']*'|[\w.]+)\s*(?:::\s*regclass\s*)?\)",
+            repl, query,
+        )
+
     def _rewrite_session_funcs(self, query: str) -> str:
         """Constant-fold the session-state functions MySQL evaluates
         engine-side: DATABASE()/SCHEMA() (current db), ROW_COUNT()
@@ -5770,8 +5803,12 @@ class Engine:
             if dialect == "mysql":
                 q = self._rewrite_match_bm25(q)
                 q = self._rewrite_session_funcs(q)
-            elif "current_setting" in q.lower():
-                q = self._fold_current_setting(q)
+            else:
+                if "current_setting" in q.lower():
+                    q = self._fold_current_setting(q)
+                if re.search(r"(?i)\bpg_(?:database|table|"
+                             r"total_relation)_size\s*\(", q):
+                    q = self._fold_pg_sizes(q)
             # SQL_CALC_FOUND_ROWS (deprecated in MySQL 8 but still
             # issued by pagination code): remember the un-LIMITed row
             # count for the next FOUND_ROWS() call. The extra count

@@ -459,6 +459,102 @@ def _rewrite_functions(sql: str) -> str:
     # close enough for the BI handshake probes that call it)
     out = re.sub(r"\bpg_typeof\s*\(", "typeof(", out, flags=re.I)
 
+    # to_date/to_timestamp with a pg format literal → Java pattern
+    def todt(m: re.Match) -> str:
+        fn, e, fmt = m.group(1).lower(), m.group(2), m.group(3)
+        return f"{fn}({e}, '{pg_datetime_format(fmt)}')"
+
+    out = re.sub(
+        r"\b(to_date|to_timestamp)\s*\(\s*((?:[^(),]|\([^()]*\))+?)"
+        r"\s*,\s*'([^']*)'\s*\)",
+        todt, out, flags=re.I,
+    )
+
+    # extract(dow/isodow): pg numbering (dow 0=Sun, isodow 1=Mon..7)
+    out = re.sub(
+        r"\bextract\s*\(\s*dow\s+from\s+((?:[^(),]|\([^()]*\))+?)\s*\)",
+        r"(dayofweek(\1) - 1)", out, flags=re.I,
+    )
+    out = re.sub(
+        r"\bextract\s*\(\s*isodow\s+from\s+"
+        r"((?:[^(),]|\([^()]*\))+?)\s*\)",
+        r"(((dayofweek(\1) + 5) % 7) + 1)", out, flags=re.I,
+    )
+    out = re.sub(
+        r"\bdate_part\s*\(\s*'(dow|isodow)'\s*,\s*"
+        r"((?:[^(),]|\([^()]*\))+?)\s*\)",
+        lambda m: (f"(dayofweek({m.group(2)}) - 1)"
+                   if m.group(1).lower() == "dow"
+                   else f"(((dayofweek({m.group(2)}) + 5) % 7) + 1)"),
+        out, flags=re.I,
+    )
+
+    # timestamp flavors: one snapshot clock here
+    out = re.sub(
+        r"\b(?:clock|statement|transaction)_timestamp\s*\(\s*\)",
+        "now()", out, flags=re.I,
+    )
+    out = re.sub(r"\blocaltimestamp\b(?!\s*\()", "localtimestamp()",
+                 out, flags=re.I)
+
+    # num_nonnulls/num_nulls (variadic)
+    out = _rewrite_wrapped_call(
+        out, "num_nonnulls", "size(array_compact(array(", ")))"
+    )
+    out = _rewrite_wrapped_call(
+        out, "num_nulls",
+        "size(filter(array(", "), __x -> __x IS NULL))",
+    )
+
+    # div(a,b) integer division; 1-arg numeric trunc (toward zero)
+    out = re.sub(
+        r"\bdiv\s*\(\s*((?:[^(),]|\([^()]*\))+?)\s*,\s*"
+        r"((?:[^(),]|\([^()]*\))+?)\s*\)",
+        r"((\1) div (\2))", out, flags=re.I,
+    )
+    out = re.sub(
+        r"\btrunc\s*\(\s*((?:[^(),']|\([^()]*\))+?)\s*\)",
+        r"(CASE WHEN (\1) >= 0 THEN floor(\1) ELSE ceil(\1) END)",
+        out, flags=re.I,
+    )
+    out = re.sub(r"\bstarts_with\s*\(", "startswith(", out, flags=re.I)
+
+    # admin/introspection shims BI tools call (single-node answers)
+    out = re.sub(r"\bpg_sleep\s*\(\s*[^)]*\)", "cast(0 as int)",
+                 out, flags=re.I)
+    out = re.sub(r"\bpg_get_userbyid\s*\(\s*[^)]*\)", "'root'",
+                 out, flags=re.I)
+    out = re.sub(r"\bobj_description\s*\(\s*[^)]*\)",
+                 "CAST(NULL AS STRING)", out, flags=re.I)
+    out = re.sub(r"\btxid_current\s*\(\s*\)", "CAST(0 AS BIGINT)",
+                 out, flags=re.I)
+    out = re.sub(r"\bpg_is_in_recovery\s*\(\s*\)", "false",
+                 out, flags=re.I)
+    out = re.sub(r"\bpg_postmaster_start_time\s*\(\s*\)", "now()",
+                 out, flags=re.I)
+    out = re.sub(r"\binet_(?:client|server)_addr\s*\(\s*\)",
+                 "'127.0.0.1'", out, flags=re.I)
+    out = re.sub(
+        r"\bhas_(?:table|schema|database|column)_privilege"
+        r"\s*\(\s*[^)]*\)",
+        "true", out, flags=re.I,
+    )
+    out = re.sub(
+        r"\bpg_size_pretty\s*\(\s*((?:[^(),]|\([^()]*\))+?)\s*\)",
+        lambda m: (
+            f"CASE WHEN abs({m.group(1)}) >= 1099511627776 THEN "
+            f"concat(round({m.group(1)} / 1099511627776, 0), ' TB') "
+            f"WHEN abs({m.group(1)}) >= 1073741824 THEN "
+            f"concat(round({m.group(1)} / 1073741824, 0), ' GB') "
+            f"WHEN abs({m.group(1)}) >= 1048576 THEN "
+            f"concat(round({m.group(1)} / 1048576, 0), ' MB') "
+            f"WHEN abs({m.group(1)}) >= 10240 THEN "
+            f"concat(round({m.group(1)} / 1024, 0), ' kB') "
+            f"ELSE concat(cast({m.group(1)} as string), ' bytes') END"
+        ),
+        out, flags=re.I,
+    )
+
     # array_length(a, 1) → size(a) (Spark arrays are 1-dimensional;
     # any other dimension is NULL in pg for a 1-D array)
     out = re.sub(

@@ -741,3 +741,47 @@ def test_mysql_random_bytes(spark, tmp_path):
     r = e.execute("SELECT LENGTH(RANDOM_BYTES(16)) AS a, "
                   "LENGTH(RANDOM_BYTES(48)) AS b").collect()[0]
     assert (r.a, r.b) == (16, 48)
+
+
+def test_pg_battery_round9_part2(spark, tmp_path):
+    """to_date/to_timestamp with pg formats, dow/isodow numbering,
+    clock/statement/transaction_timestamp, bare localtimestamp,
+    num_nonnulls/num_nulls, div/trunc/starts_with, pg_sleep,
+    pg size/introspection shims (probe battery round 9)."""
+    import datetime as dt
+
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE t (a INT PRIMARY KEY)")
+    e.execute("INSERT INTO t VALUES (1)")
+
+    def row(q):
+        return e.execute(q, dialect="postgres").collect()[0]
+
+    assert row("SELECT to_date('2024-08-16', 'YYYY-MM-DD') AS d").d \
+        == dt.date(2024, 8, 16)
+    assert row("SELECT to_timestamp('2024-08-16 10:00', "
+               "'YYYY-MM-DD HH24:MI') AS t").t \
+        == dt.datetime(2024, 8, 16, 10, 0)
+    r = row("SELECT extract(dow from DATE '2024-08-18') AS d, "
+            "extract(isodow from DATE '2024-08-18') AS i")
+    assert (r.d, r.i) == (0, 7)  # Sunday: pg dow=0, isodow=7
+    assert row("SELECT clock_timestamp() IS NOT NULL AS c, "
+               "localtimestamp IS NOT NULL AS l").c
+    r = row("SELECT num_nonnulls(1, NULL, 2) AS a, "
+            "num_nulls(1, NULL) AS b")
+    assert (r.a, r.b) == (2, 1)
+    r = row("SELECT div(9, 4) AS d, trunc(-42.8) AS t, "
+            "starts_with('alpha', 'al') AS s, pg_sleep(0) = 0 AS p")
+    assert (r.d, int(r.t), r.s, r.p) == (2, -42, True, True)
+    r = row("SELECT pg_database_size('main') > 0 AS a, "
+            "pg_table_size('t') > 0 AS b")
+    assert (r.a, r.b) == (True, True)
+    r = row("SELECT pg_size_pretty(1536::bigint) AS a, "
+            "pg_size_pretty(10485760::bigint) AS b")
+    assert (r.a, r.b) == ("1536 bytes", "10.0 MB")
+    r = row("SELECT pg_get_userbyid(10) AS u, txid_current() AS t, "
+            "pg_is_in_recovery() AS rec, "
+            "has_table_privilege('t', 'SELECT') AS h")
+    assert (r.u, r.t, r.rec, r.h) == ("root", 0, False, True)
