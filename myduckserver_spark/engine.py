@@ -1074,7 +1074,26 @@ class Engine:
     # ----------------------------------------------------------------- DML
     def insert(self, name: str, df: DataFrame) -> None:
         t = self.catalog.table(name)
-        t.overwrite(t.read().unionByName(df))
+        base = t.read()
+        # array-typed columns: VALUES literals type as
+        # array<decimal>/array<double> — cast to the declared element
+        # type (scalar coercions stay with unionByName's own rules so
+        # real type errors keep failing loudly)
+        from pyspark.sql.types import ArrayType
+
+        tgt = {f.name: f.dataType for f in base.schema.fields}
+        casts = [
+            f.name for f in df.schema.fields
+            if isinstance(tgt.get(f.name), ArrayType)
+            and f.dataType != tgt[f.name]
+        ]
+        if casts:
+            df = df.select(*[
+                (F.col(f.name).cast(tgt[f.name]).alias(f.name)
+                 if f.name in casts else F.col(f.name))
+                for f in df.schema.fields
+            ])
+        t.overwrite(base.unionByName(df))
 
     def insert_with_defaults(
         self, name: str, df: DataFrame, defaults: dict[str, object] | None = None

@@ -1296,6 +1296,8 @@ _COL_CONSTRAINT_WORDS = (
 
 _TYPE_RE = (
     r"[A-Za-z]+(?:\s*\(\s*[^)]*\))?"  # TYPE or TYPE(args)
+    r"(?:\s*\[\s*\])?"                # pg array suffix: elem[]
+    r"(?:\s*<\s*[A-Za-z]+(?:\s*\(\s*[^)]*\))?\s*>)?"  # ARRAY<elem>
     r"(?:\s+UNSIGNED)?(?:\s+ZEROFILL)?"
 )
 

@@ -49,6 +49,20 @@ def mysql_to_spark(type_str: str) -> tuple[T.DataType, dict]:
     unsigned = "UNSIGNED" in up
     base = up.split("(")[0].split()[0]
 
+    # array columns: pg `elem[]`, DuckDB/Spark `ARRAY<elem>` /
+    # `elem ARRAY`, and pgvector-style `VECTOR(n)` → array<float>
+    # (the embedding-column convention the vector index expects)
+    am = re.fullmatch(r"(.+?)\s*\[\s*\]", s)
+    if am:
+        inner, im = mysql_to_spark(am.group(1))
+        return T.ArrayType(inner), meta
+    am = re.fullmatch(r"ARRAY\s*<\s*(.+)\s*>", s, re.I)
+    if am:
+        inner, im = mysql_to_spark(am.group(1))
+        return T.ArrayType(inner), meta
+    if base == "VECTOR":
+        return T.ArrayType(T.FloatType()), meta
+
     if base in ("TINYINT", "BOOL", "BOOLEAN"):
         if base != "TINYINT":
             return T.BooleanType(), meta

@@ -208,3 +208,27 @@ def test_drift_flags_stale_and_optimize_retrains(spark, tmp_path_factory):
         .groupBy("cid").count().withColumnRenamed("count", "n").collect()
     )
     assert sizes == [20, 20]
+
+
+def test_sql_first_vector_workflow(spark, tmp_path):
+    """Array column types in DDL (pg elem[], ARRAY<elem>, pgvector
+    VECTOR(n)) enable the pure-SQL vector path: CREATE TABLE with an
+    embedding column -> INSERT array literals (cast to the declared
+    element type) -> CREATE VECTOR INDEX -> VECTOR_SEARCH, no
+    DataFrame API needed (probe battery round 9)."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE emb (id INT PRIMARY KEY, v FLOAT[])")
+    e.execute("INSERT INTO emb VALUES (1, array(0.1, 0.2)), "
+              "(2, array(0.9, 0.8)), (3, array(0.2, 0.1))")
+    e.execute("CREATE VECTOR INDEX vi ON emb (v) WITH (nlist=1)")
+    rows = e.execute(
+        "SELECT id, sim FROM VECTOR_SEARCH('emb', 'vi', "
+        "ARRAY[0.1, 0.2], 2, 1) ORDER BY sim DESC"
+    ).collect()
+    assert rows[0].id == 1 and rows[0].sim == 1.0 and len(rows) == 2
+    e.execute("CREATE TABLE emb2 (id INT PRIMARY KEY, v VECTOR(2))")
+    e.execute("CREATE TABLE emb3 (id INT PRIMARY KEY, w ARRAY<DOUBLE>)")
+    e.execute("INSERT INTO emb3 VALUES (1, array(1.5, 2.5))")
+    assert e.execute("SELECT w FROM emb3").collect()[0].w == [1.5, 2.5]
