@@ -226,6 +226,23 @@ def _rewrite_regex_ops(sql: str) -> str:
     the reference: the pattern is wrapped as ``^(?:p)$``.
     """
     out = sql
+    # LIKE-operator aliases FIRST: `~~` = LIKE, `~~*` = ILIKE (the
+    # regex scanner below would otherwise read `!~~` as `!~` + `~`)
+    def _like_ops(txt: str) -> str:
+        res = []
+        i2 = 0
+        for m2 in re.finditer(r"!?~~\*?", txt):
+            if _in_string(txt, m2.start()):
+                continue
+            word = {"~~": " LIKE ", "!~~": " NOT LIKE ",
+                    "~~*": " ILIKE ", "!~~*": " NOT ILIKE "}[m2.group(0)]
+            res.append(txt[i2:m2.start()] + word)
+            i2 = m2.end()
+        res.append(txt[i2:])
+        return "".join(res)
+
+    if "~~" in out:
+        out = _like_ops(out)
     guard = 0
     pos = 0
     while guard < 100:
@@ -694,6 +711,43 @@ def _rewrite_functions(sql: str) -> str:
     )
     out = _rewrite_wrapped_call(
         out, "jsonb?_array_elements", "explode(json_arr_elems(", "))",
+    )
+
+    # ARRAY(SELECT ...) subquery constructor → scalar collect_list
+    while True:
+        m = re.search(r"\bARRAY\s*\(\s*(?=SELECT\b)", out, re.I)
+        if not m or _in_string(out, m.start()):
+            break
+        op2 = out.index("(", m.start())
+        close2 = _match_bracket(out, op2, "(", ")")
+        if close2 < 0:
+            break
+        sub = out[op2 + 1:close2]
+        out = (out[:m.start()]
+               + f"(SELECT collect_list(__c) FROM ({sub}) "
+               + "__arr_src(__c))" + out[close2 + 1:])
+
+    # expr SIMILAR TO 'pat': SQL-regex dialect (% any, _ one char,
+    # full-string anchored; | ( ) [] quantifiers pass through)
+    def sim(m: re.Match) -> str:
+        neg, pat = m.group(1), m.group(2)
+        rx = []
+        for ch in pat:
+            if ch == "%":
+                rx.append(".*")
+            elif ch == "_":
+                rx.append(".")
+            elif ch in ".^$\\":
+                rx.append("\\" + ch)
+            else:
+                rx.append(ch)
+        body = "".join(rx).replace("'", "''")
+        pre = "NOT " if neg else ""
+        return f" {pre}RLIKE '^(?:{body})$'"
+
+    out = re.sub(
+        r"\s+(NOT\s+)?SIMILAR\s+TO\s+'((?:[^']|'')*)'",
+        sim, out, flags=re.I,
     )
 
     # strpos(s, sub) → position(sub, s)  (argument swap)

@@ -785,3 +785,28 @@ def test_pg_battery_round9_part2(spark, tmp_path):
             "pg_is_in_recovery() AS rec, "
             "has_table_privilege('t', 'SELECT') AS h")
     assert (r.u, r.t, r.rec, r.h) == ("root", 0, False, True)
+
+
+def test_pg_similar_to_like_aliases_array_subquery(spark, tmp_path):
+    """SIMILAR TO (SQL-regex dialect, full-anchored), the ~~/!~~/~~*/
+    !~~* LIKE-operator aliases (previously mis-lexed as regex ops),
+    and ARRAY(SELECT ...) -> scalar collect_list (round 9)."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE t (a INT PRIMARY KEY)")
+    e.execute("INSERT INTO t VALUES (1), (2)")
+
+    def row(q):
+        return e.execute(q, dialect="postgres").collect()[0]
+
+    assert row("SELECT ARRAY(SELECT a FROM t ORDER BY a) AS x").x \
+        == [1, 2]
+    r = row("SELECT 'abc' SIMILAR TO '%(b|d)%' AS a, "
+            "'abc' SIMILAR TO '(b|c)%' AS b, "
+            "'abc' NOT SIMILAR TO 'a_c' AS c")
+    assert (r.a, r.b, r.c) == (True, False, False)
+    r = row("SELECT 'xy' ~~ 'x%' AS a, 'xy' !~~ 'z%' AS b, "
+            "'XY' ~~* 'x%' AS c, 'XY' !~~* 'x%' AS d, "
+            "'hat' ~ 'h.t' AS e")
+    assert (r.a, r.b, r.c, r.d, r.e) == (True, True, True, False, True)
