@@ -601,6 +601,9 @@ def _rewrite_functions(sql: str) -> str:
         rr4, out, flags=re.I,
     )
 
+    # DuckDB string_split/str_split are the same literal-delimiter split
+    out = re.sub(r"\bstr(?:ing)?_split\s*\(", "string_to_array(", out,
+                 flags=re.I)
     # string_to_array(s, 'd'[, nullstr]) → split on the regex-escaped
     # LITERAL delimiter (pg delimiters are literal, Spark split takes a
     # regex); 3-arg maps nullstr elements to NULL. Non-literal
@@ -750,6 +753,138 @@ def _rewrite_functions(sql: str) -> str:
         sim, out, flags=re.I,
     )
 
+    # DuckDB list_*/date/regex dialect (the reference's pg door
+    # exposes DuckDB SQL verbatim) — 1:1 Spark names
+    for src, dst in (
+        ("list_value", "array"), ("list_contains", "array_contains"),
+        ("list_filter", "filter"), ("list_transform", "transform"),
+        ("list_sort", "array_sort"), ("list_distinct", "array_distinct"),
+        ("list_extract", "element_at"), ("list_concat", "concat"),
+        ("list_append", "array_append"), ("list_position", "array_position"),
+        ("list_reverse_sort", "array_sort"),  # then reversed below? no: keep simple
+        ("list_unique", "array_distinct"), ("list_min", "array_min"),
+        ("list_max", "array_max"), ("list_sum", "0+aggregate"),
+    ):
+        if src in ("list_reverse_sort", "list_sum"):
+            continue
+        out = re.sub(rf"\b{src}\s*\(", dst + "(", out, flags=re.I)
+    out = _rewrite_wrapped_call(
+        out, "list_reverse_sort", "reverse(array_sort(", "))"
+    )
+    out = _rewrite_wrapped_call(
+        out, "list_sum",
+        "aggregate(", ", cast(0 as double), (__a, __x) -> __a + __x)",
+    )
+
+    def lagg(m: re.Match) -> str:
+        l, fn = m.group(1), m.group(2).lower()
+        if fn in ("min", "max"):
+            return f"array_{fn}({l})"
+        if fn == "sum":
+            return (f"aggregate({l}, cast(0 as double), "
+                    "(__a, __x) -> __a + __x)")
+        if fn == "avg":
+            return (f"(aggregate({l}, cast(0 as double), "
+                    f"(__a, __x) -> __a + __x) / size({l}))")
+        if fn == "count":
+            return f"size({l})"
+        return m.group(0)
+
+    out = re.sub(
+        r"\blist_aggregate\s*\(\s*((?:[^(),]|\([^()]*\))+?)\s*,\s*"
+        r"'(\w+)'\s*\)",
+        lagg, out, flags=re.I,
+    )
+    # struct_pack(x := 1, ...) → named_struct('x', 1, ...)
+    while True:
+        m = re.search(r"\bstruct_pack\s*\(", out, re.I)
+        if not m or _in_string(out, m.start()):
+            break
+        close2 = _match_bracket(out, m.end() - 1, "(", ")")
+        if close2 < 0:
+            break
+        from myduckserver_spark.statements import split_top_level
+
+        kvs = []
+        for part in split_top_level(out[m.end():close2], ","):
+            pm = re.match(r"\s*(\w+)\s*:=\s*(.+)$", part, re.S)
+            if pm is None:
+                kvs = None
+                break
+            kvs.append(f"'{pm.group(1)}', {pm.group(2).strip()}")
+        if kvs is None:
+            break
+        out = (out[:m.start()] + "named_struct(" + ", ".join(kvs)
+               + ")" + out[close2 + 1:])
+    # regexp: DuckDB regexp_matches is a PARTIAL-match boolean;
+    # 2-arg regexp_extract defaults to group 0 (Spark defaults to 1)
+    out = re.sub(
+        r"\bregexp_matches\s*\(\s*((?:[^(),]|\([^()]*\))+?)\s*,\s*"
+        r"((?:[^(),]|\([^()]*\))+?)\s*\)",
+        r"(\1 RLIKE \2)", out, flags=re.I,
+    )
+    out = re.sub(
+        r"\bregexp_extract\s*\(\s*((?:[^(),]|\([^()]*\))+?)\s*,\s*"
+        r"('(?:[^']|'')*')\s*\)",
+        r"regexp_extract(\1, \2, 0)", out, flags=re.I,
+    )
+    # strftime/strptime: C-style % tokens — the MySQL format mapper
+    # speaks exactly this dialect
+    from myduckserver_spark.functions.mysql_compat import (
+        mysql_datetime_format,
+    )
+
+    out = re.sub(
+        r"\bstrftime\s*\(\s*((?:[^(),]|\([^()]*\))+?)\s*,\s*'([^']*)'\s*\)",
+        lambda m: (f"date_format({m.group(1)}, "
+                   f"'{mysql_datetime_format(m.group(2))}')"),
+        out, flags=re.I,
+    )
+    out = re.sub(
+        r"\bstrptime\s*\(\s*((?:[^(),]|\([^()]*\))+?)\s*,\s*'([^']*)'\s*\)",
+        lambda m: (f"to_timestamp({m.group(1)}, "
+                   f"'{mysql_datetime_format(m.group(2), parsing=True)}')"),
+        out, flags=re.I,
+    )
+    out = re.sub(r"\bepoch_ms\s*\(", "unix_millis(", out, flags=re.I)
+    out = re.sub(r"\bepoch\s*\(", "unix_timestamp(", out, flags=re.I)
+    out = re.sub(
+        r"\bdate_diff\s*\(\s*'(\w+)'\s*,\s*((?:[^(),]|\([^()]*\))+?)"
+        r"\s*,\s*((?:[^(),]|\([^()]*\))+?)\s*\)",
+        r"timestampdiff(\1, \2, \3)", out, flags=re.I,
+    )
+    out = re.sub(
+        r"\bdate_add\s*\(\s*((?:[^(),]|\([^()]*\))+?)\s*,\s*"
+        r"(INTERVAL\s+[^(),]+?)\s*\)",
+        r"(\1 + \2)", out, flags=re.I,
+    )
+    # FROM-position range(): a table source (DuckDB/Spark both allow
+    # it in FROM, but with different arg semantics — normalize to an
+    # exploded end-exclusive sequence)
+    def frng(m: re.Match) -> str:
+        kw, a, b, alias, col = (m.group(1), m.group(2), m.group(3),
+                                m.group(4) or "range", m.group(5))
+        lo, hi = ("0", f"({a}) - 1") if b is None else (a, f"({b}) - 1")
+        c = col or alias
+        return (f"{kw} (SELECT explode(sequence({lo}, {hi})) AS {c}) "
+                f"{alias}")
+
+    out = re.sub(
+        r"(?i)\b(FROM|JOIN)\s+range\s*\(\s*([^(),]+?)"
+        r"(?:\s*,\s*([^(),]+?))?\s*\)"
+        r"(?:\s+(?:AS\s+)?(\w+)(?:\s*\((\w+)\))?)?",
+        frng, out,
+    )
+    # select-position range(): DuckDB returns a list, end-exclusive
+    out = re.sub(
+        r"\brange\s*\(\s*((?:[^(),]|\([^()]*\))+?)\s*,\s*"
+        r"((?:[^(),]|\([^()]*\))+?)\s*\)",
+        r"sequence(\1, (\2) - 1)", out, flags=re.I,
+    )
+    out = re.sub(
+        r"\brange\s*\(\s*((?:[^(),]|\([^()]*\))+?)\s*\)",
+        r"sequence(0, (\1) - 1)", out, flags=re.I,
+    )
     # strpos(s, sub) → position(sub, s)  (argument swap)
     out = re.sub(
         r"\bstrpos\s*\(\s*([^(),]+?)\s*,\s*([^(),]+?)\s*\)",

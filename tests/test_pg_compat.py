@@ -810,3 +810,48 @@ def test_pg_similar_to_like_aliases_array_subquery(spark, tmp_path):
             "'XY' ~~* 'x%' AS c, 'XY' !~~* 'x%' AS d, "
             "'hat' ~ 'h.t' AS e")
     assert (r.a, r.b, r.c, r.d, r.e) == (True, True, True, False, True)
+
+
+def test_duckdb_dialect_function_batch(spark, tmp_path):
+    """DuckDB dialect through the pg door (the reference exposes
+    DuckDB SQL verbatim): list_* family, struct_pack, regexp_matches
+    (partial), 2-arg regexp_extract (group 0), strftime/strptime
+    (C-style % tokens via the MySQL format mapper), epoch/epoch_ms,
+    date_diff/date_add, range() in scalar and FROM position,
+    string_split (round 9)."""
+    import datetime as dt
+
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+
+    def row(q):
+        return e.execute(q, dialect="postgres").collect()
+
+    r = row("SELECT list_value(1, 2) AS a, list_contains([1, 2], 2) "
+            "AS b, list_filter([1,2,3], x -> x > 1) AS c, "
+            "list_sort([3,1]) AS d, list_extract([10, 20], 2) AS f")[0]
+    assert (r.a, r.b, r.c, r.d, r.f) == ([1, 2], True, [2, 3],
+                                         [1, 3], 20)
+    r = row("SELECT list_aggregate([1, 2, 3], 'sum') AS s, "
+            "list_aggregate([1, 2], 'avg') AS a, "
+            "list_sum([1.5, 2.5]) AS ls")[0]
+    assert (r.s, r.a, r.ls) == (6.0, 1.5, 4.0)
+    r = row("SELECT struct_pack(x := 1, y := 'two') AS sp")[0]
+    assert (r.sp.x, r.sp.y) == (1, "two")
+    r = row("SELECT regexp_matches('abc', 'b') AS m, "
+            "regexp_extract('abc123', '[0-9]+') AS e")[0]
+    assert (r.m, r.e) == (True, "123")
+    r = row("SELECT strftime(DATE '2024-08-16', '%Y-%m') AS f, "
+            "strptime('2024-08-16', '%Y-%m-%d') AS p, "
+            "epoch(TIMESTAMP '2024-01-01 00:00:00') AS ep")[0]
+    assert (r.f, r.p, r.ep) == ("2024-08",
+                                dt.datetime(2024, 8, 16), 1704067200)
+    r = row("SELECT date_diff('day', DATE '2024-01-01', "
+            "DATE '2024-03-01') AS d, date_add(DATE '2024-01-01', "
+            "INTERVAL 1 MONTH) AS a, range(3) AS r")[0]
+    assert (r.d, r.a, r.r) == (60, dt.date(2024, 2, 1), [0, 1, 2])
+    assert [x[0] for x in row("SELECT x FROM range(1, 4) AS t(x)")] \
+        == [1, 2, 3]
+    assert row("SELECT string_split('a,b', ',') AS s")[0].s \
+        == ["a", "b"]
