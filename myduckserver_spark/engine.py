@@ -2921,17 +2921,19 @@ class Engine:
         funcs = {k: v for k, v in procs.items() if v.get("returns")}
         if not funcs:
             return sql
-        low = sql.lower()
+        # locate call sites on the string-masked text so a function
+        # name inside a literal or comment is never executed/spliced
+        low = st.mask_strings(sql).lower()
         changed = False
         for fname, spec in funcs.items():
             if fname not in low:
                 continue
             while True:
-                m = re.search(rf"(?i)\b{re.escape(fname)}\s*\(", sql)
+                masked = st.mask_strings(sql)
+                m = re.search(rf"(?i)\b{re.escape(fname)}\s*\(", masked)
                 if not m:
                     break
                 op = m.end() - 1
-                masked = st.mask_strings(sql)
                 d2, close = 1, op + 1
                 while close < len(masked) and d2:
                     if masked[close] == "(":
@@ -2979,7 +2981,9 @@ class Engine:
                 sql = sql[:m.start()] + repl + sql[close + 1:]
                 changed = True
         # a substituted RETURN value may reference another function
-        if changed and any(k in sql.lower() for k in funcs):
+        if changed and any(
+            k in st.mask_strings(sql).lower() for k in funcs
+        ):
             return self._fold_stored_functions(sql, dialect, depth + 1)
         return sql
 
@@ -3699,15 +3703,24 @@ class Engine:
         if re.search(r"(?i)\bnextval\s*\(", masked):
             head = re.match(r"(?i)\s*(INSERT|REPLACE|UPDATE|DELETE)\b",
                             masked)
-            if head and (
+            per_row = head and (
                 head.group(1).upper() in ("UPDATE", "DELETE")
                 or re.search(r"(?i)\bSELECT\b", masked)
-            ):
+            )
+            # A plain SELECT scanning an input (any FROM clause) would
+            # also need per-ROW allocation — one literal per textual
+            # occurrence would stamp every scanned row with the SAME
+            # id, silently diverging from pg. The common FROM-less
+            # `SELECT nextval('s')` probe stays allowed.
+            if not head and re.search(r"(?i)\bFROM\b", masked):
+                per_row = True
+            if per_row:
                 raise NotImplementedError(
                     "nextval() with per-row semantics (inside "
-                    "INSERT...SELECT / UPDATE / DELETE) is not "
-                    "supported — use an AUTO_INCREMENT column for "
-                    "distributed id assignment"
+                    "INSERT...SELECT / UPDATE / DELETE, or a SELECT "
+                    "with a FROM clause) is not supported — use an "
+                    "AUTO_INCREMENT column for distributed id "
+                    "assignment"
                 )
         seq_lit = r"\(\s*'([^']+)'(?:\s*::\s*regclass)?\s*"
 
@@ -4957,7 +4970,11 @@ class Engine:
                     f"Field '{col}' doesn't have a default value "
                     "(MySQL 1364)"
                 )
-            return repr(d) if isinstance(d, str) else str(d)
+            if isinstance(d, str):
+                # proper SQL literal — repr() would emit a Python-style
+                # escaped string for values containing a quote
+                return "'" + d.replace("'", "''") + "'"
+            return str(d)
 
         return self._DEFAULT_FN_RE.sub(repl, sql)
 
@@ -9021,7 +9038,10 @@ class Engine:
                     line += " NOT NULL"
                 if f_.name in meta.defaults and meta.defaults[f_.name] is not None:
                     d = meta.defaults[f_.name]
-                    line += " DEFAULT " + (repr(d) if isinstance(d, str) else str(d))
+                    line += " DEFAULT " + (
+                        "'" + d.replace("'", "''") + "'"
+                        if isinstance(d, str) else str(d)
+                    )
                 if f_.name in meta.on_update:
                     # the canonical TIMESTAMP ... DEFAULT/ON UPDATE
                     # CURRENT_TIMESTAMP pair (an expression default

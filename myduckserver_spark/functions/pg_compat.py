@@ -118,7 +118,14 @@ def _operand_start(s: str, end: int) -> int:
 
 
 _TYPE_ARGS_RE = re.compile(r"\s*\(\s*\d+(\s*,\s*\d+)?\s*\)")
-_ARRAY_SUFFIX_RE = re.compile(r"\s*\[\s*\]")
+_ARRAY_SUFFIX_RE = re.compile(r"\s*\[\s*\d*\s*\]")
+# negative lookahead for table-alias captures: a clause keyword after a
+# FROM-position table function is NOT its alias (`FROM range(5) WHERE x`)
+_NOT_CLAUSE_KW = (
+    r"(?!(?:WHERE|GROUP|ORDER|LIMIT|OFFSET|HAVING|JOIN|ON|USING|UNION|"
+    r"EXCEPT|INTERSECT|LEFT|RIGHT|INNER|CROSS|FULL|NATURAL|QUALIFY|"
+    r"WINDOW|FETCH|SET|RETURNING|AND|OR)\b)"
+)
 
 
 def _parse_type(s: str, i: int) -> tuple[str, int] | None:
@@ -872,7 +879,8 @@ def _rewrite_functions(sql: str) -> str:
     out = re.sub(
         r"(?i)\b(FROM|JOIN)\s+range\s*\(\s*([^(),]+?)"
         r"(?:\s*,\s*([^(),]+?))?\s*\)"
-        r"(?:\s+(?:AS\s+)?(\w+)(?:\s*\((\w+)\))?)?",
+        r"(?:\s+(?:AS\s+)?" + _NOT_CLAUSE_KW + r"(\w+)"
+        r"(?:\s*\((\w+)\))?)?",
         frng, out,
     )
     # select-position range(): DuckDB returns a list, end-exclusive
@@ -941,14 +949,16 @@ def _rewrite_functions(sql: str) -> str:
     if fm and re.search(r"(?i),\s*unnest\s*\(", out):
         def lat(m: re.Match) -> str:
             args, a1, a2 = m.group(1), m.group(2), m.group(3)
+            a1 = a1 or "unnest"  # pg's default output column name
             col = a2 or a1
             tbl = a1 if a2 else f"__uv_{a1}"
             return f" LATERAL VIEW explode({args}) {tbl} AS {col}"
 
         head, tail = out[:fm.end()], out[fm.end():]
         tail = re.sub(
-            r"(?i),\s*unnest\s*\(((?:[^()]|\([^()]*\))*)\)\s*"
-            r"(?:AS\s+)?(\w+)(?:\s*\((\w+)\))?",
+            r"(?i),\s*unnest\s*\(((?:[^()]|\([^()]*\))*)\)"
+            r"(?:\s+(?:AS\s+)?" + _NOT_CLAUSE_KW + r"(\w+)"
+            r"(?:\s*\((\w+)\))?)?",
             lat, tail,
         )
         out = head + tail

@@ -51,10 +51,19 @@ def rewrite(query: str) -> tuple[str, set[tuple[str, str]]]:
     """Replace qualified catalog-view names with flat temp-view names.
 
     Returns (rewritten_query, {(schema, view), ...} referenced).
-    """
-    needed: set[tuple[str, str]] = set()
 
-    def _sub(m: re.Match) -> str:
+    Matches are located over a string-masked copy of the query so a
+    view name appearing INSIDE a quoted literal or identifier (e.g.
+    ``WHERE relname = 'pg_class'``) is never rewritten; replacements
+    are spliced back into the original text by offset.
+    """
+    from myduckserver_spark import statements as st
+
+    needed: set[tuple[str, str]] = set()
+    masked = st.mask_strings(query)
+    spans: list[tuple[int, int, str]] = []
+
+    for m in _QUALIFIED.finditer(masked):
         schema, view = m.group(1).lower(), m.group(2).lower()
         known = {
             "information_schema": INFO_VIEWS,
@@ -62,26 +71,36 @@ def rewrite(query: str) -> tuple[str, set[tuple[str, str]]]:
             "pg_catalog": PG_CATALOG_VIEWS,
         }[schema]
         if view not in known:
-            return m.group(0)  # leave unknown names to fail naturally
+            continue  # leave unknown names to fail naturally
         needed.add((schema, view))
-        return f"{schema}__{view}"
-
-    out = _QUALIFIED.sub(_sub, query)
+        spans.append((m.start(), m.end(), f"{schema}__{view}"))
 
     # UNQUALIFIED pg_catalog names (pg resolves them via search_path;
     # drivers write `FROM pg_type` bare) — known names only, and only
     # when not already consumed by the qualified pass above
-    def _bare(m: re.Match) -> str:
-        view = m.group(1).lower()
-        needed.add(("pg_catalog", view))
-        return f"pg_catalog__{view}"
-
     bare_rx = re.compile(
         r"(?<![\w.])(" + "|".join(sorted(PG_CATALOG_VIEWS)) + r")\b(?!\s*\()",
         re.IGNORECASE,
     )
-    out = bare_rx.sub(_bare, out)
-    return out, needed
+    covered = [(s, e) for s, e, _ in spans]
+    for m in bare_rx.finditer(masked):
+        if any(s <= m.start() < e for s, e in covered):
+            continue
+        view = m.group(1).lower()
+        needed.add(("pg_catalog", view))
+        spans.append((m.start(), m.end(), f"pg_catalog__{view}"))
+
+    if not spans:
+        return query, needed
+    spans.sort()
+    out: list[str] = []
+    pos = 0
+    for s, e, rep in spans:
+        out.append(query[pos:s])
+        out.append(rep)
+        pos = e
+    out.append(query[pos:])
+    return "".join(out), needed
 
 
 # MySQL's fixed NUMERIC_PRECISION per integer/float type (the values a

@@ -1296,7 +1296,9 @@ _COL_CONSTRAINT_WORDS = (
 
 _TYPE_RE = (
     r"[A-Za-z]+(?:\s*\(\s*[^)]*\))?"  # TYPE or TYPE(args)
-    r"(?:\s*\[\s*\])?"                # pg array suffix: elem[]
+    r"(?:\s*\[\s*\d*\s*\])?"          # pg array suffix: elem[] / elem[N]
+                                      # (a declared dimension is
+                                      # documentation in pg: FLOAT[4] ≡ FLOAT[])
     r"(?:\s*<\s*[A-Za-z]+(?:\s*\(\s*[^)]*\))?\s*>)?"  # ARRAY<elem>
     r"(?:\s+UNSIGNED)?(?:\s+ZEROFILL)?"
 )

@@ -52,7 +52,8 @@ def mysql_to_spark(type_str: str) -> tuple[T.DataType, dict]:
     # array columns: pg `elem[]`, DuckDB/Spark `ARRAY<elem>` /
     # `elem ARRAY`, and pgvector-style `VECTOR(n)` → array<float>
     # (the embedding-column convention the vector index expects)
-    am = re.fullmatch(r"(.+?)\s*\[\s*\]", s)
+    # a declared dimension is documentation in pg: FLOAT[4] ≡ FLOAT[]
+    am = re.fullmatch(r"(.+?)\s*\[\s*\d*\s*\]", s)
     if am:
         inner, im = mysql_to_spark(am.group(1))
         return T.ArrayType(inner), meta

@@ -592,3 +592,19 @@ def test_round9_migration_ddl_shapes(spark, tmp_path):
               "TRUNCATE t RESTART IDENTITY"):
         e.execute(q, dialect="postgres")
     assert e.execute("SELECT COUNT(*) AS n FROM t").collect()[0].n == 0
+
+
+def test_default_fn_with_embedded_quote(spark, tmp_path):
+    """DEFAULT(col) and SHOW CREATE render string defaults as proper
+    SQL literals — a default containing a quote must not leak
+    Python repr() escaping (round-10 ADVICE)."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh_defq"))
+    e.execute("CREATE TABLE dq (id INT, nm VARCHAR(40) "
+              "DEFAULT 'O''Brien')")
+    e.execute("INSERT INTO dq (id) VALUES (1)")
+    rows = e.execute("SELECT id, nm, DEFAULT(nm) AS d FROM dq").collect()
+    assert rows[0].nm == "O'Brien" and rows[0].d == "O'Brien"
+    ddl = e.execute("SHOW CREATE TABLE dq").collect()[0][1]
+    assert "DEFAULT 'O''Brien'" in ddl

@@ -379,3 +379,28 @@ def test_round9_infoschema_views_and_show_filters(spark, tmp_path):
               "RESET MASTER",
               "LOAD INDEX INTO CACHE t"):
         assert "no-op" in e.execute(q).info
+
+
+def test_rewrite_skips_string_literals(spark, tmp_path):
+    """Catalog-view names inside quoted literals must never be
+    rewritten (round-10 ADVICE: the bare pg_catalog pass mutated
+    `WHERE relname = 'pg_class'` and arbitrary user strings)."""
+    from myduckserver_spark import infoschema
+    from myduckserver_spark.engine import Engine
+
+    out, _ = infoschema.rewrite(
+        "SELECT relname FROM pg_class WHERE relname = 'pg_class'")
+    assert out == ("SELECT relname FROM pg_catalog__pg_class "
+                   "WHERE relname = 'pg_class'")
+    out, needed = infoschema.rewrite(
+        "SELECT * FROM t WHERE note = 'see pg_type docs'")
+    assert out == "SELECT * FROM t WHERE note = 'see pg_type docs'"
+    assert needed == set()
+    # end-to-end: a user string containing pg_ survives the engine path
+    e = Engine(spark, str(tmp_path / "wh_strlit"))
+    e.execute("CREATE TABLE notes (id INT, note VARCHAR(40))")
+    e.execute("INSERT INTO notes VALUES (1, 'see pg_type docs')")
+    rows = e.execute(
+        "SELECT note FROM notes WHERE note = 'see pg_type docs'"
+    ).collect()
+    assert [r.note for r in rows] == ["see pg_type docs"]

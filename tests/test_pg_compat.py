@@ -855,3 +855,38 @@ def test_duckdb_dialect_function_batch(spark, tmp_path):
         == [1, 2, 3]
     assert row("SELECT string_split('a,b', ',') AS s")[0].s \
         == ["a", "b"]
+
+
+def test_nextval_rejects_select_with_from(spark, tmp_path):
+    """Constant-folded nextval in a multi-row SELECT would stamp every
+    scanned row with the SAME id — reject per-row shapes (round-10
+    ADVICE); the FROM-less probe stays allowed."""
+    import pytest
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh_seqguard"))
+    e.execute("CREATE SEQUENCE gs START 7", dialect="postgres")
+    r = e.execute("SELECT nextval('gs') AS v",
+                  dialect="postgres").collect()
+    assert r[0].v == 7
+    e.execute("CREATE TABLE st (a INT)", dialect="postgres")
+    e.execute("INSERT INTO st VALUES (1), (2)", dialect="postgres")
+    with pytest.raises(NotImplementedError, match="per-row"):
+        e.execute("SELECT nextval('gs') FROM st", dialect="postgres")
+
+
+def test_from_table_fn_aliasless_before_clause():
+    """`FROM range(5) WHERE ...` / `FROM t, unnest(a) WHERE ...` —
+    a clause keyword after the table function is NOT its alias
+    (round-10 ADVICE: the bare alias capture ate WHERE)."""
+    from myduckserver_spark.functions.pg_compat import translate_postgres
+
+    out = translate_postgres("SELECT * FROM range(5) WHERE range < 3")
+    assert "AS WHERE" not in out.upper()
+    assert "WHERE range < 3" in out
+    out = translate_postgres("SELECT x FROM t, unnest(a) WHERE x < 3")
+    assert "AS WHERE" not in out.upper()
+    assert "LATERAL VIEW explode(a)" in out
+    # aliased forms still capture
+    out = translate_postgres("SELECT * FROM t, unnest(a) t2(x)")
+    assert "t2 AS x" in out

@@ -755,3 +755,19 @@ def test_signal_set_list_and_compound_functions(spark, tmp_path):
     # function survives restart (persisted with its RETURNS type)
     e2 = Engine(spark, str(tmp_path / "wh"))
     assert e2.execute("SELECT f_fact(4) AS f").collect()[0].f == 24
+
+
+def test_stored_function_name_inside_string_literal(spark, tmp_path):
+    """A stored-function name appearing inside a string literal is
+    text, not a call site — it must be neither executed nor spliced
+    (round-10 ADVICE)."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh_fnlit"))
+    e.execute("CREATE FUNCTION fln(x INT) RETURNS INT "
+              "BEGIN DECLARE y INT; SET y = x * 2; RETURN y; END")
+    assert e.execute("SELECT fln(21) AS v").collect()[0].v == 42
+    rows = e.execute("SELECT 'call fln(9) later' AS s").collect()
+    assert rows[0].s == "call fln(9) later"
+    rows = e.execute("SELECT fln(3) AS v, 'fln(x)' AS s").collect()
+    assert rows[0].v == 6 and rows[0].s == "fln(x)"

@@ -103,3 +103,32 @@ def test_time_negative_duration_and_zero_date(spark, tmp_path):
     rows = {r.id: (r.d, r.ts) for r in e.sql("SELECT * FROM zd").collect()}
     assert rows[1] == (None, None)
     assert rows[2][0] == dt.date(2024, 2, 29)
+
+
+def test_sized_array_ddl_types(spark, tmp_path):
+    """pg sized-array column types: a declared dimension is
+    documentation in PostgreSQL — FLOAT[4] ≡ FLOAT[] (round-10
+    verdict fix: the sized spelling silently created a SCALAR
+    column)."""
+    from myduckserver_spark.engine import Engine
+    from myduckserver_spark.types import mysql_to_spark
+    import pyspark.sql.types as T
+
+    t, _ = mysql_to_spark("FLOAT[4]")
+    assert t == T.ArrayType(T.FloatType())
+    t, _ = mysql_to_spark("text[3]")
+    assert isinstance(t, T.ArrayType)
+
+    e = Engine(spark, str(tmp_path / "wh_sized"))
+    e.execute("CREATE TABLE emb (id INT, v FLOAT[4])")
+    e.execute("INSERT INTO emb VALUES (1, ARRAY(0.1, 0.2, 0.3, 0.4))")
+    rows = e.execute("SELECT id, v FROM emb").collect()
+    assert len(rows[0].v) == 4
+    # pg-dialect spelling with a string element type
+    e.execute("CREATE TABLE tags3 (id INT, tags text[3])",
+              dialect="postgres")
+    e.execute("INSERT INTO tags3 VALUES (1, ARRAY['a','b','c'])",
+              dialect="postgres")
+    rows = e.execute("SELECT tags FROM tags3",
+                     dialect="postgres").collect()
+    assert rows[0].tags == ["a", "b", "c"]
