@@ -1678,6 +1678,153 @@ def _prev_expr_start(out: list[Tok]) -> int:
         start = prev
 
 
+def _try_quantified(toks, i, out, sub_translate, arrays=False):
+    """Quantified comparison at ANY/SOME/ALL word token ``i`` (Spark
+    has no quantified comparisons):
+
+    - subquery operand: ``= ANY`` → IN, ``<> ALL`` → NOT IN, and order
+      comparisons fold to MIN/MAX of the subquery — in WHERE context
+      these are the standard equivalences (empty set / NULL rows
+      degrade identically to UNKNOWN)
+    - ``arrays=True`` (the pg door): a non-subquery operand is a pg
+      array — ``lhs op ANY(arr)`` → ``exists(arr, x -> lhs op x)``,
+      ``ALL`` → ``forall`` (Spark's higher-order predicates follow the
+      same three-valued logic as pg's quantifiers)
+
+    Mutates ``out`` (the already-emitted token list); returns the
+    token index to resume at, or None when the shape at ``i`` is not a
+    quantified comparison.
+    """
+    n = len(toks)
+    u = toks[i].text.upper()
+    j = _sig_next(toks, i)
+    k = len(out) - 1
+    while k >= 0 and out[k].kind in ("ws", "comment"):
+        k -= 1
+    if not (j < n and toks[j].kind == "op" and toks[j].text == "("
+            and k >= 0 and out[k].kind == "op"
+            and out[k].text in ("=", "<>", "!=", ">", ">=", "<", "<=")):
+        return None
+    close = match_paren(toks, j)
+    if close < 0:
+        return None
+    sig_in = next(
+        (x for x in toks[j + 1: close]
+         if x.kind not in ("ws", "comment")), None)
+    is_subq = sig_in is not None and (
+        sig_in.is_word("SELECT") or sig_in.is_word("WITH"))
+    op = out[k].text
+    quant = "ALL" if u == "ALL" else "ANY"
+    if not is_subq:
+        if not arrays:
+            return None
+        lhs_at = _prev_expr_start(out[:k])
+        if lhs_at < 0:
+            return None
+        arr = render(toks[j + 1: close]).strip()
+        lhs = render(out[lhs_at:k]).strip()
+        fn = "exists" if quant == "ANY" else "forall"
+        del out[lhs_at:]
+        out.extend(tokenize(
+            f"{fn}(({arr}), __qx -> (({lhs}) {op} __qx))"))
+        return close + 1
+    sub = sub_translate(toks[j + 1: close])
+    if op == "=" and quant == "ANY":
+        del out[k:]
+        out.extend(tokenize(f" IN ({sub})"))
+        return close + 1
+    if op in ("<>", "!=") and quant == "ALL":
+        del out[k:]
+        out.extend(tokenize(f" NOT IN ({sub})"))
+        return close + 1
+    agg = {
+        ("ANY", ">"): "MIN", ("ANY", ">="): "MIN",
+        ("ANY", "<"): "MAX", ("ANY", "<="): "MAX",
+        ("ALL", ">"): "MAX", ("ALL", ">="): "MAX",
+        ("ALL", "<"): "MIN", ("ALL", "<="): "MIN",
+    }.get((quant, op))
+    if agg and quant == "ANY":
+        # empty set → comparison with NULL → UNKNOWN, same WHERE
+        # outcome as ANY's FALSE; NULL elements are skipped by the
+        # aggregate, degrading UNKNOWN → FALSE — also WHERE-identical
+        del out[k + 1:]
+        out.extend(tokenize(
+            f" (SELECT {agg}(__qc) FROM ({sub}) "
+            f"AS __q(__qc))"
+        ))
+        return close + 1
+    lhs_at = _prev_expr_start(out[:k])
+    if quant == "ALL" and agg and lhs_at >= 0:
+        # ALL needs the LHS: over an EMPTY set it is TRUE for any
+        # operand (a bare MIN/MAX fold yields UNKNOWN), and a NULL
+        # element caps the answer at UNKNOWN
+        lhs = render(out[lhs_at:k]).strip()
+        del out[lhs_at:]
+        out.extend(tokenize(
+            f"((SELECT COUNT(*) FROM ({sub}) "
+            f"AS __q) = 0 OR (({lhs}) {op} "
+            f"(SELECT {agg}(__qc) FROM ({sub}) "
+            f"AS __q(__qc)) AND NOT EXISTS "
+            f"(SELECT 1 FROM ({sub}) AS __q(__qc) "
+            f"WHERE __qc IS NULL)))"
+        ))
+        return close + 1
+    if quant == "ALL" and op == "=" and lhs_at >= 0:
+        lhs = render(out[lhs_at:k]).strip()
+        del out[lhs_at:]
+        out.extend(tokenize(
+            f"((SELECT COUNT(*) FROM ({sub}) "
+            f"AS __q) = 0 OR (({lhs}) = "
+            f"(SELECT MIN(__qc) FROM ({sub}) "
+            f"AS __q(__qc)) AND ({lhs}) = "
+            f"(SELECT MAX(__qc) FROM ({sub}) "
+            f"AS __q(__qc)) AND NOT EXISTS "
+            f"(SELECT 1 FROM ({sub}) AS __q(__qc) "
+            f"WHERE __qc IS NULL)))"
+        ))
+        return close + 1
+    if quant == "ANY" and op in ("<>", "!=") and lhs_at >= 0:
+        # true iff some element differs
+        lhs = render(out[lhs_at:k]).strip()
+        del out[lhs_at:]
+        out.extend(tokenize(
+            f"EXISTS (SELECT 1 FROM ({sub}) "
+            f"AS __q(__qc) "
+            f"WHERE __qc <> ({lhs}))"
+        ))
+        return close + 1
+    return None
+
+
+def rewrite_pg_quantifiers(sql: str) -> str:
+    """pg-door pass: quantified comparisons over BOTH operand kinds —
+    ``expr op ANY/SOME/ALL (subquery)`` (the standard equivalences)
+    and pg's array form ``expr op ANY(array)`` (exists/forall
+    lambdas). psycopg2/SQLAlchemy emit ``= ANY(%s)`` for every list
+    parameter, making the array form the single most common pg idiom;
+    the reference serves it via DuckDB passthrough
+    (pgserver/connection_handler.go:411-449)."""
+    if not re.search(r"(?i)\b(?:ANY|SOME|ALL)\s*\(", sql):
+        return sql
+    toks = tokenize(sql, ansi_quotes=True)
+    out: list[Tok] = []
+    i, n = 0, len(toks)
+    while i < n:
+        t = toks[i]
+        if t.kind == "word" and t.text.upper() in ("ANY", "SOME", "ALL"):
+            ni = _try_quantified(
+                toks, i, out,
+                lambda ts: render(ts).strip(),
+                arrays=True,
+            )
+            if ni is not None:
+                i = ni
+                continue
+        out.append(t)
+        i += 1
+    return render(out)
+
+
 def _pass_mysql_operators(toks: list[Tok]) -> list[Tok]:
     """Expression-level MySQL operator forms with no Spark spelling:
 
@@ -1850,110 +1997,13 @@ def _pass_mysql_operators(toks: list[Tok]) -> list[Tok]:
         if t.kind == "word":
             u = t.text.upper()
             if u in ("ANY", "SOME", "ALL"):
-                # quantified comparison subqueries (Spark has none):
-                # = ANY → IN, <> ALL → NOT IN, and order comparisons
-                # fold to MIN/MAX of the subquery — in WHERE context
-                # these are the standard equivalences (empty set /
-                # NULL rows degrade identically to UNKNOWN)
-                j = _sig_next(toks, i)
-                k = len(out) - 1
-                while k >= 0 and out[k].kind in ("ws", "comment"):
-                    k -= 1
-                if (j < n and toks[j].kind == "op"
-                        and toks[j].text == "("
-                        and k >= 0 and out[k].kind == "op"
-                        and out[k].text in ("=", "<>", "!=", ">",
-                                            ">=", "<", "<=")):
-                    close = match_paren(toks, j)
-                    sig_in = next(
-                        (x for x in toks[j + 1: close]
-                         if x.kind not in ("ws", "comment")), None)
-                    is_subq = sig_in is not None and (
-                        sig_in.is_word("SELECT") or sig_in.is_word("WITH"))
-                    if close > 0 and is_subq:
-                        op = out[k].text
-                        # the rewrite skips past the subquery region,
-                        # so run this same pass over it recursively —
-                        # nested quantifiers (and MOD/BINARY/… forms)
-                        # inside must still translate
-                        sub = render(_pass_mysql_operators(
-                            toks[j + 1: close])).strip()
-                        quant = "ALL" if u == "ALL" else "ANY"
-                        if op == "=" and quant == "ANY":
-                            del out[k:]
-                            out.extend(tokenize(f" IN ({sub})"))
-                            i = close + 1
-                            continue
-                        if op in ("<>", "!=") and quant == "ALL":
-                            del out[k:]
-                            out.extend(tokenize(f" NOT IN ({sub})"))
-                            i = close + 1
-                            continue
-                        agg = {
-                            ("ANY", ">"): "MIN", ("ANY", ">="): "MIN",
-                            ("ANY", "<"): "MAX", ("ANY", "<="): "MAX",
-                            ("ALL", ">"): "MAX", ("ALL", ">="): "MAX",
-                            ("ALL", "<"): "MIN", ("ALL", "<="): "MIN",
-                        }.get((quant, op))
-                        if agg and quant == "ANY":
-                            # empty set → comparison with NULL →
-                            # UNKNOWN, same WHERE outcome as ANY's
-                            # FALSE; NULL elements are skipped by the
-                            # aggregate, degrading UNKNOWN → FALSE —
-                            # also WHERE-identical
-                            del out[k + 1:]
-                            out.extend(tokenize(
-                                f" (SELECT {agg}(__qc) FROM ({sub}) "
-                                f"AS __q(__qc))"
-                            ))
-                            i = close + 1
-                            continue
-                        lhs_at = _prev_expr_start(out[:k])
-                        if quant == "ALL" and agg and lhs_at >= 0:
-                            # ALL needs the LHS: over an EMPTY set it
-                            # is TRUE for any operand (a bare MIN/MAX
-                            # fold yields UNKNOWN), and a NULL element
-                            # caps the answer at UNKNOWN
-                            lhs = render(out[lhs_at:k]).strip()
-                            del out[lhs_at:]
-                            out.extend(tokenize(
-                                f"((SELECT COUNT(*) FROM ({sub}) "
-                                f"AS __q) = 0 OR (({lhs}) {op} "
-                                f"(SELECT {agg}(__qc) FROM ({sub}) "
-                                f"AS __q(__qc)) AND NOT EXISTS "
-                                f"(SELECT 1 FROM ({sub}) AS __q(__qc) "
-                                f"WHERE __qc IS NULL)))"
-                            ))
-                            i = close + 1
-                            continue
-                        if (quant == "ALL" and op == "="
-                                and lhs_at >= 0):
-                            lhs = render(out[lhs_at:k]).strip()
-                            del out[lhs_at:]
-                            out.extend(tokenize(
-                                f"((SELECT COUNT(*) FROM ({sub}) "
-                                f"AS __q) = 0 OR (({lhs}) = "
-                                f"(SELECT MIN(__qc) FROM ({sub}) "
-                                f"AS __q(__qc)) AND ({lhs}) = "
-                                f"(SELECT MAX(__qc) FROM ({sub}) "
-                                f"AS __q(__qc)) AND NOT EXISTS "
-                                f"(SELECT 1 FROM ({sub}) AS __q(__qc) "
-                                f"WHERE __qc IS NULL)))"
-                            ))
-                            i = close + 1
-                            continue
-                        if (quant == "ANY" and op in ("<>", "!=")
-                                and lhs_at >= 0):
-                            # true iff some element differs
-                            lhs = render(out[lhs_at:k]).strip()
-                            del out[lhs_at:]
-                            out.extend(tokenize(
-                                f"EXISTS (SELECT 1 FROM ({sub}) "
-                                f"AS __q(__qc) "
-                                f"WHERE __qc <> ({lhs}))"
-                            ))
-                            i = close + 1
-                            continue
+                ni = _try_quantified(
+                    toks, i, out,
+                    lambda ts: render(_pass_mysql_operators(ts)).strip(),
+                )
+                if ni is not None:
+                    i = ni
+                    continue
             if u == "COLLATE":
                 j = _sig_next(toks, i)
                 if j < n and toks[j].kind in ("word", "bq"):

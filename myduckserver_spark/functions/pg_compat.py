@@ -1491,6 +1491,12 @@ def translate_postgres(sql: str) -> str:
     out = _rewrite_at_time_zone(out)
     out = _rewrite_star_modifiers(out)
     out = _rewrite_array_literals(out)
+    if re.search(r"(?i)\b(?:ANY|SOME|ALL)\s*\(", out):
+        from myduckserver_spark.functions.mysql_compat import (
+            rewrite_pg_quantifiers,
+        )
+
+        out = rewrite_pg_quantifiers(out)
     out = _rewrite_duckdb_literals(out)
     out = _rewrite_json_ops(out)
     out = _rewrite_json_path_ops(out)

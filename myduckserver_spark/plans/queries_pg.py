@@ -116,6 +116,30 @@ _pg(
 )
 
 
+_pg(
+    "pg_any_array",
+    """
+    SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents d
+    WHERE d.lang = ANY(ARRAY['en', 'de', 'fr'])
+      AND d.source <> ALL(ARRAY['nonexistent_source'])
+      AND 'en' = ANY(string_to_array(d.lang || ',en', ','))
+      AND d.n_chars > ANY(SELECT MIN(n_chars) + 10 FROM documents)
+    GROUP BY d.lang ORDER BY d.lang
+    """,
+    tags=("pg", "quantifier", "any", "array"),
+    doc="""Quantified comparisons through the pg door — the psycopg
+    list-parameter idiom ``= ANY(ARRAY[...])`` plus ``<> ALL(array)``,
+    ``ANY(array expression)`` and ``> ANY(subquery)`` in one predicate.
+    Spark spellings: exists()/forall() higher-order lambdas for the
+    array forms (same three-valued logic as pg), IN / MIN-MAX folds
+    for the subquery forms (mysql_compat.rewrite_pg_quantifiers).
+    Reference parity: DuckDB passthrough
+    (pgserver/connection_handler.go:411-449). Scale: pure row-local
+    predicates + one scalar subquery broadcast — no extra shuffle.""",
+)
+
+
 @register(
     "pg_sequence_lifecycle",
     oracle="""

@@ -890,3 +890,53 @@ def test_from_table_fn_aliasless_before_clause():
     # aliased forms still capture
     out = translate_postgres("SELECT * FROM t, unnest(a) t2(x)")
     assert "t2 AS x" in out
+
+
+def test_pg_quantified_any_all(spark, tmp_path):
+    """pg quantified comparisons (round-10 verdict #1): the psycopg
+    list-parameter idiom `= ANY(ARRAY[...])`, array-column ANY/ALL
+    (exists/forall lambdas, pg three-valued logic), and the subquery
+    forms routed through the shared quantifier rewrite."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh_any"))
+
+    def val(sql):
+        return e.execute(sql, dialect="postgres").collect()[0][0]
+
+    # scalar array forms + 3VL parity with pg
+    assert val("SELECT 3 = ANY(ARRAY[1,2,3])") is True
+    assert val("SELECT 9 = ANY(ARRAY[1,2,3])") is False
+    assert val("SELECT 2 = ANY(ARRAY[2,NULL])") is True
+    assert val("SELECT 1 = ANY(ARRAY[2,NULL])") is None
+    assert val("SELECT 5 > ALL(ARRAY[1,2])") is True
+    assert val("SELECT 5 <> ALL(ARRAY[1,2])") is True
+    assert val("SELECT 2 <> ALL(ARRAY[1,2])") is False
+    assert val("SELECT 4 >= SOME(ARRAY[9, 4])") is True
+    # array-valued column + WHERE context
+    e.execute("CREATE TABLE qa (id INT, tags text[])", dialect="postgres")
+    e.execute("INSERT INTO qa VALUES (1, ARRAY['red','blue']), "
+              "(2, ARRAY['green'])", dialect="postgres")
+    rows = e.execute(
+        "SELECT id FROM qa WHERE 'red' = ANY(tags) ORDER BY id",
+        dialect="postgres").collect()
+    assert [r.id for r in rows] == [1]
+    rows = e.execute(
+        "SELECT id FROM qa WHERE 'red' <> ALL(tags) ORDER BY id",
+        dialect="postgres").collect()
+    assert [r.id for r in rows] == [2]
+    # subquery forms through the pg door
+    e.execute("CREATE TABLE qs (m INT)", dialect="postgres")
+    e.execute("INSERT INTO qs VALUES (2), (4)", dialect="postgres")
+    rows = e.execute(
+        "SELECT id FROM qa WHERE id = ANY(SELECT m - 1 FROM qs)",
+        dialect="postgres").collect()
+    assert [r.id for r in rows] == [1]
+    rows = e.execute(
+        "SELECT id FROM qa WHERE id < ALL(SELECT m FROM qs) ORDER BY id",
+        dialect="postgres").collect()
+    assert [r.id for r in rows] == [1]
+    rows = e.execute(
+        "SELECT id FROM qa WHERE id > ANY(SELECT m FROM qs) ORDER BY id",
+        dialect="postgres").collect()
+    assert [r.id for r in rows] == []
