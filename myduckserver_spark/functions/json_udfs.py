@@ -371,6 +371,34 @@ def register_json_udfs(spark: SparkSession) -> None:
             for e in _loads(d)
         ]
     ), AS_))
+    # pg set-returning json_each / jsonb_each[_text] /
+    # json_object_keys: the dialect layer explodes these — inline()
+    # over the (key, value) entry array, explode() over the key list
+    from pyspark.sql.types import StructField, StructType
+
+    KV = ArrayType(StructType([
+        StructField("key", StringType()),
+        StructField("value", StringType()),
+    ]))
+
+    def _obj_items(d, text: bool):
+        doc = _loads(d)
+        out = []
+        for k, v in doc.items():
+            if text and isinstance(v, str):
+                out.append((k, v))
+            elif text and v is None:
+                out.append((k, None))
+            else:
+                out.append((k, json.dumps(v)))
+        return out
+
+    reg("json_obj_entries", F.pandas_udf(_udf_str(
+        lambda d: _obj_items(d, False)), KV))
+    reg("json_obj_entries_text", F.pandas_udf(_udf_str(
+        lambda d: _obj_items(d, True)), KV))
+    reg("json_obj_keys", F.pandas_udf(_udf_str(
+        lambda d: list(_loads(d).keys())), AS_))
 
     def _extract_w(d, ps):
         """JSON_EXTRACT with wildcard and/or several paths (\\x1f-

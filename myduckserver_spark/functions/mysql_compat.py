@@ -1678,6 +1678,75 @@ def _prev_expr_start(out: list[Tok]) -> int:
         start = prev
 
 
+_CI_CMP_OPS = ("=", "<>", "!=", "<", "<=", ">", ">=", "<=>")
+
+
+def _apply_ci_collate(toks, j, out):
+    """Explicit ``COLLATE ..._ci`` on a comparison operand: MySQL
+    compares case-insensitively, so wrap BOTH operands of the adjacent
+    comparison (or LIKE) in lower().  ``j`` is the collation-name
+    token; ``out`` already holds everything before COLLATE.  Returns
+    the token index to resume at, or None to fall back to the plain
+    strip (non-comparison contexts — ORDER BY sort keys go through the
+    engine's _ci_columns machinery; IN lists keep the default binary
+    behavior)."""
+    n = len(toks)
+
+    def is_cmp_tok(t) -> bool:
+        return (t.kind == "op" and t.text in _CI_CMP_OPS) or (
+            t.kind == "word" and t.text.upper() == "LIKE")
+
+    # backward shape: ``lhs OP rhs COLLATE ci`` — out ends [lhs OP rhs]
+    rhs_at = _prev_expr_start(out)
+    if rhs_at >= 0:
+        k2 = rhs_at - 1
+        while k2 >= 0 and out[k2].kind in ("ws", "comment"):
+            k2 -= 1
+        if k2 >= 0 and is_cmp_tok(out[k2]):
+            op_start, opt = k2, out[k2].text
+            if out[k2].kind == "word":  # LIKE — include a leading NOT
+                p = k2 - 1
+                while p >= 0 and out[p].kind in ("ws", "comment"):
+                    p -= 1
+                if (p >= 0 and out[p].kind == "word"
+                        and out[p].text.upper() == "NOT"):
+                    op_start, opt = p, "NOT LIKE"
+                else:
+                    opt = "LIKE"
+            lhs_at = _prev_expr_start(out[:op_start])
+            if lhs_at >= 0:
+                lhs = render(out[lhs_at:op_start]).strip()
+                rhs = render(out[rhs_at:]).strip()
+                del out[lhs_at:]
+                out.extend(tokenize(
+                    f"lower({lhs}) {opt} lower({rhs})"))
+                return j + 1
+    # forward shape: ``lhs COLLATE ci OP rhs`` — out ends [lhs]
+    p = _sig_next(toks, j)
+    opt = None
+    if (p < n and toks[p].kind == "word"
+            and toks[p].text.upper() == "NOT"):
+        p2 = _sig_next(toks, p)
+        if (p2 < n and toks[p2].kind == "word"
+                and toks[p2].text.upper() == "LIKE"):
+            opt, p = "NOT LIKE", p2
+    if opt is None and p < n and is_cmp_tok(toks[p]):
+        opt = toks[p].text if toks[p].kind == "op" else "LIKE"
+    if opt is not None:
+        r0 = _sig_next(toks, p)
+        rend = _next_operand_span(toks, r0)
+        if rend >= 0:
+            lhs_at = _prev_expr_start(out)
+            if lhs_at >= 0:
+                lhs = render(out[lhs_at:]).strip()
+                rhs = render(toks[r0:rend + 1]).strip()
+                del out[lhs_at:]
+                out.extend(tokenize(
+                    f"lower({lhs}) {opt} lower({rhs})"))
+                return rend + 1
+    return None
+
+
 def _try_quantified(toks, i, out, sub_translate, arrays=False):
     """Quantified comparison at ANY/SOME/ALL word token ``i`` (Spark
     has no quantified comparisons):
@@ -2007,8 +2076,18 @@ def _pass_mysql_operators(toks: list[Tok]) -> list[Tok]:
             if u == "COLLATE":
                 j = _sig_next(toks, i)
                 if j < n and toks[j].kind in ("word", "bq"):
+                    coll = toks[j].text.strip("`").lower()
                     while out and out[-1].kind == "ws":
                         out.pop()
+                    if coll.endswith("_ci"):
+                        # explicitly-requested case-insensitive
+                        # collation: fold the adjacent comparison's
+                        # operands through lower() (the default strip
+                        # is right only for binary collations)
+                        ni = _apply_ci_collate(toks, j, out)
+                        if ni is not None:
+                            i = ni
+                            continue
                     i = j + 1
                     continue
             if u == "GROUPS":

@@ -723,6 +723,79 @@ def _rewrite_functions(sql: str) -> str:
         out, "jsonb?_array_elements", "explode(json_arr_elems(", "))",
     )
 
+    # set-returning json_each / jsonb_each[_text] / json_object_keys
+    # in FROM position — pg's lateral JSON-object iteration.  Spark
+    # spellings: inline() over an array<struct<key,value>> UDF
+    # (columns named key/value, exactly pg's), explode() for the key
+    # list.  Both the comma (implicit lateral) and the standalone
+    # FROM forms are covered.
+    if re.search(r"(?i)\bjsonb?_(?:each(?:_text)?|object_keys)\s*\(",
+                 out):
+        _ARGS = r"((?:[^()]|\([^()]*\))*)"
+
+        def _entries_fn(name: str) -> str:
+            return ("json_obj_entries_text"
+                    if name.lower().endswith("_text")
+                    else "json_obj_entries")
+
+        def je_comma(m: re.Match) -> str:
+            fn, args = _entries_fn(m.group(1)), m.group(2)
+            tbl = m.group(3) or "__je"
+            k, v = m.group(4) or "key", m.group(5) or "value"
+            return (f" LATERAL VIEW inline({fn}({args})) "
+                    f"{tbl} AS {k}, {v}")
+
+        out = re.sub(
+            r"(?i),\s*(jsonb?_each(?:_text)?)\s*\(" + _ARGS + r"\)"
+            r"(?:\s+(?:AS\s+)?" + _NOT_CLAUSE_KW + r"(\w+)"
+            r"(?:\s*\(\s*(\w+)\s*,\s*(\w+)\s*\))?)?",
+            je_comma, out,
+        )
+
+        def je_from(m: re.Match) -> str:
+            kw, fn = m.group(1), _entries_fn(m.group(2))
+            args, tbl = m.group(3), m.group(4) or "__je"
+            k, v = m.group(5), m.group(6)
+            cols = f" AS ({k}, {v})" if k else ""
+            return (f"{kw} (SELECT inline({fn}({args})){cols}) {tbl}")
+
+        out = re.sub(
+            r"(?i)\b(FROM|JOIN)\s+(jsonb?_each(?:_text)?)\s*\("
+            + _ARGS + r"\)"
+            r"(?:\s+(?:AS\s+)?" + _NOT_CLAUSE_KW + r"(\w+)"
+            r"(?:\s*\(\s*(\w+)\s*,\s*(\w+)\s*\))?)?",
+            je_from, out,
+        )
+
+        def jk_comma(m: re.Match) -> str:
+            args = m.group(1)
+            # pg: a single-column SRF's alias names the COLUMN
+            col = m.group(3) or m.group(2) or "json_object_keys"
+            return (f" LATERAL VIEW explode(json_obj_keys({args})) "
+                    f"__jk_{col} AS {col}")
+
+        out = re.sub(
+            r"(?i),\s*jsonb?_object_keys\s*\(" + _ARGS + r"\)"
+            r"(?:\s+(?:AS\s+)?" + _NOT_CLAUSE_KW + r"(\w+)"
+            r"(?:\s*\(\s*(\w+)\s*\))?)?",
+            jk_comma, out,
+        )
+
+        def jk_from(m: re.Match) -> str:
+            kw, args = m.group(1), m.group(2)
+            col = m.group(4) or m.group(3) or "json_object_keys"
+            tbl = m.group(3) or f"__jk_{col}"
+            return (f"{kw} (SELECT explode(json_obj_keys({args})) "
+                    f"AS {col}) {tbl}")
+
+        out = re.sub(
+            r"(?i)\b(FROM|JOIN)\s+jsonb?_object_keys\s*\(" + _ARGS
+            + r"\)"
+            r"(?:\s+(?:AS\s+)?" + _NOT_CLAUSE_KW + r"(\w+)"
+            r"(?:\s*\(\s*(\w+)\s*\))?)?",
+            jk_from, out,
+        )
+
     # ARRAY(SELECT ...) subquery constructor → scalar collect_list
     while True:
         m = re.search(r"\bARRAY\s*\(\s*(?=SELECT\b)", out, re.I)

@@ -1463,3 +1463,31 @@ def test_round9_info_crypto_batch(spark, tmp_path):
     assert v("SELECT GTID_SUBSET('', 'x') AS a, "
              "MASTER_POS_WAIT('f', 4, 0) AS b, "
              "VALIDATE_PASSWORD_STRENGTH('weak') AS c") == (1, 0, 0)
+
+
+def test_explicit_ci_collation_comparisons(spark, tmp_path):
+    """An explicitly-requested `COLLATE ..._ci` makes the adjacent
+    comparison case-insensitive (round-10 verdict #3 — the blanket
+    COLLATE strip silently kept it binary)."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh_ci_cmp"))
+    assert e.execute(
+        "SELECT 'a' = 'A' COLLATE utf8mb4_general_ci AS v"
+    ).collect()[0].v is True
+    e.execute("CREATE TABLE fr (id INT, s VARCHAR(20))")
+    e.execute("INSERT INTO fr VALUES (1, 'Apple'), (2, 'banana')")
+    rows = e.execute(
+        "SELECT id FROM fr WHERE s = 'apple' COLLATE utf8mb4_general_ci"
+    ).collect()
+    assert [r.id for r in rows] == [1]
+    rows = e.execute(
+        "SELECT id FROM fr WHERE s COLLATE utf8mb4_0900_ai_ci "
+        "LIKE 'APP%'"
+    ).collect()
+    assert [r.id for r in rows] == [1]
+    # binary collations keep the default case-sensitive comparison
+    rows = e.execute(
+        "SELECT id FROM fr WHERE s = 'apple' COLLATE utf8mb4_bin"
+    ).collect()
+    assert rows == []
