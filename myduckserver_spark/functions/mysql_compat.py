@@ -81,6 +81,14 @@ def mysql_datetime_format(fmt: str, parsing: bool = False) -> str:
     return "".join(out)
 
 
+def mysql_fmt_sql(fmt: str, parsing: bool = False) -> str:
+    """Java datetime pattern as the BODY of an SQL single-quoted
+    literal — Java quotes literal text with ``'``, which must be
+    doubled when the pattern is embedded in SQL (``'%Y w'`` →
+    ``yyyy ''w''``)."""
+    return mysql_datetime_format(fmt, parsing).replace("'", "''")
+
+
 def _str_lit(tok_text: str) -> str | None:
     """Python value of a single-quoted/double-quoted literal, else None."""
     if len(tok_text) >= 2 and tok_text[0] in "'\"" and tok_text[-1] == tok_text[0]:
@@ -221,13 +229,67 @@ def _fn_makedate(a):
     return f"date_add(make_date({a[0]}, 1, 1), cast({a[1]} as int) - 1)"
 
 
+# DATE_FORMAT week-based tokens (no Java pattern equivalent):
+# token → (part, WEEK mode) per the MySQL manual — %V/%X pair on the
+# Sunday-carry numbering (mode 2), %v/%x on ISO (mode 3)
+_WEEK_FMT_TOKENS = {
+    "%U": ("week", 0), "%u": ("week", 1),
+    "%V": ("week", 2), "%v": ("week", 3),
+    "%X": ("year", 2), "%x": ("year", 3),
+}
+
+
 def _fn_date_format(a):
     if len(a) != 2:
         return None
     lit = _str_lit(a[1].strip())
     if lit is None:
         return None
-    return f"date_format({a[0]}, '{mysql_datetime_format(lit)}')"
+    if not any(t in lit for t in _WEEK_FMT_TOKENS):
+        return f"date_format({a[0]}, '{mysql_fmt_sql(lit)}')"
+    # stitch week tokens from the WEEK/YEARWEEK mode machinery and the
+    # remaining format runs from plain date_format
+    d = a[0]
+    segs: list[str] = []
+    chunk = ""
+
+    def flush():
+        nonlocal chunk
+        if not chunk:
+            return
+        if "%" in chunk:
+            segs.append(
+                f"date_format({d}, '{mysql_fmt_sql(chunk)}')")
+        else:
+            segs.append("'" + chunk.replace("'", "''") + "'")
+        chunk = ""
+
+    i = 0
+    while i < len(lit):
+        tok = lit[i:i + 2]
+        if tok in _WEEK_FMT_TOKENS:
+            part, mode = _WEEK_FMT_TOKENS[tok]
+            flush()
+            if part == "week":
+                segs.append(
+                    f"lpad(CAST({_fn_week([d, str(mode)])} AS STRING),"
+                    f" 2, '0')")
+            else:
+                yw = _fn_yearweek([d, str(mode)])
+                segs.append(
+                    f"lpad(CAST(CAST(({yw}) / 100 AS INT) AS STRING),"
+                    f" 4, '0')")
+            i += 2
+        elif lit[i] == "%" and i + 1 < len(lit):
+            chunk += tok
+            i += 2
+        else:
+            chunk += lit[i]
+            i += 1
+    flush()
+    if len(segs) == 1:
+        return segs[0]
+    return "concat(" + ", ".join(segs) + ")"
 
 
 def _fn_str_to_date(a):
@@ -236,7 +298,7 @@ def _fn_str_to_date(a):
     lit = _str_lit(a[1].strip())
     if lit is None:
         return None
-    fmt = mysql_datetime_format(lit, parsing=True)
+    fmt = mysql_fmt_sql(lit, parsing=True)
     return f"to_timestamp({a[0]}, '{fmt}')"
 
 

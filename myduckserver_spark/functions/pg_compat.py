@@ -536,10 +536,26 @@ def _rewrite_functions(sql: str) -> str:
         r"((?:[^(),]|\([^()]*\))+?)\s*\)",
         r"((\1) div (\2))", out, flags=re.I,
     )
+    # 2-arg numeric trunc(x, n): toward zero at n decimal places
+    # (Spark's 2-arg trunc is the DATE one — a silent resolver trap)
+    out = re.sub(
+        r"\btrunc\s*\(\s*((?:[^(),']|\([^()]*\))+?)\s*,\s*"
+        r"((?:[^(),']|\([^()]*\))+?)\s*\)",
+        r"((CASE WHEN (\1) >= 0 THEN floor((\1) * pow(10, \2)) "
+        r"ELSE ceil((\1) * pow(10, \2)) END) / pow(10, \2))",
+        out, flags=re.I,
+    )
     out = re.sub(
         r"\btrunc\s*\(\s*((?:[^(),']|\([^()]*\))+?)\s*\)",
         r"(CASE WHEN (\1) >= 0 THEN floor(\1) ELSE ceil(\1) END)",
         out, flags=re.I,
+    )
+    # BETWEEN SYMMETRIC: pg swaps the bounds when reversed
+    out = re.sub(
+        r"(?i)\bBETWEEN\s+SYMMETRIC\s+((?:[^()\s,]+|\([^()]*\))+)"
+        r"\s+AND\s+((?:[^()\s,]+|\([^()]*\))+)",
+        r"BETWEEN least(\1, \2) AND greatest(\1, \2)",
+        out,
     )
     out = re.sub(r"\bstarts_with\s*\(", "startswith(", out, flags=re.I)
 
@@ -641,9 +657,75 @@ def _rewrite_functions(sql: str) -> str:
         r"array_prepend(\2, \1)", out, flags=re.I,
     )
 
+    # pg format() %I (identifier) / %L (literal) specifiers: rewrite
+    # each to %s and wrap the matching argument in the quote_ident /
+    # quote_literal expansion (%L renders SQL NULL as the unquoted
+    # keyword, pg's rule); plain %s/%d calls fall through to the
+    # format_string rename below
+    pos = 0
+    while True:
+        m = re.search(r"\bformat\s*\(", out[pos:], re.I)
+        if not m:
+            break
+        start, op = pos + m.start(), pos + m.end() - 1
+        if _in_string(out, start):
+            pos = op + 1
+            continue
+        close = _match_bracket(out, op, "(", ")")
+        if close < 0:
+            break
+        from myduckserver_spark.statements import split_top_level
+
+        parts = split_top_level(out[op + 1:close], ",")
+        mfmt = re.fullmatch(r"'((?:[^']|'')*)'",
+                            parts[0].strip() if parts else "")
+        if not mfmt or not re.search(r"%[IL]", mfmt.group(1)):
+            pos = close + 1
+            continue
+        fmt, args = mfmt.group(1), [p.strip() for p in parts[1:]]
+        newfmt: list[str] = []
+        newargs: list[str] = []
+        ai, i2, ok = 0, 0, True
+        while i2 < len(fmt):
+            c = fmt[i2]
+            if c == "%" and i2 + 1 < len(fmt):
+                spec = fmt[i2 + 1]
+                if spec == "%":
+                    newfmt.append("%%")
+                elif ai >= len(args):
+                    ok = False
+                    break
+                elif spec == "I":
+                    newargs.append(
+                        'concat(\'"\', replace(cast(' + args[ai]
+                        + ' as string), \'"\', \'""\'), \'"\')')
+                    newfmt.append("%s")
+                    ai += 1
+                elif spec == "L":
+                    newargs.append(
+                        f"(CASE WHEN ({args[ai]}) IS NULL THEN 'NULL' "
+                        f"ELSE concat('''', replace(cast({args[ai]} "
+                        f"as string), '''', ''''''), '''') END)")
+                    newfmt.append("%s")
+                    ai += 1
+                else:
+                    newargs.append(args[ai])
+                    newfmt.append("%" + spec)
+                    ai += 1
+                i2 += 2
+            else:
+                newfmt.append(c)
+                i2 += 1
+        if not ok:
+            pos = close + 1
+            continue
+        repl = ("format_string('" + "".join(newfmt) + "'"
+                + "".join(", " + a_ for a_ in newargs) + ")")
+        out = out[:start] + repl + out[close + 1:]
+        pos = start + len(repl)
+
     # format('%s', ...) ≡ format_string (same %-conversions for the
-    # common %s/%d cases; pg's %I/%L identifier/literal forms are not
-    # mapped and fail visibly)
+    # common %s/%d cases)
     out = re.sub(r"\bformat\s*\(", "format_string(", out, flags=re.I)
 
     # quote_literal / quote_ident: always-quote forms (pg quotes
@@ -833,6 +915,51 @@ def _rewrite_functions(sql: str) -> str:
         sim, out, flags=re.I,
     )
 
+    # DuckDB vector-similarity family (the SQL-first spelling of the
+    # vector workflow — VECTOR_SEARCH's cosine SQL, operators/vindex)
+    if re.search(r"(?i)\b(?:list|array)_(?:cosine_similarity|"
+                 r"cosine_distance|distance|inner_product|"
+                 r"negative_inner_product)\s*\(", out):
+        _VA = r"((?:[^(),]|\([^()]*\))+?)"
+
+        def _vdot(a: str, b: str) -> str:
+            return (f"aggregate(zip_with({a}, {b}, "
+                    f"(__zx, __zy) -> __zx * __zy), 0.0D, "
+                    f"(__ac, __v) -> __ac + __v)")
+
+        def _vnorm(a: str) -> str:
+            return (f"sqrt(aggregate(transform({a}, "
+                    f"__x -> __x * __x), 0.0D, "
+                    f"(__ac, __v) -> __ac + __v))")
+
+        def _vcos(m: re.Match) -> str:
+            a, b = m.group(1), m.group(2)
+            return (f"({_vdot(a, b)} / "
+                    f"({_vnorm(a)} * {_vnorm(b)}))")
+
+        out = re.sub(
+            r"(?i)\b(?:list|array)_cosine_similarity\s*\(\s*"
+            + _VA + r"\s*,\s*" + _VA + r"\s*\)", _vcos, out)
+        out = re.sub(
+            r"(?i)\b(?:list|array)_cosine_distance\s*\(\s*"
+            + _VA + r"\s*,\s*" + _VA + r"\s*\)",
+            lambda m: f"(1.0D - {_vcos(m)})", out)
+        out = re.sub(
+            r"(?i)\b(?:list|array)_distance\s*\(\s*"
+            + _VA + r"\s*,\s*" + _VA + r"\s*\)",
+            lambda m: (
+                f"sqrt(aggregate(zip_with({m.group(1)}, {m.group(2)},"
+                f" (__zx, __zy) -> (__zx - __zy) * (__zx - __zy)), "
+                f"0.0D, (__ac, __v) -> __ac + __v))"), out)
+        out = re.sub(
+            r"(?i)\b(?:list|array)_negative_inner_product\s*\(\s*"
+            + _VA + r"\s*,\s*" + _VA + r"\s*\)",
+            lambda m: f"(-{_vdot(m.group(1), m.group(2))})", out)
+        out = re.sub(
+            r"(?i)\b(?:list|array)_inner_product\s*\(\s*"
+            + _VA + r"\s*,\s*" + _VA + r"\s*\)",
+            lambda m: _vdot(m.group(1), m.group(2)), out)
+
     # DuckDB list_*/date/regex dialect (the reference's pg door
     # exposes DuckDB SQL verbatim) — 1:1 Spark names
     for src, dst in (
@@ -911,19 +1038,19 @@ def _rewrite_functions(sql: str) -> str:
     # strftime/strptime: C-style % tokens — the MySQL format mapper
     # speaks exactly this dialect
     from myduckserver_spark.functions.mysql_compat import (
-        mysql_datetime_format,
+        mysql_fmt_sql,
     )
 
     out = re.sub(
         r"\bstrftime\s*\(\s*((?:[^(),]|\([^()]*\))+?)\s*,\s*'([^']*)'\s*\)",
         lambda m: (f"date_format({m.group(1)}, "
-                   f"'{mysql_datetime_format(m.group(2))}')"),
+                   f"'{mysql_fmt_sql(m.group(2))}')"),
         out, flags=re.I,
     )
     out = re.sub(
         r"\bstrptime\s*\(\s*((?:[^(),]|\([^()]*\))+?)\s*,\s*'([^']*)'\s*\)",
         lambda m: (f"to_timestamp({m.group(1)}, "
-                   f"'{mysql_datetime_format(m.group(2), parsing=True)}')"),
+                   f"'{mysql_fmt_sql(m.group(2), parsing=True)}')"),
         out, flags=re.I,
     )
     out = re.sub(r"\bepoch_ms\s*\(", "unix_millis(", out, flags=re.I)

@@ -1491,3 +1491,35 @@ def test_explicit_ci_collation_comparisons(spark, tmp_path):
         "SELECT id FROM fr WHERE s = 'apple' COLLATE utf8mb4_bin"
     ).collect()
     assert rows == []
+
+
+def test_date_format_week_tokens(spark, tmp_path):
+    """DATE_FORMAT week-based tokens %U/%u/%V/%v/%X/%x stitched from
+    the WEEK/YEARWEEK mode machinery (round-10 verdict #5 — they used
+    to emit malformed SQL), checked against MySQL-manual values and a
+    Python isocalendar differential for the ISO pair %x-%v."""
+    from datetime import date, timedelta
+
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh_wkfmt"))
+    row = e.execute(
+        "SELECT DATE_FORMAT('1999-01-01', '%X %V') AS a, "
+        "DATE_FORMAT('1999-01-01', '%x-%v') AS b, "
+        "DATE_FORMAT('2006-06-15', '%Y w%u') AS c, "
+        "DATE_FORMAT('2023-01-01', '%U') AS d"
+    ).collect()[0]
+    assert row.a == "1998 52"       # MySQL manual example
+    assert row.b == "1998-53"
+    assert row.c == "2006 w24"      # literal letters stay quoted
+    assert row.d == "01"            # Sunday Jan 1, mode-0 week
+    # ISO pair differential across year boundaries
+    probes = [date(2020, 12, 28) + timedelta(days=k * 3)
+              for k in range(12)]
+    sel = ", ".join(
+        f"DATE_FORMAT('{d_}', '%x-%v') AS c{k}"
+        for k, d_ in enumerate(probes))
+    got = e.execute(f"SELECT {sel}").collect()[0]
+    for k, d_ in enumerate(probes):
+        iso = d_.isocalendar()
+        assert got[k] == f"{iso[0]:04d}-{iso[1]:02d}", (d_, got[k])

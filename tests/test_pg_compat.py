@@ -985,3 +985,75 @@ def test_json_each_table_functions(spark, tmp_path):
         "ORDER BY t.id, k", dialect="postgres").collect()
     assert [(r.id, r.k) for r in rows] == [
         (1, "x"), (1, "y"), (2, "z")]
+
+
+def test_pg_format_trunc_between_symmetric(spark, tmp_path):
+    """Round-10 verdict #6 battery: format() %I/%L specifiers,
+    2-arg numeric trunc, BETWEEN SYMMETRIC."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh_fmt"))
+
+    def val(sql):
+        return e.execute(sql, dialect="postgres").collect()[0][0]
+
+    assert val("SELECT format('Hello %s, number %s', 'world', 42)") \
+        == "Hello world, number 42"
+    assert val("SELECT format('CREATE TABLE %I (c text)', 'my tbl')") \
+        == 'CREATE TABLE "my tbl" (c text)'
+    assert val("SELECT format('%I', 'weird\"name')") == '"weird""name"'
+    assert val("SELECT format('%s = %L', 'nm', 'O''Brien')") \
+        == "nm = 'O''Brien'"
+    assert val("SELECT format('v = %L', NULL)") == "v = NULL"
+    assert val("SELECT format('%s%%', 50)") == "50%"
+
+    assert float(val("SELECT trunc(42.4382, 2)")) == 42.43
+    assert float(val("SELECT trunc(-1.999, 2)")) == -1.99
+    assert float(val("SELECT trunc(9.99)")) == 9.0
+    assert float(val("SELECT trunc(-9.99)")) == -9.0
+
+    assert val("SELECT 5 BETWEEN SYMMETRIC 10 AND 1") is True
+    assert val("SELECT 5 BETWEEN SYMMETRIC 1 AND 10") is True
+    assert val("SELECT 0 BETWEEN SYMMETRIC 10 AND 1") is False
+    e.execute("CREATE TABLE bsy (x INT)", dialect="postgres")
+    e.execute("INSERT INTO bsy VALUES (1), (5), (11)",
+              dialect="postgres")
+    rows = e.execute(
+        "SELECT x FROM bsy WHERE x BETWEEN SYMMETRIC 10 AND 2 "
+        "ORDER BY x", dialect="postgres").collect()
+    assert [r.x for r in rows] == [5]
+
+
+def test_duckdb_vector_similarity_spellings(spark, tmp_path):
+    """DuckDB vector-similarity functions through the pg door
+    (round-10 verdict #7): list/array_cosine_similarity, _distance,
+    _inner_product — the plain-SQL spelling of the vector workflow.
+    Ranking must agree with brute-force cosine."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh_vsim"))
+
+    def val(sql):
+        return e.execute(sql, dialect="postgres").collect()[0][0]
+
+    assert abs(val("SELECT list_cosine_similarity("
+                   "ARRAY[1.0,0.0], ARRAY[1.0,0.0])") - 1.0) < 1e-9
+    assert abs(val("SELECT array_cosine_similarity("
+                   "ARRAY[1.0,0.0], ARRAY[0.0,1.0])")) < 1e-9
+    assert abs(val("SELECT list_distance("
+                   "ARRAY[0.0,0.0], ARRAY[3.0,4.0])") - 5.0) < 1e-9
+    assert abs(val("SELECT list_inner_product("
+                   "ARRAY[1.0,2.0], ARRAY[3.0,4.0])") - 11.0) < 1e-9
+    assert abs(val("SELECT list_cosine_distance("
+                   "ARRAY[1.0,0.0], ARRAY[1.0,0.0])")) < 1e-9
+
+    # order-by-similarity over a table column matches brute force
+    e.execute("CREATE TABLE vv (id INT, v FLOAT[2])", dialect="postgres")
+    e.execute("INSERT INTO vv VALUES (1, ARRAY[1.0,0.0]), "
+              "(2, ARRAY[0.7,0.7]), (3, ARRAY[0.0,1.0])",
+              dialect="postgres")
+    rows = e.execute(
+        "SELECT id FROM vv ORDER BY "
+        "list_cosine_similarity(v, ARRAY[1.0,0.1]) DESC",
+        dialect="postgres").collect()
+    assert [r.id for r in rows] == [1, 2, 3]
