@@ -232,7 +232,8 @@ class Engine:
         elif dialect == "postgres":
             from myduckserver_spark.functions.pg_compat import translate_postgres
 
-            query = translate_postgres(query)
+            query = translate_postgres(
+                query, schema_fn=self._table_columns)
         query = self._rewrite_enum_order(query)
         query = self._rewrite_time_travel(query)
         query = self._rewrite_table_changes(query)
@@ -6485,6 +6486,15 @@ class Engine:
         p = self._meta_path(name)
         if os.path.exists(p):  # drop_table already rmtree'd the dir
             os.remove(p)
+
+    def _table_columns(self, name: str) -> list[str] | None:
+        """Column names of an engine table, or None if unknown —
+        the schema callback for schema-aware dialect rewrites."""
+        try:
+            return [f.name for f in
+                    self.catalog.table(name).read().schema.fields]
+        except Exception:
+            return None
 
     def table_meta(self, name: str) -> st.TableMeta:
         p = self._meta_path(name)

@@ -1740,6 +1740,14 @@ def _prev_expr_start(out: list[Tok]) -> int:
         start = prev
 
 
+def _numeric_prefix(lit: str) -> str:
+    """MySQL's string→number coercion: the longest numeric prefix
+    (optional sign, decimals, exponent); no digits → 0."""
+    m = re.match(
+        r"\s*([+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?)", lit)
+    return m.group(1) if m else "0"
+
+
 _CI_CMP_OPS = ("=", "<>", "!=", "<", "<=", ">", ">=", "<=>")
 
 
@@ -2125,6 +2133,37 @@ def _pass_mysql_operators(toks: list[Tok]) -> list[Tok]:
             out.extend(tokenize(str(int(toks[i + 1].text[1:-1], 2))))
             i += 2
             continue
+        if t.kind == "str":
+            # MySQL coerces string operands of ARITHMETIC by parsing a
+            # numeric prefix ('3abc' + 1 = 4, 'abc' + 1 = 1); Spark's
+            # cast yields NULL — fold literal operands at translate
+            # time. Date arithmetic (op followed by INTERVAL) keeps
+            # the string base for _interval_arith.
+            lit = _str_lit(t.text)
+            if lit is not None:
+                k = len(out) - 1
+                while k >= 0 and out[k].kind in ("ws", "comment"):
+                    k -= 1
+                prev_arith = k >= 0 and (
+                    (out[k].kind == "op"
+                     and out[k].text in ("+", "-", "*", "/", "%"))
+                    or (out[k].kind == "word"
+                        and out[k].text.upper() in ("DIV", "MOD")))
+                j2 = _sig_next(toks, i)
+                nxt_arith = False
+                if j2 < n and (
+                    (toks[j2].kind == "op"
+                     and toks[j2].text in ("+", "-", "*", "/", "%"))
+                    or (toks[j2].kind == "word"
+                        and toks[j2].text.upper() in ("DIV", "MOD"))
+                ):
+                    j3 = _sig_next(toks, j2)
+                    if not (j3 < n and toks[j3].is_word("INTERVAL")):
+                        nxt_arith = True
+                if prev_arith or nxt_arith:
+                    out.extend(tokenize(_numeric_prefix(lit)))
+                    i += 1
+                    continue
         if t.kind == "word":
             u = t.text.upper()
             if u in ("ANY", "SOME", "ALL"):

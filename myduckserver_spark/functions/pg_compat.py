@@ -1247,14 +1247,16 @@ def _match_bracket(s: str, i: int, op: str = "[", cl: str = "]") -> int:
     return -1
 
 
-def _rewrite_star_modifiers(sql: str) -> str:
+def _rewrite_star_modifiers(sql: str, schema_fn=None) -> str:
     """DuckDB star modifiers through the pg door (the reference's pg
     port exposes full DuckDB syntax verbatim; the reference itself
     generates EXCLUDE(...), delta/controller.go:377-379):
       ``* EXCLUDE (a, b)``  → ``* EXCEPT (a, b)`` (Spark-native)
-      ``* REPLACE (e AS c)`` → ``* EXCEPT (c), e AS c`` — replaced
-    columns move to the end of the projection (name/values identical,
-    position diverges from DuckDB)."""
+      ``* REPLACE (e AS c)`` → an explicit projection with the
+    replacement IN PLACE when ``schema_fn(table) -> [col, ...]`` can
+    resolve the FROM table (DuckDB keeps ordinal position); otherwise
+    ``* EXCEPT (c), e AS c`` — name/values identical, position moves
+    to the end."""
     out = sql
     # EXCLUDE → EXCEPT, with or without parens
     while True:
@@ -1294,10 +1296,39 @@ def _rewrite_star_modifiers(sql: str) -> str:
                 return out  # not the modifier shape: leave untouched
             cols.append(am.group(1))
         prefix = (m.group(1) or "").replace(" ", "")
-        repl = (
-            f"{prefix}* EXCEPT ({', '.join(cols)}), "
-            + ", ".join(items)
-        )
+        repl = None
+        if schema_fn is not None:
+            # resolve the FROM table to expand the star explicitly —
+            # the replaced column keeps its ordinal position
+            fm = re.search(
+                r"(?is)\bFROM\s+([\w.\"`]+)"
+                r"(?:\s+(?:AS\s+)?(?!WHERE|GROUP|ORDER|LIMIT|JOIN|ON"
+                r"|LEFT|RIGHT|INNER|CROSS|FULL|UNION|HAVING\b)(\w+))?"
+                r"\s*(?=$|WHERE|GROUP|ORDER|LIMIT|UNION|HAVING|;)",
+                out[close + 1:],
+            )
+            if fm:
+                tbl = fm.group(1).strip('"`')
+                alias = fm.group(2)
+                qual = prefix[:-1].strip('"`') if prefix else None
+                if qual in (None, alias, tbl.split(".")[-1]):
+                    names = schema_fn(tbl.split(".")[-1])
+                    if names:
+                        rep_map = {
+                            c.strip('`"').lower(): it
+                            for c, it in zip(cols, items)
+                        }
+                        p = prefix  # keep the user's qualifier
+                        proj = [
+                            rep_map.get(nm.lower(), f"{p}{nm}")
+                            for nm in names
+                        ]
+                        repl = ", ".join(proj)
+        if repl is None:
+            repl = (
+                f"{prefix}* EXCEPT ({', '.join(cols)}), "
+                + ", ".join(items)
+            )
         out = out[:m.start()] + repl + out[close + 1:]
     return out
 
@@ -1682,14 +1713,18 @@ def _rewrite_pg_session_fns(sql: str) -> str:
     return out
 
 
-def translate_postgres(sql: str) -> str:
-    """Normalize a Postgres-dialect query into Spark SQL."""
+def translate_postgres(sql: str, schema_fn=None) -> str:
+    """Normalize a Postgres-dialect query into Spark SQL.
+
+    ``schema_fn(table) -> [col, ...] | None`` (optional, supplied by
+    the engine) lets schema-aware rewrites — star REPLACE ordinal
+    position — resolve table columns."""
     out = sql
     out = _ESTRING_RE.sub("'", out)  # E'..' → '..' (Spark does escapes)
     out = _FETCH_FIRST_RE.sub(r"LIMIT \1", out)
     out = _rewrite_pg_session_fns(out)
     out = _rewrite_at_time_zone(out)
-    out = _rewrite_star_modifiers(out)
+    out = _rewrite_star_modifiers(out, schema_fn)
     out = _rewrite_array_literals(out)
     if re.search(r"(?i)\b(?:ANY|SOME|ALL)\s*\(", out):
         from myduckserver_spark.functions.mysql_compat import (

@@ -1523,3 +1523,22 @@ def test_date_format_week_tokens(spark, tmp_path):
     for k, d_ in enumerate(probes):
         iso = d_.isocalendar()
         assert got[k] == f"{iso[0]:04d}-{iso[1]:02d}", (d_, got[k])
+
+
+def test_string_numeric_prefix_coercion(spark, tmp_path):
+    """MySQL coerces string operands of arithmetic by parsing a
+    numeric prefix (round-10 verdict #9 — the silent NULL matched
+    neither MySQL nor DuckDB)."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh_coerce"))
+    row = e.execute(
+        "SELECT '3abc' + 1 AS a, 'abc' + 1 AS b, '-3x' + 1 AS c, "
+        "'5' - '2' AS d, '.5e1y' * 2 AS e"
+    ).collect()[0]
+    assert (row.a, row.b, row.c, row.d) == (4, 1, -2, 3)
+    assert abs(row.e - 10.0) < 1e-9
+    # date arithmetic keeps the string base
+    assert str(e.execute(
+        "SELECT '2024-01-01' + INTERVAL 1 DAY AS d").collect()[0].d
+    ).startswith("2024-01-02")

@@ -1057,3 +1057,23 @@ def test_duckdb_vector_similarity_spellings(spark, tmp_path):
         "list_cosine_similarity(v, ARRAY[1.0,0.1]) DESC",
         dialect="postgres").collect()
     assert [r.id for r in rows] == [1, 2, 3]
+
+
+def test_star_replace_keeps_ordinal_position(spark, tmp_path):
+    """`SELECT * REPLACE (e AS c)` keeps the replaced column at its
+    original position like DuckDB when the FROM table is resolvable
+    (round-10 verdict #8)."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh_star"))
+    e.execute("CREATE TABLE sr (a INT, b INT, c INT)",
+              dialect="postgres")
+    e.execute("INSERT INTO sr VALUES (1, 2, 3)", dialect="postgres")
+    df = e.execute("SELECT * REPLACE (b * 10 AS b) FROM sr",
+                   dialect="postgres")
+    assert df.columns == ["a", "b", "c"]
+    assert [tuple(r) for r in df.collect()] == [(1, 20, 3)]
+    df = e.execute("SELECT t.* REPLACE (c + 1 AS c) FROM sr t",
+                   dialect="postgres")
+    assert df.columns == ["a", "b", "c"]
+    assert [tuple(r) for r in df.collect()] == [(1, 2, 4)]
