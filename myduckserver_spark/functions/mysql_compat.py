@@ -770,6 +770,15 @@ def _regexp_like3(a):
     return f"regexp_like({a[0]}, concat('(?{flags})', {pat}))"
 
 
+def _fn_reject(msg: str):
+    """Handler for functions with no honest implementation: a clear
+    NotImplementedError naming the alternative, instead of the raw
+    Spark unresolved-routine error."""
+    def h(a):
+        raise NotImplementedError(msg)
+    return h
+
+
 _FN_HANDLERS = {
     # ROW(a, b) constructors (VALUES lists, row comparisons) → bare
     # tuples, which Spark groups as structs in both positions
@@ -1165,6 +1174,16 @@ _FN_HANDLERS = {
     "JSON_STORAGE_SIZE": lambda a: (
         f"json_storage_size1({a[0]})" if len(a) == 1 else None
     ),
+    "JSON_SCHEMA_VALID": _fn_reject(
+        "JSON_SCHEMA_VALID is not supported — validate documents "
+        "client-side, or use JSON_VALID for well-formedness checks"),
+    "JSON_SCHEMA_VALIDATION_REPORT": _fn_reject(
+        "JSON_SCHEMA_VALIDATION_REPORT is not supported — validate "
+        "documents client-side"),
+    "WEIGHT_STRING": _fn_reject(
+        "WEIGHT_STRING is not supported (collation weight strings "
+        "are a MySQL-internal ordering artifact) — compare or ORDER "
+        "BY the string expression directly"),
     "JSON_MERGE_PATCH": lambda a: (
         _nest_chain("json_merge_patch2", a[0], [[x] for x in a[1:]])
         if len(a) >= 2 else None
@@ -3033,6 +3052,112 @@ def rewrite_having_without_groupby(sql: str) -> str:
             f"WHERE {cond} {tail}")
 
 
+# keywords that can directly precede a parenthesized ROW literal — a
+# word before ``(`` is otherwise a function call
+_ROW_CTX_KW = frozenset({
+    "WHERE", "AND", "OR", "XOR", "NOT", "ON", "WHEN", "THEN", "ELSE",
+    "HAVING", "SELECT", "SET", "BY", "CASE", "RETURN", "WHILE",
+    "UNTIL", "IF",
+})
+
+
+def _pass_row_subquery_cmp(toks: list[Tok]) -> list[Tok]:
+    """Row-subquery comparison ``(a, b) = (SELECT x, y ...)`` →
+    ``struct(a, b) = (SELECT struct(x, y) ...)``: Spark compares
+    structs field-wise, and a scalar subquery raises on >1 row exactly
+    like MySQL's ER_SUBQUERY_NO_1_ROW (1242). Covers =, <> and !=
+    (row order comparisons stay rejected). Runs after _pass_functions
+    so ``ROW(a, b)`` is already a bare tuple."""
+    def sig_prev(k: int) -> int:
+        k -= 1
+        while k >= 0 and toks[k].kind in ("ws", "comment"):
+            k -= 1
+        return k
+
+    guard = 0
+    i = 0
+    while i < len(toks) and guard < 40:
+        n = len(toks)
+        t = toks[i]
+        if not (t.kind == "op" and t.text in ("=", "<>", "!=")):
+            i += 1
+            continue
+        p = sig_prev(i)
+        if p < 0 or not (toks[p].kind == "op" and toks[p].text == ")"):
+            i += 1
+            continue
+        depth, o = 0, p
+        while o >= 0:
+            if toks[o].kind == "op" and toks[o].text == ")":
+                depth += 1
+            elif toks[o].kind == "op" and toks[o].text == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            o -= 1
+        if o < 0:
+            i += 1
+            continue
+        pre = sig_prev(o)
+        if (pre >= 0 and toks[pre].kind in ("word", "bq")
+                and toks[pre].text.upper() not in _ROW_CTX_KW):
+            i += 1
+            continue  # function call — not a row literal
+        d2, has_comma, lhs_subq = 0, False, False
+        for k in range(o + 1, p):
+            tk = toks[k]
+            if tk.kind == "op" and tk.text == "(":
+                d2 += 1
+            elif tk.kind == "op" and tk.text == ")":
+                d2 -= 1
+            elif d2 == 0 and tk.kind == "op" and tk.text == ",":
+                has_comma = True
+            elif (d2 == 0 and tk.kind == "word"
+                    and tk.text.upper() in ("SELECT", "WITH")):
+                lhs_subq = True
+        if not has_comma or lhs_subq:
+            i += 1
+            continue
+        j = _sig_next(toks, i)
+        if not (j < n and toks[j].kind == "op" and toks[j].text == "("):
+            i += 1
+            continue
+        fs = _sig_next(toks, j)
+        if not (fs < n and toks[fs].is_word("SELECT")):
+            i += 1
+            continue
+        close = match_paren(toks, j)
+        if close < 0:
+            i += 1
+            continue
+        d3, fr = 0, -1
+        for k in range(fs + 1, close):
+            tk = toks[k]
+            if tk.kind == "op" and tk.text == "(":
+                d3 += 1
+            elif tk.kind == "op" and tk.text == ")":
+                d3 -= 1
+            elif d3 == 0 and tk.is_word("FROM"):
+                fr = k
+                break
+        if fr < 0:
+            i += 1
+            continue
+        sel = render(toks[fs + 1:fr]).strip()
+        dist = ""
+        dm = re.match(r"(?is)^(DISTINCT|ALL)\s+(.*)$", sel)
+        if dm:
+            dist, sel = dm.group(1) + " ", dm.group(2)
+        row = render(toks[o + 1:p]).strip()
+        rest = render(toks[fr:close]).strip()
+        new = (f"struct({row}) {t.text} "
+               f"(SELECT {dist}struct({sel}) {rest})")
+        toks = toks[:o] + tokenize(new) + toks[close + 1:]
+        i = o + 1
+        guard += 1
+    return toks
+
+
 def translate_mysql(sql: str, ansi_quotes: bool = False) -> str:
     """Normalize a MySQL-dialect query into Spark SQL (token-level).
     ansi_quotes applies the ANSI_QUOTES sql_mode (double-quoted
@@ -3054,6 +3179,7 @@ def translate_mysql(sql: str, ansi_quotes: bool = False) -> str:
     toks = _pass_json_arrows(toks)
     toks = _pass_mysql_operators(toks)
     toks = _pass_functions(toks)
+    toks = _pass_row_subquery_cmp(toks)
     toks = _pass_window_chains(toks)
     return render(toks)
 

@@ -1542,3 +1542,34 @@ def test_string_numeric_prefix_coercion(spark, tmp_path):
     assert str(e.execute(
         "SELECT '2024-01-01' + INTERVAL 1 DAY AS d").collect()[0].d
     ).startswith("2024-01-02")
+
+
+def test_row_subquery_comparison(spark, tmp_path):
+    """Row-subquery comparison `(a, b) = (SELECT x, y ...)` via
+    struct-wrapping (round-10: previously an honest gap). Scalar
+    subquery errors on >1 row like MySQL 1242."""
+    import pytest
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh_rowsub"))
+    e.execute("CREATE TABLE rt (a INT, b INT)")
+    e.execute("INSERT INTO rt VALUES (1, 2), (3, 4)")
+    e.execute("CREATE TABLE ru (x INT, y INT)")
+    e.execute("INSERT INTO ru VALUES (1, 2)")
+    rows = e.execute(
+        "SELECT a, b FROM rt WHERE (a, b) = (SELECT x, y FROM ru)"
+    ).collect()
+    assert [(r.a, r.b) for r in rows] == [(1, 2)]
+    rows = e.execute(
+        "SELECT a FROM rt WHERE (a, b) <> (SELECT x, y FROM ru) "
+        "ORDER BY a").collect()
+    assert [r.a for r in rows] == [3]
+    rows = e.execute(
+        "SELECT a FROM rt WHERE ROW(a, b) = (SELECT x, y FROM ru)"
+    ).collect()
+    assert [r.a for r in rows] == [1]
+    # >1 subquery row raises (MySQL ER_SUBQUERY_NO_1_ROW parity)
+    e.execute("INSERT INTO ru VALUES (3, 4)")
+    with pytest.raises(Exception):
+        e.execute("SELECT a FROM rt WHERE (a, b) = "
+                  "(SELECT x, y FROM ru)").collect()
