@@ -528,6 +528,24 @@ def register_json_udfs(spark: SparkSession) -> None:
     reg("json_pretty", F.pandas_udf(_udf_str(
         lambda d: json.dumps(_loads(d), indent=2)
     ), S))
+    # pg jsonb_pretty uses 4-space indentation
+    reg("json_pretty_pg", F.pandas_udf(_udf_str(
+        lambda d: json.dumps(_loads(d), indent=4)
+    ), S))
+
+    def _strip_nulls(v):
+        """pg json_strip_nulls: drop null-valued OBJECT fields at any
+        depth; array null elements stay."""
+        if isinstance(v, dict):
+            return {k: _strip_nulls(x) for k, x in v.items()
+                    if x is not None}
+        if isinstance(v, list):
+            return [_strip_nulls(x) for x in v]
+        return v
+
+    reg("json_strip_nulls1", F.pandas_udf(_udf_str(
+        lambda d: json.dumps(_strip_nulls(_loads(d)))
+    ), S))
     reg("json_quote1", F.pandas_udf(_udf_str(
         lambda s: json.dumps(s)
     ), S))

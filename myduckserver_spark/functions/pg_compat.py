@@ -1117,6 +1117,59 @@ def _rewrite_functions(sql: str) -> str:
         r"\bto_char\s*\(\s*(.+?)\s*,\s*'([^']*)'\s*\)", tc, out, flags=re.I
     )
 
+    # generate_subscripts(arr, 1) ≡ generate_series(1, array_length):
+    # fold onto the series machinery (FROM and scalar forms alike);
+    # only dimension 1 exists for Spark arrays, the reverse flag stays
+    # unsupported and fails visibly
+    out = re.sub(
+        r"(?i)\bgenerate_subscripts\s*\(\s*"
+        r"((?:[^(),]|\([^()]*\))+?)\s*,\s*1\s*\)",
+        r"generate_series(1, size(\1))", out,
+    )
+    # array_replace(arr, from, to): every matching element (NULL-safe)
+    out = re.sub(
+        r"(?i)\barray_replace\s*\(\s*((?:[^(),]|\([^()]*\))+?)\s*,\s*"
+        r"((?:[^(),]|\([^()]*\))+?)\s*,\s*"
+        r"((?:[^(),]|\([^()]*\))+?)\s*\)",
+        r"transform(\1, __e -> CASE WHEN __e <=> (\2) THEN (\3) "
+        r"ELSE __e END)", out,
+    )
+    # regexp_split_to_table(s, p): set-returning split — FROM / comma
+    # / scalar positions (single-column SRF: an alias names the column)
+    if re.search(r"(?i)\bregexp_split_to_table\s*\(", out):
+        _RA = r"((?:[^()]|\([^()]*\))*)"
+
+        def rst_comma(m: re.Match) -> str:
+            args = m.group(1)
+            col = m.group(3) or m.group(2) or "regexp_split_to_table"
+            return (f" LATERAL VIEW explode(split({args})) "
+                    f"__rs_{col} AS {col}")
+
+        out = re.sub(
+            r"(?i),\s*regexp_split_to_table\s*\(" + _RA + r"\)"
+            r"(?:\s+(?:AS\s+)?" + _NOT_CLAUSE_KW + r"(\w+)"
+            r"(?:\s*\(\s*(\w+)\s*\))?)?",
+            rst_comma, out,
+        )
+
+        def rst_from(m: re.Match) -> str:
+            kw, args = m.group(1), m.group(2)
+            col = m.group(4) or m.group(3) or "regexp_split_to_table"
+            tbl = m.group(3) or f"__rs_{col}"
+            return (f"{kw} (SELECT explode(split({args})) AS {col}) "
+                    f"{tbl}")
+
+        out = re.sub(
+            r"(?i)\b(FROM|JOIN)\s+regexp_split_to_table\s*\("
+            + _RA + r"\)"
+            r"(?:\s+(?:AS\s+)?" + _NOT_CLAUSE_KW + r"(\w+)"
+            r"(?:\s*\(\s*(\w+)\s*\))?)?",
+            rst_from, out,
+        )
+        out = _rewrite_wrapped_call(
+            out, "regexp_split_to_table", "explode(split(", "))",
+        )  # scalar position
+
     # FROM generate_series(a, b[, step]) [AS] alias[(col)]
     #   → FROM (SELECT explode(sequence(a, b[, step])) AS col) alias
     def gs(m: re.Match) -> str:
@@ -1143,25 +1196,57 @@ def _rewrite_functions(sql: str) -> str:
     out = _ARRAY_AGG_RE.sub(aa, out)
 
     # FROM-comma unnest (implicit lateral): `FROM t, unnest(e) AS a`
-    # or `AS t(x)` → LATERAL VIEW explode; select-position unnest
-    # falls through to the plain explode rename below
+    # or `AS t(x)` → LATERAL VIEW explode; `WITH ORDINALITY` adds the
+    # 1-based index column via inline(transform(.., (x, i) -> struct));
+    # select-position unnest falls through to the plain explode rename
+    # below
+    _UN_ORD = (r"unnest\s*\(((?:[^()]|\([^()]*\))*)\)"
+               r"(\s+WITH\s+ORDINALITY)?"
+               r"(?:\s+(?:AS\s+)?" + _NOT_CLAUSE_KW + r"(\w+)"
+               r"(?:\s*\(\s*(\w+)\s*(?:,\s*(\w+)\s*)?\))?)?")
+
+    def _un_parts(m: re.Match):
+        args, ordi, a1, c1, c2 = (m.group(1), m.group(2), m.group(3),
+                                  m.group(4), m.group(5))
+        col = c1 or a1 or "unnest"  # pg's default output column name
+        tbl = a1 or f"__uv_{col}"
+        oc = c2 or "ordinality"
+        return args, bool(ordi), tbl, col, oc
+
+    def _un_gen(args: str, tbl: str, col: str, oc: str,
+                ordi: bool, lateral: bool) -> str:
+        if ordi:
+            gen = (f"inline(transform({args}, (__ux, __ui) -> "
+                   f"struct(__ux AS {col}, "
+                   f"CAST(__ui + 1 AS BIGINT) AS {oc})))")
+            if lateral:
+                return f" LATERAL VIEW {gen} {tbl}"
+            return f"(SELECT {gen}) {tbl}"
+        if lateral:
+            return f" LATERAL VIEW explode({args}) {tbl} AS {col}"
+        return f"(SELECT explode({args}) AS {col}) {tbl}"
+
     fm = re.search(r"(?i)\bFROM\b", out)
     if fm and re.search(r"(?i),\s*unnest\s*\(", out):
         def lat(m: re.Match) -> str:
-            args, a1, a2 = m.group(1), m.group(2), m.group(3)
-            a1 = a1 or "unnest"  # pg's default output column name
-            col = a2 or a1
-            tbl = a1 if a2 else f"__uv_{a1}"
-            return f" LATERAL VIEW explode({args}) {tbl} AS {col}"
+            args, ordi, tbl, col, oc = _un_parts(m)
+            return _un_gen(args, tbl, col, oc, ordi, lateral=True)
 
         head, tail = out[:fm.end()], out[fm.end():]
-        tail = re.sub(
-            r"(?i),\s*unnest\s*\(((?:[^()]|\([^()]*\))*)\)"
-            r"(?:\s+(?:AS\s+)?" + _NOT_CLAUSE_KW + r"(\w+)"
-            r"(?:\s*\((\w+)\))?)?",
-            lat, tail,
-        )
+        tail = re.sub(r",\s*" + _UN_ORD, lat, tail, flags=re.I)
         out = head + tail
+    # standalone `FROM unnest(...) [WITH ORDINALITY] [AS t(u[, o])]`
+    if re.search(r"(?i)\b(?:FROM|JOIN)\s+unnest\s*\(", out):
+        def un_from(m: re.Match) -> str:
+            kw = m.group(1)
+            args, ordi, tbl, col, oc = _un_parts(
+                re.match(_UN_ORD, m.group(0)[len(kw):].lstrip(),
+                         re.I))
+            return f"{kw} " + _un_gen(args, tbl, col, oc, ordi,
+                                      lateral=False)
+
+        out = re.sub(r"\b(FROM|JOIN)\s+" + _UN_ORD, un_from, out,
+                     flags=re.I)
 
     # scalar-position generate_series/unnest → explode (the FROM form
     # was consumed above)
@@ -1184,12 +1269,64 @@ def _rewrite_functions(sql: str) -> str:
         out = (out[:start]
                + f"array_contains(json_object_keys({operand}), "
                + m.group(1) + ")" + out[m.end():])
-    cm2 = re.search(r"@>|<@|\?\||\?&", out)
+    # `?|` / `?&`: ANY / ALL of the key array present in the document
+    for op_rx, mode in ((r"\?\|", "any"), (r"\?&", "all")):
+        while True:
+            m = re.search(
+                op_rx + r"\s*(array\s*\((?:[^()]|\([^()]*\))*\)"
+                r"|[\w.]+)", out, re.I)
+            if not m or _in_string(out, m.start()):
+                break
+            start = _operand_start(out, m.start())
+            while out[max(0, start - 2):start] == "::":
+                start = _operand_start(out, start - 2)
+            operand = out[start:m.start()].strip()
+            if not operand:
+                break
+            rhs = m.group(1)
+            if mode == "any":
+                repl = (f"arrays_overlap(json_object_keys({operand}),"
+                        f" {rhs})")
+            else:
+                repl = (f"forall({rhs}, __k -> array_contains("
+                        f"json_object_keys({operand}), __k))")
+            out = out[:start] + repl + out[m.end():]
+    cm2 = re.search(r"@>|<@", out)
     if cm2 and not _in_string(out, cm2.start()):
         raise NotImplementedError(
             f"pg operator {cm2.group(0)!r} (jsonb/range containment) "
             "is not supported; use get_json_object()/array functions"
         )
+
+    # jsonb_set(doc, '{a,b,0}', val[, create_missing]) → the MySQL
+    # mutation UDFs (same path grammar after '{a,b}' → '$.a.b[0]');
+    # the new value is JSON text, boxed as a 1-element JSON array for
+    # the _first_val decoding contract
+    def jset(m: re.Match) -> str:
+        doc, path, val, create = (m.group(1), m.group(2),
+                                  m.group(3), m.group(4))
+        legs = []
+        for leg in path.split(","):
+            leg = leg.strip().strip('"')
+            if not leg:
+                continue
+            legs.append(f"[{leg}]" if leg.isdigit() else f".{leg}")
+        fn = "json_set1"
+        if create and create.strip().lower() == "false":
+            fn = "json_replace1"
+        return (f"{fn}({doc}, '${''.join(legs)}', "
+                f"concat('[', {val}, ']'))")
+
+    _JARG = r"((?:'(?:[^']|'')*'|[^(),']|\([^()]*\))+?)"
+    out = re.sub(
+        r"(?i)\bjsonb?_set\s*\(\s*" + _JARG + r"\s*,\s*"
+        r"'\{([^}']*)\}'\s*,\s*" + _JARG +
+        r"(?:\s*,\s*" + _JARG + r")?\s*\)",
+        jset, out,
+    )
+    out = re.sub(r"(?i)\bjsonb?_strip_nulls\s*\(", "json_strip_nulls1(",
+                 out)
+    out = re.sub(r"(?i)\bjsonb_pretty\s*\(", "json_pretty_pg(", out)
 
     # pg json constructors/aggregates → to_json over Spark complex types
     out = _rewrite_wrapped_call(
