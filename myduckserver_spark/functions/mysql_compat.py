@@ -1060,6 +1060,13 @@ _FN_HANDLERS = {
     "TIME_TO_SEC": _fn_time_to_sec,
     "TIMEDIFF": _fn_timediff,
     "ADDTIME": _fn_addtime("+"),
+    # 2-arg TIMESTAMP(date_expr, time_expr): the time adds on
+    # (1-arg stays Spark-native)
+    "TIMESTAMP": lambda a: (
+        f"date_format(timestampadd(SECOND, {_dur_secs(a[1])}, "
+        f"CAST({a[0]} AS TIMESTAMP)), 'yyyy-MM-dd HH:mm:ss')"
+        if len(a) == 2 else None
+    ),
     "SUBTIME": _fn_addtime("-"),
     "MAKETIME": _fn_maketime,
     "IS_UUID": _fn_is_uuid,

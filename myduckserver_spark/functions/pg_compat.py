@@ -550,6 +550,16 @@ def _rewrite_functions(sql: str) -> str:
         r"(CASE WHEN (\1) >= 0 THEN floor(\1) ELSE ceil(\1) END)",
         out, flags=re.I,
     )
+    # (s1, e1) OVERLAPS (s2, e2): pg normalizes each pair, then
+    # s1 < e2 AND s2 < e1 (half-open interval overlap)
+    _OVP = r"((?:[^(),']|'[^']*')+)"
+    out = re.sub(
+        r"(?i)\(\s*" + _OVP + r"\s*,\s*" + _OVP + r"\s*\)\s+OVERLAPS"
+        r"\s+\(\s*" + _OVP + r"\s*,\s*" + _OVP + r"\s*\)",
+        r"(least(\1, \2) < greatest(\3, \4) "
+        r"AND least(\3, \4) < greatest(\1, \2))",
+        out,
+    )
     # BETWEEN SYMMETRIC: pg swaps the bounds when reversed
     out = re.sub(
         r"(?i)\bBETWEEN\s+SYMMETRIC\s+((?:[^()\s,]+|\([^()]*\))+)"

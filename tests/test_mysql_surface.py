@@ -1573,3 +1573,16 @@ def test_row_subquery_comparison(spark, tmp_path):
     with pytest.raises(Exception):
         e.execute("SELECT a FROM rt WHERE (a, b) = "
                   "(SELECT x, y FROM ru)").collect()
+
+
+def test_timestamp_two_arg(spark, tmp_path):
+    """2-arg TIMESTAMP(date, time) adds the time (round-10 battery)."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh_ts2"))
+    assert e.execute(
+        "SELECT TIMESTAMP('2024-01-01', '10:30:00') AS t"
+    ).collect()[0].t == "2024-01-01 10:30:00"
+    assert str(e.execute(
+        "SELECT TIMESTAMP('2024-01-01 01:00:00') AS t"
+    ).collect()[0].t).startswith("2024-01-01 01:00:00")

@@ -1134,3 +1134,22 @@ def test_battery17_pg_surface(spark, tmp_path):
         "WITH ORDINALITY AS e(v, i) ORDER BY e.i",
         dialect="postgres").collect()
     assert [(r.id, r.v, r.i) for r in rows] == [(1, "p", 1), (1, "q", 2)]
+
+
+def test_pg_overlaps_operator(spark, tmp_path):
+    """pg (s1, e1) OVERLAPS (s2, e2) datetime overlap (round-10
+    battery): pair-normalized half-open interval intersection."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh_ovl"))
+
+    def val(sql):
+        return e.execute(sql, dialect="postgres").collect()[0][0]
+
+    assert val("SELECT (DATE '2024-01-01', DATE '2024-02-01') "
+               "OVERLAPS (DATE '2024-01-15', DATE '2024-03-01')") is True
+    assert val("SELECT (DATE '2024-01-01', DATE '2024-02-01') "
+               "OVERLAPS (DATE '2024-02-01', DATE '2024-03-01')") is False
+    # pg normalizes reversed pairs
+    assert val("SELECT (DATE '2024-02-01', DATE '2024-01-01') "
+               "OVERLAPS (DATE '2024-01-15', DATE '2024-03-01')") is True
