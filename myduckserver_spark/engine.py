@@ -8756,6 +8756,18 @@ class Engine:
         )
 
     def _exec_show(self, s: st.Show) -> DataFrame:
+        if s.kind == "pg_setting":
+            # pg `SHOW <setting>`: one row, one column named like the
+            # setting; session value wins over the GUC default
+            name = s.target
+            val = self.variables.get(name)
+            if val is None:
+                val = self._PG_SETTING_DEFAULTS.get(name)
+            if val is None:
+                raise ValueError(
+                    f'unrecognized configuration parameter "{name}"')
+            return self.spark.createDataFrame(
+                [(str(val),)], f"`{name}` string")
         if s.kind == "tables":
             if s.target:  # SHOW TABLES FROM/IN otherdb
                 if s.target not in self._dbs:

@@ -1103,6 +1103,8 @@ def _rewrite_functions(sql: str) -> str:
         r"\brange\s*\(\s*((?:[^(),]|\([^()]*\))+?)\s*\)",
         r"sequence(0, (\1) - 1)", out, flags=re.I,
     )
+    # to_hex(n) → lowercase hex (Spark's hex() is uppercase)
+    out = _rewrite_wrapped_call(out, "to_hex", "lower(hex(", "))")
     # strpos(s, sub) → position(sub, s)  (argument swap)
     out = re.sub(
         r"\bstrpos\s*\(\s*([^(),]+?)\s*,\s*([^(),]+?)\s*\)",
@@ -1595,6 +1597,18 @@ def _rewrite_subscripts(sql: str) -> str:
                     if close > 0 and operand and ":" not in inner:
                         out = (out[:start]
                                + f"element_at({operand}, {inner})"
+                               + out[close + 1:])
+                        changed = True
+                        break
+                    sm = re.fullmatch(
+                        r"\s*(-?\d+)\s*:\s*(-?\d+)\s*", inner)
+                    if close > 0 and operand and sm:
+                        # slice [a:b] → slice(arr, a, b-a+1) —
+                        # inclusive bounds on both sides
+                        a_, b_ = int(sm.group(1)), int(sm.group(2))
+                        out = (out[:start]
+                               + f"slice({operand}, {a_}, "
+                               + f"{max(0, b_ - a_ + 1)})"
                                + out[close + 1:])
                         changed = True
                         break

@@ -2637,6 +2637,19 @@ def parse_statement(sql: str, hash_comments: bool = True):
             m.group(1).strip().upper().replace(" ", "-"),
         )
 
+    # pg spelling: SET [SESSION|LOCAL] name TO value  (psql/ORMs emit
+    # `SET search_path TO ...` on every connection)
+    m = re.match(
+        r"SET\s+(?:SESSION\s+|LOCAL\s+)?([\w.]+)\s+TO\s+(.+)$",
+        s, re.I | re.S,
+    )
+    if m and m.group(1).upper() != "TRANSACTION":
+        val = m.group(2).strip()
+        try:
+            return SetVar(m.group(1), parse_literal(val))
+        except ValueError:
+            return SetVar(m.group(1), val.strip("'\""))
+
     if re.match(r"SET\s+(?:SESSION\s+|GLOBAL\s+)?@{0,2}[\w.]+\s*:?=",
                 s, re.I):
         items: list[SetVar] = []
@@ -3012,6 +3025,9 @@ def parse_statement(sql: str, hash_comments: bool = True):
     if re.match(r"ROLLBACK\s*$", s, re.I):
         return TxnStmt("rollback")
 
+    m = re.match(r"CREATE\s+TEMP\s+(TABLE\b.*)$", s, re.I | re.S)
+    if m:  # pg spelling of TEMPORARY
+        return parse_statement("CREATE TEMPORARY " + m.group(1))
     m = re.match(r"CREATE\s+TEMPORARY\s+(TABLE\b.*)$", s, re.I | re.S)
     if m:
         stmt = parse_statement("CREATE " + m.group(1))
@@ -3288,6 +3304,13 @@ def parse_statement(sql: str, hash_comments: bool = True):
         ]
         return ProcedureStmt("call", unquote_ident(m.group(1)),
                              params=args)
+
+    # pg `SHOW <setting>` (psql/ORM startup: SHOW search_path, SHOW
+    # standard_conforming_strings, SHOW server_version). Placed after
+    # every MySQL SHOW form so those spellings win.
+    m = re.match(r"SHOW\s+([A-Za-z_][\w.]*)\s*$", s, re.I)
+    if m:
+        return Show("pg_setting", target=m.group(1).lower())
 
     if re.match(r"HANDLER\s+", s, re.I):
         raise NotImplementedError(

@@ -1153,3 +1153,31 @@ def test_pg_overlaps_operator(spark, tmp_path):
     # pg normalizes reversed pairs
     assert val("SELECT (DATE '2024-02-01', DATE '2024-01-01') "
                "OVERLAPS (DATE '2024-01-15', DATE '2024-03-01')") is True
+
+
+def test_pg_session_and_slice_surface(spark, tmp_path):
+    """Round-10 battery 19: pg SET ... TO / SHOW <setting>, array
+    slices, to_hex, CREATE TEMP TABLE — the psql/ORM connection
+    bootstrap surface."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh_b19"))
+    e.execute("SET search_path TO public", dialect="postgres")
+    row = e.execute("SHOW search_path", dialect="postgres").collect()
+    assert row[0][0] == "public"
+    row = e.execute("SHOW standard_conforming_strings",
+                    dialect="postgres").collect()
+    assert row[0][0] == "on"
+    row = e.execute("SHOW server_version", dialect="postgres").collect()
+    assert row[0][0].startswith("15")
+    assert list(e.execute("SELECT (ARRAY[10,20,30,40])[2:3] AS s",
+                          dialect="postgres").collect()[0].s) == [20, 30]
+    assert e.execute("SELECT to_hex(255) AS h",
+                     dialect="postgres").collect()[0].h == "ff"
+    e.execute("CREATE TEMP TABLE b19tmp AS SELECT 1 AS x",
+              dialect="postgres")
+    assert e.execute("SELECT x FROM b19tmp",
+                     dialect="postgres").collect()[0].x == 1
+    # temp tables stay hidden from SHOW TABLES (TEMPORARY semantics)
+    names = [r[0] for r in e.execute("SHOW TABLES").collect()]
+    assert "b19tmp" not in names
