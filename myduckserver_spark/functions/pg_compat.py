@@ -46,7 +46,7 @@ _PG_TYPE_MAP = {
     "smallint": "SMALLINT", "int2": "SMALLINT",
     "integer": "INT", "int": "INT", "int4": "INT",
     "bigint": "BIGINT", "int8": "BIGINT",
-    "real": "FLOAT", "float4": "FLOAT",
+    "real": "FLOAT", "float4": "FLOAT", "float": "DOUBLE",
     "double precision": "DOUBLE", "float8": "DOUBLE",
     "numeric": "DECIMAL", "decimal": "DECIMAL",
     "text": "STRING", "varchar": "STRING", "character varying": "STRING",
@@ -1594,7 +1594,8 @@ def _rewrite_subscripts(sql: str) -> str:
                     inner = out[i + 1: close] if close > 0 else ""
                     start = _operand_start(out, i)
                     operand = out[start:i].strip()
-                    if close > 0 and operand and ":" not in inner:
+                    if close > 0 and operand and inner.strip() \
+                            and ":" not in inner:
                         out = (out[:start]
                                + f"element_at({operand}, {inner})"
                                + out[close + 1:])
