@@ -720,10 +720,21 @@ def _fn_microsecond(a):
 
 def _fn_least_greatest(name):
     # MySQL LEAST/GREATEST return NULL when ANY argument is NULL;
-    # Spark's (SQL-standard) skip NULLs
+    # Spark's (SQL-standard) skip NULLs. Mixed string-literal/number
+    # arguments compare numerically in MySQL — unquote numeric string
+    # literals when a bare number is among the args (Spark's least()
+    # rejects mixed types).
     def h(a):
         if len(a) < 2:
             return None
+        if any(re.fullmatch(r"\s*-?\d+(\.\d+)?\s*", x) for x in a):
+            def unq(x):
+                lit = _str_lit(x.strip())
+                if lit is not None and re.fullmatch(
+                        r"-?\d+(\.\d+)?", lit.strip()):
+                    return lit.strip()
+                return x
+            a = [unq(x) for x in a]
         null_any = " OR ".join(f"(({x}) IS NULL)" for x in a)
         return (f"CASE WHEN {null_any} THEN NULL "
                 f"ELSE {name}({', '.join(a)}) END")
@@ -951,6 +962,12 @@ _FN_HANDLERS = {
     "ATAN": lambda a: f"atan2({a[0]}, {a[1]})" if len(a) == 2 else None,
     "LEAST": _fn_least_greatest("least"),
     "GREATEST": _fn_least_greatest("greatest"),
+    # 2-arg FROM_UNIXTIME routes its %-format through the DATE_FORMAT
+    # machinery (raw %Y would hit Java's week-based-pattern error)
+    "FROM_UNIXTIME": lambda a: (
+        _fn_date_format([f"from_unixtime({a[0]})", a[1]])
+        if len(a) == 2 else None
+    ),
     "OCT": lambda a: f"conv(cast({a[0]} as bigint), 10, 8)" if len(a) == 1 else None,
     "MID": lambda a: (
         f"substring({', '.join(a)})" if len(a) in (2, 3) else None
@@ -1454,20 +1471,40 @@ def _pass_keywords(toks: list[Tok]) -> list[Tok]:
 
 
 def _pass_limit(toks: list[Tok]) -> list[Tok]:
-    """LIMIT offset, count → LIMIT count OFFSET offset."""
+    """LIMIT offset, count → LIMIT count OFFSET offset; counts beyond
+    BIGINT clamp to its max (mysqldump's 18446744073709551615 = "all
+    remaining rows")."""
     out = list(toks)
     i = 0
     while i < len(out):
         t = out[i]
         if t.is_word("LIMIT"):
             a = _sig_next(out, i)
+            if (a < len(out) and out[a].kind == "num"
+                    and out[a].text.isdigit()
+                    and int(out[a].text) > 2147483647):
+                # Spark's LIMIT operand is a 32-bit int, and
+                # LIMIT + OFFSET together must stay under it
+                off = 0
+                o1 = _sig_next(out, a)
+                if o1 < len(out) and out[o1].is_word("OFFSET"):
+                    o2 = _sig_next(out, o1)
+                    if (o2 < len(out) and out[o2].kind == "num"
+                            and out[o2].text.isdigit()):
+                        off = int(out[o2].text)
+                out[a] = Tok("num", str(2147483647 - off))
             if a < len(out) and out[a].kind == "num":
                 c = _sig_next(out, a)
                 if c < len(out) and out[c].kind == "op" and out[c].text == ",":
                     b = _sig_next(out, c)
                     if b < len(out) and out[b].kind == "num":
+                        cnt = out[b].text
+                        if cnt.isdigit() and int(cnt) > 2147483647:
+                            off = (int(out[a].text)
+                                   if out[a].text.isdigit() else 0)
+                            cnt = str(2147483647 - off)
                         repl = tokenize(
-                            f"LIMIT {out[b].text} OFFSET {out[a].text}"
+                            f"LIMIT {cnt} OFFSET {out[a].text}"
                         )
                         out[i : b + 1] = repl
                         i += len(repl)
@@ -1509,6 +1546,15 @@ def _fn_cast(a):
 
             v = Decimal(expr).quantize(Decimal("1"), ROUND_HALF_UP)
             return f"cast({v} AS BIGINT)"
+        # MySQL never NULLs a CAST of a non-NULL value: strings parse
+        # their integer prefix ('12abc' → 12) and degrade to 0
+        # ('abc' → 0); the plain cast stays first so numeric operands
+        # keep their path
+        return (f"(CASE WHEN ({expr}) IS NULL THEN "
+                f"CAST(NULL AS BIGINT) ELSE coalesce("
+                f"try_cast({expr} AS BIGINT), "
+                f"try_cast(regexp_extract(CAST({expr} AS STRING), "
+                f"'^\\\\s*[+-]?[0-9]+', 0) AS BIGINT), 0) END)")
     out = f"cast({m.group(1)} {_CAST_TO_SPARK[ty]})"
     if ty in ("CHAR", "NCHAR") and m.group(4):
         # MySQL CAST(x AS CHAR(n)) truncates to n characters
@@ -2199,6 +2245,17 @@ def _pass_mysql_operators(toks: list[Tok]) -> list[Tok]:
                 )
                 if ni is not None:
                     i = ni
+                    continue
+            if u == "WHEN":
+                # CASE WHEN NULL THEN ...: Spark demands a boolean
+                # condition; MySQL treats NULL as not-true
+                j = _sig_next(toks, i)
+                j2 = _sig_next(toks, j) if j < n else n
+                if (j < n and toks[j].is_word("NULL")
+                        and j2 < n and toks[j2].is_word("THEN")):
+                    out.extend(tokenize(
+                        "WHEN CAST(NULL AS BOOLEAN) THEN"))
+                    i = j2 + 1
                     continue
             if u == "COLLATE":
                 j = _sig_next(toks, i)

@@ -1105,6 +1105,13 @@ def _rewrite_functions(sql: str) -> str:
     )
     # to_hex(n) → lowercase hex (Spark's hex() is uppercase)
     out = _rewrite_wrapped_call(out, "to_hex", "lower(hex(", "))")
+    # isfinite(date/ts): no infinity values exist here — non-NULL is
+    # finite
+    out = _rewrite_wrapped_call(out, "isfinite", "((", ") IS NOT NULL)")
+    # justify_hours/days/interval renormalize DISPLAY units; the value
+    # is unchanged — identity preserves comparison semantics
+    out = _rewrite_wrapped_call(
+        out, "justify_(?:hours|days|interval)", "((", "))")
     # strpos(s, sub) → position(sub, s)  (argument swap)
     out = re.sub(
         r"\bstrpos\s*\(\s*([^(),]+?)\s*,\s*([^(),]+?)\s*\)",

@@ -1586,3 +1586,35 @@ def test_timestamp_two_arg(spark, tmp_path):
     assert str(e.execute(
         "SELECT TIMESTAMP('2024-01-01 01:00:00') AS t"
     ).collect()[0].t).startswith("2024-01-01 01:00:00")
+
+
+def test_battery21_coercion_and_edges(spark, tmp_path):
+    """Round-10 battery 21: CAST string→SIGNED prefix parsing (was a
+    silent NULL), LEAST mixed literal types, CASE WHEN NULL,
+    FROM_UNIXTIME %-format routing, mysqldump max-LIMIT clamp."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh_b21"))
+
+    def val(sql):
+        return e.execute(sql).collect()[0][0]
+
+    assert val("SELECT CAST('abc' AS SIGNED)") == 0
+    assert val("SELECT CAST('12abc' AS SIGNED)") == 12
+    assert val("SELECT CAST('12.7' AS SIGNED)") == 12  # string: prefix
+    assert val("SELECT CAST('-3x' AS SIGNED)") == -3
+    assert val("SELECT CAST(NULL AS SIGNED)") is None
+    assert val("SELECT CAST(1.7 AS SIGNED)") == 2      # numeric: rounds
+    assert val("SELECT LEAST('1', 2)") == 1
+    assert val("SELECT GREATEST(3, '10')") == 10
+    assert val("SELECT CASE WHEN NULL THEN 'x' ELSE 'y' END") == "y"
+    assert val("SELECT FROM_UNIXTIME(1704067200, '%Y %v')") == "2024 01"
+    e.execute("CREATE TABLE lmt (a INT)")
+    e.execute("INSERT INTO lmt VALUES (1), (2)")
+    rows = e.execute(
+        "SELECT a FROM lmt LIMIT 18446744073709551615").collect()
+    assert len(rows) == 2
+    rows = e.execute(
+        "SELECT a FROM lmt ORDER BY a LIMIT 1, 18446744073709551615"
+    ).collect()
+    assert [r.a for r in rows] == [2]
