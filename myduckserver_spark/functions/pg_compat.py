@@ -166,6 +166,26 @@ def _parse_type(s: str, i: int) -> tuple[str, int] | None:
     return spark + args, end
 
 
+def _interval_text_secs(txt: str) -> float | None:
+    """'15 minutes' / '1 hour 30 minutes' → seconds; None when a unit
+    is month-or-larger (not a fixed span)."""
+    total = 0.0
+    found = False
+    for num, unit in re.findall(r"([\d.]+)\s*([A-Za-z]+)", txt):
+        mult = {
+            "second": 1, "seconds": 1, "sec": 1, "secs": 1, "s": 1,
+            "minute": 60, "minutes": 60, "min": 60, "mins": 60,
+            "hour": 3600, "hours": 3600, "h": 3600,
+            "day": 86400, "days": 86400, "d": 86400,
+            "week": 604800, "weeks": 604800,
+        }.get(unit.lower())
+        if mult is None:
+            return None
+        total += float(num) * mult
+        found = True
+    return total if found and total > 0 else None
+
+
 def _rewrite_casts(sql: str) -> str:
     """``expr::type`` → ``CAST(expr AS type)``, innermost-first."""
     out = sql
@@ -512,6 +532,33 @@ def _rewrite_functions(sql: str) -> str:
                    else f"(((dayofweek({m.group(2)}) + 5) % 7) + 1)"),
         out, flags=re.I,
     )
+    # pg-only extract fields Spark's EXTRACT doesn't know
+    _EXTRA_FIELDS = {
+        "isoyear": "extract(YEAROFWEEK FROM {x})",
+        "century": "CAST(ceil(year({x}) / 100.0) AS BIGINT)",
+        "millennium": "CAST(ceil(year({x}) / 1000.0) AS BIGINT)",
+        "decade": "CAST(floor(year({x}) / 10) AS BIGINT)",
+        # within-the-minute totals, pg's definition
+        "milliseconds": ("(CAST(date_format({x}, 'ss') AS BIGINT) "
+                         "* 1000 + CAST(date_format({x}, 'SSS') "
+                         "AS BIGINT))"),
+        "microseconds": ("(CAST(date_format({x}, 'ss') AS BIGINT) "
+                         "* 1000000 + CAST(date_format({x}, "
+                         "'SSSSSS') AS BIGINT))"),
+    }
+    for fld, tpl in _EXTRA_FIELDS.items():
+        out = re.sub(
+            r"\bextract\s*\(\s*" + fld + r"\s+from\s+"
+            r"((?:[^(),]|\([^()]*\))+?)\s*\)",
+            lambda m, t=tpl: t.format(x=m.group(1)),
+            out, flags=re.I,
+        )
+        out = re.sub(
+            r"\bdate_part\s*\(\s*'" + fld + r"'\s*,\s*"
+            r"((?:[^(),]|\([^()]*\))+?)\s*\)",
+            lambda m, t=tpl: t.format(x=m.group(1)),
+            out, flags=re.I,
+        )
 
     # timestamp flavors: one snapshot clock here
     out = re.sub(
@@ -1153,6 +1200,36 @@ def _rewrite_functions(sql: str) -> str:
         r"transform(\1, __e -> CASE WHEN __e <=> (\2) THEN (\3) "
         r"ELSE __e END)", out,
     )
+    # string_to_table(s, 'sep'): literal separator — regex-escape it
+    # and fold onto the regexp_split_to_table machinery below
+    def stt(m: re.Match) -> str:
+        esc = re.escape(m.group(2)).replace("\\", "\\\\") \
+            .replace("'", "''")
+        return f"regexp_split_to_table({m.group(1)}, '{esc}')"
+
+    out = re.sub(
+        r"(?i)\bstring_to_table\s*\(\s*"
+        r"((?:'(?:[^']|'')*'|[^(),']|\([^()]*\))+?)"
+        r"\s*,\s*'((?:[^']|'')*)'\s*\)",
+        stt, out,
+    )
+    # date_bin(interval 'stride', ts, origin): origin-aligned bucket
+    def dbin(m: re.Match) -> str:
+        secs = _interval_text_secs(m.group(1))
+        if secs is None:
+            return m.group(0)
+        ts, org = m.group(2), m.group(3)
+        s = int(secs) if float(secs).is_integer() else secs
+        return (f"to_timestamp(unix_timestamp({org}) + "
+                f"CAST(floor((unix_timestamp({ts}) - "
+                f"unix_timestamp({org})) / {s}) AS BIGINT) * {s})")
+
+    out = re.sub(
+        r"(?i)\bdate_bin\s*\(\s*interval\s+'([^']+)'\s*,\s*"
+        r"((?:[^(),]|\([^()]*\))+?)\s*,\s*"
+        r"((?:[^(),]|\([^()]*\))+?)\s*\)",
+        dbin, out,
+    )
     # regexp_split_to_table(s, p): set-returning split — FROM / comma
     # / scalar positions (single-column SRF: an alias names the column)
     if re.search(r"(?i)\bregexp_split_to_table\s*\(", out):
@@ -1206,13 +1283,25 @@ def _rewrite_functions(sql: str) -> str:
     # structs is the deterministic equivalent)
     def aa(m: re.Match) -> str:
         e, ob, dr = m.group(1), m.group(2), (m.group(3) or "").strip()
-        base = (
-            f"transform(array_sort(collect_list(struct(({ob}) AS __k,"
-            f" ({e}) AS __v))), __s -> __s.__v)"
-        )
+        dm = re.match(r"(?is)^DISTINCT\s+(.*)$", e)
+        if dm:
+            # pg requires the DISTINCT ORDER BY key to be the argument
+            # itself — sorted set semantics
+            e = dm.group(1)
+            base = f"array_sort(collect_set({e}))"
+        else:
+            base = (
+                f"transform(array_sort(collect_list(struct(({ob}) AS "
+                f"__k, ({e}) AS __v))), __s -> __s.__v)"
+            )
         return f"reverse({base})" if dr.upper() == "DESC" else base
 
     out = _ARRAY_AGG_RE.sub(aa, out)
+    # orderless DISTINCT form
+    out = re.sub(
+        r"\barray_agg\s*\(\s*DISTINCT\s+((?:[^(),]|\([^()]*\))+?)\s*\)",
+        r"collect_set(\1)", out, flags=re.I,
+    )
 
     # FROM-comma unnest (implicit lateral): `FROM t, unnest(e) AS a`
     # or `AS t(x)` → LATERAL VIEW explode; `WITH ORDINALITY` adds the
@@ -1890,6 +1979,14 @@ def translate_postgres(sql: str, schema_fn=None) -> str:
     position — resolve table columns."""
     out = sql
     out = _ESTRING_RE.sub("'", out)  # E'..' → '..' (Spark does escapes)
+    # FETCH FIRST n ROWS WITH TIES: peers of the n-th row stay —
+    # a rank() window predicate (lowered by the QUALIFY rewrite below)
+    out = re.sub(
+        r"(?is)\bORDER\s+BY\s+(.+?)\s+"
+        r"FETCH\s+FIRST\s+(\d+)\s+ROWS?\s+WITH\s+TIES\b",
+        r"QUALIFY rank() OVER (ORDER BY \1) <= \2 ORDER BY \1",
+        out,
+    )
     out = _FETCH_FIRST_RE.sub(r"LIMIT \1", out)
     out = _rewrite_pg_session_fns(out)
     out = _rewrite_at_time_zone(out)

@@ -1181,3 +1181,40 @@ def test_pg_session_and_slice_surface(spark, tmp_path):
     # temp tables stay hidden from SHOW TABLES (TEMPORARY semantics)
     names = [r[0] for r in e.execute("SHOW TABLES").collect()]
     assert "b19tmp" not in names
+
+
+def test_battery22_bi_aggregates_and_time(spark, tmp_path):
+    """Round-10 battery 22: BI aggregate/time surface — WITHIN GROUP
+    percentiles/mode, array_agg DISTINCT, date_bin, pg-only extract
+    fields, FETCH FIRST WITH TIES, string_to_table."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh_b22"))
+    e.execute("CREATE TABLE m (g VARCHAR(5), x DOUBLE)",
+              dialect="postgres")
+    e.execute("INSERT INTO m VALUES ('a',1),('a',2),('a',2),('b',10)",
+              dialect="postgres")
+
+    def val(sql):
+        return e.execute(sql, dialect="postgres").collect()[0][0]
+
+    assert val("SELECT percentile_cont(0.5) WITHIN GROUP "
+               "(ORDER BY x) FROM m") == 2.0
+    assert val("SELECT mode() WITHIN GROUP (ORDER BY g) FROM m") == "a"
+    assert list(val(
+        "SELECT array_agg(DISTINCT g ORDER BY g) FROM m")) == ["a", "b"]
+    assert str(val(
+        "SELECT date_bin(interval '15 minutes', "
+        "timestamp '2024-01-01 00:37:00', "
+        "timestamp '2024-01-01 00:00:00')")) == "2024-01-01 00:30:00"
+    assert val("SELECT extract(isoyear from date '1999-01-01')") == 1998
+    assert val("SELECT extract(century from date '2024-01-01')") == 21
+    assert val("SELECT extract(milliseconds from "
+               "timestamp '2024-01-01 00:00:01.5')") == 1500
+    rows = e.execute(
+        "SELECT x FROM m ORDER BY x FETCH FIRST 2 ROWS WITH TIES",
+        dialect="postgres").collect()
+    assert sorted(r.x for r in rows) == [1.0, 2.0, 2.0]  # ties kept
+    rows = e.execute("SELECT string_to_table('a.b', '.') AS s",
+                     dialect="postgres").collect()
+    assert [r.s for r in rows] == ["a", "b"]  # literal sep, not regex
