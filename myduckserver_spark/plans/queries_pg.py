@@ -140,6 +140,31 @@ _pg(
 )
 
 
+_pg(
+    "pg_within_group",
+    """
+    SELECT o_orderpriority,
+           CAST(percentile_cont(0.5) WITHIN GROUP
+                (ORDER BY o_totalprice) AS DOUBLE) AS med_price,
+           CAST(percentile_disc(0.25) WITHIN GROUP
+                (ORDER BY o_totalprice) AS DOUBLE) AS q1_price,
+           mode() WITHIN GROUP (ORDER BY o_orderstatus) AS top_status,
+           array_agg(DISTINCT o_orderstatus ORDER BY o_orderstatus)
+               AS statuses
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("pg", "within-group", "percentile", "aggregate"),
+    doc="""Ordered-set aggregates through the pg door — the BI-tool
+    staples percentile_cont/percentile_disc/mode() WITHIN GROUP plus
+    array_agg(DISTINCT ... ORDER BY). Spark runs percentile natively;
+    mode/array_agg-DISTINCT lower to mode()/array_sort(collect_set).
+    Scale: one hash shuffle on the GROUP BY key; percentiles are
+    Spark's native partial aggregates, no per-group collect.""",
+)
+
+
 @register(
     "pg_sequence_lifecycle",
     oracle="""
