@@ -5774,7 +5774,52 @@ class Engine:
                 "so it cannot execute this statement"
             )
 
+    _PG_SETCFG_RE = re.compile(
+        r"(?i)\bset_config\s*\(\s*'([^']+)'\s*,\s*'([^']*)'\s*,\s*"
+        r"(true|false)\s*\)"
+    )
+
+    def _pg_statement_prep(self, sql: str) -> str:
+        """pg_dump / pg-client statement normalization before parsing:
+        ``public.`` is THE default schema (this engine's namespace),
+        ``pg_catalog.fn(...)`` call prefixes drop (qualified catalog
+        VIEWS keep their path through infoschema), ``ALTER TABLE
+        ONLY`` / ``CREATE INDEX ... USING btree`` noise words strip,
+        and set_config() folds into the session-variable store."""
+        masked = st.mask_strings(sql)
+        spans = []
+        for m in re.finditer(r"(?i)\b(public|pg_catalog)\s*\.\s*(?=[\w\"])",
+                             masked):
+            if m.group(1).lower() == "pg_catalog":
+                fm = re.match(r"[\w\"]+\s*\(", masked[m.end():])
+                if not fm:
+                    continue  # a catalog view reference, not a call
+            spans.append((m.start(), m.end()))
+        if spans:
+            out, pos = [], 0
+            for s0, e0 in spans:
+                out.append(sql[pos:s0])
+                pos = e0
+            out.append(sql[pos:])
+            sql = "".join(out)
+        sql = re.sub(r"(?i)\b(ALTER\s+TABLE|TRUNCATE(?:\s+TABLE)?)\s+"
+                     r"ONLY\s+", r"\1 ", sql)
+        if re.match(r"(?i)\s*CREATE\s+(?:UNIQUE\s+)?INDEX\b", sql):
+            sql = re.sub(
+                r"(?i)\s+USING\s+(?:btree|hash|gin|gist|spgist|brin)\b",
+                "", sql)
+
+        def setcfg(m: re.Match) -> str:
+            name, val = m.group(1).lower(), m.group(2)
+            self.variables[name] = val
+            return "'" + val.replace("'", "''") + "'"
+
+        sql = self._PG_SETCFG_RE.sub(setcfg, sql)
+        return sql
+
     def _execute_one(self, sql: str, dialect: str):
+        if dialect == "postgres":
+            sql = self._pg_statement_prep(sql)
         sw = self._qualified_target_db(sql)
         if sw is not None:
             db, stripped = sw

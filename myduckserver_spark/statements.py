@@ -2811,6 +2811,9 @@ def parse_statement(sql: str, hash_comments: bool = True):
         r"((?:[\w\"`]+\.)?[\w\"`]+)\s*(.*)$",
         s, re.I | re.S,
     )
+    if m and re.match(r"(?i)OWNED\s+BY\b", m.group(2).strip()):
+        # pg_dump ownership metadata — nothing to do here
+        return Show("noop_admin")
     if m and re.search(r"(?i)\bRESTART\b|\bINCREMENT\b", m.group(2)):
         alt = AlterSequence(normalize_seq_name(m.group(1)))
         rm2 = re.search(r"(?i)\bRESTART(?:\s+WITH\s+(-?\d+))?", m.group(2))

@@ -112,7 +112,7 @@ def mysql_to_spark(type_str: str) -> tuple[T.DataType, dict]:
         if m:
             meta["length"] = int(m.group(1))
         return T.BinaryType(), meta
-    if base == "JSON":
+    if base in ("JSON", "JSONB"):  # pg_dump emits jsonb columns
         meta["json"] = True
         return T.StringType(), meta
     if base in ("ENUM", "SET"):

@@ -1218,3 +1218,59 @@ def test_battery22_bi_aggregates_and_time(spark, tmp_path):
     rows = e.execute("SELECT string_to_table('a.b', '.') AS s",
                      dialect="postgres").collect()
     assert [r.s for r in rows] == ["a", "b"]  # literal sep, not regex
+
+
+def test_pg_dump_restore_end_to_end(spark, tmp_path):
+    """A faithful slice of pg_dump 15 output restores end-to-end
+    (round-10 battery 23): SET preamble + set_config, public.-
+    qualified DDL/DML, jsonb/text[]/numeric columns, sequence
+    lifecycle incl. OWNED BY and setval, ALTER TABLE ONLY ... ADD
+    CONSTRAINT, CREATE INDEX USING btree, COMMENT ON."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh_pgdump"))
+    dump = """
+    SET statement_timeout = 0;
+    SET client_encoding = 'UTF8';
+    SET standard_conforming_strings = on;
+    SELECT pg_catalog.set_config('search_path', '', false);
+    CREATE TABLE public.accounts (
+        id integer NOT NULL,
+        email text NOT NULL,
+        balance numeric(12,2) DEFAULT 0.00,
+        tags text[],
+        meta jsonb,
+        created_at timestamp without time zone DEFAULT now()
+    );
+    CREATE SEQUENCE public.accounts_id_seq
+        AS integer START WITH 1 INCREMENT BY 1
+        NO MINVALUE NO MAXVALUE CACHE 1;
+    ALTER SEQUENCE public.accounts_id_seq OWNED BY public.accounts.id;
+    INSERT INTO public.accounts VALUES (1, 'a@x.com', 10.50,
+        ARRAY['vip','beta'], '{"plan":"pro"}', '2024-01-01 00:00:00');
+    INSERT INTO public.accounts VALUES (2, 'b@x.com', 0.00,
+        ARRAY['beta'], '{"plan":"free"}', '2024-01-02 00:00:00');
+    SELECT pg_catalog.setval('public.accounts_id_seq', 2, true);
+    ALTER TABLE ONLY public.accounts
+        ADD CONSTRAINT accounts_pkey PRIMARY KEY (id);
+    CREATE INDEX idx_accounts_email ON public.accounts
+        USING btree (email);
+    COMMENT ON TABLE public.accounts IS 'user accounts';
+    """
+    for stmt in [x.strip() for x in dump.split(";") if x.strip()]:
+        e.execute(stmt, dialect="postgres")
+    rows = e.execute(
+        "SELECT id, email, tags, meta->>'plan' AS plan "
+        "FROM public.accounts ORDER BY id",
+        dialect="postgres").collect()
+    assert [(r.id, r.email, list(r.tags), r.plan) for r in rows] == [
+        (1, "a@x.com", ["vip", "beta"], "pro"),
+        (2, "b@x.com", ["beta"], "free"),
+    ]
+    assert e.execute("SELECT nextval('accounts_id_seq')",
+                     dialect="postgres").collect()[0][0] == 3
+    # PK restored: duplicate insert rejects
+    import pytest
+    with pytest.raises(Exception, match="(?i)duplicate|1062"):
+        e.execute("INSERT INTO accounts VALUES (1, 'dup@x.com', 0, "
+                  "NULL, NULL, NULL)", dialect="postgres")
