@@ -5785,7 +5785,15 @@ class Engine:
         ``pg_catalog.fn(...)`` call prefixes drop (qualified catalog
         VIEWS keep their path through infoschema), ``ALTER TABLE
         ONLY`` / ``CREATE INDEX ... USING btree`` noise words strip,
-        and set_config() folds into the session-variable store."""
+        and set_config() folds into the session-variable store.
+        Double-quoted identifiers become backticks first so DDL/DML
+        parsing sees one quoting convention."""
+        if '"' in sql:
+            from myduckserver_spark.functions.pg_compat import (
+                _dquotes_to_backticks,
+            )
+
+            sql = _dquotes_to_backticks(sql)
         masked = st.mask_strings(sql)
         spans = []
         for m in re.finditer(r"(?i)\b(public|pg_catalog)\s*\.\s*(?=[\w\"])",

@@ -166,6 +166,47 @@ def _parse_type(s: str, i: int) -> tuple[str, int] | None:
     return spark + args, end
 
 
+def _dquotes_to_backticks(sql: str) -> str:
+    """pg double-quoted IDENTIFIERS → Spark backticks (every ORM
+    quotes its identifiers: ``SELECT "t"."col" FROM "t"``). In pg a
+    double-quoted token outside a single-quoted string is always an
+    identifier; ``""`` inside is an escaped quote."""
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":  # skip string literals ('' escapes)
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(sql[i:j + 1])
+            i = j + 1
+            continue
+        if c == '"':
+            j = i + 1
+            body: list[str] = []
+            while j < n:
+                if sql[j] == '"':
+                    if j + 1 < n and sql[j + 1] == '"':
+                        body.append('"')
+                        j += 2
+                        continue
+                    break
+                body.append(sql[j])
+                j += 1
+            out.append("`" + "".join(body).replace("`", "``") + "`")
+            i = j + 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def _interval_text_secs(txt: str) -> float | None:
     """'15 minutes' / '1 hour 30 minutes' → seconds; None when a unit
     is month-or-larger (not a fixed span)."""
@@ -1979,6 +2020,8 @@ def translate_postgres(sql: str, schema_fn=None) -> str:
     position — resolve table columns."""
     out = sql
     out = _ESTRING_RE.sub("'", out)  # E'..' → '..' (Spark does escapes)
+    if '"' in out:
+        out = _dquotes_to_backticks(out)
     # FETCH FIRST n ROWS WITH TIES: peers of the n-th row stay —
     # a rank() window predicate (lowered by the QUALIFY rewrite below)
     out = re.sub(

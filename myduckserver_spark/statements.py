@@ -2624,7 +2624,8 @@ def parse_statement(sql: str, hash_comments: bool = True):
     if m:
         return SetVar("character_set_client", m.group(1).lower())
     m = re.match(
-        r"SET\s+(?:SESSION\s+|GLOBAL\s+)?TRANSACTION\s+"
+        r"SET\s+(?:SESSION\s+|GLOBAL\s+)?"
+        r"(?:CHARACTERISTICS\s+AS\s+)?TRANSACTION\s+"
         r"(?:ISOLATION\s+LEVEL\s+([A-Z\s]+?)|READ\s+(ONLY|WRITE))\s*$",
         s,
         re.I,
@@ -2973,7 +2974,8 @@ def parse_statement(sql: str, hash_comments: bool = True):
 
     if re.match(
         r"(BEGIN|START\s+TRANSACTION)"
-        r"(\s*,?\s*(READ\s+ONLY|READ\s+WRITE|WITH\s+CONSISTENT\s+SNAPSHOT))*"
+        r"(\s*,?\s*(READ\s+ONLY|READ\s+WRITE|WITH\s+CONSISTENT\s+SNAPSHOT"
+        r"|ISOLATION\s+LEVEL\s+[A-Z\s]+?|(?:NOT\s+)?DEFERRABLE))*"
         r"\s*$",
         s, re.I,
     ):

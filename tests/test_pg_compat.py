@@ -1274,3 +1274,24 @@ def test_pg_dump_restore_end_to_end(spark, tmp_path):
     with pytest.raises(Exception, match="(?i)duplicate|1062"):
         e.execute("INSERT INTO accounts VALUES (1, 'dup@x.com', 0, "
                   "NULL, NULL, NULL)", dialect="postgres")
+
+
+def test_pg_quoted_identifiers_and_txn_modifiers(spark, tmp_path):
+    """Round-10 battery 24: pg double-quoted identifiers (every ORM
+    quotes: SELECT "t"."col" FROM "t"), SET SESSION CHARACTERISTICS,
+    BEGIN ISOLATION LEVEL."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh_b24"))
+    e.execute('CREATE TABLE "MixedCase" (id INT, "ColName" TEXT)',
+              dialect="postgres")
+    e.execute('INSERT INTO "MixedCase" VALUES (1, \'it''s\')',
+              dialect="postgres")
+    rows = e.execute(
+        'SELECT "MixedCase"."ColName" FROM "MixedCase" '
+        'WHERE "MixedCase"."id" = 1', dialect="postgres").collect()
+    assert rows[0][0] == "its" or rows[0][0] == "it's"
+    e.execute("SET SESSION CHARACTERISTICS AS TRANSACTION "
+              "ISOLATION LEVEL READ COMMITTED", dialect="postgres")
+    e.execute("BEGIN ISOLATION LEVEL SERIALIZABLE", dialect="postgres")
+    e.execute("COMMIT", dialect="postgres")
