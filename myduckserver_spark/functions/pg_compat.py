@@ -48,6 +48,7 @@ _PG_TYPE_MAP = {
     "bigint": "BIGINT", "int8": "BIGINT",
     "real": "FLOAT", "float4": "FLOAT", "float": "DOUBLE",
     "double precision": "DOUBLE", "float8": "DOUBLE",
+    "double": "DOUBLE",
     "numeric": "DECIMAL", "decimal": "DECIMAL",
     "text": "STRING", "varchar": "STRING", "character varying": "STRING",
     "char": "STRING", "character": "STRING", "bpchar": "STRING",
@@ -164,6 +165,54 @@ def _parse_type(s: str, i: int) -> tuple[str, int] | None:
     if m:
         return f"ARRAY<{spark}{args}>", m.end()
     return spark + args, end
+
+
+def _pg_string_literals(sql: str) -> str:
+    """pg string-literal semantics → Spark: a plain ``'...'`` literal
+    treats backslash LITERALLY (standard_conforming_strings=on), so
+    backslashes double for Spark's C-style parser — otherwise every
+    regex pattern (``'\\d+'``) and Windows path silently mangles.
+    ``E'...'`` strings use the same escape grammar Spark does — the
+    prefix just drops."""
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if (c in "Ee" and i + 1 < n and sql[i + 1] == "'"
+                and (i == 0 or not (sql[i - 1].isalnum()
+                                    or sql[i - 1] in "_\"`'"))):
+            j = i + 2
+            while j < n:
+                if sql[j] == "\\":
+                    j += 2
+                    continue
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(sql[i + 1:min(j + 1, n)])
+            i = j + 1
+            continue
+        if c == "'":
+            j = i + 1
+            body: list[str] = []
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        body.append("''")
+                        j += 2
+                        continue
+                    break
+                body.append("\\\\" if sql[j] == "\\" else sql[j])
+                j += 1
+            out.append("'" + "".join(body) + "'")
+            i = j + 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
 
 
 def _dquotes_to_backticks(sql: str) -> str:
@@ -1066,16 +1115,89 @@ def _rewrite_functions(sql: str) -> str:
         ("list_sort", "array_sort"), ("list_distinct", "array_distinct"),
         ("list_extract", "element_at"), ("list_concat", "concat"),
         ("list_append", "array_append"), ("list_position", "array_position"),
-        ("list_reverse_sort", "array_sort"),  # then reversed below? no: keep simple
-        ("list_unique", "array_distinct"), ("list_min", "array_min"),
-        ("list_max", "array_max"), ("list_sum", "0+aggregate"),
+        ("list_min", "array_min"),
+        ("list_max", "array_max"),
+        ("list_reverse", "reverse"), ("list_zip", "arrays_zip"),
+        ("list_has_any", "arrays_overlap"),
+        ("string_split_regex", "split"),
+        ("datetrunc", "date_trunc"),
+        ("greatest_common_divisor", "gcd"),
+        ("least_common_multiple", "lcm"),
     ):
-        if src in ("list_reverse_sort", "list_sum"):
-            continue
         out = re.sub(rf"\b{src}\s*\(", dst + "(", out, flags=re.I)
     out = _rewrite_wrapped_call(
-        out, "list_reverse_sort", "reverse(array_sort(", "))"
+        out, "monthname", "date_format(", ", 'MMMM')")
+    out = _rewrite_wrapped_call(
+        out, "dayname", "date_format(", ", 'EEEE')")
+    out = _rewrite_wrapped_call(
+        out, "list_reverse_sort|array_reverse_sort",
+        "reverse(array_sort(", "))",
     )
+    out = _rewrite_wrapped_call(
+        out, "list_unique", "size(array_distinct(", "))",
+    )  # DuckDB list_unique COUNTS the distinct elements
+    out = _rewrite_wrapped_call(out, "isinf", "(abs(", ") = double('Infinity'))")
+    # even(x): round away from zero to the next even number
+    _A1 = r"((?:'(?:[^']|'')*'|[^(),']|\([^()]*\))+?)"
+    out = re.sub(
+        r"(?i)\beven\s*\(\s*" + _A1 + r"\s*\)",
+        r"(CASE WHEN (\1) >= 0 THEN (CASE WHEN ceil(\1) % 2 = 0 "
+        r"THEN ceil(\1) ELSE ceil(\1) + 1 END) ELSE (CASE WHEN "
+        r"floor(\1) % 2 = 0 THEN floor(\1) ELSE floor(\1) - 1 END) "
+        r"END)", out,
+    )
+    # list_avg / array_slice / list_has_all need their argument twice
+    out = re.sub(
+        r"(?i)\blist_avg\s*\(\s*" + _A1 + r"\s*\)",
+        r"(aggregate(\1, cast(0 as double), (__a, __x) -> __a + __x)"
+        r" / size(\1))", out,
+    )
+    out = re.sub(
+        r"(?i)\b(?:array_slice|list_slice)\s*\(\s*" + _A1
+        + r"\s*,\s*" + _A1 + r"\s*,\s*" + _A1 + r"\s*\)",
+        r"slice(\1, \2, (\3) - (\2) + 1)", out,
+    )
+    out = re.sub(
+        r"(?i)\blist_has_all\s*\(\s*" + _A1 + r"\s*,\s*" + _A1
+        + r"\s*\)",
+        r"forall(\2, __k -> array_contains(\1, __k))", out,
+    )
+    # hamming / jaccard over character sequences (DuckDB semantics)
+    out = re.sub(
+        r"(?i)\bhamming\s*\(\s*" + _A1 + r"\s*,\s*" + _A1 + r"\s*\)",
+        r"aggregate(zip_with(split(\1, ''), split(\2, ''), "
+        r"(__x, __y) -> CASE WHEN __x <> __y THEN 1 ELSE 0 END), 0, "
+        r"(__a, __v) -> __a + __v)", out,
+    )
+    out = re.sub(
+        r"(?i)\bjaccard\s*\(\s*" + _A1 + r"\s*,\s*" + _A1 + r"\s*\)",
+        r"(CAST(size(array_intersect(split(\1, ''), split(\2, ''))) "
+        r"AS DOUBLE) / size(array_union(split(\1, ''), "
+        r"split(\2, ''))))", out,
+    )
+    # struct_extract(s, 'name') → dotted field access
+    out = re.sub(
+        r"(?i)\bstruct_extract\s*\(\s*" + _A1 + r"\s*,\s*"
+        r"'(\w+)'\s*\)",
+        r"(\1).\2", out,
+    )
+    # list_reduce(a, (x, y) -> body): first element seeds the fold
+    out = re.sub(
+        r"(?i)\blist_reduce\s*\(\s*" + _A1 + r"\s*,\s*"
+        r"\(\s*(\w+)\s*,\s*(\w+)\s*\)\s*->\s*([^()]+?)\s*\)",
+        r"reduce(slice(\1, 2, size(\1) - 1), element_at(\1, 1), "
+        r"(\2, \3) -> \4)", out,
+    )
+
+    def fbytes(m: re.Match) -> str:
+        from myduckserver_spark.functions.mysql_compat import (
+            _FN_HANDLERS,
+        )
+
+        return _FN_HANDLERS["FORMAT_BYTES"]([m.group(1)])
+
+    out = re.sub(r"(?i)\bformat_bytes\s*\(\s*" + _A1 + r"\s*\)",
+                 fbytes, out)
     out = _rewrite_wrapped_call(
         out, "list_sum",
         "aggregate(", ", cast(0 as double), (__a, __x) -> __a + __x)",
@@ -1132,6 +1254,11 @@ def _rewrite_functions(sql: str) -> str:
         r"\bregexp_extract\s*\(\s*((?:[^(),]|\([^()]*\))+?)\s*,\s*"
         r"('(?:[^']|'')*')\s*\)",
         r"regexp_extract(\1, \2, 0)", out, flags=re.I,
+    )
+    out = re.sub(
+        r"\bregexp_extract_all\s*\(\s*((?:[^(),]|\([^()]*\))+?)\s*,\s*"
+        r"('(?:[^']|'')*')\s*\)",
+        r"regexp_extract_all(\1, \2, 0)", out, flags=re.I,
     )
     # strftime/strptime: C-style % tokens — the MySQL format mapper
     # speaks exactly this dialect
@@ -1253,6 +1380,13 @@ def _rewrite_functions(sql: str) -> str:
         r"((?:'(?:[^']|'')*'|[^(),']|\([^()]*\))+?)"
         r"\s*,\s*'((?:[^']|'')*)'\s*\)",
         stt, out,
+    )
+    # DuckDB time_bucket(interval, ts): date_bin with DuckDB's default
+    # origin (2000-01-03, Monday-aligned for week strides)
+    out = re.sub(
+        r"(?i)\btime_bucket\s*\(\s*(interval\s+'[^']+')\s*,\s*"
+        r"((?:[^(),]|\([^()]*\))+?)\s*\)",
+        r"date_bin(\1, \2, TIMESTAMP '2000-01-03 00:00:00')", out,
     )
     # date_bin(interval 'stride', ts, origin): origin-aligned bucket
     def dbin(m: re.Match) -> str:
@@ -2019,7 +2153,9 @@ def translate_postgres(sql: str, schema_fn=None) -> str:
     the engine) lets schema-aware rewrites — star REPLACE ordinal
     position — resolve table columns."""
     out = sql
-    out = _ESTRING_RE.sub("'", out)  # E'..' → '..' (Spark does escapes)
+    if "'" in out:
+        # plain-literal backslashes double; E'..' prefixes drop
+        out = _pg_string_literals(out)
     if '"' in out:
         out = _dquotes_to_backticks(out)
     # FETCH FIRST n ROWS WITH TIES: peers of the n-th row stay —

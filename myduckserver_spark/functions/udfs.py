@@ -216,3 +216,14 @@ def register_engine_udfs(spark: SparkSession) -> None:
                        BinaryType())
     spark.udf.register("mysql_stmt_digest", _mysql_stmt_digest,
                        StringType())
+    # DuckDB-dialect integer math (the pg door exposes DuckDB SQL)
+    import math
+
+    spark.udf.register(
+        "gcd", lambda a, b: (math.gcd(int(a), int(b))
+                             if a is not None and b is not None
+                             else None), LongType())
+    spark.udf.register(
+        "lcm", lambda a, b: (math.lcm(int(a), int(b))
+                             if a is not None and b is not None
+                             else None), LongType())

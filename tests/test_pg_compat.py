@@ -1295,3 +1295,63 @@ def test_pg_quoted_identifiers_and_txn_modifiers(spark, tmp_path):
               "ISOLATION LEVEL READ COMMITTED", dialect="postgres")
     e.execute("BEGIN ISOLATION LEVEL SERIALIZABLE", dialect="postgres")
     e.execute("COMMIT", dialect="postgres")
+
+
+def test_pg_backslash_literal_semantics(spark, tmp_path):
+    """standard_conforming_strings=on: a plain pg literal treats
+    backslash LITERALLY; Spark's parser processes C-escapes — the
+    translator doubles them (round-10: every regex pattern and
+    Windows path was silently mangled). E'...' keeps escape
+    processing."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh_bsl"))
+
+    def val(sql):
+        return e.execute(sql, dialect="postgres").collect()[0][0]
+
+    assert val(r"SELECT regexp_extract('hello123', '\d+')") == "123"
+    assert val(r"SELECT 'C:\tmp'") == "C:\\tmp"
+    assert val(r"SELECT length('a\b')") == 3
+    assert val(r"SELECT 'a' ~ '\w'") is True
+    assert val(r"SELECT E'a\tb'") == "a\tb"  # E-string: real tab
+    assert val(r"SELECT regexp_extract_all('a1b2', '\d')") == ["1", "2"]
+
+
+def test_battery25_duckdb_dialect_functions(spark, tmp_path):
+    """Round-10 battery 25: DuckDB-dialect function surface (the
+    reference's pg door IS DuckDB). Includes three fixed silent
+    wrong answers: list_unique COUNTS, 2-arg regexp_extract[_all]
+    default to group 0, monthname/dayname return full names."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh_b25"))
+
+    def val(sql):
+        return e.execute(sql, dialect="postgres").collect()[0][0]
+
+    assert val("SELECT list_unique([1,1,2])") == 2
+    assert val("SELECT monthname(DATE '2024-02-05')") == "February"
+    assert val("SELECT dayname(DATE '2024-02-05')") == "Monday"
+    assert list(val("SELECT list_reverse([1,2,3])")) == [3, 2, 1]
+    assert list(val("SELECT array_slice([1,2,3,4], 2, 3)")) == [2, 3]
+    assert val("SELECT list_avg([2.0, 4.0])") == 3.0
+    assert val("SELECT list_reduce([1,2,3], (x, y) -> x + y)") == 6
+    assert val("SELECT hamming('abc', 'abd')") == 1
+    assert abs(val("SELECT jaccard('abc', 'abd')") - 0.5) < 1e-9
+    assert val("SELECT struct_extract({'a': 1, 'b': 2}, 'a')") == 1
+    assert list(val("SELECT string_split_regex('a1b2c', '\\d')")) \
+        == ["a", "b", "c"]
+    assert val("SELECT greatest_common_divisor(12, 8)") == 4
+    assert val("SELECT least_common_multiple(4, 6)") == 12
+    assert val("SELECT even(2.5)") == 4
+    assert val("SELECT even(-2.5)") == -4
+    assert val("SELECT isinf('inf'::double)") is True
+    assert val("SELECT list_has_all([1,2,3], [1,2])") is True
+    assert val("SELECT list_has_any([1,2], [5])") is False
+    assert "MiB" in val("SELECT format_bytes(1048576)")
+    assert str(val("SELECT time_bucket(interval '15 minutes', "
+                   "timestamp '2024-01-01 00:37:00')")) \
+        == "2024-01-01 00:30:00"
+    assert str(val("SELECT datetrunc('month', DATE '2024-02-15')")) \
+        .startswith("2024-02-01")
