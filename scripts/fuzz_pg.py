@@ -35,7 +35,8 @@ def gen_stmt(rng: random.Random) -> str:
     """One random pg statement over the nation/documents tables."""
     kind = rng.choice(
         ["any_arr", "all_arr", "any_sub", "all_sub", "sym",
-         "slice", "json_each", "json_keys", "vec"])
+         "slice", "json_each", "json_keys", "vec", "quoted_ident",
+         "backslash", "within_group", "regex_fn"])
     langs = rng.sample(["en", "de", "fr", "es", "ja", "zz"],
                        rng.randint(1, 4))
     arr = ", ".join(f"'{x}'" for x in langs)
@@ -94,6 +95,25 @@ def gen_stmt(rng: random.Random) -> str:
         doc = _j.dumps(pairs).replace("'", "''")
         return (f"SELECT * FROM json_object_keys('{doc}')",
                 [(k,) for k in pairs])
+    if kind == "quoted_ident":
+        return (f'SELECT "n_name", "n_regionkey" FROM "nation" '
+                f'WHERE "nation"."n_regionkey" = {rng.randint(0, 4)} '
+                f'ORDER BY "n_name"')
+    if kind == "backslash":
+        # plain literals: backslash is LITERAL under
+        # standard_conforming_strings=on (DuckDB agrees)
+        frag = rng.choice([r"a\b", r"C:\tmp", r"x\ny", r"\d+"])
+        return (f"SELECT length('{frag}') AS n, '{frag}' AS s")
+    if kind == "within_group":
+        q = rng.choice(["0.25", "0.5", "0.9"])
+        return (f"SELECT CAST(percentile_cont({q}) WITHIN GROUP "
+                f"(ORDER BY n_chars) AS DOUBLE) AS p, "
+                f"mode() WITHIN GROUP (ORDER BY lang) AS m "
+                f"FROM documents")
+    if kind == "regex_fn":
+        pat = rng.choice([r"[aeiou]+", r"\w\w", r"\d", "en|de"])
+        return (f"SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents "
+                f"WHERE regexp_matches(lang, '{pat}')")
     # vec
     v1 = [round(rng.uniform(-1, 1), 3) for _ in range(4)]
     v2 = [round(rng.uniform(-1, 1), 3) for _ in range(4)]
