@@ -28,6 +28,7 @@ pg doubles quotes, which parity handles: ``''`` flips twice).
 
 from __future__ import annotations
 
+import os
 import re
 
 # ------------------------------------------------------------- type names
@@ -116,6 +117,136 @@ def _operand_start(s: str, end: int) -> int:
     while k >= 0 and (s[k].isalnum() or s[k] in "_$."):
         k -= 1
     return k + 1
+
+
+def _operand_end(s: str, start: int) -> int:
+    """End index (exclusive) of the expression operand beginning at
+    or after `start` — the forward mirror of ``_operand_start``.
+
+    Handles: optional unary sign, string literals, identifier /
+    number / dotted chains, a trailing call-argument or paren group,
+    and ``[i]`` subscript suffixes."""
+    j = start
+    n = len(s)
+    while j < n and s[j].isspace():
+        j += 1
+    if j < n and s[j] in "+-":
+        j += 1
+        while j < n and s[j].isspace():
+            j += 1
+    if j >= n:
+        return j
+    if s[j] in "'\"`":
+        q = s[j]
+        j += 1
+        while j < n:
+            if s[j] == q:
+                if q == "'" and j + 1 < n and s[j + 1] == "'":
+                    j += 2
+                    continue
+                return j + 1
+            j += 1
+        return j
+    if s[j] == "(":
+        depth = 0
+        while j < n:
+            if s[j] == "(":
+                depth += 1
+            elif s[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    j += 1
+                    break
+            j += 1
+    else:
+        while j < n and (s[j].isalnum() or s[j] in "_$."):
+            j += 1
+        k = j
+        while k < n and s[k].isspace():
+            k += 1
+        if k < n and s[k] == "(":
+            depth = 0
+            j = k
+            while j < n:
+                if s[j] == "(":
+                    depth += 1
+                elif s[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        j += 1
+                        break
+                j += 1
+    # subscript suffixes: a[1], a[1][2]
+    while j < n and s[j] == "[":
+        depth = 0
+        while j < n:
+            if s[j] == "[":
+                depth += 1
+            elif s[j] == "]":
+                depth -= 1
+                if depth == 0:
+                    j += 1
+                    break
+            j += 1
+    return j
+
+
+def _rewrite_power_op(sql: str) -> str:
+    """pg ``a ^ b`` is exponentiation (left-associative) → Spark
+    ``power(a, b)``. Runs BEFORE _rewrite_xor_op turns pg ``#`` into
+    Spark's ``^`` XOR, so any ``^`` seen here is pg power — letting it
+    reach Spark unchanged would silently XOR (2 ^ 10 = 8, not 1024)."""
+    out = sql
+    pos = 0
+    while True:
+        i = out.find("^", pos)
+        if i < 0:
+            return out
+        if _in_string(out, i) or _in_dquoted(out, i):
+            pos = i + 1
+            continue
+        start = _operand_start(out, i)
+        left = out[start:i].strip()
+        end = _operand_end(out, i + 1)
+        right = out[i + 1:end].strip()
+        if not left or not right:
+            pos = i + 1
+            continue
+        repl = f"power({left}, {right})"
+        out = out[:start] + repl + out[end:]
+        pos = start  # re-scan: left-assoc chains fold outward
+
+def _rewrite_unary_math_ops(sql: str) -> str:
+    """pg unary math operators: ``|/ x`` → sqrt, ``||/ x`` → cbrt,
+    ``@ x`` → abs. ``@`` is skipped when part of ``@>``/``<@``/``@@``
+    (containment / text-search operators rejected elsewhere)."""
+    out = sql
+    for op, fn in (("||/", "cbrt"), ("|/", "sqrt"), ("@", "abs")):
+        pos = 0
+        while True:
+            i = out.find(op, pos)
+            if i < 0:
+                break
+            if _in_string(out, i) or _in_dquoted(out, i):
+                pos = i + 1
+                continue
+            after = i + len(op)
+            if op == "@":
+                if (after < len(out) and out[after] in ">@=") or \
+                        (i > 0 and out[i - 1] in "<@"):
+                    pos = i + 1
+                    continue
+            elif op == "|/" and i > 0 and out[i - 1] == "|":
+                pos = i + 2
+                continue
+            end = _operand_end(out, after)
+            operand = out[after:end].strip()
+            if not operand:
+                pos = i + 1
+                continue
+            out = f"{out[:i]}{fn}({operand}){out[end:]}"
+            pos = i
+    return out
 
 
 _TYPE_ARGS_RE = re.compile(r"\s*\(\s*\d+(\s*,\s*\d+)?\s*\)")
@@ -1343,9 +1474,28 @@ def _rewrite_functions(sql: str) -> str:
 
     out = _STRING_AGG_RE.sub(sa, out)
 
-    # to_char(expr, 'fmt') → date_format(expr, java_fmt)
+    # to_char(expr, 'fmt') → date_format(expr, java_fmt) for datetime
+    # templates; numeric templates (9/0 digits, G/D group separators —
+    # pg report formatting) translate onto Spark's native numeric
+    # to_char, with FM (fill-mode) mapped to a trim of the space pad.
     def tc(m: re.Match) -> str:
-        return f"date_format({m.group(1)}, '{pg_datetime_format(m.group(2))}')"
+        expr, fmt = m.group(1), m.group(2)
+        if re.fullmatch(r"(?i)[FM90GDS,.$LPRMITHVBE ]*", fmt) and \
+                re.search(r"[90]", fmt):
+            fm = fmt.upper().startswith("FM")
+            nf = fmt[2:] if fm else fmt
+            nf = (nf.replace("G", ",").replace("D", ".")
+                    .replace("L", "$").replace("TH", "").replace("g", ",")
+                    .replace("d", ".").replace("l", "$").replace("th", ""))
+            # Spark's to_char rejects (renders '#') any value whose
+            # scale exceeds the template's — pg rounds; match pg by
+            # casting to the template's decimal shape first
+            frac = len(nf.split(".", 1)[1].replace(",", "")) \
+                if "." in nf else 0
+            call = (f"to_char(cast(({expr}) as decimal(38, {frac})), "
+                    f"'{nf}')")
+            return f"trim({call})" if fm else call
+        return f"date_format({expr}, '{pg_datetime_format(fmt)}')"
 
     out = re.sub(
         r"\bto_char\s*\(\s*(.+?)\s*,\s*'([^']*)'\s*\)", tc, out, flags=re.I
@@ -1621,6 +1771,61 @@ def _rewrite_functions(sql: str) -> str:
     out = _rewrite_wrapped_call(
         out, "jsonb?_agg", "to_json(collect_list(", "))"
     )
+    # row_to_json(alias) over a FROM-item alias → the row as a JSON
+    # object; composite-expression arguments reject in Spark naturally
+    out = re.sub(
+        r"(?i)\brow_to_json\s*\(\s*([a-zA-Z_]\w*)\s*\)",
+        r"to_json(struct(\1.*))", out,
+    )
+    out = re.sub(r"(?i)\bto_jsonb\s*\(", "to_json(", out)
+    # timezone(zone, ts) ≡ ts AT TIME ZONE zone (function spelling)
+    out = re.sub(
+        r"(?i)\btimezone\s*\(\s*((?:[^(),']|'(?:[^']|'')*')+?)\s*,\s*"
+        r"((?:[^(),']|'(?:[^']|'')*'|\([^()]*\))+?)\s*\)",
+        r"to_utc_timestamp(\2, \1)", out,
+    )
+    # array_upper/array_lower: Spark arrays have exactly one dimension
+    # with lower bound 1; pg returns NULL on empty arrays
+    out = re.sub(
+        r"(?i)\barray_upper\s*\(\s*((?:[^(),]|\([^()]*\))+?)\s*,\s*1\s*\)",
+        r"nullif(size(\1), 0)", out,
+    )
+    out = re.sub(
+        r"(?i)\barray_lower\s*\(\s*((?:[^(),]|\([^()]*\))+?)\s*,\s*1\s*\)",
+        r"(CASE WHEN size(\1) > 0 THEN 1 END)", out,
+    )
+
+    # make_interval(named => args) → positional (pg and Spark share the
+    # signature years, months, weeks, days, hours, mins, secs)
+    def mki(m: re.Match) -> str:
+        order = ["years", "months", "weeks", "days", "hours", "mins",
+                 "secs"]
+        vals = {k: "0" for k in order}
+        for part in m.group(1).split(","):
+            part = part.strip()
+            if not part:
+                continue
+            am = re.match(r"(?i)(\w+)\s*=>\s*(.+)", part)
+            if not am or am.group(1).lower() not in vals:
+                return m.group(0)  # positional / unknown: leave as-is
+            vals[am.group(1).lower()] = am.group(2).strip()
+        # pick the concrete Spark interval family when the named args
+        # stay on one side of the year-month / day-time split (a bare
+        # make_interval yields CalendarIntervalType, which clients
+        # cannot even fetch)
+        if vals["years"] == "0" and vals["months"] == "0":
+            days = vals["days"]
+            if vals["weeks"] != "0":
+                days = f"({vals['weeks']}) * 7 + ({days})"
+            return (f"make_dt_interval({days}, {vals['hours']}, "
+                    f"{vals['mins']}, {vals['secs']})")
+        if all(vals[k] == "0" for k in ("weeks", "days", "hours",
+                                        "mins", "secs")):
+            return f"make_ym_interval({vals['years']}, {vals['months']})"
+        return "make_interval(" + ", ".join(vals[k] for k in order) + ")"
+
+    if re.search(r"(?i)\bmake_interval\s*\([^)]*=>", out):
+        out = re.sub(r"(?i)\bmake_interval\s*\(([^()]*)\)", mki, out)
 
     def joa(m: re.Match) -> str:
         k, v = m.group(1), m.group(2)
@@ -2126,7 +2331,9 @@ _PG_SESSION_FNS = [
     (re.compile(r"\bversion\s*\(\s*\)", re.I),
      "'PostgreSQL 15.0 myduckserver-spark (Spark SQL engine)'"),
     (re.compile(r"\bcurrent_schema\s*\(\s*\)", re.I), "'main'"),
-    (re.compile(r"\bpg_backend_pid\s*\(\s*\)", re.I), "0"),
+    # bare spelling (no parens) is equally valid pg: SELECT current_schema
+    (re.compile(r"\bcurrent_schema\b(?!\s*\()", re.I), "'main'"),
+    (re.compile(r"\bpg_backend_pid\s*\(\s*\)", re.I), str(os.getpid())),
 ]
 
 
@@ -2144,6 +2351,69 @@ def _rewrite_pg_session_fns(sql: str) -> str:
             out = out[: m.start()] + repl + out[m.end():]
             pos = m.start() + len(repl)
     return out
+
+
+_HYPOTHETICAL_RE = re.compile(
+    r"(?i)\b(rank|dense_rank|percent_rank|cume_dist)\s*\(\s*"
+    r"((?:[^()']|'(?:[^']|'')*'|\([^()]*\))+?)\s*\)\s*"
+    r"WITHIN\s+GROUP\s*\(\s*ORDER\s+BY\s+"
+    r"((?:[^()']|'(?:[^']|'')*'|\([^()]*\))+?)"
+    r"(?:\s+(ASC|DESC))?\s*\)"
+)
+
+
+def _rewrite_hypothetical_set(sql: str) -> str:
+    """pg hypothetical-set aggregates — rank(v)/dense_rank(v)/
+    percent_rank(v)/cume_dist(v) WITHIN GROUP (ORDER BY e) — lowered
+    onto plain conditional aggregates (the rank of v had it been
+    inserted into the sorted set). Single sort key; NULL sort rows
+    follow pg's ASC=NULLS LAST placement."""
+    def hs(m: re.Match) -> str:
+        fn = m.group(1).lower()
+        v, e = m.group(2).strip(), m.group(3).strip()
+        if "," in st_split_guard(v) or "," in st_split_guard(e):
+            return m.group(0)  # multi-arg form: leave to fail visibly
+        desc = (m.group(4) or "").upper() == "DESC"
+        lt, le = ("( %s ) > ( %s )", "( %s ) >= ( %s )") if desc else \
+                 ("( %s ) < ( %s )", "( %s ) <= ( %s )")
+        c_lt = "count_if(" + (lt % (e, v)) + ")"
+        c_le = "count_if(" + (le % (e, v)) + ")"
+        if fn == "rank":
+            return f"({c_lt} + 1)"
+        if fn == "dense_rank":
+            cond = lt % (e, v)
+            return (f"(count(DISTINCT CASE WHEN {cond} THEN ({e}) END)"
+                    " + 1)")
+        if fn == "percent_rank":
+            return f"(CAST({c_lt} AS DOUBLE) / count(*))"
+        return f"(CAST(({c_le} + 1) AS DOUBLE) / (count(*) + 1))"
+
+    return _HYPOTHETICAL_RE.sub(hs, sql)
+
+
+def st_split_guard(expr: str) -> str:
+    """expr with parenthesized and quoted spans blanked, so a top-level
+    comma test doesn't trip on commas inside calls/literals."""
+    out, depth, i, q = [], 0, 0, False
+    while i < len(expr):
+        c = expr[i]
+        if q:
+            if c == "'":
+                q = False
+            out.append(" ")
+        elif c == "'":
+            q = True
+            out.append(" ")
+        elif c == "(":
+            depth += 1
+            out.append(" ")
+        elif c == ")":
+            depth -= 1
+            out.append(" ")
+        else:
+            out.append(c if depth == 0 else " ")
+        i += 1
+    return "".join(out)
 
 
 def translate_postgres(sql: str, schema_fn=None) -> str:
@@ -2167,6 +2437,12 @@ def translate_postgres(sql: str, schema_fn=None) -> str:
         out,
     )
     out = _FETCH_FIRST_RE.sub(r"LIMIT \1", out)
+    # ORDER BY expr USING < / USING > — operator-class direction
+    if re.search(r"(?i)\bUSING\s*[<>]", out):
+        out = re.sub(r"(?i)\bUSING\s*<(?![<=])", "ASC", out)
+        out = re.sub(r"(?i)\bUSING\s*>(?![>=])", "DESC", out)
+    if re.search(r"(?i)\bWITHIN\s+GROUP\b", out):
+        out = _rewrite_hypothetical_set(out)
     out = _rewrite_pg_session_fns(out)
     out = _rewrite_at_time_zone(out)
     out = _rewrite_star_modifiers(out, schema_fn)
@@ -2185,6 +2461,10 @@ def translate_postgres(sql: str, schema_fn=None) -> str:
     out = _rewrite_filter_over_window(out)
     out = _rewrite_functions(out)
     out = _rewrite_casts(out)
+    if "^" in out:
+        out = _rewrite_power_op(out)
+    if "|/" in out or "@" in out:
+        out = _rewrite_unary_math_ops(out)
     out = _rewrite_regex_ops(out)
     out = _rewrite_xor_op(out)
     out = _rewrite_subscripts(out)

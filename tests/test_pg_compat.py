@@ -1355,3 +1355,124 @@ def test_battery25_duckdb_dialect_functions(spark, tmp_path):
         == "2024-01-01 00:30:00"
     assert str(val("SELECT datetrunc('month', DATE '2024-02-15')")) \
         .startswith("2024-02-01")
+
+
+def test_battery26_power_and_math_operators(spark, tmp_path):
+    """Round-10 battery 26: pg's ``^`` is exponentiation — letting it
+    reach Spark unchanged silently XORs (2 ^ 10 returned 8). Plus the
+    unary math operators |/ (sqrt), ||/ (cbrt), @ (abs), and the ``#``
+    XOR spelling that must keep working after the power rewrite."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh_b26"))
+
+    def val(sql):
+        return e.execute(sql, dialect="postgres").collect()[0][0]
+
+    assert val("SELECT 2 ^ 10") == 1024.0
+    assert val("SELECT 2.0 ^ 3") == 8.0
+    assert val("SELECT 3 ^ 2 ^ 2") == 81.0  # pg: left-associative
+    assert val("SELECT |/ 25.0") == 5.0
+    assert val("SELECT ||/ 27.0") == 3.0
+    assert val("SELECT @ -5") == 5
+    assert val("SELECT @ (3 - 10)") == 7
+    assert val("SELECT 5 # 3") == 6  # XOR survives the power rewrite
+    assert val("SELECT 1 WHERE 2 ^ 2 = 4.0") == 1
+    # ^ inside literals untouched
+    assert val("SELECT 'a^b'") == "a^b"
+
+
+def test_battery26_to_char_numeric_and_json(spark, tmp_path):
+    """Numeric to_char templates route to Spark's numeric to_char
+    (G/D/L/FM translated) instead of date_format; row_to_json /
+    to_jsonb map onto to_json."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh_b26b"))
+
+    def val(sql):
+        return e.execute(sql, dialect="postgres").collect()[0][0]
+
+    assert val("SELECT to_char(12345.678, 'FM999,999.00')") \
+        == "12,345.68"
+    assert val("SELECT to_char(12345.678, 'FM999G999D00')") \
+        == "12,345.68"
+    assert val("SELECT to_char(-485, '999S')") == "485-"
+    # datetime templates still route to date_format
+    assert val("SELECT to_char(timestamp '2024-03-05 14:30:00', "
+               "'YYYY-MM-DD HH24:MI')") == "2024-03-05 14:30"
+    assert val("SELECT row_to_json(t) FROM (SELECT 1 AS a, 'x' AS b) t") \
+        == '{"a":1,"b":"x"}'
+    assert val("SELECT to_jsonb(ARRAY[1,2,3])") == "[1,2,3]"
+
+
+def test_battery26_session_and_misc(spark, tmp_path):
+    """Bare current_schema, live pg_backend_pid, timezone() function
+    spelling, array_upper/array_lower, ORDER BY ... USING </>,
+    make_interval named arguments."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh_b26c"))
+
+    def val(sql):
+        return e.execute(sql, dialect="postgres").collect()[0][0]
+
+    assert val("SELECT current_schema") == "main"
+    assert val("SELECT pg_backend_pid() > 0") is True
+    assert str(val("SELECT timezone('America/New_York', "
+                   "timestamp '2024-01-01 12:00:00')")) \
+        == "2024-01-01 17:00:00"
+    assert val("SELECT array_upper(ARRAY[1,2,3], 1)") == 3
+    assert val("SELECT array_lower(ARRAY[1,2,3], 1)") == 1
+    assert val("SELECT array_upper(ARRAY[]::int[], 1)") is None
+    assert str(val("SELECT timestamp '2024-01-01' + "
+                   "make_interval(days => 3)")) == "2024-01-04 00:00:00"
+    assert str(val("SELECT make_interval(hours => 2, mins => 30)")) \
+        == "2:30:00"
+    e.execute("CREATE TABLE ob_using (s TEXT)", dialect="postgres")
+    e.execute("INSERT INTO ob_using VALUES ('b'), ('a'), ('c')",
+              dialect="postgres")
+    rows = e.execute("SELECT s FROM ob_using ORDER BY s USING <",
+                     dialect="postgres").collect()
+    assert [r[0] for r in rows] == ["a", "b", "c"]
+    rows = e.execute("SELECT s FROM ob_using ORDER BY s USING >",
+                     dialect="postgres").collect()
+    assert [r[0] for r in rows] == ["c", "b", "a"]
+
+
+def test_battery26_hypothetical_set_aggregates(spark, tmp_path):
+    """pg hypothetical-set aggregates rank/dense_rank/percent_rank/
+    cume_dist (v) WITHIN GROUP — lowered to conditional aggregates;
+    values verified against an independent Python evaluation of the
+    pg definitions (DuckDB has no hypothetical-set aggregates)."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh_b26d"))
+    e.execute("CREATE TABLE hs (v INT)", dialect="postgres")
+    vals = [10, 20, 20, 30, 40, 40, 40, 50]
+    e.execute("INSERT INTO hs VALUES " + ", ".join(f"({v})" for v in vals),
+              dialect="postgres")
+
+    def val(sql):
+        return e.execute(sql, dialect="postgres").collect()[0][0]
+
+    probe = 35
+    n = len(vals)
+    exp_rank = sum(1 for x in vals if x < probe) + 1
+    exp_dense = len({x for x in vals if x < probe}) + 1
+    exp_pct = sum(1 for x in vals if x < probe) / n
+    exp_cume = (sum(1 for x in vals if x <= probe) + 1) / (n + 1)
+    assert val(f"SELECT rank({probe}) WITHIN GROUP (ORDER BY v) "
+               "FROM hs") == exp_rank
+    assert val(f"SELECT dense_rank({probe}) WITHIN GROUP (ORDER BY v) "
+               "FROM hs") == exp_dense
+    assert abs(val(f"SELECT percent_rank({probe}) WITHIN GROUP "
+                   "(ORDER BY v) FROM hs") - exp_pct) < 1e-12
+    assert abs(val(f"SELECT cume_dist({probe}) WITHIN GROUP "
+                   "(ORDER BY v) FROM hs") - exp_cume) < 1e-12
+    exp_rank_d = sum(1 for x in vals if x > probe) + 1
+    assert val(f"SELECT rank({probe}) WITHIN GROUP (ORDER BY v DESC) "
+               "FROM hs") == exp_rank_d
+    # ordered-set aggregates keep their native route
+    assert val("SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY v) "
+               "FROM hs") == 35.0
