@@ -5823,7 +5823,153 @@ class Engine:
             return "'" + val.replace("'", "''") + "'"
 
         sql = self._PG_SETCFG_RE.sub(setcfg, sql)
+        sql = self._pg_dml_rewrites(sql)
         return sql
+
+    @staticmethod
+    def _split_target_alias(seg: str) -> tuple[str, str]:
+        """('t AS a' | 't a' | 't') -> (full segment, reference alias)."""
+        toks = re.split(r"\s+", seg.strip())
+        if len(toks) >= 2 and toks[-1].upper() != "AS":
+            return seg.strip(), toks[-1]
+        return seg.strip(), toks[0]
+
+    def _pg_dml_rewrites(self, sql: str) -> str:
+        """PostgreSQL DML join/tuple forms → the engine's multi-table
+        MySQL shapes (reference parity: the pg door ships these verbatim
+        to DuckDB, pgserver/connection_handler.go:411-449; DuckDB
+        supports all four natively):
+
+        - ``UPDATE t [AS a] SET ... FROM refs [WHERE c]`` →
+          ``UPDATE t [AS a], refs SET a.col = ... [WHERE c]`` — pg's
+          join-update is MySQL's multi-table UPDATE with the target
+          listed first; SET columns gain the target qualifier so the
+          engine resolves which table to mutate.
+        - ``DELETE FROM t [AS a] USING refs [WHERE c]`` →
+          ``DELETE a FROM t [AS a], refs [WHERE c]`` — pg implies the
+          target inside the join; MySQL lists it explicitly.
+        - ``UPDATE ... SET (a, b) = (e1, e2)`` → ``SET a = e1, b = e2``
+          (row-subquery RHS rejects with a pointer at per-column
+          scalar subqueries).
+        - ``INSERT INTO t DEFAULT VALUES`` →
+          ``INSERT INTO t VALUES (DEFAULT, ...)`` over the table's
+          declared column count.
+        """
+        masked = st.mask_strings(sql)
+
+        im = re.match(
+            r"(?i)\s*INSERT\s+INTO\s+(`[^`]+`|\w+)\s+DEFAULT\s+VALUES\s*$",
+            masked,
+        )
+        if im:
+            tname = st.unquote_ident(sql[im.start(1):im.end(1)])
+            cols = self.catalog.table(tname).read().columns
+            tup = ", ".join(["DEFAULT"] * len(cols))
+            return f"INSERT INTO `{tname}` VALUES ({tup})"
+
+        um = re.match(r"(?i)\s*UPDATE\s+", masked)
+        if um:
+            set_ps = st._top_level_positions(masked, "SET")
+            if set_ps:
+                sp = set_ps[0]
+                sql = self._expand_tuple_sets(sql, sp)
+                masked = st.mask_strings(sql)
+                set_ps = st._top_level_positions(masked, "SET")
+                sp = set_ps[0]
+                from_ps = [p for p in
+                           st._top_level_positions(masked, "FROM")
+                           if p > sp]
+                if from_ps:
+                    fp = from_ps[0]
+                    where_ps = [p for p in
+                                st._top_level_positions(masked, "WHERE")
+                                if p > fp]
+                    end = where_ps[0] if where_ps else len(sql)
+                    target_seg, alias = self._split_target_alias(
+                        sql[um.end():sp])
+                    sets_seg = sql[sp + 3:fp].strip()
+                    refs_seg = sql[fp + 4:end].strip()
+                    tail = sql[end:].strip()
+                    parts = st.split_top_level(sets_seg, ",")
+                    qualified = []
+                    for p in parts:
+                        pm = st.mask_strings(p)
+                        eq = pm.find("=")
+                        lhs, rhs = p[:eq].strip(), p[eq + 1:].strip()
+                        if "." not in lhs:
+                            lhs = f"{alias}.{lhs}"
+                        qualified.append(f"{lhs} = {rhs}")
+                    sql = (f"UPDATE {target_seg}, {refs_seg} "
+                           f"SET {', '.join(qualified)}"
+                           + (f" {tail}" if tail else ""))
+                    return sql
+
+        dm = re.match(r"(?i)\s*DELETE\s+FROM\s+", masked)
+        if dm:
+            using_ps = st._top_level_positions(masked, "USING")
+            if using_ps:
+                up = using_ps[0]
+                target_seg, alias = self._split_target_alias(
+                    sql[dm.end():up])
+                rest = sql[up + 5:].strip()
+                sql = f"DELETE {alias} FROM {target_seg}, {rest}"
+        return sql
+
+    def _expand_tuple_sets(self, sql: str, set_pos: int) -> str:
+        """``SET (a, b) = (e1, e2), c = e3`` → scalar assignments.
+        Only rewrites tuple-LHS entries; leaves the rest untouched."""
+        masked = st.mask_strings(sql)
+        where_ps = [p for p in st._top_level_positions(masked, "WHERE")
+                    if p > set_pos]
+        from_ps = [p for p in st._top_level_positions(masked, "FROM")
+                   if p > set_pos]
+        end = min(where_ps + from_ps + [len(sql)])
+        seg = sql[set_pos + 3:end]
+        if not re.match(r"\s*\(", seg):
+            return sql
+        parts = st.split_top_level(seg, ",")
+        # re-join runs: a tuple assignment spans several split parts
+        # ("(a", "b) = (1", "2)") — rebalance by paren depth
+        merged: list[str] = []
+        buf = ""
+        for p in parts:
+            buf = f"{buf},{p}" if buf else p
+            if buf.count("(") == buf.count(")"):
+                merged.append(buf)
+                buf = ""
+        if buf:
+            merged.append(buf)
+        out_parts: list[str] = []
+        for p in merged:
+            m = re.match(r"\s*\(([^()]*)\)\s*=\s*(.+)\s*$", p, re.S)
+            if not m:
+                out_parts.append(p.strip())
+                continue
+            cols = [c.strip() for c in m.group(1).split(",")]
+            rhs = m.group(2).strip()
+            rm = st.mask_strings(rhs)
+            if re.match(r"\(\s*SELECT\b", rm, re.I):
+                raise NotImplementedError(
+                    "UPDATE SET (cols) = (SELECT ...) row-subquery "
+                    "assignment is not supported — assign each column "
+                    "from its own scalar subquery"
+                )
+            if not (rhs.startswith("(") and rhs.endswith(")")):
+                raise ValueError(
+                    f"UPDATE SET tuple assignment needs a parenthesized "
+                    f"value list, got {rhs!r}"
+                )
+            vals = st.split_top_level(rhs[1:-1], ",")
+            if len(vals) != len(cols):
+                raise ValueError(
+                    f"UPDATE SET tuple has {len(cols)} columns but "
+                    f"{len(vals)} values"
+                )
+            out_parts.extend(
+                f"{c} = {v.strip()}" for c, v in zip(cols, vals)
+            )
+        return (sql[:set_pos] + "SET " + ", ".join(out_parts)
+                + " " + sql[end:])
 
     def _execute_one(self, sql: str, dialect: str):
         if dialect == "postgres":

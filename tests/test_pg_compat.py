@@ -1476,3 +1476,48 @@ def test_battery26_hypothetical_set_aggregates(spark, tmp_path):
     # ordered-set aggregates keep their native route
     assert val("SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY v) "
                "FROM hs") == 35.0
+
+
+def test_pg_update_from_delete_using(spark, tmp_path):
+    """pg join-DML forms lowered to the engine's multi-table shapes
+    (reference ships these verbatim to DuckDB,
+    pgserver/connection_handler.go:411-449): UPDATE ... FROM,
+    DELETE ... USING, SET-tuple assignment, INSERT DEFAULT VALUES."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh_pgdml"))
+    e.execute("CREATE TABLE pt (id INT PRIMARY KEY, name VARCHAR(20), "
+              "score DOUBLE)", dialect="postgres")
+    e.execute("INSERT INTO pt VALUES (1,'alice',3.5),(2,'bob',1.0),"
+              "(3,'cara',4.25)", dialect="postgres")
+
+    def one(sql):
+        return e.execute(sql, dialect="postgres").collect()[0]
+
+    # UPDATE ... FROM (VALUES ...) — psql bread-and-butter bulk update
+    e.execute("UPDATE pt SET score = v.s FROM (VALUES (2, 7.5)) "
+              "AS v(i, s) WHERE pt.id = v.i", dialect="postgres")
+    assert one("SELECT score FROM pt WHERE id = 2")[0] == 7.5
+    # aliased target + self-join source
+    e.execute("UPDATE pt AS p SET score = p.score + q.score FROM pt q "
+              "WHERE p.id = 1 AND q.id = 2", dialect="postgres")
+    assert one("SELECT score FROM pt WHERE id = 1")[0] == 11.0
+    # DELETE ... USING
+    e.execute("DELETE FROM pt USING (VALUES (3)) AS d(i) "
+              "WHERE pt.id = d.i", dialect="postgres")
+    assert one("SELECT count(*) FROM pt")[0] == 2
+    # SET (a, b) = (e1, e2) tuple assignment
+    e.execute("UPDATE pt SET (name, score) = ('zed', 0.5) WHERE id = 1",
+              dialect="postgres")
+    assert tuple(one("SELECT name, score FROM pt WHERE id = 1")) == \
+        ("zed", 0.5)
+    # row-subquery RHS rejects with a pointer at the alternative
+    import pytest
+    with pytest.raises(NotImplementedError, match="scalar subquer"):
+        e.execute("UPDATE pt SET (name, score) = (SELECT 'a', 1.0) "
+                  "WHERE id = 1", dialect="postgres")
+    # INSERT ... DEFAULT VALUES over declared defaults
+    e.execute("CREATE TABLE dv (id INT AUTO_INCREMENT PRIMARY KEY, "
+              "tag VARCHAR(10) DEFAULT 'x')", dialect="mysql")
+    e.execute("INSERT INTO dv DEFAULT VALUES", dialect="postgres")
+    assert tuple(one("SELECT id, tag FROM dv")) == (1, "x")
