@@ -837,6 +837,25 @@ def _rewrite_functions(sql: str) -> str:
     )
     out = re.sub(r"\bstarts_with\s*\(", "startswith(", out, flags=re.I)
 
+    # uuid generators (pgcrypto / uuid-ossp spellings) → Spark uuid()
+    out = re.sub(r"\b(?:gen_random_uuid|uuid_generate_v4)\s*\(\s*\)",
+                 "uuid()", out, flags=re.I)
+    # pgcrypto sha family → sha2(x, bits); hex-string output matches
+    # DuckDB's sha256 (pg renders bytea as \x-prefixed hex)
+    for _bits in (224, 256, 384, 512):
+        if re.search(rf"(?i)\bsha{_bits}\s*\(", out):
+            out = _rewrite_wrapped_call(
+                out, f"sha{_bits}", "sha2((", f"), {_bits})")
+    # advisory locks: single-process snapshot engine — grants always
+    # succeed (try-variants true, lock/unlock void → true)
+    out = re.sub(
+        r"\bpg_(?:try_)?advisory_(?:xact_)?(?:lock|unlock)"
+        r"(?:_shared|_all)?\s*\(\s*[^)]*\)",
+        "true", out, flags=re.I,
+    )
+    # ROW(a, b) constructor → struct (pg composites compare
+    # field-wise, exactly Spark's struct semantics)
+    out = re.sub(r"(?i)\bROW\s*\(", "struct(", out)
     # admin/introspection shims BI tools call (single-node answers)
     out = re.sub(r"\bpg_sleep\s*\(\s*[^)]*\)", "cast(0 as int)",
                  out, flags=re.I)
@@ -1761,12 +1780,29 @@ def _rewrite_functions(sql: str) -> str:
                  out)
     out = re.sub(r"(?i)\bjsonb_pretty\s*\(", "json_pretty_pg(", out)
 
-    # pg json constructors/aggregates → to_json over Spark complex types
-    out = _rewrite_wrapped_call(
-        out, "jsonb?_build_object", "to_json(map(", "))"
-    )
-    out = _rewrite_wrapped_call(
-        out, "jsonb?_build_array", "to_json(array(", "))"
+    # pg json constructors/aggregates → to_json over Spark complex
+    # types. map()/array() coerce mixed values to one type (1 → "1"),
+    # so the builders reuse the MySQL door's per-value encoding
+    # (functions/mysql_compat.py _fn_json_array/_fn_json_object):
+    # homogeneous literals take the fast native path, mixed types
+    # JSON-encode each value independently and splice in a UDF.
+    out = _rewrite_json_builders(out)
+    # json_agg(x ORDER BY k [DESC]) — collect_list has no ORDER BY;
+    # same sort-by-key struct fold as array_agg above
+    def ja(m: re.Match) -> str:
+        e, ob, dr = m.group(1), m.group(2), (m.group(3) or "").strip()
+        base = (
+            f"transform(array_sort(collect_list(struct(({ob}) AS __k, "
+            f"({e}) AS __v))), __s -> __s.__v)"
+        )
+        if dr.upper() == "DESC":
+            base = f"reverse({base})"
+        return f"to_json({base})"
+
+    out = re.sub(
+        r"\bjsonb?_agg\s*\(\s*((?:[^(),]|\([^()]*\))+?)\s+ORDER\s+BY\s+"
+        r"((?:[^(),]|\([^()]*\))+?)(\s+DESC|\s+ASC)?\s*\)",
+        ja, out, flags=re.I,
     )
     out = _rewrite_wrapped_call(
         out, "jsonb?_agg", "to_json(collect_list(", "))"
@@ -1836,6 +1872,17 @@ def _rewrite_functions(sql: str) -> str:
 
     out = _JSON_OBJECT_AGG_RE.sub(joa, out)
 
+    # EXTRACT(EPOCH FROM interval 'lit' [unit]) → total seconds,
+    # computed here (pg: months count 30 days, days 86400 s —
+    # timestamp.c interval_part); must run before the generic
+    # timestamp EPOCH rewrite below, which would cast the interval
+    out = re.sub(
+        r"\bEXTRACT\s*\(\s*EPOCH\s+FROM\s+INTERVAL\s+"
+        r"'([^']+)'\s*(\w+(?:\s+TO\s+\w+)?)?\s*\)",
+        lambda m: _interval_epoch_seconds(m.group(1), m.group(2))
+        or m.group(0),
+        out, flags=re.I,
+    )
     # EXTRACT(EPOCH FROM x) → seconds-with-fraction since the epoch
     out = re.sub(
         r"\bEXTRACT\s*\(\s*EPOCH\s+FROM\s+"
@@ -2236,6 +2283,159 @@ def _rewrite_wrapped_call(out: str, name: str, open_repl: str,
             + out[close + 1:]
 
 
+_SCALAR_LIT_RE = re.compile(
+    r"\s*('(?:[^']|'')*'|[-+]?\d+(?:\.\d+)?)(?!\s*\|\|)"
+)
+
+
+def _rewrite_array_elem_concat(out: str) -> str:
+    """pg ``anyarray || anyelement`` / ``anyelement || anyarray`` →
+    array_append / array_prepend, for the decidable shapes: an
+    ``array(...)`` literal on one side and a scalar literal on the
+    other. An identifier operand could itself be an array column
+    (where ``||`` must stay concat), so those pass through untouched
+    and fail visibly on type mismatch."""
+    # array(...) || lit
+    while True:
+        m = re.search(r"(?i)\barray\s*\(", out)
+        pos = 0
+        found = None
+        while m:
+            close = _match_bracket(out, m.end() - 1, "(", ")")
+            if close < 0:
+                break
+            after = re.match(r"\s*\|\|", out[close + 1:])
+            if after:
+                lm = _SCALAR_LIT_RE.match(
+                    out, close + 1 + after.end())
+                if lm:
+                    found = (m.start(), close, lm)
+                    break
+            pos = m.end()
+            m = re.compile(r"(?i)\barray\s*\(").search(out, pos)
+        if not found:
+            break
+        s0, close, lm = found
+        arr = out[s0:close + 1]
+        out = (out[:s0] + f"array_append({arr}, {lm.group(1)})"
+               + out[lm.end():])
+    # lit || array(...)
+    lit_rx = re.compile(
+        r"(?i)('(?:[^']|'')*'|(?<![\w.)])[-+]?\d+(?:\.\d+)?)"
+        r"\s*\|\|\s*(array\s*\()"
+    )
+    while True:
+        m = lit_rx.search(out)
+        if not m or _in_string(out, m.start()):
+            break
+        close = _match_bracket(out, m.end() - 1, "(", ")")
+        if close < 0:
+            break
+        arr = out[m.start(2):close + 1]
+        out = (out[:m.start()]
+               + f"array_prepend({arr}, {m.group(1)})"
+               + out[close + 1:])
+    return out
+
+
+_IVL_UNIT_SECONDS = {
+    "microsecond": 1e-6, "millisecond": 1e-3, "second": 1.0,
+    "minute": 60.0, "hour": 3600.0, "day": 86400.0, "week": 604800.0,
+    # pg's justified constants (timestamp.c): month = 30 days,
+    # year = 12 months
+    "month": 2592000.0, "year": 31104000.0,
+    "decade": 311040000.0, "century": 3110400000.0,
+    "mon": 2592000.0,
+}
+_IVL_ABBREV = {
+    "us": "microsecond", "usec": "microsecond", "usecs": "microsecond",
+    "microseconds": "microsecond", "ms": "millisecond",
+    "msec": "millisecond", "msecs": "millisecond",
+    "milliseconds": "millisecond", "s": "second", "sec": "second",
+    "secs": "second", "seconds": "second", "m": "minute",
+    "min": "minute", "mins": "minute", "minutes": "minute",
+    "h": "hour", "hr": "hour", "hrs": "hour", "hours": "hour",
+    "d": "day", "days": "day", "w": "week", "weeks": "week",
+    "mon": "month", "mons": "month", "months": "month", "y": "year",
+    "yr": "year", "yrs": "year", "years": "year",
+    "decades": "decade", "centuries": "century",
+}
+
+
+def _interval_epoch_seconds(lit: str, qual: str | None) -> str | None:
+    """Total seconds of a pg interval literal (``'2 hours'``,
+    ``'1 day 02:03:04'``, ``'90' MINUTE``); None when unparseable so
+    the caller leaves the SQL to fail visibly."""
+    total = 0.0
+    text = lit.strip()
+    if qual and re.fullmatch(r"[-+]?\d+(?:\.\d+)?", text):
+        unit = _IVL_ABBREV.get(qual.split()[0].lower(),
+                               qual.split()[0].lower())
+        if unit not in _IVL_UNIT_SECONDS:
+            return None
+        secs = float(text) * _IVL_UNIT_SECONDS[unit]
+        return f"CAST({secs!r} AS DOUBLE)"
+    pos = 0
+    for m in re.finditer(
+        r"([-+]?\d+(?:\.\d+)?)\s*([a-zA-Z]+)"
+        r"|([-+]?)(\d+):(\d{1,2})(?::(\d{1,2}(?:\.\d+)?))?",
+        text,
+    ):
+        if text[pos:m.start()].strip():
+            return None  # junk between components
+        pos = m.end()
+        if m.group(2) is not None:
+            unit = _IVL_ABBREV.get(m.group(2).lower(),
+                                   m.group(2).lower())
+            if unit not in _IVL_UNIT_SECONDS:
+                return None
+            total += float(m.group(1)) * _IVL_UNIT_SECONDS[unit]
+        else:
+            sign = -1.0 if m.group(3) == "-" else 1.0
+            hms = (float(m.group(4)) * 3600 + float(m.group(5)) * 60
+                   + float(m.group(6) or 0))
+            total += sign * hms
+    if pos == 0 or text[pos:].strip():
+        return None
+    # pg returns numeric; DOUBLE keeps the gate's no-DECIMAL rule
+    return f"CAST({total!r} AS DOUBLE)"
+
+
+def _rewrite_json_builders(out: str) -> str:
+    """``json[b]_build_object/array(args)`` → type-preserving JSON
+    text (pg keeps each value's JSON type; Spark's map()/array()
+    coerce to one type). Delegates to the MySQL door's constructor
+    builders, which pick native-vs-UDF per argument mix."""
+    from myduckserver_spark.functions.mysql_compat import (
+        _fn_json_array, _fn_json_object,
+    )
+    from myduckserver_spark.statements import split_top_level
+
+    for name, builder in (("jsonb?_build_object", _fn_json_object),
+                          ("jsonb?_build_array", _fn_json_array)):
+        rx = re.compile(rf"\b{name}\s*\(", re.I)
+        while True:
+            pos, m = 0, None
+            while True:
+                m = rx.search(out, pos)
+                if not m or not _in_string(out, m.start()):
+                    break
+                pos = m.end()
+            if not m:
+                break
+            close = _match_bracket(out, m.end() - 1, "(", ")")
+            if close < 0:
+                break
+            inner = out[m.end():close].strip()
+            args = ([a.strip() for a in split_top_level(inner, ",")]
+                    if inner else [""])
+            repl = builder(args)
+            if repl is None:  # odd arg count etc. — leave to fail
+                break
+            out = out[: m.start()] + repl + out[close + 1:]
+    return out
+
+
 def _rewrite_filter_over_window(sql: str) -> str:
     """``agg(args) FILTER (WHERE cond) OVER (…)`` →
     ``agg(CASE WHEN cond THEN args END) OVER (…)``.
@@ -2437,6 +2637,20 @@ def translate_postgres(sql: str, schema_fn=None) -> str:
         out,
     )
     out = _FETCH_FIRST_RE.sub(r"LIMIT \1", out)
+    # full ANSI paging: OFFSET n ROWS [FETCH FIRST|NEXT m ROWS ONLY]
+    # (the JPA/Hibernate pagination spelling) → LIMIT m OFFSET n;
+    # count-less FETCH means 1 row
+    out = re.sub(
+        r"(?i)\bOFFSET\s+(\d+)\s+ROWS?"
+        r"(?:\s+FETCH\s+(?:FIRST|NEXT)\s+(\d+)?\s*ROWS?\s+ONLY)?",
+        lambda m: (f"LIMIT {m.group(2) or 1} OFFSET {m.group(1)}"
+                   if re.search(r"(?i)FETCH", m.group(0))
+                   else f"OFFSET {m.group(1)}"),
+        out,
+    )
+    out = re.sub(r"(?i)\bFETCH\s+(?:FIRST|NEXT)\s+(\d+)?\s*ROWS?\s+ONLY",
+                 lambda m: f"LIMIT {m.group(1) or 1}", out)
+    out = re.sub(r"(?i)\bLIMIT\s+ALL\b", "", out)
     # ORDER BY expr USING < / USING > — operator-class direction
     if re.search(r"(?i)\bUSING\s*[<>]", out):
         out = re.sub(r"(?i)\bUSING\s*<(?![<=])", "ASC", out)
@@ -2447,6 +2661,8 @@ def translate_postgres(sql: str, schema_fn=None) -> str:
     out = _rewrite_at_time_zone(out)
     out = _rewrite_star_modifiers(out, schema_fn)
     out = _rewrite_array_literals(out)
+    if "||" in out:
+        out = _rewrite_array_elem_concat(out)
     if re.search(r"(?i)\b(?:ANY|SOME|ALL)\s*\(", out):
         from myduckserver_spark.functions.mysql_compat import (
             rewrite_pg_quantifiers,

@@ -3101,6 +3101,30 @@ def parse_statement(sql: str, hash_comments: bool = True):
     ):
         return Show("noop_admin")
 
+    # pg async-notification surface: a single-process snapshot engine
+    # has no cross-connection channels to signal, so these accept as
+    # no-ops (the reference ducks them the same way — its pg wire
+    # layer has no LISTEN dispatcher).
+    if re.match(
+        r"(LISTEN\s+\w+|UNLISTEN\s+(?:\w+|\*)|"
+        r"NOTIFY\s+\w+(?:\s*,\s*'(?:[^']|'')*')?)\s*$",
+        s, re.I,
+    ):
+        return Show("noop_admin")
+
+    # pg's ANALYZE [VERBOSE] [t [(cols)]] is MySQL's ANALYZE TABLE —
+    # route named targets to the real stats pass; the bare
+    # whole-database form accepts as a no-op (no global stats store).
+    m = re.match(
+        r"ANALYZE(?:\s+VERBOSE)?(?:\s+(`[^`]+`|\w+)"
+        r"(?:\s*\([^)]*\))?)?\s*$",
+        s, re.I,
+    )
+    if m and (m.group(1) or "").upper() != "TABLE":
+        if m.group(1):
+            return AnalyzeStmt([unquote_ident(m.group(1))])
+        return Show("noop_admin")
+
     m = re.match(r"DO\s+(.+)$", s, re.I | re.S)
     if m:
         return DoStmt(m.group(1).strip())
