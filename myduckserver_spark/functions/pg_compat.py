@@ -2436,6 +2436,338 @@ def _rewrite_json_builders(out: str) -> str:
     return out
 
 
+# ---------------------------------------------------------------- fulltext
+# pg text search compiled to generated SQL over a 'simple'-config
+# normalization (lowercase, non-alphanumerics fold to spaces — pg's
+# own 'simple' dictionary; stemming configs like 'english' normalize
+# the same way here, a documented divergence). Same discipline as the
+# MySQL door's BOOLEAN MODE compiler (mysql_compat._ft_bool_sql):
+# pure generated SQL, no per-row Python. Reference parity: the
+# reference serves MATCH fulltext through GMS (main_test.go:1879) and
+# has no pg tsearch path at all — this is strictly wider coverage.
+
+
+def _tsquery_parse(q: str):
+    """Parse a tsquery string: ``&`` AND, ``|`` OR, ``!`` NOT,
+    ``<->``/``<N>`` phrase-follows, parens, ``:*`` prefix. Returns a
+    node tree of ('term', w, prefix) / ('phrase', [terms]) /
+    ('and'|'or', l, r) / ('not', x)."""
+    toks = re.findall(
+        r"<->|<\d+>|[&|!()]|'(?:[^']|'')*'|[^\s&|!()<]+", q)
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def take():
+        nonlocal pos
+        t = toks[pos]
+        pos += 1
+        return t
+
+    def norm_word(w: str) -> tuple[str, bool]:
+        w = w.strip()
+        if w.startswith("'") and w.endswith("'") and len(w) >= 2:
+            w = w[1:-1].replace("''", "'")
+        prefix = w.endswith(":*")
+        if prefix:
+            w = w[:-2]
+        return w.lower(), prefix
+
+    def atom():
+        t = peek()
+        if t is None:
+            raise ValueError("tsquery: unexpected end of input")
+        if t == "(":
+            take()
+            node = or_expr()
+            if peek() == ")":
+                take()
+            return node
+        if t == "!":
+            take()
+            return ("not", atom())
+        w, prefix = norm_word(take())
+        if not w:
+            raise ValueError("tsquery: empty lexeme")
+        return ("term", w, prefix)
+
+    def phrase_expr():
+        node = atom()
+        while peek() and (peek() == "<->" or re.fullmatch(
+                r"<\d+>", peek() or "")):
+            op = take()
+            if op != "<->" and op != "<1>":
+                raise NotImplementedError(
+                    f"tsquery distance operator {op} is not supported "
+                    "(<-> adjacency is)"
+                )
+            rhs = atom()
+            lt = ([node[1]] if node[0] == "term" else
+                  node[1] if node[0] == "phrase" else None)
+            rt = ([rhs[1]] if rhs[0] == "term" else
+                  rhs[1] if rhs[0] == "phrase" else None)
+            if lt is None or rt is None or (
+                    node[0] == "term" and node[2]) or (
+                    rhs[0] == "term" and rhs[2]):
+                raise NotImplementedError(
+                    "tsquery <-> supports plain lexemes and phrases "
+                    "only (no prefix/negation operands)"
+                )
+            node = ("phrase", lt + rt)
+        return node
+
+    def and_expr():
+        node = phrase_expr()
+        while peek() == "&":
+            take()
+            node = ("and", node, phrase_expr())
+        return node
+
+    def or_expr():
+        node = and_expr()
+        while peek() == "|":
+            take()
+            node = ("or", node, and_expr())
+        return node
+
+    tree = or_expr()
+    if peek() is not None:
+        raise ValueError(f"tsquery: unexpected token {peek()!r}")
+    return tree
+
+
+def _websearch_parse(q: str):
+    """websearch_to_tsquery grammar: bare words AND together,
+    ``"..."`` is a phrase, ``-`` excludes, ``or`` is OR (pg docs,
+    textsearch-controls)."""
+    items = re.findall(r'"[^"]*"|\S+', q)
+    groups: list[list] = [[]]  # OR-separated groups of AND nodes
+    for it in items:
+        if it.lower() == "or":
+            groups.append([])
+            continue
+        neg = it.startswith("-")
+        if neg:
+            it = it[1:]
+        if it.startswith('"'):
+            words = re.findall(r"[a-z0-9]+", it.lower())
+            if not words:
+                continue
+            node = (("phrase", words) if len(words) > 1
+                    else ("term", words[0], False))
+        else:
+            w = re.sub(r"[^a-z0-9]+", "", it.lower())
+            if not w:
+                continue
+            node = ("term", w, False)
+        groups[-1].append(("not", node) if neg else node)
+
+    def and_of(nodes):
+        if not nodes:
+            return None
+        t = nodes[0]
+        for x in nodes[1:]:
+            t = ("and", t, x)
+        return t
+
+    trees = [and_of(g) for g in groups if and_of(g) is not None]
+    if not trees:
+        return None
+    t = trees[0]
+    for x in trees[1:]:
+        t = ("or", t, x)
+    return t
+
+
+def _tsquery_sql(doc: str, tree) -> str:
+    """Boolean match SQL for a tsquery tree over document expr."""
+    norm = (f"concat(' ', regexp_replace(lower({doc}), "
+            "'[^a-z0-9]+', ' '), ' ')")
+
+    def gen(node) -> str:
+        kind = node[0]
+        if kind == "term":
+            _, w, prefix = node
+            lit = w.replace("'", "''")
+            if prefix:
+                esc = (lit.replace("\\", "\\\\")
+                       .replace("%", "\\%").replace("_", "\\_"))
+                return f"({norm} LIKE '% {esc}%')"
+            return f"(instr({norm}, ' {lit} ') > 0)"
+        if kind == "phrase":
+            lit = " ".join(node[1]).replace("'", "''")
+            return f"(instr({norm}, ' {lit} ') > 0)"
+        if kind == "not":
+            return f"(NOT {gen(node[1])})"
+        op = " AND " if kind == "and" else " OR "
+        return f"({gen(node[1])}{op}{gen(node[2])})"
+
+    return gen(tree)
+
+
+def _tsquery_positive_leaves(tree, acc):
+    if tree[0] in ("term", "phrase"):
+        acc.append(tree)
+    elif tree[0] == "not":
+        return
+    else:
+        _tsquery_positive_leaves(tree[1], acc)
+        _tsquery_positive_leaves(tree[2], acc)
+
+
+_TSQUERY_FNS = r"(?:to|plainto|phraseto|websearch_to)_tsquery"
+
+
+def _parse_ts_call(out: str, start: int, names: str):
+    """Match ``name( args )`` at `start`; returns (name, args, end)."""
+    m = re.compile(rf"({names})\s*\(", re.I).match(out, start)
+    if not m:
+        return None
+    close = _match_bracket(out, m.end() - 1, "(", ")")
+    if close < 0:
+        return None
+    from myduckserver_spark.statements import split_top_level
+    args = [a.strip() for a in
+            split_top_level(out[m.end():close], ",")]
+    return m.group(1).lower(), args, close + 1
+
+
+def _ts_tree_of(fn: str, args: list[str]):
+    """tsquery-builder call → node tree (query must be a literal)."""
+    q = args[-1] if len(args) in (1, 2) else None
+    if q is None or not re.fullmatch(r"'(?:[^']|'')*'", q or ""):
+        raise NotImplementedError(
+            f"{fn}() requires a string-literal query"
+        )
+    text = q[1:-1].replace("''", "'")
+    if fn == "to_tsquery":
+        return _tsquery_parse(text)
+    if fn == "plainto_tsquery":
+        words = re.findall(r"[a-z0-9]+", text.lower())
+        if not words:
+            return None
+        t = ("term", words[0], False)
+        for w in words[1:]:
+            t = ("and", t, ("term", w, False))
+        return t
+    if fn == "phraseto_tsquery":
+        words = re.findall(r"[a-z0-9]+", text.lower())
+        if not words:
+            return None
+        return (("phrase", words) if len(words) > 1
+                else ("term", words[0], False))
+    return _websearch_parse(text)
+
+
+def _rewrite_tsearch(out: str) -> str:
+    """``to_tsvector([cfg,] doc) @@ <builder>([cfg,] 'q')`` →
+    generated boolean SQL; ``ts_rank([w,] vec, query)`` → matched
+    positive-leaf count as DOUBLE (rank ordering for simple queries;
+    pg's frequency weighting is a documented divergence)."""
+    # ts_rank first (its args contain @@-free builder calls)
+    while True:
+        m = re.search(r"(?i)\bts_rank(?:_cd)?\s*\(", out)
+        if not m or _in_string(out, m.start()):
+            break
+        close = _match_bracket(out, m.end() - 1, "(", ")")
+        if close < 0:
+            break
+        from myduckserver_spark.statements import split_top_level
+        args = [a.strip() for a in
+                split_top_level(out[m.end():close], ",")]
+        if len(args) == 3:  # leading weights array — ignored
+            args = args[1:]
+        if len(args) != 2:
+            raise NotImplementedError(
+                "ts_rank(vector, query) takes a to_tsvector and a "
+                "tsquery builder"
+            )
+        vec = _parse_ts_call(args[0] + " ", 0, "to_tsvector")
+        qc = _parse_ts_call(args[1] + " ", 0, _TSQUERY_FNS)
+        if not vec or not qc:
+            raise NotImplementedError(
+                "ts_rank operands must be to_tsvector(...) and a "
+                "*_tsquery(...) call"
+            )
+        doc = vec[1][-1]
+        tree = _ts_tree_of(qc[0], qc[1])
+        leaves: list = []
+        if tree is not None:
+            _tsquery_positive_leaves(tree, leaves)
+        if leaves:
+            total = " + ".join(
+                f"(CASE WHEN {_tsquery_sql(doc, lf)} THEN 1 ELSE 0 "
+                "END)" for lf in leaves
+            )
+            repl = f"CAST(({total}) AS DOUBLE)"
+        else:
+            repl = "CAST(0 AS DOUBLE)"
+        out = out[:m.start()] + repl + out[close + 1:]
+
+    # vec @@ query (either operand order)
+    while True:
+        i, p = -1, 0
+        while True:
+            i = out.find("@@", p)
+            if i < 0 or not _in_string(out, i):
+                break
+            p = i + 2
+        if i < 0:
+            break
+        # left operand: balanced call ending just before @@
+        left_end = i
+        while left_end > 0 and out[left_end - 1].isspace():
+            left_end -= 1
+        if left_end == 0 or out[left_end - 1] != ")":
+            raise NotImplementedError(
+                "@@ supports to_tsvector(...) @@ *_tsquery(...) "
+                "(tsvector columns are not a stored type here)"
+            )
+        depth, k = 0, left_end - 1
+        while k >= 0:
+            if out[k] == ")":
+                depth += 1
+            elif out[k] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            k -= 1
+        nm = re.search(r"(\w+)\s*$", out[:k])
+        if not nm:
+            raise NotImplementedError(
+                "@@ left operand must be a function call"
+            )
+        lstart = nm.start(1)
+        lcall = _parse_ts_call(out, lstart,
+                               f"to_tsvector|{_TSQUERY_FNS}")
+        # right operand
+        j = i + 2
+        while j < len(out) and out[j].isspace():
+            j += 1
+        rcall = _parse_ts_call(out, j,
+                               f"to_tsvector|{_TSQUERY_FNS}")
+        if not lcall or not rcall:
+            raise NotImplementedError(
+                "@@ supports to_tsvector(...) @@ *_tsquery(...) "
+                "and the reversed order"
+            )
+        if lcall[0] == "to_tsvector":
+            vec, qc = lcall, rcall
+        elif rcall[0] == "to_tsvector":
+            vec, qc = rcall, lcall
+        else:
+            raise NotImplementedError(
+                "@@ needs a to_tsvector(...) on one side"
+            )
+        doc = vec[1][-1]
+        tree = _ts_tree_of(qc[0], qc[1])
+        repl = ("false" if tree is None
+                else _tsquery_sql(doc, tree))
+        out = out[:lstart] + repl + out[rcall[2]:]
+    return out
+
+
 def _rewrite_filter_over_window(sql: str) -> str:
     """``agg(args) FILTER (WHERE cond) OVER (…)`` →
     ``agg(CASE WHEN cond THEN args END) OVER (…)``.
@@ -2661,6 +2993,8 @@ def translate_postgres(sql: str, schema_fn=None) -> str:
     out = _rewrite_at_time_zone(out)
     out = _rewrite_star_modifiers(out, schema_fn)
     out = _rewrite_array_literals(out)
+    if "@@" in out or re.search(r"(?i)\bts_rank", out):
+        out = _rewrite_tsearch(out)
     if "||" in out:
         out = _rewrite_array_elem_concat(out)
     if re.search(r"(?i)\b(?:ANY|SOME|ALL)\s*\(", out):

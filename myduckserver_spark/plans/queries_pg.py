@@ -208,3 +208,53 @@ def pg_sequence_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         dialect="postgres",
     )
     return eng.sql("SELECT id, tag FROM pgs ORDER BY id")
+
+
+_TS_NORM_SPARK = ("concat(' ', regexp_replace(lower(text), "
+                  "'[^a-z0-9]+', ' '), ' ')")
+_TS_NORM_DUCK = ("concat(' ', regexp_replace(lower(text), "
+                 "'[^a-z0-9]+', ' ', 'g'), ' ')")
+
+_pg(
+    "pg_tsearch_match",
+    """
+    SELECT d.doc_id,
+           ts_rank(to_tsvector('english', d.text),
+                   to_tsquery('english',
+                              'merge & (vector | stream:*) & !dup'))
+               AS rank_score
+    FROM documents d
+    WHERE to_tsvector('english', d.text)
+          @@ to_tsquery('english', 'merge & (vector | stream:*) & !dup')
+    ORDER BY rank_score DESC, d.doc_id
+    LIMIT 50
+    """,
+    tags=("pg", "fulltext", "tsearch"),
+    doc="""pg text search through the pg door: ``@@`` with the full
+    tsquery operator grammar (&, |, !, :* prefix, grouping) plus
+    ts_rank ordering, compiled to generated SQL over a
+    'simple'-config normalization (pg_compat._rewrite_tsearch — no
+    per-row Python; same discipline as the MySQL BOOLEAN MODE
+    compiler). The oracle is the equivalent explicit predicate in
+    plain SQL, so the gate checks the tsquery COMPILATION, not a
+    DuckDB fts extension. Reference parity: the reference has no pg
+    tsearch path (its fulltext is MySQL MATCH via GMS,
+    main_test.go:1879) — this is wider coverage. Scale: row-local
+    string predicates, no shuffle beyond the top-k sort.""",
+    oracle=f"""
+    WITH n AS (
+      SELECT doc_id, {_TS_NORM_DUCK} AS norm FROM documents
+    )
+    SELECT doc_id,
+           CAST((CASE WHEN instr(norm, ' merge ') > 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN instr(norm, ' vector ') > 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN norm LIKE '% stream%' THEN 1 ELSE 0 END)
+              AS DOUBLE) AS rank_score
+    FROM n
+    WHERE instr(norm, ' merge ') > 0
+      AND (instr(norm, ' vector ') > 0 OR norm LIKE '% stream%')
+      AND NOT instr(norm, ' dup ') > 0
+    ORDER BY rank_score DESC, doc_id
+    LIMIT 50
+    """,
+)

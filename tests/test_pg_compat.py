@@ -1602,3 +1602,139 @@ def test_pg_json_builders_type_fidelity(spark, tmp_path):
     assert val("SELECT jsonb_agg(x ORDER BY x DESC) "
                "FROM (VALUES (1),(2)) t(x)") == "[2,1]"
     assert val("SELECT json_agg(x) FROM (VALUES (3),(4)) t(x)") == "[3,4]"
+
+
+def test_pg_tsearch_operators(spark, tmp_path):
+    """pg text search: @@ with tsquery grammar (&, |, !, <->, :*,
+    grouping), plainto/phraseto/websearch builders, ts_rank, reversed
+    operand order, and clear rejections (distance <N>, non-literal
+    query). Normalization is pg's 'simple' config (lowercase,
+    non-alphanumerics split) — stemming configs are a documented
+    divergence."""
+    import pytest
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh_ts"))
+    e.execute("CREATE TABLE docs (id INT PRIMARY KEY, body TEXT)",
+              dialect="postgres")
+    e.execute("INSERT INTO docs VALUES "
+              "(1,'The quick brown fox jumps'),"
+              "(2,'a lazy dog sleeps'),"
+              "(3,'quick dogs and lazy foxes'),"
+              "(4,'Fox! Quick, brown.')", dialect="postgres")
+
+    def ids(sql):
+        return [r[0] for r in
+                e.execute(sql, dialect="postgres").collect()]
+
+    assert ids("SELECT id FROM docs WHERE to_tsvector('english', body)"
+               " @@ to_tsquery('english', 'fox & quick') ORDER BY id"
+               ) == [1, 4]
+    assert ids("SELECT id FROM docs WHERE to_tsvector(body) @@ "
+               "to_tsquery('lazy & !dog') ORDER BY id") == [3]
+    assert ids("SELECT id FROM docs WHERE to_tsvector(body) @@ "
+               "to_tsquery('quick <-> brown') ORDER BY id") == [1, 4]
+    assert ids("SELECT id FROM docs WHERE to_tsvector(body) @@ "
+               "to_tsquery('fox:*') ORDER BY id") == [1, 3, 4]
+    assert ids("SELECT id FROM docs WHERE to_tsvector(body) @@ "
+               "plainto_tsquery('quick fox') ORDER BY id") == [1, 4]
+    assert ids("SELECT id FROM docs WHERE to_tsvector(body) @@ "
+               "phraseto_tsquery('quick brown fox') ORDER BY id") == [1]
+    assert ids("SELECT id FROM docs WHERE to_tsvector(body) @@ "
+               "websearch_to_tsquery('\"quick brown\" -dog or lazy') "
+               "ORDER BY id") == [1, 2, 3, 4]
+    assert ids("SELECT id FROM docs WHERE to_tsquery('fox') @@ "
+               "to_tsvector(body) ORDER BY id") == [1, 4]
+    assert ids("SELECT id FROM docs WHERE to_tsvector(body) @@ "
+               "to_tsquery('(quick | lazy) & fox') ORDER BY id"
+               ) == [1, 4]
+    rows = e.execute(
+        "SELECT id, ts_rank(to_tsvector(body), "
+        "to_tsquery('quick | fox')) AS r FROM docs "
+        "ORDER BY r DESC, id", dialect="postgres").collect()
+    assert [(r[0], r[1]) for r in rows] == [
+        (1, 2.0), (4, 2.0), (3, 1.0), (2, 0.0)]
+    with pytest.raises(NotImplementedError, match="distance"):
+        e.execute("SELECT to_tsvector('a b c') @@ to_tsquery('a <2> c')",
+                  dialect="postgres")
+    with pytest.raises(NotImplementedError, match="literal"):
+        e.execute("SELECT id FROM docs WHERE to_tsvector(body) @@ "
+                  "to_tsquery(body)", dialect="postgres")
+
+
+def test_pg_tsearch_property(spark, tmp_path):
+    """Randomized differential: 120 generated tsquery trees evaluated
+    by the SQL compiler vs an independent Python evaluator over the
+    same 'simple'-config token model."""
+    import random
+    import re as _re
+    from myduckserver_spark.functions.pg_compat import (
+        _tsquery_parse, _tsquery_sql,
+    )
+
+    rng = random.Random(20260816)
+    vocab = ["fox", "dog", "quick", "lazy", "brown", "jump", "run"]
+    docs = []
+    for _ in range(40):
+        docs.append(" ".join(
+            rng.choice(vocab) for _ in range(rng.randint(1, 12))))
+
+    def py_eval(node, toks, padded):
+        k = node[0]
+        if k == "term":
+            _, w, pre = node
+            if pre:
+                return any(t.startswith(w) for t in toks)
+            return w in toks
+        if k == "phrase":
+            return f" {' '.join(node[1])} " in padded
+        if k == "not":
+            return not py_eval(node[1], toks, padded)
+        l_ = py_eval(node[1], toks, padded)
+        r_ = py_eval(node[2], toks, padded)
+        return (l_ and r_) if k == "and" else (l_ or r_)
+
+    def gen_query(depth=0):
+        r = rng.random()
+        if depth >= 3 or r < 0.45:
+            w = rng.choice(vocab)
+            if rng.random() < 0.2:
+                return w[:3] + ":*"
+            if rng.random() < 0.15:
+                return f"!{w}"
+            return w
+        if r < 0.6:
+            a, b = rng.choice(vocab), rng.choice(vocab)
+            return f"{a} <-> {b}"
+        op = rng.choice(["&", "|"])
+        lhs, rhs = gen_query(depth + 1), gen_query(depth + 1)
+        if rng.random() < 0.3:
+            return f"({lhs} {op} {rhs})"
+        return f"{lhs} {op} {rhs}"
+
+    cases = []
+    for qi in range(120):
+        q = gen_query()
+        tree = _tsquery_parse(q)
+        sql_pred = _tsquery_sql("body", tree)
+        expected = []
+        for di, d in enumerate(docs):
+            toks = _re.sub(r"[^a-z0-9]+", " ", d.lower()).split()
+            padded = " " + " ".join(toks) + " "
+            if py_eval(tree, toks, padded):
+                expected.append(di)
+        cases.append((qi, q, sql_pred, expected))
+
+    rows = ", ".join(
+        f"({i}, '{d}')" for i, d in enumerate(docs))
+    spark.sql("SELECT * FROM (VALUES " + rows + ") AS t(did, body)"
+              ).createOrReplaceTempView("ts_prop_docs")
+    preds = ", ".join(
+        f"CASE WHEN {p} THEN 1 ELSE 0 END AS q{qi}"
+        for qi, _, p, _ in cases)
+    got = spark.sql(
+        f"SELECT did, {preds} FROM ts_prop_docs ORDER BY did"
+    ).collect()
+    for qi, q, _, expected in cases:
+        actual = [r["did"] for r in got if r[f"q{qi}"] == 1]
+        assert actual == expected, f"tsquery {q!r}: {actual} != {expected}"
