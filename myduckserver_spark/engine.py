@@ -5823,8 +5823,75 @@ class Engine:
             return "'" + val.replace("'", "''") + "'"
 
         sql = self._PG_SETCFG_RE.sub(setcfg, sql)
+        if "$" in sql:
+            from myduckserver_spark.functions.pg_compat import (
+                dollar_quotes_to_std,
+            )
+            sql = dollar_quotes_to_std(sql)
+        # CREATE TABLE ... AS ... WITH [NO] DATA (SQL-standard tail)
+        if re.match(r"(?i)\s*CREATE\s+(?:TEMP(?:ORARY)?\s+)?TABLE\b",
+                    st.mask_strings(sql)):
+            sql = re.sub(r"(?i)\s+WITH\s+DATA\s*$", "", sql)
+            sql = re.sub(r"(?i)\s+WITH\s+NO\s+DATA\s*$", " LIMIT 0",
+                         sql)
+        sql = self._pg_create_function_rewrite(sql)
         sql = self._pg_dml_rewrites(sql)
         return sql
+
+    def _pg_create_function_rewrite(self, sql: str) -> str:
+        """pg ``CREATE [OR REPLACE] FUNCTION f(args) RETURNS t
+        [LANGUAGE SQL] AS 'SELECT expr' [LANGUAGE SQL]`` → the
+        engine's MySQL-grammar stored SQL function (``... RETURNS t
+        RETURN (expr)``). plpgsql and multi-statement bodies reject
+        with a pointer at the supported shape. Dollar quoting was
+        already folded to standard literals by _pg_statement_prep."""
+        m = re.match(
+            r"(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?FUNCTION\s+"
+            r"([\w`\"]+)\s*\(([^)]*)\)\s*RETURNS\s+([\w()\[\], ]+?)\s+"
+            r"(.*)$",
+            sql,
+        )
+        if not m:
+            return sql
+        orr, name, args, rtype, tail = m.groups()
+        tail = tail.strip().rstrip(";").strip()
+        lang = re.search(r"(?i)\bLANGUAGE\s+(\w+)", tail)
+        if lang and lang.group(1).lower() not in ("sql",):
+            raise NotImplementedError(
+                f"CREATE FUNCTION LANGUAGE {lang.group(1)} is not "
+                "supported — LANGUAGE SQL with a single SELECT body is"
+            )
+        bm = re.search(r"(?is)\bAS\s+('(?:[^']|'')*')", tail)
+        if not bm:
+            # BEGIN ATOMIC ... END (pg 14 SQL-standard body)
+            am = re.search(
+                r"(?is)\bBEGIN\s+ATOMIC\s+(.*?)\s*END\s*$", tail)
+            if not am:
+                return sql  # let the generic parser report
+            body = am.group(1).strip().rstrip(";")
+        else:
+            body = bm.group(1)[1:-1].replace("''", "'").strip()
+            body = body.rstrip(";").strip()
+        if ";" in st.mask_strings(body):
+            raise NotImplementedError(
+                "CREATE FUNCTION bodies are limited to a single "
+                "RETURN/SELECT expression"
+            )
+        sm = re.match(r"(?is)^(?:SELECT|RETURN)\s+(.+)$", body)
+        if not sm:
+            raise NotImplementedError(
+                "CREATE FUNCTION LANGUAGE SQL body must be a single "
+                "SELECT expression"
+            )
+        expr = sm.group(1).strip()
+        if re.search(r"(?i)\bFROM\b", st.mask_strings(expr)):
+            expr = f"(SELECT {expr})"
+        # pg arg syntax `x int` matches the engine's MySQL grammar;
+        # strip IN/OUT/INOUT modes (functions are IN-only in pg)
+        args = re.sub(r"(?i)\b(IN|OUT|INOUT|VARIADIC)\s+", "", args)
+        return (f"CREATE {'OR REPLACE ' if orr else ''}FUNCTION "
+                f"{name}({args}) RETURNS {rtype.strip()} "
+                f"RETURN ({expr})")
 
     @staticmethod
     def _split_target_alias(seg: str) -> tuple[str, str]:

@@ -546,6 +546,44 @@ def register_json_udfs(spark: SparkSession) -> None:
     reg("json_strip_nulls1", F.pandas_udf(_udf_str(
         lambda d: json.dumps(_strip_nulls(_loads(d)))
     ), S))
+
+    # pg jsonb value operators (functions-json table, pg docs):
+    # a || b concatenate/merge, a - 'key' / a - idx delete.
+    def _jsonb_concat(a, b):
+        x, y = _loads(a), _loads(b)
+        if isinstance(x, dict) and isinstance(y, dict):
+            return json.dumps({**x, **y})
+        if not isinstance(x, list):
+            x = [x]
+        if not isinstance(y, list):
+            y = [y]
+        return json.dumps(x + y)
+
+    reg("jsonb_concat1", F.pandas_udf(_udf_str(_jsonb_concat), S))
+
+    def _jsonb_del_key(d, k):
+        doc = _loads(d)
+        if isinstance(doc, dict):
+            doc.pop(k, None)
+            return json.dumps(doc)
+        if isinstance(doc, list):
+            return json.dumps([e for e in doc if e != k])
+        return None  # pg errors on scalars; NULL keeps the row visible
+
+    reg("jsonb_del_key1", F.pandas_udf(_udf_str(_jsonb_del_key), S))
+
+    def _jsonb_del_idx(d, i):
+        doc = _loads(d)
+        if not isinstance(doc, list):
+            return None
+        i = int(i)
+        if i < 0:
+            i += len(doc)
+        if 0 <= i < len(doc):
+            doc.pop(i)
+        return json.dumps(doc)
+
+    reg("jsonb_del_idx1", F.pandas_udf(_udf_str(_jsonb_del_idx), S))
     reg("json_quote1", F.pandas_udf(_udf_str(
         lambda s: json.dumps(s)
     ), S))

@@ -1655,18 +1655,52 @@ def _rewrite_functions(sql: str) -> str:
     _UN_ORD = (r"unnest\s*\(((?:[^()]|\([^()]*\))*)\)"
                r"(\s+WITH\s+ORDINALITY)?"
                r"(?:\s+(?:AS\s+)?" + _NOT_CLAUSE_KW + r"(\w+)"
-               r"(?:\s*\(\s*(\w+)\s*(?:,\s*(\w+)\s*)?\))?)?")
+               r"(?:\s*\(\s*([\w\s,]+?)\s*\))?)?")
 
     def _un_parts(m: re.Match):
-        args, ordi, a1, c1, c2 = (m.group(1), m.group(2), m.group(3),
-                                  m.group(4), m.group(5))
-        col = c1 or a1 or "unnest"  # pg's default output column name
+        from myduckserver_spark.statements import split_top_level
+        args, ordi, a1, clist = (m.group(1), m.group(2), m.group(3),
+                                 m.group(4))
+        cols = ([c.strip() for c in clist.split(",")] if clist
+                else [])
+        arr_list = [a.strip() for a in split_top_level(args, ",")]
+        n_arr = len(arr_list)
+        # pg default output column names: `unnest` (single array) /
+        # the alias; multi-array zip defaults to unnest, unnest_1, …
+        while len(cols) < n_arr + (1 if ordi else 0):
+            k = len(cols)
+            if k < n_arr:
+                cols.append(a1 or "unnest" if k == 0
+                            else f"unnest_{k}")
+            else:
+                cols.append("ordinality")
+        col = cols[0]
         tbl = a1 or f"__uv_{col}"
-        oc = c2 or "ordinality"
-        return args, bool(ordi), tbl, col, oc
+        oc = cols[n_arr] if ordi else "ordinality"
+        return args, bool(ordi), tbl, col, oc, arr_list, cols
 
     def _un_gen(args: str, tbl: str, col: str, oc: str,
-                ordi: bool, lateral: bool) -> str:
+                ordi: bool, lateral: bool, arr_list=None,
+                cols=None) -> str:
+        arr_list = arr_list if arr_list is not None else [args]
+        if len(arr_list) > 1:
+            # multi-array zip (pg NULL-pads to the longest input):
+            # index walk with try_element_at keeps ANSI mode happy
+            sizes = ", ".join(f"size({a})" for a in arr_list)
+            idx = (f"CASE WHEN greatest({sizes}) <= 0 THEN "
+                   f"array() ELSE sequence(0, greatest({sizes}) - 1) "
+                   "END")
+            fields = ", ".join(
+                f"try_element_at({a}, __ui + 1) AS {c}"
+                for a, c in zip(arr_list, cols)
+            )
+            if ordi:
+                fields += f", CAST(__ui + 1 AS BIGINT) AS {oc}"
+            gen = (f"inline(transform({idx}, __ui -> "
+                   f"struct({fields})))")
+            if lateral:
+                return f" LATERAL VIEW {gen} {tbl}"
+            return f"(SELECT {gen}) {tbl}"
         if ordi:
             gen = (f"inline(transform({args}, (__ux, __ui) -> "
                    f"struct(__ux AS {col}, "
@@ -1681,8 +1715,9 @@ def _rewrite_functions(sql: str) -> str:
     fm = re.search(r"(?i)\bFROM\b", out)
     if fm and re.search(r"(?i),\s*unnest\s*\(", out):
         def lat(m: re.Match) -> str:
-            args, ordi, tbl, col, oc = _un_parts(m)
-            return _un_gen(args, tbl, col, oc, ordi, lateral=True)
+            args, ordi, tbl, col, oc, arrs, cols = _un_parts(m)
+            return _un_gen(args, tbl, col, oc, ordi, lateral=True,
+                           arr_list=arrs, cols=cols)
 
         head, tail = out[:fm.end()], out[fm.end():]
         tail = re.sub(r",\s*" + _UN_ORD, lat, tail, flags=re.I)
@@ -1691,11 +1726,12 @@ def _rewrite_functions(sql: str) -> str:
     if re.search(r"(?i)\b(?:FROM|JOIN)\s+unnest\s*\(", out):
         def un_from(m: re.Match) -> str:
             kw = m.group(1)
-            args, ordi, tbl, col, oc = _un_parts(
+            args, ordi, tbl, col, oc, arrs, cols = _un_parts(
                 re.match(_UN_ORD, m.group(0)[len(kw):].lstrip(),
                          re.I))
             return f"{kw} " + _un_gen(args, tbl, col, oc, ordi,
-                                      lateral=False)
+                                      lateral=False, arr_list=arrs,
+                                      cols=cols)
 
         out = re.sub(r"\b(FROM|JOIN)\s+" + _UN_ORD, un_from, out,
                      flags=re.I)
@@ -2214,6 +2250,93 @@ def _rewrite_json_path_ops(sql: str) -> str:
         scan = start + len(repl)
 
 
+_JSONBISH_RE = re.compile(
+    r"(?is)(?:::\s*jsonb?\s*$"
+    r"|^(?:jsonb?_set|jsonb?_build_object|jsonb?_build_array|to_jsonb"
+    r"|jsonb_concat1|jsonb_del_key1|jsonb_del_idx1|json_remove1"
+    r"|json_strip_nulls1|get_json_object|json_set1|json_insert1"
+    r"|json_replace1|jsonb?_insert|jsonb?_object)\s*\()"
+)
+
+
+def _is_jsonbish(expr: str) -> bool:
+    return bool(_JSONBISH_RE.search(expr.strip()))
+
+
+def _rewrite_jsonb_value_ops(sql: str) -> str:
+    """pg jsonb value operators on recognizably-jsonb operands
+    (a ``::jsonb`` cast or a jsonb-producing call): ``a || b`` →
+    merge/concat, ``a - 'k'`` → key delete, ``a - n`` → index delete
+    (UDFs in functions/json_udfs.py; pg semantics incl. RHS-wins
+    object merge and negative indexes). Operands Spark can't prove
+    jsonb pass through untouched — ``||`` stays string concat there,
+    exactly pg's behavior for text operands."""
+    out = sql
+    scan = 0
+    while True:
+        # find the next candidate operator
+        m = re.compile(r"\|\||-").search(out, scan)
+        if not m:
+            return out
+        found = m.start()
+        tok = m.group(0)
+        if _in_string(out, found):
+            scan = found + len(tok)
+            continue
+        if tok == "-" and found + 1 < len(out) and out[found + 1] in ">-":
+            scan = found + 2  # -> / ->> / comment --
+            continue
+        start = _operand_start(out, found)
+        while out[max(0, start - 2):start] == "::":
+            start = _operand_start(out, start - 2)
+        lhs = out[start:found].strip()
+        if not lhs or not _is_jsonbish(lhs):
+            scan = found + len(tok)
+            continue
+        r = found + len(tok)
+        while r < len(out) and out[r].isspace():
+            r += 1
+        if tok == "-":
+            if r < len(out) and out[r] == "'":
+                e = out.find("'", r + 1)
+                while 0 < e < len(out) - 1 and out[e + 1] == "'":
+                    e = out.find("'", e + 2)
+                if e < 0:
+                    scan = found + 1
+                    continue
+                key = out[r:e + 1]
+                repl = f"jsonb_del_key1({lhs}, {key})"
+                rhs_end = e + 1
+            else:
+                im = re.match(r"-?\d+", out[r:])
+                if not im:
+                    scan = found + 1
+                    continue
+                repl = f"jsonb_del_idx1({lhs}, {im.group(0)})"
+                rhs_end = r + im.end()
+        else:  # ||
+            rm = re.match(
+                r"('(?:[^']|'')*'|[a-zA-Z_]\w*(?:\s*\()?)", out[r:])
+            if not rm:
+                scan = found + 2
+                continue
+            if rm.group(1).endswith("("):
+                close = _match_bracket(out, r + rm.end() - 1, "(", ")")
+                if close < 0:
+                    scan = found + 2
+                    continue
+                rhs_end = close + 1
+            else:
+                rhs_end = r + rm.end()
+            cm = re.match(r"\s*::\s*\w+(?:\s*\[\s*\])?", out[rhs_end:])
+            if cm:
+                rhs_end += cm.end()
+            rhs = out[r:rhs_end].strip()
+            repl = f"jsonb_concat1({lhs}, {rhs})"
+        out = out[:start] + repl + out[rhs_end:]
+        scan = start + len(repl)
+
+
 def _rewrite_json_ops(sql: str) -> str:
     """pg ``x -> 'k'`` / ``x ->> 'k'`` / ``x -> 2`` →
     get_json_object(x, '$.k' / '$[2]'). Runs BEFORE any rewrite that
@@ -2239,8 +2362,12 @@ def _rewrite_json_ops(sql: str) -> str:
                 key = out[r + 1: e]
                 path = f"'$.{key}'" if not key.startswith("$") else f"'{key}'"
                 rhs_end = e + 1
-        elif r < len(out) and out[r].isdigit():
-            e = r
+        elif r < len(out) and (
+            out[r].isdigit()
+            or (out[r] == "-" and r + 1 < len(out)
+                and out[r + 1].isdigit())
+        ):
+            e = r + (1 if out[r] == "-" else 0)
             while e < len(out) and out[e].isdigit():
                 e += 1
             path = f"'$[{out[r:e]}]'"
@@ -2256,7 +2383,16 @@ def _rewrite_json_ops(sql: str) -> str:
         if not operand:
             scan = found + alen
             continue
-        repl = f"get_json_object({operand}, {path})"
+        if path.startswith("'$[-"):
+            # negative index counts from the end (pg 13+);
+            # get_json_object has no such path leg — element_at over
+            # the decoded array does (try_: out-of-range → NULL)
+            idx = path[3:-2]
+            dec = ("json_arr_elems_text" if alen == 3
+                   else "json_arr_elems")
+            repl = f"try_element_at({dec}({operand}), {idx})"
+        else:
+            repl = f"get_json_object({operand}, {path})"
         out = out[:start] + repl + out[rhs_end:]
         scan = start + len(repl)
 
@@ -2948,6 +3084,41 @@ def st_split_guard(expr: str) -> str:
     return "".join(out)
 
 
+def dollar_quotes_to_std(sql: str) -> str:
+    """pg dollar-quoted literals ``$$...$$`` / ``$tag$...$tag$`` →
+    standard single-quoted literals with '' escaping. Linear scan
+    that respects ordinary single-quoted spans."""
+    out = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(sql[i:j + 1])
+            i = j + 1
+            continue
+        if c == "$":
+            m = re.match(r"\$(\w*)\$", sql[i:])
+            if m:
+                closer = m.group(0)
+                end = sql.find(closer, i + m.end())
+                if end >= 0:
+                    body = sql[i + m.end():end]
+                    out.append("'" + body.replace("'", "''") + "'")
+                    i = end + len(closer)
+                    continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def translate_postgres(sql: str, schema_fn=None) -> str:
     """Normalize a Postgres-dialect query into Spark SQL.
 
@@ -2955,11 +3126,29 @@ def translate_postgres(sql: str, schema_fn=None) -> str:
     the engine) lets schema-aware rewrites — star REPLACE ordinal
     position — resolve table columns."""
     out = sql
+    if "$" in out:
+        out = dollar_quotes_to_std(out)
     if "'" in out:
         # plain-literal backslashes double; E'..' prefixes drop
         out = _pg_string_literals(out)
     if '"' in out:
         out = _dquotes_to_backticks(out)
+    # pg 12 CTE materialization hints are planner advice — Catalyst
+    # makes its own call; strip them
+    out = re.sub(r"(?i)\bAS\s+(?:NOT\s+)?MATERIALIZED\s*\(", "AS (",
+                 out)
+    # window frame EXCLUDE: NO OTHERS is the default (strip); the
+    # real exclusions have no Spark frame equivalent — reject with
+    # the workaround instead of a bare ParseException
+    out = re.sub(r"(?i)\s+EXCLUDE\s+NO\s+OTHERS\b", "", out)
+    if re.search(r"(?i)\bEXCLUDE\s+(?:CURRENT\s+ROW|GROUP\b|TIES\b)",
+                 out):
+        raise NotImplementedError(
+            "window frame EXCLUDE CURRENT ROW/GROUP/TIES is not "
+            "supported (Spark frames have no exclusion clause) — "
+            "subtract the excluded rows' contribution explicitly, "
+            "e.g. sum(v) OVER (frame) - v"
+        )
     # FETCH FIRST n ROWS WITH TIES: peers of the n-th row stay —
     # a rank() window predicate (lowered by the QUALIFY rewrite below)
     out = re.sub(
@@ -3006,6 +3195,8 @@ def translate_postgres(sql: str, schema_fn=None) -> str:
     out = _rewrite_duckdb_literals(out)
     out = _rewrite_json_ops(out)
     out = _rewrite_json_path_ops(out)
+    if "||" in out or "-" in out:
+        out = _rewrite_jsonb_value_ops(out)
     out = _rewrite_distinct_on(out)
     out = _rewrite_qualify(out)
     out = _rewrite_filter_over_window(out)

@@ -3107,7 +3107,11 @@ def parse_statement(sql: str, hash_comments: bool = True):
     # layer has no LISTEN dispatcher).
     if re.match(
         r"(LISTEN\s+\w+|UNLISTEN\s+(?:\w+|\*)|"
-        r"NOTIFY\s+\w+(?:\s*,\s*'(?:[^']|'')*')?)\s*$",
+        r"NOTIFY\s+\w+(?:\s*,\s*'(?:[^']|'')*')?|"
+        r"CLUSTER(?:\s+VERBOSE)?(?:\s+[\w`\"]+(?:\s+USING\s+\w+)?)?|"
+        r"REINDEX(?:\s+\(\s*\w+\s*\))?\s+"
+        r"(?:INDEX|TABLE|SCHEMA|DATABASE|SYSTEM)\s+[\w`\".]+"
+        r")\s*$",
         s, re.I,
     ):
         return Show("noop_admin")

@@ -1738,3 +1738,93 @@ def test_pg_tsearch_property(spark, tmp_path):
     for qi, q, _, expected in cases:
         actual = [r["did"] for r in got if r[f"q{qi}"] == 1]
         assert actual == expected, f"tsquery {q!r}: {actual} != {expected}"
+
+
+def test_pg_dollar_quotes_functions_ddl(spark, tmp_path):
+    """Dollar-quoted literals, pg CREATE FUNCTION LANGUAGE SQL /
+    BEGIN ATOMIC → stored SQL functions, MATERIALIZED CTE hints,
+    CTAS WITH [NO] DATA, CLUSTER/REINDEX no-ops."""
+    import pytest
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh_pgddl"))
+
+    def val(sql):
+        return e.execute(sql, dialect="postgres").collect()[0][0]
+
+    assert val("SELECT $$it's here$$") == "it's here"
+    assert val("SELECT $tag$nested $$ quotes$tag$") == "nested $$ quotes"
+    e.execute("CREATE FUNCTION addxy(x int, y int) RETURNS int AS "
+              "$$ SELECT x + y $$ LANGUAGE SQL", dialect="postgres")
+    assert val("SELECT addxy(2, 3)") == 5
+    e.execute("CREATE FUNCTION trip(z int) RETURNS int LANGUAGE SQL "
+              "BEGIN ATOMIC SELECT z * 3; END", dialect="postgres")
+    assert val("SELECT trip(7)") == 21
+    with pytest.raises(NotImplementedError, match="plpgsql"):
+        e.execute("CREATE FUNCTION bad() RETURNS int AS "
+                  "$$ BEGIN RETURN 1; END $$ LANGUAGE plpgsql",
+                  dialect="postgres")
+    assert val("WITH x AS MATERIALIZED (SELECT 1 AS a) "
+               "SELECT a FROM x") == 1
+    assert val("WITH x AS NOT MATERIALIZED (SELECT 2 AS a) "
+               "SELECT a FROM x") == 2
+    e.execute("CREATE TABLE t9 (id INT PRIMARY KEY, v DOUBLE)",
+              dialect="postgres")
+    e.execute("INSERT INTO t9 VALUES (1, 2.0), (2, 3.0)",
+              dialect="postgres")
+    e.execute("CREATE TABLE t9b AS SELECT * FROM t9 WITH NO DATA",
+              dialect="postgres")
+    assert val("SELECT count(*) FROM t9b") == 0
+    e.execute("CREATE TABLE t9c AS SELECT * FROM t9 WITH DATA",
+              dialect="postgres")
+    assert val("SELECT count(*) FROM t9c") == 2
+    e.execute("CLUSTER t9 USING some_idx", dialect="postgres")
+    e.execute("REINDEX TABLE t9", dialect="postgres")
+    # window EXCLUDE: NO OTHERS strips, real exclusions reject clearly
+    assert val("SELECT sum(v) OVER (ORDER BY id ROWS BETWEEN 1 "
+               "PRECEDING AND CURRENT ROW EXCLUDE NO OTHERS) "
+               "FROM t9 ORDER BY id LIMIT 1") == 2.0
+    with pytest.raises(NotImplementedError, match="EXCLUDE"):
+        e.execute("SELECT sum(v) OVER (ORDER BY id ROWS BETWEEN 1 "
+                  "PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) "
+                  "FROM t9", dialect="postgres")
+
+
+def test_pg_jsonb_value_ops_and_multiarray_unnest(spark, tmp_path):
+    """jsonb || / - operators (merge, key/index delete, pg type
+    rules incl. negative indexes) and multi-array unnest zip with
+    NULL padding + WITH ORDINALITY."""
+    import json
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh_pgjsonb"))
+
+    def val(sql):
+        return e.execute(sql, dialect="postgres").collect()[0][0]
+
+    assert json.loads(val(
+        "SELECT '{\"a\":1}'::jsonb || '{\"b\":2}'::jsonb")) == \
+        {"a": 1, "b": 2}
+    assert json.loads(val("SELECT '[1,2]'::jsonb || '[3]'::jsonb")) == \
+        [1, 2, 3]
+    assert json.loads(val("SELECT '[1]'::jsonb || '5'::jsonb")) == [1, 5]
+    assert json.loads(val(
+        "SELECT '{\"a\":1,\"b\":2}'::jsonb - 'a'")) == {"b": 2}
+    assert json.loads(val(
+        "SELECT '[\"a\",\"b\",\"a\"]'::jsonb - 'a'")) == ["b"]
+    assert json.loads(val("SELECT '[1,2,3]'::jsonb - 1")) == [1, 3]
+    assert json.loads(val("SELECT '[1,2,3]'::jsonb - -1")) == [1, 2]
+    assert val("SELECT '[1,2,3]'::jsonb ->> -1") == "3"
+    assert json.loads(val(
+        "SELECT '[{\"a\":1},{\"a\":2}]'::jsonb -> -1")) == {"a": 2}
+    # plain string concat / numeric minus untouched
+    assert val("SELECT 'a' || 'b'") == "ab"
+    assert val("SELECT 5 - 3") == 2
+    rows = e.execute(
+        "SELECT * FROM unnest(ARRAY[1,2,3], ARRAY['a','b']) AS t(x, y)",
+        dialect="postgres").collect()
+    assert [(r.x, r.y) for r in rows] == [(1, "a"), (2, "b"), (3, None)]
+    rows = e.execute(
+        "SELECT * FROM unnest(ARRAY[1,2], ARRAY['a','b']) "
+        "WITH ORDINALITY AS t(x, y, n)", dialect="postgres").collect()
+    assert [(r.x, r.y, r.n) for r in rows] == [(1, "a", 1), (2, "b", 2)]
