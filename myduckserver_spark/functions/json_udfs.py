@@ -584,6 +584,182 @@ def register_json_udfs(spark: SparkSession) -> None:
         return json.dumps(doc)
 
     reg("jsonb_del_idx1", F.pandas_udf(_udf_str(_jsonb_del_idx), S))
+
+    # pg json[b]_typeof names (json_mysql_type speaks MySQL's)
+    def _pg_typeof(d):
+        v = _loads(d)
+        if v is None:
+            return "null"
+        if isinstance(v, bool):
+            return "boolean"
+        if isinstance(v, (int, float)):
+            return "number"
+        if isinstance(v, str):
+            return "string"
+        if isinstance(v, list):
+            return "array"
+        return "object"
+
+    reg("json_pg_typeof", F.pandas_udf(_udf_str(_pg_typeof), S))
+
+    # compact separators: unwrapping to_json(array(x)) must be a
+    # formatting no-op vs Spark's own to_json output
+    reg("pg_scalar_json1", F.pandas_udf(_udf_str(
+        lambda enc: json.dumps(json.loads(enc)[0],
+                               separators=(",", ":"))
+    ), S))
+
+    # SQL/JSON path subset (pg jsonpath): legs `$`, `.key`, `[n]`
+    # (negative from end), `[*]`, `.*`; an optional trailing filter
+    # `? (@ <op> <literal>)` or `? (@.key <op> <literal>)`. Wider
+    # constructs (arithmetic, functions, nested filters) return NULL
+    # rather than a wrong answer.
+    _JPATH_LEG = re.compile(
+        r"\.(?:\*|\"([^\"]+)\"|([A-Za-z_]\w*))|\[\s*(\*|-?\d+)\s*\]")
+    _JPATH_FILT = re.compile(
+        r"\?\s*\(\s*@(?:\.([A-Za-z_]\w*))?\s*"
+        r"(==|!=|<>|<=|>=|<|>)\s*"
+        r"('(?:[^']|'')*'|\"[^\"]*\"|-?\d+(?:\.\d+)?|true|false|null)"
+        r"\s*\)\s*$")
+
+    def _jpath_eval(doc, path):
+        s = (path or "").strip()
+        if not s.startswith("$"):
+            return None
+        filt = None
+        fm = _JPATH_FILT.search(s)
+        if fm:
+            s = s[:fm.start()].rstrip()
+            key, op, lit = fm.group(1), fm.group(2), fm.group(3)
+            if lit.startswith("'"):
+                litv = lit[1:-1].replace("''", "'")
+            elif lit.startswith('"'):
+                litv = lit[1:-1]
+            elif lit in ("true", "false"):
+                litv = lit == "true"
+            elif lit == "null":
+                litv = None
+            else:
+                litv = float(lit) if "." in lit else int(lit)
+            filt = (key, op, litv)
+        cur = [_loads(doc)]
+        i = 1
+        while i < len(s):
+            m = _JPATH_LEG.match(s, i)
+            if not m:
+                return None  # unsupported construct
+            nxt = []
+            if m.group(0).startswith(".") and m.group(0) != ".*":
+                k = m.group(1) or m.group(2)
+                for v in cur:
+                    if isinstance(v, dict) and k in v:
+                        nxt.append(v[k])
+            elif m.group(0) == ".*":
+                for v in cur:
+                    if isinstance(v, dict):
+                        nxt.extend(v.values())
+            else:
+                idx = m.group(3)
+                for v in cur:
+                    if not isinstance(v, list):
+                        # pg lax mode auto-wraps scalars
+                        v = [v]
+                    if idx == "*":
+                        nxt.extend(v)
+                    else:
+                        j = int(idx)
+                        if j < 0:
+                            j += len(v)
+                        if 0 <= j < len(v):
+                            nxt.append(v[j])
+            cur = nxt
+            i = m.end()
+        if filt is not None:
+            key, op, litv = filt
+
+            def keep(v):
+                t = v.get(key) if key else v
+                if isinstance(v, dict) and key and key not in v:
+                    return False
+                try:
+                    if op == "==":
+                        return t == litv
+                    if op in ("!=", "<>"):
+                        return t != litv
+                    if t is None or litv is None:
+                        return False
+                    if op == "<":
+                        return t < litv
+                    if op == "<=":
+                        return t <= litv
+                    if op == ">":
+                        return t > litv
+                    return t >= litv
+                except TypeError:
+                    return False
+
+            cur = [v for v in cur if keep(v)]
+        return cur
+
+    def _jp_exists(d, p):
+        r = _jpath_eval(d, p)
+        return None if r is None else (1 if len(r) > 0 else 0)
+
+    reg("jsonb_path_exists1", F.pandas_udf(_udf_str(_jp_exists), I))
+
+    def _jp_query_array(d, p):
+        r = _jpath_eval(d, p)
+        return None if r is None else json.dumps(r)
+
+    reg("jsonb_path_query_array1",
+        F.pandas_udf(_udf_str(_jp_query_array), S))
+
+    def _jp_query_first(d, p):
+        r = _jpath_eval(d, p)
+        return None if not r else json.dumps(r[0])
+
+    reg("jsonb_path_query_first1",
+        F.pandas_udf(_udf_str(_jp_query_first), S))
+
+    def _jp_match(d, p):
+        # predicate form `$.a > 1` (pg jsonb_path_match takes a
+        # predicate path, not a filter suffix)
+        pm = re.match(
+            r"^\s*(\$\S*)\s*(==|!=|<>|<=|>=|<|>)\s*"
+            r"('(?:[^']|'')*'|-?\d+(?:\.\d+)?|true|false|null)\s*$",
+            p or "")
+        if pm:
+            r = _jpath_eval(d, pm.group(1))
+            if not r:
+                return None
+            lit = pm.group(3)
+            if lit.startswith("'"):
+                litv = lit[1:-1].replace("''", "'")
+            elif lit in ("true", "false"):
+                litv = lit == "true"
+            elif lit == "null":
+                litv = None
+            else:
+                litv = float(lit) if "." in lit else int(lit)
+            t, op = r[0], pm.group(2)
+            try:
+                if op == "==":
+                    return 1 if t == litv else 0
+                if op in ("!=", "<>"):
+                    return 1 if t != litv else 0
+                if t is None or litv is None:
+                    return None
+                ok = {"<": t < litv, "<=": t <= litv,
+                      ">": t > litv, ">=": t >= litv}[op]
+                return 1 if ok else 0
+            except TypeError:
+                return None
+        r = _jpath_eval(d, p)
+        if not r or not isinstance(r[0], bool):
+            return None
+        return 1 if r[0] else 0
+
+    reg("jsonb_path_match1", F.pandas_udf(_udf_str(_jp_match), I))
     reg("json_quote1", F.pandas_udf(_udf_str(
         lambda s: json.dumps(s)
     ), S))

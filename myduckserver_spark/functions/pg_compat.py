@@ -427,7 +427,17 @@ def _rewrite_casts(sql: str) -> str:
         spark_ty, ty_end = parsed
         start = _operand_start(out, idx)
         operand = out[start:idx].strip()
-        out = f"{out[:start]}CAST({operand} AS {spark_ty}){out[ty_end:]}"
+        # pg hex bytea literals: '\x68690a'::bytea is hex-encoded
+        # binary, not the literal text (a plain string cast would
+        # keep the characters '\x68690a')
+        bm = (spark_ty.upper() == "BINARY"
+              and re.fullmatch(r"[Ee]?'(?:\\)?\\x([0-9a-fA-F]*)'",
+                               operand))
+        if bm:
+            out = f"{out[:start]}unhex('{bm.group(1)}'){out[ty_end:]}"
+        else:
+            out = (f"{out[:start]}CAST({operand} AS {spark_ty})"
+                   f"{out[ty_end:]}")
     return out
 
 
@@ -1094,6 +1104,84 @@ def _rewrite_functions(sql: str) -> str:
     # jsonb_* length + set-returning element iteration
     out = re.sub(r"\bjsonb?_array_length\s*\(", "json_array_length(",
                  out, flags=re.I)
+    out = re.sub(r"\bjsonb?_typeof\s*\(", "json_pg_typeof(",
+                 out, flags=re.I)
+    # jsonb_object(keys[], values[]) — pg casts values to text
+    out = re.sub(
+        r"\bjsonb?_object\s*\(\s*((?:[^(),]|\([^()]*\))+?)\s*,\s*"
+        r"((?:[^(),]|\([^()]*\))+?)\s*\)",
+        r"to_json(map_from_arrays(\1, \2))", out, flags=re.I,
+    )
+    out = re.sub(
+        r"\bjsonb?_exists\s*\(\s*((?:[^(),]|\([^()]*\))+?)\s*,\s*"
+        r"((?:[^(),]|\([^()]*\))+?)\s*\)",
+        r"array_contains(json_object_keys(\1), \2)", out, flags=re.I,
+    )
+    # SQL/JSON path functions (subset evaluator in json_udfs.py);
+    # jsonb_path_query proper is set-returning — point at the
+    # supported spellings instead of failing opaquely
+    if re.search(r"(?i)\bjsonb?_path_query\s*\(", out):
+        raise NotImplementedError(
+            "jsonb_path_query() is set-returning — use "
+            "jsonb_path_query_array() / jsonb_path_query_first()"
+        )
+    out = re.sub(r"\bjsonb?_path_exists\s*\(",
+                 "1 = jsonb_path_exists1(", out, flags=re.I)
+    out = re.sub(r"\bjsonb?_path_match\s*\(",
+                 "1 = jsonb_path_match1(", out, flags=re.I)
+    out = re.sub(r"\bjsonb?_path_query_array\s*\(",
+                 "jsonb_path_query_array1(", out, flags=re.I)
+    out = re.sub(r"\bjsonb?_path_query_first\s*\(",
+                 "jsonb_path_query_first1(", out, flags=re.I)
+    # encoding conversions — pg charset spellings → Java's
+    _ENC = {"utf8": "UTF-8", "utf-8": "UTF-8", "unicode": "UTF-8",
+            "latin1": "ISO-8859-1", "iso88591": "ISO-8859-1",
+            "sql_ascii": "US-ASCII", "win1252": "ISO-8859-1"}
+
+    def _cenc(m: re.Match) -> str:
+        fn = ("decode" if m.group(1).lower() == "convert_from"
+              else "encode")
+        enc = _ENC.get(m.group(3).lower(), m.group(3))
+        return f"{fn}({m.group(2)}, '{enc}')"
+
+    out = re.sub(
+        r"(?i)\b(convert_from|convert_to)\s*\(\s*"
+        r"((?:[^(),']|'(?:[^']|'')*'|\([^()]*\))+?)\s*,\s*"
+        r"'([^']+)'\s*\)",
+        _cenc, out,
+    )
+    # numeric scale introspection over the value's string form
+    out = re.sub(
+        r"\bscale\s*\(\s*((?:[^(),]|\([^()]*\))+?)\s*\)",
+        r"length(regexp_extract(cast(\1 as string), '[.](\\\\d+)$', 1))",
+        out, flags=re.I,
+    )
+    out = re.sub(
+        r"\bmin_scale\s*\(\s*((?:[^(),]|\([^()]*\))+?)\s*\)",
+        r"length(regexp_replace(regexp_extract(cast(\1 as string), "
+        r"'[.](\\\\d+)$', 1), '0+$', ''))",
+        out, flags=re.I,
+    )
+    out = re.sub(
+        r"\btrim_scale\s*\(\s*((?:[^(),]|\([^()]*\))+?)\s*\)",
+        r"cast(\1 as double)", out, flags=re.I,
+    )
+    out = re.sub(r"\bsetseed\s*\(\s*[^)]*\)", "CAST(NULL AS DOUBLE)",
+                 out, flags=re.I)
+    # make_time → the engine's TIME string convention (sec_to_time)
+    out = re.sub(
+        r"\bmake_time\s*\(\s*((?:[^(),]|\([^()]*\))+?)\s*,\s*"
+        r"((?:[^(),]|\([^()]*\))+?)\s*,\s*"
+        r"((?:[^(),]|\([^()]*\))+?)\s*\)",
+        lambda m: (
+            f"concat(lpad(cast(({m.group(1)}) as string), 2, '0'), ':',"
+            f" lpad(cast(({m.group(2)}) as string), 2, '0'), ':', "
+            f"CASE WHEN ({m.group(3)}) = floor({m.group(3)}) THEN "
+            f"lpad(cast(cast(({m.group(3)}) as int) as string), 2, '0')"
+            f" ELSE lpad(cast(({m.group(3)}) as string), 4, '0') END)"
+        ),
+        out, flags=re.I,
+    )
     out = _rewrite_wrapped_call(
         out, "jsonb?_array_elements_text",
         "explode(json_arr_elems_text(", "))",
@@ -1101,6 +1189,70 @@ def _rewrite_functions(sql: str) -> str:
     out = _rewrite_wrapped_call(
         out, "jsonb?_array_elements", "explode(json_arr_elems(", "))",
     )
+
+    # json[b]_to_record / json[b]_to_recordset with the mandatory
+    # AS t(col type, ...) definition list → from_json over the
+    # equivalent Spark struct schema (recordset explodes the array)
+    if re.search(r"(?i)\bjsonb?_to_record(?:set)?\s*\(", out):
+        _PGT = {
+            "int": "int", "integer": "int", "int4": "int",
+            "smallint": "smallint", "int2": "smallint",
+            "bigint": "bigint", "int8": "bigint",
+            "text": "string", "varchar": "string", "char": "string",
+            "bpchar": "string", "name": "string", "json": "string",
+            "jsonb": "string", "uuid": "string",
+            "boolean": "boolean", "bool": "boolean",
+            "real": "float", "float4": "float",
+            "float8": "double", "double precision": "double",
+            "numeric": "double", "decimal": "double",
+            "date": "date", "timestamp": "timestamp",
+            "timestamptz": "timestamp",
+        }
+
+        def _coldefs_schema(defs: str) -> tuple[str, str]:
+            from myduckserver_spark.statements import split_top_level
+            fields, names = [], []
+            for cd in split_top_level(defs, ","):
+                dm = re.match(
+                    r'\s*("[^"]+"|`[^`]+`|\w+)\s+([\w ]+?)'
+                    r"(?:\s*\(\s*[\d,\s]*\s*\))?\s*(?:\[\s*\])?\s*$",
+                    cd,
+                )
+                if not dm:
+                    raise ValueError(
+                        f"cannot parse record column definition {cd!r}"
+                    )
+                nm = dm.group(1).strip('"`')
+                ty = _PGT.get(dm.group(2).strip().lower(), "string")
+                fields.append(f"{nm} {ty}")
+                names.append(nm)
+            return ", ".join(fields), ", ".join(names)
+
+        def _jtr_gen(fn: str, args: str, defs: str) -> str:
+            schema, _ = _coldefs_schema(defs)
+            sch = ("array<struct<"
+                   + schema.replace(" ", ":").replace(",:", ", ")
+                   + ">>")
+            if fn.lower().endswith("set"):
+                return f"inline(from_json({args}, '{sch}'))"
+            return (f"inline(from_json(concat('[', {args}, ']'), "
+                    f"'{sch}'))")
+
+        def jtr_comma(m: re.Match) -> str:
+            fn, args, tbl, defs = m.groups()
+            return (f" LATERAL VIEW {_jtr_gen(fn, args, defs)} {tbl}")
+
+        _JTR_TAIL = (r"(jsonb?_to_record(?:set)?)\s*"
+                     r"\(((?:[^()]|\([^()]*\))*)\)\s+"
+                     r"(?:AS\s+)?(\w+)\s*\(([^()]*)\)")
+        out = re.sub(r"(?i),\s*" + _JTR_TAIL, jtr_comma, out)
+
+        def jtr_from(m: re.Match) -> str:
+            kw, fn, args, tbl, defs = m.groups()
+            return (f"{kw} (SELECT {_jtr_gen(fn, args, defs)}) {tbl}")
+
+        out = re.sub(r"(?i)\b(FROM|JOIN)\s+" + _JTR_TAIL, jtr_from,
+                     out)
 
     # set-returning json_each / jsonb_each[_text] / json_object_keys
     # in FROM position — pg's lateral JSON-object iteration.  Spark
@@ -1569,7 +1721,7 @@ def _rewrite_functions(sql: str) -> str:
                 f"unix_timestamp({org})) / {s}) AS BIGINT) * {s})")
 
     out = re.sub(
-        r"(?i)\bdate_bin\s*\(\s*interval\s+'([^']+)'\s*,\s*"
+        r"(?i)\bdate_bin\s*\(\s*(?:interval\s+)?'([^']+)'\s*,\s*"
         r"((?:[^(),]|\([^()]*\))+?)\s*,\s*"
         r"((?:[^(),]|\([^()]*\))+?)\s*\)",
         dbin, out,
@@ -1743,6 +1895,21 @@ def _rewrite_functions(sql: str) -> str:
     )
     out = re.sub(r"\bunnest\s*\(", "explode(", out, flags=re.I)
 
+    # jsonpath existence `x @? 'path'` (before `?` key-existence so
+    # the bare-? scan never sees the @? spelling)
+    while True:
+        m = re.search(r"@\?\s*('(?:[^']|'')*')", out)
+        if not m or _in_string(out, m.start()):
+            break
+        start = _operand_start(out, m.start())
+        while out[max(0, start - 2):start] == "::":
+            start = _operand_start(out, start - 2)
+        operand = out[start:m.start()].strip()
+        if not operand:
+            break
+        out = (out[:start]
+               + f"1 = jsonb_path_exists1({operand}, " + m.group(1)
+               + ")" + out[m.end():])
     # jsonb key-existence `x ? 'k'`; containment @>/<@ rejects clearly
     while True:
         m = re.search(r"\?\s*('(?:[^']|'')*')", out)
@@ -1844,12 +2011,37 @@ def _rewrite_functions(sql: str) -> str:
         out, "jsonb?_agg", "to_json(collect_list(", "))"
     )
     # row_to_json(alias) over a FROM-item alias → the row as a JSON
-    # object; composite-expression arguments reject in Spark naturally
+    # object; a struct() argument (from the ROW() rewrite) serializes
+    # directly (field names col1… — pg's f1… naming is a documented
+    # divergence); composite-expression arguments reject naturally
     out = re.sub(
         r"(?i)\brow_to_json\s*\(\s*([a-zA-Z_]\w*)\s*\)",
         r"to_json(struct(\1.*))", out,
     )
-    out = re.sub(r"(?i)\bto_jsonb\s*\(", "to_json(", out)
+    out = re.sub(r"(?i)\brow_to_json\s*\(\s*(?=struct\s*\()",
+                 "to_json(", out)
+    # user to_json/to_jsonb accept ANY argument in pg (scalars too);
+    # Spark's to_json wants complex types — box in a 1-element array
+    # and unwrap (pg_scalar_json1), type-faithful for every input.
+    # Single-argument calls only (Spark's options form passes through).
+    for _nm in ("to_jsonb", "to_json"):
+        rx = re.compile(rf"(?i)\b{_nm}\s*\(")
+        pos = 0
+        while True:
+            m = rx.search(out, pos)
+            if not m or (_in_string(out, m.start())):
+                break
+            close = _match_bracket(out, m.end() - 1, "(", ")")
+            if close < 0:
+                break
+            inner = out[m.end():close]
+            from myduckserver_spark.statements import split_top_level
+            if len(split_top_level(inner, ",")) != 1:
+                pos = close + 1
+                continue
+            repl = f"pg_scalar_json1(to_json(array({inner})))"
+            out = out[:m.start()] + repl + out[close + 1:]
+            pos = m.start() + len(repl)
     # timezone(zone, ts) ≡ ts AT TIME ZONE zone (function spelling)
     out = re.sub(
         r"(?i)\btimezone\s*\(\s*((?:[^(),']|'(?:[^']|'')*')+?)\s*,\s*"
@@ -2851,14 +3043,27 @@ def _rewrite_tsearch(out: str) -> str:
             p = i + 2
         if i < 0:
             break
+        # jsonb @@ 'jsonpath predicate' (string-literal RHS)
+        jm = re.match(r"\s*('(?:[^']|'')*')", out[i + 2:])
+        if jm:
+            start = _operand_start(out, i)
+            while out[max(0, start - 2):start] == "::":
+                start = _operand_start(out, start - 2)
+            operand = out[start:i].strip()
+            if operand:
+                out = (out[:start]
+                       + f"1 = jsonb_path_match1({operand}, "
+                       + jm.group(1) + ")" + out[i + 2 + jm.end():])
+                continue
         # left operand: balanced call ending just before @@
         left_end = i
         while left_end > 0 and out[left_end - 1].isspace():
             left_end -= 1
         if left_end == 0 or out[left_end - 1] != ")":
             raise NotImplementedError(
-                "@@ supports to_tsvector(...) @@ *_tsquery(...) "
-                "(tsvector columns are not a stored type here)"
+                "@@ supports to_tsvector(...) @@ *_tsquery(...) for "
+                "text search and jsonb @@ 'jsonpath' for JSON "
+                "predicates (tsvector columns are not a stored type)"
             )
         depth, k = 0, left_end - 1
         while k >= 0:

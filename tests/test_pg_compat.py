@@ -1828,3 +1828,116 @@ def test_pg_jsonb_value_ops_and_multiarray_unnest(spark, tmp_path):
         "SELECT * FROM unnest(ARRAY[1,2], ARRAY['a','b']) "
         "WITH ORDINALITY AS t(x, y, n)", dialect="postgres").collect()
     assert [(r.x, r.y, r.n) for r in rows] == [(1, "a", 1), (2, "b", 2)]
+
+
+def test_pg_jsonpath_family(spark, tmp_path):
+    """jsonpath subset: @? / @@ operators, jsonb_path_exists/match/
+    query_array/query_first with legs $ .key [n] [*] .* and a
+    trailing ? (@ op literal) filter (pg jsonpath docs)."""
+    import json
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh_pgjp"))
+
+    def val(sql):
+        return e.execute(sql, dialect="postgres").collect()[0][0]
+
+    assert val("SELECT '{\"a\": [1,2,3]}'::jsonb @? '$.a[2]'") is True
+    assert val("SELECT '{\"a\": 1}'::jsonb @? '$.b'") is False
+    assert val("SELECT '{\"a\":{\"b\":7}}'::jsonb @@ '$.a.b == 7'") is True
+    assert val("SELECT '{\"a\":{\"b\":7}}'::jsonb @@ '$.a.b > 9'") is False
+    assert val(
+        "SELECT jsonb_path_exists('{\"a\":[1,2]}', '$.a[*] ? (@ > 1)')"
+    ) is True
+    assert val(
+        "SELECT jsonb_path_exists('{\"a\":[1,2]}', '$.a[*] ? (@ > 5)')"
+    ) is False
+    assert val("SELECT jsonb_path_match('{\"a\": 2}', '$.a > 1')") is True
+    assert json.loads(val(
+        "SELECT jsonb_path_query_array('{\"a\":[1,2,3]}', "
+        "'$.a[*] ? (@ >= 2)')")) == [2, 3]
+    assert json.loads(val(
+        "SELECT jsonb_path_query_first('{\"a\":[5,6]}', '$.a[0]')")) == 5
+    # negative index + object wildcard + keyed filter
+    assert json.loads(val(
+        "SELECT jsonb_path_query_first('{\"a\":[5,6]}', '$.a[-1]')")) == 6
+    assert json.loads(val(
+        "SELECT jsonb_path_query_array("
+        "'[{\"k\":1},{\"k\":5}]', '$[*] ? (@.k > 2)')")) == [{"k": 5}]
+    # unsupported constructs surface as NULL, not wrong answers
+    assert val(
+        "SELECT jsonb_path_query_array('{\"a\":1}', '$.a + 1')") is None
+    # set-returning jsonb_path_query rejects with a pointer
+    try:
+        e.execute("SELECT jsonb_path_query('{}', '$')",
+                  dialect="postgres")
+        raise AssertionError("expected NotImplementedError")
+    except NotImplementedError as ex:
+        assert "jsonb_path_query_array" in str(ex)
+
+
+def test_pg_json_typeof_object_record(spark, tmp_path):
+    """json[b]_typeof pg names, jsonb_object(keys, values),
+    jsonb_exists, scalar to_json/to_jsonb, row_to_json over ROW(),
+    json[b]_to_record(set) with AS definition lists."""
+    import json
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh_pgjt"))
+
+    def val(sql):
+        return e.execute(sql, dialect="postgres").collect()[0][0]
+
+    assert val("SELECT jsonb_typeof('[1,2]')") == "array"
+    assert val("SELECT json_typeof('\"x\"')") == "string"
+    assert val("SELECT jsonb_typeof('{\"a\":1}')") == "object"
+    assert val("SELECT jsonb_typeof('null')") == "null"
+    assert val("SELECT jsonb_typeof('1.5')") == "number"
+    assert json.loads(val(
+        "SELECT jsonb_object(ARRAY['a','b'], ARRAY['1','2'])")) == \
+        {"a": "1", "b": "2"}
+    assert val("SELECT jsonb_exists('{\"k\":1}', 'k')") is True
+    assert val("SELECT jsonb_exists('{\"k\":1}', 'z')") is False
+    # scalar to_json — pg accepts any type; strings quote, bools bare
+    assert val("SELECT to_json('hi'::text)") == '"hi"'
+    assert val("SELECT to_json(5)") == "5"
+    assert val("SELECT to_jsonb(true)") == "true"
+    assert val("SELECT to_json(ARRAY[1,2])") == "[1,2]"
+    assert json.loads(val("SELECT row_to_json(ROW(1, 'x'))")) == \
+        {"col1": 1, "col2": "x"}
+    rows = e.execute(
+        "SELECT * FROM json_to_record('{\"a\":1,\"b\":\"x\"}') "
+        "AS t(a int, b text)", dialect="postgres").collect()
+    assert [(r.a, r.b) for r in rows] == [(1, "x")]
+    rows = e.execute(
+        "SELECT a, b FROM json_to_recordset("
+        "'[{\"a\":1,\"b\":\"p\"},{\"a\":2,\"b\":\"q\"}]') "
+        "AS r(a int, b text) ORDER BY a", dialect="postgres").collect()
+    assert [(r.a, r.b) for r in rows] == [(1, "p"), (2, "q")]
+
+
+def test_pg_encoding_scale_maketime(spark, tmp_path):
+    """convert_from/convert_to with pg charset names + hex bytea
+    literals, scale/min_scale/trim_scale, make_time, date_bin with a
+    bare interval string, setseed no-op."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh_pgenc"))
+
+    def val(sql):
+        return e.execute(sql, dialect="postgres").collect()[0][0]
+
+    assert val(
+        "SELECT convert_from('\\x68690a'::bytea, 'UTF8')") == "hi\n"
+    assert val(
+        "SELECT encode(convert_to('hi', 'UTF8'), 'hex')") == "6869"
+    assert val("SELECT scale(8.4100)") == 4
+    assert val("SELECT min_scale(8.4100)") == 2
+    assert float(val("SELECT trim_scale(8.4100)")) == 8.41
+    assert val("SELECT make_time(8, 15, 23.5)") == "08:15:23.5"
+    assert val("SELECT make_time(23, 5, 9)") == "23:05:09"
+    assert str(val(
+        "SELECT date_bin('15 minutes', "
+        "TIMESTAMP '2020-02-11 15:44:17', TIMESTAMP '2001-01-01')"
+    )).startswith("2020-02-11 15:30:00")
+    assert val("SELECT setseed(0.5)") is None
