@@ -760,6 +760,36 @@ def register_json_udfs(spark: SparkSession) -> None:
         return 1 if r[0] else 0
 
     reg("jsonb_path_match1", F.pandas_udf(_udf_str(_jp_match), I))
+
+    # jsonb @> / <@ containment (pg 9.4 semantics: structures match
+    # recursively; a top-level array may contain a bare primitive;
+    # bool and number JSON types never compare equal)
+    def _jb_eq(a, b):
+        if isinstance(a, bool) or isinstance(b, bool):
+            return isinstance(a, bool) and isinstance(b, bool) \
+                and a == b
+        if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+            return a == b
+        return type(a) is type(b) and a == b
+
+    def _jb_contains(a, b, top=False):
+        if isinstance(b, dict):
+            return isinstance(a, dict) and all(
+                k in a and _jb_contains(a[k], v) for k, v in b.items()
+            )
+        if isinstance(b, list):
+            return isinstance(a, list) and all(
+                any(_jb_contains(x, e) for x in a) for e in b
+            )
+        if top and isinstance(a, list):
+            return any(_jb_eq(x, b) for x in a)
+        return _jb_eq(a, b)
+
+    def _jb_contains_top(da, db):
+        a, b = _loads(da), _loads(db)
+        return 1 if _jb_contains(a, b, top=True) else 0
+
+    reg("jsonb_contains1", F.pandas_udf(_udf_str(_jb_contains_top), I))
     reg("json_quote1", F.pandas_udf(_udf_str(
         lambda s: json.dumps(s)
     ), S))

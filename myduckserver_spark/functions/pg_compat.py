@@ -796,8 +796,21 @@ def _rewrite_functions(sql: str) -> str:
         r"\b(?:clock|statement|transaction)_timestamp\s*\(\s*\)",
         "now()", out, flags=re.I,
     )
+    # precision arguments are a rendering hint — drop them
+    out = re.sub(r"\blocaltimestamp\s*\(\s*\d+\s*\)", "localtimestamp()",
+                 out, flags=re.I)
     out = re.sub(r"\blocaltimestamp\b(?!\s*\()", "localtimestamp()",
                  out, flags=re.I)
+    out = re.sub(r"\blocaltime\b(?!stamp)(?:\s*\(\s*\d*\s*\))?",
+                 "date_format(now(), 'HH:mm:ss')", out, flags=re.I)
+    out = re.sub(r"\bcurrent_time\b(?!stamp)(?:\s*\(\s*\d*\s*\))?",
+                 "date_format(now(), 'HH:mm:ssxxx')", out, flags=re.I)
+    # timeofday(): pg's legacy C-strftime clock string
+    out = re.sub(
+        r"\btimeofday\s*\(\s*\)",
+        "date_format(now(), 'EEE MMM dd HH:mm:ss.SSSSSS yyyy zzz')",
+        out, flags=re.I,
+    )
 
     # num_nonnulls/num_nulls (variadic)
     out = _rewrite_wrapped_call(
@@ -959,6 +972,43 @@ def _rewrite_functions(sql: str) -> str:
     out = re.sub(r"\barray_to_string\s*\(", "array_join(", out,
                  flags=re.I)
     out = re.sub(r"\barray_cat\s*\(", "concat(", out, flags=re.I)
+    # array_positions: every 1-based index of a match (null-safe =)
+    out = re.sub(
+        r"\barray_positions\s*\(\s*((?:[^(),]|\([^()]*\))+?)\s*,\s*"
+        r"((?:[^(),']|'(?:[^']|'')*'|\([^()]*\))+?)\s*\)",
+        r"filter(transform(\1, (__v, __i) -> "
+        r"IF(__v <=> \2, __i + 1, CAST(NULL AS INT))), "
+        r"__p -> __p IS NOT NULL)",
+        out, flags=re.I,
+    )
+    # array_fill(value, ARRAY[n]) — 1-D form only
+    out = re.sub(
+        r"\barray_fill\s*\(\s*((?:[^(),']|'(?:[^']|'')*'|\([^()]*\))+?)"
+        r"\s*,\s*array\s*\(\s*(\d+)\s*\)\s*\)",
+        r"array_repeat(\1, \2)", out, flags=re.I,
+    )
+    # trim_array(a, n): drop the last n elements
+    out = re.sub(
+        r"\btrim_array\s*\(\s*((?:[^(),]|\([^()]*\))+?)\s*,\s*"
+        r"((?:[^(),]|\([^()]*\))+?)\s*\)",
+        r"slice(\1, 1, greatest(size(\1) - (\2), 0))",
+        out, flags=re.I,
+    )
+    # array_ndims: arrays here are 1-D storable columns; literal
+    # nested ARRAY[ARRAY[..]] counts its textual nesting depth
+    while True:
+        nm = re.search(r"\barray_ndims\s*\(", out, re.I)
+        if not nm or _in_string(out, nm.start()):
+            break
+        close = _match_bracket(out, nm.end() - 1, "(", ")")
+        if close < 0:
+            break
+        arg = out[nm.end():close].strip().lower()
+        depth = 0
+        while arg.startswith("array("):
+            depth += 1
+            arg = arg[6:].lstrip()
+        out = out[:nm.start()] + str(max(depth, 1)) + out[close + 1:]
     out = re.sub(
         r"\barray_prepend\s*\(\s*([^(),]+?)\s*,\s*((?:[^(),]|\([^()]*\))+?)\s*\)",
         r"array_prepend(\2, \1)", out, flags=re.I,
@@ -1038,8 +1088,22 @@ def _rewrite_functions(sql: str) -> str:
     # quote_literal / quote_ident: always-quote forms (pg quotes
     # conditionally, but the always-quoted spelling is equally valid)
     out = re.sub(
+        r"\bquote_nullable\s*\(\s*((?:[^(),]|\([^()]*\))+?)\s*\)",
+        r"coalesce(concat('''', replace(cast(\1 as string), "
+        r"'''', ''''''), ''''), 'NULL')",
+        out, flags=re.I,
+    )
+    out = re.sub(
         r"\bquote_literal\s*\(\s*((?:[^(),]|\([^()]*\))+?)\s*\)",
         r"concat('''', replace(cast(\1 as string), '''', ''''''), '''')",
+        out, flags=re.I,
+    )
+    # parse_ident('"A".b') → text[] of parts (dots inside quoted
+    # identifiers are not split-safe in this textual form)
+    out = re.sub(
+        r"\bparse_ident\s*\(\s*((?:[^(),]|'(?:[^']|'')*')+?)\s*\)",
+        r"""transform(split(\1, '[.]'), """
+        r"""__p -> regexp_replace(trim(__p), '^"|"$', ''))""",
         out, flags=re.I,
     )
     out = re.sub(
@@ -1946,12 +2010,64 @@ def _rewrite_functions(sql: str) -> str:
                 repl = (f"forall({rhs}, __k -> array_contains("
                         f"json_object_keys({operand}), __k))")
             out = out[:start] + repl + out[m.end():]
-    cm2 = re.search(r"@>|<@", out)
-    if cm2 and not _in_string(out, cm2.start()):
-        raise NotImplementedError(
-            f"pg operator {cm2.group(0)!r} (jsonb/range containment) "
-            "is not supported; use get_json_object()/array functions"
-        )
+    # @> / <@ containment.  Array operands (textually ARRAY[...] /
+    # array(...) — the literal rewrite has already run) use element
+    # containment; everything else goes through the jsonb containment
+    # UDF (pg 9.4 recursive semantics, jsonb_contains1 in
+    # json_udfs.py).  Range types are not supported.
+    def _is_arrayish(t: str) -> bool:
+        t = t.strip().lower()
+        return t.startswith(("array[", "array(")) or bool(
+            re.match(r"(?:sequence|split|collect_list|collect_set|"
+                     r"array_\w+|sort_array|slice|concat)\s*\(", t))
+
+    scan = 0
+    while True:
+        cm2 = re.compile(r"@>|<@").search(out, scan)
+        if not cm2:
+            break
+        if _in_string(out, cm2.start()):
+            scan = cm2.end()
+            continue
+        lstart = _operand_start(out, cm2.start())
+        while out[max(0, lstart - 2):lstart] == "::":
+            lstart = _operand_start(out, lstart - 2)
+        lhs = out[lstart:cm2.start()].strip()
+        rend = _operand_end(out, cm2.end())
+        rhs = out[cm2.end():rend].strip()
+        if not lhs or not rhs:
+            raise NotImplementedError(
+                f"pg operator {cm2.group(0)!r}: could not parse "
+                "operands (range containment is not supported)"
+            )
+        big, small = (lhs, rhs) if cm2.group(0) == "@>" else (rhs, lhs)
+        if _is_arrayish(lhs) or _is_arrayish(rhs):
+            repl = (f"forall({small}, __e -> "
+                    f"array_contains({big}, __e))")
+        else:
+            repl = f"1 = jsonb_contains1({big}, {small})"
+        out = out[:lstart] + repl + out[rend:]
+        scan = 0
+
+    # array overlap `a && b` (pg's only && spelling — boolean AND is
+    # the AND keyword)
+    scan = 0
+    while True:
+        am = out.find("&&", scan)
+        if am < 0:
+            break
+        if _in_string(out, am):
+            scan = am + 2
+            continue
+        lstart = _operand_start(out, am)
+        lhs = out[lstart:am].strip()
+        rend = _operand_end(out, am + 2)
+        rhs = out[am + 2:rend].strip()
+        if not lhs or not rhs:
+            break
+        out = (out[:lstart] + f"arrays_overlap({lhs}, {rhs})"
+               + out[rend:])
+        scan = 0
 
     # jsonb_set(doc, '{a,b,0}', val[, create_missing]) → the MySQL
     # mutation UDFs (same path grammar after '{a,b}' → '$.a.b[0]');

@@ -730,8 +730,9 @@ def test_pg_function_battery_round9(spark, tmp_path):
         "SELECT t.a, x FROM t, unnest(ARRAY[7]) AS u(x) ORDER BY a",
         dialect="postgres").collect()
     assert [(r.a, r.x) for r in rows] == [(1, 7), (2, 7)]
-    with pytest.raises(NotImplementedError, match="containment"):
-        row("SELECT '{\"a\":1}'::jsonb @> '{}'::jsonb")
+    # round 10: containment is implemented (empty object ⊆ anything)
+    assert row("SELECT ('{\"a\":1}'::jsonb @> '{}'::jsonb) AS x").x \
+        is True
 
 
 def test_mysql_random_bytes(spark, tmp_path):
@@ -1941,3 +1942,63 @@ def test_pg_encoding_scale_maketime(spark, tmp_path):
         "TIMESTAMP '2020-02-11 15:44:17', TIMESTAMP '2001-01-01')"
     )).startswith("2020-02-11 15:30:00")
     assert val("SELECT setseed(0.5)") is None
+
+
+def test_pg_array_operators_and_helpers(spark, tmp_path):
+    """&& overlap, @>/<@ containment over arrays, array_positions/
+    array_fill/trim_array/array_ndims, quote_nullable, parse_ident,
+    timeofday/localtime/precision-arg clock forms."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh_pgarr"))
+
+    def val(sql):
+        return e.execute(sql, dialect="postgres").collect()[0][0]
+
+    assert val("SELECT ARRAY[1,2,3] && ARRAY[3,4]") is True
+    assert val("SELECT ARRAY[1,2] && ARRAY[5]") is False
+    assert val("SELECT ARRAY[1,2,3] @> ARRAY[2]") is True
+    assert val("SELECT ARRAY[1] @> ARRAY[2]") is False
+    assert val("SELECT ARRAY[2] <@ ARRAY[1,2,3]") is True
+    assert val("SELECT array_positions(ARRAY[1,2,1], 1)") == [1, 3]
+    assert val("SELECT array_fill(7, ARRAY[3])") == [7, 7, 7]
+    assert val("SELECT trim_array(ARRAY[1,2,3], 1)") == [1, 2]
+    assert val("SELECT array_ndims(ARRAY[1,2])") == 1
+    assert val("SELECT array_ndims(ARRAY[ARRAY[1],ARRAY[2]])") == 2
+    assert val("SELECT quote_nullable(NULL)") == "NULL"
+    assert val("SELECT quote_nullable('x''y')") == "'x''y'"
+    assert val("SELECT parse_ident('\"SomeSchema\".sometable')") == \
+        ["SomeSchema", "sometable"]
+    assert val("SELECT timeofday() IS NOT NULL") is True
+    assert val("SELECT localtimestamp(0) IS NOT NULL") is True
+    assert val("SELECT localtime IS NOT NULL") is True
+    assert val("SELECT current_time IS NOT NULL") is True
+
+
+def test_pg_jsonb_containment(spark, tmp_path):
+    """jsonb @> / <@ with pg 9.4 semantics: recursive structure
+    match, top-level array-contains-primitive exception, bool vs
+    number type discrimination."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh_pgjc"))
+
+    def val(sql):
+        return e.execute(sql, dialect="postgres").collect()[0][0]
+
+    assert val(
+        "SELECT '{\"a\":1,\"b\":2}'::jsonb @> '{\"a\":1}'::jsonb"
+    ) is True
+    assert val("SELECT '{\"a\":1}'::jsonb @> '{\"a\":2}'::jsonb") is False
+    assert val("SELECT '[1,2,3]'::jsonb @> '[1,3]'") is True
+    assert val("SELECT '[1,2]'::jsonb @> '5'") is False
+    # top-level array contains bare primitive (the documented pg
+    # exception); nested levels still require structural match
+    assert val("SELECT '[1,2,3]'::jsonb @> '2'") is True
+    assert val(
+        "SELECT '{\"a\":{\"b\":[1,2]}}'::jsonb @> '{\"a\":{\"b\":[2]}}'"
+    ) is True
+    assert val("SELECT '{\"a\":1}' <@ '{\"a\":1,\"b\":2}'::jsonb") is True
+    # JSON true never equals 1
+    assert val("SELECT '[1,true]'::jsonb @> 'true'") is True
+    assert val("SELECT '[1,0]'::jsonb @> 'false'") is False
