@@ -6563,6 +6563,8 @@ class Engine:
                     if ft and ft in self.catalog.list_tables():
                         self.catalog.drop_table(ft)
                     return OkResult()
+            if s.if_exists:
+                return OkResult()
             raise ValueError(f"no such index: {s.name}")
         if isinstance(s, st.LoadData):
             return self._exec_load_data(s)
@@ -7478,6 +7480,7 @@ class Engine:
                     self._triggers_for(s.table, "insert", "after")),
                 want_update_pairs=bool(
                     self._triggers_for(s.table, "update", "after")),
+                upsert_where=s.on_dup_where,
             )
             if ins_img is not None:
                 _fire_insert_triggers(ins_img)
@@ -7769,6 +7772,7 @@ class Engine:
         assignments: dict[str, str],
         want_insert_image: bool = False,
         want_update_pairs: bool = False,
+        upsert_where: str | None = None,
     ) -> tuple:
         """INSERT ... ON DUPLICATE KEY UPDATE (reference:
         TestInsertDuplicateKeyKeyless main_test.go:851; applied by the
@@ -7829,10 +7833,16 @@ class Engine:
         on_update = {c: e for c, e in (meta.on_update or {}).items()
                      if c not in assignments and c in base_cols}
 
+        if upsert_where is not None and (intra or not pk):
+            raise NotImplementedError(
+                "ON CONFLICT ... DO UPDATE ... WHERE with intra-batch "
+                "duplicate keys (pg rejects a row affected twice): "
+                "split the batch"
+            )
         if not intra and pk:
             res = self._on_dup_setbased(
                 t, base, df, levels, assignments, base_cols, on_update,
-                want_insert_image, want_update_pairs,
+                want_insert_image, want_update_pairs, upsert_where,
             )
             if res is not None:
                 if set(assignments) & key_cols:
@@ -7842,6 +7852,12 @@ class Engine:
                         name,
                     )
                 return res
+        if upsert_where is not None:
+            # sequential = a stored row hit twice; pg errors on that
+            raise NotImplementedError(
+                "ON CONFLICT ... DO UPDATE ... WHERE: a stored row is "
+                "matched by more than one batch row (pg rejects this)"
+            )
         return self._on_dup_sequential(
             t, base, df, levels, assignments, base_cols, on_update,
             want_insert_image, want_update_pairs,
@@ -7850,7 +7866,8 @@ class Engine:
     def _on_dup_setbased(self, t, base, df, levels, assignments,
                          base_cols, on_update=None,
                          want_insert_image=False,
-                         want_update_pairs=False):
+                         want_update_pairs=False,
+                         upsert_where=None):
         """Distributed ON DUPLICATE KEY UPDATE: level-wise first-match
         cascade (rows that matched an earlier index leave the pool via
         anti-join before the next), one update projection, one write.
@@ -7891,6 +7908,11 @@ class Engine:
             if multi:
                 return None  # two batch rows hit one stored row
 
+        gate = None
+        if upsert_where is not None:
+            gate = F.expr(
+                self._on_dup_rewrite(upsert_where, base_cols)
+            ).cast("boolean")
         newvals = {}
         chg = F.lit(False)
         for c in base_cols:
@@ -7898,6 +7920,11 @@ class Engine:
                 newv = F.expr(
                     self._on_dup_rewrite(assignments[c], base_cols)
                 ).cast(base.schema[c].dataType)
+                if gate is not None:
+                    # pg conditional upsert: rows failing the WHERE
+                    # keep their stored values
+                    newv = F.when(gate, newv).otherwise(
+                        F.col(f"__t_{c}"))
                 newvals[c] = newv
                 chg = chg | ~newv.eqNullSafe(F.col(f"__t_{c}"))
         upd_sel = []

@@ -3449,6 +3449,25 @@ def translate_postgres(sql: str, schema_fn=None) -> str:
     out = sql
     if "$" in out:
         out = dollar_quotes_to_std(out)
+    # bit-string literals: a direct ::int cast folds to the numeric
+    # value (pg bit→int); bare literals render as pg's text form
+    # (B'1010' → '1010', X'1f' expands hex to bits)
+    _INTTY = r"(?:int2|int4|int8|int|integer|bigint|smallint)\b"
+    out = re.sub(
+        r"\b[xX]'([0-9A-Fa-f]+)'\s*::\s*" + _INTTY,
+        lambda m: str(int(m.group(1), 16)), out, flags=re.I,
+    )
+    out = re.sub(
+        r"\b[bB]'([01]+)'\s*::\s*" + _INTTY,
+        lambda m: str(int(m.group(1), 2)), out, flags=re.I,
+    )
+    out = re.sub(r"\b[bB]'([01]+)'", r"'\1'", out)
+    out = re.sub(
+        r"\b[xX]'([0-9A-Fa-f]+)'",
+        lambda m: "'" + bin(int(m.group(1), 16))[2:]
+        .zfill(4 * len(m.group(1))) + "'",
+        out,
+    )
     if "'" in out:
         # plain-literal backslashes double; E'..' prefixes drop
         out = _pg_string_literals(out)

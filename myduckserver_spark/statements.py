@@ -780,6 +780,9 @@ class Insert:
     # unique constraint) vs MySQL ON DUPLICATE KEY (keyless → plain insert,
     # reference TestInsertDuplicateKeyKeyless main_test.go:851)
     from_on_conflict: bool = False
+    # pg DO UPDATE SET ... WHERE <cond>: update only conflicting rows
+    # matching cond (others stay untouched; the incoming row is dropped)
+    on_dup_where: str | None = None
 
 
 @dataclass
@@ -1229,6 +1232,7 @@ class CreateVectorIndex:
 class DropIndex:
     name: str
     table: str | None = None
+    if_exists: bool = False
 
 
 @dataclass
@@ -2262,6 +2266,7 @@ def parse_statement(sql: str, hash_comments: bool = True):
         )
         conflict_cols: list[str] | None = None
         conflict_constraint: str | None = None
+        on_dup_where: str | None = None
         if cm:
             set_tail = body[cm.end() :]
             is_nothing = cm.group(3).upper().startswith("NOTHING")
@@ -2277,9 +2282,9 @@ def parse_statement(sql: str, hash_comments: bool = True):
             if is_nothing:
                 mode = "ignore"
             else:
-                # Postgres allows DO UPDATE SET ... WHERE <cond>; we do
-                # not implement conditional upsert — reject it clearly
-                # instead of folding the WHERE into the last assignment.
+                # Postgres DO UPDATE SET ... WHERE <cond>: split the
+                # condition off (top-level WHERE only) and record it
+                # for the engine's conditional-upsert path.
                 set_mask = mask_strings(set_tail)
                 wm = None
                 depth = 0
@@ -2292,10 +2297,23 @@ def parse_statement(sql: str, hash_comments: bool = True):
                         wm = tok
                         break
                 if wm is not None:
-                    raise ValueError(
-                        "ON CONFLICT ... DO UPDATE ... WHERE is not "
-                        "supported (conditional upsert)"
+                    cond = set_tail[wm.end():].strip()
+                    set_tail = set_tail[:wm.start()].strip()
+                    cond = sub_outside_strings(
+                        r"\bexcluded\s*\.\s*(?:`([^`]+)`|\"([^\"]+)\""
+                        r"|(\w+))",
+                        lambda em: "VALUES("
+                        + (em.group(1) or em.group(2) or em.group(3))
+                        + ")",
+                        cond, flags=re.I,
                     )
+                    cond = sub_outside_strings(
+                        rf"\b(?:{re.escape(table)}"
+                        rf"|`{re.escape(table)}`"
+                        rf"|\"{re.escape(table)}\")\s*\.\s*",
+                        "", cond, flags=re.I,
+                    )
+                    on_dup_where = cond
                 for part in split_top_level(set_tail, ","):
                     k, _, v = part.partition("=")
                     expr = sub_outside_strings(
@@ -2334,7 +2352,8 @@ def parse_statement(sql: str, hash_comments: bool = True):
             try:
                 return Insert(table, columns, parse_values_tuples(tuples),
                               None, mode, on_dup, conflict_cols,
-                              conflict_constraint, from_oc)
+                              conflict_constraint, from_oc,
+                              on_dup_where)
             except ValueError:
                 # VALUES tuples holding real EXPRESSIONS (MySQL allows
                 # any expr) — Spark's VALUES is a full query form, so
@@ -2344,9 +2363,10 @@ def parse_statement(sql: str, hash_comments: bool = True):
                     raise
                 return Insert(table, columns, None, f"VALUES {tuples}",
                               mode, on_dup, conflict_cols,
-                              conflict_constraint, from_oc)
+                              conflict_constraint, from_oc,
+                              on_dup_where)
         return Insert(table, columns, None, body, mode, on_dup, conflict_cols,
-                      conflict_constraint, from_oc)
+                      conflict_constraint, from_oc, on_dup_where)
 
     m = re.match(r"UPDATE\s+(IGNORE\s+)?(.+?)\s+SET\s+(.*)$",
                  s, re.I | re.S)
@@ -2651,13 +2671,13 @@ def parse_statement(sql: str, hash_comments: bool = True):
         except ValueError:
             return SetVar(m.group(1), val.strip("'\""))
 
-    if re.match(r"SET\s+(?:SESSION\s+|GLOBAL\s+)?@{0,2}[\w.]+\s*:?=",
+    if re.match(r"SET\s+(?:SESSION\s+|GLOBAL\s+|LOCAL\s+)?@{0,2}[\w.]+\s*:?=",
                 s, re.I):
         items: list[SetVar] = []
         body = re.sub(r"(?i)^SET\s+", "", s, count=1)
         for part in split_top_level(body, ","):
             am = re.match(
-                r"(?:SESSION\s+|GLOBAL\s+)?@{0,2}([\w.]+)\s*:?=\s*(.+)$",
+                r"(?:SESSION\s+|GLOBAL\s+|LOCAL\s+)?@{0,2}([\w.]+)\s*:?=\s*(.+)$",
                 part.strip(), re.I | re.S,
             )
             if not am:
@@ -2870,11 +2890,15 @@ def parse_statement(sql: str, hash_comments: bool = True):
             fulltext=kind == "FULLTEXT",
         )
     m = re.match(
-        r"DROP\s+INDEX\s+(`[^`]+`|\w+)(?:\s+ON\s+(`[^`]+`|\w+))?\s*$", s, re.I
+        r"DROP\s+INDEX\s+(?:CONCURRENTLY\s+)?(?:IF\s+EXISTS\s+)?"
+        r"(`[^`]+`|\w+)(?:\s+ON\s+(`[^`]+`|\w+))?"
+        r"(?:\s+(?:CASCADE|RESTRICT))?\s*$", s, re.I
     )
     if m:
+        if_exists = bool(re.search(r"(?i)IF\s+EXISTS", s))
         return DropIndex(unquote_ident(m.group(1)),
-                         unquote_ident(m.group(2)) if m.group(2) else None)
+                         unquote_ident(m.group(2)) if m.group(2) else None,
+                         if_exists=if_exists)
     m = re.match(
         r"SHOW\s+(?:INDEX|INDEXES|KEYS)\s+(?:FROM|IN)\s+(`[^`]+`|\w+)"
         r"(?:\s+WHERE\s+(.+?))?\s*$",

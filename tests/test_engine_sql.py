@@ -594,15 +594,34 @@ def test_txn_commit_purges_trash(engine, tmp_path):
     assert not os.path.isdir(trash) or os.listdir(trash) == []
 
 
-def test_on_conflict_do_update_where_rejected(engine):
-    """Conditional upsert (DO UPDATE ... WHERE) is rejected at parse
-    time rather than folding the WHERE into the last SET expression."""
-    with pytest.raises(ValueError, match="WHERE is not"):
-        engine.execute(
-            "INSERT INTO users (id, name) VALUES (1, 'x') "
-            "ON CONFLICT (id) DO UPDATE SET name = excluded.name "
-            "WHERE users.age < 5"
-        )
+def test_on_conflict_do_update_where(engine):
+    """Conditional upsert (round 10): DO UPDATE ... WHERE updates only
+    the conflicting rows that pass the condition."""
+    engine.execute(
+        "INSERT INTO users (id, name, age) VALUES (1, 'x', 3)")
+    engine.execute(
+        "INSERT INTO users (id, name, age) VALUES (1, 'y', 99) "
+        "ON CONFLICT (id) DO UPDATE SET name = excluded.name "
+        "WHERE users.age < 5"
+    )
+    assert [r.name for r in engine.sql(
+        "SELECT name FROM users WHERE id = 1").collect()] == ["y"]
+    engine.execute(
+        "INSERT INTO users (id, name, age) VALUES (1, 'z', 1) "
+        "ON CONFLICT (id) DO UPDATE SET name = excluded.name "
+        "WHERE users.age < 5"
+    )
+    # only name was assigned, so stored age stays 3 and the
+    # condition keeps passing
+    assert [r.name for r in engine.sql(
+        "SELECT name FROM users WHERE id = 1").collect()] == ["z"]
+    engine.execute(
+        "INSERT INTO users (id, name, age) VALUES (1, 'w', 1) "
+        "ON CONFLICT (id) DO UPDATE SET name = excluded.name "
+        "WHERE users.age > 50"
+    )
+    assert [r.name for r in engine.sql(
+        "SELECT name FROM users WHERE id = 1").collect()] == ["z"]
 
 
 def test_on_conflict_on_constraint_resolution(engine):

@@ -2002,3 +2002,51 @@ def test_pg_jsonb_containment(spark, tmp_path):
     # JSON true never equals 1
     assert val("SELECT '[1,true]'::jsonb @> 'true'") is True
     assert val("SELECT '[1,0]'::jsonb @> 'false'") is False
+
+
+def test_pg_conditional_upsert(spark, tmp_path):
+    """ON CONFLICT (pk) DO UPDATE SET ... WHERE cond: only
+    conflicting rows passing cond update; the rest keep stored
+    values (pg INSERT docs §ON CONFLICT)."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh_pgcu"))
+    e.execute("CREATE TABLE cu (id int PRIMARY KEY, v text, n int)",
+              dialect="postgres")
+    e.execute("INSERT INTO cu VALUES (1,'a',5), (2,'b',50)",
+              dialect="postgres")
+    e.execute(
+        "INSERT INTO cu VALUES (1,'A',100), (2,'B',100), (3,'c',7) "
+        "ON CONFLICT (id) DO UPDATE SET v = EXCLUDED.v, "
+        "n = EXCLUDED.n WHERE cu.n < 10", dialect="postgres")
+    rows = sorted(tuple(r) for r in e.execute(
+        "SELECT id, v, n FROM cu", dialect="postgres").collect())
+    assert rows == [(1, "A", 100), (2, "b", 50), (3, "c", 7)]
+    # cond over the EXCLUDED (incoming) image
+    e.execute(
+        "INSERT INTO cu VALUES (3,'z',1) ON CONFLICT (id) "
+        "DO UPDATE SET v = EXCLUDED.v WHERE excluded.n > 0",
+        dialect="postgres")
+    rows = [tuple(r) for r in e.execute(
+        "SELECT id, v, n FROM cu WHERE id = 3",
+        dialect="postgres").collect()]
+    assert rows == [(3, "z", 7)]
+
+
+def test_pg_drop_index_set_local_bitstrings(spark, tmp_path):
+    """pg DROP INDEX [IF EXISTS] without ON, SET LOCAL = spelling,
+    B'..'/X'..' bit-string literals (text form; ::int folds to the
+    numeric value)."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh_pgmisc2"))
+    e.execute("CREATE TABLE bx (id int PRIMARY KEY, v text)",
+              dialect="postgres")
+    e.execute("CREATE INDEX bx_idx ON bx (v)", dialect="postgres")
+    e.execute("DROP INDEX IF EXISTS bx_idx", dialect="postgres")
+    e.execute("DROP INDEX IF EXISTS bx_gone", dialect="postgres")
+    e.execute("SET LOCAL statement_timeout = 1000", dialect="postgres")
+    r = e.execute(
+        "SELECT B'1010' AS b, X'1f' AS x, x'1f'::int AS xi, "
+        "b'101'::int AS bi", dialect="postgres").collect()[0]
+    assert (r.b, r.x, r.xi, r.bi) == ("1010", "00011111", 31, 5)
