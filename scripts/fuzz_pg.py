@@ -36,7 +36,9 @@ def gen_stmt(rng: random.Random) -> str:
     kind = rng.choice(
         ["any_arr", "all_arr", "any_sub", "all_sub", "sym",
          "slice", "json_each", "json_keys", "vec", "quoted_ident",
-         "backslash", "within_group", "regex_fn"])
+         "backslash", "within_group", "regex_fn",
+         "arr_ops", "jsonb_contain", "jsonpath", "bitlit",
+         "to_json_scalar", "arr_helpers"])
     langs = rng.sample(["en", "de", "fr", "es", "ja", "zz"],
                        rng.randint(1, 4))
     arr = ", ".join(f"'{x}'" for x in langs)
@@ -114,6 +116,71 @@ def gen_stmt(rng: random.Random) -> str:
         pat = rng.choice([r"[aeiou]+", r"\w\w", r"\d", "en|de"])
         return (f"SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents "
                 f"WHERE regexp_matches(lang, '{pat}')")
+    if kind == "arr_ops":
+        # && / @> over int arrays; DuckDB list_has_any/list_has_all
+        # is the independent oracle
+        a = [rng.randint(0, 6) for _ in range(rng.randint(1, 5))]
+        b = [rng.randint(0, 6) for _ in range(rng.randint(1, 3))]
+        al, bl = ",".join(map(str, a)), ",".join(map(str, b))
+        op, dfn = rng.choice([("&&", "list_has_any"),
+                              ("@>", "list_has_all")])
+        return (f"SELECT (ARRAY[{al}] {op} ARRAY[{bl}]) AS r",
+                f"SELECT {dfn}([{al}], [{bl}]) AS r")
+    if kind == "jsonb_contain":
+        # expectation derived BY CONSTRUCTION (needle sampled from
+        # the doc → true; mismatching value injected → false)
+        import json as _j
+        doc = {f"k{i}": rng.choice(
+            [rng.randint(0, 5), "s" + str(rng.randint(0, 3)),
+             [rng.randint(0, 3) for _ in range(3)]])
+            for i in range(3)}
+        should = rng.random() < 0.5
+        if should:
+            needle = {}
+            for k in rng.sample(list(doc), rng.randint(1, 2)):
+                v = doc[k]
+                needle[k] = (rng.sample(v, rng.randint(1, len(v)))
+                             if isinstance(v, list) else v)
+        else:
+            k = rng.choice(list(doc))
+            v = doc[k]
+            needle = {k: v + 99 if isinstance(v, int)
+                      else ("zz" if isinstance(v, str) else [99])}
+        d = _j.dumps(doc).replace("'", "''")
+        nd = _j.dumps(needle).replace("'", "''")
+        return (f"SELECT ('{d}'::jsonb @> '{nd}'::jsonb) AS c",
+                [(should,)])
+    if kind == "jsonpath":
+        import json as _j
+        arr = [rng.randint(0, 9) for _ in range(rng.randint(1, 5))]
+        thresh = rng.randint(0, 9)
+        exp = any(x > thresh for x in arr)
+        d = _j.dumps({"a": arr})
+        return (f"SELECT jsonb_path_exists('{d}', "
+                f"'$.a[*] ? (@ > {thresh})') AS e", [(exp,)])
+    if kind == "bitlit":
+        bits = "".join(rng.choice("01")
+                       for _ in range(rng.randint(1, 8)))
+        hx = "".join(rng.choice("0123456789abcdef")
+                     for _ in range(rng.randint(1, 4)))
+        return (f"SELECT b'{bits}'::int AS a, x'{hx}'::int AS b, "
+                f"B'{bits}' AS c",
+                [(int(bits, 2), int(hx, 16), bits)])
+    if kind == "to_json_scalar":
+        v = rng.choice([str(rng.randint(-5, 99)), "'x''y'", "true",
+                        "ARRAY[1,2]"])
+        return (f"SELECT to_json({v})::text AS j",
+                f"SELECT to_json({v})::varchar AS j")
+    if kind == "arr_helpers":
+        a = [rng.randint(0, 4) for _ in range(rng.randint(1, 6))]
+        x = rng.randint(0, 4)
+        n = rng.randint(0, len(a))
+        al = ",".join(map(str, a))
+        exp_pos = [i + 1 for i, v in enumerate(a) if v == x]
+        exp_trim = a[:len(a) - n]
+        return (f"SELECT array_positions(ARRAY[{al}], {x}) AS p, "
+                f"trim_array(ARRAY[{al}], {n}) AS t",
+                [(exp_pos, exp_trim)])
     # vec
     v1 = [round(rng.uniform(-1, 1), 3) for _ in range(4)]
     v2 = [round(rng.uniform(-1, 1), 3) for _ in range(4)]
