@@ -18,11 +18,17 @@ from myduckserver_spark.tables import register_views
 
 
 def _pg(name: str, pg_sql: str, tags: tuple[str, ...], doc: str,
-        oracle: str | None = None):
+        oracle: str | None = None, needs_udfs: bool = False):
     """Register a pg-dialect query: oracle = the pg text itself."""
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_views(spark, sf_dir)
+        if needs_udfs:
+            from myduckserver_spark.functions.json_udfs import (
+                register_json_udfs,
+            )
+
+            register_json_udfs(spark)
         return spark.sql(translate_postgres(pg_sql))
 
     fn.__name__ = name
@@ -258,3 +264,84 @@ _pg(
     LIMIT 50
     """,
 )
+
+
+_pg(
+    "pg_json_ops",
+    """
+    SELECT CAST(COUNT(*) FILTER (WHERE
+               json_build_object('lang', lang) @> '{"lang":"en"}')
+               AS BIGINT) AS n_en,
+           CAST(COUNT(*) FILTER (WHERE
+               jsonb_path_exists(json_build_object('n', n_chars),
+                                 '$.n ? (@ > 500)'))
+               AS BIGINT) AS n_big,
+           CAST(COUNT(*) FILTER (WHERE ARRAY[lang] && ARRAY['en','de'])
+               AS BIGINT) AS n_two,
+           CAST(COUNT(*) FILTER (WHERE ARRAY['en','de','fr'] @> ARRAY[lang])
+               AS BIGINT) AS n_three
+    FROM documents
+    """,
+    tags=("pg", "jsonb", "jsonpath", "containment"),
+    doc="""Round-10 pg JSON/array operator surface under the gate:
+    jsonb ``@>`` containment (recursive pg 9.4 semantics via the
+    Arrow-batched jsonb_contains1 UDF), SQL/JSON path
+    ``jsonb_path_exists`` with a filter predicate, and the array
+    ``&&`` overlap / ``@>`` containment operators (compiled to
+    arrays_overlap/forall — no Python). The oracle is the equivalent
+    plain-SQL predicate, so the gate checks the OPERATOR COMPILATION
+    against independently-computed counts. Reference parity: DuckDB
+    passthrough for jsonb/array operators
+    (pgserver/connection_handler.go:411-449). Scale: row-local
+    predicates, one partial-aggregate pass, no shuffle.""",
+    oracle="""
+    SELECT CAST(COUNT(*) FILTER (WHERE lang = 'en') AS BIGINT) AS n_en,
+           CAST(COUNT(*) FILTER (WHERE n_chars > 500) AS BIGINT) AS n_big,
+           CAST(COUNT(*) FILTER (WHERE lang IN ('en','de'))
+               AS BIGINT) AS n_two,
+           CAST(COUNT(*) FILTER (WHERE lang IN ('en','de','fr'))
+               AS BIGINT) AS n_three
+    FROM documents
+    """,
+    needs_udfs=True,
+)
+
+
+@register(
+    "pg_upsert_conditional",
+    oracle="""
+    SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), 'A', CAST(100 AS BIGINT)),
+        (2, 'b', 50), (3, 'c', 7), (4, 'z', 1)
+    ) AS t(id, v, n)
+    ORDER BY id
+    """,
+    tags=("pg", "upsert", "on-conflict", "engine"),
+)
+def pg_upsert_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pg conditional upsert end-to-end (round-10): ON CONFLICT (pk)
+    DO UPDATE SET ... WHERE cond updates only the conflicting rows
+    passing cond — over both the stored image (table.col) and the
+    incoming image (EXCLUDED.col) — while non-matching conflicts
+    keep stored values and new keys insert. Set-based plan: one
+    level-wise anti-join cascade + a gated update projection
+    (engine._on_dup_setbased), no driver-side row loop. Reference:
+    pg passthrough upserts (pgserver/connection_handler.go:411-449)."""
+    import tempfile
+
+    from myduckserver_spark.engine import Engine
+
+    eng = Engine(spark, tempfile.mkdtemp(prefix="pgupsert_gate_"))
+    eng.execute("CREATE TABLE pgu (id BIGINT PRIMARY KEY, "
+                "v VARCHAR(4), n BIGINT)")
+    eng.execute("INSERT INTO pgu VALUES (1,'a',5), (2,'b',50)",
+                dialect="postgres")
+    eng.execute(
+        "INSERT INTO pgu VALUES (1,'A',100), (2,'B',100), (3,'c',7) "
+        "ON CONFLICT (id) DO UPDATE SET v = EXCLUDED.v, "
+        "n = EXCLUDED.n WHERE pgu.n < 10", dialect="postgres")
+    eng.execute(
+        "INSERT INTO pgu VALUES (3,'q',0), (4,'z',1) "
+        "ON CONFLICT (id) DO UPDATE SET v = EXCLUDED.v, "
+        "n = EXCLUDED.n WHERE excluded.n > 0", dialect="postgres")
+    return eng.sql("SELECT id, v, n FROM pgu ORDER BY id")
