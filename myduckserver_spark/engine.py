@@ -1032,6 +1032,44 @@ class Engine:
                 f"Unknown column '{old}' in '{name}'"
             )
         t.overwrite(df.withColumnRenamed(old, new))
+        # metadata travels with the rename: keys (defaults/generated/
+        # on_update), column lists (pk/not_null/indexes/partitioning/
+        # FKs) and identifier references inside check/generated
+        # expressions — leaving any keyed by the old name breaks every
+        # later default-fill/constraint on the renamed column
+        meta = self.table_meta(name)
+
+        def rn(c):
+            return new if c == old else c
+
+        def rexpr(e):
+            if not isinstance(e, str):
+                return e
+            return re.sub(
+                rf"(?<![\w.`']){re.escape(old)}(?![\w`'])", new, e,
+                flags=re.I,
+            )
+
+        meta.primary_key = [rn(c) for c in meta.primary_key]
+        if meta.auto_increment == old:
+            meta.auto_increment = new
+        meta.defaults = {rn(k): v for k, v in meta.defaults.items()}
+        meta.not_null = [rn(c) for c in meta.not_null]
+        meta.checks = {k: rexpr(v) for k, v in meta.checks.items()}
+        meta.generated = {rn(k): rexpr(v)
+                          for k, v in meta.generated.items()}
+        meta.on_update = {rn(k): rexpr(v)
+                          for k, v in meta.on_update.items()}
+        for iname, props in (meta.indexes or {}).items():
+            if isinstance(props, (list, tuple)):
+                meta.indexes[iname] = [rn(c) for c in props]
+            elif isinstance(props, dict) and "columns" in props:
+                props["columns"] = [rn(c) for c in props["columns"]]
+        meta.partition_by = [rn(c) for c in meta.partition_by]
+        for fk in meta.foreign_keys or []:
+            if "columns" in fk:
+                fk["columns"] = [rn(c) for c in fk["columns"]]
+        self._save_meta(name, meta)
 
     def alter_modify_column(self, name: str, col: str, mysql_type: str) -> None:
         """MODIFY COLUMN: cast the column to the new type."""
@@ -1558,6 +1596,15 @@ class Engine:
         for col in meta.not_null:
             if col != meta.auto_increment and col in df.columns:
                 checks.setdefault(f"{col}_not_null", F.col(col).isNotNull())
+        # ENUM membership (strict mode: MySQL 1265 / pg "invalid input
+        # value for enum") — declared values ride in field metadata
+        for f in df.schema.fields:
+            vals = (f.metadata or {}).get("enum_values")
+            if vals:
+                checks.setdefault(
+                    f"{f.name}_enum_value",
+                    F.col(f.name).isNull() | F.col(f.name).isin(*vals),
+                )
         for cname, cond in checks.items():
             bad = df.filter(~cond | cond.isNull()).limit(1).collect()
             if bad:
@@ -5704,7 +5751,8 @@ class Engine:
         elif isinstance(s, (st.Truncate, st.DropTable, st.DropView)):
             need = [("DROP", tgt)]
         elif isinstance(s, (st.CreateTable, st.CreateTableAs,
-                            st.CreateTableLike, st.CreateView)):
+                            st.CreateTableLike, st.CreateView,
+                            st.CreateMatView)):
             need = [("CREATE", tgt)]
         elif isinstance(s, (st.AlterTable, st.AlterTableMulti,
                             st.RenameTable,
@@ -5767,6 +5815,8 @@ class Engine:
                 st.Truncate, st.LoadData,
                 st.CreateIndex, st.DropIndex, st.CreateVectorIndex,
                 st.Vacuum, st.Optimize, st.CreateView, st.DropView,
+                st.CreateMatView, st.RefreshMatView, st.DropMatView,
+                st.CreateType, st.DropType,
             )
         if isinstance(s, cls):
             raise ValueError(
@@ -6050,6 +6100,9 @@ class Engine:
                 return self._execute_one(stripped, dialect)
             finally:
                 self.current_db, self.catalog = prev_db, prev_cat
+        if re.match(r"(?i)\s*(?:CREATE\s+(?:TEMP(?:ORARY)?\s+)?TABLE"
+                    r"(?!\s+.*\bLIKE\b)|ALTER\s+TABLE)", sql):
+            sql = self._substitute_custom_types(sql)
         if self._SEQ_FN_RE.search(sql) and not re.match(
             r"(?i)\s*(?:CREATE|ALTER|DROP)\b", sql
         ):
@@ -6160,7 +6213,27 @@ class Engine:
             if s.name not in self._prepared:
                 raise ValueError(f"unknown prepared statement: {s.name}")
             text = self._prepared[s.name]
-            vals = [self.variables.get(v) for v in s.using]
+            vals = (list(s.args) if s.args is not None
+                    else [self.variables.get(v) for v in s.using])
+            # pg $n placeholders: bind by index (reuse allowed), then
+            # run the bound text through the normal path
+            dollar_ns = {int(x) for x in re.findall(
+                r"\$(\d+)", st.mask_strings(text))}
+            if dollar_ns:
+                if max(dollar_ns) != len(vals):
+                    raise ValueError(
+                        f"prepared statement {s.name} needs "
+                        f"{max(dollar_ns)} parameters, got {len(vals)}"
+                    )
+                masked = st.mask_strings(text)
+                bound, pos = [], 0
+                for m in re.finditer(r"\$(\d+)", masked):
+                    bound.append(text[pos:m.start()])
+                    bound.append(self._render_literal(
+                        vals[int(m.group(1)) - 1]))
+                    pos = m.end()
+                bound.append(text[pos:])
+                return self._execute_one("".join(bound), dialect)
             n_params = st.count_placeholders(text)
             if n_params != len(vals):
                 raise ValueError(
@@ -6181,6 +6254,9 @@ class Engine:
             )
             return self._execute_one(bound, dialect)
         if isinstance(s, st.Deallocate):
+            if s.name.upper() == "ALL":
+                self._prepared.clear()
+                return OkResult(info="deallocated")
             if self._prepared.pop(s.name, None) is None:
                 raise ValueError(f"unknown prepared statement: {s.name}")
             return OkResult(info="deallocated")
@@ -6499,6 +6575,70 @@ class Engine:
             del macros[s.name.lower()]
             self._save_macros(macros)
             return OkResult(info=f"macro {s.name} dropped")
+        if isinstance(s, st.CreateMatView):
+            # pg semantics: a physical snapshot table + the stored
+            # defining SQL (refresh re-runs it); WITH NO DATA creates
+            # the empty shell with the query's schema
+            if self.catalog.table(s.name).exists():
+                if s.if_not_exists:
+                    return OkResult(info="exists")
+                raise ValueError(f"relation exists: {s.name}")
+            df = self.sql(s.query, dialect=dialect)
+            if not s.with_data:
+                df = df.limit(0)
+            self.catalog.create_table(s.name, df)
+            mdir = os.path.join(self.catalog.root, "__matviews__")
+            os.makedirs(mdir, exist_ok=True)
+            stored = (translate_mysql(s.query) if dialect == "mysql"
+                      else s.query)
+            with open(os.path.join(mdir, f"{s.name}.sql"), "w") as f:
+                f.write(json.dumps({"sql": stored,
+                                    "dialect": dialect}))
+            return OkResult()
+        if isinstance(s, st.RefreshMatView):
+            mpath = os.path.join(self.catalog.root, "__matviews__",
+                                 f"{s.name}.sql")
+            if not os.path.exists(mpath):
+                raise ValueError(f"no such materialized view: {s.name}")
+            with open(mpath) as f:
+                spec = json.load(f)
+            d = spec.get("dialect", "postgres")
+            df = self.sql(spec["sql"],
+                          dialect="spark" if d == "mysql" else d)
+            self.catalog.table(s.name).overwrite(df)
+            return OkResult()
+        if isinstance(s, st.DropMatView):
+            mpath = os.path.join(self.catalog.root, "__matviews__",
+                                 f"{s.name}.sql")
+            if not os.path.exists(mpath):
+                if s.if_exists:
+                    return OkResult()
+                raise ValueError(f"no such materialized view: {s.name}")
+            os.remove(mpath)
+            if self.catalog.table(s.name).exists():
+                self.catalog.drop_table(s.name)
+            self._ddl_changed()
+            return OkResult()
+        if isinstance(s, st.CreateType):
+            types = self._custom_types()
+            if s.name.lower() in types:
+                raise ValueError(f"type exists: {s.name}")
+            types[s.name.lower()] = (
+                {"kind": "enum", "values": s.values}
+                if s.values is not None else
+                {"kind": "domain", "base": s.base, "check": s.check}
+            )
+            self._save_custom_types(types)
+            return OkResult()
+        if isinstance(s, st.DropType):
+            types = self._custom_types()
+            if s.name.lower() not in types:
+                if s.if_exists:
+                    return OkResult()
+                raise ValueError(f"no such type: {s.name}")
+            del types[s.name.lower()]
+            self._save_custom_types(types)
+            return OkResult()
         if isinstance(s, st.CreateView):
             # Views persist as SQL text, replayed as temp views on
             # refresh (the reference stores them as DuckDB views,
@@ -6771,6 +6911,64 @@ class Engine:
         with open(p) as f:
             d = json.load(f)
         return st.TableMeta(**d)
+
+    def _custom_types(self) -> dict:
+        p = os.path.join(self.catalog.root, "__types__.json")
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return json.load(f)
+
+    def _save_custom_types(self, types: dict) -> None:
+        p = os.path.join(self.catalog.root, "__types__.json")
+        os.makedirs(self.catalog.root, exist_ok=True)
+        with open(p, "w") as f:
+            json.dump(types, f)
+        self._ddl_changed()
+
+    def _substitute_custom_types(self, sql: str) -> str:
+        """Registered CREATE TYPE/DOMAIN names in table DDL become
+        their definitions: enum → the MySQL-style ENUM(...) machinery
+        (order-aware, validated); domain → base type + the VALUE
+        check bound to the declaring column."""
+        types = self._custom_types()
+        if not types:
+            return sql
+        masked = st.mask_strings(sql)
+        for tname, spec in types.items():
+            if spec["kind"] == "enum":
+                lits = ", ".join(
+                    "'" + v.replace("'", "''") + "'"
+                    for v in spec["values"])
+                rx = re.compile(
+                    rf"(?<![\w`.]){re.escape(tname)}(?![\w`(])", re.I)
+
+                def build(m, _col=None, _l=lits):
+                    return f"ENUM({_l})"
+            else:
+                rx = re.compile(
+                    rf"(?<![\w`.])((?:`[^`]+`|\w+)\s+)"
+                    rf"{re.escape(tname)}(?![\w`(])", re.I)
+
+                def build(m, _spec=spec):
+                    col = m.group(1).strip()
+                    out = m.group(1) + _spec["base"]
+                    if _spec.get("check"):
+                        cond = re.sub(r"(?i)\bVALUE\b", col,
+                                      _spec["check"])
+                        out += f" CHECK ({cond})"
+                    return out
+            out, pos = [], 0
+            for m in rx.finditer(masked):
+                out.append(sql[pos:m.start()])
+                out.append(build(m))
+                pos = m.end()
+            if not out:
+                continue
+            out.append(sql[pos:])
+            sql = "".join(out)
+            masked = st.mask_strings(sql)
+        return sql
 
     def _save_meta(self, name: str, meta: st.TableMeta) -> None:
         os.makedirs(os.path.dirname(self._meta_path(name)), exist_ok=True)
@@ -7391,6 +7589,17 @@ class Engine:
         for col in meta.not_null:
             if col != meta.auto_increment:
                 checks.setdefault(f"{col}_not_null", F.col(col).isNotNull())
+        # ENUM membership (strict mode: MySQL 1265 / pg "invalid input
+        # value for enum") — declared values ride in the TABLE schema's
+        # field metadata, not on the incoming batch
+        for f_ in base_schema.fields:
+            evals = (f_.metadata or {}).get("enum_values")
+            if evals and f_.name in df.columns:
+                checks.setdefault(
+                    f"{f_.name}_enum_value",
+                    F.col(f_.name).isNull()
+                    | F.col(f_.name).isin(*evals),
+                )
         for cname, cond in checks.items():
             bad = df.filter(~cond | cond.isNull()).limit(1).collect()
             if bad:

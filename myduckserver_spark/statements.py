@@ -1113,6 +1113,8 @@ class ReplicaStmt:
 class ExecutePrepared:
     name: str
     using: list[str]  # user-variable names, without the '@'
+    # pg spelling EXECUTE name(lit, ...): literal argument values
+    args: list | None = None
 
 
 @dataclass
@@ -1148,6 +1150,47 @@ class DropView:
     name: str
     if_exists: bool = False
     more: list = field(default_factory=list)  # DROP VIEW a, b, ...
+
+
+@dataclass
+class CreateMatView:
+    """CREATE MATERIALIZED VIEW: a physical table + stored defining
+    SQL (pg semantics: snapshot at creation, REFRESH re-runs)."""
+
+    name: str
+    query: str
+    with_data: bool = True
+    if_not_exists: bool = False
+
+
+@dataclass
+class RefreshMatView:
+    name: str
+
+
+@dataclass
+class DropMatView:
+    name: str
+    if_exists: bool = False
+
+
+@dataclass
+class CreateType:
+    """pg CREATE TYPE name AS ENUM (...) / CREATE DOMAIN name AS
+    base [CHECK (...)]: a warehouse-level type alias the engine
+    substitutes into later DDL (enum → the MySQL-style ENUM(...)
+    machinery; domain → base type + per-column VALUE check)."""
+
+    name: str
+    values: list[str] | None = None  # enum labels, declaration order
+    base: str | None = None  # domain base type
+    check: str | None = None  # domain CHECK body (VALUE placeholder)
+
+
+@dataclass
+class DropType:
+    name: str
+    if_exists: bool = False
 
 
 @dataclass
@@ -2607,6 +2650,13 @@ def parse_statement(sql: str, hash_comments: bool = True):
     if m:
         return ReplicaStmt("reset", all=bool(m.group(1)))
 
+    # pg spelling: PREPARE name [(types)] AS statement ($n params)
+    m = re.match(
+        r"PREPARE\s+(`[^`]+`|\w+)\s*(?:\(\s*[\w\s,\[\]]*\))?\s+AS\s+(.+)$",
+        s, re.I | re.S,
+    )
+    if m:
+        return Prepare(unquote_ident(m.group(1)), m.group(2).strip())
     m = re.match(r"PREPARE\s+(`[^`]+`|\w+)\s+FROM\s+(.+)$", s, re.I | re.S)
     if m:
         body = m.group(2).strip()
@@ -2615,6 +2665,16 @@ def parse_statement(sql: str, hash_comments: bool = True):
             return Prepare(unquote_ident(m.group(1)), body)
         return Prepare(unquote_ident(m.group(1)), str(parse_literal(body)))
 
+    # pg spelling: EXECUTE name(arg, ...) with literal arguments
+    m = re.match(
+        r"EXECUTE\s+(`[^`]+`|\w+)\s*\(\s*(.*?)\s*\)\s*$", s,
+        re.I | re.S,
+    )
+    if m:
+        args = [parse_literal(t.strip())
+                for t in split_top_level(m.group(2), ",")
+                if t.strip()]
+        return ExecutePrepared(unquote_ident(m.group(1)), [], args)
     m = re.match(
         r"EXECUTE\s+(`[^`]+`|\w+)(?:\s+USING\s+(.+))?\s*$", s, re.I
     )
@@ -2628,7 +2688,10 @@ def parse_statement(sql: str, hash_comments: bool = True):
                 using.append(tok.lstrip("@"))
         return ExecutePrepared(unquote_ident(m.group(1)), using)
 
-    m = re.match(r"(?:DEALLOCATE|DROP)\s+PREPARE\s+(`[^`]+`|\w+)\s*$", s, re.I)
+    m = re.match(
+        r"(?:DEALLOCATE\s+(?:PREPARE\s+)?|DROP\s+PREPARE\s+)"
+        r"(ALL|`[^`]+`|\w+)\s*$",
+        s, re.I)
     if m:
         return Deallocate(unquote_ident(m.group(1)))
 
@@ -2723,6 +2786,50 @@ def parse_statement(sql: str, hash_comments: bool = True):
     if m:
         return DropDb(unquote_ident(m.group(2)), if_exists=bool(m.group(1)))
 
+    m = re.match(
+        r"CREATE\s+MATERIALIZED\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?"
+        r"(`[^`]+`|\w+)\s+AS\s+(.+?)"
+        r"(\s+WITH\s+(NO\s+)?DATA)?\s*$",
+        s, re.I | re.S,
+    )
+    if m:
+        return CreateMatView(
+            unquote_ident(m.group(2)), m.group(3).strip(),
+            with_data=not bool(m.group(5)),
+            if_not_exists=bool(m.group(1)),
+        )
+    m = re.match(
+        r"REFRESH\s+MATERIALIZED\s+VIEW\s+(?:CONCURRENTLY\s+)?"
+        r"(`[^`]+`|\w+)\s*$", s, re.I)
+    if m:
+        return RefreshMatView(unquote_ident(m.group(1)))
+    m = re.match(
+        r"DROP\s+MATERIALIZED\s+VIEW\s+(IF\s+EXISTS\s+)?"
+        r"(`[^`]+`|\w+)\s*(?:CASCADE|RESTRICT)?\s*$", s, re.I)
+    if m:
+        return DropMatView(unquote_ident(m.group(2)),
+                           if_exists=bool(m.group(1)))
+    m = re.match(
+        r"CREATE\s+TYPE\s+(`[^`]+`|\w+)\s+AS\s+ENUM\s*"
+        r"\(\s*(.*?)\s*\)\s*$", s, re.I | re.S)
+    if m:
+        vals = [str(parse_literal(t.strip()))
+                for t in split_top_level(m.group(2), ",") if t.strip()]
+        return CreateType(unquote_ident(m.group(1)), values=vals)
+    m = re.match(
+        r"CREATE\s+DOMAIN\s+(`[^`]+`|\w+)\s+(?:AS\s+)?"
+        r"([A-Za-z_][\w ]*(?:\(\s*[\d,\s]*\))?)"
+        r"(?:\s+CHECK\s*\((.*)\))?\s*$", s, re.I | re.S)
+    if m:
+        return CreateType(unquote_ident(m.group(1)),
+                          base=m.group(2).strip(),
+                          check=(m.group(3) or "").strip() or None)
+    m = re.match(
+        r"DROP\s+(?:TYPE|DOMAIN)\s+(IF\s+EXISTS\s+)?(`[^`]+`|\w+)"
+        r"\s*(?:CASCADE|RESTRICT)?\s*$", s, re.I)
+    if m:
+        return DropType(unquote_ident(m.group(2)),
+                        if_exists=bool(m.group(1)))
     m = re.match(
         # ALGORITHM/DEFINER/SQL SECURITY are MySQL view attributes with
         # no execution meaning here (single-principal engine) — accepted

@@ -2050,3 +2050,109 @@ def test_pg_drop_index_set_local_bitstrings(spark, tmp_path):
         "SELECT B'1010' AS b, X'1f' AS x, x'1f'::int AS xi, "
         "b'101'::int AS bi", dialect="postgres").collect()[0]
     assert (r.b, r.x, r.xi, r.bi) == ("1010", "00011111", 31, 5)
+
+
+def test_pg_prepare_execute_dollar_params(spark, tmp_path):
+    """pg-style PREPARE name (types) AS stmt with $n placeholders,
+    EXECUTE name(args), DEALLOCATE [ALL] — parameter reuse and
+    string-literal $n immunity included."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh_pgprep"))
+    e.execute("PREPARE pq (int) AS SELECT $1 + 1 AS r, $1 * 2 AS d",
+              dialect="postgres")
+    r = e.execute("EXECUTE pq(41)", dialect="postgres").collect()[0]
+    assert (r.r, r.d) == (42, 82)
+    e.execute("DEALLOCATE pq", dialect="postgres")
+    e.execute("PREPARE p2 AS SELECT upper($1) AS u, '$1' AS lit",
+              dialect="postgres")
+    r = e.execute("EXECUTE p2('hi')", dialect="postgres").collect()[0]
+    assert (r.u, r.lit) == ("HI", "$1")
+    e.execute("DEALLOCATE ALL", dialect="postgres")
+    import pytest as _pt
+    with _pt.raises(ValueError, match="unknown prepared"):
+        e.execute("EXECUTE p2('x')", dialect="postgres")
+
+
+def test_pg_materialized_views(spark, tmp_path):
+    """CREATE/REFRESH/DROP MATERIALIZED VIEW: physical snapshot table
+    + stored defining SQL; stale until REFRESH re-runs it."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh_pgmv"))
+    e.execute("CREATE TABLE src (x int PRIMARY KEY)", dialect="postgres")
+    e.execute("INSERT INTO src VALUES (1), (2)", dialect="postgres")
+    e.execute("CREATE MATERIALIZED VIEW mv1 AS "
+              "SELECT CAST(sum(x) AS BIGINT) AS s FROM src",
+              dialect="postgres")
+
+    def val():
+        return e.execute("SELECT * FROM mv1",
+                         dialect="postgres").collect()[0][0]
+
+    assert val() == 3
+    e.execute("INSERT INTO src VALUES (10)", dialect="postgres")
+    assert val() == 3  # snapshot is stale by design
+    e.execute("REFRESH MATERIALIZED VIEW mv1", dialect="postgres")
+    assert val() == 13
+    e.execute("DROP MATERIALIZED VIEW mv1", dialect="postgres")
+    e.execute("DROP MATERIALIZED VIEW IF EXISTS mv1", dialect="postgres")
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        e.execute("REFRESH MATERIALIZED VIEW mv1", dialect="postgres")
+
+
+def test_pg_enum_and_domain_types(spark, tmp_path):
+    """CREATE TYPE AS ENUM / CREATE DOMAIN registry: later DDL
+    substitutes the definitions — enum order + membership validation
+    (pg 'invalid input value' ≡ strict MySQL 1265), domain base type
+    + VALUE check bound to the declaring column."""
+    import pytest as _pt
+
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh_pgty"))
+    e.execute("CREATE TYPE mood AS ENUM ('sad', 'ok', 'happy')",
+              dialect="postgres")
+    e.execute("CREATE DOMAIN posint AS int CHECK (VALUE > 0)",
+              dialect="postgres")
+    e.execute("CREATE TABLE person (id int PRIMARY KEY, m mood, "
+              "amount posint)", dialect="postgres")
+    e.execute("INSERT INTO person VALUES (1, 'happy', 5), "
+              "(2, 'sad', 3)", dialect="postgres")
+    # declaration order, not lexical: sad < happy
+    assert [r.id for r in e.execute(
+        "SELECT id FROM person ORDER BY m",
+        dialect="postgres").collect()] == [2, 1]
+    with _pt.raises(ValueError, match="m_enum_value"):
+        e.execute("INSERT INTO person VALUES (3, 'angry', 1)",
+                  dialect="postgres")
+    with _pt.raises(ValueError, match="amount_check"):
+        e.execute("INSERT INTO person VALUES (3, 'ok', -5)",
+                  dialect="postgres")
+    with _pt.raises(ValueError, match="type exists"):
+        e.execute("CREATE TYPE mood AS ENUM ('x')", dialect="postgres")
+    e.execute("DROP TABLE person", dialect="postgres")
+    e.execute("DROP TYPE mood", dialect="postgres")
+    e.execute("DROP DOMAIN IF EXISTS posint", dialect="postgres")
+    with _pt.raises(ValueError, match="no such type"):
+        e.execute("DROP TYPE mood", dialect="postgres")
+
+
+def test_rename_column_migrates_metadata(spark, tmp_path):
+    """ALTER TABLE RENAME COLUMN carries defaults/NOT NULL/PK/check
+    metadata to the new name (was: stale default on the old name made
+    every later partial INSERT fail)."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh_rencol"))
+    e.execute("CREATE TABLE rc (id int PRIMARY KEY, "
+              "v text NOT NULL DEFAULT 'x', n int CHECK (n >= 0))",
+              dialect="postgres")
+    e.execute("ALTER TABLE rc RENAME COLUMN v TO w", dialect="postgres")
+    e.execute("INSERT INTO rc (id, n) VALUES (7, 1)", dialect="postgres")
+    assert e.execute("SELECT w FROM rc WHERE id = 7",
+                     dialect="postgres").collect()[0][0] == "x"
+    meta = e.table_meta("rc")
+    assert "w" in meta.defaults and "v" not in meta.defaults
+    assert "w" in meta.not_null and "v" not in meta.not_null
