@@ -3922,7 +3922,9 @@ class Engine:
         kinds = (
             ("delete",)
             if up.startswith("DELETE")
-            else ("update_postimage",)
+            # an UPDATE that assigns a PK column diffs as
+            # delete+insert — the post-images are the insert rows
+            else ("update_postimage", "insert")
             if up.startswith("UPDATE")
             else ("insert", "update_postimage")  # INSERT/REPLACE/upsert
         )
@@ -6088,6 +6090,80 @@ class Engine:
         return (sql[:set_pos] + "SET " + ", ".join(out_parts)
                 + " " + sql[end:])
 
+
+    def _try_dml_ctes(self, sql: str, dialect: str):
+        """pg data-modifying CTEs: ``WITH x AS (INSERT/UPDATE/DELETE …
+        RETURNING …) <stmt>``. Each DML item runs ONCE, its RETURNING
+        rows materialize as a temp view under the CTE name, then the
+        remaining statement executes (itself possibly DML — the
+        move-rows idiom ``WITH moved AS (DELETE … RETURNING *) INSERT
+        …``). Returns None when no CTE item is DML (normal path).
+
+        Documented divergence: items run sequentially, so a later item
+        or the outer statement reading a modified TABLE sees the
+        post-DML state (pg gives every part one pre-statement
+        snapshot); references to the CTE NAMES — the overwhelmingly
+        common use — behave identically."""
+        m = re.match(r"(?i)\s*WITH\s+(?:RECURSIVE\s+)?", sql)
+        if not m:
+            return None
+        i, n = m.end(), len(sql)
+        items = []  # (name, colalias, body, item_start, item_end)
+        while True:
+            mm = re.match(
+                r"\s*(`[^`]+`|\w+)\s*(\([^)]*\))?\s*AS\s*"
+                r"(?:(?:NOT\s+)?MATERIALIZED\s+)?\(",
+                sql[i:], re.I)
+            if not mm:
+                return None
+            open_at = i + mm.end() - 1
+            close = st._match_close_paren(sql, open_at)
+            if close < 0:
+                return None
+            items.append((st.unquote_ident(mm.group(1)),
+                          mm.group(2), sql[open_at + 1:close].strip(),
+                          i, close + 1))
+            mc = re.match(r"\s*,", sql[close + 1:])
+            if not mc:
+                outer_at = close + 1
+                break
+            i = close + 1 + mc.end()
+        dml_rx = re.compile(r"(?i)^\s*(INSERT|UPDATE|DELETE|REPLACE|MERGE)\b")
+        if not any(dml_rx.match(b) for _nm, _ca, b, _s, _e in items):
+            return None
+        made_views = []
+        try:
+            keep = []
+            for nm, colalias, body, _s, _e in items:
+                if not dml_rx.match(body):
+                    keep.append((nm, colalias, body))
+                    continue
+                res = self._execute_one(body, dialect)
+                if hasattr(res, "createOrReplaceTempView"):
+                    df = res
+                    if colalias:
+                        cols = [c.strip().strip('`"')
+                                for c in colalias.strip("() ").split(",")
+                                if c.strip()]
+                        if len(cols) == len(df.columns):
+                            df = df.toDF(*cols)
+                    df.localCheckpoint(eager=True) \
+                        .createOrReplaceTempView(nm)
+                    made_views.append(nm)
+            rebuilt = ""
+            if keep:
+                rebuilt = "WITH " + ", ".join(
+                    f"{nm} {ca or ''} AS ({b})" for nm, ca, b in keep
+                ) + " "
+            rebuilt += sql[outer_at:].strip()
+            return self._execute_one(rebuilt, dialect)
+        finally:
+            for nm in made_views:
+                try:
+                    self.spark.catalog.dropTempView(nm)
+                except Exception:
+                    pass
+
     def _execute_one(self, sql: str, dialect: str):
         if dialect == "postgres":
             sql = self._pg_statement_prep(sql)
@@ -6103,6 +6179,13 @@ class Engine:
         if re.match(r"(?i)\s*(?:CREATE\s+(?:TEMP(?:ORARY)?\s+)?TABLE"
                     r"(?!\s+.*\bLIKE\b)|ALTER\s+TABLE)", sql):
             sql = self._substitute_custom_types(sql)
+        if re.match(r"(?i)\s*WITH\b", sql) and re.search(
+                r"(?i)AS\s*(?:(?:NOT\s+)?MATERIALIZED\s+)?\(\s*"
+                r"(?:INSERT|UPDATE|DELETE|REPLACE|MERGE)\b",
+                st.mask_strings(sql)):
+            r = self._try_dml_ctes(sql, dialect)
+            if r is not None:
+                return r
         if self._SEQ_FN_RE.search(sql) and not re.match(
             r"(?i)\s*(?:CREATE|ALTER|DROP)\b", sql
         ):

@@ -3164,6 +3164,9 @@ def parse_statement(sql: str, hash_comments: bool = True):
     m = re.match(r"CREATE\s+TEMP\s+(TABLE\b.*)$", s, re.I | re.S)
     if m:  # pg spelling of TEMPORARY
         return parse_statement("CREATE TEMPORARY " + m.group(1))
+    m = re.match(r"CREATE\s+UNLOGGED\s+(TABLE\b.*)$", s, re.I | re.S)
+    if m:  # pg durability hint — regular table here
+        return parse_statement("CREATE " + m.group(1))
     m = re.match(r"CREATE\s+TEMPORARY\s+(TABLE\b.*)$", s, re.I | re.S)
     if m:
         stmt = parse_statement("CREATE " + m.group(1))

@@ -2156,3 +2156,47 @@ def test_rename_column_migrates_metadata(spark, tmp_path):
     meta = e.table_meta("rc")
     assert "w" in meta.defaults and "v" not in meta.defaults
     assert "w" in meta.not_null and "v" not in meta.not_null
+
+
+def test_pg_data_modifying_ctes(spark, tmp_path):
+    """WITH x AS (INSERT/UPDATE/DELETE ... RETURNING ...) <stmt>:
+    each DML runs once, its RETURNING rows feed the CTE name; the
+    move-rows idiom (DELETE feeding an INSERT) works end-to-end.
+    Also pins the UPDATE-assigns-PK RETURNING fix (post-images
+    surface as insert-kind rows in the version diff)."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh_dmlcte"))
+    e.execute("CREATE TABLE a6 (x int PRIMARY KEY)", dialect="postgres")
+    e.execute("CREATE TABLE b6 (x int PRIMARY KEY)", dialect="postgres")
+    e.execute("INSERT INTO a6 VALUES (1), (2), (3)", dialect="postgres")
+    assert e.execute(
+        "WITH ins AS (INSERT INTO b6 VALUES (9), (10) RETURNING x) "
+        "SELECT CAST(sum(x) AS BIGINT) FROM ins",
+        dialect="postgres").collect()[0][0] == 19
+    e.execute(
+        "WITH moved AS (DELETE FROM a6 WHERE x > 1 RETURNING x) "
+        "INSERT INTO b6 SELECT x FROM moved", dialect="postgres")
+    assert sorted(r.x for r in e.execute(
+        "SELECT x FROM a6", dialect="postgres").collect()) == [1]
+    assert sorted(r.x for r in e.execute(
+        "SELECT x FROM b6", dialect="postgres").collect()) == \
+        [2, 3, 9, 10]
+    # mixed plain + DML CTEs; UPDATE assigns the PK itself
+    r = e.execute(
+        "WITH plain AS (SELECT 100 AS y), "
+        "upd AS (UPDATE b6 SET x = x + 100 WHERE x = 9 RETURNING x) "
+        "SELECT (SELECT y FROM plain) AS y, "
+        "(SELECT count(*) FROM upd) AS n",
+        dialect="postgres").collect()[0]
+    assert (r.y, r.n) == (100, 1)
+    assert sorted(x.x for x in e.execute(
+        "SELECT x FROM b6", dialect="postgres").collect()) == \
+        [2, 3, 10, 109]
+    # plain UPDATE ... RETURNING with a PK assignment (was empty)
+    rows = e.execute("UPDATE b6 SET x = 1000 WHERE x = 109 RETURNING x",
+                     dialect="postgres").collect()
+    assert [r2.x for r2 in rows] == [1000]
+    # UNLOGGED is a durability hint only
+    e.execute("CREATE UNLOGGED TABLE ul6 (x int)", dialect="postgres")
+    e.execute("DROP TABLE ul6", dialect="postgres")
