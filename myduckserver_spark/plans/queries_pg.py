@@ -345,3 +345,47 @@ def pg_upsert_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ON CONFLICT (id) DO UPDATE SET v = EXCLUDED.v, "
         "n = EXCLUDED.n WHERE excluded.n > 0", dialect="postgres")
     return eng.sql("SELECT id, v, n FROM pgu ORDER BY id")
+
+
+@register(
+    "pg_dml_cte_move",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('a6', CAST(1 AS BIGINT)), ('b6', 5), ('moved_sum', 9)
+    ) AS t(tag, n)
+    ORDER BY tag
+    """,
+    tags=("pg", "cte", "dml", "returning", "engine"),
+)
+def pg_dml_cte_move(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-modifying CTEs end-to-end (round-10): the pg move-rows
+    idiom — DELETE ... RETURNING feeding an INSERT in one statement —
+    plus an INSERT ... RETURNING CTE aggregated by the outer SELECT.
+    Each DML runs exactly once; RETURNING rows materialize
+    (localCheckpoint) before later mutations. Engine:
+    _try_dml_ctes + the version-diff RETURNING path
+    (_exec_dml_returning over table_changes)."""
+    import tempfile
+
+    from myduckserver_spark.engine import Engine
+
+    eng = Engine(spark, tempfile.mkdtemp(prefix="pgdmlcte_gate_"))
+    eng.execute("CREATE TABLE a6 (x BIGINT PRIMARY KEY)")
+    eng.execute("CREATE TABLE b6 (x BIGINT PRIMARY KEY)")
+    eng.execute("INSERT INTO a6 VALUES (1), (4), (5)",
+                dialect="postgres")
+    moved = eng.execute(
+        "WITH moved AS (DELETE FROM a6 WHERE x > 1 RETURNING x) "
+        "INSERT INTO b6 SELECT x FROM moved", dialect="postgres")
+    assert moved is not None
+    eng.execute(
+        "WITH ins AS (INSERT INTO b6 VALUES (20), (30), (40) "
+        "RETURNING x) SELECT count(*) FROM ins", dialect="postgres")
+    return eng.sql(
+        "SELECT 'a6' AS tag, CAST(COUNT(*) AS BIGINT) AS n FROM a6 "
+        "UNION ALL "
+        "SELECT 'b6' AS tag, CAST(COUNT(*) AS BIGINT) AS n FROM b6 "
+        "UNION ALL "
+        "SELECT 'moved_sum' AS tag, CAST(SUM(x) AS BIGINT) AS n "
+        "FROM b6 WHERE x < 10 ORDER BY tag"
+    )

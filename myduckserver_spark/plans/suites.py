@@ -313,7 +313,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "pg_distinct_on", "pg_string_agg_region", "pg_series_bucket_histogram",
         "pg_filter_lateral", "pg_sequence_lifecycle", "pg_any_array",
         "pg_within_group", "pg_tsearch_match", "pg_json_ops",
-        "pg_upsert_conditional",
+        "pg_upsert_conditional", "pg_dml_cte_move",
     ),
 }
 
