@@ -44,6 +44,7 @@ SYS_VIEWS = {"pg_stat_user_tables", "pg_index"}
 PG_CATALOG_VIEWS = {
     "pg_namespace", "pg_class", "pg_attribute", "pg_tables",
     "pg_views", "pg_database", "pg_indexes", "pg_type",
+    "pg_matviews", "pg_enum",
 }
 
 
@@ -548,6 +549,9 @@ _PG_TYPE_ROWS = [
 ]
 
 
+_ENUM_OID_BASE = 160000
+
+
 def _build_pg_catalog(engine, view: str) -> DataFrame:
     spark = engine.spark
 
@@ -556,10 +560,35 @@ def _build_pg_catalog(engine, view: str) -> DataFrame:
         for oid, name, arr in _PG_TYPE_ROWS:
             rows.append((oid, name, _NSP_PG_CATALOG, "b", 0, arr))
             rows.append((arr, "_" + name, _NSP_PG_CATALOG, "b", oid, 0))
+        # user CREATE TYPE/DOMAIN entries (SQLAlchemy introspects
+        # enums via pg_type.typtype = 'e' joined to pg_enum)
+        for i, (tname, spec) in enumerate(
+                sorted(engine._custom_types().items())):
+            rows.append((
+                _ENUM_OID_BASE + i, tname, _NSP_PG_CATALOG,
+                "e" if spec["kind"] == "enum" else "d", 0, 0,
+            ))
         return spark.createDataFrame(
             sorted(rows),
             "oid long, typname string, typnamespace long, "
             "typtype string, typelem long, typarray long",
+        )
+
+    if view == "pg_enum":
+        rows = []
+        for i, (tname, spec) in enumerate(
+                sorted(engine._custom_types().items())):
+            if spec["kind"] != "enum":
+                continue
+            for j, label in enumerate(spec["values"]):
+                rows.append((
+                    _ENUM_OID_BASE + 1000 + i * 100 + j,
+                    _ENUM_OID_BASE + i, float(j + 1), label,
+                ))
+        return spark.createDataFrame(
+            rows,
+            "oid long, enumtypid long, enumsortorder double, "
+            "enumlabel string",
         )
 
     nsp, classes = _pg_oids(engine)
@@ -617,6 +646,25 @@ def _build_pg_catalog(engine, view: str) -> DataFrame:
                         )
         return spark.createDataFrame(
             rows, "schemaname string, viewname string, definition string"
+        )
+
+    if view == "pg_matviews":
+        import os
+
+        rows = []
+        mdir = os.path.join(engine.catalog.root, "__matviews__")
+        if os.path.isdir(mdir):
+            import json as _j
+
+            for f_ in sorted(os.listdir(mdir)):
+                if f_.endswith(".sql"):
+                    with open(os.path.join(mdir, f_)) as fh:
+                        spec = _j.load(fh)
+                    rows.append((engine.current_db, f_[:-4],
+                                 spec.get("sql", "")))
+        return spark.createDataFrame(
+            rows,
+            "schemaname string, matviewname string, definition string",
         )
 
     if view == "pg_database":

@@ -404,3 +404,32 @@ def test_rewrite_skips_string_literals(spark, tmp_path):
         "SELECT note FROM notes WHERE note = 'see pg_type docs'"
     ).collect()
     assert [r.note for r in rows] == ["see pg_type docs"]
+
+
+def test_pg_matviews_and_pg_enum(spark, tmp_path):
+    """Round-10 catalog shims: pg_matviews lists materialized views
+    with definitions; CREATE TYPE enums surface through pg_type
+    (typtype='e') joined to pg_enum in declaration order — the
+    SQLAlchemy enum-introspection shape."""
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh_cat10"))
+    e.execute("CREATE TYPE mood AS ENUM ('sad', 'ok', 'happy')",
+              dialect="postgres")
+    e.execute("CREATE TABLE src7 (x int PRIMARY KEY)",
+              dialect="postgres")
+    e.execute("CREATE MATERIALIZED VIEW mv7 AS SELECT x FROM src7",
+              dialect="postgres")
+    rows = e.execute("SELECT matviewname, definition FROM pg_matviews",
+                     dialect="postgres").collect()
+    assert [r.matviewname for r in rows] == ["mv7"]
+    assert "src7" in rows[0].definition
+    labs = [r.enumlabel for r in e.execute(
+        "SELECT e.enumlabel FROM pg_type t JOIN pg_enum e "
+        "ON e.enumtypid = t.oid WHERE t.typtype = 'e' "
+        "ORDER BY e.enumsortorder", dialect="postgres").collect()]
+    assert labs == ["sad", "ok", "happy"]
+    assert e.execute(
+        "SELECT count(*) FROM pg_catalog.pg_type "
+        "WHERE typname = 'mood'",
+        dialect="postgres").collect()[0][0] == 1
