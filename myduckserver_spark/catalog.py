@@ -457,9 +457,17 @@ class Catalog:
         self, name: str, df: DataFrame, partition_by: list[str] | None = None
     ) -> ParquetTable:
         t = self.table(name)
-        if partition_by:
-            t.set_partitioning(partition_by)
-        t.overwrite(df)
+        existed = t.exists()
+        try:
+            if partition_by:
+                t.set_partitioning(partition_by)
+            t.overwrite(df)
+        except BaseException:
+            # a half-created table directory must not survive — it
+            # poisons every later all-table scan
+            if not existed:
+                self.drop_table(name)
+            raise
         return t
 
     def list_tables(self) -> list[str]:

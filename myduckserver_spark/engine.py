@@ -267,7 +267,11 @@ class Engine:
         """
         out: dict[str, list[str]] = {}
         for name in self.catalog.list_tables():
-            for f in self.catalog.table(name).read().schema.fields:
+            try:
+                fields = self.catalog.table(name).read().schema.fields
+            except Exception:
+                continue  # unreadable/corrupt dir must not poison reads
+            for f in fields:
                 md = f.metadata or {}
                 vals = md.get("enum_values")
                 if vals:
@@ -693,7 +697,13 @@ class Engine:
             v = t.version
             current[name] = v
             if registered.get(name) != v:
-                t.read().createOrReplaceTempView(name)
+                try:
+                    t.read().createOrReplaceTempView(name)
+                except Exception:
+                    # a corrupt/half-written dir must not poison every
+                    # other table's queries; the table itself will
+                    # still error when referenced directly
+                    current.pop(name, None)
         for name in registered:
             if name not in current:
                 self.spark.catalog.dropTempView(name)

@@ -2039,17 +2039,24 @@ def parse_statement(sql: str, hash_comments: bool = True):
         else:
             pm = re.search(
                 r"\bPARTITION(?:ED)?\s+BY\s+"
-                r"(?:(?:KEY|HASH|LINEAR\s+KEY|LINEAR\s+HASH)\s*)?"
+                r"((?:KEY|HASH|LINEAR\s+KEY|LINEAR\s+HASH)\s*)?"
                 r"\(([^()]*)\)\s*(?:PARTITIONS\s+\d+)?\s*$",
                 s,
                 re.I,
             )
             if pm:
-                part_cols = [
-                    it.strip().split()[0].strip("`")
-                    for it in pm.group(1).split(",")
-                    if it.strip()
-                ]
+                # KEY/HASH partitioning is a physical distribution
+                # hint — mapping it onto hive VALUE partitioning would
+                # mint one directory per key value (catastrophic for a
+                # high-cardinality id at scale). Accept and drop;
+                # Spark's shuffle owns distribution. Hive-style
+                # PARTITIONED BY (no keyword) keeps the value layout.
+                if not pm.group(1):
+                    part_cols = [
+                        it.strip().split()[0].strip("`")
+                        for it in pm.group(2).split(",")
+                        if it.strip()
+                    ]
                 s = s[: pm.start()].rstrip()
         # table-options tail (mysqldump emits these on every table);
         # AUTO_INCREMENT / COMMENT / charset are recorded, the rest are

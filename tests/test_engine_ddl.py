@@ -124,10 +124,13 @@ def test_create_table_like(spark, tmp_path):
     from myduckserver_spark.engine import Engine
 
     e = Engine(spark, str(tmp_path / "wh_like"))
+    # hive-style PARTITIONED BY keeps the value layout (MySQL
+    # KEY/HASH partitioning is a dropped distribution hint since
+    # round 10 — one directory per key value does not scale)
     e.execute(
         "CREATE TABLE src (id INT AUTO_INCREMENT PRIMARY KEY, "
         "name VARCHAR(20) NOT NULL, v DOUBLE DEFAULT 1.5) "
-        "PARTITION BY KEY(name)"
+        "PARTITIONED BY (name)"
     )
     e.execute("INSERT INTO src (name) VALUES ('a'), ('b')")
     e.execute("CREATE TABLE dst LIKE src")
@@ -608,3 +611,35 @@ def test_default_fn_with_embedded_quote(spark, tmp_path):
     assert rows[0].nm == "O'Brien" and rows[0].d == "O'Brien"
     ddl = e.execute("SHOW CREATE TABLE dq").collect()[0][1]
     assert "DEFAULT 'O''Brien'" in ddl
+
+
+def test_hash_partition_ddl_and_failed_create_cleanup(spark, tmp_path):
+    """PARTITION BY HASH/KEY is a physical-distribution hint — it
+    must NOT map onto hive value partitioning (one directory per id
+    value at scale; and Spark rejects all-column partitioning
+    outright). Also: a CREATE whose write fails must not leave a
+    half-created directory that poisons every other table's queries."""
+    import pytest as _pt
+
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh_hashpart"))
+    e.execute("CREATE TABLE ph (id INT PRIMARY KEY) "
+              "PARTITION BY HASH(id) PARTITIONS 4")
+    e.execute("INSERT INTO ph VALUES (1), (2)")
+    assert e.sql("SELECT COUNT(*) FROM ph").collect()[0][0] == 2
+    assert not e.table_meta("ph").partition_by  # hint dropped
+    # RANGE partitioning with per-partition defs keeps the hive layout
+    e.execute(
+        "CREATE TABLE pr (id INT PRIMARY KEY, d DATE) "
+        "PARTITION BY RANGE (YEAR(d)) ("
+        "PARTITION p0 VALUES LESS THAN (2020), "
+        "PARTITION p1 VALUES LESS THAN MAXVALUE)")
+    assert e.table_meta("pr").partition_by == ["d"]
+    # all-column hive partitioning fails IN SPARK — the directory must
+    # be cleaned up and later statements unaffected
+    with _pt.raises(Exception):
+        e.execute("CREATE TABLE bad1 (x INT PRIMARY KEY) "
+                  "PARTITIONED BY (x)")
+    assert "bad1" not in e.catalog.list_tables()
+    assert e.sql("SELECT COUNT(*) FROM ph").collect()[0][0] == 2
