@@ -5841,6 +5841,9 @@ class Engine:
         r"(true|false)\s*\)"
     )
 
+    _EXPLAIN_OPTS_RE = re.compile(
+        r"(?is)^\s*EXPLAIN\s*\(([^)]*)\)\s*")
+
     def _pg_statement_prep(self, sql: str) -> str:
         """pg_dump / pg-client statement normalization before parsing:
         ``public.`` is THE default schema (this engine's namespace),
@@ -5850,6 +5853,14 @@ class Engine:
         and set_config() folds into the session-variable store.
         Double-quoted identifiers become backticks first so DDL/DML
         parsing sees one quoting convention."""
+        em = self._EXPLAIN_OPTS_RE.match(sql)
+        if em:
+            # EXPLAIN (ANALYZE, FORMAT JSON, ...) — the parenthesized
+            # option list is pg-only; keep ANALYZE, drop the rest
+            kw = ("EXPLAIN ANALYZE "
+                  if re.search(r"(?i)\bANALYZE\b", em.group(1))
+                  else "EXPLAIN ")
+            sql = kw + sql[em.end():]
         if '"' in sql:
             from myduckserver_spark.functions.pg_compat import (
                 _dquotes_to_backticks,
@@ -6293,6 +6304,40 @@ class Engine:
                         self.variables[var] = rows[-1][col]
                 return self.spark.createDataFrame(rows, df.schema)
             return df
+        if isinstance(s, st.DeclareCursor):
+            df = self.sql(s.query, dialect=dialect)
+            cursors = getattr(self, "_cursors", None)
+            if cursors is None:
+                cursors = self._cursors = {}
+            if s.name in cursors:
+                raise ValueError(f'cursor "{s.name}" already exists')
+            cursors[s.name] = (df.toLocalIterator(), df.schema)
+            return OkResult(info="DECLARE CURSOR")
+        if isinstance(s, st.FetchCursor):
+            cursors = getattr(self, "_cursors", {})
+            if s.name not in cursors:
+                raise ValueError(f'cursor "{s.name}" does not exist')
+            it, schema = cursors[s.name]
+            rows = []
+            if s.count is None:
+                rows = list(it)
+            else:
+                for _ in range(s.count):
+                    try:
+                        rows.append(next(it))
+                    except StopIteration:
+                        break
+            if s.move_only:
+                return OkResult(affected_rows=len(rows), info="MOVE")
+            return self.spark.createDataFrame(rows, schema)
+        if isinstance(s, st.CloseCursor):
+            cursors = getattr(self, "_cursors", {})
+            if s.name.upper() == "ALL":
+                cursors.clear()
+                return OkResult(info="CLOSE ALL")
+            if cursors.pop(s.name, None) is None:
+                raise ValueError(f'cursor "{s.name}" does not exist')
+            return OkResult(info="CLOSE CURSOR")
         if isinstance(s, st.Prepare):
             text = s.query
             if text.startswith("@"):
@@ -7915,6 +7960,20 @@ class Engine:
                 if s.is_query
                 else self.catalog.table(s.target).read()
             )
+            if s.path == "STDOUT":
+                # pg COPY TO STDOUT: one text line per row — tab
+                # separated with \\N nulls (text format) or comma CSV
+                sep = ("," if s.fmt == "csv"
+                       else str(opts.get("delimiter") or "\t"))
+                nullstr = str(opts.get("null")
+                              or ("" if s.fmt == "csv" else "\\N"))
+                cols = [
+                    F.coalesce(F.col(c).cast("string"), F.lit(nullstr))
+                    for c in df.columns
+                ]
+                return df.select(
+                    F.concat_ws(sep, *cols).alias("copy_line")
+                )
             if s.fmt == "arrow":
                 # COPY ... TO (FORMAT ARROW): Arrow IPC stream file
                 # (reference pgserver/arrowwriter.go:66-135)
@@ -7935,6 +7994,12 @@ class Engine:
             return OkResult(affected_rows=df.count(), info=f"COPY TO {s.path}")
         if s.is_query:
             raise ValueError("COPY FROM requires a table target")
+        if s.path == "STDIN":
+            raise NotImplementedError(
+                "COPY ... FROM STDIN carries data on the wire — use "
+                "Engine.copy_from_stdin(table, chunks) from the host "
+                "program (the embedded API has no client stream)"
+            )
         base_schema = self.catalog.table(s.target).read().schema
         if s.fmt == "arrow":
             # COPY ... FROM (FORMAT ARROW) ← Arrow IPC stream file

@@ -80,7 +80,9 @@ def rewrite(query: str) -> tuple[str, set[tuple[str, str]]]:
     # drivers write `FROM pg_type` bare) — known names only, and only
     # when not already consumed by the qualified pass above
     bare_rx = re.compile(
-        r"(?<![\w.])(" + "|".join(sorted(PG_CATALOG_VIEWS)) + r")\b(?!\s*\()",
+        r"(?<![\w.])("
+        + "|".join(sorted(PG_CATALOG_VIEWS | SYS_VIEWS))
+        + r")\b(?!\s*\()",
         re.IGNORECASE,
     )
     covered = [(s, e) for s, e, _ in spans]
@@ -88,8 +90,10 @@ def rewrite(query: str) -> tuple[str, set[tuple[str, str]]]:
         if any(s <= m.start() < e for s, e in covered):
             continue
         view = m.group(1).lower()
-        needed.add(("pg_catalog", view))
-        spans.append((m.start(), m.end(), f"pg_catalog__{view}"))
+        schema = ("pg_catalog" if view in PG_CATALOG_VIEWS
+                  else "__sys__")
+        needed.add((schema, view))
+        spans.append((m.start(), m.end(), f"{schema}__{view}"))
 
     if not spans:
         return query, needed

@@ -1295,6 +1295,27 @@ class LoadData:
 
 
 @dataclass
+class DeclareCursor:
+    """Session-level pg cursor: DECLARE name CURSOR FOR query.
+    FETCH streams via toLocalIterator — no full-result collect."""
+
+    name: str
+    query: str
+
+
+@dataclass
+class FetchCursor:
+    name: str
+    count: int | None = None  # None = ALL
+    move_only: bool = False
+
+
+@dataclass
+class CloseCursor:
+    name: str  # 'ALL' closes everything
+
+
+@dataclass
 class CopyStmt:
     """COPY ... TO/FROM (reference: pgserver/copy.go:14-48 parse,
     datawriter.go:49-139 writer, dataloader.go:156-256 loader)."""
@@ -3062,21 +3083,52 @@ def parse_statement(sql: str, hash_comments: bool = True):
         return ld
 
     m = re.match(
+        r"DECLARE\s+(`[^`]+`|\w+)\s+(?:BINARY\s+)?(?:INSENSITIVE\s+)?"
+        r"(?:NO\s+SCROLL\s+|SCROLL\s+)?CURSOR\s+"
+        r"(?:WITH(?:OUT)?\s+HOLD\s+)?FOR\s+(.+)$",
+        s, re.I | re.S,
+    )
+    if m:
+        return DeclareCursor(unquote_ident(m.group(1)),
+                             m.group(2).strip())
+    m = re.match(
+        r"(FETCH|MOVE)\s+(?:FORWARD\s+)?(?:(NEXT|ALL|\d+)\s+)?"
+        r"(?:FROM\s+|IN\s+)?(`[^`]+`|\w+)\s*$",
+        s, re.I,
+    )
+    if m:
+        count: int | None = 1
+        tok = (m.group(2) or "").upper()
+        if tok == "ALL":
+            count = None
+        elif tok.isdigit():
+            count = int(tok)
+        return FetchCursor(unquote_ident(m.group(3)), count,
+                           move_only=m.group(1).upper() == "MOVE")
+    m = re.match(r"CLOSE\s+(ALL|`[^`]+`|\w+)\s*$", s, re.I)
+    if m:
+        return CloseCursor(unquote_ident(m.group(1)))
+    m = re.match(
         r"COPY\s+(\((.*)\)|(`[^`]+`|\w+))\s+(TO|FROM)\s+"
-        r"('(?:[^']|'')*')\s*(?:\((.*)\)|(WITH\s+.*))?\s*$",
+        r"('(?:[^']|'')*'|STDOUT|STDIN)\s*(?:\((.*)\)|(WITH\s+.*))?\s*$",
         s,
         re.I | re.S,
     )
     if m:
         is_query = m.group(2) is not None
         target = m.group(2).strip() if is_query else unquote_ident(m.group(3))
+        raw_path = m.group(5)
         stmt = CopyStmt(
             direction=m.group(4).lower(),
             target=target,
             is_query=is_query,
-            path=parse_literal(m.group(5)),
+            path=(raw_path.upper() if raw_path.upper() in
+                  ("STDOUT", "STDIN") else parse_literal(raw_path)),
         )
         opts_text = m.group(6) or (m.group(7) or "")[4:]
+        if (stmt.path in ("STDOUT", "STDIN")
+                and not re.search(r"(?i)\bformat\b", opts_text)):
+            stmt.fmt = "text"  # pg default for the wire forms
         for opt in split_top_level(opts_text, ","):
             opt = opt.strip()
             if not opt:

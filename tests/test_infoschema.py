@@ -332,8 +332,11 @@ def test_partitions_view(spark, tmp_path):
 
     e = Engine(spark, str(tmp_path / "wh"))
     e.execute("CREATE TABLE plain (id INT PRIMARY KEY)")
+    # value-layout spelling (round 10: PARTITION BY KEY/HASH became a
+    # dropped distribution hint — hive layout needs an explicit
+    # value-partitioning form)
     e.execute("CREATE TABLE parted (id INT PRIMARY KEY, "
-              "region VARCHAR(10)) PARTITION BY KEY(region)")
+              "region VARCHAR(10)) PARTITIONED BY (region)")
     rows = {
         r.TABLE_NAME: (r.PARTITION_NAME, r.PARTITION_METHOD,
                        r.PARTITION_EXPRESSION)

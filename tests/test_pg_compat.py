@@ -2200,3 +2200,46 @@ def test_pg_data_modifying_ctes(spark, tmp_path):
     # UNLOGGED is a durability hint only
     e.execute("CREATE UNLOGGED TABLE ul6 (x int)", dialect="postgres")
     e.execute("DROP TABLE ul6", dialect="postgres")
+
+
+def test_pg_cursors_copy_stdout_explain_opts(spark, tmp_path):
+    """Session cursors (DECLARE/FETCH [FORWARD n|NEXT|ALL]/MOVE/
+    CLOSE — streamed via toLocalIterator, no full collect), COPY ...
+    TO STDOUT (pg text + CSV line formats), EXPLAIN (options), and
+    bare pg_stat_user_tables routing."""
+    import pytest as _pt
+
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh_cur"))
+    e.execute("CREATE TABLE c8 (id int PRIMARY KEY, v text)",
+              dialect="postgres")
+    e.execute("INSERT INTO c8 VALUES (1,'a'), (2,'b'), (3,'c'), "
+              "(4,NULL)", dialect="postgres")
+    e.execute("DECLARE cur1 CURSOR FOR SELECT id, v FROM c8 "
+              "ORDER BY id", dialect="postgres")
+    assert [r.id for r in e.execute(
+        "FETCH 2 FROM cur1", dialect="postgres").collect()] == [1, 2]
+    assert [r.id for r in e.execute(
+        "FETCH NEXT FROM cur1", dialect="postgres").collect()] == [3]
+    assert [r.id for r in e.execute(
+        "FETCH ALL FROM cur1", dialect="postgres").collect()] == [4]
+    assert e.execute("FETCH 5 FROM cur1",
+                     dialect="postgres").collect() == []
+    e.execute("CLOSE cur1", dialect="postgres")
+    with _pt.raises(ValueError, match="does not exist"):
+        e.execute("FETCH 1 FROM cur1", dialect="postgres")
+    # text format: tab separator, \\N nulls; CSV: comma, empty null
+    lines = sorted(r.copy_line for r in e.execute(
+        "COPY c8 TO STDOUT", dialect="postgres").collect())
+    assert "1\ta" in lines and "4\t\\N" in lines
+    lines = [r.copy_line for r in e.execute(
+        "COPY (SELECT id, v FROM c8 ORDER BY id) TO STDOUT "
+        "(FORMAT csv)", dialect="postgres").collect()]
+    assert lines[0] == "1,a" and lines[3] == "4,"
+    # EXPLAIN option list accepted
+    assert e.execute("EXPLAIN (FORMAT JSON, COSTS OFF) "
+                     "SELECT * FROM c8", dialect="postgres") is not None
+    assert e.execute("SELECT relname FROM pg_stat_user_tables "
+                     "WHERE relname = 'c8'",
+                     dialect="postgres").collect()[0][0] == "c8"
