@@ -5867,6 +5867,8 @@ class Engine:
             )
 
             sql = _dquotes_to_backticks(sql)
+        sql = re.sub(
+            r"(?i)\b(FROM|UPDATE)\s+ONLY\s+(?=[\w`\"])", r"\1 ", sql)
         masked = st.mask_strings(sql)
         spans = []
         for m in re.finditer(r"(?i)\b(public|pg_catalog)\s*\.\s*(?=[\w\"])",

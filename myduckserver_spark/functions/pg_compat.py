@@ -3473,6 +3473,9 @@ def translate_postgres(sql: str, schema_fn=None) -> str:
         out = _pg_string_literals(out)
     if '"' in out:
         out = _dquotes_to_backticks(out)
+    # inheritance scoping: no child tables here — ONLY is a no-op
+    out = re.sub(r"(?i)\b(FROM|JOIN)\s+ONLY\s+(?=[\w`\"])", r"\1 ",
+                 out)
     # pg 12 CTE materialization hints are planner advice — Catalyst
     # makes its own call; strip them
     out = re.sub(r"(?i)\bAS\s+(?:NOT\s+)?MATERIALIZED\s*\(", "AS (",

@@ -1453,6 +1453,31 @@ def _parse_column_def(item: str, meta: TableMeta) -> tuple[str, str] | None:
         meta.auto_increment = name
         if name not in meta.not_null:
             meta.not_null.append(name)
+    idm = re.search(
+        r"\bGENERATED\s+(?:ALWAYS|BY\s+DEFAULT)\s+AS\s+IDENTITY"
+        r"(?:\s*\(([^)]*)\))?",
+        rest, re.I,
+    )
+    if idm:
+        # pg identity ≈ AUTO_INCREMENT; sequence options: START WITH
+        # honored, non-1 INCREMENT has no engine analog — reject
+        meta.auto_increment = name
+        if name not in meta.not_null:
+            meta.not_null.append(name)
+        seqopts = idm.group(1) or ""
+        sm2 = re.search(r"(?i)START\s+WITH\s+(\d+)", seqopts)
+        if sm2:
+            meta.stats["auto_increment_base"] = int(sm2.group(1))
+        im2 = re.search(r"(?i)INCREMENT\s+BY\s+(\d+)", seqopts)
+        if im2 and int(im2.group(1)) != 1:
+            raise NotImplementedError(
+                "IDENTITY ... INCREMENT BY n != 1 is not supported "
+                "(auto-assignment is +1); use an explicit sequence"
+            )
+        # remove the clause so later generated-column regexes never
+        # see the AS keyword
+        rest = rest[:idm.start()] + rest[idm.end():]
+        up = rest.upper()
     if "AUTO_INCREMENT" in up:
         meta.auto_increment = name
     if re.search(r"\bNOT\s+NULL\b", up):
@@ -1533,7 +1558,8 @@ _STR_LIT = r"'(?:[^'\\]|\\.|'')*'"
 # comments, block size
 _INDEX_OPTS = (
     r"(?:\s*(?:USING\s+\w+|VISIBLE|INVISIBLE|COMMENT\s+'[^']*'|"
-    r"KEY_BLOCK_SIZE\s*=?\s*\w+))*\s*"
+    r"KEY_BLOCK_SIZE\s*=?\s*\w+))*"
+    r"(?:\s+WHERE\s+.+)?\s*"  # pg partial-index predicate (metadata)
 )
 
 
@@ -1883,7 +1909,10 @@ def _parse_alter_action(name: str, rest: str) -> AlterTable:
     if re.fullmatch(
         r"OWNER\s+TO\s+\S+|ENABLE\s+ROW\s+LEVEL\s+SECURITY"
         r"|DISABLE\s+ROW\s+LEVEL\s+SECURITY"
-        r"|(?:SET|RESET)\s*\([^)]*\)|REPLICA\s+IDENTITY\s+.+",
+        r"|(?:SET|RESET)\s*\([^)]*\)|REPLICA\s+IDENTITY\s+.+"
+        r"|ALTER\s+(?:COLUMN\s+)?(?:`[^`]+`|\w+)\s+SET\s+"
+        r"(?:STATISTICS\s+\d+|STORAGE\s+\w+|COMPRESSION\s+\w+"
+        r"|\([^)]*\))",
         rest, re.I,
     ):
         return AlterTable(name, "noop_option")
@@ -2101,6 +2130,19 @@ def parse_statement(sql: str, hash_comments: bool = True):
             table_opts[key] = tm.group(2)
             s = s[: tm.start()].rstrip()
     m = re.match(
+        r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(`[^`]+`|\w+)\s*"
+        r"\(\s*LIKE\s+(`[^`]+`|\w+)"
+        r"(?:\s+(?:INCLUDING|EXCLUDING)\s+\w+)*\s*\)\s*$",
+        s, re.I,
+    )
+    if m:
+        # pg spelling of CREATE TABLE ... LIKE (clone lives in
+        # CreateTableLike; INCLUDING/EXCLUDING granularity collapses
+        # to the engine's full-constraint clone)
+        return CreateTableLike(unquote_ident(m.group(2)),
+                               unquote_ident(m.group(3)),
+                               if_not_exists=bool(m.group(1)))
+    m = re.match(
         r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(`[^`]+`|\w+)\s*\((.*)\)\s*$",
         s,
         re.I | re.S,
@@ -2208,6 +2250,11 @@ def parse_statement(sql: str, hash_comments: bool = True):
     )
     if m:
         return Vacuum(unquote_ident(m.group(1)), int(m.group(2) or 1))
+
+    # pg INSERT ... OVERRIDING SYSTEM|USER VALUE: the identity
+    # override marker — explicit values already win here; drop it
+    s = re.sub(r"(?i)\bOVERRIDING\s+(?:SYSTEM|USER)\s+VALUE\s+", "",
+               s, count=1)
 
     # INSERT/REPLACE ... SET col = val, ... (MySQL alternative form):
     # rewritten to the canonical columns+VALUES text and re-dispatched,

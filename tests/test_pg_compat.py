@@ -2243,3 +2243,53 @@ def test_pg_cursors_copy_stdout_explain_opts(spark, tmp_path):
     assert e.execute("SELECT relname FROM pg_stat_user_tables "
                      "WHERE relname = 'c8'",
                      dialect="postgres").collect()[0][0] == "c8"
+
+
+def test_pg_identity_columns_and_ddl_tail(spark, tmp_path):
+    """GENERATED {ALWAYS|BY DEFAULT} AS IDENTITY → the engine's
+    AUTO_INCREMENT machinery (was: silently created a plain column
+    and every id-less INSERT failed); START WITH honored, non-1
+    INCREMENT rejects clearly. Plus OVERRIDING SYSTEM VALUE,
+    CREATE TABLE (LIKE src INCLUDING ALL), FROM ONLY, partial
+    indexes, ALTER COLUMN SET STATISTICS/STORAGE no-ops."""
+    import pytest as _pt
+
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh_ident"))
+    e.execute("CREATE TABLE idt (id int GENERATED ALWAYS AS IDENTITY "
+              "PRIMARY KEY, v text)", dialect="postgres")
+    e.execute("INSERT INTO idt (v) VALUES ('a'), ('b')",
+              dialect="postgres")
+    assert [tuple(r) for r in e.execute(
+        "SELECT id, v FROM idt ORDER BY id",
+        dialect="postgres").collect()] == [(1, "a"), (2, "b")]
+    e.execute("INSERT INTO idt (id, v) OVERRIDING SYSTEM VALUE "
+              "VALUES (100, 'c')", dialect="postgres")
+    assert e.execute("SELECT v FROM idt WHERE id = 100",
+                     dialect="postgres").collect()[0][0] == "c"
+    # START WITH honored; INCREMENT BY != 1 rejects (no +n analog)
+    e.execute("CREATE TABLE idt3 (id bigint GENERATED BY DEFAULT "
+              "AS IDENTITY (START WITH 50), v text)",
+              dialect="postgres")
+    e.execute("INSERT INTO idt3 (v) VALUES ('x')", dialect="postgres")
+    assert e.execute("SELECT id FROM idt3",
+                     dialect="postgres").collect()[0][0] == 50
+    with _pt.raises(NotImplementedError, match="INCREMENT"):
+        e.execute("CREATE TABLE bad2 (id int GENERATED ALWAYS AS "
+                  "IDENTITY (START WITH 1 INCREMENT BY 5))",
+                  dialect="postgres")
+    e.execute("CREATE TABLE liked (LIKE idt INCLUDING ALL)",
+              dialect="postgres")
+    assert e.execute("SELECT count(*) FROM liked",
+                     dialect="postgres").collect()[0][0] == 0
+    assert e.table_meta("liked").auto_increment == "id"
+    assert len(e.execute("SELECT * FROM ONLY idt",
+                         dialect="postgres").collect()) == 3
+    e.execute("CREATE INDEX partial_idx ON idt (v) "
+              "WHERE v IS NOT NULL", dialect="postgres")
+    e.execute("DROP INDEX partial_idx", dialect="postgres")
+    e.execute("ALTER TABLE idt ALTER COLUMN v SET STATISTICS 100",
+              dialect="postgres")
+    e.execute("ALTER TABLE idt ALTER COLUMN v SET STORAGE EXTENDED",
+              dialect="postgres")
