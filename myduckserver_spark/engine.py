@@ -3073,6 +3073,11 @@ class Engine:
                 del macros[s.name.lower()]
                 self._save_macros(macros)
                 return OkResult()
+            tfns = self._trig_fns()
+            if s.name in tfns:  # pg trigger functions
+                del tfns[s.name]
+                self._save_trig_fns(tfns)
+                return OkResult()
             if s.if_exists:
                 return OkResult()
             raise ValueError(f"procedure or function {s.name} "
@@ -5910,6 +5915,39 @@ class Engine:
             sql = re.sub(r"(?i)\s+WITH\s+NO\s+DATA\s*$", " LIMIT 0",
                          sql)
         sql = self._pg_create_function_rewrite(sql)
+        tm = re.match(
+            r"(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?TRIGGER\s+"
+            r"(`?\w+`?)\s+(BEFORE|AFTER|INSTEAD\s+OF)\s+"
+            r"(INSERT|UPDATE|DELETE)(?:\s+OR\s+\w+)*\s+ON\s+"
+            r"(`?[\w.]+`?)\s*(?:FOR\s+EACH\s+ROW\s+)?"
+            r"(?:WHEN\s*\(([^)]*)\)\s*)?"
+            r"EXECUTE\s+(?:FUNCTION|PROCEDURE)\s+(`?\w+`?)\s*\(\s*\)"
+            r"\s*$",
+            sql,
+        )
+        if tm:
+            trg, timing, event, tbl, when, fname = tm.groups()
+            if re.match(r"(?i)INSTEAD", timing):
+                raise NotImplementedError(
+                    "INSTEAD OF triggers are not supported"
+                )
+            fns = self._trig_fns()
+            nm = st.unquote_ident(fname)
+            if nm not in fns:
+                raise ValueError(f"no such trigger function: {nm}")
+            body = fns[nm]
+            if when:
+                raise NotImplementedError(
+                    "CREATE TRIGGER ... WHEN (cond) is not supported "
+                    "— fold the condition into the function body"
+                )
+            sql = (f"CREATE TRIGGER {trg} {timing} {event} ON {tbl} "
+                   f"FOR EACH ROW BEGIN {body}; END")
+        sql = re.sub(
+            r"(?is)^(\s*DROP\s+TRIGGER\s+(?:IF\s+EXISTS\s+)?"
+            r"`?\w+`?)\s+ON\s+`?[\w.]+`?\s*$",
+            r"\1", sql,
+        )
         sql = self._pg_dml_rewrites(sql)
         return sql
 
@@ -5930,6 +5968,21 @@ class Engine:
             return sql
         orr, name, args, rtype, tail = m.groups()
         tail = tail.strip().rstrip(";").strip()
+        if rtype.strip().lower() == "trigger":
+            bm = re.search(r"(?is)\bAS\s+('(?:[^']|'')*')", tail)
+            if not bm:
+                raise NotImplementedError(
+                    "CREATE FUNCTION ... RETURNS trigger needs a "
+                    "quoted (or dollar-quoted) body"
+                )
+            body = bm.group(1)[1:-1].replace("''", "'")
+            fns = self._trig_fns()
+            nm = st.unquote_ident(name)
+            if nm in fns and not orr:
+                raise ValueError(f"function exists: {nm}")
+            fns[nm] = self._plpgsql_trigger_to_mysql(body)
+            self._save_trig_fns(fns)
+            return "SELECT 1 AS ok LIMIT 0"
         lang = re.search(r"(?i)\bLANGUAGE\s+(\w+)", tail)
         if lang and lang.group(1).lower() not in ("sql",):
             raise NotImplementedError(
@@ -6091,11 +6144,38 @@ class Engine:
             rhs = m.group(2).strip()
             rm = st.mask_strings(rhs)
             if re.match(r"\(\s*SELECT\b", rm, re.I):
-                raise NotImplementedError(
-                    "UPDATE SET (cols) = (SELECT ...) row-subquery "
-                    "assignment is not supported — assign each column "
-                    "from its own scalar subquery"
+                # uncorrelated row subquery: evaluate ONCE and fold
+                # the result into per-column literal assignments (pg
+                # evaluates an uncorrelated subquery once too);
+                # correlated forms (outer-column references) still
+                # reject with the per-column workaround
+                try:
+                    rows = self.sql(rhs[1:-1],
+                                    dialect="postgres").collect()
+                except Exception:
+                    raise NotImplementedError(
+                        "UPDATE SET (cols) = (SELECT ...) with a "
+                        "correlated subquery is not supported — "
+                        "assign each column from its own scalar "
+                        "subquery"
+                    )
+                if len(rows) > 1:
+                    raise ValueError(
+                        "more than one row returned by a subquery "
+                        "used as an expression"
+                    )
+                vals_row = (list(rows[0]) if rows
+                            else [None] * len(cols))
+                if len(vals_row) != len(cols):
+                    raise ValueError(
+                        f"UPDATE SET tuple has {len(cols)} columns "
+                        f"but the subquery returns {len(vals_row)}"
+                    )
+                out_parts.extend(
+                    f"{c} = {self._render_literal(v)}"
+                    for c, v in zip(cols, vals_row)
                 )
+                continue
             if not (rhs.startswith("(") and rhs.endswith(")")):
                 raise ValueError(
                     f"UPDATE SET tuple assignment needs a parenthesized "
@@ -7058,6 +7138,67 @@ class Engine:
             return {}
         with open(p) as f:
             return json.load(f)
+
+    def _trig_fns(self) -> dict:
+        p = os.path.join(self.catalog.root, "__trigfns__.json")
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return json.load(f)
+
+    def _save_trig_fns(self, fns: dict) -> None:
+        p = os.path.join(self.catalog.root, "__trigfns__.json")
+        os.makedirs(self.catalog.root, exist_ok=True)
+        with open(p, "w") as f:
+            json.dump(fns, f)
+
+    @staticmethod
+    def _plpgsql_trigger_to_mysql(body: str) -> str:
+        """The plpgsql trigger-function subset → the engine's MySQL
+        trigger-body grammar: ``NEW.col := expr`` assignments,
+        ``RETURN NEW`` (a no-op), and ``IF cond THEN RAISE EXCEPTION
+        'msg'; END IF`` guards (→ SIGNAL 45000). Anything wider
+        rejects naming the supported shapes."""
+        inner = re.fullmatch(r"(?is)\s*BEGIN\s+(.*?)\s*END\s*;?\s*",
+                             body)
+        if inner:
+            body = inner.group(1)
+        parts = [x.strip() for x in st.split_top_level(body, ";")
+                 if x.strip()]
+        merged, in_if = [], False
+        for stx in parts:
+            if in_if:
+                merged[-1] += "; " + stx
+                if re.search(r"(?i)\bEND\s+IF$", stx):
+                    in_if = False
+            else:
+                merged.append(stx)
+                if (re.match(r"(?i)IF\b", stx)
+                        and not re.search(r"(?i)\bEND\s+IF$", stx)):
+                    in_if = True
+        out = []
+        for stx in merged:
+            am = re.match(r"(?is)^NEW\.(\w+)\s*:?=\s*(.+)$", stx)
+            if am:
+                out.append(
+                    f"SET NEW.{am.group(1)} = {am.group(2).strip()}")
+                continue
+            if re.match(r"(?i)^RETURN\s+NEW$", stx):
+                continue
+            gm = re.match(
+                r"(?is)^IF\s+(.+?)\s+THEN\s+RAISE\s+EXCEPTION\s+"
+                r"'((?:[^']|'')*)'\s*;?\s*END\s+IF$", stx)
+            if gm:
+                out.append(
+                    f"IF {gm.group(1)} THEN SIGNAL SQLSTATE '45000' "
+                    f"SET MESSAGE_TEXT = '{gm.group(2)}'; END IF")
+                continue
+            raise NotImplementedError(
+                "plpgsql trigger functions support NEW.col := expr "
+                "assignments, RETURN NEW, and IF cond THEN RAISE "
+                f"EXCEPTION 'msg' guards — cannot translate: {stx!r}"
+            )
+        return "; ".join(out)
 
     def _save_custom_types(self, types: dict) -> None:
         p = os.path.join(self.catalog.root, "__types__.json")

@@ -72,6 +72,20 @@ def split_statements(sql: str, hash_comments: bool = True) -> list[str]:
     parts, buf, i, n = [], [], 0, len(sql)
     while i < n:
         c = sql[i]
+        if c == "$":
+            # pg dollar-quoted bodies ($$...$$ / $tag$...$tag$) hold
+            # semicolons that must not split
+            dm = re.match(r"\$(\w*)\$", sql[i:])
+            if dm:
+                close = sql.find(dm.group(0), i + dm.end())
+                if close >= 0:
+                    end = close + dm.end()
+                    buf.append(sql[i:end])
+                    i = end
+                    continue
+            buf.append(c)
+            i += 1
+            continue
         if c in ("'", '"', "`"):
             j = i + 1
             while j < n:
@@ -3561,7 +3575,8 @@ def parse_statement(sql: str, hash_comments: bool = True):
                              returns=m.group(3))
     m = re.match(
         r"DROP\s+(?:PROCEDURE|FUNCTION)\s+(IF\s+EXISTS\s+)?"
-        r"(`[^`]+`|\w+)\s*$", s, re.I,
+        r"(`[^`]+`|\w+)\s*(?:\(\s*[\w\s,\[\]]*\))?"
+        r"\s*(?:CASCADE|RESTRICT)?\s*$", s, re.I,
     )
     if m:
         # DROP FUNCTION also lands here: the engine's drop removes

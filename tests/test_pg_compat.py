@@ -1512,11 +1512,11 @@ def test_pg_update_from_delete_using(spark, tmp_path):
               dialect="postgres")
     assert tuple(one("SELECT name, score FROM pt WHERE id = 1")) == \
         ("zed", 0.5)
-    # row-subquery RHS rejects with a pointer at the alternative
-    import pytest
-    with pytest.raises(NotImplementedError, match="scalar subquer"):
-        e.execute("UPDATE pt SET (name, score) = (SELECT 'a', 1.0) "
-                  "WHERE id = 1", dialect="postgres")
+    # uncorrelated row-subquery RHS folds (round 10) — evaluated once
+    e.execute("UPDATE pt SET (name, score) = (SELECT 'a', 1.0) "
+              "WHERE id = 1", dialect="postgres")
+    assert tuple(one("SELECT name, score FROM pt WHERE id = 1")) == \
+        ("a", 1.0)
     # INSERT ... DEFAULT VALUES over declared defaults
     e.execute("CREATE TABLE dv (id INT AUTO_INCREMENT PRIMARY KEY, "
               "tag VARCHAR(10) DEFAULT 'x')", dialect="mysql")
@@ -2293,3 +2293,57 @@ def test_pg_identity_columns_and_ddl_tail(spark, tmp_path):
               dialect="postgres")
     e.execute("ALTER TABLE idt ALTER COLUMN v SET STORAGE EXTENDED",
               dialect="postgres")
+
+
+def test_pg_trigger_functions_and_set_tuple_subquery(spark, tmp_path):
+    """pg trigger functions: CREATE FUNCTION ... RETURNS trigger AS
+    $$ plpgsql $$ (NEW.col := expr / RETURN NEW / RAISE EXCEPTION
+    guards) + CREATE TRIGGER ... EXECUTE FUNCTION, translated onto
+    the engine's MySQL trigger machinery; pg DROP TRIGGER ... ON t /
+    DROP FUNCTION name(); statement splitting respects $$ bodies.
+    Plus: UPDATE SET (a,b) = (SELECT ...) uncorrelated row-subquery
+    folds to per-column literals."""
+    import pytest as _pt
+
+    from myduckserver_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh_trigfn"))
+    e.execute("CREATE TABLE t10 (id int PRIMARY KEY, a int, b text)",
+              dialect="postgres")
+    e.execute("INSERT INTO t10 VALUES (1, 5, 'x')", dialect="postgres")
+    e.execute("UPDATE t10 SET (a, b) = (SELECT 9, 'z') WHERE id = 1",
+              dialect="postgres")
+    assert [tuple(r) for r in e.execute(
+        "SELECT a, b FROM t10 WHERE id = 1",
+        dialect="postgres").collect()] == [(9, "z")]
+    e.execute(
+        "CREATE OR REPLACE FUNCTION audit_fn() RETURNS trigger AS $$\n"
+        "BEGIN\n  NEW.b := upper(NEW.b);\n  RETURN NEW;\nEND;\n"
+        "$$ LANGUAGE plpgsql", dialect="postgres")
+    e.execute("CREATE TRIGGER up_b BEFORE INSERT ON t10 "
+              "FOR EACH ROW EXECUTE FUNCTION audit_fn()",
+              dialect="postgres")
+    e.execute("INSERT INTO t10 VALUES (2, 1, 'abc')",
+              dialect="postgres")
+    assert e.execute("SELECT b FROM t10 WHERE id = 2",
+                     dialect="postgres").collect()[0][0] == "ABC"
+    # guard subset: RAISE EXCEPTION inside IF
+    e.execute(
+        "CREATE FUNCTION no_neg() RETURNS trigger AS $$ BEGIN "
+        "IF NEW.a < 0 THEN RAISE EXCEPTION 'negative a'; END IF; "
+        "RETURN NEW; END; $$ LANGUAGE plpgsql", dialect="postgres")
+    e.execute("CREATE TRIGGER guard_a BEFORE INSERT ON t10 "
+              "FOR EACH ROW EXECUTE FUNCTION no_neg()",
+              dialect="postgres")
+    with _pt.raises(Exception, match="negative a"):
+        e.execute("INSERT INTO t10 VALUES (3, -1, 'q')",
+                  dialect="postgres")
+    e.execute("DROP TRIGGER IF EXISTS guard_a ON t10",
+              dialect="postgres")
+    e.execute("DROP TRIGGER up_b ON t10", dialect="postgres")
+    e.execute("INSERT INTO t10 VALUES (4, 1, 'low')",
+              dialect="postgres")
+    assert e.execute("SELECT b FROM t10 WHERE id = 4",
+                     dialect="postgres").collect()[0][0] == "low"
+    e.execute("DROP FUNCTION IF EXISTS audit_fn()", dialect="postgres")
+    e.execute("DROP FUNCTION no_neg()", dialect="postgres")
