@@ -133,7 +133,7 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_candidates(
         docs, num_hashes=8, rows_per_band=2, shingle_n=3
-    ).orderBy("doc_a", "doc_b")
+    ).transform(ordered_adaptive, "doc_a", "doc_b")
 
 
 @register(
@@ -175,8 +175,8 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB bitwise.
     """
     docs = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.2).orderBy(
-        "doc_a", "doc_b"
+    return ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.2).transform(
+        ordered_adaptive, "doc_a", "doc_b"
     )
 
 
@@ -213,7 +213,7 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     then hamming-compare simhashes (see operators.dedup.simhash_pairs).
     """
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_op(docs, bits=60).orderBy("doc_id")
+    return simhash_op(docs, bits=60).transform(ordered_adaptive, "doc_id")
 
 
 # ------------------------------------------------------------- similarity
@@ -311,7 +311,7 @@ def sim_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("vec_id").cast("long").alias("min_vec"),
             F.max("vec_id").cast("long").alias("max_vec"),
         )
-        .orderBy("cid")
+        .transform(ordered_bounded, "cid")  # one row per centroid: bounded
     )
 
 
@@ -337,7 +337,7 @@ def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return neardup_pairs_blocked(
         emb, block_col="label", threshold=0.999
-    ).orderBy("id_a", "id_b")
+    ).transform(ordered_adaptive, "id_a", "id_b")
 
 
 # ----------------------------------------------------------- text analysis
@@ -372,7 +372,7 @@ def tx_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.length("text").cast("double") / F.size(toks), 6).alias(
             "avg_token_len"
         ),
-    ).orderBy("doc_id")
+    ).transform(ordered_adaptive, "doc_id")
 
 
 @register(
@@ -464,7 +464,7 @@ def tx_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("pred_en"),
             F.sum("en_hits").cast("long").alias("total_en_hits"),
         )
-        .orderBy("lang")
+        .transform(ordered_bounded, "lang")  # one row per language: bounded
     )
 
 
@@ -488,7 +488,7 @@ def tx_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.groupBy("source")
         .agg(bcount("n_docs"), F.countDistinct(fp).cast("long").alias("n_distinct_fp"))
-        .orderBy("source")
+        .transform(ordered_bounded, "source")  # one row per source: bounded
     )
 
 
@@ -524,7 +524,9 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(blob).alias("content_md5"),
             F.substring("text", 1, 4).alias("magic"),
         )
-        .orderBy("doc_id")
+        # doc_id < 50 caps the result; coalesce(1)-sort over the pruned
+        # scan beats a range-sampling sort job for a 50-row output
+        .transform(ordered_bounded, "doc_id")
     )
 
 
@@ -554,7 +556,7 @@ def ev_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_trunc("hour", "ts").alias("hour_start"), F.col("event_type")
         )
         .agg(bcount("n"), dsum("value", "total_value"))
-        .orderBy("hour_start", "event_type")
+        .transform(ordered_adaptive, "hour_start", "event_type")
     )
 
 
@@ -668,7 +670,7 @@ def ev_session_window_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.end").alias("session_end"),
             "n_events",
         )
-        .orderBy("user_id", "session_start")
+        .transform(ordered_adaptive, "user_id", "session_start")
     )
 
 
@@ -706,7 +708,7 @@ def ev_asof_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_id").alias("purchase_id"),
             F.col("ts_asof").alias("last_view_ts"),
         )
-        .orderBy("purchase_id")
+        .transform(ordered_adaptive, "purchase_id")
     )
 
 
@@ -868,7 +870,9 @@ def sim_ivf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"), F.col("embedding")
     )
     qs = emb.filter(F.col("vec_id") < 3)
-    return ivf_search(emb, qs, cent, k=3, nprobe=2).orderBy("qid", "rk")
+    return ivf_search(emb, qs, cent, k=3, nprobe=2).transform(
+        ordered_bounded, "qid", "rk"  # k x |queries| rows: bounded
+    )
 
 
 @register(
@@ -903,7 +907,7 @@ def tx_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bpe.cast("int").alias("n_bpe_tokens"),
         n_ws.cast("int").alias("n_ws_tokens"),
         F.round(n_bpe.cast("double") / n_ws, 6).alias("bpe_per_word"),
-    ).orderBy("doc_id")
+    ).transform(ordered_adaptive, "doc_id")
 
 
 @register(
