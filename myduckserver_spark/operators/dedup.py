@@ -238,6 +238,82 @@ def minhash_lsh_candidates(
     )
 
 
+def minhash_lsh_candidates_sql(
+    view: str,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+    text_col: str = "text",
+) -> str:
+    """SQL-text twin of :func:`minhash_lsh_candidates` — the identical
+    plan (row-local signature pipeline → band explode → DISTRIBUTE BY
+    bucket key → shuffle-hash self-join with a ReusedExchange →
+    pair aggregation) rendered as ONE SQL string over a registered
+    view. The build is a single spark.sql() round-trip instead of ~30
+    Py4J calls with per-call JVM expression parsing (the q1/q3 lever
+    from round 5 applied to the dedup family).
+
+    The `bands` CTE is referenced twice; Spark inlines CTEs (no
+    materialization), and because both inlined subtrees are
+    byte-identical up to the DISTRIBUTE BY exchange, ReuseExchange
+    dedups them — the expensive md5-per-shingle signature map runs
+    ONCE, exactly like the DataFrame build's explicit repartition.
+    Per-seed lambda variables keep DISTINCT names (h0, h1, …): shared
+    nested lambda names across expressions in one projection collide
+    after Catalyst inlines them (Spark 4.1.2, see
+    minhash_signature_array).
+    """
+    if num_hashes > len(MINHASH_A):
+        raise ValueError(f"num_hashes > {len(MINHASH_A)} not supported")
+    n_bands = num_hashes // rows_per_band
+    per_seed = ", ".join(
+        f"array_min(transform(hs, h{i} -> ({MINHASH_A[i]}L * h{i}"
+        f" + {MINHASH_B[i]}L) % {MINHASH_P}))"
+        for i in range(num_hashes)
+    )
+    structs = ", ".join(
+        "struct({b} AS band, md5(concat_ws('|', {parts})) AS band_sig)".format(
+            b=b,
+            parts=", ".join(
+                f"cast(sig[{b * rows_per_band + k}] as string)"
+                for k in range(rows_per_band)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH bands AS (
+        SELECT {id_col}, bb.band AS band, bb.band_sig AS band_sig
+        FROM (
+            SELECT {id_col}, explode(array({structs})) AS bb
+            FROM (
+                SELECT {id_col}, array({per_seed}) AS sig
+                FROM (
+                    SELECT {id_col},
+                           transform(shingles,
+                                     s -> cast(conv(substr(md5(s), 1, 7),
+                                               16, 10) as bigint)) AS hs
+                    FROM (SELECT {id_col},
+                                 {shingle_expr_sql(text_col, shingle_n)}
+                                   AS shingles
+                          FROM {view})
+                    WHERE shingles IS NOT NULL
+                ) __hashed
+            ) __sig
+        ) __bb
+        DISTRIBUTE BY band, band_sig
+    )
+    SELECT /*+ SHUFFLE_HASH(a, b) */
+           a.{id_col} AS doc_a, b.{id_col} AS doc_b,
+           CAST(COUNT(1) AS BIGINT) AS n_shared_bands
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_sig = b.band_sig
+     AND a.{id_col} < b.{id_col}
+    GROUP BY a.{id_col}, b.{id_col}
+    """
+
+
 def shingle_hash_rows(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:

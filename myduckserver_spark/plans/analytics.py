@@ -50,14 +50,16 @@ def dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     the canonical map-side-combine dedup (the md5 prunes to one row
     per partition per key before the shuffle).
     """
-    docs = load_table(spark, sf_dir, "documents", narrow=True)
-    return (
-        docs.select("doc_id", F.md5(F.lower(F.trim("text"))).alias("fp"))
-        .groupBy("fp")
-        .agg(F.min("doc_id").cast("long").alias("keep_id"), bcount("n_copies"))
-        .select("keep_id", "fp", "n_copies")
-        .transform(ordered_adaptive, "keep_id")
-    )
+    # Single generated-SQL build over the narrow cached view (one
+    # spark.sql round-trip; same fingerprint-groupBy plan).
+    docs = table_view(spark, sf_dir, "documents", narrow=True)
+    return spark.sql(f"""
+        SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+               md5(lower(trim(text))) AS fp,
+               CAST(COUNT(1) AS BIGINT) AS n_copies
+        FROM {docs}
+        GROUP BY md5(lower(trim(text)))
+    """).transform(ordered_adaptive, "keep_id")
 
 
 from myduckserver_spark.operators.dedup import (  # noqa: E402
@@ -130,9 +132,17 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join is keyed on (band, band_sig) — only same-bucket docs meet,
     which is the whole point of LSH at 100 TB.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_candidates(
-        docs, num_hashes=8, rows_per_band=2, shingle_n=3
+    # Single generated-SQL build via the operator's SQL twin (one
+    # spark.sql round-trip instead of ~30 Py4J calls; identical plan —
+    # row-local signatures, one bucket shuffle reused by both join
+    # sides, shuffle-hash self-join). See minhash_lsh_candidates_sql.
+    from myduckserver_spark.operators.dedup import minhash_lsh_candidates_sql
+
+    docs = table_view(spark, sf_dir, "documents")
+    return spark.sql(
+        minhash_lsh_candidates_sql(
+            docs, num_hashes=8, rows_per_band=2, shingle_n=3
+        )
     ).transform(ordered_adaptive, "doc_a", "doc_b")
 
 
@@ -595,28 +605,37 @@ def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one shuffle on user_id; both window passes share the same
     partitioning/sort so Spark runs them in a single Window exchange.
     """
-    ev = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag("ts").over(w)
-    new_sess = F.when(
-        prev.isNull()
-        | (ts_micros(F.col("ts")) - ts_micros(prev) > 3_600_000_000),
-        1,
-    ).otherwise(0)
-    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
-    sess = ev.select(
-        "user_id",
-        "event_id",
-        F.sum(new_sess).over(wrun).alias("session_id"),
-    )
-    return (
-        sess.groupBy("user_id")
-        .agg(
-            F.max("session_id").cast("long").alias("n_sessions"),
-            bcount("n_events"),
+    # Single generated-SQL build (one spark.sql round-trip instead of
+    # ~20 Py4J window-spec/when/agg calls). Identical plan: the lag
+    # window and the running-sum window share the (user_id; ts,
+    # event_id) partitioning+sort, so Spark plans one Exchange + Sort
+    # feeding two Window operators, then the per-user aggregate.
+    # unix_micros(CAST(.. AS TIMESTAMP)) is the ts_micros helper's SQL
+    # twin (events.ts may read as TIMESTAMP_NTZ; session TZ is UTC).
+    ev = table_view(spark, sf_dir, "events")
+    return spark.sql(f"""
+        SELECT user_id,
+               CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+               CAST(COUNT(1) AS BIGINT) AS n_events
+        FROM (
+            SELECT user_id,
+                   SUM(CASE WHEN prev_ts IS NULL
+                            OR unix_micros(CAST(ts AS TIMESTAMP))
+                               - unix_micros(CAST(prev_ts AS TIMESTAMP))
+                               > 3600000000
+                            THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS session_id
+            FROM (
+                SELECT user_id, event_id, ts,
+                       LAG(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_ts
+                FROM {ev}
+            )
         )
-        .transform(ordered_adaptive, "user_id")
-    )
+        GROUP BY user_id
+    """).transform(ordered_adaptive, "user_id")
 
 
 @register(

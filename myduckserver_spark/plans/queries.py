@@ -624,19 +624,24 @@ def w_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: single hash shuffle on the partition key; Spark inserts a
     WindowGroupLimit (rank pushdown) so each partition keeps only 3 rows.
     """
-    orders = load_table(spark, sf_dir, "orders")
-    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    return (
-        orders.withColumn("rn", F.row_number().over(w).cast("int"))
-        .filter(F.col("rn") <= 3)
-        .select(
-            "o_custkey",
-            "o_orderkey",
-            F.col("o_totalprice").cast("double").alias("totalprice"),
-            "rn",
+    # Single generated-SQL build (one spark.sql round-trip instead of
+    # ~15 Py4J window/filter/select calls — the q1/q3 lever applied to
+    # the window family). Identical plan: one hash shuffle on
+    # o_custkey, WindowGroupLimit rank pushdown, rn <= 3 filter.
+    orders = table_view(spark, sf_dir, "orders")
+    return spark.sql(f"""
+        SELECT o_custkey, o_orderkey,
+               CAST(o_totalprice AS DOUBLE) AS totalprice, rn
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey
+                   ) AS INT) AS rn
+            FROM {orders}
         )
-        .transform(ordered_adaptive, "o_custkey", "rn")
-    )
+        WHERE rn <= 3
+    """).transform(ordered_adaptive, "o_custkey", "rn")
 
 
 @register(
