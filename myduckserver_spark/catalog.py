@@ -30,6 +30,27 @@ from pyspark.sql import DataFrame, SparkSession
 
 from myduckserver_spark.operators.cdc import apply_cdc
 
+# Snapshot writes target this many bytes per output file (guide-class
+# 128 MB-1 GB parquet sizing). Estimated from Catalyst statistics — no
+# extra job — and only ever COALESCES (never shuffles): a small DML
+# result stops minting one near-empty file per upstream partition
+# (32 tiny files per version at test scale), while any write whose
+# estimated bytes exceed the target keeps its full parallelism, so a
+# 100 TB snapshot still writes wide.
+_TARGET_WRITE_FILE_BYTES = 128 << 20
+
+
+def _sized_for_write(df: DataFrame) -> DataFrame:
+    try:
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        cur = df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 — sizing is best-effort, never fatal
+        return df
+    want = max(1, min(cur, -(-est // _TARGET_WRITE_FILE_BYTES)))
+    return df.coalesce(want) if want < cur else df
+
 
 class ParquetTable:
     def __init__(self, spark: SparkSession, root: str, name: str):
@@ -126,7 +147,8 @@ class ParquetTable:
     def prepare_snapshot(self, df: DataFrame,
                          txn_app_id: str | None = None,
                          txn_version: int | None = None,
-                         txn_state: dict | None = None) -> dict:
+                         txn_state: dict | None = None,
+                         sized: bool = True) -> dict:
         """Write the NEXT snapshot's data files without flipping the
         pointer; return the pointer meta that would commit it.
 
@@ -140,7 +162,7 @@ class ParquetTable:
         meta = self._read_pointer()
         new_v = meta["version"] + 1
         parts = meta.get("partition_by")
-        w = df.write.mode("overwrite")
+        w = (_sized_for_write(df) if sized else df).write.mode("overwrite")
         if parts:
             missing = [c for c in parts if c not in df.columns]
             if missing:
@@ -157,14 +179,16 @@ class ParquetTable:
 
     def overwrite(self, df: DataFrame, txn_app_id: str | None = None,
                   txn_version: int | None = None,
-                  txn_state: dict | None = None) -> int:
+                  txn_state: dict | None = None,
+                  sized: bool = True) -> int:
         """Materialize a new snapshot and atomically flip the pointer.
 
         ``txn_state`` rides in the SAME pointer commit as the data and
         the txn version — source-specific resume state (e.g. a
         partitioned log's per-partition offset vector) gets the same
         exactly-once guarantee as the scalar position."""
-        meta = self.prepare_snapshot(df, txn_app_id, txn_version, txn_state)
+        meta = self.prepare_snapshot(df, txn_app_id, txn_version,
+                                     txn_state, sized=sized)
         self._write_pointer(meta)
         return meta["version"]
 
@@ -214,7 +238,7 @@ class ParquetTable:
         cur_v = meta["version"]
         new_v = cur_v + 1
         parts = meta.get("partition_by")
-        w = new_rows.write.mode("overwrite")
+        w = _sized_for_write(new_rows).write.mode("overwrite")
         if parts:
             missing = [c for c in parts if c not in new_rows.columns]
             if missing:
@@ -302,7 +326,9 @@ class ParquetTable:
             out = df.repartitionByRange(n, *sort_cols).sortWithinPartitions(
                 *sort_cols
             )
-            return self.overwrite(out)
+            # OPTIMIZE controls file layout explicitly (disjoint key
+            # ranges per file) — bypass the bytes-based write sizing
+            return self.overwrite(out, sized=False)
 
         bits = max(1, (zorder_buckets - 1).bit_length())
         probs = [i / zorder_buckets for i in range(1, zorder_buckets)]
@@ -328,7 +354,8 @@ class ParquetTable:
             .sortWithinPartitions("__zorder")
             .drop("__zorder")
         )
-        return self.overwrite(out)
+        # Z-order controls file layout explicitly — bypass write sizing
+        return self.overwrite(out, sized=False)
 
     # ----------------------------------------------------------------- CDC
     def merge_batch(

@@ -46,8 +46,11 @@ def test_linear_optimize_disjoint_file_ranges(spark, cat):
         F.col("id").alias("k"),
         (F.col("id") * 37 % 20000).alias("v"),
     )
-    # write unclustered on v (files overlap on v before optimize)
-    t = cat.create_table("opt_lin", df.repartition(8))
+    # write unclustered on v (files overlap on v before optimize).
+    # sized=False: the fixture needs a multi-file layout; the default
+    # bytes-based write sizing would coalesce this tiny table to 1 file
+    t = cat.table("opt_lin")
+    t.overwrite(df.repartition(8), sized=False)
     before = _file_ranges(t.dir, t.version, "v")
     assert len(before) > 1
     overlap_before = sum(
@@ -154,3 +157,25 @@ def test_time_travel_version_as_of(spark, tmp_path):
     e.execute("VACUUM h")
     with pytest.raises(FileNotFoundError, match="VACUUM"):
         e.sql("SELECT * FROM h VERSION AS OF 1")
+
+
+def test_snapshot_write_sizing(spark, cat):
+    """Bytes-based write sizing (r10): a small snapshot coalesces to
+    one file regardless of upstream partitioning; sized=False (the
+    OPTIMIZE/Z-order layout path) preserves the explicit partitioning."""
+    import glob
+    import os
+
+    df = spark.range(0, 1000, 1, 8).selectExpr(
+        "id AS k", "cast(id AS double) AS v"
+    )
+    t = cat.create_table("sz_small", df)
+    files = glob.glob(os.path.join(t.snapshot_dir(), "*.parquet"))
+    assert len(files) == 1, files
+    assert t.read().count() == 1000
+
+    t2 = cat.table("sz_explicit")
+    t2.overwrite(df.repartition(8), sized=False)
+    files2 = glob.glob(os.path.join(t2.snapshot_dir(), "*.parquet"))
+    assert len(files2) == 8, files2
+    assert t2.read().count() == 1000
