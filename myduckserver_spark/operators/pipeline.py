@@ -92,4 +92,7 @@ def corpus_funnel(
         out = out.withColumn(
             f"n_{name}", F.coalesce(F.col(f"n_{name}"), F.lit(0)).cast("long")
         )
-    return out.orderBy(group_col)
+    from myduckserver_spark.plans.helpers import ordered_bounded
+
+    # one row per source: bounded presentation sort (no sampling job)
+    return out.transform(ordered_bounded, group_col)
