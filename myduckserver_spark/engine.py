@@ -9918,7 +9918,10 @@ class Engine:
                 # dump round-trips must not reuse already-issued ids
                 ddl += f" AUTO_INCREMENT={int(ai_base)}"
             if meta.partition_by:
-                ddl += " PARTITION BY KEY(" + ", ".join(
+                # value-layout spelling: PARTITION BY KEY/HASH is a
+                # dropped distribution hint since round 10, so KEY
+                # rendering would not round-trip through a dump/restore
+                ddl += " PARTITIONED BY (" + ", ".join(
                     f"`{c}`" for c in meta.partition_by) + ")"
             return self.spark.createDataFrame(
                 [(s.target, ddl)], "Table string, `Create Table` string"

@@ -16,7 +16,7 @@ def peng(spark, tmp_path):
     e = Engine(spark, str(tmp_path / "wh"))
     e.execute(
         "CREATE TABLE ev (id INT PRIMARY KEY, region VARCHAR(10), "
-        "v DOUBLE) PARTITION BY KEY(region)"
+        "v DOUBLE) PARTITIONED BY (region)"
     )
     e.execute(
         "INSERT INTO ev VALUES (1, 'eu', 1.0), (2, 'us', 2.0), "
@@ -83,7 +83,9 @@ def test_integer_partition_column_type(spark, tmp_path):
 
 def test_show_create_table_renders_partitioning(peng):
     ddl = peng.execute("SHOW CREATE TABLE ev").collect()[0][1]
-    assert "PARTITION BY KEY(`region`)" in ddl
+    # the value-layout spelling round-trips (PARTITION BY KEY is a
+    # dropped distribution hint since round 10)
+    assert "PARTITIONED BY (`region`)" in ddl
 
 
 def test_ctas_partitioned(peng):
