@@ -36,16 +36,21 @@ from myduckserver_spark.operators.cdc import apply_cdc
 # result stops minting one near-empty file per upstream partition
 # (32 tiny files per version at test scale), while any write whose
 # estimated bytes exceed the target keeps its full parallelism, so a
-# 100 TB snapshot still writes wide.
-_TARGET_WRITE_FILE_BYTES = 128 << 20
+# 100 TB snapshot still writes wide. Catalyst's sizeInBytes is an
+# IN-MEMORY estimate that overstates zstd parquet on disk ~4x
+# (decompressed values + row overhead), so the in-memory target is
+# 4x the on-disk goal: 512 MB of estimate ≈ a 128 MB-class file.
+_TARGET_WRITE_FILE_BYTES = 512 << 20
 
 
 def _sized_for_write(df: DataFrame) -> DataFrame:
     try:
-        est = int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        )
-        cur = df.rdd.getNumPartitions()
+        # One analyze/optimize pass: reuse the SAME queryExecution for
+        # the stats and the partition count (df.rdd would build a
+        # second plan + a Python-RDD conversion pipeline per write).
+        qe = df._jdf.queryExecution()
+        est = int(qe.optimizedPlan().stats().sizeInBytes())
+        cur = qe.toRdd().getNumPartitions()
     except Exception:  # noqa: BLE001 — sizing is best-effort, never fatal
         return df
     want = max(1, min(cur, -(-est // _TARGET_WRITE_FILE_BYTES)))
@@ -88,26 +93,37 @@ class ParquetTable:
         if meta["version"] < 0:
             raise FileNotFoundError(f"table has no committed snapshot: {self.dir}")
         path = os.path.join(self.dir, f"v{meta['version']}")
-        parts = meta.get("partition_by")
-        if not parts:
+        schema_json = meta.get("schema_json")
+        if not schema_json:
+            # pre-schema pointer (older snapshot): fall back to footer
+            # inference, which costs a schema-read job per read
             return self.spark.read.parquet(path)
-        # Hive-partitioned snapshot: restore declared column order and
-        # partition-column types (directory-encoded values come back
-        # via inference; the stored dtype pins them), and survive the
-        # all-rows-deleted case where the dir has no partition files.
-        from pyspark.sql import functions as F
+        # The pointer carries the snapshot's schema, so the read needs
+        # no footer-inference job (one fewer Spark job on EVERY table
+        # read on every statement path), restores declared column order
+        # and partition-column types in one shot, and survives the
+        # all-rows-deleted case where the dir holds no data files.
+        # Fields are forced nullable: parquet data fields always read
+        # back nullable, and a non-nullable user schema over a file
+        # that does contain nulls would be undefined behavior.
         from pyspark.sql import types as T
 
-        schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
+        schema = T.StructType.fromJson(json.loads(schema_json))
+        schema = T.StructType(
+            [
+                T.StructField(f_.name, f_.dataType, True, f_.metadata)
+                for f_ in schema.fields
+            ]
+        )
         try:
-            df = self.spark.read.parquet(path)
+            df = self.spark.read.schema(schema).parquet(path)
+            return df.select(*[f_.name for f_ in schema.fields])
         except Exception as e:
             # ONLY the empty-snapshot case (every row deleted -> the
-            # version dir holds no partition files, so schema inference
-            # fails) may read as zero rows. Corruption, permissions, or
-            # transient IO must surface — silently returning empty
-            # would feed wrong results into queries and snapshot
-            # overwrites (ADVICE r2).
+            # version dir holds no partition files) may read as zero
+            # rows. Corruption, permissions, or transient IO must
+            # surface — silently returning empty would feed wrong
+            # results into queries and snapshot overwrites (ADVICE r2).
             msg = str(e)
             if (
                 "unable to infer schema" in msg.lower()
@@ -116,10 +132,6 @@ class ParquetTable:
             ):
                 return self.spark.createDataFrame([], schema)
             raise
-        for f_ in schema.fields:
-            if f_.name in parts:
-                df = df.withColumn(f_.name, F.col(f_.name).cast(f_.dataType))
-        return df.select(*[f_.name for f_ in schema.fields])
 
     def read_version(self, version: int) -> DataFrame:
         """Time-travel read of a historical snapshot (Delta-style
@@ -163,11 +175,13 @@ class ParquetTable:
         new_v = meta["version"] + 1
         parts = meta.get("partition_by")
         w = (_sized_for_write(df) if sized else df).write.mode("overwrite")
+        # the pointer carries the snapshot schema so reads skip the
+        # footer-inference job (see read())
+        meta["schema_json"] = df.schema.json()
         if parts:
             missing = [c for c in parts if c not in df.columns]
             if missing:
                 raise ValueError(f"partition columns missing: {missing}")
-            meta["schema_json"] = df.schema.json()
             w = w.partitionBy(*parts)
         w.parquet(os.path.join(self.dir, f"v{new_v}"))
         if txn_app_id is not None:
@@ -239,11 +253,11 @@ class ParquetTable:
         new_v = cur_v + 1
         parts = meta.get("partition_by")
         w = _sized_for_write(new_rows).write.mode("overwrite")
+        meta["schema_json"] = new_rows.schema.json()
         if parts:
             missing = [c for c in parts if c not in new_rows.columns]
             if missing:
                 raise ValueError(f"partition columns missing: {missing}")
-            meta["schema_json"] = new_rows.schema.json()
             w = w.partitionBy(*parts)
         new_dir = os.path.join(self.dir, f"v{new_v}")
         w.parquet(new_dir)
@@ -470,13 +484,35 @@ class Catalog:
             )
         ):
             return False
-        prepared: dict[str, dict] = {}
-        for name, delta, pk_cols in batches:
+        from concurrent.futures import ThreadPoolExecutor
+
+        from myduckserver_spark.operators.cdc import batch_action_profiles
+
+        # one validation job for ALL tables (tagged union of the
+        # deltas' action columns), not one profile aggregate per table
+        profiles = batch_action_profiles([d for _, d, _ in batches])
+
+        def prep(args):
+            (name, delta, pk_cols), prof = args
             t = self.table(name)
-            snap = apply_cdc(t.read(), delta, pk_cols)
-            prepared[name] = t.prepare_snapshot(
+            snap = apply_cdc(t.read(), delta, pk_cols, actions=prof)
+            return name, t.prepare_snapshot(
                 snap, txn_app_id, txn_version, txn_state
             )
+
+        # the N prepare writes are independent (disjoint version dirs,
+        # pointer flip deferred to commit_multi) — overlap them so one
+        # table's write tail back-fills the other's (guide §2.6);
+        # sequential when there is only one.
+        if len(batches) == 1:
+            prepared = dict([prep((batches[0], profiles[0]))])
+        else:
+            with ThreadPoolExecutor(
+                max_workers=min(4, len(batches))
+            ) as pool:
+                prepared = dict(
+                    pool.map(prep, zip(batches, profiles))
+                )
         self.commit_multi(prepared)
         return True
 

@@ -66,11 +66,45 @@ def _batch_action_profile(delta: DataFrame) -> set[int]:
     return {lo, hi}  # mixed: exact membership beyond lo/hi is unused
 
 
+def batch_action_profiles(deltas: list[DataFrame]) -> list[set[int]]:
+    """N tables' fast-path classifications in ONE Spark job.
+
+    A multi-table flush previously paid one profile aggregate (with
+    its AQE stage job) PER table; tagging each delta's action column
+    with its batch ordinal and unioning lets a single grouped min/max
+    answer all N classifications in one collect — the read-back
+    batching a 2-phase commit wants (one validation pass, N writes)."""
+    from functools import reduce
+
+    if not deltas:
+        return []
+    if len(deltas) == 1:
+        return [_batch_action_profile(deltas[0])]
+    tagged = [
+        d.select(F.lit(i).alias("__t"), F.col("action"))
+        for i, d in enumerate(deltas)
+    ]
+    u = reduce(lambda a, b: a.unionByName(b), tagged)
+    rows = (
+        u.groupBy("__t")
+        .agg(F.min("action").alias("lo"), F.max("action").alias("hi"))
+        .collect()
+    )
+    out: list[set[int]] = [set() for _ in deltas]
+    for r in rows:
+        if r["lo"] is None:
+            continue
+        lo, hi = int(r["lo"]), int(r["hi"])
+        out[r["__t"]] = {lo} if lo == hi else {lo, hi}
+    return out
+
+
 def apply_cdc(
     base: DataFrame,
     delta: DataFrame,
     pk_cols: list[str],
     pre_condensed: bool = False,
+    actions: set[int] | None = None,
 ) -> DataFrame:
     """Apply a CDC batch to a base snapshot, returning the new snapshot.
 
@@ -78,10 +112,13 @@ def apply_cdc(
     - insert-only batch → plain union (no join at all),
     - delete-only batch → single anti-join,
     - general → condense, one anti-join on touched keys, one union.
-    The action profile is a 3-row aggregate, not a data collect.
+    The action profile is a 3-row aggregate, not a data collect;
+    ``actions`` lets a multi-table flush pass a profile computed for
+    all tables in one job (batch_action_profiles).
     """
     data_cols = base.columns
-    actions = _batch_action_profile(delta)
+    if actions is None:
+        actions = _batch_action_profile(delta)
 
     if actions == {ACTION_INSERT} and not pre_condensed:
         return base.unionByName(delta.select(*data_cols))
