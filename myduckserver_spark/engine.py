@@ -7881,12 +7881,27 @@ class Engine:
                     F.col(f_.name).isNull()
                     | F.col(f_.name).isin(*evals),
                 )
-        for cname, cond in checks.items():
-            bad = df.filter(~cond | cond.isNull()).limit(1).collect()
-            if bad:
+        if checks:
+            # ONE violation-flags job for ALL constraints (was one
+            # filter+collect job per CHECK/NOT NULL/ENUM constraint);
+            # the per-constraint bad-row fetch runs only on the error /
+            # IGNORE path.
+            names = list(checks)
+            flags = df.agg(*[
+                F.max(
+                    (~checks[cn] | checks[cn].isNull()).cast("int")
+                ).alias(f"__v{i}")
+                for i, cn in enumerate(names)
+            ]).collect()[0]
+            violated = [
+                cn for i, cn in enumerate(names) if (flags[i] or 0) > 0
+            ]
+            for cname in violated:
+                cond = checks[cname]
                 if s.mode == "ignore":
                     df = df.filter(cond & cond.isNotNull())
                     continue
+                bad = df.filter(~cond | cond.isNull()).limit(1).collect()
                 raise ValueError(
                     f"CHECK/NOT NULL constraint '{cname}' violated: {bad[0]}"
                 )
@@ -7898,43 +7913,92 @@ class Engine:
                 "NULL" if row[c] is None else str(row[c]) for c in cols
             )
 
-        if (pk and s.mode == "insert" and not s.on_dup
-                and not (auto_missing and meta.auto_increment in pk)):
-            # auto_missing only blocks the probe when the PK contains
-            # the (not-yet-assigned) AUTO_INCREMENT column — fresh ids
-            # can't collide. A PK over OTHER columns is still enforced.
-            # one aggregation job yields the row count AND the max
-            # per-key multiplicity, so the happy path pays no extra
-            # job over the old plain df.count()
-            prof = (
-                df.groupBy(*pk).agg(F.count(F.lit(1)).alias("__c"))
-                .agg(F.sum("__c").alias("__n"), F.max("__c").alias("__m"))
-                .collect()[0]
-            )
-            n = prof["__n"] or 0
-            if (prof["__m"] or 0) > 1:
-                bad = (
-                    df.groupBy(*pk).agg(F.count(F.lit(1)).alias("__c"))
-                    .where(F.col("__c") > 1).limit(1).collect()[0]
+        # ONE probe job for the whole statement: the row count, every
+        # enforced level's intra-batch max multiplicity AND its
+        # stored-key clash flag collect as a union of one-row
+        # aggregates (was: one count/collect job per level — 2 + 2 per
+        # unique index). Bad-key fetches run only on the error path.
+        probe_pk = bool(
+            pk and s.mode == "insert" and not s.on_dup
+            and not (auto_missing and meta.auto_increment in pk)
+        )
+        # auto_missing only blocks the PK probe when the PK contains
+        # the (not-yet-assigned) AUTO_INCREMENT column — fresh ids
+        # can't collide. A PK over OTHER columns is still enforced.
+        uniq = (
+            self._unique_key_list(meta, df.columns)
+            if (s.mode == "insert" and not s.on_dup) else []
+        )
+        plevels = ([("PRIMARY", pk, False)] if probe_pk else []) + [
+            (iname, list(icols), True) for iname, icols in uniq
+        ]
+
+        def _lvl_cand(icols, nex):
+            cand = df.select(*icols)
+            return cand.na.drop("any", subset=icols) if nex else cand
+
+        def _lvl_basek(icols, nex):
+            basek = t.read().select(*icols)
+            return basek.na.drop("any", subset=icols) if nex else basek
+
+        n = None
+        if plevels:
+            parts = []
+            for li, (_iname, icols, nex) in enumerate(plevels):
+                cand = _lvl_cand(icols, nex)
+                intra = (
+                    cand.groupBy(*icols)
+                    .agg(F.count(F.lit(1)).alias("__c"))
+                    .agg(F.sum("__c").alias("__n"),
+                         F.max("__c").alias("__m"))
                 )
-                raise DuplicateKeyError(
-                    _dup_key(bad, pk), f"{s.table}.PRIMARY"
+                clash = (
+                    _lvl_basek(icols, nex)
+                    .join(cand, icols, "left_semi").limit(1)
+                    .agg(F.count(F.lit(1)).alias("__cl"))
                 )
-            clash = (
-                t.read().select(*pk).join(df.select(*pk), pk, "left_semi")
-                .limit(1).collect()
-            )
-            if clash:
-                raise DuplicateKeyError(
-                    _dup_key(clash[0], pk), f"{s.table}.PRIMARY"
-                )
-        else:
+                parts.append(intra.crossJoin(clash).select(
+                    F.lit(li).alias("__lvl"), "__n", "__m", "__cl"
+                ))
+            if not probe_pk:
+                # total row count rides in the same job
+                parts.append(df.agg(
+                    F.count(F.lit(1)).alias("__n")
+                ).select(
+                    F.lit(-1).alias("__lvl"), "__n",
+                    F.lit(0).cast("long").alias("__m"),
+                    F.lit(0).cast("long").alias("__cl"),
+                ))
+            u = parts[0]
+            for p in parts[1:]:
+                u = u.unionByName(p)
+            summary = {r["__lvl"]: r for r in u.collect()}
+            if probe_pk:
+                n = summary[0]["__n"] or 0
+            else:
+                n = summary[-1]["__n"] or 0
+            for li, (iname, icols, nex) in enumerate(plevels):
+                r = summary[li]
+                if (r["__m"] or 0) > 1:
+                    bad = (
+                        _lvl_cand(icols, nex).groupBy(*icols)
+                        .agg(F.count(F.lit(1)).alias("__c"))
+                        .where(F.col("__c") > 1).limit(1).collect()[0]
+                    )
+                    raise DuplicateKeyError(
+                        _dup_key(bad, icols), f"{s.table}.{iname}"
+                    )
+                if (r["__cl"] or 0) > 0:
+                    bad = (
+                        _lvl_basek(icols, nex)
+                        .join(_lvl_cand(icols, nex), icols, "left_semi")
+                        .limit(1).collect()[0]
+                    )
+                    raise DuplicateKeyError(
+                        _dup_key(bad, icols), f"{s.table}.{iname}"
+                    )
+        if n is None:
             n = df.count()
-        if s.mode == "insert" and not s.on_dup:
-            for iname, icols in self._unique_key_list(meta, df.columns):
-                self._probe_batch_conflicts(
-                    t, s.table, df, iname, icols, null_exempt=True
-                )
         if before_ins_stmts:
             avail = [f.name for f in base_schema.fields
                      if f.name in df.columns]
@@ -8309,19 +8373,25 @@ class Engine:
         levels = self._on_dup_levels(meta, df.columns)
         pk = list(meta.primary_key or [])
 
-        # intra-batch duplicate keys on any enforced level?
-        intra = False
+        # intra-batch duplicate keys on any enforced level? ONE job for
+        # all levels: union the per-level max-multiplicity aggregates
+        # (each is a single short row) instead of one collect per level.
+        probes = []
         for _iname, icols, nex in levels:
             grp = df
             if nex:
                 grp = grp.na.drop("any", subset=icols)
-            mx = (
+            probes.append(
                 grp.groupBy(*icols).agg(F.count(F.lit(1)).alias("__c"))
-                .agg(F.max("__c").alias("__m")).collect()[0]["__m"]
+                .agg(F.max("__c").alias("__m"))
             )
-            if (mx or 0) > 1:
-                intra = True
-                break
+        u = probes[0]
+        for p in probes[1:]:
+            u = u.unionByName(p)
+        intra = any(
+            (r["__m"] or 0) > 1
+            for r in u.agg(F.max("__m").alias("__m")).collect()
+        )
 
         key_cols = {c for _n, cols, _x in levels for c in cols}
         if set(assignments) & key_cols:
@@ -8409,6 +8479,16 @@ class Engine:
         for p in parts[1:]:
             matched = matched.unionByName(p)
 
+        # matched and rem are batch-sized (each batch row appears at
+        # most once) but their DAGs join/anti-join the STORED table —
+        # and they are consumed up to four times below (multi check,
+        # change count, new count, final write). Materialize each ONCE:
+        # without this the whole level-cascade re-executes per action
+        # (measured: 47 Spark jobs for a 2-row upsert; the base table
+        # would be re-scanned ~4x per level at 100 TB).
+        matched = matched.localCheckpoint()
+        rem = rem.localCheckpoint()
+
         if len(levels) > 1:
             multi = (
                 matched.groupBy(*[f"__t_{c}" for c in pk])
@@ -8453,19 +8533,30 @@ class Engine:
 
         ins_img = None
         if want_insert_image:
+            # stable without its own checkpoint: rem is checkpointed
             ins_img = rem.select(
                 *[F.col(f"__n_{c}").alias(c) for c in base_cols]
-            ).localCheckpoint()
+            )
         upd_pairs = None
         if want_update_pairs:
             pair = [F.col(f"__t_{c}").alias(f"old_{c}")
                     for c in base_cols]
             for c, sel_c in zip(base_cols, upd_sel):
                 pair.append(sel_c.alias(f"new_{c}"))
-            upd_pairs = matched.select(*pair).localCheckpoint()
+            upd_pairs = matched.select(*pair)
 
-        n_new = rem.count()
-        n_chg = updated.where("__chg").count()
+        # both counts over checkpointed inputs in ONE job
+        cnt_rows = (
+            rem.agg(F.count(F.lit(1)).alias("__n"))
+            .select(F.lit("new").alias("__k"), "__n")
+            .unionByName(
+                updated.where("__chg")
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .select(F.lit("chg").alias("__k"), "__n")
+            ).collect()
+        )
+        cnts = {r["__k"]: int(r["__n"]) for r in cnt_rows}
+        n_new, n_chg = cnts["new"], cnts["chg"]
         untouched = base.join(
             matched.select(
                 *[F.col(f"__t_{c}").alias(c) for c in pk]

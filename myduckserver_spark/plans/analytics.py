@@ -404,15 +404,18 @@ def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tx_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace token counting + average token length (map-only)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.trim("text"), " ")
+    # split hoisted into its own projection (n_tokens and avg_token_len
+    # both reference it — was two split evaluations per row)
     return docs.select(
+        "doc_id", "text", F.split(F.trim("text"), " ").alias("__w")
+    ).select(
         "doc_id",
-        F.size(toks).cast("int").alias("n_tokens"),
+        F.size("__w").cast("int").alias("n_tokens"),
         F.length("text").cast("int").alias("n_chars_actual"),
         (F.length(F.regexp_replace("text", "[^ ]", "")) + 1)
         .cast("int")
         .alias("n_words_ws"),
-        F.round(F.length("text").cast("double") / F.size(toks), 6).alias(
+        F.round(F.length("text").cast("double") / F.size("__w"), 6).alias(
             "avg_token_len"
         ),
     ).transform(ordered_adaptive, "doc_id")
@@ -486,15 +489,20 @@ def tx_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tx_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-hit language scoring rolled up against the labeled lang."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower("text"), " ")
     en = F.array(F.lit("the"), F.lit("and"), F.lit("of"))
     de = F.array(F.lit("der"), F.lit("und"), F.lit("die"))
+    # words hoisted into their own projection: both stopword filters
+    # referenced the split, which evaluated it twice per row
+    # (CollapseProject keeps a non-cheap multi-referenced alias in its
+    # own project, so the hoist survives to the physical plan)
     scored = docs.select(
+        "lang", F.split(F.lower("text"), " ").alias("__w")
+    ).select(
         "lang",
-        F.size(F.filter(toks, lambda t: F.array_contains(en, t)))
+        F.size(F.filter(F.col("__w"), lambda t: F.array_contains(en, t)))
         .cast("long")
         .alias("en_hits"),
-        F.size(F.filter(toks, lambda t: F.array_contains(de, t)))
+        F.size(F.filter(F.col("__w"), lambda t: F.array_contains(de, t)))
         .cast("long")
         .alias("de_hits"),
     )

@@ -221,14 +221,30 @@ def serving_profile(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     return conf
 
 
+# Last sf_dir whose tables were registered as bare-named temp views,
+# per session: registration is idempotent for the same dir, so repeat
+# calls (every pg_*/g_* query build) skip both the re-read (one
+# schema-inference pass per table per call — measured 8 s across the
+# pg_dialect suite) and the re-register; a DIFFERENT sf_dir re-points
+# the views, preserving the old call-every-time semantics.
+_BARE_VIEWS_FOR: dict[int, str] = {}
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Read every test table and register it as a temp view."""
     out: dict[str, DataFrame] = {}
+    key = id(spark)
+    sf_abs = os.path.abspath(sf_dir)
+    fresh = _BARE_VIEWS_FOR.get(key) != sf_abs
     for name in TPCH_TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if not os.path.exists(path):
             continue
-        df = spark.read.parquet(path)
-        df.createOrReplaceTempView(name)
+        # split=False: identical plan to the old raw read, memoized
+        df = load_table(spark, sf_dir, name, split=False)
+        if fresh:
+            df.createOrReplaceTempView(name)
         out[name] = df
+    if fresh:
+        _BARE_VIEWS_FOR[key] = sf_abs
     return out
