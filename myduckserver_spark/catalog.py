@@ -58,9 +58,19 @@ def _sized_for_write(df: DataFrame) -> DataFrame:
 
 
 class ParquetTable:
-    def __init__(self, spark: SparkSession, root: str, name: str):
+    def __init__(self, spark: SparkSession, root: str, name: str,
+                 read_cache: dict | None = None):
         self.spark = spark
+        self.name = name
         self.dir = os.path.join(root, name)
+        # Catalog-owned (name, version) -> DataFrame memo: plan-OBJECT
+        # reuse only (DataFrames are immutable logical plans; every
+        # action still re-executes). A statement touches its table's
+        # scan plan several times (schema fetch, key probes, the write
+        # union) and each fresh read() paid file listing + relation
+        # analysis + ~dozens of Py4J calls. Keyed by version, so any
+        # committed write (or restored pointer) invalidates naturally.
+        self._read_cache = read_cache
         os.makedirs(self.dir, exist_ok=True)
 
     # ------------------------------------------------------------- pointers
@@ -92,6 +102,34 @@ class ParquetTable:
         meta = self._read_pointer()
         if meta["version"] < 0:
             raise FileNotFoundError(f"table has no committed snapshot: {self.dir}")
+        ck = None
+        if self._read_cache is not None:
+            try:
+                # the pointer file's identity, not just the version
+                # number: every commit os.replace()s the pointer (new
+                # inode), and restore/rename/txn-resurrect move whole
+                # directories — so a re-bound name can never hit a
+                # stale plan even at a repeated version number
+                pst = os.stat(self._pointer_path)
+                ck = (self.name, meta["version"], pst.st_ino,
+                      pst.st_mtime_ns)
+            except OSError:
+                ck = None
+        if ck is not None:
+            got = self._read_cache.get(ck)
+            if got is not None:
+                return got
+        df = self._read_snapshot(meta)
+        if ck is not None:
+            # keep only the live pointer per table (old plans are
+            # unreachable once the pointer moves)
+            for k in [k for k in self._read_cache
+                      if k[0] == self.name and k != ck]:
+                del self._read_cache[k]
+            self._read_cache[ck] = df
+        return df
+
+    def _read_snapshot(self, meta: dict) -> DataFrame:
         path = os.path.join(self.dir, f"v{meta['version']}")
         schema_json = meta.get("schema_json")
         if not schema_json:
@@ -402,11 +440,13 @@ class Catalog:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        self._read_cache: dict = {}
         os.makedirs(root, exist_ok=True)
         self._recover_multi_txns()
 
     def table(self, name: str) -> ParquetTable:
-        return ParquetTable(self.spark, self.root, name)
+        return ParquetTable(self.spark, self.root, name,
+                            read_cache=self._read_cache)
 
     # ------------------------------------------- atomic multi-table commit
     @property
@@ -540,9 +580,18 @@ class Catalog:
             and os.path.exists(os.path.join(self.root, d, "_VERSION"))
         )
 
+    def evict_read_cache(self, name: str) -> None:
+        """Drop memoized read plans for a table. Needed whenever the
+        name can be re-bound at a previously-seen version number
+        (drop+recreate restarts versions at 0; restore/rename adopt
+        foreign version dirs)."""
+        for k in [k for k in self._read_cache if k[0] == name]:
+            del self._read_cache[k]
+
     def drop_table(self, name: str) -> None:
         import shutil
 
+        self.evict_read_cache(name)
         shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
 
     def optimize_table(self, name: str, sort_cols: list[str], **kw) -> int:

@@ -1615,9 +1615,21 @@ class Engine:
                     f"{f.name}_enum_value",
                     F.col(f.name).isNull() | F.col(f.name).isin(*vals),
                 )
-        for cname, cond in checks.items():
-            bad = df.filter(~cond | cond.isNull()).limit(1).collect()
-            if bad:
+        if not checks:
+            return
+        # ONE violation-flags job for every constraint (was one
+        # LIMIT-1 scan per constraint); the bad-row fetch runs only on
+        # the error path.
+        names = list(checks)
+        flags = df.agg(*[
+            F.max((~checks[cn] | checks[cn].isNull()).cast("int"))
+            .alias(f"__v{i}")
+            for i, cn in enumerate(names)
+        ]).collect()[0]
+        for i, cname in enumerate(names):
+            if (flags[i] or 0) > 0:
+                cond = checks[cname]
+                bad = df.filter(~cond | cond.isNull()).limit(1).collect()
                 raise ValueError(
                     f"CHECK/NOT NULL constraint '{cname}' violated by "
                     f"{context}: {bad[0]}"
@@ -7941,45 +7953,85 @@ class Engine:
             basek = t.read().select(*icols)
             return basek.na.drop("any", subset=icols) if nex else basek
 
+        def _key_json(src, icols, nex):
+            """Canonical per-level key string. Float/double key parts
+            are +0.0-normalized so the string compares like SQL
+            equality (-0.0 = 0.0, the semantics the raw-column join
+            had); NULL fields are kept so (1, NULL) != (1,)."""
+            parts = []
+            for c in icols:
+                col = F.col(c)
+                if isinstance(src.schema[c].dataType,
+                              (T.FloatType, T.DoubleType)):
+                    col = col + F.lit(0.0)
+                parts.append(col.alias(c))
+            key = F.to_json(F.struct(*parts),
+                            {"ignoreNullFields": "false"})
+            if nex:
+                anynull = F.lit(False)
+                for c in icols:
+                    anynull = anynull | F.col(c).isNull()
+                key = F.when(~anynull, key)  # NULL key = exempt row
+            return key
+
+        def _exploded(src):
+            entries = [
+                F.struct(
+                    F.lit(li).alias("lvl"),
+                    _key_json(src, icols, nex).alias("key"),
+                )
+                for li, (_iname, icols, nex) in enumerate(plevels)
+            ]
+            return (
+                src.select(F.explode(F.array(*entries)).alias("e"))
+                .select("e.lvl", "e.key")
+                .where(F.col("key").isNotNull())
+            )
+
         n = None
         if plevels:
-            parts = []
-            for li, (_iname, icols, nex) in enumerate(plevels):
-                cand = _lvl_cand(icols, nex)
-                intra = (
-                    cand.groupBy(*icols)
-                    .agg(F.count(F.lit(1)).alias("__c"))
-                    .agg(F.sum("__c").alias("__n"),
-                         F.max("__c").alias("__m"))
-                )
-                clash = (
-                    _lvl_basek(icols, nex)
-                    .join(cand, icols, "left_semi").limit(1)
-                    .agg(F.count(F.lit(1)).alias("__cl"))
-                )
-                parts.append(intra.crossJoin(clash).select(
-                    F.lit(li).alias("__lvl"), "__n", "__m", "__cl"
-                ))
-            if not probe_pk:
-                # total row count rides in the same job
-                parts.append(df.agg(
-                    F.count(F.lit(1)).alias("__n")
-                ).select(
-                    F.lit(-1).alias("__lvl"), "__n",
-                    F.lit(0).cast("long").alias("__m"),
-                    F.lit(0).cast("long").alias("__cl"),
-                ))
-            u = parts[0]
-            for p in parts[1:]:
-                u = u.unionByName(p)
-            summary = {r["__lvl"]: r for r in u.collect()}
+            # ONE probe query for the whole statement: every row fans
+            # out to its (level, key) pairs, the stored table's keys are
+            # scanned ONCE for all levels (was one semi-join per index)
+            # and pre-filtered by a broadcast-sized semi-join against
+            # the batch keys, then a two-stage aggregate yields, per
+            # level: row count, intra-batch max multiplicity, and the
+            # stored-clash flag. Bad-key fetches only on the error path.
+            cand_e = _exploded(df)
+            base_e = _exploded(t.read()).join(
+                cand_e.select("lvl", "key").distinct(),
+                ["lvl", "key"], "left_semi",
+            )
+            all_e = cand_e.select(
+                "lvl", "key", F.lit(0).alias("src")
+            ).unionByName(
+                base_e.select("lvl", "key", F.lit(1).alias("src"))
+            )
+            per_key = all_e.groupBy("lvl", "key").agg(
+                F.sum(F.when(F.col("src") == 0, 1).otherwise(0))
+                .alias("c"),
+                F.max("src").alias("hb"),
+            )
+            summary = {
+                r["lvl"]: r
+                for r in per_key.groupBy("lvl").agg(
+                    F.sum("c").alias("n"),
+                    F.max("c").alias("m"),
+                    F.max(
+                        F.when((F.col("c") > 0) & (F.col("hb") == 1), 1)
+                        .otherwise(0)
+                    ).alias("cl"),
+                ).collect()
+            }
             if probe_pk:
-                n = summary[0]["__n"] or 0
-            else:
-                n = summary[-1]["__n"] or 0
+                # PK level is never null-exempt, so its per-key sum is
+                # the full batch row count
+                n = (summary.get(0) or {"n": 0})["n"] or 0
             for li, (iname, icols, nex) in enumerate(plevels):
-                r = summary[li]
-                if (r["__m"] or 0) > 1:
+                r = summary.get(li)
+                if r is None:
+                    continue
+                if (r["m"] or 0) > 1:
                     bad = (
                         _lvl_cand(icols, nex).groupBy(*icols)
                         .agg(F.count(F.lit(1)).alias("__c"))
@@ -7988,7 +8040,7 @@ class Engine:
                     raise DuplicateKeyError(
                         _dup_key(bad, icols), f"{s.table}.{iname}"
                     )
-                if (r["__cl"] or 0) > 0:
+                if (r["cl"] or 0) > 0:
                     bad = (
                         _lvl_basek(icols, nex)
                         .join(_lvl_cand(icols, nex), icols, "left_semi")

@@ -16,8 +16,6 @@ one row per source.
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -34,6 +32,18 @@ def alpha_ratio(text_col: str = "text") -> Column:
     ).cast("double") / F.length(F.col(text_col))
 
 
+def quality_pred(
+    text_col: str = "text",
+    min_len: int = 50,
+    max_len: int = 5000,
+    min_alpha: float = 0.6,
+) -> Column:
+    """The quality-gate predicate as a Column (row-local)."""
+    return F.length(F.col(text_col)).between(min_len, max_len) & (
+        alpha_ratio(text_col) >= min_alpha
+    )
+
+
 def quality_filter(
     docs: DataFrame,
     text_col: str = "text",
@@ -42,10 +52,7 @@ def quality_filter(
     min_alpha: float = 0.6,
 ) -> DataFrame:
     """Length + alphabetic-ratio gate (map-only)."""
-    return docs.filter(
-        F.length(F.col(text_col)).between(min_len, max_len)
-        & (alpha_ratio(text_col) >= min_alpha)
-    )
+    return docs.filter(quality_pred(text_col, min_len, max_len, min_alpha))
 
 
 def clean_corpus(
@@ -77,22 +84,52 @@ def clean_corpus(
 
 
 def corpus_funnel(
-    docs: DataFrame, group_col: str = "source", **kwargs
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 50,
+    max_len: int = 5000,
+    min_alpha: float = 0.6,
+    **kwargs,
 ) -> DataFrame:
-    """Per-group survival counts for each pipeline stage."""
-    stages = clean_corpus(docs, **kwargs)
-    counts = [
-        stages[name]
-        .groupBy(group_col)
-        .agg(F.count(F.lit(1)).cast("long").alias(f"n_{name}"))
-        for name in ("raw", "quality", "exact", "clean")
-    ]
-    out = reduce(lambda a, b: a.join(b, group_col, "left"), counts)
-    for name in ("quality", "exact", "clean"):
-        out = out.withColumn(
-            f"n_{name}", F.coalesce(F.col(f"n_{name}"), F.lit(0)).cast("long")
-        )
-    from myduckserver_spark.plans.helpers import ordered_bounded
+    """Per-group survival counts for each pipeline stage.
 
-    # one row per source: bounded presentation sort (no sampling job)
-    return out.transform(ordered_bounded, group_col)
+    Tag-once / aggregate-once: each doc carries its stage-survival
+    flags (quality = row-local predicate; exact = dedup survivor via
+    one left join of the survivor ids; clean = exact minus the LSH
+    drop set), and ONE grouped aggregate emits all four funnel counts.
+    The old shape ran four groupBy(source) aggregates (one per stage
+    DataFrame) and re-joined them — four aggregate passes over
+    subtrees that repeat the gate/dedup work (ReuseExchange recovered
+    some, not all). Returns one (unsorted) row per group; callers that
+    present the funnel sort it (bounded cardinality).
+    """
+    quality = quality_filter(docs, text_col, min_len, max_len, min_alpha)
+    exact = exact_dedup(quality, text_col, id_col)
+    cands = minhash_lsh_candidates(exact, text_col, id_col, **kwargs)
+    drops = cands.select(F.col("doc_b").alias(id_col)).distinct()
+    # survivor ids with their clean flag (exact ids are unique, so the
+    # join back to docs can never fan out)
+    survived = exact.select(id_col).join(
+        drops.withColumn("__d", F.lit(1)), id_col, "left"
+    ).select(
+        F.col(id_col),
+        F.lit(1).alias("__e"),
+        F.when(F.col("__d").isNull(), 1).otherwise(0).alias("__c"),
+    )
+    tagged = docs.select(
+        F.col(group_col),
+        F.col(id_col),
+        F.when(
+            quality_pred(text_col, min_len, max_len, min_alpha), 1
+        ).otherwise(0).alias("__q"),
+    ).join(survived, id_col, "left")
+    return tagged.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_raw"),
+        F.sum("__q").cast("long").alias("n_quality"),
+        F.sum(F.coalesce(F.col("__e"), F.lit(0))).cast("long")
+        .alias("n_exact"),
+        F.sum(F.coalesce(F.col("__c"), F.lit(0))).cast("long")
+        .alias("n_clean"),
+    )

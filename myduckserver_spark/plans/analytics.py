@@ -856,7 +856,10 @@ def tds_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from myduckserver_spark.operators.pipeline import corpus_funnel
 
     docs = load_table(spark, sf_dir, "documents")
-    return corpus_funnel(docs)
+    # one row per source: bounded presentation sort (the plans layer
+    # knows the default group_col is schema-bounded; the operator
+    # returns the bare aggregate — ADVICE r10 layering note)
+    return corpus_funnel(docs).transform(ordered_bounded, "source")
 
 
 @register(
