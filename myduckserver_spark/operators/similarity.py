@@ -173,6 +173,50 @@ def cosine_topk_np(
     )
 
 
+def _ivf_assign_vec(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "cid",
+) -> DataFrame:
+    """(id, cid, __v, __nv): nearest-centroid assignment that CARRIES
+    the row's double vector and norm — truly map-only.
+
+    The centroid set collects to ONE array row and broadcasts; the
+    argmax over centroids is a single array expression per corpus row
+    (array_max over (sim, cid) structs — the sim carries the same
+    -cid*1e-12 uniqueness epsilon as before, so the lexicographic max
+    IS the old max_by). The previous formulation exploded corpus x
+    centroids and re-grouped on the row id — a full shuffle of the
+    corpus plus, in ivf_search, a second shuffle to join the
+    assignment back to the vectors. Both shuffles are gone; a search
+    now shuffles only at the final per-query rank window."""
+    c = _with_vec_norm(centroids, vec_col, "__c", "__nc", centroid_id_col)
+    carr = c.agg(
+        F.collect_list(
+            F.struct(
+                F.col(centroid_id_col).alias("cid"),
+                F.col("__c"), F.col("__nc"),
+            )
+        ).alias("__cents")
+    )
+    v = _with_vec_norm(corpus, vec_col, "__v", "__nv", id_col)
+    best = (
+        "array_max(transform(__cents, x -> struct("
+        "round(aggregate(zip_with(x.__c, __v, (zx, zy) -> zx * zy), 0.0D,"
+        " (da, dv) -> da + dv) / (x.__nc * __nv), 6)"
+        " - cast(x.cid as double) * 1e-12 AS s,"
+        " x.cid AS cid)))"
+    )
+    return v.crossJoin(F.broadcast(carr)).selectExpr(
+        id_col,
+        f"{best}.cid AS {centroid_id_col}",
+        "__v",
+        "__nv",
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -181,21 +225,11 @@ def ivf_assign(
     centroid_id_col: str = "cid",
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (deterministic
-    tie-break by centroid id). Map-only: centroids broadcast."""
-    c = _with_vec_norm(centroids, vec_col, "__c", "__nc", centroid_id_col)
-    v = _with_vec_norm(corpus, vec_col, "__v", "__nv", id_col)
-    return (
-        v.crossJoin(F.broadcast(c))
-        .selectExpr(
-            id_col,
-            centroid_id_col,
-            "round(aggregate(zip_with(__c, __v, (zx, zy) -> zx * zy), 0.0D,"
-            " (da, dv) -> da + dv) / (__nc * __nv), 6)"
-            f" - cast({centroid_id_col} as double) * 1e-12 AS __sim",
-        )
-        .groupBy(id_col)
-        .agg(F.max_by(centroid_id_col, "__sim").alias(centroid_id_col))
-    )
+    tie-break by centroid id). Map-only: centroids broadcast as one
+    collected array row; no shuffle at all (see _ivf_assign_vec)."""
+    return _ivf_assign_vec(
+        corpus, centroids, id_col, vec_col, centroid_id_col
+    ).select(id_col, centroid_id_col)
 
 
 def ivf_search(
@@ -212,8 +246,8 @@ def ivf_search(
     At 100 TB the corpus is pre-partitioned (even bucketed on cid), so
     a query touches ~corpus/n_centroids × nprobe rows.
     """
-    assign = ivf_assign(corpus, centroids, id_col, vec_col)
-    bucketed = corpus.join(assign, id_col)
+    # assignment carries the vectors: no shuffle, no join-back scan
+    nb = _ivf_assign_vec(corpus, centroids, id_col, vec_col)
 
     c = centroids.select(F.col("cid"), F.col(vec_col).alias("__c"))
     q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("__q"))
@@ -229,7 +263,6 @@ def ivf_search(
         .select("qid", "cid", "__q")
     )
 
-    nb = _with_vec_norm(bucketed, vec_col, "__v", "__nv", id_col, "cid")
     pq = probe.withColumn("__dq", _dvec(F.col("__q"))).withColumn(
         "__nq", _norm(F.col("__dq"))
     )
