@@ -106,12 +106,27 @@ def ordered_bounded(df, *cols):
     Use ONLY when the row count is bounded at any data scale; results
     proportional to input (per-document scores, per-customer top-k)
     must keep the distributed ``orderBy``.
+
+    The bounded contract is enforceable: with MDS_ASSERT_BOUNDED set
+    (the oracle sweep sets it), the result is counted and a result
+    over the bound fails loudly — a misuse on a proportional result
+    would otherwise silently serialize the final stage at scale.
     """
+    import os
+
     from pyspark.sql import Column
 
     exprs = [F.col(c) if isinstance(c, str) else c for c in cols]
     assert all(isinstance(c, Column) for c in exprs)
-    return df.coalesce(1).sortWithinPartitions(*exprs)
+    out = df.coalesce(1).sortWithinPartitions(*exprs)
+    bound = os.environ.get("MDS_ASSERT_BOUNDED")
+    if bound:
+        n = out.count()
+        assert n <= int(bound), (
+            f"ordered_bounded misuse: {n} rows exceeds the bounded-"
+            f"cardinality contract ({bound}); use ordered_adaptive"
+        )
+    return out
 
 
 # ------------------------------------------------------------ fixed point

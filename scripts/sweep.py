@@ -23,6 +23,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
+    # enforce the bounded-cardinality contract of ordered_bounded on
+    # every sweep (helpers.ordered_bounded counts its result under
+    # this; a proportional result slipping into the 1-task sort is a
+    # scale bug the sweep should catch, not ship)
+    os.environ.setdefault("MDS_ASSERT_BOUNDED", "100000")
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="sf0.01", help="scale dir under /root/testdata")
     ap.add_argument("--only", nargs="*", default=None, help="name prefixes to run")
