@@ -118,23 +118,6 @@ def main() -> None:
         (max(section_totals) - min(section_totals)) / min(section_totals), 3
     )
 
-    # Secondary metric (round-10 verdict item 9): COLD-scan latencies.
-    # One pass per query with the columnar cache dropped, so parquet
-    # I/O + decode is inside the timed region — this makes the warm
-    # headline's buffer-pool assumption explicit and pins the cold
-    # path against hidden regressions. Single pass (no min-of-9): the
-    # first execution IS the cold execution; re-running would re-warm.
-    # The cache is restored afterwards so later metrics are unchanged.
-    spark.catalog.clearCache()
-    cold: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.perf_counter()
-        REGISTRY[name].spark(spark, sf_dir).toPandas()
-        cold[name] = round(time.perf_counter() - t0, 3)
-    warm_cache(spark, sf_dir)
-    for name in HEADLINE:  # re-warm codegen/cache for the next metric
-        REGISTRY[name].spark(spark, sf_dir).toPandas()
-
     # Secondary metric: the prepared-statement serving path
     # (registry.prepared — the analog of the reference's DuckDB prepared
     # statements + plan cache, pgserver/duck_handler.go:133-233).
@@ -189,6 +172,22 @@ def main() -> None:
         con.close()
     except Exception:
         proxy = {}
+
+    # Secondary metric (round-10 verdict item 9): COLD-scan latencies.
+    # One pass per query with the columnar cache dropped, so parquet
+    # I/O + decode is inside the timed region — this makes the warm
+    # headline's buffer-pool assumption explicit and pins the cold
+    # path against hidden regressions. Single pass (no min-of-9): the
+    # first execution IS the cold execution; re-running would re-warm.
+    # Runs LAST so the warm/prepared/proxy blocks keep the exact
+    # conditions of the r10-comparable bench (the cold pass's ~10+s of
+    # scanning must not sit upstream of the proxy control).
+    spark.catalog.clearCache()
+    cold: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        REGISTRY[name].spark(spark, sf_dir).toPandas()
+        cold[name] = round(time.perf_counter() - t0, 3)
 
     os.dup2(real_stderr, 2)
     os.close(real_stderr)
