@@ -122,10 +122,12 @@ class ParquetTable:
         df = self._read_snapshot(meta)
         if ck is not None:
             # keep only the live pointer per table (old plans are
-            # unreachable once the pointer moves)
+            # unreachable once the pointer moves); pop() because the
+            # multi-table flush reads from a small thread pool and two
+            # threads may race the same eviction
             for k in [k for k in self._read_cache
                       if k[0] == self.name and k != ck]:
-                del self._read_cache[k]
+                self._read_cache.pop(k, None)
             self._read_cache[ck] = df
         return df
 
@@ -586,7 +588,7 @@ class Catalog:
         (drop+recreate restarts versions at 0; restore/rename adopt
         foreign version dirs)."""
         for k in [k for k in self._read_cache if k[0] == name]:
-            del self._read_cache[k]
+            self._read_cache.pop(k, None)
 
     def drop_table(self, name: str) -> None:
         import shutil
