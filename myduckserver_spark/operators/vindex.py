@@ -90,6 +90,12 @@ def build_ivf(
                 "cid", F.coalesce(F.col("vec"), F.col("__old")).alias("vec")
             )
         )
+    # cent is nlist rows but its DAG is `iters` corpus-wide k-means
+    # rounds — and the caller writes cent AND final_assign as two
+    # separate snapshots, which would re-execute the whole k-means
+    # chain for the second write. Pin the tiny result once so both
+    # consumers (and final_assign below) read 8 rows, not the DAG.
+    cent = cent.localCheckpoint(eager=True)
     final_assign = ivf_assign(
         base, cent.select("cid", F.col("vec").alias(vec_col)),
         id_col=pk_col, vec_col=vec_col,

@@ -232,3 +232,22 @@ def test_sql_first_vector_workflow(spark, tmp_path):
     e.execute("CREATE TABLE emb3 (id INT PRIMARY KEY, w ARRAY<DOUBLE>)")
     e.execute("INSERT INTO emb3 VALUES (1, array(1.5, 2.5))")
     assert e.execute("SELECT w FROM emb3").collect()[0].w == [1.5, 2.5]
+
+
+def test_build_ivf_pins_centroids_once(spark, sf_dir):
+    """build_ivf materializes the k-means result: the returned
+    centroid frame is a pinned scan (no Aggregate in its plan), so the
+    caller's two snapshot writes (centroids, assignment) cannot
+    re-execute the iterative corpus-wide k-means chain."""
+    from myduckserver_spark.operators.vindex import build_ivf
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    cent, assign = build_ivf(emb, "vec_id", "embedding", nlist=4, iters=2)
+    cent_plan = cent._jdf.queryExecution().optimizedPlan().toString()
+    assert "Aggregate" not in cent_plan and "Join" not in cent_plan
+    assert cent.count() == 4
+    # the assignment still assigns every corpus row to a built centroid
+    n = emb.count()
+    assert assign.count() == n
+    cids = {r.cid for r in cent.select("cid").collect()}
+    assert {r.cid for r in assign.select("cid").distinct().collect()} <= cids
