@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from myduckserver_spark.plans.helpers import bcount, o_bcount
 from myduckserver_spark.plans.registry import register
-from myduckserver_spark.tables import load_table
+from myduckserver_spark.tables import load_table, table_view
 
 CHUNK_WORDS = 32  # RAG chunk size in words
 CHUNK_STRIDE = 24  # stride < size -> 8-word overlap between chunks
@@ -295,29 +295,34 @@ def sim_srp_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     every comparison to a bucket, exactly like the MinHash LSH path
     (operators/dedup.py).
     """
-    emb = load_table(spark, sf_dir, "embeddings")
-    vec = F.col("embedding").cast("array<double>")
+    # Single generated-SQL build (one spark.sql round-trip instead of
+    # 16 planes x 64 dims of F.lit Py4J calls; measured build
+    # 1485-1503 -> 83-154 ms, plan byte-identical after expr-id
+    # normalization — lambda args spelled (x, y) to match the Column
+    # API's auto-naming). Same round-10 conversion pattern as
+    # sim_topk_bruteforce.
+    emb = table_view(spark, sf_dir, "embeddings")
 
-    def dot(p: int):
-        plane = F.array(
-            *[F.lit(float(_srp_component(p, i))) for i in range(SRP_DIMS)]
+    def dot_sql(p: int) -> str:
+        arr = ", ".join(
+            f"{float(_srp_component(p, i))!r}D" for i in range(SRP_DIMS)
         )
-        return F.aggregate(
-            F.zip_with(vec, plane, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        return (
+            f"aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), "
+            f"array({arr}), (x, y) -> x * y), 0.0D, (x, y) -> x + y)"
         )
 
-    bucket = None
-    for p in range(SRP_PLANES):
-        bit = F.when(dot(p) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    sigs = emb.select("vec_id", bucket.cast("long").alias("bucket"))
-    return (
-        sigs.groupBy("bucket")
-        .agg(bcount("n_vecs"), F.min("vec_id").cast("long").alias("min_vec"))
-        .orderBy("bucket")
+    bits = " + ".join(
+        f"(CASE WHEN {dot_sql(p)} >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(SRP_PLANES)
     )
+    return spark.sql(f"""
+        SELECT bucket, CAST(COUNT(1) AS LONG) AS n_vecs,
+               CAST(MIN(vec_id) AS LONG) AS min_vec
+        FROM (SELECT vec_id, CAST({bits} AS LONG) AS bucket FROM {emb})
+        GROUP BY bucket
+        ORDER BY bucket
+    """)
 
 
 @register(
