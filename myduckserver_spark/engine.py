@@ -7724,6 +7724,13 @@ class Engine:
 
         ai_mixed_last = 0
         ai_next_base = 0  # persisted counter floor after assignment
+        # driver-known column values for a literal VALUES batch: lets
+        # ON DUPLICATE's intra-batch duplicate-key probe run in Python
+        # (0 Spark jobs) instead of a per-level aggregate union. Only
+        # columns whose final value is knowable without executing the
+        # plan are recorded; any driver-opaque rewrite drops the
+        # affected column (or the whole hint) below.
+        local_vals: dict[str, list] | None = None
         if s.query is not None:
             df = self.sql(s.query, dialect=dialect)
             if s.columns:
@@ -7801,6 +7808,9 @@ class Engine:
                     T.StructField(c, fields[c], True) for c in target
                 ])
             )
+            local_vals = {
+                c: [r[i] for r in pyrows] for i, c in enumerate(target)
+            }
 
         auto = meta.auto_increment
         if s.query is not None and auto and auto in df.columns:
@@ -7841,6 +7851,17 @@ class Engine:
                     base_schema[col].dataType
                 ),
             )
+            if local_vals is not None:
+                # constant literal per column — driver-knowable; cast
+                # with the same helper the VALUES rows went through
+                try:
+                    dv = self._py_cast(
+                        meta.defaults.get(col), base_schema[col].dataType
+                    )
+                    nrows = len(next(iter(local_vals.values()), []))
+                    local_vals[col] = [dv] * nrows
+                except Exception:
+                    pass  # column stays driver-unknown
 
         # Generated columns always come from their expression, whatever
         # the INSERT provided (reference: TestGeneratedColumns :871).
@@ -7848,6 +7869,8 @@ class Engine:
             df = df.withColumn(
                 col, self._fragment(expr_text).cast(base_schema[col].dataType)
             )
+            if local_vals is not None:
+                local_vals.pop(col, None)  # expression: driver-unknown
 
         # BEFORE INSERT triggers (SET NEW.c = expr): one vectorized
         # withColumn per assignment, after defaults/generated, before
@@ -7865,6 +7888,8 @@ class Engine:
                     df = df.withColumn(
                         col, F.expr(ex).cast(base_schema[col].dataType)
                     )
+                    if local_vals is not None:
+                        local_vals.pop(col, None)  # driver-unknown now
             elif op[0] == "stmt":
                 before_ins_stmts.append((op[1], op[2]))
             else:
@@ -7912,6 +7937,7 @@ class Engine:
                 cond = checks[cname]
                 if s.mode == "ignore":
                     df = df.filter(cond & cond.isNotNull())
+                    local_vals = None  # rows dropped plan-side
                     continue
                 bad = df.filter(~cond | cond.isNull()).limit(1).collect()
                 raise ValueError(
@@ -8087,6 +8113,7 @@ class Engine:
                 want_update_pairs=bool(
                     self._triggers_for(s.table, "update", "after")),
                 upsert_where=s.on_dup_where,
+                local_vals=local_vals,
             )
             if ins_img is not None:
                 _fire_insert_triggers(ins_img)
@@ -8393,12 +8420,47 @@ class Engine:
                 levels.append((iname, list(icols), True))
         return levels
 
+    @staticmethod
+    def _intra_dup_local(local_vals: dict[str, list], levels) -> bool | None:
+        """Intra-batch duplicate-key detection over driver-local VALUES
+        rows — 0 Spark jobs. Returns None (caller falls back to the
+        distributed probe) when any enforced level references a column
+        whose final value is not driver-known. Key equality mirrors the
+        distributed groupBy: NULL groups with NULL (but null-exempt
+        levels skip rows with any NULL key part), NaN groups with NaN,
+        -0.0 equals +0.0 (Python == and hash already treat them so)."""
+        for _iname, icols, _nex in levels:
+            if any(c not in local_vals for c in icols):
+                return None
+        nrows = len(next(iter(local_vals.values()), []))
+        for _iname, icols, nex in levels:
+            seen = set()
+            for i in range(nrows):
+                key, skip = [], False
+                for c in icols:
+                    v = local_vals[c][i]
+                    if v is None:
+                        if nex:
+                            skip = True
+                            break
+                    elif isinstance(v, float) and v != v:
+                        v = "\x00__nan__"  # NaN groups with NaN
+                    key.append(v)
+                if skip:
+                    continue
+                k = tuple(key)
+                if k in seen:
+                    return True
+                seen.add(k)
+        return False
+
     def _insert_on_duplicate(
         self, name: str, df: DataFrame, meta: st.TableMeta,
         assignments: dict[str, str],
         want_insert_image: bool = False,
         want_update_pairs: bool = False,
         upsert_where: str | None = None,
+        local_vals: dict[str, list] | None = None,
     ) -> tuple:
         """INSERT ... ON DUPLICATE KEY UPDATE (reference:
         TestInsertDuplicateKeyKeyless main_test.go:851; applied by the
@@ -8425,25 +8487,34 @@ class Engine:
         levels = self._on_dup_levels(meta, df.columns)
         pk = list(meta.primary_key or [])
 
-        # intra-batch duplicate keys on any enforced level? ONE job for
-        # all levels: union the per-level max-multiplicity aggregates
+        # intra-batch duplicate keys on any enforced level? For a
+        # literal VALUES batch the final key values are driver-known:
+        # decide in Python, 0 Spark jobs. Otherwise ONE job for all
+        # levels: union the per-level max-multiplicity aggregates
         # (each is a single short row) instead of one collect per level.
-        probes = []
-        for _iname, icols, nex in levels:
-            grp = df
-            if nex:
-                grp = grp.na.drop("any", subset=icols)
-            probes.append(
-                grp.groupBy(*icols).agg(F.count(F.lit(1)).alias("__c"))
-                .agg(F.max("__c").alias("__m"))
+        intra = None
+        if local_vals is not None and levels:
+            try:
+                intra = self._intra_dup_local(local_vals, levels)
+            except TypeError:
+                intra = None  # unhashable key part: use the probe
+        if intra is None:
+            probes = []
+            for _iname, icols, nex in levels:
+                grp = df
+                if nex:
+                    grp = grp.na.drop("any", subset=icols)
+                probes.append(
+                    grp.groupBy(*icols).agg(F.count(F.lit(1)).alias("__c"))
+                    .agg(F.max("__c").alias("__m"))
+                )
+            u = probes[0]
+            for p in probes[1:]:
+                u = u.unionByName(p)
+            intra = any(
+                (r["__m"] or 0) > 1
+                for r in u.agg(F.max("__m").alias("__m")).collect()
             )
-        u = probes[0]
-        for p in probes[1:]:
-            u = u.unionByName(p)
-        intra = any(
-            (r["__m"] or 0) > 1
-            for r in u.agg(F.max("__m").alias("__m")).collect()
-        )
 
         key_cols = {c for _n, cols, _x in levels for c in cols}
         if set(assignments) & key_cols:
@@ -8534,21 +8605,26 @@ class Engine:
         # matched and rem are batch-sized (each batch row appears at
         # most once) but their DAGs join/anti-join the STORED table —
         # and they are consumed up to four times below (multi check,
-        # change count, new count, final write). Materialize each ONCE:
-        # without this the whole level-cascade re-executes per action
-        # (measured: 47 Spark jobs for a 2-row upsert; the base table
+        # change count, new count, final write). Materialize BOTH in
+        # ONE tagged localCheckpoint (a second checkpoint re-ran the
+        # shared level-cascade broadcast stages; measured: 47 Spark
+        # jobs for a 2-row upsert pre-checkpoint, 10 of the remaining
+        # 29 were the two separate materializations — the base table
         # would be re-scanned ~4x per level at 100 TB).
-        matched = matched.localCheckpoint()
-        rem = rem.localCheckpoint()
-
-        if len(levels) > 1:
-            multi = (
-                matched.groupBy(*[f"__t_{c}" for c in pk])
-                .agg(F.count(F.lit(1)).alias("__c"))
-                .where(F.col("__c") > 1).limit(1).collect()
-            )
-            if multi:
-                return None  # two batch rows hit one stored row
+        ncols = [f"__n_{c}" for c in base_cols]
+        tcols = [f"__t_{c}" for c in base_cols]
+        ck = (
+            matched.select(*ncols, *tcols, F.lit(True).alias("__mt"))
+            .unionByName(rem.select(
+                *ncols,
+                *[F.lit(None).cast(base.schema[c].dataType)
+                  .alias(f"__t_{c}") for c in base_cols],
+                F.lit(False).alias("__mt"),
+            ))
+            .localCheckpoint()
+        )
+        matched = ck.where(F.col("__mt")).select(*ncols, *tcols)
+        rem = ck.where(~F.col("__mt")).select(*ncols)
 
         gate = None
         if upsert_where is not None:
@@ -8597,18 +8673,42 @@ class Engine:
                 pair.append(sel_c.alias(f"new_{c}"))
             upd_pairs = matched.select(*pair)
 
-        # both counts over checkpointed inputs in ONE job
-        cnt_rows = (
-            rem.agg(F.count(F.lit(1)).alias("__n"))
-            .select(F.lit("new").alias("__k"), "__n")
-            .unionByName(
-                updated.where("__chg")
-                .agg(F.count(F.lit(1)).alias("__n"))
-                .select(F.lit("chg").alias("__k"), "__n")
-            ).collect()
+        # multi-hit check + both counts in ONE flat aggregate over the
+        # checkpoint (was: a grouped multi probe job, then a separate
+        # union-of-aggregates counts job — 5 AQE stage jobs). The
+        # multi-hit condition "some stored row matched by >1 batch
+        # row" is exactly count(matched) > countDistinct(stored pk
+        # among matched), PK being non-null — no groupBy needed. If
+        # the fused collect throws (an assignment expression erroring
+        # on a matched pair), re-run the expression-free part alone so
+        # a multi-hit batch still falls back to the sequential tier
+        # exactly as before instead of surfacing the set-based error.
+        pk_t = F.when(
+            F.col("__mt"), F.struct(*[F.col(f"__t_{c}") for c in pk])
         )
-        cnts = {r["__k"]: int(r["__n"]) for r in cnt_rows}
-        n_new, n_chg = cnts["new"], cnts["chg"]
+        multi_aggs = [
+            F.count(F.when(F.col("__mt"), 1)).alias("__nm"),
+            F.count_distinct(pk_t).alias("__npk"),
+        ] if len(levels) > 1 else []
+        cnt_q = ck.agg(
+            F.count(F.when(~F.col("__mt"), 1)).alias("__nnew"),
+            # nested WHEN: CaseWhen branches evaluate lazily, so the
+            # assignment/chg expressions never run on rem rows (whose
+            # __t_ inputs are NULL — an ANSI-mode error hazard)
+            F.count(F.when(F.col("__mt"), F.when(chg, 1))).alias("__nchg"),
+            *multi_aggs,
+        )
+        try:
+            crow = cnt_q.collect()[0]
+        except Exception:
+            if multi_aggs:
+                m = ck.agg(*multi_aggs).collect()[0]
+                if int(m["__nm"]) > int(m["__npk"]):
+                    return None  # two batch rows hit one stored row
+            raise
+        if multi_aggs and int(crow["__nm"]) > int(crow["__npk"]):
+            return None  # two batch rows hit one stored row
+        n_new, n_chg = int(crow["__nnew"]), int(crow["__nchg"])
         untouched = base.join(
             matched.select(
                 *[F.col(f"__t_{c}").alias(c) for c in pk]
