@@ -8420,6 +8420,60 @@ class Engine:
                 levels.append((iname, list(icols), True))
         return levels
 
+    # key-column types whose driver-local Python values compare
+    # round-trip-exactly with their Spark column values as literals.
+    # FloatType (f32 truncation) and DecimalType (scale rounding) are
+    # excluded: a literal built from the pre-ingestion Python value
+    # could miss the stored (ingested) value.
+    _LITERAL_KEY_TYPES = (
+        T.LongType, T.IntegerType, T.ShortType, T.ByteType,
+        T.StringType, T.BooleanType, T.DateType,
+        T.TimestampType, T.TimestampNTZType, T.DoubleType,
+    )
+
+    @classmethod
+    def _literal_key_pred(cls, schema, icols, keys, prefix=""):
+        """Membership predicate `(c1,..,ck) IN (literal keys)` over the
+        columns `prefix+icols`, mirroring equi-join key semantics:
+        NULL key parts never match (keys containing None are skipped —
+        an equi-join would not match them either), NaN double keys
+        match via isnan (join keys normalize NaN; plain `=` in a
+        filter would not), -0.0 matches +0.0 (IEEE `=`). Returns None
+        when any key column's type is outside the round-trip-exact
+        set (caller keeps its join-based path), F.lit(False) when no
+        usable key remains."""
+        for c in icols:
+            if not isinstance(schema[c].dataType, cls._LITERAL_KEY_TYPES):
+                return None
+        ks = [k for k in {tuple(k) for k in keys}
+              if all(v is not None for v in k)]
+        if not ks:
+            return F.lit(False)
+
+        def term(c, v):
+            col = F.col(f"{prefix}{c}")
+            if isinstance(v, float) and v != v:
+                return F.isnan(col)
+            return col == F.lit(v)
+
+        if len(icols) == 1:
+            c = icols[0]
+            plain = [k[0] for k in ks
+                     if not (isinstance(k[0], float) and k[0] != k[0])]
+            pred = F.col(f"{prefix}{c}").isin(plain) if plain else F.lit(False)
+            if len(plain) != len(ks):  # some NaN keys
+                pred = pred | F.isnan(F.col(f"{prefix}{c}"))
+            return pred
+        from functools import reduce as _reduce
+        return _reduce(
+            lambda a, b: a | b,
+            (
+                _reduce(lambda a, b: a & b,
+                        (term(c, v) for c, v in zip(icols, k)))
+                for k in ks
+            ),
+        )
+
     @staticmethod
     def _intra_dup_local(local_vals: dict[str, list], levels) -> bool | None:
         """Intra-batch duplicate-key detection over driver-local VALUES
@@ -8546,6 +8600,7 @@ class Engine:
             res = self._on_dup_setbased(
                 t, base, df, levels, assignments, base_cols, on_update,
                 want_insert_image, want_update_pairs, upsert_where,
+                local_vals=local_vals,
             )
             if res is not None:
                 if set(assignments) & key_cols:
@@ -8563,14 +8618,14 @@ class Engine:
             )
         return self._on_dup_sequential(
             t, base, df, levels, assignments, base_cols, on_update,
-            want_insert_image, want_update_pairs,
+            want_insert_image, want_update_pairs, local_vals=local_vals,
         )
 
     def _on_dup_setbased(self, t, base, df, levels, assignments,
                          base_cols, on_update=None,
                          want_insert_image=False,
                          want_update_pairs=False,
-                         upsert_where=None):
+                         upsert_where=None, local_vals=None):
         """Distributed ON DUPLICATE KEY UPDATE: level-wise first-match
         cascade (rows that matched an earlier index leave the pool via
         anti-join before the next), one update projection, one write.
@@ -8581,7 +8636,35 @@ class Engine:
 
         pk = levels[0][1]  # caller guarantees PRIMARY first
         nf = df.select([F.col(c).alias(f"__n_{c}") for c in base_cols])
-        bf = base.select([F.col(c).alias(f"__t_{c}") for c in base_cols])
+
+        # literal VALUES batch: pre-filter the STORED side to rows
+        # whose key matches some batch key on some level — ONE
+        # membership predicate that pushes to the parquet scan, so the
+        # cascade's joins see candidate rows instead of the full table
+        # (guide §3.2: reduce the big side before it reaches the
+        # join). The predicate is a superset of every level's join
+        # matches (round-trip-exact key types only; NaN via isnan),
+        # so join results are unchanged.
+        src = base
+        if local_vals is not None:
+            nbatch = len(next(iter(local_vals.values()), []))
+            if nbatch <= self._LITERAL_BATCH_CAP and all(
+                c in local_vals for _n, icols, _x in levels for c in icols
+            ):
+                preds = []
+                for _iname, icols, _nex in levels:
+                    keys = [tuple(local_vals[c][i] for c in icols)
+                            for i in range(nbatch)]
+                    p = self._literal_key_pred(base.schema, icols, keys)
+                    if p is None:
+                        preds = None
+                        break
+                    preds.append(p)
+                if preds is not None:
+                    anyhit = _reduce(lambda a, b: a | b, preds)
+                    src = base.filter(F.coalesce(anyhit, F.lit(False)))
+
+        bf = src.select([F.col(c).alias(f"__t_{c}") for c in base_cols])
         rem = nf
         parts = []
         for _iname, icols, nex in levels:
@@ -8590,7 +8673,7 @@ class Engine:
                 (F.col(f"__t_{c}") == F.col(f"__n_{c}") for c in icols),
             )
             parts.append(rem.join(bf, cond, "inner"))
-            basek = base.select(
+            basek = src.select(
                 [F.col(c).alias(f"__n_{c}") for c in icols]
             ).distinct()
             if nex:
@@ -8724,10 +8807,16 @@ class Engine:
         )
         return n_new + 2 * n_chg, ins_img, upd_pairs
 
+    # literal-predicate candidate fetch / kept-filter is only used for
+    # driver-known batches up to this many rows (the OR-of-AND plan
+    # grows linearly with the batch; joins win past this size anyway)
+    _LITERAL_BATCH_CAP = 256
+
     def _on_dup_sequential(self, t, base, df, levels, assignments,
                            base_cols, on_update=None,
                            want_insert_image=False,
-                           want_update_pairs=False):
+                           want_update_pairs=False,
+                           local_vals=None):
         """MySQL row-at-a-time parity for the order-dependent shapes
         (intra-batch duplicate keys, several batch rows hitting one
         stored row, unique-only tables): each batch row conflicts
@@ -8746,25 +8835,66 @@ class Engine:
                 "batch"
             )
         cap = self._CHAIN_WALK_CAP
-        ordered = df.withColumn("__ord", F.monotonically_increasing_id())
-        batch = ordered.orderBy("__ord").limit(cap + 1).collect()
-        if len(batch) > cap:
-            raise NotImplementedError(
-                "INSERT ... ON DUPLICATE KEY UPDATE with intra-batch "
-                f"duplicate keys over >{cap} rows: split the batch "
-                "(sequential chains resolve driver-side)"
-            )
+        batch = None
+        if local_vals is not None and all(c in local_vals for c in base_cols):
+            nrows = len(next(iter(local_vals.values()), []))
+            if nrows <= cap and all(
+                isinstance(base.schema[c].dataType, self._LITERAL_KEY_TYPES)
+                for c in key_cols
+            ):
+                # literal VALUES batch with round-trip-exact key types:
+                # the rows (and their statement order) are driver-known
+                # — skip the collect job. Float32/decimal key columns
+                # fall back (their Python values would not compare
+                # equal to the collected candidates' ingested values).
+                batch = [
+                    {c: local_vals[c][i] for c in base_cols}
+                    for i in range(nrows)
+                ]
+        if batch is None:
+            ordered = df.withColumn(
+                "__ord", F.monotonically_increasing_id())
+            batch = ordered.orderBy("__ord").limit(cap + 1).collect()
+            if len(batch) > cap:
+                raise NotImplementedError(
+                    "INSERT ... ON DUPLICATE KEY UPDATE with intra-batch "
+                    f"duplicate keys over >{cap} rows: split the batch "
+                    "(sequential chains resolve driver-side)"
+                )
 
         # stored rows any batch key can hit, on any level (complete:
-        # keys never change — no key column is assigned)
-        cand = None
-        for _iname, icols, nex in levels:
-            keys_df = df.select(*icols).distinct()
-            if nex:
-                keys_df = keys_df.na.drop("any", subset=icols)
-            part = base.join(keys_df, icols, "left_semi")
-            cand = part if cand is None else cand.unionByName(part)
-        cand_rows = cand.distinct().limit(cap * len(levels) + 1).collect()
+        # keys never change — no key column is assigned). For a small
+        # batch the per-level key sets become ONE literal membership
+        # scan (no per-level semi-join, and the IN predicates can push
+        # to the parquet scan); bigger batches keep the join path.
+        anyhit = None
+        if len(batch) <= self._LITERAL_BATCH_CAP:
+            preds = []
+            for _iname, icols, nex in levels:
+                keys = [tuple(r[c] for c in icols) for r in batch]
+                p = self._literal_key_pred(base.schema, icols, keys)
+                if p is None:
+                    preds = None
+                    break
+                preds.append(p)
+            if preds is not None:
+                from functools import reduce as _reduce
+                anyhit = _reduce(lambda a, b: a | b, preds)
+        if anyhit is not None:
+            cand_rows = (
+                base.filter(F.coalesce(anyhit, F.lit(False)))
+                .limit(cap * len(levels) + 1).collect()
+            )
+        else:
+            cand = None
+            for _iname, icols, nex in levels:
+                keys_df = df.select(*icols).distinct()
+                if nex:
+                    keys_df = keys_df.na.drop("any", subset=icols)
+                part = base.join(keys_df, icols, "left_semi")
+                cand = part if cand is None else cand.unionByName(part)
+            cand_rows = cand.distinct().limit(
+                cap * len(levels) + 1).collect()
 
         ents: list[dict] = []
         index: list[dict] = [dict() for _ in levels]
@@ -8861,14 +8991,20 @@ class Engine:
                         + tuple(ents[eid][c] for c in base_cols)
                     )
 
-        # swap candidates out, final entity states in (the anti-join
-        # mirrors candidate selection exactly — keys are static)
-        kept = base
-        for _iname, icols, nex in levels:
-            keys_df = df.select(*icols).distinct()
-            if nex:
-                keys_df = keys_df.na.drop("any", subset=icols)
-            kept = kept.join(keys_df, icols, "left_anti")
+        # swap candidates out, final entity states in (the filter /
+        # anti-joins mirror candidate selection exactly — keys are
+        # static). Using the SAME predicate for fetch and removal
+        # guarantees no stored row is dropped without having been
+        # collected into ents first.
+        if anyhit is not None:
+            kept = base.filter(~F.coalesce(anyhit, F.lit(False)))
+        else:
+            kept = base
+            for _iname, icols, nex in levels:
+                keys_df = df.select(*icols).distinct()
+                if nex:
+                    keys_df = keys_df.na.drop("any", subset=icols)
+                kept = kept.join(keys_df, icols, "left_anti")
         out_schema = T.StructType(
             [T.StructField(f.name, f.dataType, True)
              for f in base.schema.fields]
