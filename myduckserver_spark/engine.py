@@ -8015,7 +8015,84 @@ class Engine:
             )
 
         n = None
-        if plevels:
+        probed = False
+        if plevels and local_vals:
+            # literal VALUES batch: the intra-batch multiplicity check
+            # runs in Python (0 jobs) and the stored-clash check is ONE
+            # filtered scan with pushable literal key predicates (was:
+            # explode + semi-join + two-stage aggregate, ~5 AQE jobs on
+            # every seed INSERT). Canonical key semantics mirror
+            # _key_json: NULL groups with NULL on non-exempt levels,
+            # null-exempt levels skip NULL key parts, NaN groups with
+            # NaN, -0.0 with +0.0. Falls back to the distributed probe
+            # for non-literal batches, oversize batches, or key types
+            # outside the round-trip-exact set.
+            nloc = len(next(iter(local_vals.values())))
+            if nloc <= self._LITERAL_BATCH_CAP and all(
+                    c in local_vals
+                    for _i2, icols2, _x2 in plevels for c in icols2):
+                preds, dups = [], []
+                for _iname2, icols2, nex2 in plevels:
+                    kvs = []
+                    for i in range(nloc):
+                        kv = tuple(local_vals[c][i] for c in icols2)
+                        if nex2 and any(v is None for v in kv):
+                            continue
+                        kvs.append(kv)
+                    seen, bad = set(), None
+                    for kv in kvs:
+                        canon = tuple(
+                            "\x00__nan__"
+                            if isinstance(v, float) and v != v else v
+                            for v in kv)
+                        if canon in seen:
+                            bad = kv
+                            break
+                        seen.add(canon)
+                    dups.append(bad)
+                    p = self._literal_key_pred(
+                        base_schema, icols2, kvs,
+                        null_matches_null=not nex2)
+                    if p is None:
+                        preds = None
+                        break
+                    preds.append(p)
+                if preds is not None:
+                    probed = True
+                    if probe_pk:
+                        n = nloc
+                    from functools import reduce as _reduce
+                    flags = [0] * len(plevels)
+                    # a level-0 intra dup raises before any clash check
+                    # could — skip the scan in that case
+                    if dups[0] is None:
+                        anyp = _reduce(lambda a, b: a | b, preds)
+                        frow = (
+                            t.read()
+                            .filter(F.coalesce(anyp, F.lit(False)))
+                            .agg(*[
+                                F.max(F.when(p2, 1)).alias(f"__cl{i}")
+                                for i, p2 in enumerate(preds)
+                            ]).collect()[0]
+                        )
+                        flags = [int(frow[i] or 0)
+                                 for i in range(len(plevels))]
+                    for li, (iname, icols, nex) in enumerate(plevels):
+                        if dups[li] is not None:
+                            raise DuplicateKeyError(
+                                _dup_key(dict(zip(icols, dups[li])),
+                                         icols),
+                                f"{s.table}.{iname}",
+                            )
+                        if flags[li]:
+                            bad = (
+                                t.read().filter(preds[li])
+                                .select(*icols).limit(1).collect()[0]
+                            )
+                            raise DuplicateKeyError(
+                                _dup_key(bad, icols), f"{s.table}.{iname}"
+                            )
+        if plevels and not probed:
             # ONE probe query for the whole statement: every row fans
             # out to its (level, key) pairs, the stored table's keys are
             # scanned ONCE for all levels (was one semi-join per index)
@@ -8076,7 +8153,9 @@ class Engine:
                         _dup_key(bad, icols), f"{s.table}.{iname}"
                     )
         if n is None:
-            n = df.count()
+            # literal VALUES batch: the row count is driver-known
+            n = (len(next(iter(local_vals.values())))
+                 if local_vals else df.count())
         if before_ins_stmts:
             avail = [f.name for f in base_schema.fields
                      if f.name in df.columns]
@@ -8432,36 +8511,44 @@ class Engine:
     )
 
     @classmethod
-    def _literal_key_pred(cls, schema, icols, keys, prefix=""):
+    def _literal_key_pred(cls, schema, icols, keys, prefix="",
+                          null_matches_null=False):
         """Membership predicate `(c1,..,ck) IN (literal keys)` over the
         columns `prefix+icols`, mirroring equi-join key semantics:
         NULL key parts never match (keys containing None are skipped —
         an equi-join would not match them either), NaN double keys
         match via isnan (join keys normalize NaN; plain `=` in a
-        filter would not), -0.0 matches +0.0 (IEEE `=`). Returns None
-        when any key column's type is outside the round-trip-exact
-        set (caller keeps its join-based path), F.lit(False) when no
-        usable key remains."""
+        filter would not), -0.0 matches +0.0 (IEEE `=`). With
+        `null_matches_null` a NULL key part matches a stored NULL
+        instead (the canonical-JSON key semantics of the insert
+        probe's non-exempt levels). Returns None when any key column's
+        type is outside the round-trip-exact set (caller keeps its
+        join-based path), F.lit(False) when no usable key remains."""
         for c in icols:
             if not isinstance(schema[c].dataType, cls._LITERAL_KEY_TYPES):
                 return None
-        ks = [k for k in {tuple(k) for k in keys}
-              if all(v is not None for v in k)]
+        ks = list({tuple(k) for k in keys})
+        if not null_matches_null:
+            ks = [k for k in ks if all(v is not None for v in k)]
         if not ks:
             return F.lit(False)
 
         def term(c, v):
             col = F.col(f"{prefix}{c}")
+            if v is None:
+                return col.isNull()
             if isinstance(v, float) and v != v:
                 return F.isnan(col)
             return col == F.lit(v)
 
         if len(icols) == 1:
             c = icols[0]
-            plain = [k[0] for k in ks
-                     if not (isinstance(k[0], float) and k[0] != k[0])]
+            plain = [k[0] for k in ks if k[0] is not None
+                     and not (isinstance(k[0], float) and k[0] != k[0])]
             pred = F.col(f"{prefix}{c}").isin(plain) if plain else F.lit(False)
-            if len(plain) != len(ks):  # some NaN keys
+            if any(k[0] is None for k in ks):
+                pred = pred | F.col(f"{prefix}{c}").isNull()
+            if any(isinstance(k[0], float) and k[0] != k[0] for k in ks):
                 pred = pred | F.isnan(F.col(f"{prefix}{c}"))
             return pred
         from functools import reduce as _reduce
