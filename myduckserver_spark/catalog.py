@@ -59,10 +59,12 @@ def _sized_for_write(df: DataFrame) -> DataFrame:
 
 class ParquetTable:
     def __init__(self, spark: SparkSession, root: str, name: str,
-                 read_cache: dict | None = None):
+                 read_cache: dict | None = None,
+                 count_cache: dict | None = None):
         self.spark = spark
         self.name = name
         self.dir = os.path.join(root, name)
+        self._count_cache = count_cache
         # Catalog-owned (name, version) -> DataFrame memo: plan-OBJECT
         # reuse only (DataFrames are immutable logical plans; every
         # action still re-executes). A statement touches its table's
@@ -172,6 +174,37 @@ class ParquetTable:
             ):
                 return self.spark.createDataFrame([], schema)
             raise
+
+    def count(self) -> int:
+        """Row count of the live snapshot, memoized per (version,
+        pointer identity): a snapshot is immutable, so the count job
+        runs once per committed version no matter how many statements
+        re-count it. REPLACE/IGNORE affected-rows bookkeeping counts
+        the table before AND after every statement — in a chain of
+        DML the before-count of statement N+1 is the after-count of
+        statement N, a guaranteed memo hit. Same key discipline as
+        the read-plan memo (pointer inode+mtime), so commits,
+        restores, renames and drop+recreate can never hit stale."""
+        ck = None
+        if self._count_cache is not None:
+            try:
+                meta = self._read_pointer()
+                pst = os.stat(self._pointer_path)
+                ck = (self.name, meta["version"], pst.st_ino,
+                      pst.st_mtime_ns)
+            except OSError:
+                ck = None
+        if ck is not None:
+            got = self._count_cache.get(ck)
+            if got is not None:
+                return got
+        n = self.read().count()
+        if ck is not None:
+            for k in [k for k in self._count_cache
+                      if k[0] == self.name and k != ck]:
+                self._count_cache.pop(k, None)
+            self._count_cache[ck] = n
+        return n
 
     def read_version(self, version: int) -> DataFrame:
         """Time-travel read of a historical snapshot (Delta-style
@@ -443,12 +476,14 @@ class Catalog:
         self.spark = spark
         self.root = root
         self._read_cache: dict = {}
+        self._count_cache: dict = {}
         os.makedirs(root, exist_ok=True)
         self._recover_multi_txns()
 
     def table(self, name: str) -> ParquetTable:
         return ParquetTable(self.spark, self.root, name,
-                            read_cache=self._read_cache)
+                            read_cache=self._read_cache,
+                            count_cache=self._count_cache)
 
     # ------------------------------------------- atomic multi-table commit
     @property
@@ -589,6 +624,8 @@ class Catalog:
         foreign version dirs)."""
         for k in [k for k in self._read_cache if k[0] == name]:
             self._read_cache.pop(k, None)
+        for k in [k for k in self._count_cache if k[0] == name]:
+            self._count_cache.pop(k, None)
 
     def drop_table(self, name: str) -> None:
         import shutil

@@ -6528,7 +6528,7 @@ class Engine:
                     meta.partition_by = list(s.partition_by)
                 meta.temporary = s.temporary
                 self._save_meta(s.name, meta)
-            return OkResult(affected_rows=self.catalog.table(s.name).read().count())
+            return OkResult(affected_rows=self.catalog.table(s.name).count())
         if isinstance(s, st.DropTable):
             dropped = 0
             for nm in [s.name, *getattr(s, "more", [])]:
@@ -6556,7 +6556,7 @@ class Engine:
                 self.rename_table(old, new)
             return OkResult()
         if isinstance(s, st.Truncate):
-            n = self.catalog.table(s.name).read().count()
+            n = self.catalog.table(s.name).count()
             self.truncate(s.name)
             meta = self.table_meta(s.name)
             if meta.stats.pop("auto_increment_base", None) is not None:
@@ -8210,22 +8210,22 @@ class Engine:
         elif s.mode == "replace" and meta.primary_key:
             # MySQL REPLACE affected-rows: 1 per inserted row + 1 per
             # replaced (deleted) existing row
-            before = t.read().count()
+            before = t.count()
             incoming = n
             self.insert_replace(
                 s.table, df.select(*[f.name for f in base_schema.fields]),
                 meta.primary_key, self._unique_key_list(meta),
             )
-            replaced = before + incoming - t.read().count()
+            replaced = before + incoming - t.count()
             n = incoming + replaced
         elif s.mode == "ignore" and meta.primary_key:
-            before = t.read().count()
+            before = t.count()
             incoming = n
             self.insert_ignore(
                 s.table, df.select(*[f.name for f in base_schema.fields]),
                 meta.primary_key, self._unique_key_list(meta),
             )
-            n = t.read().count() - before
+            n = t.count() - before
             if incoming - n > 0:
                 # MySQL reports each ignored conflict as a warning
                 self._push_warning(
@@ -8276,20 +8276,18 @@ class Engine:
         df = df.select(*base_schema.fieldNames())
         n = df.count()
         if s.mode == "replace" and meta.primary_key:
-            before = self.catalog.table(s.table).read().count()
+            before = self.catalog.table(s.table).count()
             self.insert_replace(
                 s.table, df, meta.primary_key, self._unique_key_list(meta)
             )
-            replaced = before + n - self.catalog.table(
-                s.table).read().count()
+            replaced = before + n - self.catalog.table(s.table).count()
             n = n + replaced  # MySQL: +1 per replaced existing row
         elif s.mode == "ignore" and meta.primary_key:
-            before = self.catalog.table(s.table).read().count()
+            before = self.catalog.table(s.table).count()
             self.insert_ignore(
                 s.table, df, meta.primary_key, self._unique_key_list(meta)
             )
-            inserted = self.catalog.table(
-                s.table).read().count() - before
+            inserted = self.catalog.table(s.table).count() - before
             if n - inserted > 0:
                 self._push_warning(
                     1062,

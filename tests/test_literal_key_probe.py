@@ -162,3 +162,40 @@ def test_insert_select_on_dup_unaffected(engine):
     rows = [tuple(r) for r in engine.sql(
         "SELECT * FROM s2 ORDER BY k").collect()]
     assert rows == [(1, 10.0), (2, 20.0)]
+
+
+def test_count_memo_invalidates_on_rebind(spark, tmp_path):
+    # the per-(version, pointer-identity) row-count memo must never
+    # serve a stale count across drop+recreate at a repeated version
+    # number, nor across writes
+    e = Engine(spark, str(tmp_path / "whc"))
+    e.execute("CREATE TABLE m (k BIGINT PRIMARY KEY, v DOUBLE)")
+    e.execute("INSERT INTO m VALUES (1,1),(2,2)")
+    t = e.catalog.table("m")
+    assert t.count() == 2
+    assert t.count() == 2  # memo hit, same answer
+    e.execute("INSERT INTO m VALUES (3,3)")
+    assert e.catalog.table("m").count() == 3  # new version, new count
+    e.execute("DROP TABLE m")
+    e.execute("CREATE TABLE m (k BIGINT PRIMARY KEY, v DOUBLE)")
+    e.execute("INSERT INTO m VALUES (9,9)")
+    assert e.catalog.table("m").count() == 1  # rebound name, fresh
+    e.execute("TRUNCATE TABLE m")
+    assert e.catalog.table("m").count() == 0
+
+
+def test_replace_ignore_affected_rows_with_memo(spark, tmp_path):
+    # REPLACE/IGNORE affected-rows bookkeeping rides the memoized
+    # counts; MySQL parity must hold across a chained sequence
+    e = Engine(spark, str(tmp_path / "whr"))
+    e.execute("CREATE TABLE r (k BIGINT PRIMARY KEY, v DOUBLE)")
+    e.execute("INSERT INTO r VALUES (1,1),(2,2),(3,3)")
+    rep = e.execute("REPLACE INTO r VALUES (2,20),(4,40)")
+    # 2 inserted + 1 replaced existing -> 3
+    assert rep.affected_rows == 3
+    ign = e.execute("INSERT IGNORE INTO r VALUES (3,99),(5,50)")
+    assert ign.affected_rows == 1  # only (5,50) lands
+    rows = [tuple(x) for x in e.sql(
+        "SELECT * FROM r ORDER BY k").collect()]
+    assert rows == [(1, 1.0), (2, 20.0), (3, 3.0), (4, 40.0),
+                    (5, 50.0)]
